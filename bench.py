@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32). Each query is fully materialized via
+the noop sink (no driver collect, no disk write cost) so the measured
+time is plan execution only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Queries timed for BENCH_r{N}.json. Kept to the heavy hitters — full
+#: coverage correctness is the selfcheck/driver gate, not the bench.
+HEADLINE = (
+    "denormalized_orders",
+    "pricing_summary",
+    "latest_event_per_key",
+    "top3_events_per_user",
+    "group_to_array",
+    "filter_project",
+    "union_all_entities",
+    "content_hash_ids",
+    "json_extract",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from sql_database_to_elastic_datalake_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen path once with a trivial job so the first
+    # measured query does not pay session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

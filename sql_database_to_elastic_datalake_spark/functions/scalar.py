@@ -1,0 +1,93 @@
+"""Scalar column functions (SURVEY.md §2.7).
+
+Every per-row Python transform in the reference dissolves into a native
+Column expression here — JVM-side, codegen-friendly, no Python in the
+hot path:
+
+  * F1 JSON parse           -> ``json_get`` / ``from_json``
+    (/root/reference/src/json_encoder.py:23-41)
+  * F4 NaN/None normalize   -> native SQL NULL (no-op in Spark)
+    (/root/reference/src/document_utils.py:22-52)
+  * F6 MD5 content hash     -> ``content_hash``
+    (/root/reference/data_lake_sync.py:72-82)
+  * F7 versioned doc id     -> ``document_id``
+    (/root/reference/src/ticket_sync.py:133-139)
+  * F8/F9 uuid / now defaults -> ``with_defaults``
+    (/root/reference/src/utils.py:98-111)
+  * F2 ISO timestamp        -> ``iso_timestamp``
+    (/root/reference/src/json_encoder.py:12-18)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(cols: Sequence[str | Column], sep: str = "|") -> Column:
+    """Deterministic MD5 content id over the given columns.
+
+    The reference hashes the JSON-serialized full row
+    (/root/reference/data_lake_sync.py:72-82) so that changed content ⇒
+    new doc id and unchanged content ⇒ idempotent overwrite. We hash a
+    delimiter-joined canonical string instead of JSON so the id does not
+    depend on any serializer's formatting. NULLs are encoded as an
+    explicit NUL-byte sentinel — ``concat_ws`` alone silently *drops*
+    null arguments, which would collide ("a",NULL,"b") with ("a","b").
+    """
+    null_marker = F.lit("\x00")
+    parts = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), null_marker)
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(sep, *parts))
+
+
+def document_id(id_col: str | Column, indexed_at: str | Column) -> Column:
+    """Versioned document id ``{entity_id}_{indexed_at}``.
+
+    Reference: /root/reference/src/ticket_sync.py:138 and the five
+    sibling call sites in /root/reference/src/data_sync.py.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    ts = F.col(indexed_at) if isinstance(indexed_at, str) else indexed_at
+    return F.concat_ws("_", idc.cast("string"), ts.cast("string"))
+
+
+def iso_timestamp(col: str | Column) -> Column:
+    """Timestamp → ISO-8601 string, only needed at the JSON export
+    boundary (the lake keeps native TimestampType).
+    Reference: /root/reference/src/document_utils.py:56-58."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+
+def json_get(col: str | Column, path: str) -> Column:
+    """Extract a field from a JSON-string column (``$.k`` style path).
+
+    The reference parses stringified JSON per-row in Python
+    (/root/reference/src/json_encoder.py:23-41); ``get_json_object`` keeps
+    it JVM-side. For fully-typed access use ``from_json`` with a schema
+    sampled via ``schema_of_json``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, path)
+
+
+def with_defaults(
+    df: DataFrame,
+    id_col: str | None = "id",
+    created_col: str | None = "createdAt",
+    updated_col: str | None = "updatedAt",
+) -> DataFrame:
+    """Ingest-side field defaulting: uuid for missing ids, now() for
+    missing timestamps. Reference: /root/reference/src/utils.py:98-111."""
+    out = df
+    if id_col and id_col in out.columns:
+        out = out.withColumn(id_col, F.coalesce(F.col(id_col), F.expr("uuid()")))
+    for c in (created_col, updated_col):
+        if c and c in out.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.current_timestamp()))
+    return out

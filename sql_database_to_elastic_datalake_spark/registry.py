@@ -1,0 +1,412 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry in :data:`QUERIES` is ``name -> (spark, sf_dir) -> DataFrame``;
+:data:`ORACLES` holds the DuckDB-equivalent SQL used by the driver's
+differential correctness gate (omitted only for genuinely
+non-SQL-expressible operators, which then get a rows-only check).
+
+Conventions for hash-stable differential testing:
+  * every computed column is aliased identically in Spark and SQL;
+  * money arithmetic is done in DECIMAL (deterministic, order-insensitive)
+    — double sums would vary with partition order;
+  * windows always carry a unique tie-breaker column;
+  * arrays are emitted as sorted delimiter-joined strings where an oracle
+    exists (serialization-stable), and as real ARRAY<STRUCT> in the
+    operator library.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.functions.scalar import (
+    content_hash,
+    document_id,
+    json_get,
+)
+from sql_database_to_elastic_datalake_spark.operators import denormalize
+from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
+    latest_event_per_key,
+    top_k_per_group,
+)
+from sql_database_to_elastic_datalake_spark.operators.nest import (
+    group_to_sorted_string,
+    namespace_columns,
+)
+from sql_database_to_elastic_datalake_spark.session import ensure_session_conf
+from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the denormalized wide-document pipeline (SURVEY §3.2)
+# ---------------------------------------------------------------------------
+
+register("denormalized_orders", denormalize.DENORMALIZED_ORDERS_ORACLE)(
+    lambda spark, sf_dir: denormalize.denormalized_orders(spark, sf_dir)
+)
+
+
+# ---------------------------------------------------------------------------
+# P1/P3 — filter + projection/rename (soft-delete-style predicate pushdown)
+# Reference: /root/reference/src/db_connector.py:139-151 (filtered scan),
+# :270-287 (aliasing projection).
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           l_quantity AS qty,
+           l_extendedprice AS price,
+           l_returnflag AS return_flag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount > 0.05
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    ).select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("return_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — point lookup by key (single-entity refresh path)
+# Reference: /root/reference/src/db_connector.py:296-298.
+# ---------------------------------------------------------------------------
+
+@register(
+    "point_lookup",
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+# ---------------------------------------------------------------------------
+# P4 — column namespacing + provenance
+# Reference: /root/reference/data_lake_sync.py:152-164.
+# ---------------------------------------------------------------------------
+
+@register(
+    "namespace_provenance",
+    oracle="""
+    SELECT n_nationkey AS nation_n_nationkey,
+           n_name AS nation_n_name,
+           n_regionkey AS nation_n_regionkey,
+           'nation' AS "table"
+    FROM nation
+    """,
+)
+def namespace_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return namespace_columns(load_table(spark, sf_dir, "nation"), "nation")
+
+
+# ---------------------------------------------------------------------------
+# A1 — latest event per key (window dedup, DISTINCT ON semantics)
+# Reference: /root/reference/src/db_connector.py:262-268.
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_event_per_key",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_event_per_key(
+        ev, keys=["user_id"], ts_col="ts", tie_breakers=["event_id"]
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# A1 generalized — top-k per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "top3_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, rnk
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id DESC
+               ) AS rnk
+        FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def top3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        top_k_per_group(
+            ev,
+            keys=["user_id"],
+            order_by=["value", "event_id"],
+            k=3,
+            rank_col="rnk",
+            keep_rank=True,
+        )
+        .select("user_id", "event_id", "event_type", "value", F.col("rnk").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — counts (scalar probe + grouped)
+# Reference: /root/reference/src/db_connector.py:308-316.
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_count",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — group-to-array (serialization-stable string form)
+# Reference: /root/reference/src/document_utils.py:78-99.
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_to_array",
+    oracle="""
+    SELECT o_custkey AS customer_id,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def group_to_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    arr = group_to_sorted_string(
+        orders, keys=["o_custkey"], value_col="o_orderpriority", out_col="priorities"
+    )
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        arr.join(cnt, "o_custkey")
+        .select(F.col("o_custkey").alias("customer_id"), "priorities", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — decimal-exact aggregation.
+# (Beyond the reference's thin aggregation story — SURVEY §2.4 notes the
+# reference delegates analytics; this is the engine owning them.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — global sort + limit (top-n)
+# Reference: /root/reference/src/db_connector.py:300 (ORDER BY).
+# ---------------------------------------------------------------------------
+
+@register(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — union-all across heterogeneous tables (the `data_lake_*` pattern)
+# Reference: /root/reference/src/search_api.py:31-34.
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_all_entities",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS entity_id, c_name AS name,
+           c_acctbal AS acctbal, 'customer' AS "table"
+    FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey AS VARCHAR) AS entity_id, s_name AS name,
+           s_acctbal AS acctbal, 'supplier' AS "table"
+    FROM supplier
+    """,
+)
+def union_all_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("table"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("table"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# F6 — MD5 content-addressed ids + idempotent dedup
+# Reference: /root/reference/data_lake_sync.py:72-82.
+# ---------------------------------------------------------------------------
+
+@register(
+    "content_hash_ids",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           md5(concat_ws('|',
+               coalesce(CAST(p_partkey AS VARCHAR), chr(0)),
+               coalesce(p_name, chr(0)),
+               coalesce(p_brand, chr(0)),
+               coalesce(p_type, chr(0)),
+               coalesce(CAST(p_size AS VARCHAR), chr(0)))) AS doc_id
+    FROM part
+    """,
+)
+def content_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_id"),
+        content_hash(["p_partkey", "p_name", "p_brand", "p_type", "p_size"]).alias(
+            "doc_id"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7/F9/I3 — history-mode versioning: indexed_at + document_id
+# Reference: /root/reference/src/ticket_sync.py:133-139,
+# /root/reference/src/data_sync.py:110-115.
+# ---------------------------------------------------------------------------
+
+@register(
+    "history_versioning",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS supplier_id, s_name AS name,
+           '2026-01-01T00:00:00' AS indexed_at,
+           CAST(s_suppkey AS VARCHAR) || '_2026-01-01T00:00:00' AS doc_id
+    FROM supplier
+    """,
+)
+def history_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = F.lit("2026-01-01T00:00:00")
+    return load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("supplier_id"),
+        F.col("s_name").alias("name"),
+        ts.alias("indexed_at"),
+        document_id(F.col("s_suppkey"), ts).alias("doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — JSON field extraction from string columns
+# Reference: /root/reference/src/json_encoder.py:23-41.
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = json_get("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("prop_k")).filter(F.col("prop_k") > 80)

@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The defaults here are chosen for correctness-stability (UTC timestamps,
+Arrow transfers) and for behavior that survives a 1000-executor cluster
+(AQE on, skew-join handling on, partition coalescing on). ``local[*]``
+is only the test harness; nothing below assumes single-node execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf applied to every session we build. All of these are also safe to
+#: set on an existing session at runtime except the codegen/arrow ones,
+#: which are static — hence ``ensure_session_conf`` below for sessions we
+#: did not create (e.g. the driver harness's session).
+_DEFAULT_CONF = {
+    # Deterministic timestamp semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime re-planning, partition coalescing and
+    # skew-join splitting — essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables in this engine are small; 64 MB threshold lets
+    # AQE convert dim joins to broadcast automatically.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "sql-database-to-elastic-datalake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` when no
+    cluster master is configured in the environment.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_session_conf(spark)
+    return spark
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally created session.
+
+    The driver harness hands us its own SparkSession; timestamps must be
+    UTC-stable and AQE on for our plans to behave as designed.
+    """
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ):
+        try:
+            spark.conf.set(key, _DEFAULT_CONF[key])
+        except Exception:
+            # Static conf on a live session — keep whatever it has.
+            pass
+    return spark

@@ -1,0 +1,88 @@
+"""Lake-side table access: parquet scans with catalog discovery.
+
+Mirrors the reference's source-scan surface (SURVEY.md §2.1 S1–S4:
+``/root/reference/src/db_connector.py:135-223`` full-table getters,
+``/root/reference/data_lake_sync.py:54-61`` table discovery) re-expressed
+as parquet reads. Filters and projections are *not* applied here — they
+are declared by callers and pushed down by Catalyst into the scan
+(PushedFilters / ReadSchema), which is the scale-critical property: a
+100 TB scan must only read the row groups and columns the query needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The harness's table inventory (TESTDATA.md). Analogous to the
+#: reference's ``tables_to_sync`` allow-list
+#: (/root/reference/src/db_connector.py:15-18).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — footer-only read."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    path = os.path.join(path, f)
+                    break
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one lake table. Plain ``spark.read.parquet`` so that filter
+    pushdown, column pruning and partition pruning all apply.
+
+    Nanosecond-precision parquet timestamps (which Spark's vectorized
+    reader rejects, PARQUET_TYPE_ILLEGAL) are read as raw nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to microsecond
+    TimestampType with integer ``div`` — float division would lose
+    precision above 2^53 nanos (~1970+104 days). This matches DuckDB's
+    nanos→micros truncation, keeping the differential oracle exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Catalog-discovery analog: load every known table that exists.
+
+    The reference intersects discovered tables with an allow-list
+    (/root/reference/src/db_connector.py:41-53); here the allow-list is
+    ``names`` and existence is checked on the filesystem.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
