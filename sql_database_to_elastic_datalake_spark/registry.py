@@ -410,3 +410,261 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = json_get("props", "$.k").cast("long")
     return ev.select("event_id", k.alias("prop_k")).filter(F.col("prop_k") > 80)
+
+
+# ---------------------------------------------------------------------------
+# J5 — parent lookup via alias self-join
+# Reference: /root/reference/src/data_sync.py:509-514 (per-row pandas parent
+# scan). Here nation.n_regionkey plays the parentId role.
+# ---------------------------------------------------------------------------
+
+@register(
+    "self_join_parent",
+    oracle="""
+    SELECT n.n_nationkey AS nation_id, n.n_name AS name,
+           p.n_name AS parent_name
+    FROM nation n LEFT JOIN nation p ON n.n_regionkey = p.n_nationkey
+    """,
+)
+def self_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.joins import parent_lookup
+
+    nation = load_table(spark, sf_dir, "nation")
+    return parent_lookup(
+        nation,
+        parent_fk="n_regionkey",
+        parent_pk="n_nationkey",
+        parent_cols={"n_name": "parent_name"},
+    ).select(
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("name"),
+        "parent_name",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — parent with multiple grouped children (module → statuses/labels/…)
+# Reference: /root/reference/src/data_sync.py:436-461,504-506.
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_with_children",
+    oracle="""
+    SELECT n.n_nationkey AS nation_id, n.n_name AS name,
+           c.customers AS customers, s.suppliers AS suppliers
+    FROM nation n
+    LEFT JOIN (
+        SELECT c_nationkey, string_agg(DISTINCT c_name, ',' ORDER BY c_name)
+            AS customers
+        FROM customer GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN (
+        SELECT s_nationkey, string_agg(DISTINCT s_name, ',' ORDER BY s_name)
+            AS suppliers
+        FROM supplier GROUP BY s_nationkey
+    ) s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def nation_with_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.joins import attach_children
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = attach_children(
+        nation, customer, "n_nationkey", "c_nationkey", "c_name", "customers"
+    )
+    out = attach_children(
+        out, supplier, "n_nationkey", "s_nationkey", "s_name", "suppliers"
+    )
+    return out.select(
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("name"),
+        "customers",
+        "suppliers",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti membership joins (the scalable EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_discounted",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09
+    )
+    """,
+)
+def semi_join_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.joins import semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return semi_join(
+        orders, li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(F.col("o_orderkey").alias("order_id"), F.col("o_orderstatus").alias("status"))
+
+
+@register(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.joins import anti_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        customer, orders, customer["c_custkey"] == orders["o_custkey"]
+    ).select(F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("name"))
+
+
+# ---------------------------------------------------------------------------
+# O3 — keyset-style pagination (the reference's LIMIT/OFFSET loop,
+# /root/reference/data_lake_sync.py:130-134, as a single declarative page)
+# ---------------------------------------------------------------------------
+
+@register(
+    "paginate",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS total_price
+    FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# I1 — MERGE / upsert: latest-version-wins
+# Reference: /root/reference/src/routes/ticket_routes.py:75-96 (point upsert).
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice AS totalprice,
+               o_orderstatus AS status, 1 AS version
+        FROM orders
+    ),
+    u AS (
+        SELECT o_orderkey, o_totalprice + 1000 AS totalprice,
+               'U' AS status, 2 AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    m AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC
+        ) AS rn
+        FROM (SELECT * FROM b UNION ALL SELECT * FROM u)
+    )
+    SELECT o_orderkey AS order_id, totalprice, status, version
+    FROM m WHERE rn = 1
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.sinks.upsert import merge_latest_wins
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("totalprice"),
+            F.lit("U").alias("status"),
+            F.lit(2).alias("version"),
+        )
+    )
+    return merge_latest_wins(
+        base, updates, keys=["o_orderkey"], version_col="version"
+    ).select(F.col("o_orderkey").alias("order_id"), "totalprice", "status", "version")
+
+
+# ---------------------------------------------------------------------------
+# S6/P5 — batch ingest accept/reject accounting (HTTP-207 semantics)
+# Reference: /root/reference/src/routes/ticket_routes.py:139-210,
+# /root/reference/src/utils.py:82-96.
+# ---------------------------------------------------------------------------
+
+@register(
+    "ingest_accounting",
+    oracle="""
+    SELECT CASE
+             WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+               THEN 'k_out_of_range'
+             WHEN value < 0.05 THEN 'value_too_small'
+             ELSE 'accepted'
+           END AS outcome,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def ingest_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.sources.ingest import ingest_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        (json_get("props", "$.k").cast("long") > 90, "k_out_of_range"),
+        (F.col("value") < 0.05, "value_too_small"),
+    ]
+    return ingest_summary(ev, rules)
+
+
+# ---------------------------------------------------------------------------
+# Q3/A3 — nested array of structs, serialized to JSON (ES `nested` fields)
+# Reference: /root/reference/src/ticket_sync.py:44-49 (nested labels mapping).
+# ---------------------------------------------------------------------------
+
+@register(
+    "nested_labels_json",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           to_json(list_sort(list(struct_pack(brand := p_brand,
+                                              qty := l_quantity)))) AS labels_json
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_orderkey
+    """,
+)
+def nested_labels_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "inner",
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("p_brand").alias("brand"), F.col("l_quantity").alias("qty"))
+        )
+    )
+    return joined.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.to_json(arr).alias("labels_json")
+    )

@@ -1,0 +1,61 @@
+"""Lake writers: snapshot, history-append, and idempotent-ensure modes.
+
+Mirrors the reference's three sink behaviors (SURVEY.md §2.1):
+  * S9 destructive refresh — delete index + recreate per run
+    (/root/reference/src/es_connector.py:21-35) → ``mode="snapshot"``
+    (parquet overwrite: job-level atomic commit replaces per-batch
+    refresh bookkeeping).
+  * append-only history — versioned ``document_id = id_<indexed_at>``
+    rows accumulated across runs (/root/reference/src/data_sync.py:110-115)
+    → ``mode="history"`` (append + version columns).
+  * S10 idempotent ensure — create only if missing
+    (/root/reference/src/utils.py:222-250) → ``mode="ensure"`` (ignore).
+
+Scale notes:
+  * ``partition_by`` should be a low-cardinality natural pruning key
+    (run date, entity type). History tables partitioned by
+    ``indexed_date`` prune to one run's data on point reads.
+  * ``max_records_per_file`` bounds file sizes so a 1000-executor write
+    does not produce multi-GB files (the parquet row-group equivalent of
+    the reference's batch-size knob, /root/reference/src/config.py:28).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.functions.scalar import document_id
+
+
+def write_lake(
+    df: DataFrame,
+    path: str,
+    mode: str = "snapshot",
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int | None = 1_000_000,
+) -> None:
+    """Write a lake table under snapshot/history/ensure semantics."""
+    spark_mode = {"snapshot": "overwrite", "history": "append", "ensure": "ignore"}[
+        mode
+    ]
+    writer = df.write.mode(spark_mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def with_history_columns(
+    df: DataFrame, id_col: str, indexed_at: str
+) -> DataFrame:
+    """Stamp the append-only history columns: one literal timestamp per
+    run (not per row) + the versioned document id.
+    Reference: /root/reference/src/ticket_sync.py:133-139."""
+    ts = F.lit(indexed_at)
+    return df.withColumn("indexed_at", ts).withColumn(
+        "doc_id", document_id(F.col(id_col), ts)
+    )

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators.joins import (
+    anti_join,
+    attach_children,
+    parent_lookup,
+    semi_join,
+)
+from sql_database_to_elastic_datalake_spark.sinks.upsert import merge_latest_wins
+from sql_database_to_elastic_datalake_spark.sinks.writer import (
+    with_history_columns,
+    write_lake,
+)
+from sql_database_to_elastic_datalake_spark.sources.ingest import (
+    ingest_summary,
+    required_field_rules,
+    validate_split,
+)
+
+
+def test_parent_lookup_self_join(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, parentId=None, name="root"),
+         Row(id=2, parentId=1, name="child"),
+         Row(id=3, parentId=99, name="orphan")]
+    )
+    out = parent_lookup(df, "parentId", "id", {"name": "parent_name"})
+    got = {r["id"]: r["parent_name"] for r in out.collect()}
+    assert got == {1: None, 2: "root", 3: None}
+
+
+def test_attach_children(spark):
+    parents = spark.createDataFrame([Row(pid=1, n="a"), Row(pid=2, n="b")])
+    children = spark.createDataFrame(
+        [Row(fk=1, v="z"), Row(fk=1, v="y"), Row(fk=1, v="z")]
+    )
+    out = attach_children(parents, children, "pid", "fk", "v", "kids")
+    got = {r["pid"]: r["kids"] for r in out.collect()}
+    assert got == {1: "y,z", 2: None}
+
+
+def test_semi_anti_join(spark):
+    left = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    right = spark.createDataFrame([Row(j=2), Row(j=2), Row(j=3)])
+    semi = semi_join(left, right, left["k"] == right["j"])
+    anti = anti_join(left, right, left["k"] == right["j"])
+    assert sorted(r["k"] for r in semi.collect()) == [2, 3]
+    assert [r["k"] for r in anti.collect()] == [1]
+
+
+def test_merge_latest_wins_update_beats_base_on_tie(spark):
+    base = spark.createDataFrame([Row(k=1, v="old", ver=5), Row(k=2, v="keep", ver=1)])
+    updates = spark.createDataFrame([Row(k=1, v="new", ver=5), Row(k=3, v="ins", ver=1)])
+    out = merge_latest_wins(base, updates, keys=["k"], version_col="ver")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_validate_split_and_summary(spark):
+    df = spark.createDataFrame(
+        [Row(name="ok", v=1), Row(name=None, v=2), Row(name="neg", v=-1)]
+    )
+    rules = required_field_rules("default", df.columns) + [
+        (F.col("v") < 0, "negative value")
+    ]
+    accepted, rejected = validate_split(df, rules)
+    assert [r["name"] for r in accepted.collect()] == ["ok"]
+    reasons = {r["reject_reason"] for r in rejected.collect()}
+    assert reasons == {"missing required field: name", "negative value"}
+    summary = {r["outcome"]: r["n"] for r in ingest_summary(df, rules).collect()}
+    assert summary == {
+        "accepted": 1,
+        "missing required field: name": 1,
+        "negative value": 1,
+    }
+
+
+def test_write_modes(spark, tmp_path):
+    df = spark.createDataFrame([Row(id=1, name="x")])
+    path = os.path.join(str(tmp_path), "t")
+    write_lake(df, path, mode="snapshot")
+    write_lake(df, path, mode="history")
+    assert spark.read.parquet(path).count() == 2  # append kept both
+    write_lake(df, path, mode="snapshot")
+    assert spark.read.parquet(path).count() == 1  # overwrite reset
+    write_lake(df, path, mode="ensure")
+    assert spark.read.parquet(path).count() == 1  # ignore: no-op
+
+    hist = with_history_columns(df, "id", "2026-01-01T00:00:00").collect()[0]
+    assert hist["doc_id"] == "1_2026-01-01T00:00:00"
