@@ -81,7 +81,11 @@ def denormalized_orders(
         ),
         keys=["l_orderkey"],
         ts_col="l_shipdate",
-        tie_breakers=["l_linenumber"],
+        # The harness data has duplicate (orderkey, linenumber) pairs, so
+        # linenumber alone is NOT a total order — every emitted column
+        # joins the tie-break chain to pin DISTINCT ON determinism
+        # (SURVEY.md §7.3 hard-part #1, observed live on order 10955).
+        tie_breakers=["l_linenumber", "l_returnflag", "l_linestatus"],
     ).select(
         F.col("l_orderkey").alias("ll_orderkey"),
         F.col("l_shipdate").alias("latest_shipdate"),
@@ -158,7 +162,8 @@ WITH latest_line AS (
         SELECT l_orderkey, l_shipdate, l_linenumber, l_returnflag, l_linestatus,
                ROW_NUMBER() OVER (
                    PARTITION BY l_orderkey
-                   ORDER BY l_shipdate DESC, l_linenumber DESC
+                   ORDER BY l_shipdate DESC, l_linenumber DESC,
+                            l_returnflag DESC, l_linestatus DESC
                ) AS rn
         FROM lineitem
     ) WHERE rn = 1

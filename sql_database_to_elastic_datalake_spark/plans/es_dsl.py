@@ -1,0 +1,251 @@
+"""ES-query-DSL → Spark Column compiler.
+
+The reference's "advanced search" endpoint passes an arbitrary
+Elasticsearch query DSL tree straight to ES
+(/root/reference/src/search_api.py:38-46; documented examples
+/root/reference/README.md:260-275). This module is the engine-owned
+equivalent: it compiles the DSL tree into a single Spark ``Column``
+predicate, which Catalyst then pushes down into the scan like any other
+filter — the entire "search engine" disappears into the query plan.
+
+Supported node types (the surface the reference's README documents plus
+the standard leaves needed to express them):
+
+  ``term / terms / range / match / match_phrase / prefix / wildcard /
+  exists / ids / match_all / multi_match / bool(must, filter, should,
+  must_not, minimum_should_match) / nested``
+
+Semantics notes (documented divergences from Elasticsearch):
+  * ``match`` tokenizes on non-alphanumerics, lowercases, and requires
+    ANY token to appear as a substring (ES's default OR operator); no
+    stemming/BM25 — relevance ranking is provided separately as a
+    deterministic term-frequency score (:func:`tf_score`), since BM25
+    ordering is not reproducible without ES's corpus statistics
+    (SURVEY.md §7.3 hard-part #3).
+  * ``bool.filter`` ≡ ``bool.must`` (we have no scoring context).
+  * ``nested`` compiles to an ``exists()`` lambda over the array column
+    — per-element match like ES nested queries, no explode/regroup.
+
+Scale notes: the output is a pure Column expression — whole-stage
+codegen applies, and simple comparisons (term/range) reach parquet as
+PushedFilters. ``match`` substring predicates stay JVM-side ``contains``
+(no regex), still codegen-friendly.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"[^0-9a-zA-Z]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase alphanumeric tokens — the analyzer for match queries."""
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
+class DslError(ValueError):
+    pass
+
+
+def _field_value(body: dict, value_key: str = "value"):
+    """ES allows ``{"term": {"f": v}}`` and ``{"term": {"f": {"value": v}}}``."""
+    if len(body) != 1:
+        raise DslError(f"expected a single field, got {list(body)}")
+    field, spec = next(iter(body.items()))
+    if isinstance(spec, dict):
+        if value_key not in spec:
+            raise DslError(f"missing '{value_key}' in {spec}")
+        return field, spec[value_key]
+    return field, spec
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """ES wildcard (``*``/``?``) → SQL LIKE (``%``/``_``), escaping both."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
+    toks = tokenize(str(text))
+    if not toks:
+        return F.lit(True)
+    low = F.lower(col.cast("string"))
+    preds = [low.contains(t) for t in toks]
+    acc = preds[0]
+    for p in preds[1:]:
+        acc = (acc & p) if require_all else (acc | p)
+    return acc
+
+
+def compile_dsl(
+    dsl: dict,
+    field_resolver: Callable[[str], Column] | None = None,
+) -> Column:
+    """Compile an ES query DSL tree into one boolean Column.
+
+    ``field_resolver`` maps a DSL field name to a Column — override it
+    for renamed/nested columns; defaults to ``F.col``.
+    """
+    col = field_resolver or F.col
+
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise DslError(f"query node must have exactly one key, got {dsl!r}")
+    kind, body = next(iter(dsl.items()))
+
+    if kind == "match_all":
+        return F.lit(True)
+
+    if kind == "term":
+        field, value = _field_value(body)
+        return col(field) == F.lit(value)
+
+    if kind == "terms":
+        if len(body) != 1:
+            raise DslError("terms expects one field")
+        field, values = next(iter(body.items()))
+        return col(field).isin(list(values))
+
+    if kind == "ids":
+        values = body["values"]
+        return col(body.get("field", "id")).cast("string").isin(
+            [str(v) for v in values]
+        )
+
+    if kind == "range":
+        if len(body) != 1:
+            raise DslError("range expects one field")
+        field, bounds = next(iter(body.items()))
+        c = col(field)
+        preds = []
+        ops = {"gte": c.__ge__, "gt": c.__gt__, "lte": c.__le__, "lt": c.__lt__}
+        for op, v in bounds.items():
+            if op not in ops:
+                raise DslError(f"unsupported range op {op}")
+            preds.append(ops[op](F.lit(v)))
+        if not preds:
+            raise DslError("empty range")
+        acc = preds[0]
+        for p in preds[1:]:
+            acc = acc & p
+        return acc
+
+    if kind == "exists":
+        return col(body["field"]).isNotNull()
+
+    if kind == "prefix":
+        field, value = _field_value(body)
+        return col(field).cast("string").startswith(str(value))
+
+    if kind == "wildcard":
+        field, value = _field_value(body)
+        return col(field).cast("string").like(_wildcard_to_like(str(value)))
+
+    if kind == "match":
+        field, value = _field_value(body, value_key="query")
+        operator = (
+            body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
+        )
+        return _match_tokens(col(field), value, require_all=operator == "and")
+
+    if kind == "match_phrase":
+        field, value = _field_value(body, value_key="query")
+        return F.lower(col(field).cast("string")).contains(str(value).lower())
+
+    if kind == "multi_match":
+        query = body["query"]
+        fields = body.get("fields", ["*"])
+        if not isinstance(fields, list):
+            raise DslError("multi_match fields must be a list")
+        preds = [_match_tokens(col(f), query) for f in fields]
+        acc = preds[0]
+        for p in preds[1:]:
+            acc = acc | p
+        return acc
+
+    if kind == "nested":
+        path = body["path"]
+        inner = body["query"]
+        prefix = path + "."
+
+        def nested_resolver(element: Column) -> Callable[[str], Column]:
+            def resolve(field: str) -> Column:
+                name = field[len(prefix):] if field.startswith(prefix) else field
+                return element[name]
+
+            return resolve
+
+        return F.exists(
+            col(path), lambda el: compile_dsl(inner, nested_resolver(el))
+        )
+
+    if kind == "bool":
+        clauses: list[Column] = []
+        for key in ("must", "filter"):
+            for sub in _as_list(body.get(key)):
+                clauses.append(compile_dsl(sub, field_resolver))
+        for sub in _as_list(body.get("must_not")):
+            clauses.append(~compile_dsl(sub, field_resolver))
+        should = [compile_dsl(s, field_resolver) for s in _as_list(body.get("should"))]
+        if should:
+            # ES default: should clauses only filter when there are no
+            # must/filter clauses (minimum_should_match defaults to 1
+            # then, else 0 — scoring-only, which we have no notion of).
+            msm = int(body.get("minimum_should_match", 0 if clauses else 1))
+            if msm == 1:
+                acc = should[0]
+                for p in should[1:]:
+                    acc = acc | p
+                clauses.append(acc)
+            elif msm > 1:
+                count = sum((p.cast("int") for p in should), F.lit(0))
+                clauses.append(count >= msm)
+        if not clauses:
+            return F.lit(True)
+        acc = clauses[0]
+        for p in clauses[1:]:
+            acc = acc & p
+        return acc
+
+    raise DslError(f"unsupported query kind: {kind}")
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def tf_score(fields: list[Column | str], query: str) -> Column:
+    """Deterministic naive term-frequency relevance score.
+
+    Counts total (possibly overlapping-free) occurrences of each query
+    token across the given fields:
+    ``(len(s) - len(replace(s, token))) / len(token)`` summed over
+    tokens × fields. Reproducible anywhere — unlike BM25 — so ranked
+    search output can be differentially tested.
+    """
+    toks = tokenize(query)
+    score = F.lit(0)
+    for fld in fields:
+        c = F.lower((F.col(fld) if isinstance(fld, str) else fld).cast("string"))
+        base_len = F.length(c)
+        for t in toks:
+            occ = (base_len - F.length(F.replace(c, F.lit(t), F.lit("")))) / F.lit(
+                len(t)
+            )
+            score = score + F.coalesce(occ, F.lit(0.0))
+    return score.cast("double")

@@ -1,0 +1,108 @@
+"""Search API surface: multi-match across tables + hits envelope.
+
+Reference semantics (SURVEY.md §2.8):
+  * Q1 ``POST /search`` — a term matched against a field list or ``"*"``
+    across ALL lake tables (index pattern ``data_lake_*``):
+    /root/reference/src/search_api.py:16-36.
+  * Q2 ``POST /search/advanced`` — raw DSL passthrough:
+    /root/reference/src/search_api.py:38-46 (compiled here by
+    :mod:`.es_dsl`).
+  * Q4 result envelope {total, hits}: /root/reference/src/search_api.py:36,46.
+
+Spark-first shape: per-table predicate + ``unionByName(allowMissing
+Columns=True)`` over heterogeneous schemas — each table's filter pushes
+into its own scan before the union, so a search over N tables reads only
+matching row groups of each. Relevance is the deterministic tf score
+(:func:`.es_dsl.tf_score`), not BM25 (documented divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl, tf_score
+from sql_database_to_elastic_datalake_spark.sources.parquet import load_tables
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+
+
+def multi_match_table(
+    df: DataFrame,
+    query: str,
+    fields: list[str] | None = None,
+    with_score: bool = True,
+) -> DataFrame:
+    """Match ``query`` tokens against the given (default: all string)
+    columns of one table; optionally attach the tf relevance score."""
+    cols = fields or string_columns(df)
+    if not cols:
+        return df.limit(0)
+    pred = compile_dsl({"multi_match": {"query": query, "fields": cols}})
+    out = df.filter(pred)
+    if with_score:
+        out = out.withColumn("score", tf_score(cols, query))
+    return out
+
+
+def search_all_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    tables: tuple[str, ...] | None = None,
+    limit_per_table: int | None = None,
+) -> DataFrame:
+    """Cross-table search (the ``data_lake_*`` pattern): every table's
+    string columns are matched; results are unioned with provenance.
+
+    Output schema is heterogeneous-safe: (table, entity_id, score,
+    snippet) where snippet is the concatenated matching string columns.
+    """
+    dfs = load_tables(spark, sf_dir) if tables is None else {
+        t: df
+        for t, df in load_tables(spark, sf_dir).items()
+        if t in tables
+    }
+    parts: list[DataFrame] = []
+    for name, df in dfs.items():
+        cols = string_columns(df)
+        if not cols:
+            continue
+        id_col = df.columns[0]  # first column is the key in every table
+        hit = multi_match_table(df, query, cols).select(
+            F.lit(name).alias("table"),
+            F.col(id_col).cast("string").alias("entity_id"),
+            F.col("score"),
+            F.concat_ws(" ", *[F.col(c) for c in cols]).alias("snippet"),
+        )
+        if limit_per_table:
+            hit = hit.orderBy(F.col("score").desc(), F.col("entity_id")).limit(
+                limit_per_table
+            )
+        parts.append(hit)
+    if not parts:
+        raise ValueError("no searchable tables found")
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p, allowMissingColumns=True)
+    return acc
+
+
+def hits_envelope(
+    df: DataFrame, k: int, order_by: list[str] | None = None
+) -> DataFrame:
+    """ES-style {total, hits[]} as a DataFrame: top-k rows each carrying
+    the total match count.
+
+    A window count over an empty partitioning would force all rows into
+    one task; instead the total is a 1-row aggregate broadcast-joined
+    onto the top-k — both sides scale.
+    """
+    counts = df.agg(F.count("*").alias("total"))
+    ordered = df
+    if order_by:
+        ordered = ordered.orderBy(*order_by)
+    return ordered.limit(k).crossJoin(F.broadcast(counts))

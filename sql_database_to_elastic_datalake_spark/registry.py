@@ -668,3 +668,213 @@ def nested_labels_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("l_orderkey").alias("order_id")).agg(
         F.to_json(arr).alias("labels_json")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — ES-DSL → Column compiler (the advanced-search surface)
+# Reference: /root/reference/src/search_api.py:38-46.
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_dsl_bool",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+           o_orderstatus AS status, o_orderpriority AS priority
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_totalprice <= 200000
+      AND o_orderstatus = 'F'
+      AND NOT (o_orderpriority = '1-URGENT')
+    """,
+)
+def search_dsl_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    dsl = {
+        "bool": {
+            "must": [
+                {"range": {"o_totalprice": {"gte": 100000, "lte": 200000}}},
+                {"term": {"o_orderstatus": "F"}},
+            ],
+            "must_not": [{"term": {"o_orderpriority": "1-URGENT"}}],
+        }
+    }
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(compile_dsl(dsl))
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@register(
+    "search_dsl_should_wildcard",
+    oracle="""
+    SELECT p_partkey AS part_id, p_type AS type, p_brand AS brand
+    FROM part
+    WHERE p_type LIKE 'PROMO%' OR p_brand LIKE 'Brand#1_'
+    """,
+)
+def search_dsl_should_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    dsl = {
+        "bool": {
+            "should": [
+                {"prefix": {"p_type": "PROMO"}},
+                {"wildcard": {"p_brand": "Brand#1?"}},
+            ]
+        }
+    }
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(compile_dsl(dsl))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_type").alias("type"),
+            F.col("p_brand").alias("brand"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — multi_match full-text search with deterministic tf scoring
+# Reference: /root/reference/src/search_api.py:16-36.
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_multimatch_scored",
+    oracle="""
+    SELECT doc_id,
+           CAST(
+             (length(lower(text)) - length(replace(lower(text), 'spark', '')))
+               / 5.0
+           + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
+               / 5.0 AS DOUBLE) AS score
+    FROM documents
+    WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%merge%'
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_multimatch_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.plans.search import multi_match_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        multi_match_table(docs, "spark merge", fields=["text"])
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1/§2.6 — cross-table search over every lake table (data_lake_* pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_all_tables",
+    oracle="""
+    WITH hits AS (
+        SELECT 'customer' AS "table", CAST(c_custkey AS VARCHAR) AS entity_id
+        FROM customer
+        WHERE lower(concat_ws(' ', c_name, c_mktsegment)) LIKE '%customer%'
+        UNION ALL
+        SELECT 'documents', CAST(doc_id AS VARCHAR) FROM documents
+        WHERE lower(concat_ws(' ', text, lang, source)) LIKE '%customer%'
+        UNION ALL
+        SELECT 'events', CAST(event_id AS VARCHAR) FROM events
+        WHERE lower(concat_ws(' ', event_type, props)) LIKE '%customer%'
+    )
+    SELECT "table", COUNT(*) AS n_hits FROM hits GROUP BY "table"
+    """,
+)
+def search_all_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.plans.search import search_all_tables
+
+    hits = search_all_tables(
+        spark, sf_dir, "customer", tables=("customer", "documents", "events")
+    )
+    return hits.groupBy("table").agg(F.count("*").alias("n_hits"))
+
+
+# ---------------------------------------------------------------------------
+# Q3 — nested-array predicate (ES `nested` query on labels)
+# Reference mapping: /root/reference/src/ticket_sync.py:44-49.
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_nested_labels",
+    oracle="""
+    SELECT l_orderkey AS order_id
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity >= 30
+    GROUP BY l_orderkey
+    """,
+)
+def search_nested_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    labeled = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "inner",
+        )
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("p_brand").alias("brand"), F.col("l_quantity").alias("qty"))
+            ).alias("labels")
+        )
+    )
+    dsl = {
+        "nested": {
+            "path": "labels",
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"labels.brand": "Brand#13"}},
+                        {"range": {"labels.qty": {"gte": 30}}},
+                    ]
+                }
+            },
+        }
+    }
+    return labeled.filter(compile_dsl(dsl)).select("order_id")
+
+
+# ---------------------------------------------------------------------------
+# Q4 — hits envelope: top-k + total in one result
+# Reference: /root/reference/src/search_api.py:36,46.
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_hits_envelope",
+    oracle="""
+    SELECT doc_id, lang, total
+    FROM (
+        SELECT doc_id, lang FROM documents
+        WHERE lower(text) LIKE '%vector%'
+        ORDER BY doc_id LIMIT 10
+    )
+    CROSS JOIN (
+        SELECT COUNT(*) AS total FROM documents WHERE lower(text) LIKE '%vector%'
+    )
+    """,
+)
+def search_hits_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+    from sql_database_to_elastic_datalake_spark.plans.search import hits_envelope
+
+    docs = load_table(spark, sf_dir, "documents")
+    matched = docs.filter(compile_dsl({"match": {"text": "vector"}}))
+    return hits_envelope(matched, k=10, order_by=["doc_id"]).select(
+        "doc_id", "lang", "total"
+    )

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
+    compile_dsl,
+    tf_score,
+    tokenize,
+)
+from sql_database_to_elastic_datalake_spark.plans.search import (
+    hits_envelope,
+    multi_match_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, kind="a", n=5, txt="Spark merges fast", tags=[Row(name="x", w=1)]),
+            Row(id=2, kind="b", n=15, txt="slow pandas loop", tags=[Row(name="y", w=9)]),
+            Row(id=3, kind="a", n=25, txt=None, tags=[]),
+            Row(id=4, kind=None, n=None, txt="spark spark spark", tags=None),
+        ]
+    )
+
+
+def run(docs, dsl):
+    return sorted(r["id"] for r in docs.filter(compile_dsl(dsl)).collect())
+
+
+def test_term_terms_ids(docs):
+    assert run(docs, {"term": {"kind": "a"}}) == [1, 3]
+    assert run(docs, {"term": {"kind": {"value": "b"}}}) == [2]
+    assert run(docs, {"terms": {"n": [5, 25]}}) == [1, 3]
+    assert run(docs, {"ids": {"field": "id", "values": [1, 4]}}) == [1, 4]
+
+
+def test_range_exists(docs):
+    assert run(docs, {"range": {"n": {"gte": 5, "lt": 25}}}) == [1, 2]
+    assert run(docs, {"exists": {"field": "txt"}}) == [1, 2, 4]
+
+
+def test_match_family(docs):
+    # OR tokens by default
+    assert run(docs, {"match": {"txt": "spark pandas"}}) == [1, 2, 4]
+    # AND operator
+    assert run(docs, {"match": {"txt": {"query": "spark merges", "operator": "and"}}}) == [1]
+    assert run(docs, {"match_phrase": {"txt": "pandas loop"}}) == [2]
+    assert run(docs, {"prefix": {"txt": "Spark"}}) == [1]
+    assert run(docs, {"wildcard": {"txt": "s*loop"}}) == [2]
+    assert run(docs, {"multi_match": {"query": "b", "fields": ["kind", "txt"]}}) == [2]
+
+
+def test_bool_nesting(docs):
+    dsl = {
+        "bool": {
+            "must": [{"range": {"n": {"gte": 5}}}],
+            "must_not": [{"term": {"kind": "b"}}],
+            "should": [{"term": {"id": 1}}, {"term": {"id": 3}}],
+        }
+    }
+    # shoulds don't filter when musts exist (msm defaults 0)
+    assert run(docs, dsl) == [1, 3]
+    dsl["bool"]["minimum_should_match"] = 1
+    assert run(docs, dsl) == [1, 3]
+    dsl["bool"]["should"].append({"term": {"kind": "a"}})
+    dsl["bool"]["minimum_should_match"] = 2
+    assert run(docs, dsl) == [1, 3]
+    assert run(docs, {"bool": {}}) == [1, 2, 3, 4]
+
+
+def test_nested_query(docs):
+    dsl = {
+        "nested": {
+            "path": "tags",
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"tags.name": "y"}},
+                        {"range": {"tags.w": {"gt": 5}}},
+                    ]
+                }
+            },
+        }
+    }
+    assert run(docs, dsl) == [2]
+
+
+def test_errors(docs):
+    with pytest.raises(DslError):
+        compile_dsl({"unknown_kind": {}})
+    with pytest.raises(DslError):
+        compile_dsl({"range": {"a": {"between": [1, 2]}}})
+    with pytest.raises(DslError):
+        compile_dsl({"term": {"a": 1, "b": 2}})
+
+
+def test_tokenize_and_tf_score(docs, spark):
+    assert tokenize("Hello, World-2!") == ["hello", "world", "2"]
+    scored = docs.filter(F.col("txt").isNotNull()).select(
+        "id", tf_score(["txt"], "spark").alias("s")
+    )
+    got = {r["id"]: r["s"] for r in scored.collect()}
+    assert got[4] == 3.0 and got[1] == 1.0 and got[2] == 0.0
+
+
+def test_multi_match_table_and_envelope(docs):
+    out = multi_match_table(docs, "spark")
+    assert sorted(r["id"] for r in out.collect()) == [1, 4]
+    env = hits_envelope(out, k=1, order_by=["id"]).collect()
+    assert len(env) == 1 and env[0]["total"] == 2
