@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The scale story (the whole point at 100 TB):
+  * Exact dedup is a hash-groupBy — one shuffle on the content hash.
+  * Naive pairwise Jaccard is O(n²) and exists here as the *verifier*
+    and the small-scale oracle target; it joins docs through shared
+    shingles, so disjoint docs never meet (still quadratic in the worst
+    case of a shared-vocabulary corpus).
+  * MinHash+LSH is the scale path: per-doc signatures (one shuffle),
+    banding, and a join only on band-bucket collisions — candidate
+    generation is ~linear for realistic similarity distributions. False
+    positives are removed by exact Jaccard on candidates only; false
+    negatives are the documented probabilistic trade
+    (P[miss] = (1-j^r)^b).
+  * SimHash for near-dup at hamming distance ≤ d uses the pigeonhole
+    band trick: split the b-bit hash into d+1 chunks; any pair within
+    distance d collides on ≥1 chunk — again join-on-bucket, not O(n²).
+
+Portability: hashes are md5-derived (hex-string order for MinHash,
+first-16-bits integer for SimHash) so DuckDB can replicate every step
+bit-for-bit for differential testing. Production swaps in xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.functions.scalar import content_hash
+
+DEFAULT_SEEDS = tuple(f"s{i}" for i in range(12))
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep the lowest-id row per identical content; adds ``group_size``.
+
+    One shuffle on the content hash; ``min`` aggregations get map-side
+    partial aggregation for free.
+    """
+    h = content_hash(content_cols).alias("content_id")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_id")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact jaccard (verifier / small-scale path)
+# ---------------------------------------------------------------------------
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 1
+) -> DataFrame:
+    """Distinct lowercase word n-gram shingles per document, exploded to
+    (id, shingle) rows."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        sh = toks
+    else:
+        # sliding window join of n consecutive tokens
+        sh = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over docs that share ≥1 shingle; pairs (a < b).
+
+    Output: a, b, jaccard. Quadratic in the size of shingle-sharing
+    cliques — use :func:`minhash_lsh_neardup` at scale.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    left = shingles.select(F.col(id_col).alias("a"), "shingle")
+    right = shingles.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str,
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each seed, the min md5 hex digest
+    of ``seed|shingle`` — hex-string order is a uniform permutation, so
+    P[minhash_a = minhash_b] = Jaccard(a, b)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh_{i}")
+        for i, s in enumerate(seeds)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Band the signature and emit distinct (a < b) bucket-collision pairs.
+
+    Each band key is the md5 of its row concatenation; the join is
+    bucket-equality per band, unioned and deduped — never all-pairs.
+    """
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
+    banded = signatures.select(F.col(id_col), *band_cols)
+
+    pairs = None
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("a"), F.col(f"band_{b}").alias("bk"))
+        right = banded.select(F.col(id_col).alias("b"), F.col(f"band_{b}").alias("bk"))
+        p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_lsh_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 1,
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-dup detection: shingle → MinHash → LSH candidates
+    → exact-Jaccard verification of candidates only.
+
+    Output: a, b, jaccard (verified ≥ threshold).
+    """
+    rows_per_band = len(seeds) // bands
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sigs = minhash_signatures(sh, id_col, seeds)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    verified = jaccard_pairs(sh, id_col, threshold)
+    # semi-join: keep only verified pairs that LSH surfaced (the honest
+    # output of the probabilistic pipeline — NOT the full exact set)
+    return verified.join(cands, ["a", "b"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (hamming-distance near-dup)
+# ---------------------------------------------------------------------------
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document from md5-derived per-token values.
+
+    Each distinct token hashes to a 16-bit value (first 4 md5 hex
+    chars); bit i of the SimHash is 1 iff the sum over tokens of
+    (±1 per token's bit i) is positive.
+    """
+    sh = word_shingles(df, id_col, text_col, n=1)
+    tokval = sh.withColumn(
+        "v",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("int"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(16)
+    ]
+    sums = tokval.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0)
+    for i in range(16):
+        sim = sim + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sim.cast("int").alias("simhash"))
+
+
+def simhash_pairs(
+    hashes: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within hamming distance ≤ d via pigeonhole banding.
+
+    The 16-bit hash splits into d+1 chunks; any pair within distance d
+    agrees on at least one chunk — each chunk is a join bucket, unioned,
+    then the true hamming distance filters false positives.
+    """
+    chunks = max_hamming + 1
+    width = 16 // chunks
+    parts = []
+    for cidx in range(chunks):
+        shift = cidx * width
+        w = width + (16 - chunks * width if cidx == chunks - 1 else 0)
+        mask = (1 << w) - 1
+        chunk = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
+        parts.append(
+            hashes.select(
+                F.col(id_col), F.col("simhash"), F.lit(cidx).alias("ck"),
+                chunk.alias("cv"),
+            )
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    left = keyed.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "ck", "cv"
+    )
+    right = keyed.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "ck", "cv"
+    )
+    cands = (
+        left.join(right, ["ck", "cv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

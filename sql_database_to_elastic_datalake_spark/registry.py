@@ -751,9 +751,9 @@ def search_dsl_should_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(
              (length(lower(text)) - length(replace(lower(text), 'spark', '')))
-               / 5.0
+               / CAST(5 AS DOUBLE)
            + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
-               / 5.0 AS DOUBLE) AS score
+               / CAST(5 AS DOUBLE) AS DOUBLE) AS score
     FROM documents
     WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%merge%'
     ORDER BY score DESC, doc_id ASC
@@ -878,3 +878,8 @@ def search_hits_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_envelope(matched, k=10, order_by=["doc_id"]).select(
         "doc_id", "lang", "total"
     )
+
+
+# Training-data-pipeline registrations (dedup/similarity/text/multimodal)
+# live in registry_pipeline.py; importing it registers into QUERIES/ORACLES.
+from sql_database_to_elastic_datalake_spark import registry_pipeline  # noqa: E402,F401

@@ -1,0 +1,375 @@
+"""Training-data-pipeline query registrations (dedup / similarity / text /
+multimodal) — the scale-out extensions beyond the reference's surface
+(BASELINE.json north star; SURVEY.md §7.1 phase 6).
+
+Imported by :mod:`.registry` at the end of module load; registers into
+the same QUERIES/ORACLES dicts. Oracle SQL for hash/vector operators is
+*generated* here so both engines evaluate byte-identical formulas
+(same seeds, same term order, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators import dedup, multimodal, similarity, text
+from sql_database_to_elastic_datalake_spark.registry import register
+from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+_DS = (
+    "SELECT DISTINCT doc_id, regexp_split_to_table(trim(lower(text)), '\\s+') AS w "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS}) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS bpe_tokens,
+           CAST((length(text) -
+                 length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                / length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter({_TOKENS},
+                     x -> list_contains([{_STOP_LIST}], x)))
+                / len({_TOKENS}) AS DOUBLE) AS stop_ratio,
+           -- constants CAST to DOUBLE: bare 0.5/64.0 literals are DECIMAL
+           -- in DuckDB and exact decimal division drifts 1 ulp from
+           -- Spark's all-double arithmetic
+           CAST(CAST(0.5 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+                    len({_TOKENS}) / CAST(64.0 AS DOUBLE))
+              + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - (length(text) -
+                    length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                    / length(text))
+              -- parens matter: Spark computes 10*(cnt/n), not (10*cnt)/n
+              + CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+                    CAST(10.0 AS DOUBLE) * (len(list_filter({_TOKENS},
+                        x -> list_contains([{_STOP_LIST}], x)))
+                        / len({_TOKENS}))) AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws("text").alias("ws_tokens"),
+        text.token_count_bpe("text").alias("bpe_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stop_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    """(score column defs, argmax CASE) for the lang-id oracle."""
+    score_defs = []
+    for lang in sorted(text.LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        score_defs.append(
+            f"len(list_filter({_TOKENS}, x -> list_contains([{markers}], x)))"
+            f" AS s_{lang}"
+        )
+    langs = sorted(text.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {greatest} < 1 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {greatest} THEN '{l}' "
+    case += "END"
+    return ", ".join(score_defs), case
+
+
+_SCORE_DEFS, _ARGMAX = _lang_scores_sql()
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM documents)
+    SELECT doc_id, lang AS labeled_lang, {_ARGMAX} AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(coalesce(text, chr(0))) AS content_id,
+           min(doc_id) AS doc_id,
+           COUNT(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id")
+
+
+_JACCARD_CTE = f"""
+    tok AS ({_DS}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT a, b, CAST(i / (sa.n + sb.n - i) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = a
+        JOIN sz sb ON sb.doc_id = b
+    )
+"""
+
+@register(
+    "neardup_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTE}
+    SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.9
+    """,
+)
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    return dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
+
+
+def _minhash_oracle(seeds: tuple[str, ...], bands: int, threshold: float) -> str:
+    rows = len(seeds) // bands
+    sig_cols = ", ".join(
+        f"min(md5(concat_ws('|', '{s}', w))) AS mh_{i}" for i, s in enumerate(seeds)
+    )
+    band_cols = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x "
+        f"JOIN banded y ON x.band_{b} = y.band_{b} AND x.doc_id < y.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_JACCARD_CTE},
+    sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id),
+    banded AS (SELECT doc_id, {band_cols} FROM sig),
+    cand AS ({band_joins})
+    SELECT j.a, j.b, j.jaccard
+    FROM jac j
+    WHERE j.jaccard >= {threshold}
+      AND EXISTS (SELECT 1 FROM cand c WHERE c.a = j.a AND c.b = j.b)
+    """
+
+
+@register(
+    "neardup_minhash_lsh",
+    oracle=_minhash_oracle(dedup.DEFAULT_SEEDS, bands=4, threshold=0.9),
+)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.9, bands=4
+    )
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(16)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    chunks = max_hamming + 1
+    width = 16 // chunks
+    chunk_joins = []
+    for c in range(chunks):
+        shift = c * width
+        w = width + (16 - chunks * width if c == chunks - 1 else 0)
+        mask = (1 << w) - 1
+        chunk_joins.append(
+            f"SELECT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb "
+            f"FROM sh x JOIN sh y ON ((x.simhash >> {shift}) & {mask}) = "
+            f"((y.simhash >> {shift}) & {mask}) AND x.doc_id < y.doc_id"
+        )
+    cand = "\nUNION\n".join(chunk_joins)
+    return f"""
+    WITH tok AS ({_DS}),
+    tv AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS v
+           FROM tok),
+    sums AS (SELECT doc_id, {bit_sums} FROM tv GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({sim_expr} AS INTEGER) AS simhash FROM sums),
+    cand AS ({cand})
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@register("simhash_hamming_pairs", oracle=_simhash_oracle(max_hamming=3))
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = dedup.simhash16(docs, "doc_id", "text")
+    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, _DIM + 1))
+
+
+def _cosine_topk_oracle(query_ids: list[int], k: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(({_dot_sql('q.v', 'c.v')}) / (sqrt(q.sq) * sqrt(c.sq))
+                    AS DOUBLE) AS cosine
+        FROM n q JOIN n c ON q.vec_id != c.vec_id
+        WHERE q.vec_id IN ({ids})
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn FROM pairs
+    ) WHERE rn <= {k}
+    """
+
+
+_TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
+
+@register(
+    "embed_cosine_topk",
+    oracle=_cosine_topk_oracle(_TOPK_QUERY_IDS, k=3),
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _TOPK_QUERY_IDS, k=3)
+
+
+def _ann_bucketed_oracle(query_ids: list[int], k: int, sign_dims: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, sign_dims + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq, {bucket} AS bucket FROM e),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(({_dot_sql('q.v', 'c.v')}) / (sqrt(q.sq) * sqrt(c.sq))
+                    AS DOUBLE) AS cosine
+        FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        WHERE q.vec_id IN ({ids})
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn FROM pairs
+    ) WHERE rn <= {k}
+    """
+
+
+_ANN_QUERY_IDS = list(range(10))
+
+@register(
+    "embed_ann_bucketed",
+    oracle=_ann_bucketed_oracle(_ANN_QUERY_IDS, k=3, sign_dims=6),
+)
+def embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_bucketed(emb, _ANN_QUERY_IDS, k=3, sign_dims=6)
+
+
+@register(
+    "embed_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq FROM e)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(({_dot_sql('a.v', 'b.v')}) / (sqrt(a.sq) * sqrt(b.sq))
+                AS DOUBLE) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ({_dot_sql('a.v', 'b.v')}) / (sqrt(a.sq) * sqrt(b.sq)) >= 0.4
+    """,
+)
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = multimodal.to_binary_column(docs, "text")
+    return with_bin.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    )
+
+
+# No SQL oracle: mapInPandas stub decode — driver records rows-only.
+@register("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = multimodal.to_binary_column(docs, "text")
+    return multimodal.decode_image_meta(with_bin)

@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="THE quick brown fox JUMPS over the lazy dog!!"),
+            Row(doc_id=3, text="el perro es muy grande y la casa es bonita"),
+            Row(doc_id=4, text="zzz qqq xxx"),
+            Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),
+        ]
+    )
+
+
+def test_token_counts(spark, docs):
+    out = docs.select(
+        "doc_id",
+        text.token_count_ws("text").alias("ws"),
+        text.token_count_bpe("text").alias("bpe"),
+    ).collect()
+    got = {r["doc_id"]: (r["ws"], r["bpe"]) for r in out}
+    assert got[1] == (9, 9)
+    assert got[2] == (9, 11)  # two '!' are extra BPE-ish tokens
+
+
+def test_lang_id_and_quality(spark, docs):
+    out = docs.select(
+        "doc_id",
+        text.lang_id("text").alias("lang"),
+        text.quality_score("text").alias("q"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["lang"] == "en"
+    assert got[3]["lang"] == "es"
+    assert got[4]["lang"] == "und"
+    assert 0.0 <= got[4]["q"] <= got[1]["q"] <= 1.0
+
+
+def test_fingerprint_normalization_invariance(spark, docs):
+    out = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", text.fingerprint("text").alias("fp")).collect()}
+    # doc 2 differs only in case/punctuation from doc 1
+    assert out[1] == out[2] == out[5]
+    assert out[1] != out[3]
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id").collect()
+    groups = {r["doc_id"]: r["group_size"] for r in out}
+    assert groups[1] == 2  # docs 1 and 5 identical, min id kept
+    assert 5 not in groups
+
+
+def test_jaccard_and_minhash_agree(spark, docs):
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, "doc_id", threshold=0.99).collect()
+    }
+    assert (1, 5) in exact and exact[(1, 5)] == 1.0
+    lsh = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_neardup(
+            docs, "doc_id", "text", threshold=0.99
+        ).collect()
+    }
+    # identical docs always collide in every band
+    assert (1, 5) in lsh
+
+
+def test_word_shingles_ngram(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    out = sorted(
+        r["shingle"] for r in dedup.word_shingles(df, "doc_id", "text", n=3).collect()
+    )
+    assert out == ["a b c", "b c d"]
+
+
+def test_simhash_identical_and_pairs(spark, docs):
+    hashes = dedup.simhash16(docs, "doc_id", "text")
+    hv = {r["doc_id"]: r["simhash"] for r in hashes.collect()}
+    assert hv[1] == hv[5]
+    assert 0 <= hv[1] < (1 << 16)
+    pairs = dedup.simhash_pairs(hashes, "doc_id", max_hamming=0).collect()
+    assert {(r["a"], r["b"]) for r in pairs} >= {(1, 5)}
+    assert all(r["hamming"] == 0 for r in pairs if (r["a"], r["b"]) == (1, 5))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact(spark, emb):
+    out = similarity.cosine_topk(emb, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5)
+
+
+def test_ann_bucketed_excludes_other_buckets(spark, emb):
+    out = similarity.ann_bucketed(emb, [0], k=4, sign_dims=1).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 3 not in ids  # negative first component → other bucket
+    assert {1, 2} <= ids
+
+
+def test_cosine_neardup_pairs(spark, emb):
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    assert {(r["a"], r["b"]) for r in exact} == {(0, 1)}
+    bucketed = similarity.cosine_neardup_pairs(
+        emb, threshold=0.9, sign_dims=1
+    ).collect()
+    assert {(r["a"], r["b"]) for r in bucketed} == {(0, 1)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    wb = multimodal.to_binary_column(docs, "text")
+    meta = {r["doc_id"]: r for r in multimodal.decode_image_meta(wb).collect()}
+    assert meta[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    # identical payloads decode identically (deterministic stub)
+    assert (meta[1]["width"], meta[1]["height"]) == (meta[5]["width"], meta[5]["height"])
+    assert 16 <= meta[1]["width"] < 256 and 1 <= meta[1]["channels"] <= 4
+
+    frames = multimodal.frame_sample_plan(
+        spark.createDataFrame([Row(doc_id=1, n_frames=10)]), every_n=4
+    ).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 4, 8]
