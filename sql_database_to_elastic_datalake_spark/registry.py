@@ -883,3 +883,68 @@ def search_hits_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data-pipeline registrations (dedup/similarity/text/multimodal)
 # live in registry_pipeline.py; importing it registers into QUERIES/ORACLES.
 from sql_database_to_elastic_datalake_spark import registry_pipeline  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming — windowed ingest aggregation (runs availableNow
+# into a memory sink, returns the materialized batch result; the same
+# plan serves continuous mode). SURVEY §2.9: the reference has no
+# streaming — this is the engine's incremental upgrade path.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = iter(range(1_000_000))
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        read_stream_parquet,
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    stream = read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    return run_stream_to_memory(agg, f"win_counts_{next(_STREAM_SEQ)}")
+
+
+@register(
+    "session_window_counts",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               -- strict '>': Spark's session_window treats an event at
+               -- exactly prev_ts + gap as extending the session
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        session_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_counts(ev, gap="30 minutes", streaming=False)

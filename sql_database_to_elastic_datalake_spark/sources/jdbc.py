@@ -1,0 +1,170 @@
+"""JDBC source: partitioned relational extraction.
+
+Replaces the reference's extraction layer (SURVEY.md §2.1):
+  * per-entity ``SELECT *`` getters with soft-delete filtering
+    (S1: /root/reference/src/db_connector.py:135-223),
+  * the O(n²) LIMIT/OFFSET pagination loop
+    (S2: /root/reference/data_lake_sync.py:127-189),
+  * allow-list table discovery (S3: /root/reference/src/db_connector.py:41-53),
+  * per-dialect identifier quoting (F12: /root/reference/src/db_connector.py:66-103),
+  * schema-search-path resolution — schema ``copy`` first, default
+    schema as fallback (/root/reference/src/db_connector.py:231-246).
+
+Spark-first: one ``spark.read.jdbc`` per table with either
+``partitionColumn/lowerBound/upperBound/numPartitions`` (range stride)
+or explicit ``predicates`` (one partition per predicate) — N parallel
+keyset scans instead of a serial offset walk. Soft-delete and point
+filters are plain ``.filter`` calls that Spark pushes into the remote
+query (``pushDownPredicate`` is on by default).
+
+This module has no live database in the harness; everything except the
+final ``load()`` is pure plan/option construction and unit-tested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The reference's sync allow-list (/root/reference/src/db_connector.py:15-18).
+TABLES_TO_SYNC = (
+    "Ticket",
+    "TicketStatus",
+    "TicketLabel",
+    "Status",
+    "Label",
+    "Module",
+    "User",
+    "DataSource",
+)
+
+
+def quote_identifier(name: str, dialect: str = "postgresql") -> str:
+    """Dialect-correct identifier quoting: ``"t"`` for PostgreSQL,
+    `` `t` `` for MySQL (F12 parity)."""
+    if dialect == "postgresql":
+        return '"' + name.replace('"', '""') + '"'
+    if dialect == "mysql":
+        return "`" + name.replace("`", "``") + "`"
+    raise ValueError(f"unsupported dialect: {dialect}")
+
+
+def qualified_table(
+    table: str, schema: str | None, dialect: str = "postgresql"
+) -> str:
+    q = quote_identifier(table, dialect)
+    return f"{quote_identifier(schema, dialect)}.{q}" if schema else q
+
+
+@dataclass
+class JdbcSource:
+    """Connection + parallelism config for one source database."""
+
+    url: str  # jdbc:postgresql://host:5432/db
+    user: str
+    password: str
+    dialect: str = "postgresql"
+    #: schema search path — resolved first-hit (reference resolves in
+    #: schema 'copy' first, then the default schema).
+    schema_search_path: tuple[str | None, ...] = ("copy", None)
+    num_partitions: int = 16
+    fetch_size: int = 10_000
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def reader_options(self, dbtable: str) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "dbtable": dbtable,
+            "user": self.user,
+            "password": self.password,
+            "fetchsize": str(self.fetch_size),
+            **self.extra_options,
+        }
+
+
+def range_partition_options(
+    partition_column: str, lower: int, upper: int, num_partitions: int
+) -> dict[str, str]:
+    """Options for stride-partitioned parallel extraction — the scalable
+    replacement for LIMIT/OFFSET pagination."""
+    return {
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+    }
+
+
+def hash_partition_predicates(
+    key_expr: str, num_partitions: int, dialect: str = "postgresql"
+) -> list[str]:
+    """Explicit per-partition predicates for keys with no usable numeric
+    range (UUIDs — the reference's entities key on uuid). Each predicate
+    becomes one remote scan; hashing the key spreads rows evenly.
+
+    PostgreSQL: hashtext(); MySQL: crc32(). One predicate per partition.
+    """
+    if dialect == "postgresql":
+        h = f"abs(hashtext({key_expr}))"
+    elif dialect == "mysql":
+        h = f"crc32({key_expr})"
+    else:
+        raise ValueError(f"unsupported dialect: {dialect}")
+    return [
+        f"{h} % {num_partitions} = {i}" for i in range(num_partitions)
+    ]
+
+
+def read_entity(
+    spark: SparkSession,
+    source: JdbcSource,
+    table: str,
+    schema: str | None = None,
+    partition_options: dict[str, str] | None = None,
+    predicates: list[str] | None = None,
+    soft_delete_col: str | None = "deletedAt",
+) -> DataFrame:
+    """Build the partitioned JDBC scan for one entity table.
+
+    The soft-delete filter is applied as a DataFrame filter — Catalyst
+    pushes it into the remote WHERE clause, exactly matching the
+    reference's hand-embedded ``"deletedAt" IS NULL``
+    (/root/reference/src/db_connector.py:139-143) without string SQL.
+    """
+    dbtable = qualified_table(table, schema, source.dialect)
+    reader = spark.read.format("jdbc")
+    for k, v in source.reader_options(dbtable).items():
+        reader = reader.option(k, v)
+    if partition_options:
+        for k, v in partition_options.items():
+            reader = reader.option(k, v)
+    if predicates:
+        # DataFrameReader.jdbc(predicates=...) path
+        props = {
+            "user": source.user,
+            "password": source.password,
+            "fetchsize": str(source.fetch_size),
+        }
+        df = spark.read.jdbc(
+            source.url, dbtable, predicates=predicates, properties=props
+        )
+    else:
+        df = reader.load()
+    if soft_delete_col and soft_delete_col in df.columns:
+        df = df.filter(F.col(soft_delete_col).isNull())
+    return df
+
+
+def resolve_table_schema(
+    available: dict[str | None, set[str]],
+    table: str,
+    search_path: tuple[str | None, ...],
+) -> str | None:
+    """First schema in the search path containing ``table`` (the
+    reference's copy-then-default resolution). Raises if absent."""
+    for schema in search_path:
+        if table in available.get(schema, set()):
+            return schema
+    raise LookupError(f"table {table!r} not found in schemas {search_path}")

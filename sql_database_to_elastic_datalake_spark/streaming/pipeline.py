@@ -1,0 +1,185 @@
+"""Structured-Streaming ingest: the engine's incremental path.
+
+The reference has no real streaming — its incremental story is
+request-driven point re-sync (SURVEY.md §2.9, I1–I4:
+/root/reference/src/routes/ticket_routes.py:212-264). Re-expressed
+Spark-first, the same contract becomes:
+
+  * a file/Kafka ``readStream`` source replaces the POST endpoints
+    (S5/S6) — new files in a drop directory are the ingest batches;
+  * ``withWatermark`` + tumbling/session windows give late-data-safe
+    aggregation the reference never had;
+  * ``foreachBatch`` + :func:`..sinks.upsert.merge_latest_wins` gives
+    the point-upsert semantics (I1) transactionally per micro-batch;
+  * ``trigger(availableNow=True)`` turns the same pipeline into a
+    catch-up batch job — one code path for both modes.
+
+Scale notes: windowed state lives in the state store keyed by
+(window, group); the watermark bounds state size. Session windows use
+the built-in ``session_window`` (state-store-merged in streaming, hash
+aggregation in batch) rather than a hand-rolled applyInPandasWithState
+— the built-in is codegen'd and spill-aware.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.sinks.upsert import merge_latest_wins
+from sql_database_to_elastic_datalake_spark.sources.parquet import (
+    _nanos_timestamp_cols,
+)
+
+
+def read_stream_parquet(
+    spark: SparkSession, directory: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """File-source stream over a parquet drop directory.
+
+    Streams need an explicit schema; we take it from a batch read of the
+    currently-present files (footer-only). Nanos timestamps get the same
+    long→micros conversion as the batch loader. ``glob`` narrows the
+    stream to one table's files when several share the directory.
+    """
+    nanos = _nanos_timestamp_cols(_first_match(directory, glob))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.option("pathGlobFilter", glob).parquet(directory)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )
+    for c in nanos:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def _first_match(directory: str, glob: str) -> str:
+    import fnmatch
+    import os
+
+    for f in sorted(os.listdir(directory)):
+        if fnmatch.fnmatch(f, glob):
+            return os.path.join(directory, f)
+    return directory
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Tumbling-window counts + exact decimal sums per key.
+
+    In streaming mode the watermark bounds state and admits late data up
+    to its horizon; the identical expression runs in batch mode for
+    backfills (``streaming=False`` skips the watermark, which batch
+    ignores anyway).
+    """
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Per-key session aggregation with the built-in session_window
+    (gap-based). Works identically in batch and streaming."""
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan with availableNow (process everything
+    currently available, then stop) into an in-memory sink and return
+    the materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_upsert_into(
+    updates_stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    version_col: str,
+    checkpoint: str,
+) -> "object":
+    """foreachBatch MERGE: each micro-batch is merged latest-wins into
+    the parquet target — the streaming form of the reference's point
+    upsert (I1). Returns the StreamingQuery.
+
+    Note: read-merge-overwrite per batch is the plain-parquet stand-in
+    for a transactional MERGE INTO; at 100 TB the target would be Delta/
+    Iceberg and this function body becomes a single MERGE statement.
+    """
+    spark = updates_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            base = spark.read.parquet(target_path)
+        except Exception:
+            base = None
+        if base is None:
+            merged = merge_latest_wins(
+                batch_df, batch_df.limit(0), keys, version_col
+            )
+        else:
+            merged = merge_latest_wins(base, batch_df, keys, version_col)
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from sql_database_to_elastic_datalake_spark import schemas
+from sql_database_to_elastic_datalake_spark.sources import jdbc
+from sql_database_to_elastic_datalake_spark.streaming import pipeline as sp
+
+
+# --- streaming -------------------------------------------------------------
+
+def test_stream_windowed_counts_matches_batch(spark, sf_dir):
+    stream = sp.read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    assert stream.isStreaming
+    agg = sp.windowed_counts(stream, window="1 hour")
+    got = sp.run_stream_to_memory(agg, "t_win_counts")
+
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    batch = sp.windowed_counts(
+        load_table(spark, sf_dir, "events"), window="1 hour", streaming=False
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    target = os.path.join(str(tmp_path), "target")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    drop = os.path.join(str(tmp_path), "drop")
+    base = spark.createDataFrame(
+        [Row(k=1, v="old", ver=1), Row(k=2, v="keep", ver=1)]
+    )
+    base.write.parquet(target)
+    updates = spark.createDataFrame([Row(k=1, v="new", ver=2), Row(k=3, v="ins", ver=2)])
+    updates.coalesce(1).write.parquet(drop)
+
+    stream = sp.read_stream_parquet(spark, drop)
+    q = sp.stream_upsert_into(stream, target, keys=["k"], version_col="ver", checkpoint=ckpt)
+    q.awaitTermination()
+    final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert final == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_session_counts_gap_boundary(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0, event_id=1),
+        # exactly at the 30-minute gap: EXTENDS the session (Spark's
+        # session_window is inclusive of ts == prev + gap)
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=30), value=1.0, event_id=2),
+        # beyond the gap from the previous event: new session
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=61), value=1.0, event_id=3),
+    ]
+    out = sp.session_counts(
+        spark.createDataFrame(rows), gap="30 minutes", streaming=False
+    ).collect()
+    got = sorted((r["session_start"], r["n_events"]) for r in out)
+    assert got == [(t0, 2), (t0 + dt.timedelta(minutes=61), 1)]
+
+
+# --- jdbc plan construction ------------------------------------------------
+
+def test_quote_identifier_dialects():
+    assert jdbc.quote_identifier("Ticket") == '"Ticket"'
+    assert jdbc.quote_identifier("Ticket", "mysql") == "`Ticket`"
+    assert jdbc.quote_identifier('a"b') == '"a""b"'
+    with pytest.raises(ValueError):
+        jdbc.quote_identifier("t", "oracle")
+    assert jdbc.qualified_table("Ticket", "copy") == '"copy"."Ticket"'
+
+
+def test_partition_helpers():
+    opts = jdbc.range_partition_options("number", 0, 1000, 8)
+    assert opts["numPartitions"] == "8" and opts["partitionColumn"] == "number"
+    preds = jdbc.hash_partition_predicates('"id"::text', 4)
+    assert len(preds) == 4
+    assert preds[0] == 'abs(hashtext("id"::text)) % 4 = 0'
+    assert jdbc.hash_partition_predicates("id", 2, "mysql")[1] == "crc32(id) % 2 = 1"
+
+
+def test_schema_search_path_resolution():
+    avail = {"copy": {"Ticket"}, None: {"Ticket", "User"}}
+    assert jdbc.resolve_table_schema(avail, "Ticket", ("copy", None)) == "copy"
+    assert jdbc.resolve_table_schema(avail, "User", ("copy", None)) is None
+    with pytest.raises(LookupError):
+        jdbc.resolve_table_schema(avail, "Missing", ("copy", None))
+
+
+# --- schema registry / type ladder -----------------------------------------
+
+def test_entity_schemas_cover_reference_tables():
+    assert set(schemas.ENTITY_SCHEMAS) == set(jdbc.TABLES_TO_SYNC)
+    for name, st in schemas.ENTITY_SCHEMAS.items():
+        cols = [f.name for f in st.fields]
+        assert cols[:4] == ["id", "createdAt", "updatedAt", "deletedAt"], name
+
+
+def test_lake_type_ladder(spark):
+    from pyspark.sql import types as T
+
+    assert schemas.lake_type(T.StringType()) == "keyword"
+    assert schemas.lake_type(T.IntegerType()) == "long"
+    assert schemas.lake_type(T.DoubleType()) == "double"
+    assert schemas.lake_type(T.TimestampType()) == "date"
+    assert schemas.lake_type(T.ArrayType(T.StringType())) == "nested"
+    assert schemas.lake_type(T.MapType(T.StringType(), T.StringType())) == "object"
+    m = schemas.lake_mapping(schemas.ENTITY_SCHEMAS["Ticket"])
+    assert m["number"] == "long" and m["createdAt"] == "date" and m["data"] == "keyword"
