@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: Queries timed for BENCH_r{N}.json. Kept to the heavy hitters — full
 #: coverage correctness is the selfcheck/driver gate, not the bench.
 HEADLINE = (
+    # relational core
     "denormalized_orders",
     "pricing_summary",
     "latest_event_per_key",
@@ -28,6 +29,21 @@ HEADLINE = (
     "union_all_entities",
     "content_hash_ids",
     "json_extract",
+    "merge_upsert",
+    # search surface
+    "search_dsl_bool",
+    "search_multimatch_scored",
+    # streaming
+    "streaming_window_counts",
+    "session_window_counts",
+    # training-data pipeline (scalable paths only — the quadratic
+    # pair-verifiers are correctness-gate queries, not bench targets)
+    "text_stats",
+    "text_fingerprint",
+    "dedup_exact",
+    "embed_cosine_topk",
+    "embed_ann_bucketed",
+    "multimodal_decode",
 )
 
 

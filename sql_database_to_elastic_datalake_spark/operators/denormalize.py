@@ -124,10 +124,13 @@ def denormalized_orders(
                 F.col("r_name").alias("region_name"))
     )
 
+    # nation/region carry explicit broadcast() hints (fixed-size dims);
+    # the customer chain does NOT — customer scales with the data volume,
+    # so AQE must pick broadcast vs shuffle from its measured size.
     wide = (
         orders.join(latest_line, F.col("o_orderkey") == F.col("ll_orderkey"), "left")
         .join(labels, F.col("o_orderkey") == F.col("lb_orderkey"), "left")
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"), "left")
     )
 
     ts = F.lit(indexed_at)

@@ -948,3 +948,82 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return session_counts(ev, gap="30 minutes", streaming=False)
+
+
+# ---------------------------------------------------------------------------
+# F1 (typed path) — from_json with a declared schema (vs get_json_object's
+# stringly path). Reference: /root/reference/src/json_encoder.py:23-41.
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_parse_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           event_type
+    FROM events
+    """,
+)
+def json_parse_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k INT")
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# S3/A2 — catalog discovery + per-table count probes
+# Reference: /root/reference/data_lake_sync.py:54-61,122-124.
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_counts",
+    oracle="""
+    SELECT 'region' AS "table", COUNT(*) AS n FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_tables
+
+    dfs = load_tables(spark, sf_dir)
+    parts = [
+        df.groupBy(F.lit(name).alias("table")).agg(F.count("*").alias("n"))
+        for name, df in dfs.items()
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# F2/F3 — export-boundary serialization: ISO-8601 timestamps + stringified
+# keys. Reference: /root/reference/src/document_utils.py:53-58.
+# ---------------------------------------------------------------------------
+
+@register(
+    "iso_export",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso
+    FROM events WHERE user_id = 7
+    """,
+)
+def iso_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.functions.scalar import iso_timestamp
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") == 7).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        iso_timestamp("ts").alias("ts_iso"),
+    )
