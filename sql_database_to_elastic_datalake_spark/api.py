@@ -1,0 +1,243 @@
+"""The reference's REST surface, engine-native.
+
+Replicates the *declared* API of the reference's Flask server
+(/root/reference/server.py:24-46 and the six route files) as a thin
+service over the Spark engine, plus an optional real Flask app factory.
+Endpoints covered (SURVEY.md §2.1 S5/S6, §2.9 I1, §2.8 Q1/Q2/Q4):
+
+  GET  /health                      → health()
+  POST /<entity>/<entity>           → ingest() single   (S5)
+  POST /<entity>/batch              → ingest() list     (S6, HTTP 207)
+  POST /tickets/sync                → resync_ticket()   (I1)
+  POST /search                      → search()          (Q1)
+  POST /search/advanced             → advanced_search() (Q2)
+
+We replicate the declared surface, not the reference's wiring bugs
+(several handlers there declare an ``es_client`` parameter Flask never
+injects — /root/reference/src/routes/ticket_routes.py:99; SURVEY.md §3.3).
+
+Scale note: a REST point-write through a Spark driver is a demo/dev
+surface — the production ingest path is the streaming pipeline
+(:mod:`.streaming.pipeline`); both funnel into the same validate-split
+and merge operators, so semantics are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid as _uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+from sql_database_to_elastic_datalake_spark.plans.search import (
+    multi_match_table,
+    string_columns,
+)
+from sql_database_to_elastic_datalake_spark.sources.ingest import REQUIRED_FIELDS
+
+#: Lake table name prefix (reference /root/reference/src/config.py:29).
+INDEX_PREFIX = "data_lake_"
+
+ENTITY_TYPES = ("ticket", "user", "data_source", "module", "status", "label")
+
+
+@dataclass
+class ItemResult:
+    index: int
+    ok: bool
+    id: str | None
+    error: str | None
+
+
+class LakeService:
+    """Engine-backed implementation of the reference's API operations."""
+
+    def __init__(self, spark: SparkSession, lake_dir: str):
+        self.spark = spark
+        self.lake_dir = lake_dir
+
+    # -- helpers ----------------------------------------------------------
+
+    def _table_path(self, entity_type: str) -> str:
+        return os.path.join(self.lake_dir, f"{INDEX_PREFIX}{entity_type.lower()}")
+
+    def _validate_and_default(
+        self, entity_type: str, item: dict[str, Any], index: int
+    ) -> tuple[dict[str, Any] | None, ItemResult]:
+        """Per-item required-field check + id/timestamp defaulting
+        (reference /root/reference/src/utils.py:82-111). Driver-side on a
+        single dict — the batch path below is the DataFrame equivalent."""
+        required = REQUIRED_FIELDS.get(entity_type, REQUIRED_FIELDS["default"])
+        for f in required:
+            if item.get(f) in (None, ""):
+                return None, ItemResult(index, False, None, f"missing required field: {f}")
+        out = dict(item)
+        out.setdefault("id", str(_uuid.uuid4()))
+        now = datetime.now(timezone.utc).isoformat()
+        out.setdefault("createdAt", now)
+        out.setdefault("updatedAt", now)
+        return out, ItemResult(index, True, str(out["id"]), None)
+
+    # -- API operations ---------------------------------------------------
+
+    def health(self) -> dict[str, Any]:
+        return {
+            "status": "healthy",
+            "spark": self.spark.version,
+            "lake_dir": self.lake_dir,
+        }
+
+    def ingest(
+        self, entity_type: str, payload: dict | list[dict]
+    ) -> dict[str, Any]:
+        """Single or batch ingest with per-item accounting.
+
+        Returns {status_code, results[], success_count, error_count} —
+        200 all-ok, 207 partial, 400 all-failed (the reference's batch
+        contract, /root/reference/src/routes/ticket_routes.py:139-210).
+        """
+        if entity_type not in ENTITY_TYPES:
+            return {"status_code": 404, "error": f"unknown entity {entity_type}"}
+        items = payload if isinstance(payload, list) else [payload]
+        accepted: list[dict[str, Any]] = []
+        results: list[ItemResult] = []
+        for i, item in enumerate(items):
+            fixed, res = self._validate_and_default(entity_type, item, i)
+            results.append(res)
+            if fixed is not None:
+                accepted.append(fixed)
+        if accepted:
+            # JSON-ish dicts → one append write; schema unified as strings
+            # for arbitrary payload keys (dynamic-mapping parity).
+            rows = [
+                {k: (None if v is None else str(v)) for k, v in it.items()}
+                for it in accepted
+            ]
+            cols = sorted({k for r in rows for k in r})
+            normalized = [tuple(r.get(c) for c in cols) for r in rows]
+            df = self.spark.createDataFrame(
+                normalized, schema=", ".join(f"`{c}` string" for c in cols)
+            )
+            df.write.mode("append").parquet(self._table_path(entity_type))
+        ok = sum(1 for r in results if r.ok)
+        err = len(results) - ok
+        status = 200 if err == 0 else (207 if ok else 400)
+        return {
+            "status_code": status,
+            "success_count": ok,
+            "error_count": err,
+            "results": [r.__dict__ for r in results],
+        }
+
+    def resync_ticket(
+        self, entities: dict[str, DataFrame], ticket_id: str, indexed_at: str
+    ) -> dict[str, Any]:
+        """Point re-sync (I1): recompute one denormalized ticket document
+        and MERGE it into the lake keyed by ticket_id."""
+        from sql_database_to_elastic_datalake_spark.sinks.upsert import (
+            merge_latest_wins,
+        )
+        from sql_database_to_elastic_datalake_spark.sync import denormalize_tickets
+
+        doc = denormalize_tickets(
+            entities["Ticket"], entities["TicketStatus"], entities["Status"],
+            entities["Module"], entities["DataSource"], entities["User"],
+            entities["TicketLabel"], entities["Label"],
+            indexed_at, ticket_id=ticket_id,
+        )
+        path = self._table_path("denormalized_ticket")
+        try:
+            base = self.spark.read.parquet(path)
+            merged = merge_latest_wins(
+                base, doc, keys=["ticket_id"], version_col="indexed_at"
+            )
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        except Exception:
+            doc.write.mode("overwrite").parquet(path)
+        n = doc.count()
+        return {"status_code": 200 if n else 404, "synced": n, "ticket_id": ticket_id}
+
+    def search(
+        self, term: str, tables: list[str] | None = None, k: int = 10
+    ) -> dict[str, Any]:
+        """multi_match across all lake tables (the ``data_lake_*``
+        pattern) with the deterministic tf score; ES-style envelope."""
+        names = tables or [
+            d for d in sorted(os.listdir(self.lake_dir))
+            if d.startswith(INDEX_PREFIX)
+        ]
+        hits: list[dict[str, Any]] = []
+        total = 0
+        for name in names:
+            path = os.path.join(self.lake_dir, name)
+            df = self.spark.read.parquet(path)
+            matched = multi_match_table(df, term)
+            total += matched.count()
+            top = (
+                matched.orderBy(F.col("score").desc(), *string_columns(df)[:1])
+                .limit(k)
+                .collect()
+            )
+            hits.extend(
+                {"_index": name, "_score": r["score"],
+                 "_source": {c: r[c] for c in df.columns}}
+                for r in top
+            )
+        hits.sort(key=lambda h: (-h["_score"], h["_index"]))
+        return {"hits": {"total": {"value": total}, "hits": hits[:k]}}
+
+    def advanced_search(
+        self, table: str, dsl: dict, k: int = 10
+    ) -> dict[str, Any]:
+        """Raw ES-DSL passthrough compiled to a Spark predicate (Q2)."""
+        df = self.spark.read.parquet(os.path.join(self.lake_dir, table))
+        matched = df.filter(compile_dsl(dsl))
+        total = matched.count()
+        rows = matched.limit(k).collect()
+        return {
+            "hits": {
+                "total": {"value": total},
+                "hits": [
+                    {"_index": table, "_source": {c: r[c] for c in df.columns}}
+                    for r in rows
+                ],
+            }
+        }
+
+
+def create_app(service: LakeService):
+    """Optional Flask app exposing the reference's route shape."""
+    from flask import Flask, jsonify, request
+
+    app = Flask("sql_database_to_elastic_datalake_spark")
+
+    @app.route("/health", methods=["GET"])
+    def health():
+        return jsonify(service.health()), 200
+
+    @app.route("/<entity>/<entity2>", methods=["POST"])
+    def ingest_single(entity, entity2):
+        out = service.ingest(entity.rstrip("s"), request.get_json(force=True))
+        return jsonify(out), out.get("status_code", 200)
+
+    @app.route("/<entity>/batch", methods=["POST"])
+    def ingest_batch(entity):
+        out = service.ingest(entity.rstrip("s"), request.get_json(force=True))
+        return jsonify(out), out.get("status_code", 200)
+
+    @app.route("/search", methods=["POST"])
+    def search():
+        body = request.get_json(force=True)
+        return jsonify(service.search(body["query"], body.get("tables"))), 200
+
+    @app.route("/search/advanced", methods=["POST"])
+    def advanced():
+        body = request.get_json(force=True)
+        return jsonify(service.advanced_search(body["table"], body["query"])), 200
+
+    return app

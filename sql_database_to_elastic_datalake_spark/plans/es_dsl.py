@@ -52,6 +52,16 @@ class DslError(ValueError):
     pass
 
 
+def _ns(pred: "Column") -> "Column":
+    """Null-safe leaf: ES query semantics are two-valued — a predicate on
+    a missing/null field is simply *no match*, and ``must_not`` then
+    matches. SQL three-valued logic would propagate NULL through ``NOT``
+    and silently drop such rows (found by the hypothesis differential
+    test), so every leaf coalesces to false.
+    """
+    return F.coalesce(pred, F.lit(False))
+
+
 def _field_value(body: dict, value_key: str = "value"):
     """ES allows ``{"term": {"f": v}}`` and ``{"term": {"f": {"value": v}}}``."""
     if len(body) != 1:
@@ -111,18 +121,20 @@ def compile_dsl(
 
     if kind == "term":
         field, value = _field_value(body)
-        return col(field) == F.lit(value)
+        return _ns(col(field) == F.lit(value))
 
     if kind == "terms":
         if len(body) != 1:
             raise DslError("terms expects one field")
         field, values = next(iter(body.items()))
-        return col(field).isin(list(values))
+        return _ns(col(field).isin(list(values)))
 
     if kind == "ids":
         values = body["values"]
-        return col(body.get("field", "id")).cast("string").isin(
-            [str(v) for v in values]
+        return _ns(
+            col(body.get("field", "id")).cast("string").isin(
+                [str(v) for v in values]
+            )
         )
 
     if kind == "range":
@@ -141,29 +153,29 @@ def compile_dsl(
         acc = preds[0]
         for p in preds[1:]:
             acc = acc & p
-        return acc
+        return _ns(acc)
 
     if kind == "exists":
         return col(body["field"]).isNotNull()
 
     if kind == "prefix":
         field, value = _field_value(body)
-        return col(field).cast("string").startswith(str(value))
+        return _ns(col(field).cast("string").startswith(str(value)))
 
     if kind == "wildcard":
         field, value = _field_value(body)
-        return col(field).cast("string").like(_wildcard_to_like(str(value)))
+        return _ns(col(field).cast("string").like(_wildcard_to_like(str(value))))
 
     if kind == "match":
         field, value = _field_value(body, value_key="query")
         operator = (
             body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
         )
-        return _match_tokens(col(field), value, require_all=operator == "and")
+        return _ns(_match_tokens(col(field), value, require_all=operator == "and"))
 
     if kind == "match_phrase":
         field, value = _field_value(body, value_key="query")
-        return F.lower(col(field).cast("string")).contains(str(value).lower())
+        return _ns(F.lower(col(field).cast("string")).contains(str(value).lower()))
 
     if kind == "multi_match":
         query = body["query"]
@@ -174,7 +186,7 @@ def compile_dsl(
         acc = preds[0]
         for p in preds[1:]:
             acc = acc | p
-        return acc
+        return _ns(acc)
 
     if kind == "nested":
         path = body["path"]
@@ -188,8 +200,10 @@ def compile_dsl(
 
             return resolve
 
-        return F.exists(
-            col(path), lambda el: compile_dsl(inner, nested_resolver(el))
+        return _ns(
+            F.exists(
+                col(path), lambda el: compile_dsl(inner, nested_resolver(el))
+            )
         )
 
     if kind == "bool":

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sql_database_to_elastic_datalake_spark.api import LakeService, create_app
+
+
+@pytest.fixture()
+def service(spark, tmp_path):
+    return LakeService(spark, str(tmp_path))
+
+
+@pytest.fixture()
+def client(service):
+    flask = pytest.importorskip("flask")  # noqa: F841
+    app = create_app(service)
+    app.testing = True
+    return app.test_client()
+
+
+def test_health(client):
+    r = client.get("/health")
+    assert r.status_code == 200
+    assert r.get_json()["status"] == "healthy"
+
+
+def test_single_ingest_and_defaults(service):
+    out = service.ingest("user", {"email": "a@x.io", "name": "A", "username": "a"})
+    assert out["status_code"] == 200 and out["success_count"] == 1
+    df = service.spark.read.parquet(os.path.join(service.lake_dir, "data_lake_user"))
+    row = df.collect()[0]
+    assert row["email"] == "a@x.io"
+    assert row["id"] and row["createdAt"]  # defaulted
+
+
+def test_batch_partial_success_207(client, service):
+    batch = [
+        {"email": "ok@x.io", "name": "ok", "username": "ok"},
+        {"name": "no-email"},  # missing required email
+    ]
+    r = client.post("/users/batch", data=json.dumps(batch),
+                    content_type="application/json")
+    assert r.status_code == 207
+    body = r.get_json()
+    assert body["success_count"] == 1 and body["error_count"] == 1
+    assert body["results"][1]["error"] == "missing required field: email"
+
+
+def test_all_failed_400_and_unknown_404(service):
+    out = service.ingest("ticket", [{"data": "x"}])  # ticket_number required
+    assert out["status_code"] == 400
+    assert service.ingest("nope", {"name": "x"})["status_code"] == 404
+
+
+def test_search_and_advanced(client, service):
+    service.ingest("label", [
+        {"name": "spark engine"}, {"name": "pandas loop"}, {"name": "spark fast"},
+    ])
+    r = client.post("/search", data=json.dumps({"query": "spark"}),
+                    content_type="application/json")
+    hits = r.get_json()["hits"]
+    assert hits["total"]["value"] == 2
+    assert all("spark" in h["_source"]["name"] for h in hits["hits"])
+
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"bool": {"must": [{"match": {"name": "pandas"}}]}},
+    }), content_type="application/json")
+    adv = r.get_json()["hits"]
+    assert adv["total"]["value"] == 1
+    assert adv["hits"][0]["_source"]["name"] == "pandas loop"
+
+
+def test_resync_ticket_point_merge(service, spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from sql_database_to_elastic_datalake_spark.schemas import ENTITY_SCHEMAS
+
+    def df(entity, rows):
+        sch = ENTITY_SCHEMAS[entity]
+        names = [f.name for f in sch.fields]
+        return spark.createDataFrame(
+            [tuple(r.get(n) for n in names) for r in rows], sch
+        )
+
+    T0 = dt.datetime(2024, 1, 1)
+    entities = dict(
+        Ticket=df("Ticket", [dict(id="t1", number=1, createdAt=T0,
+                                  dataSourceId="d1", moduleId="m1")]),
+        TicketStatus=df("TicketStatus", [dict(id="ts1", ticketId="t1",
+                                              statusId="s1", createdAt=T0)]),
+        Status=df("Status", [dict(id="s1", name="Open", isFinalStatus=False,
+                                  createdAt=T0)]),
+        Module=df("Module", [dict(id="m1", name="M", type="X", createdAt=T0)]),
+        DataSource=df("DataSource", [dict(id="d1", name="D", entityName="e",
+                                          gatewayType="API", moduleId="m1",
+                                          statusId="s1", createdAt=T0)]),
+        User=df("User", []),
+        TicketLabel=df("TicketLabel", []),
+        Label=df("Label", []),
+    )
+    out1 = service.resync_ticket(entities, "t1", "2026-01-01T00:00:00")
+    assert out1 == {"status_code": 200, "synced": 1, "ticket_id": "t1"}
+    out2 = service.resync_ticket(entities, "t1", "2026-01-02T00:00:00")
+    assert out2["status_code"] == 200
+    lake = service.spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_denormalized_ticket")
+    ).collect()
+    # MERGE keyed on ticket_id: one row, newest indexed_at won
+    assert len(lake) == 1 and lake[0]["indexed_at"] == "2026-01-02T00:00:00"
+    # unknown ticket → 404-style
+    assert service.resync_ticket(entities, "missing", "2026-01-03")["status_code"] == 404

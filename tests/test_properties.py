@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis).
+
+The heavyweight one drives the ES-DSL compiler with randomly generated
+query trees and checks Spark's filter results against an independent
+pure-Python evaluator of the documented semantics — a differential test
+for the compiler itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    _wildcard_to_like,
+    compile_dsl,
+    tokenize,
+)
+
+# --- pure-python reference evaluator ---------------------------------------
+
+ROWS = [
+    {"id": 1, "kind": "a", "n": 5, "txt": "Spark merges fast"},
+    {"id": 2, "kind": "b", "n": 15, "txt": "slow pandas loop"},
+    {"id": 3, "kind": "a", "n": 25, "txt": None},
+    {"id": 4, "kind": None, "n": None, "txt": "spark spark spark"},
+    {"id": 5, "kind": "c", "n": 0, "txt": ""},
+]
+
+
+def eval_dsl(row: dict, dsl: dict) -> bool:
+    kind, body = next(iter(dsl.items()))
+    if kind == "match_all":
+        return True
+    if kind == "term":
+        f, v = next(iter(body.items()))
+        return row[f] is not None and row[f] == v
+    if kind == "terms":
+        f, vs = next(iter(body.items()))
+        return row[f] is not None and row[f] in vs
+    if kind == "range":
+        f, bounds = next(iter(body.items()))
+        x = row[f]
+        if x is None:
+            return False
+        ops = {"gte": lambda a, b: a >= b, "gt": lambda a, b: a > b,
+               "lte": lambda a, b: a <= b, "lt": lambda a, b: a < b}
+        return all(ops[op](x, v) for op, v in bounds.items())
+    if kind == "exists":
+        return row[body["field"]] is not None
+    if kind == "match":
+        f, q = next(iter(body.items()))
+        toks = tokenize(str(q))
+        if not toks:
+            return True
+        s = row[f]
+        if s is None:
+            return False
+        return any(t in s.lower() for t in toks)
+    if kind == "bool":
+        must = body.get("must", [])
+        must_not = body.get("must_not", [])
+        should = body.get("should", [])
+        clauses = [eval_dsl(row, m) for m in must]
+        clauses += [not eval_dsl(row, m) for m in must_not]
+        if should:
+            msm = int(body.get("minimum_should_match",
+                               0 if (must or must_not) else 1))
+            if msm >= 1:
+                clauses.append(
+                    sum(eval_dsl(row, s) for s in should) >= msm
+                )
+        return all(clauses) if clauses else True
+    raise AssertionError(kind)
+
+
+# --- DSL tree strategy ------------------------------------------------------
+
+leaf = st.one_of(
+    st.just({"match_all": {}}),
+    st.builds(lambda v: {"term": {"kind": v}}, st.sampled_from(["a", "b", "c", "x"])),
+    st.builds(lambda vs: {"terms": {"n": vs}},
+              st.lists(st.sampled_from([0, 5, 15, 25, 99]), min_size=1, max_size=3)),
+    st.builds(
+        lambda lo, hi: {"range": {"n": {"gte": lo, "lt": hi}}},
+        st.integers(-5, 30), st.integers(-5, 30),
+    ),
+    st.builds(lambda f: {"exists": {"field": f}}, st.sampled_from(["kind", "n", "txt"])),
+    st.builds(lambda q: {"match": {"txt": q}},
+              st.sampled_from(["spark", "pandas loop", "fast spark", "zzz", ""])),
+)
+
+
+def bool_node(children):
+    return st.builds(
+        lambda must, must_not, should, msm: {
+            "bool": {
+                "must": must, "must_not": must_not, "should": should,
+                **({"minimum_should_match": msm} if should and msm else {}),
+            }
+        },
+        st.lists(children, max_size=2),
+        st.lists(children, max_size=1),
+        st.lists(children, max_size=2),
+        st.integers(0, 2),
+    )
+
+
+dsl_trees = st.recursive(leaf, bool_node, max_leaves=6)
+
+
+@pytest.mark.usefixtures("spark")
+class TestDslDifferential:
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(dsl=dsl_trees)
+    def test_compiler_matches_python_eval(self, spark, dsl):
+        df = getattr(self, "_df", None)
+        if df is None:
+            df = spark.createDataFrame(ROWS)
+            type(self)._df = df
+        got = sorted(r["id"] for r in df.filter(compile_dsl(dsl)).collect())
+        want = sorted(r["id"] for r in ROWS if eval_dsl(r, dsl))
+        assert got == want, f"dsl={dsl}"
+
+
+@given(st.text(max_size=40))
+def test_tokenize_invariants(s):
+    toks = tokenize(s)
+    assert all(t and t == t.lower() and t.isalnum() for t in toks)
+
+
+@given(st.text(alphabet="ab*?%_\\", max_size=12))
+def test_wildcard_to_like_escapes(p):
+    like = _wildcard_to_like(p)
+    # every SQL meta-char in the output traces back to an ES wildcard;
+    # pre-existing SQL metas are escaped
+    i = 0
+    unescaped = []
+    while i < len(like):
+        if like[i] == "\\":
+            i += 2
+            continue
+        unescaped.append(like[i])
+        i += 1
+    assert unescaped.count("%") == p.count("*")
+    assert unescaped.count("_") == p.count("?")
