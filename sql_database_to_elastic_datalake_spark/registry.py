@@ -1027,3 +1027,37 @@ def iso_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("event_id"),
         iso_timestamp("ts").alias("ts_iso"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase aggregation — identical results to the plain
+# groupBy (oracle), but the hot key fans out over (key, salt) partials.
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_group_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "n_events": F.count("*"),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        final_aggs={
+            "n_events": F.sum("n_events"),
+            "sum_value": F.sum("sum_value").cast("decimal(38,2)"),
+        },
+        n_salts=16,
+        deterministic_from="event_id",
+    )

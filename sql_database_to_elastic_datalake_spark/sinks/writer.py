@@ -59,3 +59,23 @@ def with_history_columns(
     return df.withColumn("indexed_at", ts).withColumn(
         "doc_id", document_id(F.col(id_col), ts)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table for shuffle-free co-located
+    joins: two tables bucketed identically on the join key join without
+    any Exchange — the 100 TB answer to repeatedly-joined fact tables
+    (the engine's equivalent of pre-sharding; verified by plan assertion
+    in tests).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table_name)

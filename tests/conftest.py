@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from sql_database_to_elastic_datalake_spark.session import get_spark
@@ -13,7 +15,11 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # keep managed tables (bucketing tests) out of the repo dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators.skew import (
+    add_salt,
+    salted_agg,
+    salted_join,
+    with_observed_counts,
+)
+from sql_database_to_elastic_datalake_spark.sinks.writer import write_bucketed_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key "hot" holds 90% of rows
+    rows = [Row(k="hot", id=i, v=1.0) for i in range(90)]
+    rows += [Row(k=f"cold{i}", id=100 + i, v=2.0) for i in range(10)]
+    return spark.createDataFrame(rows)
+
+
+def test_add_salt_deterministic_and_bounded(spark, skewed):
+    a = add_salt(skewed, 8, deterministic_from="id").collect()
+    b = add_salt(skewed, 8, deterministic_from="id").collect()
+    assert [r["_salt"] for r in a] == [r["_salt"] for r in b]
+    assert all(0 <= r["_salt"] < 8 for r in a)
+    # the hot key actually spreads across salts
+    hot_salts = {r["_salt"] for r in a if r["k"] == "hot"}
+    assert len(hot_salts) > 1
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in skewed.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            {"n": F.count("*"), "s": F.sum("v")},
+            {"n": F.sum("n"), "s": F.sum("s")},
+            n_salts=8,
+            deterministic_from="id",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [Row(dk="hot", label="H"), Row(dk="cold3", label="C3")]
+    )
+    plain = sorted(
+        (r["id"], r["label"])
+        for r in skewed.join(dim, skewed["k"] == dim["dk"], "left").collect()
+    )
+    salted = sorted(
+        (r["id"], r["label"])
+        for r in salted_join(
+            skewed, dim, "k", "dk", n_salts=4, deterministic_from="id"
+        ).collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lines")
+    orders = spark.createDataFrame([Row(ok=i, x=i * 10) for i in range(100)])
+    lines = spark.createDataFrame(
+        [Row(lk=i % 100, y=i) for i in range(300)]
+    )
+    write_bucketed_table(orders, "b_orders", ["ok"], num_buckets=4, sort_by=["ok"])
+    write_bucketed_table(lines, "b_lines", ["lk"], num_buckets=4, sort_by=["lk"])
+    # tiny test tables would be broadcast (which bypasses bucketed reads);
+    # disable broadcast so the plan shows what a fact-×-fact join does
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lines"), F.col("ok") == F.col("lk")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: no shuffle on either side
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert joined.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_observe_metrics(spark, skewed):
+    observed = with_observed_counts(
+        skewed, "ingest", {"n_hot": F.col("k") == "hot"}
+    )
+    # collect() executes THIS DataFrame's queryExecution — metrics attach
+    # to it (count() would build and run a separate plan)
+    observed.collect()
+    m = observed._jdf.queryExecution().observedMetrics()
+    row = m.get("ingest").get()
+    assert row.getLong(0) == 100  # n_rows
+    assert row.getLong(1) == 90   # n_hot
