@@ -105,7 +105,8 @@ def main() -> int:
         print(f"{status} {name}: {len(sdf)} rows — {msg}")
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len([n for n in qs if not only or n in only])} ok")
+    checked = [n for n in qs if not only or n in only]
+    print(f"\n{len(checked) - len(failed)}/{len(checked)} ok")
     return 1 if failed else 0
 
 

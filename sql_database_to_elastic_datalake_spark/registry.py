@@ -1061,3 +1061,158 @@ def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         deterministic_from="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth beyond the reference (the engine owns analytics the
+# reference delegated to Kibana/ES — SURVEY §2.4 note): rollup subtotals,
+# pivot, frame windows, lag deltas, calendar truncation, percentiles.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combinations; the oracle's FILTER
+    # counts yield 0 — align.
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)))
+    return out
+
+
+@register(
+    "running_totals",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,2)) AS window_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS DECIMAL(38,2)) AS running_sum
+    FROM events WHERE user_id < 10
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    dec = F.col("value").cast("decimal(18,2)")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    moving = w_order.rowsBetween(-6, 0)
+    running = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec).over(moving).cast("decimal(38,2)").alias("window_sum"),
+        F.sum(dec).over(running).cast("decimal(38,2)").alias("running_sum"),
+    )
+
+
+@register(
+    "event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS gap_micros
+    FROM events WHERE user_id < 10
+    """,
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).cast("long")
+    return ev.select("user_id", "event_id", gap.alias("gap_micros"))
+
+
+@register(
+    "daily_event_stats",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           dayofweek(ts) AS dow,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            (F.dayofweek(F.col("ts")) - 1).alias("dow"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+    )
