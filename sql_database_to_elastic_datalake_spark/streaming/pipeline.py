@@ -183,3 +183,47 @@ def stream_upsert_into(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_user_totals_stateful(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    ``applyInPandasWithState``.
+
+    Built-ins cover windows/sessions; this is the escape hatch for
+    semantics they can't express (cross-batch accumulators with custom
+    eviction). State is one (count, total) pair per user, timed out
+    after ``timeout_minutes`` of event-time silence — state size stays
+    O(active users), the property that keeps it viable at 100 TB/day.
+
+    Emits one row per user per micro-batch: (user_id, n_events, total).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [total]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
