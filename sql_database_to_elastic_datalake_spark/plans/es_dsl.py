@@ -52,12 +52,16 @@ class DslError(ValueError):
     pass
 
 
-def _ns(pred: "Column") -> "Column":
-    """Null-safe leaf: ES query semantics are two-valued — a predicate on
-    a missing/null field is simply *no match*, and ``must_not`` then
-    matches. SQL three-valued logic would propagate NULL through ``NOT``
-    and silently drop such rows (found by the hypothesis differential
-    test), so every leaf coalesces to false.
+def _ns(pred: Column) -> Column:
+    """Null-safe coercion: ES query semantics are two-valued — a
+    predicate on a missing/null field is simply *no match*. SQL
+    three-valued logic agrees with that in positive (WHERE) context, but
+    NULL propagating through ``NOT`` or a should-count would silently
+    drop rows ES would match (found by the hypothesis differential
+    test). Applied exactly where the distinction is observable —
+    ``must_not`` and ``minimum_should_match`` counting — so plain leaf
+    comparisons stay pushdown-eligible (a coalesce-wrapped predicate
+    never reaches parquet as a PushedFilter).
     """
     return F.coalesce(pred, F.lit(False))
 
@@ -121,20 +125,18 @@ def compile_dsl(
 
     if kind == "term":
         field, value = _field_value(body)
-        return _ns(col(field) == F.lit(value))
+        return col(field) == F.lit(value)
 
     if kind == "terms":
         if len(body) != 1:
             raise DslError("terms expects one field")
         field, values = next(iter(body.items()))
-        return _ns(col(field).isin(list(values)))
+        return col(field).isin(list(values))
 
     if kind == "ids":
         values = body["values"]
-        return _ns(
-            col(body.get("field", "id")).cast("string").isin(
-                [str(v) for v in values]
-            )
+        return col(body.get("field", "id")).cast("string").isin(
+            [str(v) for v in values]
         )
 
     if kind == "range":
@@ -153,29 +155,29 @@ def compile_dsl(
         acc = preds[0]
         for p in preds[1:]:
             acc = acc & p
-        return _ns(acc)
+        return acc
 
     if kind == "exists":
         return col(body["field"]).isNotNull()
 
     if kind == "prefix":
         field, value = _field_value(body)
-        return _ns(col(field).cast("string").startswith(str(value)))
+        return col(field).cast("string").startswith(str(value))
 
     if kind == "wildcard":
         field, value = _field_value(body)
-        return _ns(col(field).cast("string").like(_wildcard_to_like(str(value))))
+        return col(field).cast("string").like(_wildcard_to_like(str(value)))
 
     if kind == "match":
         field, value = _field_value(body, value_key="query")
         operator = (
             body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
         )
-        return _ns(_match_tokens(col(field), value, require_all=operator == "and"))
+        return _match_tokens(col(field), value, require_all=operator == "and")
 
     if kind == "match_phrase":
         field, value = _field_value(body, value_key="query")
-        return _ns(F.lower(col(field).cast("string")).contains(str(value).lower()))
+        return F.lower(col(field).cast("string")).contains(str(value).lower())
 
     if kind == "multi_match":
         query = body["query"]
@@ -186,7 +188,7 @@ def compile_dsl(
         acc = preds[0]
         for p in preds[1:]:
             acc = acc | p
-        return _ns(acc)
+        return acc
 
     if kind == "nested":
         path = body["path"]
@@ -200,10 +202,8 @@ def compile_dsl(
 
             return resolve
 
-        return _ns(
-            F.exists(
-                col(path), lambda el: compile_dsl(inner, nested_resolver(el))
-            )
+        return F.exists(
+            col(path), lambda el: compile_dsl(inner, nested_resolver(el))
         )
 
     if kind == "bool":
@@ -212,7 +212,7 @@ def compile_dsl(
             for sub in _as_list(body.get(key)):
                 clauses.append(compile_dsl(sub, field_resolver))
         for sub in _as_list(body.get("must_not")):
-            clauses.append(~compile_dsl(sub, field_resolver))
+            clauses.append(~_ns(compile_dsl(sub, field_resolver)))
         should = [compile_dsl(s, field_resolver) for s in _as_list(body.get("should"))]
         if should:
             # ES default: should clauses only filter when there are no
@@ -225,7 +225,7 @@ def compile_dsl(
                     acc = acc | p
                 clauses.append(acc)
             elif msm > 1:
-                count = sum((p.cast("int") for p in should), F.lit(0))
+                count = sum((_ns(p).cast("int") for p in should), F.lit(0))
                 clauses.append(count >= msm)
         if not clauses:
             return F.lit(True)
