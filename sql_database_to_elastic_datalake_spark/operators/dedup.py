@@ -140,22 +140,35 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and emit distinct (a < b) bucket-collision pairs.
 
-    Each band key is the md5 of its row concatenation; the join is
-    bucket-equality per band, unioned and deduped — never all-pairs.
+    Each band key is the md5 of its row concatenation. The bands are
+    melted to long form (id, band_idx, band_key) so candidate generation
+    is ONE self-join on (band_idx, band_key) — a per-band join loop
+    would shuffle the signature table once per band; melting costs a
+    single explode and a single shuffle regardless of band count.
     """
-    band_cols = []
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
-    banded = signatures.select(F.col(id_col), *band_cols)
-
-    pairs = None
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("a"), F.col(f"band_{b}").alias("bk"))
-        right = banded.select(F.col(id_col).alias("b"), F.col(f"band_{b}").alias("bk"))
-        p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    melted = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        F.col(id_col), F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    left = melted.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+    right = melted.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def minhash_lsh_neardup(

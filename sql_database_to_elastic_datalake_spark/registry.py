@@ -1222,3 +1222,32 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
         F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 completion — INTERSECT / EXCEPT set semantics (absent from the
+# reference; part of a complete query surface).
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT c_custkey AS customer_id FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    return cust.intersect(open_orders).exceptAll(big.distinct())
