@@ -1251,3 +1251,24 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("customer_id")
     )
     return cust.intersect(open_orders).exceptAll(big.distinct())
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations (completes the rollup family).
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"))

@@ -373,3 +373,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_bin = multimodal.to_binary_column(docs, "text")
     return multimodal.decode_image_meta(with_bin)
+
+
+# No SQL oracle: recursive sequential computation (EWMA) — rows-only.
+@register("events_ewma")
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.grouped_pandas import (
+        ewma_per_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3)
+
+
+# No SQL oracle: KMeans quantizer not expressible in the oracle engine —
+# rows-only; recall vs the exact verifier is asserted in tests.
+@register("embed_ann_ivf")
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.ivf import ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_search(emb, query_ids=list(range(10)), k=3, nlist=16, nprobe=3)

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators.grouped_pandas import ewma_per_key
+from sql_database_to_elastic_datalake_spark.operators.ivf import ivf_search
+from sql_database_to_elastic_datalake_spark.operators.similarity import cosine_topk
+from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+
+def test_ewma_matches_pandas_reference(spark, sf_dir):
+    out = (
+        ewma_per_key(
+            load_table(spark, sf_dir, "events").filter(F.col("user_id") == 3),
+            "user_id", "ts", "value", alpha=0.3,
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    # independent recurrence: ewma_t = 0.3 x_t + 0.7 ewma_{t-1}
+    e = None
+    for _, row in out.iterrows():
+        e = row["value"] if e is None else 0.3 * row["value"] + 0.7 * e
+        assert row["ewma"] == pytest.approx(e, rel=1e-12)
+    assert len(out) > 10
+
+
+def test_ewma_deterministic_across_runs(spark, sf_dir):
+    def run():
+        return sorted(
+            map(tuple, ewma_per_key(
+                load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5),
+                "user_id", "ts", "value",
+            ).collect())
+        )
+
+    assert run() == run()
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=3).collect()
+    }
+    approx_rows = ivf_search(emb, qids, k=3, nlist=8, nprobe=4, seed=42).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # k results per query, correct shape
+    assert len(approx_rows) == len(qids) * 3
+    # cosine scores of IVF results must equal the exact computation for
+    # the same pairs (IVF restricts candidates; it never rescores)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, qids, k=len(emb.collect())).collect()
+    }
+    for r in approx_rows:
+        assert r["cosine"] == exact_scores[(r["query_id"], r["neighbor_id"])]
+    # recall: with nprobe=half the cells on clustered data, expect to
+    # recover a reasonable share of the true top-3
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
