@@ -241,3 +241,49 @@ def create_app(service: LakeService):
         return jsonify(service.advanced_search(body["table"], body["query"])), 200
 
     return app
+
+
+ENTITY_SYNC_FNS = {
+    "user": "sync_users",
+    "data_source": "sync_data_sources",
+    "status": "sync_statuses",
+    "label": "sync_labels",
+}
+
+
+def resync_entity(
+    service: LakeService,
+    entities: dict[str, "DataFrame"],
+    entity_type: str,
+    entity_id: str,
+    indexed_at: str,
+) -> dict[str, Any]:
+    """Per-entity point re-sync (reference I2/I4 — the *intended*
+    semantics of /root/reference/src/routes/user_routes.py:190-239 and
+    the TODO-stubbed module/status/label sync endpoints, without the
+    reference's latent getter-signature TypeError, SURVEY.md §2.9 I2).
+
+    Recomputes one entity's document and MERGEs it into the lake keyed
+    by the entity id column.
+    """
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark import sync as sync_mod
+    from sql_database_to_elastic_datalake_spark.sinks.upsert import merge_latest_wins
+
+    entity_key = {"user": "User", "data_source": "DataSource",
+                  "status": "Status", "label": "Label"}.get(entity_type)
+    if entity_key is None or entity_type not in ENTITY_SYNC_FNS:
+        return {"status_code": 404, "error": f"unsupported entity {entity_type}"}
+    src = entities[entity_key].filter(F.col("id") == entity_id)
+    doc = getattr(sync_mod, ENTITY_SYNC_FNS[entity_type])(src, indexed_at)
+    id_out = f"{entity_type}_id"
+    path = service._table_path(f"denorm_{entity_type}")
+    try:
+        base = service.spark.read.parquet(path)
+        merged = merge_latest_wins(base, doc, keys=[id_out], version_col="indexed_at")
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    except Exception:
+        doc.write.mode("overwrite").parquet(path)
+    n = doc.count()
+    return {"status_code": 200 if n else 404, "synced": n, "id": entity_id}

@@ -1272,3 +1272,29 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderpriority").alias("priority"),
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Legacy generic-table sync (data_lake_sync.py parity): namespacing +
+# provenance + content-addressed MD5 doc ids in one pass.
+# Reference: /root/reference/data_lake_sync.py:72-189.
+# ---------------------------------------------------------------------------
+
+@register(
+    "generic_table_sync",
+    oracle="""
+    SELECT n_nationkey AS nation_n_nationkey,
+           n_name AS nation_n_name,
+           n_regionkey AS nation_n_regionkey,
+           'nation' AS "table",
+           md5(concat_ws('|',
+               coalesce(CAST(n_nationkey AS VARCHAR), chr(0)),
+               coalesce(n_name, chr(0)),
+               coalesce(CAST(n_regionkey AS VARCHAR), chr(0)))) AS doc_id
+    FROM nation
+    """,
+)
+def generic_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.generic import sync_generic_table
+
+    return sync_generic_table(load_table(spark, sf_dir, "nation"), "nation")

@@ -114,3 +114,57 @@ def test_resync_ticket_point_merge(service, spark):
     assert len(lake) == 1 and lake[0]["indexed_at"] == "2026-01-02T00:00:00"
     # unknown ticket → 404-style
     assert service.resync_ticket(entities, "missing", "2026-01-03")["status_code"] == 404
+
+
+def test_resync_entity_point_merge(service, spark):
+    import datetime as dt
+
+    from sql_database_to_elastic_datalake_spark.api import resync_entity
+    from sql_database_to_elastic_datalake_spark.schemas import ENTITY_SCHEMAS
+
+    def df(entity, rows):
+        sch = ENTITY_SCHEMAS[entity]
+        names = [f.name for f in sch.fields]
+        return spark.createDataFrame(
+            [tuple(r.get(n) for n in names) for r in rows], sch
+        )
+
+    T0 = dt.datetime(2024, 1, 1)
+    entities = dict(
+        User=df("User", [
+            dict(id="u1", name="A", username="a", email="a@x", password="p",
+                 createdAt=T0),
+            dict(id="u2", name="B", username="b", email="b@x", password="p",
+                 createdAt=T0),
+        ]),
+    )
+    out = resync_entity(service, entities, "user", "u1", "2026-01-01T00:00:00")
+    assert out["status_code"] == 200 and out["synced"] == 1
+    out2 = resync_entity(service, entities, "user", "u1", "2026-01-02T00:00:00")
+    assert out2["status_code"] == 200
+    lake = spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_denorm_user")
+    ).collect()
+    assert len(lake) == 1 and lake[0]["indexed_at"] == "2026-01-02T00:00:00"
+    assert resync_entity(service, entities, "module", "m1", "x")["status_code"] == 404
+
+
+def test_generic_table_sync_idempotent(spark):
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.generic import (
+        dedup_by_content,
+        sync_generic_table,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, name="x", deletedAt=None),
+         Row(id=1, name="x", deletedAt=None),  # duplicate content
+         Row(id=2, name="y", deletedAt="2024")]  # soft-deleted
+    )
+    out = sync_generic_table(df, "t")
+    rows = out.collect()
+    assert len(rows) == 2  # soft-deleted dropped
+    assert rows[0]["doc_id"] == rows[1]["doc_id"]  # same content, same id
+    assert out.columns == ["t_id", "t_name", "t_deletedAt", "table", "doc_id"]
+    assert dedup_by_content(out).count() == 1
