@@ -1,0 +1,123 @@
+"""Operational CLI — the engine's answer to the reference's job scripts.
+
+Reference entry points covered:
+  * ``python sync_data.py``       → ``sync-entities`` (all entity pipelines)
+  * ``python data_lake_sync.py``  → ``sync-generic`` (any-table sync)
+  * the Flask server              → ``serve``
+  * ad-hoc search                 → ``search``
+
+Usage:
+  python -m sql_database_to_elastic_datalake_spark.cli sync-generic \
+      --input /data/nation.parquet --table nation --lake /lake --mode snapshot
+  python -m sql_database_to_elastic_datalake_spark.cli sync-entities \
+      --entities-dir /dumps --lake /lake --indexed-at 2026-01-01T00:00:00
+  python -m sql_database_to_elastic_datalake_spark.cli search \
+      --lake /lake --query "spark"
+  python -m sql_database_to_elastic_datalake_spark.cli serve --lake /lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark():
+    from sql_database_to_elastic_datalake_spark.session import get_spark
+
+    spark = get_spark(app_name="sdel-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_sync_generic(args) -> int:
+    from sql_database_to_elastic_datalake_spark.generic import sync_generic_table
+    from sql_database_to_elastic_datalake_spark.sinks.writer import write_lake
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    out = sync_generic_table(df, args.table)
+    dest = os.path.join(args.lake, f"data_lake_{args.table.lower()}")
+    write_lake(out, dest, mode=args.mode)
+    print(json.dumps({"table": args.table, "rows": out.count(), "dest": dest}))
+    return 0
+
+
+def cmd_sync_entities(args) -> int:
+    from sql_database_to_elastic_datalake_spark.sinks.writer import write_lake
+    from sql_database_to_elastic_datalake_spark.sync import sync_all_tables
+
+    spark = _spark()
+    entities = {}
+    for name in ("Ticket", "TicketStatus", "TicketLabel", "Status", "Label",
+                 "Module", "User", "DataSource"):
+        path = os.path.join(args.entities_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            entities[name] = spark.read.parquet(path)
+    outputs = sync_all_tables(entities, args.indexed_at)
+    report = {}
+    for table, df in outputs.items():
+        dest = os.path.join(args.lake, f"data_lake_{table}")
+        write_lake(df, dest, mode=args.mode)
+        report[table] = df.count()
+    print(json.dumps({"synced": report, "indexed_at": args.indexed_at}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    service = LakeService(_spark(), args.lake)
+    print(json.dumps(service.search(args.query, k=args.k), default=str))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from sql_database_to_elastic_datalake_spark.api import LakeService, create_app
+
+    service = LakeService(_spark(), args.lake)
+    app = create_app(service)
+    app.run(host=args.host, port=args.port)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sql_database_to_elastic_datalake_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("sync-generic", help="generic any-table sync")
+    g.add_argument("--input", required=True)
+    g.add_argument("--table", required=True)
+    g.add_argument("--lake", required=True)
+    g.add_argument("--mode", default="snapshot",
+                   choices=["snapshot", "history", "ensure"])
+    g.set_defaults(fn=cmd_sync_generic)
+
+    e = sub.add_parser("sync-entities", help="full entity batch sync")
+    e.add_argument("--entities-dir", required=True)
+    e.add_argument("--lake", required=True)
+    e.add_argument("--indexed-at", required=True)
+    e.add_argument("--mode", default="snapshot",
+                   choices=["snapshot", "history", "ensure"])
+    e.set_defaults(fn=cmd_sync_entities)
+
+    s = sub.add_parser("search", help="multi-match search across the lake")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("serve", help="run the REST API server")
+    v.add_argument("--lake", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=5000)
+    v.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

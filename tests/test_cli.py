@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from sql_database_to_elastic_datalake_spark.cli import main
+from sql_database_to_elastic_datalake_spark.schemas import ENTITY_SCHEMAS
+
+
+def test_cli_sync_generic_and_search(spark, tmp_path, capsys):
+    src = os.path.join(str(tmp_path), "nation.parquet")
+    spark.createDataFrame(
+        [(1, "GERMANY"), (2, "FRANCE")], "id int, name string"
+    ).write.parquet(src)
+    lake = os.path.join(str(tmp_path), "lake")
+
+    assert main(["sync-generic", "--input", src, "--table", "nation",
+                 "--lake", lake]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 2
+
+    out = spark.read.parquet(os.path.join(lake, "data_lake_nation"))
+    assert "doc_id" in out.columns and out.count() == 2
+
+    assert main(["search", "--lake", lake, "--query", "germany"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits["hits"]["total"]["value"] == 1
+
+
+def test_cli_sync_entities(spark, tmp_path, capsys):
+    ent_dir = os.path.join(str(tmp_path), "dumps")
+    os.makedirs(ent_dir)
+    T0 = dt.datetime(2024, 1, 1)
+
+    def dump(entity, rows):
+        sch = ENTITY_SCHEMAS[entity]
+        names = [f.name for f in sch.fields]
+        spark.createDataFrame(
+            [tuple(r.get(n) for n in names) for r in rows], sch
+        ).write.parquet(os.path.join(ent_dir, f"{entity}.parquet"))
+
+    dump("User", [dict(id="u1", name="A", username="a", email="a@x",
+                       password="p", createdAt=T0)])
+    dump("Status", [dict(id="s1", name="Open", isFinalStatus=False,
+                         createdAt=T0)])
+    dump("Label", [dict(id="l1", name="Bug", isVisible=True, createdAt=T0)])
+    dump("Module", [dict(id="m1", name="M", type="X", createdAt=T0)])
+    dump("DataSource", [dict(id="d1", name="D", entityName="e",
+                             gatewayType="API", moduleId="m1", statusId="s1",
+                             createdAt=T0)])
+
+    lake = os.path.join(str(tmp_path), "lake")
+    assert main(["sync-entities", "--entities-dir", ent_dir, "--lake", lake,
+                 "--indexed-at", "2026-01-01T00:00:00"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["synced"] == {"data_sources": 1, "users": 1, "modules": 1,
+                            "statuses": 1, "labels": 1}
+    users = spark.read.parquet(os.path.join(lake, "data_lake_users")).collect()
+    assert users[0]["document_id"] == "u1_2026-01-01T00:00:00"
