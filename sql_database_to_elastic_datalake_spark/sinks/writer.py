@@ -36,12 +36,19 @@ def write_lake(
     mode: str = "snapshot",
     partition_by: Sequence[str] = (),
     max_records_per_file: int | None = 1_000_000,
+    compression: str = "zstd",
 ) -> None:
-    """Write a lake table under snapshot/history/ensure semantics."""
+    """Write a lake table under snapshot/history/ensure semantics.
+
+    ``compression="zstd"`` by default: at 100 TB the scan is IO-bound and
+    zstd's ratio beats snappy at comparable decode speed. ``partition_by``
+    on a low-cardinality calendar/entity key enables partition pruning —
+    point reads then touch one directory, not the table.
+    """
     spark_mode = {"snapshot": "overwrite", "history": "append", "ensure": "ignore"}[
         mode
     ]
-    writer = df.write.mode(spark_mode)
+    writer = df.write.mode(spark_mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file:

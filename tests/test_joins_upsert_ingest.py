@@ -93,3 +93,29 @@ def test_write_modes(spark, tmp_path):
 
     hist = with_history_columns(df, "id", "2026-01-01T00:00:00").collect()[0]
     assert hist["doc_id"] == "1_2026-01-01T00:00:00"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    path = os.path.join(str(tmp_path), "events_by_day")
+    write_lake(ev, path, partition_by=["day"])
+
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must prune at the partition-directory level, not post-scan
+    assert "PartitionFilters: [" in plan and "2024-01-05" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan[:1500]
+    got = back.count()
+    want = ev.filter(F.col("day") == "2024-01-05").count()
+    assert got == want > 0
+    # zstd default is readable and round-trips
+    files = [f for root, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")]
+    assert files and spark.read.parquet(path).count() == ev.count()
