@@ -1298,3 +1298,64 @@ def generic_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_database_to_elastic_datalake_spark.generic import sync_generic_table
 
     return sync_generic_table(load_table(spark, sf_dir, "nation"), "nation")
+
+
+# ---------------------------------------------------------------------------
+# Window rank family — ntile/dense_rank/percent_rank/cume_dist over a
+# deterministic total order.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT event_id, user_id,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — edit-distance lookup (entity resolution
+# primitive for the training-data pipeline).
+# ---------------------------------------------------------------------------
+
+@register(
+    "fuzzy_match",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS name,
+           levenshtein(c_name, 'Customer#000000042') AS dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+    """,
+)
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        cust.withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("name"),
+            "dist",
+        )
+    )
