@@ -394,3 +394,47 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_search(emb, query_ids=list(range(10)), k=3, nlist=16, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning — the composed LLM-training-data pipeline:
+# quality gate → language gate → exact dedup → near-dup removal
+# (keep-minimum-id heuristic over verified ≥0.9 Jaccard pairs).
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+    WITH {{jaccard_cte}},
+    quality AS (
+        SELECT doc_id, lang FROM documents
+        WHERE len({_TOKENS}) >= 20 AND lang = 'en'
+    ),
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM quality)
+        GROUP BY md5(coalesce(text, chr(0)))
+    ),
+    neardup_drop AS (
+        SELECT DISTINCT j.b AS doc_id
+        FROM jac j
+        WHERE j.jaccard >= 0.9
+          AND j.a IN (SELECT doc_id FROM exact_keep)
+          AND j.b IN (SELECT doc_id FROM exact_keep)
+    )
+    SELECT doc_id FROM exact_keep
+    WHERE doc_id NOT IN (SELECT doc_id FROM neardup_drop)
+    """.replace("{jaccard_cte}", _JACCARD_CTE),
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(
+        (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
+    )
+    kept_exact = dedup.exact_dedup(quality, ["text"], "doc_id").select("doc_id")
+    surviving = quality.join(kept_exact, "doc_id", "left_semi")
+    sh = dedup.word_shingles(surviving, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
+    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return surviving.join(drop, "doc_id", "left_anti").select("doc_id")
