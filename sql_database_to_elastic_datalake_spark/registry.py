@@ -1460,3 +1460,37 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue")
         )
     )
+
+
+@register(
+    "events_time_range",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY user_id, event_type
+    """,
+)
+def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan over the event stream — THE access pattern for a
+    100 TB time-series table. The range predicate is applied by
+    ``load_table(ts_range=...)`` to the column as stored (raw nanos long),
+    so it reaches the parquet scan as a PushedFilter and prunes row
+    groups; a post-conversion filter would read everything.
+    (Reference analog: incremental windowed sync, SURVEY.md §2.9.)
+    """
+    ev = load_table(
+        spark,
+        sf_dir,
+        "events",
+        ts_range={"ts": ("2024-01-10", "2024-01-20")},
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("total_value"),
+    )

@@ -12,6 +12,7 @@ are declared by callers and pushed down by Catalyst into the scan
 from __future__ import annotations
 
 import os
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,7 +50,21 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _iso_to_micros(iso: str) -> int:
+    """Naive-UTC ISO-8601 string → integer micros since epoch (no floats)."""
+    dt = datetime.fromisoformat(iso)
+    if dt.tzinfo is not None:
+        raise ValueError("ts_range bounds must be naive (lake time is naive UTC)")
+    td = dt - datetime(1970, 1, 1)
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range: dict[str, tuple[str | None, str | None]] | None = None,
+) -> DataFrame:
     """Scan one lake table. Plain ``spark.read.parquet`` so that filter
     pushdown, column pruning and partition pruning all apply.
 
@@ -59,13 +74,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType with integer ``div`` — float division would lose
     precision above 2^53 nanos (~1970+104 days). This matches DuckDB's
     nanos→micros truncation, keeping the differential oracle exact.
+
+    ``ts_range`` maps a timestamp column to a half-open ``[lo, hi)`` ISO
+    bound pair (either side may be None). The predicate is applied to the
+    column AS STORED — for nanos columns that is the raw long, compared
+    against ``bound_micros * 1000`` — so it reaches the parquet scan as a
+    PushedFilter and prunes row groups on column statistics. Filtering
+    after the micros conversion would wrap the column in a cast Catalyst
+    cannot push, forcing a full scan: the difference between reading one
+    day and reading the whole 100 TB events table. Integer-exact:
+    ``converted >= lo  ⇔  nanos div 1000 >= lo_micros  ⇔  nanos >= lo_micros*1000``
+    (and ``< hi`` likewise), so semantics match filtering post-conversion.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        for c, (lo, hi) in (ts_range or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                df = df.filter(F.col(c) < F.lit(hi).cast("timestamp"))
+        return df
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    for c, (lo, hi) in (ts_range or {}).items():
+        if c not in nanos:
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                df = df.filter(F.col(c) < F.lit(hi).cast("timestamp"))
+            continue
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(_iso_to_micros(lo) * 1000))
+        if hi is not None:
+            df = df.filter(F.col(c) < F.lit(_iso_to_micros(hi) * 1000))
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
