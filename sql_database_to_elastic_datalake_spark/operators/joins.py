@@ -85,3 +85,102 @@ def anti_join(
 ) -> DataFrame:
     """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
     return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+    right_tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the columns of the
+    LATEST right row with ``right_ts <= left_ts`` per join key (pandas
+    ``merge_asof`` / kdb ``aj`` semantics; ties on ``right_ts`` broken by
+    the greatest ``right_tiebreak``).
+
+    Not expressible as a Spark equi-join; the naive form is an unbounded
+    range join (quadratic). Spark-first composition with ONE shuffle:
+    union both sides tagged, sort within key partitions by
+    ``(ts, side, tiebreak)`` — right rows first at equal ts, so same-ts
+    matches are eligible — and carry the most recent right row forward
+    with ``last(struct, ignoreNulls) OVER (ROWS UNBOUNDED PRECEDING)``.
+    The struct keeps all attached columns from the SAME right row. Cost
+    is sort-within-partition of |L|+|R| after one hash shuffle on the
+    key: linear, skew-safe under AQE, no broadcast needed on either side.
+
+    ``right_cols`` maps right column -> output alias. ``tolerance_seconds``
+    nulls out matches older than the given horizon (pandas ``tolerance``).
+    """
+    on = list(on)
+    keep = list(right_cols.keys())
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tb.alias("__tb"),
+        F.struct(
+            F.col(right_ts).alias("__matched_ts"),
+            *[F.col(c).alias(a) for c, a in right_cols.items()],
+        ).alias("__rrow"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__rrow"].dataType).alias("__rrow"),
+    )
+    unioned = l.select(
+        *on,
+        "__ts",
+        "__side",
+        "__tb",
+        "__rrow",
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    ).unionByName(
+        r.select(
+            *on,
+            "__ts",
+            "__side",
+            "__tb",
+            "__rrow",
+            F.lit(None)
+            .cast(
+                l.select(
+                    F.struct(*[F.col(c) for c in left.columns]).alias("s")
+                ).schema["s"].dataType
+            )
+            .alias("__lrow"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    out = (
+        unioned.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select("__lrow.*", "__m")
+    )
+    if tolerance_seconds is not None:
+        horizon = F.col(left_ts).cast("double") - F.lit(float(tolerance_seconds))
+        out = out.withColumn(
+            "__m",
+            F.when(F.col("__m.__matched_ts").cast("double") >= horizon, F.col("__m")),
+        )
+    for _, alias in right_cols.items():
+        out = out.withColumn(alias, F.col(f"__m.{alias}"))
+    return out.drop("__m")

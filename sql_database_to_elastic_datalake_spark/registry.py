@@ -1494,3 +1494,53 @@ def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("total_value"),
     )
+
+
+@register(
+    "events_asof_order",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           e.ts,
+           o.last_order_id,
+           o.last_order_date
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey AS last_order_id,
+               o_orderdate AS last_order_date
+        FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+    ) o ON TRUE
+    WHERE e.user_id < 20
+    """,
+)
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event annotated with the customer's most
+    recent order at event time (ties on order date broken by greatest
+    key, matching the oracle's ORDER BY ... LIMIT 1 lateral). Runs as a
+    single-shuffle union+window composition — no range join, no
+    broadcast — so it scales to a 100 TB event stream.
+    """
+    from sql_database_to_elastic_datalake_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols={
+            "o_orderkey": "last_order_id",
+            "o_orderdate": "last_order_date",
+        },
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "last_order_id", "last_order_date"
+    )
