@@ -191,39 +191,70 @@ def running_user_totals_stateful(
     key_col: str = "user_id",
     value_col: str = "value",
     timeout_minutes: int = 60,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user running totals via
     ``applyInPandasWithState``.
 
     Built-ins cover windows/sessions; this is the escape hatch for
     semantics they can't express (cross-batch accumulators with custom
-    eviction). State is one (count, total) pair per user, timed out
-    after ``timeout_minutes`` of event-time silence — state size stays
+    eviction). State is one (count, total) pair per user, evicted after
+    ``timeout_minutes`` of *event-time* silence — state size stays
     O(active users), the property that keeps it viable at 100 TB/day.
 
     Emits one row per user per micro-batch: (user_id, n_events, total).
+
+    Eviction MUST be ``EventTimeTimeout`` (watermark-driven), not
+    ``ProcessingTimeTimeout``: a pending processing-time timer keeps the
+    micro-batch engine scheduling ~1 batch/sec until it fires (observed:
+    1600+ empty commits), so an ``availableNow`` run never drains. The
+    watermark only advances with data, so event-time timers quiesce with
+    the source. The timed-out branch evicts and returns without
+    re-arming for the same reason.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id bigint, n_events bigint, total double"
     state_schema = "n bigint, total double"
+    timeout_ms = timeout_minutes * 60 * 1000
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle horizon passed: evict, emit nothing, do not re-arm
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
+        max_ts_ms = None
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
+            if len(pdf):
+                batch_max = pdf[ts_col].max().timestamp() * 1000
+                if max_ts_ms is None or batch_max > max_ts_ms:
+                    max_ts_ms = batch_max
         state.update((n, total))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        # arm off the key's own newest event, NOT the watermark: during
+        # the first batch the watermark is still unset (0), and a timer
+        # anchored there lands in 1970 — a restarted run's checkpointed
+        # watermark is past it and evicts all state before processing.
+        # Spark requires the timer strictly ahead of the current
+        # watermark; flooring the base at the watermark guarantees that.
+        wm = state.getCurrentWatermarkMs()
+        base = wm if max_ts_ms is None else max(max_ts_ms, wm)
+        state.setTimeoutTimestamp(int(base + timeout_ms))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total": [total]}
         )
 
-    return events.groupBy(key_col).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 import pytest
@@ -116,17 +117,76 @@ def test_lake_type_ladder(spark):
 
 
 def test_stateful_running_totals_plan(spark, sf_dir):
-    """Plan-level check for the applyInPandasWithState escape hatch.
-
-    Executing arbitrary stateful pandas workers is flaky under local-mode
-    Python-worker reuse (observed intermittent worker crashes), so the
-    deterministic test asserts the streaming plan and contract; the
-    engine's supported stateful paths (tumbling/session windows,
-    foreachBatch merge) are execution-tested above.
-    """
+    """Plan + contract check for the applyInPandasWithState escape hatch."""
     stream = sp.read_stream_parquet(spark, sf_dir, glob="events.parquet")
     totals = sp.running_user_totals_stateful(stream)
     assert totals.isStreaming
     assert totals.schema.simpleString() == (
         "struct<user_id:bigint,n_events:bigint,total:double>"
     )
+
+
+def test_stateful_running_totals_executes_and_carries_state(spark, tmp_path):
+    """Execution test: totals accumulate ACROSS micro-batches via the
+    state store (same checkpoint, second availableNow run sees only the
+    new file but emits cumulative counts). The historical hang here was
+    the handler re-arming its processing-time timer on timeout
+    invocations — with that guard in place the query drains reliably.
+    """
+    import os
+
+    src = os.path.join(str(tmp_path), "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 2.0),
+         (1, dt.datetime(2024, 1, 1, 11), 3.0),
+         (2, dt.datetime(2024, 1, 1, 10), 5.0)],
+        schema,
+    ).write.parquet(src)
+
+    def run():
+        # foreachBatch, not the memory sink: memory-sink queries refuse
+        # to restart from an existing checkpoint, and restart is the
+        # point of this test
+        rows = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sp.running_user_totals_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: (r["n_events"], r["total"]) for r in rows}
+
+    first = run()
+    assert first == {1: (2, 5.0), 2: (1, 5.0)}
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12), 10.0),
+         (3, dt.datetime(2024, 1, 1, 12), 1.0)],
+        schema,
+    ).write.mode("append").parquet(src)
+    second = run()
+    # only touched keys re-emit, with cumulative values from the store
+    assert second == {1: (3, 15.0), 3: (1, 1.0)}
+
+    # eviction: a next-day event pushes the watermark far past user 2's
+    # idle horizon (last seen 10:00 + 60 min), firing its event-time
+    # timer and dropping its state...
+    spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 2, 12), 0.0)], schema
+    ).write.mode("append").parquet(src)
+    assert run() == {9: (1, 0.0)}
+
+    # ...so when user 2 reappears it accumulates from zero, not from
+    # the evicted (1, 5.0)
+    spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 2, 13), 7.0)], schema
+    ).write.mode("append").parquet(src)
+    assert run() == {2: (1, 7.0)}
