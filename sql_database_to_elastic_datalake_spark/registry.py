@@ -1544,3 +1544,78 @@ def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "last_order_id", "last_order_date"
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — scale extension; the reference has none
+# (SURVEY §2.3 "not present"). Each event is joined to every same-user
+# event in the strictly-preceding hour via the bucketized bin trick
+# (operators/joins.py:range_join): quantize to 1h bins, explode each
+# right interval into its bins, equi-join on (user, bin), re-check the
+# exact predicate. One hash shuffle, no nested-loop, no per-key buffer —
+# the plan that survives 100 TB where Spark's native non-equi join
+# (sort-merge with same-key buffering) degrades quadratically.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_range_join_prior",
+    oracle="""
+    SELECT e.event_id,
+           COUNT(p.prior_value) AS n_prior,
+           CAST(COALESCE(SUM(CAST(p.prior_value AS DECIMAL(18,2))), 0)
+                AS DECIMAL(38,2)) AS sum_prior
+    FROM events e
+    LEFT JOIN (
+        SELECT user_id, ts, value AS prior_value FROM events
+    ) p
+      ON p.user_id = e.user_id
+     AND p.ts < e.ts
+     AND e.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id
+    """,
+)
+def events_range_join_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event count/sum of same-user events in the preceding hour.
+
+    Inner range-join + aggregate, then a left join back onto the event
+    keys so zero-neighbor events surface with (0, 0.00) — the outer-join
+    form of the bucketized range join.
+    """
+    from sql_database_to_elastic_datalake_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.select(
+        "user_id",
+        F.col("ts").alias("rstart"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("rend"),
+        F.col("value").alias("prior_value"),
+    )
+    joined = range_join(
+        ev.select("event_id", "user_id", "ts"),
+        intervals,
+        left_point="ts",
+        right_start="rstart",
+        right_end="rend",
+        right_cols={"prior_value": "prior_value"},
+        on=["user_id"],
+        bucket_seconds=3600,
+        # strict start: an event is not its own neighbor, and equal-ts
+        # pairs are excluded on both sides (matches the oracle's p.ts < e.ts)
+        start_inclusive=False,
+        end_inclusive=False,
+    )
+    agg = joined.groupBy("event_id").agg(
+        F.count("prior_value").alias("n_prior"),
+        F.sum(F.col("prior_value").cast("decimal(18,2)")).alias("__s"),
+    )
+    return (
+        ev.select("event_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_prior"), F.lit(0)).alias("n_prior"),
+            F.coalesce(F.col("__s"), F.lit(0))
+            .cast("decimal(38,2)")
+            .alias("sum_prior"),
+        )
+    )
