@@ -1619,3 +1619,307 @@ def events_range_join_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_prior"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery analytics family. The reference pushes every
+# relational question to Postgres or Elasticsearch; these express the
+# classic correlated forms Spark-first: EXISTS → semi join (no fan-out,
+# no post-join dedup), correlated scalar subquery → two-pass agg +
+# broadcast join (the O(n) plan; a per-row subquery is O(n·m)).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped more
+    than 60 days after the order date, counted by priority. The EXISTS
+    becomes a left-semi join on the equi key with the non-equi shipped-
+    late predicate as the join residual — one shuffle, map-side count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey AS cust_id,
+           c.c_name AS cust_name,
+           n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, cust_id
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned
+    items, with nation attached. Dims (customer, nation) broadcast; the
+    only shuffle is the final group on customer; top-k via TakeOrdered
+    (no global sort materialization).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+        .groupBy(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("cust_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "parts_above_type_avg",
+    oracle="""
+    WITH t AS (
+        SELECT p_type,
+               COUNT(*) AS n,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS total
+        FROM part GROUP BY p_type
+    )
+    SELECT p_partkey, p_name, p_type,
+           CAST(p_retailprice AS DECIMAL(18,2)) AS retail
+    FROM part JOIN t USING (p_type)
+    WHERE CAST(p_retailprice AS DECIMAL(18,2)) * n > total
+    """,
+)
+def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("parts priced above their type's
+    average") as a two-pass plan: per-type (count, sum) aggregate,
+    broadcast back, filter. The comparison is price·n > Σprice — the
+    division-free form of price > avg, exact in DECIMAL on both engines
+    (a float average would make inclusion order-dependent).
+    """
+    part = load_table(spark, sf_dir, "part")
+    retail = F.col("p_retailprice").cast("decimal(18,2)")
+    per_type = part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(retail).alias("__total")
+    )
+    return (
+        part.join(F.broadcast(per_type), "p_type")
+        .filter(retail * F.col("__n") > F.col("__total"))
+        .select("p_partkey", "p_name", "p_type", retail.alias("retail"))
+    )
+
+
+@register(
+    "having_frequent_pairs",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    HAVING COUNT(*) > 15
+    """,
+)
+def having_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: post-aggregate predicate, planned as a
+    filter above the partial+final aggregate (map-side combine intact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 15)
+    )
+
+
+@register(
+    "conditional_agg_returns",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DECIMAL(38,4)) AS returned_revenue
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def conditional_agg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SUM(CASE WHEN ...)): one scan computes
+    total and per-condition aggregates — the fused alternative to
+    self-joining filtered subsets.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    is_r = F.col("l_returnflag") == "R"
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("n_returned"),
+        F.sum(F.when(is_r, rev).otherwise(F.lit(0)))
+        .cast("decimal(38,4)")
+        .alias("returned_revenue"),
+    )
+
+
+@register(
+    "distinct_counts_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column DISTINCT counts (planned via Spark's expand +
+    two-phase aggregate). The approximate HLL path for 100 TB cardinality
+    work is `approx_sketches` (rows-only; accuracy pytest-asserted).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "regex_extract_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+    FROM documents
+    """,
+)
+def regex_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family over the corpus: first lowercase run,
+    separator counting via global replace. JVM-side (codegen'd), no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).alias(
+            "n_spaces"
+        ),
+    )
+
+
+@register(
+    "date_arith_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+               AS days_since
+    FROM orders
+    """,
+)
+def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family (extract, end-of-month, day offset,
+    day difference) — emitted as strings/ints so the two engines'
+    date-vs-timestamp physical types can't skew the compare.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: first-occurrence-per-key via watermarked
+    ``dropDuplicates``, run with availableNow and materialized. The
+    batch-SQL equivalent is SELECT DISTINCT — the streaming form gives
+    the same answer incrementally with watermark-bounded state.
+    """
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        read_stream_parquet,
+        run_stream_to_memory,
+        stream_dedup_keys,
+    )
+
+    stream = read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    dd = stream_dedup_keys(stream)
+    return run_stream_to_memory(
+        dd, f"dedup_keys_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+
+
+@register("approx_sketches")  # rows-only: approximate by design
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB cardinality/quantile work:
+    HyperLogLog++ distinct counts and GK approximate percentiles per
+    event type. Constant memory per group vs the expand+exact-distinct
+    plan; accuracy is pytest-asserted against exact counterparts
+    (tests/test_approx_sketches.py) rather than oracle-hashed —
+    approximation is the point.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias(
+            "value_p50_p95"
+        ),
+    )

@@ -258,3 +258,56 @@ def running_user_totals_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup_keys(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: emit the first occurrence
+    of each key combination, with state evicted by the watermark.
+
+    The event-time column stays in the frame through ``dropDuplicates``
+    (that is what lets the state store age entries out at the watermark
+    — project it away first and dedup state grows unboundedly) and is
+    projected away after, so the emitted rows are the deterministic
+    distinct-key set rather than whichever physical row arrived first.
+    """
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .select(*keys, ts_col)
+        .dropDuplicates(list(keys))
+    )
+    return deduped.select(*keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    pairs (l, r) with equal keys and ``l.ts <= r.rts < l.ts + horizon``.
+
+    Both sides carry watermarks and the join condition brackets the two
+    event-time columns from BOTH directions — that is what lets the
+    micro-batch engine compute, per side, the oldest row that can still
+    find a partner, and drop buffered state older than it. An unbounded
+    condition would buffer both streams forever. Column names on the
+    two sides must be disjoint (re-project the right side before calling).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner")

@@ -1,0 +1,53 @@
+"""Accuracy contract for the approximate sketch aggregates: HLL++
+distinct counts within the configured relative error of exact, GK
+percentiles within rank tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.registry import QUERIES
+from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_sketches"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.countDistinct("event_id").alias("events"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("pcts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        e = exact[et]
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
+        assert abs(a["approx_events"] - e["events"]) <= max(
+            3, 0.06 * e["events"]
+        )
+        # GK percentile: value must lie within the exact p45–p55 /
+        # p90–p99 envelope of the group's values
+        vals = [
+            r["value"]
+            for r in ev.filter(F.col("event_type") == et)
+            .select("value")
+            .collect()
+            if r["value"] is not None
+        ]
+        vals.sort()
+        p50, p95 = a["value_p50_p95"]
+        lo50, hi50 = vals[int(0.45 * len(vals))], vals[int(0.55 * len(vals))]
+        lo95, hi95 = vals[int(0.90 * len(vals))], vals[
+            min(len(vals) - 1, int(0.99 * len(vals)))
+        ]
+        assert lo50 <= p50 <= hi50
+        assert lo95 <= p95 <= hi95

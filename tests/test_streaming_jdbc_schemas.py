@@ -190,3 +190,59 @@ def test_stateful_running_totals_executes_and_carries_state(spark, tmp_path):
         [(2, dt.datetime(2024, 1, 2, 13), 7.0)], schema
     ).write.mode("append").parquet(src)
     assert run() == {2: (1, 7.0)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (two watermarked file streams) must
+    produce exactly the batch join's rows once both streams drain."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    lsrc = os.path.join(str(tmp_path), "l")
+    rsrc = os.path.join(str(tmp_path), "r")
+    base = dt.datetime(2024, 1, 1, 10)
+
+    def m(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    lschema = "user_id long, ts timestamp, action string"
+    rschema = "r_user long, rts timestamp, outcome string"
+    left_rows = [(1, m(0), "a"), (1, m(90), "b"), (2, m(0), "c")]
+    right_rows = [
+        (1, m(30), "x"),   # joins l(1, 0:00) only
+        (1, m(100), "y"),  # joins l(1, 1:30) only
+        (2, m(61), "z"),   # outside 1h horizon of l(2, 0:00)
+        (3, m(10), "w"),   # no left partner
+    ]
+    spark.createDataFrame(left_rows, lschema).write.parquet(lsrc)
+    spark.createDataFrame(right_rows, rschema).write.parquet(rsrc)
+
+    ls = spark.readStream.schema(lschema).parquet(lsrc)
+    rs = spark.readStream.schema(rschema).parquet(rsrc)
+    joined = sp.stream_stream_interval_join(
+        ls, rs, key="user_id", right_key="r_user",
+        left_ts="ts", right_ts="rts", horizon="1 hour",
+    )
+    assert joined.isStreaming
+    got = sorted(
+        (r["user_id"], r["action"], r["outcome"])
+        for r in sp.run_stream_to_memory(
+            joined, "ssj_test", output_mode="append"
+        ).collect()
+    )
+    assert got == [(1, "a", "x"), (1, "b", "y")]
+
+    # differential: identical condition in batch mode
+    lb = spark.read.parquet(lsrc)
+    rb = spark.read.parquet(rsrc)
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("rts") >= F.col("ts"))
+        & (F.col("rts") < F.col("ts") + F.expr("INTERVAL 1 hour"))
+    )
+    want = sorted(
+        (r["user_id"], r["action"], r["outcome"])
+        for r in lb.join(rb, cond).collect()
+    )
+    assert got == want
