@@ -33,9 +33,17 @@ HEADLINE = (
     # search surface
     "search_dsl_bool",
     "search_multimatch_scored",
+    # analytics classics
+    "q4_order_priority",
+    "q10_returned_revenue",
+    "distinct_counts_by_flag",
+    # non-equi joins
+    "events_range_join_prior",
+    "events_asof_order",
     # streaming
     "streaming_window_counts",
     "session_window_counts",
+    "streaming_dedup_keys",
     # training-data pipeline (scalable paths only — the quadratic
     # pair-verifiers are correctness-gate queries, not bench targets)
     "text_stats",
