@@ -1923,3 +1923,169 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_p50_p95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token analytics: explode → aggregate → (optionally) re-rank.
+# The canonical big-data shapes over the documents table; integer-only
+# outputs and total-order tie-breaks keep them hash-deterministic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency, top 50. explode → two-phase count
+    (map-side partial agg absorbs the token fan-out before the single
+    shuffle) → TakeOrdered. The shuffle carries one row per distinct
+    word per mapper, not one per token — the property that matters when
+    the corpus is 100 TB but the vocabulary is millions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "top_words_per_doc",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM w WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT doc_id, word, tf, rn
+    FROM (
+        SELECT doc_id, word, tf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, word) AS rn
+        FROM c
+    ) r
+    WHERE rn <= 3
+    """,
+)
+def top_words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: explode to (doc, word), count,
+    top-3 by term frequency with lexicographic tie-break. The rank
+    filter is a WindowGroupLimit candidate (top-k pushed below the full
+    sort), and doc_id partitioning means no global shuffle of tokens —
+    only of per-doc word counts.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("word"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "rn")
+    )
+
+
+@register(
+    "grouping_sets_events",
+    oracle="""
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of the rollup/cube
+    family): per-type totals, per-user totals, and the grand total in
+    one pass via Spark's Expand — each input row fans to one row per
+    set before a single aggregate, no multi-scan union.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~25% sample via content hashing — the scale idiom
+    for sampling: no RNG state, identical membership on every engine,
+    every run, and every re-partitioning (rows own their sample fate),
+    unlike TABLESAMPLE/df.sample whose output depends on partition
+    layout. The predicate is cheap, pushdown-friendly column-wise, and
+    composes with stratification (hash per stratum).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(bucket.isin("0", "1", "2", "3")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_tax AS DECIMAL(18,2)) AS tax,
+               CAST(l_discount AS DECIMAL(18,2)) AS discount
+        FROM lineitem
+    ) UNPIVOT (val FOR metric IN (price, tax, discount))
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (pivot's inverse): wide metric columns to long
+    (metric, value) rows via Spark's Expand — one pass, no per-metric
+    scan union. Values unified to one decimal type first (melt requires
+    a common value type; mixed float/decimal would silently cast).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_tax").cast("decimal(18,2)").alias("tax"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "tax", "discount"],
+        "metric",
+        "val",
+    )

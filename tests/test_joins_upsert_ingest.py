@@ -119,3 +119,48 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # zstd default is readable and round-trips
     files = [f for root, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")]
     assert files and spark.read.parquet(path).count() == ev.count()
+
+
+def test_cluster_by_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by must produce files whose parquet footer min/max ranges
+    on the cluster key are pairwise disjoint (boundaries may touch) —
+    the property that lets selective scans skip whole files. An
+    unclustered multi-task write of the same data does not have it.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("v")
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return sorted(out)
+
+    clustered = os.path.join(str(tmp_path), "clustered")
+    write_lake(df, clustered, cluster_by=["k"], cluster_files=8)
+    ranges = file_ranges(clustered)
+    assert len(ranges) > 1
+    for (_, prev_hi), (cur_lo, _) in zip(ranges, ranges[1:]):
+        assert cur_lo >= prev_hi  # disjoint up to shared boundary key
+
+    plain = os.path.join(str(tmp_path), "plain")
+    write_lake(df.repartition(8), plain)
+    pranges = file_ranges(plain)
+    assert any(
+        cur_lo < prev_hi
+        for (_, prev_hi), (cur_lo, _) in zip(pranges, pranges[1:])
+    )
