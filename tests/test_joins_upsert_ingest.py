@@ -164,3 +164,41 @@ def test_cluster_by_write_gives_disjoint_file_ranges(spark, tmp_path):
         cur_lo < prev_hi
         for (_, prev_hi), (cur_lo, _) in zip(pranges, pranges[1:])
     )
+
+
+def test_compact_lake_merges_small_files(spark, tmp_path):
+    from sql_database_to_elastic_datalake_spark.sinks.writer import compact_lake
+
+    path = os.path.join(str(tmp_path), "frag")
+    # simulate streaming append debris: 20 single-row files
+    for i in range(20):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(path)
+    import glob as _glob
+
+    assert len(_glob.glob(os.path.join(path, "*.parquet"))) >= 20
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    n = compact_lake(spark, path, target_file_bytes=1 << 30)
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    assert n == 1 and len(files) == 1
+    after = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """History tables evolve: later appends may add columns. mergeSchema
+    reconciles the footers; old rows surface NULL for new columns —
+    the plain-parquet schema-evolution contract."""
+    path = os.path.join(str(tmp_path), "evolve")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "extra")], "id long, v string, note string"
+    ).write.mode("append").parquet(path)
+    got = {
+        (r["id"], r["v"], r["note"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", "extra")}
