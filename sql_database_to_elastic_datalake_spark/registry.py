@@ -2180,3 +2180,77 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), F.col("order_id"))
         .limit(10)
     )
+
+
+@register(
+    "range_frame_hourly",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS hour_sum,
+           COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS hour_n
+    FROM events
+    """,
+)
+def range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame (interval-bounded, not row-count-
+    bounded): per event, the same-user sum/count over the trailing hour
+    INCLUDING ts-peers and the row itself — the window-function twin of
+    `events_range_join_prior` (which excludes them). One shuffle on the
+    partition key; the frame scan is a per-partition sliding pointer,
+    O(n) not O(n·window).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # rangeBetween needs a numeric ordering key: event-time in seconds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")) / F.lit(1_000_000))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
+@register(
+    "string_functions_family",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           trim(replace(c_name, 'Customer', '')) AS suffix,
+           substr(c_name, 10, 4) AS mid4,
+           CAST(length(c_name) AS INTEGER) AS name_len
+    FROM customer
+    """,
+)
+def string_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string family (case, pad, locate, replace/trim, substring,
+    length) — all JVM-side codegen'd expressions, zero UDFs.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("uname"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_id"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.trim(F.regexp_replace(name, "Customer", "")).alias("suffix"),
+        F.substring(name, 10, 4).alias("mid4"),
+        F.length(name).alias("name_len"),
+    )

@@ -19,6 +19,13 @@ Scale notes: windowed state lives in the state store keyed by
 the built-in ``session_window`` (state-store-merged in streaming, hash
 aggregation in batch) rather than a hand-rolled applyInPandasWithState
 — the built-in is codegen'd and spill-aware.
+
+API note: Spark 4's ``transformWithStateInPandas`` (the successor
+stateful API) was probed and is unusable in this environment — its
+driver worker requires ``google.protobuf``, which is not installed.
+The custom stateful operator therefore targets
+``applyInPandasWithState`` with event-time timers, which runs and
+drains correctly (execution-tested below and in tests).
 """
 
 from __future__ import annotations
