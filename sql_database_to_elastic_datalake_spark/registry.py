@@ -2254,3 +2254,129 @@ def string_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(name, 10, 4).alias("mid4"),
         F.length(name).alias("name_len"),
     )
+
+
+@register(
+    "gap_filled_daily_counts",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(gs AS DATE) AS day
+        FROM generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                             INTERVAL 1 DAY) t(gs)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+           COALESCE(a.n, 0) AS n
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+    """,
+)
+def gap_filled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series with zero-fill: a generated calendar spine
+    (sequence + explode — no source scan) crossed with the observed key
+    domain, left-joined to actual daily counts. The idiom that turns
+    sparse event data into gap-free series for downstream models; spine
+    and key domain are both tiny, so the only real work is the one
+    aggregate shuffle over events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["day", "event_type"], "left")
+        .select(
+            F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
+    "map_functions_events",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_val,
+           2 AS n_keys,
+           concat('k,type') AS keys_sorted
+    FROM events
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction and access: JSON props parsed to
+    MapType, enriched with a typed pair, then element_at / cardinality /
+    sorted map_keys. Maps are the schema-on-read answer for ragged
+    per-row attributes where a struct would force a global schema.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.from_json(F.col("props"), "map<string,string>"),
+        F.create_map(F.lit("type"), F.col("event_type")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+@register(
+    "window_value_family",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val,
+           lead(value, 1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_val
+    FROM events
+    WHERE user_id < 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-picking window functions (first/last/nth/lead) under one
+    total-order window — note the explicit full frame: last_value over
+    the default frame is a footgun (it returns the CURRENT row), same
+    in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wl = Window.partitionBy("user_id").orderBy(*order)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first(F.col("value")).over(w).alias("first_val"),
+        F.last(F.col("value")).over(w).alias("last_val"),
+        F.nth_value(F.col("value"), 2).over(w).alias("second_val"),
+        F.lead(F.col("value"), 1).over(wl).alias("next_val"),
+    )
