@@ -39,12 +39,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_database_to_elastic_datalake_spark.functions.scalar import document_id
-from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
-    latest_event_per_key,
-)
-from sql_database_to_elastic_datalake_spark.operators.nest import (
-    group_to_sorted_string,
-)
 from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
 
 
@@ -74,38 +68,53 @@ def denormalized_orders(
         orders = orders.filter(F.col("o_orderkey") == F.lit(order_key))
         lineitem = lineitem.filter(F.col("l_orderkey") == F.lit(order_key))
 
-    # --- latest event per order (A1 window dedup, deterministic ties) ---
-    latest_line = latest_event_per_key(
-        lineitem.select(
-            "l_orderkey", "l_shipdate", "l_linenumber", "l_quantity",
-            "l_extendedprice", "l_returnflag", "l_linestatus",
-        ),
-        keys=["l_orderkey"],
-        ts_col="l_shipdate",
-        # The harness data has duplicate (orderkey, linenumber) pairs, so
-        # linenumber alone is NOT a total order — every emitted column
-        # joins the tie-break chain to pin DISTINCT ON determinism
-        # (SURVEY.md §7.3 hard-part #1, observed live on order 10955).
-        tie_breakers=["l_linenumber", "l_returnflag", "l_linestatus"],
-    ).select(
-        F.col("l_orderkey").alias("ll_orderkey"),
+    # --- one fused pass over lineitem: latest event (A1) + labels (A3) ---
+    # The DISTINCT ON row is max(struct(tie-break chain)): struct
+    # comparison is lexicographic by field, so max == ORDER BY every
+    # field DESC — the same total order the window form used. (The
+    # harness data has duplicate (orderkey, linenumber) pairs, so
+    # linenumber alone is NOT a total order — every emitted column joins
+    # the chain; SURVEY.md §7.3 hard-part #1, observed on order 10955.)
+    # Fusing it with the brand-set aggregate halves the fact-table work:
+    # ONE lineitem scan and ONE shuffle on the order key, both halves
+    # partial-aggregated map-side (max and set-union combine), where the
+    # window form shuffled lineitem twice and joined the results back.
+    latest_struct = F.struct(
         F.col("l_shipdate").alias("latest_shipdate"),
         F.col("l_linenumber").alias("latest_linenumber"),
         F.col("l_returnflag").alias("latest_returnflag"),
         F.col("l_linestatus").alias("latest_linestatus"),
     )
-
-    # --- labels: sorted distinct part brands per order (A3/J7 nesting) ---
-    labels = group_to_sorted_string(
-        lineitem.select("l_orderkey", "l_partkey").join(
+    line_summary = (
+        lineitem.select(
+            "l_orderkey", "l_shipdate", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_partkey",
+        )
+        .join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
-            "inner",
-        ),
-        keys=["l_orderkey"],
-        value_col="p_brand",
-        out_col="labels",
-    ).withColumnRenamed("l_orderkey", "lb_orderkey")
+            "left",
+        )
+        .groupBy(F.col("l_orderkey").alias("ll_orderkey"))
+        .agg(
+            F.max(latest_struct).alias("__latest"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("p_brand"))), ","
+            ).alias("__labels"),
+        )
+        .select(
+            "ll_orderkey",
+            F.col("__latest.latest_shipdate").alias("latest_shipdate"),
+            F.col("__latest.latest_linenumber").alias("latest_linenumber"),
+            F.col("__latest.latest_returnflag").alias("latest_returnflag"),
+            F.col("__latest.latest_linestatus").alias("latest_linestatus"),
+            # empty set (lineitems but no matched parts) → NULL, matching
+            # the unfused inner-join-then-group form
+            F.when(F.col("__labels") != "", F.col("__labels")).alias(
+                "labels"
+            ),
+        )
+    )
 
     # --- dim chain, all broadcast (J2/J3) ---
     dims = (
@@ -129,8 +138,9 @@ def denormalized_orders(
     # the customer chain does NOT — customer scales with the data volume,
     # so AQE must pick broadcast vs shuffle from its measured size.
     wide = (
-        orders.join(latest_line, F.col("o_orderkey") == F.col("ll_orderkey"), "left")
-        .join(labels, F.col("o_orderkey") == F.col("lb_orderkey"), "left")
+        orders.join(
+            line_summary, F.col("o_orderkey") == F.col("ll_orderkey"), "left"
+        )
         .join(dims, F.col("o_custkey") == F.col("c_custkey"), "left")
     )
 
