@@ -2380,3 +2380,38 @@ def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value(F.col("value"), 2).over(w).alias("second_val"),
         F.lead(F.col("value"), 1).over(wl).alias("next_val"),
     )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    -- a 2h-window/1h-slide assigns each event to the window anchored at
+    -- its own hour and at the previous hour
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_value
+    FROM (
+        SELECT date_trunc('hour', ts) AS window_start, event_type, value
+        FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+        FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h windows every 1h), streamed with
+    availableNow. The oracle is the unrolled form: one tumbling
+    contribution per covering window.
+    """
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        read_stream_parquet,
+        run_stream_to_memory,
+        sliding_window_counts,
+    )
+
+    stream = read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    agg = sliding_window_counts(stream)
+    return run_stream_to_memory(agg, f"slide_counts_{next(_STREAM_SEQ)}")

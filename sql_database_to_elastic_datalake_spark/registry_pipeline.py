@@ -438,3 +438,88 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     return surviving.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Composed retrieval pipeline: quality gate → embedding join → exact
+# cosine top-k over the QUALIFYING corpus only. The retrieval shape a
+# RAG/training-data stack runs: metadata predicates prune the candidate
+# set before any vector math, so the scoring cross-product shrinks with
+# filter selectivity instead of scanning the whole index.
+# ---------------------------------------------------------------------------
+
+_RETRIEVAL_QUERY_IDS = [0, 1, 2]
+
+@register(
+    "retrieval_filtered_topk",
+    oracle=f"""
+    WITH gate AS (
+        SELECT doc_id, lang FROM documents
+        WHERE len({_TOKENS}) >= 20 AND lang = 'en'
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, g.lang,
+               CAST(({_dot_sql('q.v', 'c.v')}) / (sqrt(q.sq) * sqrt(c.sq))
+                    AS DOUBLE) AS cosine
+        FROM n q
+        JOIN n c ON c.vec_id != q.vec_id
+        JOIN gate g ON g.doc_id = c.vec_id
+        WHERE q.vec_id IN ({", ".join(str(i) for i in _RETRIEVAL_QUERY_IDS)})
+    )
+    SELECT query_id, neighbor_id, lang, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def retrieval_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
+        top_k_per_group,
+    )
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        dot,
+        with_sq_norm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = docs.filter(
+        (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
+    ).select(F.col("doc_id").alias("vec_id"), "lang")
+
+    base = with_sq_norm(emb, "embedding")
+    queries = base.filter(
+        F.col("vec_id").isin(_RETRIEVAL_QUERY_IDS)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec_d").alias("q_vec"),
+        F.col("sq_norm").alias("q_sq"),
+    )
+    cands = base.join(F.broadcast(gate), "vec_id", "inner").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "lang",
+        F.col("_vec_d").alias("c_vec"),
+        F.col("sq_norm").alias("c_sq"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.sqrt(F.col("q_sq")) * F.sqrt(F.col("c_sq")))
+            ).cast("double"),
+        )
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "lang", "cosine"),
+        keys=["query_id"],
+        order_by=[F.col("cosine"), (-F.col("neighbor_id"))],
+        k=5,
+        descending=True,
+    )

@@ -154,3 +154,23 @@ def compact_lake(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def analyze_table(spark, table_name: str, columns: Sequence[str] = ()) -> dict:
+    """Collect catalog statistics (row count + size, optionally per-column
+    NDV/min/max/null counts) so the cost-based optimizer can reorder
+    joins and pick broadcast sides from real numbers instead of file
+    sizes. Run after large writes; cheap relative to the write itself.
+    Returns the gathered table stats for observability.
+    """
+    spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    stats = next(
+        (r["data_type"] for r in rows if r["col_name"] == "Statistics"), None
+    )
+    return {"table": table_name, "statistics": stats}

@@ -318,3 +318,38 @@ def stream_stream_interval_join(
         & (F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
     )
     return l.join(r, cond, "inner")
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Sliding (overlapping) window counts: each event lands in
+    duration/slide windows. Same state-store/watermark contract as the
+    tumbling form; the fan-out happens in the grouping expression (one
+    state row per (window, key)), not by replicating input rows.
+    """
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )

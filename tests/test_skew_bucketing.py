@@ -106,3 +106,24 @@ def test_observe_metrics(spark, skewed):
     row = m.get("ingest").get()
     assert row.getLong(0) == 100  # n_rows
     assert row.getLong(1) == 90   # n_hot
+
+
+def test_analyze_table_populates_catalog_stats(spark):
+    from sql_database_to_elastic_datalake_spark.sinks.writer import (
+        analyze_table,
+    )
+
+    spark.range(0, 5000).selectExpr(
+        "id AS k", "id % 7 AS grp"
+    ).write.mode("overwrite").saveAsTable("stats_probe")
+    try:
+        out = analyze_table(spark, "stats_probe", columns=["k", "grp"])
+        assert out["statistics"] and "5000 rows" in out["statistics"]
+        # column-level NDV visible to the optimizer
+        desc = spark.sql("DESCRIBE EXTENDED stats_probe grp").collect()
+        ndv = {r["info_name"]: r["info_value"] for r in desc}.get(
+            "distinct_count"
+        )
+        assert ndv is not None and int(ndv) >= 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
