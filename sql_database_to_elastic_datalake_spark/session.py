@@ -29,6 +29,11 @@ _DEFAULT_CONF = {
     # Dimension tables in this engine are small; 64 MB threshold lets
     # AQE convert dim joins to broadcast automatically.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet files whose footers carry isAdjustedToUTC=false would
+    # otherwise surface as TIMESTAMP_NTZ, which event-time operators
+    # (withWatermark) reject; with a pinned UTC session the instant
+    # semantics are identical, so read them as plain TIMESTAMP.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -73,6 +78,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
     ):
         try:
             spark.conf.set(key, _DEFAULT_CONF[key])
