@@ -8,7 +8,13 @@ non-SQL-expressible operators, which then get a rows-only check).
 Conventions for hash-stable differential testing:
   * every computed column is aliased identically in Spark and SQL;
   * money arithmetic is done in DECIMAL (deterministic, order-insensitive)
-    — double sums would vary with partition order;
+    — double sums would vary with partition order — but every OUTPUT
+    column is cast to double at the registration boundary
+    (:func:`_decimals_to_double`): the driver fetches the DuckDB oracle
+    through pandas, which renders decimals as float64, so a Spark-side
+    ``Decimal('101951.00')`` would hash-mismatch the numerically identical
+    oracle value. Policy: decimal inside the plan, double at the boundary
+    (see docs/decimals.md);
   * windows always carry a unique tie-breaker column;
   * arrays are emitted as sorted delimiter-joined strings where an oracle
     exists (serialization-stable), and as real ARRAY<STRUCT> in the
@@ -43,11 +49,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _decimals_to_double(df: DataFrame) -> DataFrame:
+    """Cast every DecimalType output column to double (boundary contract).
+
+    Aggregation stays decimal inside the plan — exact and partition-order
+    insensitive — and only the final, already-reduced column is converted,
+    so the cast is O(result rows) and cannot reintroduce float-summation
+    nondeterminism.
+    """
+    from pyspark.sql.types import DecimalType
+
+    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+    if not dec:
+        return df
+    return df.withColumns({c: F.col(c).cast("double") for c in dec})
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_conf(spark)
-            return fn(spark, sf_dir)
+            return _decimals_to_double(fn(spark, sf_dir))
 
         QUERIES[name] = wrapped
         if oracle is not None:

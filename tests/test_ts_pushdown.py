@@ -1,10 +1,11 @@
 """Timestamp range scans must push down to the parquet scan.
 
-The events table stores TIMESTAMP(NANOS); the loader converts to micros
-AFTER applying range bounds to the raw long, so the predicate survives as
-a PushedFilter (row-group pruning on column stats). These tests pin both
-the plan property and the integer-exact equivalence with post-conversion
-filtering.
+``load_table`` applies range bounds to the column AS STORED — raw longs
+for TIMESTAMP(NANOS) parquet (converted to micros only afterwards),
+plain timestamp literals for micro-precision storage — so the predicate
+survives as a PushedFilter (row-group pruning on column stats) either
+way. These tests pin the plan property for both storage types plus the
+integer-exact equivalence with post-conversion filtering.
 """
 
 from __future__ import annotations
@@ -13,6 +14,7 @@ from pyspark.sql import functions as F
 
 from sql_database_to_elastic_datalake_spark.sources.parquet import (
     _iso_to_micros,
+    _nanos_timestamp_cols,
     load_table,
 )
 
@@ -32,10 +34,44 @@ def test_ts_range_pushes_to_scan(spark):
     ev = load_table(spark, SF, "events", ts_range={"ts": (lo, hi)})
     plan = ev._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters")[1][:400]
-    lo_n = _iso_to_micros(lo) * 1000
-    hi_n = _iso_to_micros(hi) * 1000
+    if "ts" in _nanos_timestamp_cols(f"{SF}/events.parquet"):
+        # nanos storage: the bound is compared against the raw long
+        lo_b, hi_b = _iso_to_micros(lo) * 1000, _iso_to_micros(hi) * 1000
+    else:
+        # micros storage: Spark renders the pushed bound as a timestamp
+        lo_b, hi_b = f"{lo} 00:00:00.0", f"{hi} 00:00:00.0"
+    assert f"GreaterThanOrEqual(ts,{lo_b})" in pushed, plan[:2000]
+    assert f"LessThan(ts,{hi_b})" in pushed, plan[:2000]
+
+
+def test_ts_range_pushes_to_scan_nanos(spark, tmp_path):
+    """Raw-long pushdown path stays covered via a generated nanos fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _iso_to_micros("2024-01-01") * 1000
+    day_ns = 86_400 * 1_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(30), type=pa.int64()),
+            "ts": pa.array(
+                [base + i * day_ns for i in range(30)],
+                type=pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    lo, hi = "2024-01-10", "2024-01-20"
+    ev = load_table(spark, str(tmp_path), "events", ts_range={"ts": (lo, hi)})
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:400]
+    lo_n, hi_n = _iso_to_micros(lo) * 1000, _iso_to_micros(hi) * 1000
     assert f"GreaterThanOrEqual(ts,{lo_n})" in pushed, plan[:2000]
     assert f"LessThan(ts,{hi_n})" in pushed, plan[:2000]
+    rows = ev.orderBy("event_id").collect()
+    assert len(rows) == 10  # [Jan 10, Jan 20) inclusive-exclusive
+    assert str(rows[0]["ts"]).startswith("2024-01-10")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
 
 
 def test_ts_range_matches_post_conversion_filter(spark):
