@@ -166,30 +166,57 @@ class LakeService:
         self, term: str, tables: list[str] | None = None, k: int = 10
     ) -> dict[str, Any]:
         """multi_match across all lake tables (the ``data_lake_*``
-        pattern) with the deterministic tf score; ES-style envelope."""
+        pattern) with the deterministic tf score; ES-style envelope.
+
+        Heterogeneous table schemas are normalized to a common shape
+        (index, score, tiebreak, JSON-serialized source row), unioned,
+        and reduced with ONE global top-k — per-table schemas only exist
+        plan-side. Cluster cost is two jobs total (count + top-k)
+        regardless of table count, instead of two driver-side jobs per
+        table, which is what the ``data_lake_*`` pattern needs at
+        hundreds of tables.
+        """
+        import json as _json
+
         names = tables or [
             d for d in sorted(os.listdir(self.lake_dir))
             if d.startswith(INDEX_PREFIX)
         ]
-        hits: list[dict[str, Any]] = []
-        total = 0
+        scored: list[DataFrame] = []
         for name in names:
-            path = os.path.join(self.lake_dir, name)
-            df = self.spark.read.parquet(path)
+            df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
             matched = multi_match_table(df, term)
-            total += matched.count()
-            top = (
-                matched.orderBy(F.col("score").desc(), *string_columns(df)[:1])
-                .limit(k)
-                .collect()
+            if "score" not in matched.columns:
+                continue  # no string columns → nothing can match
+            tb = string_columns(df)[:1]
+            scored.append(
+                matched.select(
+                    F.lit(name).alias("_index"),
+                    F.col("score").cast("double").alias("_score"),
+                    (F.col(tb[0]) if tb else F.lit("")).alias("_tiebreak"),
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in df.columns]),
+                        {"ignoreNullFields": "false"},
+                    ).alias("_source_json"),
+                )
             )
-            hits.extend(
-                {"_index": name, "_score": r["score"],
-                 "_source": {c: r[c] for c in df.columns}}
-                for r in top
-            )
-        hits.sort(key=lambda h: (-h["_score"], h["_index"]))
-        return {"hits": {"total": {"value": total}, "hits": hits[:k]}}
+        if not scored:
+            return {"hits": {"total": {"value": 0}, "hits": []}}
+        unioned = scored[0]
+        for s in scored[1:]:
+            unioned = unioned.unionByName(s)
+        total = unioned.count()
+        top = (
+            unioned.orderBy(F.col("_score").desc(), "_index", "_tiebreak")
+            .limit(k)
+            .collect()
+        )
+        hits = [
+            {"_index": r["_index"], "_score": r["_score"],
+             "_source": _json.loads(r["_source_json"])}
+            for r in top
+        ]
+        return {"hits": {"total": {"value": total}, "hits": hits}}
 
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10

@@ -189,10 +189,29 @@ def minhash_lsh_neardup(
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
     sigs = minhash_signatures(sh, id_col, seeds)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    verified = jaccard_pairs(sh, id_col, threshold)
-    # semi-join: keep only verified pairs that LSH surfaced (the honest
-    # output of the probabilistic pipeline — NOT the full exact set)
-    return verified.join(cands, ["a", "b"], "left_semi")
+    # Verify ONLY the LSH candidates: join each pair to its two per-doc
+    # shingle sets (two hash joins keyed on doc id — linear in candidate
+    # count) and compute |A∩B| / |A∪B| on the arrays. Running the
+    # all-shared-shingle jaccard_pairs() here instead would be the O(n²)
+    # cost LSH exists to avoid.
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shset"))
+    a_sets = sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa"))
+    b_sets = sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cands.join(a_sets, "a")
+        .join(b_sets, "b")
+        .withColumn("i", inter)
+        .withColumn(
+            "jaccard",
+            (
+                F.col("i")
+                / (F.size(F.col("sa")) + F.size(F.col("sb")) - F.col("i"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -39,11 +39,25 @@ def train_ivf_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     max_iter: int = 20,
+    max_train: int = 100_000,
 ):
-    """Fit the coarse quantizer; returns the fitted KMeansModel."""
+    """Fit the coarse quantizer on a seeded sample; returns the model.
+
+    KMeans iterates over its input ``max_iter`` times — on the full
+    corpus that is ~20 extra 100 TB scans for centroids that converge
+    on a fraction. The sample is capped at ``max_train`` vectors (one
+    cheap count + one seeded Bernoulli sample; deterministic given the
+    seed, so downstream cell assignments stay reproducible).
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n = embeddings.count()
+    if n > max_train:
+        # slight oversample so the floor of the Bernoulli draw stays ≥nlist
+        embeddings = embeddings.sample(
+            fraction=min(1.0, 1.05 * max_train / n), seed=seed
+        )
     train = embeddings.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

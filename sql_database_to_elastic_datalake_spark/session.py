@@ -59,6 +59,18 @@ def get_spark(
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+    # Disabling TIMESTAMP_NTZ inference is instant-preserving ONLY under
+    # a UTC session timezone: NTZ-written parquet read as plain TIMESTAMP
+    # in any other zone silently shifts instants. ensure_session_conf
+    # re-pins UTC after getOrCreate regardless, so a non-UTC extra_conf
+    # would be silently clobbered — reject it instead of drifting.
+    if conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
+        raise ValueError(
+            "engine sessions are pinned to UTC "
+            "(spark.sql.parquet.inferTimestampNTZ is disabled, which is "
+            "only instant-preserving under UTC); normalize timestamps in "
+            "queries instead of overriding spark.sql.session.timeZone"
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

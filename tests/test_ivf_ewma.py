@@ -61,3 +61,20 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # recover a reasonable share of the true top-3
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_training_samples_large_corpora(spark, sf_dir):
+    """With max_train below the corpus size, training fits on a seeded
+    Bernoulli sample (not the full scan) and still yields nlist usable
+    centroids feeding a complete k-per-query search result."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    model = train_ivf_centroids(emb, nlist=4, seed=7, max_train=max(8, n // 4))
+    assert len(model.clusterCenters()) == 4
+    assert sum(model.summary.clusterSizes) < n  # trained on a strict subset
+    rows = ivf_search(emb, [0, 1], k=2, nlist=4, nprobe=4, seed=7).collect()
+    assert len(rows) == 4

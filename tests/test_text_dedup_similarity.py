@@ -76,6 +76,25 @@ def test_jaccard_and_minhash_agree(spark, docs):
     assert (1, 5) in lsh
 
 
+def test_minhash_lsh_verifies_candidates_only(spark, docs):
+    """The exact-Jaccard verification must be keyed on LSH candidate
+    pairs (doc-id joins against per-doc shingle sets), never a raw
+    shingle self-join — that re-introduces the O(n²) cost LSH avoids."""
+    out = dedup.minhash_lsh_neardup(docs, "doc_id", "text", threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "shingle" not in line, line
+    # and the verified values still equal the exact computation
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    }
+    for r in out.collect():
+        assert exact[(r["a"], r["b"])] == r["jaccard"]
+
+
 def test_word_shingles_ngram(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
     out = sorted(
