@@ -13,7 +13,10 @@ Spark-first shape: per-table predicate + ``unionByName(allowMissing
 Columns=True)`` over heterogeneous schemas — each table's filter pushes
 into its own scan before the union, so a search over N tables reads only
 matching row groups of each. Relevance is the deterministic tf score
-(:func:`.es_dsl.tf_score`), not BM25 (documented divergence).
+(:func:`.es_dsl.tf_score`) or the doc-length-normalized BM25-style
+ranking (:func:`bm25_rank`) — the latter matches Elasticsearch's
+relevance *shape* (rare terms up-weighted, long documents damped) while
+staying bit-reproducible in any IEEE-754 engine.
 """
 
 from __future__ import annotations
@@ -22,8 +25,91 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl, tf_score
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    compile_dsl,
+    tf_score,
+    tokenize,
+)
 from sql_database_to_elastic_datalake_spark.sources.parquet import load_tables
+
+#: Lucene's default BM25 constants.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    score_col: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Deterministic BM25-style relevance over one text column.
+
+    Per token t: ``idf_t · tf_t·(1+k1) / (tf_t + k1·(1 − b + b·dl/avgdl))``
+    with the *rational* IDF ``(N − df_t + 0.5)/(df_t + 0.5)`` — the
+    standard BM25 IDF minus the ``ln``: transcendentals differ in the
+    last ulp across libm implementations, which would break differential
+    hash-testing, and the log is monotone so rankings are shaped the
+    same. All corpus statistics (N, df, Σdl) are exact integer sums cast
+    to double once, so every engine computes identical bits.
+
+    Plan shape: one scan computes per-doc features, one all-column agg
+    reduces them to a single stats row, broadcast back over the corpus —
+    two jobs, no shuffle of the documents themselves, same cost curve as
+    the tf score at 100 TB.
+
+    Reference: Elasticsearch ranks ``/search`` hits by BM25
+    (/root/reference/src/search_api.py:16-36); constants follow Lucene's
+    defaults.
+    """
+    toks = tokenize(query)
+    feat = df.withColumn("__t", F.lower(F.col(text_col).cast("string")))
+    feat = feat.withColumn(
+        "__dli", F.size(F.split(F.trim(F.col("__t")), r"\s+")).cast("bigint")
+    )
+    for i, tok in enumerate(toks):
+        occ = (
+            F.length(F.col("__t"))
+            - F.length(F.replace(F.col("__t"), F.lit(tok), F.lit("")))
+        ) / F.lit(float(len(tok)))
+        feat = feat.withColumn(f"__occ{i}", occ)
+    aggs = [
+        F.count("*").cast("double").alias("__n"),
+        (F.sum("__dli").cast("double") / F.count("*").cast("double")).alias(
+            "__avgdl"
+        ),
+    ]
+    aggs += [
+        F.sum(F.when(F.col(f"__occ{i}") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias(f"__df{i}")
+        for i in range(len(toks))
+    ]
+    stats = feat.agg(*aggs)
+    joined = feat.crossJoin(F.broadcast(stats))
+    dl_d = F.col("__dli").cast("double")
+    score = F.lit(0.0)
+    matched = F.lit(False)
+    for i in range(len(toks)):
+        occ = F.col(f"__occ{i}")
+        dft = F.col(f"__df{i}")
+        idf = (F.col("__n") - dft + F.lit(0.5)) / (dft + F.lit(0.5))
+        num = occ * (F.lit(1.0) + F.lit(k1))
+        den = occ + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * dl_d / F.col("__avgdl")
+        )
+        score = score + idf * num / den
+        matched = matched | (occ > 0)
+    helpers = ["__t", "__dli", "__n", "__avgdl"] + [
+        f"__{p}{i}" for p in ("occ", "df") for i in range(len(toks))
+    ]
+    return (
+        joined.filter(matched)
+        .withColumn(score_col, score.cast("double"))
+        .drop(*helpers)
+    )
 
 
 def string_columns(df: DataFrame) -> list[str]:

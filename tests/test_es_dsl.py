@@ -113,3 +113,29 @@ def test_multi_match_table_and_envelope(docs):
     assert sorted(r["id"] for r in out.collect()) == [1, 4]
     env = hits_envelope(out, k=1, order_by=["id"]).collect()
     assert len(env) == 1 and env[0]["total"] == 2
+
+
+def test_bm25_rank_shape(spark):
+    """BM25 invariants: rare terms outrank common ones at equal tf, and
+    longer documents are damped at equal tf."""
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.plans.search import bm25_rank
+
+    corpus = spark.createDataFrame(
+        [
+            Row(id=1, txt="alpha beta"),            # short, has rare 'alpha'
+            Row(id=2, txt="beta beta beta beta beta beta beta beta alpha"),
+            Row(id=3, txt="beta gamma"),
+            Row(id=4, txt="beta delta"),
+            Row(id=5, txt="beta epsilon"),
+        ]
+    )
+    scored = {r["id"]: r for r in bm25_rank(corpus, "txt", "alpha beta").collect()}
+    assert set(scored) == {1, 2, 3, 4, 5}  # all contain a query term
+    # doc 1 and doc 2 both contain alpha once; doc 2 is much longer → damped
+    assert scored[1]["bm25"] > scored[2]["bm25"]
+    # doc 1 has rare alpha + common beta; doc 3 only common beta → lower
+    assert scored[1]["bm25"] > scored[3]["bm25"]
+    # helper columns are dropped from the output
+    assert set(scored[1].asDict()) == {"id", "txt", "bm25"}
