@@ -34,6 +34,15 @@ _DEFAULT_CONF = {
     # (withWatermark) reject; with a pinned UTC session the instant
     # semantics are identical, so read them as plain TIMESTAMP.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Scan split sizing. The 4 MB default open-cost dates to HDFS-era
+    # seek amortization; on parquet (footer-indexed, column-pruned reads)
+    # it forces small-but-CPU-heavy tables into 2-3 splits and idles the
+    # rest of the cluster. 512 KB keeps small tables parallel while large
+    # files still split by maxPartitionBytes (128 MB), which is what
+    # binds at 100 TB. Trade-off: lakes with millions of uncompacted tiny
+    # files pack less tightly — compaction is the right fix there, not a
+    # coarser open cost.
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
 }
 
 
@@ -91,6 +100,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.files.openCostInBytes",
     ):
         try:
             spark.conf.set(key, _DEFAULT_CONF[key])
