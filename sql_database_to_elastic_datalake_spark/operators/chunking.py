@@ -1,0 +1,168 @@
+"""LLM-corpus preparation operators: chunking, packing, PII redaction,
+stratified sampling.
+
+These are the steps between "cleaned corpus" (:mod:`.dedup`, :mod:`.text`)
+and "training batches":
+
+  * :func:`chunk_documents` — fixed-size overlapping token windows, the
+    standard context-window split. Pure column algebra (split → sequence
+    → explode → slice), no shuffle: chunks are emitted where the
+    document partition lives.
+  * :func:`pack_by_token_budget` — assign documents to contiguous
+    training batches by cumulative token budget. One window over the
+    ordering key; deterministic. (This is boundary-agnostic packing:
+    floor(running/budget) — a doc straddling a boundary starts the next
+    batch; true first-fit bin packing is sequential by definition and
+    would not distribute.)
+  * :func:`redact_pii` — regex scrubbing of emails/phones with
+    redaction accounting. Patterns are restricted to syntax shared by
+    java.util.regex and RE2 so differential oracles replicate them.
+  * :func:`stratified_sample` — per-stratum deterministic rate sampling
+    on a content hash: membership is a pure function of the row (stable
+    under re-partitioning, retries, and engine choice), unlike
+    ``df.sample``/TABLESAMPLE whose draw depends on partition layout.
+
+Reference scope note: the reference ships no corpus-prep operators (it
+is a row-loop ETL); these extend the engine for the 100 TB training-data
+use case the survey targets (SURVEY.md §2.10 extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Redaction patterns — the subset of regex syntax identical in
+#: java.util.regex (Spark) and RE2 (DuckDB/Go), so oracles can mirror.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Output: ``id_col, chunk_idx, chunk, n_tokens`` — window *i* covers
+    tokens ``[i·stride, i·stride + chunk_size)``; the last window may be
+    short. ``ceil((n − chunk_size)/stride) + 1`` windows per doc (min 1),
+    so every token belongs to ≥1 chunk.
+
+    No shuffle: chunks materialize in the scanning task. At 100 TB the
+    output is ~``chunk_size/stride``× the corpus — keep stride ≥ size/2
+    unless duplication is intended.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))) + F.lit(1),
+        F.lit(1),
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = out["chunk_idx"] * stride
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("__toks"), start + 1, chunk_size), " "
+        ).alias("chunk"),
+        F.least(F.lit(chunk_size), F.col("__n") - start)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Assign each document a training-batch id by cumulative token count.
+
+    ``batch_id = floor((running_total − n_tokens) / budget)`` — i.e. a
+    document joins the batch its *starting* offset falls in. One global
+    window over ``id_col``; at scale, pack within a partition key (date,
+    shard) instead of globally — compose with ``partitionBy`` upstream.
+    """
+    from pyspark.sql import Window
+
+    tc = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("bigint")
+    w = (
+        Window.orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(tc).over(w)
+    return df.select(
+        F.col(id_col),
+        tc.alias("n_tokens"),
+        F.floor((running - tc) / F.lit(budget)).cast("bigint").alias("batch_id"),
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "clean_text"
+) -> DataFrame:
+    """Scrub emails and phone numbers; count what was removed.
+
+    Adds ``out_col`` (redacted text), ``n_emails``, ``n_phones``.
+    Counting via split: a text with k matches splits into k+1 parts —
+    avoids a second regex API (regexp_count) that RE2 oracles may lack.
+    """
+    c = F.col(text_col)
+    n_emails = (F.size(F.split(c, EMAIL_RE, -1)) - 1).cast("bigint")
+    n_phones = (F.size(F.split(c, PHONE_RE, -1)) - 1).cast("bigint")
+    clean = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumns(
+        {out_col: clean, "n_emails": n_emails, "n_phones": n_phones}
+    )
+
+
+def _hex_threshold(rate: float) -> str:
+    """Rate ∈ [0,1] → 4-hex-digit cutoff; lowercase hex sorts
+    lexicographically like its numeric value, so ``md5_prefix < cutoff``
+    keeps ~rate of rows ('g' sorts above 'f'…'f' = keep everything)."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 65536), 0), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff the first 4 hex
+    digits of ``md5(id)`` sort below the stratum's rate cutoff.
+
+    Membership is a pure function of (id, stratum rate): stable across
+    engines, partitionings and reruns. The cutoff compare is plain
+    string ordering on lowercase hex — replicable in any engine with
+    md5() and no bit-fiddling.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thr: Column = F.lit(_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_hex_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)

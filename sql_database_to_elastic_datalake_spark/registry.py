@@ -2547,10 +2547,10 @@ _CHECK_FIRST = [
     "window_value_family",
     "sliding_window_counts",
     "embed_ann_ivf",
-    "events_ewma",
-    "multimodal_decode",
-    "merge_upsert",
-    "search_multimatch_scored",
+    "doc_chunks",
+    "pack_token_budget",
+    "pii_redaction",
+    "stratified_sample_langs",
 ]
 
 

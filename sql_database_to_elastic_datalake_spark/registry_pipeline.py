@@ -523,3 +523,142 @@ def retrieval_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         descending=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus preparation: chunking, packing, redaction, stratified sampling
+# (operators/chunking.py). No reference analog — row-loop ETL has no corpus
+# prep; these are the 100 TB training-pipeline extensions.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               GREATEST(CAST(ceil((len(toks) - 32) / CAST(16 AS DOUBLE)) AS BIGINT) + 1, 1)
+                   AS n_chunks
+        FROM t
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(toks[(i*16 + 1):(i*16 + 32)], ' ') AS chunk,
+           CAST(LEAST(32, n - i*16) AS BIGINT) AS n_tokens
+    FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS i) r
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=32, stride=16)
+
+
+@register(
+    "pack_token_budget",
+    oracle="""
+    WITH tc AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512) AS BIGINT) AS batch_id
+    FROM tc
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        pack_by_token_budget,
+    )
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_by_token_budget(
+        docs, "doc_id", token_count_ws("text"), budget=512
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN concat(text, ' contact user',
+                                CAST(doc_id AS VARCHAR),
+                                '@example.com or 555-867-530',
+                                CAST(doc_id % 10 AS VARCHAR))
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_split_to_array(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+               AS n_emails,
+           len(regexp_split_to_array(text,
+               '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) - 1 AS n_phones,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+               AS clean_text
+    FROM d
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic PII is injected for every 5th doc (the corpus has none)
+    so redaction counts are nonzero and both engines construct the same
+    input deterministically."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-530"),
+                (F.col("doc_id") % 10).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(injected, "text").select(
+        "doc_id", "n_emails", "n_phones", "clean_text"
+    )
+
+
+@register(
+    "stratified_sample_langs",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          (CASE WHEN lang = 'en' THEN '2000'
+                WHEN lang = 'es' THEN '8000'
+                ELSE '0000' END)
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 0.125, "es": 0.5}
+    ).select("doc_id", "lang")

@@ -1,0 +1,93 @@
+"""Behavioral tests for the LLM-corpus preparation operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.operators.chunking import (
+    chunk_documents,
+    pack_by_token_budget,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_chunk_windows_cover_all_tokens(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, text), "doc_id", "text", chunk_size=4, stride=2
+    ).collect()
+    # n=10, size=4, stride=2 → ceil(6/2)+1 = 4 windows
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    assert out[0]["chunk"] == "w0 w1 w2 w3"
+    assert out[1]["chunk"] == "w2 w3 w4 w5"
+    assert out[3]["chunk"] == "w6 w7 w8 w9"
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 4]
+    # every token appears in at least one chunk
+    covered = {t for r in out for t in r["chunk"].split()}
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_short_doc_single_window(spark):
+    out = chunk_documents(
+        _docs(spark, "a b"), "doc_id", "text", chunk_size=8, stride=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["chunk"] == "a b" and out[0]["n_tokens"] == 2
+
+
+def test_pack_by_token_budget_contiguous(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n=40) for i in range(10)]
+    )
+    out = pack_by_token_budget(df, "doc_id", F.col("n"), budget=100).collect()
+    out.sort(key=lambda r: r["doc_id"])
+    # starts: 0,40,80,120,… → batches 0,0,0,1,1,2,2,2,3,3
+    assert [r["batch_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # batch ids are non-decreasing in doc order and every batch's start
+    # offset is within budget of the batch boundary
+    assert all(b >= 0 for b in (r["batch_id"] for r in out))
+
+
+def test_redact_pii_counts_and_text(spark):
+    out = redact_pii(
+        _docs(
+            spark,
+            "mail me at a.b+c@x-corp.io or call 555-123-4567 now",
+            "no pii here",
+        ),
+        "text",
+    ).collect()
+    out.sort(key=lambda r: r["doc_id"])
+    assert out[0]["clean_text"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert out[1]["clean_text"] == "no pii here"
+    assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 0
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, grp="a" if i % 2 == 0 else "b") for i in range(400)]
+    )
+    picked = stratified_sample(df, "doc_id", "grp", rates={"a": 0.5})
+    rows1 = sorted(r["doc_id"] for r in picked.collect())
+    rows2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7), "doc_id", "grp", rates={"a": 0.5}
+        ).collect()
+    )
+    assert rows1 == rows2  # membership independent of partitioning
+    by_grp = {
+        r["grp"]: r["n"]
+        for r in picked.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp.get("b") is None  # default rate 0 drops the stratum
+    assert 60 <= by_grp["a"] <= 140  # ~50% of 200, hash-binomial spread
