@@ -59,6 +59,14 @@ def _iso_to_micros(iso: str) -> int:
     return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
 
 
+#: Scan cache: (applicationId, path, mtime) → DataFrame. A DataFrame is
+#: an immutable logical plan, so reusing one skips the JVM round-trips
+#: for file listing + footer schema reads (~80 ms per table per build —
+#: over half of a complex query's plan-construction time). mtime in the
+#: key invalidates on rewrite; applicationId scopes to the session.
+_SCAN_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -87,6 +95,17 @@ def load_table(
     (and ``< hi`` likewise), so semantics match filtering post-conversion.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if ts_range is None:
+        try:
+            key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+        except OSError:
+            key = None
+        if key is not None:
+            cached = _SCAN_CACHE.get(key)
+            if cached is None:
+                cached = load_table(spark, sf_dir, name, ts_range={})
+                _SCAN_CACHE[key] = cached
+            return cached
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
         df = spark.read.parquet(path)
