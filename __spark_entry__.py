@@ -25,8 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in
+    driver-check priority order."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -287,3 +287,66 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution (transitive closure of near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve pairwise near-dup links into canonical clusters.
+
+    Pairwise detectors (:func:`minhash_lsh_neardup`, :func:`simhash_pairs`)
+    emit edges; keep-one-per-group needs the *transitive closure*: if
+    a~b and b~c, then {a,b,c} is one cluster even though (a,c) was never
+    emitted. Output: ``id_col, cluster_id`` for every node (singletons
+    map to themselves); ``cluster_id`` is the component's minimum id, so
+    "keep the canonical doc" is ``filter(id == cluster_id)``.
+
+    Algorithm: min-label propagation to fixpoint — each round every node
+    takes the min of its own and its neighbors' labels (one join + one
+    groupBy shuffle per round), converging in O(component diameter)
+    rounds. The driver loop only orchestrates rounds and checks one
+    count per round (the standard Spark shape for iterative graph
+    algorithms; lineage is truncated per round with localCheckpoint so
+    plans stay O(1) deep). Near-dup graphs are dense cliques with tiny
+    diameters, so rounds ≈ 3-5 in practice; for adversarial long-chain
+    graphs swap in alternating star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), same interface.
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    edges = pairs.select(
+        F.col("a").cast("long").alias("s"), F.col("b").cast("long").alias("d")
+    )
+    und = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels.withColumnRenamed("id", "s"), "s"
+        ).select(F.col("d").alias("id"), "label")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

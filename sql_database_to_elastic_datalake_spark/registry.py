@@ -2546,7 +2546,7 @@ _CHECK_FIRST = [
     "map_functions_events",
     "window_value_family",
     "sliding_window_counts",
-    "embed_ann_ivf",
+    "dedup_clusters_jaccard",
     "doc_chunks",
     "pack_token_budget",
     "pii_redaction",
@@ -2554,13 +2554,12 @@ _CHECK_FIRST = [
 ]
 
 
-def _reorder_for_coverage() -> None:
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERIES in driver-check priority order (called at the
+    ``__spark_entry__`` boundary, not at import time — importing
+    ``registry_pipeline`` first would otherwise reorder a half-built
+    registry)."""
     missing = [q for q in _CHECK_FIRST if q not in QUERIES]
     assert not missing, f"_CHECK_FIRST references unknown queries: {missing}"
     rest = [q for q in QUERIES if q not in set(_CHECK_FIRST)]
-    ordered = {q: QUERIES[q] for q in [*_CHECK_FIRST, *rest]}
-    QUERIES.clear()
-    QUERIES.update(ordered)
-
-
-_reorder_for_coverage()
+    return {q: QUERIES[q] for q in [*_CHECK_FIRST, *rest]}

@@ -662,3 +662,35 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", rates={"en": 0.125, "es": 0.5}
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution: transitive closure of near-dup pairs.
+# The oracle computes the same components with a recursive CTE (min
+# reachable id per node) — tractable at oracle scale, while the Spark
+# side uses distributed min-label propagation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters_jaccard",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    edges AS (
+        SELECT a, b FROM jac WHERE jaccard >= 0.9
+        UNION
+        SELECT b, a FROM jac WHERE jaccard >= 0.9
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
+    return dedup.dedup_clusters(docs, pairs, "doc_id")

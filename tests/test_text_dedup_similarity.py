@@ -158,3 +158,30 @@ def test_multimodal_plumbing(spark, docs):
         spark.createDataFrame([Row(doc_id=1, n_frames=10)]), every_n=4
     ).collect()
     assert [r["frame_idx"] for r in frames] == [0, 4, 8]
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """a~b and b~c must land a, b, c in one cluster even with no (a,c)
+    edge; isolated nodes are their own singleton cluster."""
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(7)])
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=5, b=6)]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A path graph is the diameter worst case for label propagation."""
+    from pyspark.sql import Row
+
+    n = 12
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    pairs = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n - 1)])
+    out = dedup.dedup_clusters(nodes, pairs, "doc_id").collect()
+    assert {r["cluster_id"] for r in out} == {0}
