@@ -694,3 +694,64 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     return dedup.dedup_clusters(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (ANN serving prep) — floor(x+0.5) instead of
+# round() so half-case behavior is engine-identical.
+# ---------------------------------------------------------------------------
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(127 AS DOUBLE) /
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE))))
+                   AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           array_to_string(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)),
+               ',') AS q8
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb, "embedding")
+    return out.select(
+        "vec_id", "scale", F.array_join(F.col("q8"), ",").alias("q8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental sync by high-water mark (the CDC shape of the reference's
+# scheduled re-sync, /root/reference/data_lake_sync.py polling loop): fetch
+# the checkpoint scalar once, then filter with a LITERAL bound so the
+# predicate reaches the parquet scan as a PushedFilter — the difference
+# between reading one day and re-reading the whole lake each cycle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_sync_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    """,
+)
+def incremental_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hwm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("hwm")
+    ).collect()[0]["hwm"]
+    return ev.filter(F.col("ts") > F.lit(hwm)).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
