@@ -166,3 +166,33 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_hex_threshold(rate))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates.
+
+    Splitting by document hash leaks: two near-identical documents can
+    land in train and test, inflating eval. Assign by the *cluster* id
+    from :func:`~..dedup.dedup_clusters` instead — every member of a
+    near-dup cluster shares its canonical id, hence its split. The draw
+    is the same engine-portable md5-prefix ordering used by
+    :func:`stratified_sample`, so membership is deterministic and
+    layout-independent. One broadcast-friendly join on the id.
+    """
+    t_thr = _hex_threshold(train)
+    v_thr = _hex_threshold(train + val)
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < t_thr, F.lit("train"))
+        .when(bucket < v_thr, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.join(clusters, id_col).select(
+        F.col(id_col), F.col("cluster_id"), split.alias("split")
+    )

@@ -755,3 +755,46 @@ def incremental_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("ts") > F.lit(hwm)).select(
         "event_id", "user_id", "event_type", "ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: assignment by near-dup CLUSTER id, so
+# two near-identical documents can never straddle train and test. Thresholds
+# 0.9/0.95 → hex cutoffs e666/f333 (58982/62259 of 65536).
+# ---------------------------------------------------------------------------
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    edges AS (
+        SELECT a, b FROM jac WHERE jaccard >= 0.9
+        UNION
+        SELECT b, a FROM jac WHERE jaccard >= 0.9
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, c.cluster_id,
+           CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
+    clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
+    return leakage_safe_split(docs, clusters, "doc_id")

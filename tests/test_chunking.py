@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import collections
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -91,3 +93,24 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
     }
     assert by_grp.get("b") is None  # default rate 0 drops the stratum
     assert 60 <= by_grp["a"] <= 140  # ~50% of 200, hash-binomial spread
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    """Every member of a near-dup cluster gets the same split; rates
+    roughly follow the 90/5/5 thresholds at corpus level."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    # clusters of 3: 0,1,2 -> 0; 3,4,5 -> 3; ...
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=(i // 3) * 3) for i in range(300)]
+    )
+    out = leakage_safe_split(docs, clusters, "doc_id").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    counts = collections.Counter(r["split"] for r in out)
+    assert counts["train"] > counts["val"] + counts["test"]
