@@ -52,6 +52,14 @@ HEADLINE = (
     "embed_cosine_topk",
     "embed_ann_bucketed",
     "multimodal_decode",
+    # round 2: relevance + corpus-prep additions (linear-scale paths)
+    "search_bm25_scored",
+    "doc_chunks",
+    "pack_token_budget",
+    "pii_redaction",
+    "stratified_sample_langs",
+    "embed_quantize_int8",
+    "incremental_sync_events",
 )
 
 
