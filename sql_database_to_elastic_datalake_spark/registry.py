@@ -1978,6 +1978,61 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    clicks of the same user in the preceding hour. Both streams carry
+    watermarks and the join brackets both event-time columns, so each
+    side's buffered state is dropped once it can no longer find a
+    partner — bounded memory on unbounded streams. The availableNow run
+    over a static drop equals the batch time-bounded join (the oracle).
+    """
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        read_stream_parquet,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    clicks = (
+        read_stream_parquet(spark, sf_dir, glob="events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts"),
+        )
+    )
+    purchases = (
+        read_stream_parquet(spark, sf_dir, glob="events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("rts"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", right_key="p_user_id",
+        left_ts="ts", right_ts="rts", horizon="1 hour",
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        F.col("ts").alias("click_ts"), F.col("rts").alias("purchase_ts"),
+    )
+    return run_stream_to_memory(
+        joined, f"click_attr_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+
+
 @register("approx_sketches")  # rows-only: approximate by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
