@@ -202,3 +202,34 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert got == {(1, "a", None), (2, "b", "extra")}
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, tmp_path):
+    """Joining a date-partitioned fact to a *filtered* dim must prune
+    fact partitions at runtime (DPP): the dim filter's values are not
+    known at plan time, so static PartitionFilters can't help — the
+    plan must carry a dynamicpruning subquery on the partition column.
+    At 100 TB this is the difference between scanning the whole fact
+    table and only the days the dim selects."""
+    import os
+
+    from pyspark.sql import functions as F
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    path = os.path.join(str(tmp_path), "events_by_day")
+    write_lake(ev, path, partition_by=["day"])
+
+    dim = spark.createDataFrame(
+        [("2024-01-05", "launch"), ("2024-01-06", "sale")], ["d", "campaign"]
+    ).select(F.col("d").cast("date").alias("d"), "campaign")
+    fact = spark.read.parquet(path)
+    joined = fact.join(dim.filter(F.col("campaign") == "launch"),
+                       fact["day"] == dim["d"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = joined.count()
+    want = ev.filter(F.col("day") == "2024-01-05").count()
+    assert rows == want > 0
