@@ -139,16 +139,33 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Execute a streaming plan with availableNow (process everything
     currently available, then stop) into an in-memory sink and return
-    the materialized result as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    the materialized result as a batch DataFrame.
+
+    No-data micro-batches are disabled for the run: they exist to
+    finalize watermark-closed windows of *append-mode windowed
+    aggregations* during quiet periods; every consumer of this helper is
+    complete-mode (full state re-emitted each batch) or immediate-emit
+    append (dropDuplicates, inner interval join), where the trailing
+    empty batch only pays state-store commit cost (~0.5-0.7 s per query)
+    without changing one output row. Continuous production streams keep
+    the engine default.
+    """
+    spark = stream_df.sparkSession
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
+    return spark.table(name)
 
 
 def stream_upsert_into(
