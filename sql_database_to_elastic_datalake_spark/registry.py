@@ -2033,6 +2033,98 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(
+      CAST(100 AS DOUBLE) *
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): month-filtered fact
+    scan (pushed), broadcast dim join, two decimal sums reduced to one
+    ratio. The month predicate prunes row groups at the scan, so the
+    cost is one month of lineitem regardless of lake size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    ).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * promo / total).alias("promo_share"))
+    )
+
+
+@register(
+    "q19_disjunctive_brand_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def q19_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    across the join. Catalyst pushes the per-table residuals (derived
+    quantity bounds reach the lineitem scan; brand/size reach part) and
+    evaluates the cross-table OR post-join — the pattern that breaks
+    naive pushdown implementations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    block = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & sz.between(s_lo, s_hi)
+        & (q >= q_lo)
+        & (q <= q_hi)
+    )
+    pred = (
+        block("Brand#1", 1, 15, 1, 20)
+        | block("Brand#2", 1, 25, 10, 30)
+        | block("Brand#9", 20, 50, 20, 50)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+        )
+    )
+
+
 @register("approx_sketches")  # rows-only: approximate by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
