@@ -124,3 +124,40 @@ def fingerprint(col: Column | str) -> Column:
     case/punctuation/whitespace noise, the document-level analog of the
     reference's row content ids (/root/reference/data_lake_sync.py:72-82)."""
     return F.md5(normalize_text(col))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Output: ``id_col, n_tokens, n_distinct, distinct_ratio,
+    top_token_share, mean_word_len`` — the classic corpus-quality
+    filters (low distinct ratio / one token dominating ⇒ boilerplate or
+    spam; word-length band ⇒ natural prose). Shape: explode tokens,
+    count per (doc, token), reduce per doc — two partial-aggregated
+    shuffles, both keyed on the doc id family, no joins. Ratios divide
+    exact integer counts cast to double once, so differential oracles
+    match bit-for-bit.
+    """
+    toks = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("w")
+    freq = (
+        df.select(F.col(id_col), toks)
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = freq.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+        F.sum(F.col("c") * F.length(F.col("w"))).cast("bigint").alias("n_chars"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return stats.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / nt).alias("distinct_ratio"),
+        (F.col("top_count").cast("double") / nt).alias("top_token_share"),
+        (F.col("n_chars").cast("double") / nt).alias("mean_word_len"),
+    )

@@ -798,3 +798,45 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
     return leakage_safe_split(docs, clusters, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals + composite gate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH tokf AS (
+        SELECT doc_id, regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM tokf GROUP BY doc_id, w
+    ), stats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_count,
+               CAST(SUM(c * length(w)) AS BIGINT) AS n_chars
+        FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS distinct_ratio,
+           CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS top_token_share,
+           CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS mean_word_len,
+           (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+            AND CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.12)
+               AS gopher_pass
+    FROM stats
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.repetition_stats(docs, "doc_id", "text")
+    return stats.withColumn(
+        "gopher_pass",
+        (F.col("distinct_ratio") >= 0.4) & (F.col("top_token_share") <= 0.12),
+    )
