@@ -149,3 +149,71 @@ def test_wildcard_to_like_escapes(p):
         i += 1
     assert unescaped.count("%") == p.count("*")
     assert unescaped.count("_") == p.count("?")
+
+
+# --- chunking / packing invariants -----------------------------------------
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk_size=st.integers(min_value=1, max_value=16),
+    stride_frac=st.integers(min_value=1, max_value=16),
+)
+def test_chunk_documents_window_invariants(spark, n_tokens, chunk_size, stride_frac):
+    """For any (n, size, stride): windows are exactly the slices
+    tokens[i·stride : i·stride+size]; every token is covered; no window
+    starts beyond the text."""
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    stride = min(stride_frac, chunk_size)  # stride ≤ size (standard use)
+    words = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_size, stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    covered = set()
+    for r in out:
+        i = r["chunk_idx"]
+        start = i * stride
+        expect = words[start : start + chunk_size]
+        assert r["chunk"].split() == expect
+        assert r["n_tokens"] == len(expect)
+        assert start < n_tokens
+        covered.update(range(start, min(start + chunk_size, n_tokens)))
+    assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=500),
+)
+def test_pack_by_token_budget_is_prefix_floor(spark, counts, budget):
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        pack_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n=c) for i, c in enumerate(counts)]
+    )
+    from pyspark.sql import functions as F
+
+    out = {r["doc_id"]: r["batch_id"]
+           for r in pack_by_token_budget(df, "doc_id", F.col("n"), budget).collect()}
+    prefix = 0
+    prev_batch = 0
+    for i, c in enumerate(counts):
+        assert out[i] == prefix // budget
+        assert out[i] >= prev_batch  # non-decreasing in doc order
+        prev_batch = out[i]
+        prefix += c
