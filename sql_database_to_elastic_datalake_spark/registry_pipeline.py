@@ -376,14 +376,37 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # No SQL oracle: recursive sequential computation (EWMA) — rows-only.
-@register("events_ewma")
+@register(
+    "events_ewma",
+    # The recurrence runs in pandas (the sanctioned extension point), yet
+    # still gets an EXACT oracle: ewm(adjust=False) computes α·x+(1−α)·s
+    # with one rounding per op, and a list_reduce left fold replicates it
+    # bit-for-bit (IEEE addition is commutative; s₁ = x₁ both sides).
+    # The per-prefix fold is O(n²) per key — oracle-scale only.
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_id, ts, value FROM events WHERE user_id < 20
+    ), seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS xs,
+               list(ts ORDER BY ts, event_id) AS tss,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM f GROUP BY user_id
+    )
+    SELECT user_id, ids[i] AS event_id, tss[i] AS ts, xs[i] AS value,
+           list_reduce(xs[1:i],
+               (s, x) -> CAST(0.3 AS DOUBLE) * x
+                         + CAST(0.7 AS DOUBLE) * s) AS ewma
+    FROM seq, LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS i) r
+    """,
+)
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_database_to_elastic_datalake_spark.operators.grouped_pandas import (
         ewma_per_key,
     )
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3)
+    return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3, id_col="event_id")
 
 
 # No SQL oracle: KMeans quantizer not expressible in the oracle engine —
