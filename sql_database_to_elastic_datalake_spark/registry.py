@@ -2125,6 +2125,47 @@ def q19_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, date_trunc('hour', e.ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    dimension (broadcast per micro-batch — the dim is re-resolvable
+    between batches, no stream state involved) before a watermarked
+    windowed count. This is the third join mode beside batch joins and
+    the stream-stream interval join: at scale the dim refresh cadence is
+    a deployment choice, not a state-store cost."""
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        read_stream_parquet,
+        run_stream_to_memory,
+    )
+
+    stream = read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("segment"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "segment",
+            F.col("window.start").alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg, f"enriched_{next(_STREAM_SEQ)}")
+
+
 @register("approx_sketches")  # rows-only: approximate by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
