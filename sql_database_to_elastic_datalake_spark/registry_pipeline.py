@@ -863,3 +863,53 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gopher_pass",
         (F.col("distinct_ratio") >= 0.4) & (F.col("top_token_share") <= 0.12),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array function family (transform/filter/slice/sort/distinct)
+# — §2.7 completion next to the string/map/date families. All lambdas are
+# codegen'd JVM expressions; ints (not doubles) are stringified so the
+# text rendering is engine-identical.
+# ---------------------------------------------------------------------------
+
+@register(
+    "array_functions_docs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(toks[1:3], ' ') AS first3,
+           len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+           array_to_string(list_transform(toks[1:5],
+               x -> concat(x, ':', CAST(length(x) AS VARCHAR))), ' ')
+               AS tagged5,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ' ')
+               AS sorted3
+    FROM t
+    """,
+)
+def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(F.col("doc_id"), toks.alias("toks"))
+    return base.select(
+        "doc_id",
+        F.array_join(F.slice("toks", 1, 3), " ").alias("first3"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4))
+        .cast("bigint")
+        .alias("n_long"),
+        F.array_join(
+            F.transform(
+                F.slice("toks", 1, 5),
+                lambda x: F.concat(
+                    x, F.lit(":"), F.length(x).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("tagged5"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), " "
+        ).alias("sorted3"),
+    )
