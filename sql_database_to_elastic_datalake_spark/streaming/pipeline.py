@@ -149,11 +149,21 @@ def run_stream_to_memory(
     empty batch only pays state-store commit cost (~0.5-0.7 s per query)
     without changing one output row. Continuous production streams keep
     the engine default.
+
+    Stateful operators shard their state by ``spark.sql.shuffle.partitions``
+    at checkpoint creation, with no AQE coalescing — on a default 200-
+    partition session every micro-batch pays 200 state-store tasks for
+    demo-sized state. This helper caps the run at 32 (never raising a
+    lower user setting); continuous deployments size state partitions to
+    key cardinality instead.
     """
     spark = stream_df.sparkSession
-    key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prior = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior_nodata = spark.conf.get(nodata_key)
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(nodata_key, "false")
+    spark.conf.set(shuffle_key, str(min(int(prior_shuffle), 32)))
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -164,7 +174,8 @@ def run_stream_to_memory(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set(key, prior)
+        spark.conf.set(nodata_key, prior_nodata)
+        spark.conf.set(shuffle_key, prior_shuffle)
     return spark.table(name)
 
 
