@@ -913,3 +913,62 @@ def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), " "
         ).alias("sorted3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus governance: composition report + right-to-be-forgotten sync.
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_composition",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition — the governance dashboard
+    feeding sampling-rate decisions (what stratified_sample consumes).
+    One partial-aggregated shuffle; counts/token-sums are exact ints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "gdpr_delete_sync",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.user_id NOT IN (
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND user_id % 100 = 0
+    )
+    """,
+)
+def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten projection: drop every event of users on a
+    deletion list via LEFT ANTI join — one shuffle keyed on the user id
+    (broadcastable when the list is small), the read-side form of a
+    tombstone delete. The deletion list here is derived in-query so the
+    oracle is self-contained; production passes an explicit list table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    deletion_list = (
+        ev.filter((F.col("event_type") == "error") & (F.col("user_id") % 100 == 0))
+        .select("user_id")
+        .distinct()
+    )
+    return ev.join(deletion_list, "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
