@@ -2166,6 +2166,37 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, f"enriched_{next(_STREAM_SEQ)}")
 
 
+@register(
+    "streaming_stateful_totals",
+    # exact despite Python execution: the operator accumulates integer
+    # cents (order-free), divides once at emit; the oracle mirrors with
+    # an integer SUM of round(value*100) divided once.
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100 AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom accumulator as a checked query:
+    per-user running totals with event-time eviction. An availableNow
+    run emits exactly one row per user — the full totals — so the batch
+    GROUP BY is the oracle."""
+    from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
+        read_stream_parquet,
+        run_stream_to_memory,
+        running_user_totals_stateful,
+    )
+
+    stream = read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    totals = running_user_totals_stateful(stream, cent_scale=100)
+    return run_stream_to_memory(
+        totals, f"stateful_totals_{next(_STREAM_SEQ)}", output_mode="update"
+    )
+
+
 @register("approx_sketches")  # rows-only: approximate by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:

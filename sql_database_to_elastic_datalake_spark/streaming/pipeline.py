@@ -227,9 +227,16 @@ def running_user_totals_stateful(
     value_col: str = "value",
     timeout_minutes: int = 60,
     watermark_delay: str = "10 minutes",
+    cent_scale: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user running totals via
     ``applyInPandasWithState``.
+
+    ``cent_scale`` (e.g. 100 for 2-decimal money) switches accumulation
+    to exact integer units: pandas float sums use pairwise summation,
+    whose rounding depends on block boundaries, so plain double totals
+    are not reproducible against a sequential-sum oracle — integer
+    accumulation is order-free and makes the operator hash-checkable.
 
     Built-ins cover windows/sessions; this is the escape hatch for
     semantics they can't express (cross-batch accumulators with custom
@@ -259,11 +266,20 @@ def running_user_totals_stateful(
             # idle horizon passed: evict, emit nothing, do not re-arm
             state.remove()
             return
+        # with cent_scale, the state accumulator holds exact integer
+        # units (a double is exact up to 2^53); division to the public
+        # unit happens once at emit — one rounding, batch-order free.
         n, total = state.get if state.exists else (0, 0.0)
         max_ts_ms = None
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
+            if len(pdf):
+                if cent_scale:
+                    total += float(
+                        int(pdf[value_col].mul(float(cent_scale)).round().sum())
+                    )
+                else:
+                    total += float(pdf[value_col].sum())
             if len(pdf):
                 batch_max = pdf[ts_col].max().timestamp() * 1000
                 if max_ts_ms is None or batch_max > max_ts_ms:
@@ -278,8 +294,9 @@ def running_user_totals_stateful(
         wm = state.getCurrentWatermarkMs()
         base = wm if max_ts_ms is None else max(max_ts_ms, wm)
         state.setTimeoutTimestamp(int(base + timeout_ms))
+        emitted = total / cent_scale if cent_scale else total
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total": [emitted]}
         )
 
     return (
