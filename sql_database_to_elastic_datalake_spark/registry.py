@@ -2197,6 +2197,67 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "batch_sessionization",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts)
+                         > 14400000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_micros
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (4h inactivity boundary): mark
+    session starts with one lag window, assign session ids with a
+    running sum over the same (key, time) ordering, aggregate per
+    session. The two windows and the groupBy share the user_id
+    partitioning, so the whole plan is one shuffle on the key. The
+    streaming twin is session_window_counts (native session_window)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    is_start = F.when(
+        prev.isNull() | (gap > 4 * 3600 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(is_start).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", "ts",
+            sess.cast("bigint").alias("session_idx"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_micros"),
+        )
+    )
+
+
 @register("approx_sketches")  # rows-only: approximate by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
