@@ -2258,6 +2258,99 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM steps
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): one conditional-min
+    aggregation per step in a single groupBy pass over the fact table,
+    then one global reduce — two shuffles total, no self-joins (the
+    naive funnel is an N-way self-join). NULL-safe: a missing or
+    out-of-order step breaks the chain because NULL comparisons are
+    false in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_click = F.col("t_signup").isNotNull() & (
+        F.col("t_click") > F.col("t_signup")
+    )
+    return steps.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("step_signup"),
+        F.sum(F.when(reached_click, 1).otherwise(0))
+        .cast("bigint")
+        .alias("step_click"),
+        F.sum(
+            F.when(
+                reached_click & (F.col("t_purchase") > F.col("t_click")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("step_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_trunc('week', e.ts) AS DATE) AS activity_week,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-activity week × activity week →
+    distinct active users. The cohort table is a per-user aggregate
+    (small — broadcast back onto the fact scan), so the matrix costs
+    one fact shuffle for the distinct count. Both engines truncate to
+    ISO Monday weeks."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
 @register("approx_sketches")  # rows-only: approximate by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
