@@ -233,3 +233,61 @@ def test_dynamic_partition_pruning_on_dim_join(spark, tmp_path):
     rows = joined.count()
     want = ev.filter(F.col("day") == "2024-01-05").count()
     assert rows == want > 0
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order vs linear clustering: linear cluster_by(user_id) makes
+    each file narrow on user_id but full-width on value; the Morton
+    layout must be substantially narrower than that on value while
+    still far narrower than global on user_id — the multi-dimensional
+    skipping property."""
+    import os
+
+    import pyarrow.parquet as pq
+    from sql_database_to_elastic_datalake_spark.sinks.writer import write_zordered
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = os.path.join(str(tmp_path), "z")
+    lpath = os.path.join(str(tmp_path), "linear")
+    write_zordered(ev, zpath, ["user_id", "value"], files=8, bits=6)
+    write_lake(ev, lpath, cluster_by=["user_id"], cluster_files=8)
+
+    def spans(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    g_user = max(spans(zpath, "user_id")) if False else None
+    rows = ev.agg(
+        F.max("user_id").alias("mu"), F.min("user_id").alias("nu"),
+        F.max("value").alias("mv"), F.min("value").alias("nv"),
+    ).collect()[0]
+    global_user = rows["mu"] - rows["nu"]
+    global_value = rows["mv"] - rows["nv"]
+
+    z_user, z_value = mean(spans(zpath, "user_id")), mean(spans(zpath, "value"))
+    l_value = mean(spans(lpath, "value"))
+    # linear layout can't skip on the non-leading dimension
+    assert l_value > 0.5 * global_value, (l_value, global_value)
+    # z-order: BOTH dimensions far narrower than global, and the
+    # non-leading dimension far narrower than the linear layout's
+    assert z_user < 0.7 * global_user, (z_user, global_user)
+    assert z_value < 0.5 * global_value, (z_value, global_value)
+    assert z_value < 0.5 * l_value, (z_value, l_value)
+    # round-trips all rows
+    assert spark.read.parquet(zpath).count() == ev.count()
