@@ -74,6 +74,19 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    from sql_database_to_elastic_datalake_spark import registry
+
+    qs = registry.ordered_queries()
+    if args.query not in qs:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        print("available:", ", ".join(sorted(qs)), file=sys.stderr)
+        return 2
+    df = qs[args.query](_spark(), args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def cmd_serve(args) -> int:
     from sql_database_to_elastic_datalake_spark.api import LakeService, create_app
 
@@ -108,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.set_defaults(fn=cmd_search)
+
+    x = sub.add_parser("explain", help="print a registered query's physical plan")
+    x.add_argument("--query", required=True)
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    x.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost"])
+    x.set_defaults(fn=cmd_explain)
 
     v = sub.add_parser("serve", help="run the REST API server")
     v.add_argument("--lake", required=True)

@@ -58,3 +58,12 @@ def test_cli_sync_entities(spark, tmp_path, capsys):
                             "statuses": 1, "labels": 1}
     users = spark.read.parquet(os.path.join(lake, "data_lake_users")).collect()
     assert users[0]["document_id"] == "u1_2026-01-01T00:00:00"
+
+
+def test_cli_explain(capsys):
+    from sql_database_to_elastic_datalake_spark.cli import main
+
+    assert main(["explain", "--query", "pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    assert main(["explain", "--query", "nope"]) == 2
