@@ -34,6 +34,12 @@ _DEFAULT_CONF = {
     # (withWatermark) reject; with a pinned UTC session the instant
     # semantics are identical, so read them as plain TIMESTAMP.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as INT64 micros, not the deprecated INT96: INT96
+    # carries no logical-type annotation, so external readers (pyarrow,
+    # DuckDB) must guess its semantics — and pyarrow surfaces it as
+    # nanos, which is exactly the ambiguity load_table has to code
+    # around for foreign files.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Scan split sizing. The 4 MB default open-cost dates to HDFS-era
     # seek amortization; on parquet (footer-indexed, column-pruned reads)
     # it forces small-but-CPU-heavy tables into 2-3 splits and idles the
@@ -100,6 +106,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.parquet.outputTimestampType",
         "spark.sql.files.openCostInBytes",
     ):
         try:

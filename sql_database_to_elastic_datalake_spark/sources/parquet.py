@@ -35,7 +35,14 @@ TABLES = (
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS) — footer-only read."""
+    """Column names stored as parquet INT64 TIMESTAMP(NANOS) — footer-only.
+
+    The check must consult the *parquet* schema, not the arrow view:
+    pyarrow reports legacy INT96 timestamps (Spark's default output
+    type) as ``timestamp[ns]`` too, but Spark reads INT96 natively as
+    TIMESTAMP — treating it as a raw long would break the plan. Only
+    physical INT64 nanos need the nanosAsLong + integer-div path.
+    """
     try:
         import pyarrow.parquet as pq
 
@@ -44,8 +51,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
                 if f.endswith(".parquet"):
                     path = os.path.join(path, f)
                     break
-        schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        pf = pq.ParquetFile(path)
+        arrow_names = {
+            f.name for f in pf.schema_arrow if str(f.type) == "timestamp[ns]"
+        }
+        out = []
+        for i in range(len(pf.schema)):
+            col = pf.schema.column(i)
+            if col.name in arrow_names and col.physical_type == "INT64":
+                out.append(col.name)
+        return out
     except Exception:
         return []
 
