@@ -972,3 +972,92 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(deletion_list, "user_id", "left_anti").select(
         "event_id", "user_id", "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline capstone: per-stage survivor counts of the full corpus-prep
+# funnel — raw → quality gate → exact dedup → near-dup prune → splits —
+# in ONE declarative plan (each stage a CTE both engines share).
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_prep_stats",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE len({_TOKENS}) >= 20 AND lang = 'en'
+    ),
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM quality
+        GROUP BY md5(coalesce(text, chr(0)))
+    ),
+    neardup_drop AS (
+        SELECT DISTINCT j.b AS doc_id FROM jac j
+        WHERE j.jaccard >= 0.9
+          AND j.a IN (SELECT doc_id FROM exact_keep)
+          AND j.b IN (SELECT doc_id FROM exact_keep)
+    ),
+    clean AS (
+        SELECT doc_id FROM exact_keep
+        WHERE doc_id NOT IN (SELECT doc_id FROM neardup_drop)
+    ),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                    THEN 'val' ELSE 'test' END AS s
+        FROM clean
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM quality) AS BIGINT) AS n_quality,
+           CAST((SELECT COUNT(*) FROM exact_keep) AS BIGINT) AS n_exact_unique,
+           CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS n_clean,
+           CAST((SELECT COUNT(*) FROM split WHERE s = 'train') AS BIGINT)
+               AS n_train,
+           CAST((SELECT COUNT(*) FROM split WHERE s = 'val') AS BIGINT)
+               AS n_val,
+           CAST((SELECT COUNT(*) FROM split WHERE s = 'test') AS BIGINT)
+               AS n_test
+    """,
+)
+def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep funnel as one plan, reporting survivors per
+    stage. (Splits here hash the doc id directly — the cluster-keyed
+    variant is leakage_safe_split; post-dedup every cluster has exactly
+    one surviving doc, so the id IS the cluster key.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(
+        (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
+    )
+    kept_exact = dedup.exact_dedup(quality, ["text"], "doc_id").select("doc_id")
+    surviving = quality.join(kept_exact, "doc_id", "left_semi")
+    sh = dedup.word_shingles(surviving, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
+    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    clean = surviving.join(drop, "doc_id", "left_anti").select("doc_id")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = clean.select(
+        "doc_id",
+        F.when(bucket < "e666", F.lit("train"))
+        .when(bucket < "f333", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("s"),
+    )
+
+    def cnt(df):
+        return df.agg(F.count("*").cast("bigint").alias("n"))
+
+    def scalar(df, alias):
+        return cnt(df).select(F.col("n").alias(alias))
+
+    return (
+        scalar(docs, "n_raw")
+        .crossJoin(scalar(quality, "n_quality"))
+        .crossJoin(scalar(kept_exact, "n_exact_unique"))
+        .crossJoin(scalar(clean, "n_clean"))
+        .crossJoin(scalar(split.filter(F.col("s") == "train"), "n_train"))
+        .crossJoin(scalar(split.filter(F.col("s") == "val"), "n_val"))
+        .crossJoin(scalar(split.filter(F.col("s") == "test"), "n_test"))
+    )
