@@ -1061,3 +1061,30 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(scalar(split.filter(F.col("s") == "val"), "n_val"))
         .crossJoin(scalar(split.filter(F.col("s") == "test"), "n_test"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame-sampling plan — hash-checked member of the multimodal
+# family (decode itself stays rows-only: no codec in the harness).
+# n_frames is derived deterministically from doc_id so both engines build
+# the same synthetic media catalog.
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, CAST(doc_id % 24 + 1 AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
+    FROM media, LATERAL (SELECT unnest(range(0, n_frames, 4)) AS i) r
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", (F.col("doc_id") % 24 + 1).cast("bigint").alias("n_frames")
+    )
+    out = multimodal.frame_sample_plan(media, every_n=4)
+    return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
