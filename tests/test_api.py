@@ -168,3 +168,19 @@ def test_generic_table_sync_idempotent(spark):
     assert rows[0]["doc_id"] == rows[1]["doc_id"]  # same content, same id
     assert out.columns == ["t_id", "t_name", "t_deletedAt", "table", "doc_id"]
     assert dedup_by_content(out).count() == 1
+
+
+def test_search_skips_numeric_only_tables(service, spark, tmp_path):
+    """A table with no string columns can never match a term query; the
+    cross-table search must skip it instead of failing the union."""
+    import os
+
+    from pyspark.sql import Row
+
+    numeric = spark.createDataFrame([Row(a=1, b=2.5), Row(a=3, b=4.5)])
+    numeric.write.mode("overwrite").parquet(
+        os.path.join(service.lake_dir, "data_lake_numbers")
+    )
+    out = service.search("spark")
+    assert "hits" in out and isinstance(out["hits"]["hits"], list)
+    assert all(h["_index"] != "data_lake_numbers" for h in out["hits"]["hits"])
