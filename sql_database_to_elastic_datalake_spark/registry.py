@@ -67,6 +67,9 @@ def _decimals_to_double(df: DataFrame) -> DataFrame:
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_conf(spark)
             return _decimals_to_double(fn(spark, sf_dir))
