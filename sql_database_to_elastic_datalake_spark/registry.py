@@ -423,6 +423,66 @@ def history_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "history_asof_read",
+    # Synthetic three-version history built identically in both engines
+    # (version v visible for suppliers with s_suppkey % 3 >= v-1), read
+    # as of version 2: the latest version per supplier with
+    # indexed_at <= the as-of timestamp.
+    oracle="""
+    WITH history AS (
+        SELECT CAST(s_suppkey AS VARCHAR) AS supplier_id,
+               s_name AS name, v.ts AS indexed_at
+        FROM supplier,
+             LATERAL (SELECT unnest(['2026-01-01T00:00:00',
+                                     '2026-02-01T00:00:00',
+                                     '2026-03-01T00:00:00']) AS ts,
+                             unnest([1, 2, 3]) AS n) v
+        WHERE s_suppkey % 3 >= v.n - 1
+    )
+    SELECT supplier_id, name, indexed_at
+    FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY supplier_id ORDER BY indexed_at DESC
+               ) AS rn
+        FROM history
+        WHERE indexed_at <= '2026-02-01T00:00:00'
+    ) WHERE rn = 1
+    """,
+)
+def history_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the append-only history table (I3): the document
+    set AS OF a past sync — latest version per id with indexed_at at or
+    before the as-of point. One window keyed on the id; at rest the
+    history table is range-clustered on indexed_at, so the as-of filter
+    prunes files before the window."""
+    from pyspark.sql import Window
+
+    sup = load_table(spark, sf_dir, "supplier")
+    versions = F.array(
+        F.struct(F.lit("2026-01-01T00:00:00").alias("ts"), F.lit(1).alias("n")),
+        F.struct(F.lit("2026-02-01T00:00:00").alias("ts"), F.lit(2).alias("n")),
+        F.struct(F.lit("2026-03-01T00:00:00").alias("ts"), F.lit(3).alias("n")),
+    )
+    history = (
+        sup.select(
+            F.col("s_suppkey").cast("string").alias("supplier_id"),
+            F.col("s_name").alias("name"),
+            F.col("s_suppkey").alias("__k"),
+            F.explode(versions).alias("v"),
+        )
+        .filter(F.col("__k") % 3 >= F.col("v.n") - 1)
+        .select("supplier_id", "name", F.col("v.ts").alias("indexed_at"))
+    )
+    w = Window.partitionBy("supplier_id").orderBy(F.col("indexed_at").desc())
+    return (
+        history.filter(F.col("indexed_at") <= "2026-02-01T00:00:00")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("supplier_id", "name", "indexed_at")
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1 — JSON field extraction from string columns
 # Reference: /root/reference/src/json_encoder.py:23-41.
