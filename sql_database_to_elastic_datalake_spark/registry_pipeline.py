@@ -1088,3 +1088,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = multimodal.frame_sample_plan(media, every_n=4)
     return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Sparse term-vector cosine similarity — the bag-of-words sibling of the
+# embedding similarity family. Hash-exact despite floating cosines: the
+# dot product and squared norms are exact integer sums (order-free); the
+# only roundings are two correctly-rounded sqrts and one division.
+# Joins through shared terms (verifier tier, like neardup_jaccard);
+# the scale path for text similarity is MinHash-LSH / embeddings.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ), norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        FROM tf GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS num
+        FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.a, d.b,
+           CAST(CAST(d.num AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                AS DOUBLE) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.a
+    JOIN norms nb ON nb.doc_id = d.b
+    WHERE CAST(d.num AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= 0.995
+    """,
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    a = tf.select(F.col("doc_id").alias("a"), "w", F.col("tf").alias("tfa"))
+    b = tf.select(F.col("doc_id").alias("b"), "w", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("nb2"))
+    cosine = (
+        F.col("num").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    ).cast("double")
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.995)
+        .select("a", "b", "cosine")
+    )
