@@ -5,7 +5,7 @@ DuckDB at the given scale factor, then compares row count, column names
 and (column-name-sorted, row-sorted) values — the same contract the
 driver's CORRECTNESS_r{N}.json check uses. Exit code 1 on any mismatch.
 
-Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+Usage: python scripts/selfcheck.py [--partitions N] [--no-aqe] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -65,14 +65,39 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # robustness-matrix flags: results must be invariant to partition
+    # count and adaptive re-planning; these make that a one-flag check.
+    argv = list(sys.argv[1:])
+    partitions = 16
+    no_aqe = False
+    if "--partitions" in argv:
+        i = argv.index("--partitions")
+        partitions = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--no-aqe" in argv:
+        no_aqe = True
+        argv.remove("--no-aqe")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from sql_database_to_elastic_datalake_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark = get_spark(master="local[8]", shuffle_partitions=partitions)
     spark.sparkContext.setLogLevel("ERROR")
+    if no_aqe:
+        # ensure_session_conf re-enables AQE per query call; wrap it so
+        # the pin survives
+        from sql_database_to_elastic_datalake_spark import registry, session
+
+        orig = session.ensure_session_conf
+
+        def pinned(sp):
+            orig(sp)
+            sp.conf.set("spark.sql.adaptive.enabled", "false")
+            return sp
+
+        registry.ensure_session_conf = pinned
 
     con = duckdb.connect()
     for t in TABLES:
