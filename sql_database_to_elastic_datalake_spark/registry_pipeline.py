@@ -1160,3 +1160,63 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.995)
         .select("a", "b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (operators/quality.py): uniqueness, required fields,
+# referential integrity — one composed plan, one row of violation counts.
+# A synthetic orphan order (o_custkey = -1) is injected identically in
+# both engines so the detection path is exercised, not just the zeros.
+# ---------------------------------------------------------------------------
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH orders_plus AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT -999, -1
+    )
+    SELECT
+      CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+            (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey) WHERE n > 1)
+           AS BIGINT) AS dup_customer_keys,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_custkey IS NULL OR o_orderdate IS NULL)
+           AS BIGINT) AS null_order_fields,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM orders_plus o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS orphan_orders
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_database_to_elastic_datalake_spark.operators import quality
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders_plus = orders.select("o_orderkey", "o_custkey").unionByName(
+        spark.createDataFrame([(-999, -1)], "o_orderkey bigint, o_custkey bigint")
+    )
+    dup = quality.duplicate_key_rows(customer, ["c_custkey"]).agg(
+        F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("dup_customer_keys")
+    )
+    nulls = quality.null_violations(
+        orders, ["o_custkey", "o_orderdate"]
+    ).select(F.col("n_null_rows").alias("null_order_fields"))
+    orphan_li = quality.orphan_rows(
+        lineitem, orders, "l_orderkey", "o_orderkey"
+    ).agg(F.count("*").cast("bigint").alias("orphan_lineitems"))
+    orphan_ord = quality.orphan_rows(
+        orders_plus, customer, "o_custkey", "c_custkey"
+    ).agg(F.count("*").cast("bigint").alias("orphan_orders"))
+    return (
+        dup.crossJoin(nulls).crossJoin(orphan_li).crossJoin(orphan_ord)
+    )

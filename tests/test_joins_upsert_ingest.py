@@ -291,3 +291,23 @@ def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
     assert z_value < 0.5 * l_value, (z_value, l_value)
     # round-trips all rows
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_quality_operators_detect_violations(spark):
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.operators import quality
+
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    child = spark.createDataFrame(
+        [Row(fk=1, v="a"), Row(fk=2, v="b"), Row(fk=3, v="orphan"),
+         Row(fk=None, v="nullkey")]
+    )
+    orphans = quality.orphan_rows(child, parent, "fk", "pk").collect()
+    assert {r["v"] for r in orphans} == {"orphan", "nullkey"}
+    nulls = quality.null_violations(child, ["fk"]).collect()[0]
+    assert nulls["n_null_rows"] == 1
+    dups = quality.duplicate_key_rows(
+        spark.createDataFrame([Row(k=1), Row(k=1), Row(k=1), Row(k=2)]), ["k"]
+    ).collect()
+    assert [(r["k"], r["__n"]) for r in dups] == [(1, 3)]
