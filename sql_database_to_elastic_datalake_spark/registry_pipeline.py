@@ -1220,3 +1220,51 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dup.crossJoin(nulls).crossJoin(orphan_li).crossJoin(orphan_ord)
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-data profile: how far behind the running event-time high-water
+# mark events arrive — the measurement that justifies a watermark delay
+# (state bound) instead of guessing it. Arrival order is simulated by a
+# deterministic hash of the event id (the synthetic table is stored in
+# event-time order); production points this at the ingest sequence.
+# ---------------------------------------------------------------------------
+
+@register(
+    "late_data_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR))
+                             ROWS UNBOUNDED PRECEDING) AS high_wm
+        FROM events
+    )
+    SELECT CAST(LEAST(floor(date_diff('microsecond', ts, high_wm)
+                            / 86400000000.0), 6) AS BIGINT)
+               AS lateness_bucket_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM arr GROUP BY 1
+    """,
+)
+def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy(F.md5(F.col("event_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    high_wm = F.max("ts").over(w)
+    lateness_days = F.floor(
+        (F.unix_micros(high_wm) - F.unix_micros(F.col("ts")))
+        / F.lit(86400000000.0)
+    )
+    return (
+        ev.select(
+            F.least(lateness_days, F.lit(6))
+            .cast("bigint")
+            .alias("lateness_bucket_days")
+        )
+        .groupBy("lateness_bucket_days")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
