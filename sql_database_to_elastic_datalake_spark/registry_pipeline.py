@@ -1268,3 +1268,73 @@ def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lateness_bucket_days")
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution tooling: uniform-bucket histogram + robust (median/MAD)
+# outlier counts. MAD-based detection resists the heavy tail that wrecks
+# mean/stddev z-scores; both engines interpolate percentiles linearly so
+# the medians match bit-for-bit (same contract value_percentiles pins).
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(LEAST(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(19))
+    return (
+        ev.select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, abs(e.value - m.m) AS ad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(SUM(CASE WHEN d.ad > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad md ON d.event_type = md.event_type
+    GROUP BY 1
+    """,
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("ad") > F.lit(3) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
