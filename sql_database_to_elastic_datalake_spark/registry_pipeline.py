@@ -1338,3 +1338,78 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral + BI staples: event-transition matrix (first-order Markov
+# counts via lead()) and share-of-total with an exact-decimal window sum.
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts: lead() over the per-user
+    event sequence, then a count per (current, next) pair — one shuffle
+    on the user (window) and one on the tiny pair key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "revenue_share_by_segment",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT segment,
+           CAST(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+                AS DOUBLE) AS revenue_share
+    FROM seg
+    """,
+)
+def revenue_share_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: per-segment revenue over an empty-frame window
+    sum. Both the group sums and the total stay exact DECIMAL; the only
+    float op is the final division, so shares hash-match. The window
+    runs over 5 segment rows, not the fact table."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return seg.select(
+        "segment",
+        (F.col("rev").cast("double") / total.cast("double"))
+        .cast("double")
+        .alias("revenue_share"),
+    )
