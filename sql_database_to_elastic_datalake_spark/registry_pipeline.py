@@ -1024,42 +1024,61 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus-prep funnel as one plan, reporting survivors per
-    stage. (Splits here hash the doc id directly — the cluster-keyed
-    variant is leakage_safe_split; post-dedup every cluster has exactly
-    one surviving doc, so the id IS the cluster key.)"""
+    stage. Each stage becomes a FLAG on the document (left joins against
+    the stage survivor sets), and every count is a conditional sum in a
+    single final aggregation — a crossJoin of per-stage count scalars
+    would make Catalyst re-execute the shared pipeline subtree once per
+    branch (observed: 64 shuffles vs ~10 for this shape). (Splits hash
+    the doc id directly — the cluster-keyed variant is
+    leakage_safe_split; post-dedup every cluster has exactly one
+    surviving doc, so the id IS the cluster key.)"""
     docs = load_table(spark, sf_dir, "documents")
-    quality = docs.filter(
-        (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
+    is_quality = (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
+    base = docs.select("doc_id", "text", is_quality.alias("is_q"))
+    quality = base.filter(F.col("is_q"))
+    kept_exact = (
+        dedup.exact_dedup(quality, ["text"], "doc_id")
+        .select("doc_id")
+        .withColumn("is_keep", F.lit(True))
     )
-    kept_exact = dedup.exact_dedup(quality, ["text"], "doc_id").select("doc_id")
-    surviving = quality.join(kept_exact, "doc_id", "left_semi")
+    surviving = quality.join(kept_exact.drop("is_keep"), "doc_id", "left_semi")
     sh = dedup.word_shingles(surviving, "doc_id", "text", n=1)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
-    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
-    clean = surviving.join(drop, "doc_id", "left_anti").select("doc_id")
+    drop = (
+        pairs.select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_drop", F.lit(True))
+    )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    split = clean.select(
-        "doc_id",
-        F.when(bucket < "e666", F.lit("train"))
-        .when(bucket < "f333", F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("s"),
+    flags = (
+        base.join(kept_exact, "doc_id", "left")
+        .join(drop, "doc_id", "left")
+        .select(
+            F.col("is_q"),
+            F.coalesce(F.col("is_keep"), F.lit(False)).alias("is_keep"),
+            (
+                F.coalesce(F.col("is_keep"), F.lit(False))
+                & ~F.coalesce(F.col("is_drop"), F.lit(False))
+            ).alias("is_clean"),
+            F.when(bucket < "e666", F.lit("train"))
+            .when(bucket < "f333", F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("s"),
+        )
     )
 
-    def cnt(df):
-        return df.agg(F.count("*").cast("bigint").alias("n"))
+    def flag_count(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
 
-    def scalar(df, alias):
-        return cnt(df).select(F.col("n").alias(alias))
-
-    return (
-        scalar(docs, "n_raw")
-        .crossJoin(scalar(quality, "n_quality"))
-        .crossJoin(scalar(kept_exact, "n_exact_unique"))
-        .crossJoin(scalar(clean, "n_clean"))
-        .crossJoin(scalar(split.filter(F.col("s") == "train"), "n_train"))
-        .crossJoin(scalar(split.filter(F.col("s") == "val"), "n_val"))
-        .crossJoin(scalar(split.filter(F.col("s") == "test"), "n_test"))
+    clean = F.col("is_clean")
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        flag_count(F.col("is_q"), "n_quality"),
+        flag_count(F.col("is_keep"), "n_exact_unique"),
+        flag_count(clean, "n_clean"),
+        flag_count(clean & (F.col("s") == "train"), "n_train"),
+        flag_count(clean & (F.col("s") == "val"), "n_val"),
+        flag_count(clean & (F.col("s") == "test"), "n_test"),
     )
 
 
