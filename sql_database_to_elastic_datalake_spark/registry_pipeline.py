@@ -1432,3 +1432,77 @@ def revenue_share_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ops diagnostics: the numbers behind salting/broadcast decisions.
+# ---------------------------------------------------------------------------
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_rows_per_key,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(CAST(MAX(n) AS DOUBLE)
+                / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                AS DOUBLE) AS skew_factor
+    FROM k
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: max/avg rows per key — the number
+    that decides whether a join needs salting (operators/skew.py) or
+    AQE skew-split suffices. One partial-aggregated shuffle on the key,
+    one single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("n"))
+    return k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_rows_per_key"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count("*").cast("double"))
+        )
+        .cast("double")
+        .alias("skew_factor"),
+    )
+
+
+@register(
+    "join_explosion_estimate",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(SUM(a.na * b.nb) AS BIGINT) AS est_join_rows,
+           CAST(MAX(a.na * b.nb) AS BIGINT) AS max_single_key_rows
+    FROM a JOIN b ON a.user_id = b.user_id
+    """,
+)
+def join_explosion_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality BEFORE running the join: per-key
+    multiplicity product summed over the key intersection. Costs two
+    key-count aggregations plus a key-cardinality join — orders of
+    magnitude cheaper than materializing a blown-up join to find out it
+    was a mistake."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    a = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("na"))
+    b = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count("*").cast("bigint").alias("nb")
+    )
+    prod = F.col("na") * F.col("nb")
+    return a.join(b, "user_id").agg(
+        F.sum(prod).cast("bigint").alias("est_join_rows"),
+        F.max(prod).cast("bigint").alias("max_single_key_rows"),
+    )
