@@ -1506,3 +1506,100 @@ def join_explosion_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(prod).cast("bigint").alias("est_join_rows"),
         F.max(prod).cast("bigint").alias("max_single_key_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff + week-over-week growth — the sync-monitoring pair: what
+# changed between two table versions, and how volumes trend.
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT s_suppkey AS id, s_name AS payload FROM supplier),
+    new AS (
+        SELECT s_suppkey AS id,
+               CASE WHEN s_suppkey % 10 = 0 THEN s_name || '-v2'
+                    ELSE s_name END AS payload
+        FROM supplier WHERE s_suppkey % 25 != 0
+        UNION ALL SELECT -1, 'added'
+    )
+    SELECT CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN o.payload != n.payload THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM old o FULL OUTER JOIN new n ON o.id = n.id
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify rows between two snapshot versions (added / removed /
+    changed / unchanged) with one full outer join on the key — the audit
+    a destructive-refresh sync (S9) should publish. The new version is
+    synthesized deterministically so both engines diff identical inputs;
+    production diffs two history versions (history_asof_read)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    old = sup.select(F.col("s_suppkey").alias("id"), F.col("s_name").alias("payload"))
+    new = (
+        sup.filter(F.col("s_suppkey") % 25 != 0)
+        .select(
+            F.col("s_suppkey").alias("id"),
+            F.when(
+                F.col("s_suppkey") % 10 == 0, F.concat(F.col("s_name"), F.lit("-v2"))
+            )
+            .otherwise(F.col("s_name"))
+            .alias("payload"),
+        )
+        .unionByName(
+            spark.createDataFrame([(-1, "added")], "id bigint, payload string")
+        )
+    )
+    o = old.select(F.col("id").alias("o_id"), F.col("payload").alias("o_p"))
+    n = new.select(F.col("id").alias("n_id"), F.col("payload").alias("n_p"))
+    change = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_p") != F.col("n_p"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("o_id") == F.col("n_id"), "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "wow_growth",
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT week, n,
+           CAST(CAST(n AS DOUBLE) / CAST(lag(n) OVER (ORDER BY week) AS DOUBLE)
+                - 1.0 AS DOUBLE) AS wow_growth
+    FROM wk
+    """,
+)
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume growth: lag ratio over the weekly rollup —
+    the window runs on ~weeks rows, not the fact table. Exact integer
+    counts; one float division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    prev = F.lag("n").over(Window.orderBy("week"))
+    return wk.select(
+        "week",
+        "n",
+        (F.col("n").cast("double") / prev.cast("double") - F.lit(1.0))
+        .cast("double")
+        .alias("wow_growth"),
+    )
