@@ -1603,3 +1603,108 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wow_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling + RAG context assembly — the curation draw
+# whose keep-probability follows a per-row quality weight, and the
+# retrieval-to-prompt composition joining top-k neighbors back to text.
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS DOUBLE) / 100.0, 0.9) AS rate,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang FROM w
+    WHERE CAST(bucket AS DOUBLE) < rate * 65536.0
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep-probability proportional to a per-row
+    quality weight (token count here), decided by the same
+    layout-independent md5-bucket draw as stratified_sample — longer
+    documents survive at higher rates, short boilerplate is thinned,
+    and membership is reproducible across engines and reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.least(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+        / F.lit(100.0),
+        F.lit(0.9),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    return (
+        docs.withColumn("rate", rate)
+        .filter(bucket.cast("double") < F.col("rate") * F.lit(65536.0))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "rag_context_assembly",
+    oracle=f"""
+    WITH topk AS ({_cosine_topk_oracle([0, 1, 2], k=2)}),
+    ranked AS (
+        SELECT t.query_id, t.neighbor_id, t.cosine,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                  ORDER BY t.cosine DESC, t.neighbor_id)
+                   AS rank
+        FROM topk t
+    )
+    SELECT r.query_id,
+           string_agg(substr(d.text, 1, 80), ' | ' ORDER BY r.rank)
+               AS context
+    FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+    GROUP BY r.query_id
+    """,
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-to-prompt: top-2 cosine neighbors per query vector,
+    joined back to their source text and concatenated in rank order —
+    the context block a RAG caller feeds the model. Rank order is made
+    explicit in the aggregation (sorted structs), so the assembled
+    string is deterministic."""
+    from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
+        top_k_per_group,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    topk = similarity.cosine_topk(emb, [0, 1, 2], k=2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ranked = topk.withColumn("rank", F.row_number().over(w))
+    joined = ranked.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("neighbor_id"), "text")),
+        "neighbor_id",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rank"),
+                                F.substring(F.col("text"), 1, 80).alias("snip"),
+                            )
+                        )
+                    ),
+                    lambda s: s["snip"],
+                ),
+                " | ",
+            ).alias("context")
+        )
+    )
