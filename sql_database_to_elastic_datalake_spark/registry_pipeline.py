@@ -1708,3 +1708,86 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("context")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-corpus materialization + 7-day moving average — the dedup
+# shrink made concrete, and the time-series smoothing staple.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    edges AS (
+        SELECT a, b FROM jac WHERE jaccard >= 0.9
+        UNION
+        SELECT b, a FROM jac WHERE jaccard >= 0.9
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-dup cluster resolution: keep exactly the
+    canonical (minimum-id) document of every cluster — singletons keep
+    themselves. This is the materialized shrink the pair/cluster queries
+    only describe; filter(id == cluster_id) ∘ dedup_clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
+    clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
+    canonical = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    return docs.join(canonical, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "orders_revenue_7d_ma",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / CAST(COUNT(*) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS DOUBLE) AS ma7
+    FROM daily
+    """,
+)
+def orders_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over daily revenue: exact-decimal daily sums
+    and window totals, one float division per output row. The window
+    runs over days, not orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        )
+        .cast("double")
+        .alias("ma7"),
+    )
