@@ -1791,3 +1791,64 @@ def orders_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ma7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture tooling: curriculum deciles and per-language
+# rebalancing rates (the "data mixing" math before a training run).
+# ---------------------------------------------------------------------------
+
+@register(
+    "curriculum_deciles",
+    oracle="""
+    SELECT doc_id,
+           CAST(ntile(10) OVER (
+               ORDER BY len(regexp_split_to_array(trim(text), '\\s+')), doc_id
+           ) AS BIGINT) AS decile
+    FROM documents
+    """,
+)
+def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: decile assignment by document length (the
+    easy→hard proxy), unique-keyed tie-break so the buckets are
+    deterministic. ntile distributes remainders to the leading buckets
+    identically in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.orderBy(n_tokens, F.col("doc_id"))
+    return docs.select(
+        "doc_id", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+
+
+@register(
+    "mixture_rebalance_rates",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    )
+    SELECT lang, n,
+           CAST(CAST(MIN(n) OVER () AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE)
+               AS keep_rate
+    FROM counts
+    """,
+)
+def mixture_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates that rebalance the corpus to a uniform
+    mixture (rate = min cell count / cell count) — the computed input
+    stratified_sample consumes. Window over ~languages rows; exact
+    integer counts, one float division."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    min_n = F.min("n").over(Window.partitionBy())
+    return counts.select(
+        "lang",
+        "n",
+        (min_n.cast("double") / F.col("n").cast("double"))
+        .cast("double")
+        .alias("keep_rate"),
+    )
