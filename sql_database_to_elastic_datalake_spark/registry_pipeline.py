@@ -1852,3 +1852,56 @@ def mixture_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-scoring analytic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT)
+               AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT)
+               AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+               AS m_quartile
+    FROM cust
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartiles per customer: one groupBy
+    over orders, then three ntile windows over the (small) per-customer
+    aggregate — each with a unique tie-break so quartile membership is
+    deterministic. Monetary stays exact decimal through the ordering."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+
+    def quart(col):
+        return (
+            F.ntile(4)
+            .over(Window.orderBy(F.col(col).desc(), F.col("custkey")))
+            .cast("bigint")
+        )
+
+    return cust.select(
+        "custkey",
+        quart("last_order").alias("r_quartile"),
+        quart("frequency").alias("f_quartile"),
+        quart("monetary").alias("m_quartile"),
+    )
