@@ -1905,3 +1905,68 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quart("frequency").alias("f_quartile"),
         quart("monetary").alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction: top-3 distinctive terms per document by
+# tf · rational-idf (the BM25 idf without ln — house style for
+# engine-identical doubles). Exact-integer tf/df/N; one mirrored float
+# expression; unique (score, word) ordering.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_keywords",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT w AS dw, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, w AS keyword,
+           CAST(CAST(tf.tf AS DOUBLE)
+                * ((CAST(nd.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                   / (CAST(df.df AS DOUBLE) + 0.5)) AS DOUBLE) AS score
+    FROM tf JOIN df ON tf.w = df.dw CROSS JOIN nd
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, w) <= 3
+    """,
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_tbl = tf.groupBy(F.col("w").alias("dw")).agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    nd = docs.agg(F.count("*").cast("bigint").alias("n"))
+    score = (
+        F.col("tf").cast("double")
+        * (
+            (F.col("n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+    ).cast("double")
+    scored = (
+        tf.join(df_tbl, tf["w"] == df_tbl["dw"])
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", F.col("w").alias("keyword"), score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("keyword")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "keyword", "score")
+    )
