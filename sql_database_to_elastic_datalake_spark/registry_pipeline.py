@@ -1970,3 +1970,26 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "keyword", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: day-of-week × hour-of-day counts. Spark's dayofweek
+# is 1-based Sunday=1, DuckDB's 0-based Sunday=0 — normalized explicitly
+# (one of the classic cross-engine calendar traps, pinned here).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek(F.col("ts")) - 1).cast("bigint").alias("dow"),
+        F.hour(F.col("ts")).cast("bigint").alias("hod"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
