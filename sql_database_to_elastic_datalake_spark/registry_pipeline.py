@@ -1993,3 +1993,46 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek(F.col("ts")) - 1).cast("bigint").alias("dow"),
         F.hour(F.col("ts")).cast("bigint").alias("hod"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly days: daily volumes > 3 MAD from the median of the
+# daily series — the robust alert rule for ingest monitoring (a stuck
+# sync or a burst both trip it; mean/stddev would be dragged by the
+# outliers being hunted).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), med AS (SELECT quantile_cont(n, 0.5) AS m FROM daily),
+    dev AS (
+        SELECT day, n, abs(CAST(n AS DOUBLE) - med.m) AS ad FROM daily, med
+    ),
+    mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+    SELECT d.day, d.n,
+           CAST(d.ad > 3 * NULLIF(mad.mad, 0) AS BOOLEAN) AS is_anomaly
+    FROM dev d, mad
+    """,
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    med = daily.agg(F.percentile(F.col("n"), F.lit(0.5)).alias("m"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "n", F.abs(F.col("n").cast("double") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(F.percentile(F.col("ad"), F.lit(0.5)).alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n",
+        (F.col("ad") > F.lit(3) * F.nullif(F.col("mad"), F.lit(0.0))).alias(
+            "is_anomaly"
+        ),
+    )
