@@ -2036,3 +2036,53 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store materialization: the per-user ML feature row (behavior
+# counts, monetary decimal, recency/tenure/activity) in one grouped
+# pass — the events-side analog of corpus prep for model training.
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_feature_table",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+                AS DECIMAL(38,2)) AS purchase_value,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+           CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS tenure_days,
+           CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS active_days
+    FROM events GROUP BY user_id
+    """,
+)
+def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("bigint").alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.sum(
+            F.when(is_p, F.col("value").cast("decimal(18,2)")).otherwise(F.lit(0))
+        )
+        .cast("decimal(38,2)")
+        .alias("purchase_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("bigint")
+        .alias("tenure_days"),
+        F.count_distinct(F.date_trunc("day", F.col("ts")).cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+    )
