@@ -2086,3 +2086,34 @@ def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-eval tooling: confusion matrix of the lang-id heuristic against
+# the labeled language. (On this synthetic corpus all languages draw
+# from one token pool, so the marker heuristic collapses to 'en' —
+# exactly the kind of failure a confusion matrix exists to surface;
+# tests/test_text_dedup_similarity.py shows it working on real-ish text.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM documents),
+    pred AS (
+        SELECT doc_id, lang AS labeled, {_ARGMAX} AS predicted FROM scored
+    )
+    SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            text.lang_id("text").alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
