@@ -2117,3 +2117,89 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled", "predicted")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift + sub-document dedup: weekly class-share drift (label balance
+# monitoring for training data) and chunk-level exact dedup (repeated
+# boilerplate hides below document granularity).
+# ---------------------------------------------------------------------------
+
+@register(
+    "type_share_drift",
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, n,
+           CAST(CAST(n AS DOUBLE)
+                / CAST(SUM(n) OVER (PARTITION BY week) AS DOUBLE)
+                AS DOUBLE) AS share
+    FROM wk
+    """,
+)
+def type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly class-composition shares: the drift monitor that catches a
+    label distribution shifting under a training pipeline. Exact integer
+    counts; the share window runs over weeks × types, not events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("week"))
+    return wk.select(
+        "week",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / total.cast("double"))
+        .cast("double")
+        .alias("share"),
+    )
+
+
+@register(
+    "chunk_level_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               GREATEST(CAST(ceil((len(toks) - 32) / CAST(16 AS DOUBLE))
+                             AS BIGINT) + 1, 1) AS n_chunks
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, array_to_string(toks[(i*16 + 1):(i*16 + 32)], ' ')
+                   AS chunk
+        FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS i) r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(chunk)) AS BIGINT)
+               AS n_dup_chunks
+    FROM chunks
+    """,
+)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup below document granularity: chunk the corpus, hash each
+    window, count duplicates — repeated boilerplate passages survive
+    doc-level dedup and surface here. Composes chunk_documents ∘
+    content hashing in one plan."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_size=32, stride=16)
+    return chunks.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_distinct(F.md5(F.col("chunk"))).cast("bigint").alias("n_unique"),
+        (F.count("*") - F.count_distinct(F.md5(F.col("chunk"))))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+    )
