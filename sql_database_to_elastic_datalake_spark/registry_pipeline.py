@@ -2203,3 +2203,75 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dup_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language profiles + join fan-out histogram.
+# Char n-grams are the feature basis real language ID / script detection
+# builds on (word markers are the toy tier); the sliding window is a
+# native sequence-explode over string offsets, no UDF.
+# ---------------------------------------------------------------------------
+
+@register(
+    "char_trigram_profile",
+    oracle="""
+    WITH tri AS (
+        SELECT lang, substr(lower(text), i, 3) AS tg
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) r
+        WHERE length(text) >= 3
+    ), counts AS (
+        SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1, 2
+    )
+    SELECT lang, tg, n FROM counts
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) <= 3
+    """,
+)
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    tri = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(low) - 2),
+                    lambda i: low.substr(i, F.lit(3)),
+                )
+            ).alias("tg"),
+        )
+    )
+    counts = tri.groupBy("lang", "tg").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tg"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "tg", "n")
+    )
+
+
+@register(
+    "order_fanout_histogram",
+    oracle="""
+    WITH fan AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT n AS lines_per_order, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM fan GROUP BY 1
+    """,
+)
+def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile: the distribution of child rows per parent
+    key — with key_skew_report, the pair of numbers that sizes a join
+    before running it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fan = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("n"))
+    return fan.groupBy(F.col("n").alias("lines_per_order")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
