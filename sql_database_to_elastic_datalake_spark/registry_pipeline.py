@@ -2275,3 +2275,72 @@ def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan.groupBy(F.col("n").alias("lines_per_order")).agg(
         F.count("*").cast("bigint").alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-health + seasonality diagnostics.
+# ---------------------------------------------------------------------------
+
+@register(
+    "zipf_profile",
+    oracle="""
+    WITH wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+              FROM documents)
+        GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank,
+           w AS word, n
+    FROM wc
+    QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 20
+    """,
+)
+def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-of-the-Zipf-curve word ranks: natural corpora follow
+    rank × frequency ≈ const; heavy duplication or synthetic generation
+    bends the head of the curve — a one-glance corpus-health check."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("w"))
+    return (
+        wc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", F.col("w").alias("word"), "n")
+    )
+
+
+@register(
+    "value_seasonality_by_hour",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS mean_value
+    FROM events GROUP BY 1
+    """,
+)
+def value_seasonality_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean value by hour of day: exact decimal sum over exact count,
+    one float division — the seasonality baseline an anomaly rule
+    normalizes against."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("bigint").alias("hod")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double")
+        )
+        .cast("double")
+        .alias("mean_value"),
+    )
