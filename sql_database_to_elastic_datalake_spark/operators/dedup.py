@@ -320,8 +320,13 @@ def dedup_clusters(
     "Connected Components in MapReduce"), same interface.
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    # Edge endpoints must carry the NODES' id dtype: a hard cast (e.g. to
+    # long) would turn string ids into NULL edges that silently drop in
+    # the propagation join, fragmenting every cluster into singletons.
+    id_type = ids.schema["id"].dataType
     edges = pairs.select(
-        F.col("a").cast("long").alias("s"), F.col("b").cast("long").alias("d")
+        F.col("a").cast(id_type).alias("s"),
+        F.col("b").cast(id_type).alias("d"),
     )
     und = edges.union(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))

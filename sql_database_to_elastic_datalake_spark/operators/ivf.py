@@ -40,24 +40,30 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     max_iter: int = 20,
     max_train: int = 100_000,
+    id_col: str = "vec_id",
 ):
-    """Fit the coarse quantizer on a seeded sample; returns the model.
+    """Fit the coarse quantizer on a deterministic sample; returns the model.
 
     KMeans iterates over its input ``max_iter`` times — on the full
     corpus that is ~20 extra 100 TB scans for centroids that converge
-    on a fraction. The sample is capped at ``max_train`` vectors (one
-    cheap count + one seeded Bernoulli sample; deterministic given the
-    seed, so downstream cell assignments stay reproducible).
+    on a fraction. The sample is capped at ``max_train`` vectors via the
+    house md5-prefix draw on ``id_col`` (one cheap count + a
+    content-keyed hash filter). Unlike a seeded ``df.sample`` —
+    Bernoulli per *partition* stream, so reproducible only for a fixed
+    partition layout — the hash draw picks the same ids regardless of
+    layout, so downstream cell assignments are reproducible outright.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     n = embeddings.count()
     if n > max_train:
-        # slight oversample so the floor of the Bernoulli draw stays ≥nlist
-        embeddings = embeddings.sample(
-            fraction=min(1.0, 1.05 * max_train / n), seed=seed
-        )
+        # slight oversample so the floor of the hash draw stays ≥nlist
+        fraction = min(1.0, 1.05 * max_train / n)
+        bucket = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        embeddings = embeddings.filter(bucket < int(fraction * 65536))
     train = embeddings.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

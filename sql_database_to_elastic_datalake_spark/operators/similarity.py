@@ -219,12 +219,16 @@ def quantize_embeddings_int8(
     algebra over the array (no shuffle, no UDF). ``floor(x + 0.5)`` is
     used instead of ``round`` because round's half-case mode differs
     across engines (HALF_UP vs banker's); floor is IEEE-identical
-    everywhere, which keeps the differential oracle exact.
+    everywhere, which keeps the differential oracle exact. All-zero
+    vectors get ``scale = 1.0`` (and hence ``q8 = 0`` everywhere) —
+    without the guard, ``127/0.0 = Inf`` makes every element
+    ``floor(0·Inf + ½) = NaN → NULL``, an engine-divergent edge case.
     """
     embd = _to_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(embd, lambda x: F.abs(x)))
     with_scale = df.withColumn(
         "scale",
-        F.lit(127.0) / F.array_max(F.transform(embd, lambda x: F.abs(x))),
+        F.coalesce(F.lit(127.0) / F.nullif(max_abs, F.lit(0.0)), F.lit(1.0)),
     )
     q8 = F.transform(
         _to_double(F.col(vec_col)),

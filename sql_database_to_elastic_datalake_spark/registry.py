@@ -1915,11 +1915,12 @@ def having_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
            CAST(SUM(CASE WHEN l_returnflag = 'R'
                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
                               * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                         ELSE 0 END) AS DECIMAL(38,4)) AS returned_revenue
+                         ELSE 0 END) AS DOUBLE) AS returned_revenue
     FROM lineitem GROUP BY l_linestatus
     """,
 )
@@ -2421,15 +2422,18 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type. Constant memory per group vs the expand+exact-distinct
     plan; accuracy is pytest-asserted against exact counterparts
     (tests/test_approx_sketches.py) rather than oracle-hashed —
-    approximation is the point.
+    approximation is the point. Output columns are scalar-only (the
+    registry convention: the driver canonicalizer sorts on every column
+    and cannot hash array cells), so the two quantiles land as separate
+    ``value_p50`` / ``value_p95`` doubles — one GK sketch pass each,
+    still constant memory per group.
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias(
-            "value_p50_p95"
-        ),
+        F.percentile_approx("value", F.lit(0.5), 10000).alias("value_p50"),
+        F.percentile_approx("value", F.lit(0.95), 10000).alias("value_p95"),
     )
 
 
@@ -2927,66 +2931,70 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
-# the first 50 registered queries per round; round 1 covered the then-first
-# 50, leaving 39 registered queries without a driver row. This block fronts
-# (a) the flagship, (b) the three repaired decimal-representation queries,
-# (c) the new BM25 query, (d) the re-implemented LSH verifier, and (e) every
-# query round 1 never reached — so across consecutive rounds every
-# registered query earns a recorded driver verdict. Local
-# scripts/selfcheck.py always runs ALL queries regardless of order.
+# the first 50 registered queries per round. Round-3 rotation CONVERGES the
+# coverage debt: all 47 queries that have never had a driver row (every
+# round-2 registry_pipeline addition past slot 50) plus the three slots the
+# round-2 verdict earmarked — the two repaired reds (`conditional_agg_returns`
+# oracle decimal/hugeint casts, `approx_sketches` scalar p50/p95 columns) and
+# `events_ewma`, whose list_reduce-fold oracle was added in r2 but rotated out
+# before the driver ever saw it. After this round, every one of the 142
+# registered queries has a recorded driver verdict across r1 ∪ r2 ∪ r3.
+# Local scripts/selfcheck.py always runs ALL queries regardless of order.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "denormalized_orders",
-    "pricing_summary",
-    "salted_group_agg",
-    "streaming_window_counts",
-    "search_bm25_scored",
-    "neardup_minhash_lsh",
-    "rollup_status_priority",
-    "pivot_event_types",
-    "running_totals",
-    "event_gaps",
-    "daily_event_stats",
-    "value_percentiles",
-    "set_ops_customers",
-    "cube_status_priority",
-    "generic_table_sync",
-    "window_rank_family",
-    "fuzzy_match",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "events_time_range",
-    "events_asof_order",
-    "events_range_join_prior",
-    "q4_order_priority",
-    "q10_returned_revenue",
-    "parts_above_type_avg",
-    "having_frequent_pairs",
+    # -- repaired round-2 reds + never-driver-confirmed oracle -------------
     "conditional_agg_returns",
-    "distinct_counts_by_flag",
-    "regex_extract_docs",
-    "date_arith_orders",
-    "streaming_dedup_keys",
     "approx_sketches",
-    "word_count",
-    "top_words_per_doc",
-    "grouping_sets_events",
-    "deterministic_sample",
-    "unpivot_lineitem_metrics",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "range_frame_hourly",
-    "string_functions_family",
-    "gap_filled_daily_counts",
-    "map_functions_events",
-    "window_value_family",
-    "sliding_window_counts",
-    "dedup_clusters_jaccard",
-    "doc_chunks",
-    "pack_token_budget",
-    "pii_redaction",
-    "stratified_sample_langs",
+    "events_ewma",
+    # -- the 47 never-driver-checked queries, registration order ----------
+    "history_asof_read",
+    "streaming_click_attribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_brand_revenue",
+    "streaming_enriched_counts",
+    "streaming_stateful_totals",
+    "batch_sessionization",
+    "funnel_conversion",
+    "cohort_retention",
+    "embed_quantize_int8",
+    "incremental_sync_events",
+    "leakage_safe_split",
+    "text_repetition",
+    "array_functions_docs",
+    "corpus_composition",
+    "gdpr_delete_sync",
+    "corpus_prep_stats",
+    "multimodal_frame_sample",
+    "text_cosine_pairs",
+    "data_quality_audit",
+    "late_data_profile",
+    "value_histogram",
+    "value_outliers_mad",
+    "event_transition_matrix",
+    "revenue_share_by_segment",
+    "key_skew_report",
+    "join_explosion_estimate",
+    "snapshot_diff",
+    "wow_growth",
+    "weighted_sample_docs",
+    "rag_context_assembly",
+    "dedup_keep_canonical",
+    "orders_revenue_7d_ma",
+    "curriculum_deciles",
+    "mixture_rebalance_rates",
+    "rfm_segmentation",
+    "doc_keywords",
+    "events_hourly_heatmap",
+    "events_anomaly_days",
+    "user_feature_table",
+    "lang_id_confusion",
+    "type_share_drift",
+    "chunk_level_dedup",
+    "char_trigram_profile",
+    "order_fanout_histogram",
+    "zipf_profile",
+    "value_seasonality_by_hour",
 ]
 
 

@@ -729,10 +729,11 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT vec_id, embedding,
-               CAST(127 AS DOUBLE) /
-                   list_max(list_transform(embedding,
-                                           x -> abs(CAST(x AS DOUBLE))))
-                   AS scale
+               coalesce(
+                   CAST(127 AS DOUBLE) /
+                       nullif(list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))), 0.0),
+                   1.0) AS scale
         FROM embeddings
     )
     SELECT vec_id, scale,

@@ -44,7 +44,7 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
             if r["value"] is not None
         ]
         vals.sort()
-        p50, p95 = a["value_p50_p95"]
+        p50, p95 = a["value_p50"], a["value_p95"]
         lo50, hi50 = vals[int(0.45 * len(vals))], vals[int(0.55 * len(vals))]
         lo95, hi95 = vals[int(0.90 * len(vals))], vals[
             min(len(vals) - 1, int(0.99 * len(vals)))

@@ -64,9 +64,10 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
 
 def test_ivf_training_samples_large_corpora(spark, sf_dir):
-    """With max_train below the corpus size, training fits on a seeded
-    Bernoulli sample (not the full scan) and still yields nlist usable
-    centroids feeding a complete k-per-query search result."""
+    """With max_train below the corpus size, training fits on the
+    layout-independent md5-prefix sample (not the full scan) and still
+    yields nlist usable centroids feeding a complete k-per-query search
+    result."""
     from sql_database_to_elastic_datalake_spark.operators.ivf import (
         train_ivf_centroids,
     )

@@ -176,6 +176,68 @@ def test_dedup_clusters_transitive_closure(spark):
     assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
+def test_dedup_clusters_string_ids(spark):
+    """Edge endpoints are cast to the NODES' id dtype — string-keyed
+    corpora (content hashes, URLs) must cluster, not silently collapse
+    to all-singletons through a NULLing long cast."""
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame(
+        [Row(doc_id=s) for s in ["alpha", "beta", "gamma", "delta"]]
+    )
+    pairs = spark.createDataFrame(
+        [Row(a="alpha", b="beta"), Row(a="beta", b="gamma")]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert out == {
+        "alpha": "alpha",
+        "beta": "alpha",
+        "gamma": "alpha",
+        "delta": "delta",
+    }
+
+
+def test_quantize_int8_zero_vector(spark):
+    """An all-zero embedding quantizes to scale=1.0 / q8 all zeros, not
+    Inf scale with NULL elements."""
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0]), Row(vec_id=2, embedding=[1.0, -2.0])]
+    )
+    out = {
+        r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()
+    }
+    assert out[1]["scale"] == 1.0 and out[1]["q8"] == [0, 0]
+    assert out[2]["scale"] == 63.5 and out[2]["q8"] == [64, -127]
+
+
+def test_count_duplicate_keys_composes(spark):
+    """count_duplicate_keys honors its (df, cols) signature and returns
+    0 (not NULL / AnalysisException) on a unique key."""
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=1), Row(k=2), Row(k=3)]
+    )
+    assert quality.count_duplicate_keys(df, ["k"]).collect()[0][
+        "n_duplicate_rows"
+    ] == 2
+    uniq = spark.createDataFrame([Row(k=1), Row(k=2)])
+    assert quality.count_duplicate_keys(uniq, ["k"]).collect()[0][
+        "n_duplicate_rows"
+    ] == 0
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     """A path graph is the diameter worst case for label propagation."""
     from pyspark.sql import Row
