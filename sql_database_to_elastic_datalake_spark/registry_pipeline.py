@@ -367,12 +367,15 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No SQL oracle: mapInPandas stub decode — driver records rows-only.
+# No SQL oracle: mapInPandas codec — driver records rows-only. The codec
+# itself is REAL (pure-Python P6/P5/WAV parse + pixel/sample stats over
+# deterministically synthesized payloads); exact decoded values are
+# asserted in tests/test_text_dedup_similarity.py.
 @register("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    with_bin = multimodal.to_binary_column(docs, "text")
-    return multimodal.decode_image_meta(with_bin)
+    media = multimodal.synthesize_media(docs)
+    return multimodal.decode_media_meta(media)
 
 
 # No SQL oracle: recursive sequential computation (EWMA) — rows-only.

@@ -147,17 +147,94 @@ def test_cosine_neardup_pairs(spark, emb):
 
 
 def test_multimodal_plumbing(spark, docs):
+    # Non-media payloads (raw text bytes) degrade to metadata-only rows.
     wb = multimodal.to_binary_column(docs, "text")
-    meta = {r["doc_id"]: r for r in multimodal.decode_image_meta(wb).collect()}
+    meta = {r["doc_id"]: r for r in multimodal.decode_media_meta(wb).collect()}
     assert meta[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
-    # identical payloads decode identically (deterministic stub)
-    assert (meta[1]["width"], meta[1]["height"]) == (meta[5]["width"], meta[5]["height"])
-    assert 16 <= meta[1]["width"] < 256 and 1 <= meta[1]["channels"] <= 4
+    assert meta[1]["format"] == "unknown" and meta[1]["width"] is None
 
     frames = multimodal.frame_sample_plan(
         spark.createDataFrame([Row(doc_id=1, n_frames=10)]), every_n=4
     ).collect()
     assert [r["frame_idx"] for r in frames] == [0, 4, 8]
+
+
+def test_codec_decodes_real_formats(spark):
+    """The codec is a real parser: handcrafted P6/P5/WAV payloads decode
+    to exact dimensions and pixel/sample statistics; corrupt payloads
+    quarantine as 'unknown' instead of failing the task."""
+    import struct
+
+    p6 = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    )
+    p5 = b"P5\n3 1\n255\n" + bytes([0, 100, 200])
+    samples = struct.pack("<4h", 1000, -1000, 2000, -2000)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    truncated = b"P6\n100 100\n255\n" + b"\x00" * 10
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(p6)),
+            Row(doc_id=2, payload=bytearray(p5)),
+            Row(doc_id=3, payload=bytearray(wav)),
+            Row(doc_id=4, payload=bytearray(truncated)),
+        ]
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_media_meta(df).collect()}
+    img = out[1]
+    assert (img["format"], img["width"], img["height"], img["channels"]) == (
+        "ppm", 2, 2, 3
+    )
+    assert img["mean_value"] == pytest.approx((255 * 3 + 10 + 20 + 30) / 12)
+    gray = out[2]
+    assert (gray["format"], gray["width"], gray["height"], gray["channels"]) == (
+        "pgm", 3, 1, 1
+    )
+    assert gray["mean_value"] == pytest.approx(100.0)
+    audio = out[3]
+    assert (audio["format"], audio["channels"], audio["sample_rate"]) == (
+        "wav", 2, 44100
+    )
+    assert audio["mean_value"] == pytest.approx(1500.0)
+    assert out[4]["format"] == "unknown" and out[4]["width"] is None
+
+
+def test_synthesize_then_decode_roundtrip(spark):
+    """synthesize_media payloads are real media: every round-robin kind
+    decodes under its own parser with the dimensions the synthesizer
+    chose, deterministically across partitionings."""
+    rows = [Row(doc_id=i, text=f"document number {i}") for i in range(9)]
+    df = spark.createDataFrame(rows)
+    media = multimodal.synthesize_media(df)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_media_meta(media).collect()
+    }
+    for i in range(9):
+        kind = i % 3
+        r = out[i]
+        if kind == 2:
+            assert r["format"] == "wav" and r["sample_rate"] == 8000
+            assert r["channels"] == 1 and r["mean_value"] is not None
+        else:
+            assert r["format"] == ("ppm" if kind == 1 else "pgm")
+            assert r["width"] == 4 + i % 5 and r["height"] == 3 + i % 4
+            assert r["channels"] == (3 if kind == 1 else 1)
+    # layout-independence: repartitioned input decodes identically
+    out2 = {
+        r["doc_id"]: r
+        for r in multimodal.decode_media_meta(
+            multimodal.synthesize_media(df.repartition(5))
+        ).collect()
+    }
+    assert all(out[i] == out2[i] for i in range(9))
 
 
 def test_dedup_clusters_transitive_closure(spark):
