@@ -157,6 +157,30 @@ def read_entity(
     return df
 
 
+def entity_query_sql(
+    table: str,
+    schema: str | None = "copy",
+    dialect: str = "postgresql",
+    soft_delete_col: str | None = "deletedAt",
+) -> str:
+    """The exact remote query a per-entity extraction issues — what
+    Spark's JDBC pushdown composes from ``dbtable`` + the soft-delete
+    filter (and what the reference hand-embeds per getter,
+    /root/reference/src/db_connector.py:135-223).
+
+    Golden-tested per dialect in ``tests/test_jdbc_dialect_golden.py``.
+    One deliberate divergence: the reference interpolates a hard-coded
+    ``"deletedAt"`` even for MySQL, where double quotes are *string*
+    delimiters under default sql_mode (the predicate silently compares
+    two strings and filters nothing); we quote the column per dialect.
+    """
+    dbtable = qualified_table(table, schema, dialect)
+    if not soft_delete_col:
+        return f"SELECT * FROM {dbtable}"
+    col = quote_identifier(soft_delete_col, dialect)
+    return f"SELECT * FROM {dbtable} WHERE {col} IS NULL"
+
+
 def resolve_table_schema(
     available: dict[str | None, set[str]],
     table: str,
