@@ -73,30 +73,43 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_scores_sql() -> tuple[str, str]:
-    """(score column defs, argmax CASE) for the lang-id oracle."""
+def _lang_scores_sql() -> tuple[str, str, str]:
+    """(ngram column def, score column defs, argmax CASE) for the
+    lang-id v2 oracle — the DuckDB twin of
+    :func:`operators.text.lang_id` (Cavnar–Trenkle profile overlap over
+    1/2/3-char grams, min_hits=2, alphabetical tie-break)."""
+    grams = (
+        "list_distinct(list_concat(list_concat("
+        "list_transform(range(1, length(t)+1), i -> substr(t, i, 1)), "
+        "list_transform(range(1, length(t)), i -> substr(t, i, 2))), "
+        "list_transform(range(1, length(t)-1), i -> substr(t, i, 3))))"
+        " AS grams"
+    )
     score_defs = []
-    for lang in sorted(text.LANG_MARKERS):
-        markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    for lang in sorted(text.LANG_NGRAM_PROFILES):
+        profile = ", ".join(f"'{g}'" for g in text.LANG_NGRAM_PROFILES[lang])
         score_defs.append(
-            f"len(list_filter({_TOKENS}, x -> list_contains([{markers}], x)))"
-            f" AS s_{lang}"
+            f"len(list_intersect(grams, [{profile}])) AS s_{lang}"
         )
-    langs = sorted(text.LANG_MARKERS)
+    langs = sorted(text.LANG_NGRAM_PROFILES)
     greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
-    case = f"CASE WHEN {greatest} < 1 THEN 'und' "
+    case = f"CASE WHEN {greatest} < 2 THEN 'und' "
     for l in langs:
         case += f"WHEN s_{l} = {greatest} THEN '{l}' "
     case += "END"
-    return ", ".join(score_defs), case
+    return grams, ", ".join(score_defs), case
 
 
-_SCORE_DEFS, _ARGMAX = _lang_scores_sql()
+_GRAMS_DEF, _SCORE_DEFS, _ARGMAX = _lang_scores_sql()
 
 @register(
     "text_lang_id",
     oracle=f"""
-    WITH scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM documents)
+    WITH g AS (
+        SELECT doc_id, lang, {_GRAMS_DEF}
+        FROM (SELECT doc_id, lang, coalesce(lower(text), '') AS t
+              FROM documents)
+    ), scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM g)
     SELECT doc_id, lang AS labeled_lang, {_ARGMAX} AS predicted_lang
     FROM scored
     """,
@@ -2093,17 +2106,22 @@ def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Model-eval tooling: confusion matrix of the lang-id heuristic against
+# Model-eval tooling: confusion matrix of the lang-id classifier against
 # the labeled language. (On this synthetic corpus all languages draw
-# from one token pool, so the marker heuristic collapses to 'en' —
-# exactly the kind of failure a confusion matrix exists to surface;
-# tests/test_text_dedup_similarity.py shows it working on real-ish text.)
+# from one shared token pool, so NO classifier can beat the majority
+# class — the matrix surfaces exactly that ceiling; the real-text
+# differential in tests/test_text_dedup_similarity.py is where the
+# trigram-profile v2 demonstrably beats the v1 marker heuristic.)
 # ---------------------------------------------------------------------------
 
 @register(
     "lang_id_confusion",
     oracle=f"""
-    WITH scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM documents),
+    WITH g AS (
+        SELECT doc_id, lang, {_GRAMS_DEF}
+        FROM (SELECT doc_id, lang, coalesce(lower(text), '') AS t
+              FROM documents)
+    ), scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM g),
     pred AS (
         SELECT doc_id, lang AS labeled, {_ARGMAX} AS predicted FROM scored
     )

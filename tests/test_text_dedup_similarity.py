@@ -44,6 +44,41 @@ def test_lang_id_and_quality(spark, docs):
     assert 0.0 <= got[4]["q"] <= got[1]["q"] <= 1.0
 
 
+def test_lang_id_trigram_beats_markers(spark):
+    """v2 (character n-gram profiles) vs v1 (five marker words per
+    language) on real-ish text. Marker-free snippets — short sentences
+    whose signal is morphology, not closed-class words — are exactly
+    where v1 returns 'und'; v2 must classify them correctly and lose
+    nothing on the cases v1 already gets right."""
+    rows = [
+        # v1-solvable (contains marker words) — v2 must not regress
+        Row(lang="en", text="the cat is on the roof of the house"),
+        Row(lang="de", text="der hund und die katze sind im garten"),
+        Row(lang="es", text="el perro es muy grande y la casa es bonita"),
+        # marker-free — v1 is blind here
+        Row(lang="de", text="ich gehe schnell nach hause"),
+        Row(lang="fr", text="nous avons mangé une pomme rouge"),
+        Row(lang="es", text="queremos comprar una bicicleta"),
+        Row(lang="zh", text="我们在中国学习和工作"),
+        # genuinely undetermined — both must say 'und'
+        Row(lang="und", text="zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "lang",
+        "text",
+        text.lang_id("text").alias("v2"),
+        text.lang_id_markers("text").alias("v1"),
+    ).collect()
+    acc_v1 = sum(r["v1"] == r["lang"] for r in out)
+    acc_v2 = sum(r["v2"] == r["lang"] for r in out)
+    assert acc_v2 == len(rows), [(r["lang"], r["v2"]) for r in out]
+    assert acc_v2 > acc_v1
+    # the marker tier is blind to every marker-free snippet
+    blind = [r for r in out if r["lang"] in ("fr", "zh")]
+    assert all(r["v1"] == "und" for r in blind)
+
+
 def test_fingerprint_normalization_invariance(spark, docs):
     out = {r["doc_id"]: r["fp"] for r in docs.select(
         "doc_id", text.fingerprint("text").alias("fp")).collect()}
