@@ -2828,8 +2828,12 @@ def gap_filled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_val,
-           2 AS n_keys,
-           concat('k,type') AS keys_sorted
+           CAST(len(list_sort(list_concat(
+               coalesce(json_keys(props), []), ['type']))) AS INTEGER)
+               AS n_keys,
+           array_to_string(list_sort(list_concat(
+               coalesce(json_keys(props), []), ['type'])), ',')
+               AS keys_sorted
     FROM events
     """,
 )
@@ -2838,10 +2842,14 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapType, enriched with a typed pair, then element_at / cardinality /
     sorted map_keys. Maps are the schema-on-read answer for ragged
     per-row attributes where a struct would force a global schema.
+    NULL/unparseable props coalesce to an empty map before the enrich,
+    so schema-on-read stays total; the oracle derives keys from the JSON
+    (json_keys) rather than hard-coding the corpus shape.
     """
     ev = load_table(spark, sf_dir, "events")
+    empty = F.create_map().cast("map<string,string>")
     m = F.map_concat(
-        F.from_json(F.col("props"), "map<string,string>"),
+        F.coalesce(F.from_json(F.col("props"), "map<string,string>"), empty),
         F.create_map(F.lit("type"), F.col("event_type")),
     )
     return ev.select(

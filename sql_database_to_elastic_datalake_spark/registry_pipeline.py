@@ -632,11 +632,14 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id,
+               -- || not concat(): DuckDB's concat SKIPS NULL arguments
+               -- while Spark's propagates them; || is NULL-propagating
+               -- in both engines, so a NULL text stays NULL end-to-end.
                CASE WHEN doc_id % 5 = 0
-                    THEN concat(text, ' contact user',
-                                CAST(doc_id AS VARCHAR),
-                                '@example.com or 555-867-530',
-                                CAST(doc_id % 10 AS VARCHAR))
+                    THEN text || ' contact user' ||
+                         CAST(doc_id AS VARCHAR) ||
+                         '@example.com or 555-867-530' ||
+                         CAST(doc_id % 10 AS VARCHAR)
                     ELSE text END AS text
         FROM documents
     )

@@ -1,0 +1,157 @@
+"""NULL-injection differential: engine parity beyond the harness corpus.
+
+The driver's testdata contains zero NULLs, so the oracle gate never
+exercises NULL semantics — but a 100 TB lake will (nullable sources,
+failed upstream extracts, optional fields). This module derives a
+NULL-injected copy of the lake and re-runs a representative slice of
+registered queries against their own DuckDB oracles over the SAME
+derived files: any engine-divergent NULL behavior (Spark vs DuckDB
+function semantics, e.g. DuckDB ``concat`` skipping NULL args where
+Spark propagates) shows up as a value mismatch here long before a real
+corpus finds it.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: Queries re-checked over the NULL-injected lake. Chosen to cover the
+#: text family (NULL text/lang), the events family (NULL value/props),
+#: and the hashing/sampling operators whose determinism story must
+#: survive NULL keys. Quadratic pair-verifiers and streaming queries are
+#: exercised elsewhere; this gate is about scalar NULL semantics.
+CHECKED = (
+    "text_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "dedup_exact",
+    "word_count",
+    "group_count",
+    "value_histogram",
+    "conditional_agg_returns",
+    "lang_id_confusion",
+    "corpus_composition",
+    "text_repetition",
+    "chunk_level_dedup",
+    "json_extract",
+    "map_functions_events",
+    "doc_chunks",
+    "pii_redaction",
+    "stratified_sample_langs",
+    "corpus_prep_stats",
+    "mixture_rebalance_rates",
+)
+
+
+@pytest.fixture(scope="module")
+def null_lake(tmp_path_factory):
+    """sf0.001 lake with deterministic NULL injection: ~9% NULL text,
+    ~8% NULL lang, ~14% NULL value, ~6% NULL props."""
+    d = str(tmp_path_factory.mktemp("null_lake"))
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 3 THEN NULL ELSE text END AS text,
+            CASE WHEN doc_id % 13 = 5 THEN NULL ELSE lang END AS lang,
+            source, n_chars
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+    TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 7 = 2 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 17 = 4 THEN NULL ELSE props END AS props
+          FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+    TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in TABLES:
+        if t in ("documents", "events"):
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet("
+            f"'/root/testdata/sf0.001/{t}.parquet')) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_con(null_lake):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{null_lake}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(
+        drop=True
+    )
+
+
+def _assert_frames_equal(name: str, sp: pd.DataFrame, oc: pd.DataFrame):
+    assert list(sp.columns) == list(oc.columns), (
+        f"{name}: columns {list(sp.columns)} vs {list(oc.columns)}"
+    )
+    assert len(sp) == len(oc), f"{name}: rows {len(sp)} vs {len(oc)}"
+    for c in sp.columns:
+        a, b = sp[c], oc[c]
+        if np.issubdtype(np.asarray(a).dtype, np.floating) or np.issubdtype(
+            np.asarray(b).dtype, np.floating
+        ):
+            a2 = pd.to_numeric(a, errors="coerce").to_numpy(float)
+            b2 = pd.to_numeric(b, errors="coerce").to_numpy(float)
+            same = (a2 == b2) | (np.isnan(a2) & np.isnan(b2))
+        else:
+            sa = a.astype(object).where(a.notna(), "\0")
+            sb = b.astype(object).where(b.notna(), "\0")
+            same = sa.eq(sb).to_numpy()
+        if not same.all():
+            i = int(np.argmin(same))
+            raise AssertionError(
+                f"{name}.{c} row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+            )
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_null_injected_differential(spark, null_lake, oracle_con, name):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sp = _canon(qs[name](spark, null_lake).toPandas())
+        oc = _canon(oracle_con.execute(osql[name]).df())
+    assert len(sp) > 0, f"{name}: empty result defeats the purpose"
+    _assert_frames_equal(name, sp, oc)
+
+
+def test_null_lake_actually_has_nulls(spark, null_lake):
+    """Guard the fixture: if the injection rates drift to zero the whole
+    module silently tests nothing."""
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    docs = load_table(spark, null_lake, "documents")
+    ev = load_table(spark, null_lake, "events")
+    assert docs.filter("text IS NULL").count() > 10
+    assert docs.filter("lang IS NULL").count() > 10
+    assert ev.filter("value IS NULL").count() > 100
+    assert ev.filter("props IS NULL").count() > 50
