@@ -1450,14 +1450,19 @@ def generic_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
            cume_dist() OVER w AS cdist
     FROM events
     WHERE user_id < 5
-    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    -- NULLS FIRST is explicit: Spark's ASC default is nulls-first,
+    -- DuckDB's is nulls-last — on a nullable sort key the engines
+    -- silently disagree unless the ordering names it.
+    WINDOW w AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
     """,
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     return ev.select(
         "event_id",
         "user_id",

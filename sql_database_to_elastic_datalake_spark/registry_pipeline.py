@@ -399,9 +399,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with one rounding per op, and a list_reduce left fold replicates it
     # bit-for-bit (IEEE addition is commutative; s₁ = x₁ both sides).
     # The per-prefix fold is O(n²) per key — oracle-scale only.
+    # NULL policy: EWMA is defined over OBSERVED values — NULLs are
+    # filtered identically on both sides (pandas ewm's NaN handling and
+    # a NULL-poisoned SQL fold disagree otherwise).
     oracle="""
     WITH f AS (
-        SELECT user_id, event_id, ts, value FROM events WHERE user_id < 20
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE user_id < 20 AND value IS NOT NULL
     ), seq AS (
         SELECT user_id,
                list(value ORDER BY ts, event_id) AS xs,
@@ -421,7 +425,9 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_per_key,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & F.col("value").isNotNull()
+    )
     return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3, id_col="event_id")
 
 
@@ -1823,7 +1829,9 @@ def orders_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(ntile(10) OVER (
-               ORDER BY len(regexp_split_to_array(trim(text), '\\s+')), doc_id
+               ORDER BY CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END, doc_id
            ) AS BIGINT) AS decile
     FROM documents
     """,
@@ -1832,11 +1840,16 @@ def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: decile assignment by document length (the
     easy→hard proxy), unique-keyed tie-break so the buckets are
     deterministic. ntile distributes remainders to the leading buckets
-    identically in both engines."""
+    identically in both engines. NULL text counts as length 0 in BOTH
+    engines — without the explicit rule, Spark's size() returns -1 for
+    NULL (legacy sizeOfNull) while DuckDB's len() returns NULL and sorts
+    last: opposite ends of the ordering."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = F.when(
+        F.col("text").isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
     w = Window.orderBy(n_tokens, F.col("doc_id"))
     return docs.select(
         "doc_id", F.ntile(10).over(w).cast("bigint").alias("decile")

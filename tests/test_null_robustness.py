@@ -53,6 +53,18 @@ CHECKED = (
     "stratified_sample_langs",
     "corpus_prep_stats",
     "mixture_rebalance_rates",
+    # NULL-ordering / NULL-recurrence classes (each found divergent by
+    # this gate in round 3 and fixed: explicit NULLS FIRST, length-0
+    # rule for NULL text, observed-values EWMA)
+    "window_rank_family",
+    "curriculum_deciles",
+    "events_ewma",
+    "window_value_family",
+    "top3_events_per_user",
+    "value_percentiles",
+    "running_totals",
+    "pivot_event_types",
+    "daily_event_stats",
 )
 
 
@@ -104,6 +116,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and df[c].map(
+            lambda v: v is None or hasattr(v, "toordinal"), na_action=None
+        ).all() and df[c].notna().any():
+            # Spark DATE columns arrive as datetime.date objects while
+            # DuckDB's arrive as datetime64 — normalize both
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True
     )
