@@ -163,27 +163,56 @@ def lang_scores_ngram(col: Column | str) -> dict[str, Column]:
     With equal-size profiles this argmax is exactly the cosine argmax
     over presence vectors (see LANG_NGRAM_PROFILES). Integer scores keep
     the differential oracle bit-exact.
+
+    Computed as substring tests, NOT by materializing the document's
+    n-gram set: ``g ∈ ngrams(doc) ⟺ contains(doc, g)`` for any gram of
+    the profile sizes, so the overlap is |{g ∈ P : contains(doc, g)}| —
+    100 JVM substring searches per row instead of building and
+    intersecting a ~3·len-element array. The tests are summed as plain
+    int casts rather than a higher-order ``filter`` over a literal
+    array: lambda functions fall out of whole-stage codegen, and the
+    measured difference at sf0.1 is 0.45 s (this shape) vs 4 s (HOF)
+    vs 12 s (materialized n-gram arrays). Equivalence to the literal
+    set-intersection definition is pinned by
+    ``test_lang_scores_contains_equals_ngram_intersection``.
     """
-    grams = char_ngrams(col)
+    low = F.coalesce(
+        F.lower((F.col(col) if isinstance(col, str) else col).cast("string")),
+        F.lit(""),
+    )
+
+    def overlap(profile: tuple[str, ...]) -> Column:
+        terms = [F.contains(low, F.lit(g)).cast("int") for g in profile]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
+
     return {
-        lang: F.size(
-            F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
-        )
+        lang: overlap(profile)
         for lang, profile in LANG_NGRAM_PROFILES.items()
     }
 
 
 def _argmax_lang(scores: dict[str, Column], min_hits: int) -> Column:
-    best = F.lit("und")
-    best_score = F.lit(min_hits - 1)
-    # alphabetical iteration + strict '>' ⇒ the alphabetically-first
-    # language wins ties (later candidates must strictly beat it).
-    for lang in sorted(scores):
-        s = scores[lang]
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    # array_max over (score, reverse-rank, lang) structs: lexicographic
+    # struct comparison gives argmax-by-score with the
+    # alphabetically-FIRST language winning ties (higher reverse rank).
+    # Crucially each score expression appears in the plan ONCE — the
+    # chained-when formulation embedded every score inside every later
+    # when, blowing the generated code past the JIT limit (codegen
+    # compile failure → interpreted eval → ~10× slower).
+    langs = sorted(scores)
+    entries = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(len(langs) - 1 - i).alias("r"),
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] < min_hits, F.lit("und")).otherwise(best["l"])
 
 
 def lang_id(col: Column | str, min_hits: int = 2) -> Column:

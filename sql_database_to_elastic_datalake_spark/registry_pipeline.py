@@ -73,23 +73,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_scores_sql() -> tuple[str, str, str]:
-    """(ngram column def, score column defs, argmax CASE) for the
-    lang-id v2 oracle — the DuckDB twin of
-    :func:`operators.text.lang_id` (Cavnar–Trenkle profile overlap over
-    1/2/3-char grams, min_hits=2, alphabetical tie-break)."""
-    grams = (
-        "list_distinct(list_concat(list_concat("
-        "list_transform(range(1, length(t)+1), i -> substr(t, i, 1)), "
-        "list_transform(range(1, length(t)), i -> substr(t, i, 2))), "
-        "list_transform(range(1, length(t)-1), i -> substr(t, i, 3))))"
-        " AS grams"
-    )
+def _lang_scores_sql() -> tuple[str, str]:
+    """(score column defs, argmax CASE) for the lang-id v2 oracle — the
+    DuckDB twin of :func:`operators.text.lang_id` (Cavnar–Trenkle
+    profile overlap over 1/2/3-char grams, min_hits=2, alphabetical
+    tie-break). Overlap is computed as substring-presence tests, exactly
+    mirroring the Spark side: g ∈ ngrams(doc) ⟺ contains(doc, g)."""
     score_defs = []
     for lang in sorted(text.LANG_NGRAM_PROFILES):
         profile = ", ".join(f"'{g}'" for g in text.LANG_NGRAM_PROFILES[lang])
         score_defs.append(
-            f"len(list_intersect(grams, [{profile}])) AS s_{lang}"
+            f"len(list_filter([{profile}], g -> contains(t, g))) AS s_{lang}"
         )
     langs = sorted(text.LANG_NGRAM_PROFILES)
     greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
@@ -97,18 +91,17 @@ def _lang_scores_sql() -> tuple[str, str, str]:
     for l in langs:
         case += f"WHEN s_{l} = {greatest} THEN '{l}' "
     case += "END"
-    return grams, ", ".join(score_defs), case
+    return ", ".join(score_defs), case
 
 
-_GRAMS_DEF, _SCORE_DEFS, _ARGMAX = _lang_scores_sql()
+_SCORE_DEFS, _ARGMAX = _lang_scores_sql()
 
 @register(
     "text_lang_id",
     oracle=f"""
     WITH g AS (
-        SELECT doc_id, lang, {_GRAMS_DEF}
-        FROM (SELECT doc_id, lang, coalesce(lower(text), '') AS t
-              FROM documents)
+        SELECT doc_id, lang, coalesce(lower(text), '') AS t
+        FROM documents
     ), scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM g)
     SELECT doc_id, lang AS labeled_lang, {_ARGMAX} AS predicted_lang
     FROM scored
@@ -2134,9 +2127,8 @@ def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_id_confusion",
     oracle=f"""
     WITH g AS (
-        SELECT doc_id, lang, {_GRAMS_DEF}
-        FROM (SELECT doc_id, lang, coalesce(lower(text), '') AS t
-              FROM documents)
+        SELECT doc_id, lang, coalesce(lower(text), '') AS t
+        FROM documents
     ), scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM g),
     pred AS (
         SELECT doc_id, lang AS labeled, {_ARGMAX} AS predicted FROM scored

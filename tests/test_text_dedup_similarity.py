@@ -79,6 +79,33 @@ def test_lang_id_trigram_beats_markers(spark):
     assert all(r["v1"] == "und" for r in blind)
 
 
+def test_lang_scores_contains_equals_ngram_intersection(spark, docs):
+    """The fast path computes profile overlap as substring tests; this
+    pins its equivalence to the literal definition
+    |ngrams(doc) ∩ profile| via the explicit char_ngrams set."""
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        LANG_NGRAM_PROFILES,
+        char_ngrams,
+        lang_scores_ngram,
+    )
+
+    fast = lang_scores_ngram("text")
+    grams = char_ngrams("text")
+    slow = {
+        lang: F.size(
+            F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
+        )
+        for lang, profile in LANG_NGRAM_PROFILES.items()
+    }
+    out = docs.select(
+        *[fast[l].alias(f"f_{l}") for l in sorted(fast)],
+        *[slow[l].alias(f"s_{l}") for l in sorted(slow)],
+    ).collect()
+    for r in out:
+        for lang in LANG_NGRAM_PROFILES:
+            assert r[f"f_{lang}"] == r[f"s_{lang}"]
+
+
 def test_fingerprint_normalization_invariance(spark, docs):
     out = {r["doc_id"]: r["fp"] for r in docs.select(
         "doc_id", text.fingerprint("text").alias("fp")).collect()}
