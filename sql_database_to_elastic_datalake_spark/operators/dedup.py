@@ -62,20 +62,35 @@ def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 1
 ) -> DataFrame:
     """Distinct lowercase word n-gram shingles per document, exploded to
-    (id, shingle) rows."""
+    (id, shingle) rows.
+
+    The token array is MATERIALIZED in its own projection before the
+    sliding window runs: referencing the raw ``split(...)`` expression
+    from inside the window lambda makes every ``element_at`` re-split
+    the document — O(len²) tokenizations per row (measured: 13 s vs
+    <2 s for 5k docs at sf0.1).
+    """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
     if n == 1:
-        sh = toks
+        sh = F.col("__toks")
     else:
-        # sliding window join of n consecutive tokens
-        sh = F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda _, i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        t = F.col("__toks")
+        # sliding window of n consecutive tokens; explicit emptiness
+        # guard because sequence(1, 0) counts DOWN in Spark
+        sh = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        base.select(
+            F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+        )
         .distinct()
     )
 

@@ -49,6 +49,12 @@ _DEFAULT_CONF = {
     # files pack less tightly — compaction is the right fix there, not a
     # coarser open cost.
     "spark.sql.files.openCostInBytes": str(512 * 1024),
+    # Heap for sessions THIS engine creates (bench/selfcheck/CLI): the
+    # local-mode default of 1g is sized for toy examples — a single
+    # quadratic-verifier demo at sf0.1 OOMs it. Static conf: only takes
+    # effect at JVM launch; on an externally created session (the driver
+    # harness's) it is a silent no-op, which is the desired behavior.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
