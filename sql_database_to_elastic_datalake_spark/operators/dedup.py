@@ -233,46 +233,70 @@ def minhash_lsh_neardup(
 # SimHash (hamming-distance near-dup)
 # ---------------------------------------------------------------------------
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per document from md5-derived per-token values.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``bits``-bit SimHash per document from md5-derived shingle values.
 
-    Each distinct token hashes to a 16-bit value (first 4 md5 hex
-    chars); bit i of the SimHash is 1 iff the sum over tokens of
-    (±1 per token's bit i) is positive.
+    Each distinct word ``shingle_n``-gram hashes to a ``bits``-bit value
+    (the first bits/4 md5 hex chars); bit i of the SimHash is 1 iff the
+    sum over shingles of (±1 per shingle's bit i) is positive.
+
+    Defaults are the working tier, sized by measurement: at 16 bits a
+    corpus of a few thousand docs saturates the hash space (every 4-bit
+    pigeonhole chunk collides at rate 1/16 → candidate generation
+    degenerates toward all-pairs), and over unigram bags a
+    shared-vocabulary corpus gives unrelated docs similar bit sums —
+    1.57M hamming≤3 "pairs" from 5k docs. 32 bits over 3-gram shingles
+    keeps both the hash space and the feature space discriminative.
     """
-    sh = word_shingles(df, id_col, text_col, n=1)
+    assert bits % 4 == 0 and bits <= 60, "bits must be a hex multiple ≤60"
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
     tokval = sh.withColumn(
         "v",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("int"),
+        F.conv(
+            F.substring(F.md5(F.col("shingle")), 1, bits // 4), 16, 10
+        ).cast("long"),
     )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s_{i}")
-        for i in range(16)
+        for i in range(bits)
     ]
     sums = tokval.groupBy(id_col).agg(*bit_sums)
-    sim = F.lit(0)
-    for i in range(16):
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
         sim = sim + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sums.select(F.col(id_col), sim.cast("int").alias("simhash"))
+    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit unigram SimHash (toy tier — see :func:`simhash` for why
+    32 bits over 3-gram shingles is the working configuration)."""
+    return simhash(df, id_col, text_col, bits=16, shingle_n=1)
 
 
 def simhash_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int = 3
+    hashes: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:
     """Pairs within hamming distance ≤ d via pigeonhole banding.
 
-    The 16-bit hash splits into d+1 chunks; any pair within distance d
-    agrees on at least one chunk — each chunk is a join bucket, unioned,
-    then the true hamming distance filters false positives.
+    The ``bits``-bit hash splits into d+1 chunks; any pair within
+    distance d agrees on at least one chunk — each chunk is a join
+    bucket, unioned, then the true hamming distance filters false
+    positives.
     """
     chunks = max_hamming + 1
-    width = 16 // chunks
+    width = bits // chunks
     parts = []
     for cidx in range(chunks):
         shift = cidx * width
-        w = width + (16 - chunks * width if cidx == chunks - 1 else 0)
+        w = width + (bits - chunks * width if cidx == chunks - 1 else 0)
         mask = (1 << w) - 1
         chunk = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
         parts.append(

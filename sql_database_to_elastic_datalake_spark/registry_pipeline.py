@@ -256,20 +256,20 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(max_hamming: int) -> str:
+def _simhash_oracle(max_hamming: int, bits: int = 32) -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
-        for i in range(16)
+        for i in range(bits)
     )
     sim_expr = " + ".join(
-        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
     )
     chunks = max_hamming + 1
-    width = 16 // chunks
+    width = bits // chunks
     chunk_joins = []
     for c in range(chunks):
         shift = c * width
-        w = width + (16 - chunks * width if c == chunks - 1 else 0)
+        w = width + (bits - chunks * width if c == chunks - 1 else 0)
         mask = (1 << w) - 1
         chunk_joins.append(
             f"SELECT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb "
@@ -278,22 +278,28 @@ def _simhash_oracle(max_hamming: int) -> str:
         )
     cand = "\nUNION\n".join(chunk_joins)
     return f"""
-    WITH tok AS ({_DS}),
-    tv AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS v
-           FROM tok),
+    WITH {_SHINGLE3_JACCARD_CTE},
+    tv AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(w), 1, {bits // 4})) AS BIGINT) AS v
+           FROM tok3),
     sums AS (SELECT doc_id, {bit_sums} FROM tv GROUP BY doc_id),
-    sh AS (SELECT doc_id, CAST({sim_expr} AS INTEGER) AS simhash FROM sums),
+    sh AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums),
     cand AS ({cand})
     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     """
 
 
+# 32-bit hashes over 3-gram shingles: at 16 bits a few thousand docs
+# saturate the space (pigeonhole chunks collide at 1/16), and unigram
+# bags over a shared vocabulary give unrelated docs similar bit sums —
+# candidate generation degenerates toward all-pairs both ways (see
+# operators.dedup.simhash for the measurements).
 @register("simhash_hamming_pairs", oracle=_simhash_oracle(max_hamming=3))
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hashes = dedup.simhash16(docs, "doc_id", "text")
-    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3)
+    hashes = dedup.simhash(docs, "doc_id", "text", bits=32, shingle_n=3)
+    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3, bits=32)
 
 
 # ---------------------------------------------------------------------------

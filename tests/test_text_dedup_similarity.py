@@ -166,13 +166,30 @@ def test_word_shingles_ngram(spark):
 
 
 def test_simhash_identical_and_pairs(spark, docs):
-    hashes = dedup.simhash16(docs, "doc_id", "text")
-    hv = {r["doc_id"]: r["simhash"] for r in hashes.collect()}
-    assert hv[1] == hv[5]
-    assert 0 <= hv[1] < (1 << 16)
-    pairs = dedup.simhash_pairs(hashes, "doc_id", max_hamming=0).collect()
-    assert {(r["a"], r["b"]) for r in pairs} >= {(1, 5)}
-    assert all(r["hamming"] == 0 for r in pairs if (r["a"], r["b"]) == (1, 5))
+    for bits in (16, 32):
+        hashes = dedup.simhash(docs, "doc_id", "text", bits=bits)
+        hv = {r["doc_id"]: r["simhash"] for r in hashes.collect()}
+        assert hv[1] == hv[5]
+        assert 0 <= hv[1] < (1 << bits)
+        pairs = dedup.simhash_pairs(
+            hashes, "doc_id", max_hamming=0, bits=bits
+        ).collect()
+        assert {(r["a"], r["b"]) for r in pairs} >= {(1, 5)}
+        assert all(
+            r["hamming"] == 0 for r in pairs if (r["a"], r["b"]) == (1, 5)
+        )
+    # the legacy 16-bit entry point stays wired to the same math
+    legacy = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash16(docs, "doc_id", "text").collect()
+    }
+    narrow = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(
+            docs, "doc_id", "text", bits=16, shingle_n=1
+        ).collect()
+    }
+    assert legacy == narrow
 
 
 @pytest.fixture(scope="module")
