@@ -100,7 +100,10 @@ def main() -> None:
             ),
         )
         .groupBy("r_name")
-        .agg(F.count("*"), F.collect_set("n_name"))
+        # max("rn") keeps the row_number column REFERENCED: an unused
+        # window column gets pruned along with its Window operator, and
+        # the warm-up would silently stop warming window exec/codegen
+        .agg(F.count("*"), F.collect_set("n_name"), F.max("rn"))
         .write.format("noop").mode("overwrite").save()
     )
 

@@ -7,9 +7,12 @@ type: 'list'` — the `approx_sketches` r2 failure class). Registry
 convention: checked queries emit scalar columns only (serialize arrays
 with `array_join`, structs with explicit field projection).
 
-Schema inspection is analysis-only (no job runs), so this audits all
-queries in seconds. Exit 1 if any query with an oracle — or any query
-at all, with --strict — has a complex-typed output column.
+Schema inspection is analysis-only for plain batch queries, but NOT for
+every registered query: the streaming family materializes an
+availableNow run to a memory sink at construction time, and the ML-tier
+queries (IVF) fit their models — so a full audit runs real jobs and
+takes a few minutes at sf0.001. Exit 1 if any query with an oracle — or
+any query at all, with --strict — has a complex-typed output column.
 
 Usage: python scripts/schema_audit.py [--strict] [sf_dir]
 """

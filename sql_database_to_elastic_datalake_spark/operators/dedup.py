@@ -282,7 +282,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32
+    hashes: DataFrame, id_col: str, max_hamming: int, bits: int
 ) -> DataFrame:
     """Pairs within hamming distance ≤ d via pigeonhole banding.
 
@@ -290,6 +290,12 @@ def simhash_pairs(
     distance d agrees on at least one chunk — each chunk is a join
     bucket, unioned, then the true hamming distance filters false
     positives.
+
+    ``bits`` is REQUIRED and must match the width the hashes were built
+    with: chunking 16-bit hashes as 32-bit makes the two high chunks
+    zero for every document, so every pair collides there and candidate
+    generation silently degenerates to all-pairs — the exact quadratic
+    blow-up this operator exists to avoid.
     """
     chunks = max_hamming + 1
     width = bits // chunks

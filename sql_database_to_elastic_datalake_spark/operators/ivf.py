@@ -105,7 +105,9 @@ def ivf_search(
     """
     import numpy as np
 
-    model = train_ivf_centroids(embeddings, nlist=nlist, seed=seed, vec_col=vec_col)
+    model = train_ivf_centroids(
+        embeddings, nlist=nlist, seed=seed, vec_col=vec_col, id_col=id_col
+    )
     base = assign_cells(with_sq_norm(embeddings, vec_col), model, vec_col)
 
     # nprobe cell ids per query, computed on the driver against the tiny

@@ -205,7 +205,11 @@ def _argmax_lang(scores: dict[str, Column], min_hits: int) -> Column:
     langs = sorted(scores)
     entries = [
         F.struct(
-            scores[lang].alias("s"),
+            # NULL scores (NULL input text) must read as 0, not poison
+            # the struct comparison: an un-coalesced NULL makes
+            # best.s < min_hits NULL → the when() falls through and
+            # returns an arbitrary language instead of 'und'.
+            F.coalesce(scores[lang], F.lit(0)).alias("s"),
             F.lit(len(langs) - 1 - i).alias("r"),
             F.lit(lang).alias("l"),
         )

@@ -79,3 +79,27 @@ def test_ivf_training_samples_large_corpora(spark, sf_dir):
     assert sum(model.summary.clusterSizes) < n  # trained on a strict subset
     rows = ivf_search(emb, [0, 1], k=2, nlist=4, nprobe=4, seed=7).collect()
     assert len(rows) == 4
+
+
+def test_ivf_training_respects_custom_id_col(spark, sf_dir):
+    """The md5-prefix sampling draws on the caller's id column — a
+    hard-coded 'vec_id' reference would crash (UNRESOLVED_COLUMN) for
+    any corpus keyed differently, but only once n > max_train triggers
+    the sample, which small-corpus tests never hit."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    n = emb.count()
+    model = train_ivf_centroids(
+        emb, nlist=4, seed=7, max_train=max(8, n // 4), id_col="doc_id"
+    )
+    assert len(model.clusterCenters()) == 4
+    assert sum(model.summary.clusterSizes) < n
+    rows = ivf_search(
+        emb, [0, 1], k=2, nlist=4, nprobe=4, seed=7, id_col="doc_id"
+    ).collect()
+    assert len(rows) == 4

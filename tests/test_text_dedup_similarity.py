@@ -106,6 +106,25 @@ def test_lang_scores_contains_equals_ngram_intersection(spark, docs):
             assert r[f"f_{lang}"] == r[f"s_{lang}"]
 
 
+def test_lang_id_null_text_is_und(spark):
+    """Both classifier tiers must call NULL text 'und' — an un-coalesced
+    NULL score poisons the argmax struct comparison and returned an
+    arbitrary language (observed: 'de') before the guard."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="the cat is here")]
+    )
+    out = {
+        r["doc_id"]: (r["v2"], r["v1"])
+        for r in df.select(
+            "doc_id",
+            text.lang_id("text").alias("v2"),
+            text.lang_id_markers("text").alias("v1"),
+        ).collect()
+    }
+    assert out[1] == ("und", "und")
+    assert out[2][0] == "en" and out[2][1] == "en"
+
+
 def test_fingerprint_normalization_invariance(spark, docs):
     out = {r["doc_id"]: r["fp"] for r in docs.select(
         "doc_id", text.fingerprint("text").alias("fp")).collect()}
