@@ -12,8 +12,8 @@ Supported node types (the surface the reference's README documents plus
 the standard leaves needed to express them):
 
   ``term / terms / range / match / match_phrase / prefix / wildcard /
-  exists / ids / match_all / multi_match / bool(must, filter, should,
-  must_not, minimum_should_match) / nested``
+  regexp / fuzzy / exists / ids / match_all / multi_match / bool(must,
+  filter, should, must_not, minimum_should_match) / nested``
 
 Semantics notes (documented divergences from Elasticsearch):
   * ``match`` tokenizes on non-alphanumerics, lowercases, and requires
@@ -167,6 +167,24 @@ def compile_dsl(
     if kind == "wildcard":
         field, value = _field_value(body)
         return col(field).cast("string").like(_wildcard_to_like(str(value)))
+
+    if kind == "regexp":
+        # ES regexp queries anchor to the WHOLE field value (Lucene
+        # semantics), unlike rlike's substring search — wrap in ^$.
+        field, value = _field_value(body)
+        return col(field).cast("string").rlike(f"^(?:{value})$")
+
+    if kind == "fuzzy":
+        field, value = _field_value(body)
+        spec = body[field] if isinstance(body[field], dict) else {}
+        fuzziness = spec.get("fuzziness", "AUTO")
+        if fuzziness == "AUTO":
+            # ES AUTO: 0 edits for length ≤2, 1 for 3-5, else 2
+            n = len(str(value))
+            fuzziness = 0 if n <= 2 else (1 if n <= 5 else 2)
+        return F.levenshtein(
+            F.lower(col(field).cast("string")), F.lit(str(value).lower())
+        ) <= int(fuzziness)
 
     if kind == "match":
         field, value = _field_value(body, value_key="query")

@@ -55,6 +55,19 @@ def test_match_family(docs):
     assert run(docs, {"multi_match": {"query": "b", "fields": ["kind", "txt"]}}) == [2]
 
 
+def test_regexp_fuzzy(docs):
+    # regexp anchors to the whole value (Lucene semantics), so a bare
+    # fragment must NOT match mid-string without explicit .*
+    assert run(docs, {"regexp": {"kind": "a|b"}}) == [1, 2, 3]
+    assert run(docs, {"regexp": {"txt": "spark.*"}}) == [4]
+    assert run(docs, {"regexp": {"txt": "spark"}}) == []
+    # fuzzy: AUTO fuzziness for a 5-char term allows 1 edit
+    assert run(docs, {"fuzzy": {"kind": "a"}}) == [1, 3]  # 0 edits (len<=2)
+    assert run(
+        docs, {"fuzzy": {"txt": {"value": "slow pandas losp", "fuzziness": 2}}}
+    ) == [2]
+
+
 def test_bool_nesting(docs):
     dsl = {
         "bool": {
