@@ -305,15 +305,16 @@ def simhash_pairs(
         w = width + (bits - chunks * width if cidx == chunks - 1 else 0)
         mask = (1 << w) - 1
         chunk = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
-        parts.append(
-            hashes.select(
-                F.col(id_col), F.col("simhash"), F.lit(cidx).alias("ck"),
-                chunk.alias("cv"),
-            )
-        )
-    keyed = parts[0]
-    for p in parts[1:]:
-        keyed = keyed.unionByName(p)
+        parts.append(F.struct(F.lit(cidx).alias("ck"), chunk.alias("cv")))
+    # One explode instead of a (d+1)-way union: the union form re-plans
+    # the upstream simhash aggregation once per chunk per join side —
+    # 2(d+1) copies of the shingle→groupBy subtree — while the explode
+    # keys every chunk off a single pass.
+    keyed = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*parts)).alias("__c"),
+    ).select(id_col, "simhash", F.col("__c.ck").alias("ck"), F.col("__c.cv").alias("cv"))
     left = keyed.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "ck", "cv"
     )
