@@ -64,7 +64,7 @@ DESC = {
     "search_nested_labels": "ES nested-document query",
     "search_hits_envelope": "ES hits envelope (total + top hits)",
     "text_stats": "Token counts, punctuation/stopword ratios, quality score",
-    "text_lang_id": "Marker-list language identification",
+    "text_lang_id": "Character n-gram profile language ID (Cavnar-Trenkle)",
     "text_fingerprint": "Normalized content fingerprint (md5)",
     "dedup_exact": "Exact dedup by content hash (keep min id)",
     "neardup_jaccard": "Exact n-gram Jaccard near-dup pairs (verifier tier)",

@@ -58,12 +58,20 @@ def train_ivf_centroids(
 
     n = embeddings.count()
     if n > max_train:
-        # slight oversample so the floor of the hash draw stays ≥nlist
+        # slight oversample so the floor of the hash draw stays ≥nlist.
+        # 12 hex chars = 2^48 buckets: at 48 bits the integer threshold
+        # rounds the fraction to within 2^-48 relative error, so the
+        # draw neither floors to an EMPTY training set nor materially
+        # undershoots max_train even at trillions of rows (a 4-hex /
+        # 65536-bucket draw would floor to zero once 1.05*max_train/n
+        # < 1/65536 — i.e. at the multi-billion-row scale this module
+        # exists for).
         fraction = min(1.0, 1.05 * max_train / n)
+        space = 1 << 48
         bucket = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-        ).cast("int")
-        embeddings = embeddings.filter(bucket < int(fraction * 65536))
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        embeddings = embeddings.filter(bucket < max(1, round(fraction * space)))
     train = embeddings.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

@@ -177,14 +177,10 @@ def compile_dsl(
     if kind == "fuzzy":
         field, value = _field_value(body)
         spec = body[field] if isinstance(body[field], dict) else {}
-        fuzziness = spec.get("fuzziness", "AUTO")
-        if fuzziness == "AUTO":
-            # ES AUTO: 0 edits for length ≤2, 1 for 3-5, else 2
-            n = len(str(value))
-            fuzziness = 0 if n <= 2 else (1 if n <= 5 else 2)
+        fuzziness = _max_edits(spec.get("fuzziness", "AUTO"), str(value))
         return F.levenshtein(
             F.lower(col(field).cast("string")), F.lit(str(value).lower())
-        ) <= int(fuzziness)
+        ) <= fuzziness
 
     if kind == "match":
         field, value = _field_value(body, value_key="query")
@@ -253,6 +249,30 @@ def compile_dsl(
         return acc
 
     raise DslError(f"unsupported query kind: {kind}")
+
+
+def _max_edits(fuzziness, term: str) -> int:
+    """Resolve an ES ``fuzziness`` spec to a max edit distance.
+
+    Accepts an integer, a numeric string, ``"AUTO"`` (ES ladder: 0
+    edits for term length ≤2, 1 for 3-5, else 2), or the documented
+    ``"AUTO:low,high"`` form (0 edits below ``low``, 1 below ``high``,
+    else 2). Anything else raises :class:`DslError` — the module's
+    contract for rejecting malformed user queries.
+    """
+    if isinstance(fuzziness, str) and fuzziness.upper().startswith("AUTO"):
+        low, high = 3, 6
+        if len(fuzziness) > 4:
+            m = re.fullmatch(r"AUTO:(\d+),(\d+)", fuzziness, re.IGNORECASE)
+            if not m:
+                raise DslError(f"malformed fuzziness {fuzziness!r}")
+            low, high = int(m.group(1)), int(m.group(2))
+        n = len(term)
+        return 0 if n < low else (1 if n < high else 2)
+    try:
+        return int(fuzziness)
+    except (TypeError, ValueError):
+        raise DslError(f"malformed fuzziness {fuzziness!r}") from None
 
 
 def _as_list(v) -> list:

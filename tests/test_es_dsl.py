@@ -66,6 +66,24 @@ def test_regexp_fuzzy(docs):
     assert run(
         docs, {"fuzzy": {"txt": {"value": "slow pandas losp", "fuzziness": 2}}}
     ) == [2]
+    # documented AUTO:low,high form: plain AUTO gives a 1-char term 0
+    # edits ([2] only), AUTO:1,20 gives it 1 edit so "a" matches too
+    assert run(docs, {"fuzzy": {"kind": {"value": "b", "fuzziness": "AUTO"}}}) == [2]
+    assert run(
+        docs, {"fuzzy": {"kind": {"value": "b", "fuzziness": "AUTO:1,20"}}}
+    ) == [1, 2, 3]
+    # malformed fuzziness must surface as DslError (the module's
+    # reject-bad-user-query contract), not a raw ValueError
+    import pytest as _pytest
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+        compile_dsl,
+    )
+
+    with _pytest.raises(DslError):
+        compile_dsl({"fuzzy": {"kind": {"value": "a", "fuzziness": "AUTO:x"}}})
+    with _pytest.raises(DslError):
+        compile_dsl({"fuzzy": {"kind": {"value": "a", "fuzziness": "two"}}})
 
 
 def test_bool_nesting(docs):
