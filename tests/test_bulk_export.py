@@ -79,6 +79,31 @@ def test_write_shards_are_valid_bulk_bodies(docs, spark, tmp_path):
     assert sorted(seen) == ["1", "2", "3"]
 
 
+def test_framing_survives_adversarial_text(spark):
+    """Framing depends on to_json escaping every newline-ish byte; feed
+    it the worst strings a corpus can contain and re-parse the body."""
+    nasty = [
+        "\n\n\n",
+        "\r\nwindows\r\n",
+        'quote " backslash \\ slash /',
+        "tab\tnull-ish\x00ctrl\x1b",
+        "unicode:     séparateur émoji 🙂",
+        '{"fake": "json"}\n{"index": {"_index": "evil"}}',
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(nasty)]
+    )
+    body = "\n".join(
+        r["value"] for r in bulk_action_lines(df, "x", "doc_id").collect()
+    )
+    pairs = _parse_pairs(body.split("\n"))
+    assert len(pairs) == len(nasty)
+    got = {int(p[0]["index"]["_id"]): p[1].get("text") for p in pairs}
+    for i, t in enumerate(nasty):
+        assert got[i] == t
+
+
 def test_create_index_body(docs):
     body = json.loads(create_index_body(docs, text_cols=("text",)))
     props = body["mappings"]["properties"]
