@@ -50,12 +50,26 @@ def bulk_action_lines(
     df: DataFrame, index_name: str, id_col: str
 ) -> DataFrame:
     """One ``value: string`` row per document holding its two bulk
-    lines (action header + source), ready for ``.write.text``."""
+    lines (action header + source), ready for ``.write.text``.
+
+    A NULL id fails the job loudly (``raise_error``): silently emitting
+    an action without ``_id`` would make ES auto-generate one, so the
+    document loses its identity and every re-export duplicates it —
+    and whether the NULL is dropped or serialized as ``"_id": null``
+    would otherwise depend on the session's
+    ``spark.sql.jsonGenerator.ignoreNullFields``.
+    """
+    id_str = F.col(id_col).cast("string")
+    checked_id = F.when(id_str.isNotNull(), id_str).otherwise(
+        F.raise_error(
+            F.lit(f"bulk export: NULL {id_col} cannot be a document _id")
+        )
+    )
     action = F.to_json(
         F.struct(
             F.struct(
                 F.lit(index_name).alias("_index"),
-                F.col(id_col).cast("string").alias("_id"),
+                checked_id.alias("_id"),
             ).alias("index")
         )
     )
@@ -73,16 +87,21 @@ def write_bulk_ndjson(
     id_col: str,
     actions_per_file: int = 1000,
     compression: str | None = None,
+    mode: str = "error",
 ) -> None:
     """Write ``df`` as ES bulk request bodies under ``path``.
 
     Each emitted file holds at most ``actions_per_file`` actions (the
     reference's ``batch_size``) and is a complete, valid ``_bulk``
-    payload (trailing newline included by the text writer).
+    payload (trailing newline included by the text writer). ``mode``
+    follows the DataFrameWriter contract and defaults to
+    ``error`` — destroying an existing export requires an explicit
+    ``mode="overwrite"``, same as :func:`sinks.writer.write_lake`'s
+    caller-chosen modes.
     """
     writer = (
         bulk_action_lines(df, index_name, id_col)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .option("maxRecordsPerFile", actions_per_file)
     )
     if compression:

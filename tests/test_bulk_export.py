@@ -104,6 +104,23 @@ def test_framing_survives_adversarial_text(spark):
         assert got[i] == t
 
 
+def test_null_id_fails_loudly(spark):
+    """A NULL _id must fail the job, not emit an id-less action that ES
+    would auto-id (identity loss + duplicate docs on re-export)."""
+    df = spark.createDataFrame([(None, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        bulk_action_lines(df, "x", "doc_id").collect()
+
+
+def test_write_mode_defaults_to_error(docs, tmp_path):
+    out = str(tmp_path / "bulk_once")
+    write_bulk_ndjson(docs, out, "lake_docs", "doc_id")
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        write_bulk_ndjson(docs, out, "lake_docs", "doc_id")
+    # explicit opt-in replaces
+    write_bulk_ndjson(docs, out, "lake_docs", "doc_id", mode="overwrite")
+
+
 def test_create_index_body(docs):
     body = json.loads(create_index_body(docs, text_cols=("text",)))
     props = body["mappings"]["properties"]

@@ -74,7 +74,47 @@ def test_csv_split_and_header(spark, tmp_path):
     rows = {r["doc_id"]: r for r in good.collect()}
     assert set(rows) == {1, 2}
     assert rows[2]["lang"] is None
-    assert [r[RAW_COL] for r in bad.collect()] == ["zz,de,1.0"]
+    assert [(r[RAW_COL], r[REASON_COL]) for r in bad.collect()] == [
+        ("zz,de,1.0", "malformed csv")
+    ]
+
+
+def test_csv_embedded_newline_fragments_quarantined(spark, tmp_path):
+    """An RFC-4180 record with a quoted embedded newline splits into
+    two physical lines; BOTH must quarantine (odd quote count), never
+    land in the good frame with a silently truncated field. Escaped
+    ("" doubled) quotes stay even-counted and parse fine."""
+    p = tmp_path / "nl.csv"
+    p.write_text('1,"hello\nworld",0.5\n2,"ok ""quoted"" value",1.0\n')
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_lines(spark, str(p), sch, header=False)
+    assert [tuple(r) for r in good.collect()] == [(2, 'ok "quoted" value', 1.0)]
+    assert sorted((r[RAW_COL], r[REASON_COL]) for r in bad.collect()) == [
+        ('1,"hello', "unbalanced quotes"),
+        ('world",0.5', "unbalanced quotes"),
+    ]
+
+
+def test_csv_quoted_field_names(spark, tmp_path):
+    """Field names needing DDL quoting work in the CSV reader too
+    (schema goes through toDDL, not lossy simpleString)."""
+    p = tmp_path / "q.csv"
+    p.write_text("1,x\n")
+    sch = T.StructType(
+        [
+            T.StructField("doc id", T.LongType()),
+            T.StructField("lang:tag", T.StringType()),
+        ]
+    )
+    good, bad = read_csv_lines(spark, str(p), sch, header=False)
+    assert [tuple(r) for r in good.collect()] == [(1, "x")]
+    assert bad.count() == 0
 
 
 def test_corrupt_name_collision_rejected(spark, tmp_path):
