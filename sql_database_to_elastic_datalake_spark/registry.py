@@ -841,12 +841,12 @@ def search_dsl_should_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(
-             (length(lower(text)) - length(replace(lower(text), 'spark', '')))
+             (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'spark', '')))
                / CAST(5 AS DOUBLE)
-           + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
+           + (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'merge', '')))
                / CAST(5 AS DOUBLE) AS DOUBLE) AS score
     FROM documents
-    WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%merge%'
+    WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%spark%' OR lower(replace(text, 'İ', 'i̇')) LIKE '%merge%'
     ORDER BY score DESC, doc_id ASC
     LIMIT 20
     """,
@@ -875,9 +875,9 @@ def search_multimatch_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
         SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dli,
-               (length(lower(text)) - length(replace(lower(text), 'spark', ''))) / CAST(5 AS DOUBLE) AS occ0,
-               (length(lower(text)) - length(replace(lower(text), 'merge', ''))) / CAST(5 AS DOUBLE) AS occ1
+               CAST(len(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS BIGINT) AS dli,
+               (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'spark', ''))) / CAST(5 AS DOUBLE) AS occ0,
+               (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'merge', ''))) / CAST(5 AS DOUBLE) AS occ1
         FROM documents
     ), stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1002,11 +1002,11 @@ def search_nested_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, total
     FROM (
         SELECT doc_id, lang FROM documents
-        WHERE lower(text) LIKE '%vector%'
+        WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%vector%'
         ORDER BY doc_id LIMIT 10
     )
     CROSS JOIN (
-        SELECT COUNT(*) AS total FROM documents WHERE lower(text) LIKE '%vector%'
+        SELECT COUNT(*) AS total FROM documents WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%vector%'
     )
     """,
 )

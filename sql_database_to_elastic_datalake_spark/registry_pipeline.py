@@ -19,9 +19,9 @@ from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
 
 # shared SQL fragments -------------------------------------------------------
 
-_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+_TOKENS = "string_split_regex(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')"
 _DS = (
-    "SELECT DISTINCT doc_id, regexp_split_to_table(trim(lower(text)), '\\s+') AS w "
+    "SELECT DISTINCT doc_id, regexp_split_to_table(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS w "
     "FROM documents"
 )
 
@@ -100,7 +100,7 @@ _SCORE_DEFS, _ARGMAX = _lang_scores_sql()
     "text_lang_id",
     oracle=f"""
     WITH g AS (
-        SELECT doc_id, lang, coalesce(lower(text), '') AS t
+        SELECT doc_id, lang, coalesce(lower(replace(text, 'İ', 'i̇')), '') AS t
         FROM documents
     ), scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM g)
     SELECT doc_id, lang AS labeled_lang, {_ARGMAX} AS predicted_lang
@@ -121,7 +121,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(
-               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               regexp_replace(lower(replace(text, 'İ', 'i̇')), '[^a-z0-9\\s]', '', 'g'),
                '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
@@ -187,7 +187,7 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate count) drops to ~the true near-dup rate.
 _SHINGLE3_JACCARD_CTE = """
     tarr AS (SELECT doc_id,
-                    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS toks
              FROM documents),
     tok3 AS (
         SELECT DISTINCT doc_id,
@@ -895,7 +895,7 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     oracle="""
     WITH tokf AS (
-        SELECT doc_id, regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+        SELECT doc_id, regexp_split_to_table(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS w
         FROM documents
     ), freq AS (
         SELECT doc_id, w, COUNT(*) AS c FROM tokf GROUP BY doc_id, w
@@ -940,7 +940,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_docs",
     oracle="""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS toks
         FROM documents
     )
     SELECT doc_id,
@@ -1188,7 +1188,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tf AS (
         SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id,
-                     regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+                     regexp_split_to_table(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS w
               FROM documents)
         GROUP BY doc_id, w
     ), norms AS (
@@ -1991,7 +1991,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tf AS (
         SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id,
-                     regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+                     regexp_split_to_table(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS w
               FROM documents)
         GROUP BY 1, 2
     ), df AS (
@@ -2172,7 +2172,7 @@ def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_id_confusion",
     oracle=f"""
     WITH g AS (
-        SELECT doc_id, lang, coalesce(lower(text), '') AS t
+        SELECT doc_id, lang, coalesce(lower(replace(text, 'İ', 'i̇')), '') AS t
         FROM documents
     ), scored AS (SELECT doc_id, lang, {_SCORE_DEFS} FROM g),
     pred AS (
@@ -2290,11 +2290,15 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "char_trigram_profile",
     oracle="""
-    WITH tri AS (
-        SELECT lang, substr(lower(text), i, 3) AS tg
-        FROM documents,
-             LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) r
-        WHERE length(text) >= 3
+    WITH folded AS (
+        -- case-fold FIRST, then measure: İ folds to i+U+0307 (one char
+        -- longer), so offsets must range over the folded string
+        SELECT lang, lower(replace(text, 'İ', 'i̇')) AS t FROM documents
+    ), tri AS (
+        SELECT lang, substr(t, i, 3) AS tg
+        FROM folded,
+             LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) r
+        WHERE length(t) >= 3
     ), counts AS (
         SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1, 2
     )
@@ -2312,8 +2316,9 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploding a sequence of ints and substr-ing per row stays entirely
     # inside whole-stage codegen.
     tri = (
-        docs.filter(F.length("text") >= 3)
-        .select("lang", F.lower(F.col("text")).alias("t"))
+        docs.select("lang", F.lower(F.col("text")).alias("t"))
+        # filter on the FOLDED length (lower can lengthen: İ → i+̇)
+        .filter(F.length("t") >= 3)
         .select(
             "lang",
             "t",
@@ -2363,7 +2368,7 @@ def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wc AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-        FROM (SELECT regexp_split_to_table(trim(lower(text)), '\\s+') AS w
+        FROM (SELECT regexp_split_to_table(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS w
               FROM documents)
         GROUP BY 1
     )
