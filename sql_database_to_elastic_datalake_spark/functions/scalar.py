@@ -26,6 +26,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def finite_or_null(col: str | Column) -> Column:
+    """The value when it is an ordinary number, NULL for NaN/±Inf.
+
+    Engine policy (found by the degenerate-values differential gate): a
+    corrupted lake WILL contain nonfinite doubles, and Spark and DuckDB
+    disagree on them everywhere it matters — Spark silently clamps
+    ``cast(inf as bigint)`` where DuckDB errors, and NaN takes different
+    positions in the two engines' percentile orderings. Numeric
+    reductions in this repo are therefore defined over FINITE values:
+    wrap the measure column in this helper (SQL mirror:
+    ``CASE WHEN isfinite(value) THEN value END``) so nonfinite inputs
+    drop out of sums/percentiles/buckets as NULLs instead of poisoning
+    them engine-dependently. NULL-safe: NULL stays NULL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+
+
 def content_hash(cols: Sequence[str | Column], sep: str = "|") -> Column:
     """Deterministic MD5 content id over the given columns.
 

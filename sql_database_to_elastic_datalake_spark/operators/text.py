@@ -100,10 +100,20 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) ->
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are neither alphanumeric nor space."""
+    """Fraction of characters that are neither alphanumeric nor space.
+
+    Empty text is 0.0 by definition — under Spark 4's default ANSI mode
+    the unguarded ``/ length(c)`` makes ONE zero-length document throw
+    DIVIDE_BY_ZERO and kill the whole job (found by the degenerate-lake
+    differential gate).
+    """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
     stripped = F.regexp_replace(c, r"[^A-Za-z0-9\s]", "")
-    return ((F.length(c) - F.length(stripped)) / F.length(c)).cast("double")
+    return (
+        F.when(F.length(c) == 0, F.lit(0.0))
+        .otherwise((F.length(c) - F.length(stripped)) / F.length(c))
+        .cast("double")
+    )
 
 
 def quality_score(col: Column | str) -> Column:

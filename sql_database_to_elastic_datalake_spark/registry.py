@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from sql_database_to_elastic_datalake_spark.functions.scalar import (
     content_hash,
     document_id,
+    finite_or_null,
     json_get,
 )
 from sql_database_to_elastic_datalake_spark.operators import denormalize
@@ -1041,7 +1042,8 @@ _STREAM_SEQ = iter(range(1_000_000))
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                         AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1268,11 +1270,15 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_totals",
     oracle="""
     SELECT user_id, event_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           -- finite-values policy (docs in functions/scalar.py:
+           -- finite_or_null): nonfinite -> NULL, excluded from SUM
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                         AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
            ) AS DECIMAL(38,2)) AS window_sum,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                         AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING
            ) AS DECIMAL(38,2)) AS running_sum
@@ -1283,7 +1289,7 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
-    dec = F.col("value").cast("decimal(18,2)")
+    dec = finite_or_null("value").cast("decimal(18,2)")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     moving = w_order.rowsBetween(-6, 0)
     running = w_order.rowsBetween(Window.unboundedPreceding, 0)
@@ -1322,7 +1328,8 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            dayofweek(ts) AS dow,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                         AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1335,7 +1342,7 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(finite_or_null("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("sum_value"),
         )
@@ -1346,16 +1353,16 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles",
     oracle="""
     SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5) AS p50,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.9) AS p90
     FROM events GROUP BY event_type
     """,
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
-        F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+        F.percentile(finite_or_null("value"), F.lit(0.5)).alias("p50"),
+        F.percentile(finite_or_null("value"), F.lit(0.9)).alias("p90"),
     )
 
 

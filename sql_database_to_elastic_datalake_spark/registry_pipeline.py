@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_database_to_elastic_datalake_spark.functions.scalar import finite_or_null
 from sql_database_to_elastic_datalake_spark.operators import dedup, multimodal, similarity, text
 from sql_database_to_elastic_datalake_spark.registry import register
 from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
@@ -39,9 +40,11 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
            len({_TOKENS}) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
                AS bpe_tokens,
-           CAST((length(text) -
+           -- empty text -> 0.0 (ANSI div-by-zero guard, both engines)
+           CAST(CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) -
                  length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-                / length(text) AS DOUBLE) AS punct_ratio,
+                / length(text) END AS DOUBLE) AS punct_ratio,
            CAST(len(list_filter({_TOKENS},
                      x -> list_contains([{_STOP_LIST}], x)))
                 / len({_TOKENS}) AS DOUBLE) AS stop_ratio,
@@ -50,9 +53,11 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
            -- Spark's all-double arithmetic
            CAST(CAST(0.5 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
                     len({_TOKENS}) / CAST(64.0 AS DOUBLE))
-              + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - (length(text) -
+              + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+                    CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE (length(text) -
                     length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-                    / length(text))
+                    / length(text) END)
               -- parens matter: Spark computes 10*(cnt/n), not (10*cnt)/n
               + CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
                     CAST(10.0 AS DOUBLE) * (len(list_filter({_TOKENS},
@@ -443,7 +448,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (
         SELECT user_id, event_id, ts, value FROM events
-        WHERE user_id < 20 AND value IS NOT NULL
+        WHERE user_id < 20 AND value IS NOT NULL AND isfinite(value)
     ), seq AS (
         SELECT user_id,
                list(value ORDER BY ts, event_id) AS xs,
@@ -464,7 +469,7 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").filter(
-        (F.col("user_id") < 20) & F.col("value").isNotNull()
+        (F.col("user_id") < 20) & finite_or_null("value").isNotNull()
     )
     return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3, id_col="event_id")
 
@@ -1363,14 +1368,25 @@ def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_histogram",
     oracle="""
-    SELECT CAST(LEAST(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+    SELECT CASE WHEN isfinite(value)
+                THEN CAST(LEAST(floor(value / 25.0), 19) AS BIGINT)
+           END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1
     """,
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bucket = F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(19))
+    # finite-values policy (functions/scalar.py:finite_or_null): Spark
+    # silently clamps floor(inf)/cast where DuckDB errors; nonfinite
+    # values land in the NULL "unbucketable" group alongside NULLs
+    fin = finite_or_null("value")
+    # when() (not least()) carries the NULL through: both engines'
+    # least() IGNORES NULL args, which would silently bucket nonfinite
+    # rows as 19
+    bucket = F.when(
+        fin.isNotNull(), F.least(F.floor(fin / F.lit(25.0)), F.lit(19))
+    )
     return (
         ev.select(bucket.cast("bigint").alias("bucket"))
         .groupBy("bucket")

@@ -1,0 +1,126 @@
+"""Degenerate-values differential: NaN/±Inf/-0.0 and empty-text parity.
+
+Third gate in the injected-lake family (NULL, unicode, and now
+degenerate values). The harness corpus has finite values and non-empty
+text everywhere, so the oracle gate never exercises the classic
+engine-divergence traps: NaN ordering (Spark sorts NaN above +Inf and
+groups NaN==NaN; DuckDB's total order must agree), signed zero
+grouping/equality, IEEE ±Inf flowing through SUM/AVG/percentiles, and
+zero-length / whitespace-only documents hitting tokenizers and
+length-normalized ratios. A derived lake injects each class
+deterministically and re-runs the value and text families against
+their own oracles over the SAME files.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from tests.test_null_robustness import TABLES, _assert_frames_equal, _canon
+
+#: Value family (NaN/Inf/-0.0 flow through aggs, windows, histograms)
+#: + text family (empty / whitespace-only docs hit tokenizers and
+#: ratio denominators). Rows-only and quadratic demos out of scope.
+CHECKED = (
+    # value family
+    "group_count",
+    "value_histogram",
+    "value_percentiles",
+    "running_totals",
+    "daily_event_stats",
+    "pivot_event_types",
+    "window_value_family",
+    "window_rank_family",
+    "top3_events_per_user",
+    "events_ewma",
+    "latest_event_per_key",
+    "distinct_counts_by_flag",
+    # text family over empty/whitespace docs
+    "text_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "word_count",
+    "doc_chunks",
+    "pack_token_budget",
+    "dedup_exact",
+    "chunk_level_dedup",
+    "corpus_prep_stats",
+    "curriculum_deciles",
+)
+
+
+@pytest.fixture(scope="module")
+def degen_lake(tmp_path_factory):
+    """sf0.001 lake with deterministic degenerate injection:
+    events.value gets NaN (~1/13), +Inf (~1/17), -Inf (~1/19) and
+    -0.0 (~1/23); documents.text gets '' (~1/11) and whitespace-only
+    (~1/12)."""
+    d = str(tmp_path_factory.mktemp("degen_lake"))
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 13 = 3 THEN CAST('nan' AS DOUBLE)
+                 WHEN event_id % 17 = 5 THEN CAST('inf' AS DOUBLE)
+                 WHEN event_id % 19 = 7 THEN CAST('-inf' AS DOUBLE)
+                 WHEN event_id % 23 = 9 THEN CAST(-0.0 AS DOUBLE)
+                 ELSE value END AS value,
+            props
+          FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+    TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 4 THEN ''
+                 WHEN doc_id % 12 = 6 THEN '   \t  '
+                 ELSE text END AS text,
+            lang, source, n_chars
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+    TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    for t in TABLES:
+        if t in ("events", "documents"):
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet("
+            f"'/root/testdata/sf0.001/{t}.parquet')) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_con(degen_lake):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degen_lake}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_degenerate_injected_differential(spark, degen_lake, oracle_con, name):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sp = _canon(qs[name](spark, degen_lake).toPandas())
+        oc = _canon(oracle_con.execute(osql[name]).df())
+    assert len(sp) > 0, f"{name}: empty result defeats the purpose"
+    _assert_frames_equal(name, sp, oc)
+
+
+def test_degen_lake_actually_degenerate(spark, degen_lake):
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    ev = load_table(spark, degen_lake, "events")
+    assert ev.filter("isnan(value)").count() > 50
+    assert ev.filter("value = double('inf')").count() > 30
+    assert ev.filter("value = double('-inf')").count() > 30
+    docs = load_table(spark, degen_lake, "documents")
+    assert docs.filter("text = ''").count() > 10
+    assert docs.filter(r"text rlike '^\\s+$'").count() > 10
