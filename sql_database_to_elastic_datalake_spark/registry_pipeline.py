@@ -493,8 +493,7 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_clean",
     oracle=f"""
-    WITH {{jaccard_cte}},
-    quality AS (
+    WITH quality AS (
         SELECT doc_id, lang FROM documents
         WHERE len({_TOKENS}) >= 20 AND lang = 'en'
     ),
@@ -504,25 +503,50 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id IN (SELECT doc_id FROM quality)
         GROUP BY md5(coalesce(text, chr(0)))
     ),
+    tarr AS (SELECT doc_id,
+                    regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS toks
+             FROM documents
+             WHERE doc_id IN (SELECT doc_id FROM exact_keep)),
+    tok3 AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS w
+        FROM tarr,
+             LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 0) + 1))
+                      AS i) r
+    ),
+    sz3 AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY doc_id),
+    inter3 AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM tok3 x JOIN tok3 y ON x.w = y.w AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
     neardup_drop AS (
-        SELECT DISTINCT j.b AS doc_id
-        FROM jac j
-        WHERE j.jaccard >= 0.9
-          AND j.a IN (SELECT doc_id FROM exact_keep)
-          AND j.b IN (SELECT doc_id FROM exact_keep)
+        SELECT DISTINCT i3.b AS doc_id
+        FROM inter3 i3
+        JOIN sz3 sa ON sa.doc_id = i3.a
+        JOIN sz3 sb ON sb.doc_id = i3.b
+        WHERE CAST(i3.i / (sa.n + sb.n - i3.i) AS DOUBLE) >= 0.9
     )
     SELECT doc_id FROM exact_keep
     WHERE doc_id NOT IN (SELECT doc_id FROM neardup_drop)
-    """.replace("{jaccard_cte}", _JACCARD_CTE),
+    """,
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline: quality gate -> exact dedup ->
+    near-dup drop -> surviving ids. The near-dup stage verifies exact
+    Jaccard >= 0.9 over word-3-GRAM shingle sets: sequences, not
+    vocabularies, must match for a shingle to collide, so the
+    shared-shingle candidate join stays ~linear where the unigram basis
+    degenerates toward all-pairs over a shared vocabulary (measured
+    17.8 s -> ~2 s at sf0.1; same blow-up class the MinHash banding fix
+    documented in ROUND3_NOTES.md)."""
     docs = load_table(spark, sf_dir, "documents")
     quality = docs.filter(
         (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
     )
     kept_exact = dedup.exact_dedup(quality, ["text"], "doc_id").select("doc_id")
     surviving = quality.join(kept_exact, "doc_id", "left_semi")
-    sh = dedup.word_shingles(surviving, "doc_id", "text", n=1)
+    sh = dedup.word_shingles(surviving, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     return surviving.join(drop, "doc_id", "left_anti").select("doc_id")
