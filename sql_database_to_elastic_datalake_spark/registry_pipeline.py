@@ -789,11 +789,11 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters_jaccard",
     oracle=f"""
-    WITH RECURSIVE {_JACCARD_CTE},
+    WITH RECURSIVE {_SHINGLE3_JACCARD_CTE},
     edges AS (
-        SELECT a, b FROM jac WHERE jaccard >= 0.9
+        SELECT a, b FROM jac3 WHERE jaccard >= 0.9
         UNION
-        SELECT b, a FROM jac WHERE jaccard >= 0.9
+        SELECT b, a FROM jac3 WHERE jaccard >= 0.9
     ),
     nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
     reach AS (
@@ -806,7 +806,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     return dedup.dedup_clusters(docs, pairs, "doc_id")
 
@@ -882,11 +882,11 @@ def incremental_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "leakage_safe_split",
     oracle=f"""
-    WITH RECURSIVE {_JACCARD_CTE},
+    WITH RECURSIVE {_SHINGLE3_JACCARD_CTE},
     edges AS (
-        SELECT a, b FROM jac WHERE jaccard >= 0.9
+        SELECT a, b FROM jac3 WHERE jaccard >= 0.9
         UNION
-        SELECT b, a FROM jac WHERE jaccard >= 0.9
+        SELECT b, a FROM jac3 WHERE jaccard >= 0.9
     ),
     nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
     reach AS (
@@ -910,7 +910,7 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
     return leakage_safe_split(docs, clusters, "doc_id")
@@ -1076,7 +1076,7 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_prep_stats",
     oracle=f"""
-    WITH RECURSIVE {_JACCARD_CTE},
+    WITH RECURSIVE {_SHINGLE3_JACCARD_CTE},
     quality AS (
         SELECT doc_id, text FROM documents
         WHERE len({_TOKENS}) >= 20 AND lang = 'en'
@@ -1086,7 +1086,7 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY md5(coalesce(text, chr(0)))
     ),
     neardup_drop AS (
-        SELECT DISTINCT j.b AS doc_id FROM jac j
+        SELECT DISTINCT j.b AS doc_id FROM jac3 j
         WHERE j.jaccard >= 0.9
           AND j.a IN (SELECT doc_id FROM exact_keep)
           AND j.b IN (SELECT doc_id FROM exact_keep)
@@ -1135,7 +1135,7 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_keep", F.lit(True))
     )
     surviving = quality.join(kept_exact.drop("is_keep"), "doc_id", "left_semi")
-    sh = dedup.word_shingles(surviving, "doc_id", "text", n=1)
+    sh = dedup.word_shingles(surviving, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     drop = (
         pairs.select(F.col("b").alias("doc_id"))
@@ -1242,6 +1242,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT TF-vector cosine pairs — the verifier tier, same standing
+    as `neardup_jaccard`/`embed_neardup_pairs`: docs meet through every
+    shared word, so the pair join grows with vocabulary sharing
+    (~167 s at sf0.1). The scale paths for this predicate are
+    `simhash_hamming_pairs` / `neardup_minhash_lsh` (banded, ~linear)
+    and `embed_ann_bucketed` for embedding cosine; this query exists to
+    verify them and to serve small candidate sets."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1822,11 +1829,11 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_canonical",
     oracle=f"""
-    WITH RECURSIVE {_JACCARD_CTE},
+    WITH RECURSIVE {_SHINGLE3_JACCARD_CTE},
     edges AS (
-        SELECT a, b FROM jac WHERE jaccard >= 0.9
+        SELECT a, b FROM jac3 WHERE jaccard >= 0.9
         UNION
-        SELECT b, a FROM jac WHERE jaccard >= 0.9
+        SELECT b, a FROM jac3 WHERE jaccard >= 0.9
     ),
     nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
     reach AS (
@@ -1846,7 +1853,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. This is the materialized shrink the pair/cluster queries
     only describe; filter(id == cluster_id) ∘ dedup_clusters."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
     canonical = clusters.filter(
