@@ -374,12 +374,21 @@ def dedup_clusters(
         F.col("a").cast(id_type).alias("s"),
         F.col("b").cast(id_type).alias("d"),
     )
+    # The edge list is MATERIALIZED once (localCheckpoint): every round
+    # joins against it, and without the checkpoint each round — plus
+    # the singleton anti-join below — re-executes the entire upstream
+    # pair-detection pipeline (shingling, banding, verification) from
+    # scratch. One pipeline run, then rounds touch only the edge list.
     und = edges.union(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
-    )
+    ).localCheckpoint(eager=True)
+    # Propagate over the CONNECTED SUBGRAPH only: a node with no edges
+    # can never change labels, so shuffling the whole corpus through
+    # every round just re-materializes singletons. Near-dup graphs are
+    # sparse — at 100 TB the edge-touched set is orders of magnitude
+    # smaller than the corpus; singletons rejoin label=self at the end.
+    edge_ids = und.select(F.col("s").alias("id")).distinct()
+    labels = edge_ids.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         msgs = und.join(
             labels.withColumnRenamed("id", "s"), "s"
@@ -398,6 +407,9 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
-    return labels.select(
+    singletons = ids.join(edge_ids, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    return labels.unionByName(singletons).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
