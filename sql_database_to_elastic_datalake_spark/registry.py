@@ -1182,7 +1182,7 @@ def iso_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -1195,7 +1195,7 @@ def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         partial_aggs={
             "n_events": F.count("*"),
-            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
+            "sum_value": F.sum(finite_or_null("value").cast("decimal(18,2)")),
         },
         final_aggs={
             "n_events": F.sum("n_events"),
@@ -1615,7 +1615,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
     GROUP BY user_id, event_type
@@ -1637,7 +1637,7 @@ def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(finite_or_null("value").cast("decimal(18,6)"))
         .cast("decimal(38,6)")
         .alias("total_value"),
     )
@@ -1713,7 +1713,7 @@ def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DECIMAL(38,2)) AS sum_prior
     FROM events e
     LEFT JOIN (
-        SELECT user_id, ts, value AS prior_value FROM events
+        SELECT user_id, ts, CASE WHEN isfinite(value) THEN value END AS prior_value FROM events
     ) p
       ON p.user_id = e.user_id
      AND p.ts < e.ts
@@ -1735,7 +1735,7 @@ def events_range_join_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("rstart"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("rend"),
-        F.col("value").alias("prior_value"),
+        finite_or_null("value").alias("prior_value"),
     )
     joined = range_join(
         ev.select("event_id", "user_id", "ts"),
@@ -2250,7 +2250,7 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           CAST(CAST(SUM(CAST(round((CASE WHEN isfinite(value) THEN value END) * 100) AS BIGINT)) AS DOUBLE)
                 / 100 AS DOUBLE) AS total
     FROM events GROUP BY user_id
     """,
@@ -2711,7 +2711,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) OVER (
                 PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                 AS DECIMAL(38,2)) AS hour_sum,
@@ -2742,7 +2742,7 @@ def range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)"))
+        F.sum(finite_or_null("value").cast("decimal(18,2)"))
         .over(w)
         .cast("decimal(38,2)")
         .alias("hour_sum"),
@@ -2921,7 +2921,7 @@ def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- its own hour and at the previous hour
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) AS DECIMAL(38,2))
                AS sum_value
     FROM (
         SELECT date_trunc('hour', ts) AS window_start, event_type, value

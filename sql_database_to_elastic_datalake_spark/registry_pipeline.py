@@ -493,7 +493,8 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_clean",
     oracle=f"""
-    WITH quality AS (
+    WITH {{cte}},
+    quality AS (
         SELECT doc_id, lang FROM documents
         WHERE len({_TOKENS}) >= 20 AND lang = 'en'
     ),
@@ -503,33 +504,19 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id IN (SELECT doc_id FROM quality)
         GROUP BY md5(coalesce(text, chr(0)))
     ),
-    tarr AS (SELECT doc_id,
-                    regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS toks
-             FROM documents
-             WHERE doc_id IN (SELECT doc_id FROM exact_keep)),
-    tok3 AS (
-        SELECT DISTINCT doc_id,
-               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS w
-        FROM tarr,
-             LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 0) + 1))
-                      AS i) r
-    ),
-    sz3 AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY doc_id),
-    inter3 AS (
-        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-        FROM tok3 x JOIN tok3 y ON x.w = y.w AND x.doc_id < y.doc_id
-        GROUP BY 1, 2
-    ),
     neardup_drop AS (
-        SELECT DISTINCT i3.b AS doc_id
-        FROM inter3 i3
-        JOIN sz3 sa ON sa.doc_id = i3.a
-        JOIN sz3 sb ON sb.doc_id = i3.b
-        WHERE CAST(i3.i / (sa.n + sb.n - i3.i) AS DOUBLE) >= 0.9
+        -- pairs over the full corpus, endpoint-filtered: identical to
+        -- shingling only the exact_keep subset, without duplicating the
+        -- shared 3-gram tokenization definition
+        SELECT DISTINCT j.b AS doc_id
+        FROM jac3 j
+        WHERE j.jaccard >= 0.9
+          AND j.a IN (SELECT doc_id FROM exact_keep)
+          AND j.b IN (SELECT doc_id FROM exact_keep)
     )
     SELECT doc_id FROM exact_keep
     WHERE doc_id NOT IN (SELECT doc_id FROM neardup_drop)
-    """,
+    """.replace("{cte}", _SHINGLE3_JACCARD_CTE),
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed cleaning pipeline: quality gate -> exact dedup ->
@@ -1429,10 +1416,10 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_outliers_mad",
     oracle="""
     WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS m
+        SELECT event_type, quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5) AS m
         FROM events GROUP BY 1
     ), dev AS (
-        SELECT e.event_type, abs(e.value - m.m) AS ad
+        SELECT e.event_type, abs((CASE WHEN isfinite(e.value) THEN e.value END) - m.m) AS ad
         FROM events e JOIN med m ON e.event_type = m.event_type
     ), mad AS (
         SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
@@ -1448,10 +1435,10 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("m")
+        F.percentile(finite_or_null("value"), F.lit(0.5)).alias("m")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("value") - F.col("m")).alias("ad")
+        "event_type", F.abs(finite_or_null("value") - F.col("m")).alias("ad")
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile(F.col("ad"), F.lit(0.5)).alias("mad")
@@ -2172,7 +2159,7 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_errors,
            CAST(SUM(CASE WHEN event_type = 'purchase'
-                    THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+                    THEN CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) ELSE 0 END)
                 AS DECIMAL(38,2)) AS purchase_value,
            MIN(ts) AS first_seen, MAX(ts) AS last_seen,
            CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS tenure_days,
@@ -2191,7 +2178,7 @@ def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
         F.sum(
-            F.when(is_p, F.col("value").cast("decimal(18,2)")).otherwise(F.lit(0))
+            F.when(is_p, finite_or_null("value").cast("decimal(18,2)")).otherwise(F.lit(0))
         )
         .cast("decimal(38,2)")
         .alias("purchase_value"),
@@ -2454,7 +2441,7 @@ def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(hour(ts) AS BIGINT) AS hod,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS mean_value
     FROM events GROUP BY 1
     """,
@@ -2467,7 +2454,7 @@ def value_seasonality_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.hour("ts").cast("bigint").alias("hod")).agg(
         F.count("*").cast("bigint").alias("n"),
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            F.sum(finite_or_null("value").cast("decimal(18,2)")).cast("double")
             / F.count("*").cast("double")
         )
         .cast("double")

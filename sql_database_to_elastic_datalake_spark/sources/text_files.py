@@ -85,9 +85,11 @@ def _split_parsed(
 ) -> tuple[DataFrame, DataFrame]:
     """Split text lines on parse success (one scan per consumed output)."""
     tagged = lines.select(F.col("value").alias(RAW_COL), parsed.alias("__p"))
-    ok = F.col(f"__p.{_CORRUPT}").isNull()
+    # getField (not the dotted f-string path): a field name containing a
+    # dot would otherwise resolve as a nested path and fail
+    ok = F.col("__p")[_CORRUPT].isNull()
     good = tagged.filter(ok).select(
-        *[F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
+        *[F.col("__p")[f.name].alias(f.name) for f in schema.fields]
     )
     bad = tagged.filter(~ok).select(
         RAW_COL, F.lit(reason).alias(REASON_COL)
@@ -130,9 +132,13 @@ def read_csv_lines(
     field name :func:`read_jsonl` accepts works here too.
     """
     header_line = sep.join(f.name for f in schema.fields)
+    quoted_header = sep.join(f'"{f.name}"' for f in schema.fields)
     lines = spark.read.text(path).filter(F.trim("value") != "")
     if header:
-        lines = lines.filter(F.col("value") != header_line)
+        # both writer conventions: bare and fully-quoted (quoteAll)
+        lines = lines.filter(
+            (F.col("value") != header_line) & (F.col("value") != quoted_header)
+        )
 
     # fragments of a quoted-embedded-newline record always carry an odd
     # number of quotes; quarantine them instead of letting the leading
@@ -151,9 +157,9 @@ def read_csv_lines(
     tagged = lines.select(
         F.col("value").alias(RAW_COL), parsed.alias("__p"), balanced.alias("__b")
     )
-    ok = F.col("__b") & F.col(f"__p.{_CORRUPT}").isNull()
+    ok = F.col("__b") & F.col("__p")[_CORRUPT].isNull()
     good = tagged.filter(ok).select(
-        *[F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
+        *[F.col("__p")[f.name].alias(f.name) for f in schema.fields]
     )
     bad = tagged.filter(~ok).select(
         RAW_COL,

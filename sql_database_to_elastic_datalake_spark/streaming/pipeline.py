@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_database_to_elastic_datalake_spark.functions.scalar import finite_or_null
 from sql_database_to_elastic_datalake_spark.sinks.upsert import merge_latest_wins
 from sql_database_to_elastic_datalake_spark.sources.parquet import (
     _nanos_timestamp_cols,
@@ -96,7 +97,10 @@ def windowed_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            # finite-values policy (functions/scalar.py:finite_or_null):
+            # one NaN/Inf row must not poison (or, under ANSI decimal
+            # casts, kill) an unbounded streaming aggregation
+            F.sum(finite_or_null("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("sum_value"),
         )
@@ -260,6 +264,7 @@ def running_user_totals_stateful(
     the source. The timed-out branch evicts and returns without
     re-arming for the same reason.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -280,12 +285,16 @@ def running_user_totals_stateful(
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
+                # finite-values policy: NaN/Inf drop out of the total
+                # like NULLs (int(inf) would kill the task); n_events
+                # still counts every row
+                vals = pdf[value_col][np.isfinite(pdf[value_col])]
                 if cent_scale:
                     total += float(
-                        int(pdf[value_col].mul(float(cent_scale)).round().sum())
+                        int(vals.mul(float(cent_scale)).round().sum())
                     )
                 else:
-                    total += float(pdf[value_col].sum())
+                    total += float(vals.sum())
             if len(pdf):
                 batch_max = pdf[ts_col].max().timestamp() * 1000
                 if max_ts_ms is None or batch_max > max_ts_ms:
@@ -393,7 +402,10 @@ def sliding_window_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            # finite-values policy (functions/scalar.py:finite_or_null):
+            # one NaN/Inf row must not poison (or, under ANSI decimal
+            # casts, kill) an unbounded streaming aggregation
+            F.sum(finite_or_null("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("sum_value"),
         )

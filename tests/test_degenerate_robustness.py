@@ -39,6 +39,20 @@ CHECKED = (
     "events_ewma",
     "latest_event_per_key",
     "distinct_counts_by_flag",
+    # migrated to the finite-values policy after the gate's first run
+    # caught the class (see ROUND3_NOTES.md): every remaining
+    # events.value reduction in the registry
+    "salted_group_agg",
+    "events_time_range",
+    "events_range_join_prior",
+    "range_frame_hourly",
+    "sliding_window_counts",
+    "user_feature_table",
+    "value_seasonality_by_hour",
+    "value_outliers_mad",
+    "streaming_window_counts",
+    "streaming_stateful_totals",
+    "session_window_counts",
     # text family over empty/whitespace docs
     "text_stats",
     "text_fingerprint",

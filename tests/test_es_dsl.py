@@ -74,15 +74,9 @@ def test_regexp_fuzzy(docs):
     ) == [1, 2, 3]
     # malformed fuzziness must surface as DslError (the module's
     # reject-bad-user-query contract), not a raw ValueError
-    import pytest as _pytest
-    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
-        DslError,
-        compile_dsl,
-    )
-
-    with _pytest.raises(DslError):
+    with pytest.raises(DslError):
         compile_dsl({"fuzzy": {"kind": {"value": "a", "fuzziness": "AUTO:x"}}})
-    with _pytest.raises(DslError):
+    with pytest.raises(DslError):
         compile_dsl({"fuzzy": {"kind": {"value": "a", "fuzziness": "two"}}})
 
 
