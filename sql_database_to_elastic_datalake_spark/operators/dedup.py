@@ -387,7 +387,12 @@ def dedup_clusters(
     # every round just re-materializes singletons. Near-dup graphs are
     # sparse — at 100 TB the edge-touched set is orders of magnitude
     # smaller than the corpus; singletons rejoin label=self at the end.
-    edge_ids = und.select(F.col("s").alias("id")).distinct()
+    # also materialized: referenced by round-1's labels, the changed
+    # count, and the final singleton anti-join — unchecked, the distinct
+    # shuffle would re-run for each
+    edge_ids = und.select(F.col("s").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
     labels = edge_ids.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         msgs = und.join(

@@ -2250,7 +2250,7 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(CAST(SUM(CAST(round((CASE WHEN isfinite(value) THEN value END) * 100) AS BIGINT)) AS DOUBLE)
+           CAST(CAST(SUM(CAST(floor((CASE WHEN isfinite(value) THEN value END) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                 / 100 AS DOUBLE) AS total
     FROM events GROUP BY user_id
     """,

@@ -269,7 +269,10 @@ def running_user_totals_stateful(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id bigint, n_events bigint, total double"
-    state_schema = "n bigint, total double"
+    # m = count of FINITE values accumulated: SUM-over-no-rows is NULL
+    # in SQL, so a user whose every value is NaN/Inf must emit a NULL
+    # total (not 0.0) to match the paired oracle
+    state_schema = "n bigint, total double, m bigint"
     timeout_ms = timeout_minutes * 60 * 1000
 
     def update(key, pdfs, state: GroupState):
@@ -280,7 +283,7 @@ def running_user_totals_stateful(
         # with cent_scale, the state accumulator holds exact integer
         # units (a double is exact up to 2^53); division to the public
         # unit happens once at emit — one rounding, batch-order free.
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total, m = state.get if state.exists else (0, 0.0, 0)
         max_ts_ms = None
         for pdf in pdfs:
             n += len(pdf)
@@ -289,9 +292,13 @@ def running_user_totals_stateful(
                 # like NULLs (int(inf) would kill the task); n_events
                 # still counts every row
                 vals = pdf[value_col][np.isfinite(pdf[value_col])]
+                m += int(len(vals))
                 if cent_scale:
+                    # floor(x + 0.5), never .round(): pandas rounds
+                    # half-to-even while SQL round() is half-away —
+                    # exact .5-unit products diverge (cookbook rule 3)
                     total += float(
-                        int(vals.mul(float(cent_scale)).round().sum())
+                        int(np.floor(vals.mul(float(cent_scale)) + 0.5).sum())
                     )
                 else:
                     total += float(vals.sum())
@@ -299,7 +306,7 @@ def running_user_totals_stateful(
                 batch_max = pdf[ts_col].max().timestamp() * 1000
                 if max_ts_ms is None or batch_max > max_ts_ms:
                     max_ts_ms = batch_max
-        state.update((n, total))
+        state.update((n, total, m))
         # arm off the key's own newest event, NOT the watermark: during
         # the first batch the watermark is still unset (0), and a timer
         # anchored there lands in 1970 — a restarted run's checkpointed
@@ -309,7 +316,10 @@ def running_user_totals_stateful(
         wm = state.getCurrentWatermarkMs()
         base = wm if max_ts_ms is None else max(max_ts_ms, wm)
         state.setTimeoutTimestamp(int(base + timeout_ms))
-        emitted = total / cent_scale if cent_scale else total
+        if m == 0:
+            emitted = None  # SQL SUM over zero finite rows
+        else:
+            emitted = total / cent_scale if cent_scale else total
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total": [emitted]}
         )

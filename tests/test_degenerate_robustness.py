@@ -71,13 +71,15 @@ CHECKED = (
 def degen_lake(tmp_path_factory):
     """sf0.001 lake with deterministic degenerate injection:
     events.value gets NaN (~1/13), +Inf (~1/17), -Inf (~1/19) and
-    -0.0 (~1/23); documents.text gets '' (~1/11) and whitespace-only
-    (~1/12)."""
+    -0.0 (~1/23); user 3's EVERY value is NaN (pins SUM-over-zero-
+    finite-rows → NULL, the case a sparse injection can miss);
+    documents.text gets '' (~1/11) and whitespace-only (~1/12)."""
     d = str(tmp_path_factory.mktemp("degen_lake"))
     con = duckdb.connect()
     con.execute(f"""
     COPY (SELECT event_id, ts, user_id, event_type,
-            CASE WHEN event_id % 13 = 3 THEN CAST('nan' AS DOUBLE)
+            CASE WHEN user_id = 3 THEN CAST('nan' AS DOUBLE)
+                 WHEN event_id % 13 = 3 THEN CAST('nan' AS DOUBLE)
                  WHEN event_id % 17 = 5 THEN CAST('inf' AS DOUBLE)
                  WHEN event_id % 19 = 7 THEN CAST('-inf' AS DOUBLE)
                  WHEN event_id % 23 = 9 THEN CAST(-0.0 AS DOUBLE)
@@ -138,3 +140,30 @@ def test_degen_lake_actually_degenerate(spark, degen_lake):
     docs = load_table(spark, degen_lake, "documents")
     assert docs.filter("text = ''").count() > 10
     assert docs.filter(r"text rlike '^\\s+$'").count() > 10
+
+
+def test_finite_fragment_is_canonical_everywhere():
+    """The finite-values policy's SQL mirror is hand-written in each
+    oracle; this pins every isfinite() usage to the one canonical
+    fragment so a policy change cannot silently skip a copy (the
+    oracle/Spark-twin skew class ROUND3_NOTES.md records happening
+    once)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).parent.parent / "sql_database_to_elastic_datalake_spark"
+    canonical = (
+        # the measure mirror: nonfinite -> NULL in place
+        r"CASE WHEN isfinite\((?:e\.)?value\) THEN (?:e\.)?value END",
+        # the guard forms: a CASE wrapping a larger expression, or a
+        # WHERE/filter conjunction
+        r"CASE WHEN isfinite\((?:e\.)?value\)\s+THEN",
+        r"AND isfinite\(value\)",
+    )
+    for f in ("registry.py", "registry_pipeline.py"):
+        src = (pkg / f).read_text()
+        for m in re.finditer(r".{40}isfinite.{40}", src, re.S):
+            snippet = m.group(0)
+            assert any(
+                re.search(pat, snippet) for pat in canonical
+            ), f"{f}: non-canonical isfinite usage: {snippet!r}"
