@@ -9,6 +9,7 @@ Endpoints covered (SURVEY.md §2.1 S5/S6, §2.9 I1, §2.8 Q1/Q2/Q4):
   POST /<entity>/<entity>           → ingest() single   (S5)
   POST /<entity>/batch              → ingest() list     (S6, HTTP 207)
   POST /tickets/sync                → resync_ticket()   (I1)
+  POST /<entity>/sync               → resync_entity()    (I2)
   POST /search                      → search()          (Q1)
   POST /search/advanced             → advanced_search() (Q2)
 
@@ -44,6 +45,10 @@ from sql_database_to_elastic_datalake_spark.sources.ingest import REQUIRED_FIELD
 INDEX_PREFIX = "data_lake_"
 
 ENTITY_TYPES = ("ticket", "user", "data_source", "module", "status", "label")
+
+
+def _utcnow_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()
 
 
 @dataclass
@@ -237,24 +242,67 @@ class LakeService:
         }
 
 
-def create_app(service: LakeService):
-    """Optional Flask app exposing the reference's route shape."""
+#: Route-segment plural → entity type. ``rstrip("s")`` is NOT a
+#: singularizer: "statuses".rstrip("s") == "statuse" and
+#: "data-sources" needs the dash mapped — both reference routes
+#: (/root/reference/src/routes/status_routes.py,
+#: data_source_routes.py) would 404 under the naive strip.
+ROUTE_ENTITY = {
+    "tickets": "ticket",
+    "users": "user",
+    "data-sources": "data_source",
+    "modules": "module",
+    "statuses": "status",
+    "labels": "label",
+}
+
+
+def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = None):
+    """Optional Flask app exposing the reference's route shape.
+
+    ``entities`` (source-table name → DataFrame, the same mapping the
+    CLI's sync-entities loads) enables the point re-sync routes
+    (reference I1/I2: POST /<entity>/sync); without it those routes
+    return 503 rather than silently falling through to ingest.
+    """
     from flask import Flask, jsonify, request
 
     app = Flask("sql_database_to_elastic_datalake_spark")
+
+    def _etype(segment):
+        return ROUTE_ENTITY.get(segment, segment.rstrip("s"))
 
     @app.route("/health", methods=["GET"])
     def health():
         return jsonify(service.health()), 200
 
+    @app.route("/<entity>/sync", methods=["POST"])
+    def resync(entity):
+        # static-vs-converter precedence puts this ahead of
+        # /<entity>/<entity2>, matching the reference's per-entity
+        # /sync blueprints (ticket_routes.py:212, user_routes.py:190)
+        if entities is None:
+            return jsonify({"error": "no source tables configured"}), 503
+        body = request.get_json(force=True)
+        etype = _etype(entity)
+        indexed_at = body.get("indexed_at") or _utcnow_iso()
+        eid = body.get("id") or body.get(f"{etype}_id")
+        if eid is None:
+            return jsonify({"error": "missing id"}), 400
+        if etype == "ticket":
+            out = service.resync_ticket(entities, str(eid), indexed_at)
+        else:
+            out = resync_entity(service, entities, etype, str(eid), indexed_at)
+        return jsonify(out), out.get("status_code", 200)
+
     @app.route("/<entity>/<entity2>", methods=["POST"])
     def ingest_single(entity, entity2):
-        out = service.ingest(entity.rstrip("s"), request.get_json(force=True))
+        out = service.ingest(_etype(entity), request.get_json(force=True))
         return jsonify(out), out.get("status_code", 200)
 
     @app.route("/<entity>/batch", methods=["POST"])
     def ingest_batch(entity):
-        out = service.ingest(entity.rstrip("s"), request.get_json(force=True))
+        out = service.ingest(_etype(entity), request.get_json(force=True))
         return jsonify(out), out.get("status_code", 200)
 
     @app.route("/search", methods=["POST"])

@@ -90,8 +90,17 @@ def cmd_explain(args) -> int:
 def cmd_serve(args) -> int:
     from sql_database_to_elastic_datalake_spark.api import LakeService, create_app
 
-    service = LakeService(_spark(), args.lake)
-    app = create_app(service)
+    spark = _spark()
+    service = LakeService(spark, args.lake)
+    entities = None
+    if args.entities_dir:
+        entities = {}
+        for name in ("Ticket", "TicketStatus", "TicketLabel", "Status", "Label",
+                     "Module", "User", "DataSource"):
+            path = os.path.join(args.entities_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                entities[name] = spark.read.parquet(path)
+    app = create_app(service, entities=entities)
     app.run(host=args.host, port=args.port)
     return 0
 
@@ -131,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("serve", help="run the REST API server")
     v.add_argument("--lake", required=True)
+    v.add_argument("--entities-dir", default=None,
+                   help="source entity parquet dir; enables /<entity>/sync")
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=5000)
     v.set_defaults(fn=cmd_serve)

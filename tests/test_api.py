@@ -184,3 +184,69 @@ def test_search_skips_numeric_only_tables(service, spark, tmp_path):
     out = service.search("spark")
     assert "hits" in out and isinstance(out["hits"]["hits"], list)
     assert all(h["_index"] != "data_lake_numbers" for h in out["hits"]["hits"])
+
+
+def _entity_df(spark, entity, rows):
+    from sql_database_to_elastic_datalake_spark.schemas import ENTITY_SCHEMAS
+
+    sch = ENTITY_SCHEMAS[entity]
+    names = [f.name for f in sch.fields]
+    return spark.createDataFrame([tuple(r.get(n) for n in names) for r in rows], sch)
+
+
+def test_route_singularization(client, service):
+    """/statuses and /data-sources must resolve their entity types —
+    rstrip('s') yields 'statuse' / 'data-source' and 404s both
+    (reference routes status_routes.py / data_source_routes.py)."""
+    r = client.post("/statuses/batch", data=json.dumps([{"name": "Open"}]),
+                    content_type="application/json")
+    assert r.status_code == 200, r.get_json()
+    r = client.post("/data-sources/batch",
+                    data=json.dumps([{"name": "D", "entityName": "e"}]),
+                    content_type="application/json")
+    assert r.status_code in (200, 207, 400)  # resolved (not 404-unknown)
+    assert "unknown entity" not in json.dumps(r.get_json())
+
+
+def test_sync_routes(service, spark):
+    """POST /<entity>/sync — the reference's per-entity point re-sync
+    blueprints (I1/I2) — wired to resync_ticket/resync_entity; 503
+    without source tables; static /sync wins over the generic
+    /<entity>/<entity2> ingest route."""
+    import datetime as dt
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    T0 = dt.datetime(2024, 1, 1)
+    entities = dict(
+        Ticket=_entity_df(spark, "Ticket", [dict(id="t1", number=1, createdAt=T0,
+                                                 dataSourceId="d1", moduleId="m1")]),
+        TicketStatus=_entity_df(spark, "TicketStatus", []),
+        Status=_entity_df(spark, "Status", []),
+        Module=_entity_df(spark, "Module", []),
+        DataSource=_entity_df(spark, "DataSource", []),
+        User=_entity_df(spark, "User", [
+            dict(id="u1", name="A", username="a", email="a@x", password="p",
+                 createdAt=T0)]),
+        TicketLabel=_entity_df(spark, "TicketLabel", []),
+        Label=_entity_df(spark, "Label", []),
+    )
+    app = create_app(service, entities=entities)
+    app.testing = True
+    c = app.test_client()
+
+    r = c.post("/tickets/sync", data=json.dumps({"id": "t1"}),
+               content_type="application/json")
+    assert r.status_code == 200 and r.get_json()["synced"] == 1
+    r = c.post("/users/sync", data=json.dumps({"id": "u1"}),
+               content_type="application/json")
+    assert r.status_code == 200 and r.get_json()["synced"] == 1
+    r = c.post("/tickets/sync", data=json.dumps({}),
+               content_type="application/json")
+    assert r.status_code == 400
+
+    # unconfigured app: 503, NOT a silent fall-through to ingest
+    bare = create_app(service)
+    bare.testing = True
+    r = bare.test_client().post("/tickets/sync", data=json.dumps({"id": "t1"}),
+                                content_type="application/json")
+    assert r.status_code == 503
