@@ -156,13 +156,16 @@ class LakeService:
             indexed_at, ticket_id=ticket_id,
         )
         path = self._table_path("denormalized_ticket")
-        try:
+        # existence check, not try/except-everything: a transient read
+        # failure on an EXISTING table must raise, not silently rebuild
+        # the lake table from this one document
+        if os.path.exists(path):
             base = self.spark.read.parquet(path)
             merged = merge_latest_wins(
                 base, doc, keys=["ticket_id"], version_col="indexed_at"
             )
             merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-        except Exception:
+        else:
             doc.write.mode("overwrite").parquet(path)
         n = doc.count()
         return {"status_code": 200 if n else 404, "synced": n, "ticket_id": ticket_id}
@@ -354,11 +357,14 @@ def resync_entity(
     doc = getattr(sync_mod, ENTITY_SYNC_FNS[entity_type])(src, indexed_at)
     id_out = f"{entity_type}_id"
     path = service._table_path(f"denorm_{entity_type}")
-    try:
+    # existence check, not try/except-everything (same data-loss class
+    # as resync_ticket: a transient read error must raise, not rebuild
+    # the table from one document)
+    if os.path.exists(path):
         base = service.spark.read.parquet(path)
         merged = merge_latest_wins(base, doc, keys=[id_out], version_col="indexed_at")
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-    except Exception:
+    else:
         doc.write.mode("overwrite").parquet(path)
     n = doc.count()
     return {"status_code": 200 if n else 404, "synced": n, "id": entity_id}

@@ -133,6 +133,15 @@ def compact_lake(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact__"
+    old_dir = path.rstrip("/") + ".__old__"
+    # recover from a prior interrupted run: a stale __old__ means the
+    # crash happened after the table was swapped back (or the rmtree
+    # was cut short) — both leftovers are safe to clear, and leaving
+    # them would fail this run's renames (ENOTEMPTY / FileNotFound)
+    for stale in (tmp, old_dir):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -141,7 +150,6 @@ def compact_lake(
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact__"
     if cluster_by:
         df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
             *cluster_by
@@ -149,10 +157,13 @@ def compact_lake(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").option("compression", compression).parquet(tmp)
-    old = path.rstrip("/") + ".__old__"
-    os.rename(path, old)
+    # two renames, not atomic together: a crash between them leaves the
+    # table at __old__ — recoverable by hand (and the stale-dir sweep
+    # above unblocks the next run). True single-rename atomicity needs
+    # a manifest/table format (Delta/Iceberg), documented trade.
+    os.rename(path, old_dir)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    shutil.rmtree(old_dir)
     return n_files
 
 
@@ -195,9 +206,12 @@ def zorder_key(
     n_buckets = 1 << bits
     out = df
     bucket_cols = []
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column sketch pass — the per-column loop form scans the
+    # full input len(cols) times before the write starts
+    all_bounds = dict(zip(cols, df.approxQuantile(list(cols), qs, 0.001)))
     for c in cols:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = df.approxQuantile(c, qs, 0.001)
+        bounds = all_bounds[c]
         # strictly increasing boundary list (dedup ties from skew)
         uniq: list[float] = []
         for b in bounds:

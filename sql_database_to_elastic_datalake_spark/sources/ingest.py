@@ -14,7 +14,10 @@ per-row Python. Also replaces the bulk sink's ``raise_on_error=False``
 quarantine (/root/reference/src/es_connector.py:62-68, SURVEY §7.3 #5).
 
 Scale notes: the reason column is a single ``when`` chain evaluated in
-whole-stage codegen; both splits reuse one cached scan of the batch.
+whole-stage codegen. The two returned splits are independent plans over
+the same tagged projection — each is one scan; a caller consuming BOTH
+against a non-deterministic source (remote query, concurrent appends)
+should materialize the batch once first so the splits cannot disagree.
 """
 
 from __future__ import annotations
@@ -48,6 +51,10 @@ def validate_split(
     df: DataFrame, rules: Sequence[tuple[Column, str]]
 ) -> tuple[DataFrame, DataFrame]:
     """Split a batch into (accepted, rejected-with-reason)."""
+    if "reject_reason" in df.columns:
+        # re-validating a frame that already carries a verdict would
+        # silently overwrite (and then drop) the original reason
+        raise ValueError("input already has a reject_reason column")
     tagged = df.withColumn("reject_reason", reject_reason(df, rules))
     accepted = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
     rejected = tagged.filter(F.col("reject_reason").isNotNull())

@@ -107,7 +107,9 @@ def hash_partition_predicates(
     PostgreSQL: hashtext(); MySQL: crc32(). One predicate per partition.
     """
     if dialect == "postgresql":
-        h = f"abs(hashtext({key_expr}))"
+        # & INT_MAX, not abs(): hashtext returns int4 and
+        # abs(-2147483648) raises 'integer out of range' in PostgreSQL
+        h = f"(hashtext({key_expr}) & 2147483647)"
     elif dialect == "mysql":
         h = f"crc32({key_expr})"
     else:
@@ -141,11 +143,15 @@ def read_entity(
         for k, v in partition_options.items():
             reader = reader.option(k, v)
     if predicates:
-        # DataFrameReader.jdbc(predicates=...) path
+        # DataFrameReader.jdbc(predicates=...) path. extra_options
+        # (driver class, SSL, ...) must ride along here too — building
+        # props from only user/password/fetchsize silently dropped them
+        # on this path while the .load() path applied them.
         props = {
             "user": source.user,
             "password": source.password,
             "fetchsize": str(source.fetch_size),
+            **{k: str(v) for k, v in source.extra_options.items()},
         }
         df = spark.read.jdbc(
             source.url, dbtable, predicates=predicates, properties=props

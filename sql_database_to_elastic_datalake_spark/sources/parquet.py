@@ -119,6 +119,11 @@ def load_table(
             cached = _SCAN_CACHE.get(key)
             if cached is None:
                 cached = load_table(spark, sf_dir, name, ts_range={})
+                # supersede entries for the same path (older mtimes or
+                # dead applicationIds): without eviction a long-lived
+                # service that rewrites tables leaks one plan per rewrite
+                for k in [k for k in _SCAN_CACHE if k[1] == path and k != key]:
+                    del _SCAN_CACHE[k]
                 _SCAN_CACHE[key] = cached
             return cached
     nanos = _nanos_timestamp_cols(path)

@@ -81,6 +81,7 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     streaming: bool = True,
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling-window counts + exact decimal sums per key.
 
@@ -100,7 +101,7 @@ def windowed_counts(
             # finite-values policy (functions/scalar.py:finite_or_null):
             # one NaN/Inf row must not poison (or, under ANSI decimal
             # casts, kill) an unbounded streaming aggregation
-            F.sum(finite_or_null("value").cast("decimal(18,2)"))
+            F.sum(finite_or_null(value_col).cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("sum_value"),
         )
@@ -207,9 +208,17 @@ def stream_upsert_into(
     spark = updates_stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        import os
+
+        # Only a genuinely-absent target means "first batch". Catching
+        # every exception here turned a transient read failure (storage
+        # hiccup, throttle) into base=None -> mode("overwrite") replacing
+        # the WHOLE merged history with one micro-batch. Existence is
+        # checked explicitly; read errors on an existing target re-raise
+        # and the batch retries instead of destroying the table.
+        if os.path.exists(target_path):
             base = spark.read.parquet(target_path)
-        except Exception:
+        else:
             base = None
         if base is None:
             merged = merge_latest_wins(
@@ -268,6 +277,12 @@ def running_user_totals_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # applyInPandasWithState hands ts to pandas as tz-NAIVE values in
+    # the SESSION timezone, while setTimeoutTimestamp speaks UTC epoch
+    # millis — a bare .timestamp() on the naive value re-interprets
+    # session-local wall time as UTC and skews every eviction timer by
+    # the tz offset. Localize with the session tz before converting.
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     out_schema = "user_id bigint, n_events bigint, total double"
     # m = count of FINITE values accumulated: SUM-over-no-rows is NULL
     # in SQL, so a user whose every value is NaN/Inf must emit a NULL
@@ -303,7 +318,10 @@ def running_user_totals_stateful(
                 else:
                     total += float(vals.sum())
             if len(pdf):
-                batch_max = pdf[ts_col].max().timestamp() * 1000
+                t = pd.Timestamp(pdf[ts_col].max())
+                if t.tzinfo is None:
+                    t = t.tz_localize(session_tz)
+                batch_max = t.timestamp() * 1000
                 if max_ts_ms is None or batch_max > max_ts_ms:
                     max_ts_ms = batch_max
         state.update((n, total, m))
@@ -342,21 +360,30 @@ def stream_dedup_keys(
     keys: tuple[str, ...] = ("user_id", "event_type"),
     ts_col: str = "ts",
     watermark: str = "2 hours",
+    within_watermark: bool = False,
 ) -> DataFrame:
-    """Streaming exactly-once-per-key dedup: emit the first occurrence
-    of each key combination, with state evicted by the watermark.
+    """Streaming first-occurrence-per-key dedup, two state tiers.
 
-    The event-time column stays in the frame through ``dropDuplicates``
-    (that is what lets the state store age entries out at the watermark
-    — project it away first and dedup state grows unboundedly) and is
-    projected away after, so the emitted rows are the deterministic
-    distinct-key set rather than whichever physical row arrived first.
+    Default (exact, GLOBAL): ``dropDuplicates`` keyed on ``keys`` emits
+    each key combination exactly once for the stream's lifetime. State
+    is one row per distinct key and is NOT watermark-evicted — the
+    engine only ages dedup state when the event-time column is part of
+    the dedup key, and adding it would change the semantics to
+    per-timestamp dedup. Bounded by key CARDINALITY, not time: right
+    for enumerable key domains (user×event_type), wrong for unbounded
+    ones.
+
+    ``within_watermark=True`` (bounded): ``dropDuplicatesWithinWatermark``
+    guarantees dedup only among rows whose event times fall within the
+    watermark delay of each other; state is time-evicted, so unbounded
+    key domains are safe, at the cost of re-emitting a key whose
+    duplicates arrive further apart than the horizon.
     """
-    deduped = (
-        events.withWatermark(ts_col, watermark)
-        .select(*keys, ts_col)
-        .dropDuplicates(list(keys))
-    )
+    src = events.withWatermark(ts_col, watermark).select(*keys, ts_col)
+    if within_watermark:
+        deduped = src.dropDuplicatesWithinWatermark(list(keys))
+    else:
+        deduped = src.dropDuplicates(list(keys))
     return deduped.select(*keys)
 
 
@@ -398,6 +425,7 @@ def sliding_window_counts(
     slide: str = "1 hour",
     watermark: str = "4 hours",
     streaming: bool = True,
+    value_col: str = "value",
 ) -> DataFrame:
     """Sliding (overlapping) window counts: each event lands in
     duration/slide windows. Same state-store/watermark contract as the
@@ -415,7 +443,7 @@ def sliding_window_counts(
             # finite-values policy (functions/scalar.py:finite_or_null):
             # one NaN/Inf row must not poison (or, under ANSI decimal
             # casts, kill) an unbounded streaming aggregation
-            F.sum(finite_or_null("value").cast("decimal(18,2)"))
+            F.sum(finite_or_null(value_col).cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("sum_value"),
         )

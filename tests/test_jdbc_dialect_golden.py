@@ -91,10 +91,10 @@ def test_range_partition_options_golden():
 def test_hash_partition_predicates_golden():
     pg = hash_partition_predicates('"id"::text', 4, "postgresql")
     assert pg == [
-        'abs(hashtext("id"::text)) % 4 = 0',
-        'abs(hashtext("id"::text)) % 4 = 1',
-        'abs(hashtext("id"::text)) % 4 = 2',
-        'abs(hashtext("id"::text)) % 4 = 3',
+        '(hashtext("id"::text) & 2147483647) % 4 = 0',
+        '(hashtext("id"::text) & 2147483647) % 4 = 1',
+        '(hashtext("id"::text) & 2147483647) % 4 = 2',
+        '(hashtext("id"::text) & 2147483647) % 4 = 3',
     ]
     my = hash_partition_predicates("`id`", 2, "mysql")
     assert my == ["crc32(`id`) % 2 = 0", "crc32(`id`) % 2 = 1"]

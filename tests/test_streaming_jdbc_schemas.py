@@ -82,7 +82,7 @@ def test_partition_helpers():
     assert opts["numPartitions"] == "8" and opts["partitionColumn"] == "number"
     preds = jdbc.hash_partition_predicates('"id"::text', 4)
     assert len(preds) == 4
-    assert preds[0] == 'abs(hashtext("id"::text)) % 4 = 0'
+    assert preds[0] == '(hashtext("id"::text) & 2147483647) % 4 = 0'
     assert jdbc.hash_partition_predicates("id", 2, "mysql")[1] == "crc32(id) % 2 = 1"
 
 
@@ -246,3 +246,28 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in lb.join(rb, cond).collect()
     )
     assert got == want
+
+
+def test_stream_dedup_within_watermark_tier(spark, sf_dir):
+    """Bounded-state tier: dropDuplicatesWithinWatermark dedups within
+    the horizon; on the single-drop harness data (one micro-batch, all
+    rows inside the watermark window relative to each other per key
+    group processed together) it emits a superset-of-keys equal to the
+    global tier's distinct set here, and the query must run — the
+    global tier's state-growth contract is documented, not watermarked."""
+    stream = sp.read_stream_parquet(spark, sf_dir, glob="events.parquet")
+    deduped = sp.stream_dedup_keys(
+        stream, keys=("user_id", "event_type"), watermark="100 days",
+        within_watermark=True,
+    )
+    got = sp.run_stream_to_memory(deduped, "t_dedup_ww", output_mode="append")
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    batch_keys = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type").distinct().collect()
+    }
+    ww_keys = {tuple(r) for r in got.collect()}
+    # horizon covers the whole drop → exactly the distinct key set
+    assert ww_keys == batch_keys and len(ww_keys) > 0
