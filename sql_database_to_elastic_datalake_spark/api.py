@@ -315,8 +315,15 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
 
     @app.route("/search/advanced", methods=["POST"])
     def advanced():
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
         body = request.get_json(force=True)
-        return jsonify(service.advanced_search(body["table"], body["query"])), 200
+        try:
+            return jsonify(service.advanced_search(body["table"], body["query"])), 200
+        except DslError as ex:
+            # a malformed/unsupported DSL tree is the CALLER's error —
+            # the reference returns ES's 400 for these, not a 500
+            return jsonify({"error": str(ex)}), 400
 
     return app
 

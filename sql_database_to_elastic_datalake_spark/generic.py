@@ -35,9 +35,15 @@ def sync_generic_table(
     src = df
     if soft_delete_col and soft_delete_col in src.columns:
         src = src.filter(F.col(soft_delete_col).isNull())
-    out = namespace_columns(src, table_name)
-    content_cols = [c for c in out.columns if c != "table"]
-    return out.withColumn("doc_id", content_hash(content_cols))
+    # reference parity (data_lake_sync.py:152-164): lowercase table name
+    # everywhere, and the 'data' JSON column keeps its name un-prefixed
+    tname = table_name.lower()
+    out = namespace_columns(src, tname, exclude=("data",))
+    # the provenance column participates in the id (the reference hashes
+    # the WHOLE doc incl. its 'table' field, :72-82) — excluding it made
+    # identical rows from different tables collide on doc_id and one
+    # table's row silently lose in a shared content-keyed lake
+    return out.withColumn("doc_id", content_hash(list(out.columns)))
 
 
 def dedup_by_content(df: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:

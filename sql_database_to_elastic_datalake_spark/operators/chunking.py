@@ -68,7 +68,12 @@ def chunk_documents(
         F.col(id_col),
         toks.alias("__toks"),
         n.alias("__n"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        # NULL text -> ZERO chunks (explode drops the NULL sequence):
+        # unguarded, greatest() skips the NULL count and the doc emitted
+        # one phantom chunk billed at n_tokens=chunk_size
+        F.explode(
+            F.when(n.isNotNull(), F.sequence(F.lit(0), n_chunks - 1))
+        ).alias("chunk_idx"),
     )
     start = out["chunk_idx"] * stride
     return out.select(

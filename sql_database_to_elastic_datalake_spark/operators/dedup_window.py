@@ -27,10 +27,15 @@ from pyspark.sql import functions as F
 
 
 def _order_cols(order_by: Sequence[str | Column], descending: bool) -> list[Column]:
+    """PostgreSQL null placement, explicitly: DESC puts NULLs FIRST and
+    ASC puts them LAST (what the reference's DISTINCT ON produces, and
+    DuckDB's default) — Spark's bare desc()/asc() are the OPPOSITE
+    (nulls last / nulls first), which silently picks a different
+    "latest" row whenever the timestamp is NULL."""
     cols: list[Column] = []
     for c in order_by:
         col = F.col(c) if isinstance(c, str) else c
-        cols.append(col.desc() if descending else col.asc())
+        cols.append(col.desc_nulls_first() if descending else col.asc_nulls_last())
     return cols
 
 

@@ -332,7 +332,14 @@ def frame_sample_plan(
     parallelism instead of one task per video (the skew killer for
     long videos).
     """
+    # zero-/NULL-frame media contribute no rows: an unguarded
+    # sequence(0, -1, +step) throws 'illegal sequence boundaries' and
+    # kills the job on one corrupt metadata row (the module's policy is
+    # degrade-don't-error)
     idx = F.explode(
-        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
+        F.when(
+            F.col(n_frames_col) > 0,
+            F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
+        )
     ).alias("frame_idx")
     return df.select(F.col(id_col), idx)

@@ -96,7 +96,10 @@ def _wildcard_to_like(pattern: str) -> str:
 def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
     toks = tokenize(str(text))
     if not toks:
-        return F.lit(True)
+        # ES default zero_terms_query='none': a query that analyzes to
+        # no tokens matches NOTHING (lit(True) here inverted the whole
+        # result set under must_not)
+        return F.lit(False)
     low = F.lower(col.cast("string"))
     preds = [low.contains(t) for t in toks]
     acc = preds[0]
@@ -195,9 +198,17 @@ def compile_dsl(
 
     if kind == "multi_match":
         query = body["query"]
-        fields = body.get("fields", ["*"])
-        if not isinstance(fields, list):
-            raise DslError("multi_match fields must be a list")
+        fields = body.get("fields")
+        if not isinstance(fields, list) or not fields or fields == ["*"]:
+            # ES expands omitted/'*' fields from the index mapping; a
+            # schema-free compiler cannot — the API layer (which knows
+            # the table) passes explicit fields (plans/search.py does
+            # exactly that). Surfacing the contract beats compiling
+            # F.col("*"), which fails analysis unreadably.
+            raise DslError(
+                "multi_match requires an explicit non-empty fields list "
+                "(field expansion needs the table schema)"
+            )
         preds = [_match_tokens(col(f), query) for f in fields]
         acc = preds[0]
         for p in preds[1:]:

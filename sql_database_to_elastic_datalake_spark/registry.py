@@ -176,7 +176,7 @@ def namespace_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, user_id, event_type, value, props
     FROM (
         SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            PARTITION BY user_id ORDER BY ts DESC NULLS FIRST, event_id DESC NULLS FIRST
         ) AS rn
         FROM events
     ) WHERE rn = 1
@@ -200,7 +200,7 @@ def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT user_id, event_id, event_type, value,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY value DESC, event_id DESC
+                   PARTITION BY user_id ORDER BY value DESC NULLS FIRST, event_id DESC NULLS FIRST
                ) AS rnk
         FROM events
     ) WHERE rnk <= 3
@@ -1432,7 +1432,8 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(concat_ws('|',
                coalesce(CAST(n_nationkey AS VARCHAR), chr(0)),
                coalesce(n_name, chr(0)),
-               coalesce(CAST(n_regionkey AS VARCHAR), chr(0)))) AS doc_id
+               coalesce(CAST(n_regionkey AS VARCHAR), chr(0)),
+               'nation')) AS doc_id
     FROM nation
     """,
 )

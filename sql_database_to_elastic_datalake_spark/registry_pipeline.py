@@ -634,8 +634,10 @@ def retrieval_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunks",
     oracle="""
     WITH t AS (
+        -- NULL text -> zero chunks (mirrors the Spark-side explode of
+        -- a NULL sequence)
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), c AS (
         SELECT doc_id, toks, len(toks) AS n,
                GREATEST(CAST(ceil((len(toks) - 32) / CAST(16 AS DOUBLE)) AS BIGINT) + 1, 1)
@@ -2275,8 +2277,10 @@ def type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_level_dedup",
     oracle="""
     WITH t AS (
+        -- NULL text -> zero chunks (mirrors the Spark-side explode of
+        -- a NULL sequence)
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), c AS (
         SELECT doc_id, toks, len(toks) AS n,
                GREATEST(CAST(ceil((len(toks) - 32) / CAST(16 AS DOUBLE))

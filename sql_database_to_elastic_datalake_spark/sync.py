@@ -189,9 +189,12 @@ def sync_modules(
     )
     out = (
         out.join(F.broadcast(parents), out["_parentId"] == parents["_pid"], "left")
+        # existence-gated on the JOINED row (reference data_sync.py:
+        # 509-514 checks 'if not parent_module.empty'): a parent that
+        # exists with a NULL name keeps its id
         .withColumn(
             "parent_module_id",
-            F.when(F.col("parent_module_name").isNotNull(), F.col("_parentId")),
+            F.when(F.col("_pid").isNotNull(), F.col("_parentId")),
         )
         .drop("_pid", "_parentId")
     )
@@ -220,23 +223,31 @@ def denormalize_tickets(
     if ticket_id is not None:
         t = t.filter(F.col("id") == F.lit(ticket_id))
 
-    # CTE latest_status: DISTINCT ON (ticketId) ORDER createdAt DESC,
-    # with id as the deterministic tie-breaker; then ⋈ Status.
+    # CTE latest_status: Status joins INSIDE the DISTINCT ON (reference
+    # db_connector.py:262-268) — candidates are only status rows that
+    # RESOLVE, so a ticket whose newest TicketStatus references a
+    # missing status falls back to its next-newest resolvable one
+    # (joining after the latest-pick instead would NULL the whole
+    # status). The reference filters ts.deletedAt only, not Status's —
+    # mirrored (Status is a lookup there). id is the deterministic
+    # tie-breaker (SURVEY §7.3 hard-part #1).
     ls = latest_event_per_key(
-        _alive(ticket_status).select("ticketId", "statusId", "createdAt", "id"),
+        _alive(ticket_status)
+        .select("ticketId", "statusId", "createdAt", "id")
+        .join(
+            F.broadcast(
+                status.select(
+                    F.col("id").alias("_sid"),
+                    F.col("name").alias("status_name"),
+                    F.col("isFinalStatus"),
+                )
+            ),
+            F.col("statusId") == F.col("_sid"),
+            "inner",
+        ),
         keys=["ticketId"],
         ts_col="createdAt",
         tie_breakers=["id"],
-    ).join(
-        F.broadcast(
-            _alive(status).select(
-                F.col("id").alias("_sid"),
-                F.col("name").alias("status_name"),
-                F.col("isFinalStatus"),
-            )
-        ),
-        F.col("statusId") == F.col("_sid"),
-        "inner",
     ).select(
         F.col("ticketId").alias("_ls_ticketId"),
         F.col("statusId").cast("string").alias("status_id"),
@@ -249,8 +260,10 @@ def denormalize_tickets(
         _alive(ticket_label)
         .select("ticketId", "labelId")
         .join(
+            # Label itself is unfiltered in the reference's labels query
+            # (only tl.deletedAt, db_connector.py:367-371)
             F.broadcast(
-                _alive(label).select(
+                label.select(
                     F.col("id").alias("_lid"),
                     F.col("name").alias("name"),
                     F.col("color").alias("color"),
@@ -274,13 +287,16 @@ def denormalize_tickets(
         .select(F.col("ticketId").alias("_lb_ticketId"), "labels")
     )
 
-    m = _alive(module).select(
+    # the reference's dim joins carry NO deletedAt filter (only the
+    # Ticket WHERE does, db_connector.py:290-294) — lookup rows resolve
+    # even when soft-deleted; mirrored for byte-parity
+    m = module.select(
         F.col("id").alias("_mid"), F.col("name").alias("module_name")
     )
-    ds = _alive(data_source).select(
+    ds = data_source.select(
         F.col("id").alias("_dsid"), F.col("name").alias("datasource_name")
     )
-    u = _alive(user).select(
+    u = user.select(
         F.col("id").alias("_uid"),
         F.col("name").alias("user_name"),
         F.col("email").alias("user_email"),
@@ -310,11 +326,14 @@ def denormalize_tickets(
             F.col("status_id"),
             F.col("status_name"),
             F.col("isFinalStatus"),
-            F.col("moduleId").cast("string").alias("module_id"),
+            # ids come from the joined dims (reference selects m.id /
+            # ds.id / u.id): a dangling FK yields NULL id + NULL name,
+            # never a non-NULL id the lake cannot resolve
+            F.col("_mid").cast("string").alias("module_id"),
             F.col("module_name"),
-            F.col("dataSourceId").cast("string").alias("datasource_id"),
+            F.col("_dsid").cast("string").alias("datasource_id"),
             F.col("datasource_name"),
-            F.col("userId").cast("string").alias("user_id"),
+            F.col("_uid").cast("string").alias("user_id"),
             F.col("user_name"),
             F.col("user_email"),
             F.coalesce(F.col("labels"), F.array()).alias("labels"),

@@ -250,3 +250,13 @@ def test_sync_routes(service, spark):
     r = bare.test_client().post("/tickets/sync", data=json.dumps({"id": "t1"}),
                                 content_type="application/json")
     assert r.status_code == 503
+
+
+def test_advanced_search_bad_dsl_is_400(client, service):
+    service.ingest("label", [{"name": "x"}])
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"multi_match": {"query": "x"}},  # fields omitted
+    }), content_type="application/json")
+    assert r.status_code == 400
+    assert "fields" in r.get_json()["error"]

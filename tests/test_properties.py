@@ -53,7 +53,8 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         f, q = next(iter(body.items()))
         toks = tokenize(str(q))
         if not toks:
-            return True
+            return False  # ES zero_terms_query='none'
+
         s = row[f]
         if s is None:
             return False
