@@ -200,6 +200,12 @@ def minhash_lsh_neardup(
 
     Output: a, b, jaccard (verified ≥ threshold).
     """
+    if len(seeds) % bands:
+        # a non-divisible split would silently DROP the trailing seeds
+        # from every band key, changing the S-curve without any signal
+        raise ValueError(
+            f"{len(seeds)} seeds do not split into {bands} bands"
+        )
     rows_per_band = len(seeds) // bands
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
     sigs = minhash_signatures(sh, id_col, seeds)

@@ -147,11 +147,13 @@ def search_all_tables(
     Output schema is heterogeneous-safe: (table, entity_id, score,
     snippet) where snippet is the concatenated matching string columns.
     """
-    dfs = load_tables(spark, sf_dir) if tables is None else {
-        t: df
-        for t, df in load_tables(spark, sf_dir).items()
-        if t in tables
-    }
+    # only touch the requested tables — an explicit list must not pay
+    # footer reads for every other table in the lake
+    dfs = (
+        load_tables(spark, sf_dir)
+        if tables is None
+        else load_tables(spark, sf_dir, names=tuple(tables))
+    )
     parts: list[DataFrame] = []
     for name, df in dfs.items():
         cols = string_columns(df)

@@ -52,7 +52,7 @@ def _stamp(df: DataFrame, id_out: str, indexed_at: str) -> DataFrame:
     )
 
 
-def _rename(df: DataFrame, mapping: dict[str, tuple[str, bool]]) -> list[Column]:
+def _rename(mapping: dict[str, tuple[str, bool]]) -> list[Column]:
     """mapping: source col -> (output name, cast_to_string)."""
     cols = []
     for src, (out, stringify) in mapping.items():
@@ -82,7 +82,7 @@ def sync_data_sources(data_sources: DataFrame, indexed_at: str) -> DataFrame:
         "createdAt": ("data_source_createdAt", False),
         "updatedAt": ("data_source_updatedAt", False),
     }
-    out = _alive(data_sources).select(*_rename(data_sources, mapping))
+    out = _alive(data_sources).select(*_rename(mapping))
     return _stamp(out, "data_source_id", indexed_at)
 
 
@@ -96,7 +96,7 @@ def sync_users(users: DataFrame, indexed_at: str) -> DataFrame:
         "createdAt": ("user_createdAt", False),
         "updatedAt": ("user_updatedAt", False),
     }
-    out = _alive(users).select(*_rename(users, mapping))
+    out = _alive(users).select(*_rename(mapping))
     return _stamp(out, "user_id", indexed_at)
 
 
@@ -111,7 +111,7 @@ def sync_statuses(statuses: DataFrame, indexed_at: str) -> DataFrame:
         "createdAt": ("status_createdAt", False),
         "updatedAt": ("status_updatedAt", False),
     }
-    out = _alive(statuses).select(*_rename(statuses, mapping))
+    out = _alive(statuses).select(*_rename(mapping))
     return _stamp(out, "status_id", indexed_at)
 
 
@@ -128,7 +128,7 @@ def sync_labels(labels: DataFrame, indexed_at: str) -> DataFrame:
         "createdAt": ("label_createdAt", False),
         "updatedAt": ("label_updatedAt", False),
     }
-    out = _alive(labels).select(*_rename(labels, mapping))
+    out = _alive(labels).select(*_rename(mapping))
     return _stamp(out, "label_id", indexed_at)
 
 
@@ -350,19 +350,28 @@ def sync_all_tables(
     """The full batch-sync surface (/root/reference/src/data_sync.py:923-934):
     every entity pipeline as one dict of output DataFrames, writable with
     :func:`..sinks.writer.write_lake` in snapshot or history mode."""
-    out = {
-        "data_sources": sync_data_sources(entities["DataSource"], indexed_at),
-        "users": sync_users(entities["User"], indexed_at),
-        "modules": sync_modules(
+    # every per-entity pipeline is guarded the same way: a missing
+    # source table skips its output (the previous mix of .get() for
+    # modules' child lookups with hard ["Status"]/["Label"] indexing
+    # two lines later crashed on exactly the partial-drop case the
+    # .get() form was written to tolerate)
+    out = {}
+    if "DataSource" in entities:
+        out["data_sources"] = sync_data_sources(entities["DataSource"], indexed_at)
+    if "User" in entities:
+        out["users"] = sync_users(entities["User"], indexed_at)
+    if "Module" in entities:
+        out["modules"] = sync_modules(
             entities["Module"],
             entities.get("Status"),
             entities.get("Label"),
             entities.get("DataSource"),
             indexed_at,
-        ),
-        "statuses": sync_statuses(entities["Status"], indexed_at),
-        "labels": sync_labels(entities["Label"], indexed_at),
-    }
+        )
+    if "Status" in entities:
+        out["statuses"] = sync_statuses(entities["Status"], indexed_at)
+    if "Label" in entities:
+        out["labels"] = sync_labels(entities["Label"], indexed_at)
     if "Ticket" in entities:
         out["denormalized_tickets"] = denormalize_tickets(
             entities["Ticket"],
