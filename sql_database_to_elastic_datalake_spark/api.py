@@ -34,6 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_database_to_elastic_datalake_spark.fs import path_exists
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
 from sql_database_to_elastic_datalake_spark.plans.search import (
     multi_match_table,
@@ -158,8 +159,9 @@ class LakeService:
         path = self._table_path("denormalized_ticket")
         # existence check, not try/except-everything: a transient read
         # failure on an EXISTING table must raise, not silently rebuild
-        # the lake table from this one document
-        if os.path.exists(path):
+        # the lake table from this one document. Hadoop-FS existence so
+        # hdfs://s3a:// lake dirs don't always look absent (fs.py).
+        if path_exists(self.spark, path):
             base = self.spark.read.parquet(path)
             merged = merge_latest_wins(
                 base, doc, keys=["ticket_id"], version_col="indexed_at"
@@ -286,12 +288,31 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         # /sync blueprints (ticket_routes.py:212, user_routes.py:190)
         if entities is None:
             return jsonify({"error": "no source tables configured"}), 503
-        body = request.get_json(force=True)
+        # an empty body yields None from get_json even with force=True;
+        # treat it as {} rather than crashing on .get (client error,
+        # never a 500)
+        body = request.get_json(force=True, silent=True) or {}
         etype = _etype(entity)
         indexed_at = body.get("indexed_at") or _utcnow_iso()
         eid = body.get("id") or body.get(f"{etype}_id")
         if eid is None:
             return jsonify({"error": "missing id"}), 400
+        # a partially populated --entities-dir must be a clean
+        # client-facing 503 listing what's absent, not a KeyError->500
+        # inside the sync plan
+        required = (
+            RESYNC_REQUIRED_TABLES
+            if etype == "ticket"
+            else [{"user": "User", "data_source": "DataSource",
+                   "status": "Status", "label": "Label"}.get(etype)]
+        )
+        missing = [t for t in required if t is not None and t not in entities]
+        if missing:
+            return (
+                jsonify({"error": "missing source tables",
+                         "missing": sorted(missing)}),
+                503,
+            )
         if etype == "ticket":
             out = service.resync_ticket(entities, str(eid), indexed_at)
         else:
@@ -327,6 +348,14 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
 
     return app
 
+
+#: Source tables the ticket resync plan hard-requires (sync.py
+#: denormalize_tickets signature) — validated up front by the /sync
+#: route so a thin entities dir surfaces as 503, not KeyError.
+RESYNC_REQUIRED_TABLES = [
+    "Ticket", "TicketStatus", "Status", "Module",
+    "DataSource", "User", "TicketLabel", "Label",
+]
 
 ENTITY_SYNC_FNS = {
     "user": "sync_users",
@@ -366,8 +395,8 @@ def resync_entity(
     path = service._table_path(f"denorm_{entity_type}")
     # existence check, not try/except-everything (same data-loss class
     # as resync_ticket: a transient read error must raise, not rebuild
-    # the table from one document)
-    if os.path.exists(path):
+    # the table from one document); Hadoop-FS so URI schemes resolve
+    if path_exists(service.spark, path):
         base = service.spark.read.parquet(path)
         merged = merge_latest_wins(base, doc, keys=[id_out], version_col="indexed_at")
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

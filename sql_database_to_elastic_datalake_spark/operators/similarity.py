@@ -216,10 +216,12 @@ def quantize_embeddings_int8(
 
     Storage/bandwidth prep for ANN serving — 4× smaller vectors with a
     per-row ``scale`` to dequantize (``v ≈ q/scale``). Pure column
-    algebra over the array (no shuffle, no UDF). ``floor(x + 0.5)`` is
-    used instead of ``round`` because round's half-case mode differs
-    across engines (HALF_UP vs banker's); floor is IEEE-identical
-    everywhere, which keeps the differential oracle exact. All-zero
+    algebra over the array (no shuffle, no UDF). The declared rounding
+    POLICY is round-half-UP (``floor(x + 0.5)``: −2.5 → −2), chosen
+    over SQL ``round``'s half-away or banker's half-even because floor
+    is IEEE-identical across engines, which keeps the differential
+    oracle exact; a ±1-LSB half-case skew is irrelevant to a lossy
+    int8 code. All-zero
     vectors get ``scale = 1.0`` (and hence ``q8 = 0`` everywhere) —
     without the guard, ``127/0.0 = Inf`` makes every element
     ``floor(0·Inf + ½) = NaN → NULL``, an engine-divergent edge case.

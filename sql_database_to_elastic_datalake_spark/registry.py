@@ -2246,12 +2246,17 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_stateful_totals",
     # exact despite Python execution: the operator accumulates integer
-    # cents (order-free), divides once at emit; the oracle mirrors with
-    # an integer SUM of round(value*100) divided once.
+    # cents (order-free), divides once at emit; the oracle mirrors the
+    # engine's sign-aware half-away-from-zero cent rounding exactly
+    # (floor(x+0.5) alone is half-UP and diverges on negative halves).
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(CAST(SUM(CAST(floor((CASE WHEN isfinite(value) THEN value END) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           CAST(CAST(SUM(CAST(
+                 CASE WHEN (CASE WHEN isfinite(value) THEN value END) >= 0
+                      THEN floor((CASE WHEN isfinite(value) THEN value END) * 100 + 0.5)
+                      ELSE ceil((CASE WHEN isfinite(value) THEN value END) * 100 - 0.5)
+                 END AS BIGINT)) AS DOUBLE)
                 / 100 AS DOUBLE) AS total
     FROM events GROUP BY user_id
     """,

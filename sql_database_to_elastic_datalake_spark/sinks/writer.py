@@ -135,13 +135,18 @@ def compact_lake(
 
     tmp = path.rstrip("/") + ".__compact__"
     old_dir = path.rstrip("/") + ".__old__"
-    # recover from a prior interrupted run: a stale __old__ means the
-    # crash happened after the table was swapped back (or the rmtree
-    # was cut short) — both leftovers are safe to clear, and leaving
-    # them would fail this run's renames (ENOTEMPTY / FileNotFound)
-    for stale in (tmp, old_dir):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    # recover from a prior interrupted run — the states are NOT
+    # interchangeable: a crash between the two renames below leaves the
+    # table ONLY at __old__ (path absent), so the sole live copy must be
+    # restored, never swept. Only when path exists is a leftover __old__
+    # a dead duplicate; __compact__ is always a rewrite, safe to clear
+    # once the table itself is in place.
+    if os.path.exists(old_dir) and not os.path.exists(path):
+        os.rename(old_dir, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)

@@ -208,15 +208,18 @@ def stream_upsert_into(
     spark = updates_stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from sql_database_to_elastic_datalake_spark.fs import path_exists
 
         # Only a genuinely-absent target means "first batch". Catching
         # every exception here turned a transient read failure (storage
         # hiccup, throttle) into base=None -> mode("overwrite") replacing
         # the WHOLE merged history with one micro-batch. Existence is
-        # checked explicitly; read errors on an existing target re-raise
-        # and the batch retries instead of destroying the table.
-        if os.path.exists(target_path):
+        # checked explicitly via the Hadoop FileSystem resolved from the
+        # path (os.path.exists answers False for hdfs://s3a:// URIs,
+        # which would re-overwrite the table on every batch); read
+        # errors on an existing target re-raise and the batch retries
+        # instead of destroying the table.
+        if path_exists(spark, target_path):
             base = spark.read.parquet(target_path)
         else:
             base = None
@@ -309,12 +312,18 @@ def running_user_totals_stateful(
                 vals = pdf[value_col][np.isfinite(pdf[value_col])]
                 m += int(len(vals))
                 if cent_scale:
-                    # floor(x + 0.5), never .round(): pandas rounds
-                    # half-to-even while SQL round() is half-away —
-                    # exact .5-unit products diverge (cookbook rule 3)
-                    total += float(
-                        int(np.floor(vals.mul(float(cent_scale)) + 0.5).sum())
+                    # sign-aware half-away-from-zero, never .round():
+                    # pandas rounds half-to-even while SQL round() is
+                    # half-away — exact .5-unit products diverge
+                    # (cookbook rule 3). Plain floor(x+0.5) would be
+                    # half-UP, which diverges from SQL round on
+                    # negative halves (refunds: -2.5 must give -3, not
+                    # -2); the oracle mirrors this CASE exactly.
+                    v = vals.mul(float(cent_scale))
+                    cents = np.where(
+                        v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
                     )
+                    total += float(int(cents.sum()))
                 else:
                     total += float(vals.sum())
             if len(pdf):

@@ -251,6 +251,20 @@ def test_sync_routes(service, spark):
                                 content_type="application/json")
     assert r.status_code == 503
 
+    # partially populated entities dir: a clean 503 naming the missing
+    # tables, never a KeyError->500 from inside the sync plan
+    partial = create_app(service, entities={"Ticket": entities["Ticket"]})
+    partial.testing = True
+    r = partial.test_client().post(
+        "/tickets/sync", data=json.dumps({"id": "t1"}),
+        content_type="application/json")
+    assert r.status_code == 503
+    assert "Status" in r.get_json()["missing"]
+
+    # empty/absent body: 400 missing-id, not a crash on None.get
+    r = c.post("/tickets/sync", data=b"", content_type="application/json")
+    assert r.status_code == 400
+
 
 def test_advanced_search_bad_dsl_is_400(client, service):
     service.ingest("label", [{"name": "x"}])

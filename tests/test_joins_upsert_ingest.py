@@ -186,6 +186,50 @@ def test_compact_lake_merges_small_files(spark, tmp_path):
     assert after == before
 
 
+def test_compact_lake_recovers_crash_between_renames(spark, tmp_path):
+    """If a prior compact crashed between os.rename(path, __old__) and
+    os.rename(__compact__, path), the ONLY live copy of the table is at
+    __old__. The recovery sweep must restore it, not rmtree it — the
+    regression class was a sweep that deleted both copies and then
+    failed the read with the data already gone."""
+    import shutil
+
+    from sql_database_to_elastic_datalake_spark.sinks.writer import compact_lake
+
+    path = os.path.join(str(tmp_path), "tbl")
+    spark.range(50).withColumnRenamed("id", "k").write.parquet(path)
+    before = {r["k"] for r in spark.read.parquet(path).collect()}
+    # simulate the mid-swap crash state: table at __old__, a finished
+    # rewrite at __compact__, path absent
+    os.rename(path, path + ".__old__")
+    shutil.copytree(path + ".__old__", path + ".__compact__")
+    n = compact_lake(spark, path, target_file_bytes=1 << 30)
+    assert n >= 1
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+    after = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_compact_lake_clears_dead_old_when_table_present(spark, tmp_path):
+    """The opposite state: the swap completed but the final rmtree was
+    cut short — path holds the live table and __old__ is a dead copy.
+    Recovery must keep path's contents and clear the leftovers."""
+    import shutil
+
+    from sql_database_to_elastic_datalake_spark.sinks.writer import compact_lake
+
+    path = os.path.join(str(tmp_path), "tbl2")
+    spark.range(10).withColumnRenamed("id", "k").write.parquet(path)
+    shutil.copytree(path, path + ".__old__")
+    shutil.copytree(path, path + ".__compact__")
+    before = {r["k"] for r in spark.read.parquet(path).collect()}
+    compact_lake(spark, path, target_file_bytes=1 << 30)
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == before
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     """History tables evolve: later appends may add columns. mergeSchema
     reconciles the footers; old rows surface NULL for new columns —

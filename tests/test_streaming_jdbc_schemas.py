@@ -47,6 +47,24 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert final == {1: "new", 2: "keep", 3: "ins"}
 
 
+def test_path_exists_resolves_scheme(spark, tmp_path):
+    """Hadoop-FS existence: correct for plain local paths AND for
+    file:// URIs (the class of target os.path.exists gets wrong for
+    every URI scheme — on hdfs://s3a:// it answers False forever and
+    the merge sink's first-batch branch overwrites the table each
+    micro-batch)."""
+    from sql_database_to_elastic_datalake_spark.fs import path_exists
+
+    p = os.path.join(str(tmp_path), "t")
+    assert not path_exists(spark, p)
+    spark.range(1).write.parquet(p)
+    assert path_exists(spark, p)
+    assert path_exists(spark, "file://" + p)
+    assert not path_exists(spark, "file://" + p + "_absent")
+    # os.path.exists would answer False here — the bug class under test
+    assert not os.path.exists("file://" + p)
+
+
 def test_session_counts_gap_boundary(spark):
     import datetime as dt
 
