@@ -2037,10 +2037,13 @@ def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest dedup: first-occurrence-per-key via watermarked
-    ``dropDuplicates``, run with availableNow and materialized. The
-    batch-SQL equivalent is SELECT DISTINCT — the streaming form gives
-    the same answer incrementally with watermark-bounded state.
+    """Streaming ingest dedup: first-occurrence-per-key via the
+    scale-safe default tier (``dropDuplicatesWithinWatermark``,
+    time-evicted state), run with availableNow and materialized. The
+    batch-SQL equivalent is SELECT DISTINCT: the single-drop harness
+    source processes as one micro-batch, where the bounded tier's dedup
+    is exact (state evicts only at batch boundaries), so the oracle
+    holds while the query exercises the tier a 100 TB stream needs.
     """
     from sql_database_to_elastic_datalake_spark.streaming.pipeline import (
         read_stream_parquet,

@@ -99,6 +99,34 @@ def get_spark(
     return spark
 
 
+#: Production streaming tier: the default HDFS-backed state store keeps
+#: every state row on the executor JVM heap — fine for the harness's
+#: thousands of rows, a guaranteed OOM/GC spiral when stateful operators
+#: (dedup, sessionization, stream-stream joins) hold billions of keys at
+#: 100 TB. RocksDB spills state to local disk with bounded memory, and
+#: changelog checkpointing uploads per-batch deltas instead of
+#: re-snapshotting the full store. Runtime-settable, but it only takes
+#: effect for queries STARTED after it is set — apply before .start().
+ROCKSDB_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> SparkSession:
+    """Switch subsequently-started streaming queries to the RocksDB
+    state store (see ``ROCKSDB_STATE_STORE_CONF``). Not the harness
+    default only because demo-sized state pays RocksDB's per-batch
+    open/commit overhead without needing its capacity; any deployment
+    with non-toy state should call this once at session setup."""
+    for k, v in ROCKSDB_STATE_STORE_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally created session.
 

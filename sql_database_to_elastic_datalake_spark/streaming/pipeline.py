@@ -369,24 +369,27 @@ def stream_dedup_keys(
     keys: tuple[str, ...] = ("user_id", "event_type"),
     ts_col: str = "ts",
     watermark: str = "2 hours",
-    within_watermark: bool = False,
+    within_watermark: bool = True,
 ) -> DataFrame:
     """Streaming first-occurrence-per-key dedup, two state tiers.
 
-    Default (exact, GLOBAL): ``dropDuplicates`` keyed on ``keys`` emits
-    each key combination exactly once for the stream's lifetime. State
-    is one row per distinct key and is NOT watermark-evicted — the
-    engine only ages dedup state when the event-time column is part of
-    the dedup key, and adding it would change the semantics to
-    per-timestamp dedup. Bounded by key CARDINALITY, not time: right
-    for enumerable key domains (user×event_type), wrong for unbounded
-    ones.
+    DEFAULT (bounded, the only safe posture at 100 TB):
+    ``dropDuplicatesWithinWatermark`` guarantees dedup among rows whose
+    event times fall within the watermark delay of each other; state is
+    time-evicted, so unbounded key domains are safe, at the cost of
+    re-emitting a key whose duplicates arrive further apart than the
+    horizon. Within a single micro-batch the dedup is exact regardless
+    of the horizon (state evicts only at batch boundaries).
 
-    ``within_watermark=True`` (bounded): ``dropDuplicatesWithinWatermark``
-    guarantees dedup only among rows whose event times fall within the
-    watermark delay of each other; state is time-evicted, so unbounded
-    key domains are safe, at the cost of re-emitting a key whose
-    duplicates arrive further apart than the horizon.
+    ``within_watermark=False`` (exact, GLOBAL — opt-in): plain
+    ``dropDuplicates`` emits each key combination exactly once for the
+    stream's lifetime. State is one row per distinct key and is NOT
+    watermark-evicted — the engine only ages dedup state when the
+    event-time column is part of the dedup key, and adding it would
+    change the semantics to per-timestamp dedup. Bounded by key
+    CARDINALITY, not time: only opt in for enumerable key domains
+    (user×event_type); on an unbounded domain this tier's state grows
+    without limit, which is why it is no longer the default.
     """
     src = events.withWatermark(ts_col, watermark).select(*keys, ts_col)
     if within_watermark:

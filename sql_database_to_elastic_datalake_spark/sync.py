@@ -212,12 +212,21 @@ def denormalize_tickets(
     label: DataFrame,
     indexed_at: str,
     ticket_id: str | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """The reference-shaped flagship: one Spark plan for
     /root/reference/src/db_connector.py:261-300 +
     /root/reference/src/ticket_sync.py:95-139.
 
     ``ticket_id`` narrows to one ticket (the point re-sync path, I1).
+
+    ``ordered=True`` reproduces the reference's ``ORDER BY t.number``
+    (db_connector.py:300) — which there only sequenced its write
+    batches. Default is UNordered: a global range-partition sort of the
+    wide output is the single most expensive no-op in the plan when the
+    consumer is a lake write; ``sinks.writer.write_lake(...,
+    cluster_by=("ticket_number",))`` gives the same at-rest locality
+    without the extra exchange (same policy as ``denormalized_orders``).
     """
     t = _alive(tickets)
     if ticket_id is not None:
@@ -311,7 +320,7 @@ def denormalize_tickets(
     )
 
     ts_lit = F.lit(indexed_at)
-    return (
+    out = (
         wide.select(
             F.col("id").cast("string").alias("ticket_id"),
             F.col("number").alias("ticket_number"),
@@ -340,8 +349,8 @@ def denormalize_tickets(
             ts_lit.alias("indexed_at"),
             document_id(F.col("id"), ts_lit).alias("document_id"),
         )
-        .orderBy("ticket_number")
     )
+    return out.orderBy("ticket_number") if ordered else out
 
 
 def sync_all_tables(
@@ -383,5 +392,8 @@ def sync_all_tables(
             entities["TicketLabel"],
             entities["Label"],
             indexed_at,
+            # the full batch-sync surface mirrors the reference byte-
+            # for-byte, including its ORDER BY t.number write sequencing
+            ordered=True,
         )
     return out

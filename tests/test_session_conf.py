@@ -22,3 +22,51 @@ def test_engine_conf_applied(spark):
     assert (
         spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
     )
+
+
+def test_rocksdb_state_store_tier(spark, tmp_path):
+    """The production streaming tier: a query started after
+    enable_rocksdb_state_store runs its stateful operator on the
+    RocksDB provider (bounded-memory state — the only safe posture for
+    billion-key state at 100 TB). Pin the conf AND prove a stateful
+    query actually executes under it, then restore the default so other
+    tests keep the harness-speed HDFS store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.session import (
+        ROCKSDB_STATE_STORE_CONF,
+        enable_rocksdb_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    try:
+        enable_rocksdb_state_store(spark)
+        assert spark.conf.get(key) == ROCKSDB_STATE_STORE_CONF[key]
+
+        src = os.path.join(str(tmp_path), "src")
+        spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "k string"
+        ).write.parquet(src)
+        q = (
+            spark.readStream.schema("k string").parquet(src)
+            .groupBy("k").agg(F.count("*").alias("n"))
+            .writeStream.format("memory").queryName("t_rocksdb")
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", os.path.join(str(tmp_path), "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["k"]: r["n"] for r in spark.sql(
+            "select * from t_rocksdb").collect()}
+        assert got == {"a": 2, "b": 1}
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)

@@ -207,6 +207,32 @@ def test_point_resync_matches_full(spark, entities):
     assert [tuple(r) for r in point] == [tuple(r) for r in full]
 
 
+def test_flagship_sort_is_opt_in(spark, entities):
+    """Scale default: no global range-partition sort of the wide output
+    (the consumer is a lake write; cluster_by on write gives the same
+    locality). ordered=True restores the reference's ORDER BY t.number
+    and is what sync_all_tables pins for byte-parity."""
+    args = (
+        entities["Ticket"], entities["TicketStatus"], entities["Status"],
+        entities["Module"], entities["DataSource"], entities["User"],
+        entities["TicketLabel"], entities["Label"], TS,
+    )
+    plan_off = sync.denormalize_tickets(*args)._jdf.queryExecution().toString()
+    assert "rangepartitioning(ticket_number" not in plan_off.lower()
+    plan_on = sync.denormalize_tickets(
+        *args, ordered=True
+    )._jdf.queryExecution().toString()
+    assert "rangepartitioning(ticket_number" in plan_on.lower()
+    # same rows either way
+    rows_off = sorted(
+        map(tuple, sync.denormalize_tickets(*args).collect())
+    )
+    rows_on = sorted(
+        map(tuple, sync.denormalize_tickets(*args, ordered=True).collect())
+    )
+    assert rows_off == rows_on
+
+
 def test_output_matches_declared_schema(spark, entities):
     from sql_database_to_elastic_datalake_spark.schemas import (
         DENORMALIZED_TICKET_SCHEMA,
