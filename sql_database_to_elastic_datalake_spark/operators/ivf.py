@@ -167,3 +167,114 @@ def ivf_search(
         k=k,
         descending=True,
     )
+
+
+def fixed_grid_centroids(nlist: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic closed-form coarse centroids: component ``(j, d)``
+    is ``(((j*37 + d*17) % 97) - 48) / 48.0`` — pure rational arithmetic
+    both engines evaluate to the identical double, and 37 is invertible
+    mod 97 so all ``nlist <= 97`` centroids are distinct.
+
+    These exist for the ORACLE-VERIFIABLE IVF tier
+    (:func:`ivf_search_fixed`): KMeans training is not expressible in a
+    SQL oracle, but every other IVF-Flat stage — cell assignment, probe
+    selection, candidate scoring, top-k — is, once the quantizer is a
+    shared closed form. Production search keeps the trained quantizer
+    (:func:`ivf_search`); recall for THAT tier is pytest-asserted
+    against the brute-force verifier instead.
+    """
+    return [
+        [(((j * 37 + d * 17) % 97) - 48) / 48.0 for d in range(dim)]
+        for j in range(nlist)
+    ]
+
+
+def ivf_search_fixed(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-Flat top-k cosine search over the fixed-grid quantizer.
+
+    Identical search plan to :func:`ivf_search` — cell-equality
+    candidate join, never a cross join — but with
+    :func:`fixed_grid_centroids` instead of a trained model, and the
+    probe selection computed IN the plan (rank cells by squared
+    distance, sequential-fold arithmetic mirrored by the SQL oracle)
+    rather than driver-side numpy, whose pairwise summation would not
+    be bit-reproducible in SQL.
+
+    The vec × centroid distance stage materializes ``nlist`` rows per
+    vector — cost ``n·nlist`` distance folds, the irreducible cost of
+    coarse assignment in ANY IVF build (the trained path pays the same
+    inside ``model.transform``).
+
+    Output: query_id, neighbor_id, cosine (k rows per query,
+    total-order tie-break).
+    """
+    from pyspark.sql import Window
+
+    centroids = fixed_grid_centroids(nlist, dim)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in centroids]
+    )
+    base = with_sq_norm(embeddings, vec_col)
+
+    # one row per (vector, cell): squared distance via the house
+    # sequential left fold (dot()'s summation order, oracle-mirrored)
+    cd = base.select(
+        id_col, "_vec_d", "sq_norm", F.posexplode(cent_lit).alias("cell", "cvec")
+    ).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("_vec_d"), F.col("cvec"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell").asc())
+    ranked = cd.withColumn("_crn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("_crn") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec_d").alias("c_vec"),
+        F.col("sq_norm").alias("c_sq"),
+        "cell",
+    )
+    probes = (
+        ranked.filter(
+            F.col(id_col).isin(query_ids) & (F.col("_crn") <= nprobe)
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_vec_d").alias("q_vec"),
+            F.col("sq_norm").alias("q_sq"),
+            "cell",
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.sqrt(F.col("q_sq")) * F.sqrt(F.col("c_sq")))
+            ).cast("double"),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return top_k_per_group(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("cosine"), (-F.col("neighbor_id"))],
+        k=k,
+        descending=True,
+    )

@@ -2436,25 +2436,97 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_sketches")  # rows-only: approximate by design
+@register(
+    "approx_sketches",
+    # Bounds oracle (graduated from rows-only in r4): approximate
+    # values can never hash-match an exact engine, so the QUERY emits
+    # its sketches' accuracy verdicts — booleans comparing each sketch
+    # to the exact computation done in the same plan — plus the exact
+    # group row count. The oracle asserts the verdicts are TRUE for
+    # exactly DuckDB's groups/counts: a broken sketch, a wrong bound,
+    # or a drifted group key all hash-mismatch. HLL at rsd=0.02 is
+    # deterministic for fixed data, so ±5% is a stable gate; the GK
+    # sketch at accuracy=10000 guarantees rank error <= n/10000, which
+    # the exact-neighboring-rank window (±(ceil(n/10000)+1)) covers.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS users_hll_ok, TRUE AS events_hll_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
     HyperLogLog++ distinct counts and GK approximate percentiles per
-    event type. Constant memory per group vs the expand+exact-distinct
-    plan; accuracy is pytest-asserted against exact counterparts
-    (tests/test_approx_sketches.py) rather than oracle-hashed —
-    approximation is the point. Output columns are scalar-only (the
-    registry convention: the driver canonicalizer sorts on every column
-    and cannot hash array cells), so the two quantiles land as separate
-    ``value_p50`` / ``value_p95`` doubles — one GK sketch pass each,
-    still constant memory per group.
+    event type, each verified in-plan against its exact counterpart.
+
+    The sketches are the production path (constant memory per group);
+    the exact counterparts exist HERE because this is the verification
+    query — rank-bracketing the GK output needs one per-group sort,
+    which is oracle-scale work by definition. ``p50_ok``/``p95_ok``
+    assert the approx quantile lies between the exact order statistics
+    at ranks ``q*n ∓ (ceil(n/10000)+1)``; ``*_hll_ok`` assert the HLL
+    counts are within ±5% of exact distinct (rsd=0.02 → 2.5 sigma,
+    deterministic for fixed data).
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
-        F.percentile_approx("value", F.lit(0.5), 10000).alias("value_p50"),
-        F.percentile_approx("value", F.lit(0.95), 10000).alias("value_p95"),
+    sketches = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.countDistinct("user_id").alias("eu"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("ae"),
+        F.countDistinct("event_id").alias("ee"),
+        F.percentile_approx("value", F.lit(0.5), 10000).alias("p50a"),
+        F.percentile_approx("value", F.lit(0.95), 10000).alias("p95a"),
+    )
+    vals = ev.select("event_type", "value").filter(F.col("value").isNotNull())
+    ranked = vals.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value")
+        ),
+    )
+    nv = vals.groupBy("event_type").agg(F.count("*").alias("n_val"))
+    werr = (F.ceil(F.col("n_val") / F.lit(10000.0)) + F.lit(1)).cast("long")
+
+    def _rank_at(q: float, edge: str):
+        target = F.lit(q) * F.col("n_val")
+        if edge == "lo":
+            return F.greatest(F.lit(1).cast("long"),
+                              F.floor(target).cast("long") - werr)
+        return F.least(F.col("n_val").cast("long"),
+                       F.ceil(target).cast("long") + werr)
+
+    bracket = (
+        ranked.join(F.broadcast(nv), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == _rank_at(0.5, "lo"), F.col("value"))).alias("lo50"),
+            F.min(F.when(F.col("rn") == _rank_at(0.5, "hi"), F.col("value"))).alias("hi50"),
+            F.min(F.when(F.col("rn") == _rank_at(0.95, "lo"), F.col("value"))).alias("lo95"),
+            F.min(F.when(F.col("rn") == _rank_at(0.95, "hi"), F.col("value"))).alias("hi95"),
+        )
+    )
+
+    def _ok(approx, lo, hi):
+        return F.coalesce(
+            (approx >= lo) & (approx <= hi),
+            approx.isNull() & lo.isNull(),
+        )
+
+    return sketches.join(F.broadcast(bracket), "event_type", "left").select(
+        "event_type",
+        "n_rows",
+        (F.abs(F.col("au") - F.col("eu")) <= F.lit(0.05) * F.col("eu")).alias(
+            "users_hll_ok"
+        ),
+        (F.abs(F.col("ae") - F.col("ee")) <= F.lit(0.05) * F.col("ee")).alias(
+            "events_hll_ok"
+        ),
+        _ok(F.col("p50a"), F.col("lo50"), F.col("hi50")).alias("p50_ok"),
+        _ok(F.col("p95a"), F.col("lo95"), F.col("hi95")).alias("p95_ok"),
     )
 
 

@@ -427,7 +427,27 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # itself is REAL (pure-Python P6/P5/WAV parse + pixel/sample stats over
 # deterministically synthesized payloads); exact decoded values are
 # asserted in tests/test_text_dedup_similarity.py.
-@register("multimodal_decode")
+@register(
+    "multimodal_decode",
+    # Golden-join oracle (graduated from rows-only in r4): the expected
+    # decode of every document was derived CLOSED-FORM from the payload
+    # construction contract — independent re-synthesis + formula
+    # metadata + hashlib md5, no codec involved — by
+    # scripts/gen_multimodal_golden.py and committed at
+    # data/golden/multimodal_decode.parquet keyed by (doc_id,
+    # md5(text)). One file covers every sf dir (keys are content-
+    # addressed); a synthesizer or parser drift breaks the join or the
+    # value hash. DuckDB 1.0 cannot hash BLOBs, so a pure-SQL oracle
+    # for content_md5 is impossible — this is the strongest available
+    # tier.
+    oracle="""
+    SELECT d.doc_id, g.byte_len, g.content_md5, g.format, g.width,
+           g.height, g.channels, g.sample_rate, g.mean_value
+    FROM documents d
+    JOIN read_parquet('/root/repo/data/golden/multimodal_decode.parquet') g
+      ON g.doc_id = d.doc_id AND g.text_md5 = md5(coalesce(d.text, ''))
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
@@ -474,14 +494,75 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3, id_col="event_id")
 
 
-# No SQL oracle: KMeans quantizer not expressible in the oracle engine —
-# rows-only; recall vs the exact verifier is asserted in tests.
-@register("embed_ann_ivf")
+def _ivf_fixed_oracle(
+    query_ids: list[int], k: int, nlist: int, nprobe: int
+) -> str:
+    """Full IVF-Flat reproduction in SQL over the fixed-grid quantizer
+    (operators/ivf.py:fixed_grid_centroids): identical centroid
+    literals, identical sequential-fold arithmetic for distances and
+    dot products, identical (d2, cell) and (cosine, neighbor_id)
+    total orders. Graduated embed_ann_ivf from rows-only in r4; the
+    trained-KMeans tier stays pytest-verified for recall (training is
+    the one stage SQL cannot express)."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+    )
+
+    ids = ", ".join(str(i) for i in query_ids)
+    cent_rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(fixed_grid_centroids(nlist, _DIM))
+    )
+    d2 = " + ".join(
+        f"(v[{i}]-c[{i}])*(v[{i}]-c[{i}])" for i in range(1, _DIM + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents(j, c) AS (VALUES
+        {cent_rows}),
+    cd AS (
+        SELECT e.vec_id, e.v, cents.j, {d2} AS d2
+        FROM e CROSS JOIN cents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS crn
+        FROM cd
+    ),
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    assign AS (SELECT vec_id, j AS cell FROM ranked WHERE crn = 1),
+    probes AS (SELECT vec_id AS query_id, j AS cell FROM ranked
+               WHERE crn <= {nprobe} AND vec_id IN ({ids})),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(({_dot_sql('q.v', 'c.v')}) / (sqrt(q.sq) * sqrt(c.sq))
+                    AS DOUBLE) AS cosine
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+        JOIN n q ON q.vec_id = p.query_id
+        JOIN n c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn FROM pairs
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "embed_ann_ivf",
+    oracle=_ivf_fixed_oracle(list(range(10)), k=3, nlist=16, nprobe=3),
+)
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_database_to_elastic_datalake_spark.operators.ivf import ivf_search
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        ivf_search_fixed,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_search(emb, query_ids=list(range(10)), k=3, nlist=16, nprobe=3)
+    return ivf_search_fixed(
+        emb, query_ids=list(range(10)), k=3, nlist=16, nprobe=3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -103,3 +103,43 @@ def test_ivf_training_respects_custom_id_col(spark, sf_dir):
         emb, [0, 1], k=2, nlist=4, nprobe=4, seed=7, id_col="doc_id"
     ).collect()
     assert len(rows) == 4
+
+
+def test_ivf_fixed_full_probe_equals_exact_topk(spark, sf_dir):
+    """With nprobe == nlist the fixed-grid IVF search scans every cell,
+    so its top-k must equal brute-force cosine top-k exactly — the
+    partition-into-cells machinery cannot lose or duplicate candidates."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        ivf_search_fixed,
+    )
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_search_fixed(emb, qids, k=3, nlist=8, nprobe=8).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=3).collect()
+    }
+    assert got == want and len(got) == 9
+
+
+def test_ivf_fixed_probes_bound_candidates(spark, sf_dir):
+    """nprobe < nlist returns k rows per query from probed cells only,
+    deterministically across runs."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        ivf_search_fixed,
+    )
+    from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = ivf_search_fixed(emb, [0, 5], k=3, nlist=16, nprobe=3).collect()
+    b = ivf_search_fixed(emb, [0, 5], k=3, nlist=16, nprobe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 6
