@@ -3032,70 +3032,75 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
-# the first 50 registered queries per round. Round-3 rotation CONVERGES the
-# coverage debt: all 47 queries that have never had a driver row (every
-# round-2 registry_pipeline addition past slot 50) plus the three slots the
-# round-2 verdict earmarked — the two repaired reds (`conditional_agg_returns`
-# oracle decimal/hugeint casts, `approx_sketches` scalar p50/p95 columns) and
-# `events_ewma`, whose list_reduce-fold oracle was added in r2 but rotated out
-# before the driver ever saw it. After this round, every one of the 142
-# registered queries has a recorded driver verdict across r1 ∪ r2 ∪ r3.
+# the first 50 registered queries per round. With coverage debt converged in
+# r3 (every query has a driver verdict across r1 ∪ r2 ∪ r3), the rotation
+# policy is now EVIDENCE FRESHNESS: (1) anything whose code or oracle this
+# round touched, (2) the core-§2 flagship set every round, (3) the late-r3
+# changes whose r1/r2 evidence predates the change (ROUND3_NOTES item 7),
+# (4) oldest-evidence round-robin over r1-only-checked queries with the
+# remaining slots. Exactly 50 entries = the driver's window.
 # Local scripts/selfcheck.py always runs ALL queries regardless of order.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- repaired round-2 reds + never-driver-confirmed oracle -------------
-    "conditional_agg_returns",
-    "approx_sketches",
-    "events_ewma",
-    # -- the 47 never-driver-checked queries, registration order ----------
-    "history_asof_read",
-    "streaming_click_attribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_brand_revenue",
-    "streaming_enriched_counts",
-    "streaming_stateful_totals",
-    "batch_sessionization",
-    "funnel_conversion",
-    "cohort_retention",
-    "embed_quantize_int8",
-    "incremental_sync_events",
-    "leakage_safe_split",
-    "text_repetition",
-    "array_functions_docs",
-    "corpus_composition",
-    "gdpr_delete_sync",
-    "corpus_prep_stats",
-    "multimodal_frame_sample",
-    "text_cosine_pairs",
-    "data_quality_audit",
-    "late_data_profile",
-    "value_histogram",
-    "value_outliers_mad",
-    "event_transition_matrix",
-    "revenue_share_by_segment",
-    "key_skew_report",
-    "join_explosion_estimate",
-    "snapshot_diff",
-    "wow_growth",
-    "weighted_sample_docs",
-    "rag_context_assembly",
-    "dedup_keep_canonical",
-    "orders_revenue_7d_ma",
-    "curriculum_deciles",
-    "mixture_rebalance_rates",
-    "rfm_segmentation",
-    "doc_keywords",
-    "events_hourly_heatmap",
-    "events_anomaly_days",
-    "user_feature_table",
-    "lang_id_confusion",
-    "type_share_drift",
-    "chunk_level_dedup",
-    "char_trigram_profile",
-    "order_fanout_histogram",
-    "zipf_profile",
-    "value_seasonality_by_hour",
+    # -- r4-touched: code or oracle changed THIS round, so driver
+    #    evidence must be refreshed now (rotation rule: nothing ships
+    #    with evidence older than its last change) -------------------
+    "approx_sketches",          # graduated: bounds-verdict oracle
+    "embed_ann_ivf",            # graduated: fixed-grid SQL oracle
+    "multimodal_decode",        # graduated: golden join-compare
+    "streaming_stateful_totals",  # sign-aware cent rounding both sides
+    "streaming_dedup_keys",     # default flipped to bounded tier
+    # -- core-§2 flagship set: keep driver evidence <=1 round stale --
+    "denormalized_orders",
+    "pricing_summary",
+    "filter_project",
+    "latest_event_per_key",
+    "top3_events_per_user",
+    "group_to_array",
+    "merge_upsert",
+    "search_dsl_bool",
+    "search_multimatch_scored",
+    "union_all_entities",
+    "nested_labels_json",
+    "ingest_accounting",
+    "history_versioning",
+    "paginate",
+    "point_lookup",
+    # -- late-r3 changes whose driver evidence predates the change
+    #    (ROUND3_NOTES item 7, applied verbatim) ---------------------
+    "doc_chunks",
+    "generic_table_sync",
+    "simhash_hamming_pairs",
+    "neardup_minhash_lsh",
+    "text_stats",
+    "text_lang_id",
+    "daily_event_stats",
+    "running_totals",
+    "value_percentiles",
+    "salted_group_agg",
+    "events_time_range",
+    "events_range_join_prior",
+    "range_frame_hourly",
+    "sliding_window_counts",
+    "streaming_window_counts",
+    # -- oldest-evidence round-robin: r1-only-checked queries never
+    #    re-confirmed since, registration order ----------------------
+    "table_counts",
+    "group_count",
+    "orderby_limit",
+    "self_join_parent",
+    "nation_with_children",
+    "namespace_provenance",
+    "json_extract",
+    "json_parse_struct",
+    "iso_export",
+    "content_hash_ids",
+    "dedup_exact",
+    "neardup_jaccard",
+    "embed_cosine_topk",
+    "embed_ann_bucketed",
+    "text_fingerprint",
 ]
 
 
