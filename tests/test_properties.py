@@ -8,6 +8,8 @@ for the compiler itself.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -21,12 +23,41 @@ from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
 # --- pure-python reference evaluator ---------------------------------------
 
 ROWS = [
-    {"id": 1, "kind": "a", "n": 5, "txt": "Spark merges fast"},
-    {"id": 2, "kind": "b", "n": 15, "txt": "slow pandas loop"},
-    {"id": 3, "kind": "a", "n": 25, "txt": None},
-    {"id": 4, "kind": None, "n": None, "txt": "spark spark spark"},
-    {"id": 5, "kind": "c", "n": 0, "txt": ""},
+    {"id": 1, "kind": "a", "n": 5, "txt": "Spark merges fast",
+     "labels": [{"name": "bug"}, {"name": "urgent"}]},
+    {"id": 2, "kind": "b", "n": 15, "txt": "slow pandas loop",
+     "labels": []},
+    {"id": 3, "kind": "a", "n": 25, "txt": None, "labels": None},
+    {"id": 4, "kind": None, "n": None, "txt": "spark spark spark",
+     "labels": [{"name": "spark"}]},
+    {"id": 5, "kind": "c", "n": 0, "txt": "", "labels": [{"name": None}]},
 ]
+
+ROWS_SCHEMA = (
+    "id long, kind string, n long, txt string, "
+    "labels array<struct<name: string>>"
+)
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein — the independent reference for `fuzzy`."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _wild_re(pattern: str) -> str:
+    import re as _re
+
+    return "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in pattern
+    )
 
 
 def eval_dsl(row: dict, dsl: dict) -> bool:
@@ -51,6 +82,10 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         return row[body["field"]] is not None
     if kind == "match":
         f, q = next(iter(body.items()))
+        operator = "or"
+        if isinstance(q, dict):
+            operator = q.get("operator", "or")
+            q = q["query"]
         toks = tokenize(str(q))
         if not toks:
             return False  # ES zero_terms_query='none'
@@ -58,7 +93,55 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         s = row[f]
         if s is None:
             return False
-        return any(t in s.lower() for t in toks)
+        hits = (t in s.lower() for t in toks)
+        return all(hits) if operator == "and" else any(hits)
+    if kind == "match_phrase":
+        f, q = next(iter(body.items()))
+        s = row[f]
+        return s is not None and str(q).lower() in s.lower()
+    if kind == "prefix":
+        f, v = next(iter(body.items()))
+        s = row[f]
+        return s is not None and str(s).startswith(str(v))
+    if kind == "wildcard":
+        import re as _re
+
+        f, v = next(iter(body.items()))
+        s = row[f]
+        return s is not None and bool(_re.fullmatch(_wild_re(str(v)), str(s)))
+    if kind == "regexp":
+        import re as _re
+
+        f, v = next(iter(body.items()))
+        s = row[f]
+        return s is not None and bool(_re.fullmatch(str(v), str(s)))
+    if kind == "fuzzy":
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import _max_edits
+
+        f = next(iter(body))
+        spec = body[f] if isinstance(body[f], dict) else {}
+        v = spec["value"] if spec else body[f]
+        edits = _max_edits(spec.get("fuzziness", "AUTO"), str(v))
+        s = row[f]
+        return s is not None and _lev(str(s).lower(), str(v).lower()) <= edits
+    if kind == "nested":
+        els = row[body["path"]]
+        if not els:
+            return False
+        prefix = body["path"] + "."
+
+        def strip(node):
+            k, b = next(iter(node.items()))
+            if k == "bool":
+                return {k: {ck: [strip(c) for c in (cv if isinstance(cv, list) else [cv])]
+                            if ck != "minimum_should_match" else cv
+                            for ck, cv in b.items()}}
+            f, rest = next(iter(b.items()))
+            f2 = f[len(prefix):] if f.startswith(prefix) else f
+            return {k: {f2: rest}}
+
+        inner = strip(body["query"])
+        return any(eval_dsl(el, inner) for el in els)
     if kind == "bool":
         must = body.get("must", [])
         must_not = body.get("must_not", [])
@@ -90,6 +173,32 @@ leaf = st.one_of(
     st.builds(lambda f: {"exists": {"field": f}}, st.sampled_from(["kind", "n", "txt"])),
     st.builds(lambda q: {"match": {"txt": q}},
               st.sampled_from(["spark", "pandas loop", "fast spark", "zzz", ""])),
+    # r3-added compiler leaves, covered per the r3 verdict: regexp,
+    # fuzzy, nested (the trees place any leaf under must_not/should, so
+    # zero-terms match and NULL fields hit the null-safe negation path)
+    st.builds(lambda q, op: {"match": {"txt": {"query": q, "operator": op}}},
+              st.sampled_from(["spark fast", "slow loop", "spark zzz", ""]),
+              st.sampled_from(["and", "or"])),
+    st.builds(lambda q: {"match_phrase": {"txt": q}},
+              st.sampled_from(["spark merges", "pandas loop", "SPARK", "zz"])),
+    st.builds(lambda v: {"prefix": {"txt": v}},
+              st.sampled_from(["Spa", "spark", "s", ""])),
+    st.builds(lambda v: {"wildcard": {"txt": v}},
+              st.sampled_from(["*spark*", "S?ark*", "*loop", "*", "??"])),
+    st.builds(lambda v: {"regexp": {"txt": v}},
+              st.sampled_from(
+                  ["[Ss]park.*", ".*(fast|loop)", "s.*k", "[a-z ]*", ""])),
+    st.builds(
+        lambda v, fz: {"fuzzy": {"txt": {"value": v, "fuzziness": fz}}},
+        st.sampled_from(["spark spark spark", "slow pandas loop", "spork", ""]),
+        st.sampled_from([0, 1, 2, "AUTO"]),
+    ),
+    st.builds(lambda v: {"nested": {"path": "labels",
+                                    "query": {"term": {"labels.name": v}}}},
+              st.sampled_from(["bug", "spark", "zzz"])),
+    st.builds(lambda q: {"nested": {"path": "labels",
+                                    "query": {"match": {"labels.name": q}}}},
+              st.sampled_from(["bug urgent", "spark", ""])),
 )
 
 
@@ -114,7 +223,9 @@ dsl_trees = st.recursive(leaf, bool_node, max_leaves=6)
 @pytest.mark.usefixtures("spark")
 class TestDslDifferential:
     @settings(
-        max_examples=25,
+        # 25 keeps the suite fast; crank SPARK_GRAFT_HYP_EXAMPLES for a
+        # deep differential sweep (done at 300 when the generator grows)
+        max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "25")),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
@@ -122,7 +233,7 @@ class TestDslDifferential:
     def test_compiler_matches_python_eval(self, spark, dsl):
         df = getattr(self, "_df", None)
         if df is None:
-            df = spark.createDataFrame(ROWS)
+            df = spark.createDataFrame(ROWS, ROWS_SCHEMA)
             type(self)._df = df
         got = sorted(r["id"] for r in df.filter(compile_dsl(dsl)).collect())
         want = sorted(r["id"] for r in ROWS if eval_dsl(r, dsl))
