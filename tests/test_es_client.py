@@ -1,0 +1,170 @@
+"""EsBulkClient against an in-process mock Elasticsearch.
+
+No live cluster exists in the sandbox, so the mock speaks the documented
+``_bulk``/index-create response shapes (including the trap the client
+exists for: HTTP 200 with per-item failures) and scripts per-document
+behaviors — fail-once-with-429, always-400 — to prove the retry and
+quarantine paths actually run.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from sql_database_to_elastic_datalake_spark.sinks.es_client import (
+    BulkResult,
+    EsBulkClient,
+)
+
+
+class MockEs(BaseHTTPRequestHandler):
+    """Scriptable mock: server.behaviors maps _id -> list of statuses to
+    emit on successive attempts (last one repeats); absent -> 201."""
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_PUT(self):
+        name = self.path.lstrip("/")
+        if name in self.server.indices:
+            self._send(400, {"error": {
+                "type": "resource_already_exists_exception"}})
+            return
+        self.server.indices.add(name)
+        self._send(200, {"acknowledged": True, "index": name})
+
+    def do_POST(self):
+        assert self.path == "/_bulk"
+        assert self.headers["Content-Type"] == "application/x-ndjson"
+        raw = self.rfile.read(int(self.headers["Content-Length"]))
+        self.server.requests.append(raw)
+        lines = raw.decode().rstrip("\n").split("\n")
+        items, errors = [], False
+        for i in range(0, len(lines), 2):
+            action = json.loads(lines[i])
+            doc_id = action["index"]["_id"]
+            seq = self.server.behaviors.get(doc_id)
+            if seq:
+                status = seq.pop(0) if len(seq) > 1 else seq[0]
+            else:
+                status = 201
+            item = {"index": {"_id": doc_id, "status": status}}
+            if status >= 300:
+                errors = True
+                item["index"]["error"] = {
+                    "type": "es_rejected_execution_exception"
+                    if status == 429 else "mapper_parsing_exception"
+                }
+            items.append(item)
+        self._send(200, {"took": 1, "errors": errors, "items": items})
+
+
+@pytest.fixture()
+def mock_es():
+    server = HTTPServer(("127.0.0.1", 0), MockEs)
+    server.behaviors = {}
+    server.requests = []
+    server.indices = set()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield server
+    finally:
+        server.shutdown()
+
+
+def _client(server, **kw):
+    kw.setdefault("initial_backoff", 0.0)
+    return EsBulkClient(f"http://127.0.0.1:{server.server_port}", **kw)
+
+
+def _body(*ids):
+    return "".join(
+        f'{{"index": {{"_index": "i", "_id": "{i}"}}}}\n{{"doc": {i}}}\n'
+        for i in ids
+    )
+
+
+def test_all_ok_single_request(mock_es):
+    res = _client(mock_es).bulk(_body(1, 2, 3))
+    assert (res.ok, res.retried, res.rejected) == (3, 0, [])
+    assert len(mock_es.requests) == 1
+
+
+def test_retryable_items_resent_alone_and_succeed(mock_es):
+    mock_es.behaviors["2"] = [429, 201]
+    res = _client(mock_es).bulk(_body(1, 2, 3))
+    assert res.ok == 3 and res.retried == 1 and not res.rejected
+    # second request carries ONLY the failed item
+    assert len(mock_es.requests) == 2
+    retry_lines = mock_es.requests[1].decode().rstrip("\n").split("\n")
+    assert json.loads(retry_lines[0])["index"]["_id"] == "2"
+    assert json.loads(retry_lines[1]) == {"doc": 2}
+
+
+def test_permanent_rejection_quarantined_not_retried(mock_es):
+    mock_es.behaviors["9"] = [400]
+    res = _client(mock_es).bulk(_body(8, 9))
+    assert res.ok == 1 and res.retried == 0
+    assert [r["_id"] for r in res.rejected] == ["9"]
+    assert res.rejected[0]["error"]["type"] == "mapper_parsing_exception"
+    assert len(mock_es.requests) == 1
+
+
+def test_retry_budget_exhaustion_quarantines(mock_es):
+    mock_es.behaviors["5"] = [429]  # retryable forever
+    res = _client(mock_es, max_retries=2).bulk(_body(5))
+    assert res.ok == 0 and res.retried == 2
+    assert [r["_id"] for r in res.rejected] == ["5"]
+    assert len(mock_es.requests) == 3  # initial + 2 retries
+
+
+def test_ensure_index_idempotent(mock_es):
+    c = _client(mock_es)
+    assert c.ensure_index("lake_docs", '{"mappings": {}}') is True
+    assert c.ensure_index("lake_docs") is False  # already exists -> ok
+
+
+def test_load_export_dir_posts_every_shard(mock_es, spark, tmp_path):
+    """End-to-end: Spark export -> strict files -> HTTP load; every doc
+    acknowledged exactly once."""
+    from sql_database_to_elastic_datalake_spark.sinks.bulk_export import (
+        write_bulk_ndjson,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(7)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "bulk")
+    write_bulk_ndjson(df, out, "lake_docs", "doc_id", actions_per_file=2)
+    res = _client(mock_es).load_export_dir(out)
+    assert (res.ok, res.rejected) == (7, [])
+    sent_ids = []
+    for raw in mock_es.requests:
+        lines = raw.decode().rstrip("\n").split("\n")
+        sent_ids += [json.loads(lines[i])["index"]["_id"]
+                     for i in range(0, len(lines), 2)]
+    assert sorted(sent_ids, key=int) == [str(i) for i in range(7)]
+
+
+def test_odd_line_body_fails_loudly():
+    with pytest.raises(ValueError, match="pairs"):
+        EsBulkClient._split_pairs(b'{"index": {}}\n{"doc": 1}\n{"index": {}}\n')
+
+
+def test_merge_accumulates():
+    a, b = BulkResult(ok=2), BulkResult(ok=1, retried=1, rejected=[{"x": 1}])
+    a.merge(b)
+    assert (a.ok, a.retried, a.rejected) == (3, 1, [{"x": 1}])
