@@ -73,9 +73,9 @@ DESC = {
     "embed_ann_bucketed": "Sign-LSH bucketed approximate nearest neighbors",
     "embed_neardup_pairs": "Embedding near-dup pairs above cosine threshold",
     "multimodal_binary_meta": "Binary media column + typed metadata plumbing",
-    "multimodal_decode": "Arrow-batched media decode (stub codec; rows-only)",
+    "multimodal_decode": "Arrow-batched media decode (real netpbm/WAVE codec; golden-join oracle)",
     "events_ewma": "Per-key EWMA recurrence via applyInPandas (exact fold oracle)",
-    "embed_ann_ivf": "IVF-Flat ANN: sampled KMeans centroids + nprobe (rows-only)",
+    "embed_ann_ivf": "IVF-Flat ANN: fixed-grid quantizer + nprobe (full SQL oracle)",
     "corpus_clean": "Quality gate ∘ exact dedup ∘ near-dup prune composition",
     "retrieval_filtered_topk": "Metadata-gated retrieval then exact cosine top-k",
     "embed_quantize_int8": "Symmetric int8 embedding quantization with per-row scale",
