@@ -172,3 +172,60 @@ class EsBulkClient:
         if len(lines) % 2:
             raise ValueError("bulk body is not action/source line pairs")
         return [(lines[i], lines[i + 1]) for i in range(0, len(lines), 2)]
+
+
+def bulk_load_distributed(
+    df,
+    base_url: str,
+    index_name: str,
+    id_col: str,
+    actions_per_request: int = 1000,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    initial_backoff: float = 0.5,
+):
+    """Executor-side bulk loading: every partition POSTs its own rows.
+
+    The 100 TB placement of the reference's sync loop
+    (/root/reference/src/data_sync.py:124-130 runs one driver-side
+    ``helpers.bulk`` per batch): the action/source rendering stays in
+    the JVM (:func:`..bulk_export.bulk_action_lines`, whole-stage
+    codegen), and only the final HTTP hop runs in Python — one
+    :class:`EsBulkClient` per partition, batching
+    ``actions_per_request`` actions per request (the reference's
+    ``batch_size``). No driver bottleneck, no collect; load parallelism
+    IS the upstream partitioning, which is how a 1000-executor cluster
+    saturates an ES ingest tier.
+
+    Returns a DataFrame ``(partition_ok, partition_retried,
+    partition_rejected)`` with one row per partition — aggregate it for
+    job-level accounting. Rejected items' error bodies are counted, not
+    carried (a 100 TB load quarantines rejects to a side channel; here
+    the per-partition count is the signal to go look).
+    """
+    from sql_database_to_elastic_datalake_spark.sinks.bulk_export import (
+        bulk_action_lines,
+    )
+
+    lines = bulk_action_lines(df, index_name, id_col)
+
+    def post_partition(it):
+        client = EsBulkClient(
+            base_url, timeout=timeout, max_retries=max_retries,
+            initial_backoff=initial_backoff,
+        )
+        total = BulkResult()
+        buf: list[str] = []
+        for row in it:
+            buf.append(row["value"])
+            if len(buf) >= actions_per_request:
+                total.merge(client.bulk("\n".join(buf) + "\n"))
+                buf = []
+        if buf:
+            total.merge(client.bulk("\n".join(buf) + "\n"))
+        yield (total.ok, total.retried, len(total.rejected))
+
+    return lines.rdd.mapPartitions(post_partition).toDF(
+        "partition_ok bigint, partition_retried bigint, "
+        "partition_rejected bigint"
+    )

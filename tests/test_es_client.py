@@ -168,3 +168,35 @@ def test_merge_accumulates():
     a, b = BulkResult(ok=2), BulkResult(ok=1, retried=1, rejected=[{"x": 1}])
     a.merge(b)
     assert (a.ok, a.retried, a.rejected) == (3, 1, [{"x": 1}])
+
+
+def test_bulk_load_distributed_partition_accounting(mock_es, spark):
+    """Executor-side loading: rendering stays JVM-side, each partition
+    posts its own rows; the summary aggregates to exactly the corpus."""
+    from sql_database_to_elastic_datalake_spark.sinks.es_client import (
+        bulk_load_distributed,
+    )
+
+    mock_es.behaviors["3"] = [429, 201]   # one retryable blip
+    mock_es.behaviors["7"] = [400]        # one permanent reject
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    ).repartition(4)
+    url = f"http://127.0.0.1:{mock_es.server_port}"
+    summary = bulk_load_distributed(
+        df, url, "lake_docs", "doc_id",
+        actions_per_request=3, initial_backoff=0.0,
+    ).collect()
+    assert len(summary) == 4
+    ok = sum(r["partition_ok"] for r in summary)
+    retried = sum(r["partition_retried"] for r in summary)
+    rejected = sum(r["partition_rejected"] for r in summary)
+    assert (ok, retried, rejected) == (19, 1, 1)
+    # every doc reached the wire exactly once (the retried one twice)
+    sent = []
+    for raw in mock_es.requests:
+        lines = raw.decode().rstrip("\n").split("\n")
+        sent += [json.loads(lines[i])["index"]["_id"]
+                 for i in range(0, len(lines), 2)]
+    assert sorted(sent, key=int) == sorted(
+        [str(i) for i in range(20)] + ["3"], key=int)
