@@ -2478,10 +2478,19 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("eu"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("ae"),
         F.countDistinct("event_id").alias("ee"),
-        F.percentile_approx("value", F.lit(0.5), 10000).alias("p50a"),
-        F.percentile_approx("value", F.lit(0.95), 10000).alias("p95a"),
+        # finite-values policy: the GK sketch and its exact-rank bracket
+        # must see the SAME population, and NaN/Inf take engine-specific
+        # positions in percentile orderings (functions/scalar.py)
+        F.percentile_approx(finite_or_null("value"), F.lit(0.5), 10000).alias(
+            "p50a"
+        ),
+        F.percentile_approx(finite_or_null("value"), F.lit(0.95), 10000).alias(
+            "p95a"
+        ),
     )
-    vals = ev.select("event_type", "value").filter(F.col("value").isNotNull())
+    vals = ev.select(
+        "event_type", finite_or_null("value").alias("value")
+    ).filter(F.col("value").isNotNull())
     ranked = vals.withColumn(
         "rn",
         F.row_number().over(

@@ -64,6 +64,7 @@ CHECKED = (
     "chunk_level_dedup",
     "corpus_prep_stats",
     "curriculum_deciles",
+    "approx_sketches",
 )
 
 

@@ -65,6 +65,7 @@ CHECKED = (
     "running_totals",
     "pivot_event_types",
     "daily_event_stats",
+    "approx_sketches",
 )
 
 
