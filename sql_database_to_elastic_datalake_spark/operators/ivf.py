@@ -225,32 +225,49 @@ def ivf_search_fixed(
     )
     base = with_sq_norm(embeddings, vec_col)
 
-    # one row per (vector, cell): squared distance via the house
-    # sequential left fold (dot()'s summation order, oracle-mirrored)
-    cd = base.select(
-        id_col, "_vec_d", "sq_norm", F.posexplode(cent_lit).alias("cell", "cvec")
-    ).withColumn(
-        "d2",
-        F.aggregate(
+    # per-row array of nlist squared distances via the house sequential
+    # left fold (dot()'s summation order, oracle-mirrored). Assignment
+    # is argmin over that array IN the row — array_position returns the
+    # FIRST index of the minimum, i.e. ties break to the smallest cell
+    # id, the same total order the SQL oracle's (d2, j) window uses.
+    # This keeps corpus-side assignment a pure map: no nlist-fold row
+    # materialization and no row_number shuffle over nlist·n rows (the
+    # first cut of this operator paid both; at 100 TB that shuffle IS
+    # the job).
+    d2s = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
             F.zip_with(
-                F.col("_vec_d"), F.col("cvec"), lambda x, c: (x - c) * (x - c)
+                F.col("_vec_d"), c, lambda x, cc: (x - cc) * (x - cc)
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell").asc())
-    ranked = cd.withColumn("_crn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("_crn") == 1).select(
+    with_d2s = base.withColumn("_d2s", d2s)
+    assigned = with_d2s.withColumn(
+        "cell",
+        (F.array_position(F.col("_d2s"), F.array_min(F.col("_d2s"))) - 1)
+        .cast("int"),
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_vec_d").alias("c_vec"),
         F.col("sq_norm").alias("c_sq"),
         "cell",
     )
-    probes = (
-        ranked.filter(
-            F.col(id_col).isin(query_ids) & (F.col("_crn") <= nprobe)
+    # probe selection needs the top-nprobe CELLS per query — explode and
+    # rank only the |query_ids| rows, never the corpus
+    q_exploded = (
+        with_d2s.filter(F.col(id_col).isin(query_ids))
+        .select(
+            id_col, "_vec_d", "sq_norm",
+            F.posexplode(F.col("_d2s")).alias("cell", "d2"),
         )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        q_exploded.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= nprobe)
         .select(
             F.col(id_col).alias("query_id"),
             F.col("_vec_d").alias("q_vec"),
