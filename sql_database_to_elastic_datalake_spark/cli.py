@@ -105,6 +105,48 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_load_es(args) -> int:
+    """Load one lake table into a live Elasticsearch over HTTP: ensure
+    the index (schema-derived mapping), then distributed ``_bulk``
+    posting with per-item retry/quarantine — the reference's
+    ``sync → helpers.bulk`` loop (es_connector.py:37-74) as one
+    command against a real cluster URL."""
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.sinks.bulk_export import (
+        create_index_body,
+    )
+    from sql_database_to_elastic_datalake_spark.sinks.es_client import (
+        EsBulkClient,
+        bulk_load_distributed,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    client = EsBulkClient(args.url, max_retries=args.max_retries)
+    created = client.ensure_index(
+        args.index, create_index_body(df, tuple(args.text_cols or ()))
+    )
+    summary = (
+        bulk_load_distributed(
+            df, args.url, args.index, args.id_col,
+            actions_per_request=args.batch_size,
+            max_retries=args.max_retries,
+        )
+        .agg(
+            F.sum("partition_ok").alias("ok"),
+            F.sum("partition_retried").alias("retried"),
+            F.sum("partition_rejected").alias("rejected"),
+        )
+        .collect()[0]
+    )
+    print(json.dumps({
+        "index": args.index, "created": created, "ok": summary["ok"],
+        "retried": summary["retried"], "rejected": summary["rejected"],
+    }))
+    return 0 if not summary["rejected"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sql_database_to_elastic_datalake_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -137,6 +179,20 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--mode", default="formatted",
                    choices=["simple", "extended", "formatted", "cost"])
     x.set_defaults(fn=cmd_explain)
+
+    le = sub.add_parser(
+        "load-es", help="bulk-load a lake table into Elasticsearch over HTTP"
+    )
+    le.add_argument("--input", required=True, help="parquet table path")
+    le.add_argument("--url", required=True, help="cluster base URL")
+    le.add_argument("--index", required=True)
+    le.add_argument("--id-col", required=True)
+    le.add_argument("--batch-size", type=int, default=1000,
+                    help="actions per _bulk request (reference batch_size)")
+    le.add_argument("--max-retries", type=int, default=3)
+    le.add_argument("--text-cols", nargs="*", default=None,
+                    help="columns mapped as analyzed text")
+    le.set_defaults(fn=cmd_load_es)
 
     v = sub.add_parser("serve", help="run the REST API server")
     v.add_argument("--lake", required=True)

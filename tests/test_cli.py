@@ -67,3 +67,46 @@ def test_cli_explain(capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
     assert main(["explain", "--query", "nope"]) == 2
+
+
+def test_cli_load_es(spark, tmp_path, capsys):
+    """load-es: ensure-index + distributed bulk against the mock
+    cluster, JSON accounting on stdout, nonzero exit on rejects."""
+    import json as _json
+
+    from tests.test_es_client import MockEs
+    import threading
+    from http.server import HTTPServer
+
+    server = HTTPServer(("127.0.0.1", 0), MockEs)
+    server.behaviors = {}
+    server.requests = []
+    server.indices = set()
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, f"text {i}") for i in range(9)], "doc_id long, text string"
+        ).write.parquet(src)
+        url = f"http://127.0.0.1:{server.server_port}"
+        rc = main([
+            "load-es", "--input", src, "--url", url, "--index", "lake_docs",
+            "--id-col", "doc_id", "--batch-size", "4",
+            "--text-cols", "text",
+        ])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out == {"index": "lake_docs", "created": True, "ok": 9,
+                       "retried": 0, "rejected": 0}
+        assert "lake_docs" in server.indices
+
+        # a permanent reject surfaces in the accounting and the exit code
+        server.behaviors["5"] = [400]
+        rc = main([
+            "load-es", "--input", src, "--url", url, "--index", "lake_docs",
+            "--id-col", "doc_id",
+        ])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1 and out["rejected"] == 1 and out["created"] is False
+    finally:
+        server.shutdown()
