@@ -76,6 +76,16 @@ DESC = {
     "multimodal_decode": "Arrow-batched media decode (real netpbm/WAVE codec; golden-join oracle)",
     "events_ewma": "Per-key EWMA recurrence via applyInPandas (exact fold oracle)",
     "embed_ann_ivf": "IVF-Flat ANN: fixed-grid quantizer + nprobe (full SQL oracle)",
+    "data_quality_audit": "Cross-table integrity audit: null/dup/orphan-FK counts per table",
+    "late_data_profile": "Event lateness distribution vs the high-water mark (watermark sizing)",
+    "value_histogram": "Fixed-bin value histogram incl. out-of-range clamp bins",
+    "value_outliers_mad": "Median/MAD robust z-score outlier flags per event type",
+    "doc_keywords": "Per-doc top-k keywords by rational TF-IDF",
+    "events_hourly_heatmap": "Day-of-week × hour event density grid",
+    "events_anomaly_days": "Days whose volume deviates from the median by MAD multiples",
+    "user_feature_table": "Per-user ML feature vector (counts, sums, recency, type mix)",
+    "lang_id_confusion": "Lang-ID confusion matrix: predicted × labeled counts",
+    "char_trigram_profile": "Corpus-wide character trigram frequency profile",
     "corpus_clean": "Quality gate ∘ exact dedup ∘ near-dup prune composition",
     "retrieval_filtered_topk": "Metadata-gated retrieval then exact cosine top-k",
     "embed_quantize_int8": "Symmetric int8 embedding quantization with per-row scale",
