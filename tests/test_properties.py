@@ -31,6 +31,10 @@ ROWS = [
     {"id": 4, "kind": None, "n": None, "txt": "spark spark spark",
      "labels": [{"name": "spark"}]},
     {"id": 5, "kind": "c", "n": 0, "txt": "", "labels": [{"name": None}]},
+    # unicode row: accents, CJK, emoji — exercises lower/levenshtein/
+    # regex/wildcard parity on non-ASCII code points
+    {"id": 6, "kind": "ü", "n": 7, "txt": "Späŕk 样本 🙂 fast",
+     "labels": [{"name": "ürgent"}]},
 ]
 
 ROWS_SCHEMA = (
@@ -163,7 +167,7 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
 
 leaf = st.one_of(
     st.just({"match_all": {}}),
-    st.builds(lambda v: {"term": {"kind": v}}, st.sampled_from(["a", "b", "c", "x"])),
+    st.builds(lambda v: {"term": {"kind": v}}, st.sampled_from(["a", "b", "c", "x", "ü"])),
     st.builds(lambda vs: {"terms": {"n": vs}},
               st.lists(st.sampled_from([0, 5, 15, 25, 99]), min_size=1, max_size=3)),
     st.builds(
@@ -172,7 +176,7 @@ leaf = st.one_of(
     ),
     st.builds(lambda f: {"exists": {"field": f}}, st.sampled_from(["kind", "n", "txt"])),
     st.builds(lambda q: {"match": {"txt": q}},
-              st.sampled_from(["spark", "pandas loop", "fast spark", "zzz", ""])),
+              st.sampled_from(["spark", "pandas loop", "fast spark", "zzz", "", "späŕk 样本"])),
     # r3-added compiler leaves, covered per the r3 verdict: regexp,
     # fuzzy, nested (the trees place any leaf under must_not/should, so
     # zero-terms match and NULL fields hit the null-safe negation path)
@@ -182,7 +186,7 @@ leaf = st.one_of(
     st.builds(lambda q: {"match_phrase": {"txt": q}},
               st.sampled_from(["spark merges", "pandas loop", "SPARK", "zz"])),
     st.builds(lambda v: {"prefix": {"txt": v}},
-              st.sampled_from(["Spa", "spark", "s", ""])),
+              st.sampled_from(["Spa", "spark", "s", "", "Spä"])),
     st.builds(lambda v: {"wildcard": {"txt": v}},
               st.sampled_from(["*spark*", "S?ark*", "*loop", "*", "??"])),
     st.builds(lambda v: {"regexp": {"txt": v}},
@@ -190,12 +194,12 @@ leaf = st.one_of(
                   ["[Ss]park.*", ".*(fast|loop)", "s.*k", "[a-z ]*", ""])),
     st.builds(
         lambda v, fz: {"fuzzy": {"txt": {"value": v, "fuzziness": fz}}},
-        st.sampled_from(["spark spark spark", "slow pandas loop", "spork", ""]),
+        st.sampled_from(["spark spark spark", "slow pandas loop", "spork", "", "späŕk"]),
         st.sampled_from([0, 1, 2, "AUTO"]),
     ),
     st.builds(lambda v: {"nested": {"path": "labels",
                                     "query": {"term": {"labels.name": v}}}},
-              st.sampled_from(["bug", "spark", "zzz"])),
+              st.sampled_from(["bug", "spark", "zzz", "ürgent"])),
     st.builds(lambda q: {"nested": {"path": "labels",
                                     "query": {"match": {"labels.name": q}}}},
               st.sampled_from(["bug urgent", "spark", ""])),
