@@ -47,6 +47,44 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert final == {1: "new", 2: "keep", 3: "ins"}
 
 
+def test_stream_upsert_restart_from_checkpoint(spark, tmp_path):
+    """The merge sink across TWO runs sharing one checkpoint: the
+    second availableNow run must process only the new drop (offsets
+    come from the checkpoint), and the merge target must accumulate
+    latest-wins across runs — the incremental-sync deployment shape.
+    A regression here (e.g. the target-existence check failing and
+    taking the overwrite branch) silently replaces history with the
+    newest batch."""
+    target = os.path.join(str(tmp_path), "target2")
+    ckpt = os.path.join(str(tmp_path), "ckpt2")
+    drop = os.path.join(str(tmp_path), "drop2")
+
+    spark.createDataFrame(
+        [Row(k=1, v="a1", ver=1), Row(k=2, v="b1", ver=1)]
+    ).coalesce(1).write.parquet(drop)
+
+    def run():
+        stream = sp.read_stream_parquet(spark, drop)
+        q = sp.stream_upsert_into(
+            stream, target, keys=["k"], version_col="ver", checkpoint=ckpt
+        )
+        q.awaitTermination()
+
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()} \
+        == {(1, "a1"), (2, "b1")}
+
+    # second drop: update k=1 (newer ver), stale k=2 (older ver), new k=3
+    spark.createDataFrame(
+        [Row(k=1, v="a2", ver=2), Row(k=2, v="stale", ver=0),
+         Row(k=3, v="c1", ver=1)]
+    ).coalesce(1).write.mode("append").parquet(drop)
+    run()
+    final = {r["k"]: (r["v"], r["ver"]) for r in
+             spark.read.parquet(target).collect()}
+    assert final == {1: ("a2", 2), 2: ("b1", 1), 3: ("c1", 1)}
+
+
 def test_path_exists_resolves_scheme(spark, tmp_path):
     """Hadoop-FS existence: correct for plain local paths AND for
     file:// URIs (the class of target os.path.exists gets wrong for
