@@ -17,6 +17,9 @@ document whose text changed (or a decode that drifted) breaks the join or
 the hash.
 
 Run once per testdata refresh:  python scripts/gen_multimodal_golden.py
+Extra corpora (e.g. a local ``.scale/sf1`` rehearsal lake) can be
+appended as arguments — their keys join the committed driver-corpora
+set:            python scripts/gen_multimodal_golden.py .scale/sf1
 """
 
 from __future__ import annotations
@@ -92,8 +95,13 @@ def expected_row(doc_id: int, text: str | None) -> dict:
 
 
 def main() -> None:
+    import sys
+
     rows: dict[tuple[int, str], dict] = {}
-    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    for extra in sys.argv[1:]:
+        paths.append(os.path.join(extra, "documents.parquet"))
+    for path in paths:
         for doc_id, text in duckdb.sql(
             f"SELECT doc_id, text FROM read_parquet('{path}')"
         ).fetchall():
