@@ -152,10 +152,17 @@ class EsBulkClient:
 
     def load_export_dir(self, path: str) -> BulkResult:
         """POST every ``write_bulk_ndjson`` shard under ``path`` — the
-        ``curl -XPOST _bulk --data-binary @part-*`` loop as a method."""
+        ``curl -XPOST _bulk --data-binary @part-*`` loop as a method.
+        Shards written with ``compression=`` are decompressed before
+        posting (the `_bulk` endpoint wants NDJSON bodies)."""
+        import gzip
+
         total = BulkResult()
         for f in sorted(glob.glob(os.path.join(path, "part-*"))):
-            with open(f, "rb") as fh:
+            if f.endswith(".crc"):
+                continue
+            opener = gzip.open if f.endswith(".gz") else open
+            with opener(f, "rb") as fh:
                 body = fh.read()
             if body:
                 total.merge(self.bulk(body))

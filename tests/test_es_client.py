@@ -159,6 +159,21 @@ def test_load_export_dir_posts_every_shard(mock_es, spark, tmp_path):
     assert sorted(sent_ids, key=int) == [str(i) for i in range(7)]
 
 
+def test_load_export_dir_handles_gzip_shards(mock_es, spark, tmp_path):
+    from sql_database_to_elastic_datalake_spark.sinks.bulk_export import (
+        write_bulk_ndjson,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"z{i}") for i in range(5)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "bulk_gz")
+    write_bulk_ndjson(df, out, "lake_docs", "doc_id",
+                      actions_per_file=2, compression="gzip")
+    res = _client(mock_es).load_export_dir(out)
+    assert (res.ok, res.rejected) == (5, [])
+
+
 def test_odd_line_body_fails_loudly():
     with pytest.raises(ValueError, match="pairs"):
         EsBulkClient._split_pairs(b'{"index": {}}\n{"doc": 1}\n{"index": {}}\n')
