@@ -133,8 +133,17 @@ class EsBulkClient:
             if not resp.get("errors"):
                 result.ok += len(pairs)
                 return result
+            items = resp.get("items", ())
+            if len(items) != len(pairs):
+                # ES guarantees one item verdict per action; anything
+                # else is a broken proxy/server, and zip-truncating would
+                # silently drop documents from the accounting
+                raise RuntimeError(
+                    f"_bulk returned {len(items)} item verdicts for "
+                    f"{len(pairs)} actions"
+                )
             retry_pairs = []
-            for pair, item in zip(pairs, resp.get("items", ())):
+            for pair, item in zip(pairs, items):
                 verdict = next(iter(item.values()))
                 st = verdict.get("status", 500)
                 if st < 300:

@@ -215,3 +215,23 @@ def test_bulk_load_distributed_partition_accounting(mock_es, spark):
                  for i in range(0, len(lines), 2)]
     assert sorted(sent, key=int) == sorted(
         [str(i) for i in range(20)] + ["3"], key=int)
+
+
+def test_item_count_mismatch_fails_loudly(mock_es, monkeypatch):
+    """A server answering with fewer item verdicts than actions is a
+    broken proxy; truncating the zip would silently drop documents from
+    the accounting — the client must raise instead."""
+    orig = MockEs.do_POST
+
+    def broken(self):
+        raw = self.rfile.read(int(self.headers["Content-Length"]))
+        self.server.requests.append(raw)
+        self._send(200, {"took": 1, "errors": True,
+                         "items": [{"index": {"_id": "1", "status": 429}}]})
+
+    monkeypatch.setattr(MockEs, "do_POST", broken)
+    try:
+        with pytest.raises(RuntimeError, match="item verdicts"):
+            _client(mock_es).bulk(_body(1, 2, 3))
+    finally:
+        monkeypatch.setattr(MockEs, "do_POST", orig)
