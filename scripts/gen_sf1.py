@@ -83,7 +83,11 @@ def main() -> None:
     rep("documents",
         "doc_id + {off} AS doc_id, "
         "CASE WHEN {r} = 0 THEN text ELSE 'r{r} ' || text END AS text, "
-        "lang, source, n_chars")
+        # n_chars must track the prefixed text, not the original —
+        # an inconsistent derived column skews length-profiled stats
+        "lang, source, "
+        "CAST(length(CASE WHEN {r} = 0 THEN text ELSE 'r{r} ' || text END)"
+        " AS BIGINT) AS n_chars")
     rep("embeddings",
         "vec_id + {off} AS vec_id, embedding, label")
     print(f"sf1 lake at {out}")

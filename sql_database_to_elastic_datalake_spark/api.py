@@ -288,10 +288,12 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         # /sync blueprints (ticket_routes.py:212, user_routes.py:190)
         if entities is None:
             return jsonify({"error": "no source tables configured"}), 503
-        # an empty body yields None from get_json even with force=True;
-        # treat it as {} rather than crashing on .get (client error,
-        # never a 500)
-        body = request.get_json(force=True, silent=True) or {}
+        # an empty body yields None from get_json even with force=True,
+        # and a valid NON-OBJECT JSON body (array/string/number) would
+        # crash .get just the same; both are client errors, never a 500
+        body = request.get_json(force=True, silent=True)
+        if not isinstance(body, dict):
+            body = {}
         etype = _etype(entity)
         indexed_at = body.get("indexed_at") or _utcnow_iso()
         eid = body.get("id") or body.get(f"{etype}_id")
@@ -303,8 +305,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         required = (
             RESYNC_REQUIRED_TABLES
             if etype == "ticket"
-            else [{"user": "User", "data_source": "DataSource",
-                   "status": "Status", "label": "Label"}.get(etype)]
+            else [ENTITY_SOURCE_TABLES.get(etype)]
         )
         missing = [t for t in required if t is not None and t not in entities]
         if missing:
@@ -357,6 +358,15 @@ RESYNC_REQUIRED_TABLES = [
     "DataSource", "User", "TicketLabel", "Label",
 ]
 
+#: Entity type -> its single source table (the one mapping both the
+#: /sync route's 503 guard and resync_entity's lookup share).
+ENTITY_SOURCE_TABLES = {
+    "user": "User",
+    "data_source": "DataSource",
+    "status": "Status",
+    "label": "Label",
+}
+
 ENTITY_SYNC_FNS = {
     "user": "sync_users",
     "data_source": "sync_data_sources",
@@ -385,8 +395,7 @@ def resync_entity(
     from sql_database_to_elastic_datalake_spark import sync as sync_mod
     from sql_database_to_elastic_datalake_spark.sinks.upsert import merge_latest_wins
 
-    entity_key = {"user": "User", "data_source": "DataSource",
-                  "status": "Status", "label": "Label"}.get(entity_type)
+    entity_key = ENTITY_SOURCE_TABLES.get(entity_type)
     if entity_key is None or entity_type not in ENTITY_SYNC_FNS:
         return {"status_code": 404, "error": f"unsupported entity {entity_type}"}
     src = entities[entity_key].filter(F.col("id") == entity_id)

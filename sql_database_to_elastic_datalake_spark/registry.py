@@ -2508,8 +2508,16 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.least(F.col("n_val").cast("long"),
                        F.ceil(target).cast("long") + werr)
 
+    # group keys are NULLABLE (a corrupted lake WILL have NULL
+    # event_type): groupBy/window treat NULL as a group, but a plain
+    # column-name join is null-UNSAFE equality and would drop the NULL
+    # group's bracket — its verdicts then read FALSE while the oracle's
+    # GROUP BY happily emits the NULL group. eqNullSafe on both joins.
     bracket = (
-        ranked.join(F.broadcast(nv), "event_type")
+        ranked.join(
+            F.broadcast(nv.withColumnRenamed("event_type", "_et")),
+            F.col("event_type").eqNullSafe(F.col("_et")),
+        )
         .groupBy("event_type")
         .agg(
             F.min(F.when(F.col("rn") == _rank_at(0.5, "lo"), F.col("value"))).alias("lo50"),
@@ -2525,7 +2533,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             approx.isNull() & lo.isNull(),
         )
 
-    return sketches.join(F.broadcast(bracket), "event_type", "left").select(
+    return sketches.join(
+        F.broadcast(bracket.withColumnRenamed("event_type", "_et")),
+        F.col("event_type").eqNullSafe(F.col("_et")),
+        "left",
+    ).select(
         "event_type",
         "n_rows",
         (F.abs(F.col("au") - F.col("eu")) <= F.lit(0.05) * F.col("eu")).alias(

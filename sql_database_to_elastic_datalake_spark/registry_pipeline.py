@@ -10,6 +10,8 @@ the same QUERIES/ORACLES dicts. Oracle SQL for hash/vector operators is
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -423,10 +425,15 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No SQL oracle: mapInPandas codec — driver records rows-only. The codec
-# itself is REAL (pure-Python P6/P5/WAV parse + pixel/sample stats over
-# deterministically synthesized payloads); exact decoded values are
-# asserted in tests/test_text_dedup_similarity.py.
+#: Repo-relative location of the committed decode golden — derived from
+#: the package's own path (NOT a hardcoded checkout root) so the oracle
+#: works from any clone location, same as gen_multimodal_golden.py.
+_DECODE_GOLDEN = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "golden", "multimodal_decode.parquet",
+)
+
+
 @register(
     "multimodal_decode",
     # Golden-join oracle (graduated from rows-only in r4): the expected
@@ -440,11 +447,11 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value hash. DuckDB 1.0 cannot hash BLOBs, so a pure-SQL oracle
     # for content_md5 is impossible — this is the strongest available
     # tier.
-    oracle="""
+    oracle=f"""
     SELECT d.doc_id, g.byte_len, g.content_md5, g.format, g.width,
            g.height, g.channels, g.sample_rate, g.mean_value
     FROM documents d
-    JOIN read_parquet('/root/repo/data/golden/multimodal_decode.parquet') g
+    JOIN read_parquet('{_DECODE_GOLDEN}') g
       ON g.doc_id = d.doc_id AND g.text_md5 = md5(coalesce(d.text, ''))
     """,
 )

@@ -163,15 +163,25 @@ class EsBulkClient:
         """POST every ``write_bulk_ndjson`` shard under ``path`` — the
         ``curl -XPOST _bulk --data-binary @part-*`` loop as a method.
         Shards written with ``compression=`` are decompressed before
-        posting (the `_bulk` endpoint wants NDJSON bodies)."""
+        posting (the `_bulk` endpoint wants NDJSON bodies): gzip and
+        bzip2 via the stdlib; other codec suffixes raise rather than
+        posting compressed bytes as a garbage request body."""
+        import bz2
         import gzip
 
+        openers = {".gz": gzip.open, ".bz2": bz2.open}
+        rejected_suffixes = (".snappy", ".lz4", ".deflate", ".zst", ".zstd")
         total = BulkResult()
         for f in sorted(glob.glob(os.path.join(path, "part-*"))):
             if f.endswith(".crc"):
                 continue
-            opener = gzip.open if f.endswith(".gz") else open
-            with opener(f, "rb") as fh:
+            if f.endswith(rejected_suffixes):
+                raise ValueError(
+                    f"cannot decompress bulk shard {f!r}; export with "
+                    "compression=gzip/bzip2 (or none) for HTTP loading"
+                )
+            suffix = os.path.splitext(f)[1]
+            with openers.get(suffix, open)(f, "rb") as fh:
                 body = fh.read()
             if body:
                 total.merge(self.bulk(body))

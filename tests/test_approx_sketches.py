@@ -74,3 +74,32 @@ def test_raw_sketches_close_to_exact(spark, sf_dir):
         ]
         assert lo50 <= p50 <= hi50
         assert lo95 <= p95 <= hi95
+
+
+def test_null_group_key_gets_true_verdicts(spark, tmp_path):
+    """A NULL event_type is a legitimate group: groupBy and the oracle's
+    GROUP BY both emit it, so the bracket joins must be null-SAFE — a
+    plain equi-join drops the NULL group's bracket and turns its
+    verdicts FALSE (the class this test pins)."""
+    import datetime as dt
+
+    d = str(tmp_path / "lake")
+    import os
+
+    os.makedirs(d)
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5), i % 7,
+         None if i % 3 == 0 else "click", float(i) * 1.25, None)
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in
+           QUERIES["approx_sketches"](spark, d).collect()}
+    assert set(out) == {None, "click"}
+    for r in out.values():
+        assert r["p50_ok"] is True and r["p95_ok"] is True
+        assert r["users_hll_ok"] is True and r["events_hll_ok"] is True
