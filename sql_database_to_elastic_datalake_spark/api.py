@@ -288,12 +288,16 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         # /sync blueprints (ticket_routes.py:212, user_routes.py:190)
         if entities is None:
             return jsonify({"error": "no source tables configured"}), 503
-        # an empty body yields None from get_json even with force=True,
-        # and a valid NON-OBJECT JSON body (array/string/number) would
-        # crash .get just the same; both are client errors, never a 500
+        # an empty body yields None from get_json even with force=True —
+        # treat that as {} so the missing-id message applies; a valid
+        # NON-OBJECT JSON body (array/string/number) is a DIFFERENT
+        # client error and gets named as such rather than being coerced
+        # into a misleading "missing id"
         body = request.get_json(force=True, silent=True)
-        if not isinstance(body, dict):
+        if body is None:
             body = {}
+        elif not isinstance(body, dict):
+            return jsonify({"error": "body must be a JSON object"}), 400
         etype = _etype(entity)
         indexed_at = body.get("indexed_at") or _utcnow_iso()
         eid = body.get("id") or body.get(f"{etype}_id")

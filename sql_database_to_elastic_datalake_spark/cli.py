@@ -134,9 +134,12 @@ def cmd_load_es(args) -> int:
             max_retries=args.max_retries,
         )
         .agg(
-            F.sum("partition_ok").alias("ok"),
-            F.sum("partition_retried").alias("retried"),
-            F.sum("partition_rejected").alias("rejected"),
+            # F.sum over zero rows (empty/zero-partition input) is NULL,
+            # which would print null counts yet exit 0; an empty load
+            # must report ok=0/retried=0/rejected=0 explicitly
+            F.coalesce(F.sum("partition_ok"), F.lit(0)).alias("ok"),
+            F.coalesce(F.sum("partition_retried"), F.lit(0)).alias("retried"),
+            F.coalesce(F.sum("partition_rejected"), F.lit(0)).alias("rejected"),
         )
         .collect()[0]
     )

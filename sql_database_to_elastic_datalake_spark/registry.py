@@ -2052,7 +2052,13 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_stream_parquet(spark, sf_dir, glob="events.parquet")
-    dd = stream_dedup_keys(stream)
+    # the watermark is explicitly wider than any testdata time span so
+    # the SELECT DISTINCT oracle holds regardless of micro-batch layout
+    # — with the 2h default, a multi-file source (or maxFilesPerTrigger)
+    # could evict state between batches and re-emit keys whose
+    # duplicates span batches, failing the gate on an innocuous layout
+    # change even though the engine behaved as documented
+    dd = stream_dedup_keys(stream, watermark="100 days")
     return run_stream_to_memory(
         dd, f"dedup_keys_{next(_STREAM_SEQ)}", output_mode="append"
     )
@@ -2448,6 +2454,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic for fixed data, so ±5% is a stable gate; the GK
     # sketch at accuracy=10000 guarantees rank error <= n/10000, which
     # the exact-neighboring-rank window (±(ceil(n/10000)+1)) covers.
+    # CAVEAT: HLL++ has no hard error bound — 2.5 sigma is probability,
+    # not a guarantee — so the ±5% gate MUST be re-validated against
+    # the observed deterministic error whenever testdata or sf is
+    # refreshed; a regenerated lake could flip a verdict FALSE with a
+    # correct engine. (The GK bracket, by contrast, is a hard bound.)
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
            TRUE AS users_hll_ok, TRUE AS events_hll_ok,

@@ -14,6 +14,10 @@ shim reproduces the behavior explicitly:
 * items with retryable statuses (429 es_rejected_execution on a full
   bulk queue, 503) are re-sent alone with exponential backoff — the
   SDK's ``max_retries``/``initial_backoff`` contract;
+* a retryable status on the WHOLE request (ES rejects the entire
+  ``_bulk`` with 429 when the write queue is full; LBs emit 503 the
+  same way) gets the identical backoff-and-resend treatment, raising
+  only once retries are exhausted;
 * items with permanent rejections (400 mapping conflicts, 404) are
   quarantined with their error bodies — mirroring the lake sink's
   quarantine posture (`sinks/writer.py`): a bad document must never
@@ -128,6 +132,17 @@ class EsBulkClient:
             status, resp = self._request(
                 "POST", "/_bulk", payload, "application/x-ndjson"
             )
+            if status in RETRYABLE_STATUSES and attempt < self.max_retries:
+                # ES rejects a WHOLE _bulk request with 429 when the
+                # write queue is full (and LBs emit 503 the same way);
+                # inside bulk_load_distributed a raise here would fail
+                # the Spark task instead of backing off, so the
+                # request-level verdict gets the same retry contract as
+                # item-level ones.
+                result.retried += len(pairs)
+                time.sleep(self.initial_backoff * (2 ** attempt))
+                attempt += 1
+                continue
             if status != 200:
                 raise RuntimeError(f"_bulk transport failed ({status}): {resp}")
             if not resp.get("errors"):

@@ -264,6 +264,15 @@ def test_sync_routes(service, spark):
     # empty/absent body: 400 missing-id, not a crash on None.get
     r = c.post("/tickets/sync", data=b"", content_type="application/json")
     assert r.status_code == 400
+    assert r.get_json()["error"] == "missing id"
+
+    # a valid NON-OBJECT JSON body (array/string/number) is a different
+    # client error and must be NAMED, not coerced into "missing id"
+    for bad in (json.dumps(["t1"]), json.dumps("t1"), json.dumps(7)):
+        r = c.post("/tickets/sync", data=bad,
+                   content_type="application/json")
+        assert r.status_code == 400
+        assert r.get_json()["error"] == "body must be a JSON object"
 
 
 def test_advanced_search_bad_dsl_is_400(client, service):

@@ -108,5 +108,18 @@ def test_cli_load_es(spark, tmp_path, capsys):
         ])
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 1 and out["rejected"] == 1 and out["created"] is False
+
+        # zero-row input: F.sum over no rows is NULL — the command must
+        # report an explicit ok=0/retried=0/rejected=0 and exit 0, not
+        # print nulls and claim success
+        empty = str(tmp_path / "empty_docs")
+        spark.createDataFrame([], "doc_id long, text string").write.parquet(empty)
+        rc = main([
+            "load-es", "--input", empty, "--url", url, "--index", "lake_docs",
+            "--id-col", "doc_id",
+        ])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert (out["ok"], out["retried"], out["rejected"]) == (0, 0, 0)
     finally:
         server.shutdown()

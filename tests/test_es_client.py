@@ -50,6 +50,15 @@ class MockEs(BaseHTTPRequestHandler):
         assert self.headers["Content-Type"] == "application/x-ndjson"
         raw = self.rfile.read(int(self.headers["Content-Length"]))
         self.server.requests.append(raw)
+        if getattr(self.server, "request_statuses", None):
+            # request-level verdict: ES rejects a WHOLE _bulk with 429
+            # when the write queue is full (no per-item list at all)
+            status = self.server.request_statuses.pop(0)
+            if status != 200:
+                self._send(status, {"error": {
+                    "type": "es_rejected_execution_exception",
+                    "reason": "rejected execution (queue capacity)"}})
+                return
         lines = raw.decode().rstrip("\n").split("\n")
         items, errors = [], False
         for i in range(0, len(lines), 2):
@@ -76,6 +85,7 @@ def mock_es():
     server = HTTPServer(("127.0.0.1", 0), MockEs)
     server.behaviors = {}
     server.requests = []
+    server.request_statuses = []
     server.indices = set()
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -128,6 +138,24 @@ def test_retry_budget_exhaustion_quarantines(mock_es):
     res = _client(mock_es, max_retries=2).bulk(_body(5))
     assert res.ok == 0 and res.retried == 2
     assert [r["_id"] for r in res.rejected] == ["5"]
+    assert len(mock_es.requests) == 3  # initial + 2 retries
+
+
+def test_request_level_429_backs_off_and_resends(mock_es):
+    """A whole-request 429 (full write queue) is retried with backoff,
+    not raised — raising would fail the Spark task inside
+    bulk_load_distributed instead of riding out transient pressure."""
+    mock_es.request_statuses[:] = [429, 503, 200]
+    res = _client(mock_es, max_retries=3).bulk(_body(1, 2))
+    assert res.ok == 2 and not res.rejected
+    assert res.retried == 4  # 2 docs re-sent twice
+    assert len(mock_es.requests) == 3
+
+
+def test_request_level_429_exhaustion_raises(mock_es):
+    mock_es.request_statuses[:] = [429, 429, 429, 429]
+    with pytest.raises(RuntimeError, match="transport failed"):
+        _client(mock_es, max_retries=2).bulk(_body(1))
     assert len(mock_es.requests) == 3  # initial + 2 retries
 
 
