@@ -233,7 +233,9 @@ class LakeService:
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2)."""
         df = self.spark.read.parquet(os.path.join(self.lake_dir, table))
-        matched = df.filter(compile_dsl(dsl))
+        # df.columns lets the compiler expand multi_match wildcard field
+        # patterns ("*_name") the way ES expands them from the mapping
+        matched = df.filter(compile_dsl(dsl, schema_fields=df.columns))
         total = matched.count()
         rows = matched.limit(k).collect()
         return {

@@ -23,6 +23,19 @@ Semantics notes (documented divergences from Elasticsearch):
     ordering is not reproducible without ES's corpus statistics
     (SURVEY.md §7.3 hard-part #3).
   * ``bool.filter`` ≡ ``bool.must`` (we have no scoring context).
+  * ``boost`` is ACCEPTED AND IGNORED everywhere ES allows it (leaf
+    ``{"value": v, "boost": 2.0}`` specs, ``bool.boost``, and the
+    ``field^2`` suffix in ``multi_match`` fields): boosting only
+    affects relevance scores, and this compiler produces a boolean
+    filter — the documented divergence is that result ORDER comes from
+    :func:`tf_score`/``bm25_rank``, never from boosts.
+  * ``minimum_should_match`` supports the full ES spec grammar:
+    integers, negative integers, percentages (``"75%"``, ``"-25%"``,
+    rounded down per the Lucene spec), and conditional forms
+    (``"3<90%"``, multiple space-separated conditionals). Lucene edge
+    rules apply: a computed value ≤0 with no required clauses still
+    demands one optional match; a value above the clause count matches
+    nothing.
   * ``nested`` compiles to an ``exists()`` lambda over the array column
     — per-element match like ES nested queries, no explode/regroup.
 
@@ -34,6 +47,7 @@ PushedFilters. ``match`` substring predicates stay JVM-side ``contains``
 
 from __future__ import annotations
 
+import fnmatch
 import re
 from collections.abc import Callable
 
@@ -93,6 +107,62 @@ def _wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def resolve_minimum_should_match(spec, n_optional: int) -> int:
+    """Resolve an ES ``minimum_should_match`` spec against ``n_optional``
+    should clauses, per the Lucene/Solr grammar the ES docs defer to:
+
+    * positive integer — used as-is;
+    * negative integer — ``n_optional`` minus that many may be missing
+      (``-2`` with 5 clauses → 3);
+    * percentage ``"75%"`` — ``floor(n * 75/100)``;
+    * negative percentage ``"-25%"`` — that percent (rounded down) may
+      be missing: ``n - floor(n * 25/100)``;
+    * conditional ``"3<90%"`` — all required when ``n <= 3``, else the
+      right-hand spec applies; multiple space-separated conditionals
+      pick the clause with the greatest test value below ``n``.
+
+    Returns the raw computed integer — callers apply the Lucene edge
+    rules (≤0 → unconstrained unless the bool has no required clauses;
+    > n_optional → unsatisfiable). Malformed specs raise
+    :class:`DslError` — the module's malformed-user-query contract.
+    """
+    if isinstance(spec, bool):
+        raise DslError(f"malformed minimum_should_match {spec!r}")
+    if isinstance(spec, int):
+        return spec if spec >= 0 else n_optional + spec
+    if not isinstance(spec, str) or not spec.strip():
+        raise DslError(f"malformed minimum_should_match {spec!r}")
+    s = spec.strip()
+    if "<" in s:
+        clauses = []
+        for part in s.split():
+            m = re.fullmatch(r"(\d+)<(-?\d+%?)", part)
+            if not m:
+                raise DslError(f"malformed minimum_should_match {spec!r}")
+            clauses.append((int(m.group(1)), m.group(2)))
+        clauses.sort()
+        applicable = None
+        for test, sub in clauses:
+            if n_optional > test:
+                applicable = sub
+        if applicable is None:
+            return n_optional  # n <= smallest test: all required
+        return resolve_minimum_should_match(applicable, n_optional)
+    if s.endswith("%"):
+        try:
+            pct = int(s[:-1])
+        except ValueError:
+            raise DslError(f"malformed minimum_should_match {spec!r}") from None
+        missing_or_needed = abs(pct) * n_optional // 100
+        return (
+            missing_or_needed if pct >= 0 else n_optional - missing_or_needed
+        )
+    try:
+        return resolve_minimum_should_match(int(s), n_optional)
+    except ValueError:
+        raise DslError(f"malformed minimum_should_match {spec!r}") from None
+
+
 def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
     toks = tokenize(str(text))
     if not toks:
@@ -111,11 +181,18 @@ def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
 def compile_dsl(
     dsl: dict,
     field_resolver: Callable[[str], Column] | None = None,
+    schema_fields: list[str] | None = None,
 ) -> Column:
     """Compile an ES query DSL tree into one boolean Column.
 
     ``field_resolver`` maps a DSL field name to a Column — override it
     for renamed/nested columns; defaults to ``F.col``.
+
+    ``schema_fields`` is the table's column list, used ONLY to expand
+    wildcard field patterns in ``multi_match`` (``fields: ["*_name"]``)
+    the way ES expands them from the index mapping; callers that know
+    the DataFrame (the API layer) pass ``df.columns``. Without it,
+    wildcard patterns raise — a schema-free compiler cannot guess.
     """
     col = field_resolver or F.col
 
@@ -199,17 +276,40 @@ def compile_dsl(
     if kind == "multi_match":
         query = body["query"]
         fields = body.get("fields")
-        if not isinstance(fields, list) or not fields or fields == ["*"]:
-            # ES expands omitted/'*' fields from the index mapping; a
-            # schema-free compiler cannot — the API layer (which knows
-            # the table) passes explicit fields (plans/search.py does
-            # exactly that). Surfacing the contract beats compiling
-            # F.col("*"), which fails analysis unreadably.
+        if not isinstance(fields, list) or not fields:
+            # ES expands omitted fields from the index mapping's
+            # default_field; a schema-free compiler cannot — the API
+            # layer (which knows the table) passes explicit fields
+            # (plans/search.py does exactly that). Surfacing the
+            # contract beats compiling F.col("*"), which fails analysis
+            # unreadably.
             raise DslError(
                 "multi_match requires an explicit non-empty fields list "
                 "(field expansion needs the table schema)"
             )
-        preds = [_match_tokens(col(f), query) for f in fields]
+        expanded: list[str] = []
+        for f in fields:
+            # per-field boost suffix ("name^3") — accepted and ignored,
+            # see the module docstring's boost divergence note
+            name = str(f).split("^", 1)[0]
+            if "*" in name or "?" in name:
+                if schema_fields is None:
+                    raise DslError(
+                        f"wildcard field pattern {f!r} needs the table "
+                        "schema (pass schema_fields=df.columns)"
+                    )
+                expanded.extend(
+                    c for c in schema_fields
+                    if fnmatch.fnmatchcase(c, name)
+                )
+            else:
+                expanded.append(name)
+        expanded = list(dict.fromkeys(expanded))
+        if not expanded:
+            # ES semantics: fields that resolve to nothing match no
+            # documents (match_no_docs), not all of them
+            return F.lit(False)
+        preds = [_match_tokens(col(f), query) for f in expanded]
         acc = preds[0]
         for p in preds[1:]:
             acc = acc | p
@@ -235,21 +335,36 @@ def compile_dsl(
         clauses: list[Column] = []
         for key in ("must", "filter"):
             for sub in _as_list(body.get(key)):
-                clauses.append(compile_dsl(sub, field_resolver))
+                clauses.append(compile_dsl(sub, field_resolver, schema_fields))
         for sub in _as_list(body.get("must_not")):
-            clauses.append(~_ns(compile_dsl(sub, field_resolver)))
-        should = [compile_dsl(s, field_resolver) for s in _as_list(body.get("should"))]
+            clauses.append(~_ns(compile_dsl(sub, field_resolver, schema_fields)))
+        should = [
+            compile_dsl(s, field_resolver, schema_fields)
+            for s in _as_list(body.get("should"))
+        ]
         if should:
             # ES default: should clauses only filter when there are no
             # must/filter clauses (minimum_should_match defaults to 1
             # then, else 0 — scoring-only, which we have no notion of).
-            msm = int(body.get("minimum_should_match", 0 if clauses else 1))
+            raw = body.get("minimum_should_match")
+            if raw is None:
+                msm = 0 if clauses else 1
+            else:
+                msm = resolve_minimum_should_match(raw, len(should))
+            if msm <= 0 and not clauses:
+                # Lucene rule: a BooleanQuery with no required clauses
+                # must still match at least one optional clause, even
+                # when the computed minimum is zero or negative
+                msm = 1
             if msm == 1:
                 acc = should[0]
                 for p in should[1:]:
                     acc = acc | p
                 clauses.append(acc)
             elif msm > 1:
+                # a minimum above len(should) is naturally
+                # unsatisfiable through the count comparison —
+                # Lucene's behavior (matches nothing)
                 count = sum((_ns(p).cast("int") for p in should), F.lit(0))
                 clauses.append(count >= msm)
         if not clauses:

@@ -832,6 +832,48 @@ def search_dsl_should_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_dsl_msm_wildcard",
+    # 3 should clauses at minimum_should_match "67%" -> floor(2.01) = 2
+    # required; the multi_match clause is itself an OR over the columns
+    # its wildcard field patterns ("s*", "l?ng") expand to. Boosts in
+    # the DSL are accepted-and-ignored (filter context), so the oracle
+    # carries no trace of them.
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE (CAST(COALESCE(contains(lower(source), '1')
+                         OR contains(lower(lang), '1'), FALSE) AS INT)
+         + CAST(COALESCE(lang = 'en', FALSE) AS INT)
+         + CAST(COALESCE(n_chars >= 300, FALSE) AS INT)) >= 2
+    """,
+)
+def search_dsl_msm_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-DSL edge grammar end-to-end (r5): percentage
+    ``minimum_should_match``, ``multi_match`` wildcard field patterns
+    expanded from the DataFrame schema, and per-field/leaf ``boost``
+    values that must not change the match set. Reference passes such
+    trees verbatim to ES (src/search_api.py:38-46); here they compile
+    to one boolean Column with the counting semantics inlined.
+    """
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {
+        "bool": {
+            "should": [
+                {"multi_match": {"query": "1", "fields": ["s*^2", "l?ng"]}},
+                {"term": {"lang": {"value": "en", "boost": 3.0}}},
+                {"range": {"n_chars": {"gte": 300}}},
+            ],
+            "minimum_should_match": "67%",
+        }
+    }
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Q1 — multi_match full-text search with deterministic tf scoring
 # Reference: /root/reference/src/search_api.py:16-36.

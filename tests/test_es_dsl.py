@@ -98,6 +98,86 @@ def test_bool_nesting(docs):
     assert run(docs, {"bool": {}}) == [1, 2, 3, 4]
 
 
+def test_minimum_should_match_spec_grammar(docs):
+    """The full ES msm grammar: percentages, negatives, conditionals."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        resolve_minimum_should_match as msm,
+    )
+
+    assert msm(2, 4) == 2
+    assert msm(-1, 4) == 3           # one may be missing
+    assert msm("75%", 4) == 3
+    assert msm("75%", 5) == 3        # rounded DOWN (Lucene spec)
+    assert msm("-25%", 5) == 4       # floor(25% of 5)=1 may be missing
+    assert msm("100%", 3) == 3
+    assert msm("3<90%", 3) == 3      # n <= test: all required
+    assert msm("3<90%", 10) == 9     # n > test: spec applies
+    assert msm("2<-25% 9<-3", 5) == 4   # middle bracket: -25% of 5
+    assert msm("2<-25% 9<-3", 12) == 9  # top bracket: 12-3
+    assert msm("2<-25% 9<-3", 2) == 2   # below all brackets
+    for bad in ("", "abc", "x%", "3<", "1.5", None, 1.5, True):
+        with pytest.raises(DslError):
+            msm(bad, 4)
+
+    # end-to-end through a bool: 3 shoulds, "67%" of 3 → 2 required
+    base = [{"term": {"kind": "a"}},       # rows 1,3
+            {"range": {"n": {"gte": 15}}},  # rows 2,3
+            {"term": {"id": 3}}]            # row 3
+    dsl = {"bool": {"should": list(base), "minimum_should_match": "67%"}}
+    assert run(docs, dsl) == [3]
+    # 0% with no required clauses: Lucene still demands one optional hit
+    dsl = {"bool": {"should": list(base), "minimum_should_match": "0%"}}
+    assert run(docs, dsl) == [1, 2, 3]
+    # computed minimum above the clause count matches nothing
+    dsl = {"bool": {"should": list(base[:2]), "minimum_should_match": 3}}
+    assert run(docs, dsl) == []
+    # negative form: -1 of 3 shoulds → 2 required, same rows as 67%
+    dsl = {"bool": {"should": list(base), "minimum_should_match": -1}}
+    assert run(docs, dsl) == [3]
+
+
+def test_boost_accepted_and_ignored(docs):
+    """boost never changes the match set (documented divergence: it
+    only ever affected scores, and ranking here comes from tf_score)."""
+    plain = run(docs, {"term": {"kind": "a"}})
+    assert run(docs, {"term": {"kind": {"value": "a", "boost": 4.0}}}) == plain
+    assert run(docs, {"bool": {"must": [{"term": {"kind": "a"}}],
+                               "boost": 0.1}}) == plain
+    with_suffix = {"multi_match": {"query": "b", "fields": ["kind^3", "txt^0.2"]}}
+    without = {"multi_match": {"query": "b", "fields": ["kind", "txt"]}}
+    assert run(docs, with_suffix) == run(docs, without) == [2]
+
+
+def test_multi_match_wildcard_fields(docs):
+    """Wildcard field patterns expand against the passed schema, like
+    ES expands them from the index mapping."""
+    cols = docs.columns  # id, kind, n, txt, tags
+
+    def run_s(dsl):
+        return sorted(
+            r["id"] for r in
+            docs.filter(compile_dsl(dsl, schema_fields=cols)).collect()
+        )
+
+    # "t*t" → txt only (tags doesn't match the pattern)
+    assert run_s({"multi_match": {"query": "pandas", "fields": ["t?t"]}}) == [2]
+    # pattern + boost suffix compose
+    assert run_s({"multi_match": {"query": "b", "fields": ["k*^2"]}}) == [2]
+    # a pattern resolving to no columns matches no documents
+    assert run_s({"multi_match": {"query": "spark", "fields": ["zz*"]}}) == []
+    # duplicate expansion is deduped, not double-counted
+    assert run_s(
+        {"multi_match": {"query": "spark", "fields": ["txt", "t?t"]}}
+    ) == [1, 4]
+    # without a schema, wildcard patterns are a clean DslError
+    with pytest.raises(DslError, match="schema"):
+        compile_dsl({"multi_match": {"query": "x", "fields": ["*_name"]}})
+    # inside a bool, schema_fields reaches the nested multi_match
+    dsl = {"bool": {"must": [
+        {"multi_match": {"query": "loop", "fields": ["tx*"]}}]}}
+    assert run_s(dsl) == [2]
+
+
 def test_nested_query(docs):
     dsl = {
         "nested": {

@@ -42,6 +42,10 @@ ROWS_SCHEMA = (
     "labels array<struct<name: string>>"
 )
 
+#: column list handed to compile_dsl as schema_fields (and used by the
+#: eval mirror) for multi_match wildcard field expansion
+ROW_COLUMNS = ["id", "kind", "n", "txt", "labels"]
+
 
 def _lev(a: str, b: str) -> int:
     """Plain DP Levenshtein — the independent reference for `fuzzy`."""
@@ -64,12 +68,37 @@ def _wild_re(pattern: str) -> str:
     )
 
 
+def _eval_msm(spec, n: int) -> int:
+    """Independent mirror of the ES minimum_should_match grammar
+    (deliberately NOT importing the module's resolver — the point of
+    the differential is two implementations of the documented spec)."""
+    if isinstance(spec, int):
+        return spec if spec >= 0 else n + spec
+    s = str(spec).strip()
+    if "<" in s:
+        brackets = sorted(
+            (int(p.split("<")[0]), p.split("<", 1)[1]) for p in s.split()
+        )
+        chosen = None
+        for test, sub in brackets:
+            if n > test:
+                chosen = sub
+        return n if chosen is None else _eval_msm(chosen, n)
+    if s.endswith("%"):
+        pct = int(s[:-1])
+        k = abs(pct) * n // 100
+        return k if pct >= 0 else n - k
+    return _eval_msm(int(s), n)
+
+
 def eval_dsl(row: dict, dsl: dict) -> bool:
     kind, body = next(iter(dsl.items()))
     if kind == "match_all":
         return True
     if kind == "term":
         f, v = next(iter(body.items()))
+        if isinstance(v, dict):
+            v = v["value"]  # spec form; boost (if present) is ignored
         return row[f] is not None and row[f] == v
     if kind == "terms":
         f, vs = next(iter(body.items()))
@@ -146,6 +175,25 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
 
         inner = strip(body["query"])
         return any(eval_dsl(el, inner) for el in els)
+    if kind == "multi_match":
+        fields = []
+        for f in body["fields"]:
+            name = str(f).split("^", 1)[0]
+            if "*" in name or "?" in name:
+                import fnmatch as _fn
+
+                fields += [c for c in ROW_COLUMNS
+                           if _fn.fnmatchcase(c, name)]
+            else:
+                fields.append(name)
+        toks = tokenize(str(body["query"]))
+        if not toks:
+            return False
+        seen = list(dict.fromkeys(fields))
+        return any(
+            row[f] is not None and any(t in str(row[f]).lower() for t in toks)
+            for f in seen
+        )
     if kind == "bool":
         must = body.get("must", [])
         must_not = body.get("must_not", [])
@@ -153,8 +201,11 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         clauses = [eval_dsl(row, m) for m in must]
         clauses += [not eval_dsl(row, m) for m in must_not]
         if should:
-            msm = int(body.get("minimum_should_match",
-                               0 if (must or must_not) else 1))
+            raw = body.get("minimum_should_match")
+            msm = (0 if (must or must_not) else 1) if raw is None \
+                else _eval_msm(raw, len(should))
+            if msm <= 0 and not (must or must_not):
+                msm = 1  # Lucene: no required clauses -> >=1 optional
             if msm >= 1:
                 clauses.append(
                     sum(eval_dsl(row, s) for s in should) >= msm
@@ -200,6 +251,14 @@ leaf = st.one_of(
     st.builds(lambda v: {"nested": {"path": "labels",
                                     "query": {"term": {"labels.name": v}}}},
               st.sampled_from(["bug", "spark", "zzz", "ürgent"])),
+    st.builds(lambda q, fs: {"multi_match": {"query": q, "fields": fs}},
+              st.sampled_from(["spark", "pandas loop", "a", "zzz", ""]),
+              st.sampled_from([["txt"], ["kind", "txt"], ["tx*"],
+                               ["t?t", "kind^2"], ["k*"], ["zz*"],
+                               ["txt", "tx*"]])),
+    st.builds(lambda v, b: {"term": {"kind": {"value": v, "boost": b}}},
+              st.sampled_from(["a", "b", "ü"]),
+              st.sampled_from([0.1, 2.0, 5])),
     st.builds(lambda q: {"nested": {"path": "labels",
                                     "query": {"match": {"labels.name": q}}}},
               st.sampled_from(["bug urgent", "spark", ""])),
@@ -217,7 +276,10 @@ def bool_node(children):
         st.lists(children, max_size=2),
         st.lists(children, max_size=1),
         st.lists(children, max_size=2),
-        st.integers(0, 2),
+        # 0 means "omit the key" (the strategy lambda drops falsy msm);
+        # strings exercise the full spec grammar end-to-end
+        st.sampled_from([0, 1, 2, 3, -1, "25%", "50%", "75%", "100%",
+                         "-25%", "-50%", "1<50%", "2<-25% 9<-3"]),
     )
 
 
@@ -239,7 +301,10 @@ class TestDslDifferential:
         if df is None:
             df = spark.createDataFrame(ROWS, ROWS_SCHEMA)
             type(self)._df = df
-        got = sorted(r["id"] for r in df.filter(compile_dsl(dsl)).collect())
+        got = sorted(
+            r["id"] for r in
+            df.filter(compile_dsl(dsl, schema_fields=ROW_COLUMNS)).collect()
+        )
         want = sorted(r["id"] for r in ROWS if eval_dsl(r, dsl))
         assert got == want, f"dsl={dsl}"
 
