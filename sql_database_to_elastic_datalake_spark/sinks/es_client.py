@@ -116,6 +116,25 @@ class EsBulkClient:
             return False
         raise RuntimeError(f"index create failed ({status}): {body}")
 
+    # -- search ------------------------------------------------------------
+
+    def search(self, index: str, body: dict) -> dict:
+        """POST ``/{index}/_search`` and return the parsed envelope.
+
+        The reference round-trips ``/search`` and ``/search/advanced``
+        through this ES endpoint (src/search_api.py:16-46) — the lake
+        answers the same DSL locally (``LakeService.advanced_search``),
+        and this method is the live-cluster analog, so envelope parity
+        between the two is testable against a cluster speaking the
+        documented response shape."""
+        status, resp = self._request(
+            "POST", f"/{index}/_search",
+            json.dumps(body).encode("utf-8"), "application/json",
+        )
+        if status != 200:
+            raise RuntimeError(f"_search failed ({status}): {resp}")
+        return resp
+
     # -- bulk --------------------------------------------------------------
 
     def bulk(self, body: str | bytes) -> BulkResult:

@@ -198,3 +198,51 @@ def resolve_table_schema(
         if table in available.get(schema, set()):
             return schema
     raise LookupError(f"table {table!r} not found in schemas {search_path}")
+
+
+def catalog_tables_query(dialect: str = "postgresql") -> str:
+    """Catalog query returning ``(table_schema, table_name)`` rows for
+    :func:`discover_tables` — the live half of the reference's
+    existence probe (src/db_connector.py:231-246, which asks
+    information_schema per table). One query for the whole catalog
+    instead of a round trip per table."""
+    if dialect in ("postgresql", "mysql"):
+        return (
+            "SELECT table_schema AS table_schema, table_name AS table_name "
+            "FROM information_schema.tables WHERE table_type = 'BASE TABLE'"
+        )
+    raise ValueError(f"unsupported dialect: {dialect}")
+
+
+def discover_tables(
+    spark: SparkSession,
+    source: JdbcSource,
+    query: str | None = None,
+    default_schema: str | None = None,
+) -> dict[str | None, set[str]]:
+    """Load the remote catalog into :func:`resolve_table_schema`'s
+    ``available`` shape via one JDBC subquery scan.
+
+    ``default_schema`` names the schema that unqualified reads resolve
+    to on this connection (``public`` for PostgreSQL, the user schema
+    for Derby); its tables are ALSO registered under ``None`` so a
+    search path like ``("copy", None)`` finds them. ``query`` overrides
+    the dialect default for engines with nonstandard catalogs (the live
+    Derby test passes a SYS.SYSTABLES query).
+    """
+    q = query or catalog_tables_query(source.dialect)
+    reader = spark.read.format("jdbc")
+    for k, v in source.reader_options(f"({q}) cat").items():
+        reader = reader.option(k, v)
+    cat = reader.load()
+    # engines fold unquoted aliases differently (Derby -> TABLE_SCHEMA);
+    # resolve the two columns case-insensitively
+    by_lower = {c.lower(): c for c in cat.columns}
+    sch_col, tbl_col = by_lower["table_schema"], by_lower["table_name"]
+    available: dict[str | None, set[str]] = {}
+    for row in cat.collect():
+        schema, name = row[sch_col], row[tbl_col]
+        available.setdefault(schema, set()).add(name)
+        if default_schema is not None and schema == default_schema:
+            available.setdefault(None, set()).add(name)
+    return available

@@ -46,6 +46,9 @@ class MockEs(BaseHTTPRequestHandler):
         self._send(200, {"acknowledged": True, "index": name})
 
     def do_POST(self):
+        if self.path.endswith("/_search"):
+            self._do_search()
+            return
         assert self.path == "/_bulk"
         assert self.headers["Content-Type"] == "application/x-ndjson"
         raw = self.rfile.read(int(self.headers["Content-Length"]))
@@ -76,8 +79,53 @@ class MockEs(BaseHTTPRequestHandler):
                     "type": "es_rejected_execution_exception"
                     if status == 429 else "mapper_parsing_exception"
                 }
+            else:
+                # accepted documents become searchable (the mock's
+                # "shard"): index -> _id -> parsed _source
+                docs = getattr(self.server, "docs", None)
+                if docs is not None:
+                    docs.setdefault(action["index"]["_index"], {})[
+                        doc_id] = json.loads(lines[i + 1])
             items.append(item)
         self._send(200, {"took": 1, "errors": errors, "items": items})
+
+    def _do_search(self):
+        """Minimal ``/{index}/_search``: evaluates the DSL with the
+        test-suite's pure-Python reference evaluator (an implementation
+        INDEPENDENT of the lake's compiler — that's what makes the
+        envelope-parity test a differential), returns the documented
+        hits envelope."""
+        from tests.test_properties import eval_dsl
+
+        index = self.path.lstrip("/").split("/")[0]
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])) or b"{}"
+        )
+        stored = getattr(self.server, "docs", {}).get(index, {})
+        matched = [
+            (doc_id, src) for doc_id, src in stored.items()
+            if eval_dsl(_DefaultNone(src), body.get("query", {"match_all": {}}))
+        ]
+        size = body.get("size", 10)
+        self._send(200, {
+            "took": 1,
+            "hits": {
+                "total": {"value": len(matched), "relation": "eq"},
+                "hits": [
+                    {"_index": index, "_id": doc_id, "_source": src}
+                    for doc_id, src in matched[:size]
+                ],
+            },
+        })
+
+
+class _DefaultNone(dict):
+    """ES sources omit null fields; the reference evaluator indexes
+    row[field] directly, so absent keys must read as null (no match),
+    exactly like a missing field in a live index."""
+
+    def __missing__(self, key):
+        return None
 
 
 @pytest.fixture()
@@ -87,6 +135,7 @@ def mock_es():
     server.requests = []
     server.request_statuses = []
     server.indices = set()
+    server.docs = {}
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
@@ -200,6 +249,60 @@ def test_load_export_dir_handles_gzip_shards(mock_es, spark, tmp_path):
                       actions_per_file=2, compression="gzip")
     res = _client(mock_es).load_export_dir(out)
     assert (res.ok, res.rejected) == (5, [])
+
+
+def test_search_envelope_parity_lake_vs_cluster(mock_es, spark, tmp_path):
+    """The reference round-trips /search/advanced through ES
+    (src/search_api.py:38-46). Prove the lake answers the same DSL
+    identically to what the exporter+client shipped to a cluster: the
+    mock's _search evaluates queries with the pure-Python reference
+    evaluator (independent of the lake's compiler), so agreement is a
+    three-way differential — compiler vs evaluator vs the wire format
+    the export path produced."""
+    import os
+
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+    from sql_database_to_elastic_datalake_spark.sinks.bulk_export import (
+        write_bulk_ndjson,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "en", 120, "spark merges fast"),
+         (2, "de", 480, "slow pandas loop"),
+         (3, "en", 300, None),        # null text: omitted from _source
+         (4, "fr", 80, "spark spark")],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    df.write.parquet(os.path.join(lake, "data_lake_doc"))
+    dsl = {"bool": {"must": [{"range": {"n_chars": {"gte": 100}}}],
+                    "should": [{"term": {"lang": "en"}},
+                               {"match": {"text": "loop"}}],
+                    "minimum_should_match": 1}}
+
+    lake_env = LakeService(spark, lake).advanced_search(
+        "data_lake_doc", dsl, k=10)
+
+    out = str(tmp_path / "export")
+    write_bulk_ndjson(df, out, "data_lake_doc", "doc_id")
+    client = _client(mock_es)
+    assert client.load_export_dir(out).ok == 4
+    es_env = client.search("data_lake_doc", {"query": dsl, "size": 10})
+
+    assert (es_env["hits"]["total"]["value"]
+            == lake_env["hits"]["total"]["value"] == 3)
+
+    def canon(hits):
+        # order-insensitive (filter context has no scores); the lake
+        # side drops nulls because the exporter's documented contract
+        # omits null fields from _source (bulk_export ignoreNullFields)
+        return [
+            json.dumps({k: v for k, v in h["_source"].items()
+                        if v is not None}, sort_keys=True)
+            for h in sorted(hits, key=lambda h: h["_source"]["doc_id"])
+        ]
+
+    assert canon(es_env["hits"]["hits"]) == canon(lake_env["hits"]["hits"])
 
 
 def test_odd_line_body_fails_loudly():

@@ -116,6 +116,19 @@ def test_resolve_table_schema_copy_then_default():
         resolve_table_schema(available, "Label", path)
 
 
+def test_catalog_tables_query_golden():
+    from sql_database_to_elastic_datalake_spark.sources.jdbc import (
+        catalog_tables_query,
+    )
+
+    want = ("SELECT table_schema AS table_schema, table_name AS table_name "
+            "FROM information_schema.tables WHERE table_type = 'BASE TABLE'")
+    assert catalog_tables_query("postgresql") == want
+    assert catalog_tables_query("mysql") == want
+    with pytest.raises(ValueError):
+        catalog_tables_query("sqlite")
+
+
 # -- reader options carry the dialect-correct dbtable ------------------------
 
 def test_reader_options_dbtable_golden():

@@ -134,3 +134,71 @@ def test_live_point_filter_pushdown(spark, derby):
     plan = got._jdf.queryExecution().toString()
     assert "EqualTo(id,8)" in plan
     assert [r["name"] for r in got.collect()] == ["t-008"]
+
+
+def test_live_copy_schema_search_path(spark, derby):
+    """End-to-end copy-then-default resolution against the live
+    catalog (reference src/db_connector.py:231-246): a 'copy'-schema
+    Ticket must shadow the default-schema one; tables absent from
+    'copy' fall back to the default schema. Until round 5 this was
+    unit-tested on hand-built dicts only."""
+    from sql_database_to_elastic_datalake_spark.sources.jdbc import (
+        discover_tables,
+        resolve_table_schema,
+    )
+
+    src, seed = derby
+    # Derby DDL goes through a raw embedded connection (Spark's JDBC
+    # writer only creates tables); schema 'copy' is case-exact quoted,
+    # like the reference's lowercase copy schema on PostgreSQL
+    conn = spark._jvm.java.sql.DriverManager.getConnection(src.url)
+    st = conn.createStatement()
+    try:
+        st.execute('CREATE SCHEMA "copy"')
+    except Exception:
+        pass  # already created by a previous test run in this session
+    finally:
+        st.close()
+        conn.close()
+
+    copy_df = spark.createDataFrame(
+        [(900, "copy-shadow", None), (901, "copy-gone",
+                                      dt.datetime(2024, 3, 1))],
+        "id bigint, name string, deletedAt timestamp",
+    )
+    (copy_df.write.format("jdbc")
+        .option("url", src.url).option("driver", DRIVER)
+        .option("dbtable", '"copy"."Ticket"')
+        .mode("overwrite").save())
+    # a second table that exists ONLY in the default schema
+    (spark.createDataFrame([(1, "open")], "id bigint, name string")
+        .write.format("jdbc")
+        .option("url", src.url).option("driver", DRIVER)
+        .option("dbtable", '"Status"').mode("overwrite").save())
+
+    derby_catalog = (
+        "SELECT s.SCHEMANAME AS table_schema, t.TABLENAME AS table_name "
+        "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
+        "ON t.SCHEMAID = s.SCHEMAID WHERE t.TABLETYPE = 'T'"
+    )
+    available = discover_tables(
+        spark, src, query=derby_catalog, default_schema="APP"
+    )
+    assert "Ticket" in available["copy"]
+    assert "Ticket" in available[None] and "Status" in available[None]
+
+    # first-hit: Ticket resolves to the copy schema and reads ITS rows
+    resolved = resolve_table_schema(available, "Ticket", ("copy", None))
+    assert resolved == "copy"
+    got = read_entity(spark, src, "Ticket", schema=resolved)
+    assert {r["name"] for r in got.collect()} == {"copy-shadow"}
+
+    # fallback: Status is absent from copy -> default schema content
+    assert resolve_table_schema(available, "Status", ("copy", None)) is None
+    got = read_entity(spark, src, "Status", schema=None,
+                      soft_delete_col=None)
+    assert [r["name"] for r in got.collect()] == ["open"]
+
+    # absence stays loud end-to-end
+    with pytest.raises(LookupError):
+        resolve_table_schema(available, "Nope", ("copy", None))
