@@ -1152,9 +1152,15 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_prep_stats",
+    # Unlike the other jaccard-family oracles (which share
+    # _SHINGLE3_JACCARD_CTE over ALL documents), this one shingles only
+    # the exact-dedup SURVIVORS — the same restriction the engine plan
+    # applies. The result is identical (the original filtered jac3 to
+    # exact_keep endpoints anyway), but the pair stage no longer wades
+    # through duplicate-text cliques, which is what made the sf1 oracle
+    # out-spill 80 GB while the engine side completed (r4 verdict #3).
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE3_JACCARD_CTE},
-    quality AS (
+    WITH quality AS (
         SELECT doc_id, text FROM documents
         WHERE len({_TOKENS}) >= 20 AND lang = 'en'
     ),
@@ -1162,11 +1168,34 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(doc_id) AS doc_id FROM quality
         GROUP BY md5(coalesce(text, chr(0)))
     ),
+    tarr AS (
+        SELECT q.doc_id,
+               regexp_split_to_array(trim(lower(replace(q.text, 'İ', 'i̇'))),
+                                     '\\s+') AS toks
+        FROM quality q JOIN exact_keep k ON q.doc_id = k.doc_id
+    ),
+    tok3 AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS w
+        FROM tarr,
+             LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 0) + 1))
+                      AS i) r
+    ),
+    sz3 AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY doc_id),
+    inter3 AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM tok3 x JOIN tok3 y ON x.w = y.w AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    jac3 AS (
+        SELECT a, b, CAST(i / (sa.n + sb.n - i) AS DOUBLE) AS jaccard
+        FROM inter3
+        JOIN sz3 sa ON sa.doc_id = a
+        JOIN sz3 sb ON sb.doc_id = b
+    ),
     neardup_drop AS (
         SELECT DISTINCT j.b AS doc_id FROM jac3 j
         WHERE j.jaccard >= 0.9
-          AND j.a IN (SELECT doc_id FROM exact_keep)
-          AND j.b IN (SELECT doc_id FROM exact_keep)
     ),
     clean AS (
         SELECT doc_id FROM exact_keep
