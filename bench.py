@@ -62,9 +62,30 @@ HEADLINE = (
     "incremental_sync_events",
 )
 
+#: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
+#: the sf1 rehearsal becomes a per-round artifact so superlinear
+#: regressions are caught by comparison). The default HEADLINE stays
+#: untouched to keep BENCH_r{N}.json min-of-3 comparable across rounds.
+SF1_EXTRA = (
+    "neardup_minhash_lsh",
+    "simhash_hamming_pairs",
+    "dedup_clusters_jaccard",
+    "embed_ann_ivf",
+    "corpus_prep_stats",
+)
+
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".scale", "sf1")
+
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_mode = "--sf1" in sys.argv[1:]
+    # --sf1 pins the lake (the env default belongs to the driver's
+    # per-round sf0.1 run; mixing them would mislabel the artifact)
+    sf_dir = SF1_DIR if sf1_mode else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if sf1_mode and not os.path.isdir(sf_dir):
+        sys.exit(f"sf1 lake missing at {sf_dir}; run scripts/gen_sf1.py first")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -113,7 +134,8 @@ def main() -> None:
     # (measured: the flagship needs run 3 to fully amortize its
     # broadcast+codegen warm-up — 2.6 s cold, 2.0 s second, 1.6-1.7 s
     # steady).
-    for name in HEADLINE:
+    bench_set = HEADLINE + SF1_EXTRA if sf1_mode else HEADLINE
+    for name in bench_set:
         if name not in qs:
             continue
         best = None
@@ -128,7 +150,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": ("headline_sf1_total_wall" if sf1_mode
+                           else "headline_queries_total_wall"),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

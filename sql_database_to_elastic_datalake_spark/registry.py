@@ -3117,14 +3117,22 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r4-touched: code or oracle changed THIS round, so driver
-    #    evidence must be refreshed now (rotation rule: nothing ships
-    #    with evidence older than its last change) -------------------
-    "approx_sketches",          # graduated: bounds-verdict oracle
-    "embed_ann_ivf",            # graduated: fixed-grid SQL oracle
-    "multimodal_decode",        # graduated: golden join-compare
-    "streaming_stateful_totals",  # sign-aware cent rounding both sides
-    "streaming_dedup_keys",     # default flipped to bounded tier
+    # -- r5-touched: code or oracle changed THIS round (rotation rule:
+    #    nothing ships with driver evidence older than its last change).
+    #    The DSL compiler gained the full minimum_should_match grammar,
+    #    boost accept-and-ignore, and wildcard field expansion — every
+    #    query whose plan flows through compile_dsl/plans.search fronts.
+    "search_dsl_msm_wildcard",  # NEW: msm% + wildcard fields + boost
+    "search_dsl_bool",
+    "search_dsl_should_wildcard",
+    "search_multimatch_scored",
+    "search_bm25_scored",
+    "search_all_tables",
+    "search_nested_labels",
+    "search_hits_envelope",
+    "streaming_dedup_keys",     # explicit 100-day watermark (ADVICE)
+    "approx_sketches",          # oracle comment: HLL-gate caveat
+    "corpus_prep_stats",        # oracle restaged for sf1 feasibility
     # -- core-§2 flagship set: keep driver evidence <=1 round stale --
     "denormalized_orders",
     "pricing_summary",
@@ -3133,48 +3141,42 @@ _CHECK_FIRST = [
     "top3_events_per_user",
     "group_to_array",
     "merge_upsert",
-    "search_dsl_bool",
-    "search_multimatch_scored",
     "union_all_entities",
     "nested_labels_json",
     "ingest_accounting",
     "history_versioning",
     "paginate",
     "point_lookup",
-    # -- late-r3 changes whose driver evidence predates the change
-    #    (ROUND3_NOTES item 7, applied verbatim) ---------------------
-    "doc_chunks",
-    "generic_table_sync",
-    "simhash_hamming_pairs",
-    "neardup_minhash_lsh",
-    "text_stats",
-    "text_lang_id",
-    "daily_event_stats",
-    "running_totals",
-    "value_percentiles",
-    "salted_group_agg",
-    "events_time_range",
-    "events_range_join_prior",
-    "range_frame_hourly",
-    "sliding_window_counts",
-    "streaming_window_counts",
-    # -- oldest-evidence round-robin: r1-only-checked queries never
-    #    re-confirmed since, registration order ----------------------
-    "table_counts",
-    "group_count",
-    "orderby_limit",
-    "self_join_parent",
-    "nation_with_children",
-    "namespace_provenance",
-    "json_extract",
-    "json_parse_struct",
-    "iso_export",
-    "content_hash_ids",
-    "dedup_exact",
-    "neardup_jaccard",
-    "embed_cosine_topk",
-    "embed_ann_bucketed",
-    "text_fingerprint",
+    # -- r1-only-checked queries never re-fronted since (ROUND4_NOTES
+    #    r5 rotation plan item 3, applied verbatim; the four search_*
+    #    members of that list already front in the r5-touched block) --
+    "anti_join_no_orders",
+    "corpus_clean",
+    "embed_neardup_pairs",
+    "multimodal_binary_meta",
+    "retrieval_filtered_topk",
+    "semi_join_discounted",
+    "session_window_counts",
+    # -- oldest r2-only-checked queries, notes order (item 4) ---------
+    "cube_status_priority",
+    "date_arith_orders",
+    "dedup_clusters_jaccard",
+    "deterministic_sample",
+    "distinct_counts_by_flag",
+    "event_gaps",
+    "events_asof_order",
+    "fuzzy_match",
+    "gap_filled_daily_counts",
+    "grouping_sets_events",
+    "having_frequent_pairs",
+    "map_functions_events",
+    "pack_token_budget",
+    "parts_above_type_avg",
+    "pii_redaction",
+    "pivot_event_types",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q10_returned_revenue",
 ]
 
 

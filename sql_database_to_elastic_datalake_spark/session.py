@@ -55,6 +55,24 @@ _DEFAULT_CONF = {
     # effect at JVM launch; on an externally created session (the driver
     # harness's) it is a silent no-op, which is the desired behavior.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Streaming state store: RocksDB BY DEFAULT since r5. The HDFS
+    # provider keeps every state row on the executor heap — a GC spiral
+    # when stateful operators hold billions of keys at 100 TB; RocksDB
+    # bounds memory and changelog checkpointing ships per-batch deltas.
+    # Decided by measurement, not caution (r4 verdict #7): at sf1 the
+    # full streaming family runs 15.4 s under RocksDB vs 16.1 s under
+    # HDFS (min-of-3 per query; worst single ratio 1.21x on
+    # streaming_dedup_keys ≈ 0.2 s absolute, 5 of 7 queries faster).
+    # Bench discontinuity: BENCH_r05 streaming numbers are the first
+    # recorded under RocksDB. scripts/bench_streaming_state.py re-runs
+    # the A/B; HDFS_STATE_STORE_CONF reverts for comparison.
+    **{
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    },
 }
 
 
@@ -99,14 +117,11 @@ def get_spark(
     return spark
 
 
-#: Production streaming tier: the default HDFS-backed state store keeps
-#: every state row on the executor JVM heap — fine for the harness's
-#: thousands of rows, a guaranteed OOM/GC spiral when stateful operators
-#: (dedup, sessionization, stream-stream joins) hold billions of keys at
-#: 100 TB. RocksDB spills state to local disk with bounded memory, and
-#: changelog checkpointing uploads per-batch deltas instead of
-#: re-snapshotting the full store. Runtime-settable, but it only takes
-#: effect for queries STARTED after it is set — apply before .start().
+#: The RocksDB streaming state tier — THE DEFAULT since r5 (see the
+#: _DEFAULT_CONF entry for the measurement that decided it). Kept as a
+#: named constant for sessions built outside this factory and for the
+#: A/B harness. Runtime-settable, but it only takes effect for queries
+#: STARTED after it is set — apply before .start().
 ROCKSDB_STATE_STORE_CONF = {
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state."
@@ -115,13 +130,22 @@ ROCKSDB_STATE_STORE_CONF = {
         "true",
 }
 
+#: Spark's shipped default, retained for A/B comparison
+#: (scripts/bench_streaming_state.py) and for reverting on hosts where
+#: the RocksDB JNI tier is unavailable.
+HDFS_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+}
+
 
 def enable_rocksdb_state_store(spark: SparkSession) -> SparkSession:
     """Switch subsequently-started streaming queries to the RocksDB
-    state store (see ``ROCKSDB_STATE_STORE_CONF``). Not the harness
-    default only because demo-sized state pays RocksDB's per-batch
-    open/commit overhead without needing its capacity; any deployment
-    with non-toy state should call this once at session setup."""
+    state store (see ``ROCKSDB_STATE_STORE_CONF``). Engine-built
+    sessions already default to it (r5); this remains for externally
+    created sessions (the driver harness's) and for flipping back after
+    an ``HDFS_STATE_STORE_CONF`` comparison run."""
     for k, v in ROCKSDB_STATE_STORE_CONF.items():
         spark.conf.set(k, v)
     return spark
@@ -142,6 +166,11 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.parquet.outputTimestampType",
         "spark.sql.files.openCostInBytes",
+        # the r5 RocksDB default reaches driver-harness sessions too —
+        # dynamic conf, read at stream start
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
     ):
         try:
             spark.conf.set(key, _DEFAULT_CONF[key])

@@ -25,12 +25,12 @@ def test_engine_conf_applied(spark):
 
 
 def test_rocksdb_state_store_tier(spark, tmp_path):
-    """The production streaming tier: a query started after
-    enable_rocksdb_state_store runs its stateful operator on the
-    RocksDB provider (bounded-memory state — the only safe posture for
-    billion-key state at 100 TB). Pin the conf AND prove a stateful
-    query actually executes under it, then restore the default so other
-    tests keep the harness-speed HDFS store."""
+    """The production streaming tier — THE DEFAULT since r5 (decided by
+    the sf1 A/B in scripts/bench_streaming_state.py): engine sessions
+    start on the RocksDB provider (bounded-memory state — the only safe
+    posture for billion-key state at 100 TB). Pin the default, prove a
+    stateful query actually executes under it, and confirm
+    enable_rocksdb_state_store still converges an external session."""
     import os
 
     from pyspark.sql import functions as F
@@ -41,6 +41,8 @@ def test_rocksdb_state_store_tier(spark, tmp_path):
     )
 
     key = "spark.sql.streaming.stateStore.providerClass"
+    # the engine-built session fixture already defaults to RocksDB
+    assert spark.conf.get(key) == ROCKSDB_STATE_STORE_CONF[key]
     before = spark.conf.get(key, None)
     try:
         enable_rocksdb_state_store(spark)
