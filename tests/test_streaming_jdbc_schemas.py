@@ -85,6 +85,56 @@ def test_stream_upsert_restart_from_checkpoint(spark, tmp_path):
     assert final == {1: ("a2", 2), 2: ("b1", 1), 3: ("c1", 1)}
 
 
+def test_stream_upsert_partitioned_touches_only_affected(spark, tmp_path):
+    """The r5 scale fast path: with partition_col, a micro-batch whose
+    rows land in one partition must leave every other partition's FILES
+    untouched (dynamic partition overwrite + pruned base read) — the
+    property that turns the per-batch cost from O(table) into
+    O(touched partitions)."""
+    import glob
+
+    target = os.path.join(str(tmp_path), "target3")
+    ckpt = os.path.join(str(tmp_path), "ckpt3")
+    drop = os.path.join(str(tmp_path), "drop3")
+
+    spark.createDataFrame(
+        [Row(k=1, p="a", v="a1", ver=1), Row(k=2, p="b", v="b1", ver=1)]
+    ).coalesce(1).write.parquet(drop)
+
+    def run():
+        stream = sp.read_stream_parquet(spark, drop)
+        q = sp.stream_upsert_into(
+            stream, target, keys=["k"], version_col="ver",
+            checkpoint=ckpt, partition_col="p",
+        )
+        q.awaitTermination()
+
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()} \
+        == {(1, "a1"), (2, "b1")}
+
+    def files(part):
+        return sorted(
+            (f, os.path.getmtime(f))
+            for f in glob.glob(os.path.join(target, f"p={part}", "*.parquet"))
+        )
+
+    a_before = files("a")
+    assert a_before, "expected a partitioned p=a directory"
+
+    # second drop touches ONLY partition b (update k=2, insert k=3)
+    spark.createDataFrame(
+        [Row(k=2, p="b", v="b2", ver=2), Row(k=3, p="b", v="c1", ver=1)]
+    ).coalesce(1).write.mode("append").parquet(drop)
+    run()
+
+    final = {r["k"]: (r["p"], r["v"]) for r in
+             spark.read.parquet(target).collect()}
+    assert final == {1: ("a", "a1"), 2: ("b", "b2"), 3: ("b", "c1")}
+    # partition a's files: same names, same mtimes — never rewritten
+    assert files("a") == a_before
+
+
 def test_path_exists_resolves_scheme(spark, tmp_path):
     """Hadoop-FS existence: correct for plain local paths AND for
     file:// URIs (the class of target os.path.exists gets wrong for
