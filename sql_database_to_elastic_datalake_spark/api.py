@@ -355,11 +355,21 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         out = service.ingest(_etype(entity), request.get_json(force=True))
         return jsonify(out), out.get("status_code", 200)
 
+    def _page_size(body):
+        # "k" or ES's "size" select the page; ES's default of 10
+        # applies; a malformed value is the client's error, not a 500
+        try:
+            k = int(body.get("k", body.get("size", 10)))
+        except (TypeError, ValueError):
+            return None
+        return k if k >= 0 else None
+
     @app.route("/search", methods=["POST"])
     def search():
         body = request.get_json(force=True)
-        # "k" or ES's "size" select the page; ES's default of 10 applies
-        k = int(body.get("k", body.get("size", 10)))
+        k = _page_size(body)
+        if k is None:
+            return jsonify({"error": "k/size must be a non-negative integer"}), 400
         return jsonify(
             service.search(body["query"], body.get("tables"), k=k)
         ), 200
@@ -369,7 +379,9 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
         body = request.get_json(force=True)
-        k = int(body.get("k", body.get("size", 10)))
+        k = _page_size(body)
+        if k is None:
+            return jsonify({"error": "k/size must be a non-negative integer"}), 400
         try:
             return jsonify(
                 service.advanced_search(body["table"], body["query"], k=k)

@@ -238,7 +238,13 @@ def discover_tables(
     # engines fold unquoted aliases differently (Derby -> TABLE_SCHEMA);
     # resolve the two columns case-insensitively
     by_lower = {c.lower(): c for c in cat.columns}
-    sch_col, tbl_col = by_lower["table_schema"], by_lower["table_name"]
+    try:
+        sch_col, tbl_col = by_lower["table_schema"], by_lower["table_name"]
+    except KeyError:
+        raise ValueError(
+            f"catalog query must return table_schema and table_name "
+            f"columns, got {cat.columns}"
+        ) from None
     available: dict[str | None, set[str]] = {}
     for row in cat.collect():
         schema, name = row[sch_col], row[tbl_col]

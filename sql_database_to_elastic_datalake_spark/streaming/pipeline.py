@@ -237,12 +237,21 @@ def stream_upsert_into(
             if partition_col is not None:
                 # one tiny driver list (one value per touched
                 # partition); the IN filter prunes the base scan to
-                # exactly those partition directories
+                # exactly those partition directories. NULL partition
+                # values need isNull explicitly — isin([None]) never
+                # matches, which would EXCLUDE the base's null
+                # partition from the merge while the dynamic overwrite
+                # still replaced it (silent data loss).
                 touched = [
                     r[0] for r in
                     batch_df.select(partition_col).distinct().collect()
                 ]
-                base = base.filter(F.col(partition_col).isin(touched))
+                pred = F.col(partition_col).isin(
+                    [t for t in touched if t is not None]
+                )
+                if any(t is None for t in touched):
+                    pred = pred | F.col(partition_col).isNull()
+                base = base.filter(pred)
         else:
             base = None
         if base is None:

@@ -90,6 +90,15 @@ def test_search_and_advanced(client, service):
     hits = r.get_json()["hits"]
     assert hits["total"] == {"value": 2, "relation": "eq"}
     assert len(hits["hits"]) == 1
+    # ES's "size" spelling works too; malformed sizes are 400 not 500
+    r = client.post("/search", data=json.dumps({"query": "spark", "size": 1}),
+                    content_type="application/json")
+    assert len(r.get_json()["hits"]["hits"]) == 1
+    for bad in ("lots", -3):
+        r = client.post("/search",
+                        data=json.dumps({"query": "spark", "k": bad}),
+                        content_type="application/json")
+        assert r.status_code == 400
 
 
 def test_resync_ticket_point_merge(service, spark):

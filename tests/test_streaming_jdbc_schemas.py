@@ -135,6 +135,41 @@ def test_stream_upsert_partitioned_touches_only_affected(spark, tmp_path):
     assert files("a") == a_before
 
 
+def test_stream_upsert_partitioned_null_partition_merges(spark, tmp_path):
+    """NULL partition values: isin([None]) never matches, so without
+    the explicit isNull branch the base's null partition would be
+    EXCLUDED from the merge while dynamic overwrite still replaced it —
+    silent data loss for exactly those rows."""
+    target = os.path.join(str(tmp_path), "target4")
+    ckpt = os.path.join(str(tmp_path), "ckpt4")
+    drop = os.path.join(str(tmp_path), "drop4")
+
+    spark.createDataFrame(
+        [Row(k=1, p=None, v="n1", ver=1), Row(k=2, p=None, v="keep", ver=1),
+         Row(k=3, p="x", v="x1", ver=1)],
+        "k bigint, p string, v string, ver bigint",
+    ).coalesce(1).write.parquet(drop)
+
+    def run():
+        stream = sp.read_stream_parquet(spark, drop)
+        q = sp.stream_upsert_into(
+            stream, target, keys=["k"], version_col="ver",
+            checkpoint=ckpt, partition_col="p",
+        )
+        q.awaitTermination()
+
+    run()
+    # second drop touches ONLY the null partition: update k=1, keep k=2
+    spark.createDataFrame(
+        [Row(k=1, p=None, v="n2", ver=2)],
+        "k bigint, p string, v string, ver bigint",
+    ).coalesce(1).write.mode("append").parquet(drop)
+    run()
+    final = {r["k"]: (r["p"], r["v"]) for r in
+             spark.read.parquet(target).collect()}
+    assert final == {1: (None, "n2"), 2: (None, "keep"), 3: ("x", "x1")}
+
+
 def test_path_exists_resolves_scheme(spark, tmp_path):
     """Hadoop-FS existence: correct for plain local paths AND for
     file:// URIs (the class of target os.path.exists gets wrong for
