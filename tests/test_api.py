@@ -99,6 +99,13 @@ def test_search_and_advanced(client, service):
                         data=json.dumps({"query": "spark", "k": bad}),
                         content_type="application/json")
         assert r.status_code == 400
+    # zero matches: the observed total must come back 0 (and the
+    # Observation must not hang when TakeOrdered consumes no rows)
+    r = client.post("/search", data=json.dumps({"query": "zzznope"}),
+                    content_type="application/json")
+    hits = r.get_json()["hits"]
+    assert hits["total"] == {"value": 0, "relation": "eq"}
+    assert hits["hits"] == []
 
 
 def test_resync_ticket_point_merge(service, spark):
