@@ -11,9 +11,10 @@ filter — the entire "search engine" disappears into the query plan.
 Supported node types (the surface the reference's README documents plus
 the standard leaves needed to express them):
 
-  ``term / terms / range / match / match_phrase / prefix / wildcard /
-  regexp / fuzzy / exists / ids / match_all / multi_match / bool(must,
-  filter, should, must_not, minimum_should_match) / nested``
+  ``term / terms / terms_set / range / match / match_phrase /
+  match_phrase_prefix / prefix / wildcard / regexp / fuzzy / exists /
+  ids / match_all / multi_match / constant_score / bool(must, filter,
+  should, must_not, minimum_should_match) / nested``
 
 Semantics notes (documented divergences from Elasticsearch):
   * ``match`` tokenizes on non-alphanumerics, lowercases, and requires
@@ -272,6 +273,52 @@ def compile_dsl(
     if kind == "match_phrase":
         field, value = _field_value(body, value_key="query")
         return F.lower(col(field).cast("string")).contains(str(value).lower())
+
+    if kind == "match_phrase_prefix":
+        # under this compiler's substring phrase semantics (see module
+        # docstring), a phrase whose LAST term may be a prefix is
+        # exactly the plain substring test: "pandas lo" is a substring
+        # of "pandas loop". Accepted as its own node type for DSL
+        # compatibility; compiles identically to match_phrase.
+        field, value = _field_value(body, value_key="query")
+        return F.lower(col(field).cast("string")).contains(str(value).lower())
+
+    if kind == "constant_score":
+        # scoring wrapper: in filter context only the inner filter
+        # matters; boost (the thing it exists to set) is accepted and
+        # ignored per the module's boost divergence note.
+        if "filter" not in body:
+            raise DslError("constant_score requires a filter clause")
+        return compile_dsl(body["filter"], field_resolver, schema_fields)
+
+    if kind == "terms_set":
+        # array-membership with a per-document required-match count:
+        # {"f": {"terms": [...], "minimum_should_match_field": "n"}}.
+        # size(array_intersect(f, terms)) >= n — pure column algebra,
+        # no explode. minimum_should_match_script is not supported
+        # (needs Painless); a missing count field reads as no match,
+        # consistent with ES treating null msm as unsatisfiable.
+        if len(body) != 1:
+            raise DslError("terms_set expects one field")
+        field, spec = next(iter(body.items()))
+        if not isinstance(spec, dict) or "terms" not in spec:
+            raise DslError("terms_set requires a terms list")
+        terms = [F.lit(t) for t in spec["terms"]]
+        if "minimum_should_match_field" in spec:
+            required = col(spec["minimum_should_match_field"])
+        elif "minimum_should_match" in spec:
+            required = F.lit(
+                resolve_minimum_should_match(
+                    spec["minimum_should_match"], len(terms)
+                )
+            )
+        else:
+            raise DslError(
+                "terms_set requires minimum_should_match_field or "
+                "minimum_should_match (scripts are not supported)"
+            )
+        matched = F.size(F.array_intersect(col(field), F.array(*terms)))
+        return matched >= required
 
     if kind == "multi_match":
         query = body["query"]

@@ -178,6 +178,47 @@ def test_multi_match_wildcard_fields(docs):
     assert run_s(dsl) == [2]
 
 
+def test_constant_score_phrase_prefix_terms_set(docs, spark):
+    # constant_score: transparent filter wrapper, boost ignored
+    assert run(docs, {"constant_score": {
+        "filter": {"term": {"kind": "a"}}, "boost": 1.2,
+    }}) == [1, 3]
+    with pytest.raises(DslError, match="filter"):
+        compile_dsl({"constant_score": {"boost": 1.2}})
+    # match_phrase_prefix: last term may be a word prefix
+    assert run(docs, {"match_phrase_prefix": {"txt": {"query": "pandas lo"}}}) == [2]
+    assert run(docs, {"match_phrase_prefix": {"txt": "Spark mer"}}) == [1]
+
+    # terms_set over an array column with a per-doc required count
+    arr = spark.createDataFrame(
+        [Row(id=1, tags=["a", "b", "c"], need=2),
+         Row(id=2, tags=["a"], need=2),
+         Row(id=3, tags=["b", "c"], need=1),
+         Row(id=4, tags=None, need=1),
+         Row(id=5, tags=["a", "b"], need=None)],
+    )
+
+    def run_a(dsl):
+        return sorted(r["id"] for r in arr.filter(compile_dsl(dsl)).collect())
+
+    assert run_a({"terms_set": {"tags": {
+        "terms": ["a", "b"], "minimum_should_match_field": "need",
+    }}}) == [1, 3]  # 2-of-2, 1-of-2; null tags/need never match
+    # fixed minimum_should_match, including the spec grammar
+    assert run_a({"terms_set": {"tags": {
+        "terms": ["a", "b"], "minimum_should_match": 2,
+    }}}) == [1, 5]
+    assert run_a({"terms_set": {"tags": {
+        "terms": ["a", "b"], "minimum_should_match": "50%",
+    }}}) == [1, 2, 3, 5]  # floor(50% of 2) = 1 required
+    for bad in ({"terms_set": {"tags": {"terms": ["a"]}}},
+                {"terms_set": {"tags": ["a"]}},
+                {"terms_set": {"tags": {"terms": ["a"],
+                                        "minimum_should_match_script": {}}}}):
+        with pytest.raises(DslError):
+            compile_dsl(bad)
+
+
 def test_nested_query(docs):
     dsl = {
         "nested": {

@@ -24,27 +24,30 @@ from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
 
 ROWS = [
     {"id": 1, "kind": "a", "n": 5, "txt": "Spark merges fast",
-     "labels": [{"name": "bug"}, {"name": "urgent"}]},
+     "labels": [{"name": "bug"}, {"name": "urgent"}],
+     "cats": ["x", "y"], "n_req": 1},
     {"id": 2, "kind": "b", "n": 15, "txt": "slow pandas loop",
-     "labels": []},
-    {"id": 3, "kind": "a", "n": 25, "txt": None, "labels": None},
+     "labels": [], "cats": ["x"], "n_req": 2},
+    {"id": 3, "kind": "a", "n": 25, "txt": None, "labels": None,
+     "cats": None, "n_req": 1},
     {"id": 4, "kind": None, "n": None, "txt": "spark spark spark",
-     "labels": [{"name": "spark"}]},
-    {"id": 5, "kind": "c", "n": 0, "txt": "", "labels": [{"name": None}]},
+     "labels": [{"name": "spark"}], "cats": ["z", "w", "x"], "n_req": None},
+    {"id": 5, "kind": "c", "n": 0, "txt": "", "labels": [{"name": None}],
+     "cats": [], "n_req": 0},
     # unicode row: accents, CJK, emoji — exercises lower/levenshtein/
     # regex/wildcard parity on non-ASCII code points
     {"id": 6, "kind": "ü", "n": 7, "txt": "Späŕk 样本 🙂 fast",
-     "labels": [{"name": "ürgent"}]},
+     "labels": [{"name": "ürgent"}], "cats": ["y", "z"], "n_req": 3},
 ]
 
 ROWS_SCHEMA = (
     "id long, kind string, n long, txt string, "
-    "labels array<struct<name: string>>"
+    "labels array<struct<name: string>>, cats array<string>, n_req long"
 )
 
 #: column list handed to compile_dsl as schema_fields (and used by the
 #: eval mirror) for multi_match wildcard field expansion
-ROW_COLUMNS = ["id", "kind", "n", "txt", "labels"]
+ROW_COLUMNS = ["id", "kind", "n", "txt", "labels", "cats", "n_req"]
 
 
 def _lev(a: str, b: str) -> int:
@@ -175,6 +178,25 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
 
         inner = strip(body["query"])
         return any(eval_dsl(el, inner) for el in els)
+    if kind == "constant_score":
+        return eval_dsl(row, body["filter"])
+    if kind == "match_phrase_prefix":
+        f, q = next(iter(body.items()))
+        if isinstance(q, dict):
+            q = q["query"]
+        s = row[f]
+        return s is not None and str(q).lower() in s.lower()
+    if kind == "terms_set":
+        f, spec = next(iter(body.items()))
+        vals = row[f]
+        if vals is None:
+            return False
+        inter = len(set(vals) & set(spec["terms"]))
+        if "minimum_should_match_field" in spec:
+            need = row[spec["minimum_should_match_field"]]
+            return need is not None and inter >= need
+        return inter >= _eval_msm(spec["minimum_should_match"],
+                                  len(spec["terms"]))
     if kind == "multi_match":
         fields = []
         for f in body["fields"]:
@@ -259,6 +281,24 @@ leaf = st.one_of(
     st.builds(lambda v, b: {"term": {"kind": {"value": v, "boost": b}}},
               st.sampled_from(["a", "b", "ü"]),
               st.sampled_from([0.1, 2.0, 5])),
+    st.builds(lambda inner, b: {"constant_score": {"filter": inner,
+                                                   "boost": b}},
+              st.sampled_from([{"term": {"kind": "a"}},
+                               {"match": {"txt": "spark"}},
+                               {"exists": {"field": "n"}}]),
+              st.sampled_from([0.5, 2])),
+    st.builds(lambda q: {"match_phrase_prefix": {"txt": q}},
+              st.sampled_from(["pandas lo", "Spark mer", "spark spark sp",
+                               "zz", ""])),
+    st.builds(lambda terms, msm: {"terms_set": {"cats": {
+                  "terms": terms, "minimum_should_match": msm}}},
+              st.lists(st.sampled_from(["x", "y", "z", "w"]),
+                       min_size=1, max_size=3, unique=True),
+              st.sampled_from([1, 2, "50%", "100%", -1])),
+    st.builds(lambda terms: {"terms_set": {"cats": {
+                  "terms": terms, "minimum_should_match_field": "n_req"}}},
+              st.lists(st.sampled_from(["x", "y", "z"]),
+                       min_size=1, max_size=2, unique=True)),
     st.builds(lambda q: {"nested": {"path": "labels",
                                     "query": {"match": {"labels.name": q}}}},
               st.sampled_from(["bug urgent", "spark", ""])),
