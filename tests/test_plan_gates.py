@@ -117,6 +117,92 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"events": (4, ["GreaterThan(ts,"])},
     ),
+    # --- r5 widening: the rest of the audited set ---------------------
+    "search_bm25_scored": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
+    "stratified_sample_langs": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
+    "text_repetition": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
+    "embed_quantize_int8": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"embeddings": (2, [])},
+    ),
+    "batch_sessionization": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (3, [])},
+    ),
+    "funnel_conversion": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (3, [])},
+    ),
+    "cohort_retention": dict(
+        shuffles=3, smj_max=0, bhj_min=2, wgl=False,
+        scans={"events": (2, [])},
+    ),
+    "event_transition_matrix": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (4, [])},
+    ),
+    "data_quality_audit": dict(
+        shuffles=8, smj_max=0, bhj_min=6, wgl=False,
+        scans={"customer": (1, []), "orders": (2, []), "lineitem": (1, [])},
+    ),
+    "history_asof_read": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=True,
+        scans={"supplier": (2, [])},
+    ),
+    "rfm_segmentation": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"orders": (3, [])},
+    ),
+    "dedup_keep_canonical": dict(
+        shuffles=4, smj_max=4, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
+    "leakage_safe_split": dict(
+        shuffles=2, smj_max=2, bhj_min=2, wgl=False,
+        scans={"documents": (1, [])},
+    ),
+    "gdpr_delete_sync": dict(
+        shuffles=1, smj_max=0, bhj_min=2, wgl=False,
+        scans={"events": (3, ["EqualTo(event_ty"])},
+    ),
+    "rag_context_assembly": dict(
+        shuffles=1, smj_max=0, bhj_min=2, wgl=True,
+        scans={"embeddings": (2, ["In(vec_id, [0,1,2]"]),
+               "documents": (2, [])},
+    ),
+    "user_feature_table": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (4, [])},
+    ),
+    "chunk_level_dedup": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (1, [])},
+    ),
+    "wow_growth": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (1, [])},
+    ),
+    "key_skew_report": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"lineitem": (1, [])},
+    ),
+    "snapshot_diff": dict(
+        shuffles=3, smj_max=2, bhj_min=0, wgl=False,
+        scans={"supplier": (2, [])},
+    ),
+    "search_dsl_terms_set": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
 }
 
 
