@@ -127,3 +127,46 @@ def test_analyze_table_populates_catalog_stats(spark):
         assert ndv is not None and int(ndv) >= 6
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
+    """The 100 TB semi-join-reduction lever: Spark's runtime bloom
+    filter (on by default in the engine sessions) injects a
+    might_contain probe on the fact side of a shuffle join whose dim
+    side is selectively filtered — rows that cannot join are dropped
+    BEFORE the shuffle. Invisible at harness scale only because of the
+    10 GB application-side threshold; this test lowers the threshold
+    to prove the engine's join plans are bloom-compatible, so the
+    default behavior engages at real fact-table sizes (SCALE.md)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    fact_p = os.path.join(str(tmp_path), "fact")
+    dim_p = os.path.join(str(tmp_path), "dim")
+    spark.range(100_000).selectExpr("id AS k", "id % 97 AS v") \
+        .write.parquet(fact_p)
+    spark.range(1_000).selectExpr("id AS k", "id % 7 AS grp") \
+        .write.parquet(dim_p)
+
+    thresh_key = ("spark.sql.optimizer.runtime.bloomFilter."
+                  "applicationSideScanSizeThreshold")
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prior_thresh = spark.conf.get(thresh_key)
+    prior_bcast = spark.conf.get(bcast_key)
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set(thresh_key, "0")
+        spark.conf.set(bcast_key, "-1")  # force a shuffle join
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("grp") == 3)
+        plan = fact.join(dim, "k")._jdf.queryExecution().toString()
+        assert "might_contain" in plan
+        # and the join still answers correctly under the injected filter
+        got = fact.join(dim, "k").count()
+        want = spark.read.parquet(dim_p).filter(F.col("grp") == 3).count()
+        assert got == want  # 1:1 keys: every surviving dim row joins once
+    finally:
+        spark.conf.set(thresh_key, prior_thresh)
+        spark.conf.set(bcast_key, prior_bcast)
