@@ -66,6 +66,11 @@ CHECKED = (
     "pivot_event_types",
     "daily_event_stats",
     "approx_sketches",
+    # r5 DSL additions: NULL lang exercises the compiler's two-valued
+    # semantics (coalesced should-counting) against the oracle's
+    # COALESCE sums; NULL text exercises terms_set's null-array rule
+    "search_dsl_msm_wildcard",
+    "search_dsl_terms_set",
 )
 
 

@@ -53,6 +53,9 @@ CHECKED = (
     "array_functions_docs",
     "search_bm25_scored",
     "rag_context_assembly",
+    # r5: terms_set tokenizes text — ASCII term membership must be
+    # indifferent to the İ/ß/emoji folding traps in the decorated lake
+    "search_dsl_terms_set",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
