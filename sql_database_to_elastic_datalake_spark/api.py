@@ -239,13 +239,24 @@ class LakeService:
                          "hits": hits}}
 
     def advanced_search(
-        self, table: str, dsl: dict, k: int = 10
+        self, table: str, dsl: dict, k: int = 10,
+        aggs: dict | None = None,
     ) -> dict[str, Any]:
-        """Raw ES-DSL passthrough compiled to a Spark predicate (Q2)."""
+        """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
+        an optional ``aggs`` section runs over the MATCHED set (ES's
+        contract: aggregations see the query scope, not the hits page)
+        via :mod:`.plans.es_aggs`."""
         df = self.spark.read.parquet(os.path.join(self.lake_dir, table))
         # df.columns lets the compiler expand multi_match wildcard field
         # patterns ("*_name") the way ES expands them from the mapping
         matched = df.filter(compile_dsl(dsl, schema_fields=df.columns))
+        aggregations = None
+        if aggs:
+            from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+                run_aggs,
+            )
+
+            aggregations = run_aggs(matched, aggs, schema_fields=df.columns)
         # ONE job per request: an unranked filter stops scanning at the
         # limit, so collecting k+1 rows gives the exact total whenever
         # it fits the page and an ES-style lower bound (relation "gte",
@@ -257,7 +268,7 @@ class LakeService:
         total = {"value": len(rows) if exact else k,
                  "relation": "eq" if exact else "gte"}
         rows = rows[:k]
-        return {
+        out: dict[str, Any] = {
             "hits": {
                 "total": total,
                 "hits": [
@@ -266,6 +277,9 @@ class LakeService:
                 ],
             }
         }
+        if aggregations is not None:
+            out["aggregations"] = aggregations
+        return out
 
 
 #: Route-segment plural → entity type. ``rstrip("s")`` is NOT a
@@ -384,7 +398,10 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify({"error": "k/size must be a non-negative integer"}), 400
         try:
             return jsonify(
-                service.advanced_search(body["table"], body["query"], k=k)
+                service.advanced_search(
+                    body["table"], body["query"], k=k,
+                    aggs=body.get("aggs") or body.get("aggregations"),
+                )
             ), 200
         except DslError as ex:
             # a malformed/unsupported DSL tree is the CALLER's error —

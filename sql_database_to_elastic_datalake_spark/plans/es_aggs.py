@@ -1,0 +1,347 @@
+"""ES aggregations-DSL → Spark groupBy compiler.
+
+The reference's advanced-search endpoint forwards the request body
+VERBATIM to ``es.search`` (/root/reference/src/search_api.py:38-46), so
+a reference user's saved queries may carry an ``aggs`` section — the
+other half of the ES request the lake must answer. This module compiles
+that section into DataFrame aggregation plans and assembles the
+documented ES response shapes.
+
+Supported aggregation types:
+
+* metrics — ``avg / sum / min / max / value_count / cardinality /
+  stats`` on a field;
+* buckets — ``terms`` (size + count-desc order, ES tie-break by key),
+  ``histogram`` (numeric interval), ``date_histogram``
+  (``calendar_interval`` minute/hour/day/week/month/year or
+  ``fixed_interval`` like ``"5m"``), ``range`` (from/to bands, which ES
+  allows to OVERLAP — each band is a conditional aggregate, so one job
+  covers all bands), and ``filter`` (any query-DSL predicate via
+  :func:`.es_dsl.compile_dsl`);
+* one level of sub-aggregations under any bucket agg (metric sub-aggs
+  compute in the SAME groupBy job as the bucket counts — no extra
+  pass).
+
+Documented divergences (same contract as :mod:`.es_dsl`):
+
+* ``cardinality`` is EXACT (``count_distinct``) where ES approximates
+  with HLL — strictly more accurate, so ``doc_count_error_upper_bound``
+  is always 0;
+* ``terms`` ordering is count-desc with a deterministic key tie-break
+  (ES leaves ties shard-dependent).
+
+Scale notes: every bucket family is one distributed aggregation job —
+``terms`` is groupBy + TakeOrdered(size) (never a full collect of the
+key domain; ``sum_other_doc_count`` comes from one scalar count job),
+``histogram``/``date_histogram`` group on a derived key, ``range`` and
+``filter`` are conditional aggregates in a single job. Sub-metrics ride
+the same shuffle as their bucket counts.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
+    compile_dsl,
+)
+
+#: metric agg name -> Column factory
+_METRICS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "value_count": F.count,
+    "cardinality": F.count_distinct,
+}
+
+_CALENDAR_TRUNC = {
+    "second": "second", "1s": "second",
+    "minute": "minute", "1m": "minute",
+    "hour": "hour", "1h": "hour",
+    "day": "day", "1d": "day",
+    "week": "week", "1w": "week",
+    "month": "month", "1M": "month",
+    "quarter": "quarter", "1q": "quarter",
+    "year": "year", "1y": "year",
+}
+
+_FIXED_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
+_FIXED_SECS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
+    """One aliased aggregate Column per metric sub-agg. ``stats``
+    expands to five columns reassembled at envelope time."""
+    cols: list[Column] = []
+    for name, spec in (sub_aggs or {}).items():
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(f"aggregation {name!r} must have exactly one type")
+        kind, body = next(iter(spec.items()))
+        field = body.get("field")
+        if field is None:
+            raise DslError(f"aggregation {name!r} ({kind}) requires a field")
+        if kind == "stats":
+            for stat, fn in (("count", F.count), ("min", F.min),
+                             ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
+                cols.append(fn(field).alias(f"{prefix}{name}.{stat}"))
+        elif kind in _METRICS:
+            cols.append(_METRICS[kind](field).alias(f"{prefix}{name}"))
+        else:
+            raise DslError(
+                f"unsupported sub-aggregation kind {kind!r} under {name!r} "
+                "(one bucket level with metric sub-aggs is supported)"
+            )
+    return cols
+
+
+def _metric_envelope(row, sub_aggs: dict, prefix: str = "") -> dict:
+    out = {}
+    for name, spec in (sub_aggs or {}).items():
+        kind = next(iter(spec))
+        if kind == "stats":
+            out[name] = {
+                stat: row[f"{prefix}{name}.{stat}"]
+                for stat in ("count", "min", "max", "avg", "sum")
+            }
+        else:
+            out[name] = {"value": row[f"{prefix}{name}"]}
+    return out
+
+
+def bucket_key(kind: str, body: dict) -> Column:
+    """The grouping expression for a bucket aggregation."""
+    field = body.get("field")
+    if field is None:
+        raise DslError(f"{kind} aggregation requires a field")
+    if kind == "terms":
+        return F.col(field)
+    if kind == "histogram":
+        interval = body.get("interval")
+        if not interval or interval <= 0:
+            raise DslError("histogram requires a positive interval")
+        return (
+            F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+        )
+    if kind == "date_histogram":
+        cal = body.get("calendar_interval")
+        fixed = body.get("fixed_interval")
+        if cal is not None:
+            unit = _CALENDAR_TRUNC.get(cal)
+            if unit is None:
+                raise DslError(f"unsupported calendar_interval {cal!r}")
+            return F.date_trunc(unit, F.col(field))
+        if fixed is not None:
+            m = _FIXED_RE.match(str(fixed))
+            if not m:
+                raise DslError(f"unsupported fixed_interval {fixed!r}")
+            secs = int(m.group(1)) * _FIXED_SECS[m.group(2)]
+            if secs <= 0:
+                raise DslError(f"unsupported fixed_interval {fixed!r}")
+            return F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col(field)) / F.lit(secs))
+                * F.lit(secs)
+            )
+        raise DslError(
+            "date_histogram requires calendar_interval or fixed_interval"
+        )
+    raise DslError(f"unsupported bucket aggregation kind {kind!r}")
+
+
+def terms_frame(
+    df: DataFrame, body: dict, sub_aggs: dict | None = None
+) -> DataFrame:
+    """Flat bucket rows for a ``terms`` agg: ``key, doc_count`` +
+    one column per metric sub-agg, count-desc with key tie-break,
+    limited to ``size`` (TakeOrdered — never a full key-domain
+    collect)."""
+    size = int(body.get("size", 10))
+    key = bucket_key("terms", body)
+    return (
+        df.filter(key.isNotNull())
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             *_metric_cols(sub_aggs))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
+def histogram_frame(
+    df: DataFrame, kind: str, body: dict, sub_aggs: dict | None = None
+) -> DataFrame:
+    """Flat bucket rows for ``histogram``/``date_histogram``: key-asc,
+    empty buckets omitted (ES ``min_doc_count=1`` posture — gap-filling
+    is a presentation concern; ``gap_filled_daily_counts`` shows the
+    sequence-join form when needed)."""
+    key = bucket_key(kind, body)
+    return (
+        df.filter(key.isNotNull())
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             *_metric_cols(sub_aggs))
+        .orderBy(F.col("key").asc())
+    )
+
+
+def range_frame(
+    df: DataFrame, body: dict, sub_aggs: dict | None = None
+) -> DataFrame:
+    """All ``range`` bands in ONE aggregation job. ES allows bands to
+    overlap, so each is an independent conditional aggregate, not a
+    partition of the rows; the output is one row per band in request
+    order (``band_index`` preserves it)."""
+    field = body.get("field")
+    ranges = body.get("ranges")
+    if field is None or not ranges:
+        raise DslError("range aggregation requires field and ranges")
+    if sub_aggs:
+        raise DslError(
+            "metric sub-aggregations under a range agg are not supported "
+            "(a range band maps to a filter agg with a range query — use "
+            "that form for per-band metrics)"
+        )
+    c = F.col(field)
+    per_band: list[Column] = []
+    for i, r in enumerate(ranges):
+        cond = c.isNotNull()
+        if "from" in r and r["from"] is not None:
+            cond = cond & (c >= F.lit(r["from"]))
+        if "to" in r and r["to"] is not None:
+            cond = cond & (c < F.lit(r["to"]))
+        per_band.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"band{i}.doc_count")
+        )
+    return df.agg(*per_band)
+
+
+def filter_frame(
+    df: DataFrame,
+    body: dict,
+    sub_aggs: dict | None = None,
+    schema_fields: list[str] | None = None,
+) -> DataFrame:
+    """``filter`` agg: doc_count + metric sub-aggs under a query-DSL
+    predicate, via the same compiler the search path uses — one
+    conditional-aggregation job, no second scan of the matched set."""
+    pred = compile_dsl(body, schema_fields=schema_fields)
+    cols = [F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+            .alias("doc_count")]
+    for name, spec in (sub_aggs or {}).items():
+        kind, mbody = next(iter(spec.items()))
+        field = mbody.get("field")
+        if field is None:
+            raise DslError(f"aggregation {name!r} ({kind}) requires a field")
+        gated = F.when(pred, F.col(field))
+        if kind == "stats":
+            for stat, fn in (("count", F.count), ("min", F.min),
+                             ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
+                cols.append(fn(gated).alias(f"{name}.{stat}"))
+        elif kind in _METRICS:
+            cols.append(_METRICS[kind](gated).alias(name))
+        else:
+            raise DslError(f"unsupported sub-aggregation kind {kind!r}")
+    return df.agg(*cols)
+
+
+def _key_envelope(v) -> Any:
+    """Bucket keys in the ES response: timestamps become epoch millis
+    with a key_as_string twin; everything else passes through."""
+    if isinstance(v, _dt.datetime):
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    return v
+
+
+def run_aggs(
+    df: DataFrame,
+    aggs: dict,
+    schema_fields: list[str] | None = None,
+) -> dict:
+    """Execute an ES ``aggs`` section and assemble the documented
+    response envelope: ``{name: {"buckets": [...]}}`` for bucket aggs,
+    ``{name: {"value": v}}`` / stats object for metrics."""
+    if not isinstance(aggs, dict):
+        raise DslError("aggs must be an object")
+    out: dict[str, Any] = {}
+
+    # all TOP-LEVEL metric aggs share one job
+    top_metrics = {
+        n: s for n, s in aggs.items()
+        if isinstance(s, dict) and next(iter(s), None) in
+        (*_METRICS, "stats")
+    }
+    if top_metrics:
+        row = df.agg(*_metric_cols(top_metrics)).collect()[0]
+        out.update(_metric_envelope(row, top_metrics))
+
+    for name, spec in aggs.items():
+        if name in top_metrics:
+            continue
+        if not isinstance(spec, dict):
+            raise DslError(f"aggregation {name!r} must be an object")
+        sub = spec.get("aggs") or spec.get("aggregations")
+        kinds = [k for k in spec if k not in ("aggs", "aggregations")]
+        if len(kinds) != 1:
+            raise DslError(f"aggregation {name!r} must have exactly one type")
+        kind = kinds[0]
+        body = spec[kind]
+        if kind == "terms":
+            rows = terms_frame(df, body, sub).collect()
+            returned = sum(r["doc_count"] for r in rows)
+            total = df.filter(F.col(body["field"]).isNotNull()).count()
+            out[name] = {
+                "doc_count_error_upper_bound": 0,  # exact (divergence note)
+                "sum_other_doc_count": int(total - returned),
+                "buckets": [
+                    {"key": _key_envelope(r["key"]),
+                     "doc_count": r["doc_count"],
+                     **_metric_envelope(r, sub)}
+                    for r in rows
+                ],
+            }
+        elif kind in ("histogram", "date_histogram"):
+            rows = histogram_frame(df, kind, body, sub).collect()
+            buckets = []
+            for r in rows:
+                b = {"key": _key_envelope(r["key"]),
+                     "doc_count": r["doc_count"],
+                     **_metric_envelope(r, sub)}
+                if isinstance(r["key"], _dt.datetime):
+                    b["key_as_string"] = r["key"].isoformat()
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif kind == "range":
+            row = range_frame(df, body, sub).collect()[0]
+            buckets = []
+            for i, r in enumerate(body["ranges"]):
+                b: dict[str, Any] = {"doc_count": row[f"band{i}.doc_count"]}
+                parts = []
+                if r.get("from") is not None:
+                    b["from"] = r["from"]
+                    parts.append(str(r["from"]))
+                else:
+                    parts.append("*")
+                if r.get("to") is not None:
+                    b["to"] = r["to"]
+                    parts.append(str(r["to"]))
+                else:
+                    parts.append("*")
+                b["key"] = r.get("key", "-".join(parts))
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif kind == "filter":
+            row = filter_frame(df, body, sub, schema_fields).collect()[0]
+            env: dict[str, Any] = {"doc_count": row["doc_count"]}
+            env.update(_metric_envelope(row, sub))
+            out[name] = env
+        else:
+            raise DslError(f"unsupported aggregation kind {kind!r}")
+    return out

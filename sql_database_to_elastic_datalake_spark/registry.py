@@ -910,6 +910,92 @@ def search_dsl_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(compile_dsl(dsl)).select("doc_id", "lang")
 
 
+@register(
+    "search_aggs_terms_stats",
+    # size 10 >= the 5 distinct langs, so the LIMIT boundary carries no
+    # cross-engine tie risk; null keys are excluded like ES terms aggs
+    oracle="""
+    SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(n_chars) AS avg_chars, MAX(n_chars) AS max_chars
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+    """,
+)
+def search_aggs_terms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation with metric sub-aggs (r5 aggs
+    compiler): the flat bucket frame the ``/search/advanced``
+    ``aggregations`` envelope is assembled from — groupBy + TakeOrdered
+    (size), sub-metrics riding the same shuffle. Reference forwards
+    aggs bodies verbatim to ES (src/search_api.py:38-46)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        terms_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return terms_frame(
+        docs, {"field": "lang", "size": 10},
+        {"avg_chars": {"avg": {"field": "n_chars"}},
+         "max_chars": {"max": {"field": "n_chars"}}},
+    )
+
+
+@register(
+    "search_aggs_date_histogram",
+    oracle="""
+    SELECT date_trunc('day', ts) AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(value) AS avg_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def search_aggs_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` (calendar day) with an avg sub-metric over
+    the events stream — one groupBy on the truncated key."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        histogram_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_frame(
+        ev, "date_histogram",
+        {"field": "ts", "calendar_interval": "day"},
+        {"avg_value": {"avg": {"field": "value"}}},
+    )
+
+
+@register(
+    "search_aggs_filter_metrics",
+    # compile_dsl's two-valued null handling matches CASE WHEN 3VL here:
+    # a NULL predicate falls to the ELSE/implicit-null branch both ways
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200
+                         THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+           MAX(CASE WHEN lang = 'en' AND n_chars >= 200
+                    THEN n_chars END) AS mx,
+           AVG(CASE WHEN lang = 'en' AND n_chars >= 200
+                    THEN n_chars END) AS avg_c
+    FROM documents
+    """,
+)
+def search_aggs_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filter`` aggregation: doc_count + metric sub-aggs under a
+    query-DSL predicate, one conditional-aggregation job (no second
+    scan of the matched set)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        filter_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_frame(
+        docs,
+        {"bool": {"must": [{"term": {"lang": "en"}},
+                           {"range": {"n_chars": {"gte": 200}}}]}},
+        {"mx": {"max": {"field": "n_chars"}},
+         "avg_c": {"avg": {"field": "n_chars"}}},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1 — multi_match full-text search with deterministic tf scoring
 # Reference: /root/reference/src/search_api.py:16-36.
@@ -3160,6 +3246,9 @@ _CHECK_FIRST = [
     #    query whose plan flows through compile_dsl/plans.search fronts.
     "search_dsl_msm_wildcard",  # NEW: msm% + wildcard fields + boost
     "search_dsl_terms_set",     # NEW: terms_set + constant_score
+    "search_aggs_terms_stats",  # NEW: ES aggs compiler (terms+metrics)
+    "search_aggs_date_histogram",  # NEW: date_histogram buckets
+    "search_aggs_filter_metrics",  # NEW: filter agg w/ sub-metrics
     "search_dsl_bool",
     "search_dsl_should_wildcard",
     "search_multimatch_scored",
@@ -3210,11 +3299,10 @@ _CHECK_FIRST = [
     "pack_token_budget",
     "parts_above_type_avg",
     "pii_redaction",
-    "pivot_event_types",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    # (q10_returned_revenue displaced to keep the window at exactly 50
-    #  after search_dsl_terms_set landed — it leads the r6 fill)
+    # (pivot_event_types, q3_shipping_priority, q4_order_priority and
+    #  q10_returned_revenue displaced to keep the window at exactly 50
+    #  after the four post-certification query additions — they lead
+    #  the r6 fill, oldest-evidence first)
 ]
 
 

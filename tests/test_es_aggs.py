@@ -1,0 +1,183 @@
+"""ES aggregations compiler: envelope shapes and values against
+hand-computed expectations, plus the API round trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "en", 100, dt.datetime(2024, 1, 1, 10, 0)),
+        (2, "en", 300, dt.datetime(2024, 1, 1, 11, 30)),
+        (3, "de", 200, dt.datetime(2024, 1, 2, 9, 0)),
+        (4, "de", 400, dt.datetime(2024, 1, 2, 23, 59)),
+        (5, "fr", 50, dt.datetime(2024, 1, 3, 0, 0)),
+        (6, None, 999, dt.datetime(2024, 1, 3, 1, 0)),
+        (7, "en", None, dt.datetime(2024, 1, 1, 10, 59)),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, ts timestamp"
+    )
+
+
+def test_top_level_metrics_one_job(docs):
+    out = run_aggs(docs, {
+        "avg_chars": {"avg": {"field": "n_chars"}},
+        "distinct_langs": {"cardinality": {"field": "lang"}},
+        "char_stats": {"stats": {"field": "n_chars"}},
+    })
+    assert out["avg_chars"]["value"] == pytest.approx(2049 / 6)
+    assert out["distinct_langs"]["value"] == 3  # exact, nulls excluded
+    st = out["char_stats"]
+    assert (st["count"], st["min"], st["max"], st["sum"]) == (6, 50, 999, 2049)
+
+
+def test_terms_with_sub_metrics_and_other_count(docs):
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+        }
+    })
+    env = out["langs"]
+    # en=3 docs, de=2, fr=1; size 2 -> fr is "other"; null lang excluded
+    assert [b["key"] for b in env["buckets"]] == ["en", "de"]
+    assert [b["doc_count"] for b in env["buckets"]] == [3, 2]
+    assert env["sum_other_doc_count"] == 1
+    assert env["doc_count_error_upper_bound"] == 0
+    assert env["buckets"][0]["avg_chars"]["value"] == pytest.approx(200.0)
+    assert env["buckets"][1]["avg_chars"]["value"] == pytest.approx(300.0)
+
+
+def test_terms_count_ties_break_by_key(docs):
+    out = run_aggs(docs.filter("lang IS NOT NULL AND doc_id <= 4"), {
+        "langs": {"terms": {"field": "lang", "size": 10}},
+    })
+    # en=2, de=2: deterministic key tie-break (documented divergence)
+    assert [b["key"] for b in out["langs"]["buckets"]] == ["de", "en"]
+
+
+def test_date_histogram_calendar_and_fixed(docs):
+    out = run_aggs(docs, {
+        "per_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}},
+    })
+    buckets = out["per_day"]["buckets"]
+    assert [b["doc_count"] for b in buckets] == [3, 2, 2]
+    assert buckets[0]["key_as_string"].startswith("2024-01-01")
+    assert buckets[0]["key"] == int(dt.datetime(
+        2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    out = run_aggs(docs, {
+        "per_halfday": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "12h"}},
+    })
+    assert [b["doc_count"] for b in out["per_halfday"]["buckets"]] \
+        == [3, 1, 1, 2]
+
+
+def test_histogram_and_range(docs):
+    out = run_aggs(docs, {
+        "by_200": {"histogram": {"field": "n_chars", "interval": 200}},
+    })
+    assert [(b["key"], b["doc_count"]) for b in out["by_200"]["buckets"]] \
+        == [(0, 2), (200, 2), (400, 1), (800, 1)]
+
+    out = run_aggs(docs, {
+        "bands": {"range": {"field": "n_chars", "ranges": [
+            {"to": 200},
+            {"from": 100, "to": 400},     # overlaps: ES allows it
+            {"from": 400, "key": "big"},
+        ]}},
+    })
+    buckets = out["bands"]["buckets"]
+    assert [b["doc_count"] for b in buckets] == [2, 3, 2]
+    assert buckets[0]["key"] == "*-200" and "from" not in buckets[0]
+    assert buckets[1] == {"doc_count": 3, "from": 100, "to": 400,
+                          "key": "100-400"}
+    assert buckets[2]["key"] == "big"
+
+
+def test_filter_agg_uses_query_dsl(docs):
+    out = run_aggs(docs, {
+        "long_en": {
+            "filter": {"bool": {"must": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 200}}},
+            ]}},
+            "aggs": {"m": {"max": {"field": "n_chars"}},
+                     "s": {"stats": {"field": "n_chars"}}},
+        }
+    })
+    env = out["long_en"]
+    assert env["doc_count"] == 1
+    assert env["m"]["value"] == 300
+    assert env["s"]["count"] == 1 and env["s"]["sum"] == 300
+
+
+def test_agg_errors_are_dsl_errors(docs):
+    for bad in (
+        {"x": {"terms": {"field": "lang"}, "histogram": {}}},  # two kinds
+        {"x": {"percentiles": {"field": "n_chars"}}},          # unsupported
+        {"x": {"histogram": {"field": "n_chars", "interval": 0}}},
+        {"x": {"date_histogram": {"field": "ts"}}},            # no interval
+        {"x": {"date_histogram": {"field": "ts",
+                                  "fixed_interval": "5fortnights"}}},
+        {"x": {"range": {"field": "n_chars", "ranges": [{"to": 1}],
+                         }, "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
+        {"x": {"avg": {}}},                                    # no field
+    ):
+        with pytest.raises(DslError):
+            run_aggs(docs, bad)
+
+
+def test_advanced_search_carries_aggregations(spark, tmp_path):
+    import json
+    import os
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService,
+        create_app,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 300), (3, "de", 200), (4, "de", 999)],
+        "doc_id long, lang string, n_chars long",
+    ).write.parquet(os.path.join(lake, "data_lake_doc"))
+    app = create_app(LakeService(spark, lake))
+    app.testing = True
+    c = app.test_client()
+
+    r = c.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_doc",
+        "query": {"range": {"n_chars": {"lte": 500}}},
+        "k": 1,
+        "aggs": {"langs": {"terms": {"field": "lang"},
+                           "aggs": {"mx": {"max": {"field": "n_chars"}}}}},
+    }), content_type="application/json")
+    body = r.get_json()
+    assert r.status_code == 200
+    # aggs run over the MATCHED set (doc 4 filtered out), independent
+    # of the k=1 hits page — exactly ES's contract
+    env = body["aggregations"]["langs"]
+    assert [(b["key"], b["doc_count"]) for b in env["buckets"]] \
+        == [("en", 2), ("de", 1)]
+    assert env["buckets"][0]["mx"]["value"] == 300
+    assert len(body["hits"]["hits"]) == 1
+
+    # malformed aggs is a 400, same contract as a malformed query
+    r = c.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_doc",
+        "query": {"match_all": {}},
+        "aggs": {"x": {"nope": {}}},
+    }), content_type="application/json")
+    assert r.status_code == 400
