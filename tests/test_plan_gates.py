@@ -203,6 +203,22 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (3, [])},
     ),
+    # ES aggs compiler: terms = groupBy + TakeOrdered (1 shuffle, the
+    # null-key exclusion pushed to the scan); date_histogram pays one
+    # extra tiny post-agg range exchange for the key-asc envelope
+    # order; filter = single conditional-agg job
+    "search_aggs_terms_stats": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, ["IsNotNull(lang)"])},
+    ),
+    "search_aggs_date_histogram": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (2, [])},
+    ),
+    "search_aggs_filter_metrics": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
