@@ -10,7 +10,7 @@ documented ES response shapes.
 Supported aggregation types:
 
 * metrics — ``avg / sum / min / max / value_count / cardinality /
-  stats`` on a field;
+  stats / percentiles / missing`` on a field;
 * buckets — ``terms`` (size + count-desc order, ES tie-break by key),
   ``histogram`` (numeric interval), ``date_histogram``
   (``calendar_interval`` minute/hour/day/week/month/year or
@@ -26,7 +26,8 @@ Documented divergences (same contract as :mod:`.es_dsl`):
 
 * ``cardinality`` is EXACT (``count_distinct``) where ES approximates
   with HLL — strictly more accurate, so ``doc_count_error_upper_bound``
-  is always 0;
+  is always 0; ``percentiles`` likewise: exact interpolated order
+  statistics where ES runs t-digest;
 * ``terms`` ordering is count-desc with a deterministic key tie-break
   (ES leaves ties shard-dependent).
 
@@ -77,9 +78,15 @@ _FIXED_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
 _FIXED_SECS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
 
+#: ES default percents for a percentiles agg
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
 def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
-    """One aliased aggregate Column per metric sub-agg. ``stats``
-    expands to five columns reassembled at envelope time."""
+    """One aliased aggregate Column per metric sub-agg. ``stats`` and
+    ``percentiles`` expand to several columns reassembled at envelope
+    time; ``missing`` counts docs whose field is null (ES missing
+    agg)."""
     cols: list[Column] = []
     for name, spec in (sub_aggs or {}).items():
         if not isinstance(spec, dict) or len(spec) != 1:
@@ -92,6 +99,20 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
             for stat, fn in (("count", F.count), ("min", F.min),
                              ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
                 cols.append(fn(field).alias(f"{prefix}{name}.{stat}"))
+        elif kind == "percentiles":
+            # EXACT interpolated percentiles where ES runs t-digest —
+            # the same exactness divergence as cardinality, same
+            # direction (strictly more accurate)
+            for p in body.get("percents", _DEFAULT_PERCENTS):
+                cols.append(
+                    F.percentile(F.col(field), F.lit(float(p) / 100.0))
+                    .alias(f"{prefix}{name}%{float(p)}")
+                )
+        elif kind == "missing":
+            cols.append(
+                F.sum(F.when(F.col(field).isNull(), 1).otherwise(0))
+                .cast("bigint").alias(f"{prefix}{name}")
+            )
         elif kind in _METRICS:
             cols.append(_METRICS[kind](field).alias(f"{prefix}{name}"))
         else:
@@ -111,6 +132,14 @@ def _metric_envelope(row, sub_aggs: dict, prefix: str = "") -> dict:
                 stat: row[f"{prefix}{name}.{stat}"]
                 for stat in ("count", "min", "max", "avg", "sum")
             }
+        elif kind == "percentiles":
+            body = spec[kind]
+            out[name] = {"values": {
+                str(float(p)): row[f"{prefix}{name}%{float(p)}"]
+                for p in body.get("percents", _DEFAULT_PERCENTS)
+            }}
+        elif kind == "missing":
+            out[name] = {"doc_count": row[f"{prefix}{name}"]}
         else:
             out[name] = {"value": row[f"{prefix}{name}"]}
     return out
@@ -245,6 +274,17 @@ def filter_frame(
             for stat, fn in (("count", F.count), ("min", F.min),
                              ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
                 cols.append(fn(gated).alias(f"{name}.{stat}"))
+        elif kind == "percentiles":
+            for p in mbody.get("percents", _DEFAULT_PERCENTS):
+                cols.append(
+                    F.percentile(gated, F.lit(float(p) / 100.0))
+                    .alias(f"{name}%{float(p)}")
+                )
+        elif kind == "missing":
+            cols.append(
+                F.sum(F.when(pred & F.col(field).isNull(), 1).otherwise(0))
+                .cast("bigint").alias(name)
+            )
         elif kind in _METRICS:
             cols.append(_METRICS[kind](gated).alias(name))
         else:
@@ -276,7 +316,7 @@ def run_aggs(
     top_metrics = {
         n: s for n, s in aggs.items()
         if isinstance(s, dict) and next(iter(s), None) in
-        (*_METRICS, "stats")
+        (*_METRICS, "stats", "percentiles", "missing")
     }
     if top_metrics:
         row = df.agg(*_metric_cols(top_metrics)).collect()[0]

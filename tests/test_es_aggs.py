@@ -122,10 +122,40 @@ def test_filter_agg_uses_query_dsl(docs):
     assert env["s"]["count"] == 1 and env["s"]["sum"] == 300
 
 
+def test_percentiles_and_missing(docs):
+    out = run_aggs(docs, {
+        "pct": {"percentiles": {"field": "n_chars",
+                                "percents": [50, 95]}},
+        "no_lang": {"missing": {"field": "lang"}},
+    })
+    # exact interpolated percentiles over [50,100,200,300,400,999]
+    assert out["pct"]["values"]["50.0"] == pytest.approx(250.0)
+    assert out["pct"]["values"]["95.0"] == pytest.approx(849.25)
+    assert out["no_lang"]["doc_count"] == 1
+
+    # as sub-aggs of a terms bucket and under a filter predicate
+    out = run_aggs(docs, {
+        "langs": {"terms": {"field": "lang", "size": 1},
+                  "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                                 "percents": [50]}},
+                           "gap": {"missing": {"field": "n_chars"}}}},
+        "en_only": {"filter": {"term": {"lang": "en"}},
+                    "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                                   "percents": [50]}},
+                             "gap": {"missing": {"field": "n_chars"}}}},
+    })
+    en = out["langs"]["buckets"][0]
+    assert en["key"] == "en"
+    assert en["p"]["values"]["50.0"] == pytest.approx(200.0)
+    assert en["gap"]["doc_count"] == 1   # doc 7: en with null n_chars
+    assert out["en_only"]["p"]["values"]["50.0"] == pytest.approx(200.0)
+    assert out["en_only"]["gap"]["doc_count"] == 1
+
+
 def test_agg_errors_are_dsl_errors(docs):
     for bad in (
         {"x": {"terms": {"field": "lang"}, "histogram": {}}},  # two kinds
-        {"x": {"percentiles": {"field": "n_chars"}}},          # unsupported
+        {"x": {"geo_bounds": {"field": "n_chars"}}},           # unsupported
         {"x": {"histogram": {"field": "n_chars", "interval": 0}}},
         {"x": {"date_histogram": {"field": "ts"}}},            # no interval
         {"x": {"date_histogram": {"field": "ts",
