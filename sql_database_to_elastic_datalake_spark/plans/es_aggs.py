@@ -16,8 +16,9 @@ Supported aggregation types:
   (``calendar_interval`` minute/hour/day/week/month/year or
   ``fixed_interval`` like ``"5m"``), ``range`` (from/to bands, which ES
   allows to OVERLAP — each band is a conditional aggregate, so one job
-  covers all bands), and ``filter`` (any query-DSL predicate via
-  :func:`.es_dsl.compile_dsl`);
+  covers all bands), ``filter`` (any query-DSL predicate via
+  :func:`.es_dsl.compile_dsl`), and ``composite`` (key-ordered bucket
+  pages with ``after``-cursor resumption — the scalable bucket API);
 * one level of sub-aggregations under any bucket agg (metric sub-aggs
   compute in the SAME groupBy job as the bucket counts — no extra
   pass).
@@ -252,6 +253,59 @@ def range_frame(
     return df.agg(*per_band)
 
 
+def composite_frame(
+    df: DataFrame, body: dict, sub_aggs: dict | None = None
+) -> DataFrame:
+    """ES ``composite`` aggregation: deterministic key-ordered bucket
+    PAGES with ``after``-key resumption — the one agg ES itself
+    recommends for unbounded key domains, and the right shape at
+    100 TB (every page is groupBy + TakeOrdered(size); the after-key
+    predicate applies to the RAW columns, so rows before the cursor
+    never enter the shuffle).
+
+    ``sources`` may mix ``terms`` / ``histogram`` / ``date_histogram``
+    keys. ES's default ``missing_bucket=false`` applies: rows with a
+    null key column are excluded.
+    """
+    sources = body.get("sources")
+    if not isinstance(sources, list) or not sources:
+        raise DslError("composite requires a non-empty sources list")
+    size = int(body.get("size", 10))
+    names: list[str] = []
+    keys: list[Column] = []
+    for src in sources:
+        if not isinstance(src, dict) or len(src) != 1:
+            raise DslError("each composite source must be {name: {kind: …}}")
+        name, spec = next(iter(src.items()))
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(f"composite source {name!r} must have one kind")
+        kind, kbody = next(iter(spec.items()))
+        names.append(name)
+        keys.append(bucket_key(kind, kbody))
+    after = body.get("after")
+    out = df
+    for k in keys:
+        out = out.filter(k.isNotNull())
+    if after is not None:
+        missing = [n for n in names if n not in after]
+        if missing:
+            raise DslError(f"after key missing sources: {missing}")
+        # strict lexicographic (k1..kn) > (a1..an), built innermost-out,
+        # on the raw columns: pre-shuffle cursor pruning
+        pred = F.lit(False)
+        for k, n in zip(reversed(keys), reversed(names)):
+            a = F.lit(after[n])
+            pred = (k > a) | ((k == a) & pred)
+        out = out.filter(pred)
+    grouped = (
+        out.groupBy(*[k.alias(n) for k, n in zip(keys, names)])
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub_aggs))
+        .orderBy(*[F.col(n).asc() for n in names])
+        .limit(size)
+    )
+    return grouped
+
+
 def filter_frame(
     df: DataFrame,
     body: dict,
@@ -377,6 +431,21 @@ def run_aggs(
                 b["key"] = r.get("key", "-".join(parts))
                 buckets.append(b)
             out[name] = {"buckets": buckets}
+        elif kind == "composite":
+            rows = composite_frame(df, body, sub).collect()
+            src_names = [next(iter(s)) for s in body["sources"]]
+            buckets = [
+                {"key": {n: _key_envelope(r[n]) for n in src_names},
+                 "doc_count": r["doc_count"],
+                 **_metric_envelope(r, sub)}
+                for r in rows
+            ]
+            env = {"buckets": buckets}
+            if len(rows) == int(body.get("size", 10)) and buckets:
+                # a full page may have more behind it: hand back the
+                # resumption cursor exactly like ES
+                env["after_key"] = buckets[-1]["key"]
+            out[name] = env
         elif kind == "filter":
             row = filter_frame(df, body, sub, schema_fields).collect()[0]
             env: dict[str, Any] = {"doc_count": row["doc_count"]}

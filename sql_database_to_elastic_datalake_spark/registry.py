@@ -996,6 +996,40 @@ def search_aggs_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_aggs_composite_page",
+    # a MIDDLE page: the after cursor proves lexicographic resumption;
+    # (lang, source) keys are unique per bucket so the LIMIT boundary
+    # carries no cross-engine tie risk
+    oracle="""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+      AND (lang > 'de' OR (lang = 'de' AND source > 'src12'))
+    GROUP BY lang, source ORDER BY lang, source LIMIT 7
+    """,
+)
+def search_aggs_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation (r5): one key-ordered bucket PAGE
+    resumed from an ``after`` cursor — the scalable bucket API for
+    unbounded key domains. The cursor predicate applies to the RAW
+    columns (pre-shuffle pruning); the page is groupBy +
+    TakeOrdered(size)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        composite_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return composite_frame(docs, {
+        "sources": [
+            {"lang": {"terms": {"field": "lang"}}},
+            {"source": {"terms": {"field": "source"}}},
+        ],
+        "size": 7,
+        "after": {"lang": "de", "source": "src12"},
+    })
+
+
 # ---------------------------------------------------------------------------
 # Q1 — multi_match full-text search with deterministic tf scoring
 # Reference: /root/reference/src/search_api.py:16-36.
@@ -3249,6 +3283,7 @@ _CHECK_FIRST = [
     "search_aggs_terms_stats",  # NEW: ES aggs compiler (terms+metrics)
     "search_aggs_date_histogram",  # NEW: date_histogram buckets
     "search_aggs_filter_metrics",  # NEW: filter agg w/ sub-metrics
+    "search_aggs_composite_page",  # NEW: composite after-cursor page
     "search_dsl_bool",
     "search_dsl_should_wildcard",
     "search_multimatch_scored",
@@ -3298,11 +3333,10 @@ _CHECK_FIRST = [
     "map_functions_events",
     "pack_token_budget",
     "parts_above_type_avg",
-    "pii_redaction",
-    # (pivot_event_types, q3_shipping_priority, q4_order_priority and
-    #  q10_returned_revenue displaced to keep the window at exactly 50
-    #  after the four post-certification query additions — they lead
-    #  the r6 fill, oldest-evidence first)
+    # (pii_redaction, pivot_event_types, q3_shipping_priority,
+    #  q4_order_priority and q10_returned_revenue displaced to keep
+    #  the window at exactly 50 after the five post-certification
+    #  query additions — they lead the r6 fill, oldest-evidence first)
 ]
 
 

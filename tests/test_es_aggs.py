@@ -152,6 +152,62 @@ def test_percentiles_and_missing(docs):
     assert out["en_only"]["gap"]["doc_count"] == 1
 
 
+def test_composite_pagination_covers_domain_exactly_once(docs):
+    """Walk composite pages of 2 with the after cursor; the union of
+    pages must equal the one-shot groupBy — no bucket skipped or
+    repeated across page boundaries."""
+    body = {
+        "sources": [
+            {"lang": {"terms": {"field": "lang"}}},
+            {"band": {"histogram": {"field": "n_chars", "interval": 200}}},
+        ],
+        "size": 2,
+    }
+    pages, after, rounds = [], None, 0
+    while True:
+        req = dict(body, **({"after": after} if after else {}))
+        env = run_aggs(docs, {"c": {"composite": req}})["c"]
+        pages.extend(env["buckets"])
+        rounds += 1
+        if "after_key" not in env:
+            break
+        after = env["after_key"]
+        assert rounds < 10
+    got = [((b["key"]["lang"], b["key"]["band"]), b["doc_count"])
+           for b in pages]
+    # docs with null lang or null n_chars are excluded
+    # (missing_bucket=false); expected one-shot aggregation:
+    want = [(("de", 200), 1), (("de", 400), 1), (("en", 0), 1),
+            (("en", 200), 1), (("fr", 0), 1)]
+    assert got == want
+    # keys must be strictly increasing across the whole walk
+    assert [k for k, _ in got] == sorted(k for k, _ in got)
+
+
+def test_composite_sub_metrics_and_errors(docs):
+    env = run_aggs(docs, {"c": {
+        "composite": {
+            "sources": [{"lang": {"terms": {"field": "lang"}}}],
+            "size": 10,
+        },
+        "aggs": {"mx": {"max": {"field": "n_chars"}}},
+    }})["c"]
+    assert {b["key"]["lang"]: b["mx"]["value"] for b in env["buckets"]} \
+        == {"de": 400, "en": 300, "fr": 50}
+    assert "after_key" not in env  # short page: domain exhausted
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+    for bad in (
+        {"c": {"composite": {"sources": []}}},
+        {"c": {"composite": {"sources": [
+            {"a": {"terms": {"field": "lang"}},
+             "b": {"terms": {"field": "lang"}}}]}}},
+        {"c": {"composite": {"sources": [{"a": {"terms": {"field": "lang"}}}],
+                             "after": {"wrong": 1}}}},
+    ):
+        with pytest.raises(DslError):
+            run_aggs(docs, bad)
+
+
 def test_agg_errors_are_dsl_errors(docs):
     for bad in (
         {"x": {"terms": {"field": "lang"}, "histogram": {}}},  # two kinds

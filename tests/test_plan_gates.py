@@ -219,6 +219,16 @@ GATES = {
         shuffles=1, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # composite: the after-cursor predicate must reach the scan as a
+    # pushed filter — that is what makes page N of a huge key domain
+    # cheaper than page 1, the whole point of the cursor
+    "search_aggs_composite_page": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [
+            "Or(GreaterThan(lang,de),And(EqualTo(lang,de),"
+            "GreaterThan(source,src12)))",
+        ])},
+    ),
 }
 
 
