@@ -253,6 +253,20 @@ def range_frame(
     return df.agg(*per_band)
 
 
+def _after_lit(kind: str, value) -> Column:
+    """A cursor value as a comparable literal for its source kind.
+
+    ``after_key`` hands timestamps back as epoch MILLIS (the ES
+    envelope shape) while the grouping column is a TIMESTAMP —
+    comparing the raw integer would mis-coerce, so date_histogram
+    cursors convert back (ISO strings accepted too)."""
+    if kind == "date_histogram":
+        if isinstance(value, (int, float)):
+            return F.timestamp_millis(F.lit(int(value)))
+        return F.to_timestamp(F.lit(value))
+    return F.lit(value)
+
+
 def composite_frame(
     df: DataFrame, body: dict, sub_aggs: dict | None = None
 ) -> DataFrame:
@@ -273,6 +287,7 @@ def composite_frame(
     size = int(body.get("size", 10))
     names: list[str] = []
     keys: list[Column] = []
+    kinds: list[str] = []
     for src in sources:
         if not isinstance(src, dict) or len(src) != 1:
             raise DslError("each composite source must be {name: {kind: …}}")
@@ -281,6 +296,7 @@ def composite_frame(
             raise DslError(f"composite source {name!r} must have one kind")
         kind, kbody = next(iter(spec.items()))
         names.append(name)
+        kinds.append(kind)
         keys.append(bucket_key(kind, kbody))
     after = body.get("after")
     out = df
@@ -293,9 +309,11 @@ def composite_frame(
         # strict lexicographic (k1..kn) > (a1..an), built innermost-out,
         # on the raw columns: pre-shuffle cursor pruning
         pred = F.lit(False)
-        for k, n in zip(reversed(keys), reversed(names)):
-            a = F.lit(after[n])
-            pred = (k > a) | ((k == a) & pred)
+        for k, n, kd in zip(reversed(keys), reversed(names),
+                            reversed(kinds)):
+            pred = (k > _after_lit(kd, after[n])) | (
+                (k == _after_lit(kd, after[n])) & pred
+            )
         out = out.filter(pred)
     grouped = (
         out.groupBy(*[k.alias(n) for k, n in zip(keys, names)])

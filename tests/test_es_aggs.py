@@ -184,6 +184,26 @@ def test_composite_pagination_covers_domain_exactly_once(docs):
     assert [k for k, _ in got] == sorted(k for k, _ in got)
 
 
+def test_composite_date_histogram_cursor_roundtrip(docs):
+    """The after_key for a date source is epoch millis (ES envelope
+    shape); feeding it back must resume correctly against the raw
+    TIMESTAMP column — a raw integer comparison would mis-coerce."""
+    body = {"sources": [
+        {"day": {"date_histogram": {"field": "ts",
+                                    "calendar_interval": "day"}}},
+    ], "size": 1}
+    env1 = run_aggs(docs, {"c": {"composite": body}})["c"]
+    assert [b["doc_count"] for b in env1["buckets"]] == [3]
+    after = env1["after_key"]
+    assert isinstance(after["day"], int)  # epoch millis
+    env2 = run_aggs(docs, {"c": {"composite": dict(body, after=after)}})["c"]
+    assert [b["doc_count"] for b in env2["buckets"]] == [2]
+    # composite keys stay raw (ES emits epoch millis here, no
+    # key_as_string without an explicit format)
+    assert env2["buckets"][0]["key"]["day"] == int(dt.datetime(
+        2024, 1, 2, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
 def test_composite_sub_metrics_and_errors(docs):
     env = run_aggs(docs, {"c": {
         "composite": {
