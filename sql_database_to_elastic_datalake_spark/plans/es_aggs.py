@@ -19,6 +19,9 @@ Supported aggregation types:
   covers all bands), ``filter`` (any query-DSL predicate via
   :func:`.es_dsl.compile_dsl`), and ``composite`` (key-ordered bucket
   pages with ``after``-cursor resumption — the scalable bucket API);
+* ``top_hits`` under ``terms`` buckets — per-bucket top documents via
+  the window top-k pattern (WindowGroupLimit pushdown), volume bounded
+  by returned-buckets × size;
 * one level of sub-aggregations under any bucket agg (metric sub-aggs
   compute in the SAME groupBy job as the bucket counts — no extra
   pass).
@@ -253,6 +256,43 @@ def range_frame(
     return df.agg(*per_band)
 
 
+def top_hits_frame(
+    df: DataFrame, key_col: Column, keys: list, body: dict
+) -> DataFrame:
+    """Per-bucket top documents for a ``top_hits`` sub-agg: the window
+    top-k pattern (row_number over partitionBy(bucket) — Spark pushes
+    the ``<= size`` filter into WindowGroupLimit, so each partition
+    pre-truncates before the shuffle). Restricted to the RETURNED
+    bucket keys via an ``isin`` pushdown, so the collected volume is
+    bounded by ``len(keys) * size`` no matter the key domain.
+
+    Ties beyond the requested sort break deterministically on every
+    remaining column (ES leaves them shard-arbitrary — the same
+    determinism divergence as terms ordering)."""
+    from pyspark.sql import Window
+
+    size = int(body.get("size", 3))
+    order: list[Column] = []
+    for s in body.get("sort") or []:
+        if isinstance(s, str):
+            field, direction = s, "asc"
+        else:
+            field, ospec = next(iter(s.items()))
+            direction = (
+                ospec.get("order", "asc") if isinstance(ospec, dict)
+                else ospec
+            )
+        c = F.col(field)
+        order.append(c.desc() if direction == "desc" else c.asc())
+    order += [F.col(c).asc_nulls_first() for c in df.columns]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.filter(key_col.isin(keys))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= size)
+    )
+
+
 def _after_lit(kind: str, value) -> Column:
     """A cursor value as a comparable literal for its source kind.
 
@@ -406,18 +446,42 @@ def run_aggs(
         kind = kinds[0]
         body = spec[kind]
         if kind == "terms":
-            rows = terms_frame(df, body, sub).collect()
+            top_hits = {
+                n: s for n, s in (sub or {}).items()
+                if isinstance(s, dict) and next(iter(s), None) == "top_hits"
+            }
+            metrics = {n: s for n, s in (sub or {}).items()
+                       if n not in top_hits}
+            rows = terms_frame(df, body, metrics).collect()
             returned = sum(r["doc_count"] for r in rows)
             total = df.filter(F.col(body["field"]).isNotNull()).count()
+            buckets = [
+                {"key": _key_envelope(r["key"]),
+                 "doc_count": r["doc_count"],
+                 **_metric_envelope(r, metrics)}
+                for r in rows
+            ]
+            for th_name, th_spec in top_hits.items():
+                keys = [r["key"] for r in rows]
+                hit_rows = top_hits_frame(
+                    df, F.col(body["field"]), keys, th_spec["top_hits"]
+                ).collect()
+                by_key: dict = {}
+                for hr in hit_rows:
+                    by_key.setdefault(hr[body["field"]], []).append({
+                        "_source": {c: hr[c] for c in hr.asDict()
+                                    if c != "__rn"}
+                    })
+                for b in buckets:
+                    b[th_name] = {"hits": {
+                        "total": {"value": b["doc_count"],
+                                  "relation": "eq"},
+                        "hits": by_key.get(b["key"], []),
+                    }}
             out[name] = {
                 "doc_count_error_upper_bound": 0,  # exact (divergence note)
                 "sum_other_doc_count": int(total - returned),
-                "buckets": [
-                    {"key": _key_envelope(r["key"]),
-                     "doc_count": r["doc_count"],
-                     **_metric_envelope(r, sub)}
-                    for r in rows
-                ],
+                "buckets": buckets,
             }
         elif kind in ("histogram", "date_histogram"):
             rows = histogram_frame(df, kind, body, sub).collect()

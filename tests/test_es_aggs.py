@@ -184,6 +184,34 @@ def test_composite_pagination_covers_domain_exactly_once(docs):
     assert [k for k, _ in got] == sorted(k for k, _ in got)
 
 
+def test_terms_with_top_hits(docs):
+    """top_hits under terms: per-bucket top documents via the window
+    top-k pattern, restricted to the returned bucket keys."""
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {
+                "avg_c": {"avg": {"field": "n_chars"}},
+                "best": {"top_hits": {
+                    "size": 2,
+                    "sort": [{"n_chars": {"order": "desc"}}],
+                }},
+            },
+        }
+    })
+    buckets = out["langs"]["buckets"]
+    assert [b["key"] for b in buckets] == ["en", "de"]
+    en = buckets[0]["best"]["hits"]
+    assert en["total"] == {"value": 3, "relation": "eq"}
+    # top 2 en docs by n_chars desc; doc 7 (null) sorts last and is cut
+    assert [h["_source"]["doc_id"] for h in en["hits"]] == [2, 1]
+    assert "__rn" not in en["hits"][0]["_source"]
+    de = buckets[1]["best"]["hits"]
+    assert [h["_source"]["n_chars"] for h in de["hits"]] == [400, 200]
+    # metric sub-agg still rides the count job next to the top_hits
+    assert buckets[0]["avg_c"]["value"] == pytest.approx(200.0)
+
+
 def test_composite_date_histogram_cursor_roundtrip(docs):
     """The after_key for a date source is epoch millis (ES envelope
     shape); feeding it back must resume correctly against the raw
