@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_database_to_elastic_datalake_spark.fs import path_exists
-from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
+    compile_dsl,
+)
 from sql_database_to_elastic_datalake_spark.plans.search import (
     multi_match_table,
     string_columns,
@@ -241,11 +244,30 @@ class LakeService:
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10,
         aggs: dict | None = None,
+        sort: list | None = None,
+        search_after: list | None = None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
         contract: aggregations see the query scope, not the hits page)
-        via :mod:`.plans.es_aggs`."""
+        via :mod:`.plans.es_aggs`.
+
+        ``sort`` orders the hits (ES sort clauses; TakeOrdered — no
+        global sort materialization) and each hit then carries its
+        ``sort`` values; ``search_after`` resumes from such a value
+        tuple with a direction-aware lexicographic predicate applied to
+        the RAW columns, so deep pages prune before the sort — ES's own
+        deep-pagination contract (from+size is the anti-pattern both
+        engines reject). Like ES, stable paging needs a
+        tie-breaking (unique) final sort key.
+
+        Documented divergence: under ``search_after`` the reported
+        total counts the REMAINING (post-cursor) matches, not the full
+        query as ES does — an observation ahead of the cursor filter
+        would block the cursor predicate from reaching the parquet scan
+        (CollectMetrics is a pushdown barrier), and at lake scale the
+        deep-page scan pruning is worth more than re-reporting a number
+        page one already carried."""
         df = self.spark.read.parquet(os.path.join(self.lake_dir, table))
         # df.columns lets the compiler expand multi_match wildcard field
         # patterns ("*_name") the way ES expands them from the mapping
@@ -257,29 +279,108 @@ class LakeService:
             )
 
             aggregations = run_aggs(matched, aggs, schema_fields=df.columns)
-        # ONE job per request: an unranked filter stops scanning at the
-        # limit, so collecting k+1 rows gives the exact total whenever
-        # it fits the page and an ES-style lower bound (relation "gte",
-        # ES's own track_total_hits shape) when it doesn't — the
-        # separate count() this used to run re-scanned every match per
-        # request (r4 verdict nit).
-        rows = matched.limit(k + 1).collect()
-        exact = len(rows) <= k
-        total = {"value": len(rows) if exact else k,
-                 "relation": "eq" if exact else "gte"}
-        rows = rows[:k]
-        out: dict[str, Any] = {
-            "hits": {
-                "total": total,
-                "hits": [
-                    {"_index": table, "_source": {c: r[c] for c in df.columns}}
-                    for r in rows
-                ],
-            }
-        }
+        if sort:
+            fields, order_cols = _parse_sort(sort, df.columns)
+            if search_after is not None:
+                matched = matched.filter(
+                    _search_after_pred(sort, fields, search_after)
+                )
+            # sorted page: TakeOrdered consumes every matched row, so
+            # an Observation yields the exact total in the same job
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = matched.observe(obs, F.count(F.lit(1)).alias("n"))
+            rows = observed.orderBy(*order_cols).limit(k).collect()
+            total = {"value": obs.get["n"], "relation": "eq"}
+            hit_list = [
+                {"_index": table,
+                 "_source": {c: r[c] for c in df.columns},
+                 "sort": [r[f] for f in fields]}
+                for r in rows
+            ]
+        else:
+            if search_after is not None:
+                raise DslError("search_after requires a sort")
+            # ONE job per request: an unranked filter stops scanning at
+            # the limit, so collecting k+1 rows gives the exact total
+            # whenever it fits the page and an ES-style lower bound
+            # (relation "gte", ES's own track_total_hits shape) when it
+            # doesn't — the separate count() this used to run
+            # re-scanned every match per request (r4 verdict nit).
+            rows = matched.limit(k + 1).collect()
+            exact = len(rows) <= k
+            total = {"value": len(rows) if exact else k,
+                     "relation": "eq" if exact else "gte"}
+            hit_list = [
+                {"_index": table, "_source": {c: r[c] for c in df.columns}}
+                for r in rows[:k]
+            ]
+        out: dict[str, Any] = {"hits": {"total": total, "hits": hit_list}}
         if aggregations is not None:
             out["aggregations"] = aggregations
         return out
+
+
+def _parse_sort(
+    sort: list, columns: list[str]
+) -> tuple[list[str], list]:
+    """ES sort clauses → (field names, ordered Columns). Accepts the
+    string form (``"field"``), the object form
+    (``{"field": {"order": "desc"}}``) and the shorthand
+    (``{"field": "desc"}``). Unknown fields are the client's error."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+    fields: list[str] = []
+    order_cols = []
+    for s in sort:
+        if isinstance(s, str):
+            field, direction = s, "asc"
+        elif isinstance(s, dict) and len(s) == 1:
+            field, spec = next(iter(s.items()))
+            direction = (
+                spec.get("order", "asc") if isinstance(spec, dict) else spec
+            )
+        else:
+            raise DslError(f"malformed sort clause {s!r}")
+        if field not in columns:
+            raise DslError(f"unknown sort field {field!r}")
+        if direction not in ("asc", "desc"):
+            raise DslError(f"unknown sort order {direction!r}")
+        c = F.col(field)
+        fields.append(field)
+        order_cols.append(c.desc() if direction == "desc" else c.asc())
+    if not fields:
+        raise DslError("sort must be a non-empty list")
+    return fields, order_cols
+
+
+def _search_after_pred(sort: list, fields: list[str], after: list):
+    """Direction-aware strict lexicographic "(row sort tuple) comes
+    after (cursor tuple)" predicate over the RAW columns — deep pages
+    prune before the sort, the point of ES's search_after."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+    if not isinstance(after, list) or len(after) != len(fields):
+        raise DslError(
+            f"search_after must carry {len(fields)} values "
+            f"(one per sort clause)"
+        )
+    descs = []
+    for s in sort:
+        if isinstance(s, str):
+            descs.append(False)
+        else:
+            spec = next(iter(s.values()))
+            d = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            descs.append(d == "desc")
+    pred = F.lit(False)
+    for field, value, desc in zip(reversed(fields), reversed(after),
+                                  reversed(descs)):
+        c, a = F.col(field), F.lit(value)
+        strict = (c < a) if desc else (c > a)
+        pred = strict | ((c == a) & pred)
+    return pred
 
 
 #: Route-segment plural → entity type. ``rstrip("s")`` is NOT a
@@ -401,6 +502,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 service.advanced_search(
                     body["table"], body["query"], k=k,
                     aggs=body.get("aggs") or body.get("aggregations"),
+                    sort=body.get("sort"),
+                    search_after=body.get("search_after"),
                 )
             ), 200
         except DslError as ex:

@@ -272,6 +272,69 @@ def test_agg_errors_are_dsl_errors(docs):
             run_aggs(docs, bad)
 
 
+def test_advanced_search_sort_and_search_after(spark, tmp_path):
+    """Sorted hits with search_after cursors: walking pages of 2 over
+    a desc-primary/asc-tiebreak sort covers the matched set exactly
+    once in order; sorted totals are exact (Observation on the
+    TakeOrdered input); cursor errors are 400s."""
+    import json
+    import os
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService,
+        create_app,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 300), (3, "de", 300),
+         (4, "de", 999), (5, "fr", 50)],
+        "doc_id long, lang string, n_chars long",
+    ).write.parquet(os.path.join(lake, "data_lake_doc"))
+    app = create_app(LakeService(spark, lake))
+    app.testing = True
+    c = app.test_client()
+
+    base = {
+        "table": "data_lake_doc",
+        "query": {"range": {"n_chars": {"lte": 500}}},  # drops doc 4
+        "sort": [{"n_chars": {"order": "desc"}}, "doc_id"],
+        "k": 2,
+    }
+    seen, cursor, rounds = [], None, 0
+    while True:
+        req = dict(base, **({"search_after": cursor} if cursor else {}))
+        r = c.post("/search/advanced", data=json.dumps(req),
+                   content_type="application/json")
+        assert r.status_code == 200
+        hits = r.get_json()["hits"]
+        assert hits["total"]["relation"] == "eq"
+        if not hits["hits"]:
+            break
+        if rounds == 0:
+            assert hits["total"]["value"] == 4
+        seen += [(h["_source"]["doc_id"], h["sort"]) for h in hits["hits"]]
+        cursor = hits["hits"][-1]["sort"]
+        rounds += 1
+        assert rounds < 6
+    # n_chars desc, doc_id asc tiebreak (docs 2 and 3 tie at 300)
+    assert [d for d, _ in seen] == [2, 3, 1, 5]
+    assert seen[0][1] == [300, 2]  # sort values power the cursor
+
+    for bad, msg in (
+        (dict(base, search_after=[300]), "values"),      # arity
+        (dict(base, sort=[{"nope": "desc"}]), "sort field"),
+        (dict(base, sort=[{"n_chars": {"order": "sideways"}}]), "order"),
+        ({"table": "data_lake_doc", "query": {"match_all": {}},
+          "search_after": [1]}, "requires a sort"),
+    ):
+        r = c.post("/search/advanced", data=json.dumps(bad),
+                   content_type="application/json")
+        assert r.status_code == 400, bad
+        assert msg in r.get_json()["error"]
+
+
 def test_advanced_search_carries_aggregations(spark, tmp_path):
     import json
     import os
