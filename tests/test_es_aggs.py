@@ -378,3 +378,257 @@ def test_advanced_search_carries_aggregations(spark, tmp_path):
         "aggs": {"x": {"nope": {}}},
     }), content_type="application/json")
     assert r.status_code == 400
+
+
+# --- property-based differential: run_aggs vs an independent pandas
+# evaluator of the documented semantics ---------------------------------
+
+import math
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _pd_metric(spec: dict, sub: "object") -> dict:
+    """Independent envelope for ONE metric agg over a pandas sub-frame."""
+    kind, body = next(iter(spec.items()))
+    s = sub[body["field"]]
+    nn = s.dropna()
+
+    def _v(x):
+        return None if x is None or (isinstance(x, float) and math.isnan(x)) \
+            else x
+
+    if kind == "avg":
+        return {"value": _v(nn.mean() if len(nn) else None)}
+    if kind == "sum":
+        return {"value": _v(nn.sum() if len(nn) else None)}
+    if kind == "min":
+        return {"value": _v(nn.min() if len(nn) else None)}
+    if kind == "max":
+        return {"value": _v(nn.max() if len(nn) else None)}
+    if kind == "value_count":
+        return {"value": int(len(nn))}
+    if kind == "cardinality":
+        return {"value": int(nn.nunique())}
+    if kind == "missing":
+        return {"doc_count": int(s.isna().sum())}
+    if kind == "stats":
+        return {"count": int(len(nn)),
+                "min": _v(nn.min() if len(nn) else None),
+                "max": _v(nn.max() if len(nn) else None),
+                "avg": _v(nn.mean() if len(nn) else None),
+                "sum": _v(nn.sum() if len(nn) else None)}
+    raise AssertionError(kind)
+
+
+def _pd_key(v):
+    import datetime as _dt
+
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    return v
+
+
+def _pd_bucket_series(pdf, kind: str, body: dict):
+    col = pdf[body["field"]]
+    if kind == "terms":
+        return col
+    if kind == "histogram":
+        iv = body["interval"]
+        return (col // iv * iv)
+    if kind == "date_histogram":
+        cal = body.get("calendar_interval")
+        if cal:
+            return col.dt.floor({"day": "D", "hour": "h"}[cal])
+        import re as _re
+
+        m = _re.match(r"^(\d+)([smhd])$", body["fixed_interval"])
+        secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600,
+                                  "d": 86400}[m.group(2)]
+        epoch = col.astype("int64") // 10**9
+        import pandas as _pd
+
+        return _pd.to_datetime((epoch // secs * secs) * 10**9)
+    raise AssertionError(kind)
+
+
+def eval_aggs(pdf, aggs: dict) -> dict:
+    out = {}
+    for name, spec in aggs.items():
+        sub = spec.get("aggs") or {}
+        kinds = [k for k in spec if k != "aggs"]
+        kind = kinds[0]
+        body = spec[kind]
+        if kind in ("avg", "sum", "min", "max", "value_count",
+                    "cardinality", "stats", "missing"):
+            out[name] = _pd_metric({kind: body}, pdf)
+        elif kind == "terms":
+            keyed = pdf[pdf[body["field"]].notna()]
+            groups = sorted(
+                keyed.groupby(body["field"], sort=False),
+                key=lambda kv: (-len(kv[1]), kv[0]),
+            )
+            size = body.get("size", 10)
+            top = groups[:size]
+            out[name] = {
+                "doc_count_error_upper_bound": 0,
+                "sum_other_doc_count": int(
+                    len(keyed) - sum(len(g) for _, g in top)),
+                "buckets": [
+                    {"key": _pd_key(k), "doc_count": int(len(g)),
+                     **{n: _pd_metric(s, g) for n, s in sub.items()}}
+                    for k, g in top
+                ],
+            }
+        elif kind in ("histogram", "date_histogram"):
+            keys = _pd_bucket_series(pdf, kind, body)
+            keyed = pdf[keys.notna()].assign(__k=keys[keys.notna()])
+            buckets = []
+            for k, g in sorted(keyed.groupby("__k", sort=False),
+                               key=lambda kv: kv[0]):
+                b = {"key": _pd_key(k), "doc_count": int(len(g)),
+                     **{n: _pd_metric(s, g) for n, s in sub.items()}}
+                if kind == "date_histogram":
+                    b["key_as_string"] = k.to_pydatetime().isoformat()
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif kind == "range":
+            col = pdf[body["field"]]
+            buckets = []
+            for r in body["ranges"]:
+                m = col.notna()
+                if r.get("from") is not None:
+                    m &= col >= r["from"]
+                if r.get("to") is not None:
+                    m &= col < r["to"]
+                b = {"doc_count": int(m.sum())}
+                parts = []
+                if r.get("from") is not None:
+                    b["from"] = r["from"]; parts.append(str(r["from"]))
+                else:
+                    parts.append("*")
+                if r.get("to") is not None:
+                    b["to"] = r["to"]; parts.append(str(r["to"]))
+                else:
+                    parts.append("*")
+                b["key"] = r.get("key", "-".join(parts))
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif kind == "composite":
+            names = [next(iter(s)) for s in body["sources"]]
+            kinds_ = [next(iter(next(iter(s.values())))) for s in
+                      body["sources"]]
+            bodies = [next(iter(next(iter(s.values())).values()))
+                      for s in body["sources"]]
+            frame = pdf.copy()
+            for n, kd, bd in zip(names, kinds_, bodies):
+                frame[f"__{n}"] = _pd_bucket_series(frame, kd, bd)
+                frame = frame[frame[f"__{n}"].notna()]
+            size = body.get("size", 10)
+            grouped = sorted(
+                frame.groupby([f"__{n}" for n in names], sort=False),
+                key=lambda kv: kv[0],
+            )[:size]
+            buckets = [
+                {"key": {n: _pd_key(kt[i]) for i, n in enumerate(names)},
+                 "doc_count": int(len(g)),
+                 **{sn: _pd_metric(ss, g) for sn, ss in sub.items()}}
+                for k, g in grouped
+                for kt in [k if isinstance(k, tuple) else (k,)]
+            ]
+            env = {"buckets": buckets}
+            if len(buckets) == size and buckets:
+                env["after_key"] = buckets[-1]["key"]
+            out[name] = env
+        else:
+            raise AssertionError(kind)
+    return out
+
+
+def _envelopes_equal(a, b, path=""):
+    if isinstance(a, dict) and isinstance(b, dict):
+        assert a.keys() == b.keys(), f"{path}: {a.keys()} vs {b.keys()}"
+        for k in a:
+            _envelopes_equal(a[k], b[k], f"{path}.{k}")
+        return
+    if isinstance(a, list) and isinstance(b, list):
+        assert len(a) == len(b), f"{path}: {len(a)} vs {len(b)}"
+        for i, (x, y) in enumerate(zip(a, b)):
+            _envelopes_equal(x, y, f"{path}[{i}]")
+        return
+    an = a is None or (isinstance(a, float) and math.isnan(a))
+    bn = b is None or (isinstance(b, float) and math.isnan(b))
+    if an or bn:
+        assert an and bn, f"{path}: {a!r} vs {b!r}"
+        return
+    if isinstance(a, float) or isinstance(b, float):
+        assert a == pytest.approx(b, rel=1e-9, abs=1e-9), \
+            f"{path}: {a!r} vs {b!r}"
+        return
+    assert a == b, f"{path}: {a!r} vs {b!r}"
+
+
+_metric_leaf = st.sampled_from([
+    {"avg": {"field": "n_chars"}}, {"sum": {"field": "n_chars"}},
+    {"min": {"field": "n_chars"}}, {"max": {"field": "doc_id"}},
+    {"value_count": {"field": "lang"}},
+    {"cardinality": {"field": "lang"}},
+    {"stats": {"field": "n_chars"}}, {"missing": {"field": "n_chars"}},
+])
+_sub_aggs = st.dictionaries(
+    st.sampled_from(["m1", "m2"]), _metric_leaf, max_size=2)
+
+
+def _with_sub(spec, sub):
+    return {**spec, **({"aggs": sub} if sub else {})}
+
+
+_bucket_leaf = st.one_of(
+    st.builds(lambda sz, sub: _with_sub(
+        {"terms": {"field": "lang", "size": sz}}, sub),
+        st.sampled_from([1, 2, 10]), _sub_aggs),
+    st.builds(lambda iv, sub: _with_sub(
+        {"histogram": {"field": "n_chars", "interval": iv}}, sub),
+        st.sampled_from([100, 250]), _sub_aggs),
+    st.builds(lambda cal, sub: _with_sub(
+        {"date_histogram": {"field": "ts", "calendar_interval": cal}}, sub),
+        st.sampled_from(["day", "hour"]), _sub_aggs),
+    st.builds(lambda fx, sub: _with_sub(
+        {"date_histogram": {"field": "ts", "fixed_interval": fx}}, sub),
+        st.sampled_from(["12h", "90m"]), _sub_aggs),
+    st.just({"range": {"field": "n_chars", "ranges": [
+        {"to": 200}, {"from": 100, "to": 400}, {"from": 300}]}}),
+    st.builds(lambda srcs, sz, sub: _with_sub(
+        {"composite": {"sources": srcs, "size": sz}}, sub),
+        st.sampled_from([
+            [{"l": {"terms": {"field": "lang"}}}],
+            [{"l": {"terms": {"field": "lang"}}},
+             {"b": {"histogram": {"field": "n_chars", "interval": 200}}}],
+            [{"d": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}}}],
+        ]),
+        st.sampled_from([2, 3, 10]), _sub_aggs),
+)
+
+_aggs_spec = st.dictionaries(
+    st.sampled_from(["a", "b"]),
+    st.one_of(_metric_leaf, _bucket_leaf),
+    min_size=1, max_size=2,
+)
+
+
+class TestAggsDifferential:
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "25")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(aggs=_aggs_spec)
+    def test_run_aggs_matches_pandas_eval(self, spark, docs, aggs):
+        got = run_aggs(docs, aggs)
+        want = eval_aggs(docs.toPandas(), aggs)
+        _envelopes_equal(got, want)
