@@ -335,6 +335,72 @@ def test_advanced_search_sort_and_search_after(spark, tmp_path):
         assert msg in r.get_json()["error"]
 
 
+def test_advanced_search_index_pattern(spark, tmp_path):
+    """The reference's advanced search always queries the data_lake_*
+    pattern (src/search_api.py:40-44): omitted table searches every
+    lake table; fields a table lacks match nothing there (ES
+    semantics); per-hit _index names the source table; sorted merges
+    interleave tables in global order."""
+    import json
+    import os
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService,
+        create_app,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "ticket spark", 300), (2, "ticket pandas", 100)],
+        "id long, title string, prio long",
+    ).write.parquet(os.path.join(lake, "data_lake_ticket"))
+    spark.createDataFrame(
+        [(7, "label spark", 200)],
+        "id long, name string, prio long",
+    ).write.parquet(os.path.join(lake, "data_lake_label"))
+    app = create_app(LakeService(spark, lake))
+    app.testing = True
+    c = app.test_client()
+
+    # no table key at all — the reference's request shape; 'title'
+    # exists only in tickets, so labels contribute nothing
+    r = c.post("/search/advanced", data=json.dumps({
+        "query": {"match": {"title": "ticket"}},
+    }), content_type="application/json")
+    hits = r.get_json()["hits"]
+    assert hits["total"] == {"value": 2, "relation": "eq"}
+    assert {h["_index"] for h in hits["hits"]} == {"data_lake_ticket"}
+
+    # a shared field matches across tables; sort merges globally
+    r = c.post("/search/advanced", data=json.dumps({
+        "query": {"range": {"prio": {"gte": 100}}},
+        "sort": [{"prio": {"order": "desc"}}],
+    }), content_type="application/json")
+    hits = r.get_json()["hits"]
+    assert hits["total"] == {"value": 3, "relation": "eq"}
+    assert [(h["_index"], h["sort"][0]) for h in hits["hits"]] == [
+        ("data_lake_ticket", 300), ("data_lake_label", 200),
+        ("data_lake_ticket", 100),
+    ]
+
+    # aggs stay single-table: a multi-match pattern is a clean 400
+    r = c.post("/search/advanced", data=json.dumps({
+        "query": {"match_all": {}},
+        "aggs": {"x": {"terms": {"field": "prio"}}},
+    }), content_type="application/json")
+    assert r.status_code == 400
+    assert "single concrete table" in r.get_json()["error"]
+
+    # unsorted pattern totals: gte once the page+1 budget is consumed
+    r = c.post("/search/advanced", data=json.dumps({
+        "query": {"match_all": {}}, "k": 1,
+    }), content_type="application/json")
+    hits = r.get_json()["hits"]
+    assert hits["total"] == {"value": 1, "relation": "gte"}
+    assert len(hits["hits"]) == 1
+
+
 def test_advanced_search_carries_aggregations(spark, tmp_path):
     import json
     import os
