@@ -176,29 +176,53 @@ class LakeService:
         return {"status_code": 200 if n else 404, "synced": n, "ticket_id": ticket_id}
 
     def search(
-        self, term: str, tables: list[str] | None = None, k: int = 10
+        self, term: str, tables: list[str] | None = None, k: int = 10,
+        fields: list[str] | None = None,
     ) -> dict[str, Any]:
         """multi_match across all lake tables (the ``data_lake_*``
         pattern) with the deterministic tf score; ES-style envelope.
 
+        ``fields`` mirrors the reference's request shape
+        (src/search_api.py:19-28: ``fields`` defaulting to ``["*"]``):
+        names and wildcard patterns are expanded per table against its
+        own schema; ``["*"]``/omitted means every string column. A
+        table where nothing expands contributes no hits — ES's
+        missing-field behavior.
+
         Heterogeneous table schemas are normalized to a common shape
         (index, score, tiebreak, JSON-serialized source row), unioned,
         and reduced with ONE global top-k — per-table schemas only exist
-        plan-side. Cluster cost is two jobs total (count + top-k)
-        regardless of table count, instead of two driver-side jobs per
-        table, which is what the ``data_lake_*`` pattern needs at
-        hundreds of tables.
+        plan-side. Cluster cost is one job total regardless of table
+        count (the exact total is observed on the sort input), instead
+        of two driver-side jobs per table, which is what the
+        ``data_lake_*`` pattern needs at hundreds of tables.
         """
+        import fnmatch as _fn
         import json as _json
 
         names = tables or [
             d for d in sorted(os.listdir(self.lake_dir))
             if d.startswith(INDEX_PREFIX)
         ]
+        if fields == ["*"]:
+            fields = None  # the reference's default-everything shape
         scored: list[DataFrame] = []
         for name in names:
             df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
-            matched = multi_match_table(df, term)
+            cols = None
+            if fields is not None:
+                cols = []
+                for f in fields:
+                    nm = str(f).split("^", 1)[0]  # boost: ignored
+                    if "*" in nm or "?" in nm:
+                        cols.extend(c for c in df.columns
+                                    if _fn.fnmatchcase(c, nm))
+                    elif nm in df.columns:
+                        cols.append(nm)
+                cols = list(dict.fromkeys(cols))
+                if not cols:
+                    continue  # no requested field exists in this table
+            matched = multi_match_table(df, term, fields=cols)
             if "score" not in matched.columns:
                 continue  # no string columns → nothing can match
             tb = string_columns(df)[:1]
@@ -578,8 +602,16 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         k = _page_size(body)
         if k is None:
             return jsonify({"error": "k/size must be a non-negative integer"}), 400
+        # the reference's request key is search_term (+fields,
+        # src/search_api.py:19-21); "query" stays accepted as the
+        # engine's original spelling
+        term = body.get("query", body.get("search_term"))
+        if term is None:
+            return jsonify(
+                {"error": "missing query/search_term"}), 400
         return jsonify(
-            service.search(body["query"], body.get("tables"), k=k)
+            service.search(term, body.get("tables"), k=k,
+                           fields=body.get("fields")),
         ), 200
 
     @app.route("/search/advanced", methods=["POST"])

@@ -107,6 +107,28 @@ def test_search_and_advanced(client, service):
     assert hits["total"] == {"value": 0, "relation": "eq"}
     assert hits["hits"] == []
 
+    # the reference's exact request shape: search_term + fields
+    # (src/search_api.py:19-21), ["*"] meaning every string column
+    r = client.post("/search", data=json.dumps(
+        {"search_term": "spark", "fields": ["*"]}),
+        content_type="application/json")
+    assert r.get_json()["hits"]["total"]["value"] == 2
+    # restricting fields to one that never matches the term
+    r = client.post("/search", data=json.dumps(
+        {"search_term": "spark", "fields": ["id"]}),
+        content_type="application/json")
+    assert r.get_json()["hits"]["total"]["value"] == 0
+    # wildcard field patterns expand per table (na* -> name)
+    r = client.post("/search", data=json.dumps(
+        {"search_term": "spark", "fields": ["na*"]}),
+        content_type="application/json")
+    assert r.get_json()["hits"]["total"]["value"] == 2
+    # no term at all: named 400, not a KeyError 500
+    r = client.post("/search", data=json.dumps({"fields": ["*"]}),
+                    content_type="application/json")
+    assert r.status_code == 400
+    assert "search_term" in r.get_json()["error"]
+
 
 def test_resync_ticket_point_merge(service, spark):
     import datetime as dt
