@@ -587,6 +587,24 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         out = service.ingest(_etype(entity), request.get_json(force=True))
         return jsonify(out), out.get("status_code", 200)
 
+    # The reference registers each blueprint's routes UNDER a
+    # url_prefix that repeats the segment ('/tickets' + '/tickets/...'
+    # — server.py:33-38), so its real wire paths are DOUBLED:
+    # /tickets/tickets/batch, /users/users/sync. The clean paths above
+    # are the fixed form; these literal aliases keep clients built
+    # against the reference's actual paths working unmodified.
+    @app.route("/<entity>/<entity2>/batch", methods=["POST"])
+    def ingest_batch_doubled(entity, entity2):
+        if entity != entity2:
+            return jsonify({"error": "not found"}), 404
+        return ingest_batch(entity)
+
+    @app.route("/<entity>/<entity2>/sync", methods=["POST"])
+    def resync_doubled(entity, entity2):
+        if entity != entity2:
+            return jsonify({"error": "not found"}), 404
+        return resync(entity)
+
     def _page_size(body):
         # "k" or ES's "size" select the page; ES's default of 10
         # applies; a malformed value is the client's error, not a 500

@@ -330,6 +330,21 @@ def test_sync_routes(service, spark):
         assert r.status_code == 400
         assert r.get_json()["error"] == "body must be a JSON object"
 
+    # the reference's REAL wire paths are doubled (blueprint url_prefix
+    # repeats the segment: /users/users/sync, /tickets/tickets/batch);
+    # the literal aliases must behave identically to the clean paths
+    r = c.post("/users/users/sync", data=json.dumps({"id": "u1"}),
+               content_type="application/json")
+    assert r.status_code == 200 and r.get_json()["synced"] == 1
+    r = c.post("/tickets/tickets/batch", data=json.dumps(
+        [{"id": "t9", "ticket_number": 9}]),
+        content_type="application/json")
+    assert r.status_code in (200, 207), r.get_json()
+    # mismatched segments are nobody's path
+    r = c.post("/tickets/labels/batch", data=json.dumps([]),
+               content_type="application/json")
+    assert r.status_code == 404
+
 
 def test_advanced_search_bad_dsl_is_400(client, service):
     service.ingest("label", [{"name": "x"}])
