@@ -136,11 +136,31 @@ class LakeService:
         ok = sum(1 for r in results if r.ok)
         err = len(results) - ok
         status = 200 if err == 0 else (207 if ok else 400)
+        # Envelope is a SUPERSET of the reference's batch response
+        # (label_routes.py:156-161: status/successful/failed, per-item
+        # status + <entity>_id [+error]) so clients reading either
+        # shape work. One documented divergence: an ALL-failed batch is
+        # 400 here where the reference's formula still says 207.
+        out_results = []
+        for r in results:
+            d = dict(r.__dict__)
+            d["status"] = "success" if r.ok else "error"
+            d[f"{entity_type}_id"] = r.id if r.ok else (
+                items[r.index].get("id", "unknown")
+                if isinstance(items[r.index], dict) else "unknown"
+            )
+            out_results.append(d)
         return {
             "status_code": status,
+            # the reference says "completed" for any non-empty batch
+            # and "success" (with count) for an empty one
+            "status": "completed" if results else "success",
+            "count": len(results),
+            "successful": ok,
+            "failed": err,
             "success_count": ok,
             "error_count": err,
-            "results": [r.__dict__ for r in results],
+            "results": out_results,
         }
 
     def resync_ticket(

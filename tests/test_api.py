@@ -47,6 +47,21 @@ def test_batch_partial_success_207(client, service):
     body = r.get_json()
     assert body["success_count"] == 1 and body["error_count"] == 1
     assert body["results"][1]["error"] == "missing required field: email"
+    # the envelope is a superset of the reference's batch shape
+    # (label_routes.py:156-161): status/successful/failed + per-item
+    # status and <entity>_id
+    assert body["status"] == "completed"
+    assert (body["successful"], body["failed"]) == (1, 1)
+    assert body["results"][0]["status"] == "success"
+    assert body["results"][0]["user_id"] == body["results"][0]["id"]
+    assert body["results"][1]["status"] == "error"
+    assert body["results"][1]["user_id"] == "unknown"
+    # empty batch: the reference's success/count shape
+    r = client.post("/users/batch", data=json.dumps([]),
+                    content_type="application/json")
+    assert r.status_code == 200
+    assert r.get_json()["status"] == "success"
+    assert r.get_json()["count"] == 0
 
 
 def test_all_failed_400_and_unknown_404(service):
