@@ -112,7 +112,8 @@ class LakeService:
         """
         if entity_type not in ENTITY_TYPES:
             return {"status_code": 404, "error": f"unknown entity {entity_type}"}
-        items = payload if isinstance(payload, list) else [payload]
+        single = not isinstance(payload, list)
+        items = [payload] if single else payload
         accepted: list[dict[str, Any]] = []
         results: list[ItemResult] = []
         for i, item in enumerate(items):
@@ -136,6 +137,8 @@ class LakeService:
         ok = sum(1 for r in results if r.ok)
         err = len(results) - ok
         status = 200 if err == 0 else (207 if ok else 400)
+        if single and ok == 1:
+            status = 201  # the reference's created code for point ingest
         # Envelope is a SUPERSET of the reference's batch response
         # (label_routes.py:156-161: status/successful/failed, per-item
         # status + <entity>_id [+error]) so clients reading either
@@ -150,12 +153,18 @@ class LakeService:
                 if isinstance(items[r.index], dict) else "unknown"
             )
             out_results.append(d)
+        out_envelope_status = (
+            "success" if (single and ok == 1) or not results
+            else "completed"
+        )
         return {
             "status_code": status,
-            # the reference says "completed" for any non-empty batch
-            # and "success" (with count) for an empty one
-            "status": "completed" if results else "success",
+            # the reference says "success" for a created point ingest
+            # (201) and an empty batch, "completed" for real batches
+            "status": out_envelope_status,
             "count": len(results),
+            **({f"{entity_type}_id": results[0].id}
+               if single and ok == 1 else {}),
             "successful": ok,
             "failed": err,
             "success_count": ok,

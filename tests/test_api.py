@@ -29,7 +29,10 @@ def test_health(client):
 
 def test_single_ingest_and_defaults(service):
     out = service.ingest("user", {"email": "a@x.io", "name": "A", "username": "a"})
-    assert out["status_code"] == 200 and out["success_count"] == 1
+    # the reference answers a created point ingest with 201 +
+    # status/"<entity>_id" (label_routes.py:84-88)
+    assert out["status_code"] == 201 and out["success_count"] == 1
+    assert out["status"] == "success" and out["user_id"] == out["results"][0]["id"]
     df = service.spark.read.parquet(os.path.join(service.lake_dir, "data_lake_user"))
     row = df.collect()[0]
     assert row["email"] == "a@x.io"
