@@ -202,7 +202,14 @@ class LakeService:
         else:
             doc.write.mode("overwrite").parquet(path)
         n = doc.count()
-        return {"status_code": 200 if n else 404, "synced": n, "ticket_id": ticket_id}
+        # superset of the reference's sync response
+        # (ticket_routes.py:240-245: status/ticket_id/message)
+        if not n:
+            return {"status_code": 404, "synced": 0, "ticket_id": ticket_id,
+                    "error": f"Ticket {ticket_id} not found"}
+        return {"status_code": 200, "synced": n, "ticket_id": ticket_id,
+                "status": "success",
+                "message": "Ticket successfully synced to data lake"}
 
     def search(
         self, term: str, tables: list[str] | None = None, k: int = 10,
@@ -752,4 +759,11 @@ def resync_entity(
     else:
         doc.write.mode("overwrite").parquet(path)
     n = doc.count()
-    return {"status_code": 200 if n else 404, "synced": n, "id": entity_id}
+    # superset of the reference's per-entity sync response shape
+    # (user_routes.py:221-227: status/<entity>_id/message)
+    if not n:
+        return {"status_code": 404, "synced": 0, "id": entity_id,
+                "error": f"{entity_type} {entity_id} not found"}
+    return {"status_code": 200, "synced": n, "id": entity_id,
+            f"{entity_type}_id": entity_id, "status": "success",
+            "message": f"{entity_type} successfully synced to data lake"}

@@ -178,7 +178,11 @@ def test_resync_ticket_point_merge(service, spark):
         Label=df("Label", []),
     )
     out1 = service.resync_ticket(entities, "t1", "2026-01-01T00:00:00")
-    assert out1 == {"status_code": 200, "synced": 1, "ticket_id": "t1"}
+    assert (out1["status_code"], out1["synced"], out1["ticket_id"]) \
+        == (200, 1, "t1")
+    # reference sync response shape rides along
+    # (ticket_routes.py:240-245)
+    assert out1["status"] == "success" and "synced" in out1["message"]
     out2 = service.resync_ticket(entities, "t1", "2026-01-02T00:00:00")
     assert out2["status_code"] == 200
     lake = service.spark.read.parquet(
