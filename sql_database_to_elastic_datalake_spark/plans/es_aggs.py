@@ -468,7 +468,14 @@ def run_aggs(
                 ).collect()
                 by_key: dict = {}
                 for hr in hit_rows:
-                    by_key.setdefault(hr[body["field"]], []).append({
+                    # buckets carry _key_envelope-converted keys
+                    # (datetime → epoch millis), so the lookup table
+                    # must be keyed the same way — raw datetime keys
+                    # here made top_hits under a timestamp terms agg
+                    # attach empty hits arrays (r5 advisory)
+                    by_key.setdefault(
+                        _key_envelope(hr[body["field"]]), []
+                    ).append({
                         "_source": {c: hr[c] for c in hr.asDict()
                                     if c != "__rn"}
                     })

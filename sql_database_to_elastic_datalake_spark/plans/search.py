@@ -194,3 +194,26 @@ def hits_envelope(
     if order_by:
         ordered = ordered.orderBy(*order_by)
     return ordered.limit(k).crossJoin(F.broadcast(counts))
+
+
+def offset_page(
+    df: DataFrame, order_by: list, from_: int, size: int
+) -> DataFrame:
+    """ES ``from``+``size`` offset pagination as one plan: ORDER BY …
+    LIMIT size OFFSET from. The reference forwards bodies carrying
+    ES's default paging idiom (``{"from": 20, "size": 10}``) verbatim
+    (src/search_api.py:38-46); this is the engine's equivalent.
+
+    Spark-first shape: ``orderBy + offset + limit`` compiles to ONE
+    ``TakeOrderedAndProject(limit=from+size, offset=from)`` — each
+    partition pre-truncates to its top ``from+size`` rows map-side and
+    only those reach the driver-side merge; no global sort
+    materializes. The cost is still linear in ``from`` (every deeper
+    page re-ranks everything above it) — ES caps the same idiom at
+    ``index.max_result_window`` for that reason; ``search_after``
+    (``hits_envelope`` + cursor predicate) is the deep-pagination
+    path.
+    """
+    if from_ < 0 or size < 0:
+        raise ValueError("from/size must be non-negative")
+    return df.orderBy(*order_by).offset(from_).limit(size)

@@ -1220,6 +1220,35 @@ def search_hits_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_from_size_page",
+    # doc_id is unique, so the OFFSET boundary carries no cross-engine
+    # tie risk; the match predicate mirrors the compiled DSL
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%the%'
+    ORDER BY doc_id LIMIT 10 OFFSET 20
+    """,
+)
+def search_from_size_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``from``+``size`` offset pagination (r6): page 3 of a sorted
+    match — the saved-query idiom the reference's verbatim-body route
+    accepts (src/search_api.py:38-46) and ``/search/advanced`` now
+    honors instead of silently returning page 1 (r5 verdict #1).
+    ``orderBy + offset + limit`` is ONE TakeOrderedAndProject
+    (limit=from+size, offset=from): map-side pre-truncation, no global
+    sort."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+    from sql_database_to_elastic_datalake_spark.plans.search import offset_page
+
+    docs = load_table(spark, sf_dir, "documents")
+    matched = docs.filter(compile_dsl({"match": {"text": "the"}}))
+    return offset_page(matched, ["doc_id"], from_=20, size=10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # Training-data-pipeline registrations (dedup/similarity/text/multimodal)
 # live in registry_pipeline.py; importing it registers into QUERIES/ORACLES.
 from sql_database_to_elastic_datalake_spark import registry_pipeline  # noqa: E402,F401

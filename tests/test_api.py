@@ -73,6 +73,21 @@ def test_all_failed_400_and_unknown_404(service):
     assert service.ingest("nope", {"name": "x"})["status_code"] == 404
 
 
+def test_failed_item_echoes_entity_specific_id(service):
+    """A failed item carrying only the reference's entity-specific key
+    (label_id/user_id...) must echo that id, not "unknown" — the
+    reference reads label_data.get("label_id")
+    (label_routes.py:156-161). Plain "id" still wins when both exist."""
+    out = service.ingest("label", [
+        {"label_id": "L-77"},                 # no name -> fails
+        {"id": "L-88", "label_id": "L-99"},   # "id" takes precedence
+        {"whatever": 1},                      # neither key
+    ])
+    assert out["status_code"] == 400
+    ids = [r["label_id"] for r in out["results"]]
+    assert ids == ["L-77", "L-88", "unknown"]
+
+
 def test_search_and_advanced(client, service):
     service.ingest("label", [
         {"name": "spark engine"}, {"name": "pandas loop"}, {"name": "spark fast"},
@@ -146,6 +161,128 @@ def test_search_and_advanced(client, service):
                     content_type="application/json")
     assert r.status_code == 400
     assert "search_term" in r.get_json()["error"]
+
+
+def test_search_size_zero_is_total_only(client, service):
+    """ES's size:0 is a valid aggs-only/total-only request — it used to
+    500 (limit(0) prunes the CollectMetrics node and Observation.get
+    assert-fails, r5 advisory api.py:301)."""
+    service.ingest("label", [
+        {"name": "spark engine"}, {"name": "pandas loop"},
+        {"name": "spark fast"},
+    ])
+    r = client.post("/search", data=json.dumps({"query": "spark", "k": 0}),
+                    content_type="application/json")
+    assert r.status_code == 200
+    hits = r.get_json()["hits"]
+    assert hits["total"] == {"value": 2, "relation": "eq"}
+    assert hits["hits"] == []
+    # advanced: unranked path
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"match_all": {}}, "size": 0,
+    }), content_type="application/json")
+    assert r.status_code == 200
+    adv = r.get_json()["hits"]
+    assert adv["total"] == {"value": 3, "relation": "eq"}
+    assert adv["hits"] == []
+    # advanced: sorted path (the Observation-bearing branch)
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"match": {"name": "spark"}}, "size": 0,
+        "sort": [{"name": "asc"}],
+    }), content_type="application/json")
+    assert r.status_code == 200
+    adv = r.get_json()["hits"]
+    assert adv["total"] == {"value": 2, "relation": "eq"}
+    assert adv["hits"] == []
+
+
+def test_advanced_from_size_offset_pagination(client, service):
+    """ES's {"from": N, "size": k} idiom — the most common saved-query
+    pagination shape the reference forwards verbatim — must page, not
+    silently return page 1 (r5 verdict #1)."""
+    service.ingest("label", [{"name": f"item {i:02d}"} for i in range(7)])
+
+    def page(frm, size):
+        r = client.post("/search/advanced", data=json.dumps({
+            "table": "data_lake_label", "query": {"match_all": {}},
+            "sort": [{"name": "asc"}], "from": frm, "size": size,
+        }), content_type="application/json")
+        assert r.status_code == 200
+        return r.get_json()["hits"]
+
+    p1, p2, p3 = page(0, 3), page(3, 3), page(6, 3)
+    names = [h["_source"]["name"] for p in (p1, p2, p3) for h in p["hits"]]
+    assert names == [f"item {i:02d}" for i in range(7)]  # no overlap/gap
+    assert [len(p["hits"]) for p in (p1, p2, p3)] == [3, 3, 1]
+    # totals stay the full match count on every page
+    assert all(p["total"] == {"value": 7, "relation": "eq"}
+               for p in (p1, p2, p3))
+    # past-the-end page: empty, not an error
+    assert page(40, 3)["hits"] == []
+
+    # from without sort is a named 400, not a silently unordered page
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "from": 3,
+    }), content_type="application/json")
+    assert r.status_code == 400 and "sort" in r.get_json()["error"]
+    # from + search_after are mutually exclusive (ES rejects too)
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "sort": [{"name": "asc"}], "from": 3, "search_after": ["item 02"],
+    }), content_type="application/json")
+    assert r.status_code == 400 and "search_after" in r.get_json()["error"]
+    # malformed from
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "sort": [{"name": "asc"}], "from": "deep",
+    }), content_type="application/json")
+    assert r.status_code == 400
+
+
+def test_advanced_unknown_body_keys_400(client, service):
+    """The reference's route forwards the body verbatim to ES, so every
+    top-level key has live semantics there — a key this engine doesn't
+    implement must 400 with its name, never vanish (the old behavior
+    silently ignored `from` and returned the wrong page)."""
+    service.ingest("label", [{"name": "x"}])
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "collapse": {"field": "name"},
+    }), content_type="application/json")
+    assert r.status_code == 400
+    assert "collapse" in r.get_json()["error"]
+    # every implemented key passes the gate
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "size": 1, "sort": ["name"], "from": 0,
+        "aggs": {"n": {"value_count": {"field": "name"}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+
+
+def test_wire_envelope_mirrors_reference_top_level_keys(client, service):
+    """The reference returns results['hits'] UNWRAPPED — a client
+    reading resp["total"]["value"] / resp["max_score"] must work
+    against these routes too (r5 advisory api.py:666). Documented
+    divergence: resp["hits"] stays the ES object; the hit list lives at
+    resp["hits"]["hits"]."""
+    service.ingest("label", [{"name": "spark engine"},
+                             {"name": "pandas loop"}])
+    r = client.post("/search", data=json.dumps({"query": "spark"}),
+                    content_type="application/json")
+    body = r.get_json()
+    assert body["total"] == body["hits"]["total"]
+    assert body["total"]["value"] == 1
+    assert body["max_score"] == body["hits"]["hits"][0]["_score"]
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+    }), content_type="application/json")
+    body = r.get_json()
+    assert body["total"] == {"value": 2, "relation": "eq"}
+    assert body["max_score"] is None  # filter context: no scores
 
 
 def test_resync_ticket_point_merge(service, spark):

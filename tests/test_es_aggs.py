@@ -212,6 +212,27 @@ def test_terms_with_top_hits(docs):
     assert buckets[0]["avg_c"]["value"] == pytest.approx(200.0)
 
 
+def test_top_hits_under_timestamp_terms_key(docs):
+    """top_hits attachment must key by the ENVELOPE-converted bucket
+    key: a terms agg on a timestamp field exposes its buckets as epoch
+    millis, and the hit lookup table used to be built from the raw
+    datetime rows — every bucket attached an empty hits array (r5
+    advisory, es_aggs.py by_key)."""
+    out = run_aggs(docs.filter("doc_id <= 2"), {
+        "by_ts": {
+            "terms": {"field": "ts", "size": 5},
+            "aggs": {"hit": {"top_hits": {"size": 1}}},
+        }
+    })
+    buckets = out["by_ts"]["buckets"]
+    assert len(buckets) == 2
+    for b in buckets:
+        assert isinstance(b["key"], int)  # epoch millis envelope
+        hits = b["hit"]["hits"]["hits"]
+        assert len(hits) == 1  # NOT the empty array the bug produced
+        assert hits[0]["_source"]["doc_id"] in (1, 2)
+
+
 def test_composite_date_histogram_cursor_roundtrip(docs):
     """The after_key for a date source is epoch millis (ES envelope
     shape); feeding it back must resume correctly against the raw
