@@ -13,8 +13,10 @@ the standard leaves needed to express them):
 
   ``term / terms / terms_set / range / match / match_phrase /
   match_phrase_prefix / prefix / wildcard / regexp / fuzzy / exists /
-  ids / match_all / multi_match / constant_score / bool(must, filter,
-  should, must_not, minimum_should_match) / nested``
+  ids / match_all / multi_match / constant_score / query_string /
+  simple_query_string (grammar subset, parsed to the structured
+  leaves by plans/query_string.py) / bool(must, filter, should,
+  must_not, minimum_should_match) / nested``
 
 Semantics notes (documented divergences from Elasticsearch):
   * ``match`` tokenizes on non-alphanumerics, lowercases, and requires
@@ -361,6 +363,21 @@ def compile_dsl(
         for p in preds[1:]:
             acc = acc | p
         return acc
+
+    if kind in ("query_string", "simple_query_string"):
+        # the Lucene string grammar is pure FRONT-END: it parses to a
+        # structured tree of the leaves above and recurses — search
+        # semantics, pushdown, and codegen are exactly the structured
+        # path's (plans/query_string.py documents the grammar subset)
+        from sql_database_to_elastic_datalake_spark.plans.query_string import (
+            parse_query_string,
+        )
+
+        tree = parse_query_string(
+            body, schema_fields=schema_fields,
+            simple=kind == "simple_query_string",
+        )
+        return compile_dsl(tree, field_resolver, schema_fields)
 
     if kind == "nested":
         path = body["path"]

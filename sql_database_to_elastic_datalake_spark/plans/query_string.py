@@ -1,0 +1,384 @@
+"""Lucene ``query_string`` / ``simple_query_string`` → query-DSL trees.
+
+The reference's advanced-search route forwards request bodies VERBATIM
+to ``es.search`` (/root/reference/src/search_api.py:38-46), and the
+other common leaf family a Kibana/saved query carries besides the
+structured leaves is the query-string pair. This module PARSES the
+string grammar into the same query-DSL dict trees
+:func:`.es_dsl.compile_dsl` already compiles — the string syntax is
+pure front-end; every leaf below it reuses the compiled, differential-
+tested ``match`` / ``match_phrase`` / ``wildcard`` / ``bool`` semantics
+and therefore pushes down / whole-stage-codegens exactly like them.
+
+Supported syntax (the sane subset; everything else is a named 400):
+
+  * bare terms (``spark fast``) joined by ``default_operator`` (OR);
+  * ``field:value`` terms, ``field:"a phrase"``, ``field:(grouped …)``
+    — ``query_string`` dialect only (``simple_query_string`` has no
+    field syntax, per ES);
+  * quoted phrases (``"exact phrase"``);
+  * explicit ``AND`` / ``OR`` / ``NOT`` (and ``&&`` / ``||`` / ``!``)
+    in ``query_string``; ``+`` (and) / ``|`` (or) / ``-`` (not) in
+    ``simple_query_string``;
+  * ``(`` grouping ``)``;
+  * ``*`` / ``?`` wildcards inside terms (compiled to the ``wildcard``
+    leaf — case-sensitive, the engine's documented wildcard posture);
+  * ``+term`` / ``-term`` prefixes in ``query_string`` (must /
+    must_not);
+  * per-term / per-field ``^boost`` — accepted and ignored (the
+    module-wide boost divergence in :mod:`.es_dsl`).
+
+Rejected with ``DslError`` (ES features whose semantics this engine
+cannot honor faithfully): fuzzy/slop ``~``, regex ``/…/``, range
+``[a TO b]`` / ``{a TO b}`` syntax (the structured ``range`` leaf
+covers ranges). ``simple_query_string`` keeps ES's LENIENT posture for
+*malformed* syntax (unbalanced quote/paren degrades to literal terms,
+like ES), but the unsupported-feature rejections above still apply —
+silently dropping a fuzzy operator would return wrong results.
+
+Field resolution: an explicit ``fields`` list (entries may be wildcard
+patterns and carry ``^boost`` suffixes) or ``default_field`` is
+expanded against the table schema exactly like ``multi_match``;
+omitted, it defaults to ES's ``*`` (every column).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+#: leaf-body keys with implemented semantics (boost: accepted-ignored)
+_ALLOWED_KEYS = {
+    "query", "fields", "default_field", "default_operator", "boost",
+}
+
+
+def _expand_fields(
+    patterns: list[str], schema_fields: list[str] | None
+) -> list[str]:
+    out: list[str] = []
+    for f in patterns:
+        name = str(f).split("^", 1)[0]  # ^boost: ignored
+        if "*" in name or "?" in name:
+            if schema_fields is None:
+                raise DslError(
+                    f"query_string field pattern {f!r} needs the table "
+                    "schema (pass schema_fields=df.columns)"
+                )
+            out.extend(c for c in schema_fields
+                       if fnmatch.fnmatchcase(c, name))
+        else:
+            out.append(name)
+    return list(dict.fromkeys(out))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_WORD_STOP = set(' \t\n\r()"')
+
+
+def _tokens(s: str, simple: bool) -> list[tuple]:
+    """Token stream: ('(',) (')',) ('AND',) ('OR',) ('NOT',) ('PLUS',)
+    ('PHRASE', text) ('WORD', text)."""
+    out: list[tuple] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()":
+            out.append((c,))
+            i += 1
+            continue
+        if c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise DslError("unterminated phrase quote")
+            out.append(("PHRASE", s[i + 1:j]))
+            i = j + 1
+            continue
+        if simple:
+            if c == "|":
+                out.append(("OR",))
+                i += 1
+                continue
+            if c == "+":
+                out.append(("AND",))
+                i += 1
+                continue
+            if c == "-":
+                out.append(("NOT",))
+                i += 1
+                continue
+        else:
+            if s.startswith("&&", i):
+                out.append(("AND",))
+                i += 2
+                continue
+            if s.startswith("||", i):
+                out.append(("OR",))
+                i += 2
+                continue
+            if c == "!":
+                out.append(("NOT",))
+                i += 1
+                continue
+            if c == "+":
+                out.append(("PLUS",))
+                i += 1
+                continue
+            if c == "-":
+                out.append(("NOT",))
+                i += 1
+                continue
+        j = i
+        while j < n and s[j] not in _WORD_STOP and not (
+            simple and s[j] in "|+"
+        ):
+            j += 1
+        word = s[i:j]
+        i = j
+        if not simple and word in ("AND", "OR", "NOT"):
+            out.append((word,))
+        else:
+            out.append(("WORD", word))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent)
+#
+#   or_expr  := seq (OR seq)*
+#   seq      := and_expr+            (implicit adjacency)
+#   and_expr := unary (AND unary)*
+#   unary    := (NOT | PLUS)* primary
+#   primary  := '(' or_expr ')' | PHRASE | WORD | field ':' primary
+#
+# An implicit sequence assembles Lucene's actual default-OR behavior:
+# '+'-marked clauses become must, NOT/'-' become must_not, bare clauses
+# become should with minimum_should_match 1 only when nothing is
+# required — which is what Lucene does for `+a b -c`.
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple], fields: list[str],
+                 default_and: bool, simple: bool):
+        self.toks = toks
+        self.i = 0
+        self.fields = fields
+        self.default_and = default_and
+        self.simple = simple
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # -- grammar ----------------------------------------------------------
+    def or_expr(self, fields: list[str]) -> dict:
+        parts = [self.seq(fields)]
+        while self.peek() == ("OR",):
+            self.next()
+            parts.append(self.seq(fields))
+        if len(parts) == 1:
+            return parts[0]
+        return {"bool": {"should": parts, "minimum_should_match": 1}}
+
+    def seq(self, fields: list[str]) -> dict:
+        items: list[tuple[str | None, dict]] = []
+        while True:
+            t = self.peek()
+            if t is None or t in ((")",), ("OR",)):
+                break
+            items.append(self.and_chain(fields))
+        if not items:
+            raise DslError("empty query group")
+        if len(items) == 1 and items[0][0] is None:
+            return items[0][1]
+        must, must_not, should = [], [], []
+        for mod, node in items:
+            if mod == "must" or (mod is None and self.default_and):
+                must.append(node)
+            elif mod == "must_not":
+                must_not.append(node)
+            else:
+                should.append(node)
+        body: dict = {}
+        if must:
+            body["must"] = must
+        if must_not:
+            body["must_not"] = must_not
+        if should:
+            body["should"] = should
+            body["minimum_should_match"] = 0 if must else 1
+        return {"bool": body}
+
+    def and_chain(self, fields: list[str]) -> tuple[str | None, dict]:
+        mod, node = self.unary(fields)
+        parts = [node]
+        while self.peek() == ("AND",):
+            self.next()
+            m2, n2 = self.unary(fields)
+            # `a AND -b` folds the negation into the conjunction
+            parts.append({"bool": {"must_not": [n2]}}
+                         if m2 == "must_not" else n2)
+        if len(parts) > 1:
+            if mod == "must_not":
+                parts[0] = {"bool": {"must_not": [parts[0]]}}
+                mod = None
+            return mod, {"bool": {"must": parts}}
+        return mod, node
+
+    def unary(self, fields: list[str]) -> tuple[str | None, dict]:
+        # the modifier is returned UNWRAPPED so seq() can place a
+        # negation at its Lucene level (`a -b` = should:[a],
+        # must_not:[b] — NOT `a OR (not b)`)
+        mod: str | None = None
+        while True:
+            t = self.peek()
+            if t == ("NOT",):
+                self.next()
+                mod = None if mod == "must_not" else "must_not"
+            elif t == ("PLUS",):
+                self.next()
+                if mod is None:
+                    mod = "must"
+            else:
+                break
+        return mod, self.primary(fields)
+
+    def primary(self, fields: list[str]) -> dict:
+        t = self.next()
+        if t is None:
+            raise DslError("query string ended unexpectedly")
+        if t == ("(",):
+            node = self.or_expr(fields)
+            if self.next() != (")",):
+                raise DslError("unbalanced parenthesis in query string")
+            return node
+        if t[0] == "PHRASE":
+            return self._phrase_leaf(t[1], fields)
+        if t[0] == "WORD":
+            return self._word(t[1], fields)
+        raise DslError(f"unexpected token {t[0]} in query string")
+
+    # -- leaves -----------------------------------------------------------
+    def _word(self, word: str, fields: list[str]) -> dict:
+        if not self.simple and ":" in word:
+            field, _, value = word.partition(":")
+            if not field:
+                raise DslError("query string term starts with ':'")
+            sub = [field.split("^", 1)[0]]
+            if value:
+                return self._term_leaf(value, sub)
+            nxt = self.peek()
+            if nxt == ("(",) or (nxt and nxt[0] == "PHRASE"):
+                # field:(grouped …) / field:"a phrase"
+                return self.primary(sub)
+            raise DslError(f"field {field!r} has no value in query string")
+        return self._term_leaf(word, fields)
+
+    def _term_leaf(self, value: str, fields: list[str]) -> dict:
+        value = value.split("^", 1)[0]  # term boost: ignored
+        if not value:
+            raise DslError("empty term in query string")
+        if value[0] in "[{" or value == "TO":
+            raise DslError(
+                "range syntax ([a TO b]) is not supported in query "
+                "strings — use the structured range query"
+            )
+        if value[0] == "/":
+            raise DslError(
+                "regex syntax (/…/) is not supported in query strings — "
+                "use the structured regexp query"
+            )
+        if "~" in value:
+            raise DslError(
+                "fuzzy/slop syntax (~) is not supported in query "
+                "strings — use the structured fuzzy query"
+            )
+        if "*" in value or "?" in value:
+            return self._per_field(
+                fields, lambda f: {"wildcard": {f: value}})
+        return self._per_field(fields, lambda f: {"match": {f: value}})
+
+    def _phrase_leaf(self, text: str, fields: list[str]) -> dict:
+        return self._per_field(
+            fields, lambda f: {"match_phrase": {f: text}})
+
+    def _per_field(self, fields: list[str], mk) -> dict:
+        if not fields:
+            # ES: a field list that expands to nothing matches no docs
+            return {"bool": {"must_not": [{"match_all": {}}]}}
+        if len(fields) == 1:
+            return mk(fields[0])
+        return {"bool": {"should": [mk(f) for f in fields],
+                         "minimum_should_match": 1}}
+
+
+def parse_query_string(
+    body: dict | str,
+    schema_fields: list[str] | None = None,
+    simple: bool = False,
+) -> dict:
+    """Parse a ``query_string`` / ``simple_query_string`` leaf body into
+    an equivalent structured query-DSL tree (see module docstring for
+    the supported grammar)."""
+    if isinstance(body, str):
+        body = {"query": body}
+    if not isinstance(body, dict) or "query" not in body:
+        raise DslError("query_string requires a query")
+    unknown = sorted(set(body) - _ALLOWED_KEYS)
+    if unknown:
+        raise DslError(
+            f"unsupported query_string options: {unknown} "
+            f"(supported: {sorted(_ALLOWED_KEYS - {'boost'})})"
+        )
+    raw_fields = body.get("fields")
+    if raw_fields is None:
+        default = body.get("default_field", "*")
+        raw_fields = [default]
+    if not isinstance(raw_fields, list) or not raw_fields:
+        raise DslError("query_string fields must be a non-empty list")
+    fields = _expand_fields(raw_fields, schema_fields)
+    op = str(body.get("default_operator", "or")).lower()
+    if op not in ("and", "or"):
+        raise DslError(f"unknown default_operator {op!r}")
+    text = str(body["query"])
+    if not text.strip():
+        # ES: an empty query string matches no documents
+        return {"bool": {"must_not": [{"match_all": {}}]}}
+
+    def _parse(qs: str) -> dict:
+        toks = _tokens(qs, simple)
+        p = _Parser(toks, fields, default_and=op == "and", simple=simple)
+        node = p.or_expr(fields)
+        if p.peek() is not None:
+            raise DslError("unbalanced parenthesis in query string")
+        return node
+
+    if not simple:
+        return _parse(text)
+    # simple_query_string is LENIENT on malformed syntax (ES never
+    # errors on it): degrade to the bare terms. Unsupported-FEATURE
+    # rejections (fuzzy ~ etc.) still surface — re-raised unchanged.
+    try:
+        return _parse(text)
+    except DslError as ex:
+        if "not supported" in str(ex):
+            raise
+        terms = [w for w in text.replace('"', " ").replace("(", " ")
+                 .replace(")", " ").replace("|", " ").replace("+", " ")
+                 .split() if w not in ("-",)]
+        cleaned = " ".join(t.lstrip("-") for t in terms if t.lstrip("-"))
+        if not cleaned:
+            return {"bool": {"must_not": [{"match_all": {}}]}}
+        return _parse(cleaned)

@@ -911,6 +911,66 @@ def search_dsl_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_query_string",
+    # mirrors the parsed tree: (match vector AND NOT match de) OR
+    # match_phrase OR wildcard — match is substring-of-lowered with
+    # the İ-fold DuckDB parity replace; must_not is two-valued
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (lower(replace(text, 'İ', 'i̇')) LIKE '%vector%'
+           AND NOT COALESCE(contains(lower(lang), 'de'), FALSE))
+       OR lower(replace(text, 'İ', 'i̇')) LIKE '%spark merge%'
+       OR source LIKE 'src1%'
+    """,
+)
+def search_dsl_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``query_string`` end-to-end (r6): field terms, AND with a
+    folded negation, OR precedence, a quoted phrase, and a wildcard
+    term — the other common saved-query leaf family the reference's
+    verbatim-body route accepts (src/search_api.py:38-46; r5 verdict
+    #2). The string grammar parses to the structured leaves
+    (plans/query_string.py), so the predicate is one boolean Column."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"query_string": {
+        "query": 'text:vector AND -lang:de OR text:"spark merge" '
+                 'OR source:src1*',
+    }}
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "search_dsl_simple_qs",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE (lower(replace(text, 'İ', 'i̇')) LIKE '%spark%'
+           AND lower(replace(text, 'İ', 'i̇')) LIKE '%merge%')
+       OR lower(replace(text, 'İ', 'i̇')) LIKE '%vector%'
+    """,
+)
+def search_dsl_simple_qs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simple_query_string`` (r6): the ``+`` (and) / ``|`` (or)
+    operator dialect with a quoted phrase, over an explicit fields
+    list — no field:value syntax, lenient on malformed input, exactly
+    ES's contract for this leaf."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"simple_query_string": {
+        "query": '"spark" +merge | vector',
+        "fields": ["text"],
+    }}
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)
+    ).select("doc_id", "n_chars")
+
+
+@register(
     "search_aggs_terms_stats",
     # size 10 >= the 5 distinct langs, so the LIMIT boundary carries no
     # cross-engine tie risk; null keys are excluded like ES terms aggs

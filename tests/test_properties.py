@@ -216,6 +216,18 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
             row[f] is not None and any(t in str(row[f]).lower() for t in toks)
             for f in seen
         )
+    if kind in ("query_string", "simple_query_string"):
+        # shared parse (pinned separately by tests/test_query_string.py),
+        # INDEPENDENT evaluation of the parsed tree by this mirror
+        from sql_database_to_elastic_datalake_spark.plans.query_string import (
+            parse_query_string,
+        )
+
+        tree = parse_query_string(
+            body, schema_fields=ROW_COLUMNS,
+            simple=kind == "simple_query_string",
+        )
+        return eval_dsl(row, tree)
     if kind == "bool":
         must = body.get("must", [])
         must_not = body.get("must_not", [])
@@ -303,6 +315,52 @@ leaf = st.one_of(
                                     "query": {"match": {"labels.name": q}}}},
               st.sampled_from(["bug urgent", "spark", ""])),
 )
+
+
+# --- query_string strategies (r6): random grammar compositions ---------------
+# The string grammar parses to the structured leaves; the eval mirror
+# parses with the SAME parser and evaluates the tree with the
+# independent leaf/bool mirror above — so the differential covers the
+# compiled semantics of every parsed tree, not the parse itself (the
+# parser's shape is pinned by tests/test_query_string.py).
+
+_qs_term = st.one_of(
+    st.sampled_from(["spark", "pandas", "loop", "fast", "zzz", "ü",
+                     "样本"]),
+    st.sampled_from(['"pandas loop"', '"fast"', '"SPARK merges"']),
+    st.sampled_from(["*spark*", "s?ark*", "*loop", "sp*"]),
+    st.builds(lambda f, w: f + ":" + w,
+              st.sampled_from(["txt", "kind"]),
+              st.sampled_from(["spark", "a", "b", "zzz", "ü"])),
+)
+_qs_unary = st.builds(
+    lambda p, t: p + t,
+    st.sampled_from(["", "", "+", "-", "NOT "]), _qs_term,
+)
+
+
+def _qs_group(children):
+    return st.builds(
+        lambda items, op: "(" + op.join(items) + ")",
+        st.lists(children, min_size=1, max_size=3),
+        st.sampled_from([" ", " AND ", " OR ", " && ", " || "]),
+    )
+
+
+qs_leaf = st.builds(
+    lambda q, op: {"query_string": {
+        "query": q, "fields": ["txt"], "default_operator": op}},
+    st.recursive(_qs_unary, _qs_group, max_leaves=4),
+    st.sampled_from(["or", "and"]),
+)
+simple_qs_leaf = st.builds(
+    lambda items: {"simple_query_string": {
+        "query": " ".join(items), "fields": ["txt"]}},
+    st.lists(st.sampled_from(
+        ["spark", "pandas", "-loop", "+fast", '"pandas loop"', "|",
+         "zzz", "(spark | loop)"]), min_size=1, max_size=4),
+)
+leaf = st.one_of(leaf, qs_leaf, simple_qs_leaf)
 
 
 def bool_node(children):

@@ -1,0 +1,224 @@
+"""query_string / simple_query_string: parser trees, Spark end-to-end
+matching, unsupported-feature rejections, and simple's leniency."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
+    compile_dsl,
+)
+from sql_database_to_elastic_datalake_spark.plans.query_string import (
+    parse_query_string,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark engine fast", "infra", "en"),
+        (2, "pandas loop slow", "infra", "en"),
+        (3, "spark merge join", "query", "de"),
+        (4, "elastic search cluster", "search", "en"),
+        (5, None, "null-text", "fr"),
+        (6, "spark pandas bridge", "interop", None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, title string, lang string"
+    )
+
+
+def ids(docs, dsl):
+    return sorted(
+        r.doc_id for r in
+        docs.filter(compile_dsl(dsl, schema_fields=docs.columns))
+        .select("doc_id").collect()
+    )
+
+
+# -- parser trees ----------------------------------------------------------
+
+def test_bare_terms_default_or():
+    tree = parse_query_string({"query": "spark fast",
+                               "default_field": "text"})
+    assert tree == {"bool": {
+        "should": [{"match": {"text": "spark"}},
+                   {"match": {"text": "fast"}}],
+        "minimum_should_match": 1,
+    }}
+
+
+def test_field_term_phrase_group():
+    t = parse_query_string({"query": 'title:infra'}, ["text", "title"])
+    assert t == {"match": {"title": "infra"}}
+    t = parse_query_string({"query": 'text:"merge join"'}, ["text"])
+    assert t == {"match_phrase": {"text": "merge join"}}
+    t = parse_query_string({"query": "title:(infra query)"}, ["text"])
+    assert t == {"bool": {
+        "should": [{"match": {"title": "infra"}},
+                   {"match": {"title": "query"}}],
+        "minimum_should_match": 1,
+    }}
+
+
+def test_plus_minus_lucene_levels():
+    # +a b -c = must:[a], must_not:[c], should:[b] msm 0 (a is required)
+    t = parse_query_string({"query": "+spark pandas -slow",
+                            "default_field": "text"})
+    assert t == {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "must_not": [{"match": {"text": "slow"}}],
+        "should": [{"match": {"text": "pandas"}}],
+        "minimum_should_match": 0,
+    }}
+    # a -b with nothing required: the optional clause IS required
+    t = parse_query_string({"query": "spark -slow",
+                            "default_field": "text"})
+    assert t["bool"]["minimum_should_match"] == 1
+
+
+def test_boolean_operators_and_precedence():
+    # AND binds tighter than OR
+    t = parse_query_string({"query": "a AND b OR c",
+                            "default_field": "text"})
+    assert t == {"bool": {"should": [
+        {"bool": {"must": [{"match": {"text": "a"}},
+                           {"match": {"text": "b"}}]}},
+        {"match": {"text": "c"}},
+    ], "minimum_should_match": 1}}
+    # && / || / ! spellings; NOT folds into the conjunction
+    t = parse_query_string({"query": "a && !b", "default_field": "text"})
+    assert t == {"bool": {"must": [
+        {"match": {"text": "a"}},
+        {"bool": {"must_not": [{"match": {"text": "b"}}]}},
+    ]}}
+
+
+def test_multi_field_and_wildcards():
+    t = parse_query_string({"query": "spark", "fields": ["text", "title"]})
+    assert t == {"bool": {"should": [{"match": {"text": "spark"}},
+                                     {"match": {"title": "spark"}}],
+                 "minimum_should_match": 1}}
+    # wildcard TERM -> wildcard leaf; field PATTERN expands vs schema
+    t = parse_query_string({"query": "spa*", "fields": ["t*"]},
+                           schema_fields=["text", "title", "doc_id"])
+    assert t == {"bool": {"should": [{"wildcard": {"text": "spa*"}},
+                                     {"wildcard": {"title": "spa*"}}],
+                 "minimum_should_match": 1}}
+    # ^boost suffixes accepted-and-ignored on fields and terms
+    t = parse_query_string({"query": "spark^2", "fields": ["text^3"]})
+    assert t == {"match": {"text": "spark"}}
+
+
+def test_default_operator_and():
+    t = parse_query_string({"query": "spark fast", "fields": ["text"],
+                            "default_operator": "AND"})
+    assert t == {"bool": {"must": [{"match": {"text": "spark"}},
+                                   {"match": {"text": "fast"}}]}}
+
+
+def test_unsupported_features_named_400():
+    for q, frag in [
+        ("spark~2", "fuzzy"),
+        ("name:/sp.rk/", "regex"),
+        ("n:[1 TO 5]", "range"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            parse_query_string({"query": q, "default_field": "text"})
+    with pytest.raises(DslError, match="unsupported query_string"):
+        parse_query_string({"query": "x", "fields": ["text"],
+                            "fuzziness": 2})
+    with pytest.raises(DslError, match="unbalanced"):
+        parse_query_string({"query": "(a b", "default_field": "text"})
+
+
+def test_simple_dialect():
+    # + is AND, | is OR, - negates; no field:value syntax
+    t = parse_query_string({"query": "spark +fast", "fields": ["text"]},
+                           simple=True)
+    assert t == {"bool": {"must": [{"match": {"text": "spark"}},
+                                   {"match": {"text": "fast"}}]}}
+    t = parse_query_string({"query": "spark | pandas", "fields": ["text"]},
+                           simple=True)
+    assert t["bool"]["minimum_should_match"] == 1
+    # a colon is literal text in simple_query_string
+    t = parse_query_string({"query": "a:b", "fields": ["text"]},
+                           simple=True)
+    assert t == {"match": {"text": "a:b"}}
+    # malformed syntax degrades to bare terms (ES's lenient posture)
+    t = parse_query_string({"query": 'spark "unterminated',
+                            "fields": ["text"]}, simple=True)
+    assert t == {"bool": {"should": [{"match": {"text": "spark"}},
+                                     {"match": {"text": "unterminated"}}],
+                 "minimum_should_match": 1}}
+    # …but unsupported FEATURES still reject, never silently drop
+    with pytest.raises(DslError, match="fuzzy"):
+        parse_query_string({"query": "spark~1", "fields": ["text"]},
+                           simple=True)
+
+
+# -- Spark end-to-end ------------------------------------------------------
+
+def test_query_string_end_to_end(docs):
+    assert ids(docs, {"query_string": {
+        "query": "spark AND (merge OR engine)", "default_field": "text",
+    }}) == [1, 3]
+    assert ids(docs, {"query_string": {
+        "query": "+spark -pandas", "default_field": "text",
+    }}) == [1, 3]
+    assert ids(docs, {"query_string": {
+        "query": 'text:"merge join" OR title:search',
+    }}) == [3, 4]
+    # fieldless default expands to * (every column, null-safe)
+    assert ids(docs, {"query_string": {"query": "infra"}}) == [1, 2]
+    # wildcard terms (the engine's whole-field wildcard-leaf semantics)
+    assert ids(docs, {"query_string": {
+        "query": "ela*r", "fields": ["text"],
+    }}) == [4]
+    # empty query matches nothing
+    assert ids(docs, {"query_string": {"query": "   "}}) == []
+
+
+def test_simple_query_string_end_to_end(docs):
+    assert ids(docs, {"simple_query_string": {
+        "query": "spark +pandas", "fields": ["text"],
+    }}) == [6]
+    assert ids(docs, {"simple_query_string": {
+        "query": '"pandas loop" | cluster', "fields": ["text"],
+    }}) == [2, 4]
+    assert ids(docs, {"simple_query_string": {
+        "query": "spark -merge", "fields": ["text"],
+    }}) == [1, 6]
+
+
+def test_query_string_via_advanced_search_route(spark, tmp_path):
+    import json
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService,
+        create_app,
+    )
+
+    service = LakeService(spark, str(tmp_path))
+    service.ingest("label", [{"name": "spark engine"},
+                             {"name": "pandas loop"},
+                             {"name": "spark pandas bridge"}])
+    app = create_app(service)
+    app.testing = True
+    c = app.test_client()
+    r = c.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"query_string": {"query": "name:(+spark -engine)"}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    hits = r.get_json()["hits"]
+    assert [h["_source"]["name"] for h in hits["hits"]] \
+        == ["spark pandas bridge"]
+    # a feature this engine cannot honor is a named 400
+    r = c.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"query_string": {"query": "spark~2"}},
+    }), content_type="application/json")
+    assert r.status_code == 400 and "fuzzy" in r.get_json()["error"]
