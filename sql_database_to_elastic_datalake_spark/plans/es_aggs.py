@@ -22,9 +22,14 @@ Supported aggregation types:
 * ``top_hits`` under ``terms`` buckets — per-bucket top documents via
   the window top-k pattern (WindowGroupLimit pushdown), volume bounded
   by returned-buckets × size;
-* one level of sub-aggregations under any bucket agg (metric sub-aggs
-  compute in the SAME groupBy job as the bucket counts — no extra
-  pass).
+* metric sub-aggs under any bucket agg (computed in the SAME groupBy
+  job as the bucket counts — no extra pass);
+* MULTI-LEVEL bucket chains (r6): ``terms > date_histogram > metrics``
+  and deeper — one ``groupBy`` on the composite key carries every
+  level's counts and every metric's mergeable components through ONE
+  shuffle; the response tree is assembled driver-side from the flat
+  frame (:func:`nested_levels_frame` / :func:`_assemble_levels`).
+  Kibana's standard drill-down trees run as a single job.
 
 Documented divergences (same contract as :mod:`.es_dsl`):
 
@@ -121,8 +126,7 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
             cols.append(_METRICS[kind](field).alias(f"{prefix}{name}"))
         else:
             raise DslError(
-                f"unsupported sub-aggregation kind {kind!r} under {name!r} "
-                "(one bucket level with metric sub-aggs is supported)"
+                f"unsupported sub-aggregation kind {kind!r} under {name!r}"
             )
     return cols
 
@@ -364,6 +368,246 @@ def composite_frame(
     return grouped
 
 
+#: bucket kinds that can form a nested level chain
+_LEVEL_KINDS = ("terms", "histogram", "date_histogram")
+
+
+def _split_levels(
+    name: str, kind: str, body: dict, sub: dict | None
+) -> tuple[list[tuple[str, str, dict]], list[dict]]:
+    """Walk a nested bucket-agg spec into a flat level chain.
+
+    Returns ``(levels, metrics_per_level)``: ``levels[i] = (agg_name,
+    kind, body)`` top-down, ``metrics_per_level[i]`` the metric
+    sub-aggs attaching to level-``i`` buckets. One bucket sub-agg per
+    level (ES allows siblings; this engine names the limitation instead
+    of guessing which sibling owns the shared shuffle)."""
+    levels = [(name, kind, body)]
+    metrics: list[dict] = []
+    while True:
+        sub = sub or {}
+        buckets: dict = {}
+        mets: dict = {}
+        for n, s in sub.items():
+            if not isinstance(s, dict):
+                raise DslError(f"aggregation {n!r} must be an object")
+            k = next((x for x in s if x not in ("aggs", "aggregations")),
+                     None)
+            if k in _LEVEL_KINDS:
+                buckets[n] = s
+            elif k in ("filter", "range", "composite", "top_hits"):
+                raise DslError(
+                    f"{k} is not supported inside a nested bucket chain"
+                )
+            else:
+                mets[n] = s
+        metrics.append(mets)
+        if not buckets:
+            break
+        if len(buckets) > 1:
+            raise DslError(
+                "sibling bucket sub-aggregations are not supported "
+                f"(got {sorted(buckets)})"
+            )
+        ((n, s),) = buckets.items()
+        k = next(x for x in s if x not in ("aggs", "aggregations"))
+        levels.append((n, k, s[k]))
+        sub = s.get("aggs") or s.get("aggregations")
+    return levels, metrics
+
+
+def _component_cols(
+    levels: list, metrics: list[dict]
+) -> list[Column]:
+    """Mergeable metric COMPONENTS at the finest bucket granularity.
+
+    Metrics above the deepest level must roll up driver-side from the
+    flat frame, so each compiles to its sufficient statistics
+    (count/sum/min/max/null-count) instead of its final value —
+    ``avg`` at any level is then child-sums over child-counts.
+    ``percentiles``/``cardinality`` have no mergeable components
+    (exactly why ES itself approximates them) and are only accepted at
+    the deepest level, where one flat row IS the bucket."""
+    deepest = len(levels) - 1
+    cols: list[Column] = []
+    for li, mets in enumerate(metrics):
+        for name, spec in mets.items():
+            if not isinstance(spec, dict) or len(spec) != 1:
+                raise DslError(
+                    f"aggregation {name!r} must have exactly one type")
+            kind, body = next(iter(spec.items()))
+            field = body.get("field")
+            if field is None:
+                raise DslError(
+                    f"aggregation {name!r} ({kind}) requires a field")
+            p = f"{li}|{name}|"
+            c = F.col(field)
+            if kind == "avg":
+                cols += [F.count(c).alias(p + "cnt"),
+                         F.sum(c).alias(p + "sum")]
+            elif kind == "sum":
+                cols.append(F.sum(c).alias(p + "sum"))
+            elif kind == "min":
+                cols.append(F.min(c).alias(p + "min"))
+            elif kind == "max":
+                cols.append(F.max(c).alias(p + "max"))
+            elif kind == "value_count":
+                cols.append(F.count(c).alias(p + "cnt"))
+            elif kind == "missing":
+                cols.append(
+                    F.sum(F.when(c.isNull(), 1).otherwise(0))
+                    .cast("bigint").alias(p + "nulls"))
+            elif kind == "stats":
+                cols += [F.count(c).alias(p + "cnt"),
+                         F.sum(c).alias(p + "sum"),
+                         F.min(c).alias(p + "min"),
+                         F.max(c).alias(p + "max")]
+            elif kind == "percentiles":
+                if li != deepest:
+                    raise DslError(
+                        "percentiles above the deepest level of a "
+                        "nested bucket chain are not mergeable — move "
+                        "the agg to the innermost bucket"
+                    )
+                for pp in body.get("percents", _DEFAULT_PERCENTS):
+                    cols.append(
+                        F.percentile(c, F.lit(float(pp) / 100.0))
+                        .alias(f"{p}%{float(pp)}"))
+            elif kind == "cardinality":
+                if li != deepest:
+                    raise DslError(
+                        "cardinality above the deepest level of a "
+                        "nested bucket chain is not mergeable — move "
+                        "the agg to the innermost bucket"
+                    )
+                cols.append(F.count_distinct(c).alias(p + "card"))
+            else:
+                raise DslError(
+                    f"unsupported sub-aggregation kind {kind!r} "
+                    f"under {name!r}"
+                )
+    return cols
+
+
+def nested_levels_frame(
+    df: DataFrame, levels: list, metrics: list[dict]
+) -> DataFrame:
+    """The ONE-shuffle flat frame for a nested bucket chain: group on
+    the composite key ``(level0 … levelN)`` with every metric's
+    mergeable components riding the same job; the response tree is
+    assembled driver-side (:func:`_assemble_levels`).
+
+    Only the TOP level's null keys are filtered — a doc with a level-0
+    key but a null deeper key still counts in its parent's
+    ``doc_count`` (ES's behavior), carried here as a null-key flat row
+    its parent sums and its level skips.
+
+    Scale: collected volume is the product of returned bucket counts
+    (terms levels truncate driver-side), the same bound ES's own
+    response tree has; for unbounded key domains ``composite`` remains
+    the paged path."""
+    keys = [
+        bucket_key(kind, body).alias(f"__k{li}")
+        for li, (_, kind, body) in enumerate(levels)
+    ]
+    top_key = bucket_key(levels[0][1], levels[0][2])
+    return (
+        df.filter(top_key.isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             *_component_cols(levels, metrics))
+    )
+
+
+def _rollup_metrics(rows: list, mets: dict, li: int) -> dict:
+    """Metric envelopes for one bucket from its flat rows' components."""
+    out: dict[str, Any] = {}
+    for name, spec in mets.items():
+        kind, body = next(iter(spec.items()))
+        p = f"{li}|{name}|"
+
+        def vals(comp: str) -> list:
+            return [r[p + comp] for r in rows if r[p + comp] is not None]
+
+        if kind == "avg":
+            cnt = sum(vals("cnt"))
+            out[name] = {"value":
+                         (sum(vals("sum")) / cnt) if cnt else None}
+        elif kind == "sum":
+            s = vals("sum")
+            out[name] = {"value": sum(s) if s else 0}
+        elif kind == "min":
+            v = vals("min")
+            out[name] = {"value": min(v) if v else None}
+        elif kind == "max":
+            v = vals("max")
+            out[name] = {"value": max(v) if v else None}
+        elif kind == "value_count":
+            out[name] = {"value": int(sum(vals("cnt")))}
+        elif kind == "missing":
+            out[name] = {"doc_count": int(sum(vals("nulls")))}
+        elif kind == "stats":
+            cnt = int(sum(vals("cnt")))
+            s, mn, mx = vals("sum"), vals("min"), vals("max")
+            out[name] = {
+                "count": cnt,
+                "min": min(mn) if mn else None,
+                "max": max(mx) if mx else None,
+                "avg": (sum(s) / cnt) if cnt else None,
+                "sum": sum(s) if s else 0,
+            }
+        elif kind == "percentiles":
+            (row,) = rows  # deepest level: one flat row per bucket
+            out[name] = {"values": {
+                str(float(pp)): row[f"{p}%{float(pp)}"]
+                for pp in body.get("percents", _DEFAULT_PERCENTS)
+            }}
+        elif kind == "cardinality":
+            (row,) = rows
+            out[name] = {"value": row[p + "card"]}
+    return out
+
+
+def _assemble_levels(
+    rows: list, levels: list, metrics: list[dict], li: int
+) -> dict:
+    """Recursive driver-side tree assembly over the flat frame rows."""
+    _, kind, body = levels[li]
+    groups: dict = {}
+    for r in rows:
+        k = r[f"__k{li}"]
+        if k is None:
+            continue  # counted by the parent, no bucket at this level
+        groups.setdefault(k, []).append(r)
+    items = [
+        (k, rs, sum(r["doc_count"] for r in rs))
+        for k, rs in groups.items()
+    ]
+    total = sum(t[2] for t in items)
+    if kind == "terms":
+        size = int(body.get("size", 10))
+        items.sort(key=lambda t: (-t[2], t[0]))
+        items = items[:size]
+    else:
+        items.sort(key=lambda t: t[0])
+    buckets = []
+    for k, rs, dc in items:
+        b: dict[str, Any] = {"key": _key_envelope(k), "doc_count": dc}
+        if isinstance(k, _dt.datetime):
+            b["key_as_string"] = k.isoformat()
+        b.update(_rollup_metrics(rs, metrics[li], li))
+        if li + 1 < len(levels):
+            b[levels[li + 1][0]] = _assemble_levels(
+                rs, levels, metrics, li + 1)
+        buckets.append(b)
+    env: dict[str, Any] = {"buckets": buckets}
+    if kind == "terms":
+        env["doc_count_error_upper_bound"] = 0  # exact (divergence note)
+        env["sum_other_doc_count"] = int(
+            total - sum(t[2] for t in items))
+    return env
+
+
 def filter_frame(
     df: DataFrame,
     body: dict,
@@ -445,7 +689,19 @@ def run_aggs(
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind = kinds[0]
         body = spec[kind]
-        if kind == "terms":
+        has_bucket_sub = any(
+            isinstance(s, dict)
+            and next((x for x in s if x not in ("aggs", "aggregations")),
+                     None) in _LEVEL_KINDS
+            for s in (sub or {}).values()
+        )
+        if kind in _LEVEL_KINDS and has_bucket_sub:
+            # multi-level bucket chain (r6): ONE shuffle on the
+            # composite key, tree assembled from the flat frame
+            levels, per_level = _split_levels(name, kind, body, sub)
+            rows = nested_levels_frame(df, levels, per_level).collect()
+            out[name] = _assemble_levels(rows, levels, per_level, 0)
+        elif kind == "terms":
             top_hits = {
                 n: s for n, s in (sub or {}).items()
                 if isinstance(s, dict) and next(iter(s), None) == "top_hits"

@@ -1090,6 +1090,52 @@ def search_aggs_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+@register(
+    "search_aggs_nested_levels",
+    # the flat composite-key frame the driver-side tree assembles
+    # from: GROUP BY both level keys in one pass
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(value) AS avg_value
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def search_aggs_nested_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level sub-aggregations (r6): ``terms(event_type) >
+    date_histogram(day) > avg`` — Kibana's standard drill-down tree.
+    ONE groupBy on the composite bucket key carries both levels' counts
+    and the metric's components; the ES response tree is assembled
+    driver-side from this flat frame (es_aggs.nested_levels_frame).
+    Plan-gated at one shuffle."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        _split_levels,
+        nested_levels_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    levels, per_level = _split_levels(
+        "types", "terms", {"field": "event_type", "size": 10},
+        {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        }},
+    )
+    flat = nested_levels_frame(ev, levels, per_level)
+    # no orderBy: the driver's compare sorts rows itself, and a global
+    # sort would put a second (range) exchange behind the one
+    # aggregation shuffle this plan is gated at
+    return flat.select(
+        F.col("__k0").alias("event_type"),
+        F.col("__k1").alias("day"),
+        "doc_count",
+        (F.col("`1|avg_value|sum`") / F.col("`1|avg_value|cnt`"))
+        .alias("avg_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1 — multi_match full-text search with deterministic tf scoring
 # Reference: /root/reference/src/search_api.py:16-36.

@@ -233,6 +233,124 @@ def test_top_hits_under_timestamp_terms_key(docs):
         assert hits[0]["_source"]["doc_id"] in (1, 2)
 
 
+def test_nested_bucket_levels_terms_date_histogram(docs):
+    """terms > date_histogram > metrics rides ONE shuffle: the flat
+    composite-key frame is assembled into the ES tree driver-side."""
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {"avg_c": {"avg": {"field": "n_chars"}}},
+                },
+                # a metric at the INTERMEDIATE level rolls up from the
+                # flat components (sum/count), not from child avgs
+                "lang_avg": {"avg": {"field": "n_chars"}},
+            },
+        }
+    })
+    env = out["langs"]
+    assert [b["key"] for b in env["buckets"]] == ["en", "de"]
+    assert env["sum_other_doc_count"] == 1  # fr truncated by size=2
+    en = env["buckets"][0]
+    assert en["doc_count"] == 3
+    # docs 1,2,7 are en: 100+300 over 2 non-null values
+    assert en["lang_avg"]["value"] == pytest.approx(200.0)
+    days = en["per_day"]["buckets"]
+    assert [d["doc_count"] for d in days] == [3]
+    assert days[0]["avg_c"]["value"] == pytest.approx(200.0)
+    assert "key_as_string" in days[0]
+    de = env["buckets"][1]
+    assert [d["doc_count"] for d in de["per_day"]["buckets"]] == [2]
+    assert de["per_day"]["buckets"][0]["avg_c"]["value"] \
+        == pytest.approx(300.0)
+
+
+def test_nested_levels_null_child_key_counts_in_parent(spark):
+    """A doc with a level-0 key but a null level-1 key counts in its
+    parent bucket's doc_count and metric rollups but forms no child
+    bucket — ES's behavior."""
+    df = spark.createDataFrame(
+        [("a", "x", 10), ("a", None, 20), ("b", "x", 30)],
+        "g string, h string, v long",
+    )
+    out = run_aggs(df, {
+        "by_g": {
+            "terms": {"field": "g"},
+            "aggs": {
+                "by_h": {"terms": {"field": "h"}},
+                "sum_v": {"sum": {"field": "v"}},
+            },
+        }
+    })
+    a = out["by_g"]["buckets"][0]
+    assert (a["key"], a["doc_count"]) == ("a", 2)  # null-h doc counted
+    assert a["sum_v"]["value"] == 30
+    assert [(b["key"], b["doc_count"]) for b in a["by_h"]["buckets"]] \
+        == [("x", 1)]  # …but no null child bucket
+
+
+def test_nested_levels_three_deep_and_deepest_exact_metrics(docs):
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "size": 3},
+            "aggs": {"days": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"hours": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "hour"},
+                    # deepest level: exact percentiles/cardinality OK
+                    "aggs": {
+                        "p": {"percentiles": {"field": "n_chars",
+                                              "percents": [50.0]}},
+                        "langs_n": {"cardinality": {"field": "lang"}},
+                    },
+                }},
+            }},
+        }
+    })
+    en = out["langs"]["buckets"][0]
+    hours = en["days"]["buckets"][0]["hours"]["buckets"]
+    assert [h["doc_count"] for h in hours] == [2, 1]
+    assert hours[0]["p"]["values"]["50.0"] == pytest.approx(100.0)
+    assert hours[0]["langs_n"]["value"] == 1
+
+
+def test_nested_levels_rejections(docs):
+    # non-mergeable metric above the deepest level
+    with pytest.raises(DslError, match="deepest"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang"},
+            "aggs": {
+                "p": {"percentiles": {"field": "n_chars"}},
+                "days": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "day"}},
+            },
+        }})
+    # sibling bucket sub-aggs
+    with pytest.raises(DslError, match="sibling"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang"},
+            "aggs": {
+                "a": {"terms": {"field": "lang"}},
+                "b": {"histogram": {"field": "n_chars", "interval": 10}},
+            },
+        }})
+    # top_hits inside a chain is named, not silently dropped
+    with pytest.raises(DslError, match="top_hits"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang"},
+            "aggs": {"days": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"th": {"top_hits": {"size": 1}}},
+            }},
+        }})
+
+
 def test_composite_date_histogram_cursor_roundtrip(docs):
     """The after_key for a date source is epoch millis (ES envelope
     shape); feeding it back must resume correctly against the raw

@@ -229,6 +229,19 @@ GATES = {
             "GreaterThan(source,src12)))",
         ])},
     ),
+    # multi-level bucket chain (r6): BOTH levels + the metric
+    # components ride ONE composite-key shuffle (the verdict's
+    # everything-rides-one-shuffle property, enforced)
+    "search_aggs_nested_levels": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (3, ["IsNotNull(event_type)"])},
+    ),
+    # offset pagination (r6): sort+offset+limit fuse into one
+    # TakeOrderedAndProject — zero exchanges, filter pushed
+    "search_from_size_page": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (4, ["IsNotNull(text)"])},
+    ),
 }
 
 
