@@ -322,6 +322,8 @@ class LakeService:
         sort: list | None = None,
         search_after: list | None = None,
         from_: int = 0,
+        source=None,
+        highlight: dict | None = None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -365,7 +367,17 @@ class LakeService:
         unknown fields compile to null), and a table whose schema
         cannot express the query at all (e.g. ``nested`` on a missing
         path) contributes zero hits rather than an error. ``aggs``
-        require a single concrete table."""
+        require a single concrete table.
+
+        ``source`` is ES's ``_source`` filtering (bool / names /
+        includes-excludes patterns). It is applied as a ``select``
+        BEFORE the collect, so at scale it is a real scan projection
+        (columns the page doesn't need never leave parquet), not
+        response trimming. ``highlight`` wraps the query's positive
+        text terms in ``pre_tags``/``post_tags`` on the RETURNED hits
+        only (≤ from+size rows driver-side — never a distributed
+        pass); one whole-value fragment per field, the documented
+        fragment_size divergence (plans/search.py:highlight_value)."""
         import fnmatch as _fn
 
         if "*" in table or "?" in table:
@@ -398,12 +410,32 @@ class LakeService:
                     "a nonzero from there too)"
                 )
 
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            collect_highlight_terms,
+            resolve_source_columns,
+        )
+
+        if highlight is not None and not (
+            isinstance(highlight, dict)
+            and isinstance(highlight.get("fields"), dict)
+        ):
+            raise DslError('highlight requires a "fields" object')
+        pre = (highlight.get("pre_tags") or ["<em>"])[0] if highlight else ""
+        post = (highlight.get("post_tags") or ["</em>"])[0] if highlight \
+            else ""
         aggregations = None
         descs = _sort_directions(sort) if sort else []
         merged: list[dict] = []
         total_value, total_exact = 0, True
         for name in names:
             df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
+            src_cols = resolve_source_columns(df.columns, source)
+            hl_fields: list[str] = []
+            hl_terms: dict[str, list[str]] = {}
+            if highlight:
+                hl_fields = _expand_patterns(
+                    list(highlight["fields"]), df.columns)
+                hl_terms = collect_highlight_terms(dsl, df.columns)
 
             def resolve(field: str, _df=df):
                 # ES: a query on a field an index lacks matches nothing
@@ -444,8 +476,15 @@ class LakeService:
                 # so an Observation yields the exact total in-job
                 from pyspark.sql import Observation
 
+                # project to what the response needs BEFORE the
+                # collect: _source filtering becomes real scan
+                # pruning, and sort/highlight fields ride along
+                needed = list(dict.fromkeys(
+                    src_cols + fields + hl_fields)) or None
+                page = matched.select(*needed) if needed \
+                    else matched.select(F.lit(1).alias("__1"))
                 obs = Observation()
-                observed = matched.observe(
+                observed = page.observe(
                     obs, F.count(F.lit(1)).alias("n"))
                 # offset pages ride the same TakeOrdered: each table
                 # yields its first from+k rows and the merge slices —
@@ -454,9 +493,8 @@ class LakeService:
                     from_ + k).collect()
                 total_value += obs.get["n"]
                 merged += [
-                    {"_index": name,
-                     "_source": {c: r[c] for c in df.columns},
-                     "sort": [r[f] for f in fields]}
+                    _hit(name, r, src_cols, hl_fields, hl_terms,
+                         pre, post, sort_fields=fields)
                     for r in rows
                 ]
             elif k == 0:
@@ -473,11 +511,14 @@ class LakeService:
                 if budget <= 0:
                     total_exact = False
                     break
-                rows = matched.limit(budget).collect()
+                needed = list(dict.fromkeys(src_cols + hl_fields)) or None
+                page = matched.select(*needed) if needed \
+                    else matched.select(F.lit(1).alias("__1"))
+                rows = page.limit(budget).collect()
                 total_value += len(rows)
                 merged += [
-                    {"_index": name,
-                     "_source": {c: r[c] for c in df.columns}}
+                    _hit(name, r, src_cols, hl_fields, hl_terms,
+                         pre, post)
                     for r in rows
                 ]
         if sort or k == 0:
@@ -497,6 +538,49 @@ class LakeService:
         if aggregations is not None:
             out["aggregations"] = aggregations
         return out
+
+
+def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
+    """Highlight field names/patterns → concrete columns of one table
+    (a pattern matching nothing highlights nothing, like ES)."""
+    import fnmatch as _fn
+
+    out: list[str] = []
+    for n in names:
+        n = str(n)
+        if "*" in n or "?" in n:
+            out.extend(c for c in columns if _fn.fnmatchcase(c, n))
+        elif n in columns:
+            out.append(n)
+    return list(dict.fromkeys(out))
+
+
+def _hit(
+    name: str, row, src_cols: list[str], hl_fields: list[str],
+    hl_terms: dict[str, list[str]], pre: str, post: str,
+    sort_fields: list[str] | None = None,
+) -> dict:
+    """One response hit: filtered _source, optional sort values,
+    optional highlight snippets (driver-side, returned rows only)."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        highlight_value,
+    )
+
+    hit: dict[str, Any] = {
+        "_index": name,
+        "_source": {c: row[c] for c in src_cols},
+    }
+    if sort_fields is not None:
+        hit["sort"] = [row[f] for f in sort_fields]
+    if hl_fields:
+        hl = {}
+        for f in hl_fields:
+            snip = highlight_value(row[f], hl_terms.get(f, []), pre, post)
+            if snip is not None:
+                hl[f] = [snip]
+        if hl:
+            hit["highlight"] = hl
+    return hit
 
 
 def _parse_sort(
@@ -707,7 +791,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     #: semantics; anything else is rejected (see the route comment)
     _ADVANCED_BODY_KEYS = {
         "table", "query", "k", "size", "from", "sort", "search_after",
-        "aggs", "aggregations",
+        "aggs", "aggregations", "_source", "highlight",
     }
 
     def _page_size(body):
@@ -792,6 +876,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     sort=body.get("sort"),
                     search_after=body.get("search_after"),
                     from_=from_,
+                    source=body.get("_source"),
+                    highlight=body.get("highlight"),
                 )
             )), 200
         except DslError as ex:

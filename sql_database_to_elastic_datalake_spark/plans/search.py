@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
     compile_dsl,
     tf_score,
     tokenize,
@@ -217,3 +218,148 @@ def offset_page(
     if from_ < 0 or size < 0:
         raise ValueError("from/size must be non-negative")
     return df.orderBy(*order_by).offset(from_).limit(size)
+
+
+def resolve_source_columns(columns: list[str], source) -> list[str]:
+    """ES ``_source`` filtering → the projected column list.
+
+    Accepts every request shape ES does: ``True``/``None`` (all
+    columns), ``False`` (none), a field name or list of names
+    (includes), or ``{"includes": […], "excludes": […]}`` — names may
+    be wildcard patterns. The result feeds a ``select`` BEFORE the
+    collect, so at scale the filtering is a real scan projection
+    (reduced ReadSchema), not response-side trimming.
+    """
+    if source is None or source is True:
+        return list(columns)
+    if source is False:
+        return []
+    if isinstance(source, str):
+        source = [source]
+    if isinstance(source, list):
+        source = {"includes": source}
+    if not isinstance(source, dict):
+        raise DslError(f"malformed _source spec {source!r}")
+    inc = source.get("includes", source.get("include", ["*"]))
+    exc = source.get("excludes", source.get("exclude", []))
+    if isinstance(inc, str):
+        inc = [inc]
+    if isinstance(exc, str):
+        exc = [exc]
+    import fnmatch as _fn
+
+    return [
+        c for c in columns
+        if any(_fn.fnmatchcase(c, str(p)) for p in inc)
+        and not any(_fn.fnmatchcase(c, str(p)) for p in exc)
+    ]
+
+
+def collect_highlight_terms(
+    dsl: dict, schema_fields: list[str] | None = None
+) -> dict[str, list[str]]:
+    """Walk a query-DSL tree and collect, per field, the lowercase
+    substrings its POSITIVE text leaves match — the terms ``highlight``
+    wraps. ``must_not`` subtrees are skipped (ES doesn't highlight
+    exclusions); non-text leaves (range/exists/ids/…) contribute
+    nothing."""
+    out: dict[str, list[str]] = {}
+
+    def add(field: str, *terms: str) -> None:
+        bucket = out.setdefault(field, [])
+        for t in terms:
+            t = str(t).lower()
+            if t and t not in bucket:
+                bucket.append(t)
+
+    def walk(node: dict) -> None:
+        if not isinstance(node, dict) or len(node) != 1:
+            return
+        kind, body = next(iter(node.items()))
+        if kind == "match":
+            f, q = next(iter(body.items()))
+            if isinstance(q, dict):
+                q = q.get("query", "")
+            add(f, *tokenize(str(q)))
+        elif kind in ("match_phrase", "match_phrase_prefix"):
+            f, q = next(iter(body.items()))
+            if isinstance(q, dict):
+                q = q.get("query", "")
+            add(f, str(q))
+        elif kind in ("term", "prefix"):
+            f, v = next(iter(body.items()))
+            if isinstance(v, dict):
+                v = v.get("value", "")
+            add(f, str(v))
+        elif kind == "terms":
+            f, vs = next(iter(body.items()))
+            add(f, *[str(v) for v in vs])
+        elif kind == "multi_match":
+            import fnmatch as _fn
+
+            toks = tokenize(str(body.get("query", "")))
+            for f in body.get("fields") or []:
+                name = str(f).split("^", 1)[0]
+                if ("*" in name or "?" in name) and schema_fields:
+                    for c in schema_fields:
+                        if _fn.fnmatchcase(c, name):
+                            add(c, *toks)
+                else:
+                    add(name, *toks)
+        elif kind in ("query_string", "simple_query_string"):
+            from sql_database_to_elastic_datalake_spark.plans.query_string import (
+                parse_query_string,
+            )
+
+            walk(parse_query_string(
+                body, schema_fields=schema_fields,
+                simple=kind == "simple_query_string"))
+        elif kind == "constant_score":
+            walk(body.get("filter") or {})
+        elif kind == "bool":
+            for key in ("must", "filter", "should"):
+                subs = body.get(key) or []
+                for s in (subs if isinstance(subs, list) else [subs]):
+                    walk(s)
+    walk(dsl)
+    return out
+
+
+def highlight_value(
+    text, terms: list[str], pre: str = "<em>", post: str = "</em>"
+) -> str | None:
+    """Wrap every (case-insensitive, overlap-merged) occurrence of any
+    term in ``text``; None when nothing matches (ES omits the field).
+    Documented divergence: the whole field value is returned as ONE
+    fragment — no fragment_size windowing (ES defaults to 100-char
+    fragments), since lake rows are columns, not long unstructured
+    bodies."""
+    if text is None or not terms:
+        return None
+    s = str(text)
+    low = s.lower()
+    spans: list[tuple[int, int]] = []
+    for t in terms:
+        start = 0
+        while True:
+            i = low.find(t, start)
+            if i < 0:
+                break
+            spans.append((i, i + len(t)))
+            start = i + 1
+    if not spans:
+        return None
+    spans.sort()
+    merged = [spans[0]]
+    for a, b in spans[1:]:
+        if a <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    parts: list[str] = []
+    prev = 0
+    for a, b in merged:
+        parts += [s[prev:a], pre, s[a:b], post]
+        prev = b
+    parts.append(s[prev:])
+    return "".join(parts)

@@ -1091,6 +1091,31 @@ def search_aggs_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_source_filtering",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE lang = 'en'
+    """,
+)
+def search_source_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_source`` include/exclude filtering (r6): the projection is
+    applied BEFORE the collect, so it reaches parquet as a reduced
+    ReadSchema (plan-gated at a 2-column scan) — the reference's
+    verbatim ES surface carries ``_source`` on saved queries
+    (src/search_api.py:38-46)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        resolve_source_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = resolve_source_columns(
+        docs.columns,
+        {"includes": ["doc_id", "l*", "text"], "excludes": ["t*"]},
+    )
+    return docs.filter(compile_dsl({"term": {"lang": "en"}})).select(*cols)
+
+
+@register(
     "search_aggs_nested_levels",
     # the flat composite-key frame the driver-side tree assembles
     # from: GROUP BY both level keys in one pass

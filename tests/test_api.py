@@ -263,6 +263,86 @@ def test_advanced_unknown_body_keys_400(client, service):
     assert r.status_code == 200
 
 
+def test_advanced_source_filtering(client, service):
+    """_source include/exclude shapes: bool, name list, pattern
+    object — applied as a projection (the registered
+    search_source_filtering query plan-gates the pruned scan)."""
+    service.ingest("label", [{"name": "spark engine", "color": "red"}])
+
+    def src(body_source):
+        r = client.post("/search/advanced", data=json.dumps({
+            "table": "data_lake_label", "query": {"match_all": {}},
+            "_source": body_source,
+        }), content_type="application/json")
+        assert r.status_code == 200
+        return r.get_json()["hits"]["hits"][0]["_source"]
+
+    assert set(src(["name", "color"])) == {"name", "color"}
+    assert set(src("name")) == {"name"}
+    assert set(src({"includes": ["*"], "excludes": ["c*", "id",
+                                                    "*datedAt"]})) \
+        == {"name"}
+    assert src(False) == {}
+    # sort values still come back when their column is excluded
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "_source": ["color"], "sort": [{"name": "asc"}],
+    }), content_type="application/json")
+    h = r.get_json()["hits"]["hits"][0]
+    assert set(h["_source"]) == {"color"} and h["sort"] == ["spark engine"]
+
+
+def test_advanced_highlight(client, service):
+    service.ingest("label", [
+        {"name": "spark engine fast", "color": "sparkly red"},
+        {"name": "pandas loop"},
+    ])
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"bool": {"must": [{"match": {"name": "spark fast"}}],
+                           "must_not": [{"match": {"color": "blue"}}]}},
+        "highlight": {"fields": {"name": {}, "color": {}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    (hit,) = r.get_json()["hits"]["hits"]
+    # both query tokens wrapped; the must_not term is NOT highlighted,
+    # and color carries no highlight at all — its only query term was
+    # the excluded one (ES's require_field_match default: a field
+    # highlights only ITS OWN matching terms)
+    assert hit["highlight"] \
+        == {"name": ["<em>spark</em> engine <em>fast</em>"]}
+    # custom tags + a field with no match is omitted from highlight
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"match": {"name": "pandas"}},
+        "highlight": {"fields": {"name": {}, "color": {}},
+                      "pre_tags": ["[["], "post_tags": ["]]"]},
+    }), content_type="application/json")
+    (hit,) = r.get_json()["hits"]["hits"]
+    assert hit["highlight"] == {"name": ["[[pandas]] loop"]}
+    # malformed highlight is the client's 400
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "highlight": {"pre_tags": ["x"]},
+    }), content_type="application/json")
+    assert r.status_code == 400 and "fields" in r.get_json()["error"]
+
+
+def test_highlight_merges_overlapping_terms():
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        highlight_value,
+    )
+
+    # overlapping occurrences merge into one span; case-insensitive
+    assert highlight_value("Sparkly spark", ["spark", "sparkly"]) \
+        == "<em>Sparkly</em> <em>spark</em>"
+    # "abca"@0 and "cab"@2 overlap -> one merged span [0,5)
+    assert highlight_value("abcabc", ["abca", "cab"]) \
+        == "<em>abcab</em>c"
+    assert highlight_value("no hit here", ["zzz"]) is None
+    assert highlight_value(None, ["x"]) is None
+
+
 def test_wire_envelope_mirrors_reference_top_level_keys(client, service):
     """The reference returns results['hits'] UNWRAPPED — a client
     reading resp["total"]["value"] / resp["max_score"] must work

@@ -107,12 +107,36 @@ class MockEs(BaseHTTPRequestHandler):
             if eval_dsl(_DefaultNone(src), body.get("query", {"match_all": {}}))
         ]
         size = body.get("size", 10)
+
+        def src_filter(src: dict) -> dict:
+            # independent _source include/exclude implementation (the
+            # lake side lives in plans/search.resolve_source_columns)
+            import fnmatch as _fn
+
+            spec = body.get("_source")
+            if spec is None or spec is True:
+                return src
+            if spec is False:
+                return {}
+            if isinstance(spec, str):
+                spec = [spec]
+            if isinstance(spec, list):
+                spec = {"includes": spec}
+            inc = spec.get("includes", ["*"])
+            exc = spec.get("excludes", [])
+            return {
+                k: v for k, v in src.items()
+                if any(_fn.fnmatchcase(k, p) for p in inc)
+                and not any(_fn.fnmatchcase(k, p) for p in exc)
+            }
+
         self._send(200, {
             "took": 1,
             "hits": {
                 "total": {"value": len(matched), "relation": "eq"},
                 "hits": [
-                    {"_index": index, "_id": doc_id, "_source": src}
+                    {"_index": index, "_id": doc_id,
+                     "_source": src_filter(src)}
                     for doc_id, src in matched[:size]
                 ],
             },
@@ -303,6 +327,18 @@ def test_search_envelope_parity_lake_vs_cluster(mock_es, spark, tmp_path):
         ]
 
     assert canon(es_env["hits"]["hits"]) == canon(lake_env["hits"]["hits"])
+
+    # _source filtering parity (r6): the lake applies it as a scan
+    # projection, the mock cluster as response-side trimming — the two
+    # independent implementations must agree on the wire shape
+    spec = {"includes": ["doc_id", "l*"], "excludes": ["lang"]}
+    lake_env = LakeService(spark, lake).advanced_search(
+        "data_lake_doc", dsl, k=10, source=spec)
+    es_env = client.search(
+        "data_lake_doc", {"query": dsl, "size": 10, "_source": spec})
+    assert canon(es_env["hits"]["hits"]) == canon(lake_env["hits"]["hits"])
+    assert all(set(h["_source"]) == {"doc_id"}
+               for h in lake_env["hits"]["hits"])
 
 
 def test_odd_line_body_fails_loudly():

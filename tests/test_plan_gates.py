@@ -242,6 +242,12 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (4, ["IsNotNull(text)"])},
     ),
+    # _source filtering (r6): the include/exclude projection must reach
+    # parquet as a reduced ReadSchema — 2 of 5 columns
+    "search_source_filtering": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, ["EqualTo(lang,en)"])},
+    ),
 }
 
 
