@@ -219,9 +219,19 @@ def minhash_lsh_neardup(
     a_sets = sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa"))
     b_sets = sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    # Size-ratio prefilter (r5 verdict #5): Jaccard is at most
+    # min(|A|,|B|)/max(|A|,|B|) (best case: the smaller set is a
+    # subset), so a candidate whose set sizes can't reach the
+    # threshold is dropped BEFORE the O(|A|+|B|) intersection runs —
+    # LSH banding collides on signature prefixes regardless of length,
+    # so short-vs-long false candidates are common and this cut is
+    # sound (never drops a true pair).
+    sza, szb = F.size(F.col("sa")), F.size(F.col("sb"))
+    ratio_ok = F.least(sza, szb) >= F.lit(threshold) * F.greatest(sza, szb)
     return (
         cands.join(a_sets, "a")
         .join(b_sets, "b")
+        .filter(ratio_ok)
         .withColumn("i", inter)
         .withColumn(
             "jaccard",
@@ -350,6 +360,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 25,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Resolve pairwise near-dup links into canonical clusters.
 
@@ -370,6 +381,14 @@ def dedup_clusters(
     diameters, so rounds ≈ 3-5 in practice; for adversarial long-chain
     graphs swap in alternating star contraction (Kiveris et al.,
     "Connected Components in MapReduce"), same interface.
+
+    ``metrics`` (optional dict, filled in place) records the two
+    numbers that explain this operator's cost so a bench regression is
+    attributable: ``candidate_pairs`` (edge count — observed on the
+    edge materialization, no extra job) and ``propagation_rounds``
+    (driver loop count). Pair density is data-bound (it grows with
+    duplicate-clique mass); rounds are diameter-bound — if time moves
+    but both metrics hold, the PLAN drifted (r5 verdict #5).
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
     # Edge endpoints must carry the NODES' id dtype: a hard cast (e.g. to
@@ -387,7 +406,17 @@ def dedup_clusters(
     # scratch. One pipeline run, then rounds touch only the edge list.
     und = edges.union(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=True)
+    )
+    obs = None
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        # rides the checkpoint's materialization — no extra job
+        obs = Observation()
+        und = und.observe(obs, F.count(F.lit(1)).alias("n"))
+    und = und.localCheckpoint(eager=True)
+    if obs is not None:
+        metrics["candidate_pairs"] = int(obs.get["n"]) // 2
     # Propagate over the CONNECTED SUBGRAPH only: a node with no edges
     # can never change labels, so shuffling the whole corpus through
     # every round just re-materializes singletons. Near-dup graphs are
@@ -400,7 +429,9 @@ def dedup_clusters(
         eager=True
     )
     labels = edge_ids.select("id", F.col("id").alias("label"))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = und.join(
             labels.withColumnRenamed("id", "s"), "s"
         ).select(F.col("d").alias("id"), "label")
@@ -418,6 +449,8 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    if metrics is not None:
+        metrics["propagation_rounds"] = rounds
     singletons = ids.join(edge_ids, "id", "left_anti").select(
         "id", F.col("id").alias("label")
     )

@@ -885,7 +885,15 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
-    return dedup.dedup_clusters(docs, pairs, "doc_id")
+    # cost-attribution metrics (r5 verdict #5): this is the biggest
+    # line of the sf1 bench, and its cost driver is LSH/shingle pair
+    # density (data-bound), not the plan — the recorded numbers let a
+    # bench regression be attributed (test_text_dedup_similarity
+    # asserts them at sf0.1)
+    metrics: dict = {}
+    out = dedup.dedup_clusters(docs, pairs, "doc_id", metrics=metrics)
+    out._dedup_metrics = metrics  # test hook; harmless to the driver
+    return out
 
 
 # ---------------------------------------------------------------------------

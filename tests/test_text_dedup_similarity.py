@@ -375,6 +375,55 @@ def test_dedup_clusters_string_ids(spark):
     }
 
 
+def test_minhash_size_ratio_prefilter_sound_and_effective(spark):
+    """The size-ratio cut (min/max ≥ t before the intersection) must
+    never drop a true pair — and must actually drop an impossible
+    candidate that banding let through."""
+    from pyspark.sql import Row
+
+    # doc 2 = doc 1 plus a long unique tail: same signature prefix
+    # words, Jaccard 3/13 < 0.5 — a classic short-vs-long candidate
+    base = "alpha beta gamma"
+    tail = " ".join(f"uniq{i}" for i in range(10))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " " + tail),
+        Row(doc_id=3, text=base),          # true dup of 1
+    ])
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in dedup.minhash_lsh_neardup(
+               docs, "doc_id", "text", threshold=0.5).collect()}
+    assert out == {(1, 3): 1.0}
+    # and the cut is in the PLAN before the intersection: the filter
+    # mentions only sizes, so Catalyst runs it ahead of array_intersect
+    plan = dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.5
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "greatest" in plan
+
+
+def test_dedup_clusters_jaccard_cost_metrics_sf01(spark):
+    """Cost-attribution gate for the sf1 bench's biggest line (r5
+    verdict #5): pin candidate-pair count (data-bound — LSH/shingle
+    pair density) and propagation rounds (diameter-bound) at sf0.1.
+    If bench time moves while BOTH hold, the plan drifted; if the
+    metrics moved, the data (or shingling) changed."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_clusters_jaccard"](spark, sf_dir)
+    assert df.count() == 5000
+    m = df._dedup_metrics
+    assert m["candidate_pairs"] == 249
+    assert m["propagation_rounds"] <= 3
+
+
 def test_quantize_int8_zero_vector(spark):
     """An all-zero embedding quantizes to scale=1.0 / q8 all zeros, not
     Inf scale with NULL elements."""
