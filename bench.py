@@ -77,6 +77,20 @@ SF1_EXTRA = (
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".scale", "sf1")
 
+#: Machine-state canary (r5 verdict #7): three heavy, code-stable
+#: queries pinned to their RECORDED BENCH_r05.json min-of-3 times
+#: (sf0.1, local[32]). They run as part of HEADLINE anyway, so the
+#: ratio costs nothing. A uniform machine-state shift moves the canary
+#: and the total together — ``total_ratio / canary_ratio`` isolates
+#: the code effect, which r5 had to prove with a manual same-box A/B.
+#: Re-pin whenever a canary member's code is deliberately changed.
+CANARY_PINS = {
+    "denormalized_orders": 1.873,
+    "pricing_summary": 0.875,
+    "q10_returned_revenue": 0.726,
+}
+CANARY_SF, CANARY_CPUS = 0.1, "32"
+
 
 def main() -> None:
     sf1_mode = "--sf1" in sys.argv[1:]
@@ -147,18 +161,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": ("headline_sf1_total_wall" if sf1_mode
-                           else "headline_queries_total_wall"),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": ("headline_sf1_total_wall" if sf1_mode
+                   else "headline_queries_total_wall"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if (not sf1_mode and sf == CANARY_SF and cpus == CANARY_CPUS
+            and all(q in timings for q in CANARY_PINS)):
+        out["canary_ratio"] = round(
+            sum(timings[q] for q in CANARY_PINS)
+            / sum(CANARY_PINS.values()), 3)
+        out["canary_queries"] = sorted(CANARY_PINS)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

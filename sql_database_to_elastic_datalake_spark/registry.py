@@ -3433,27 +3433,24 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r5-touched: code or oracle changed THIS round (rotation rule:
-    #    nothing ships with driver evidence older than its last change).
-    #    The DSL compiler gained the full minimum_should_match grammar,
-    #    boost accept-and-ignore, and wildcard field expansion — every
-    #    query whose plan flows through compile_dsl/plans.search fronts.
-    "search_dsl_msm_wildcard",  # NEW: msm% + wildcard fields + boost
-    "search_dsl_terms_set",     # NEW: terms_set + constant_score
-    "search_aggs_terms_stats",  # NEW: ES aggs compiler (terms+metrics)
-    "search_aggs_date_histogram",  # NEW: date_histogram buckets
-    "search_aggs_filter_metrics",  # NEW: filter agg w/ sub-metrics
-    "search_aggs_composite_page",  # NEW: composite after-cursor page
-    "search_dsl_bool",
-    "search_dsl_should_wildcard",
-    "search_multimatch_scored",
-    "search_bm25_scored",
-    "search_all_tables",
-    "search_nested_labels",
-    "search_hits_envelope",
-    "streaming_dedup_keys",     # explicit 100-day watermark (ADVICE)
-    "approx_sketches",          # oracle comment: HLL-gate caveat
-    "corpus_prep_stats",        # oracle restaged for sf1 feasibility
+    # -- r6-touched: code or oracle changed THIS round (rotation rule:
+    #    nothing ships with driver evidence older than its last
+    #    change). Five NEW queries (offset paging, the query_string
+    #    pair, nested agg levels, _source projection); the dedup
+    #    family gained the size-ratio prefilter + cluster cost
+    #    metrics; the aggs compiler's run_aggs/top_hits path changed,
+    #    so the r5 aggs family re-fronts too.
+    "search_from_size_page",       # NEW: from+size offset pagination
+    "search_dsl_query_string",     # NEW: Lucene query_string grammar
+    "search_dsl_simple_qs",        # NEW: simple_query_string dialect
+    "search_aggs_nested_levels",   # NEW: multi-level bucket chain
+    "search_source_filtering",     # NEW: _source scan projection
+    "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
+    "dedup_clusters_jaccard",      # cost metrics (dedup.py)
+    "search_aggs_terms_stats",
+    "search_aggs_date_histogram",
+    "search_aggs_filter_metrics",
+    "search_aggs_composite_page",
     # -- core-§2 flagship set: keep driver evidence <=1 round stale --
     "denormalized_orders",
     "pricing_summary",
@@ -3468,35 +3465,37 @@ _CHECK_FIRST = [
     "history_versioning",
     "paginate",
     "point_lookup",
-    # -- r1-only-checked queries never re-fronted since (ROUND4_NOTES
-    #    r5 rotation plan item 3, applied verbatim; the four search_*
-    #    members of that list already front in the r5-touched block) --
-    "anti_join_no_orders",
-    "corpus_clean",
-    "embed_neardup_pairs",
-    "multimodal_binary_meta",
-    "retrieval_filtered_topk",
-    "semi_join_discounted",
-    "session_window_counts",
-    # -- oldest r2-only-checked queries, notes order (item 4) ---------
-    "cube_status_priority",
-    "date_arith_orders",
-    "dedup_clusters_jaccard",
-    "deterministic_sample",
-    "distinct_counts_by_flag",
-    "event_gaps",
-    "events_asof_order",
-    "fuzzy_match",
-    "gap_filled_daily_counts",
-    "grouping_sets_events",
-    "having_frequent_pairs",
-    "map_functions_events",
-    "pack_token_budget",
-    "parts_above_type_avg",
-    # (pii_redaction, pivot_event_types, q3_shipping_priority,
-    #  q4_order_priority and q10_returned_revenue displaced to keep
-    #  the window at exactly 50 after the five post-certification
-    #  query additions — they lead the r6 fill, oldest-evidence first)
+    # -- the 18 r2-only-checked stragglers, notes order (ROUND5_NOTES
+    #    r6 rotation plan item 3, applied verbatim) — retiring the r2
+    #    evidence tier entirely --
+    "pii_redaction",
+    "pivot_event_types",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q10_returned_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "regex_extract_docs",
+    "rollup_status_priority",
+    "set_ops_customers",
+    "string_functions_family",
+    "top_words_per_doc",
+    "unpivot_lineitem_metrics",
+    "window_rank_family",
+    "window_value_family",
+    "word_count",
+    "stratified_sample_langs",
+    # -- fill to 50: oldest-evidence (r3-latest) queries in
+    #    registration order (item 4) --
+    "history_asof_read",
+    "events_ewma",
+    "embed_quantize_int8",
+    "incremental_sync_events",
+    "leakage_safe_split",
+    "text_repetition",
+    "array_functions_docs",
+    "corpus_composition",
 ]
 
 
