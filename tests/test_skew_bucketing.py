@@ -170,3 +170,44 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
     finally:
         spark.conf.set(thresh_key, prior_thresh)
         spark.conf.set(bcast_key, prior_bcast)
+
+
+def test_runtime_bloom_engages_on_engine_join_shape(spark):
+    """Plan gate for the bloom note (r5 verdict #8): the ENGINE's real
+    fact⋈filtered-dim shape (lineitem ⋈ part[p_brand=…], the q14/q19
+    family join) must stay bloom-compatible — a refactor that hides the
+    dim filter behind a projection barrier would silently lose the
+    100 TB semi-join reduction. Measured at sf1 (ROUND6_NOTES): the
+    injected might_contain keeps results identical; wall-clock gain is
+    modest at single-node sf1 because the parquet scan dominates — the
+    reduction's target is the SHUFFLE, which is what grows at 100 TB."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.sources.parquet import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    thresh_key = ("spark.sql.optimizer.runtime.bloomFilter."
+                  "applicationSideScanSizeThreshold")
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prior_thresh = spark.conf.get(thresh_key)
+    prior_bcast = spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(thresh_key, "0")
+        spark.conf.set(bcast_key, "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#23")
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        assert "might_contain" in j._jdf.queryExecution().toString()
+        # and the reduction must not change the answer
+        spark.conf.set(thresh_key, "10GB")
+        want = li.join(part, li.l_partkey == part.p_partkey).count()
+        spark.conf.set(thresh_key, "0")
+        assert j.count() == want
+    finally:
+        spark.conf.set(thresh_key, prior_thresh)
+        spark.conf.set(bcast_key, prior_bcast)
