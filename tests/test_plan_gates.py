@@ -248,6 +248,17 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, ["EqualTo(lang,en)"])},
     ),
+    # query_string grammar (r6): the parsed tree compiles to the same
+    # scan-level predicate shape as the structured leaves — no shuffle,
+    # no join, pruned scan
+    "search_dsl_query_string": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (4, [])},
+    ),
+    "search_dsl_simple_qs": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
 }
 
 
