@@ -324,6 +324,9 @@ class LakeService:
         from_: int = 0,
         source=None,
         highlight: dict | None = None,
+        post_filter: dict | None = None,
+        collapse: dict | None = None,
+        track_total_hits=None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -377,7 +380,28 @@ class LakeService:
         text terms in ``pre_tags``/``post_tags`` on the RETURNED hits
         only (≤ from+size rows driver-side — never a distributed
         pass); one whole-value fragment per field, the documented
-        fragment_size divergence (plans/search.py:highlight_value)."""
+        fragment_size divergence (plans/search.py:highlight_value).
+
+        ``post_filter`` is ES's post-aggregation filter: ``aggs`` see
+        the ``query`` scope, the hits page (and its totals) see
+        ``query AND post_filter`` — the faceted-navigation contract.
+
+        ``collapse`` (``{"field": f}``) returns one hit per distinct
+        field value — the best under the request ``sort`` (required,
+        same refuse-unordered posture as ``from``; mutually exclusive
+        with ``search_after``). Spark shape: window top-1 per key →
+        WindowGroupLimit pre-truncation, then the same TakeOrdered
+        page. The reported total counts PRE-collapse matches, like ES.
+
+        ``track_total_hits``: ES's totals contract. ``False`` omits
+        the total entirely; ``True`` makes unranked totals exact (one
+        count job per table — the same cost ES pays); an integer ``n``
+        counts exactly up to ``n`` (``{n, "gte"}`` beyond — the count
+        scans at most n+1 rows, never the corpus). Default (None)
+        keeps the engine's k+1-budget behavior (≡ ``track_total_hits:
+        k``); sorted pages are always exact (the Observation rides the
+        TakeOrdered for free — a strictly-more-accurate divergence
+        from ES's 10k default bound)."""
         import fnmatch as _fn
 
         if "*" in table or "?" in table:
@@ -409,6 +433,25 @@ class LakeService:
                     "from is not allowed with search_after (ES rejects "
                     "a nonzero from there too)"
                 )
+        if collapse is not None:
+            if not (isinstance(collapse, dict)
+                    and isinstance(collapse.get("field"), str)):
+                raise DslError('collapse requires a "field" string')
+            if not sort:
+                raise DslError(
+                    "collapse requires a sort (this engine has no "
+                    "score to pick the representative hit without one)"
+                )
+            if search_after is not None:
+                raise DslError("collapse is not allowed with search_after")
+        if not (track_total_hits is None
+                or isinstance(track_total_hits, (bool, int))):
+            raise DslError(
+                "track_total_hits must be true, false, or an integer")
+        if isinstance(track_total_hits, int) \
+                and not isinstance(track_total_hits, bool) \
+                and track_total_hits < 0:
+            raise DslError("track_total_hits bound must be non-negative")
 
         from sql_database_to_elastic_datalake_spark.plans.search import (
             collect_highlight_terms,
@@ -459,6 +502,12 @@ class LakeService:
 
                 aggregations = run_aggs(matched, aggs,
                                         schema_fields=df.columns)
+            if post_filter is not None:
+                # ES's faceted-navigation contract: aggs saw the query
+                # scope ABOVE; hits and totals see query AND post_filter
+                matched = matched.filter(
+                    compile_dsl(post_filter, field_resolver=resolve,
+                                schema_fields=df.columns))
             if sort:
                 fields, order_cols = _parse_sort(sort, df.columns)
                 if search_after is not None:
@@ -470,7 +519,8 @@ class LakeService:
                     # limit(0) + Observation assert-fails (the limit-0
                     # optimizer rule prunes CollectMetrics), so the
                     # total is just a count here
-                    total_value += matched.count()
+                    if track_total_hits is not False:
+                        total_value += matched.count()
                     continue
                 # sorted page: TakeOrdered consumes every matched row,
                 # so an Observation yields the exact total in-job
@@ -478,20 +528,37 @@ class LakeService:
 
                 # project to what the response needs BEFORE the
                 # collect: _source filtering becomes real scan
-                # pruning, and sort/highlight fields ride along
+                # pruning, and sort/highlight/collapse fields ride
+                # along
+                cfield = collapse["field"] if collapse else None
                 needed = list(dict.fromkeys(
-                    src_cols + fields + hl_fields)) or None
+                    src_cols + fields + hl_fields
+                    + ([cfield] if cfield and cfield in df.columns
+                       else []))) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
-                obs = Observation()
-                observed = page.observe(
-                    obs, F.count(F.lit(1)).alias("n"))
+                obs = None
+                if track_total_hits is not False:
+                    obs = Observation()
+                    page = page.observe(
+                        obs, F.count(F.lit(1)).alias("n"))
+                if collapse:
+                    from sql_database_to_elastic_datalake_spark.plans.search \
+                        import collapse_hits
+
+                    # observed pre-collapse (ES totals count matches,
+                    # not groups); an unmapped field is one null group,
+                    # like ES
+                    ckey = (F.col(cfield) if cfield in df.columns
+                            else F.lit(None).cast("string"))
+                    page = collapse_hits(page, ckey, order_cols)
                 # offset pages ride the same TakeOrdered: each table
                 # yields its first from+k rows and the merge slices —
                 # the documented linear deep-offset cost
-                rows = observed.orderBy(*order_cols).limit(
+                rows = page.orderBy(*order_cols).limit(
                     from_ + k).collect()
-                total_value += obs.get["n"]
+                if obs is not None:
+                    total_value += obs.get["n"]
                 merged += [
                     _hit(name, r, src_cols, hl_fields, hl_terms,
                          pre, post, sort_fields=fields)
@@ -501,8 +568,9 @@ class LakeService:
                 # total-only request: the k+1 budget trick below would
                 # report the useless bound {0, "gte"} — a count per
                 # table is what the client asked for
-                total_value += matched.count()
-            else:
+                if track_total_hits is not False:
+                    total_value += matched.count()
+            elif track_total_hits is None:
                 # ONE job per table: an unranked filter stops scanning
                 # at the limit; k+1 rows give the exact total when the
                 # page covers the matches, else ES's track_total_hits
@@ -521,20 +589,55 @@ class LakeService:
                          pre, post)
                     for r in rows
                 ]
+            else:
+                # explicit track_total_hits: the page and the total
+                # are separate requests (exactly ES's cost model —
+                # true pays a count, an integer bound scans at most
+                # n+1 rows, false pays nothing)
+                needed = list(dict.fromkeys(src_cols + hl_fields)) or None
+                page = matched.select(*needed) if needed \
+                    else matched.select(F.lit(1).alias("__1"))
+                row_budget = k - len(merged)
+                if row_budget > 0:
+                    merged += [
+                        _hit(name, r, src_cols, hl_fields, hl_terms,
+                             pre, post)
+                        for r in page.limit(row_budget).collect()
+                    ]
+                if track_total_hits is True:
+                    total_value += matched.count()
+                elif track_total_hits is not False:
+                    remaining = (int(track_total_hits) + 1) - total_value
+                    if remaining > 0:
+                        total_value += page.limit(remaining).count()
         if sort or k == 0:
             merged = (
                 _merge_sorted_hits(merged, descs)[from_:from_ + k]
                 if sort else []
             )
             total = {"value": total_value, "relation": "eq"}
-        else:
+        elif track_total_hits is None:
             if total_value > k:
                 total_exact = False
             total = {"value": min(total_value, k) if not total_exact
                      else total_value,
                      "relation": "eq" if total_exact else "gte"}
             merged = merged[:k]
-        out: dict[str, Any] = {"hits": {"total": total, "hits": merged}}
+        else:
+            merged = merged[:k]
+            if track_total_hits is True:
+                total = {"value": total_value, "relation": "eq"}
+            elif track_total_hits is False:
+                total = None
+            else:
+                cap = int(track_total_hits)
+                total = ({"value": cap, "relation": "gte"}
+                         if total_value > cap
+                         else {"value": total_value, "relation": "eq"})
+        hits_env: dict[str, Any] = {"hits": merged}
+        if track_total_hits is not False:
+            hits_env["total"] = total
+        out: dict[str, Any] = {"hits": hits_env}
         if aggregations is not None:
             out["aggregations"] = aggregations
         return out
@@ -792,6 +895,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     _ADVANCED_BODY_KEYS = {
         "table", "query", "k", "size", "from", "sort", "search_after",
         "aggs", "aggregations", "_source", "highlight",
+        "post_filter", "collapse", "track_total_hits",
     }
 
     def _page_size(body):
@@ -878,6 +982,9 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     from_=from_,
                     source=body.get("_source"),
                     highlight=body.get("highlight"),
+                    post_filter=body.get("post_filter"),
+                    collapse=body.get("collapse"),
+                    track_total_hits=body.get("track_total_hits"),
                 )
             )), 200
         except DslError as ex:

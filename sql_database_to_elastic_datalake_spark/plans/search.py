@@ -220,6 +220,33 @@ def offset_page(
     return df.orderBy(*order_by).offset(from_).limit(size)
 
 
+def collapse_hits(
+    df: DataFrame, field, order_cols: list
+) -> DataFrame:
+    """ES field collapsing: one hit per distinct ``field`` value — the
+    best under the request's sort. The window top-1 pattern
+    (``row_number`` over partitionBy(field) == 1) is exactly Spark's
+    WindowGroupLimit shape: every partition pre-truncates to its
+    per-key best row BEFORE the shuffle, so collapsing a 100 TB match
+    set moves one row per (partition, key), not the corpus.
+
+    Ties beyond the request sort break deterministically on the
+    remaining columns (the same determinism divergence as terms
+    ordering / top_hits — ES leaves them shard-arbitrary)."""
+    from pyspark.sql import Window
+
+    order = list(order_cols) + [
+        F.col(c).asc_nulls_first() for c in df.columns
+    ]
+    key = F.col(field) if isinstance(field, str) else field
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def resolve_source_columns(columns: list[str], source) -> list[str]:
     """ES ``_source`` filtering → the projected column list.
 

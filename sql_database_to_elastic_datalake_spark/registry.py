@@ -1091,6 +1091,46 @@ def search_aggs_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_collapse_field",
+    # doc_id in the sort makes the per-group and global orders total,
+    # so the collapse representative and the LIMIT boundary carry no
+    # cross-engine tie risk
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+        WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%the%'
+    ) WHERE rn = 1
+    ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+)
+def search_collapse_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (r6): one hit per distinct ``source`` — the
+    longest matching doc per source, top 10 overall. Window top-1 per
+    key (WindowGroupLimit pre-truncation) then the same TakeOrdered
+    page; at 100 TB one row per (partition, key) moves, not the match
+    set. The reference's verbatim-body route accepts ``collapse`` on
+    saved queries (src/search_api.py:38-46)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        collapse_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    matched = docs.filter(compile_dsl({"match": {"text": "the"}}))
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    return (
+        collapse_hits(
+            matched.select("doc_id", "source", "n_chars"), "source", order
+        )
+        .orderBy(*order)
+        .limit(10)
+    )
+
+
+@register(
     "search_source_filtering",
     oracle="""
     SELECT doc_id, lang FROM documents WHERE lang = 'en'
@@ -3449,6 +3489,7 @@ _CHECK_FIRST = [
     "search_dsl_simple_qs",        # NEW: simple_query_string dialect
     "search_aggs_nested_levels",   # NEW: multi-level bucket chain
     "search_source_filtering",     # NEW: _source scan projection
+    "search_collapse_field",       # NEW: ES field collapsing
     "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
     "dedup_clusters_jaccard",      # cost metrics (dedup.py)
     "search_aggs_terms_stats",
@@ -3499,7 +3540,9 @@ _CHECK_FIRST = [
     "leakage_safe_split",
     "text_repetition",
     "array_functions_docs",
-    "corpus_composition",
+    # (corpus_composition displaced to keep the window at exactly 50
+    #  after the post-certification collapse addition — it leads the
+    #  r7 fill, oldest-evidence first)
 ]
 
 

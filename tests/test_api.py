@@ -343,6 +343,92 @@ def test_highlight_merges_overlapping_terms():
     assert highlight_value(None, ["x"]) is None
 
 
+def test_advanced_collapse(client, service):
+    service.ingest("label", [
+        {"name": "a1", "color": "red"}, {"name": "a2", "color": "red"},
+        {"name": "b1", "color": "blue"}, {"name": "c1"},  # null color
+    ])
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "sort": [{"name": "desc"}],
+        "collapse": {"field": "color"},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    hits = r.get_json()["hits"]
+    # one hit per color (null is its own group), best under the sort;
+    # totals count PRE-collapse matches like ES
+    assert hits["total"] == {"value": 4, "relation": "eq"}
+    got = [(h["_source"]["name"], h["_source"]["color"])
+           for h in hits["hits"]]
+    assert got == [("c1", None), ("b1", "blue"), ("a2", "red")]
+    # collapse without sort is a named 400
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "collapse": {"field": "color"},
+    }), content_type="application/json")
+    assert r.status_code == 400 and "sort" in r.get_json()["error"]
+
+
+def test_advanced_post_filter(client, service):
+    """aggs see the query scope; hits (and totals) see query AND
+    post_filter — ES's faceted-navigation contract."""
+    service.ingest("label", [
+        {"name": "spark a", "color": "red"},
+        {"name": "spark b", "color": "blue"},
+        {"name": "other", "color": "red"},
+    ])
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"match": {"name": "spark"}},
+        "post_filter": {"term": {"color": "red"}},
+        "aggs": {"colors": {"terms": {"field": "color"}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    # hits: only the red spark doc
+    assert body["hits"]["total"] == {"value": 1, "relation": "eq"}
+    assert body["hits"]["hits"][0]["_source"]["name"] == "spark a"
+    # aggs: BOTH colors of the query scope (post_filter not applied)
+    buckets = {b["key"]: b["doc_count"]
+               for b in body["aggregations"]["colors"]["buckets"]}
+    assert buckets == {"red": 1, "blue": 1}
+
+
+def test_advanced_track_total_hits(client, service):
+    service.ingest("label", [{"name": f"item {i}"} for i in range(7)])
+
+    def post(extra):
+        body = {"table": "data_lake_label", "query": {"match_all": {}},
+                "size": 2, **extra}
+        r = client.post("/search/advanced", data=json.dumps(body),
+                        content_type="application/json")
+        assert r.status_code == 200, r.get_json()
+        return r.get_json()["hits"]
+
+    # default: k+1 budget -> lower bound past the page
+    assert post({})["total"] == {"value": 2, "relation": "gte"}
+    # true: exact (one count job — ES's cost model)
+    assert post({"track_total_hits": True})["total"] \
+        == {"value": 7, "relation": "eq"}
+    # integer bound: exact up to n, {n, gte} beyond
+    assert post({"track_total_hits": 4})["total"] \
+        == {"value": 4, "relation": "gte"}
+    assert post({"track_total_hits": 100})["total"] \
+        == {"value": 7, "relation": "eq"}
+    # false: no total at all (page still returned)
+    env = post({"track_total_hits": False})
+    assert "total" not in env and len(env["hits"]) == 2
+    # sorted path honors false too
+    env = post({"track_total_hits": False, "sort": ["name"]})
+    assert "total" not in env and len(env["hits"]) == 2
+    # malformed value is the client's 400
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "query": {"match_all": {}},
+        "track_total_hits": "maybe",
+    }), content_type="application/json")
+    assert r.status_code == 400
+
+
 def test_wire_envelope_mirrors_reference_top_level_keys(client, service):
     """The reference returns results['hits'] UNWRAPPED — a client
     reading resp["total"]["value"] / resp["max_score"] must work

@@ -259,6 +259,12 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (3, [])},
     ),
+    # field collapsing (r6): window top-1 per key must keep the
+    # WindowGroupLimit pre-truncation — one shuffle, pruned scan
+    "search_collapse_field": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=True,
+        scans={"documents": (4, ["IsNotNull(text)"])},
+    ),
 }
 
 
