@@ -154,11 +154,16 @@ def _metric_envelope(row, sub_aggs: dict, prefix: str = "") -> dict:
 
 
 def bucket_key(kind: str, body: dict) -> Column:
-    """The grouping expression for a bucket aggregation."""
+    """The grouping expression for a bucket aggregation. A ``terms``
+    ``missing`` value folds null keys into that bucket (ES's missing
+    parameter) — downstream null-key exclusions then naturally keep
+    those rows."""
     field = body.get("field")
     if field is None:
         raise DslError(f"{kind} aggregation requires a field")
     if kind == "terms":
+        if body.get("missing") is not None:
+            return F.coalesce(F.col(field), F.lit(body["missing"]))
         return F.col(field)
     if kind == "histogram":
         interval = body.get("interval")
@@ -192,23 +197,69 @@ def bucket_key(kind: str, body: dict) -> Column:
     raise DslError(f"unsupported bucket aggregation kind {kind!r}")
 
 
+def _terms_order(body: dict, sub_aggs: dict | None) -> list[Column]:
+    """The ``terms`` ``order`` spec → sort Columns over the flat bucket
+    frame. ES targets: ``_count``, ``_key`` (also the legacy
+    ``_term``), a single-value metric sub-agg by name, or a stats
+    sub-path (``name.avg``). A deterministic key tie-break is always
+    appended (the same determinism divergence as the default
+    ordering)."""
+    spec = body.get("order", {"_count": "desc"})
+    specs = [spec] if isinstance(spec, dict) else list(spec)
+    cols: list[Column] = []
+    for s in specs:
+        if not isinstance(s, dict) or len(s) != 1:
+            raise DslError(f"malformed terms order clause {s!r}")
+        target, direction = next(iter(s.items()))
+        if direction not in ("asc", "desc"):
+            raise DslError(f"unknown terms order direction {direction!r}")
+        if target == "_count":
+            c = F.col("doc_count")
+        elif target in ("_key", "_term"):
+            c = F.col("key")
+        else:
+            base, _, stat = str(target).partition(".")
+            if base not in (sub_aggs or {}):
+                raise DslError(
+                    f"terms order references unknown sub-agg {target!r}")
+            kind = next(iter(sub_aggs[base]))
+            if kind == "stats":
+                if stat not in ("count", "min", "max", "avg", "sum"):
+                    raise DslError(
+                        f"unknown stats path in terms order {target!r}")
+                c = F.col(f"`{base}.{stat}`")
+            elif kind in _METRICS:
+                c = F.col(base)
+            else:
+                raise DslError(
+                    f"cannot order terms by a {kind} sub-agg ({base!r})")
+        cols.append(c.desc() if direction == "desc" else c.asc())
+    cols.append(F.col("key").asc())
+    return cols
+
+
 def terms_frame(
     df: DataFrame, body: dict, sub_aggs: dict | None = None
 ) -> DataFrame:
     """Flat bucket rows for a ``terms`` agg: ``key, doc_count`` +
-    one column per metric sub-agg, count-desc with key tie-break,
-    limited to ``size`` (TakeOrdered — never a full key-domain
-    collect)."""
+    one column per metric sub-agg, ordered per the ES ``order`` spec
+    (default count-desc) with a key tie-break, limited to ``size``
+    (TakeOrdered — never a full key-domain collect). ES's ``missing``
+    parameter folds null keys into a named bucket (via
+    :func:`bucket_key`); ``min_doc_count`` drops small buckets BEFORE
+    the TakeOrdered."""
     size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 1))
     key = bucket_key("terms", body)
-    return (
+    out = (
         df.filter(key.isNotNull())
         .groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"),
              *_metric_cols(sub_aggs))
-        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
-        .limit(size)
     )
+    if min_dc > 1:
+        out = out.filter(F.col("doc_count") >= min_dc)
+    return out.orderBy(*_terms_order(body, sub_aggs)).limit(size)
 
 
 def histogram_frame(
@@ -586,7 +637,34 @@ def _assemble_levels(
     total = sum(t[2] for t in items)
     if kind == "terms":
         size = int(body.get("size", 10))
-        items.sort(key=lambda t: (-t[2], t[0]))
+        min_dc = int(body.get("min_doc_count", 1))
+        if min_dc > 1:
+            items = [t for t in items if t[2] >= min_dc]
+        # driver-side mirror of _terms_order over the in-memory items:
+        # stable passes in reverse spec order; key-asc tie-break first
+        spec = body.get("order", {"_count": "desc"})
+        specs = [spec] if isinstance(spec, dict) else list(spec)
+        items.sort(key=lambda t: (t[0],))
+        for s in reversed(specs):
+            if not isinstance(s, dict) or len(s) != 1:
+                raise DslError(f"malformed terms order clause {s!r}")
+            target, direction = next(iter(s.items()))
+            if direction not in ("asc", "desc"):
+                raise DslError(
+                    f"unknown terms order direction {direction!r}")
+            if target == "_count":
+                items.sort(key=lambda t: t[2],
+                           reverse=direction == "desc")
+            elif target in ("_key", "_term"):
+                items.sort(key=lambda t: t[0],
+                           reverse=direction == "desc")
+            else:
+                raise DslError(
+                    "ordering a nested bucket chain's terms level by a "
+                    "metric sub-agg is not supported — order by _count "
+                    "or _key, or move the metric order to a "
+                    "single-level terms agg"
+                )
         items = items[:size]
     else:
         items.sort(key=lambda t: t[0])
@@ -710,7 +788,10 @@ def run_aggs(
                        if n not in top_hits}
             rows = terms_frame(df, body, metrics).collect()
             returned = sum(r["doc_count"] for r in rows)
-            total = df.filter(F.col(body["field"]).isNotNull()).count()
+            # bucket_key, not the raw column: a `missing` value means
+            # null-key docs belong to a bucket and count in the total
+            total = df.filter(
+                bucket_key("terms", body).isNotNull()).count()
             buckets = [
                 {"key": _key_envelope(r["key"]),
                  "doc_count": r["doc_count"],
@@ -720,7 +801,8 @@ def run_aggs(
             for th_name, th_spec in top_hits.items():
                 keys = [r["key"] for r in rows]
                 hit_rows = top_hits_frame(
-                    df, F.col(body["field"]), keys, th_spec["top_hits"]
+                    df, bucket_key("terms", body), keys,
+                    th_spec["top_hits"]
                 ).collect()
                 by_key: dict = {}
                 for hr in hit_rows:
@@ -728,10 +810,12 @@ def run_aggs(
                     # (datetime → epoch millis), so the lookup table
                     # must be keyed the same way — raw datetime keys
                     # here made top_hits under a timestamp terms agg
-                    # attach empty hits arrays (r5 advisory)
-                    by_key.setdefault(
-                        _key_envelope(hr[body["field"]]), []
-                    ).append({
+                    # attach empty hits arrays (r5 advisory); a null
+                    # field value belongs to the `missing` bucket
+                    raw = hr[body["field"]]
+                    if raw is None:
+                        raw = body.get("missing")
+                    by_key.setdefault(_key_envelope(raw), []).append({
                         "_source": {c: hr[c] for c in hr.asDict()
                                     if c != "__rn"}
                     })

@@ -25,6 +25,10 @@ Supported syntax (the sane subset; everything else is a named 400):
     leaf — case-sensitive, the engine's documented wildcard posture);
   * ``+term`` / ``-term`` prefixes in ``query_string`` (must /
     must_not);
+  * ``_exists_:field`` (→ the ``exists`` leaf) and the range
+    shorthand ``field:>10`` / ``field:<=2024-01-01`` (→ the ``range``
+    leaf; numeric-looking bounds compare numerically) —
+    ``query_string`` dialect only;
   * per-term / per-field ``^boost`` — accepted and ignored (the
     module-wide boost divergence in :mod:`.es_dsl`).
 
@@ -52,6 +56,19 @@ from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 _ALLOWED_KEYS = {
     "query", "fields", "default_field", "default_operator", "boost",
 }
+
+
+def _coerce_number(s: str):
+    """Range-shorthand bounds compare numerically when they look like
+    numbers (a string literal against a numeric column would
+    mis-coerce), else stay strings (dates, ISO timestamps)."""
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
 
 
 def _expand_fields(
@@ -276,7 +293,24 @@ class _Parser:
             field, _, value = word.partition(":")
             if not field:
                 raise DslError("query string term starts with ':'")
-            sub = [field.split("^", 1)[0]]
+            if field == "_exists_":
+                # Lucene's _exists_:field → the structured exists leaf
+                if not value:
+                    raise DslError("_exists_: requires a field name")
+                return {"exists": {"field": value}}
+            name = field.split("^", 1)[0]
+            if value and value[0] in "<>":
+                # range shorthand (field:>10, field:<=2024-01-01) →
+                # the structured range leaf
+                op = {"<": "lt", ">": "gt",
+                      "<=": "lte", ">=": "gte"}[
+                          value[:2] if value[1:2] == "=" else value[0]]
+                bound = value[2:] if value[1:2] == "=" else value[1:]
+                if not bound:
+                    raise DslError(
+                        f"range shorthand {word!r} has no bound")
+                return {"range": {name: {op: _coerce_number(bound)}}}
+            sub = [name]
             if value:
                 return self._term_leaf(value, sub)
             nxt = self.peek()

@@ -1156,6 +1156,37 @@ def search_source_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_terms_order",
+    # avg values are distinct across groups at every SF (and the key
+    # tie-break covers equality anyway); HAVING mirrors min_doc_count
+    oracle="""
+    SELECT COALESCE(lang, '(none)') AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(n_chars) AS avg_chars
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) >= 70
+    ORDER BY avg_chars DESC, key LIMIT 3
+    """,
+)
+def search_aggs_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` parameters end-to-end (r6): ``order`` by a metric
+    sub-agg (Kibana's sort-by-metric idiom), ``missing`` null-key
+    bucket, ``min_doc_count`` pruning — all riding the same
+    groupBy + TakeOrdered job as the default ordering."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        terms_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return terms_frame(
+        docs,
+        {"field": "lang", "size": 3, "missing": "(none)",
+         "min_doc_count": 70, "order": {"avg_chars": "desc"}},
+        {"avg_chars": {"avg": {"field": "n_chars"}}},
+    )
+
+
+@register(
     "search_aggs_nested_levels",
     # the flat composite-key frame the driver-side tree assembles
     # from: GROUP BY both level keys in one pass
@@ -3490,6 +3521,7 @@ _CHECK_FIRST = [
     "search_aggs_nested_levels",   # NEW: multi-level bucket chain
     "search_source_filtering",     # NEW: _source scan projection
     "search_collapse_field",       # NEW: ES field collapsing
+    "search_aggs_terms_order",     # NEW: terms order/missing/min_doc
     "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
     "dedup_clusters_jaccard",      # cost metrics (dedup.py)
     "search_aggs_terms_stats",
@@ -3539,10 +3571,10 @@ _CHECK_FIRST = [
     "incremental_sync_events",
     "leakage_safe_split",
     "text_repetition",
-    "array_functions_docs",
-    # (corpus_composition displaced to keep the window at exactly 50
-    #  after the post-certification collapse addition — it leads the
-    #  r7 fill, oldest-evidence first)
+    # (array_functions_docs and corpus_composition displaced to keep
+    #  the window at exactly 50 after the post-certification collapse
+    #  and terms-order additions — they lead the r7 fill,
+    #  oldest-evidence first)
 ]
 
 

@@ -233,6 +233,78 @@ def test_top_hits_under_timestamp_terms_key(docs):
         assert hits[0]["_source"]["doc_id"] in (1, 2)
 
 
+def test_terms_order_missing_min_doc_count(docs):
+    """ES terms parameters: order by a metric sub-agg, missing-value
+    bucket, and min_doc_count pruning."""
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "size": 10, "missing": "(none)",
+                      "order": {"avg_c": "asc"}},
+            "aggs": {"avg_c": {"avg": {"field": "n_chars"}}},
+        }
+    })
+    env = out["langs"]
+    # null-lang doc 6 (n_chars 999) lands in "(none)"; order asc by avg:
+    # fr=50, en=200, de=300, (none)=999
+    assert [b["key"] for b in env["buckets"]] \
+        == ["fr", "en", "de", "(none)"]
+    assert env["buckets"][3]["doc_count"] == 1
+    assert env["sum_other_doc_count"] == 0  # missing docs counted
+    # min_doc_count prunes the singletons; _key ordering supported
+    out = run_aggs(docs, {
+        "langs": {"terms": {"field": "lang", "min_doc_count": 2,
+                            "order": {"_key": "desc"}}}
+    })
+    assert [b["key"] for b in out["langs"]["buckets"]] == ["en", "de"]
+    # stats sub-path ordering
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "order": {"st.max": "desc"}},
+            "aggs": {"st": {"stats": {"field": "n_chars"}}},
+        }
+    })
+    assert [b["key"] for b in out["langs"]["buckets"]][:2] == ["de", "en"]
+    # unknown order target is the client's error
+    with pytest.raises(DslError, match="unknown sub-agg"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang", "order": {"nope": "asc"}}}})
+
+
+def test_top_hits_respects_missing_bucket(docs):
+    out = run_aggs(docs.filter("doc_id in (5, 6)"), {
+        "langs": {
+            "terms": {"field": "lang", "missing": "(none)"},
+            "aggs": {"hit": {"top_hits": {"size": 1}}},
+        }
+    })
+    buckets = {b["key"]: b for b in out["langs"]["buckets"]}
+    assert buckets["(none)"]["hit"]["hits"]["hits"][0]["_source"][
+        "doc_id"] == 6
+
+
+def test_nested_levels_order_and_min_doc_count(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("b", "y", 3), (None, "z", 4)],
+        "g string, h string, v long",
+    )
+    out = run_aggs(df, {
+        "by_g": {
+            "terms": {"field": "g", "missing": "(none)",
+                      "order": {"_key": "asc"}, "min_doc_count": 1},
+            "aggs": {"by_h": {"terms": {"field": "h"}}},
+        }
+    })
+    assert [b["key"] for b in out["by_g"]["buckets"]] \
+        == ["(none)", "a", "b"]
+    # metric ordering inside a chain is a named limitation
+    with pytest.raises(DslError, match="nested bucket chain"):
+        run_aggs(df, {"by_g": {
+            "terms": {"field": "g", "order": {"m": "asc"}},
+            "aggs": {"m": {"avg": {"field": "v"}},
+                     "by_h": {"terms": {"field": "h"}}},
+        }})
+
+
 def test_nested_bucket_levels_terms_date_histogram(docs):
     """terms > date_histogram > metrics rides ONE shuffle: the flat
     composite-key frame is assembled into the ES tree driver-side."""

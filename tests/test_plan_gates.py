@@ -265,6 +265,12 @@ GATES = {
         shuffles=1, smj_max=0, bhj_min=0, wgl=True,
         scans={"documents": (4, ["IsNotNull(text)"])},
     ),
+    # terms order/missing/min_doc_count still ride ONE groupBy +
+    # TakeOrdered — the parameters must not add a pass
+    "search_aggs_terms_order": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
 }
 
 

@@ -118,6 +118,35 @@ def test_default_operator_and():
                                    {"match": {"text": "fast"}}]}}
 
 
+def test_exists_and_range_shorthand():
+    t = parse_query_string({"query": "_exists_:lang", "fields": ["text"]})
+    assert t == {"exists": {"field": "lang"}}
+    t = parse_query_string({"query": "n_chars:>100", "fields": ["text"]})
+    assert t == {"range": {"n_chars": {"gt": 100}}}
+    t = parse_query_string({"query": "n_chars:>=1.5", "fields": ["text"]})
+    assert t == {"range": {"n_chars": {"gte": 1.5}}}
+    # non-numeric bounds stay strings (dates)
+    t = parse_query_string({"query": "ts:<=2024-01-01", "fields": ["x"]})
+    assert t == {"range": {"ts": {"lte": "2024-01-01"}}}
+    # composes with boolean structure
+    t = parse_query_string(
+        {"query": "+n_chars:>100 -_exists_:lang", "fields": ["text"]})
+    assert t == {"bool": {
+        "must": [{"range": {"n_chars": {"gt": 100}}}],
+        "must_not": [{"exists": {"field": "lang"}}],
+    }}
+    with pytest.raises(DslError, match="bound"):
+        parse_query_string({"query": "n:>", "fields": ["x"]})
+    with pytest.raises(DslError, match="field name"):
+        parse_query_string({"query": "_exists_:", "fields": ["x"]})
+
+
+def test_range_shorthand_end_to_end(docs):
+    assert ids(docs, {"query_string": {
+        "query": "doc_id:>=4 -_exists_:lang",
+    }}) == [6]
+
+
 def test_unsupported_features_named_400():
     for q, frag in [
         ("spark~2", "fuzzy"),
