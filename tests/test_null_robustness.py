@@ -71,6 +71,17 @@ CHECKED = (
     # COALESCE sums; NULL text exercises terms_set's null-array rule
     "search_dsl_msm_wildcard",
     "search_dsl_terms_set",
+    # r6 search surface: NULL text/lang through the query_string
+    # parser's compiled leaves (must_not over NULL matches), the
+    # offset page's stable ordering with NULL-bearing rows, collapse's
+    # null-group handling, terms order/missing over NULL keys, and
+    # the _source projection over a NULL-injected scan
+    "search_dsl_query_string",
+    "search_dsl_simple_qs",
+    "search_from_size_page",
+    "search_collapse_field",
+    "search_aggs_terms_order",
+    "search_source_filtering",
 )
 
 

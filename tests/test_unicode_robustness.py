@@ -56,6 +56,12 @@ CHECKED = (
     # r5: terms_set tokenizes text — ASCII term membership must be
     # indifferent to the İ/ß/emoji folding traps in the decorated lake
     "search_dsl_terms_set",
+    # r6: the query_string parser's compiled match/phrase leaves lower
+    # decorated text (the İ-fold class the oracles replace for), and
+    # the offset page's TakeOrdered runs over decorated rows
+    "search_dsl_query_string",
+    "search_dsl_simple_qs",
+    "search_from_size_page",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
