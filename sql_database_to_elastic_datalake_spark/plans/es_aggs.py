@@ -262,19 +262,105 @@ def terms_frame(
     return out.orderBy(*_terms_order(body, sub_aggs)).limit(size)
 
 
+#: calendar_interval unit -> the sequence() step expression
+_CALENDAR_STEP = {
+    "second": "interval 1 second", "minute": "interval 1 minute",
+    "hour": "interval 1 hour", "day": "interval 1 day",
+    "week": "interval 7 days", "month": "interval 1 month",
+    "quarter": "interval 3 months", "year": "interval 1 year",
+}
+
+
+def _histogram_step(kind: str, body: dict):
+    """The bucket-to-bucket step for gap filling, as a Column."""
+    if kind == "date_histogram":
+        cal = body.get("calendar_interval")
+        if cal is not None:
+            unit = _CALENDAR_TRUNC.get(cal)
+            return F.expr(_CALENDAR_STEP[unit])
+        m = _FIXED_RE.match(str(body.get("fixed_interval")))
+        secs = int(m.group(1)) * _FIXED_SECS[m.group(2)]
+        if secs != int(secs) or secs < 1:
+            raise DslError(
+                "min_doc_count: 0 needs a whole-second fixed_interval")
+        return F.expr(f"interval {int(secs)} seconds")
+    interval = body.get("interval")
+    if interval != int(interval):
+        raise DslError(
+            "min_doc_count: 0 on a numeric histogram needs an integer "
+            "interval (fractional steps don't enumerate exactly)"
+        )
+    return None  # numeric: sequence over longs, step = interval
+
+
 def histogram_frame(
     df: DataFrame, kind: str, body: dict, sub_aggs: dict | None = None
 ) -> DataFrame:
-    """Flat bucket rows for ``histogram``/``date_histogram``: key-asc,
-    empty buckets omitted (ES ``min_doc_count=1`` posture — gap-filling
-    is a presentation concern; ``gap_filled_daily_counts`` shows the
-    sequence-join form when needed)."""
+    """Flat bucket rows for ``histogram``/``date_histogram``: key-asc.
+
+    ``min_doc_count`` defaults to 1 here (empty buckets omitted);
+    ``min_doc_count: 0`` restores ES's date_histogram default —
+    gap-filled zero buckets over the observed key range, widened by
+    ``extended_bounds`` (``{"min": …, "max": …}``, bucket-truncated
+    like ES). The dense key sequence derives IN-PLAN from the grouped
+    frame's min/max (a bucket-count-sized input), left-joined back —
+    no driver round trip; empty buckets carry doc_count 0 and null
+    metrics, exactly ES's envelope."""
     key = bucket_key(kind, body)
-    return (
+    min_dc = int(body.get("min_doc_count", 1))
+    grouped = (
         df.filter(key.isNotNull())
         .groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"),
              *_metric_cols(sub_aggs))
+    )
+    if min_dc != 0:
+        return grouped.orderBy(F.col("key").asc())
+    step = _histogram_step(kind, body)
+    ext = body.get("extended_bounds") or {}
+    b = grouped.agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+    if ext:
+        if kind == "date_histogram":
+            mn_l = _after_lit(kind, ext.get("min")) if "min" in ext else None
+            mx_l = _after_lit(kind, ext.get("max")) if "max" in ext else None
+        else:
+            mn_l = F.lit(ext["min"]) if "min" in ext else None
+            mx_l = F.lit(ext["max"]) if "max" in ext else None
+        # truncate literal bounds to their bucket via a renamed
+        # single-column frame through the same bucket expression
+        def trunc_lit(lit_col):
+            one = grouped.sparkSession.range(1).select(
+                lit_col.alias(body["field"]))
+            return one.select(
+                bucket_key(kind, body).alias("v")).collect()[0]["v"]
+
+        if mn_l is not None:
+            v = trunc_lit(mn_l)
+            b = b.select(
+                F.coalesce(F.least("mn", F.lit(v)), F.lit(v)).alias("mn"),
+                "mx")
+        if mx_l is not None:
+            v = trunc_lit(mx_l)
+            b = b.select(
+                "mn",
+                F.coalesce(F.greatest("mx", F.lit(v)), F.lit(v)).alias("mx"))
+    if step is not None:
+        full = b.filter(F.col("mn").isNotNull()).select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"), step))
+            .alias("key"))
+    else:
+        iv = int(body["interval"])
+        key_type = grouped.schema["key"].dataType
+        full = b.filter(F.col("mn").isNotNull()).select(
+            F.explode(F.sequence(
+                (F.col("mn") / iv).cast("long"),
+                (F.col("mx") / iv).cast("long"),
+            )).alias("__i")
+        ).select((F.col("__i") * iv).cast(key_type).alias("key"))
+    return (
+        full.join(grouped, "key", "left")
+        .withColumn("doc_count",
+                    F.coalesce(F.col("doc_count"), F.lit(0)))
         .orderBy(F.col("key").asc())
     )
 

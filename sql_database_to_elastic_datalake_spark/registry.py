@@ -1187,6 +1187,43 @@ def search_aggs_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_histogram_gaps",
+    # generate_series mirrors the in-plan sequence(); the sparse
+    # predicate (event_id % 997) guarantees observable gaps at small
+    # SFs and stays correct when larger SFs densify
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM events WHERE event_id % 997 = 0 AND ts IS NOT NULL
+        GROUP BY 1
+    ), b AS (SELECT min(key) AS mn, max(key) AS mx FROM g)
+    SELECT d.key, COALESCE(g.doc_count, 0) AS doc_count
+    FROM (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS key
+          FROM b) d
+    LEFT JOIN g USING (key)
+    ORDER BY key
+    """,
+)
+def search_aggs_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` with ``min_doc_count: 0`` (r6) — ES's
+    actual default: Kibana time charts expect zero-filled buckets. The
+    dense day sequence derives in-plan from the grouped frame's
+    min/max (sequence + explode over a bucket-count-sized input) and
+    left-joins the counts back — no driver round trip."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        histogram_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 997 == 0)
+    return histogram_frame(
+        ev, "date_histogram",
+        {"field": "ts", "calendar_interval": "day", "min_doc_count": 0},
+    )
+
+
+@register(
     "search_aggs_nested_levels",
     # the flat composite-key frame the driver-side tree assembles
     # from: GROUP BY both level keys in one pass
@@ -3522,6 +3559,7 @@ _CHECK_FIRST = [
     "search_source_filtering",     # NEW: _source scan projection
     "search_collapse_field",       # NEW: ES field collapsing
     "search_aggs_terms_order",     # NEW: terms order/missing/min_doc
+    "search_aggs_histogram_gaps",  # NEW: min_doc_count:0 gap filling
     "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
     "dedup_clusters_jaccard",      # cost metrics (dedup.py)
     "search_aggs_terms_stats",
@@ -3570,11 +3608,10 @@ _CHECK_FIRST = [
     "embed_quantize_int8",
     "incremental_sync_events",
     "leakage_safe_split",
-    "text_repetition",
-    # (array_functions_docs and corpus_composition displaced to keep
-    #  the window at exactly 50 after the post-certification collapse
-    #  and terms-order additions — they lead the r7 fill,
-    #  oldest-evidence first)
+    # (text_repetition, array_functions_docs and corpus_composition
+    #  displaced to keep the window at exactly 50 after the
+    #  post-certification collapse / terms-order / histogram-gaps
+    #  additions — they lead the r7 fill, oldest-evidence first)
 ]
 
 

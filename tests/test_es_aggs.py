@@ -83,6 +83,51 @@ def test_date_histogram_calendar_and_fixed(docs):
         == [3, 1, 1, 2]
 
 
+def test_date_histogram_min_doc_count_zero_gap_fills(docs):
+    """ES's date_histogram DEFAULT is min_doc_count 0: empty buckets
+    between the observed range come back with doc_count 0 and null
+    metrics; extended_bounds widens the range (bucket-truncated)."""
+    out = run_aggs(docs.filter("doc_id in (1, 5)"), {  # Jan 1 and Jan 3
+        "days": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"avg_c": {"avg": {"field": "n_chars"}}},
+        }
+    })
+    buckets = out["days"]["buckets"]
+    assert [b["doc_count"] for b in buckets] == [1, 0, 1]
+    assert buckets[1]["key_as_string"].startswith("2024-01-02")
+    assert buckets[1]["avg_c"]["value"] is None  # empty bucket metrics
+    assert buckets[0]["avg_c"]["value"] == pytest.approx(100.0)
+    # extended_bounds widens past the data (ISO string, mid-day value
+    # truncates to its bucket)
+    out = run_aggs(docs.filter("doc_id = 1"), {
+        "days": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2023-12-30T15:00:00",
+                                "max": "2024-01-02"},
+        }}
+    })
+    keys = [b["key_as_string"][:10] for b in out["days"]["buckets"]]
+    assert keys == ["2023-12-30", "2023-12-31", "2024-01-01",
+                    "2024-01-02"]
+    assert [b["doc_count"] for b in out["days"]["buckets"]] \
+        == [0, 0, 1, 0]
+
+
+def test_numeric_histogram_min_doc_count_zero(docs):
+    out = run_aggs(docs.filter("doc_id in (5, 4)"), {  # 50 and 400
+        "h": {"histogram": {"field": "n_chars", "interval": 100,
+                            "min_doc_count": 0}}
+    })
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] \
+        == [(0, 1), (100, 0), (200, 0), (300, 0), (400, 1)]
+    with pytest.raises(DslError, match="integer interval"):
+        run_aggs(docs, {"h": {"histogram": {
+            "field": "n_chars", "interval": 2.5, "min_doc_count": 0}}})
+
+
 def test_histogram_and_range(docs):
     out = run_aggs(docs, {
         "by_200": {"histogram": {"field": "n_chars", "interval": 200}},

@@ -271,6 +271,14 @@ GATES = {
         shuffles=1, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # min_doc_count:0 gap filling: one agg shuffle per branch (counts +
+    # bounds), the dense-sequence join stays BROADCAST (both sides are
+    # bucket-count-sized) — a sort-merge here would mean the join keyed
+    # on the fact table by mistake
+    "search_aggs_histogram_gaps": dict(
+        shuffles=2, smj_max=0, bhj_min=2, wgl=False,
+        scans={"events": (2, ["IsNotNull(event_id)"])},
+    ),
 }
 
 
