@@ -90,6 +90,61 @@ _FIXED_SECS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 #: ES default percents for a percentiles agg
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
+#: implemented body keys per agg kind. Keys that only tune ES-internal
+#: execution (shard_size, collect_mode, …) are accepted-and-ignored —
+#: they cannot change results. Keys that WOULD change results
+#: (time_zone, offset, keyed, script, …) are NOT listed: the reference
+#: forwards bodies verbatim to ES, so silently ignoring one returns
+#: wrong numbers with no error — they 400 instead (the same posture as
+#: the search route's unknown-top-level-key rejection).
+_AGG_BODY_KEYS = {
+    "terms": {"field", "size", "missing", "min_doc_count", "order",
+              "shard_size", "show_term_doc_count_error", "collect_mode",
+              "execution_hint"},
+    "histogram": {"field", "interval", "min_doc_count",
+                  "extended_bounds"},
+    "date_histogram": {"field", "calendar_interval", "fixed_interval",
+                       "min_doc_count", "extended_bounds", "format"},
+    "range": {"field", "ranges"},
+    "composite": {"sources", "size", "after"},
+    "top_hits": {"size", "sort", "_source"},
+    # metric kinds: field + ES's missing-value substitution;
+    # precision_threshold is accepted-ignored (we are exact anyway)
+    "avg": {"field", "missing"},
+    "sum": {"field", "missing"},
+    "min": {"field", "missing"},
+    "max": {"field", "missing"},
+    "value_count": {"field", "missing"},
+    "cardinality": {"field", "missing", "precision_threshold"},
+    "stats": {"field", "missing"},
+    "percentiles": {"field", "missing", "percents"},
+    "missing": {"field"},
+}
+
+
+def check_agg_keys(kind: str, body) -> None:
+    """400 on agg-body keys with unimplemented RESULT-CHANGING
+    semantics (see _AGG_BODY_KEYS)."""
+    if kind == "filter" or kind not in _AGG_BODY_KEYS:
+        return  # filter bodies are query DSL; unknown kinds error later
+    if not isinstance(body, dict):
+        return
+    unknown = sorted(set(body) - _AGG_BODY_KEYS[kind])
+    if unknown:
+        raise DslError(
+            f"unsupported {kind} aggregation options: {unknown} "
+            f"(supported: {sorted(_AGG_BODY_KEYS[kind])})"
+        )
+
+
+def _metric_source(body: dict) -> Column:
+    """The metric's input column, with ES's ``missing`` substitution
+    (docs lacking the field aggregate as if they carried this value)."""
+    c = F.col(body["field"])
+    if body.get("missing") is not None:
+        return F.coalesce(c, F.lit(body["missing"]))
+    return c
+
 
 def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
     """One aliased aggregate Column per metric sub-agg. ``stats`` and
@@ -101,20 +156,22 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind, body = next(iter(spec.items()))
-        field = body.get("field")
+        field = body.get("field") if isinstance(body, dict) else None
         if field is None:
             raise DslError(f"aggregation {name!r} ({kind}) requires a field")
+        check_agg_keys(kind, body)
+        src = _metric_source(body)
         if kind == "stats":
             for stat, fn in (("count", F.count), ("min", F.min),
                              ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
-                cols.append(fn(field).alias(f"{prefix}{name}.{stat}"))
+                cols.append(fn(src).alias(f"{prefix}{name}.{stat}"))
         elif kind == "percentiles":
             # EXACT interpolated percentiles where ES runs t-digest —
             # the same exactness divergence as cardinality, same
             # direction (strictly more accurate)
             for p in body.get("percents", _DEFAULT_PERCENTS):
                 cols.append(
-                    F.percentile(F.col(field), F.lit(float(p) / 100.0))
+                    F.percentile(src, F.lit(float(p) / 100.0))
                     .alias(f"{prefix}{name}%{float(p)}")
                 )
         elif kind == "missing":
@@ -123,7 +180,7 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
                 .cast("bigint").alias(f"{prefix}{name}")
             )
         elif kind in _METRICS:
-            cols.append(_METRICS[kind](field).alias(f"{prefix}{name}"))
+            cols.append(_METRICS[kind](src).alias(f"{prefix}{name}"))
         else:
             raise DslError(
                 f"unsupported sub-aggregation kind {kind!r} under {name!r}"
@@ -476,6 +533,18 @@ def composite_frame(
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError(f"composite source {name!r} must have one kind")
         kind, kbody = next(iter(spec.items()))
+        # composite sources take only the key expression's inputs;
+        # missing_bucket / per-source order would change results
+        # silently if ignored → 400 (the agg-wide posture)
+        allowed = {"field", "interval", "calendar_interval",
+                   "fixed_interval"}
+        unknown = sorted(set(kbody) - allowed) \
+            if isinstance(kbody, dict) else []
+        if unknown:
+            raise DslError(
+                f"unsupported composite source options: {unknown} "
+                f"(supported: {sorted(allowed)})"
+            )
         names.append(name)
         kinds.append(kind)
         keys.append(bucket_key(kind, kbody))
@@ -548,6 +617,7 @@ def _split_levels(
             )
         ((n, s),) = buckets.items()
         k = next(x for x in s if x not in ("aggs", "aggregations"))
+        check_agg_keys(k, s[k])
         levels.append((n, k, s[k]))
         sub = s.get("aggs") or s.get("aggregations")
     return levels, metrics
@@ -573,12 +643,13 @@ def _component_cols(
                 raise DslError(
                     f"aggregation {name!r} must have exactly one type")
             kind, body = next(iter(spec.items()))
-            field = body.get("field")
+            field = body.get("field") if isinstance(body, dict) else None
             if field is None:
                 raise DslError(
                     f"aggregation {name!r} ({kind}) requires a field")
+            check_agg_keys(kind, body)
             p = f"{li}|{name}|"
-            c = F.col(field)
+            c = _metric_source(body)
             if kind == "avg":
                 cols += [F.count(c).alias(p + "cnt"),
                          F.sum(c).alias(p + "sum")]
@@ -789,7 +860,8 @@ def filter_frame(
         field = mbody.get("field")
         if field is None:
             raise DslError(f"aggregation {name!r} ({kind}) requires a field")
-        gated = F.when(pred, F.col(field))
+        check_agg_keys(kind, mbody)
+        gated = F.when(pred, _metric_source(mbody))
         if kind == "stats":
             for stat, fn in (("count", F.count), ("min", F.min),
                              ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
@@ -853,6 +925,7 @@ def run_aggs(
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind = kinds[0]
         body = spec[kind]
+        check_agg_keys(kind, body)
         has_bucket_sub = any(
             isinstance(s, dict)
             and next((x for x in s if x not in ("aggs", "aggregations")),

@@ -512,6 +512,63 @@ def test_composite_sub_metrics_and_errors(docs):
             run_aggs(docs, bad)
 
 
+def test_result_changing_agg_options_400_not_ignored(docs):
+    """The reference forwards agg bodies verbatim to ES, so a key with
+    live ES semantics that this engine doesn't implement must 400 with
+    its name — silently ignoring time_zone/offset/keyed would return
+    WRONG numbers. Execution-tuning keys (shard_size, …) stay
+    accepted-and-ignored: they cannot change results."""
+    for aggs, frag in [
+        ({"d": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "time_zone": "+05:00"}}}, "time_zone"),
+        ({"h": {"histogram": {"field": "n_chars", "interval": 10,
+                              "offset": 5}}}, "offset"),
+        ({"r": {"range": {"field": "n_chars", "keyed": True,
+                          "ranges": [{"to": 10}]}}}, "keyed"),
+        ({"t": {"terms": {"field": "lang", "script": "x"}}}, "script"),
+        ({"a": {"avg": {"field": "n_chars", "format": "0.0"}}},
+         "format"),
+        ({"c": {"composite": {"sources": [
+            {"l": {"terms": {"field": "lang",
+                             "missing_bucket": True}}}]}}},
+         "missing_bucket"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            run_aggs(docs, aggs)
+    # tuning keys pass through
+    out = run_aggs(docs, {"t": {"terms": {
+        "field": "lang", "shard_size": 500, "execution_hint": "map"}}})
+    assert out["t"]["buckets"]
+    # ...including inside nested chains
+    with pytest.raises(DslError, match="time_zone"):
+        run_aggs(docs, {"t": {
+            "terms": {"field": "lang"},
+            "aggs": {"d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "time_zone": "+05:00"}}},
+        }})
+
+
+def test_metric_missing_parameter_substitutes(docs):
+    """ES's metric `missing` parameter: docs lacking the field
+    aggregate as if they carried the value."""
+    out = run_aggs(docs, {
+        "avg_c": {"avg": {"field": "n_chars", "missing": 0}},
+        "n": {"value_count": {"field": "n_chars", "missing": 0}},
+    })
+    # doc 7's null n_chars becomes 0: avg over 7 docs, count 7
+    assert out["avg_c"]["value"] == pytest.approx(2049 / 7)
+    assert out["n"]["value"] == 7
+    # and under a bucket agg
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"avg_c": {"avg": {"field": "n_chars", "missing": 200}}},
+    }})
+    b = out["langs"]["buckets"][0]  # en: 100, 300, null->200
+    assert b["avg_c"]["value"] == pytest.approx(200.0)
+
+
 def test_agg_errors_are_dsl_errors(docs):
     for bad in (
         {"x": {"terms": {"field": "lang"}, "histogram": {}}},  # two kinds
