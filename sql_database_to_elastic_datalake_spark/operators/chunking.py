@@ -201,3 +201,55 @@ def leakage_safe_split(
     return docs.join(clusters, id_col).select(
         F.col(id_col), F.col("cluster_id"), split.alias("split")
     )
+
+
+def flag_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: DataFrame,
+    probe_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    lowercase word ``n``-gram with a probe (benchmark/eval) document
+    set — the standard pre-training hygiene pass (GPT-3 filtered on
+    13-grams; 8 is the common middle ground). Output: ``id_col,
+    n_hits (distinct contaminated n-grams), contaminated``; every
+    corpus doc appears, hit or not.
+
+    Scale shape: probe n-grams are SMALL (benchmarks are megabytes
+    against a 100 TB corpus) — they build once and BROADCAST; the
+    corpus is touched in one pass (shingle explode → broadcast hash
+    join → per-doc count), so the only corpus-sized shuffle is the
+    per-id count aggregation. Normalization (lowercase, whitespace
+    split, distinct shingles) is shared with the dedup family
+    (:func:`~.dedup.word_shingles`), so "contaminated" and "near-dup
+    of a probe" agree on tokenization.
+    """
+    from sql_database_to_elastic_datalake_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    probe_sh = (
+        word_shingles(
+            probes.select(F.col(probe_text_col).alias("__t"))
+            .withColumn("__pid", F.monotonically_increasing_id()),
+            "__pid", "__t", n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = word_shingles(df, id_col, text_col, n=n)
+    hits = (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(F.col(id_col), n_hits.alias("n_hits"),
+                (n_hits > 0).alias("contaminated"))
+    )

@@ -3560,6 +3560,7 @@ _CHECK_FIRST = [
     "search_collapse_field",       # NEW: ES field collapsing
     "search_aggs_terms_order",     # NEW: terms order/missing/min_doc
     "search_aggs_histogram_gaps",  # NEW: min_doc_count:0 gap filling
+    "benchmark_decontamination",   # NEW: 8-gram probe decontamination
     "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
     "dedup_clusters_jaccard",      # cost metrics (dedup.py)
     "search_aggs_terms_stats",
@@ -3607,11 +3608,11 @@ _CHECK_FIRST = [
     "events_ewma",
     "embed_quantize_int8",
     "incremental_sync_events",
-    "leakage_safe_split",
-    # (text_repetition, array_functions_docs and corpus_composition
-    #  displaced to keep the window at exactly 50 after the
-    #  post-certification collapse / terms-order / histogram-gaps
-    #  additions — they lead the r7 fill, oldest-evidence first)
+    # (leakage_safe_split, text_repetition, array_functions_docs and
+    #  corpus_composition displaced to keep the window at exactly 50
+    #  after the post-certification collapse / terms-order /
+    #  histogram-gaps / decontamination additions — they lead the r7
+    #  fill, oldest-evidence first)
 ]
 
 

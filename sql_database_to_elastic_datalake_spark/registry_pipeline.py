@@ -835,6 +835,53 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination",
+    # the same İ-fold lower() parity replace as the shingle oracles;
+    # probes are the doc_id % 50 == 0 documents (the benchmark-leaked-
+    # into-the-corpus scenario), so positives exist at every SF and
+    # include near-duplicates of probes beyond the probes themselves
+    oracle="""
+    WITH tarr AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))),
+                                     '\\s+') AS toks
+        FROM documents
+    ),
+    tok8 AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7] AS w
+        FROM tarr,
+             LATERAL (SELECT unnest(range(1, greatest(len(toks)-7, 0) + 1))
+                      AS i) r
+    ),
+    probes AS (SELECT DISTINCT w FROM tok8 WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tok8 t JOIN probes p USING (w) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r6): flag corpus docs sharing any
+    8-gram with a probe set — here the ``doc_id % 50 == 0`` documents
+    stand in for a leaked eval set, so the probes themselves and their
+    near-duplicates must flag. Probe n-grams broadcast; the corpus is
+    touched once (see operators/chunking.py:flag_contamination)."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        flag_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return flag_contamination(docs, "doc_id", "text", probes, "text", n=8)
+
+
+@register(
     "stratified_sample_langs",
     oracle="""
     SELECT doc_id, lang

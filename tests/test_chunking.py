@@ -114,3 +114,43 @@ def test_leakage_safe_split_cluster_coherent(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     counts = collections.Counter(r["split"] for r in out)
     assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_flag_contamination(spark):
+    """Decontamination semantics: a doc flags iff it shares an 8-gram
+    with a probe; shorter overlaps and sub-n texts never flag; every
+    corpus doc appears in the output."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        flag_contamination,
+    )
+
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame([
+        # full 8-gram overlap (words 1-8 of the probe), embedded
+        Row(doc_id=1, text="PREFIX the quick brown fox jumps over the "
+                           "lazy SUFFIX"),
+        # only a 7-gram shared: below n, must NOT flag
+        Row(doc_id=2, text="quick brown fox jumps over the lazy cats"),
+        # exact probe duplicate (leaked benchmark)
+        Row(doc_id=3, text=probe_text.upper()),  # case-folded match
+        # unrelated
+        Row(doc_id=4, text="completely different words entirely here "
+                           "and then some more padding words"),
+        # too short to carry any 8-gram
+        Row(doc_id=5, text="tiny"),
+    ])
+    probes = spark.createDataFrame([Row(t=probe_text)])
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in flag_contamination(
+               corpus, "doc_id", "text", probes, "t", n=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3][1] is True and out[3][0] == 3  # all 3 probe 8-grams
+    assert out[4] == (0, False)
+    assert out[5] == (0, False)
+    # the probe join side is broadcast (corpus never shuffles to meet it)
+    plan = flag_contamination(
+        corpus, "doc_id", "text", probes, "t", n=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
