@@ -82,6 +82,11 @@ CHECKED = (
     "search_collapse_field",
     "search_aggs_terms_order",
     "search_source_filtering",
+    # the injected lake's NULL langs give the terms `missing` bucket
+    # REAL members (the clean corpus has none), and NULL text flows
+    # through the decontamination shingle pipeline
+    "search_aggs_histogram_gaps",
+    "benchmark_decontamination",
 )
 
 
