@@ -765,15 +765,46 @@ def _rollup_metrics(rows: list, mets: dict, li: int) -> dict:
                 "sum": sum(s) if s else 0,
             }
         elif kind == "percentiles":
+            if not rows:  # gap-filled empty bucket
+                out[name] = {"values": {
+                    str(float(pp)): None
+                    for pp in body.get("percents", _DEFAULT_PERCENTS)}}
+                continue
             (row,) = rows  # deepest level: one flat row per bucket
             out[name] = {"values": {
                 str(float(pp)): row[f"{p}%{float(pp)}"]
                 for pp in body.get("percents", _DEFAULT_PERCENTS)
             }}
         elif kind == "cardinality":
+            if not rows:
+                out[name] = {"value": 0}
+                continue
             (row,) = rows
             out[name] = {"value": row[p + "card"]}
     return out
+
+
+def _advance_key(k, kind: str, body: dict):
+    """The next bucket key after ``k`` — the driver-side mirror of
+    :func:`_histogram_step` for in-memory gap filling."""
+    if kind == "histogram":
+        return k + int(body["interval"])
+    cal = body.get("calendar_interval")
+    if cal is not None:
+        unit = _CALENDAR_TRUNC[cal]
+        if unit in ("second", "minute", "hour", "day", "week"):
+            secs = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 7 * 86400}[unit]
+            return k + _dt.timedelta(seconds=secs)
+        months = {"month": 1, "quarter": 3, "year": 12}[unit]
+        total = (k.year * 12 + (k.month - 1)) + months
+        return k.replace(year=total // 12, month=total % 12 + 1)
+    m = _FIXED_RE.match(str(body.get("fixed_interval")))
+    secs = int(m.group(1)) * _FIXED_SECS[m.group(2)]
+    if secs != int(secs) or secs < 1:
+        raise DslError(
+            "min_doc_count: 0 needs a whole-second fixed_interval")
+    return k + _dt.timedelta(seconds=int(secs))
 
 
 def _assemble_levels(
@@ -824,7 +855,34 @@ def _assemble_levels(
                 )
         items = items[:size]
     else:
+        if "extended_bounds" in body:
+            raise DslError(
+                "extended_bounds inside a nested bucket chain is not "
+                "supported — widen the top-level histogram instead"
+            )
+        min_dc = int(body.get("min_doc_count", 1))
         items.sort(key=lambda t: t[0])
+        if min_dc == 0 and items:
+            # per-parent gap fill, driver-side (the keys are already
+            # in memory): empty buckets get no rows → doc_count 0,
+            # null metrics, empty child levels — ES's envelope
+            filled = []
+            k, last = items[0][0], items[-1][0]
+            by_key = {t[0]: t for t in items}
+            guard = 0
+            while k <= last:
+                filled.append(by_key.get(k, (k, [], 0)))
+                k = _advance_key(k, kind, body)
+                guard += 1
+                if guard > 100_000:
+                    raise DslError(
+                        "gap filling this histogram level would emit "
+                        ">100k buckets — narrow the range or raise "
+                        "the interval"
+                    )
+            items = filled
+        elif min_dc > 1:
+            items = [t for t in items if t[2] >= min_dc]
     buckets = []
     for k, rs, dc in items:
         b: dict[str, Any] = {"key": _key_envelope(k), "doc_count": dc}

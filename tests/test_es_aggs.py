@@ -436,6 +436,88 @@ def test_nested_levels_three_deep_and_deepest_exact_metrics(docs):
     assert hours[0]["langs_n"]["value"] == 1
 
 
+def test_nested_chain_histogram_gap_fill_and_min_doc_count(docs):
+    """min_doc_count inside a nested chain: 0 gap-fills per parent
+    bucket (driver-side — the keys are already in memory), >1 prunes;
+    empty filled buckets carry null metrics and empty child levels."""
+    out = run_aggs(docs, {
+        "langs": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {"days": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 0},
+                "aggs": {"avg_c": {"avg": {"field": "n_chars"}}},
+            }},
+        }
+    })
+    # en docs are all Jan 1; de docs are Jan 2 -> single-day parents
+    en = out["langs"]["buckets"][0]
+    assert [d["doc_count"] for d in en["days"]["buckets"]] == [3]
+    # a parent spanning a gap: en+de+fr under one synthetic key
+    out = run_aggs(docs.withColumn("one", F_lit_one(docs)), {
+        "all": {
+            "terms": {"field": "one"},
+            "aggs": {"days": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 0},
+            }},
+        }
+    })
+    days = out["all"]["buckets"][0]["days"]["buckets"]
+    assert [d["doc_count"] for d in days] == [3, 2, 2]  # no gaps here
+    # min_doc_count > 1 prunes inside the chain
+    out = run_aggs(docs.withColumn("one", F_lit_one(docs)), {
+        "all": {
+            "terms": {"field": "one"},
+            "aggs": {"days": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 3},
+            }},
+        }
+    })
+    days = out["all"]["buckets"][0]["days"]["buckets"]
+    assert [d["doc_count"] for d in days] == [3]
+    # extended_bounds inside a chain is a named limitation
+    with pytest.raises(DslError, match="nested bucket chain"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang"},
+            "aggs": {"days": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "extended_bounds": {"min": "2024-01-01"}}}},
+        }})
+
+
+def F_lit_one(df):
+    from pyspark.sql import functions as F
+
+    return F.lit("all")
+
+
+def test_nested_chain_gap_fill_with_real_gap(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 10),
+         ("a", dt.datetime(2024, 1, 4), 40)],
+        "g string, ts timestamp, v long",
+    )
+    out = run_aggs(df, {"by_g": {
+        "terms": {"field": "g"},
+        "aggs": {"days": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"avg_v": {"avg": {"field": "v"}}},
+        }},
+    }})
+    days = out["by_g"]["buckets"][0]["days"]["buckets"]
+    assert [d["doc_count"] for d in days] == [1, 0, 0, 1]
+    assert days[1]["avg_v"]["value"] is None
+    assert days[1]["key_as_string"].startswith("2024-01-02")
+
+
 def test_nested_levels_rejections(docs):
     # non-mergeable metric above the deepest level
     with pytest.raises(DslError, match="deepest"):
