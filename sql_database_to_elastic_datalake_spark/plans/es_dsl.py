@@ -41,6 +41,15 @@ Semantics notes (documented divergences from Elasticsearch):
     nothing.
   * ``nested`` compiles to an ``exists()`` lambda over the array column
     — per-element match like ES nested queries, no explode/regroup.
+  * Leaf spec OPTIONS follow the no-silent-wrong-results posture (r6):
+    ``case_insensitive`` (term/prefix/wildcard/regexp),
+    ``zero_terms_query`` (match) and ``operator`` (match/multi_match)
+    are IMPLEMENTED; scoring-only keys (``boost``, multi_match
+    ``type``/``tie_breaker``, match_phrase_prefix ``max_expansions``)
+    are accepted-and-ignored; anything else a saved query might carry
+    (fuzziness-in-match, slop, …) is a named 400 — the reference
+    forwards bodies verbatim to ES, so a silently dropped option would
+    change the result set with no error.
 
 Scale notes: the output is a pure Column expression — whole-stage
 codegen applies, and simple comparisons (term/range) reach parquet as
@@ -83,16 +92,40 @@ def _ns(pred: Column) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
-def _field_value(body: dict, value_key: str = "value"):
-    """ES allows ``{"term": {"f": v}}`` and ``{"term": {"f": {"value": v}}}``."""
+def _field_value(
+    body: dict, value_key: str = "value",
+    allowed: tuple[str, ...] = (),
+):
+    """ES allows ``{"term": {"f": v}}`` and ``{"term": {"f": {"value":
+    v}}}``. ``allowed`` lists the spec keys (beyond the value and
+    ``boost``) with implemented semantics — anything else is a named
+    400, never silently dropped: the reference forwards these bodies
+    verbatim to ES, so an ignored option (fuzziness, slop, …) would
+    change the result set with no error."""
     if len(body) != 1:
         raise DslError(f"expected a single field, got {list(body)}")
     field, spec = next(iter(body.items()))
     if isinstance(spec, dict):
         if value_key not in spec:
             raise DslError(f"missing '{value_key}' in {spec}")
+        unknown = sorted(set(spec) - {value_key, "boost", *allowed})
+        if unknown:
+            raise DslError(
+                f"unsupported query options on field {field!r}: "
+                f"{unknown} (supported: "
+                f"{sorted({value_key, 'boost', *allowed})})"
+            )
         return field, spec[value_key]
     return field, spec
+
+
+def _spec_flag(body: dict, key: str, default=False):
+    """A boolean/extra option from the spec-dict form (False/default
+    when the shorthand form was used)."""
+    spec = next(iter(body.values()))
+    if isinstance(spec, dict):
+        return spec.get(key, default)
+    return default
 
 
 def _wildcard_to_like(pattern: str) -> str:
@@ -207,10 +240,16 @@ def compile_dsl(
         return F.lit(True)
 
     if kind == "term":
-        field, value = _field_value(body)
+        field, value = _field_value(body, allowed=("case_insensitive",))
+        if _spec_flag(body, "case_insensitive"):
+            return (F.lower(col(field).cast("string"))
+                    == F.lit(str(value).lower()))
         return col(field) == F.lit(value)
 
     if kind == "terms":
+        # ES allows a sibling boost key next to the field in the terms
+        # object — accepted-and-ignored like every other boost
+        body = {k: v for k, v in body.items() if k != "boost"}
         if len(body) != 1:
             raise DslError("terms expects one field")
         field, values = next(iter(body.items()))
@@ -244,21 +283,30 @@ def compile_dsl(
         return col(body["field"]).isNotNull()
 
     if kind == "prefix":
-        field, value = _field_value(body)
+        field, value = _field_value(body, allowed=("case_insensitive",))
+        if _spec_flag(body, "case_insensitive"):
+            return F.lower(col(field).cast("string")).startswith(
+                str(value).lower())
         return col(field).cast("string").startswith(str(value))
 
     if kind == "wildcard":
-        field, value = _field_value(body)
+        field, value = _field_value(body, allowed=("case_insensitive",))
+        if _spec_flag(body, "case_insensitive"):
+            return F.lower(col(field).cast("string")).like(
+                _wildcard_to_like(str(value).lower()))
         return col(field).cast("string").like(_wildcard_to_like(str(value)))
 
     if kind == "regexp":
         # ES regexp queries anchor to the WHOLE field value (Lucene
         # semantics), unlike rlike's substring search — wrap in ^$.
-        field, value = _field_value(body)
-        return col(field).cast("string").rlike(f"^(?:{value})$")
+        field, value = _field_value(body, allowed=("case_insensitive",))
+        pat = f"^(?:{value})$"
+        if _spec_flag(body, "case_insensitive"):
+            pat = "(?i)" + pat
+        return col(field).cast("string").rlike(pat)
 
     if kind == "fuzzy":
-        field, value = _field_value(body)
+        field, value = _field_value(body, allowed=("fuzziness",))
         spec = body[field] if isinstance(body[field], dict) else {}
         fuzziness = _max_edits(spec.get("fuzziness", "AUTO"), str(value))
         return F.levenshtein(
@@ -266,10 +314,18 @@ def compile_dsl(
         ) <= fuzziness
 
     if kind == "match":
-        field, value = _field_value(body, value_key="query")
-        operator = (
-            body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
-        )
+        field, value = _field_value(
+            body, value_key="query",
+            allowed=("operator", "zero_terms_query"))
+        spec = body[field] if isinstance(body[field], dict) else {}
+        operator = spec.get("operator", "or")
+        ztq = spec.get("zero_terms_query", "none")
+        if ztq not in ("none", "all"):
+            raise DslError(f"unknown zero_terms_query {ztq!r}")
+        if ztq == "all" and not tokenize(str(value)):
+            # ES: an all-stopword/empty query matches EVERY doc under
+            # zero_terms_query: "all" (the default "none" matches none)
+            return F.lit(True)
         return _match_tokens(col(field), value, require_all=operator == "and")
 
     if kind == "match_phrase":
@@ -282,7 +338,10 @@ def compile_dsl(
         # exactly the plain substring test: "pandas lo" is a substring
         # of "pandas loop". Accepted as its own node type for DSL
         # compatibility; compiles identically to match_phrase.
-        field, value = _field_value(body, value_key="query")
+        # max_expansions only BOUNDS ES's candidate expansion — our
+        # substring form has no expansion step to bound.
+        field, value = _field_value(body, value_key="query",
+                                    allowed=("max_expansions",))
         return F.lower(col(field).cast("string")).contains(str(value).lower())
 
     if kind == "constant_score":
@@ -323,6 +382,21 @@ def compile_dsl(
         return matched >= required
 
     if kind == "multi_match":
+        # type / tie_breaker only shape ES's SCORING (this compiler is
+        # a boolean filter) — accepted-and-ignored like boost; keys
+        # with match-set semantics we don't implement (fuzziness,
+        # slop, …) are named errors
+        unknown = sorted(set(body) - {"query", "fields", "operator",
+                                      "type", "tie_breaker", "boost"})
+        if unknown:
+            raise DslError(
+                f"unsupported multi_match options: {unknown} "
+                "(supported: query, fields, operator; "
+                "type/tie_breaker/boost accepted-and-ignored)"
+            )
+        mm_operator = str(body.get("operator", "or")).lower()
+        if mm_operator not in ("and", "or"):
+            raise DslError(f"unknown multi_match operator {mm_operator!r}")
         query = body["query"]
         fields = body.get("fields")
         if not isinstance(fields, list) or not fields:
@@ -358,7 +432,11 @@ def compile_dsl(
             # ES semantics: fields that resolve to nothing match no
             # documents (match_no_docs), not all of them
             return F.lit(False)
-        preds = [_match_tokens(col(f), query) for f in expanded]
+        preds = [
+            _match_tokens(col(f), query,
+                          require_all=mm_operator == "and")
+            for f in expanded
+        ]
         acc = preds[0]
         for p in preds[1:]:
             acc = acc | p

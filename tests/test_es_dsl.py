@@ -285,3 +285,53 @@ def test_bm25_rank_shape(spark):
     assert scored[1]["bm25"] > scored[3]["bm25"]
     # helper columns are dropped from the output
     assert set(scored[1].asDict()) == {"id", "txt", "bm25"}
+
+
+def test_leaf_options_implemented_or_named_400(docs):
+    """r6: leaf spec options follow the no-silent-wrong-results
+    posture — case_insensitive / zero_terms_query / multi_match
+    operator are IMPLEMENTED; options with match-set semantics we
+    don't honor (fuzziness-in-match, slop, …) are named 400s; boost
+    and scoring-only keys stay accepted-and-ignored."""
+    # case_insensitive on term/prefix/wildcard/regexp
+    assert run(docs, {"term": {"txt": {
+        "value": "SPARK MERGES FAST", "case_insensitive": True}}}) == [1]
+    assert run(docs, {"term": {"txt": {
+        "value": "SPARK MERGES FAST"}}}) == []
+    assert run(docs, {"prefix": {"txt": {
+        "value": "SPA", "case_insensitive": True}}}) == [1, 4]
+    assert run(docs, {"prefix": {"txt": "SPA"}}) == []
+    assert run(docs, {"wildcard": {"txt": {
+        "value": "*PANDAS*", "case_insensitive": True}}}) == [2]
+    assert run(docs, {"regexp": {"txt": {
+        "value": "SPARK.*", "case_insensitive": True}}}) == [1, 4]
+    # match zero_terms_query: an empty-analyzing query matches all/none
+    assert run(docs, {"match": {"txt": {
+        "query": "!!!", "zero_terms_query": "all"}}}) == [1, 2, 3, 4]
+    assert run(docs, {"match": {"txt": {"query": "!!!"}}}) == []
+    # multi_match operator=and requires every token in SOME field
+    assert run(docs, {"multi_match": {
+        "query": "spark fast", "fields": ["txt"], "operator": "and",
+    }}) == [1]
+    assert run(docs, {"multi_match": {
+        "query": "spark fast", "fields": ["txt"],
+    }}) == [1, 4]
+    # scoring-only keys pass (type/tie_breaker/boost)
+    assert run(docs, {"multi_match": {
+        "query": "spark", "fields": ["txt"], "type": "best_fields",
+        "tie_breaker": 0.3,
+    }}) == [1, 4]
+    # unimplemented match-set options are named, never dropped
+    with pytest.raises(DslError, match="fuzziness"):
+        compile_dsl({"match": {"txt": {"query": "spark",
+                                       "fuzziness": "AUTO"}}})
+    with pytest.raises(DslError, match="slop"):
+        compile_dsl({"match_phrase": {"txt": {"query": "x", "slop": 2}}})
+    with pytest.raises(DslError, match="fuzziness"):
+        compile_dsl({"multi_match": {"query": "x", "fields": ["txt"],
+                                     "fuzziness": 1}})
+    with pytest.raises(DslError, match="transpositions"):
+        compile_dsl({"fuzzy": {"txt": {"value": "x",
+                                       "transpositions": False}}})
+    # terms' sibling boost key is accepted-and-ignored like ES allows
+    assert run(docs, {"terms": {"n": [5, 25], "boost": 2.0}}) == [1, 3]

@@ -100,9 +100,14 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         return True
     if kind == "term":
         f, v = next(iter(body.items()))
+        ci = isinstance(v, dict) and v.get("case_insensitive", False)
         if isinstance(v, dict):
             v = v["value"]  # spec form; boost (if present) is ignored
-        return row[f] is not None and row[f] == v
+        if row[f] is None:
+            return False
+        if ci:
+            return str(row[f]).lower() == str(v).lower()
+        return row[f] == v
     if kind == "terms":
         f, vs = next(iter(body.items()))
         return row[f] is not None and row[f] in vs
@@ -118,13 +123,14 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         return row[body["field"]] is not None
     if kind == "match":
         f, q = next(iter(body.items()))
-        operator = "or"
+        operator, ztq = "or", "none"
         if isinstance(q, dict):
             operator = q.get("operator", "or")
+            ztq = q.get("zero_terms_query", "none")
             q = q["query"]
         toks = tokenize(str(q))
         if not toks:
-            return False  # ES zero_terms_query='none'
+            return ztq == "all"  # ES zero_terms_query
 
         s = row[f]
         if s is None:
@@ -137,20 +143,41 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         return s is not None and str(q).lower() in s.lower()
     if kind == "prefix":
         f, v = next(iter(body.items()))
+        ci = isinstance(v, dict) and v.get("case_insensitive", False)
+        if isinstance(v, dict):
+            v = v["value"]
         s = row[f]
-        return s is not None and str(s).startswith(str(v))
+        if s is None:
+            return False
+        if ci:
+            return str(s).lower().startswith(str(v).lower())
+        return str(s).startswith(str(v))
     if kind == "wildcard":
         import re as _re
 
         f, v = next(iter(body.items()))
+        ci = isinstance(v, dict) and v.get("case_insensitive", False)
+        if isinstance(v, dict):
+            v = v["value"]
         s = row[f]
-        return s is not None and bool(_re.fullmatch(_wild_re(str(v)), str(s)))
+        if s is None:
+            return False
+        if ci:
+            return bool(_re.fullmatch(_wild_re(str(v).lower()),
+                                      str(s).lower()))
+        return bool(_re.fullmatch(_wild_re(str(v)), str(s)))
     if kind == "regexp":
         import re as _re
 
         f, v = next(iter(body.items()))
+        ci = isinstance(v, dict) and v.get("case_insensitive", False)
+        if isinstance(v, dict):
+            v = v["value"]
         s = row[f]
-        return s is not None and bool(_re.fullmatch(str(v), str(s)))
+        if s is None:
+            return False
+        flags = _re.IGNORECASE if ci else 0
+        return bool(_re.fullmatch(str(v), str(s), flags))
     if kind == "fuzzy":
         from sql_database_to_elastic_datalake_spark.plans.es_dsl import _max_edits
 
@@ -211,11 +238,16 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         toks = tokenize(str(body["query"]))
         if not toks:
             return False
+        op_all = str(body.get("operator", "or")).lower() == "and"
         seen = list(dict.fromkeys(fields))
-        return any(
-            row[f] is not None and any(t in str(row[f]).lower() for t in toks)
-            for f in seen
-        )
+
+        def field_hit(f):
+            if row[f] is None:
+                return False
+            hits = (t in str(row[f]).lower() for t in toks)
+            return all(hits) if op_all else any(hits)
+
+        return any(field_hit(f) for f in seen)
     if kind in ("query_string", "simple_query_string"):
         # shared parse (pinned separately by tests/test_query_string.py),
         # INDEPENDENT evaluation of the parsed tree by this mirror
@@ -293,6 +325,27 @@ leaf = st.one_of(
     st.builds(lambda v, b: {"term": {"kind": {"value": v, "boost": b}}},
               st.sampled_from(["a", "b", "ü"]),
               st.sampled_from([0.1, 2.0, 5])),
+    # r6 leaf options: case_insensitive variants, match
+    # zero_terms_query, multi_match operator
+    st.builds(lambda v: {"term": {"txt": {"value": v,
+                                          "case_insensitive": True}}},
+              st.sampled_from(["SPARK SPARK SPARK", "Slow Pandas Loop",
+                               "späŕk 样本 🙂 fast", ""])),
+    st.builds(lambda v: {"prefix": {"txt": {"value": v,
+                                            "case_insensitive": True}}},
+              st.sampled_from(["SPA", "sLoW", "SPÄ", ""])),
+    st.builds(lambda v: {"wildcard": {"txt": {"value": v,
+                                              "case_insensitive": True}}},
+              st.sampled_from(["*SPARK*", "S?ARK*", "*LOOP"])),
+    st.builds(lambda q, z: {"match": {"txt": {
+                  "query": q, "zero_terms_query": z}}},
+              st.sampled_from(["", "!!!", "spark", "·—·"]),
+              st.sampled_from(["none", "all"])),
+    st.builds(lambda q, fs, op: {"multi_match": {
+                  "query": q, "fields": fs, "operator": op}},
+              st.sampled_from(["spark fast", "slow loop", "a zzz"]),
+              st.sampled_from([["txt"], ["kind", "txt"]]),
+              st.sampled_from(["and", "or"])),
     st.builds(lambda inner, b: {"constant_score": {"filter": inner,
                                                    "boost": b}},
               st.sampled_from([{"term": {"kind": "a"}},
