@@ -501,7 +501,8 @@ class LakeService:
                     import run_aggs
 
                 aggregations = run_aggs(matched, aggs,
-                                        schema_fields=df.columns)
+                                        schema_fields=df.columns,
+                                        background=df)
             if post_filter is not None:
                 # ES's faceted-navigation contract: aggs saw the query
                 # scope ABOVE; hits and totals see query AND post_filter

@@ -108,6 +108,8 @@ _AGG_BODY_KEYS = {
     "range": {"field", "ranges"},
     "composite": {"sources", "size", "after"},
     "top_hits": {"size", "sort", "_source"},
+    "significant_terms": {"field", "size", "min_doc_count",
+                          "shard_size", "shard_min_doc_count"},
     # metric kinds: field + ES's missing-value substitution;
     # precision_threshold is accepted-ignored (we are exact anyway)
     "avg": {"field", "missing"},
@@ -901,6 +903,50 @@ def _assemble_levels(
     return env
 
 
+def significant_terms_frame(
+    fg: DataFrame, bg: DataFrame, body: dict
+) -> DataFrame:
+    """ES ``significant_terms``: terms overrepresented in the query
+    scope (foreground) relative to the whole index (background) —
+    Kibana's "significant keywords" panel. Scored with ES's DEFAULT
+    JLH heuristic, computed EXACTLY: ``(fg% − bg%) · (fg% / bg%)``;
+    only terms with fg% > bg% qualify (ES's posture), ordered
+    score-desc with the usual deterministic key tie-break.
+
+    Plan shape: one groupBy each over foreground and background (the
+    background agg is the same cardinality class as a terms agg), an
+    equi-join on the term, and two broadcast scalar totals — no
+    corpus-sized shuffle beyond the two aggs. ``min_doc_count``
+    defaults to 3 like ES."""
+    check_agg_keys("significant_terms", body)
+    field = body.get("field")
+    if field is None:
+        raise DslError("significant_terms requires a field")
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    key = F.col(field)
+    fgc = (fg.filter(key.isNotNull()).groupBy(key.alias("key"))
+           .agg(F.count(F.lit(1)).alias("doc_count")))
+    bgc = (bg.filter(key.isNotNull()).groupBy(key.alias("key"))
+           .agg(F.count(F.lit(1)).alias("bg_count")))
+    fgt = fg.agg(F.count(F.lit(1)).cast("double").alias("ft"))
+    bgt = bg.agg(F.count(F.lit(1)).cast("double").alias("bt"))
+    fg_pct = F.col("doc_count").cast("double") / F.col("ft")
+    bg_pct = F.col("bg_count").cast("double") / F.col("bt")
+    return (
+        fgc.join(bgc, "key")
+        .crossJoin(F.broadcast(fgt))
+        .crossJoin(F.broadcast(bgt))
+        .filter((F.col("doc_count") >= min_dc) & (fg_pct > bg_pct))
+        .select(
+            "key", "doc_count", "bg_count",
+            ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def filter_frame(
     df: DataFrame,
     body: dict,
@@ -954,10 +1000,15 @@ def run_aggs(
     df: DataFrame,
     aggs: dict,
     schema_fields: list[str] | None = None,
+    background: DataFrame | None = None,
 ) -> dict:
     """Execute an ES ``aggs`` section and assemble the documented
     response envelope: ``{name: {"buckets": [...]}}`` for bucket aggs,
-    ``{name: {"value": v}}`` / stats object for metrics."""
+    ``{name: {"value": v}}`` / stats object for metrics.
+
+    ``background`` is the UNFILTERED table — ``significant_terms``
+    contrasts the matched scope against it (the API layer passes the
+    table's full DataFrame)."""
     if not isinstance(aggs, dict):
         raise DslError("aggs must be an object")
     out: dict[str, Any] = {}
@@ -1097,6 +1148,30 @@ def run_aggs(
             env: dict[str, Any] = {"doc_count": row["doc_count"]}
             env.update(_metric_envelope(row, sub))
             out[name] = env
+        elif kind == "significant_terms":
+            if sub:
+                raise DslError(
+                    "sub-aggregations under significant_terms are not "
+                    "supported"
+                )
+            if background is None:
+                raise DslError(
+                    "significant_terms needs the background set — this "
+                    "entry point has no table context (use "
+                    "/search/advanced, which passes it)"
+                )
+            rows = significant_terms_frame(df, background, body).collect()
+            out[name] = {
+                "doc_count": df.count(),
+                "bg_count": background.count(),
+                "buckets": [
+                    {"key": _key_envelope(r["key"]),
+                     "doc_count": r["doc_count"],
+                     "bg_count": r["bg_count"],
+                     "score": r["score"]}
+                    for r in rows
+                ],
+            }
         else:
             raise DslError(f"unsupported aggregation kind {kind!r}")
     return out

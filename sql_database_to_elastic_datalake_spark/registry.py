@@ -1187,6 +1187,55 @@ def search_aggs_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_significant_terms",
+    # the JLH expression tree is written identically on both sides
+    # (divide, subtract, multiply over doubles from bigint counts), so
+    # the float hash matches bit-for-bit like the scored search
+    # queries; key tie-break totalizes the LIMIT boundary
+    oracle="""
+    WITH fg AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM documents WHERE lang = 'de' AND source IS NOT NULL
+        GROUP BY 1
+    ),
+    bg AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS bg_count
+        FROM documents WHERE source IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents
+         WHERE lang = 'de') AS ft,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS bt)
+    SELECT key, doc_count, bg_count,
+           ((CAST(doc_count AS DOUBLE)/ft - CAST(bg_count AS DOUBLE)/bt)
+            * ((CAST(doc_count AS DOUBLE)/ft)
+               / (CAST(bg_count AS DOUBLE)/bt))) AS score
+    FROM fg JOIN bg USING (key), tot
+    WHERE doc_count >= 2
+      AND CAST(doc_count AS DOUBLE)/ft > CAST(bg_count AS DOUBLE)/bt
+    ORDER BY score DESC, key LIMIT 5
+    """,
+)
+def search_aggs_significant_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``significant_terms`` (r6): sources overrepresented among
+    German documents vs the whole corpus, scored with ES's default JLH
+    heuristic computed exactly — Kibana's "significant keywords"
+    panel. Two aggs + a term join + broadcast totals; no corpus-sized
+    shuffle beyond the aggs."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        significant_terms_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return significant_terms_frame(
+        docs.filter(F.col("lang") == "de"), docs,
+        {"field": "source", "size": 5, "min_doc_count": 2},
+    )
+
+
+@register(
     "search_aggs_histogram_gaps",
     # generate_series mirrors the in-plan sequence(); the sparse
     # predicate (event_id % 997) guarantees observable gaps at small
@@ -3561,6 +3610,7 @@ _CHECK_FIRST = [
     "search_aggs_terms_order",     # NEW: terms order/missing/min_doc
     "search_aggs_histogram_gaps",  # NEW: min_doc_count:0 gap filling
     "benchmark_decontamination",   # NEW: 8-gram probe decontamination
+    "search_aggs_significant_terms",  # NEW: JLH significant terms
     "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
     "dedup_clusters_jaccard",      # cost metrics (dedup.py)
     "search_aggs_terms_stats",
@@ -3607,12 +3657,12 @@ _CHECK_FIRST = [
     "history_asof_read",
     "events_ewma",
     "embed_quantize_int8",
-    "incremental_sync_events",
-    # (leakage_safe_split, text_repetition, array_functions_docs and
-    #  corpus_composition displaced to keep the window at exactly 50
-    #  after the post-certification collapse / terms-order /
-    #  histogram-gaps / decontamination additions — they lead the r7
-    #  fill, oldest-evidence first)
+    # (incremental_sync_events, leakage_safe_split, text_repetition,
+    #  array_functions_docs and corpus_composition displaced to keep
+    #  the window at exactly 50 after the post-certification collapse /
+    #  terms-order / histogram-gaps / decontamination /
+    #  significant-terms additions — they lead the r7 fill,
+    #  oldest-evidence first)
 ]
 
 

@@ -651,6 +651,67 @@ def test_metric_missing_parameter_substitutes(docs):
     assert b["avg_c"]["value"] == pytest.approx(200.0)
 
 
+def test_significant_terms_envelope(docs):
+    """significant_terms contrasts the matched scope against the
+    background (the unfiltered table): JLH-scored, fg%>bg% only."""
+    out = run_aggs(docs.filter("n_chars >= 200"),
+                   {"sig": {"significant_terms": {
+                       "field": "lang", "min_doc_count": 1}}},
+                   background=docs)
+    env = out["sig"]
+    assert env["doc_count"] == 4 and env["bg_count"] == 7
+    buckets = {b["key"]: b for b in env["buckets"]}
+    # de: fg 2/4 vs bg 2/7 -> overrepresented; en: 1/4 < 3/7 -> out
+    assert "de" in buckets and "en" not in buckets
+    de = buckets["de"]
+    fg_pct, bg_pct = 2 / 4, 2 / 7
+    assert de["doc_count"] == 2 and de["bg_count"] == 2
+    assert de["score"] == pytest.approx(
+        (fg_pct - bg_pct) * (fg_pct / bg_pct))
+    # no background context -> named error, not a silent empty result
+    with pytest.raises(DslError, match="background"):
+        run_aggs(docs, {"sig": {"significant_terms": {"field": "lang"}}})
+    # result-changing unknown options still 400
+    with pytest.raises(DslError, match="background_filter"):
+        run_aggs(docs, {"sig": {"significant_terms": {
+            "field": "lang", "background_filter": {"term": {"x": 1}}}}},
+            background=docs)
+
+
+def test_significant_terms_via_advanced_search(spark, tmp_path):
+    import json
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService,
+        create_app,
+    )
+
+    service = LakeService(spark, str(tmp_path))
+    service.ingest("label", [
+        {"name": "spark a", "color": "red"},
+        {"name": "spark b", "color": "red"},
+        {"name": "other c", "color": "red"},
+        {"name": "other d", "color": "blue"},
+        {"name": "other e", "color": "blue"},
+        {"name": "other f", "color": "blue"},
+    ])
+    app = create_app(service)
+    app.testing = True
+    c = app.test_client()
+    r = c.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label",
+        "query": {"match": {"name": "spark"}},
+        "aggs": {"sig_colors": {"significant_terms": {
+            "field": "color", "min_doc_count": 1}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    env = r.get_json()["aggregations"]["sig_colors"]
+    # red: fg 2/2 vs bg 3/6 — significant; blue absent from fg
+    assert [b["key"] for b in env["buckets"]] == ["red"]
+    assert env["buckets"][0]["doc_count"] == 2
+
+
 def test_agg_errors_are_dsl_errors(docs):
     for bad in (
         {"x": {"terms": {"field": "lang"}, "histogram": {}}},  # two kinds

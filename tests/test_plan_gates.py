@@ -279,6 +279,12 @@ GATES = {
         shuffles=2, smj_max=0, bhj_min=2, wgl=False,
         scans={"events": (2, ["IsNotNull(event_id)"])},
     ),
+    # significant_terms: fg/bg aggs + term join + broadcast totals; the
+    # foreground predicate must reach both fg-side scans
+    "search_aggs_significant_terms": dict(
+        shuffles=4, smj_max=0, bhj_min=2, wgl=False,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
