@@ -86,6 +86,46 @@ _CALENDAR_TRUNC = {
 _FIXED_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
 _FIXED_SECS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
+#: ES date_histogram ``offset`` grammar: ``±<n><unit>`` (w = 7 days)
+_OFFSET_RE = re.compile(r"^([+-]?)(\d+)(ms|s|m|h|d|w)$")
+_OFFSET_SECS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400,
+                "w": 7 * 86400}
+
+
+def _parse_offset(spec) -> int:
+    """ES date_histogram ``offset`` ("+6h", "-30m") → signed whole
+    seconds. Sub-second offsets are a named 400 (the engine's bucket
+    arithmetic is second-resolution, same contract as fixed_interval
+    gap filling)."""
+    if spec is None:
+        return 0
+    m = _OFFSET_RE.match(str(spec))
+    if not m:
+        raise DslError(f"unsupported date_histogram offset {spec!r}")
+    secs = int(m.group(2)) * _OFFSET_SECS[m.group(3)]
+    if secs != int(secs):
+        raise DslError(
+            f"sub-second date_histogram offset {spec!r} is not supported")
+    return -int(secs) if m.group(1) == "-" else int(secs)
+
+
+def _check_time_zone(tz) -> str | None:
+    """Validate an ES ``time_zone`` id eagerly (named 400) instead of
+    letting the JVM throw mid-job. IANA names and fixed offsets
+    (``+05:30``) both resolve through zoneinfo / the JDK tz db."""
+    if tz is None:
+        return None
+    tz = str(tz)
+    if re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
+        return tz  # fixed-offset form — Spark accepts it directly
+    try:
+        from zoneinfo import ZoneInfo
+
+        ZoneInfo(tz)
+    except Exception:
+        raise DslError(f"unknown time_zone {tz!r}") from None
+    return tz
+
 
 #: ES default percents for a percentiles agg
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -104,7 +144,8 @@ _AGG_BODY_KEYS = {
     "histogram": {"field", "interval", "min_doc_count",
                   "extended_bounds"},
     "date_histogram": {"field", "calendar_interval", "fixed_interval",
-                       "min_doc_count", "extended_bounds", "format"},
+                       "min_doc_count", "extended_bounds", "format",
+                       "time_zone", "offset"},
     "range": {"field", "ranges"},
     "composite": {"sources", "size", "after"},
     "top_hits": {"size", "sort", "_source"},
@@ -234,25 +275,42 @@ def bucket_key(kind: str, body: dict) -> Column:
     if kind == "date_histogram":
         cal = body.get("calendar_interval")
         fixed = body.get("fixed_interval")
+        tz = _check_time_zone(body.get("time_zone"))
+        off = _parse_offset(body.get("offset"))
+        # ES rounds in the time_zone's WALL CLOCK (Kibana attaches the
+        # browser tz to every time chart), with `offset` shifting each
+        # bucket's start: bucket_local = trunc(local − offset) + offset,
+        # then back to the UTC instant. DST is honored by the tz db on
+        # both shifts, so a 23-hour "day" truncates correctly. All four
+        # shifts are pure column arithmetic — codegen'd, no UDF.
+        local = F.from_utc_timestamp(F.col(field), tz) if tz \
+            else F.col(field)
+        if off:
+            local = local - F.expr(f"INTERVAL {off} SECONDS")
         if cal is not None:
             unit = _CALENDAR_TRUNC.get(cal)
             if unit is None:
                 raise DslError(f"unsupported calendar_interval {cal!r}")
-            return F.date_trunc(unit, F.col(field))
-        if fixed is not None:
+            t = F.date_trunc(unit, local)
+        elif fixed is not None:
             m = _FIXED_RE.match(str(fixed))
             if not m:
                 raise DslError(f"unsupported fixed_interval {fixed!r}")
             secs = int(m.group(1)) * _FIXED_SECS[m.group(2)]
             if secs <= 0:
                 raise DslError(f"unsupported fixed_interval {fixed!r}")
-            return F.timestamp_seconds(
-                F.floor(F.unix_timestamp(F.col(field)) / F.lit(secs))
+            t = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(local) / F.lit(secs))
                 * F.lit(secs)
             )
-        raise DslError(
-            "date_histogram requires calendar_interval or fixed_interval"
-        )
+        else:
+            raise DslError(
+                "date_histogram requires calendar_interval or "
+                "fixed_interval"
+            )
+        if off:
+            t = t + F.expr(f"INTERVAL {off} SECONDS")
+        return F.to_utc_timestamp(t, tz) if tz else t
     raise DslError(f"unsupported bucket aggregation kind {kind!r}")
 
 
@@ -404,9 +462,34 @@ def histogram_frame(
                 "mn",
                 F.coalesce(F.greatest("mx", F.lit(v)), F.lit(v)).alias("mx"))
     if step is not None:
-        full = b.filter(F.col("mn").isNotNull()).select(
-            F.explode(F.sequence(F.col("mn"), F.col("mx"), step))
-            .alias("key"))
+        tz = _check_time_zone(body.get("time_zone")) \
+            if kind == "date_histogram" else None
+        off = _parse_offset(body.get("offset")) \
+            if kind == "date_histogram" else 0
+        if tz or off:
+            # enumerate the dense sequence in LOCAL wall-clock space
+            # (where buckets are uniform even across DST — a NY "day"
+            # is 23 UTC hours on the spring-forward date), then map
+            # each wall value back to its UTC instant
+            def _to_local(c):
+                c = F.from_utc_timestamp(c, tz) if tz else c
+                return c - F.expr(f"INTERVAL {off} SECONDS") if off else c
+
+            def _to_instant(c):
+                c = c + F.expr(f"INTERVAL {off} SECONDS") if off else c
+                return F.to_utc_timestamp(c, tz) if tz else c
+
+            full = (
+                b.filter(F.col("mn").isNotNull())
+                .select(F.explode(F.sequence(
+                    _to_local(F.col("mn")), _to_local(F.col("mx")), step))
+                    .alias("__lk"))
+                .select(_to_instant(F.col("__lk")).alias("key"))
+            )
+        else:
+            full = b.filter(F.col("mn").isNotNull()).select(
+                F.explode(F.sequence(F.col("mn"), F.col("mx"), step))
+                .alias("key"))
     else:
         iv = int(body["interval"])
         key_type = grouped.schema["key"].dataType
@@ -519,7 +602,10 @@ def composite_frame(
 
     ``sources`` may mix ``terms`` / ``histogram`` / ``date_histogram``
     keys. ES's default ``missing_bucket=false`` applies: rows with a
-    null key column are excluded.
+    null key column are excluded; ``missing_bucket: true`` (r7 —
+    Kibana's paged group-by over sparse fields) keeps them as a null
+    key that sorts FIRST (ES's default missing_order), including
+    through the ``after`` cursor.
     """
     sources = body.get("sources")
     if not isinstance(sources, list) or not sources:
@@ -528,6 +614,7 @@ def composite_frame(
     names: list[str] = []
     keys: list[Column] = []
     kinds: list[str] = []
+    keep_null: list[bool] = []
     for src in sources:
         if not isinstance(src, dict) or len(src) != 1:
             raise DslError("each composite source must be {name: {kind: …}}")
@@ -535,11 +622,12 @@ def composite_frame(
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError(f"composite source {name!r} must have one kind")
         kind, kbody = next(iter(spec.items()))
-        # composite sources take only the key expression's inputs;
-        # missing_bucket / per-source order would change results
+        # composite sources take only the key expression's inputs plus
+        # missing_bucket; per-source order would change results
         # silently if ignored → 400 (the agg-wide posture)
         allowed = {"field", "interval", "calendar_interval",
-                   "fixed_interval"}
+                   "fixed_interval", "time_zone", "offset",
+                   "missing_bucket"}
         unknown = sorted(set(kbody) - allowed) \
             if isinstance(kbody, dict) else []
         if unknown:
@@ -549,28 +637,38 @@ def composite_frame(
             )
         names.append(name)
         kinds.append(kind)
+        keep_null.append(bool(kbody.get("missing_bucket", False))
+                         if isinstance(kbody, dict) else False)
         keys.append(bucket_key(kind, kbody))
     after = body.get("after")
     out = df
-    for k in keys:
-        out = out.filter(k.isNotNull())
+    for k, keep in zip(keys, keep_null):
+        if not keep:
+            out = out.filter(k.isNotNull())
     if after is not None:
         missing = [n for n in names if n not in after]
         if missing:
             raise DslError(f"after key missing sources: {missing}")
         # strict lexicographic (k1..kn) > (a1..an), built innermost-out,
-        # on the raw columns: pre-shuffle cursor pruning
+        # on the raw columns: pre-shuffle cursor pruning. A null cursor
+        # value (the missing bucket, which sorts first) is "after" for
+        # any non-null key; a null KEY compares false against a
+        # non-null cursor, excluding it — exactly nulls-first order.
         pred = F.lit(False)
         for k, n, kd in zip(reversed(keys), reversed(names),
                             reversed(kinds)):
-            pred = (k > _after_lit(kd, after[n])) | (
-                (k == _after_lit(kd, after[n])) & pred
-            )
+            a = after[n]
+            if a is None:
+                pred = k.isNotNull() | (k.isNull() & pred)
+            else:
+                pred = (k > _after_lit(kd, a)) | (
+                    (k == _after_lit(kd, a)) & pred
+                )
         out = out.filter(pred)
     grouped = (
         out.groupBy(*[k.alias(n) for k, n in zip(keys, names)])
         .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub_aggs))
-        .orderBy(*[F.col(n).asc() for n in names])
+        .orderBy(*[F.col(n).asc_nulls_first() for n in names])
         .limit(size)
     )
     return grouped
@@ -578,6 +676,10 @@ def composite_frame(
 
 #: bucket kinds that can form a nested level chain
 _LEVEL_KINDS = ("terms", "histogram", "date_histogram")
+
+#: hard cap on the flat composite-key rows a nested chain may collect
+#: (the driver-memory bound the r6 advisory asked to enforce in-plan)
+_NESTED_FLAT_BUDGET = 100_000
 
 
 def _split_levels(
@@ -786,27 +888,86 @@ def _rollup_metrics(rows: list, mets: dict, li: int) -> dict:
     return out
 
 
+def _to_wall(k: _dt.datetime, tz: str | None, off: int) -> _dt.datetime:
+    """UTC bucket instant → its (offset-shifted) local wall value."""
+    if tz:
+        from zoneinfo import ZoneInfo
+
+        k = (k.replace(tzinfo=_dt.timezone.utc)
+             .astimezone(ZoneInfo(tz)).replace(tzinfo=None))
+    return k - _dt.timedelta(seconds=off) if off else k
+
+
+def _from_wall(k: _dt.datetime, tz: str | None, off: int) -> _dt.datetime:
+    """Local wall value → UTC bucket instant (fold=0 on ambiguity —
+    the earlier occurrence, matching to_utc_timestamp)."""
+    if off:
+        k = k + _dt.timedelta(seconds=off)
+    if tz:
+        from zoneinfo import ZoneInfo
+
+        k = (k.replace(tzinfo=ZoneInfo(tz))
+             .astimezone(_dt.timezone.utc).replace(tzinfo=None))
+    return k
+
+
 def _advance_key(k, kind: str, body: dict):
     """The next bucket key after ``k`` — the driver-side mirror of
-    :func:`_histogram_step` for in-memory gap filling."""
+    :func:`_histogram_step` for in-memory gap filling. date_histogram
+    steps in the ``time_zone``'s wall clock (offset removed first) so
+    DST-short days advance by one calendar day, not 24 fixed hours."""
     if kind == "histogram":
         return k + int(body["interval"])
+    tz = _check_time_zone(body.get("time_zone"))
+    off = _parse_offset(body.get("offset"))
+    k = _to_wall(k, tz, off)
     cal = body.get("calendar_interval")
     if cal is not None:
         unit = _CALENDAR_TRUNC[cal]
         if unit in ("second", "minute", "hour", "day", "week"):
             secs = {"second": 1, "minute": 60, "hour": 3600,
                     "day": 86400, "week": 7 * 86400}[unit]
-            return k + _dt.timedelta(seconds=secs)
-        months = {"month": 1, "quarter": 3, "year": 12}[unit]
-        total = (k.year * 12 + (k.month - 1)) + months
-        return k.replace(year=total // 12, month=total % 12 + 1)
+            k = k + _dt.timedelta(seconds=secs)
+        else:
+            months = {"month": 1, "quarter": 3, "year": 12}[unit]
+            total = (k.year * 12 + (k.month - 1)) + months
+            k = k.replace(year=total // 12, month=total % 12 + 1)
+        return _from_wall(k, tz, off)
     m = _FIXED_RE.match(str(body.get("fixed_interval")))
     secs = int(m.group(1)) * _FIXED_SECS[m.group(2)]
     if secs != int(secs) or secs < 1:
         raise DslError(
             "min_doc_count: 0 needs a whole-second fixed_interval")
-    return k + _dt.timedelta(seconds=int(secs))
+    return _from_wall(k + _dt.timedelta(seconds=int(secs)), tz, off)
+
+
+def _metric_order_getter(target: str, mets: dict, li: int):
+    """A ``terms`` ``order`` metric target inside a nested chain →
+    a function (bucket's flat rows) → orderable value, backed by the
+    same component rollup the envelope uses. Only single-value
+    mergeable metrics (and stats paths) have a total order to sort
+    by — the same target set :func:`_terms_order` accepts."""
+    base, _, stat = target.partition(".")
+    spec = mets.get(base)
+    if spec is None:
+        raise DslError(
+            f"terms order references unknown sub-agg {target!r}")
+    mkind = next(iter(spec))
+    if mkind == "stats":
+        if stat not in ("count", "min", "max", "avg", "sum"):
+            raise DslError(
+                f"unknown stats path in terms order {target!r}")
+    elif mkind in ("percentiles", "missing"):
+        raise DslError(
+            f"cannot order terms by a {mkind} sub-agg ({base!r})")
+    elif stat:
+        raise DslError(f"malformed terms order target {target!r}")
+
+    def get(rs: list):
+        env = _rollup_metrics(rs, {base: spec}, li)[base]
+        return env[stat] if mkind == "stats" else env.get("value")
+
+    return get
 
 
 def _assemble_levels(
@@ -849,12 +1010,33 @@ def _assemble_levels(
                 items.sort(key=lambda t: t[0],
                            reverse=direction == "desc")
             else:
-                raise DslError(
-                    "ordering a nested bucket chain's terms level by a "
-                    "metric sub-agg is not supported — order by _count "
-                    "or _key, or move the metric order to a "
-                    "single-level terms agg"
-                )
+                # order by a metric sub-agg AT THIS LEVEL (r7 —
+                # Kibana's "order by metric" on a nested terms
+                # panel): the metric's mergeable components already
+                # rode the one shuffle, so its per-bucket value
+                # rolls up from the item's flat rows exactly like
+                # the envelope's — no extra job. Null metric values
+                # (all-null buckets) sort LAST in either direction,
+                # ES's missing-last posture.
+                getter = _metric_order_getter(
+                    str(target), metrics[li], li)
+                import functools as _ft
+
+                def _cmp(a, b, _g=getter, _d=direction):
+                    va, vb = _g(a[1]), _g(b[1])
+                    if va is None and vb is None:
+                        return 0
+                    if va is None:
+                        return 1
+                    if vb is None:
+                        return -1
+                    if va == vb:
+                        return 0
+                    lt = va < vb
+                    return (1 if lt else -1) if _d == "desc" \
+                        else (-1 if lt else 1)
+
+                items.sort(key=_ft.cmp_to_key(_cmp))
         items = items[:size]
     else:
         if "extended_bounds" in body:
@@ -889,7 +1071,7 @@ def _assemble_levels(
     for k, rs, dc in items:
         b: dict[str, Any] = {"key": _key_envelope(k), "doc_count": dc}
         if isinstance(k, _dt.datetime):
-            b["key_as_string"] = k.isoformat()
+            b["key_as_string"] = _key_as_string(k, body)
         b.update(_rollup_metrics(rs, metrics[li], li))
         if li + 1 < len(levels):
             b[levels[li + 1][0]] = _assemble_levels(
@@ -996,6 +1178,66 @@ def _key_envelope(v) -> Any:
     return v
 
 
+#: Java DateTimeFormatter letter-runs with implemented strftime twins.
+_JAVA_FMT = {"yyyy": "%Y", "yy": "%y", "MM": "%m", "dd": "%d",
+             "HH": "%H", "mm": "%M", "ss": "%S"}
+
+_JAVA_RUN_RE = re.compile(r"([A-Za-z])\1*|'([^']*)'|([^A-Za-z']+)")
+
+
+def _java_to_strftime(fmt: str) -> str:
+    """The common Java date-pattern subset (``yyyy-MM-dd HH:mm:ss`` and
+    friends) → strftime. A letter run outside the implemented set is a
+    named 400 — honoring ``format`` partially would silently change
+    ``key_as_string`` (the r6 advisory's accepted-and-ignored class)."""
+    out: list[str] = []
+    pos = 0
+    for m in _JAVA_RUN_RE.finditer(fmt):
+        if m.start() != pos:
+            raise DslError(f"malformed date format {fmt!r}")
+        pos = m.end()
+        if m.group(1) is not None:
+            run = m.group(0)
+            if run not in _JAVA_FMT:
+                raise DslError(
+                    f"unsupported date format token {run!r} in {fmt!r} "
+                    f"(supported: {sorted(_JAVA_FMT)}, epoch_millis, "
+                    "epoch_second, date, date_optional_time)"
+                )
+            out.append(_JAVA_FMT[run])
+        elif m.group(2) is not None:
+            out.append(m.group(2).replace("%", "%%"))
+        else:
+            out.append(m.group(3).replace("%", "%%"))
+    if pos != len(fmt):
+        raise DslError(f"malformed date format {fmt!r}")
+    return "".join(out)
+
+
+def _key_as_string(k: _dt.datetime, body: dict) -> str:
+    """ES ``key_as_string``: rendered in the request ``time_zone``
+    (Kibana labels buckets with it) and honoring ``format`` — named ES
+    formats plus the Java-pattern subset (:func:`_java_to_strftime`).
+    The numeric ``key`` stays the UTC epoch-millis instant like ES."""
+    tz = _check_time_zone(body.get("time_zone"))
+    local = k
+    if tz:
+        from zoneinfo import ZoneInfo
+
+        local = k.replace(tzinfo=_dt.timezone.utc).astimezone(ZoneInfo(tz))
+    fmt = body.get("format")
+    if fmt is None or fmt in ("date_optional_time",
+                              "strict_date_optional_time"):
+        return local.isoformat()
+    if fmt == "epoch_millis":
+        return str(_key_envelope(k))
+    if fmt == "epoch_second":
+        return str(_key_envelope(k) // 1000)
+    if fmt == "date" or fmt == "strict_date":
+        return local.strftime("%Y-%m-%d")
+    return local.strftime(_java_to_strftime(str(fmt)))
+
+
 def run_aggs(
     df: DataFrame,
     aggs: dict,
@@ -1043,9 +1285,24 @@ def run_aggs(
         )
         if kind in _LEVEL_KINDS and has_bucket_sub:
             # multi-level bucket chain (r6): ONE shuffle on the
-            # composite key, tree assembled from the flat frame
+            # composite key, tree assembled from the flat frame.
+            # The collect is HARD-BOUNDED (r6 advisory): terms-level
+            # size truncation happens driver-side, so a
+            # high-cardinality top level (user_id > day) would
+            # otherwise pull the whole composite product — the
+            # limit(B+1) caps the transfer at B+1 rows and the
+            # overflow becomes a named error, not a driver OOM.
             levels, per_level = _split_levels(name, kind, body, sub)
-            rows = nested_levels_frame(df, levels, per_level).collect()
+            rows = nested_levels_frame(df, levels, per_level) \
+                .limit(_NESTED_FLAT_BUDGET + 1).collect()
+            if len(rows) > _NESTED_FLAT_BUDGET:
+                raise DslError(
+                    f"nested aggregation {name!r} produces more than "
+                    f"{_NESTED_FLAT_BUDGET} flat buckets before "
+                    "terms-size truncation — narrow the levels or use "
+                    "a composite aggregation (the paged bucket API) "
+                    "for unbounded key domains"
+                )
             out[name] = _assemble_levels(rows, levels, per_level, 0)
         elif kind == "terms":
             top_hits = {
@@ -1068,10 +1325,20 @@ def run_aggs(
             ]
             for th_name, th_spec in top_hits.items():
                 keys = [r["key"] for r in rows]
+                th_body = th_spec["top_hits"]
                 hit_rows = top_hits_frame(
-                    df, bucket_key("terms", body), keys,
-                    th_spec["top_hits"]
+                    df, bucket_key("terms", body), keys, th_body
                 ).collect()
+                # the `_source` spec restricts the RETURNED fields (r6
+                # advisory: listed-but-unapplied would silently hand a
+                # saved query extra fields); the frame itself keeps
+                # every column — the bucket key below must stay
+                # readable regardless of the projection
+                from sql_database_to_elastic_datalake_spark.plans.search \
+                    import resolve_source_columns
+
+                th_src = resolve_source_columns(
+                    [c for c in df.columns], th_body.get("_source"))
                 by_key: dict = {}
                 for hr in hit_rows:
                     # buckets carry _key_envelope-converted keys
@@ -1085,7 +1352,7 @@ def run_aggs(
                         raw = body.get("missing")
                     by_key.setdefault(_key_envelope(raw), []).append({
                         "_source": {c: hr[c] for c in hr.asDict()
-                                    if c != "__rn"}
+                                    if c != "__rn" and c in th_src}
                     })
                 for b in buckets:
                     b[th_name] = {"hits": {
@@ -1106,7 +1373,7 @@ def run_aggs(
                      "doc_count": r["doc_count"],
                      **_metric_envelope(r, sub)}
                 if isinstance(r["key"], _dt.datetime):
-                    b["key_as_string"] = r["key"].isoformat()
+                    b["key_as_string"] = _key_as_string(r["key"], body)
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif kind == "range":

@@ -1318,6 +1318,147 @@ def search_aggs_nested_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_aggs_timezone",
+    # the identical four-shift composition: instant → NY wall clock →
+    # −6h → day-trunc → +6h → instant; DuckDB's ICU tzdata and the
+    # JVM's agree on America/New_York, including the 2024-03-10
+    # spring-forward this window covers (ts+69d spans Mar 10 – Apr 8)
+    oracle="""
+    SELECT timezone('UTC', timezone('America/New_York',
+             date_trunc('day',
+               timezone('America/New_York',
+                        timezone('UTC', ts + INTERVAL 69 DAY))
+               - INTERVAL 6 HOUR)
+             + INTERVAL 6 HOUR)) AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(value) AS avg_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def search_aggs_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` ``time_zone`` + ``offset`` (r7 — the r6
+    verdict's top gap: Kibana attaches the browser timezone to every
+    time-chart request, so every non-UTC time panel 400'd). Buckets
+    round in the zone's WALL clock with the boundary shifted +6h
+    (from_utc_timestamp → shift → trunc → unshift → to_utc_timestamp —
+    pure column arithmetic, one shuffle unchanged). The 69-day shift
+    pushes the events window across the 2024-03-10 US spring-forward,
+    so a 23-hour local day is covered explicitly."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        histogram_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.col("ts") + F.expr("INTERVAL 69 DAYS"))
+    return histogram_frame(
+        ev, "date_histogram",
+        {"field": "ts2", "calendar_interval": "day",
+         "time_zone": "America/New_York", "offset": "+6h"},
+        {"avg_value": {"avg": {"field": "value"}}},
+    )
+
+
+@register(
+    "search_aggs_nested_metric_order",
+    # top-level truncation mirrors the driver-side metric-ordered
+    # assembly: avg = exact bigint sum / count (one double division on
+    # both sides — bit-identical, so the LIMIT boundary is safe); the
+    # child histogram level has no truncation to mirror
+    oracle="""
+    WITH top AS (
+        SELECT lang, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents WHERE lang IS NOT NULL
+        GROUP BY lang ORDER BY avg_chars DESC, lang LIMIT 3
+    )
+    SELECT d.lang, avg_chars,
+           CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents d JOIN top USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+)
+def search_aggs_nested_metric_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metric-ordered nested bucket chain (r7 — Kibana's "order by
+    metric" on a nested terms panel, a named error until now):
+    ``terms(lang, order by avg_chars desc, size 3) >
+    histogram(n_chars)``. The avg's mergeable components ride the ONE
+    composite-key shuffle; the top level's metric ordering and size
+    truncation happen in the driver-side assembly from exact integer
+    sums, then the surviving tree is re-flattened for the
+    differential compare."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        _assemble_levels,
+        _split_levels,
+        nested_levels_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    levels, per_level = _split_levels(
+        "langs", "terms",
+        {"field": "lang", "size": 3,
+         "order": {"avg_chars": "desc"}},
+        {"avg_chars": {"avg": {"field": "n_chars"}},
+         "len_hist": {"histogram": {"field": "n_chars",
+                                    "interval": 100}}},
+    )
+    rows = nested_levels_frame(docs, levels, per_level).collect()
+    tree = _assemble_levels(rows, levels, per_level, 0)
+    flat = [
+        (lb["key"], lb["avg_chars"]["value"], int(hb["key"]),
+         hb["doc_count"])
+        for lb in tree["buckets"]
+        for hb in lb["len_hist"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "lang string, avg_chars double, bucket long, doc_count long"
+    )
+
+
+@register(
+    "search_aggs_composite_missing",
+    # a null-key PAGE BOUNDARY: the after cursor sits INSIDE the
+    # missing bucket run (lang_n null sorts first), so the page carries
+    # both remaining null-key buckets and the first non-null ones
+    oracle="""
+    SELECT NULLIF(lang, 'en') AS lang_n, source,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents
+    WHERE NULLIF(lang, 'en') IS NOT NULL OR source > 'src12'
+    GROUP BY 1, 2
+    ORDER BY lang_n ASC NULLS FIRST, source ASC LIMIT 9
+    """,
+)
+def search_aggs_composite_missing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``composite`` ``missing_bucket: true`` (r7 — Kibana's paged
+    group-by over sparse fields, a named 400 until now): null keys
+    form a bucket that sorts FIRST and pages through the ``after``
+    cursor like any other key (a null cursor value means "resume
+    inside the missing run"). The cursor predicate stays null-aware on
+    the RAW columns — pre-shuffle pruning unchanged. Testdata has no
+    null columns, so the null key is derived (lang 'en' → null)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        composite_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang_n", F.expr("nullif(lang, 'en')"))
+    return composite_frame(docs, {
+        "sources": [
+            {"lang_n": {"terms": {"field": "lang_n",
+                                  "missing_bucket": True}}},
+            {"source": {"terms": {"field": "source"}}},
+        ],
+        "size": 9,
+        "after": {"lang_n": None, "source": "src12"},
+    })
+
+
 # ---------------------------------------------------------------------------
 # Q1 — multi_match full-text search with deterministic tf scoring
 # Reference: /root/reference/src/search_api.py:16-36.

@@ -341,13 +341,16 @@ def test_nested_levels_order_and_min_doc_count(spark):
     })
     assert [b["key"] for b in out["by_g"]["buckets"]] \
         == ["(none)", "a", "b"]
-    # metric ordering inside a chain is a named limitation
-    with pytest.raises(DslError, match="nested bucket chain"):
-        run_aggs(df, {"by_g": {
-            "terms": {"field": "g", "order": {"m": "asc"}},
-            "aggs": {"m": {"avg": {"field": "v"}},
-                     "by_h": {"terms": {"field": "h"}}},
-        }})
+    # metric ordering inside a chain is LIVE since r7 (avg a=1.5,
+    # b=3, (missing null g)=4 — asc)
+    out = run_aggs(df, {"by_g": {
+        "terms": {"field": "g", "missing": "(none)",
+                  "order": {"m": "asc"}},
+        "aggs": {"m": {"avg": {"field": "v"}},
+                 "by_h": {"terms": {"field": "h"}}},
+    }})
+    assert [b["key"] for b in out["by_g"]["buckets"]] \
+        == ["a", "b", "(none)"]
 
 
 def test_nested_bucket_levels_terms_date_histogram(docs):
@@ -603,7 +606,7 @@ def test_result_changing_agg_options_400_not_ignored(docs):
     for aggs, frag in [
         ({"d": {"date_histogram": {"field": "ts",
                                    "calendar_interval": "day",
-                                   "time_zone": "+05:00"}}}, "time_zone"),
+                                   "keyed": True}}}, "keyed"),
         ({"h": {"histogram": {"field": "n_chars", "interval": 10,
                               "offset": 5}}}, "offset"),
         ({"r": {"range": {"field": "n_chars", "keyed": True,
@@ -613,8 +616,17 @@ def test_result_changing_agg_options_400_not_ignored(docs):
          "format"),
         ({"c": {"composite": {"sources": [
             {"l": {"terms": {"field": "lang",
-                             "missing_bucket": True}}}]}}},
-         "missing_bucket"),
+                             "order": "desc"}}}]}}},
+         "order"),
+        # time_zone is LIVE since r7 — but an unknown zone id is still
+        # the client's error, eagerly named (not a mid-job JVM throw)
+        ({"d": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "time_zone": "Mars/Olympus"}}},
+         "time_zone"),
+        ({"d": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "offset": "1.5h"}}}, "offset"),
     ]:
         with pytest.raises(DslError, match=frag):
             run_aggs(docs, aggs)
@@ -623,12 +635,12 @@ def test_result_changing_agg_options_400_not_ignored(docs):
         "field": "lang", "shard_size": 500, "execution_hint": "map"}}})
     assert out["t"]["buckets"]
     # ...including inside nested chains
-    with pytest.raises(DslError, match="time_zone"):
+    with pytest.raises(DslError, match="keyed"):
         run_aggs(docs, {"t": {
             "terms": {"field": "lang"},
             "aggs": {"d": {"date_histogram": {
                 "field": "ts", "calendar_interval": "day",
-                "time_zone": "+05:00"}}},
+                "keyed": True}}},
         }})
 
 
@@ -1154,3 +1166,192 @@ class TestAggsDifferential:
         got = run_aggs(docs, aggs)
         want = eval_aggs(docs.toPandas(), aggs)
         _envelopes_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# r7: date_histogram time_zone/offset/format, composite missing_bucket,
+# metric-ordered nested chains, top_hits _source, nested flat budget
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dst_events(spark):
+    """Hourly points spanning the 2024-03-10 US spring-forward (the
+    2:00→3:00 EST→EDT gap): the New-York 'day' is 23 UTC hours."""
+    rows = [
+        (i, dt.datetime(2024, 3, 9, 0, 0) + dt.timedelta(hours=3 * i))
+        for i in range(32)  # 2024-03-09 00:00 .. 2024-03-12 21:00 UTC
+    ]
+    return spark.createDataFrame(rows, "id long, ts timestamp")
+
+
+def test_date_histogram_time_zone_dst_day(dst_events):
+    out = run_aggs(dst_events, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "America/New_York"}}})
+    buckets = out["d"]["buckets"]
+    # NY local days start at 05:00 UTC (EST) before the transition and
+    # 04:00 UTC (EDT) after — the Mar 10 bucket is 23 hours long
+    keys = [b["key_as_string"] for b in buckets]
+    assert keys[0].startswith("2024-03-08T00:00:00-05:00")
+    assert any(k.startswith("2024-03-10T00:00:00-05:00") for k in keys)
+    assert any(k.startswith("2024-03-11T00:00:00-04:00") for k in keys)
+    by_day = {b["key_as_string"][:10]: b["doc_count"] for b in buckets}
+    # hand-check via zoneinfo: count points per NY-local calendar day
+    from zoneinfo import ZoneInfo
+
+    import collections
+
+    want = collections.Counter(
+        (dt.datetime(2024, 3, 9, 0, 0) + dt.timedelta(hours=3 * i))
+        .replace(tzinfo=dt.timezone.utc)
+        .astimezone(ZoneInfo("America/New_York")).strftime("%Y-%m-%d")
+        for i in range(32)
+    )
+    assert by_day == dict(want)
+    # the numeric key stays the UTC epoch instant (ES contract)
+    first = buckets[0]
+    assert first["key"] == int(
+        dt.datetime(2024, 3, 8, 5, 0, tzinfo=dt.timezone.utc)
+        .timestamp() * 1000)
+
+
+def test_date_histogram_offset_shifts_boundaries(dst_events):
+    out = run_aggs(dst_events, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "offset": "-6h"}}})
+    # -6h: UTC day buckets run 18:00→18:00
+    ks = [b["key_as_string"] for b in out["d"]["buckets"]]
+    assert all(k.endswith("T18:00:00") for k in ks)
+
+
+def test_date_histogram_tz_gap_fill_steps_local_days(spark):
+    """min_doc_count:0 with time_zone: the dense sequence steps in
+    LOCAL wall-clock days, so the 23-hour DST day doesn't desync the
+    gap keys from the data keys."""
+    rows = [(1, dt.datetime(2024, 3, 9, 12, 0)),
+            (2, dt.datetime(2024, 3, 13, 12, 0))]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = run_aggs(df, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "America/New_York", "min_doc_count": 0}}})
+    buckets = out["d"]["buckets"]
+    assert [b["doc_count"] for b in buckets] == [1, 0, 0, 0, 1]
+    days = [b["key_as_string"][:10] for b in buckets]
+    assert days == ["2024-03-09", "2024-03-10", "2024-03-11",
+                    "2024-03-12", "2024-03-13"]
+    # every bucket key is the LOCAL midnight instant, gap rows included
+    assert all(b["key_as_string"][10:19] == "T00:00:00" for b in buckets)
+
+
+def test_date_histogram_format_and_rejections(docs):
+    out = run_aggs(docs, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "format": "yyyy/MM/dd"}}})
+    assert out["d"]["buckets"][0]["key_as_string"] == "2024/01/01"
+    out = run_aggs(docs, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "format": "epoch_millis"}}})
+    b = out["d"]["buckets"][0]
+    assert b["key_as_string"] == str(b["key"])
+    # an unimplemented pattern token must 400 by name, not render wrong
+    with pytest.raises(DslError, match="unsupported date format"):
+        run_aggs(docs, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "format": "yyyy-ww"}}})
+
+
+def test_composite_missing_bucket_pages_null_first(docs):
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        composite_frame,
+    )
+
+    body = {"sources": [
+        {"l": {"terms": {"field": "lang", "missing_bucket": True}}},
+        {"n": {"terms": {"field": "n_chars"}}},
+    ], "size": 3}
+    # page 1: the null-lang bucket sorts FIRST
+    out = run_aggs(docs, {"c": {"composite": body}})
+    page1 = out["c"]["buckets"]
+    assert page1[0]["key"]["l"] is None
+    assert page1[0]["doc_count"] == 1  # doc 6
+    # resume from a cursor INSIDE the null run: null cursor value
+    rows = composite_frame(
+        docs, {**body, "after": {"l": None, "n": 0}}).collect()
+    # all null-lang buckets with n_chars > 0 come first, then 'de'…
+    assert rows[0]["l"] is None and rows[0]["n"] == 999
+    assert rows[1]["l"] == "de"
+    # without missing_bucket the null keys stay excluded (ES default)
+    out = run_aggs(docs, {"c": {"composite": {"sources": [
+        {"l": {"terms": {"field": "lang"}}}], "size": 10}}})
+    assert all(b["key"]["l"] is not None for b in out["c"]["buckets"])
+
+
+def test_nested_chain_metric_order(spark):
+    """Kibana's 'order by metric' on a nested terms panel: the top
+    level truncates by the rolled-up metric, not _count."""
+    rows = [
+        # lang, n_chars: avg en=200 (3 docs), de=300 (2), fr=500 (1)
+        (1, "en", 100, "a"), (2, "en", 200, "b"), (3, "en", 300, "a"),
+        (4, "de", 250, "a"), (5, "de", 350, "b"),
+        (6, "fr", 500, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lang string, n_chars long, src string")
+    out = run_aggs(df, {"langs": {
+        "terms": {"field": "lang", "size": 2,
+                  "order": {"avg_c": "desc"}},
+        "aggs": {
+            "avg_c": {"avg": {"field": "n_chars"}},
+            "by_src": {"terms": {"field": "src"}},
+        },
+    }})
+    env = out["langs"]
+    assert [b["key"] for b in env["buckets"]] == ["fr", "de"]
+    assert env["buckets"][1]["avg_c"]["value"] == pytest.approx(300.0)
+    # child buckets still assemble under the metric-ordered parents
+    assert [b["key"] for b in env["buckets"][1]["by_src"]["buckets"]] \
+        == ["a", "b"]
+    # sum_other counts the truncated-away parents' docs
+    assert env["sum_other_doc_count"] == 3
+    # stats-path ordering works too; unknown target still errors
+    out = run_aggs(df, {"langs": {
+        "terms": {"field": "lang", "order": {"st.max": "asc"}},
+        "aggs": {"st": {"stats": {"field": "n_chars"}},
+                 "by_src": {"terms": {"field": "src"}}},
+    }})
+    assert [b["key"] for b in out["langs"]["buckets"]] \
+        == ["en", "de", "fr"]
+    with pytest.raises(DslError, match="unknown sub-agg"):
+        run_aggs(df, {"langs": {
+            "terms": {"field": "lang", "order": {"nope": "asc"}},
+            "aggs": {"by_src": {"terms": {"field": "src"}}},
+        }})
+
+
+def test_top_hits_source_filtering_applied(docs):
+    """r6 advisory: a top_hits `_source` spec must restrict the
+    returned fields (listed-but-unapplied handed saved queries extra
+    fields with no error)."""
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"hit": {"top_hits": {
+            "size": 1, "sort": [{"n_chars": "desc"}],
+            "_source": ["doc_id", "lang"]}}},
+    }})
+    src = out["langs"]["buckets"][0]["hit"]["hits"]["hits"][0]["_source"]
+    assert sorted(src) == ["doc_id", "lang"]
+
+
+def test_nested_chain_flat_budget_enforced(docs, monkeypatch):
+    """r6 advisory: the nested-chain collect is hard-bounded — an
+    over-budget composite key product is a named error, not a driver
+    OOM."""
+    import sql_database_to_elastic_datalake_spark.plans.es_aggs as ea
+
+    monkeypatch.setattr(ea, "_NESTED_FLAT_BUDGET", 2)
+    with pytest.raises(DslError, match="flat buckets"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang"},
+            "aggs": {"days": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day"}}},
+        }})
