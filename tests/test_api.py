@@ -679,3 +679,61 @@ def test_advanced_search_bad_dsl_is_400(client, service):
     }), content_type="application/json")
     assert r.status_code == 400
     assert "fields" in r.get_json()["error"]
+
+
+def test_search_ranked_offset_pages(service):
+    """r7: `from` on the RANKED path (ES's default `_score` sort) —
+    three pages with no overlap and no gap, totals exact on every
+    page. Distinct per-doc scores make the order total."""
+    service.ingest("label", [
+        {"name": ("spark " * (i + 1)).strip()} for i in range(25)
+    ])
+    paged = []
+    for frm in (0, 10, 20):
+        out = service.search("spark", k=10, from_=frm)
+        assert out["hits"]["total"] == {"value": 25, "relation": "eq"}
+        paged += [h["_source"]["name"] for h in out["hits"]["hits"]]
+    full = [h["_source"]["name"]
+            for h in service.search("spark", k=30)["hits"]["hits"]]
+    assert len(paged) == 25
+    assert paged == full  # page concatenation == the one-shot ranking
+    # past-the-end page is empty, total still exact
+    out = service.search("spark", k=10, from_=25)
+    assert out["hits"]["hits"] == []
+    assert out["hits"]["total"]["value"] == 25
+
+
+def test_search_route_accepts_from(client, service):
+    service.ingest("label", [{"name": f"spark {i}"} for i in range(5)])
+    r = client.post("/search", data=json.dumps(
+        {"query": "spark", "size": 2, "from": 2}),
+        content_type="application/json")
+    assert r.status_code == 200
+    assert len(r.get_json()["hits"]["hits"]) == 2
+    r = client.post("/search", data=json.dumps(
+        {"query": "spark", "from": -1}),
+        content_type="application/json")
+    assert r.status_code == 400 and "from" in r.get_json()["error"]
+
+
+def test_collapse_dedupes_across_index_pattern(service):
+    """r6 advisory: ES field collapsing guarantees ONE hit per key
+    globally across indices — a pattern request must re-collapse the
+    merged per-table winners."""
+    service.ingest("label", [
+        {"name": "z-label", "color": "red"},
+        {"name": "m-label", "color": "blue"},
+    ])
+    service.ingest("user", [
+        {"name": "a-user", "color": "red",
+         "email": "u@x.io", "username": "u"},
+    ])
+    out = service.advanced_search(
+        "data_lake_*", {"match_all": {}},
+        sort=[{"name": "desc"}], collapse={"field": "color"})
+    got = [(h["fields"]["color"][0], h["_source"]["name"])
+           for h in out["hits"]["hits"]]
+    # red exists in BOTH tables: one global red hit — the best in
+    # merged sort order; totals stay pre-collapse
+    assert got == [("red", "z-label"), ("blue", "m-label")]
+    assert out["hits"]["total"] == {"value": 3, "relation": "eq"}
