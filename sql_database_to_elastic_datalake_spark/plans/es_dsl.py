@@ -43,13 +43,14 @@ Semantics notes (documented divergences from Elasticsearch):
     — per-element match like ES nested queries, no explode/regroup.
   * Leaf spec OPTIONS follow the no-silent-wrong-results posture (r6):
     ``case_insensitive`` (term/prefix/wildcard/regexp),
-    ``zero_terms_query`` (match) and ``operator`` (match/multi_match)
-    are IMPLEMENTED; scoring-only keys (``boost``, multi_match
-    ``type``/``tie_breaker``, match_phrase_prefix ``max_expansions``)
-    are accepted-and-ignored; anything else a saved query might carry
-    (fuzziness-in-match, slop, …) is a named 400 — the reference
-    forwards bodies verbatim to ES, so a silently dropped option would
-    change the result set with no error.
+    ``zero_terms_query`` / ``operator`` / ``fuzziness`` (match, r7) and
+    ``match_phrase`` ``slop`` (r7 — positional in-order token match,
+    see :func:`_sloppy_phrase`) are IMPLEMENTED; scoring-only keys
+    (``boost``, multi_match ``type``/``tie_breaker``,
+    match_phrase_prefix ``max_expansions``) are accepted-and-ignored;
+    anything else a saved query might carry is a named 400 — the
+    reference forwards bodies verbatim to ES, so a silently dropped
+    option would change the result set with no error.
 
 Scale notes: the output is a pure Column expression — whole-stage
 codegen applies, and simple comparisons (term/range) reach parquet as
@@ -199,6 +200,64 @@ def resolve_minimum_should_match(spec, n_optional: int) -> int:
         raise DslError(f"malformed minimum_should_match {spec!r}") from None
 
 
+def _token_array(col: Column) -> Column:
+    """The field value as its lowercase token array — the same analyzer
+    as :func:`tokenize`, as a column expression (split + filter, no
+    UDF)."""
+    return F.filter(
+        F.split(F.lower(col.cast("string")), r"[^0-9a-z]+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def _token_positions(arr: Column, tok: str) -> Column:
+    """0-based positions of ``tok`` in a token array (transform-with-
+    index + filter — pure column algebra)."""
+    return F.filter(
+        F.transform(arr, lambda t, i: F.when(t == F.lit(tok), i)),
+        lambda x: x.isNotNull(),
+    )
+
+
+#: phrase length bound for the sloppy-match expression (the compiled
+#: predicate chains one array_min/filter per token — honesty cap, not
+#: a performance cliff)
+_MAX_SLOP_TOKENS = 8
+
+
+def _sloppy_phrase(col: Column, toks: list[str], slop: int) -> Column:
+    """``match_phrase`` with ``slop``: the tokens appear IN ORDER with
+    at most ``slop`` extra positions between the first and the last
+    (span − (n−1) ≤ slop). For each candidate start, the follow-up
+    positions are chosen greedily (min position after the previous one
+    — optimal: the min-valid choice minimizes the final span), so the
+    expression is linear in the phrase length, no UDF, no explode.
+
+    Documented divergence: ES's sloppy phrases also match REORDERED
+    terms when the slop affords the moves (Lucene edit-distance
+    semantics); this compiler matches in request order only — a
+    reordered match is missed, never a false positive.
+    """
+    arr = _token_array(col)
+    span = F.lit(len(toks) - 1 + slop)
+
+    def _min_after(pos: Column, prev: Column) -> Column:
+        # single-parameter lambda via closure: a defaulted second
+        # parameter would make PySpark bind the higher-order
+        # function's INDEX argument over the default
+        return F.array_min(F.filter(pos, lambda x: x > prev))
+
+    def chain(p0: Column) -> Column:
+        cur = p0
+        for tok in toks[1:]:
+            cur = _min_after(_token_positions(arr, tok), cur)
+        return F.coalesce(cur - p0 <= span, F.lit(False))
+
+    return F.coalesce(
+        F.exists(_token_positions(arr, toks[0]), chain), F.lit(False)
+    )
+
+
 def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
     toks = tokenize(str(text))
     if not toks:
@@ -316,9 +375,11 @@ def compile_dsl(
     if kind == "match":
         field, value = _field_value(
             body, value_key="query",
-            allowed=("operator", "zero_terms_query"))
+            allowed=("operator", "zero_terms_query", "fuzziness"))
         spec = body[field] if isinstance(body[field], dict) else {}
         operator = spec.get("operator", "or")
+        if operator not in ("and", "or"):
+            raise DslError(f"unknown match operator {operator!r}")
         ztq = spec.get("zero_terms_query", "none")
         if ztq not in ("none", "all"):
             raise DslError(f"unknown zero_terms_query {ztq!r}")
@@ -326,10 +387,55 @@ def compile_dsl(
             # ES: an all-stopword/empty query matches EVERY doc under
             # zero_terms_query: "all" (the default "none" matches none)
             return F.lit(True)
+        if spec.get("fuzziness") is not None:
+            # fuzziness-in-match (r7 — previously a named 400): each
+            # query token matches any DOCUMENT token within its edit
+            # budget (AUTO ladder per token length, like ES). The doc
+            # side tokenizes in-plan (_token_array) so the comparison
+            # is token-vs-token like ES's term-level fuzzy expansion —
+            # exists(tokens, levenshtein ≤ k) per query token, OR/AND
+            # by operator. No UDF.
+            toks = tokenize(str(value))
+            if not toks:
+                return F.lit(False)
+            arr = _token_array(col(field))
+
+            def _fuzzy_tok(tok: str) -> Column:
+                maxed = _max_edits(spec["fuzziness"], tok)
+                return F.coalesce(
+                    F.exists(arr, lambda t: F.levenshtein(
+                        t, F.lit(tok)) <= F.lit(maxed)),
+                    F.lit(False))
+
+            preds = [_fuzzy_tok(tok) for tok in toks]
+            acc = preds[0]
+            for p in preds[1:]:
+                acc = (acc & p) if operator == "and" else (acc | p)
+            return acc
         return _match_tokens(col(field), value, require_all=operator == "and")
 
     if kind == "match_phrase":
-        field, value = _field_value(body, value_key="query")
+        field, value = _field_value(body, value_key="query",
+                                    allowed=("slop",))
+        spec = body[field] if isinstance(body[field], dict) else {}
+        slop = spec.get("slop", 0)
+        if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
+            raise DslError(f"malformed match_phrase slop {slop!r}")
+        if slop:
+            # sloppy phrase (r7 — previously a named 400): positional
+            # token match, see _sloppy_phrase. slop: 0 keeps the
+            # documented substring semantics (exact adjacency).
+            toks = tokenize(str(value))
+            if not toks:
+                return F.lit(False)
+            if len(toks) == 1:
+                return _match_tokens(col(field), value)
+            if len(toks) > _MAX_SLOP_TOKENS:
+                raise DslError(
+                    f"match_phrase slop supports phrases of at most "
+                    f"{_MAX_SLOP_TOKENS} tokens (got {len(toks)})"
+                )
+            return _sloppy_phrase(col(field), toks, slop)
         return F.lower(col(field).cast("string")).contains(str(value).lower())
 
     if kind == "match_phrase_prefix":

@@ -29,16 +29,22 @@ Supported syntax (the sane subset; everything else is a named 400):
     shorthand ``field:>10`` / ``field:<=2024-01-01`` (→ the ``range``
     leaf; numeric-looking bounds compare numerically) —
     ``query_string`` dialect only;
+  * bracket ranges ``field:[a TO b]`` / ``field:{a TO b}`` (r7 — the
+    most common still-rejected Kibana search-bar idiom): inclusive
+    ``[``/``]``, exclusive ``{``/``}``, ``*`` for an open end
+    (``[* TO *]`` → the ``exists`` leaf) — compiled to the structured
+    ``range`` leaf; a field-less range applies per default field.
+    ``query_string`` dialect only (ES's simple dialect has no range
+    syntax — brackets stay literal text there);
   * per-term / per-field ``^boost`` — accepted and ignored (the
     module-wide boost divergence in :mod:`.es_dsl`).
 
 Rejected with ``DslError`` (ES features whose semantics this engine
-cannot honor faithfully): fuzzy/slop ``~``, regex ``/…/``, range
-``[a TO b]`` / ``{a TO b}`` syntax (the structured ``range`` leaf
-covers ranges). ``simple_query_string`` keeps ES's LENIENT posture for
-*malformed* syntax (unbalanced quote/paren degrades to literal terms,
-like ES), but the unsupported-feature rejections above still apply —
-silently dropping a fuzzy operator would return wrong results.
+cannot honor faithfully): fuzzy/slop ``~``, regex ``/…/``.
+``simple_query_string`` keeps ES's LENIENT posture for *malformed*
+syntax (unbalanced quote/paren degrades to literal terms, like ES),
+but the unsupported-feature rejections above still apply — silently
+dropping a fuzzy operator would return wrong results.
 
 Field resolution: an explicit ``fields`` list (entries may be wildcard
 patterns and carry ``^boost`` suffixes) or ``default_field`` is
@@ -311,6 +317,12 @@ class _Parser:
                         f"range shorthand {word!r} has no bound")
                 return {"range": {name: {op: _coerce_number(bound)}}}
             sub = [name]
+            if value and value[0] in "[{":
+                # Lucene bracket range: field:[a TO b] / {a TO b}
+                bounds = self._to_range_bounds(value)
+                if not bounds:
+                    return {"exists": {"field": name}}  # [* TO *]
+                return {"range": {name: bounds}}
             if value:
                 return self._term_leaf(value, sub)
             nxt = self.peek()
@@ -320,15 +332,66 @@ class _Parser:
             raise DslError(f"field {field!r} has no value in query string")
         return self._term_leaf(word, fields)
 
+    def _to_range_bounds(self, first: str) -> dict:
+        """Consume the token tail of a ``[a TO b]`` / ``{a TO b}``
+        range whose opening word is ``first`` and build the structured
+        ``range`` bounds: inclusive ``[``/``]``, exclusive ``{``/``}``,
+        ``*`` = unbounded (both open → caller emits ``exists``)."""
+        open_ch = first[0]
+        parts: list[str] = []
+        close: str | None = None
+
+        def push(w: str) -> None:
+            nonlocal close
+            if w and w[-1] in "]}":
+                close = w[-1]
+                w = w[:-1]
+            if w:
+                parts.append(w)
+
+        push(first[1:])
+        while close is None:
+            t = self.next()
+            if t is None:
+                raise DslError(
+                    "unterminated [a TO b] range in query string")
+            if t[0] == "PHRASE":
+                parts.append(t[1])  # quoted bound ("2024-01-01")
+            elif t[0] == "WORD":
+                push(t[1])
+            else:
+                raise DslError(
+                    "malformed [a TO b] range in query string")
+        if len(parts) != 3 or parts[1].upper() != "TO":
+            raise DslError(
+                "malformed range — expected [<from> TO <to>] "
+                f"(got {parts!r})"
+            )
+        lo, hi = parts[0], parts[2]
+        bounds: dict = {}
+        if lo != "*":
+            bounds["gte" if open_ch == "[" else "gt"] = _coerce_number(lo)
+        if hi != "*":
+            bounds["lte" if close == "]" else "lt"] = _coerce_number(hi)
+        return bounds
+
     def _term_leaf(self, value: str, fields: list[str]) -> dict:
         value = value.split("^", 1)[0]  # term boost: ignored
         if not value:
             raise DslError("empty term in query string")
-        if value[0] in "[{" or value == "TO":
-            raise DslError(
-                "range syntax ([a TO b]) is not supported in query "
-                "strings — use the structured range query"
-            )
+        if (value[0] in "[{" or value == "TO") and not self.simple:
+            # field-less bracket range: applies to the default fields
+            # (one range leaf per field). A stray TO outside a range
+            # stays an error — Lucene's parser rejects it too.
+            if value == "TO":
+                raise DslError(
+                    "stray TO outside a [a TO b] range in query string")
+            bounds = self._to_range_bounds(value)
+            if not bounds:
+                return self._per_field(
+                    fields, lambda f: {"exists": {"field": f}})
+            return self._per_field(
+                fields, lambda f: {"range": {f: bounds}})
         if value[0] == "/":
             raise DslError(
                 "regex syntax (/…/) is not supported in query strings — "

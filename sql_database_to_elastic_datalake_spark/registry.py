@@ -971,6 +971,104 @@ def search_dsl_simple_qs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_qs_ranges",
+    # bracket semantics mirror exactly: [ → >=, } → <, { → >; the
+    # lang term is the match leaf's substring-of-lowered
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (n_chars >= 200 AND n_chars < 400)
+       OR (n_chars > 500 AND contains(lower(lang), 'de'))
+    """,
+)
+def search_dsl_qs_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene bracket ranges in ``query_string`` (r7 — the most common
+    still-rejected Kibana search-bar idiom, r6 verdict #3): inclusive
+    ``[``/exclusive ``}`` bounds and an open ``*`` end, compiled to
+    the structured ``range`` leaf — term/range comparisons still reach
+    parquet as PushedFilters."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"query_string": {
+        "query": "n_chars:[200 TO 400} OR "
+                 "(n_chars:{500 TO *] AND lang:de)",
+    }}
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "search_dsl_phrase_slop",
+    # both sides search an in-order (a, b) position pair with
+    # b − a ≤ 1 + slop over the SAME ASCII token split; DuckDB list
+    # lambdas mirror the compiled exists/filter chain (1- vs 0-based
+    # indices cancel in the difference)
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM t
+    WHERE len(list_filter(
+            list_filter(list_transform(w,
+                (x, i) -> CASE WHEN x = 'table' THEN i END),
+                v -> v IS NOT NULL),
+            a -> len(list_filter(
+                   list_filter(list_transform(w,
+                       (x, i) -> CASE WHEN x = 'value' THEN i END),
+                       v -> v IS NOT NULL),
+                   b -> b > a AND b - a <= 3)) > 0)) > 0
+    """,
+)
+def search_dsl_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_phrase`` ``slop`` (r7 — a standard saved-query idiom,
+    previously a named 400): "table value" with up to 2 intervening
+    tokens, matched positionally over the in-plan token array
+    (transform/filter/array_min — no UDF, no explode; documented
+    in-order divergence in plans/es_dsl._sloppy_phrase)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"match_phrase": {"text": {"query": "table value", "slop": 2}}}
+    return docs.filter(compile_dsl(dsl)).select("doc_id", "n_chars")
+
+
+@register(
+    "search_dsl_match_fuzzy",
+    # the ASCII token split makes DuckDB's byte-level levenshtein and
+    # Spark's code-point one identical; fuzziness 1 per query token
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id, lang FROM t
+    WHERE len(list_filter(w, x -> levenshtein(x, 'sparc') <= 1)) > 0
+       OR len(list_filter(w, x -> levenshtein(x, 'vektor') <= 1)) > 0
+    """,
+)
+def search_dsl_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzziness inside ``match`` (r7 — previously a named 400): each
+    query token matches any document token within its edit budget,
+    token-vs-token like ES's term-level fuzzy expansion —
+    exists(token_array, levenshtein ≤ k), no UDF. Misspelled "sparc"
+    and "vektor" find spark/vector documents."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"match": {"text": {"query": "sparc vektor", "fuzziness": 1}}}
+    return docs.filter(compile_dsl(dsl)).select("doc_id", "lang")
+
+
+@register(
     "search_aggs_terms_stats",
     # size 10 >= the 5 distinct langs, so the LIMIT boundary carries no
     # cross-engine tie risk; null keys are excluded like ES terms aggs

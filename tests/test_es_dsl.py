@@ -321,17 +321,61 @@ def test_leaf_options_implemented_or_named_400(docs):
         "query": "spark", "fields": ["txt"], "type": "best_fields",
         "tie_breaker": 0.3,
     }}) == [1, 4]
-    # unimplemented match-set options are named, never dropped
-    with pytest.raises(DslError, match="fuzziness"):
-        compile_dsl({"match": {"txt": {"query": "spark",
-                                       "fuzziness": "AUTO"}}})
-    with pytest.raises(DslError, match="slop"):
-        compile_dsl({"match_phrase": {"txt": {"query": "x", "slop": 2}}})
+    # match fuzziness and match_phrase slop are LIVE since r7
+    # (see test_match_fuzziness / test_match_phrase_slop); the rest of
+    # the unimplemented match-set options stay named, never dropped
     with pytest.raises(DslError, match="fuzziness"):
         compile_dsl({"multi_match": {"query": "x", "fields": ["txt"],
                                      "fuzziness": 1}})
     with pytest.raises(DslError, match="transpositions"):
         compile_dsl({"fuzzy": {"txt": {"value": "x",
                                        "transpositions": False}}})
+    # malformed slop is still the client's error
+    with pytest.raises(DslError, match="slop"):
+        compile_dsl({"match_phrase": {"txt": {"query": "x y",
+                                              "slop": -1}}})
+
+
+def test_match_phrase_slop(docs):
+    """r7: sloppy phrases — in-order positional token match with at
+    most `slop` extra positions between first and last (documented
+    divergence: no reordered matches)."""
+    # docs[1] txt: "Spark merges fast" — "spark fast" has one
+    # intervening token: slop 1 matches, slop 0 keeps substring
+    # semantics (no match)
+    assert run(docs, {"match_phrase": {"txt": {
+        "query": "spark fast", "slop": 1}}}) == [1]
+    assert run(docs, {"match_phrase": {"txt": {
+        "query": "spark fast", "slop": 0}}}) == []
+    # adjacent tokens match at any slop; reversed order does not
+    assert run(docs, {"match_phrase": {"txt": {
+        "query": "spark merges", "slop": 3}}}) == [1]
+    assert run(docs, {"match_phrase": {"txt": {
+        "query": "merges spark", "slop": 1}}}) == []
+    # single-token phrase degrades to a plain match
+    assert run(docs, {"match_phrase": {"txt": {
+        "query": "pandas", "slop": 2}}}) == [2]
+    # phrase-length honesty cap is a named error
+    with pytest.raises(DslError, match="at most"):
+        compile_dsl({"match_phrase": {"txt": {
+            "query": "a b c d e f g h i", "slop": 1}}})
+
+
+def test_match_fuzziness(docs):
+    """r7: fuzziness inside match — each query token matches any
+    DOCUMENT token within its edit budget (AUTO ladder like ES)."""
+    # "spork" ≤1 edit from "spark" (docs 1 and 4)
+    assert run(docs, {"match": {"txt": {
+        "query": "spork", "fuzziness": 1}}}) == [1, 4]
+    assert run(docs, {"match": {"txt": {
+        "query": "spork", "fuzziness": 0}}}) == []
+    # AUTO: 5-char token allows 1 edit
+    assert run(docs, {"match": {"txt": {
+        "query": "spork", "fuzziness": "AUTO"}}}) == [1, 4]
+    # operator=and requires every token fuzzily present
+    # ("merge" is 1 edit from doc 1's "merges")
+    assert run(docs, {"match": {"txt": {
+        "query": "spork merge", "fuzziness": 1,
+        "operator": "and"}}}) == [1]
     # terms' sibling boost key is accepted-and-ignored like ES allows
     assert run(docs, {"terms": {"n": [5, 25], "boost": 2.0}}) == [1, 3]

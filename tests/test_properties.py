@@ -123,24 +123,67 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
         return row[body["field"]] is not None
     if kind == "match":
         f, q = next(iter(body.items()))
-        operator, ztq = "or", "none"
+        operator, ztq, fz = "or", "none", None
         if isinstance(q, dict):
             operator = q.get("operator", "or")
             ztq = q.get("zero_terms_query", "none")
+            fz = q.get("fuzziness")
             q = q["query"]
         toks = tokenize(str(q))
         if not toks:
-            return ztq == "all"  # ES zero_terms_query
+            return ztq == "all"  # ES zero_terms_query (checked first)
 
         s = row[f]
         if s is None:
             return False
+        if fz is not None:
+            # r7 fuzziness-in-match mirror: token-vs-token edit
+            # distance (independent _lev DP vs the engine's
+            # levenshtein expression)
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+                _max_edits,
+            )
+
+            words = tokenize(s)
+            hits = (
+                any(_lev(w, t) <= _max_edits(fz, t) for w in words)
+                for t in toks
+            )
+            return all(hits) if operator == "and" else any(hits)
         hits = (t in s.lower() for t in toks)
         return all(hits) if operator == "and" else any(hits)
     if kind == "match_phrase":
         f, q = next(iter(body.items()))
+        slop = 0
+        if isinstance(q, dict):
+            slop = q.get("slop", 0)
+            q = q["query"]
         s = row[f]
-        return s is not None and str(q).lower() in s.lower()
+        if s is None:
+            return False
+        if not slop:
+            return str(q).lower() in s.lower()
+        # r7 sloppy-phrase mirror: BRUTE-FORCE in-order assignment
+        # search (the engine compiles a greedy chain — an independent
+        # algorithm for the same documented semantics)
+        toks = tokenize(str(q))
+        if not toks:
+            return False
+        words = tokenize(s)
+        positions = [[i for i, w in enumerate(words) if w == t]
+                     for t in toks]
+        if any(not p for p in positions):
+            return False
+        if len(toks) == 1:
+            return True
+        import itertools
+
+        lim = len(toks) - 1 + slop
+        return any(
+            all(b > a for a, b in zip(combo, combo[1:]))
+            and combo[-1] - combo[0] <= lim
+            for combo in itertools.product(*positions)
+        )
     if kind == "prefix":
         f, v = next(iter(body.items()))
         ci = isinstance(v, dict) and v.get("case_insensitive", False)
@@ -355,6 +398,20 @@ leaf = st.one_of(
     st.builds(lambda q: {"match_phrase_prefix": {"txt": q}},
               st.sampled_from(["pandas lo", "Spark mer", "spark spark sp",
                                "zz", ""])),
+    # r7 options: match_phrase slop (greedy chain vs brute-force
+    # mirror) and fuzziness-in-match (token-vs-token edit distance)
+    st.builds(lambda q, sl: {"match_phrase": {"txt": {
+                  "query": q, "slop": sl}}},
+              st.sampled_from(["spark fast", "slow loop", "spark merges",
+                               "merges spark", "spark spark spark",
+                               "spark 样本 fast", "pandas fast loop"]),
+              st.sampled_from([1, 2, 3])),
+    st.builds(lambda q, fz, op: {"match": {"txt": {
+                  "query": q, "fuzziness": fz, "operator": op}}},
+              st.sampled_from(["spork", "pandas lop", "zzz", "spark fat",
+                               "släw 样衣"]),
+              st.sampled_from([0, 1, 2, "AUTO"]),
+              st.sampled_from(["and", "or"])),
     st.builds(lambda terms, msm: {"terms_set": {"cats": {
                   "terms": terms, "minimum_should_match": msm}}},
               st.lists(st.sampled_from(["x", "y", "z", "w"]),
@@ -385,6 +442,16 @@ _qs_term = st.one_of(
     st.builds(lambda f, w: f + ":" + w,
               st.sampled_from(["txt", "kind"]),
               st.sampled_from(["spark", "a", "b", "zzz", "ü"])),
+    # r7 bracket ranges: inclusive/exclusive mixes, open ends, the
+    # [* TO *] exists form — compiled to the structured range leaf
+    st.builds(
+        lambda lo, hi, br: br[0] + str(lo) + " TO " + str(hi) + br[1],
+        st.sampled_from([0, 5, 7, "*"]),
+        st.sampled_from([15, 25, "*"]),
+        st.sampled_from(["[]", "{}", "[}", "{]"]),
+    ).map(lambda r: "n:" + r),
+    st.sampled_from(["kind:[a TO b]", "kind:{a TO c}",
+                     'n:["5" TO "25"]']),
 )
 _qs_unary = st.builds(
     lambda p, t: p + t,

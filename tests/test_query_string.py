@@ -147,11 +147,46 @@ def test_range_shorthand_end_to_end(docs):
     }}) == [6]
 
 
+def test_bracket_ranges(docs):
+    """r7: Lucene ``[a TO b]`` / ``{a TO b}`` ranges — the most common
+    still-rejected Kibana search-bar idiom — compile to the structured
+    range leaf (inclusive/exclusive per bracket, * = open end)."""
+    t = parse_query_string({"query": "doc_id:[2 TO 4]"}, ["doc_id"])
+    assert t == {"range": {"doc_id": {"gte": 2, "lte": 4}}}
+    t = parse_query_string({"query": "doc_id:{2 TO 4}"}, ["doc_id"])
+    assert t == {"range": {"doc_id": {"gt": 2, "lt": 4}}}
+    t = parse_query_string({"query": "doc_id:[2 TO *]"}, ["doc_id"])
+    assert t == {"range": {"doc_id": {"gte": 2}}}
+    # [* TO *] is Lucene's exists idiom
+    t = parse_query_string({"query": "lang:[* TO *]"}, ["lang"])
+    assert t == {"exists": {"field": "lang"}}
+    # quoted bounds and date-looking strings stay strings
+    t = parse_query_string({"query": 'lang:["de" TO en}'}, ["lang"])
+    assert t == {"range": {"lang": {"gte": "de", "lt": "en"}}}
+    # end-to-end (mixed brackets + a term)
+    assert ids(docs, {"query_string": {
+        "query": "doc_id:[3 TO 6} AND text:spark"}}) == [3]
+    # field-less range applies per default field
+    t = parse_query_string({"query": "[1 TO 2]", "fields": ["doc_id"]})
+    assert t == {"range": {"doc_id": {"gte": 1, "lte": 2}}}
+    # malformed forms are the client's error, by name
+    for q, frag in [("doc_id:[1 TO", "unterminated"),
+                    ("doc_id:[1 2]", "malformed range"),
+                    ("TO", "stray TO")]:
+        with pytest.raises(DslError, match=frag):
+            parse_query_string({"query": q, "default_field": "text"})
+    # ES's SIMPLE dialect has no range syntax: brackets stay literal
+    t = parse_query_string({"query": "[1 TO 2]", "fields": ["text"]},
+                           simple=True)
+    assert t == {"bool": {"should": [
+        {"match": {"text": "[1"}}, {"match": {"text": "TO"}},
+        {"match": {"text": "2]"}}], "minimum_should_match": 1}}
+
+
 def test_unsupported_features_named_400():
     for q, frag in [
         ("spark~2", "fuzzy"),
         ("name:/sp.rk/", "regex"),
-        ("n:[1 TO 5]", "range"),
     ]:
         with pytest.raises(DslError, match=frag):
             parse_query_string({"query": q, "default_field": "text"})
