@@ -60,6 +60,17 @@ HEADLINE = (
     "stratified_sample_langs",
     "embed_quantize_int8",
     "incremental_sync_events",
+    # rounds 6-7 search-surface additions (r6 verdict #8: the new
+    # plans need recorded per-round wall times so a future plan
+    # regression is visible in the bench artifact; the canary ratio
+    # keeps cross-round totals interpretable despite the longer list)
+    "search_from_size_page",
+    "search_aggs_nested_levels",
+    "search_aggs_significant_terms",
+    "benchmark_decontamination",
+    "search_aggs_timezone",
+    "search_dsl_phrase_slop",
+    "search_ranked_offset_page",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:

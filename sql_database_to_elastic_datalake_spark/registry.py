@@ -3876,29 +3876,28 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r6-touched: code or oracle changed THIS round (rotation rule:
+    # -- r7-touched: code or oracle changed THIS round (rotation rule:
     #    nothing ships with driver evidence older than its last
-    #    change). Five NEW queries (offset paging, the query_string
-    #    pair, nested agg levels, _source projection); the dedup
-    #    family gained the size-ratio prefilter + cluster cost
-    #    metrics; the aggs compiler's run_aggs/top_hits path changed,
-    #    so the r5 aggs family re-fronts too.
-    "search_from_size_page",       # NEW: from+size offset pagination
-    "search_dsl_query_string",     # NEW: Lucene query_string grammar
-    "search_dsl_simple_qs",        # NEW: simple_query_string dialect
-    "search_aggs_nested_levels",   # NEW: multi-level bucket chain
-    "search_source_filtering",     # NEW: _source scan projection
-    "search_collapse_field",       # NEW: ES field collapsing
-    "search_aggs_terms_order",     # NEW: terms order/missing/min_doc
-    "search_aggs_histogram_gaps",  # NEW: min_doc_count:0 gap filling
-    "benchmark_decontamination",   # NEW: 8-gram probe decontamination
-    "search_aggs_significant_terms",  # NEW: JLH significant terms
-    "neardup_minhash_lsh",         # size-ratio prefilter (dedup.py)
-    "dedup_clusters_jaccard",      # cost metrics (dedup.py)
-    "search_aggs_terms_stats",
-    "search_aggs_date_histogram",
-    "search_aggs_filter_metrics",
-    "search_aggs_composite_page",
+    #    change). Seven NEW queries (date_histogram time_zone/offset,
+    #    metric-ordered nested chains, composite missing_bucket,
+    #    ranked-path offset paging, query_string bracket ranges,
+    #    match_phrase slop, fuzziness-in-match); bucket_key /
+    #    histogram_frame / composite_frame and the query_string parser
+    #    changed, so their existing query family re-fronts too.
+    "search_aggs_timezone",            # NEW: tz/offset bucket rounding
+    "search_aggs_nested_metric_order",  # NEW: order-by-metric chains
+    "search_aggs_composite_missing",   # NEW: missing_bucket paging
+    "search_ranked_offset_page",       # NEW: from on the ranked path
+    "search_dsl_qs_ranges",            # NEW: [a TO b] bracket ranges
+    "search_dsl_phrase_slop",          # NEW: sloppy phrase match
+    "search_dsl_match_fuzzy",          # NEW: fuzziness inside match
+    "search_aggs_date_histogram",      # bucket_key changed (tz path)
+    "search_aggs_histogram_gaps",      # histogram_frame gap-fill split
+    "search_aggs_composite_page",      # composite_frame cursor/nulls
+    "search_aggs_nested_levels",       # nested collect budget + keys
+    "search_dsl_query_string",         # parser gained bracket ranges
+    "search_dsl_simple_qs",            # parser leniency path touched
+    "search_from_size_page",           # offset_page shared with ranked
     # -- core-§2 flagship set: keep driver evidence <=1 round stale --
     "denormalized_orders",
     "pricing_summary",
@@ -3913,38 +3912,33 @@ _CHECK_FIRST = [
     "history_versioning",
     "paginate",
     "point_lookup",
-    # -- the 18 r2-only-checked stragglers, notes order (ROUND5_NOTES
-    #    r6 rotation plan item 3, applied verbatim) — retiring the r2
-    #    evidence tier entirely --
-    "pii_redaction",
-    "pivot_event_types",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q10_returned_revenue",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "regex_extract_docs",
-    "rollup_status_priority",
-    "set_ops_customers",
-    "string_functions_family",
-    "top_words_per_doc",
-    "unpivot_lineitem_metrics",
-    "window_rank_family",
-    "window_value_family",
-    "word_count",
-    "stratified_sample_langs",
-    # -- fill to 50: oldest-evidence (r3-latest) queries in
-    #    registration order (item 4) --
-    "history_asof_read",
-    "events_ewma",
-    "embed_quantize_int8",
-    # (incremental_sync_events, leakage_safe_split, text_repetition,
-    #  array_functions_docs and corpus_composition displaced to keep
-    #  the window at exactly 50 after the post-certification collapse /
-    #  terms-order / histogram-gaps / decontamination /
-    #  significant-terms additions — they lead the r7 fill,
-    #  oldest-evidence first)
+    # -- fill to 50: the r3-latest (oldest-evidence) tier, the four
+    #    displaced from r6's window first (ROUND6_NOTES r7 rotation
+    #    plan item 3), then registration order. 23 fills → the r3
+    #    tier shrinks 44 → 21 (< 32, the plan's target).
+    "leakage_safe_split",
+    "text_repetition",
+    "array_functions_docs",
+    "corpus_composition",
+    "incremental_sync_events",
+    "gdpr_delete_sync",
+    "multimodal_frame_sample",
+    "text_cosine_pairs",
+    "data_quality_audit",
+    "late_data_profile",
+    "value_histogram",
+    "value_outliers_mad",
+    "event_transition_matrix",
+    "revenue_share_by_segment",
+    "key_skew_report",
+    "join_explosion_estimate",
+    "snapshot_diff",
+    "wow_growth",
+    "weighted_sample_docs",
+    "rag_context_assembly",
+    "dedup_keep_canonical",
+    "orders_revenue_7d_ma",
+    "curriculum_deciles",
 ]
 
 

@@ -285,6 +285,39 @@ GATES = {
         shuffles=4, smj_max=0, bhj_min=2, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # r7: time_zone/offset bucket rounding is pure column arithmetic —
+    # the same one-agg-one-sort shape as a plain date_histogram (a
+    # third shuffle would mean the tz shifts broke the single groupBy)
+    "search_aggs_timezone": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (2, [])},
+    ),
+    # r7: missing_bucket keeps the composite at ONE shuffle and the
+    # null-aware cursor must not block the per-source not-null pushdown
+    "search_aggs_composite_missing": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, ["IsNotNull(source)"])},
+    ),
+    # r7: the ranked offset page fuses into one TakeOrderedAndProject —
+    # zero exchanges, 2-column scan
+    "search_ranked_offset_page": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
+    # r7: bracket ranges / sloppy phrases / fuzzy match all compile to
+    # scan-level predicates — no shuffle, no join, pruned scans
+    "search_dsl_qs_ranges": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
+    "search_dsl_phrase_slop": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
+    "search_dsl_match_fuzzy": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
 }
 
 
