@@ -142,11 +142,11 @@ _AGG_BODY_KEYS = {
               "shard_size", "show_term_doc_count_error", "collect_mode",
               "execution_hint"},
     "histogram": {"field", "interval", "min_doc_count",
-                  "extended_bounds"},
+                  "extended_bounds", "offset", "keyed"},
     "date_histogram": {"field", "calendar_interval", "fixed_interval",
                        "min_doc_count", "extended_bounds", "format",
-                       "time_zone", "offset"},
-    "range": {"field", "ranges"},
+                       "time_zone", "offset", "keyed"},
+    "range": {"field", "ranges", "keyed"},
     "composite": {"sources", "size", "after"},
     "top_hits": {"size", "sort", "_source"},
     "significant_terms": {"field", "size", "min_doc_count",
@@ -269,6 +269,18 @@ def bucket_key(kind: str, body: dict) -> Column:
         interval = body.get("interval")
         if not interval or interval <= 0:
             raise DslError("histogram requires a positive interval")
+        off = body.get("offset", 0) or 0
+        if off:
+            # ES's numeric-histogram offset contract: [0, interval)
+            if not (0 <= off < interval):
+                raise DslError(
+                    f"histogram offset must be in [0, {interval}) "
+                    f"(got {off})"
+                )
+            return (
+                F.floor((F.col(field) - F.lit(off)) / F.lit(interval))
+                * F.lit(interval) + F.lit(off)
+            )
         return (
             F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
         )
@@ -492,13 +504,15 @@ def histogram_frame(
                 .alias("key"))
     else:
         iv = int(body["interval"])
+        noff = body.get("offset", 0) or 0
         key_type = grouped.schema["key"].dataType
         full = b.filter(F.col("mn").isNotNull()).select(
             F.explode(F.sequence(
-                (F.col("mn") / iv).cast("long"),
-                (F.col("mx") / iv).cast("long"),
+                ((F.col("mn") - F.lit(noff)) / iv).cast("long"),
+                ((F.col("mx") - F.lit(noff)) / iv).cast("long"),
             )).alias("__i")
-        ).select((F.col("__i") * iv).cast(key_type).alias("key"))
+        ).select((F.col("__i") * iv + F.lit(noff)).cast(key_type)
+                 .alias("key"))
     return (
         full.join(grouped, "key", "left")
         .withColumn("doc_count",
@@ -692,6 +706,11 @@ def _split_levels(
     sub-aggs attaching to level-``i`` buckets. One bucket sub-agg per
     level (ES allows siblings; this engine names the limitation instead
     of guessing which sibling owns the shared shuffle)."""
+    if isinstance(body, dict) and body.get("keyed"):
+        raise DslError(
+            "keyed is not supported inside a nested bucket chain "
+            "(the chain response is assembled as lists)"
+        )
     levels = [(name, kind, body)]
     metrics: list[dict] = []
     while True:
@@ -722,6 +741,11 @@ def _split_levels(
         ((n, s),) = buckets.items()
         k = next(x for x in s if x not in ("aggs", "aggregations"))
         check_agg_keys(k, s[k])
+        if isinstance(s[k], dict) and s[k].get("keyed"):
+            raise DslError(
+                "keyed is not supported inside a nested bucket chain "
+                "(the chain response is assembled as lists)"
+            )
         levels.append((n, k, s[k]))
         sub = s.get("aggs") or s.get("aggregations")
     return levels, metrics
@@ -1375,7 +1399,17 @@ def run_aggs(
                 if isinstance(r["key"], _dt.datetime):
                     b["key_as_string"] = _key_as_string(r["key"], body)
                 buckets.append(b)
-            out[name] = {"buckets": buckets}
+            if body.get("keyed"):
+                # ES `keyed: true`: buckets as an object — the
+                # date form keys by key_as_string, the numeric form
+                # by the key's string rendering; each bucket keeps
+                # its inline key fields like ES
+                out[name] = {"buckets": {
+                    str(b.get("key_as_string", b["key"])): b
+                    for b in buckets
+                }}
+            else:
+                out[name] = {"buckets": buckets}
         elif kind == "range":
             row = range_frame(df, body, sub).collect()[0]
             buckets = []
@@ -1394,7 +1428,14 @@ def run_aggs(
                     parts.append("*")
                 b["key"] = r.get("key", "-".join(parts))
                 buckets.append(b)
-            out[name] = {"buckets": buckets}
+            if body.get("keyed"):
+                # ES keyed ranges drop the inline "key" (it IS the
+                # object key) but keep from/to
+                out[name] = {"buckets": {
+                    b.pop("key"): b for b in buckets
+                }}
+            else:
+                out[name] = {"buckets": buckets}
         elif kind == "composite":
             rows = composite_frame(df, body, sub).collect()
             src_names = [next(iter(s)) for s in body["sources"]]

@@ -258,6 +258,32 @@ def _sloppy_phrase(col: Column, toks: list[str], slop: int) -> Column:
     )
 
 
+def _fuzzy_match(col: Column, text: str, fuzziness, operator: str) -> Column:
+    """Fuzziness-in-match (r7 — previously a named 400): each query
+    token matches any DOCUMENT token within its edit budget (AUTO
+    ladder per token length, like ES). The doc side tokenizes in-plan
+    (:func:`_token_array`) so the comparison is token-vs-token like
+    ES's term-level fuzzy expansion — ``exists(tokens, levenshtein ≤
+    k)`` per query token, OR/AND by ``operator``. No UDF."""
+    toks = tokenize(text)
+    if not toks:
+        return F.lit(False)
+    arr = _token_array(col)
+
+    def _fuzzy_tok(tok: str) -> Column:
+        maxed = _max_edits(fuzziness, tok)
+        return F.coalesce(
+            F.exists(arr, lambda t: F.levenshtein(
+                t, F.lit(tok)) <= F.lit(maxed)),
+            F.lit(False))
+
+    preds = [_fuzzy_tok(tok) for tok in toks]
+    acc = preds[0]
+    for p in preds[1:]:
+        acc = (acc & p) if operator == "and" else (acc | p)
+    return acc
+
+
 def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
     toks = tokenize(str(text))
     if not toks:
@@ -388,30 +414,8 @@ def compile_dsl(
             # zero_terms_query: "all" (the default "none" matches none)
             return F.lit(True)
         if spec.get("fuzziness") is not None:
-            # fuzziness-in-match (r7 — previously a named 400): each
-            # query token matches any DOCUMENT token within its edit
-            # budget (AUTO ladder per token length, like ES). The doc
-            # side tokenizes in-plan (_token_array) so the comparison
-            # is token-vs-token like ES's term-level fuzzy expansion —
-            # exists(tokens, levenshtein ≤ k) per query token, OR/AND
-            # by operator. No UDF.
-            toks = tokenize(str(value))
-            if not toks:
-                return F.lit(False)
-            arr = _token_array(col(field))
-
-            def _fuzzy_tok(tok: str) -> Column:
-                maxed = _max_edits(spec["fuzziness"], tok)
-                return F.coalesce(
-                    F.exists(arr, lambda t: F.levenshtein(
-                        t, F.lit(tok)) <= F.lit(maxed)),
-                    F.lit(False))
-
-            preds = [_fuzzy_tok(tok) for tok in toks]
-            acc = preds[0]
-            for p in preds[1:]:
-                acc = (acc & p) if operator == "and" else (acc | p)
-            return acc
+            return _fuzzy_match(col(field), str(value),
+                                spec["fuzziness"], operator)
         return _match_tokens(col(field), value, require_all=operator == "and")
 
     if kind == "match_phrase":
@@ -493,11 +497,12 @@ def compile_dsl(
         # with match-set semantics we don't implement (fuzziness,
         # slop, …) are named errors
         unknown = sorted(set(body) - {"query", "fields", "operator",
-                                      "type", "tie_breaker", "boost"})
+                                      "type", "tie_breaker", "boost",
+                                      "fuzziness"})
         if unknown:
             raise DslError(
                 f"unsupported multi_match options: {unknown} "
-                "(supported: query, fields, operator; "
+                "(supported: query, fields, operator, fuzziness; "
                 "type/tie_breaker/boost accepted-and-ignored)"
             )
         mm_operator = str(body.get("operator", "or")).lower()
@@ -538,11 +543,20 @@ def compile_dsl(
             # ES semantics: fields that resolve to nothing match no
             # documents (match_no_docs), not all of them
             return F.lit(False)
-        preds = [
-            _match_tokens(col(f), query,
-                          require_all=mm_operator == "and")
-            for f in expanded
-        ]
+        if body.get("fuzziness") is not None:
+            # per-field fuzzy match (r7), any field may satisfy —
+            # ES's most_fields/best_fields membership semantics
+            preds = [
+                _fuzzy_match(col(f), str(query), body["fuzziness"],
+                             mm_operator)
+                for f in expanded
+            ]
+        else:
+            preds = [
+                _match_tokens(col(f), query,
+                              require_all=mm_operator == "and")
+                for f in expanded
+            ]
         acc = preds[0]
         for p in preds[1:]:
             acc = acc | p

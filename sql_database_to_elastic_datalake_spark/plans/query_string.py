@@ -36,15 +36,20 @@ Supported syntax (the sane subset; everything else is a named 400):
     ``range`` leaf; a field-less range applies per default field.
     ``query_string`` dialect only (ES's simple dialect has no range
     syntax — brackets stay literal text there);
+  * fuzzy ``term~`` / ``term~N`` (→ the r7 fuzziness-in-match leaf,
+    token-vs-token edit distance, AUTO when no number) and sloppy
+    phrases ``"a b"~N`` (→ ``match_phrase`` ``slop``) — both dialects,
+    matching ES;
+  * regex ``/…/`` (→ the structured ``regexp`` leaf, whole-value
+    anchored; space-free patterns only, ``query_string`` dialect
+    only — ES's simple dialect treats ``/`` as literal text);
   * per-term / per-field ``^boost`` — accepted and ignored (the
     module-wide boost divergence in :mod:`.es_dsl`).
 
-Rejected with ``DslError`` (ES features whose semantics this engine
-cannot honor faithfully): fuzzy/slop ``~``, regex ``/…/``.
 ``simple_query_string`` keeps ES's LENIENT posture for *malformed*
 syntax (unbalanced quote/paren degrades to literal terms, like ES),
-but the unsupported-feature rejections above still apply — silently
-dropping a fuzzy operator would return wrong results.
+but genuinely malformed operator uses (a bare ``~``, an unterminated
+regex in the query dialect) still raise ``DslError``.
 
 Field resolution: an explicit ``fields`` list (entries may be wildcard
 patterns and carry ``^boost`` suffixes) or ``default_field`` is
@@ -55,6 +60,7 @@ omitted, it defaults to ES's ``*`` (every column).
 from __future__ import annotations
 
 import fnmatch
+import re
 
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
@@ -162,6 +168,20 @@ def _tokens(s: str, simple: bool) -> list[tuple]:
         while j < n and s[j] not in _WORD_STOP and not (
             simple and s[j] in "|+"
         ):
+            if not simple and s[j] == "/" and (j == i or s[j - 1] == ":"):
+                # a /regex/ span (only at term start or after field:):
+                # consume to the closing unescaped slash so grouping /
+                # alternation chars inside the pattern don't split the
+                # token; an unterminated regex reaches the leaf parser,
+                # which names the error
+                k = s.find("/", j + 1)
+                while k > 0 and s[k - 1] == "\\":
+                    k = s.find("/", k + 1)
+                if k < 0:
+                    j = n
+                else:
+                    j = k + 1
+                continue
             j += 1
         word = s[i:j]
         i = j
@@ -392,22 +412,47 @@ class _Parser:
                     fields, lambda f: {"exists": {"field": f}})
             return self._per_field(
                 fields, lambda f: {"range": {f: bounds}})
-        if value[0] == "/":
-            raise DslError(
-                "regex syntax (/…/) is not supported in query strings — "
-                "use the structured regexp query"
-            )
+        if value[0] == "/" and not self.simple:
+            # /regex/ → the structured regexp leaf (whole-value
+            # anchoring, the engine's documented regexp posture).
+            # Space-free regexes only — the tokenizer splits on
+            # whitespace, Lucene's own parser has the same shape.
+            if len(value) < 3 or not value.endswith("/"):
+                raise DslError(
+                    f"unterminated regex {value!r} in query string")
+            pat = value[1:-1]
+            return self._per_field(fields, lambda f: {"regexp": {f: pat}})
         if "~" in value:
-            raise DslError(
-                "fuzzy/slop syntax (~) is not supported in query "
-                "strings — use the structured fuzzy query"
-            )
+            # Lucene fuzzy: term~ (AUTO) / term~N → the r7
+            # fuzziness-in-match leaf (token-vs-token edit distance)
+            m = re.fullmatch(r"(.*[^~])~(\d*)", value)
+            if m is None or not m.group(1):
+                raise DslError(
+                    f"malformed fuzzy term {value!r} in query string")
+            term, edits = m.group(1), m.group(2)
+            fuzz = int(edits) if edits else "AUTO"
+            return self._per_field(
+                fields,
+                lambda f: {"match": {f: {"query": term,
+                                         "fuzziness": fuzz}}})
         if "*" in value or "?" in value:
             return self._per_field(
                 fields, lambda f: {"wildcard": {f: value}})
         return self._per_field(fields, lambda f: {"match": {f: value}})
 
     def _phrase_leaf(self, text: str, fields: list[str]) -> dict:
+        # "a phrase"~N → match_phrase slop (the r7 positional leaf);
+        # the slop suffix arrives as its own WORD token after the
+        # quoted phrase
+        nxt = self.peek()
+        if nxt and nxt[0] == "WORD" and re.fullmatch(r"~\d+", nxt[1]):
+            self.next()
+            slop = int(nxt[1][1:])
+            if slop:
+                return self._per_field(
+                    fields,
+                    lambda f: {"match_phrase": {f: {"query": text,
+                                                    "slop": slop}}})
         return self._per_field(
             fields, lambda f: {"match_phrase": {f: text}})
 

@@ -1069,6 +1069,81 @@ def search_dsl_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_qs_fuzzy",
+    # the Lucene operators map onto the r7 leaves, so the oracle is the
+    # same token-array SQL as the structured slop/fuzzy queries: an
+    # in-order (a, b) pair within 1+2 positions, OR a token within one
+    # edit of "sparc"
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id, lang FROM t
+    WHERE len(list_filter(
+            list_filter(list_transform(w,
+                (x, i) -> CASE WHEN x = 'key' THEN i END),
+                v -> v IS NOT NULL),
+            a -> len(list_filter(
+                   list_filter(list_transform(w,
+                       (x, i) -> CASE WHEN x = 'hash' THEN i END),
+                       v -> v IS NOT NULL),
+                   b -> b > a AND b - a <= 3)) > 0)) > 0
+       OR len(list_filter(w, x -> levenshtein(x, 'sparc') <= 1)) > 0
+    """,
+)
+def search_dsl_qs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``~`` fuzzy and ``"…"~N`` sloppy-phrase operators in
+    ``query_string`` (r7 — they map onto the new fuzziness-in-match
+    and match_phrase-slop leaves, so two more named 400s became real
+    semantics): ``"key hash"~2 OR sparc~1`` over the documents
+    corpus."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"query_string": {
+        "query": 'text:"key hash"~2 OR text:sparc~1',
+    }}
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)
+    ).select("doc_id", "lang")
+
+
+@register(
+    "search_aggs_histogram_offset",
+    # the shifted-grid arithmetic is identical integer algebra on both
+    # sides; the offset keeps every bucket key on the 25-shifted grid
+    oracle="""
+    SELECT CAST(FLOOR((n_chars - 25) / 100) * 100 + 25 AS BIGINT)
+               AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(n_chars) AS avg_chars
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def search_aggs_histogram_offset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES numeric-histogram ``offset`` (r7): bucket boundaries shift to
+    the ``[offset, offset+interval)`` grid — one groupBy on the derived
+    key, exactly the un-shifted plan."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        histogram_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_frame(
+        docs, "histogram",
+        {"field": "n_chars", "interval": 100, "offset": 25},
+        {"avg_chars": {"avg": {"field": "n_chars"}}},
+    )
+
+
+@register(
     "search_aggs_terms_stats",
     # size 10 >= the 5 distinct langs, so the LIMIT boundary carries no
     # cross-engine tie risk; null keys are excluded like ES terms aggs
@@ -3891,6 +3966,8 @@ _CHECK_FIRST = [
     "search_dsl_qs_ranges",            # NEW: [a TO b] bracket ranges
     "search_dsl_phrase_slop",          # NEW: sloppy phrase match
     "search_dsl_match_fuzzy",          # NEW: fuzziness inside match
+    "search_dsl_qs_fuzzy",             # NEW: ~ / "…"~N / /regex/ ops
+    "search_aggs_histogram_offset",    # NEW: numeric histogram offset
     "search_aggs_date_histogram",      # bucket_key changed (tz path)
     "search_aggs_histogram_gaps",      # histogram_frame gap-fill split
     "search_aggs_composite_page",      # composite_frame cursor/nulls
@@ -3937,8 +4014,9 @@ _CHECK_FIRST = [
     "weighted_sample_docs",
     "rag_context_assembly",
     "dedup_keep_canonical",
-    "orders_revenue_7d_ma",
-    "curriculum_deciles",
+    # (orders_revenue_7d_ma and curriculum_deciles displaced to keep
+    #  the window at exactly 50 after the late qs-fuzzy /
+    #  histogram-offset additions — they lead the r8 fill)
 ]
 
 

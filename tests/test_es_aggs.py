@@ -606,11 +606,11 @@ def test_result_changing_agg_options_400_not_ignored(docs):
     for aggs, frag in [
         ({"d": {"date_histogram": {"field": "ts",
                                    "calendar_interval": "day",
-                                   "keyed": True}}}, "keyed"),
+                                   "script": "x"}}}, "script"),
         ({"h": {"histogram": {"field": "n_chars", "interval": 10,
-                              "offset": 5}}}, "offset"),
-        ({"r": {"range": {"field": "n_chars", "keyed": True,
-                          "ranges": [{"to": 10}]}}}, "keyed"),
+                              "offset": 15}}}, "offset"),
+        ({"r": {"range": {"field": "n_chars", "script": "x",
+                          "ranges": [{"to": 10}]}}}, "script"),
         ({"t": {"terms": {"field": "lang", "script": "x"}}}, "script"),
         ({"a": {"avg": {"field": "n_chars", "format": "0.0"}}},
          "format"),
@@ -1354,4 +1354,55 @@ def test_nested_chain_flat_budget_enforced(docs, monkeypatch):
             "terms": {"field": "lang"},
             "aggs": {"days": {"date_histogram": {
                 "field": "ts", "calendar_interval": "day"}}},
+        }})
+
+
+def test_numeric_histogram_offset_and_keyed(docs):
+    """r7: ES numeric-histogram offset shifts bucket boundaries;
+    keyed:true returns buckets as an object."""
+    out = run_aggs(docs, {"h": {"histogram": {
+        "field": "n_chars", "interval": 100, "offset": 50}}})
+    # values 100,300,200,400,50,999 → offset-50 buckets
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] \
+        == [(50, 2), (150, 1), (250, 1), (350, 1), (950, 1)]
+    # offset outside [0, interval) is ES's named error
+    with pytest.raises(DslError, match="offset"):
+        run_aggs(docs, {"h": {"histogram": {
+            "field": "n_chars", "interval": 10, "offset": 15}}})
+    # offset + min_doc_count:0 gap-fills on the shifted grid
+    out = run_aggs(docs.filter("doc_id in (1, 4)"), {"h": {"histogram": {
+        "field": "n_chars", "interval": 100, "offset": 50,
+        "min_doc_count": 0}}})
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] \
+        == [(50, 1), (150, 0), (250, 0), (350, 1)]
+    # keyed object envelopes: numeric histogram and range
+    out = run_aggs(docs, {"h": {"histogram": {
+        "field": "n_chars", "interval": 500, "keyed": True}}})
+    assert out["h"]["buckets"] == {
+        "0": {"key": 0, "doc_count": 5},
+        "500": {"key": 500, "doc_count": 1},
+    }
+    out = run_aggs(docs, {"r": {"range": {
+        "field": "n_chars", "keyed": True,
+        "ranges": [{"to": 200}, {"from": 200, "key": "big"}]}}})
+    assert out["r"]["buckets"] == {
+        "*-200": {"doc_count": 2, "to": 200},
+        "big": {"doc_count": 4, "from": 200},
+    }
+
+
+def test_date_histogram_keyed_uses_key_as_string(docs):
+    out = run_aggs(docs, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "keyed": True,
+        "format": "yyyy-MM-dd"}}})
+    b = out["d"]["buckets"]
+    assert set(b) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert b["2024-01-01"]["doc_count"] == 3
+    # keyed inside a nested chain stays a named error (list assembly)
+    with pytest.raises(DslError, match="keyed"):
+        run_aggs(docs, {"t": {
+            "terms": {"field": "lang"},
+            "aggs": {"d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "keyed": True}}},
         }})

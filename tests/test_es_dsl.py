@@ -321,12 +321,15 @@ def test_leaf_options_implemented_or_named_400(docs):
         "query": "spark", "fields": ["txt"], "type": "best_fields",
         "tie_breaker": 0.3,
     }}) == [1, 4]
-    # match fuzziness and match_phrase slop are LIVE since r7
-    # (see test_match_fuzziness / test_match_phrase_slop); the rest of
-    # the unimplemented match-set options stay named, never dropped
-    with pytest.raises(DslError, match="fuzziness"):
+    # match/multi_match fuzziness and match_phrase slop are LIVE since
+    # r7 (see test_match_fuzziness / test_match_phrase_slop); the rest
+    # of the unimplemented match-set options stay named, never dropped
+    assert run(docs, {"multi_match": {"query": "spork",
+                                      "fields": ["txt"],
+                                      "fuzziness": 1}}) == [1, 4]
+    with pytest.raises(DslError, match="analyzer"):
         compile_dsl({"multi_match": {"query": "x", "fields": ["txt"],
-                                     "fuzziness": 1}})
+                                     "analyzer": "std"}})
     with pytest.raises(DslError, match="transpositions"):
         compile_dsl({"fuzzy": {"txt": {"value": "x",
                                        "transpositions": False}}})

@@ -452,6 +452,13 @@ _qs_term = st.one_of(
     ).map(lambda r: "n:" + r),
     st.sampled_from(["kind:[a TO b]", "kind:{a TO c}",
                      'n:["5" TO "25"]']),
+    # r7 operators: ~ fuzzy (→ fuzziness-in-match), "…"~N slop
+    # (→ match_phrase slop), /regex/ (→ the anchored regexp leaf)
+    st.sampled_from(["spork~1", "txt:spark~", "pandas~2", "zzz~1"]),
+    st.sampled_from(['"spark fast"~1', '"slow loop"~2',
+                     'txt:"spark merges"~3', '"merges spark"~1']),
+    st.sampled_from(["txt:/[Ss]park.*/", "txt:/(slow|fast).*/",
+                     "kind:/[ab]/"]),
 )
 _qs_unary = st.builds(
     lambda p, t: p + t,

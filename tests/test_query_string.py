@@ -184,12 +184,10 @@ def test_bracket_ranges(docs):
 
 
 def test_unsupported_features_named_400():
-    for q, frag in [
-        ("spark~2", "fuzzy"),
-        ("name:/sp.rk/", "regex"),
-    ]:
-        with pytest.raises(DslError, match=frag):
-            parse_query_string({"query": q, "default_field": "text"})
+    # fuzzy ~ and /regex/ are LIVE since r7 (see
+    # test_fuzzy_slop_regex_operators); malformed uses still reject
+    with pytest.raises(DslError, match="fuzzy"):
+        parse_query_string({"query": "~2", "default_field": "text"})
     with pytest.raises(DslError, match="unsupported query_string"):
         parse_query_string({"query": "x", "fields": ["text"],
                             "fuzziness": 2})
@@ -216,9 +214,13 @@ def test_simple_dialect():
     assert t == {"bool": {"should": [{"match": {"text": "spark"}},
                                      {"match": {"text": "unterminated"}}],
                  "minimum_should_match": 1}}
-    # …but unsupported FEATURES still reject, never silently drop
+    # fuzzy ~N is live in the simple dialect too (ES supports it);
+    # a malformed bare ~ still rejects, never silently drops
+    t = parse_query_string({"query": "spark~1", "fields": ["text"]},
+                           simple=True)
+    assert t == {"match": {"text": {"query": "spark", "fuzziness": 1}}}
     with pytest.raises(DslError, match="fuzzy"):
-        parse_query_string({"query": "spark~1", "fields": ["text"]},
+        parse_query_string({"query": "~1", "fields": ["text"]},
                            simple=True)
 
 
@@ -283,6 +285,41 @@ def test_query_string_via_advanced_search_route(spark, tmp_path):
     # a feature this engine cannot honor is a named 400
     r = c.post("/search/advanced", data=json.dumps({
         "table": "data_lake_label",
-        "query": {"query_string": {"query": "spark~2"}},
+        "query": {"query_string": {"query": "~2"}},
     }), content_type="application/json")
     assert r.status_code == 400 and "fuzzy" in r.get_json()["error"]
+
+
+def test_fuzzy_slop_regex_operators(docs):
+    """r7: ~ fuzzy, "phrase"~N slop, and /regex/ now map onto the
+    implemented leaves instead of 400ing."""
+    # term~1: "spark" within 1 edit of "spork"
+    t = parse_query_string({"query": "text:spork~1"}, ["text"])
+    assert t == {"match": {"text": {"query": "spork",
+                                    "fuzziness": 1}}}
+    assert ids(docs, {"query_string": {"query": "text:spork~1"}}) \
+        == [1, 3, 6]
+    # bare ~ defaults to AUTO
+    t = parse_query_string({"query": "spork~", "default_field": "text"})
+    assert t == {"match": {"text": {"query": "spork",
+                                    "fuzziness": "AUTO"}}}
+    # "phrase"~N → match_phrase slop (doc 3: "spark merge join" —
+    # "spark join" needs one intervening token)
+    assert ids(docs, {"query_string": {
+        "query": 'text:"spark join"~1'}}) == [3]
+    assert ids(docs, {"query_string": {
+        "query": 'text:"spark join"~0 OR text:"spark join"'}}) == []
+    # /regex/ → the anchored regexp leaf
+    t = parse_query_string({"query": "title:/inf.a/"}, ["title"])
+    assert t == {"regexp": {"title": "inf.a"}}
+    assert ids(docs, {"query_string": {
+        "query": "title:/(infra|search)/"}}) == [1, 2, 4]
+    # malformed forms stay the client's error
+    with pytest.raises(DslError, match="fuzzy"):
+        parse_query_string({"query": "text:~2"}, ["text"])
+    with pytest.raises(DslError, match="unterminated regex"):
+        parse_query_string({"query": "title:/inf"}, ["title"])
+    # simple dialect: fuzzy works, regex stays literal text
+    t = parse_query_string({"query": "spork~1", "fields": ["text"]},
+                           simple=True)
+    assert t == {"match": {"text": {"query": "spork", "fuzziness": 1}}}
