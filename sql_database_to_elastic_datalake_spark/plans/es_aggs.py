@@ -696,27 +696,37 @@ _LEVEL_KINDS = ("terms", "histogram", "date_histogram")
 _NESTED_FLAT_BUDGET = 100_000
 
 
-def _split_levels(
+def _split_chains(
     name: str, kind: str, body: dict, sub: dict | None
-) -> tuple[list[tuple[str, str, dict]], list[dict]]:
-    """Walk a nested bucket-agg spec into a flat level chain.
+) -> list[tuple[list[tuple[str, str, dict]], list[dict], dict]]:
+    """Walk a nested bucket-agg TREE into root-to-leaf level chains.
 
-    Returns ``(levels, metrics_per_level)``: ``levels[i] = (agg_name,
-    kind, body)`` top-down, ``metrics_per_level[i]`` the metric
-    sub-aggs attaching to level-``i`` buckets. One bucket sub-agg per
-    level (ES allows siblings; this engine names the limitation instead
-    of guessing which sibling owns the shared shuffle)."""
+    Returns one ``(levels, metrics_per_level, top_hits)`` triple per
+    path: ``levels[i] = (agg_name, kind, body)`` top-down,
+    ``metrics_per_level[i]`` the metric sub-aggs attaching to
+    level-``i`` buckets, ``top_hits`` the ``top_hits`` specs at the
+    chain's DEEPEST level (r7 — named errors above it).
+
+    SIBLING bucket sub-aggs (r7 — previously a named error) branch the
+    walk: each sibling becomes its own chain sharing the ancestor
+    prefix, and every shared ancestor level carries the SAME metric
+    dict in every chain — so each chain's driver-side assembly orders
+    and truncates the shared levels identically, which is what lets
+    :func:`run_aggs` graft the sibling subtrees onto one response tree
+    by bucket key. Cost: one composite-key shuffle per leaf chain
+    (ES's own cost model — every sibling is its own aggregation)."""
     if isinstance(body, dict) and body.get("keyed"):
         raise DslError(
             "keyed is not supported inside a nested bucket chain "
             "(the chain response is assembled as lists)"
         )
-    levels = [(name, kind, body)]
-    metrics: list[dict] = []
-    while True:
+    chains: list = []
+
+    def walk(levels: list, mets_prefix: list, sub: dict | None) -> None:
         sub = sub or {}
         buckets: dict = {}
         mets: dict = {}
+        ths: dict = {}
         for n, s in sub.items():
             if not isinstance(s, dict):
                 raise DslError(f"aggregation {n!r} must be an object")
@@ -724,30 +734,57 @@ def _split_levels(
                      None)
             if k in _LEVEL_KINDS:
                 buckets[n] = s
-            elif k in ("filter", "range", "composite", "top_hits"):
+            elif k == "top_hits":
+                ths[n] = s["top_hits"]
+            elif k in ("filter", "range", "composite"):
                 raise DslError(
                     f"{k} is not supported inside a nested bucket chain"
                 )
             else:
                 mets[n] = s
-        metrics.append(mets)
+        if ths and buckets:
+            raise DslError(
+                "top_hits inside a nested bucket chain is only "
+                "supported at the DEEPEST level (hits attach to the "
+                f"innermost buckets; got {sorted(ths)} next to deeper "
+                f"bucket aggs {sorted(buckets)})"
+            )
         if not buckets:
-            break
-        if len(buckets) > 1:
-            raise DslError(
-                "sibling bucket sub-aggregations are not supported "
-                f"(got {sorted(buckets)})"
-            )
-        ((n, s),) = buckets.items()
-        k = next(x for x in s if x not in ("aggs", "aggregations"))
-        check_agg_keys(k, s[k])
-        if isinstance(s[k], dict) and s[k].get("keyed"):
-            raise DslError(
-                "keyed is not supported inside a nested bucket chain "
-                "(the chain response is assembled as lists)"
-            )
-        levels.append((n, k, s[k]))
-        sub = s.get("aggs") or s.get("aggregations")
+            chains.append((levels, mets_prefix + [mets], ths))
+            return
+        for n, s in buckets.items():
+            k = next(x for x in s if x not in ("aggs", "aggregations"))
+            check_agg_keys(k, s[k])
+            if isinstance(s[k], dict) and s[k].get("keyed"):
+                raise DslError(
+                    "keyed is not supported inside a nested bucket "
+                    "chain (the chain response is assembled as lists)"
+                )
+            walk(levels + [(n, k, s[k])], mets_prefix + [mets],
+                 s.get("aggs") or s.get("aggregations"))
+
+    walk([(name, kind, body)], [], sub)
+    return chains
+
+
+def _split_levels(
+    name: str, kind: str, body: dict, sub: dict | None
+) -> tuple[list[tuple[str, str, dict]], list[dict]]:
+    """Single-chain form of :func:`_split_chains` (the shape the
+    registry's flat-frame queries use): ``(levels,
+    metrics_per_level)``, erroring on siblings and top_hits."""
+    chains = _split_chains(name, kind, body, sub)
+    if len(chains) > 1:
+        raise DslError(
+            "sibling bucket sub-aggregations need the full tree path "
+            "(use run_aggs, which grafts per-sibling chains)"
+        )
+    levels, metrics, ths = chains[0]
+    if ths:
+        raise DslError(
+            "top_hits inside a nested bucket chain needs the full "
+            "tree path (use run_aggs)"
+        )
     return levels, metrics
 
 
@@ -1109,6 +1146,121 @@ def _assemble_levels(
     return env
 
 
+def _graft_sibling(
+    p_env: dict, s_env: dict, levels_s: list, li: int, d: int
+) -> None:
+    """Copy a sibling chain's branch subtrees onto the primary
+    response tree, matching buckets by key through the shared ancestor
+    levels. The shared levels truncate identically in both assemblies
+    (same counts, same metrics — :func:`_split_chains`), so a missing
+    secondary bucket can only mean a defensive empty branch."""
+    s_by_key = {b["key"]: b for b in s_env["buckets"]}
+    child = levels_s[li + 1][0]
+    for b in p_env["buckets"]:
+        sb = s_by_key.get(b["key"])
+        if li + 1 == d:
+            b[child] = sb[child] if sb is not None else {"buckets": []}
+        elif sb is not None:
+            _graft_sibling(b[child], sb[child], levels_s, li + 1, d)
+
+
+def _attach_chain_top_hits(
+    df: DataFrame, frame: DataFrame, rows: list, tree: dict,
+    levels: list, ths: dict
+) -> None:
+    """``top_hits`` at the DEEPEST level of a nested chain (r7 —
+    Kibana's "top documents per group per bucket"; previously a named
+    error). One window job per request: candidate rows are restricted
+    to the RETURNED innermost buckets via a broadcast semi-join on the
+    composite key (volume ≤ returned buckets × size — the response
+    bound), with WindowGroupLimit pre-truncating per partition."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
+
+    targets: list[tuple[tuple, dict]] = []
+
+    def walk(env: dict, li: int, path: tuple) -> None:
+        for b in env["buckets"]:
+            p = path + (b["key"],)
+            if li + 1 < len(levels):
+                walk(b[levels[li + 1][0]], li + 1, p)
+            else:
+                targets.append((p, b))
+
+    walk(tree, 0, ())
+    if not targets:
+        return
+    for th_name, th_body in ths.items():
+        check_agg_keys("top_hits", th_body)
+    # enveloped tree keys → the RAW composite keys, via the flat rows
+    # (the envelope conversion is injective); gap-filled empty buckets
+    # have no flat row and simply get empty hit arrays
+    nk = len(levels)
+    raw_by_env: dict[tuple, tuple] = {}
+    for r in rows:
+        env_t = tuple(_key_envelope(r[f"__k{j}"]) for j in range(nk))
+        raw_by_env[env_t] = tuple(r[f"__k{j}"] for j in range(nk))
+    keys = [raw_by_env[t] for t, _ in targets if t in raw_by_env]
+    if not keys:
+        for th_name, th_body in ths.items():
+            for _, b in targets:
+                b[th_name] = {"hits": {
+                    "total": {"value": b["doc_count"], "relation": "eq"},
+                    "hits": []}}
+        return
+    spark = df.sparkSession
+    schema = StructType([
+        StructField(f"__k{j}", frame.schema[f"__k{j}"].dataType)
+        for j in range(nk)
+    ])
+    keys_df = spark.createDataFrame(keys, schema)
+    key_exprs = [
+        bucket_key(knd, bdy).alias(f"__k{j}")
+        for j, (_, knd, bdy) in enumerate(levels)
+    ]
+    cand = df.select("*", *key_exprs).join(
+        F.broadcast(keys_df), [f"__k{j}" for j in range(nk)], "leftsemi",
+    )
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        resolve_source_columns,
+    )
+
+    for th_name, th_body in ths.items():
+        size = int(th_body.get("size", 3))
+        order: list[Column] = []
+        for s in th_body.get("sort") or []:
+            if isinstance(s, str):
+                field, direction = s, "asc"
+            else:
+                field, ospec = next(iter(s.items()))
+                direction = (
+                    ospec.get("order", "asc") if isinstance(ospec, dict)
+                    else ospec
+                )
+            c = F.col(field)
+            order.append(c.desc() if direction == "desc" else c.asc())
+        order += [F.col(c).asc_nulls_first() for c in df.columns]
+        w = Window.partitionBy(
+            *[F.col(f"__k{j}") for j in range(nk)]).orderBy(*order)
+        hit_rows = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= size)
+            .collect()
+        )
+        th_src = resolve_source_columns(df.columns, th_body.get("_source"))
+        by_key: dict[tuple, list] = {}
+        for hr in hit_rows:
+            env_t = tuple(_key_envelope(hr[f"__k{j}"]) for j in range(nk))
+            by_key.setdefault(env_t, []).append({
+                "_source": {c: hr[c] for c in df.columns if c in th_src}
+            })
+        for t, b in targets:
+            b[th_name] = {"hits": {
+                "total": {"value": b["doc_count"], "relation": "eq"},
+                "hits": by_key.get(t, []),
+            }}
+
+
 def significant_terms_frame(
     fg: DataFrame, bg: DataFrame, body: dict
 ) -> DataFrame:
@@ -1308,26 +1460,42 @@ def run_aggs(
             for s in (sub or {}).values()
         )
         if kind in _LEVEL_KINDS and has_bucket_sub:
-            # multi-level bucket chain (r6): ONE shuffle on the
-            # composite key, tree assembled from the flat frame.
-            # The collect is HARD-BOUNDED (r6 advisory): terms-level
-            # size truncation happens driver-side, so a
-            # high-cardinality top level (user_id > day) would
-            # otherwise pull the whole composite product — the
-            # limit(B+1) caps the transfer at B+1 rows and the
-            # overflow becomes a named error, not a driver OOM.
-            levels, per_level = _split_levels(name, kind, body, sub)
-            rows = nested_levels_frame(df, levels, per_level) \
-                .limit(_NESTED_FLAT_BUDGET + 1).collect()
-            if len(rows) > _NESTED_FLAT_BUDGET:
-                raise DslError(
-                    f"nested aggregation {name!r} produces more than "
-                    f"{_NESTED_FLAT_BUDGET} flat buckets before "
-                    "terms-size truncation — narrow the levels or use "
-                    "a composite aggregation (the paged bucket API) "
-                    "for unbounded key domains"
+            # multi-level bucket chain (r6): ONE shuffle PER LEAF
+            # CHAIN on its composite key, tree assembled from the
+            # flat frame(s). Sibling bucket sub-aggs (r7) become
+            # separate chains whose assemblies truncate the shared
+            # ancestor levels identically (same metrics ride every
+            # chain), then graft onto one response tree by bucket
+            # key. Each collect is HARD-BOUNDED (r6 advisory): the
+            # limit(B+1) caps the transfer and the overflow becomes
+            # a named error, not a driver OOM.
+            chains = _split_chains(name, kind, body, sub)
+            trees = []
+            for levels, per_level, ths in chains:
+                frame = nested_levels_frame(df, levels, per_level)
+                rows = frame.limit(_NESTED_FLAT_BUDGET + 1).collect()
+                if len(rows) > _NESTED_FLAT_BUDGET:
+                    raise DslError(
+                        f"nested aggregation {name!r} produces more "
+                        f"than {_NESTED_FLAT_BUDGET} flat buckets "
+                        "before terms-size truncation — narrow the "
+                        "levels or use a composite aggregation (the "
+                        "paged bucket API) for unbounded key domains"
+                    )
+                tree = _assemble_levels(rows, levels, per_level, 0)
+                if ths:
+                    _attach_chain_top_hits(
+                        df, frame, rows, tree, levels, ths)
+                trees.append((levels, tree))
+            primary_levels, merged = trees[0]
+            for levels_s, tree_s in trees[1:]:
+                d = next(
+                    i for i in range(min(len(primary_levels),
+                                         len(levels_s)))
+                    if primary_levels[i][0] != levels_s[i][0]
                 )
-            out[name] = _assemble_levels(rows, levels, per_level, 0)
+                _graft_sibling(merged, tree_s, levels_s, 0, d)
+            out[name] = merged
         elif kind == "terms":
             top_hits = {
                 n: s for n, s in (sub or {}).items()

@@ -1113,6 +1113,94 @@ def search_dsl_qs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_siblings",
+    # each sibling is its own GROUP BY (ES's own cost model — one
+    # aggregation per sibling), stitched by the parent key; size 10 ≥
+    # the 5 langs, so parent truncation carries no tie risk
+    oracle="""
+    SELECT lang, 'h200' AS sibling,
+           CAST(FLOOR(n_chars / 200) * 200 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents WHERE lang IS NOT NULL GROUP BY 1, 3
+    UNION ALL
+    SELECT lang, 'h150',
+           CAST(FLOOR(n_chars / 150) * 150 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE lang IS NOT NULL GROUP BY 1, 3
+    """,
+)
+def search_aggs_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling bucket sub-aggregations (r7 — a named error until now):
+    two histogram siblings under one terms parent run as separate
+    composite-key chains (one shuffle each — ES's own cost) whose
+    assemblies truncate the shared parent identically, then graft onto
+    one response tree. The tree is re-flattened for the differential
+    compare."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "h200": {"histogram": {"field": "n_chars", "interval": 200}},
+            "h150": {"histogram": {"field": "n_chars", "interval": 150}},
+        },
+    }})
+    flat = [
+        (lb["key"], sib, int(hb["key"]), hb["doc_count"])
+        for lb in out["langs"]["buckets"]
+        for sib in ("h200", "h150")
+        for hb in lb[sib]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "lang string, sibling string, bucket long, doc_count long"
+    )
+
+
+@register(
+    "search_aggs_chain_top_hits",
+    # the size-1 doc_id-asc top hit per innermost bucket IS the
+    # group's MIN(doc_id) — exactly mirrorable SQL
+    oracle="""
+    SELECT lang, CAST(FLOOR(n_chars / 200) * 200 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           MIN(doc_id) AS hit_doc_id
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def search_aggs_chain_top_hits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``top_hits`` at the deepest level of a nested chain (r7 —
+    Kibana's "top documents per group per bucket", previously a named
+    error): candidates restricted to RETURNED buckets via a broadcast
+    semi-join on the composite key, WindowGroupLimit pre-truncation,
+    volume ≤ returned buckets × size."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {"lens": {
+            "histogram": {"field": "n_chars", "interval": 200},
+            "aggs": {"th": {"top_hits": {
+                "size": 1, "sort": ["doc_id"], "_source": ["doc_id"]}}},
+        }},
+    }})
+    flat = [
+        (lb["key"], int(hb["key"]), hb["doc_count"],
+         hb["th"]["hits"]["hits"][0]["_source"]["doc_id"])
+        for lb in out["langs"]["buckets"]
+        for hb in lb["lens"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat,
+        "lang string, bucket long, doc_count long, hit_doc_id long",
+    )
+
+
+@register(
     "search_aggs_histogram_offset",
     # the shifted-grid arithmetic is identical integer algebra on both
     # sides; the offset keeps every bucket key on the 25-shifted grid
@@ -3968,6 +4056,8 @@ _CHECK_FIRST = [
     "search_dsl_match_fuzzy",          # NEW: fuzziness inside match
     "search_dsl_qs_fuzzy",             # NEW: ~ / "…"~N / /regex/ ops
     "search_aggs_histogram_offset",    # NEW: numeric histogram offset
+    "search_aggs_siblings",            # NEW: sibling bucket sub-aggs
+    "search_aggs_chain_top_hits",      # NEW: top_hits inside a chain
     "search_aggs_date_histogram",      # bucket_key changed (tz path)
     "search_aggs_histogram_gaps",      # histogram_frame gap-fill split
     "search_aggs_composite_page",      # composite_frame cursor/nulls
@@ -4012,11 +4102,10 @@ _CHECK_FIRST = [
     "snapshot_diff",
     "wow_growth",
     "weighted_sample_docs",
-    "rag_context_assembly",
-    "dedup_keep_canonical",
-    # (orders_revenue_7d_ma and curriculum_deciles displaced to keep
-    #  the window at exactly 50 after the late qs-fuzzy /
-    #  histogram-offset additions — they lead the r8 fill)
+    # (rag_context_assembly, dedup_keep_canonical, orders_revenue_7d_ma
+    #  and curriculum_deciles displaced to keep the window at exactly
+    #  50 after the late r7 additions — they lead the r8 fill,
+    #  oldest-evidence first)
 ]
 
 

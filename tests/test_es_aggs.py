@@ -532,25 +532,108 @@ def test_nested_levels_rejections(docs):
                                             "calendar_interval": "day"}},
             },
         }})
-    # sibling bucket sub-aggs
-    with pytest.raises(DslError, match="sibling"):
+    # sibling buckets and deepest-level top_hits are LIVE since r7
+    # (test_sibling_bucket_subaggs / test_top_hits_inside_chain);
+    # top_hits ABOVE the deepest level stays a named error
+    with pytest.raises(DslError, match="DEEPEST"):
         run_aggs(docs, {"langs": {
             "terms": {"field": "lang"},
             "aggs": {
-                "a": {"terms": {"field": "lang"}},
-                "b": {"histogram": {"field": "n_chars", "interval": 10}},
+                "th": {"top_hits": {"size": 1}},
+                "days": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "day"}},
             },
         }})
-    # top_hits inside a chain is named, not silently dropped
-    with pytest.raises(DslError, match="top_hits"):
-        run_aggs(docs, {"langs": {
+
+
+def test_sibling_bucket_subaggs(docs):
+    """r7: sibling bucket sub-aggs under one parent — each sibling
+    runs as its own chain, the subtrees graft onto one response tree
+    by bucket key."""
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {
+            "avg_c": {"avg": {"field": "n_chars"}},
+            "by_len": {"histogram": {"field": "n_chars",
+                                     "interval": 200}},
+            "by_day": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "day"}},
+        },
+    }})
+    env = out["langs"]
+    assert [b["key"] for b in env["buckets"]] == ["en", "de"]
+    en = env["buckets"][0]
+    # parent metrics and doc_count ride the primary chain
+    assert en["doc_count"] == 3
+    assert en["avg_c"]["value"] == pytest.approx(200.0)
+    # both sibling subtrees are present and correct
+    assert [(b["key"], b["doc_count"])
+            for b in en["by_len"]["buckets"]] == [(0, 1), (200, 1)]
+    assert [b["doc_count"] for b in en["by_day"]["buckets"]] == [3]
+    de = env["buckets"][1]
+    assert [(b["key"], b["doc_count"])
+            for b in de["by_len"]["buckets"]] == [(200, 1), (400, 1)]
+    # three-sibling + deeper-chain mix: branch below the top level
+    out = run_aggs(docs, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"langs": {
             "terms": {"field": "lang"},
-            "aggs": {"days": {
-                "date_histogram": {"field": "ts",
-                                   "calendar_interval": "day"},
-                "aggs": {"th": {"top_hits": {"size": 1}}},
-            }},
-        }})
+            "aggs": {
+                "mx": {"max": {"field": "n_chars"}},
+                "h": {"histogram": {"field": "n_chars",
+                                    "interval": 500}},
+                "half": {"date_histogram": {"field": "ts",
+                                            "fixed_interval": "12h"}},
+            },
+        }},
+    }})
+    day1 = out["days"]["buckets"][0]
+    en1 = day1["langs"]["buckets"][0]
+    assert en1["key"] == "en" and en1["doc_count"] == 3
+    assert en1["mx"]["value"] == 300
+    assert [(b["key"], b["doc_count"]) for b in en1["h"]["buckets"]] \
+        == [(0, 2)]
+    assert [b["doc_count"] for b in en1["half"]["buckets"]] == [3]
+
+
+def test_top_hits_inside_chain(docs):
+    """r7: top_hits at the deepest level of a chain — per innermost
+    bucket, the window top-k restricted to RETURNED buckets via a
+    broadcast semi-join on the composite key."""
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"th": {"top_hits": {
+                "size": 1, "sort": [{"n_chars": "desc"}],
+                "_source": ["doc_id", "n_chars"]}}},
+        }},
+    }})
+    env = out["langs"]
+    assert [b["key"] for b in env["buckets"]] == ["en", "de"]
+    en_day = env["buckets"][0]["days"]["buckets"][0]
+    hits = en_day["th"]["hits"]
+    assert hits["total"]["value"] == en_day["doc_count"] == 3
+    # the longest en doc on Jan 1 is doc 2 (300 chars)
+    assert hits["hits"][0]["_source"] == {"doc_id": 2, "n_chars": 300}
+    de_day = env["buckets"][1]["days"]["buckets"][0]
+    assert de_day["th"]["hits"]["hits"][0]["_source"]["doc_id"] == 4
+    # gap-filled empty buckets get empty hit arrays (no flat row, no
+    # candidate volume)
+    from pyspark.sql import functions as F
+
+    out = run_aggs(
+        docs.filter("doc_id in (1, 5)").withColumn("g", F.lit("x")),
+        {"gs": {"terms": {"field": "g"}, "aggs": {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"th": {"top_hits": {"size": 1}}},
+        }}}})
+    days = out["gs"]["buckets"][0]["days"]["buckets"]
+    assert [b["doc_count"] for b in days] == [1, 0, 1]
+    assert [len(b["th"]["hits"]["hits"]) for b in days] == [1, 0, 1]
 
 
 def test_composite_date_histogram_cursor_roundtrip(docs):
