@@ -1025,7 +1025,9 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     # (src/search_api.py:40-44); an explicit table (or
                     # narrower pattern) is the engine's extension
                     body.get("table", INDEX_PREFIX + "*"),
-                    body["query"], k=k,
+                    # ES defaults an omitted query to match_all —
+                    # aggs-only bodies are a standard Kibana shape
+                    body.get("query", {"match_all": {}}), k=k,
                     aggs=body.get("aggs") or body.get("aggregations"),
                     sort=body.get("sort"),
                     search_after=body.get("search_after"),

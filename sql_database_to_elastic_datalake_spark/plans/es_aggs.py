@@ -153,6 +153,17 @@ _AGG_BODY_KEYS = {
                           "shard_size", "shard_min_doc_count"},
     # metric kinds: field + ES's missing-value substitution;
     # precision_threshold is accepted-ignored (we are exact anyway)
+    # pipeline aggs (r7): driver-side transforms over already-computed
+    # bucket lists — no extra job; gap_policy "skip" is ES's default
+    # and the only implemented policy (insert_zeros would change
+    # results silently if coerced)
+    "avg_bucket": {"buckets_path", "gap_policy"},
+    "sum_bucket": {"buckets_path", "gap_policy"},
+    "min_bucket": {"buckets_path", "gap_policy"},
+    "max_bucket": {"buckets_path", "gap_policy"},
+    "stats_bucket": {"buckets_path", "gap_policy"},
+    "cumulative_sum": {"buckets_path"},
+    "derivative": {"buckets_path", "gap_policy"},
     "avg": {"field", "missing"},
     "sum": {"field", "missing"},
     "min": {"field", "missing"},
@@ -629,6 +640,7 @@ def composite_frame(
     keys: list[Column] = []
     kinds: list[str] = []
     keep_null: list[bool] = []
+    descs: list[bool] = []
     for src in sources:
         if not isinstance(src, dict) or len(src) != 1:
             raise DslError("each composite source must be {name: {kind: …}}")
@@ -636,12 +648,12 @@ def composite_frame(
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError(f"composite source {name!r} must have one kind")
         kind, kbody = next(iter(spec.items()))
-        # composite sources take only the key expression's inputs plus
-        # missing_bucket; per-source order would change results
-        # silently if ignored → 400 (the agg-wide posture)
+        # composite sources take the key expression's inputs plus
+        # missing_bucket and per-source order (r7); anything else
+        # would change results silently if ignored → 400
         allowed = {"field", "interval", "calendar_interval",
                    "fixed_interval", "time_zone", "offset",
-                   "missing_bucket"}
+                   "missing_bucket", "order"}
         unknown = sorted(set(kbody) - allowed) \
             if isinstance(kbody, dict) else []
         if unknown:
@@ -649,8 +661,14 @@ def composite_frame(
                 f"unsupported composite source options: {unknown} "
                 f"(supported: {sorted(allowed)})"
             )
+        order = kbody.get("order", "asc") if isinstance(kbody, dict) \
+            else "asc"
+        if order not in ("asc", "desc"):
+            raise DslError(
+                f"unknown composite source order {order!r}")
         names.append(name)
         kinds.append(kind)
+        descs.append(order == "desc")
         keep_null.append(bool(kbody.get("missing_bucket", False))
                          if isinstance(kbody, dict) else False)
         keys.append(bucket_key(kind, kbody))
@@ -663,26 +681,35 @@ def composite_frame(
         missing = [n for n in names if n not in after]
         if missing:
             raise DslError(f"after key missing sources: {missing}")
-        # strict lexicographic (k1..kn) > (a1..an), built innermost-out,
-        # on the raw columns: pre-shuffle cursor pruning. A null cursor
-        # value (the missing bucket, which sorts first) is "after" for
-        # any non-null key; a null KEY compares false against a
-        # non-null cursor, excluding it — exactly nulls-first order.
+        # strict lexicographic "(k1..kn) after (a1..an)" in each
+        # source's direction, built innermost-out on the raw columns:
+        # pre-shuffle cursor pruning. ES's missing_order default: the
+        # null bucket sorts FIRST ascending and LAST descending — the
+        # per-direction null arms below encode exactly that.
         pred = F.lit(False)
-        for k, n, kd in zip(reversed(keys), reversed(names),
-                            reversed(kinds)):
+        for k, n, kd, dsc in zip(reversed(keys), reversed(names),
+                                 reversed(kinds), reversed(descs)):
             a = after[n]
             if a is None:
-                pred = k.isNotNull() | (k.isNull() & pred)
+                if dsc:  # null sorts last: only deeper keys advance
+                    pred = k.isNull() & pred
+                else:
+                    pred = k.isNotNull() | (k.isNull() & pred)
+            elif dsc:
+                lit = _after_lit(kd, a)
+                pred = (k < lit) | k.isNull() | ((k == lit) & pred)
             else:
-                pred = (k > _after_lit(kd, a)) | (
-                    (k == _after_lit(kd, a)) & pred
-                )
+                lit = _after_lit(kd, a)
+                pred = (k > lit) | ((k == lit) & pred)
         out = out.filter(pred)
     grouped = (
         out.groupBy(*[k.alias(n) for k, n in zip(keys, names)])
         .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub_aggs))
-        .orderBy(*[F.col(n).asc_nulls_first() for n in names])
+        .orderBy(*[
+            F.col(n).desc_nulls_last() if dsc
+            else F.col(n).asc_nulls_first()
+            for n, dsc in zip(names, descs)
+        ])
         .limit(size)
     )
     return grouped
@@ -1146,6 +1173,118 @@ def _assemble_levels(
     return env
 
 
+#: sibling pipeline aggs (reduce a bucket list to one value) and
+#: parent pipeline aggs (a per-bucket running transform)
+_SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket",
+                      "max_bucket", "stats_bucket")
+_PARENT_PIPELINES = ("cumulative_sum", "derivative")
+
+
+def _pipeline_path_value(bucket: dict, path: str):
+    """Resolve the metric segment of a ``buckets_path`` against one
+    bucket: ``_count`` → doc_count, ``m`` → the metric value,
+    ``m.stat`` → a stats component."""
+    if path == "_count":
+        return bucket["doc_count"]
+    base, _, stat = path.partition(".")
+    env = bucket.get(base)
+    if not isinstance(env, dict):
+        raise DslError(
+            f"buckets_path references unknown metric {path!r}")
+    if stat:
+        if stat not in env:
+            raise DslError(
+                f"buckets_path references unknown stats path {path!r}")
+        return env[stat]
+    return env.get("value")
+
+
+def _check_gap_policy(body: dict) -> None:
+    gp = body.get("gap_policy", "skip")
+    if gp != "skip":
+        raise DslError(
+            f"unsupported gap_policy {gp!r} (only ES's default "
+            "'skip' is implemented)"
+        )
+
+
+def _apply_parent_pipelines(buckets: list, pipes: dict) -> None:
+    """``cumulative_sum`` / ``derivative`` over an ordered bucket list
+    (histogram / date_histogram — ES restricts parent pipelines to
+    histogram parents for the same ordering reason). Driver-side over
+    the already-returned buckets; gap policy "skip"."""
+    for pname, pspec in pipes.items():
+        pk, pb = next(iter(pspec.items()))
+        check_agg_keys(pk, pb)
+        _check_gap_policy(pb if isinstance(pb, dict) else {})
+        path = pb.get("buckets_path")
+        if not path:
+            raise DslError(f"{pk} requires buckets_path")
+        if ">" in path:
+            raise DslError(
+                f"{pk} buckets_path must reference a sibling metric "
+                f"of the same bucket agg (got {path!r})"
+            )
+        vals = [_pipeline_path_value(b, path) for b in buckets]
+        if pk == "cumulative_sum":
+            run = 0.0
+            for b, v in zip(buckets, vals):
+                run += v or 0
+                b[pname] = {"value": run}
+        else:  # derivative: ES omits it from the FIRST bucket
+            prev = None
+            for i, (b, v) in enumerate(zip(buckets, vals)):
+                if i > 0 and v is not None and prev is not None:
+                    b[pname] = {"value": v - prev}
+                if v is not None:
+                    prev = v
+
+
+def _sibling_pipeline_envelope(kind: str, body: dict, out: dict) -> dict:
+    """``{avg,sum,min,max,stats}_bucket``: reduce a sibling bucket
+    agg's per-bucket metric to one value. ``buckets_path`` is
+    ``"sibling>metric"`` (or ``sibling>_count``); null values skip —
+    ES's default gap policy."""
+    check_agg_keys(kind, body)
+    _check_gap_policy(body)
+    path = body.get("buckets_path")
+    if not path or ">" not in path:
+        raise DslError(
+            f"{kind} requires buckets_path of the form "
+            "\"sibling_agg>metric\""
+        )
+    agg_name, _, metric_path = path.partition(">")
+    env = out.get(agg_name)
+    if not isinstance(env, dict) or not isinstance(env.get("buckets"),
+                                                   list):
+        raise DslError(
+            f"buckets_path {path!r} does not reference a sibling "
+            "bucket aggregation with list buckets (keyed targets are "
+            "not addressable)"
+        )
+    vals = [_pipeline_path_value(b, metric_path)
+            for b in env["buckets"]]
+    vals = [v for v in vals if v is not None]
+    if kind == "stats_bucket":
+        cnt = len(vals)
+        return {
+            "count": cnt,
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "avg": (sum(vals) / cnt) if cnt else None,
+            "sum": sum(vals) if vals else 0,
+        }
+    if not vals:
+        return {"value": None if kind != "sum_bucket" else 0}
+    if kind == "avg_bucket":
+        return {"value": sum(vals) / len(vals)}
+    if kind == "sum_bucket":
+        return {"value": sum(vals)}
+    if kind == "min_bucket":
+        return {"value": min(vals)}
+    return {"value": max(vals)}
+
+
 def _graft_sibling(
     p_env: dict, s_env: dict, levels_s: list, li: int, d: int
 ) -> None:
@@ -1441,6 +1580,7 @@ def run_aggs(
         row = df.agg(*_metric_cols(top_metrics)).collect()[0]
         out.update(_metric_envelope(row, top_metrics))
 
+    sibling_pipes: dict[str, tuple[str, dict]] = {}
     for name, spec in aggs.items():
         if name in top_metrics:
             continue
@@ -1452,6 +1592,11 @@ def run_aggs(
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind = kinds[0]
         body = spec[kind]
+        if kind in _SIBLING_PIPELINES:
+            # deferred: pipeline reductions run over the computed
+            # sibling envelopes after the main pass (free — no job)
+            sibling_pipes[name] = (kind, body)
+            continue
         check_agg_keys(kind, body)
         has_bucket_sub = any(
             isinstance(s, dict)
@@ -1558,6 +1703,13 @@ def run_aggs(
                 "buckets": buckets,
             }
         elif kind in ("histogram", "date_histogram"):
+            sub = sub or {}
+            parent_pipes = {
+                n: s for n, s in sub.items()
+                if isinstance(s, dict)
+                and next(iter(s), None) in _PARENT_PIPELINES
+            }
+            sub = {n: s for n, s in sub.items() if n not in parent_pipes}
             rows = histogram_frame(df, kind, body, sub).collect()
             buckets = []
             for r in rows:
@@ -1567,6 +1719,8 @@ def run_aggs(
                 if isinstance(r["key"], _dt.datetime):
                     b["key_as_string"] = _key_as_string(r["key"], body)
                 buckets.append(b)
+            if parent_pipes:
+                _apply_parent_pipelines(buckets, parent_pipes)
             if body.get("keyed"):
                 # ES `keyed: true`: buckets as an object — the
                 # date form keys by key_as_string, the numeric form
@@ -1650,4 +1804,8 @@ def run_aggs(
             }
         else:
             raise DslError(f"unsupported aggregation kind {kind!r}")
+    # sibling pipeline reductions see every computed envelope,
+    # regardless of body order (ES resolves buckets_path the same way)
+    for name, (kind, body) in sibling_pipes.items():
+        out[name] = _sibling_pipeline_envelope(kind, body, out)
     return out

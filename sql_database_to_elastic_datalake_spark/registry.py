@@ -1201,6 +1201,56 @@ def search_aggs_chain_top_hits(
 
 
 @register(
+    "search_aggs_pipeline",
+    # windowed running totals / diffs mirror the driver-side pipeline
+    # transforms exactly: integer doc_counts, LAG/SUM OVER key order
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               AVG(value) AS avg_value
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT key, doc_count, avg_value,
+           CAST(SUM(doc_count) OVER (ORDER BY key) AS DOUBLE)
+               AS cum_docs,
+           CAST(doc_count - LAG(doc_count) OVER (ORDER BY key)
+                AS BIGINT) AS deriv_docs
+    FROM g
+    """,
+)
+def search_aggs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggregations (r7 — Kibana TSVB's staple family):
+    ``cumulative_sum`` and ``derivative`` ride the computed
+    date_histogram buckets driver-side (no extra job); the flattened
+    tree is differentially compared against window functions."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "avg_value": {"avg": {"field": "value"}},
+            "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+            "dx": {"derivative": {"buckets_path": "_count"}},
+        },
+    }})
+    import datetime as _dt
+
+    flat = [
+        (_dt.datetime.fromtimestamp(b["key"] / 1000, _dt.timezone.utc)
+         .replace(tzinfo=None),
+         b["doc_count"], b["avg_value"]["value"], b["cum"]["value"],
+         b.get("dx", {}).get("value"))
+        for b in out["days"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "key timestamp, doc_count long, avg_value double, "
+              "cum_docs double, deriv_docs long"
+    )
+
+
+@register(
     "search_aggs_histogram_offset",
     # the shifted-grid arithmetic is identical integer algebra on both
     # sides; the offset keeps every bucket key on the 25-shifted grid
@@ -4058,6 +4108,7 @@ _CHECK_FIRST = [
     "search_aggs_histogram_offset",    # NEW: numeric histogram offset
     "search_aggs_siblings",            # NEW: sibling bucket sub-aggs
     "search_aggs_chain_top_hits",      # NEW: top_hits inside a chain
+    "search_aggs_pipeline",            # NEW: pipeline agg family
     "search_aggs_date_histogram",      # bucket_key changed (tz path)
     "search_aggs_histogram_gaps",      # histogram_frame gap-fill split
     "search_aggs_composite_page",      # composite_frame cursor/nulls
@@ -4101,10 +4152,10 @@ _CHECK_FIRST = [
     "join_explosion_estimate",
     "snapshot_diff",
     "wow_growth",
-    "weighted_sample_docs",
-    # (rag_context_assembly, dedup_keep_canonical, orders_revenue_7d_ma
-    #  and curriculum_deciles displaced to keep the window at exactly
-    #  50 after the late r7 additions — they lead the r8 fill,
+    # (weighted_sample_docs, rag_context_assembly,
+    #  dedup_keep_canonical, orders_revenue_7d_ma and
+    #  curriculum_deciles displaced to keep the window at exactly 50
+    #  after the late r7 additions — they lead the r8 fill,
     #  oldest-evidence first)
 ]
 

@@ -699,7 +699,11 @@ def test_result_changing_agg_options_400_not_ignored(docs):
          "format"),
         ({"c": {"composite": {"sources": [
             {"l": {"terms": {"field": "lang",
-                             "order": "desc"}}}]}}},
+                             "script": "x"}}}]}}},
+         "script"),
+        ({"c": {"composite": {"sources": [
+            {"l": {"terms": {"field": "lang",
+                             "order": "sideways"}}}]}}},
          "order"),
         # time_zone is LIVE since r7 — but an unknown zone id is still
         # the client's error, eagerly named (not a mid-job JVM throw)
@@ -1489,3 +1493,119 @@ def test_date_histogram_keyed_uses_key_as_string(docs):
                 "field": "ts", "calendar_interval": "day",
                 "keyed": True}}},
         }})
+
+
+def test_composite_source_order_desc(docs):
+    """r7: per-source ``order: desc`` — key-descending pages with a
+    direction-aware cursor; ES's missing_order default puts the null
+    bucket LAST under desc."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        composite_frame,
+    )
+
+    body = {"sources": [
+        {"l": {"terms": {"field": "lang", "order": "desc",
+                         "missing_bucket": True}}},
+        {"n": {"terms": {"field": "n_chars"}}},
+    ], "size": 3}
+    out = run_aggs(docs, {"c": {"composite": body}})
+    page1 = out["c"]["buckets"]
+    # lang desc: fr, en, en… (null lang last)
+    assert [b["key"]["l"] for b in page1] == ["fr", "en", "en"]
+    assert out["c"]["after_key"] == page1[-1]["key"]
+    # resume: the cursor advances past en into de, then null last
+    # (doc 7's null n_chars is dropped by the second source — no
+    # missing_bucket there)
+    rows = composite_frame(
+        docs, {**body, "size": 10, "after": page1[-1]["key"]}).collect()
+    assert [r["l"] for r in rows] == ["de", "de", None]
+    # cursor inside the trailing null run under desc
+    rows = composite_frame(
+        docs, {**body, "size": 10,
+               "after": {"l": None, "n": 0}}).collect()
+    assert [(r["l"], r["n"]) for r in rows] == [(None, 999)]
+
+
+def test_advanced_search_aggs_only_body(spark, tmp_path):
+    """ES defaults an omitted query to match_all — aggs-only bodies
+    (a standard Kibana shape) must not 500 on the missing key."""
+    import json
+
+    pytest.importorskip("flask")
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService, create_app,
+    )
+
+    svc = LakeService(spark, str(tmp_path))
+    svc.ingest("label", [{"name": "a", "color": "red"},
+                         {"name": "b", "color": "red"},
+                         {"name": "c", "color": "blue"}])
+    app = create_app(svc)
+    app.testing = True
+    client = app.test_client()
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_label", "size": 0,
+        "aggs": {"colors": {"terms": {"field": "color"}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["hits"]["total"]["value"] == 3
+    buckets = {b["key"]: b["doc_count"]
+               for b in body["aggregations"]["colors"]["buckets"]}
+    assert buckets == {"red": 2, "blue": 1}
+
+
+def test_pipeline_aggs(docs):
+    """r7: pipeline aggregations — sibling reductions
+    ({avg,sum,min,max,stats}_bucket) and parent running transforms
+    (cumulative_sum, derivative) over computed bucket lists. No extra
+    job: driver-side over the returned envelopes."""
+    out = run_aggs(docs, {
+        "days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "avg_c": {"avg": {"field": "n_chars"}},
+                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                "dx": {"derivative": {"buckets_path": "_count"}},
+            },
+        },
+        "avg_daily": {"avg_bucket": {"buckets_path": "days>_count"}},
+        "max_avg": {"max_bucket": {"buckets_path": "days>avg_c"}},
+        "st": {"stats_bucket": {"buckets_path": "days>_count"}},
+    })
+    days = out["days"]["buckets"]
+    assert [b["doc_count"] for b in days] == [3, 2, 2]
+    assert [b["cum"]["value"] for b in days] == [3, 5, 7]
+    # ES omits derivative from the first bucket
+    assert "dx" not in days[0]
+    assert [b["dx"]["value"] for b in days[1:]] == [-1, 0]
+    assert out["avg_daily"]["value"] == pytest.approx(7 / 3)
+    # avg_c per day: (100+300)/2=200, 300, (50+999)/2=524.5
+    assert out["max_avg"]["value"] == pytest.approx(524.5)
+    assert out["st"] == {"count": 3, "min": 2, "max": 3,
+                         "avg": pytest.approx(7 / 3), "sum": 7}
+    # stats-path addressing and error naming
+    out = run_aggs(docs, {
+        "days": {"date_histogram": {"field": "ts",
+                                    "calendar_interval": "day"},
+                 "aggs": {"s": {"stats": {"field": "n_chars"}}}},
+        "mx": {"max_bucket": {"buckets_path": "days>s.max"}},
+    })
+    assert out["mx"]["value"] == 999
+    with pytest.raises(DslError, match="unknown metric"):
+        run_aggs(docs, {
+            "days": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "day"}},
+            "b": {"avg_bucket": {"buckets_path": "days>nope"}},
+        })
+    with pytest.raises(DslError, match="gap_policy"):
+        run_aggs(docs, {
+            "days": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "day"}},
+            "b": {"avg_bucket": {"buckets_path": "days>_count",
+                                 "gap_policy": "insert_zeros"}},
+        })
+    with pytest.raises(DslError, match="sibling bucket"):
+        run_aggs(docs, {"b": {"avg_bucket": {
+            "buckets_path": "nope>_count"}}})
