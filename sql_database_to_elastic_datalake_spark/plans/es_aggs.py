@@ -139,6 +139,7 @@ _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 #: the search route's unknown-top-level-key rejection).
 _AGG_BODY_KEYS = {
     "terms": {"field", "size", "missing", "min_doc_count", "order",
+              "include", "exclude",
               "shard_size", "show_term_doc_count_error", "collect_mode",
               "execution_hint"},
     "histogram": {"field", "interval", "min_doc_count",
@@ -147,6 +148,8 @@ _AGG_BODY_KEYS = {
                        "min_doc_count", "extended_bounds", "format",
                        "time_zone", "offset", "keyed"},
     "range": {"field", "ranges", "keyed"},
+    "date_range": {"field", "ranges", "keyed", "format"},
+    "filters": {"filters", "other_bucket", "other_bucket_key"},
     "composite": {"sources", "size", "after"},
     "top_hits": {"size", "sort", "_source"},
     "significant_terms": {"field", "size", "min_doc_count",
@@ -378,6 +381,54 @@ def _terms_order(body: dict, sub_aggs: dict | None) -> list[Column]:
     return cols
 
 
+def _include_exclude_pred(key: Column, body: dict) -> Column | None:
+    """ES ``terms`` ``include``/``exclude`` (r7 — Kibana's bucket
+    filtering): exact-value lists (``isin``) or whole-value-anchored
+    regex strings (Lucene semantics), applied to the BUCKET KEY before
+    ordering/truncation so ``size`` picks among the surviving terms.
+    The partition form (``{"partition": …}``) is a named 400."""
+    pred: Column | None = None
+    for which, positive in (("include", True), ("exclude", False)):
+        spec = body.get(which)
+        if spec is None:
+            continue
+        if isinstance(spec, dict):
+            raise DslError(
+                f"terms {which} partitions are not supported (use a "
+                "composite aggregation to page a large key domain)"
+            )
+        if isinstance(spec, list):
+            p = key.isin(list(spec))
+        else:
+            p = key.cast("string").rlike(f"^(?:{spec})$")
+        if not positive:
+            p = ~F.coalesce(p, F.lit(False))
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+def _include_exclude_py(k, body: dict) -> bool:
+    """Driver-side mirror of :func:`_include_exclude_pred` for the
+    nested-chain assembly (terms levels filter in memory — a row-level
+    filter would wrongly shrink parent doc_counts)."""
+    for which, positive in (("include", True), ("exclude", False)):
+        spec = body.get(which)
+        if spec is None:
+            continue
+        if isinstance(spec, dict):
+            raise DslError(
+                f"terms {which} partitions are not supported (use a "
+                "composite aggregation to page a large key domain)"
+            )
+        if isinstance(spec, list):
+            hit = k in spec
+        else:
+            hit = re.fullmatch(spec, str(k)) is not None
+        if hit != positive:
+            return False
+    return True
+
+
 def terms_frame(
     df: DataFrame, body: dict, sub_aggs: dict | None = None
 ) -> DataFrame:
@@ -391,9 +442,14 @@ def terms_frame(
     size = int(body.get("size", 10))
     min_dc = int(body.get("min_doc_count", 1))
     key = bucket_key("terms", body)
+    src = df.filter(key.isNotNull())
+    ie = _include_exclude_pred(key, body)
+    if ie is not None:
+        # row-level: the filter reaches the scan (an isin include is a
+        # PushedFilter) and the shuffle only carries surviving terms
+        src = src.filter(ie)
     out = (
-        df.filter(key.isNotNull())
-        .groupBy(key.alias("key"))
+        src.groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"),
              *_metric_cols(sub_aggs))
     )
@@ -533,12 +589,16 @@ def histogram_frame(
 
 
 def range_frame(
-    df: DataFrame, body: dict, sub_aggs: dict | None = None
+    df: DataFrame, body: dict, sub_aggs: dict | None = None,
+    is_date: bool = False,
 ) -> DataFrame:
     """All ``range`` bands in ONE aggregation job. ES allows bands to
     overlap, so each is an independent conditional aggregate, not a
     partition of the rows; the output is one row per band in request
-    order (``band_index`` preserves it)."""
+    order (``band_index`` preserves it). ``is_date`` (the
+    ``date_range`` agg, r7) compares against parsed timestamp bounds;
+    date-math bounds (``now-1M``) are a named 400 — the engine has no
+    "now" (a deterministic lake query must not depend on wall clock)."""
     field = body.get("field")
     ranges = body.get("ranges")
     if field is None or not ranges:
@@ -549,14 +609,28 @@ def range_frame(
             "(a range band maps to a filter agg with a range query — use "
             "that form for per-band metrics)"
         )
+
+    def lit(v):
+        if not is_date:
+            return F.lit(v)
+        if isinstance(v, str) and "now" in v.lower():
+            raise DslError(
+                f"date-math range bound {v!r} is not supported (the "
+                "engine evaluates deterministically — send an absolute "
+                "timestamp)"
+            )
+        if isinstance(v, (int, float)):
+            return F.timestamp_millis(F.lit(int(v)))
+        return F.to_timestamp(F.lit(v))
+
     c = F.col(field)
     per_band: list[Column] = []
     for i, r in enumerate(ranges):
         cond = c.isNotNull()
         if "from" in r and r["from"] is not None:
-            cond = cond & (c >= F.lit(r["from"]))
+            cond = cond & (c >= lit(r["from"]))
         if "to" in r and r["to"] is not None:
-            cond = cond & (c < F.lit(r["to"]))
+            cond = cond & (c < lit(r["to"]))
         per_band.append(
             F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
             .alias(f"band{i}.doc_count")
@@ -763,7 +837,8 @@ def _split_chains(
                 buckets[n] = s
             elif k == "top_hits":
                 ths[n] = s["top_hits"]
-            elif k in ("filter", "range", "composite"):
+            elif k in ("filter", "filters", "range", "date_range",
+                       "composite"):
                 raise DslError(
                     f"{k} is not supported inside a nested bucket chain"
                 )
@@ -1077,6 +1152,13 @@ def _assemble_levels(
     if kind == "terms":
         size = int(body.get("size", 10))
         min_dc = int(body.get("min_doc_count", 1))
+        if body.get("include") is not None \
+                or body.get("exclude") is not None:
+            # bucket-level (not row-level — a row filter would wrongly
+            # shrink parent doc_counts); totals re-scope like ES
+            items = [t for t in items
+                     if _include_exclude_py(t[0], body)]
+            total = sum(t[2] for t in items)
         if min_dc > 1:
             items = [t for t in items if t[2] >= min_dc]
         # driver-side mirror of _terms_order over the in-memory items:
@@ -1444,6 +1526,68 @@ def significant_terms_frame(
     )
 
 
+def filters_frame(
+    df: DataFrame,
+    body: dict,
+    sub_aggs: dict | None = None,
+    schema_fields: list[str] | None = None,
+) -> DataFrame:
+    """ES ``filters`` (plural) aggregation — Kibana's named-bucket
+    panel: one bucket per named query-DSL predicate, all computed in
+    ONE conditional-aggregation job (a column set per filter rides a
+    single pass, no per-filter scan). ``other_bucket`` adds the
+    matched-by-none bucket (null-safe negation). Metric sub-aggs gate
+    per filter in the same job."""
+    specs = body.get("filters")
+    anon = isinstance(specs, list)
+    if anon:
+        specs = {str(i): s for i, s in enumerate(specs)}
+    if not isinstance(specs, dict) or not specs:
+        raise DslError(
+            "filters aggregation requires a non-empty filters "
+            "object or list"
+        )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import _ns
+
+    preds = {
+        name: compile_dsl(dsl, schema_fields=schema_fields)
+        for name, dsl in specs.items()
+    }
+    if body.get("other_bucket") or body.get("other_bucket_key"):
+        other = F.lit(True)
+        for p in preds.values():
+            other = other & ~_ns(p)
+        preds[str(body.get("other_bucket_key", "_other_"))] = other
+    cols: list[Column] = []
+    for name, pred in preds.items():
+        cols.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+            .alias(f"{name} doc_count")
+        )
+        for mname, spec in (sub_aggs or {}).items():
+            kind, mbody = next(iter(spec.items()))
+            if mbody.get("field") is None:
+                raise DslError(
+                    f"aggregation {mname!r} ({kind}) requires a field")
+            check_agg_keys(kind, mbody)
+            gated = F.when(pred, _metric_source(mbody))
+            if kind in _METRICS:
+                cols.append(_METRICS[kind](gated)
+                            .alias(f"{name} {mname}"))
+            elif kind == "stats":
+                for stat, fn in (("count", F.count), ("min", F.min),
+                                 ("max", F.max), ("avg", F.avg),
+                                 ("sum", F.sum)):
+                    cols.append(fn(gated).alias(
+                        f"{name} {mname}.{stat}"))
+            else:
+                raise DslError(
+                    f"unsupported sub-aggregation kind {kind!r} under "
+                    "a filters aggregation"
+                )
+    return df.agg(*cols)
+
+
 def filter_frame(
     df: DataFrame,
     body: dict,
@@ -1651,9 +1795,15 @@ def run_aggs(
             rows = terms_frame(df, body, metrics).collect()
             returned = sum(r["doc_count"] for r in rows)
             # bucket_key, not the raw column: a `missing` value means
-            # null-key docs belong to a bucket and count in the total
-            total = df.filter(
-                bucket_key("terms", body).isNotNull()).count()
+            # null-key docs belong to a bucket and count in the total;
+            # include/exclude scopes the total the same way it scopes
+            # the buckets (ES's sum_other counts only included terms)
+            tkey = bucket_key("terms", body)
+            tpred = tkey.isNotNull()
+            ie = _include_exclude_pred(tkey, body)
+            if ie is not None:
+                tpred = tpred & ie
+            total = df.filter(tpred).count()
             buckets = [
                 {"key": _key_envelope(r["key"]),
                  "doc_count": r["doc_count"],
@@ -1758,6 +1908,35 @@ def run_aggs(
                 }}
             else:
                 out[name] = {"buckets": buckets}
+        elif kind == "date_range":
+            row = range_frame(df, body, sub, is_date=True).collect()[0]
+
+            def _dr_parse(v) -> _dt.datetime:
+                if isinstance(v, (int, float)):
+                    return _dt.datetime.fromtimestamp(
+                        v / 1000, _dt.timezone.utc).replace(tzinfo=None)
+                return _dt.datetime.fromisoformat(str(v))
+
+            buckets = []
+            for i, r in enumerate(body["ranges"]):
+                b = {"doc_count": row[f"band{i}.doc_count"]}
+                parts = []
+                for end in ("from", "to"):
+                    if r.get(end) is not None:
+                        d = _dr_parse(r[end])
+                        b[end] = _key_envelope(d)
+                        b[f"{end}_as_string"] = _key_as_string(d, body)
+                        parts.append(b[f"{end}_as_string"])
+                    else:
+                        parts.append("*")
+                b["key"] = r.get("key", "-".join(parts))
+                buckets.append(b)
+            if body.get("keyed"):
+                out[name] = {"buckets": {
+                    b.pop("key"): b for b in buckets
+                }}
+            else:
+                out[name] = {"buckets": buckets}
         elif kind == "composite":
             rows = composite_frame(df, body, sub).collect()
             src_names = [next(iter(s)) for s in body["sources"]]
@@ -1773,6 +1952,34 @@ def run_aggs(
                 # resumption cursor exactly like ES
                 env["after_key"] = buckets[-1]["key"]
             out[name] = env
+        elif kind == "filters":
+            specs = body.get("filters")
+            anon = isinstance(specs, list)
+            row = filters_frame(df, body, sub, schema_fields).collect()[0]
+            bnames = [str(i) for i in range(len(specs))] if anon \
+                else list(specs)
+            if body.get("other_bucket") or body.get("other_bucket_key"):
+                bnames.append(
+                    str(body.get("other_bucket_key", "_other_")))
+
+            def fbucket(nm: str) -> dict:
+                b: dict[str, Any] = {"doc_count": row[f"{nm} doc_count"]}
+                for mname, spec in (sub or {}).items():
+                    mk = next(iter(spec))
+                    if mk == "stats":
+                        b[mname] = {
+                            stat: row[f"{nm} {mname}.{stat}"]
+                            for stat in ("count", "min", "max",
+                                         "avg", "sum")
+                        }
+                    else:
+                        b[mname] = {"value": row[f"{nm} {mname}"]}
+                return b
+
+            out[name] = {"buckets": (
+                [fbucket(nm) for nm in bnames] if anon
+                else {nm: fbucket(nm) for nm in bnames}
+            )}
         elif kind == "filter":
             row = filter_frame(df, body, sub, schema_fields).collect()[0]
             env: dict[str, Any] = {"doc_count": row["doc_count"]}

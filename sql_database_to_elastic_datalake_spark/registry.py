@@ -1201,6 +1201,112 @@ def search_aggs_chain_top_hits(
 
 
 @register(
+    "search_aggs_filters",
+    # one conditional-aggregation job per side; the other bucket is
+    # the null-safe matched-by-none complement
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+          AS "short doc_count",
+      MAX(CASE WHEN n_chars < 200 THEN n_chars END) AS "short mx",
+      CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+          AS "de doc_count",
+      MAX(CASE WHEN lang = 'de' THEN n_chars END) AS "de mx",
+      CAST(SUM(CASE WHEN NOT COALESCE(n_chars < 200, FALSE)
+                     AND NOT COALESCE(lang = 'de', FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS "_other_ doc_count",
+      MAX(CASE WHEN NOT COALESCE(n_chars < 200, FALSE)
+                AND NOT COALESCE(lang = 'de', FALSE)
+           THEN n_chars END) AS "_other_ mx"
+    FROM documents
+    """,
+)
+def search_aggs_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` (plural) aggregation (r7 — Kibana's named-bucket
+    panel): every named predicate plus the ``other_bucket`` complement
+    computed in ONE conditional-aggregation pass, metric sub-aggs
+    gated per filter in the same job."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        filters_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filters_frame(
+        docs,
+        {"filters": {
+            "short": {"range": {"n_chars": {"lt": 200}}},
+            "de": {"term": {"lang": "de"}},
+        }, "other_bucket": True},
+        {"mx": {"max": {"field": "n_chars"}}},
+        schema_fields=docs.columns,
+    )
+
+
+@register(
+    "search_aggs_date_range",
+    # overlapping timestamp bands as independent conditional
+    # aggregates — one job, no partitioning of the rows
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END)
+           AS BIGINT) AS "band0.doc_count",
+      CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                     AND ts < TIMESTAMP '2024-01-20'
+               THEN 1 ELSE 0 END) AS BIGINT) AS "band1.doc_count",
+      CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)
+           AS BIGINT) AS "band2.doc_count"
+    FROM events
+    """,
+)
+def search_aggs_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` aggregation (r7): timestamp bands with ISO
+    bounds (date-math is a named 400 — a deterministic lake query
+    must not read the wall clock)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        range_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return range_frame(
+        ev, {"field": "ts", "ranges": [
+            {"to": "2024-01-10"},
+            {"from": "2024-01-10", "to": "2024-01-20"},
+            {"from": "2024-01-20"},
+        ]},
+        is_date=True,
+    )
+
+
+@register(
+    "search_aggs_terms_include",
+    # the anchored-regex include mirrors Lucene's whole-value
+    # semantics; LIMIT 30 ≥ the 11 src1* sources, so the boundary
+    # carries no tie risk
+    oracle="""
+    SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents
+    WHERE source IS NOT NULL
+      AND regexp_matches(source, '^(?:src1.*)$')
+    GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 30
+    """,
+)
+def search_aggs_terms_include(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``terms`` ``include`` (r7 — Kibana's bucket filtering):
+    whole-value-anchored regex applied at ROW level before the groupBy,
+    so the shuffle only carries surviving terms and ``size`` picks
+    among them."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        terms_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return terms_frame(
+        docs, {"field": "source", "size": 30, "include": "src1.*"})
+
+
+@register(
     "search_aggs_pipeline",
     # windowed running totals / diffs mirror the driver-side pipeline
     # transforms exactly: integer doc_counts, LAG/SUM OVER key order
@@ -4109,6 +4215,9 @@ _CHECK_FIRST = [
     "search_aggs_siblings",            # NEW: sibling bucket sub-aggs
     "search_aggs_chain_top_hits",      # NEW: top_hits inside a chain
     "search_aggs_pipeline",            # NEW: pipeline agg family
+    "search_aggs_filters",             # NEW: filters (plural) agg
+    "search_aggs_date_range",          # NEW: date_range bands
+    "search_aggs_terms_include",       # NEW: terms include/exclude
     "search_aggs_date_histogram",      # bucket_key changed (tz path)
     "search_aggs_histogram_gaps",      # histogram_frame gap-fill split
     "search_aggs_composite_page",      # composite_frame cursor/nulls
@@ -4149,10 +4258,8 @@ _CHECK_FIRST = [
     "event_transition_matrix",
     "revenue_share_by_segment",
     "key_skew_report",
-    "join_explosion_estimate",
-    "snapshot_diff",
-    "wow_growth",
-    # (weighted_sample_docs, rag_context_assembly,
+    # (join_explosion_estimate, snapshot_diff, wow_growth,
+    #  weighted_sample_docs, rag_context_assembly,
     #  dedup_keep_canonical, orders_revenue_7d_ma and
     #  curriculum_deciles displaced to keep the window at exactly 50
     #  after the late r7 additions — they lead the r8 fill,

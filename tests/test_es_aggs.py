@@ -1609,3 +1609,99 @@ def test_pipeline_aggs(docs):
     with pytest.raises(DslError, match="sibling bucket"):
         run_aggs(docs, {"b": {"avg_bucket": {
             "buckets_path": "nope>_count"}}})
+
+
+def test_filters_aggregation(docs):
+    """r7: the ES `filters` (plural) agg — one bucket per named
+    predicate, all in ONE conditional-aggregation job; other_bucket
+    catches matched-by-none; metric subs gate per filter."""
+    out = run_aggs(docs, {"f": {
+        "filters": {"filters": {
+            "short": {"range": {"n_chars": {"lt": 200}}},
+            "en": {"term": {"lang": "en"}},
+        }, "other_bucket": True},
+        "aggs": {"mx": {"max": {"field": "n_chars"}}},
+    }})
+    b = out["f"]["buckets"]
+    assert b["short"]["doc_count"] == 2      # 100, 50
+    assert b["short"]["mx"]["value"] == 100
+    assert b["en"]["doc_count"] == 3
+    assert b["en"]["mx"]["value"] == 300
+    # docs matching neither: 3 (de,de) + doc6 (null lang, 999)
+    assert b["_other_"]["doc_count"] == 3
+    assert b["_other_"]["mx"]["value"] == 999
+    # anonymous list form → list buckets, custom other key
+    out = run_aggs(docs, {"f": {"filters": {
+        "filters": [{"term": {"lang": "fr"}}],
+        "other_bucket_key": "rest",
+    }}})
+    assert out["f"]["buckets"]["0"]["doc_count"] if False else True
+    # list form returns a LIST plus the named other bucket... ES puts
+    # the other bucket at the end of the list under the given key only
+    # for the dict form; our list form appends it as an extra entry
+    bl = out["f"]["buckets"]
+    assert isinstance(bl, list) and bl[0]["doc_count"] == 1
+    assert bl[1]["doc_count"] == 6
+
+
+def test_date_range_aggregation(docs):
+    out = run_aggs(docs, {"dr": {"date_range": {
+        "field": "ts",
+        "ranges": [
+            {"to": "2024-01-02"},
+            {"from": "2024-01-02", "to": "2024-01-03", "key": "mid"},
+            {"from": "2024-01-03"},
+        ],
+    }}})
+    b = out["dr"]["buckets"]
+    assert [x["doc_count"] for x in b] == [3, 2, 2]
+    assert b[1]["key"] == "mid"
+    assert b[0]["to"] == int(dt.datetime(
+        2024, 1, 2, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert b[2]["from_as_string"].startswith("2024-01-03")
+    # keyed + epoch-millis bounds
+    out = run_aggs(docs, {"dr": {"date_range": {
+        "field": "ts", "keyed": True,
+        "ranges": [{"from": 1704153600000}],  # 2024-01-02T00:00Z
+    }}})
+    (k, v), = out["dr"]["buckets"].items()
+    assert v["doc_count"] == 4 and k.startswith("2024-01-02")
+    # date math is a named 400, not a silently-wrong wall-clock read
+    with pytest.raises(DslError, match="date-math"):
+        run_aggs(docs, {"dr": {"date_range": {
+            "field": "ts", "ranges": [{"from": "now-1d"}]}}})
+
+
+def test_terms_include_exclude(docs):
+    """r7: terms include/exclude — value lists and anchored regex,
+    applied before ordering/truncation; totals re-scope."""
+    out = run_aggs(docs, {"t": {"terms": {
+        "field": "lang", "include": ["en", "fr"]}}})
+    env = out["t"]
+    assert [b["key"] for b in env["buckets"]] == ["en", "fr"]
+    assert env["sum_other_doc_count"] == 0  # de is outside the scope
+    out = run_aggs(docs, {"t": {"terms": {
+        "field": "lang", "exclude": "e.*"}}})
+    assert [b["key"] for b in out["t"]["buckets"]] == ["de", "fr"]
+    # regex include anchors to the WHOLE value (Lucene semantics)
+    out = run_aggs(docs, {"t": {"terms": {
+        "field": "lang", "include": "e"}}})
+    assert out["t"]["buckets"] == []
+    # inside a nested chain the filter is bucket-level: parent
+    # doc_counts keep counting excluded children
+    out = run_aggs(docs, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"langs": {"terms": {"field": "lang",
+                                     "include": ["de"]}}},
+    }})
+    day2 = out["days"]["buckets"][1]
+    assert day2["doc_count"] == 2
+    assert [b["key"] for b in day2["langs"]["buckets"]] == ["de"]
+    day1 = out["days"]["buckets"][0]  # en-only day: no buckets survive
+    assert day1["doc_count"] == 3
+    assert day1["langs"]["buckets"] == []
+    # the partition form is a named 400
+    with pytest.raises(DslError, match="partition"):
+        run_aggs(docs, {"t": {"terms": {
+            "field": "lang",
+            "include": {"partition": 0, "num_partitions": 2}}}})
