@@ -167,6 +167,18 @@ _AGG_BODY_KEYS = {
     "stats_bucket": {"buckets_path", "gap_policy"},
     "cumulative_sum": {"buckets_path"},
     "derivative": {"buckets_path", "gap_policy"},
+    # the rest of the TSVB staple family (r7): same driver-side tier.
+    # bucket_script/bucket_selector scripts go through a SAFE
+    # arithmetic evaluator (_eval_bucket_script) — exactly the
+    # `params.x`-algebra subset Kibana TSVB emits; anything beyond it
+    # (method calls, state) is a named 400, never eval()
+    "bucket_script": {"buckets_path", "script", "gap_policy"},
+    "bucket_selector": {"buckets_path", "script", "gap_policy"},
+    "bucket_sort": {"sort", "from", "size", "gap_policy"},
+    "moving_fn": {"buckets_path", "script", "window", "shift",
+                  "gap_policy"},
+    "serial_diff": {"buckets_path", "lag", "gap_policy"},
+    "percentiles_bucket": {"buckets_path", "gap_policy", "percents"},
     "avg": {"field", "missing"},
     "sum": {"field", "missing"},
     "min": {"field", "missing"},
@@ -1256,10 +1268,208 @@ def _assemble_levels(
 
 
 #: sibling pipeline aggs (reduce a bucket list to one value) and
-#: parent pipeline aggs (a per-bucket running transform)
+#: parent pipeline aggs (a per-bucket running transform).
+#: _ORDERED_PIPELINES additionally need a histogram-ordered parent
+#: (ES enforces the same restriction — a running diff over unordered
+#: terms buckets is meaningless); the script family works under any
+#: multi-bucket agg, terms included.
 _SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket",
-                      "max_bucket", "stats_bucket")
-_PARENT_PIPELINES = ("cumulative_sum", "derivative")
+                      "max_bucket", "stats_bucket",
+                      "percentiles_bucket")
+_ORDERED_PIPELINES = ("cumulative_sum", "derivative", "serial_diff",
+                      "moving_fn")
+_SCRIPT_PIPELINES = ("bucket_script", "bucket_selector", "bucket_sort")
+_PARENT_PIPELINES = _ORDERED_PIPELINES + _SCRIPT_PIPELINES
+
+
+#: token stream for the bucket-script grammar: numbers, params.refs,
+#: arithmetic / comparison / boolean operators, parentheses
+_SCRIPT_TOKEN_RE = re.compile(
+    r"\s*(?:(\d+\.\d*|\.\d+|\d+)|params\.([A-Za-z_][A-Za-z0-9_]*)"
+    r"|(\(|\)|\+|-|\*|/|%|>=|<=|==|!=|>|<|&&|\|\||!))"
+)
+
+
+def _tokenize_script(src: str) -> list[tuple[str, Any]]:
+    toks: list[tuple[str, Any]] = []
+    pos = 0
+    while pos < len(src):
+        m = _SCRIPT_TOKEN_RE.match(src, pos)
+        if m is None:
+            if src[pos:].strip() == "":
+                break
+            raise DslError(
+                f"unsupported bucket script syntax at {src[pos:]!r} "
+                "(implemented: numbers, params.<name>, + - * / % "
+                "( ) > >= < <= == != && || !)"
+            )
+        if m.group(1) is not None:
+            toks.append(("num", float(m.group(1))))
+        elif m.group(2) is not None:
+            toks.append(("param", m.group(2)))
+        else:
+            toks.append(("op", m.group(3)))
+        pos = m.end()
+    return toks
+
+
+def _eval_bucket_script(src: str, params: dict):
+    """Evaluate the ``params.x``-algebra subset of painless that
+    Kibana TSVB generates for ``bucket_script``/``bucket_selector``
+    ("params.n / params.d * 100", "params.total > 50") — a
+    recursive-descent evaluator over a fixed grammar, NEVER eval().
+
+    Returns None when any referenced param is null/absent (the
+    caller applies ES's "skip" gap policy) and on division by zero
+    (painless would throw the whole request away; a null bucket
+    value is this engine's documented softer posture)."""
+    toks = _tokenize_script(str(src))
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(op=None):
+        nonlocal pos
+        t = peek()
+        if t[0] is None or (op is not None and t != ("op", op)):
+            raise DslError(f"malformed bucket script {src!r}")
+        pos += 1
+        return t
+
+    def primary():
+        kind, val = peek()
+        if kind == "num":
+            take()
+            return val
+        if kind == "param":
+            take()
+            if val not in params:
+                raise DslError(
+                    f"bucket script references params.{val} but "
+                    f"buckets_path defines {sorted(params)}"
+                )
+            return params[val]
+        if (kind, val) == ("op", "("):
+            take()
+            v = or_expr()
+            take(")")
+            return v
+        if (kind, val) == ("op", "-"):
+            take()
+            v = primary()
+            return None if v is None else -v
+        if (kind, val) == ("op", "!"):
+            take()
+            v = primary()
+            return None if v is None else (not bool(v))
+        raise DslError(f"malformed bucket script {src!r}")
+
+    def mul_expr():
+        v = primary()
+        while peek() == ("op", "*") or peek() == ("op", "/") \
+                or peek() == ("op", "%"):
+            op = take()[1]
+            r = primary()
+            if v is None or r is None:
+                v = None
+            elif op == "*":
+                v = v * r
+            elif r == 0:
+                v = None
+            elif op == "/":
+                v = v / r
+            else:
+                v = v % r
+        return v
+
+    def add_expr():
+        v = mul_expr()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            op = take()[1]
+            r = mul_expr()
+            if v is None or r is None:
+                v = None
+            else:
+                v = v + r if op == "+" else v - r
+        return v
+
+    def cmp_expr():
+        v = add_expr()
+        if peek()[0] == "op" and peek()[1] in (">", ">=", "<", "<=",
+                                               "==", "!="):
+            op = take()[1]
+            r = add_expr()
+            if v is None or r is None:
+                return None
+            return {">": v > r, ">=": v >= r, "<": v < r,
+                    "<=": v <= r, "==": v == r, "!=": v != r}[op]
+        return v
+
+    def and_expr():
+        v = cmp_expr()
+        while peek() == ("op", "&&"):
+            take()
+            r = cmp_expr()
+            v = None if (v is None or r is None) else (bool(v) and
+                                                       bool(r))
+        return v
+
+    def or_expr():
+        v = and_expr()
+        while peek() == ("op", "||"):
+            take()
+            r = and_expr()
+            v = None if (v is None or r is None) else (bool(v) or
+                                                       bool(r))
+        return v
+
+    out = or_expr()
+    if pos != len(toks):
+        raise DslError(f"malformed bucket script {src!r}")
+    return out
+
+
+def _script_params(bucket: dict, paths) -> dict:
+    """Resolve a bucket_script/selector ``buckets_path`` map (ES also
+    accepts a single string, exposed as ``params._value``) against one
+    bucket; unknown-metric errors surface, null values stay None."""
+    if isinstance(paths, str):
+        paths = {"_value": paths}
+    if not isinstance(paths, dict) or not paths:
+        raise DslError(
+            "bucket_script/bucket_selector buckets_path must be a "
+            "non-empty {param: path} object (or a single path string)"
+        )
+    return {k: _pipeline_path_value(bucket, p) for k, p in paths.items()}
+
+
+#: the MovingFunctions idioms Kibana emits for ``moving_fn`` scripts —
+#: parsed by name, never executed as code. stdDev accepts ES's
+#: documented two-arg form with the unweightedAvg inner call.
+_MOVING_FN_RE = re.compile(
+    r"^\s*MovingFunctions\.(max|min|sum|unweightedAvg|stdDev)\s*"
+    r"\(\s*values\s*"
+    r"(?:,\s*MovingFunctions\.unweightedAvg\s*\(\s*values\s*\)\s*)?"
+    r"\)\s*$"
+)
+
+
+def _moving_fn_value(fn: str, vals: list):
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return None
+    if fn == "max":
+        return max(vals)
+    if fn == "min":
+        return min(vals)
+    if fn == "sum":
+        return sum(vals)
+    mean = sum(vals) / len(vals)
+    if fn == "unweightedAvg":
+        return mean
+    # stdDev: ES's MovingFunctions.stdDev is the POPULATION deviation
+    return (sum((v - mean) ** 2 for v in vals) / len(vals)) ** 0.5
 
 
 def _pipeline_path_value(bucket: dict, path: str):
@@ -1290,36 +1500,155 @@ def _check_gap_policy(body: dict) -> None:
         )
 
 
-def _apply_parent_pipelines(buckets: list, pipes: dict) -> None:
-    """``cumulative_sum`` / ``derivative`` over an ordered bucket list
-    (histogram / date_histogram — ES restricts parent pipelines to
-    histogram parents for the same ordering reason). Driver-side over
-    the already-returned buckets; gap policy "skip"."""
+def _path_values(buckets: list, pk: str, pb: dict) -> list:
+    path = pb.get("buckets_path")
+    if not path:
+        raise DslError(f"{pk} requires buckets_path")
+    if not isinstance(path, str) or ">" in path:
+        raise DslError(
+            f"{pk} buckets_path must reference a sibling metric "
+            f"of the same bucket agg (got {path!r})"
+        )
+    return [_pipeline_path_value(b, path) for b in buckets]
+
+
+def _apply_parent_pipelines(
+    buckets: list, pipes: dict, ordered: bool
+) -> list:
+    """Parent pipeline aggs over an already-computed bucket list —
+    driver-side, no extra job, gap policy "skip" (ES's default).
+
+    ``ordered`` marks a histogram/date_histogram parent; the running
+    family (cumulative_sum / derivative / serial_diff / moving_fn)
+    needs it and is a named error elsewhere — ES enforces the same
+    restriction. The script family (bucket_script / bucket_selector /
+    bucket_sort) works under any multi-bucket parent, terms included.
+
+    Application order: value-producing pipes in body order (so a
+    bucket_script may reference an earlier pipeline by name through
+    buckets_path — ES resolves the same dependency chain), then
+    selectors, then bucket_sort — a selector/sort must see every
+    computed value. Returns the (possibly filtered/reordered) list."""
+    selectors: list[tuple[str, dict]] = []
+    sorts: list[tuple[str, dict]] = []
     for pname, pspec in pipes.items():
         pk, pb = next(iter(pspec.items()))
         check_agg_keys(pk, pb)
         _check_gap_policy(pb if isinstance(pb, dict) else {})
-        path = pb.get("buckets_path")
-        if not path:
-            raise DslError(f"{pk} requires buckets_path")
-        if ">" in path:
+        if pk in _ORDERED_PIPELINES and not ordered:
             raise DslError(
-                f"{pk} buckets_path must reference a sibling metric "
-                f"of the same bucket agg (got {path!r})"
+                f"{pk} requires a histogram/date_histogram parent "
+                "(running transforms need ordered buckets)"
             )
-        vals = [_pipeline_path_value(b, path) for b in buckets]
+        if pk == "bucket_selector":
+            selectors.append((pname, pb))
+            continue
+        if pk == "bucket_sort":
+            sorts.append((pname, pb))
+            continue
         if pk == "cumulative_sum":
             run = 0.0
-            for b, v in zip(buckets, vals):
+            for b, v in zip(buckets, _path_values(buckets, pk, pb)):
                 run += v or 0
                 b[pname] = {"value": run}
-        else:  # derivative: ES omits it from the FIRST bucket
+        elif pk == "derivative":
+            # ES omits it from the FIRST bucket
             prev = None
+            vals = _path_values(buckets, pk, pb)
             for i, (b, v) in enumerate(zip(buckets, vals)):
                 if i > 0 and v is not None and prev is not None:
                     b[pname] = {"value": v - prev}
                 if v is not None:
                     prev = v
+        elif pk == "serial_diff":
+            lag = int(pb.get("lag", 1))
+            if lag < 1:
+                raise DslError("serial_diff lag must be >= 1")
+            vals = _path_values(buckets, pk, pb)
+            for i, b in enumerate(buckets):
+                if i >= lag and vals[i] is not None \
+                        and vals[i - lag] is not None:
+                    b[pname] = {"value": vals[i] - vals[i - lag]}
+        elif pk == "moving_fn":
+            m = _MOVING_FN_RE.match(str(pb.get("script", "")))
+            if m is None:
+                raise DslError(
+                    f"unsupported moving_fn script {pb.get('script')!r}"
+                    " (implemented: MovingFunctions.max/min/sum/"
+                    "unweightedAvg/stdDev over `values`)"
+                )
+            window = int(pb.get("window", 0))
+            if window < 1:
+                raise DslError("moving_fn requires a positive window")
+            shift = int(pb.get("shift", 0))
+            vals = _path_values(buckets, pk, pb)
+            for i, b in enumerate(buckets):
+                # ES's window at bucket i: [i-window+shift, i+shift)
+                # — shift 0 is "the previous `window` buckets,
+                # current excluded"
+                lo, hi = i - window + shift, i + shift
+                v = _moving_fn_value(
+                    m.group(1), vals[max(0, lo):max(0, hi)])
+                if v is not None:
+                    b[pname] = {"value": v}
+        elif pk == "bucket_script":
+            script = pb.get("script")
+            if script is None:
+                raise DslError("bucket_script requires a script")
+            for b in buckets:
+                v = _eval_bucket_script(
+                    script, _script_params(b, pb.get("buckets_path")))
+                if v is not None:
+                    b[pname] = {"value": float(v) if isinstance(
+                        v, bool) else v}
+    for pname, pb in selectors:
+        script = pb.get("script")
+        if script is None:
+            raise DslError("bucket_selector requires a script")
+        kept = []
+        for b in buckets:
+            v = _eval_bucket_script(
+                script, _script_params(b, pb.get("buckets_path")))
+            # gap policy "skip": a bucket the script can't see
+            # (missing value) is RETAINED un-evaluated, like ES
+            if v is None or bool(v):
+                kept.append(b)
+        buckets = kept
+    for pname, pb in sorts:
+        sort_spec = pb.get("sort")
+        if sort_spec is not None:
+            if not isinstance(sort_spec, list) or not sort_spec:
+                raise DslError("bucket_sort sort must be a non-empty "
+                               "list")
+            # ES applies sort keys in order; buckets missing a sort
+            # value are DROPPED under gap policy "skip"
+            for clause in reversed(sort_spec):
+                if isinstance(clause, str):
+                    path, direction = clause, "asc"
+                elif isinstance(clause, dict) and len(clause) == 1:
+                    path, spec = next(iter(clause.items()))
+                    direction = (spec.get("order", "asc")
+                                 if isinstance(spec, dict) else spec)
+                else:
+                    raise DslError(
+                        f"malformed bucket_sort clause {clause!r}")
+                if direction not in ("asc", "desc"):
+                    raise DslError(
+                        f"unknown bucket_sort order {direction!r}")
+                if path == "_key":
+                    keyed = [(b["key"], b) for b in buckets]
+                else:
+                    keyed = [(_pipeline_path_value(b, path), b)
+                             for b in buckets]
+                keyed = [(v, b) for v, b in keyed if v is not None]
+                keyed.sort(key=lambda t: t[0],
+                           reverse=(direction == "desc"))
+                buckets = [b for _, b in keyed]
+        start = int(pb.get("from", 0))
+        size = pb.get("size")
+        buckets = buckets[start:(start + int(size))
+                          if size is not None else None]
+    return buckets
 
 
 def _sibling_pipeline_envelope(kind: str, body: dict, out: dict) -> dict:
@@ -1347,6 +1676,21 @@ def _sibling_pipeline_envelope(kind: str, body: dict, out: dict) -> dict:
     vals = [_pipeline_path_value(b, metric_path)
             for b in env["buckets"]]
     vals = [v for v in vals if v is not None]
+    if kind == "percentiles_bucket":
+        # ES computes these EXACTLY over the bucket values with
+        # nearest-rank selection (round(p/100 * (n-1)) into the
+        # sorted list) — no interpolation, unlike the percentiles
+        # METRIC agg
+        percents = body.get("percents", _DEFAULT_PERCENTS)
+        svals = sorted(vals)
+        values = {}
+        for p in percents:
+            if not svals:
+                values[str(float(p))] = None
+            else:
+                idx = int(float(p) / 100.0 * (len(svals) - 1) + 0.5)
+                values[str(float(p))] = svals[idx]
+        return {"values": values}
     if kind == "stats_bucket":
         cnt = len(vals)
         return {
@@ -1790,8 +2134,13 @@ def run_aggs(
                 n: s for n, s in (sub or {}).items()
                 if isinstance(s, dict) and next(iter(s), None) == "top_hits"
             }
+            parent_pipes = {
+                n: s for n, s in (sub or {}).items()
+                if isinstance(s, dict)
+                and next(iter(s), None) in _PARENT_PIPELINES
+            }
             metrics = {n: s for n, s in (sub or {}).items()
-                       if n not in top_hits}
+                       if n not in top_hits and n not in parent_pipes}
             rows = terms_frame(df, body, metrics).collect()
             returned = sum(r["doc_count"] for r in rows)
             # bucket_key, not the raw column: a `missing` value means
@@ -1847,6 +2196,13 @@ def run_aggs(
                                   "relation": "eq"},
                         "hits": by_key.get(b["key"], []),
                     }}
+            if parent_pipes:
+                # the script family (bucket_script/selector/sort —
+                # Kibana TSVB's "math" panels) runs over the RETURNED
+                # terms buckets, like ES's reduce phase; the running
+                # family needs histogram ordering and names its error
+                buckets = _apply_parent_pipelines(
+                    buckets, parent_pipes, ordered=False)
             out[name] = {
                 "doc_count_error_upper_bound": 0,  # exact (divergence note)
                 "sum_other_doc_count": int(total - returned),
@@ -1870,7 +2226,8 @@ def run_aggs(
                     b["key_as_string"] = _key_as_string(r["key"], body)
                 buckets.append(b)
             if parent_pipes:
-                _apply_parent_pipelines(buckets, parent_pipes)
+                buckets = _apply_parent_pipelines(
+                    buckets, parent_pipes, ordered=True)
             if body.get("keyed"):
                 # ES `keyed: true`: buckets as an object — the
                 # date form keys by key_as_string, the numeric form

@@ -1357,6 +1357,163 @@ def search_aggs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_tsvb_math",
+    # the TSVB "math" panel shape: bucket_script algebra and the
+    # ordered running transforms mirror window functions exactly.
+    # moving_fn window w shift 0 = the previous w buckets, current
+    # EXCLUDED → ROWS BETWEEN w PRECEDING AND 1 PRECEDING
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               AVG(value) AS avg_value
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT key, doc_count, avg_value,
+           avg_value * doc_count AS day_total,
+           AVG(doc_count) OVER (ORDER BY key
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mov3,
+           CAST(doc_count - LAG(doc_count, 7) OVER (ORDER BY key)
+                AS BIGINT) AS wow_diff
+    FROM g
+    """,
+)
+def search_aggs_tsvb_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TSVB pipeline staples (r7): ``bucket_script`` (safe
+    ``params.x`` algebra — never eval()), ``moving_fn``
+    (MovingFunctions.unweightedAvg over a trailing window) and
+    ``serial_diff`` (week-over-week lag), all riding the computed
+    date_histogram buckets driver-side — no extra job beyond the one
+    groupBy."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "avg_value": {"avg": {"field": "value"}},
+            "day_total": {"bucket_script": {
+                "buckets_path": {"a": "avg_value", "c": "_count"},
+                "script": "params.a * params.c"}},
+            "mov3": {"moving_fn": {
+                "buckets_path": "_count", "window": 3,
+                "script": "MovingFunctions.unweightedAvg(values)"}},
+            "wow": {"serial_diff": {"buckets_path": "_count",
+                                    "lag": 7}},
+        },
+    }})
+    import datetime as _dt
+
+    flat = [
+        (_dt.datetime.fromtimestamp(b["key"] / 1000, _dt.timezone.utc)
+         .replace(tzinfo=None),
+         b["doc_count"], b["avg_value"]["value"],
+         b.get("day_total", {}).get("value"),
+         b.get("mov3", {}).get("value"),
+         b.get("wow", {}).get("value"))
+        for b in out["days"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "key timestamp, doc_count long, avg_value double, "
+              "day_total double, mov3 double, wow_diff long"
+    )
+
+
+@register(
+    "search_aggs_bucket_sort",
+    # bucket_selector keeps avg-value buckets above the bar, then
+    # bucket_sort re-ranks by the metric with an offset page. Ties on
+    # a continuous avg are broken by the underlying terms order
+    # (count desc, key asc) — the sort is stable on both sides
+    oracle="""
+    WITH g AS (
+        SELECT event_type AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               AVG(value) AS avg_value
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY doc_count DESC, key LIMIT 20
+    )
+    SELECT key, doc_count, avg_value FROM g
+    WHERE avg_value > 10
+    ORDER BY avg_value DESC, doc_count DESC, key
+    LIMIT 3 OFFSET 1
+    """,
+)
+def search_aggs_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bucket_selector`` + ``bucket_sort`` under ``terms`` (r7):
+    Kibana's "filter and re-rank the table by a metric" idiom. The
+    terms frame is still ONE groupBy + TakeOrdered; the script family
+    reduces the returned buckets driver-side."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"types": {
+        "terms": {"field": "event_type", "size": 20},
+        "aggs": {
+            "avg_value": {"avg": {"field": "value"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"a": "avg_value"},
+                "script": "params.a > 10"}},
+            "page": {"bucket_sort": {
+                "sort": [{"avg_value": "desc"}], "from": 1,
+                "size": 3}},
+        },
+    }})
+    flat = [(b["key"], b["doc_count"], b["avg_value"]["value"])
+            for b in out["types"]["buckets"]]
+    return spark.createDataFrame(
+        flat, "key string, doc_count long, avg_value double")
+
+
+@register(
+    "search_aggs_percentiles_bucket",
+    # ES's percentiles_bucket is nearest-rank over the sorted bucket
+    # values — round(p/100*(n-1)) — NOT interpolated; the oracle
+    # replays the same index arithmetic with list functions
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS k,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), l AS (
+        SELECT list_sort(list(c)) AS ls, COUNT(*) AS n FROM g
+    )
+    SELECT
+      CAST(ls[CAST(FLOOR(25.0/100*(n-1)+0.5) AS INT)+1] AS BIGINT)
+          AS p25,
+      CAST(ls[CAST(FLOOR(50.0/100*(n-1)+0.5) AS INT)+1] AS BIGINT)
+          AS p50,
+      CAST(ls[CAST(FLOOR(75.0/100*(n-1)+0.5) AS INT)+1] AS BIGINT)
+          AS p75,
+      CAST(ls[CAST(FLOOR(99.0/100*(n-1)+0.5) AS INT)+1] AS BIGINT)
+          AS p99
+    FROM l
+    """,
+)
+def search_aggs_percentiles_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sibling ``percentiles_bucket`` (r7): the distribution of a
+    sibling bucket agg's per-bucket values — Kibana's "percentile of
+    daily counts" panel. One groupBy job; the reduction is driver-side
+    over the returned buckets."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {
+        "days": {"date_histogram": {"field": "ts",
+                                    "calendar_interval": "day"}},
+        "p": {"percentiles_bucket": {
+            "buckets_path": "days>_count",
+            "percents": [25, 50, 75, 99]}},
+    })
+    v = out["p"]["values"]
+    return spark.createDataFrame(
+        [(v["25.0"], v["50.0"], v["75.0"], v["99.0"])],
+        "p25 long, p50 long, p75 long, p99 long")
+
+
+@register(
     "search_aggs_histogram_offset",
     # the shifted-grid arithmetic is identical integer algebra on both
     # sides; the offset keeps every bucket key on the 25-shifted grid
@@ -4215,6 +4372,9 @@ _CHECK_FIRST = [
     "search_aggs_siblings",            # NEW: sibling bucket sub-aggs
     "search_aggs_chain_top_hits",      # NEW: top_hits inside a chain
     "search_aggs_pipeline",            # NEW: pipeline agg family
+    "search_aggs_tsvb_math",           # NEW: bucket_script/moving_fn
+    "search_aggs_bucket_sort",         # NEW: selector + sort page
+    "search_aggs_percentiles_bucket",  # NEW: sibling percentiles
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4255,11 +4415,9 @@ _CHECK_FIRST = [
     "late_data_profile",
     "value_histogram",
     "value_outliers_mad",
-    "event_transition_matrix",
-    "revenue_share_by_segment",
-    "key_skew_report",
-    # (join_explosion_estimate, snapshot_diff, wow_growth,
-    #  weighted_sample_docs, rag_context_assembly,
+    # (event_transition_matrix, revenue_share_by_segment,
+    #  key_skew_report, join_explosion_estimate, snapshot_diff,
+    #  wow_growth, weighted_sample_docs, rag_context_assembly,
     #  dedup_keep_canonical, orders_revenue_7d_ma and
     #  curriculum_deciles displaced to keep the window at exactly 50
     #  after the late r7 additions — they lead the r8 fill,

@@ -1705,3 +1705,98 @@ def test_terms_include_exclude(docs):
         run_aggs(docs, {"t": {"terms": {
             "field": "lang",
             "include": {"partition": 0, "num_partitions": 2}}}})
+
+
+def test_tsvb_pipeline_family(docs):
+    """r7: the rest of the TSVB pipeline staples — bucket_script /
+    bucket_selector / bucket_sort (scripted algebra over computed
+    buckets), moving_fn / serial_diff (ordered running transforms),
+    percentiles_bucket (sibling reduction). All driver-side over the
+    returned envelopes; scripts go through the safe evaluator, never
+    eval()."""
+    out = run_aggs(docs, {
+        "days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "avg_c": {"avg": {"field": "n_chars"}},
+                "ratio": {"bucket_script": {
+                    "buckets_path": {"a": "avg_c", "c": "_count"},
+                    "script": "params.a * params.c"}},
+                "mov": {"moving_fn": {
+                    "buckets_path": "_count", "window": 2,
+                    "script": "MovingFunctions.unweightedAvg(values)"}},
+                "sd": {"serial_diff": {"buckets_path": "_count",
+                                       "lag": 2}},
+            },
+        },
+        "p": {"percentiles_bucket": {"buckets_path": "days>_count",
+                                     "percents": [0, 50, 100]}},
+    })
+    days = out["days"]["buckets"]
+    # counts [3,2,2]; avg_c [200, 300, 524.5]
+    assert [b["ratio"]["value"] for b in days] == \
+        [600, 600, pytest.approx(1049)]
+    # moving_fn window 2 shift 0: previous-two average, current
+    # excluded; an empty window yields no value (like ES's null)
+    assert "mov" not in days[0]
+    assert days[1]["mov"]["value"] == pytest.approx(3.0)
+    assert days[2]["mov"]["value"] == pytest.approx(2.5)
+    # serial_diff lag 2 emits only once both points exist
+    assert "sd" not in days[0] and "sd" not in days[1]
+    assert days[2]["sd"]["value"] == -1
+    # percentiles_bucket: ES's nearest-rank over sorted [2,2,3]
+    assert out["p"]["values"] == {"0.0": 2, "50.0": 2, "100.0": 3}
+
+    # bucket_selector drops buckets; bucket_sort reorders and slices
+    out = run_aggs(docs, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "avg_c": {"avg": {"field": "n_chars"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.c <= 2"}},
+            "bs": {"bucket_sort": {"sort": [{"avg_c": "desc"}],
+                                   "size": 1}},
+        },
+    }})
+    days = out["days"]["buckets"]
+    assert len(days) == 1
+    assert days[0]["avg_c"]["value"] == pytest.approx(524.5)
+
+    # the script family also runs under terms (unordered parent)...
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang"},
+        "aggs": {
+            "avg_c": {"avg": {"field": "n_chars"}},
+            "big": {"bucket_selector": {
+                "buckets_path": {"a": "avg_c"},
+                "script": "params.a >= 300"}},
+        },
+    }})
+    # avg_c per lang: en 200, de 300, fr 50 — only de survives
+    assert [b["key"] for b in out["langs"]["buckets"]] == ["de"]
+    # ...but the running family needs histogram ordering, like ES
+    with pytest.raises(DslError, match="histogram"):
+        run_aggs(docs, {"langs": {
+            "terms": {"field": "lang"},
+            "aggs": {"c": {"cumulative_sum":
+                           {"buckets_path": "_count"}}},
+        }})
+    # unsupported moving_fn scripts and malformed algebra are named
+    with pytest.raises(DslError, match="moving_fn script"):
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"m": {"moving_fn": {
+                "buckets_path": "_count", "window": 2,
+                "script": "MovingFunctions.holtWinters(values)"}}},
+        }})
+    with pytest.raises(DslError, match="bucket script"):
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"m": {"bucket_script": {
+                "buckets_path": {"c": "_count"},
+                "script": "Math.log(params.c)"}}},
+        }})
