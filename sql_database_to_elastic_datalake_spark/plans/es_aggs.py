@@ -154,6 +154,22 @@ _AGG_BODY_KEYS = {
     "top_hits": {"size", "sort", "_source"},
     "significant_terms": {"field", "size", "min_doc_count",
                           "shard_size", "shard_min_doc_count"},
+    # r7 bucket additions. multi_terms is Kibana Lens's "top values of
+    # multiple fields"; rare_terms the long-tail panel (exact here —
+    # ES's CuckooFilter approximation is a documented divergence,
+    # `precision` accepted-and-ignored); auto_date_histogram is the
+    # Discover histogram (interval choice from a fixed ladder;
+    # intervals >= 30d round on fixed day lengths, not calendar months
+    # — documented divergence for cross-engine reproducibility)
+    "multi_terms": {"terms", "size", "min_doc_count", "order",
+                    "shard_size", "show_term_doc_count_error",
+                    "collect_mode"},
+    "rare_terms": {"field", "max_doc_count", "missing", "include",
+                   "exclude", "precision"},
+    "auto_date_histogram": {"field", "buckets", "minimum_interval",
+                            "format"},
+    "nested": {"path"},
+    "reverse_nested": set(),
     # metric kinds: field + ES's missing-value substitution;
     # precision_threshold is accepted-ignored (we are exact anyway)
     # pipeline aggs (r7): driver-side transforms over already-computed
@@ -598,6 +614,177 @@ def histogram_frame(
                     F.coalesce(F.col("doc_count"), F.lit(0)))
         .orderBy(F.col("key").asc())
     )
+
+
+def multi_terms_frame(
+    df: DataFrame, body: dict, sub_aggs: dict | None = None
+) -> DataFrame:
+    """Flat bucket rows for a ``multi_terms`` agg (Kibana Lens's
+    "top values of multiple fields"): one groupBy on the key tuple —
+    the exact shape of a single-field terms agg, same one shuffle +
+    TakeOrdered(size). Key columns come back as ``k0..kn``; docs
+    missing ANY key field are excluded unless that term spec carries
+    ``missing`` (ES's contract)."""
+    specs = body.get("terms")
+    if not isinstance(specs, list) or len(specs) < 2:
+        raise DslError(
+            "multi_terms requires a `terms` list of two or more "
+            "{field} entries"
+        )
+    keys: list[Column] = []
+    for i, s in enumerate(specs):
+        if not isinstance(s, dict) or not s.get("field"):
+            raise DslError("each multi_terms term needs a field")
+        unknown = sorted(set(s) - {"field", "missing"})
+        if unknown:
+            raise DslError(
+                f"unsupported multi_terms term options: {unknown}")
+        c = F.col(s["field"])
+        if s.get("missing") is not None:
+            c = F.coalesce(c, F.lit(s["missing"]))
+        keys.append(c.alias(f"k{i}"))
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 1))
+    pred = F.lit(True)
+    for k in keys:
+        pred = pred & k.isNotNull()
+    src = df.filter(pred)
+    out = src.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub_aggs))
+    if min_dc > 1:
+        out = out.filter(F.col("doc_count") >= min_dc)
+    # order: count-desc with the key tuple as tie-break (ES's default;
+    # _key order sorts the tuple lexicographically)
+    order = body.get("order")
+    knames = [f"k{i}" for i in range(len(keys))]
+    if order is None:
+        cols = [F.col("doc_count").desc(), *[F.col(k).asc()
+                                             for k in knames]]
+    else:
+        if not (isinstance(order, dict) and len(order) == 1):
+            raise DslError("multi_terms order must be a single-entry "
+                           "object")
+        tgt, direction = next(iter(order.items()))
+        if direction not in ("asc", "desc"):
+            raise DslError(f"unknown order direction {direction!r}")
+        if tgt == "_count":
+            lead = F.col("doc_count")
+        elif tgt == "_key":
+            lead = None
+        else:
+            raise DslError(
+                "multi_terms order supports _count/_key (metric "
+                "ordering is a terms-agg feature here)"
+            )
+        keydir = [(F.col(k).desc() if (lead is None
+                                       and direction == "desc")
+                   else F.col(k).asc()) for k in knames]
+        cols = keydir if lead is None else [
+            lead.desc() if direction == "desc" else lead.asc(),
+            *keydir]
+    return out.orderBy(*cols).limit(size)
+
+
+#: the rare_terms bucket-count driver bound: exact long-tail queries
+#: can legitimately return many buckets; past this the request must
+#: narrow (named error, never a silent truncation or a driver OOM)
+_RARE_TERMS_BUDGET = 100_000
+
+
+def rare_terms_frame(df: DataFrame, body: dict) -> DataFrame:
+    """Flat bucket rows for ``rare_terms`` (the long-tail panel):
+    terms whose doc_count <= ``max_doc_count``, count-ascending.
+    One groupBy; the HAVING-style filter prunes before the sort.
+    EXACT where ES approximates with a CuckooFilter (documented
+    divergence — strictly more accurate; ``precision`` is
+    accepted-and-ignored). Deterministic key tie-break (ES leaves
+    ties unspecified)."""
+    if not body.get("field"):
+        raise DslError("rare_terms requires a field")
+    mdc = int(body.get("max_doc_count", 1))
+    if mdc < 1:
+        raise DslError("rare_terms max_doc_count must be >= 1")
+    key = bucket_key("terms", body)  # honors `missing`
+    src = df.filter(key.isNotNull())
+    ie = _include_exclude_pred(key, body)
+    if ie is not None:
+        src = src.filter(ie)
+    return (
+        src.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= mdc)
+        .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+    )
+
+
+#: the auto_date_histogram interval ladder: ES's seconds→hours→days
+#: rungs verbatim; rungs above 7d are FIXED day multiples (30d ≈
+#: month, 90d ≈ quarter, 365d ≈ year, …) where ES switches to
+#: calendar units — fixed epoch-floor rounding is exactly
+#: reproducible cross-engine, ES's calendar estimate is not
+#: (documented divergence)
+_AUTO_LADDER: list[tuple[str, int]] = [
+    ("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+    ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+    ("1h", 3600), ("3h", 10800), ("12h", 43200),
+    ("1d", 86400), ("7d", 604800),
+    ("30d", 30 * 86400), ("90d", 90 * 86400),
+    ("365d", 365 * 86400), ("1825d", 1825 * 86400),
+    ("3650d", 3650 * 86400), ("7300d", 7300 * 86400),
+    ("18250d", 18250 * 86400), ("36500d", 36500 * 86400),
+]
+
+_MINIMUM_INTERVAL_START = {"second": "1s", "minute": "1m",
+                           "hour": "1h", "day": "1d",
+                           "month": "30d", "year": "365d"}
+
+
+def auto_date_histogram_plan(
+    df: DataFrame, body: dict, sub_aggs: dict | None = None
+) -> tuple[DataFrame | None, str]:
+    """``auto_date_histogram``: pick the smallest ladder interval whose
+    bucket count over the observed span fits the ``buckets`` target
+    (ES default 10), then run the ordinary gap-filled date_histogram.
+    Two jobs by construction — a min/max scan (cheap: min/max of one
+    column) and the groupBy; ES pays the same two-phase cost via
+    shard-level rounding negotiation. Returns (frame, interval_label);
+    frame None when the column has no rows."""
+    field = body.get("field")
+    if not field:
+        raise DslError("auto_date_histogram requires a field")
+    target = int(body.get("buckets", 10))
+    if target < 1:
+        raise DslError("auto_date_histogram buckets must be >= 1")
+    ladder = _AUTO_LADDER
+    min_iv = body.get("minimum_interval")
+    if min_iv is not None:
+        start = _MINIMUM_INTERVAL_START.get(str(min_iv))
+        if start is None:
+            raise DslError(
+                f"unknown minimum_interval {min_iv!r} (one of "
+                f"{sorted(_MINIMUM_INTERVAL_START)})"
+            )
+        ladder = ladder[[lbl for lbl, _ in ladder].index(start):]
+    row = df.agg(F.min(field).alias("mn"),
+                 F.max(field).alias("mx")).collect()[0]
+    if row["mn"] is None:
+        return None, ladder[0][0]
+    mn_e = int(row["mn"].replace(tzinfo=_dt.timezone.utc).timestamp())
+    mx_e = int(row["mx"].replace(tzinfo=_dt.timezone.utc).timestamp())
+    label = ladder[-1][0]
+    for lbl, secs in ladder:
+        # EXACT bucket count on the epoch-floored grid (a span-based
+        # estimate can undercount by one when min/max straddle a
+        # boundary)
+        if (mx_e // secs) - (mn_e // secs) + 1 <= target:
+            label = lbl
+            break
+    hist_body = {"field": field, "fixed_interval": label,
+                 "min_doc_count": 0}
+    if body.get("format") is not None:
+        hist_body["format"] = body["format"]
+    return histogram_frame(df, "date_histogram", hist_body,
+                           sub_aggs), label
 
 
 def range_frame(
@@ -2041,6 +2228,168 @@ def _key_as_string(k: _dt.datetime, body: dict) -> str:
     return local.strftime(_java_to_strftime(str(fmt)))
 
 
+def _strip_nested_prefix(path: str, sub_aggs: dict | None) -> dict:
+    """Rewrite nested-context sub-agg bodies so field refs drop the
+    ``path.`` prefix (ES addresses nested fields by full path; after
+    the explode they are plain element columns). A field outside the
+    path is a named error — ES's nested context cannot see parent
+    fields either."""
+    out: dict = {}
+    for name, spec in (sub_aggs or {}).items():
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(f"aggregation {name!r} must have exactly one type")
+        kind, body = next(iter(spec.items()))
+        if not isinstance(body, dict) or not body.get("field"):
+            raise DslError(
+                f"nested sub-aggregation {name!r} ({kind}) requires a "
+                "field"
+            )
+        field = str(body["field"])
+        if not field.startswith(path + "."):
+            raise DslError(
+                f"nested sub-aggregation {name!r} must address fields "
+                f"under {path!r} (got {field!r})"
+            )
+        out[name] = {kind: {**body, "field": field[len(path) + 1:]}}
+    return out
+
+
+def _nested_envelope(df: DataFrame, path: str, sub: dict | None) -> dict:
+    """The ES ``nested`` aggregation: switch scope to the elements of
+    an array-of-struct column. Spark shape: ONE explode (a generator,
+    no shuffle) carrying a parent row id; ``doc_count`` (total nested
+    docs) rides the sub-agg job as an Observation — no extra pass.
+
+    Supported inside: metric sub-aggs on ``path.field`` columns, and
+    ONE ``terms`` bucket whose own sub-aggs may be metrics plus
+    ``reverse_nested`` (doc_count = parents with >=1 element in the
+    bucket — a count_distinct on the parent id riding the same
+    groupBy). Deeper nesting is a named error.
+
+    Reference parity: the reference stores labels nested under
+    tickets (src/sync_service.py label embedding) and its saved
+    queries facet on them — this is the aggs half of the existing
+    ``nested`` query leaf (plans/es_dsl.py)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    try:
+        ftype = df.schema[path].dataType
+    except KeyError:
+        # ES: nested on an unmapped path aggregates nothing
+        return {"doc_count": 0}
+    if not (isinstance(ftype, ArrayType)
+            and isinstance(ftype.elementType, StructType)):
+        raise DslError(
+            f"nested path {path!r} is not an array-of-object column")
+    if "__pid" in df.columns or "__pid" in ftype.elementType.names:
+        raise DslError("nested path collides with the reserved __pid")
+    ex = (
+        df.withColumn("__pid", F.monotonically_increasing_id())
+        .select("__pid", F.explode(path).alias("__e"))
+        .select("__pid", F.col("__e.*"))
+    )
+    env: dict[str, Any] = {}
+    sub = sub or {}
+    metrics: dict = {}
+    bucket_name = None
+    for name, spec in sub.items():
+        if not isinstance(spec, dict):
+            raise DslError(f"aggregation {name!r} must be an object")
+        kind = next((k for k in spec
+                     if k not in ("aggs", "aggregations")), None)
+        if kind == "terms":
+            if bucket_name is not None:
+                raise DslError(
+                    "one bucket sub-aggregation per nested scope is "
+                    "supported"
+                )
+            bucket_name = name
+        elif kind in _METRICS or kind in ("stats", "percentiles",
+                                          "missing"):
+            metrics[name] = spec
+        else:
+            raise DslError(
+                f"unsupported sub-aggregation kind {kind!r} under "
+                "nested (metrics, or one terms bucket)"
+            )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    exo = ex.observe(obs, F.count(F.lit(1)).alias("n"))
+    if bucket_name is None:
+        # _metric_cols key-checks each body
+        mstripped = _strip_nested_prefix(path, metrics)
+        if mstripped:
+            row = exo.agg(*_metric_cols(mstripped)).collect()[0]
+            env.update(_metric_envelope(row, mstripped))
+            env["doc_count"] = obs.get["n"]
+        else:
+            env["doc_count"] = ex.count()
+        return env
+    if metrics:
+        raise DslError(
+            "metrics beside a terms bucket inside nested are not "
+            "supported (put them under the terms bucket)"
+        )
+    tspec = sub[bucket_name]
+    tbody = dict(next(iter(
+        v for k, v in tspec.items() if k == "terms")))
+    check_agg_keys("terms", tbody)
+    tsub = tspec.get("aggs") or tspec.get("aggregations") or {}
+    tfield = str(tbody.get("field", ""))
+    if not tfield.startswith(path + "."):
+        raise DslError(
+            f"nested terms must address fields under {path!r} "
+            f"(got {tfield!r})"
+        )
+    tbody["field"] = tfield[len(path) + 1:]
+    reverse: list[str] = []
+    tmetrics: dict = {}
+    for name, spec in tsub.items():
+        kind = next((k for k in spec
+                     if k not in ("aggs", "aggregations")), None)
+        if kind == "reverse_nested":
+            check_agg_keys("reverse_nested", spec[kind])
+            if spec.get("aggs") or spec.get("aggregations"):
+                raise DslError(
+                    "sub-aggregations under reverse_nested are not "
+                    "supported"
+                )
+            reverse.append(name)
+        else:
+            tmetrics[name] = spec
+    tmetrics = _strip_nested_prefix(path, tmetrics)
+    size = int(tbody.get("size", 10))
+    min_dc = int(tbody.get("min_doc_count", 1))
+    key = bucket_key("terms", tbody)
+    grouped = (
+        exo.filter(key.isNotNull())
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             *[F.count_distinct(F.col("__pid")).alias(f"__rn|{r}")
+               for r in reverse],
+             *_metric_cols(tmetrics))
+    )
+    if min_dc > 1:
+        grouped = grouped.filter(F.col("doc_count") >= min_dc)
+    rows = grouped.orderBy(
+        *_terms_order(tbody, tmetrics)).limit(size).collect()
+    buckets = []
+    for r in rows:
+        b = {"key": _key_envelope(r["key"]),
+             "doc_count": r["doc_count"],
+             **_metric_envelope(r, tmetrics)}
+        for rn in reverse:
+            b[rn] = {"doc_count": r[f"__rn|{rn}"]}
+        buckets.append(b)
+    env["doc_count"] = obs.get["n"]
+    env[bucket_name] = {
+        "doc_count_error_upper_bound": 0,
+        "buckets": buckets,
+    }
+    return env
+
+
 def run_aggs(
     df: DataFrame,
     aggs: dict,
@@ -2342,6 +2691,50 @@ def run_aggs(
             env: dict[str, Any] = {"doc_count": row["doc_count"]}
             env.update(_metric_envelope(row, sub))
             out[name] = env
+        elif kind == "multi_terms":
+            rows = multi_terms_frame(df, body, sub).collect()
+            kn = [f"k{i}" for i in range(len(body["terms"]))]
+            out[name] = {"buckets": [
+                {"key": [_key_envelope(r[k]) for k in kn],
+                 "key_as_string": "|".join(str(r[k]) for k in kn),
+                 "doc_count": r["doc_count"],
+                 **_metric_envelope(r, sub)}
+                for r in rows
+            ]}
+        elif kind == "rare_terms":
+            if sub:
+                raise DslError(
+                    "sub-aggregations under rare_terms are not "
+                    "supported"
+                )
+            rows = rare_terms_frame(df, body) \
+                .limit(_RARE_TERMS_BUDGET + 1).collect()
+            if len(rows) > _RARE_TERMS_BUDGET:
+                raise DslError(
+                    f"rare_terms returns more than {_RARE_TERMS_BUDGET}"
+                    " buckets — raise max_doc_count selectivity or "
+                    "filter the scope"
+                )
+            out[name] = {"buckets": [
+                {"key": _key_envelope(r["key"]),
+                 "doc_count": r["doc_count"]}
+                for r in rows
+            ]}
+        elif kind == "auto_date_histogram":
+            frame, label = auto_date_histogram_plan(df, body, sub)
+            buckets = []
+            if frame is not None:
+                for r in frame.collect():
+                    b = {"key": _key_envelope(r["key"]),
+                         "doc_count": r["doc_count"],
+                         **_metric_envelope(r, sub)}
+                    b["key_as_string"] = _key_as_string(r["key"], body)
+                    buckets.append(b)
+            out[name] = {"buckets": buckets, "interval": label}
+        elif kind == "nested":
+            if not isinstance(body, dict) or not body.get("path"):
+                raise DslError("nested aggregation requires a path")
+            out[name] = _nested_envelope(df, str(body["path"]), sub)
         elif kind == "significant_terms":
             if sub:
                 raise DslError(

@@ -1514,6 +1514,169 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_aggs_multi_terms",
+    # ES multi_terms = groupBy on the key tuple, count-desc with the
+    # tuple as tie-break — Kibana Lens's multi-field "top values"
+    oracle="""
+    SELECT o_orderstatus || '|' || o_orderpriority AS key_as_string,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(o_totalprice) AS avg_price
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY doc_count DESC, o_orderstatus, o_orderpriority
+    LIMIT 10
+    """,
+)
+def search_aggs_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multi_terms`` (r7 — Kibana Lens's "top values of multiple
+    fields"): ONE groupBy on the key tuple + TakeOrdered(size),
+    exactly the single-field terms shape; metric sub-aggs ride the
+    same shuffle."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = run_aggs(orders, {"combo": {
+        "multi_terms": {"terms": [{"field": "o_orderstatus"},
+                                  {"field": "o_orderpriority"}],
+                        "size": 10},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }})
+    flat = [(b["key_as_string"], b["doc_count"],
+             b["avg_price"]["value"])
+            for b in out["combo"]["buckets"]]
+    return spark.createDataFrame(
+        flat, "key_as_string string, doc_count long, avg_price double")
+
+
+@register(
+    "search_aggs_rare_terms",
+    # rare_terms is a HAVING <= on exact counts, count-asc with key
+    # tie-break (exact where ES approximates via CuckooFilter)
+    oracle="""
+    SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_custkey HAVING COUNT(*) <= 2
+    ORDER BY doc_count, key
+    """,
+)
+def search_aggs_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rare_terms`` (r7 — the long-tail panel: "customers who
+    ordered at most twice"): one groupBy, the max_doc_count filter
+    prunes before the sort, driver collect hard-bounded."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = run_aggs(orders, {"rare": {
+        "rare_terms": {"field": "o_custkey", "max_doc_count": 2},
+    }})
+    flat = [(b["key"], b["doc_count"]) for b in out["rare"]["buckets"]]
+    return spark.createDataFrame(flat or [],
+                                 "key long, doc_count long")
+
+
+@register(
+    "search_aggs_auto_interval",
+    # the 30-day events span with a 15-bucket target lands on the 7d
+    # ladder rung on every sf (span is sf-independent); buckets round
+    # on the epoch-floored fixed grid — the documented divergence from
+    # ES's calendar estimate, chosen because it is exactly
+    # reproducible in any engine
+    oracle="""
+    SELECT CAST(to_timestamp(
+               CAST(FLOOR(epoch(ts)/604800) AS BIGINT)*604800)
+               AS TIMESTAMP) AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(value) AS avg_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def search_aggs_auto_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``auto_date_histogram`` (r7 — the Kibana Discover histogram):
+    interval picked from the fixed ladder so the observed span fits
+    the bucket target; one cheap min/max job + the ordinary gap-filled
+    date_histogram groupBy."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 15},
+        "aggs": {"avg_value": {"avg": {"field": "value"}}},
+    }})
+    assert out["auto"]["interval"] == "7d"
+    import datetime as _dt
+
+    flat = [
+        (_dt.datetime.fromtimestamp(b["key"] / 1000, _dt.timezone.utc)
+         .replace(tzinfo=None), b["doc_count"],
+         b["avg_value"]["value"])
+        for b in out["auto"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "key timestamp, doc_count long, avg_value double")
+
+
+@register(
+    "search_aggs_nested_parent",
+    # the nested agg over order->labels arrays IS lineitem x part at
+    # source granularity: per-brand element counts, DISTINCT parent
+    # orders (reverse_nested), and the element-level metric
+    oracle="""
+    SELECT p_brand AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS parent_docs,
+           AVG(l_quantity) AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY doc_count DESC, key
+    LIMIT 10
+    """,
+)
+def search_aggs_nested_parent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``nested`` + ``reverse_nested`` aggregations (r7): facet counts
+    over array-of-struct elements — the aggs half of the existing
+    ``nested`` query leaf, the reference's labels-under-tickets shape
+    (src/sync_service.py label embedding). Spark shape: ONE explode
+    (generator, no shuffle) carrying a parent row id; the terms
+    groupBy carries element counts, count_distinct(parent) for
+    reverse_nested, and the metric in the SAME job; total nested
+    doc_count rides as an Observation."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    labeled = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.collect_list(F.struct(
+            F.col("p_brand").alias("brand"),
+            F.col("l_quantity").alias("qty"))).alias("labels"))
+    )
+    out = run_aggs(labeled, {"lab": {
+        "nested": {"path": "labels"},
+        "aggs": {"brands": {
+            "terms": {"field": "labels.brand", "size": 10},
+            "aggs": {
+                "avg_qty": {"avg": {"field": "labels.qty"}},
+                "parents": {"reverse_nested": {}},
+            },
+        }},
+    }})
+    flat = [(b["key"], b["doc_count"], b["parents"]["doc_count"],
+             b["avg_qty"]["value"])
+            for b in out["lab"]["brands"]["buckets"]]
+    return spark.createDataFrame(
+        flat,
+        "key string, doc_count long, parent_docs long, avg_qty double")
+
+
+@register(
     "search_aggs_histogram_offset",
     # the shifted-grid arithmetic is identical integer algebra on both
     # sides; the offset keeps every bucket key on the 25-shifted grid
@@ -4375,6 +4538,10 @@ _CHECK_FIRST = [
     "search_aggs_tsvb_math",           # NEW: bucket_script/moving_fn
     "search_aggs_bucket_sort",         # NEW: selector + sort page
     "search_aggs_percentiles_bucket",  # NEW: sibling percentiles
+    "search_aggs_multi_terms",         # NEW: Lens multi-field terms
+    "search_aggs_rare_terms",          # NEW: long-tail buckets
+    "search_aggs_auto_interval",       # NEW: auto_date_histogram
+    "search_aggs_nested_parent",       # NEW: nested + reverse_nested
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4411,13 +4578,11 @@ _CHECK_FIRST = [
     "gdpr_delete_sync",
     "multimodal_frame_sample",
     "text_cosine_pairs",
-    "data_quality_audit",
-    "late_data_profile",
-    "value_histogram",
-    "value_outliers_mad",
-    # (event_transition_matrix, revenue_share_by_segment,
-    #  key_skew_report, join_explosion_estimate, snapshot_diff,
-    #  wow_growth, weighted_sample_docs, rag_context_assembly,
+    # (data_quality_audit, late_data_profile, value_histogram,
+    #  value_outliers_mad, event_transition_matrix,
+    #  revenue_share_by_segment, key_skew_report,
+    #  join_explosion_estimate, snapshot_diff, wow_growth,
+    #  weighted_sample_docs, rag_context_assembly,
     #  dedup_keep_canonical, orders_revenue_7d_ma and
     #  curriculum_deciles displaced to keep the window at exactly 50
     #  after the late r7 additions — they lead the r8 fill,

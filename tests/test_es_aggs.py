@@ -1800,3 +1800,116 @@ def test_tsvb_pipeline_family(docs):
                 "buckets_path": {"c": "_count"},
                 "script": "Math.log(params.c)"}}},
         }})
+
+
+def test_multi_terms_and_rare_terms(docs):
+    """r7: multi_terms (groupBy on the key tuple, count-desc with
+    tuple tie-break, docs missing ANY key excluded) and rare_terms
+    (exact long-tail buckets, count-asc)."""
+    out = run_aggs(docs, {"mt": {
+        "multi_terms": {"terms": [{"field": "lang"},
+                                  {"field": "n_chars"}], "size": 10},
+    }})
+    b = out["mt"]["buckets"]
+    # doc6 (null lang) and doc7 (null n_chars) are excluded
+    assert sum(x["doc_count"] for x in b) == 5
+    assert all(len(x["key"]) == 2 for x in b)
+    assert b[0]["key_as_string"].count("|") == 1
+    # per-term missing folds nulls into a named value
+    out = run_aggs(docs, {"mt": {
+        "multi_terms": {"terms": [
+            {"field": "lang", "missing": "??"},
+            {"field": "doc_id"}], "size": 10},
+    }})
+    assert sum(x["doc_count"]
+               for x in out["mt"]["buckets"]) == 7
+    assert any(x["key"][0] == "??" for x in out["mt"]["buckets"])
+    with pytest.raises(DslError, match="two or more"):
+        run_aggs(docs, {"mt": {"multi_terms": {
+            "terms": [{"field": "lang"}]}}})
+
+    out = run_aggs(docs, {"r": {
+        "rare_terms": {"field": "lang", "max_doc_count": 2},
+    }})
+    # lang counts: en 3, de 2, fr 1 → rare (<=2): fr then de
+    assert [(b["key"], b["doc_count"])
+            for b in out["r"]["buckets"]] == [("fr", 1), ("de", 2)]
+    with pytest.raises(DslError, match="sub-aggregations"):
+        run_aggs(docs, {"r": {
+            "rare_terms": {"field": "lang"},
+            "aggs": {"m": {"max": {"field": "n_chars"}}}}})
+
+
+def test_auto_date_histogram(docs):
+    """r7: auto_date_histogram picks the smallest ladder interval
+    fitting the bucket target and gap-fills like min_doc_count 0."""
+    # span Jan 1-3; target 10 → 12h rung (5 buckets), epoch-floored
+    out = run_aggs(docs, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10},
+        "aggs": {"mx": {"max": {"field": "n_chars"}}},
+    }})
+    assert out["a"]["interval"] == "12h"
+    b = out["a"]["buckets"]
+    assert [x["doc_count"] for x in b] == [3, 0, 1, 1, 2]
+    assert b[1]["mx"]["value"] is None  # gap-filled empty bucket
+    # a 3-bucket target climbs the ladder to 1d
+    out = run_aggs(docs, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 3},
+    }})
+    assert out["a"]["interval"] == "1d"
+    assert [x["doc_count"] for x in out["a"]["buckets"]] == [3, 2, 2]
+    # minimum_interval skips the fine rungs
+    out = run_aggs(docs, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 1000,
+                                "minimum_interval": "day"},
+    }})
+    assert out["a"]["interval"] == "1d"
+    with pytest.raises(DslError, match="minimum_interval"):
+        run_aggs(docs, {"a": {"auto_date_histogram": {
+            "field": "ts", "minimum_interval": "fortnight"}}})
+
+
+def test_nested_and_reverse_nested(spark):
+    """r7: nested agg switches scope to array elements (ONE explode,
+    no shuffle before the groupBy); reverse_nested counts DISTINCT
+    parents per bucket in the same job."""
+    rows = [
+        (1, [("a", 10), ("b", 20)]),
+        (2, [("a", 30)]),
+        (3, [("b", 5), ("b", 6), ("c", 1)]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, labels array<struct<name:string,qty:long>>")
+    out = run_aggs(df, {"lab": {
+        "nested": {"path": "labels"},
+        "aggs": {"names": {
+            "terms": {"field": "labels.name"},
+            "aggs": {"avg_q": {"avg": {"field": "labels.qty"}},
+                     "parents": {"reverse_nested": {}}},
+        }},
+    }})
+    assert out["lab"]["doc_count"] == 6
+    b = {x["key"]: x for x in out["lab"]["names"]["buckets"]}
+    assert b["b"]["doc_count"] == 3
+    assert b["b"]["parents"]["doc_count"] == 2   # docs 1 and 3
+    assert b["b"]["avg_q"]["value"] == pytest.approx(31 / 3)
+    assert b["a"]["parents"]["doc_count"] == 2
+    assert b["c"]["doc_count"] == 1
+    # metrics-only nested scope: doc_count + the metric, one job
+    out = run_aggs(df, {"lab": {
+        "nested": {"path": "labels"},
+        "aggs": {"mx": {"max": {"field": "labels.qty"}}},
+    }})
+    assert out["lab"] == {"mx": {"value": 30}, "doc_count": 6}
+    # unmapped path aggregates nothing, like ES
+    out = run_aggs(df, {"lab": {"nested": {"path": "nope"}}})
+    assert out["lab"] == {"doc_count": 0}
+    # fields outside the path are named errors
+    with pytest.raises(DslError, match="under 'labels'"):
+        run_aggs(df, {"lab": {
+            "nested": {"path": "labels"},
+            "aggs": {"m": {"max": {"field": "id"}}}}})
+    # a non-array path is the client's error
+    with pytest.raises(DslError, match="array-of-object"):
+        run_aggs(df, {"lab": {"nested": {"path": "id"}}})
