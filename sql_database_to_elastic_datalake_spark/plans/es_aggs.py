@@ -204,6 +204,15 @@ _AGG_BODY_KEYS = {
     "stats": {"field", "missing"},
     "percentiles": {"field", "missing", "percents"},
     "missing": {"field"},
+    # r7 metric additions. extended_stats/percentile_ranks are exact
+    # (the cardinality-style divergence: ES runs t-digest for ranks);
+    # MAD's `compression` is a t-digest tuning knob — accepted and
+    # ignored because the computation here is exact anyway
+    "extended_stats": {"field", "missing", "sigma"},
+    "percentile_ranks": {"field", "missing", "values"},
+    "weighted_avg": {"value", "weight"},
+    "median_absolute_deviation": {"field", "missing", "compression"},
+    "top_metrics": {"metrics", "sort", "size"},
 }
 
 
@@ -241,12 +250,58 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind, body = next(iter(spec.items()))
+        if kind == "weighted_avg":
+            # no top-level field: value/weight sub-objects instead
+            check_agg_keys(kind, body)
+            v = body.get("value") or {}
+            w = body.get("weight") or {}
+            if not (isinstance(v, dict) and v.get("field")
+                    and isinstance(w, dict) and w.get("field")):
+                raise DslError(
+                    f"weighted_avg {name!r} needs value.field and "
+                    "weight.field"
+                )
+            vc, wc = _metric_source(v), _metric_source(w)
+            # ES skips docs where either side is (still) null after
+            # the missing substitutions
+            both = vc.isNotNull() & wc.isNotNull()
+            cols.append(F.sum(F.when(both, vc * wc))
+                        .alias(f"{prefix}{name}.vw"))
+            cols.append(F.sum(F.when(both, wc))
+                        .alias(f"{prefix}{name}.w"))
+            continue
         field = body.get("field") if isinstance(body, dict) else None
         if field is None:
             raise DslError(f"aggregation {name!r} ({kind}) requires a field")
         check_agg_keys(kind, body)
         src = _metric_source(body)
-        if kind == "stats":
+        if kind == "extended_stats":
+            # mergeable components; the derived moments (variance,
+            # bounds) assemble at envelope time from the SAME
+            # sum/sum-of-squares arithmetic ES accumulates
+            for stat, c in (
+                ("count", F.count(src)), ("min", F.min(src)),
+                ("max", F.max(src)), ("sum", F.sum(src)),
+                ("sumsq", F.sum(src * src)),
+            ):
+                cols.append(c.alias(f"{prefix}{name}.{stat}"))
+        elif kind == "percentile_ranks":
+            vals = body.get("values")
+            if not isinstance(vals, list) or not vals:
+                raise DslError(
+                    f"percentile_ranks {name!r} needs a non-empty "
+                    "values list"
+                )
+            # EXACT rank: share of non-null values <= v (ES
+            # interpolates a t-digest — same exactness divergence as
+            # cardinality/percentiles)
+            for v in vals:
+                cols.append(
+                    (F.sum(F.when(src <= F.lit(v), 1).otherwise(0))
+                     * 100.0 / F.count(src))
+                    .alias(f"{prefix}{name}<{float(v)}")
+                )
+        elif kind == "stats":
             for stat, fn in (("count", F.count), ("min", F.min),
                              ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
                 cols.append(fn(src).alias(f"{prefix}{name}.{stat}"))
@@ -277,7 +332,74 @@ def _metric_envelope(row, sub_aggs: dict, prefix: str = "") -> dict:
     out = {}
     for name, spec in (sub_aggs or {}).items():
         kind = next(iter(spec))
-        if kind == "stats":
+        if kind == "weighted_avg":
+            w = row[f"{prefix}{name}.w"]
+            out[name] = {"value":
+                         (row[f"{prefix}{name}.vw"] / w)
+                         if w else None}
+        elif kind == "extended_stats":
+            body = spec[kind]
+            cnt = row[f"{prefix}{name}.count"]
+            s = row[f"{prefix}{name}.sum"]
+            sq = row[f"{prefix}{name}.sumsq"]
+            sigma = float(body.get("sigma", 2.0))
+            env: dict[str, Any] = {
+                "count": cnt,
+                "min": row[f"{prefix}{name}.min"],
+                "max": row[f"{prefix}{name}.max"],
+                "sum": s if s is not None else 0,
+                "sum_of_squares": sq,
+                "avg": None, "variance": None,
+                "variance_population": None,
+                "variance_sampling": None,
+                "std_deviation": None,
+                "std_deviation_population": None,
+                "std_deviation_sampling": None,
+                "std_deviation_bounds": {
+                    "upper": None, "lower": None,
+                    "upper_population": None, "lower_population": None,
+                    "upper_sampling": None, "lower_sampling": None,
+                },
+            }
+            if cnt:
+                avg = s / cnt
+                # ES derives variance from the accumulated sum /
+                # sum-of-squares exactly like this (its `variance` is
+                # the POPULATION variance), clamped at 0 against
+                # floating-point cancellation
+                var_p = max(sq / cnt - avg * avg, 0.0)
+                var_s = (max(sq - cnt * avg * avg, 0.0) / (cnt - 1)
+                         if cnt > 1 else None)
+                sd_p = var_p ** 0.5
+                sd_s = var_s ** 0.5 if var_s is not None else None
+                env.update({
+                    "avg": avg, "variance": var_p,
+                    "variance_population": var_p,
+                    "variance_sampling": var_s,
+                    "std_deviation": sd_p,
+                    "std_deviation_population": sd_p,
+                    "std_deviation_sampling": sd_s,
+                    "std_deviation_bounds": {
+                        "upper": avg + sigma * sd_p,
+                        "lower": avg - sigma * sd_p,
+                        "upper_population": avg + sigma * sd_p,
+                        "lower_population": avg - sigma * sd_p,
+                        "upper_sampling":
+                            (avg + sigma * sd_s)
+                            if sd_s is not None else None,
+                        "lower_sampling":
+                            (avg - sigma * sd_s)
+                            if sd_s is not None else None,
+                    },
+                })
+            out[name] = env
+        elif kind == "percentile_ranks":
+            body = spec[kind]
+            out[name] = {"values": {
+                str(float(v)): row[f"{prefix}{name}<{float(v)}"]
+                for v in body.get("values", [])
+            }}
+        elif kind == "stats":
             out[name] = {
                 stat: row[f"{prefix}{name}.{stat}"]
                 for stat in ("count", "min", "max", "avg", "sum")
@@ -2228,6 +2350,48 @@ def _key_as_string(k: _dt.datetime, body: dict) -> str:
     return local.strftime(_java_to_strftime(str(fmt)))
 
 
+def _top_metrics_spec(body: dict) -> tuple[list[str], str, str, int]:
+    """Validate a ``top_metrics`` body → (metric fields, sort field,
+    direction, size). ES allows exactly one sort clause here; ``size``
+    defaults to 1 (Lens's "last value")."""
+    m = body.get("metrics")
+    specs = m if isinstance(m, list) else [m]
+    fields: list[str] = []
+    for s in specs:
+        if not isinstance(s, dict) or not s.get("field"):
+            raise DslError(
+                "top_metrics metrics must be {field: …} entries")
+        fields.append(str(s["field"]))
+    sort = body.get("sort")
+    if isinstance(sort, (str, dict)):
+        sort = [sort]
+    if not isinstance(sort, list) or len(sort) != 1:
+        raise DslError("top_metrics requires exactly one sort clause")
+    clause = sort[0]
+    if isinstance(clause, str):
+        sf, sd = clause, "asc"
+    elif isinstance(clause, dict) and len(clause) == 1:
+        sf, spec = next(iter(clause.items()))
+        sd = spec.get("order", "asc") if isinstance(spec, dict) \
+            else spec
+    else:
+        raise DslError(f"malformed top_metrics sort {clause!r}")
+    if sd not in ("asc", "desc"):
+        raise DslError(f"unknown top_metrics sort order {sd!r}")
+    size = int(body.get("size", 1))
+    if size < 1:
+        raise DslError("top_metrics size must be >= 1")
+    return fields, str(sf), sd, size
+
+
+def _top_metrics_rows(rows, fields: list[str], sf: str) -> list[dict]:
+    return [
+        {"sort": [_key_envelope(r[sf])],
+         "metrics": {f: r[f] for f in fields}}
+        for r in rows
+    ]
+
+
 def _strip_nested_prefix(path: str, sub_aggs: dict | None) -> dict:
     """Rewrite nested-context sub-agg bodies so field refs drop the
     ``path.`` prefix (ES addresses nested fields by full path; after
@@ -2411,7 +2575,8 @@ def run_aggs(
     top_metrics = {
         n: s for n, s in aggs.items()
         if isinstance(s, dict) and next(iter(s), None) in
-        (*_METRICS, "stats", "percentiles", "missing")
+        (*_METRICS, "stats", "percentiles", "missing",
+         "extended_stats", "percentile_ranks", "weighted_avg")
     }
     if top_metrics:
         row = df.agg(*_metric_cols(top_metrics)).collect()[0]
@@ -2488,8 +2653,14 @@ def run_aggs(
                 if isinstance(s, dict)
                 and next(iter(s), None) in _PARENT_PIPELINES
             }
+            top_mets = {
+                n: s for n, s in (sub or {}).items()
+                if isinstance(s, dict)
+                and next(iter(s), None) == "top_metrics"
+            }
             metrics = {n: s for n, s in (sub or {}).items()
-                       if n not in top_hits and n not in parent_pipes}
+                       if n not in top_hits and n not in parent_pipes
+                       and n not in top_mets}
             rows = terms_frame(df, body, metrics).collect()
             returned = sum(r["doc_count"] for r in rows)
             # bucket_key, not the raw column: a `missing` value means
@@ -2545,6 +2716,29 @@ def run_aggs(
                                   "relation": "eq"},
                         "hits": by_key.get(b["key"], []),
                     }}
+            for tm_name, tm_spec in top_mets.items():
+                # Lens's "last value per bucket": the SAME window
+                # top-k plan as top_hits (WindowGroupLimit
+                # pre-truncation, isin pushdown to the returned
+                # buckets), projected to sort + metric fields
+                tm_body = tm_spec["top_metrics"]
+                check_agg_keys("top_metrics", tm_body)
+                fields, sf, sd, size = _top_metrics_spec(tm_body)
+                keys = [r["key"] for r in rows]
+                hit_rows = top_hits_frame(
+                    df.filter(F.col(sf).isNotNull()),
+                    bucket_key("terms", body), keys,
+                    {"size": size, "sort": [{sf: sd}]},
+                ).collect()
+                by_key: dict = {}
+                for hr in hit_rows:
+                    raw = hr[body["field"]]
+                    if raw is None:
+                        raw = body.get("missing")
+                    by_key.setdefault(_key_envelope(raw), []).append(hr)
+                for b in buckets:
+                    b[tm_name] = {"top": _top_metrics_rows(
+                        by_key.get(b["key"], []), fields, sf)}
             if parent_pipes:
                 # the script family (bucket_script/selector/sort —
                 # Kibana TSVB's "math" panels) runs over the RETURNED
@@ -2691,6 +2885,31 @@ def run_aggs(
             env: dict[str, Any] = {"doc_count": row["doc_count"]}
             env.update(_metric_envelope(row, sub))
             out[name] = env
+        elif kind == "top_metrics":
+            # the doc(s) with the extreme sort value: ONE TakeOrdered
+            # (docs missing the sort field are skipped, like ES)
+            fields, sf, sd, size = _top_metrics_spec(body)
+            oc = F.col(sf).desc() if sd == "desc" else F.col(sf).asc()
+            rows = (
+                df.filter(F.col(sf).isNotNull())
+                .select(*dict.fromkeys([sf, *fields]))
+                .orderBy(oc).limit(size).collect()
+            )
+            out[name] = {"top": _top_metrics_rows(rows, fields, sf)}
+        elif kind == "median_absolute_deviation":
+            # exact MAD needs the median first — two jobs by
+            # construction (ES avoids it with an approximate t-digest;
+            # exactness divergence, same direction as percentiles)
+            src = _metric_source(body)
+            med = df.agg(
+                F.percentile(src, F.lit(0.5)).alias("m")
+            ).collect()[0]["m"]
+            if med is None:
+                out[name] = {"value": None}
+            else:
+                out[name] = {"value": df.agg(F.percentile(
+                    F.abs(src - F.lit(med)), F.lit(0.5)
+                ).alias("m")).collect()[0]["m"]}
         elif kind == "multi_terms":
             rows = multi_terms_frame(df, body, sub).collect()
             kn = [f"k{i}" for i in range(len(body["terms"]))]

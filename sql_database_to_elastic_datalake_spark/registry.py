@@ -1514,6 +1514,140 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_aggs_extended_stats",
+    # the oracle replays the ENGINE's moment arithmetic in the same
+    # operation order (sum/sumsq accumulate, then divide/subtract/
+    # sqrt driver-side) so doubles match bit-exactly; ES derives its
+    # extended_stats from the same accumulated moments
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+               MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+               SUM(l_quantity) AS s,
+               SUM(l_quantity * l_quantity) AS sq,
+               SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END)
+                   * 100.0 / COUNT(l_quantity) AS pr10,
+               SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END)
+                   * 100.0 / COUNT(l_quantity) AS pr25,
+               SUM(CASE WHEN l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                        THEN l_extendedprice * l_quantity END)
+                   / SUM(CASE WHEN l_extendedprice IS NOT NULL
+                               AND l_quantity IS NOT NULL
+                              THEN l_quantity END) AS w_avg
+        FROM lineitem
+    ), m AS (
+        SELECT quantile_cont(l_quantity, 0.5) AS med FROM lineitem
+    )
+    SELECT cnt AS count, mn AS min, mx AS max, s AS sum,
+           sq AS sum_of_squares,
+           s / cnt AS avg,
+           GREATEST(sq / cnt - (s / cnt) * (s / cnt), 0.0)
+               AS variance,
+           SQRT(GREATEST(sq / cnt - (s / cnt) * (s / cnt), 0.0))
+               AS std_deviation,
+           (s / cnt) + 2.0 * SQRT(GREATEST(
+               sq / cnt - (s / cnt) * (s / cnt), 0.0)) AS std_upper,
+           (s / cnt) - 2.0 * SQRT(GREATEST(
+               sq / cnt - (s / cnt) * (s / cnt), 0.0)) AS std_lower,
+           GREATEST(sq - cnt * (s / cnt) * (s / cnt), 0.0)
+               / (cnt - 1) AS variance_sampling,
+           pr10, pr25, w_avg,
+           (SELECT quantile_cont(ABS(l_quantity - m.med), 0.5)
+            FROM lineitem, m) AS mad
+    FROM s, m
+    """,
+)
+def search_aggs_extended_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r7 metric additions in one top-level job (plus MAD's two):
+    ``extended_stats`` (moments + sigma bounds), ``percentile_ranks``
+    (exact — ES interpolates a t-digest), ``weighted_avg``, and
+    ``median_absolute_deviation`` (exact two-pass — median, then
+    median of absolute deviations)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = run_aggs(li, {
+        "es": {"extended_stats": {"field": "l_quantity"}},
+        "pr": {"percentile_ranks": {"field": "l_quantity",
+                                    "values": [10, 25]}},
+        "wa": {"weighted_avg": {"value": {"field": "l_extendedprice"},
+                                "weight": {"field": "l_quantity"}}},
+        "mad": {"median_absolute_deviation": {"field": "l_quantity"}},
+    })
+    e = out["es"]
+    return spark.createDataFrame(
+        [(
+            e["count"], e["min"], e["max"], e["sum"],
+            e["sum_of_squares"], e["avg"], e["variance"],
+            e["std_deviation"],
+            e["std_deviation_bounds"]["upper"],
+            e["std_deviation_bounds"]["lower"],
+            e["variance_sampling"],
+            out["pr"]["values"]["10.0"], out["pr"]["values"]["25.0"],
+            out["wa"]["value"], out["mad"]["value"],
+        )],
+        "count long, min double, max double, sum double, "
+        "sum_of_squares double, avg double, variance double, "
+        "std_deviation double, std_upper double, std_lower double, "
+        "variance_sampling double, pr10 double, pr25 double, "
+        "w_avg double, mad double",
+    )
+
+
+@register(
+    "search_aggs_top_metrics",
+    # Lens's "last value per bucket": engine ties break on every
+    # remaining column ascending, event_id (unique) first — the
+    # window ORDER BY replays exactly that
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY ts DESC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS doc_count
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_type AS key,
+           CAST(doc_count AS BIGINT) AS doc_count,
+           CAST(epoch_ms(ts) AS BIGINT) AS last_ts,
+           value AS last_value
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_count DESC, key LIMIT 10
+    """,
+)
+def search_aggs_top_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``top_metrics`` under ``terms`` (r7 — Kibana Lens's "last
+    value" column): the doc with the extreme sort value per bucket,
+    via the SAME window top-k plan as top_hits (WindowGroupLimit
+    pre-truncation + isin pushdown to returned buckets)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"types": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {"last": {"top_metrics": {
+            "metrics": {"field": "value"},
+            "sort": [{"ts": "desc"}],
+        }}},
+    }})
+    flat = [
+        (b["key"], b["doc_count"],
+         b["last"]["top"][0]["sort"][0],
+         b["last"]["top"][0]["metrics"]["value"])
+        for b in out["types"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat,
+        "key string, doc_count long, last_ts long, last_value double")
+
+
+@register(
     "search_aggs_multi_terms",
     # ES multi_terms = groupBy on the key tuple, count-desc with the
     # tuple as tie-break — Kibana Lens's multi-field "top values"
@@ -4542,6 +4676,8 @@ _CHECK_FIRST = [
     "search_aggs_rare_terms",          # NEW: long-tail buckets
     "search_aggs_auto_interval",       # NEW: auto_date_histogram
     "search_aggs_nested_parent",       # NEW: nested + reverse_nested
+    "search_aggs_extended_stats",      # NEW: ext-stats/ranks/wavg/mad
+    "search_aggs_top_metrics",         # NEW: Lens last-value
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4576,9 +4712,8 @@ _CHECK_FIRST = [
     "corpus_composition",
     "incremental_sync_events",
     "gdpr_delete_sync",
-    "multimodal_frame_sample",
-    "text_cosine_pairs",
-    # (data_quality_audit, late_data_profile, value_histogram,
+    # (multimodal_frame_sample, text_cosine_pairs,
+    #  data_quality_audit, late_data_profile, value_histogram,
     #  value_outliers_mad, event_transition_matrix,
     #  revenue_share_by_segment, key_skew_report,
     #  join_explosion_estimate, snapshot_diff, wow_growth,

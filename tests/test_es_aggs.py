@@ -1913,3 +1913,74 @@ def test_nested_and_reverse_nested(spark):
     # a non-array path is the client's error
     with pytest.raises(DslError, match="array-of-object"):
         run_aggs(df, {"lab": {"nested": {"path": "id"}}})
+
+
+def test_extended_stats_ranks_weighted_avg_mad(docs):
+    """r7 metric additions: extended_stats moments + sigma bounds,
+    exact percentile_ranks, weighted_avg with both-null skipping,
+    exact two-pass MAD."""
+    out = run_aggs(docs, {
+        "es": {"extended_stats": {"field": "n_chars", "sigma": 1}},
+        "pr": {"percentile_ranks": {"field": "n_chars",
+                                    "values": [100, 500]}},
+        "wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                "weight": {"field": "doc_id"}}},
+        "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+    })
+    e = out["es"]
+    # n_chars: 100,300,200,400,50,999 (doc7 null)
+    assert e["count"] == 6 and e["min"] == 50 and e["max"] == 999
+    assert e["sum"] == 2049
+    avg = 2049 / 6
+    assert e["avg"] == pytest.approx(avg)
+    var = sum((x - avg) ** 2 for x in (100, 300, 200, 400, 50, 999)) / 6
+    assert e["variance"] == pytest.approx(var)
+    assert e["std_deviation_bounds"]["upper"] == pytest.approx(
+        avg + var ** 0.5)
+    assert e["variance_sampling"] == pytest.approx(var * 6 / 5)
+    # ranks: <=100 → 2/6, <=500 → 5/6
+    assert out["pr"]["values"]["100.0"] == pytest.approx(200 / 6)
+    assert out["pr"]["values"]["500.0"] == pytest.approx(500 / 6)
+    # weighted: doc7 has null n_chars → skipped entirely
+    num = 100*1 + 300*2 + 200*3 + 400*4 + 50*5 + 999*6
+    assert out["wa"]["value"] == pytest.approx(num / 21)
+    # sorted n_chars: 50,100,200,300,400,999 → median 250;
+    # |x-250|: 200,150,50,50,150,749 → sorted 50,50,150,150,200,749
+    # → median 150
+    assert out["mad"]["value"] == pytest.approx(150.0)
+    # under terms buckets, extended_stats rides the same groupBy
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"es": {"extended_stats": {"field": "n_chars"}}},
+    }})
+    b = out["langs"]["buckets"][0]
+    assert b["key"] == "en" and b["es"]["count"] == 2
+    assert b["es"]["avg"] == pytest.approx(200.0)
+
+
+def test_top_metrics(docs):
+    """r7: top_metrics — the metric values from the doc with the
+    extreme sort value; size 1 default (Lens "last value"), window
+    top-k under terms."""
+    out = run_aggs(docs, {"tm": {"top_metrics": {
+        "metrics": [{"field": "lang"}, {"field": "n_chars"}],
+        "sort": [{"ts": "desc"}],
+    }}})
+    (top,) = out["tm"]["top"]
+    assert top["metrics"] == {"lang": None, "n_chars": 999}
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang"},
+        "aggs": {"first": {"top_metrics": {
+            "metrics": {"field": "n_chars"},
+            "sort": [{"ts": "asc"}], "size": 2,
+        }}},
+    }})
+    b = {x["key"]: x for x in out["langs"]["buckets"]}
+    # en sorted by ts asc: doc1 (100), doc7 (null) — size 2
+    assert [t["metrics"]["n_chars"]
+            for t in b["en"]["first"]["top"]] == [100, None]
+    assert b["fr"]["first"]["top"][0]["metrics"]["n_chars"] == 50
+    with pytest.raises(DslError, match="exactly one sort"):
+        run_aggs(docs, {"tm": {"top_metrics": {
+            "metrics": {"field": "n_chars"},
+            "sort": [{"ts": "asc"}, {"doc_id": "asc"}]}}})
