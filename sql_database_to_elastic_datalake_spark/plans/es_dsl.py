@@ -636,6 +636,128 @@ def compile_dsl(
             acc = acc & p
         return acc
 
+    if kind == "dis_max":
+        # scoring picks the best sub-query; MEMBERSHIP is the union —
+        # in filter context dis_max is exactly OR (tie_breaker only
+        # blends scores, accepted-and-ignored like boost)
+        queries = body.get("queries")
+        if not isinstance(queries, list) or not queries:
+            raise DslError("dis_max requires a non-empty queries list")
+        preds = [compile_dsl(q, field_resolver, schema_fields)
+                 for q in queries]
+        acc = preds[0]
+        for p in preds[1:]:
+            acc = acc | p
+        return acc
+
+    if kind == "boosting":
+        # the negative clause only DEMOTES scores; membership is the
+        # positive clause alone. The negative query still compiles so
+        # a malformed saved query errors here like it would on ES.
+        if "positive" not in body:
+            raise DslError("boosting requires a positive clause")
+        if "negative" in body:
+            compile_dsl(body["negative"], field_resolver, schema_fields)
+        return compile_dsl(body["positive"], field_resolver,
+                           schema_fields)
+
+    if kind == "match_bool_prefix":
+        # search-as-you-type: every term matches as a term, the last
+        # as a prefix. Under this compiler's documented substring
+        # match semantics a prefix fragment IS a substring test, so
+        # this compiles exactly like match (operator honored).
+        field, value = _field_value(body, value_key="query",
+                                    allowed=("operator",))
+        spec = body[field] if isinstance(body[field], dict) else {}
+        operator = spec.get("operator", "or")
+        if operator not in ("and", "or"):
+            raise DslError(f"unknown match_bool_prefix operator "
+                           f"{operator!r}")
+        return _match_tokens(col(field), value,
+                             require_all=operator == "and")
+
+    if kind == "combined_fields":
+        # TERM-CENTRIC (unlike multi_match's field-centric
+        # best_fields): with operator "and", every term must appear in
+        # at least one of the fields; "or", any term anywhere.
+        unknown = sorted(set(body) - {"query", "fields", "operator",
+                                      "boost",
+                                      "auto_generate_synonyms_phrase_query"})
+        if unknown:
+            raise DslError(
+                f"unsupported combined_fields options: {unknown} "
+                "(supported: query, fields, operator)"
+            )
+        fields = body.get("fields")
+        if not isinstance(fields, list) or not fields:
+            raise DslError(
+                "combined_fields requires a non-empty fields list")
+        operator = str(body.get("operator", "or")).lower()
+        if operator not in ("and", "or"):
+            raise DslError(
+                f"unknown combined_fields operator {operator!r}")
+        expanded: list[str] = []
+        for f in fields:
+            name = str(f).split("^", 1)[0]
+            if "*" in name or "?" in name:
+                if schema_fields is None:
+                    raise DslError(
+                        f"wildcard field pattern {f!r} needs the table "
+                        "schema (pass schema_fields=df.columns)"
+                    )
+                expanded.extend(c for c in schema_fields
+                                if fnmatch.fnmatchcase(c, name))
+            else:
+                expanded.append(name)
+        expanded = list(dict.fromkeys(expanded))
+        if not expanded:
+            return F.lit(False)
+        toks = tokenize(str(body.get("query", "")))
+        if not toks:
+            return F.lit(False)
+        per_tok = []
+        for t in toks:
+            p = F.lit(False)
+            for f in expanded:
+                p = p | F.coalesce(
+                    F.lower(col(f).cast("string")).contains(t),
+                    F.lit(False))
+            per_tok.append(p)
+        acc = per_tok[0]
+        for p in per_tok[1:]:
+            acc = (acc & p) if operator == "and" else (acc | p)
+        return acc
+
+    if kind == "wrapper":
+        # base64-wrapped query (SDK passthroughs emit these) — decode
+        # and recurse; the payload gets the full compiler, pushdown
+        # included
+        import base64
+        import json as _json
+
+        raw = body.get("query")
+        if not isinstance(raw, str):
+            raise DslError("wrapper requires a base64 query string")
+        try:
+            inner = _json.loads(base64.b64decode(raw))
+        except Exception:
+            raise DslError("wrapper query is not valid base64 JSON") \
+                from None
+        return compile_dsl(inner, field_resolver, schema_fields)
+
+    if kind == "pinned":
+        # promoted ids + organic results: membership is the union
+        # (the pinning only affects rank order, which sorted/filter
+        # contexts define themselves)
+        ids = body.get("ids")
+        organic = body.get("organic")
+        if not isinstance(ids, list) or organic is None:
+            raise DslError("pinned requires ids and organic")
+        id_pred = col(body.get("field", "id")).cast("string").isin(
+            [str(v) for v in ids])
+        return id_pred | compile_dsl(organic, field_resolver,
+                                     schema_fields)
+
     raise DslError(f"unsupported query kind: {kind}")
 
 

@@ -1514,6 +1514,93 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_dsl_compound",
+    # dis_max = union membership; boosting = its positive clause;
+    # pinned = ids ∪ organic; wrapper = the decoded inner query —
+    # every compound reduces to plain predicates the oracle replays
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE (lang = 'de' AND n_chars >= 200)
+       OR doc_id IN (7, 11)
+       OR (CONTAINS(LOWER(text), 'vector')
+           AND CONTAINS(LOWER(text), 'stream'))
+    ORDER BY doc_id
+    """,
+)
+def search_dsl_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 compound DSL leaves: ``dis_max`` over a ``boosting`` clause,
+    a ``pinned`` promotion whose organic query arrives base64-wrapped
+    (``wrapper``). Membership-only in filter context — scoring keys
+    (tie_breaker, negative_boost) are the documented
+    accepted-and-ignored divergence. All predicates stay codegen'd
+    Columns; the term filters reach the parquet scan."""
+    import base64 as _b64
+    import json as _json
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    organic = _b64.b64encode(_json.dumps(
+        {"match": {"text": {"query": "vector stream",
+                            "operator": "and"}}}).encode()).decode()
+    dsl = {"dis_max": {"tie_breaker": 0.7, "queries": [
+        {"boosting": {
+            "positive": {"bool": {"filter": [
+                {"term": {"lang": "de"}},
+                {"range": {"n_chars": {"gte": 200}}},
+            ]}},
+            "negative": {"term": {"source": "src0"}},
+            "negative_boost": 0.3,
+        }},
+        {"pinned": {"ids": [7, 11], "field": "doc_id",
+                    "organic": {"wrapper": {"query": organic}}}},
+    ]}}
+    return (
+        docs.filter(compile_dsl(dsl, schema_fields=docs.columns))
+        .select("doc_id").orderBy("doc_id")
+    )
+
+
+@register(
+    "search_dsl_combined_fields",
+    # term-centric AND: every term must appear in at least one field;
+    # match_bool_prefix mirrors match under the documented substring
+    # semantics (the trailing fragment is a substring test)
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE (CONTAINS(LOWER(text), 'vector') OR CONTAINS(lang, 'vector'))
+      AND (CONTAINS(LOWER(text), 'zh') OR CONTAINS(lang, 'zh'))
+      AND CONTAINS(LOWER(text), 'strea')
+    ORDER BY doc_id
+    """,
+)
+def search_dsl_combined_fields(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``combined_fields`` (term-centric cross-field match — 'zh'
+    matches the lang field while 'vector' matches text) AND a
+    ``match_bool_prefix`` whose trailing fragment 'strea' prefixes
+    'stream'."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsl = {"bool": {"filter": [
+        {"combined_fields": {"query": "vector zh",
+                             "fields": ["text", "lang"],
+                             "operator": "and"}},
+        {"match_bool_prefix": {"text": "strea"}},
+    ]}}
+    return (
+        docs.filter(compile_dsl(dsl, schema_fields=docs.columns))
+        .select("doc_id").orderBy("doc_id")
+    )
+
+
+@register(
     "search_aggs_extended_stats",
     # the oracle replays the ENGINE's moment arithmetic in the same
     # operation order (sum/sumsq accumulate, then divide/subtract/
@@ -4678,6 +4765,8 @@ _CHECK_FIRST = [
     "search_aggs_nested_parent",       # NEW: nested + reverse_nested
     "search_aggs_extended_stats",      # NEW: ext-stats/ranks/wavg/mad
     "search_aggs_top_metrics",         # NEW: Lens last-value
+    "search_dsl_compound",             # NEW: dis_max/boosting/pinned
+    "search_dsl_combined_fields",      # NEW: term-centric + mbp
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4710,9 +4799,8 @@ _CHECK_FIRST = [
     "text_repetition",
     "array_functions_docs",
     "corpus_composition",
-    "incremental_sync_events",
-    "gdpr_delete_sync",
-    # (multimodal_frame_sample, text_cosine_pairs,
+    # (incremental_sync_events, gdpr_delete_sync,
+    #  multimodal_frame_sample, text_cosine_pairs,
     #  data_quality_audit, late_data_profile, value_histogram,
     #  value_outliers_mad, event_transition_matrix,
     #  revenue_share_by_segment, key_skew_report,

@@ -382,3 +382,53 @@ def test_match_fuzziness(docs):
         "operator": "and"}}}) == [1]
     # terms' sibling boost key is accepted-and-ignored like ES allows
     assert run(docs, {"terms": {"n": [5, 25], "boost": 2.0}}) == [1, 3]
+
+
+def test_r7_compound_leaves(docs):
+    """r7: dis_max (union membership), boosting (positive-only
+    membership, negative still validated), match_bool_prefix,
+    combined_fields (term-centric), wrapper (base64 passthrough),
+    pinned (ids ∪ organic)."""
+    import base64
+    import json
+
+    assert run(docs, {"dis_max": {"queries": [
+        {"term": {"kind": "b"}}, {"match": {"txt": "merges"}},
+    ], "tie_breaker": 0.7}}) == [1, 2]
+    assert run(docs, {"boosting": {
+        "positive": {"range": {"n": {"lte": 15}}},
+        "negative": {"term": {"kind": "a"}},
+        "negative_boost": 0.2,
+    }}) == [1, 2]
+    # the negative clause still compiles — malformed trees error
+    with pytest.raises(DslError, match="unsupported query kind"):
+        run(docs, {"boosting": {"positive": {"match_all": {}},
+                                "negative": {"nope": {}}}})
+    with pytest.raises(DslError, match="positive"):
+        run(docs, {"boosting": {"negative": {"match_all": {}}}})
+    # match_bool_prefix: trailing fragment is a prefix ("me" → merges)
+    assert run(docs, {"match_bool_prefix": {"txt": {
+        "query": "spark me", "operator": "and"}}}) == [1]
+    assert run(docs, {"match_bool_prefix": {"txt": "zzz sp"}}) == [1, 4]
+    # combined_fields is TERM-centric: each term may match a
+    # different field ("b" matches kind, "pandas" matches txt)
+    assert run(docs, {"combined_fields": {
+        "query": "b pandas", "fields": ["kind", "txt"],
+        "operator": "and"}}) == [2]
+    assert run(docs, {"combined_fields": {
+        "query": "b merges", "fields": ["kind", "txt"]}}) == [1, 2]
+    # multi_match (field-centric best_fields) differs on the same
+    # body: no single field carries both terms
+    assert run(docs, {"multi_match": {
+        "query": "b pandas", "fields": ["kind", "txt"],
+        "operator": "and"}}) == []
+    w = base64.b64encode(
+        json.dumps({"term": {"kind": "a"}}).encode()).decode()
+    assert run(docs, {"wrapper": {"query": w}}) == [1, 3]
+    with pytest.raises(DslError, match="base64"):
+        run(docs, {"wrapper": {"query": "!!not-base64-json!!"}})
+    assert run(docs, {"pinned": {
+        "ids": [3], "field": "id",
+        "organic": {"term": {"kind": "b"}}}}) == [2, 3]
+    with pytest.raises(DslError, match="queries"):
+        run(docs, {"dis_max": {"queries": []}})

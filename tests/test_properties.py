@@ -303,6 +303,59 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
             simple=kind == "simple_query_string",
         )
         return eval_dsl(row, tree)
+    # r7 leaves: membership-only mirrors (scoring keys are ignored in
+    # filter context, the engine's documented divergence)
+    if kind == "dis_max":
+        return any(eval_dsl(row, q) for q in body["queries"])
+    if kind == "boosting":
+        return eval_dsl(row, body["positive"])
+    if kind == "match_bool_prefix":
+        f, q = next(iter(body.items()))
+        operator = "or"
+        if isinstance(q, dict):
+            operator = q.get("operator", "or")
+            q = q["query"]
+        toks = tokenize(str(q))
+        if not toks:
+            return False
+        s = row[f]
+        if s is None:
+            return False
+        hits = (t in s.lower() for t in toks)
+        return all(hits) if operator == "and" else any(hits)
+    if kind == "combined_fields":
+        toks = tokenize(str(body.get("query", "")))
+        if not toks:
+            return False
+        fields = [str(f).split("^", 1)[0] for f in body["fields"]]
+        import fnmatch as _fn
+
+        expanded = []
+        for f in fields:
+            if "*" in f or "?" in f:
+                expanded.extend(c for c in ROW_COLUMNS
+                                if _fn.fnmatchcase(c, f))
+            else:
+                expanded.append(f)
+        if not expanded:
+            return False
+        operator = str(body.get("operator", "or")).lower()
+        hits = (
+            any(row[f] is not None and t in str(row[f]).lower()
+                for f in expanded)
+            for t in toks
+        )
+        return all(hits) if operator == "and" else any(hits)
+    if kind == "wrapper":
+        import base64 as _b64
+        import json as _json
+
+        return eval_dsl(row, _json.loads(_b64.b64decode(body["query"])))
+    if kind == "pinned":
+        f = body.get("field", "id")
+        pinned_hit = row.get(f) is not None and \
+            str(row[f]) in [str(v) for v in body["ids"]]
+        return pinned_hit or eval_dsl(row, body["organic"])
     if kind == "bool":
         must = body.get("must", [])
         must_not = body.get("must_not", [])
@@ -424,6 +477,49 @@ leaf = st.one_of(
     st.builds(lambda q: {"nested": {"path": "labels",
                                     "query": {"match": {"labels.name": q}}}},
               st.sampled_from(["bug urgent", "spark", ""])),
+    # r7 leaves: dis_max / boosting / match_bool_prefix /
+    # combined_fields / pinned / wrapper — compiled union/positive/
+    # term-centric membership vs the independent mirrors above
+    st.builds(lambda qs, tb: {"dis_max": {"queries": qs,
+                                          "tie_breaker": tb}},
+              st.lists(st.sampled_from(
+                  [{"term": {"kind": "a"}}, {"match": {"txt": "spark"}},
+                   {"range": {"n": {"gte": 10}}},
+                   {"exists": {"field": "txt"}}]),
+                  min_size=1, max_size=3),
+              st.sampled_from([0.0, 0.7])),
+    st.builds(lambda p, n: {"boosting": {"positive": p, "negative": n,
+                                         "negative_boost": 0.5}},
+              st.sampled_from([{"term": {"kind": "b"}},
+                               {"match": {"txt": "loop"}},
+                               {"range": {"n": {"lt": 20}}}]),
+              st.sampled_from([{"term": {"kind": "a"}},
+                               {"match_all": {}}])),
+    st.builds(lambda q, op: {"match_bool_prefix": {"txt": {
+                  "query": q, "operator": op}}},
+              st.sampled_from(["spark fa", "slow lo", "pandas loop",
+                               "zz", "spä"]),
+              st.sampled_from(["and", "or"])),
+    st.builds(lambda q, fs, op: {"combined_fields": {
+                  "query": q, "fields": fs, "operator": op}},
+              st.sampled_from(["spark a", "slow loop", "a b", "zzz"]),
+              st.sampled_from([["txt"], ["kind", "txt"], ["tx*"],
+                               ["txt^2", "k*"]]),
+              st.sampled_from(["and", "or"])),
+    st.builds(lambda ids, org: {"pinned": {"ids": ids, "organic": org,
+                                           "field": "kind"}},
+              st.lists(st.sampled_from(["a", "b", "zz"]), min_size=1,
+                       max_size=2),
+              st.sampled_from([{"match": {"txt": "spark"}},
+                               {"term": {"kind": "c"}}])),
+    st.builds(
+        lambda inner: {"wrapper": {"query": __import__("base64")
+                       .b64encode(__import__("json").dumps(inner)
+                                  .encode()).decode()}},
+        st.sampled_from([{"term": {"kind": "a"}},
+                         {"match": {"txt": "pandas loop"}},
+                         {"range": {"n": {"gte": 5, "lt": 25}}}]),
+    ),
 )
 
 
