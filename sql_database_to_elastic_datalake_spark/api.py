@@ -342,6 +342,7 @@ class LakeService:
         post_filter: dict | None = None,
         collapse: dict | None = None,
         track_total_hits=None,
+        fields_opt=None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -434,6 +435,12 @@ class LakeService:
             )
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
+        if search_after is not None and sort and _sort_has_options(sort):
+            raise DslError(
+                "search_after does not support sort options (missing/"
+                "mode/unmapped_type change the comparison value; the "
+                "cursor compares raw columns)"
+            )
         if from_:
             if from_ < 0:
                 raise DslError("from must be a non-negative integer")
@@ -488,6 +495,8 @@ class LakeService:
         for name in names:
             df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
             src_cols = resolve_source_columns(df.columns, source)
+            fout = _resolve_fields_option(fields_opt, df.columns)
+            fout_cols = [c for c, _ in fout]
             hl_fields: list[str] = []
             hl_terms: dict[str, list[str]] = {}
             if highlight:
@@ -525,7 +534,8 @@ class LakeService:
                     compile_dsl(post_filter, field_resolver=resolve,
                                 schema_fields=df.columns))
             if sort:
-                fields, order_cols = _parse_sort(sort, df.columns)
+                fields, order_cols, getters = _parse_sort(
+                    sort, df.columns, df.schema)
                 if search_after is not None:
                     matched = matched.filter(
                         _search_after_pred(sort, fields, search_after)
@@ -548,7 +558,7 @@ class LakeService:
                 # along
                 cfield = collapse["field"] if collapse else None
                 needed = list(dict.fromkeys(
-                    src_cols + fields + hl_fields
+                    src_cols + fields + hl_fields + fout_cols
                     + ([cfield] if cfield and cfield in df.columns
                        else []))) or None
                 page = matched.select(*needed) if needed \
@@ -577,16 +587,19 @@ class LakeService:
                     total_value += obs.get["n"]
                 new_hits = [
                     _hit(name, r, src_cols, hl_fields, hl_terms,
-                         pre, post, sort_fields=fields)
+                         pre, post, sort_getters=getters,
+                         fields_out=fout)
                     for r in rows
                 ]
                 if collapse:
                     # carry the collapse key OUTSIDE _source (which may
                     # be filtered away) — ES returns it under `fields`;
                     # the post-merge global re-collapse reads it too
+                    # (merged, not overwritten: the `fields` retrieval
+                    # option may populate the same dict)
                     for h, r in zip(new_hits, rows):
-                        h["fields"] = {cfield: [
-                            r[cfield] if cfield in df.columns else None]}
+                        h.setdefault("fields", {})[cfield] = [
+                            r[cfield] if cfield in df.columns else None]
                 merged += new_hits
             elif k == 0:
                 # total-only request: the k+1 budget trick below would
@@ -603,14 +616,15 @@ class LakeService:
                 if budget <= 0:
                     total_exact = False
                     break
-                needed = list(dict.fromkeys(src_cols + hl_fields)) or None
+                needed = list(dict.fromkeys(
+                    src_cols + hl_fields + fout_cols)) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
                 rows = page.limit(budget).collect()
                 total_value += len(rows)
                 merged += [
                     _hit(name, r, src_cols, hl_fields, hl_terms,
-                         pre, post)
+                         pre, post, fields_out=fout)
                     for r in rows
                 ]
             else:
@@ -618,14 +632,15 @@ class LakeService:
                 # are separate requests (exactly ES's cost model —
                 # true pays a count, an integer bound scans at most
                 # n+1 rows, false pays nothing)
-                needed = list(dict.fromkeys(src_cols + hl_fields)) or None
+                needed = list(dict.fromkeys(
+                    src_cols + hl_fields + fout_cols)) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
                 row_budget = k - len(merged)
                 if row_budget > 0:
                     merged += [
                         _hit(name, r, src_cols, hl_fields, hl_terms,
-                             pre, post)
+                             pre, post, fields_out=fout)
                         for r in page.limit(row_budget).collect()
                     ]
                 if track_total_hits is True:
@@ -699,13 +714,76 @@ def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
     return list(dict.fromkeys(out))
 
 
+def _resolve_fields_option(fields_opt, columns: list[str]) -> list:
+    """ES's ``fields`` retrieval option (the modern Discover default:
+    ``"fields": [{"field": "*"}]``) → [(column, format)] per table.
+    Entries are names or ``{"field": …, "format": …}`` objects;
+    wildcard patterns expand against the table schema; a pattern
+    matching nothing contributes nothing (like ES)."""
+    import fnmatch as _fn
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+    if fields_opt is None:
+        return []
+    if not isinstance(fields_opt, list):
+        raise DslError("fields must be a list")
+    out: list[tuple[str, Any]] = []
+    for e in fields_opt:
+        if isinstance(e, str):
+            name, fmt = e, None
+        elif isinstance(e, dict) and e.get("field"):
+            unknown = sorted(set(e) - {"field", "format",
+                                       "include_unmapped"})
+            if unknown:
+                raise DslError(
+                    f"unsupported fields-entry options: {unknown}")
+            name, fmt = str(e["field"]), e.get("format")
+        else:
+            raise DslError(f"malformed fields entry {e!r}")
+        if "*" in name or "?" in name:
+            out.extend((c, fmt) for c in columns
+                       if _fn.fnmatchcase(c, name))
+        elif name in columns:
+            out.append((name, fmt))
+    seen = set()
+    uniq = []
+    for c, fmt in out:
+        if c not in seen:
+            seen.add(c)
+            uniq.append((c, fmt))
+    return uniq
+
+
+def _render_field_value(v, fmt):
+    """One ``fields`` value: dates render as ISO strings (ES's wire
+    form) or per the entry's format; everything else passes through."""
+    import datetime as _dt
+
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        _java_to_strftime,
+    )
+
+    if isinstance(v, _dt.datetime):
+        if fmt is None or fmt in ("date_optional_time",
+                                  "strict_date_optional_time"):
+            return v.isoformat()
+        if fmt == "epoch_millis":
+            return int(v.replace(tzinfo=_dt.timezone.utc)
+                       .timestamp() * 1000)
+        return v.strftime(_java_to_strftime(str(fmt)))
+    return v
+
+
 def _hit(
     name: str, row, src_cols: list[str], hl_fields: list[str],
     hl_terms: dict[str, list[str]], pre: str, post: str,
-    sort_fields: list[str] | None = None,
+    sort_getters: list | None = None,
+    fields_out: list | None = None,
 ) -> dict:
     """One response hit: filtered _source, optional sort values,
-    optional highlight snippets (driver-side, returned rows only)."""
+    optional ``fields`` arrays, optional highlight snippets
+    (driver-side, returned rows only)."""
     from sql_database_to_elastic_datalake_spark.plans.search import (
         highlight_value,
     )
@@ -714,8 +792,16 @@ def _hit(
         "_index": name,
         "_source": {c: row[c] for c in src_cols},
     }
-    if sort_fields is not None:
-        hit["sort"] = [row[f] for f in sort_fields]
+    if sort_getters is not None:
+        hit["sort"] = [g(row) for g in sort_getters]
+    if fields_out:
+        # ES always wraps fields values in arrays and omits nulls
+        fv = {
+            c: [_render_field_value(row[c], fmt)]
+            for c, fmt in fields_out if row[c] is not None
+        }
+        if fv:
+            hit["fields"] = fv
     if hl_fields:
         hl = {}
         for f in hl_fields:
@@ -727,67 +813,205 @@ def _hit(
     return hit
 
 
+#: ES unmapped_type → the Spark cast for the null sort placeholder
+_UNMAPPED_TYPES = {
+    "keyword": "string", "text": "string", "long": "bigint",
+    "integer": "int", "short": "smallint", "double": "double",
+    "float": "float", "date": "timestamp", "boolean": "boolean",
+}
+
+#: per-clause sort options with implemented semantics; anything else
+#: (format, numeric_type, nested, …) is a named 400 — same
+#: no-silent-wrong-results posture as the agg-body gate
+_SORT_CLAUSE_KEYS = {"order", "missing", "mode", "unmapped_type"}
+
+#: array sort modes → driver-side value fold for the hit's `sort`
+#: entry (the in-plan Column twin lives in _parse_sort)
+_SORT_MODES = ("min", "max", "avg", "sum")
+
+
 def _parse_sort(
-    sort: list, columns: list[str]
-) -> tuple[list[str], list]:
-    """ES sort clauses → (field names, ordered Columns). Accepts the
-    string form (``"field"``), the object form
+    sort: list, columns: list[str], schema=None
+) -> tuple[list[str], list, list]:
+    """ES sort clauses → (base field names, ordered Columns, per-clause
+    driver-side value getters for the hit ``sort`` array).
+
+    Accepts the string form (``"field"``), the object form
     (``{"field": {"order": "desc"}}``) and the shorthand
-    (``{"field": "desc"}``). Unknown fields are the client's error."""
+    (``{"field": "desc"}``), plus the r7 option set:
+
+    * ``missing``: ``"_first"`` / ``"_last"`` place null values; any
+      other literal substitutes as the sort value (ES's custom-missing
+      form) — a ``coalesce``, so the substituted value also appears in
+      the hit's ``sort`` entry like ES;
+    * ``mode``: ``min``/``max``/``avg``/``sum`` fold an array field to
+      one sort value per doc (``median`` needs a per-row sort — named
+      400). Pure column algebra (array_min/max, aggregate), no explode;
+    * ``unmapped_type``: a field absent from this table sorts as null
+      of that type instead of erroring — the index-pattern contract.
+
+    Unknown fields without unmapped_type are the client's error."""
+    from pyspark.sql.types import ArrayType
+
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
     fields: list[str] = []
     order_cols = []
+    getters = []
     for s in sort:
+        spec: dict = {}
         if isinstance(s, str):
             field, direction = s, "asc"
         elif isinstance(s, dict) and len(s) == 1:
             field, spec = next(iter(s.items()))
-            direction = (
-                spec.get("order", "asc") if isinstance(spec, dict) else spec
-            )
+            if isinstance(spec, dict):
+                unknown = sorted(set(spec) - _SORT_CLAUSE_KEYS)
+                if unknown:
+                    raise DslError(
+                        f"unsupported sort options: {unknown} "
+                        f"(supported: {sorted(_SORT_CLAUSE_KEYS)})"
+                    )
+                direction = spec.get("order", "asc")
+            else:
+                direction, spec = spec, {}
         else:
             raise DslError(f"malformed sort clause {s!r}")
-        if field not in columns:
-            raise DslError(f"unknown sort field {field!r}")
         if direction not in ("asc", "desc"):
             raise DslError(f"unknown sort order {direction!r}")
+        mapped = field in columns
+        if not mapped and "unmapped_type" not in spec:
+            raise DslError(f"unknown sort field {field!r}")
+        if not mapped:
+            ut = str(spec["unmapped_type"])
+            if ut not in _UNMAPPED_TYPES:
+                raise DslError(f"unknown unmapped_type {ut!r}")
+            # a custom `missing` value substitutes even for a fully
+            # unmapped field (ES sorts those docs by the substitute);
+            # _first/_last only place the null constant
+            miss = spec.get("missing")
+            if miss is not None and miss not in ("_first", "_last"):
+                c = F.lit(miss)
+                getters.append(lambda row, _m=miss: _m)
+            else:
+                c = F.lit(None).cast(_UNMAPPED_TYPES[ut])
+                getters.append(lambda row: None)
+            order_cols.append(c.desc() if direction == "desc"
+                              else c.asc())
+            continue
         c = F.col(field)
+        mode = spec.get("mode")
+        if mode is not None:
+            if mode not in _SORT_MODES:
+                raise DslError(
+                    f"unsupported sort mode {mode!r} "
+                    f"(supported: {sorted(_SORT_MODES)})"
+                )
+            if schema is None or not isinstance(
+                    schema[field].dataType, ArrayType):
+                raise DslError(
+                    f"sort mode on non-array field {field!r}")
+            if mode == "min":
+                c = F.array_min(c)
+
+                def fold(v, _m=min):
+                    return _m(v) if v else None
+            elif mode == "max":
+                c = F.array_max(c)
+
+                def fold(v, _m=max):
+                    return _m(v) if v else None
+            elif mode == "sum":
+                c = F.aggregate(c, F.lit(0).cast("double"),
+                                lambda a, x: a + x.cast("double"))
+
+                def fold(v):
+                    return float(sum(v)) if v is not None else None
+            else:
+                c = F.aggregate(c, F.lit(0).cast("double"),
+                                lambda a, x: a + x.cast("double")
+                                ) / F.size(c)
+
+                def fold(v):
+                    return (sum(v) / len(v)) if v else None
+            getters.append(
+                lambda row, _f=field, _fold=fold: _fold(row[_f]))
+        else:
+            getters.append(lambda row, _f=field: row[_f])
+        missing = spec.get("missing")
+        if missing is not None and missing not in ("_first", "_last"):
+            # custom missing value: substituted for sorting AND in the
+            # hit's sort entry, like ES
+            c = F.coalesce(c, F.lit(missing))
+            g = getters.pop()
+            getters.append(
+                lambda row, _g=g, _m=missing:
+                _m if _g(row) is None else _g(row))
+            missing = None
+        if missing == "_last":
+            order_cols.append(c.desc_nulls_last() if direction == "desc"
+                              else c.asc_nulls_last())
+        elif missing == "_first":
+            order_cols.append(
+                c.desc_nulls_first() if direction == "desc"
+                else c.asc_nulls_first())
+        else:
+            order_cols.append(c.desc() if direction == "desc"
+                              else c.asc())
         fields.append(field)
-        order_cols.append(c.desc() if direction == "desc" else c.asc())
-    if not fields:
+    if not order_cols:
         raise DslError("sort must be a non-empty list")
-    return fields, order_cols
+    return fields, order_cols, getters
 
 
-def _sort_directions(sort: list) -> list[bool]:
-    """Per-clause descending flags for an ES sort list."""
-    descs = []
+def _sort_directions(sort: list) -> list[tuple[bool, bool]]:
+    """Per-clause (descending, nulls_first) flags for an ES sort list.
+    Null placement mirrors Spark's defaults (nulls first ascending,
+    last descending) unless the clause's ``missing`` option overrides
+    it — the driver-side merge must agree with the per-table order."""
+    out = []
     for s in sort:
         if isinstance(s, str):
-            descs.append(False)
-        else:
-            spec = next(iter(s.values()))
-            d = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            descs.append(d == "desc")
-    return descs
+            out.append((False, True))
+            continue
+        spec = next(iter(s.values()))
+        d = (spec.get("order", "asc") if isinstance(spec, dict)
+             else spec) == "desc"
+        nf = not d
+        if isinstance(spec, dict):
+            if spec.get("missing") == "_first":
+                nf = True
+            elif spec.get("missing") == "_last":
+                nf = False
+        out.append((d, nf))
+    return out
 
 
-def _merge_sorted_hits(hits: list[dict], descs: list[bool]) -> list[dict]:
+def _sort_has_options(sort: list) -> bool:
+    """True when any clause carries beyond-order options (missing /
+    mode / unmapped_type) — those change the comparison value, so the
+    raw-column search_after cursor cannot honor them."""
+    return any(
+        isinstance(s, dict)
+        and isinstance(next(iter(s.values())), dict)
+        and set(next(iter(s.values()))) - {"order"}
+        for s in sort
+    )
+
+
+def _merge_sorted_hits(hits: list[dict], descs: list) -> list[dict]:
     """Driver-side merge of per-table sorted pages into one global
     order (each page is at most k rows — the heavy sorting happened
-    distributed, per table). Null placement mirrors Spark's defaults:
-    nulls first ascending, last descending."""
+    distributed, per table), honoring each clause's null placement."""
     import functools
 
     def cmp(a, b):
-        for x, y, d in zip(a["sort"], b["sort"], descs):
+        for x, y, (d, nf) in zip(a["sort"], b["sort"], descs):
             if x is None and y is None:
                 continue
             if x is None:
-                return 1 if d else -1
+                return -1 if nf else 1
             if y is None:
-                return -1 if d else 1
+                return 1 if nf else -1
             if x == y:
                 continue
             if x < y:
@@ -936,7 +1160,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     _ADVANCED_BODY_KEYS = {
         "table", "query", "k", "size", "from", "sort", "search_after",
         "aggs", "aggregations", "_source", "highlight",
-        "post_filter", "collapse", "track_total_hits",
+        "post_filter", "collapse", "track_total_hits", "fields",
     }
 
     def _page_size(body):
@@ -1037,6 +1261,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     post_filter=body.get("post_filter"),
                     collapse=body.get("collapse"),
                     track_total_hits=body.get("track_total_hits"),
+                    fields_opt=body.get("fields"),
                 )
             )), 200
         except DslError as ex:

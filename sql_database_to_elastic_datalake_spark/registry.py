@@ -1514,6 +1514,109 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_sort_options",
+    # missing "_last" under asc = NULLS LAST; the doc_id tiebreak
+    # keeps the limit boundary total on both sides
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang2
+    FROM documents
+    ORDER BY (CASE WHEN lang = 'en' THEN NULL ELSE lang END) NULLS LAST,
+             doc_id DESC
+    LIMIT 15
+    """,
+)
+def search_sort_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort ``missing`` placement (r7): null sort values go last
+    under ``missing: "_last"`` regardless of Spark's asc-nulls-first
+    default. The same TakeOrdered plan — null placement is a sort-flag
+    change, not an extra pass."""
+    from sql_database_to_elastic_datalake_spark.api import _parse_sort
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang2", F.nullif(F.col("lang"), F.lit("en")))
+    _, order_cols, _ = _parse_sort(
+        [{"lang2": {"order": "asc", "missing": "_last"}},
+         {"doc_id": "desc"}],
+        docs.columns, docs.schema)
+    return docs.select("doc_id", "lang2").orderBy(*order_cols).limit(15)
+
+
+@register(
+    "search_sort_mode_array",
+    # mode "max" folds the array to one comparable per doc — pure
+    # column algebra (array_max), no explode; vec_id totalizes ties
+    oracle="""
+    SELECT vec_id, CAST(list_max(embedding) AS FLOAT) AS max_dim
+    FROM embeddings
+    ORDER BY max_dim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def search_sort_mode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES array-sort ``mode`` (r7): ``{"embedding": {"mode": "max"}}``
+    sorts docs by the max element of an array field. array_max stays
+    in codegen; WindowGroupLimit-free TakeOrdered."""
+    from sql_database_to_elastic_datalake_spark.api import _parse_sort
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, order_cols, _ = _parse_sort(
+        [{"embedding": {"order": "desc", "mode": "max"}},
+         {"vec_id": "asc"}],
+        emb.columns, emb.schema)
+    return (
+        emb.select("vec_id",
+                   F.array_max("embedding").alias("max_dim"))
+        .orderBy(*order_cols).limit(10)
+    )
+
+
+@register(
+    "search_fields_retrieval",
+    # the `fields` option: per-entry date formatting, always-array
+    # values — rendered driver-side on the returned page only
+    oracle="""
+    SELECT CAST(o_orderkey AS STRING) AS okey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_totalprice AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def search_fields_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES's ``fields`` retrieval option (r7 — the modern Kibana
+    Discover default request shape): pattern expansion against the
+    schema, per-entry date ``format``, values always wrapped in
+    arrays. The projection feeds the scan like ``_source``; rendering
+    happens driver-side on the returned page only."""
+    from sql_database_to_elastic_datalake_spark.api import (
+        _resolve_fields_option,
+        _render_field_value,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    fout = _resolve_fields_option(
+        [{"field": "o_orderkey"},
+         {"field": "o_orderdate", "format": "yyyy-MM-dd"},
+         "o_totalprice", "nope*"],
+        orders.columns)
+    rows = (
+        orders.select(*[c for c, _ in fout])
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20).collect()
+    )
+    flat = [
+        tuple(_render_field_value(r[c], fmt) for c, fmt in fout)
+        for r in rows
+    ]
+    out = spark.createDataFrame(
+        flat, "okey long, odate string, price double")
+    return out.select(F.col("okey").cast("string").alias("okey"),
+                      "odate", "price")
+
+
+@register(
     "search_dsl_compound",
     # dis_max = union membership; boosting = its positive clause;
     # pinned = ids ∪ organic; wrapper = the decoded inner query —
@@ -4767,6 +4870,9 @@ _CHECK_FIRST = [
     "search_aggs_top_metrics",         # NEW: Lens last-value
     "search_dsl_compound",             # NEW: dis_max/boosting/pinned
     "search_dsl_combined_fields",      # NEW: term-centric + mbp
+    "search_sort_options",             # NEW: sort missing placement
+    "search_sort_mode_array",          # NEW: array sort mode
+    "search_fields_retrieval",         # NEW: fields option
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4796,10 +4902,8 @@ _CHECK_FIRST = [
     #    plan item 3), then registration order. 23 fills → the r3
     #    tier shrinks 44 → 21 (< 32, the plan's target).
     "leakage_safe_split",
-    "text_repetition",
-    "array_functions_docs",
-    "corpus_composition",
-    # (incremental_sync_events, gdpr_delete_sync,
+    # (text_repetition, array_functions_docs, corpus_composition,
+    #  incremental_sync_events, gdpr_delete_sync,
     #  multimodal_frame_sample, text_cosine_pairs,
     #  data_quality_audit, late_data_profile, value_histogram,
     #  value_outliers_mad, event_transition_matrix,

@@ -737,3 +737,106 @@ def test_collapse_dedupes_across_index_pattern(service):
     # merged sort order; totals stay pre-collapse
     assert got == [("red", "z-label"), ("blue", "m-label")]
     assert out["hits"]["total"] == {"value": 3, "relation": "eq"}
+
+
+def test_fields_retrieval_option(service, spark):
+    """r7: ES's `fields` option — pattern expansion, per-entry date
+    format, always-array values, nulls omitted; merges with the
+    collapse key rather than overwriting it."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "alpha", dt.datetime(2024, 1, 1, 10)),
+         (2, None, dt.datetime(2024, 1, 2, 11)),
+         (3, "beta", None)],
+        "id long, name string, ts timestamp")
+    df.write.parquet(os.path.join(service.lake_dir, "data_lake_f"))
+    out = service.advanced_search(
+        "data_lake_f", {"match_all": {}}, k=10,
+        sort=[{"id": "asc"}],
+        fields_opt=["na*", {"field": "ts", "format": "yyyy-MM-dd"},
+                    "ghost*"])
+    hits = out["hits"]["hits"]
+    assert hits[0]["fields"] == {"name": ["alpha"],
+                                 "ts": ["2024-01-01"]}
+    assert hits[1]["fields"] == {"ts": ["2024-01-02"]}  # null omitted
+    assert hits[2]["fields"] == {"name": ["beta"]}
+    # route-level: `fields` is an accepted body key
+    from sql_database_to_elastic_datalake_spark.api import create_app
+
+    pytest.importorskip("flask")
+    app = create_app(service)
+    app.testing = True
+    r = app.test_client().post("/search/advanced", json={
+        "table": "data_lake_f", "sort": [{"id": "asc"}],
+        "fields": [{"field": "ts", "format": "epoch_millis"}]})
+    assert r.status_code == 200
+    ms = r.get_json()["hits"]["hits"][0]["fields"]["ts"][0]
+    assert ms == 1704103200000
+    # malformed entries are named 400s
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="fields entry"):
+        service.advanced_search("data_lake_f", {"match_all": {}},
+                                fields_opt=[42])
+
+
+def test_sort_options_missing_mode_unmapped(service, spark):
+    """r7: sort `missing` placement (+custom substitute), array
+    `mode`, `unmapped_type` under an index pattern, and the
+    search_after exclusion."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, "b", [1, 9]), (2, None, [5]), (3, "a", None)],
+        "id long, name string, vals array<long>",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_s1"))
+    spark.createDataFrame(
+        [(4, 7.5)], "id long, extra double",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_s2"))
+
+    out = service.advanced_search(
+        "data_lake_s1", {"match_all": {}}, k=10,
+        sort=[{"name": {"order": "asc", "missing": "_last"}}])
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == \
+        [3, 1, 2]
+    out = service.advanced_search(
+        "data_lake_s1", {"match_all": {}}, k=10,
+        sort=[{"name": {"order": "asc", "missing": "zz"}}])
+    assert [h["sort"] for h in out["hits"]["hits"]] == \
+        [["a"], ["b"], ["zz"]]
+    out = service.advanced_search(
+        "data_lake_s1", {"match_all": {}}, k=10,
+        sort=[{"vals": {"order": "desc", "mode": "sum"}},
+              {"id": "asc"}])
+    assert [h["sort"][0] for h in out["hits"]["hits"]] == \
+        [10.0, 5.0, None]
+    # unmapped_type lets a pattern query sort on a field only one
+    # table has: s1 rows sort as null (first, asc default)
+    out = service.advanced_search(
+        "data_lake_s*", {"match_all": {}}, k=10,
+        sort=[{"extra": {"order": "asc", "unmapped_type": "double"}},
+              {"id": "asc"}])
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == \
+        [1, 2, 3, 4]
+    # ...and missing "_last" flips the null placement ACROSS tables
+    out = service.advanced_search(
+        "data_lake_s*", {"match_all": {}}, k=10,
+        sort=[{"extra": {"order": "asc", "unmapped_type": "double",
+                         "missing": "_last"}},
+              {"id": "asc"}])
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == \
+        [4, 1, 2, 3]
+    with pytest.raises(DslError, match="search_after"):
+        service.advanced_search(
+            "data_lake_s1", {"match_all": {}},
+            sort=[{"name": {"order": "asc", "missing": "_last"}}],
+            search_after=["a"])
+    with pytest.raises(DslError, match="sort options"):
+        service.advanced_search(
+            "data_lake_s1", {"match_all": {}},
+            sort=[{"name": {"order": "asc", "format": "x"}}])
