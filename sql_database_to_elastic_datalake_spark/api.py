@@ -221,6 +221,7 @@ class LakeService:
     def search(
         self, term: str, tables: list[str] | None = None, k: int = 10,
         fields: list[str] | None = None, from_: int = 0,
+        min_score=None,
     ) -> dict[str, Any]:
         """multi_match across all lake tables (the ``data_lake_*``
         pattern) with the deterministic tf score; ES-style envelope.
@@ -250,6 +251,12 @@ class LakeService:
         count (the exact total is observed on the sort input), instead
         of two driver-side jobs per table, which is what the
         ``data_lake_*`` pattern needs at hundreds of tables.
+
+        ``min_score`` (r7): ES's relevance floor — hits scoring below
+        it drop from BOTH the page and the total (ES's contract). One
+        extra Column filter ahead of the sort; with the engine's
+        deterministic tf score a threshold is reproducible where ES's
+        BM25 floor is shard-dependent.
         """
         import fnmatch as _fn
         import json as _json
@@ -281,6 +288,9 @@ class LakeService:
             matched = multi_match_table(df, term, fields=cols)
             if "score" not in matched.columns:
                 continue  # no string columns → nothing can match
+            if min_score is not None:
+                matched = matched.filter(
+                    F.col("score") >= float(min_score))
             tb = string_columns(df)[:1]
             scored.append(
                 matched.select(
@@ -1214,9 +1224,15 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         except (TypeError, ValueError):
             return jsonify(
                 {"error": "from must be a non-negative integer"}), 400
+        ms = body.get("min_score")
+        if ms is not None and not isinstance(ms, (int, float)) \
+                or isinstance(ms, bool):
+            return jsonify(
+                {"error": "min_score must be a number"}), 400
         return jsonify(_wire_envelope(
             service.search(term, body.get("tables"), k=k,
-                           fields=body.get("fields"), from_=from_),
+                           fields=body.get("fields"), from_=from_,
+                           min_score=ms),
         )), 200
 
     @app.route("/search/advanced", methods=["POST"])

@@ -1627,7 +1627,6 @@ def search_fields_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR doc_id IN (7, 11)
        OR (CONTAINS(LOWER(text), 'vector')
            AND CONTAINS(LOWER(text), 'stream'))
-    ORDER BY doc_id
     """,
 )
 def search_dsl_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,10 +1659,10 @@ def search_dsl_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"pinned": {"ids": [7, 11], "field": "doc_id",
                     "organic": {"wrapper": {"query": organic}}}},
     ]}}
-    return (
-        docs.filter(compile_dsl(dsl, schema_fields=docs.columns))
-        .select("doc_id").orderBy("doc_id")
-    )
+    # no orderBy: the differential compare is order-insensitive and a
+    # global sort of an unbounded match set is a needless exchange
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)).select("doc_id")
 
 
 @register(
@@ -1676,7 +1675,6 @@ def search_dsl_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (CONTAINS(LOWER(text), 'vector') OR CONTAINS(lang, 'vector'))
       AND (CONTAINS(LOWER(text), 'zh') OR CONTAINS(lang, 'zh'))
       AND CONTAINS(LOWER(text), 'strea')
-    ORDER BY doc_id
     """,
 )
 def search_dsl_combined_fields(
@@ -1697,10 +1695,10 @@ def search_dsl_combined_fields(
                              "operator": "and"}},
         {"match_bool_prefix": {"text": "strea"}},
     ]}}
-    return (
-        docs.filter(compile_dsl(dsl, schema_fields=docs.columns))
-        .select("doc_id").orderBy("doc_id")
-    )
+    # no orderBy: the differential compare is order-insensitive and a
+    # global sort of an unbounded match set is a needless exchange
+    return docs.filter(
+        compile_dsl(dsl, schema_fields=docs.columns)).select("doc_id")
 
 
 @register(
@@ -2546,6 +2544,43 @@ def search_multimatch_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         multi_match_table(docs, "spark merge", fields=["text"])
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+@register(
+    "search_min_score",
+    # min_score drops sub-threshold matches from BOTH page and total —
+    # one extra comparison on the already-computed score column
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(
+                 (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'spark', '')))
+                   / CAST(5 AS DOUBLE)
+               + (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'merge', '')))
+                   / CAST(5 AS DOUBLE) AS DOUBLE) AS score
+        FROM documents
+        WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%spark%' OR lower(replace(text, 'İ', 'i̇')) LIKE '%merge%'
+    )
+    SELECT doc_id, score FROM scored WHERE score >= 3.0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``min_score`` on the ranked path (r7): a relevance floor
+    applied before the TakeOrdered — hits below it drop from the page
+    AND the total. Deterministic under the engine's tf score where
+    ES's BM25 floor is shard-dependent (documented divergence)."""
+    from sql_database_to_elastic_datalake_spark.plans.search import multi_match_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        multi_match_table(docs, "spark merge", fields=["text"])
+        .filter(F.col("score") >= 3.0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
         .select("doc_id", "score")
@@ -4873,6 +4908,7 @@ _CHECK_FIRST = [
     "search_sort_options",             # NEW: sort missing placement
     "search_sort_mode_array",          # NEW: array sort mode
     "search_fields_retrieval",         # NEW: fields option
+    "search_min_score",                # NEW: relevance floor
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4901,8 +4937,8 @@ _CHECK_FIRST = [
     #    displaced from r6's window first (ROUND6_NOTES r7 rotation
     #    plan item 3), then registration order. 23 fills → the r3
     #    tier shrinks 44 → 21 (< 32, the plan's target).
-    "leakage_safe_split",
-    # (text_repetition, array_functions_docs, corpus_composition,
+    # (leakage_safe_split,
+    #  text_repetition, array_functions_docs, corpus_composition,
     #  incremental_sync_events, gdpr_delete_sync,
     #  multimodal_frame_sample, text_cosine_pairs,
     #  data_quality_audit, late_data_profile, value_histogram,

@@ -840,3 +840,24 @@ def test_sort_options_missing_mode_unmapped(service, spark):
         service.advanced_search(
             "data_lake_s1", {"match_all": {}},
             sort=[{"name": {"order": "asc", "format": "x"}}])
+
+
+def test_min_score_floors_hits_and_total(service, spark):
+    """r7: min_score drops sub-threshold hits from the page AND the
+    total (ES's contract) on the ranked path."""
+    spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark"), (3, "nothing")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_ms"))
+    out = service.search("spark", ["data_lake_ms"], k=10)
+    assert out["hits"]["total"]["value"] == 2
+    out = service.search("spark", ["data_lake_ms"], k=10, min_score=2)
+    assert out["hits"]["total"]["value"] == 1
+    assert out["hits"]["hits"][0]["_score"] >= 2
+    pytest.importorskip("flask")
+    app = create_app(service)
+    app.testing = True
+    r = app.test_client().post("/search", json={
+        "search_term": "spark", "tables": ["data_lake_ms"],
+        "min_score": "high"})
+    assert r.status_code == 400

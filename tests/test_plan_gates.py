@@ -318,6 +318,29 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (3, [])},
     ),
+    # r7 late additions: the compound leaves (dis_max/boosting/pinned/
+    # wrapper, combined_fields) compile to scan-level predicates —
+    # zero exchanges; sort options and min_score ride the TakeOrdered
+    "search_dsl_compound": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (4, [])},
+    ),
+    "search_dsl_combined_fields": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, ["IsNotNull(text)"])},
+    ),
+    "search_sort_options": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
+    "search_sort_mode_array": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"embeddings": (2, [])},
+    ),
+    "search_min_score": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
