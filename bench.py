@@ -71,6 +71,15 @@ HEADLINE = (
     "search_aggs_timezone",
     "search_dsl_phrase_slop",
     "search_ranked_offset_page",
+    # r7 late additions with real distributed cost: the nested-agg
+    # explode+groupBy, the multi-field terms shuffle, the window
+    # top-k per bucket, the shared-job metric family, and the TSVB
+    # pipeline parent (one groupBy + driver-side transforms)
+    "search_aggs_nested_parent",
+    "search_aggs_multi_terms",
+    "search_aggs_top_metrics",
+    "search_aggs_extended_stats",
+    "search_aggs_tsvb_math",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
