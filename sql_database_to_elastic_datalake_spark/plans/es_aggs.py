@@ -164,6 +164,8 @@ _AGG_BODY_KEYS = {
     "multi_terms": {"terms", "size", "min_doc_count", "order",
                     "shard_size", "show_term_doc_count_error",
                     "collect_mode"},
+    "global": set(),
+    "adjacency_matrix": {"filters", "separator"},
     "rare_terms": {"field", "max_doc_count", "missing", "include",
                    "exclude", "precision"},
     "auto_date_histogram": {"field", "buckets", "minimum_interval",
@@ -2885,6 +2887,64 @@ def run_aggs(
             env: dict[str, Any] = {"doc_count": row["doc_count"]}
             env.update(_metric_envelope(row, sub))
             out[name] = env
+        elif kind == "global":
+            # ES's global bucket: sub-aggs see the WHOLE index, not
+            # the query scope — faceted navigation's "totals" column.
+            # Recurse on the unfiltered table; doc_count is one count
+            # job (ES pays the same).
+            if background is None:
+                raise DslError(
+                    "global needs the unfiltered table — this entry "
+                    "point has no table context (use /search/advanced,"
+                    " which passes it)"
+                )
+            if body not in ({}, None):
+                raise DslError("global takes no options")
+            genv: dict[str, Any] = {"doc_count": background.count()}
+            if sub:
+                genv.update(run_aggs(background, sub,
+                                     schema_fields=schema_fields,
+                                     background=background))
+            out[name] = genv
+        elif kind == "adjacency_matrix":
+            # pairwise filter intersections (the Kibana graph panel):
+            # N(N+1)/2 conditional aggregates in ONE job — the same
+            # one-pass shape as the filters agg; empty intersections
+            # are omitted like ES
+            specs = body.get("filters")
+            if not isinstance(specs, dict) or not specs:
+                raise DslError(
+                    "adjacency_matrix requires a named filters object")
+            if sub:
+                raise DslError(
+                    "sub-aggregations under adjacency_matrix are not "
+                    "supported"
+                )
+            sep = str(body.get("separator", "&"))
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl \
+                import _ns
+
+            # null-safe: a NULL predicate (missing field) must count
+            # as no-match, not poison the pairwise AND
+            preds = {
+                n: _ns(compile_dsl(q, schema_fields=schema_fields))
+                for n, q in specs.items()
+            }
+            names_am = sorted(preds)
+            cells: list[tuple[str, Any]] = []
+            for i, a in enumerate(names_am):
+                cells.append((a, preds[a]))
+                for b in names_am[i + 1:]:
+                    cells.append((f"{a}{sep}{b}", preds[a] & preds[b]))
+            row = df.agg(*[
+                F.sum(F.when(p, 1).otherwise(0)).cast("bigint")
+                .alias(f"am|{n}")
+                for n, p in cells
+            ]).collect()[0]
+            out[name] = {"buckets": [
+                {"key": n, "doc_count": row[f"am|{n}"]}
+                for n, _ in cells if row[f"am|{n}"]
+            ]}
         elif kind == "top_metrics":
             # the doc(s) with the extreme sort value: ONE TakeOrdered
             # (docs missing the sort field are skipped, like ES)

@@ -1514,6 +1514,90 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_aggs_global",
+    # the global bucket ignores the query scope: langs count over the
+    # WHOLE table while the request was en-scoped
+    oracle="""
+    SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+               AS global_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE lang = 'en') AS scoped_total
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY doc_count DESC, key LIMIT 3
+    """,
+)
+def search_aggs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``global`` bucket (r7 — faceted navigation's "all results"
+    totals): sub-aggs see the unfiltered table while the request's
+    other aggs see the query scope."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scoped = docs.filter(F.col("lang") == "en")
+    out = run_aggs(scoped, {
+        "scoped_count": {"value_count": {"field": "doc_id"}},
+        "everything": {"global": {}, "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 3}},
+        }},
+    }, schema_fields=docs.columns, background=docs)
+    g = out["everything"]
+    flat = [(b["key"], b["doc_count"], g["doc_count"],
+             out["scoped_count"]["value"])
+            for b in g["langs"]["buckets"]]
+    return spark.createDataFrame(
+        flat, "key string, doc_count long, global_total long, "
+              "scoped_total long")
+
+
+@register(
+    "search_aggs_adjacency",
+    # N singles + pairwise intersections in ONE conditional-agg pass;
+    # empty intersections omitted like ES
+    oracle="""
+    WITH s AS (
+        SELECT
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS en,
+          CAST(SUM(CASE WHEN n_chars < 300 THEN 1 ELSE 0 END)
+               AS BIGINT) AS short,
+          CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+               AS BIGINT) AS src1,
+          CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 300
+                   THEN 1 ELSE 0 END) AS BIGINT) AS en_short,
+          CAST(SUM(CASE WHEN lang = 'en' AND source = 'src1'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS en_src1,
+          CAST(SUM(CASE WHEN n_chars < 300 AND source = 'src1'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS short_src1
+        FROM documents
+    )
+    SELECT key, doc_count FROM (
+        SELECT 'en' AS key, en AS doc_count FROM s
+        UNION ALL SELECT 'en&short', en_short FROM s
+        UNION ALL SELECT 'en&src1', en_src1 FROM s
+        UNION ALL SELECT 'short', short FROM s
+        UNION ALL SELECT 'short&src1', short_src1 FROM s
+        UNION ALL SELECT 'src1', src1 FROM s
+    ) WHERE doc_count > 0
+    """,
+)
+def search_aggs_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``adjacency_matrix`` (r7 — the Kibana graph panel): pairwise
+    filter intersections as conditional aggregates — N(N+1)/2 cells,
+    ONE job, no joins."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"am": {"adjacency_matrix": {"filters": {
+        "short": {"range": {"n_chars": {"lt": 300}}},
+        "en": {"term": {"lang": "en"}},
+        "src1": {"term": {"source": "src1"}},
+    }}}}, schema_fields=docs.columns)
+    flat = [(b["key"], b["doc_count"]) for b in out["am"]["buckets"]]
+    return spark.createDataFrame(flat, "key string, doc_count long")
+
+
+@register(
     "search_sort_options",
     # missing "_last" under asc = NULLS LAST; the doc_id tiebreak
     # keeps the limit boundary total on both sides
@@ -4909,6 +4993,8 @@ _CHECK_FIRST = [
     "search_sort_mode_array",          # NEW: array sort mode
     "search_fields_retrieval",         # NEW: fields option
     "search_min_score",                # NEW: relevance floor
+    "search_aggs_global",              # NEW: global bucket
+    "search_aggs_adjacency",           # NEW: adjacency_matrix
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -4931,12 +5017,13 @@ _CHECK_FIRST = [
     "nested_labels_json",
     "ingest_accounting",
     "history_versioning",
-    "paginate",
-    "point_lookup",
-    # -- fill to 50: the r3-latest (oldest-evidence) tier, the four
-    #    displaced from r6's window first (ROUND6_NOTES r7 rotation
-    #    plan item 3), then registration order. 23 fills → the r3
-    #    tier shrinks 44 → 21 (< 32, the plan's target).
+    # (paginate and point_lookup — flagship members — yield their two
+    #  slots to the late r7 additions this round only: both are
+    #  r6-green, trivial, and untouched, so their evidence stays
+    #  within the two-round policy; they re-front in r8.)
+    # -- fill to 50: every fill slot was displaced by the r7-touched
+    #    tier (39 entries) + the remaining flagship 11. The displaced
+    #    queries lead the r8 fill, oldest-evidence first:
     # (leakage_safe_split,
     #  text_repetition, array_functions_docs, corpus_composition,
     #  incremental_sync_events, gdpr_delete_sync,

@@ -1984,3 +1984,34 @@ def test_top_metrics(docs):
         run_aggs(docs, {"tm": {"top_metrics": {
             "metrics": {"field": "n_chars"},
             "sort": [{"ts": "asc"}, {"doc_id": "asc"}]}}})
+
+
+def test_global_and_adjacency_matrix(docs):
+    """r7: the global bucket sees the unfiltered table while siblings
+    see the query scope; adjacency_matrix computes pairwise filter
+    intersections in one conditional-agg job."""
+    scoped = docs.filter("lang = 'en'")
+    out = run_aggs(scoped, {
+        "n": {"value_count": {"field": "doc_id"}},
+        "all": {"global": {}, "aggs": {
+            "mx": {"max": {"field": "n_chars"}}}},
+    }, background=docs)
+    assert out["n"]["value"] == 3          # en docs only
+    assert out["all"]["doc_count"] == 7    # whole table
+    assert out["all"]["mx"]["value"] == 999
+    with pytest.raises(DslError, match="global needs"):
+        run_aggs(scoped, {"all": {"global": {}}})
+    out = run_aggs(docs, {"am": {"adjacency_matrix": {
+        "filters": {
+            "en": {"term": {"lang": "en"}},
+            "short": {"range": {"n_chars": {"lte": 200}}},
+            "zz": {"term": {"lang": "zz"}},
+        },
+        "separator": "+",
+    }}})
+    b = {x["key"]: x["doc_count"] for x in out["am"]["buckets"]}
+    # en: 3; short (100,200,50): 3; en+short: doc1 only; zz cells
+    # are empty and omitted like ES
+    assert b == {"en": 3, "short": 3, "en+short": 1}
+    with pytest.raises(DslError, match="named filters"):
+        run_aggs(docs, {"am": {"adjacency_matrix": {}}})
