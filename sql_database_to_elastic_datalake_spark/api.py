@@ -353,6 +353,7 @@ class LakeService:
         collapse: dict | None = None,
         track_total_hits=None,
         fields_opt=None,
+        suggest: dict | None = None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -443,6 +444,11 @@ class LakeService:
                 "aggs require a single concrete table (pattern matched "
                 f"{len(names)})"
             )
+        if suggest and len(names) != 1:
+            raise DslError(
+                "suggest requires a single concrete table (pattern "
+                f"matched {len(names)})"
+            )
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):
@@ -499,6 +505,7 @@ class LakeService:
         post = (highlight.get("post_tags") or ["</em>"])[0] if highlight \
             else ""
         aggregations = None
+        suggestions = None
         descs = _sort_directions(sort) if sort else []
         merged: list[dict] = []
         total_value, total_exact = 0, True
@@ -537,6 +544,10 @@ class LakeService:
                 aggregations = run_aggs(matched, aggs,
                                         schema_fields=df.columns,
                                         background=df)
+            if suggest:
+                # ES computes suggestions against the INDEX, not the
+                # query's match set — pass the unfiltered table
+                suggestions = _run_suggest(df, suggest)
             if post_filter is not None:
                 # ES's faceted-navigation contract: aggs saw the query
                 # scope ABOVE; hits and totals see query AND post_filter
@@ -706,6 +717,8 @@ class LakeService:
         out: dict[str, Any] = {"hits": hits_env}
         if aggregations is not None:
             out["aggregations"] = aggregations
+        if suggestions is not None:
+            out["suggest"] = suggestions
         return out
 
 
@@ -722,6 +735,77 @@ def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
         elif n in columns:
             out.append(n)
     return list(dict.fromkeys(out))
+
+
+
+def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
+    """Execute an ES ``suggest`` section (term suggester only — the
+    completion/phrase suggesters need index-side structures this lake
+    does not maintain; named 400). One distributed job per suggester
+    (:func:`plans.search.suggest_terms`); the envelope mirrors ES:
+    one entry per input token with offset/length and scored options."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+        tokenize,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_terms,
+    )
+
+    out: dict[str, Any] = {}
+    for name, spec in suggest.items():
+        if not isinstance(spec, dict) or "text" not in spec:
+            raise DslError(f"suggester {name!r} requires text")
+        kinds = [k for k in spec if k != "text"]
+        if kinds != ["term"]:
+            raise DslError(
+                f"unsupported suggester {kinds or 'missing'} under "
+                f"{name!r} (only the term suggester is implemented; "
+                "completion/phrase need index-side structures)"
+            )
+        body = spec["term"]
+        unknown = sorted(set(body) - {
+            "field", "size", "max_edits", "prefix_length",
+            "min_doc_freq", "suggest_mode", "sort",
+            # execution-tuning keys, accepted-and-ignored
+            "max_inspections", "shard_size", "string_distance",
+        })
+        if unknown:
+            raise DslError(
+                f"unsupported term suggester options: {unknown}")
+        field = body.get("field")
+        if not field:
+            raise DslError(f"suggester {name!r} requires a field")
+        text = str(spec["text"])
+        rows = []
+        if field in df.columns:
+            rows = suggest_terms(
+                df, field, text,
+                size=int(body.get("size", 5)),
+                max_edits=int(body.get("max_edits", 2)),
+                prefix_length=int(body.get("prefix_length", 1)),
+                min_doc_freq=int(body.get("min_doc_freq", 1)),
+                suggest_mode=str(body.get("suggest_mode", "missing")),
+            ).collect()
+        by_token: dict[str, list] = {}
+        for r in rows:
+            by_token.setdefault(r["token"], []).append(
+                {"text": r["candidate"], "score": r["score"],
+                 "freq": r["freq"]})
+        entries = []
+        low = text.lower()
+        cursor = 0
+        for tok in tokenize(text):
+            off = low.find(tok, cursor)
+            if off < 0:
+                off = low.find(tok)
+            cursor = max(cursor, off + len(tok))
+            entries.append({
+                "text": tok, "offset": off, "length": len(tok),
+                "options": by_token.get(tok, []),
+            })
+        out[name] = entries
+    return out
 
 
 def _resolve_fields_option(fields_opt, columns: list[str]) -> list:
@@ -1171,6 +1255,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "table", "query", "k", "size", "from", "sort", "search_after",
         "aggs", "aggregations", "_source", "highlight",
         "post_filter", "collapse", "track_total_hits", "fields",
+        "suggest",
     }
 
     def _page_size(body):
@@ -1278,6 +1363,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     collapse=body.get("collapse"),
                     track_total_hits=body.get("track_total_hits"),
                     fields_opt=body.get("fields"),
+                    suggest=body.get("suggest"),
                 )
             )), 200
         except DslError as ex:

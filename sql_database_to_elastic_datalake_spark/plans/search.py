@@ -390,3 +390,110 @@ def highlight_value(
         prev = b
     parts.append(s[prev:])
     return "".join(parts)
+
+
+def suggest_terms(
+    df: DataFrame,
+    field: str,
+    text: str,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_doc_freq: int = 1,
+    suggest_mode: str = "missing",
+) -> DataFrame:
+    """The ES *term suggester* ("did you mean"): per input token, the
+    closest corpus terms by edit distance, weighted by frequency.
+
+    Reference parity: the reference's search UI path forwards bodies
+    verbatim to ES (src/search_api.py:38-46), where a ``suggest``
+    section is the standard spell-correction idiom.
+
+    Spark shape — fully distributed, two shuffles:
+
+    1. term dictionary: tokenize + explode the field, groupBy term →
+       doc frequency (count of DOCS containing the term, ES's df);
+    2. candidate scoring: the (tiny) input token list rides each
+       dictionary row via ``explode(array(lits))`` — a generator, not
+       a join — then ``levenshtein(term, token) <= max_edits`` filters
+       and a window top-k per token keeps ``size`` candidates
+       (WindowGroupLimit pre-truncation).
+
+    ``suggest_mode`` "missing" (ES's default) only suggests for tokens
+    absent from the dictionary; "popular" requires candidates more
+    frequent than the token itself; "always" suggests regardless.
+
+    Documented divergence: the score is ``1 − dist/max(|token|,
+    |term|)`` (ES/Lucene normalizes by the shorter string and shard
+    statistics, which is not reproducible cross-engine); ordering is
+    score desc, freq desc, term asc — deterministic where ES leaves
+    ties shard-dependent.
+    """
+    from pyspark.sql import Window
+
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise DslError(f"unknown suggest_mode {suggest_mode!r}")
+    tokens = list(dict.fromkeys(tokenize(str(text))))
+    if not tokens:
+        return df.sparkSession.createDataFrame(
+            [], "token string, candidate string, freq long, "
+                "score double")
+    # 1. term dictionary with doc frequency — the SAME token class as
+    # :func:`.es_dsl.tokenize`, so suggestions come from the analyzer
+    # the match queries use
+    toks_col = F.array_distinct(
+        F.split(F.lower(F.col(field).cast("string")),
+                "[^0-9a-zA-Z]+"))
+    dict_df = (
+        df.select(F.explode(toks_col).alias("candidate"))
+        .filter(F.length("candidate") > 0)
+        .groupBy("candidate")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= int(min_doc_freq))
+    )
+    # 2. score every (candidate, token) pair cheaply: the token list
+    # is query-sized, so explode multiplies the dictionary by a small
+    # constant; the levenshtein bound then prunes almost everything
+    pairs = dict_df.select(
+        "candidate", "freq",
+        F.explode(F.array(*[F.lit(t) for t in tokens])).alias("token"),
+    ).filter(
+        (F.col("candidate") != F.col("token"))
+        & (F.levenshtein(F.col("candidate"), F.col("token"))
+           <= int(max_edits))
+    )
+    if prefix_length:
+        pairs = pairs.filter(
+            F.substring(F.col("candidate"), 1, int(prefix_length))
+            == F.substring(F.col("token"), 1, int(prefix_length))
+        )
+    dist = F.levenshtein(F.col("candidate"), F.col("token"))
+    pairs = pairs.withColumn(
+        "score",
+        (F.lit(1.0) - dist.cast("double")
+         / F.greatest(F.length("token"),
+                      F.length("candidate")).cast("double")),
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("score").desc(), F.col("freq").desc(),
+        F.col("candidate").asc())
+    top = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(size))
+        .select("token", "candidate", "freq", "score")
+    )
+    if suggest_mode == "always":
+        return top
+    # dictionary rows for the INPUT tokens themselves (freq of the
+    # token as typed) — broadcast back to gate per suggest_mode
+    self_freq = dict_df.filter(
+        F.col("candidate").isin(tokens)
+    ).select(F.col("candidate").alias("token"),
+             F.col("freq").alias("self_freq"))
+    gated = top.join(F.broadcast(self_freq), "token", "left")
+    if suggest_mode == "missing":
+        return gated.filter(F.col("self_freq").isNull()).drop(
+            "self_freq")
+    return gated.filter(
+        F.col("self_freq").isNull()
+        | (F.col("freq") > F.col("self_freq"))).drop("self_freq")

@@ -1514,6 +1514,57 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_suggest_terms",
+    # the oracle replays the whole suggester: same analyzer (İ-folded
+    # lower + the ASCII token class), same doc-frequency dictionary,
+    # same score formula and deterministic ordering
+    oracle="""
+    WITH dict AS (
+        SELECT candidate, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_distinct(regexp_split_to_array(
+                lower(replace(text, 'İ', 'i̇')), '[^0-9a-zA-Z]+')))
+                AS candidate
+            FROM documents
+        ) WHERE length(candidate) > 0 GROUP BY 1
+    ), toks AS (
+        SELECT unnest(['spak', 'merg', 'tabel']) AS token
+    ), pairs AS (
+        SELECT t.token, d.candidate, d.freq,
+               1.0 - CAST(levenshtein(d.candidate, t.token) AS DOUBLE)
+                   / CAST(GREATEST(length(t.token),
+                                   length(d.candidate)) AS DOUBLE)
+                   AS score
+        FROM dict d, toks t
+        WHERE d.candidate <> t.token
+          AND levenshtein(d.candidate, t.token) <= 2
+          AND substr(d.candidate, 1, 1) = substr(t.token, 1, 1)
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY token
+            ORDER BY score DESC, freq DESC, candidate) AS rn
+        FROM pairs
+    )
+    SELECT token, candidate, freq, score FROM ranked
+    WHERE rn <= 3
+      AND token NOT IN (SELECT candidate FROM dict)
+    """,
+)
+def search_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES *term suggester* (r7 — "did you mean"): per misspelled
+    input token, the closest corpus terms by edit distance, weighted
+    by doc frequency. Fully distributed: tokenize+explode → term
+    dictionary (one shuffle) → levenshtein prune → window top-k per
+    token (WindowGroupLimit). suggest_mode "missing" (ES default)
+    gates on dictionary membership."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest_terms(docs, "text", "spak merg tabel", size=3)
+
+
+@register(
     "search_aggs_global",
     # the global bucket ignores the query scope: langs count over the
     # WHOLE table while the request was en-scoped
@@ -4995,6 +5046,7 @@ _CHECK_FIRST = [
     "search_min_score",                # NEW: relevance floor
     "search_aggs_global",              # NEW: global bucket
     "search_aggs_adjacency",           # NEW: adjacency_matrix
+    "search_suggest_terms",            # NEW: term suggester
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -5016,11 +5068,11 @@ _CHECK_FIRST = [
     "union_all_entities",
     "nested_labels_json",
     "ingest_accounting",
-    "history_versioning",
-    # (paginate and point_lookup — flagship members — yield their two
-    #  slots to the late r7 additions this round only: both are
-    #  r6-green, trivial, and untouched, so their evidence stays
-    #  within the two-round policy; they re-front in r8.)
+    # (paginate, point_lookup and history_versioning — flagship
+    #  members — yield their three slots to the late r7 additions this
+    #  round only: all r6-green, simple, and untouched, so their
+    #  evidence stays within the two-round policy; they re-front in
+    #  r8.)
     # -- fill to 50: every fill slot was displaced by the r7-touched
     #    tier (39 entries) + the remaining flagship 11. The displaced
     #    queries lead the r8 fill, oldest-evidence first:

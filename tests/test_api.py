@@ -861,3 +861,49 @@ def test_min_score_floors_hits_and_total(service, spark):
         "search_term": "spark", "tables": ["data_lake_ms"],
         "min_score": "high"})
     assert r.status_code == 400
+
+
+def test_suggest_term_suggester(service, spark):
+    """r7: the term suggester — per-token options with offset/length,
+    suggest_mode gating, named 400s for the unimplemented suggesters."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, "spark merges tables fast"), (2, "spark merge loop"),
+         (3, "pandas table scan")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_sg"))
+    out = service.advanced_search(
+        "data_lake_sg", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "spak tabel",
+                         "term": {"field": "txt", "size": 2}}})
+    ent = out["suggest"]["fix"]
+    assert [e["text"] for e in ent] == ["spak", "tabel"]
+    assert ent[0]["offset"] == 0 and ent[1]["offset"] == 5
+    assert ent[0]["options"][0]["text"] == "spark"
+    assert ent[0]["options"][0]["freq"] == 2
+    # suggest_mode "missing" (default): a correctly-spelled token gets
+    # no options
+    out = service.advanced_search(
+        "data_lake_sg", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "merge",
+                         "term": {"field": "txt"}}})
+    assert out["suggest"]["fix"][0]["options"] == []
+    # ...but "always" suggests anyway ("merges" is one edit away)
+    out = service.advanced_search(
+        "data_lake_sg", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "merge", "term": {
+            "field": "txt", "suggest_mode": "always"}}})
+    assert out["suggest"]["fix"][0]["options"][0]["text"] == "merges"
+    with pytest.raises(DslError, match="completion"):
+        service.advanced_search(
+            "data_lake_sg", {"match_all": {}},
+            suggest={"c": {"text": "x", "completion": {"field": "txt"}}})
+    spark.createDataFrame([(9,)], "id long").write.parquet(
+        os.path.join(service.lake_dir, "data_lake_other"))
+    with pytest.raises(DslError, match="single concrete"):
+        service.advanced_search(
+            "data_lake_*", {"match_all": {}},
+            suggest={"f": {"text": "x", "term": {"field": "txt"}}})
