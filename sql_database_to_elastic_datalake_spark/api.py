@@ -221,7 +221,7 @@ class LakeService:
     def search(
         self, term: str, tables: list[str] | None = None, k: int = 10,
         fields: list[str] | None = None, from_: int = 0,
-        min_score=None,
+        min_score=None, rescore: dict | None = None,
     ) -> dict[str, Any]:
         """multi_match across all lake tables (the ``data_lake_*``
         pattern) with the deterministic tf score; ES-style envelope.
@@ -257,6 +257,18 @@ class LakeService:
         extra Column filter ahead of the sort; with the engine's
         deterministic tf score a threshold is reproducible where ES's
         BM25 floor is shard-dependent.
+
+        ``rescore`` (r7): ES's two-phase ranking — the top
+        ``window_size`` docs by original score re-rank by a combined
+        score (``query_weight``·orig ∘ ``rescore_query_weight``·resc,
+        ``score_mode`` total/multiply/avg/max/min); docs beyond the
+        window keep their original order after the window. The
+        secondary score is a tf column computed IN-PLAN per table (no
+        second pass over the corpus — it rides the same scan); the
+        re-sort touches only the collected window. ``rescore_query``
+        supports the scoreable leaves (``multi_match`` / ``match``) —
+        anything else is a named 400 (this engine has no scores for
+        filter-context trees).
         """
         import fnmatch as _fn
         import json as _json
@@ -296,6 +308,7 @@ class LakeService:
                 matched.select(
                     F.lit(name).alias("_index"),
                     F.col("score").cast("double").alias("_score"),
+                    _rescore_expr(rescore, df).alias("_rescore"),
                     (F.col(tb[0]) if tb else F.lit("")).alias("_tiebreak"),
                     F.to_json(
                         F.struct(*[F.col(c) for c in df.columns]),
@@ -328,16 +341,48 @@ class LakeService:
         unioned = unioned.observe(obs, F.count(F.lit(1)).alias("n"))
         ranked = unioned.orderBy(
             F.col("_score").desc(), "_index", "_tiebreak")
-        if from_:
-            # offset page on the ranked order: the SAME single
-            # TakeOrderedAndProject, now with limit=from+k offset=from
-            ranked = ranked.offset(from_)
-        top = ranked.limit(k).collect()
-        hits = [
-            {"_index": r["_index"], "_score": r["_score"],
-             "_source": _json.loads(r["_source_json"])}
-            for r in top
-        ]
+        if rescore is not None:
+            # two-phase: fetch max(window, from+k) rows through the
+            # SAME TakeOrdered, combine scores driver-side on the
+            # window only, then slice the page (the offset must apply
+            # AFTER the window re-sort — the order changed inside it)
+            window = int(rescore.get("window_size", 10))
+            rows = ranked.limit(max(window, from_ + k)).collect()
+            rspec = rescore.get("query") or {}
+            qw = float(rspec.get("query_weight", 1.0))
+            rqw = float(rspec.get("rescore_query_weight", 1.0))
+            mode = rspec.get("score_mode", "total")
+            combine = {
+                "total": lambda o, r: o + r,
+                "multiply": lambda o, r: o * r,
+                "avg": lambda o, r: (o + r) / 2.0,
+                "max": max,
+                "min": min,
+            }.get(mode)
+            if combine is None:
+                raise DslError(f"unknown rescore score_mode {mode!r}")
+            win = [
+                (combine(qw * r["_score"], rqw * r["_rescore"]), i, r)
+                for i, r in enumerate(rows[:window])
+            ]
+            # stable on the original rank for equal combined scores
+            win.sort(key=lambda t: (-t[0], t[1]))
+            paged = [(c, r) for c, _, r in win] \
+                + [(r["_score"], r) for r in rows[window:]]
+            top = paged[from_:from_ + k]
+            hits = [
+                {"_index": r["_index"], "_score": c,
+                 "_source": _json.loads(r["_source_json"])}
+                for c, r in top
+            ]
+        else:
+            paged_ranked = ranked.offset(from_) if from_ else ranked
+            top = paged_ranked.limit(k).collect()
+            hits = [
+                {"_index": r["_index"], "_score": r["_score"],
+                 "_source": _json.loads(r["_source_json"])}
+                for r in top
+            ]
         return {"hits": {"total": {"value": obs.get["n"], "relation": "eq"},
                          "hits": hits}}
 
@@ -736,6 +781,63 @@ def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
             out.append(n)
     return list(dict.fromkeys(out))
 
+
+
+
+def _rescore_expr(rescore: dict | None, df: "DataFrame"):
+    """The rescore query's secondary tf score as an in-plan Column for
+    one table (0.0 when rescoring is off or no requested field exists
+    here). Scoreable leaves only — this engine has no score for
+    filter-context trees, so anything else is a named 400."""
+    import fnmatch as _fn
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        tf_score,
+    )
+
+    if rescore is None:
+        return F.lit(0.0)
+    if not isinstance(rescore, dict):
+        raise DslError("rescore must be an object")
+    unknown = sorted(set(rescore) - {"window_size", "query"})
+    if unknown:
+        raise DslError(f"unsupported rescore options: {unknown}")
+    rspec = rescore.get("query")
+    if not isinstance(rspec, dict) or "rescore_query" not in rspec:
+        raise DslError("rescore requires query.rescore_query")
+    unknown = sorted(set(rspec) - {"rescore_query", "query_weight",
+                                   "rescore_query_weight",
+                                   "score_mode"})
+    if unknown:
+        raise DslError(f"unsupported rescore query options: {unknown}")
+    rq = rspec["rescore_query"]
+    if not isinstance(rq, dict) or len(rq) != 1:
+        raise DslError("rescore_query must be a single query node")
+    kind, body = next(iter(rq.items()))
+    if kind == "multi_match":
+        query = body.get("query")
+        fields = body.get("fields") or []
+    elif kind in ("match", "match_phrase"):
+        field, spec = next(iter(body.items()))
+        query = spec.get("query") if isinstance(spec, dict) else spec
+        fields = [field]
+    else:
+        raise DslError(
+            f"unsupported rescore_query kind {kind!r} (scoreable "
+            "leaves only: multi_match, match, match_phrase)"
+        )
+    cols = []
+    for f in fields:
+        nm = str(f).split("^", 1)[0]
+        if "*" in nm or "?" in nm:
+            cols.extend(c for c in df.columns
+                        if _fn.fnmatchcase(c, nm))
+        elif nm in df.columns:
+            cols.append(nm)
+    cols = list(dict.fromkeys(cols))
+    if not cols or query is None:
+        return F.lit(0.0)
+    return tf_score(cols, str(query)).cast("double")
 
 
 def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
@@ -1314,11 +1416,15 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 or isinstance(ms, bool):
             return jsonify(
                 {"error": "min_score must be a number"}), 400
-        return jsonify(_wire_envelope(
-            service.search(term, body.get("tables"), k=k,
-                           fields=body.get("fields"), from_=from_,
-                           min_score=ms),
-        )), 200
+        try:
+            return jsonify(_wire_envelope(
+                service.search(term, body.get("tables"), k=k,
+                               fields=body.get("fields"), from_=from_,
+                               min_score=ms,
+                               rescore=body.get("rescore")),
+            )), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
 
     @app.route("/search/advanced", methods=["POST"])
     def advanced():

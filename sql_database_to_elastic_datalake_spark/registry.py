@@ -1514,6 +1514,63 @@ def search_aggs_percentiles_bucket(
 
 
 @register(
+    "search_rescore_window",
+    # two-phase ranking: the top-30 window by the original tf score
+    # re-ranks by orig + 2·rescore-tf (score_mode total), stable on
+    # the original rank; rows beyond the window keep original order
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(
+                 (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'spark', '')))
+                   / CAST(5 AS DOUBLE)
+               + (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'merge', '')))
+                   / CAST(5 AS DOUBLE) AS DOUBLE) AS score,
+               CAST(
+                 (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'vector', '')))
+                   / CAST(6 AS DOUBLE)
+               + (length(lower(replace(text, 'İ', 'i̇'))) - length(replace(lower(replace(text, 'İ', 'i̇')), 'stream', '')))
+                   / CAST(6 AS DOUBLE) AS DOUBLE) AS r
+        FROM documents
+        WHERE lower(replace(text, 'İ', 'i̇')) LIKE '%spark%'
+           OR lower(replace(text, 'İ', 'i̇')) LIKE '%merge%'
+    ), top AS (
+        SELECT doc_id, score, r,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, 1.0 * score + 2.0 * r AS final_score
+    FROM top WHERE rn <= 30
+    ORDER BY final_score DESC, rn LIMIT 20
+    """,
+)
+def search_rescore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` (r7 — two-phase ranking): the secondary tf score
+    rides the SAME scan as the primary (an extra Column, no second
+    pass); only the collected window re-sorts driver-side. Mirrors the
+    /search route's semantics with a doc_id tiebreak."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import tf_score
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        multi_match_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = multi_match_table(docs, "spark merge", fields=["text"])
+    scored = m.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        tf_score(["text"], "vector stream").alias("r"))
+    rows = scored.orderBy(F.col("score").desc(),
+                          F.col("doc_id")).limit(30).collect()
+    win = sorted(
+        ((1.0 * r["score"] + 2.0 * r["r"], i, r["doc_id"])
+         for i, r in enumerate(rows)),
+        key=lambda t: (-t[0], t[1]))
+    return spark.createDataFrame(
+        [(d, c) for c, _, d in win[:20]],
+        "doc_id long, final_score double")
+
+
+@register(
     "search_suggest_terms",
     # the oracle replays the whole suggester: same analyzer (İ-folded
     # lower + the ASCII token class), same doc-frequency dictionary,
@@ -5047,6 +5104,7 @@ _CHECK_FIRST = [
     "search_aggs_global",              # NEW: global bucket
     "search_aggs_adjacency",           # NEW: adjacency_matrix
     "search_suggest_terms",            # NEW: term suggester
+    "search_rescore_window",           # NEW: two-phase ranking
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -5067,12 +5125,11 @@ _CHECK_FIRST = [
     "merge_upsert",
     "union_all_entities",
     "nested_labels_json",
-    "ingest_accounting",
-    # (paginate, point_lookup and history_versioning — flagship
-    #  members — yield their three slots to the late r7 additions this
-    #  round only: all r6-green, simple, and untouched, so their
-    #  evidence stays within the two-round policy; they re-front in
-    #  r8.)
+    # (paginate, point_lookup, history_versioning and
+    #  ingest_accounting — flagship members — yield their four slots
+    #  to the late r7 additions this round only: all r6-green and
+    #  untouched, so their evidence stays within the two-round policy;
+    #  they re-front in r8.)
     # -- fill to 50: every fill slot was displaced by the r7-touched
     #    tier (39 entries) + the remaining flagship 11. The displaced
     #    queries lead the r8 fill, oldest-evidence first:

@@ -907,3 +907,47 @@ def test_suggest_term_suggester(service, spark):
         service.advanced_search(
             "data_lake_*", {"match_all": {}},
             suggest={"f": {"text": "x", "term": {"field": "txt"}}})
+
+
+def test_rescore_two_phase_ranking(service, spark):
+    """r7: rescore re-ranks the top window by the combined score;
+    docs beyond the window keep original order; score_modes and named
+    400s."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, "spark spark spark", "loop"),
+         (2, "spark", "loop loop loop loop"),
+         (3, "spark spark", "nothing")],
+        "id long, txt string, extra string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_r"))
+    base = service.search("spark", ["data_lake_r"], k=3)
+    assert [h["_source"]["id"] for h in base["hits"]["hits"]] == \
+        [1, 3, 2]
+    out = service.search("spark", ["data_lake_r"], k=3, rescore={
+        "window_size": 2,
+        "query": {"rescore_query": {"match": {"extra": "loop"}},
+                  "rescore_query_weight": 2.0}})
+    hits = out["hits"]["hits"]
+    # window of 2: doc1 3+2·1=5, doc3 2+0=2; doc2 outside the window
+    # keeps its original score and position (its 4 loops don't count)
+    assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
+        [(1, 5.0), (3, 2.0), (2, 1.0)]
+    # multiply mode and a window covering everything
+    out = service.search("spark", ["data_lake_r"], k=3, rescore={
+        "window_size": 10,
+        "query": {"rescore_query": {"match": {"extra": "loop"}},
+                  "score_mode": "multiply"}})
+    hits = out["hits"]["hits"]
+    # combined: doc1 3·1=3, doc2 1·4=4, doc3 2·0=0
+    assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
+        [(2, 4.0), (1, 3.0), (3, 0.0)]
+    with pytest.raises(DslError, match="rescore_query kind"):
+        service.search("spark", ["data_lake_r"], rescore={
+            "query": {"rescore_query": {"term": {"extra": "loop"}}}})
+    with pytest.raises(DslError, match="score_mode"):
+        service.search("spark", ["data_lake_r"], rescore={
+            "query": {"rescore_query": {"match": {"extra": "loop"}},
+                      "score_mode": "sum"}})
