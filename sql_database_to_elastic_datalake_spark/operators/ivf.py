@@ -189,6 +189,90 @@ def fixed_grid_centroids(nlist: int = 16, dim: int = 64) -> list[list[float]]:
     ]
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by comparing embeddings WITHIN coarse
+    clusters only — the pruning that makes embedding dedup feasible at
+    corpus scale (pairwise work is per-cell, never corpus²).
+
+    Spark shape: the fixed-grid cell assignment is a pure map (the
+    same argmin-over-centroids expression as :func:`ivf_search_fixed`
+    — no shuffle), candidate pairs come from ONE cell-equality
+    self-join, and the keep policy is the deterministic
+    keep-minimum-id rule (a doc drops iff a lower-id doc in its cell
+    has cosine ≥ threshold with it) — one distinct + one left_anti.
+
+    The fixed-grid quantizer keeps every stage SQL-expressible (the
+    DuckDB oracle replays assignment, pairing and the keep rule
+    bit-for-bit); a trained KMeans quantizer slots in via
+    :func:`train_ivf_centroids`/:func:`assign_cells` for production
+    (recall pytest-verified, same downstream plan).
+
+    Scale: identical pair-generation shape to the paper's — within-
+    cluster quadratic, bounded by the largest cell. More cells = less
+    pairwise work and lower recall, the paper's own tradeoff knob.
+
+    Returns the KEPT rows of ``embeddings`` (all original columns).
+    """
+    assigned = _with_fixed_cells(embeddings, nlist, dim, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("a"), F.col("_vec_d").alias("va"),
+        F.col("sq_norm").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b"), F.col("_vec_d").alias("vb"),
+        F.col("sq_norm").alias("nb"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (dot(F.col("va"), F.col("vb"))
+             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
+            .cast("double") >= threshold
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dropped, id_col, "left_anti")
+
+
+def _with_fixed_cells(
+    embeddings: DataFrame, nlist: int, dim: int, vec_col: str
+) -> DataFrame:
+    """``embeddings`` + ``_vec_d``/``sq_norm``/``cell`` columns under
+    the fixed-grid quantizer — assignment is a pure map (argmin over
+    the centroid-distance array in the row; ties to the smallest cell
+    id, the SQL oracle's (d2, j) total order)."""
+    centroids = fixed_grid_centroids(nlist, dim)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in centroids]
+    )
+    base = with_sq_norm(embeddings, vec_col)
+    d2s = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("_vec_d"), c, lambda x, cc: (x - cc) * (x - cc)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return base.withColumn("_d2s", d2s).withColumn(
+        "cell",
+        (F.array_position(F.col("_d2s"), F.array_min(F.col("_d2s"))) - 1)
+        .cast("int"),
+    )
+
+
 def ivf_search_fixed(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -557,6 +557,71 @@ def _ivf_fixed_oracle(
     """
 
 
+def _semdedup_oracle(threshold: float, nlist: int) -> str:
+    """SemDeDup replayed in SQL: the fixed-grid assignment CTE (same
+    centroid literals and fold arithmetic as _ivf_fixed_oracle), the
+    cell-equality pair join, and the keep-minimum-id rule."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+    )
+
+    cent_rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(fixed_grid_centroids(nlist, _DIM))
+    )
+    d2 = " + ".join(
+        f"(v[{i}]-c[{i}])*(v[{i}]-c[{i}])" for i in range(1, _DIM + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents(j, c) AS (VALUES
+        {cent_rows}),
+    cd AS (
+        SELECT e.vec_id, e.v, cents.j, {d2} AS d2
+        FROM e CROSS JOIN cents
+    ),
+    assign AS (
+        SELECT vec_id, j AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS crn
+            FROM cd
+        ) WHERE crn = 1
+    ),
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    dropped AS (
+        SELECT DISTINCT y.vec_id AS vid
+        FROM assign x JOIN assign y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN n a ON a.vec_id = x.vec_id
+        JOIN n b ON b.vec_id = y.vec_id
+        WHERE ({_dot_sql('a.v', 'b.v')}) / (sqrt(a.sq) * sqrt(b.sq))
+              >= {threshold!r}
+    )
+    SELECT vec_id, label FROM e
+    WHERE vec_id NOT IN (SELECT vid FROM dropped)
+    """
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=_semdedup_oracle(threshold=0.4, nlist=16),
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) — semantic near-dup removal by
+    within-cluster cosine comparison (operators/ivf.py:semdedup): a
+    pure-map cell assignment, ONE cell-equality self-join for
+    candidate pairs, deterministic keep-minimum-id. The standard
+    embedding-level dedup pass for LLM training corpora."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.4, nlist=16).select(
+        "vec_id", "label")
+
+
 @register(
     "embed_ann_ivf",
     oracle=_ivf_fixed_oracle(list(range(10)), k=3, nlist=16, nprobe=3),
