@@ -341,6 +341,19 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # the term suggester: dictionary groupBy + per-token window top-k
+    # (WindowGroupLimit required) + the broadcast self-freq gate
+    "search_suggest_terms": dict(
+        shuffles=3, smj_max=0, bhj_min=1, wgl=True,
+        scans={"documents": (1, [])},
+    ),
+    # SemDeDup: ONE cell-equality pair join + the anti join — two
+    # shuffles; more would mean the pure-map assignment regressed to a
+    # ranked shuffle
+    "semdedup_embeddings": dict(
+        shuffles=2, smj_max=2, bhj_min=0, wgl=False,
+        scans={"embeddings": (2, [])},
+    ),
 }
 
 

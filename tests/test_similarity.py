@@ -1,0 +1,26 @@
+
+
+def test_semdedup_keep_minimum_id(spark):
+    """SemDeDup: within-cell near-dups drop to the minimum id; cross-
+    cell near-dups survive (the paper's recall/cost tradeoff)."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        _with_fixed_cells,
+        semdedup,
+    )
+
+    base = [0.1] * 64
+    near = [0.1] * 64
+    near[0] = 0.11
+    far = [(-1.0) ** i * (i + 1) / 64 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<float>")
+    cells = {r["vec_id"]: r["cell"]
+             for r in _with_fixed_cells(emb, 16, 64, "embedding")
+             .select("vec_id", "cell").collect()}
+    assert cells[1] == cells[2]  # the near pair shares a cell
+    kept = sorted(r["vec_id"]
+                  for r in semdedup(emb, threshold=0.99).collect())
+    assert kept == [1, 3]  # 2 drops to its lower-id near-dup
+    # a threshold nothing reaches keeps everything
+    assert semdedup(emb, threshold=1.1).count() == 3
