@@ -65,6 +65,17 @@ CHECKED = (
     "corpus_prep_stats",
     "curriculum_deciles",
     "approx_sketches",
+    # r7: NaN/Inf events.value flows through the pipeline-agg algebra
+    # (bucket_script products, percentile ranks of bucket counts) and
+    # the auto-interval histogram metrics; empty/whitespace docs hit
+    # the suggester's dictionary and the compound leaves' tokenizers
+    "search_aggs_tsvb_math",
+    "search_aggs_percentiles_bucket",
+    "search_aggs_auto_interval",
+    "search_aggs_top_metrics",
+    "search_suggest_terms",
+    "search_dsl_compound",
+    "search_dsl_combined_fields",
 )
 
 

@@ -62,6 +62,17 @@ CHECKED = (
     "search_dsl_query_string",
     "search_dsl_simple_qs",
     "search_from_size_page",
+    # r7: the compound leaves and the ranked-path additions lower
+    # decorated text through contains/levenshtein; the suggester
+    # builds its dictionary from the decorated corpus with the same
+    # ASCII token class both engines must agree on
+    "search_dsl_compound",
+    "search_dsl_combined_fields",
+    "search_min_score",
+    "search_rescore_window",
+    "search_suggest_terms",
+    "search_dsl_phrase_slop",
+    "search_dsl_qs_fuzzy",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
