@@ -386,6 +386,68 @@ class LakeService:
         return {"hits": {"total": {"value": obs.get["n"], "relation": "eq"},
                          "hits": hits}}
 
+
+    def _knn_search(
+        self, name: str, knn: dict, dsl: dict | None, k: int,
+        from_: int, source, fields_opt,
+    ) -> dict[str, Any]:
+        """The knn body key: exact cosine top-k over one table
+        (operators/similarity.py:knn_search), the standard _source /
+        fields / from paging applied to the returned rows."""
+        from sql_database_to_elastic_datalake_spark.operators.similarity import (
+            knn_search,
+        )
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            resolve_source_columns,
+        )
+
+        unknown = sorted(set(knn) - {"field", "query_vector", "k",
+                                     "num_candidates", "filter",
+                                     "similarity", "boost"})
+        if unknown:
+            raise DslError(f"unsupported knn options: {unknown}")
+        field = knn.get("field")
+        qv = knn.get("query_vector")
+        if not field or not isinstance(qv, list) or not qv:
+            raise DslError("knn requires field and query_vector")
+        kk = int(knn.get("k", k))
+        df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
+        if field not in df.columns:
+            raise DslError(f"unknown knn field {field!r}")
+
+        def resolve(f: str, _df=df):
+            return (F.col(f) if f in _df.columns
+                    else F.lit(None).cast("string"))
+
+        pred = None
+        if knn.get("filter") is not None:
+            pred = compile_dsl(knn["filter"], field_resolver=resolve,
+                               schema_fields=df.columns)
+        if dsl is not None and dsl != {"match_all": {}}:
+            qpred = compile_dsl(dsl, field_resolver=resolve,
+                                schema_fields=df.columns)
+            pred = qpred if pred is None else (pred & qpred)
+        rows = knn_search(df, field, qv, from_ + max(kk, k),
+                          pred=pred).collect()
+        if knn.get("similarity") is not None:
+            # ES's raw-similarity floor, applied on the cosine (our
+            # _score is (1+cos)/2 — invert the transform)
+            floor = float(knn["similarity"])
+            rows = [r for r in rows
+                    if (2.0 * r["_score"] - 1.0) >= floor]
+        src_cols = resolve_source_columns(df.columns, source)
+        fout = _resolve_fields_option(fields_opt, df.columns)
+        hits = [
+            {**_hit(name, r, src_cols, [], {}, "", "",
+                    fields_out=fout),
+             "_score": r["_score"]}
+            for r in rows[from_:from_ + k]
+        ]
+        return {"hits": {
+            "total": {"value": len(rows), "relation": "eq"},
+            "hits": hits,
+        }}
+
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10,
         aggs: dict | None = None,
@@ -399,6 +461,7 @@ class LakeService:
         track_total_hits=None,
         fields_opt=None,
         suggest: dict | None = None,
+        knn: dict | None = None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -494,6 +557,31 @@ class LakeService:
                 "suggest requires a single concrete table (pattern "
                 f"matched {len(names)})"
             )
+        if knn is not None:
+            # ES 8.x vector search. Pre-filter semantics: knn.filter
+            # AND the sibling query both restrict the candidate set
+            # (documented divergence: ES score-BLENDS a sibling query;
+            # this engine has no scores for filter-context trees, so
+            # it filters — the honest subset). Exact top-k by cosine,
+            # scored (1+cos)/2 like ES's cosine index;
+            # num_candidates is accepted-and-ignored (exact search is
+            # strictly better recall than the HNSW bound it tunes).
+            if len(names) != 1:
+                raise DslError(
+                    "knn requires a single concrete table (pattern "
+                    f"matched {len(names)})"
+                )
+            for bad, val in (("sort", sort), ("collapse", collapse),
+                             ("search_after", search_after),
+                             ("aggs", aggs), ("highlight", highlight)):
+                if val:
+                    raise DslError(
+                        f"knn is not supported with {bad} (rank order "
+                        "comes from the vector similarity)"
+                    )
+            return self._knn_search(
+                names[0], knn, dsl, k=k, from_=from_, source=source,
+                fields_opt=fields_opt)
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):
@@ -1357,7 +1445,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "table", "query", "k", "size", "from", "sort", "search_after",
         "aggs", "aggregations", "_source", "highlight",
         "post_filter", "collapse", "track_total_hits", "fields",
-        "suggest",
+        "suggest", "knn",
     }
 
     def _page_size(body):
@@ -1470,6 +1558,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     track_total_hits=body.get("track_total_hits"),
                     fields_opt=body.get("fields"),
                     suggest=body.get("suggest"),
+                    knn=body.get("knn"),
                 )
             )), 200
         except DslError as ex:

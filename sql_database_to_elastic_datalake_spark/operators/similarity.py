@@ -237,3 +237,50 @@ def quantize_embeddings_int8(
         lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"),
     )
     return with_scale.withColumn("q8", q8)
+
+
+def knn_search(
+    df: DataFrame,
+    vec_col: str,
+    query_vector: list,
+    k: int,
+    pred: Column | None = None,
+) -> DataFrame:
+    """ES 8.x ``knn`` search over a literal query vector: exact top-k
+    by cosine, scored with ES's cosine-similarity transform
+    ``(1 + cos) / 2`` so a migrating client reads the same ``_score``
+    scale.
+
+    ``pred`` is the knn ``filter`` (pre-filter semantics, like ES):
+    applied BEFORE scoring so the scan prunes first. Exact
+    brute-force here is strictly better recall than ES's HNSW
+    (``num_candidates`` is accepted-and-ignored upstream for that
+    reason — documented divergence); the ANN tiers
+    (:func:`ann_bucketed`, :func:`.ivf.ivf_search`) remain the scale
+    path when the corpus outgrows one pass.
+
+    Plan: one scan → dot/norm column algebra (zip_with fold, no UDF)
+    → TakeOrdered(k) with a deterministic id tie-break on every
+    remaining column. Null/zero vectors score null and drop.
+    """
+    q = [float(x) for x in query_vector]
+    qn = sum(x * x for x in q) ** 0.5
+    if qn == 0:
+        raise ValueError("knn query_vector must be non-zero")
+    src = df.filter(pred) if pred is not None else df
+    src = src.filter(F.col(vec_col).isNotNull())
+    base = with_sq_norm(src, vec_col)
+    qlit = F.array(*[F.lit(x) for x in q])
+    cos = (
+        dot(F.col("_vec_d"), qlit)
+        / (F.sqrt(F.col("sq_norm")) * F.lit(qn))
+    ).cast("double")
+    scored = (
+        base.withColumn("_score", (F.lit(1.0) + cos) / F.lit(2.0))
+        .filter(F.col("_score").isNotNull())
+        .drop("_vec_d", "sq_norm")
+    )
+    order = [F.col("_score").desc()] + [
+        F.col(c).asc_nulls_first() for c in df.columns if c != vec_col
+    ]
+    return scored.orderBy(*order).limit(int(k))

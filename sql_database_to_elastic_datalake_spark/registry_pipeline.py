@@ -557,6 +557,56 @@ def _ivf_fixed_oracle(
     """
 
 
+def _knn_oracle(k: int) -> str:
+    """ES knn replayed in SQL: same fixed query vector (grid centroid
+    0 — the shared closed form), same fold arithmetic, same
+    (1+cos)/2 score and (score desc, vec_id) total order."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+    )
+
+    q = fixed_grid_centroids(1, _DIM)[0]
+    qn = sum(x * x for x in q) ** 0.5
+    qlit = f"[{', '.join(repr(x) for x in q)}]::DOUBLE[]"
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    s AS (
+        SELECT vec_id, label,
+               (1.0 + ({_dot_sql('v', f"({qlit})")})
+                      / (sqrt(sq) * {qn!r})) / 2.0 AS score
+        FROM n
+    )
+    SELECT vec_id, label, CAST(score AS DOUBLE) AS _score FROM s
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "search_knn_vector",
+    oracle=_knn_oracle(k=10),
+)
+def search_knn_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x ``knn`` body key (r7 — modern vector search): exact
+    cosine top-k over a literal query vector, scored (1+cos)/2 like
+    ES's cosine index (operators/similarity.py:knn_search). Exact
+    where ES runs HNSW — num_candidates accepted-and-ignored
+    (documented strictly-better-recall divergence); the ANN tiers stay
+    the scale path."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+    )
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        knn_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fixed_grid_centroids(1, _DIM)[0]
+    return knn_search(emb, "embedding", q, k=10).select(
+        "vec_id", "label", "_score")
+
+
 def _semdedup_oracle(threshold: float, nlist: int) -> str:
     """SemDeDup replayed in SQL: the fixed-grid assignment CTE (same
     centroid literals and fold arithmetic as _ivf_fixed_oracle), the

@@ -951,3 +951,52 @@ def test_rescore_two_phase_ranking(service, spark):
         service.search("spark", ["data_lake_r"], rescore={
             "query": {"rescore_query": {"match": {"extra": "loop"}},
                       "score_mode": "sum"}})
+
+
+def test_knn_vector_search(service, spark):
+    """r7: the ES 8.x knn body key — exact cosine top-k, (1+cos)/2
+    scoring, pre-filter semantics for knn.filter AND the sibling
+    query, similarity floor, named 400s for unsupported combos."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "b"),
+         (3, [0.0, 1.0], "a"), (4, None, "a")],
+        "id long, vec array<float>, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_v"))
+    out = service.advanced_search(
+        "data_lake_v", {"match_all": {}}, k=2,
+        knn={"field": "vec", "query_vector": [1.0, 0.0], "k": 2})
+    hits = out["hits"]["hits"]
+    assert [h["_source"]["id"] for h in hits] == [1, 2]
+    assert hits[0]["_score"] == pytest.approx(1.0)
+    # knn.filter pre-filters; the null-vector doc never scores
+    out = service.advanced_search(
+        "data_lake_v", {"match_all": {}}, k=3,
+        knn={"field": "vec", "query_vector": [1.0, 0.0], "k": 3,
+             "filter": {"term": {"tag": "a"}}})
+    assert [h["_source"]["id"]
+            for h in out["hits"]["hits"]] == [1, 3]
+    # a sibling query restricts the candidate set (documented
+    # divergence: ES would score-blend)
+    out = service.advanced_search(
+        "data_lake_v", {"term": {"tag": "b"}}, k=3,
+        knn={"field": "vec", "query_vector": [1.0, 0.0], "k": 3})
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [2]
+    # similarity floor applies on the raw cosine
+    out = service.advanced_search(
+        "data_lake_v", {"match_all": {}}, k=3,
+        knn={"field": "vec", "query_vector": [1.0, 0.0], "k": 3,
+             "similarity": 0.99})
+    assert [h["_source"]["id"]
+            for h in out["hits"]["hits"]] == [1, 2]
+    with pytest.raises(DslError, match="knn is not supported with"):
+        service.advanced_search(
+            "data_lake_v", {"match_all": {}}, sort=[{"id": "asc"}],
+            knn={"field": "vec", "query_vector": [1.0, 0.0]})
+    with pytest.raises(DslError, match="unknown knn field"):
+        service.advanced_search(
+            "data_lake_v", {"match_all": {}},
+            knn={"field": "ghost", "query_vector": [1.0, 0.0]})
