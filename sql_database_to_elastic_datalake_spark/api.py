@@ -629,11 +629,22 @@ class LakeService:
             resolve_source_columns,
         )
 
-        if highlight is not None and not (
-            isinstance(highlight, dict)
-            and isinstance(highlight.get("fields"), dict)
-        ):
-            raise DslError('highlight requires a "fields" object')
+        if highlight is not None:
+            if not (isinstance(highlight, dict)
+                    and isinstance(highlight.get("fields"), dict)):
+                raise DslError('highlight requires a "fields" object')
+            unknown = sorted(set(highlight) - {
+                "fields", "pre_tags", "post_tags", "fragment_size",
+                "number_of_fragments", "order",
+            })
+            if unknown:
+                raise DslError(
+                    f"unsupported highlight options: {unknown}")
+            if highlight.get("order") not in (None, "none"):
+                raise DslError(
+                    "highlight order must be \"none\" (score-ordered "
+                    "fragments need per-fragment scoring)"
+                )
         pre = (highlight.get("pre_tags") or ["<em>"])[0] if highlight else ""
         post = (highlight.get("post_tags") or ["</em>"])[0] if highlight \
             else ""
@@ -647,11 +658,30 @@ class LakeService:
             src_cols = resolve_source_columns(df.columns, source)
             fout = _resolve_fields_option(fields_opt, df.columns)
             fout_cols = [c for c, _ in fout]
-            hl_fields: list[str] = []
+            hl_fields: list = []
             hl_terms: dict[str, list[str]] = {}
             if highlight:
-                hl_fields = _expand_patterns(
-                    list(highlight["fields"]), df.columns)
+                # per-field fragment options override the request-level
+                # ones (ES's precedence); each entry carries
+                # (column, fragment_size, number_of_fragments)
+                g_fs = highlight.get("fragment_size")
+                g_nof = highlight.get("number_of_fragments")
+                seen_hl: set[str] = set()
+                for pat, fspec in highlight["fields"].items():
+                    fs, nof = g_fs, g_nof
+                    if isinstance(fspec, dict):
+                        bad = sorted(set(fspec) - {
+                            "fragment_size", "number_of_fragments"})
+                        if bad:
+                            raise DslError(
+                                f"unsupported highlight field options:"
+                                f" {bad}")
+                        fs = fspec.get("fragment_size", g_fs)
+                        nof = fspec.get("number_of_fragments", g_nof)
+                    for c in _expand_patterns([pat], df.columns):
+                        if c not in seen_hl:
+                            seen_hl.add(c)
+                            hl_fields.append((c, fs, nof))
                 hl_terms = collect_highlight_terms(dsl, df.columns)
 
             def resolve(field: str, _df=df):
@@ -712,7 +742,8 @@ class LakeService:
                 # along
                 cfield = collapse["field"] if collapse else None
                 needed = list(dict.fromkeys(
-                    src_cols + fields + hl_fields + fout_cols
+                    src_cols + fields + [f for f, _, _ in hl_fields]
+                    + fout_cols
                     + ([cfield] if cfield and cfield in df.columns
                        else []))) or None
                 page = matched.select(*needed) if needed \
@@ -771,7 +802,8 @@ class LakeService:
                     total_exact = False
                     break
                 needed = list(dict.fromkeys(
-                    src_cols + hl_fields + fout_cols)) or None
+                    src_cols + [f for f, _, _ in hl_fields]
+                    + fout_cols)) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
                 rows = page.limit(budget).collect()
@@ -787,7 +819,8 @@ class LakeService:
                 # true pays a count, an integer bound scans at most
                 # n+1 rows, false pays nothing)
                 needed = list(dict.fromkeys(
-                    src_cols + hl_fields + fout_cols)) or None
+                    src_cols + [f for f, _, _ in hl_fields]
+                    + fout_cols)) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
                 row_budget = k - len(merged)
@@ -1068,10 +1101,6 @@ def _hit(
     """One response hit: filtered _source, optional sort values,
     optional ``fields`` arrays, optional highlight snippets
     (driver-side, returned rows only)."""
-    from sql_database_to_elastic_datalake_spark.plans.search import (
-        highlight_value,
-    )
-
     hit: dict[str, Any] = {
         "_index": name,
         "_source": {c: row[c] for c in src_cols},
@@ -1087,11 +1116,16 @@ def _hit(
         if fv:
             hit["fields"] = fv
     if hl_fields:
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            highlight_snippets,
+        )
+
         hl = {}
-        for f in hl_fields:
-            snip = highlight_value(row[f], hl_terms.get(f, []), pre, post)
-            if snip is not None:
-                hl[f] = [snip]
+        for f, fs, nof in hl_fields:
+            snips = highlight_snippets(
+                row[f], hl_terms.get(f, []), pre, post, fs, nof)
+            if snips:
+                hl[f] = snips
         if hl:
             hit["highlight"] = hl
     return hit
@@ -1445,7 +1479,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "table", "query", "k", "size", "from", "sort", "search_after",
         "aggs", "aggregations", "_source", "highlight",
         "post_filter", "collapse", "track_total_hits", "fields",
-        "suggest", "knn",
+        "suggest", "knn", "docvalue_fields",
     }
 
     def _page_size(body):
@@ -1556,7 +1590,14 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     post_filter=body.get("post_filter"),
                     collapse=body.get("collapse"),
                     track_total_hits=body.get("track_total_hits"),
-                    fields_opt=body.get("fields"),
+                    # docvalue_fields is the pre-8.x spelling of the
+                    # fields option — same {field, format} entries,
+                    # same hit["fields"] arrays (what older Kibana
+                    # sends by default); both merge into one list
+                    fields_opt=(
+                        ((body.get("fields") or [])
+                         + (body.get("docvalue_fields") or []))
+                        or None),
                     suggest=body.get("suggest"),
                     knn=body.get("knn"),
                 )

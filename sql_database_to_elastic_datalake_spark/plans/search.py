@@ -352,18 +352,8 @@ def collect_highlight_terms(
     return out
 
 
-def highlight_value(
-    text, terms: list[str], pre: str = "<em>", post: str = "</em>"
-) -> str | None:
-    """Wrap every (case-insensitive, overlap-merged) occurrence of any
-    term in ``text``; None when nothing matches (ES omits the field).
-    Documented divergence: the whole field value is returned as ONE
-    fragment — no fragment_size windowing (ES defaults to 100-char
-    fragments), since lake rows are columns, not long unstructured
-    bodies."""
-    if text is None or not terms:
-        return None
-    s = str(text)
+def _match_spans(s: str, terms: list[str]) -> list[tuple[int, int]]:
+    """Case-insensitive occurrence spans of any term, overlap-merged."""
     low = s.lower()
     spans: list[tuple[int, int]] = []
     for t in terms:
@@ -375,7 +365,7 @@ def highlight_value(
             spans.append((i, i + len(t)))
             start = i + 1
     if not spans:
-        return None
+        return []
     spans.sort()
     merged = [spans[0]]
     for a, b in spans[1:]:
@@ -383,13 +373,83 @@ def highlight_value(
             merged[-1] = (merged[-1][0], max(merged[-1][1], b))
         else:
             merged.append((a, b))
+    return merged
+
+
+def _wrap_spans(
+    s: str, spans: list[tuple[int, int]], pre: str, post: str
+) -> str:
     parts: list[str] = []
     prev = 0
-    for a, b in merged:
+    for a, b in spans:
         parts += [s[prev:a], pre, s[a:b], post]
         prev = b
     parts.append(s[prev:])
     return "".join(parts)
+
+
+def highlight_value(
+    text, terms: list[str], pre: str = "<em>", post: str = "</em>"
+) -> str | None:
+    """Wrap every (case-insensitive, overlap-merged) occurrence of any
+    term in ``text``; None when nothing matches (ES omits the field).
+    The whole field value comes back as ONE fragment — the
+    fragment-windowed form is :func:`highlight_snippets`."""
+    if text is None or not terms:
+        return None
+    s = str(text)
+    merged = _match_spans(s, terms)
+    if not merged:
+        return None
+    return _wrap_spans(s, merged, pre, post)
+
+
+def highlight_snippets(
+    text, terms: list[str], pre: str, post: str,
+    fragment_size: int | None,
+    number_of_fragments: int | None,
+) -> list[str] | None:
+    """ES-shaped highlight fragments: ``fragment_size``-char windows
+    centered on each match cluster, overlapping windows merged, the
+    first ``number_of_fragments`` in POSITION order (ES's
+    ``order: "none"`` default), matches wrapped inside each.
+
+    ``fragment_size`` None keeps the whole-value single fragment.
+    Documented divergence from ES's unified highlighter: windows
+    center on matches rather than snapping to sentence boundaries
+    (the lake has no sentence index), so fragment EDGES may differ
+    from ES while every wrapped match is identical."""
+    if text is None or not terms:
+        return None
+    s = str(text)
+    merged = _match_spans(s, terms)
+    if not merged:
+        return None
+    if fragment_size is None:
+        return [_wrap_spans(s, merged, pre, post)]
+    if number_of_fragments is not None and int(number_of_fragments) == 0:
+        # ES: number_of_fragments 0 = no fragmentation, whole value
+        return [_wrap_spans(s, merged, pre, post)]
+    fs = max(int(fragment_size), 1)
+    nof = int(number_of_fragments) if number_of_fragments else 5
+    windows: list[tuple[int, int]] = []
+    for a, b in merged:
+        half = max(fs - (b - a), 0) // 2
+        st = max(0, a - half)
+        en = min(len(s), max(st + fs, b))
+        if windows and st <= windows[-1][1]:
+            windows[-1] = (windows[-1][0], max(windows[-1][1], en))
+        else:
+            windows.append((st, en))
+    out: list[str] = []
+    for st, en in windows[:nof]:
+        inside = [(max(a, st), min(b, en)) for a, b in merged
+                  if a < en and b > st]
+        frag = _wrap_spans(s[st:en],
+                           [(a - st, b - st) for a, b in inside],
+                           pre, post)
+        out.append(frag)
+    return out
 
 
 def suggest_terms(

@@ -1000,3 +1000,62 @@ def test_knn_vector_search(service, spark):
         service.advanced_search(
             "data_lake_v", {"match_all": {}},
             knn={"field": "ghost", "query_vector": [1.0, 0.0]})
+
+
+def test_docvalue_fields_spelling(client, service, spark):
+    """r7: docvalue_fields (the pre-8.x Kibana spelling) feeds the
+    same fields-option machinery and merges with `fields`."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 2, 1))],
+        "id long, name string, ts timestamp",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_dv"))
+    r = client.post("/search/advanced", json={
+        "table": "data_lake_dv", "sort": [{"id": "asc"}],
+        "fields": ["name"],
+        "docvalue_fields": [{"field": "ts", "format": "epoch_millis"}],
+    })
+    assert r.status_code == 200
+    f = r.get_json()["hits"]["hits"][0]["fields"]
+    assert f["name"] == ["x"] and f["ts"] == [1706745600000]
+
+
+def test_highlight_fragment_windowing(service, spark):
+    """r7: fragment_size/number_of_fragments produce match-centered
+    windows (position order); number_of_fragments 0 = whole value;
+    per-field options override request-level ones."""
+    long = ("alpha " * 30) + "needle" + (" beta" * 30) + " needle end"
+    spark.createDataFrame(
+        [(1, long)], "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_hl"))
+    out = service.advanced_search(
+        "data_lake_hl", {"match": {"txt": "needle"}}, k=1,
+        highlight={"fields": {"txt": {}}, "fragment_size": 30})
+    frags = out["hits"]["hits"][0]["highlight"]["txt"]
+    assert len(frags) == 2
+    assert all("<em>needle</em>" in f for f in frags)
+    assert all(len(f) <= 30 + len("<em></em>") + len("needle")
+               for f in frags)
+    # number_of_fragments caps in position order
+    out = service.advanced_search(
+        "data_lake_hl", {"match": {"txt": "needle"}}, k=1,
+        highlight={"fields": {"txt": {"number_of_fragments": 1}},
+                   "fragment_size": 30})
+    frags = out["hits"]["hits"][0]["highlight"]["txt"]
+    assert len(frags) == 1 and "alpha" in frags[0]
+    # 0 = no fragmentation (ES), whole value comes back
+    out = service.advanced_search(
+        "data_lake_hl", {"match": {"txt": "needle"}}, k=1,
+        highlight={"fields": {"txt": {"number_of_fragments": 0}},
+                   "fragment_size": 30})
+    frags = out["hits"]["hits"][0]["highlight"]["txt"]
+    assert len(frags) == 1 and frags[0].endswith("end")
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="highlight options"):
+        service.advanced_search(
+            "data_lake_hl", {"match": {"txt": "needle"}},
+            highlight={"fields": {"txt": {}}, "boundary_scanner": "x"})
