@@ -5107,6 +5107,7 @@ _CHECK_FIRST = [
     "search_rescore_window",           # NEW: two-phase ranking
     "semdedup_embeddings",             # NEW: SemDeDup operator
     "search_knn_vector",               # NEW: ES 8.x knn body key
+    "corpus_cluster_profile",          # NEW: corpus cartography
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -5124,12 +5125,12 @@ _CHECK_FIRST = [
     "latest_event_per_key",
     "top3_events_per_user",
     "group_to_array",
-    "merge_upsert",
     # (paginate, point_lookup, history_versioning, ingest_accounting,
-    #  nested_labels_json and union_all_entities — flagship members —
-    #  yield their six slots to the late r7 additions this round only:
-    #  all r6-green and untouched, so their evidence stays within the
-    #  two-round policy; they re-front in r8.)
+    #  nested_labels_json, union_all_entities and merge_upsert —
+    #  flagship members — yield their seven slots to the late r7
+    #  additions this round only: all r6-green and untouched, so their
+    #  evidence stays within the two-round policy; they re-front in
+    #  r8.)
     # -- fill to 50: every fill slot was displaced by the r7-touched
     #    tier (39 entries) + the remaining flagship 11. The displaced
     #    queries lead the r8 fill, oldest-evidence first:

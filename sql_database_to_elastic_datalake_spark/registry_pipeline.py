@@ -557,6 +557,117 @@ def _ivf_fixed_oracle(
     """
 
 
+@register(
+    "corpus_cluster_profile",
+    # the same fixed-grid assignment CTE as the IVF/semdedup oracles,
+    # joined to documents; the top-lang pick and the LIMIT boundary
+    # are totalized by (n desc, lang) and (doc_count desc, cell)
+    oracle=None,  # set below — needs the centroid literals
+)
+def corpus_cluster_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus cartography (r7): per-semantic-cluster statistics —
+    doc count, average length, dominant language and its share — the
+    cluster-level profile that guides mixture weighting and curation
+    decisions (the reporting half of SemDeDup's clustering).
+
+    Spark shape: pure-map cell assignment (shared with
+    operators/ivf.py), ONE join to the documents table on the shared
+    id, ONE groupBy(cell, lang), then a per-cell window top-1 with the
+    totals riding the same window — no second aggregation pass."""
+    from pyspark.sql import Window
+
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        _with_fixed_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = _with_fixed_cells(emb, 16, _DIM, "embedding").select(
+        F.col("vec_id").alias("doc_id"), "cell")
+    g = (
+        assigned.join(docs.select("doc_id", "lang", "n_chars"),
+                      "doc_id")
+        .groupBy("cell", "lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("chars"))
+    )
+    w = Window.partitionBy("cell")
+    ranked = (
+        g.withColumn("doc_count", F.sum("n").over(w))
+        .withColumn("avg_chars",
+                    (F.sum("chars").over(w)
+                     / F.sum("n").over(w)).cast("double"))
+        .withColumn("__rn", F.row_number().over(
+            w.orderBy(F.col("n").desc(), F.col("lang").asc())))
+        .filter(F.col("__rn") == 1)
+    )
+    return ranked.select(
+        "cell", "doc_count", "avg_chars",
+        F.col("lang").alias("top_lang"),
+        (F.col("n") / F.col("doc_count")).cast("double")
+        .alias("top_lang_share"),
+    ).orderBy(F.col("doc_count").desc(), F.col("cell").asc()).limit(16)
+
+
+def _cluster_profile_oracle() -> str:
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+    )
+
+    cent_rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(fixed_grid_centroids(16, _DIM))
+    )
+    d2 = " + ".join(
+        f"(v[{i}]-c[{i}])*(v[{i}]-c[{i}])" for i in range(1, _DIM + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents(j, c) AS (VALUES
+        {cent_rows}),
+    cd AS (
+        SELECT e.vec_id, cents.j, {d2} AS d2 FROM e CROSS JOIN cents
+    ),
+    assign AS (
+        SELECT vec_id AS doc_id, j AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS crn
+            FROM cd
+        ) WHERE crn = 1
+    ),
+    g AS (
+        SELECT a.cell, d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(d.n_chars) AS chars
+        FROM assign a JOIN documents d USING (doc_id)
+        GROUP BY a.cell, d.lang
+    ),
+    ranked AS (
+        SELECT cell, lang, n,
+               CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT)
+                   AS doc_count,
+               CAST(SUM(chars) OVER (PARTITION BY cell) AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY cell) AS avg_chars,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY n DESC, lang ASC) AS rn
+        FROM g
+    )
+    SELECT cell, doc_count, avg_chars, lang AS top_lang,
+           CAST(n AS DOUBLE) / doc_count AS top_lang_share
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_count DESC, cell LIMIT 16
+    """
+
+
+# the oracle needs the centroid literals, built after the function
+from sql_database_to_elastic_datalake_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["corpus_cluster_profile"] = _cluster_profile_oracle()
+
+
 def _knn_oracle(k: int) -> str:
     """ES knn replayed in SQL: same fixed query vector (grid centroid
     0 — the shared closed form), same fold arithmetic, same
