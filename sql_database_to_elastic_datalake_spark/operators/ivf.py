@@ -196,24 +196,39 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    pairs: str = "matmul",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal by comparing embeddings WITHIN coarse
     clusters only — the pruning that makes embedding dedup feasible at
     corpus scale (pairwise work is per-cell, never corpus²).
 
-    Spark shape: the fixed-grid cell assignment is a pure map (the
-    same argmin-over-centroids expression as :func:`ivf_search_fixed`
-    — no shuffle), candidate pairs come from ONE cell-equality
-    self-join, and the keep policy is the deterministic
-    keep-minimum-id rule (a doc drops iff a lower-id doc in its cell
-    has cosine ≥ threshold with it) — one distinct + one left_anti.
+    The fixed-grid cell assignment is a pure map (the same
+    argmin-over-centroids expression as :func:`ivf_search_fixed` — no
+    shuffle); the keep policy is the deterministic keep-minimum-id
+    rule (a doc drops iff a lower-id doc in its cell has cosine ≥
+    threshold with it). A trained KMeans quantizer slots in via
+    :func:`train_ivf_centroids`/:func:`assign_cells` for production.
 
-    The fixed-grid quantizer keeps every stage SQL-expressible (the
-    DuckDB oracle replays assignment, pairing and the keep rule
-    bit-for-bit); a trained KMeans quantizer slots in via
-    :func:`train_ivf_centroids`/:func:`assign_cells` for production
-    (recall pytest-verified, same downstream plan).
+    ``pairs`` picks the within-cell pair engine:
+
+    * ``"matmul"`` (default, the scale path): ONE
+      ``applyInPandas`` over cells — each cell's similarity matrix is
+      a BLAS ``N @ N.T`` (Arrow moves n ROWS, never n² pairs; sf1
+      A/B in SCALE.md: 26 s → ~2 s). Summation order differs from the
+      SQL oracle's sequential fold by ~1e-15 relative — safe whenever
+      the threshold margin dwarfs it (measured ≥ 1e-5 on this corpus;
+      the two tiers are pytest-pinned equal).
+    * ``"join"`` (the oracle-arithmetic tier): cell-equality self-join
+      with the house sequential-fold dot — bit-identical to the DuckDB
+      replay by construction. Two hard-won plan notes: the pair stage
+      is quadratic in cell size while its shuffle INPUT is tiny, so
+      AQE's size-based coalescing would funnel the whole join onto ONE
+      partition (measured 98 s single-core vs 27 s spread at sf1) — a
+      user-specified ``repartition(n, cell)`` is exempt from
+      coalescing; and the fold must NOT be unrolled into a 64-term
+      sum (it falls out of whole-stage codegen inside the join filter
+      — measured 1.6-4x slower).
 
     Scale: identical pair-generation shape to the paper's — within-
     cluster quadratic, bounded by the largest cell. More cells = less
@@ -222,26 +237,74 @@ def semdedup(
     Returns the KEPT rows of ``embeddings`` (all original columns).
     """
     assigned = _with_fixed_cells(embeddings, nlist, dim, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("a"), F.col("_vec_d").alias("va"),
-        F.col("sq_norm").alias("na"), "cell",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("b"), F.col("_vec_d").alias("vb"),
-        F.col("sq_norm").alias("nb"), "cell",
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .filter(
-            (dot(F.col("va"), F.col("vb"))
-             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
-            .cast("double") >= threshold
+    if pairs == "matmul":
+        dropped = _matmul_dropped(assigned, id_col, threshold)
+    elif pairs == "join":
+        parallelism = max(
+            nlist,
+            embeddings.sparkSession.sparkContext.defaultParallelism)
+        a = assigned.select(
+            F.col(id_col).alias("a"), F.col("_vec_d").alias("va"),
+            F.col("sq_norm").alias("na"), "cell",
+        ).repartition(parallelism, F.col("cell"))
+        b = assigned.select(
+            F.col(id_col).alias("b"), F.col("_vec_d").alias("vb"),
+            F.col("sq_norm").alias("nb"), "cell",
+        ).repartition(parallelism, F.col("cell"))
+        dropped = (
+            a.join(b, "cell")
+            .filter(F.col("a") < F.col("b"))
+            .filter(
+                (dot(F.col("va"), F.col("vb"))
+                 / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
+                .cast("double") >= threshold
+            )
+            .select(F.col("b").alias(id_col))
+            .distinct()
         )
-        .select(F.col("b").alias(id_col))
-        .distinct()
-    )
+    else:
+        raise ValueError(f"unknown pairs engine {pairs!r}")
     return embeddings.join(dropped, id_col, "left_anti")
+
+
+def _matmul_dropped(
+    assigned: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-cell dropped ids via one Arrow-batched ``applyInPandas``:
+    the cell's normalized matrix against itself (BLAS), upper-triangle
+    threshold test, drop the higher id of each qualifying pair. The
+    sanctioned Python tier — the work is genuinely matrix-shaped and
+    the transfer is linear in rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField(id_col, LongType())])
+
+    def drop_in_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.array(pdf["_vec_d"].to_list(), dtype=np.float64)[order]
+        norms = np.sqrt((v * v).sum(axis=1))
+        ok = norms > 0  # zero vectors have no cosine (the join tier's
+        ids = ids[ok]   # null comparison drops them the same way)
+        v = v[ok]
+        if len(ids) < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        n = v / norms[ok][:, None]
+        s = n @ n.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = s[iu] >= threshold
+        return pd.DataFrame(
+            {id_col: ids[np.unique(iu[1][hit])].astype("int64")})
+
+    return (
+        assigned.select(id_col, "_vec_d", "cell")
+        .groupBy("cell")
+        .applyInPandas(drop_in_cell, schema)
+    )
 
 
 def _with_fixed_cells(

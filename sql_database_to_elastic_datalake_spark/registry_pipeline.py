@@ -766,7 +766,7 @@ def _semdedup_oracle(threshold: float, nlist: int) -> str:
 
 @register(
     "semdedup_embeddings",
-    oracle=_semdedup_oracle(threshold=0.4, nlist=16),
+    oracle=_semdedup_oracle(threshold=0.4, nlist=64),
 )
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) — semantic near-dup removal by
@@ -779,7 +779,10 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, threshold=0.4, nlist=16).select(
+    # 64 cells: the paper's cost knob — pair volume is Σ cell², and
+    # the sf1 rehearsal measured 16 cells leaving ~15M pairs vs ~3M
+    # at 64 (skewed real embeddings concentrate; see SCALE.md)
+    return semdedup(emb, threshold=0.4, nlist=64).select(
         "vec_id", "label")
 
 

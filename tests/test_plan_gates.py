@@ -347,11 +347,11 @@ GATES = {
         shuffles=3, smj_max=0, bhj_min=1, wgl=True,
         scans={"documents": (1, [])},
     ),
-    # SemDeDup: ONE cell-equality pair join + the anti join — two
-    # shuffles; more would mean the pure-map assignment regressed to a
-    # ranked shuffle
+    # SemDeDup (matmul tier): ONE shuffle into the per-cell
+    # applyInPandas, broadcast anti-join back; a sort-merge here would
+    # mean the dropped set stopped broadcasting
     "semdedup_embeddings": dict(
-        shuffles=2, smj_max=2, bhj_min=0, wgl=False,
+        shuffles=1, smj_max=0, bhj_min=1, wgl=False,
         scans={"embeddings": (2, [])},
     ),
 }

@@ -24,3 +24,23 @@ def test_semdedup_keep_minimum_id(spark):
     assert kept == [1, 3]  # 2 drops to its lower-id near-dup
     # a threshold nothing reaches keeps everything
     assert semdedup(emb, threshold=1.1).count() == 3
+
+
+def test_semdedup_pair_tiers_agree(spark):
+    """The matmul (BLAS) and join (oracle-arithmetic) pair engines
+    produce the same kept set — the documented margin condition (the
+    threshold gap dwarfs summation-order noise)."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        semdedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(r["vec_id"] for r in semdedup(
+        emb, 0.4, nlist=64, pairs="join").select("vec_id").collect())
+    b = sorted(r["vec_id"] for r in semdedup(
+        emb, 0.4, nlist=64, pairs="matmul").select("vec_id").collect())
+    assert a == b and len(a) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pairs engine"):
+        semdedup(emb, 0.4, pairs="gpu")
