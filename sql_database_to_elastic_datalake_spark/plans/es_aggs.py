@@ -2556,6 +2556,23 @@ def _nested_envelope(df: DataFrame, path: str, sub: dict | None) -> dict:
     return env
 
 
+
+def _strip_meta(sub_aggs):
+    """Drop ``meta`` keys from sub-agg specs recursively — accepted
+    and ignored below the top level (it is pure client metadata; the
+    top-level echo is the part Kibana reads back)."""
+    if not isinstance(sub_aggs, dict):
+        return sub_aggs
+    out = {}
+    for name, spec in sub_aggs.items():
+        if isinstance(spec, dict):
+            spec = {k: (_strip_meta(v) if k in ("aggs", "aggregations")
+                        else v)
+                    for k, v in spec.items() if k != "meta"}
+        out[name] = spec
+    return out
+
+
 def run_aggs(
     df: DataFrame,
     aggs: dict,
@@ -2590,8 +2607,14 @@ def run_aggs(
             continue
         if not isinstance(spec, dict):
             raise DslError(f"aggregation {name!r} must be an object")
-        sub = spec.get("aggs") or spec.get("aggregations")
-        kinds = [k for k in spec if k not in ("aggs", "aggregations")]
+        # sub-agg `meta` is accepted-and-ignored (pure client metadata
+        # — it cannot change results; the top-level echo below is what
+        # Kibana reads back)
+        sub = _strip_meta(spec.get("aggs") or spec.get("aggregations"))
+        # `meta` is ES's client-metadata echo (Kibana stamps every agg
+        # with one) — not an agg type
+        kinds = [k for k in spec
+                 if k not in ("aggs", "aggregations", "meta")]
         if len(kinds) != 1:
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind = kinds[0]
@@ -2883,9 +2906,30 @@ def run_aggs(
                 else {nm: fbucket(nm) for nm in bnames}
             )}
         elif kind == "filter":
-            row = filter_frame(df, body, sub, schema_fields).collect()[0]
-            env: dict[str, Any] = {"doc_count": row["doc_count"]}
-            env.update(_metric_envelope(row, sub))
+            has_bucket = any(
+                isinstance(s2, dict)
+                and next((x for x in s2
+                          if x not in ("aggs", "aggregations", "meta")),
+                         None) not in
+                (*_METRICS, "stats", "percentiles", "missing",
+                 "extended_stats", "percentile_ranks", "weighted_avg")
+                for s2 in (sub or {}).values()
+            )
+            if has_bucket:
+                # bucket sub-aggs under filter (Kibana's filtered
+                # panel): recurse over the filtered scope — one extra
+                # job per sub-tree, exactly ES's cost
+                pred = compile_dsl(body, schema_fields=schema_fields)
+                scoped = df.filter(pred)
+                env = {"doc_count": scoped.count()}
+                env.update(run_aggs(scoped, sub,
+                                    schema_fields=schema_fields,
+                                    background=background))
+            else:
+                row = filter_frame(df, body, sub,
+                                   schema_fields).collect()[0]
+                env = {"doc_count": row["doc_count"]}
+                env.update(_metric_envelope(row, sub))
             out[name] = env
         elif kind == "global":
             # ES's global bucket: sub-aggs see the WHOLE index, not
@@ -3044,4 +3088,11 @@ def run_aggs(
     # regardless of body order (ES resolves buckets_path the same way)
     for name, (kind, body) in sibling_pipes.items():
         out[name] = _sibling_pipeline_envelope(kind, body, out)
+    # echo `meta` verbatim like ES (Kibana reads it back to map
+    # responses to panels); metric aggs computed in the shared job get
+    # theirs too
+    for name, spec in aggs.items():
+        if isinstance(spec, dict) and "meta" in spec \
+                and isinstance(out.get(name), dict):
+            out[name]["meta"] = spec["meta"]
     return out

@@ -1622,6 +1622,51 @@ def search_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_filter_buckets",
+    # bucket sub-aggs under a filter agg (Kibana's filtered panel):
+    # the recursion sees exactly the filtered scope
+    oracle="""
+    WITH scoped AS (
+        SELECT * FROM documents WHERE n_chars >= 200
+    )
+    SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(n_chars) AS avg_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM scoped)
+               AS filter_count
+    FROM scoped WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY doc_count DESC, key LIMIT 10
+    """,
+)
+def search_aggs_filter_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucket sub-aggregations under a ``filter`` agg (r7 — previously
+    a named error): the sub-tree recurses over the filtered scope, one
+    extra job per sub-tree (ES's own cost); metric-only filter subs
+    keep the single conditional-aggregation job. ``meta`` echoes
+    verbatim at the top level like ES (Kibana stamps every agg)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"long_docs": {
+        "filter": {"range": {"n_chars": {"gte": 200}}},
+        "meta": {"panel": "longdocs"},
+        "aggs": {"langs": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+        }},
+    }}, schema_fields=docs.columns)
+    env = out["long_docs"]
+    assert env["meta"] == {"panel": "longdocs"}
+    flat = [(b["key"], b["doc_count"], b["avg_chars"]["value"],
+             env["doc_count"])
+            for b in env["langs"]["buckets"]]
+    return spark.createDataFrame(
+        flat, "key string, doc_count long, avg_chars double, "
+              "filter_count long")
+
+
+@register(
     "search_aggs_global",
     # the global bucket ignores the query scope: langs count over the
     # WHOLE table while the request was en-scoped
@@ -5108,6 +5153,7 @@ _CHECK_FIRST = [
     "semdedup_embeddings",             # NEW: SemDeDup operator
     "search_knn_vector",               # NEW: ES 8.x knn body key
     "corpus_cluster_profile",          # NEW: corpus cartography
+    "search_aggs_filter_buckets",      # NEW: filter>bucket recursion
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -5124,13 +5170,12 @@ _CHECK_FIRST = [
     "filter_project",
     "latest_event_per_key",
     "top3_events_per_user",
-    "group_to_array",
     # (paginate, point_lookup, history_versioning, ingest_accounting,
-    #  nested_labels_json, union_all_entities and merge_upsert —
-    #  flagship members — yield their seven slots to the late r7
-    #  additions this round only: all r6-green and untouched, so their
-    #  evidence stays within the two-round policy; they re-front in
-    #  r8.)
+    #  nested_labels_json, union_all_entities, merge_upsert and
+    #  group_to_array — flagship members — yield their eight slots to
+    #  the late r7 additions this round only: all r6-green and
+    #  untouched, so their evidence stays within the two-round policy;
+    #  they re-front in r8.)
     # -- fill to 50: every fill slot was displaced by the r7-touched
     #    tier (39 entries) + the remaining flagship 11. The displaced
     #    queries lead the r8 fill, oldest-evidence first:

@@ -2015,3 +2015,38 @@ def test_global_and_adjacency_matrix(docs):
     assert b == {"en": 3, "short": 3, "en+short": 1}
     with pytest.raises(DslError, match="named filters"):
         run_aggs(docs, {"am": {"adjacency_matrix": {}}})
+
+
+def test_filter_bucket_subaggs_and_meta(docs):
+    """r7: bucket sub-aggs under filter recurse over the filtered
+    scope; `meta` echoes verbatim at the top level and is
+    accepted-and-ignored on sub-aggs (pure client metadata)."""
+    out = run_aggs(docs, {"f": {
+        "filter": {"range": {"n_chars": {"gte": 200}}},
+        "meta": {"panel": 7},
+        "aggs": {"langs": {
+            "terms": {"field": "lang"},
+            "meta": {"inner": True},
+            "aggs": {"mx": {"max": {"field": "n_chars"},
+                            "meta": {"deep": 1}}},
+        }},
+    }})
+    env = out["f"]
+    # n_chars >= 200: docs 2(en,300), 3(de,200), 4(de,400), 6(None,999)
+    assert env["doc_count"] == 4
+    assert env["meta"] == {"panel": 7}
+    b = {x["key"]: x for x in env["langs"]["buckets"]}
+    assert b["de"]["doc_count"] == 2
+    assert b["de"]["mx"]["value"] == 400
+    assert b["en"]["mx"]["value"] == 300
+    # metric-only filter subs keep the one-job conditional path
+    out = run_aggs(docs, {"f": {
+        "filter": {"term": {"lang": "en"}},
+        "aggs": {"mx": {"max": {"field": "n_chars"}}},
+        "meta": "anything",
+    }})
+    assert out["f"] == {"doc_count": 3, "mx": {"value": 300},
+                        "meta": "anything"}
+    # meta alone is still not an agg type
+    with pytest.raises(DslError, match="exactly one type"):
+        run_aggs(docs, {"f": {"meta": {"x": 1}}})
