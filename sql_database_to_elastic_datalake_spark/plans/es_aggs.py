@@ -249,9 +249,34 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
     agg)."""
     cols: list[Column] = []
     for name, spec in (sub_aggs or {}).items():
-        if not isinstance(spec, dict) or len(spec) != 1:
+        if not isinstance(spec, dict):
+            raise DslError(f"aggregation {name!r} must be an object")
+        kinds = [k for k in spec if k not in ("aggs", "aggregations")]
+        if len(kinds) != 1:
             raise DslError(f"aggregation {name!r} must have exactly one type")
-        kind, body = next(iter(spec.items()))
+        kind, body = kinds[0], spec[kinds[0]]
+        if kind == "filter":
+            # a filter sub-agg with metric-only children rides the
+            # SAME aggregation job as its parent bucket — gated
+            # conditional aggregates, exactly the filters-agg shape
+            # (Kibana's terms>filter panels; bucket children inside it
+            # still name-error via the gated dispatch)
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl \
+                import _ns
+
+            pred = _ns(compile_dsl(body))
+            cols.append(
+                F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+                .alias(f"{prefix}{name}|doc_count"))
+            inner = spec.get("aggs") or spec.get("aggregations") or {}
+            cols.extend(_gated_metric_cols(
+                pred, inner, prefix=f"{prefix}{name}|"))
+            continue
+        if len(spec) != 1:
+            raise DslError(
+                f"sub-aggregations under {name!r} ({kind}) are not "
+                "supported here"
+            )
         if kind == "weighted_avg":
             # no top-level field: value/weight sub-objects instead
             check_agg_keys(kind, body)
@@ -333,8 +358,15 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
 def _metric_envelope(row, sub_aggs: dict, prefix: str = "") -> dict:
     out = {}
     for name, spec in (sub_aggs or {}).items():
-        kind = next(iter(spec))
-        if kind == "weighted_avg":
+        kind = next(k for k in spec
+                    if k not in ("aggs", "aggregations"))
+        if kind == "filter":
+            env = {"doc_count": row[f"{prefix}{name}|doc_count"]}
+            env.update(_metric_envelope(
+                row, spec.get("aggs") or spec.get("aggregations")
+                or {}, prefix=f"{prefix}{name}|"))
+            out[name] = env
+        elif kind == "weighted_avg":
             w = row[f"{prefix}{name}.w"]
             out[name] = {"value":
                          (row[f"{prefix}{name}.vw"] / w)
@@ -2255,9 +2287,20 @@ def filter_frame(
     pred = compile_dsl(body, schema_fields=schema_fields)
     cols = [F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
             .alias("doc_count")]
-    for name, spec in (sub_aggs or {}).items():
+    cols.extend(_gated_metric_cols(pred, sub_aggs or {}))
+    return df.agg(*cols)
+
+
+def _gated_metric_cols(
+    pred: Column, sub_aggs: dict, prefix: str = ""
+) -> list[Column]:
+    """Metric aggregate Columns gated by a predicate — the shared
+    conditional-aggregation shape of the filter/filters aggs and of
+    filter sub-aggs riding a parent bucket's groupBy."""
+    cols: list[Column] = []
+    for name, spec in sub_aggs.items():
         kind, mbody = next(iter(spec.items()))
-        field = mbody.get("field")
+        field = mbody.get("field") if isinstance(mbody, dict) else None
         if field is None:
             raise DslError(f"aggregation {name!r} ({kind}) requires a field")
         check_agg_keys(kind, mbody)
@@ -2265,23 +2308,23 @@ def filter_frame(
         if kind == "stats":
             for stat, fn in (("count", F.count), ("min", F.min),
                              ("max", F.max), ("avg", F.avg), ("sum", F.sum)):
-                cols.append(fn(gated).alias(f"{name}.{stat}"))
+                cols.append(fn(gated).alias(f"{prefix}{name}.{stat}"))
         elif kind == "percentiles":
             for p in mbody.get("percents", _DEFAULT_PERCENTS):
                 cols.append(
                     F.percentile(gated, F.lit(float(p) / 100.0))
-                    .alias(f"{name}%{float(p)}")
+                    .alias(f"{prefix}{name}%{float(p)}")
                 )
         elif kind == "missing":
             cols.append(
                 F.sum(F.when(pred & F.col(field).isNull(), 1).otherwise(0))
-                .cast("bigint").alias(name)
+                .cast("bigint").alias(f"{prefix}{name}")
             )
         elif kind in _METRICS:
-            cols.append(_METRICS[kind](gated).alias(name))
+            cols.append(_METRICS[kind](gated).alias(f"{prefix}{name}"))
         else:
             raise DslError(f"unsupported sub-aggregation kind {kind!r}")
-    return df.agg(*cols)
+    return cols
 
 
 def _key_envelope(v) -> Any:

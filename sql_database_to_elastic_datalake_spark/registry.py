@@ -1622,6 +1622,44 @@ def search_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_terms_filter",
+    # a filter sub-agg under terms = gated conditional aggregates in
+    # the SAME groupBy — the oracle mirrors with CASE sums
+    oracle="""
+    SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS long_count,
+           AVG(CASE WHEN n_chars >= 300 THEN n_chars END)
+               AS long_avg
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY doc_count DESC, key LIMIT 10
+    """,
+)
+def search_aggs_terms_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``terms > filter > metrics`` (r7 — Kibana's per-bucket filtered
+    metric): the filter sub-agg rides the parent groupBy as gated
+    conditional aggregates — ONE job, no per-bucket recursion."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {"long": {
+            "filter": {"range": {"n_chars": {"gte": 300}}},
+            "aggs": {"long_avg": {"avg": {"field": "n_chars"}}},
+        }},
+    }}, schema_fields=docs.columns)
+    flat = [(b["key"], b["doc_count"], b["long"]["doc_count"],
+             b["long"]["long_avg"]["value"])
+            for b in out["langs"]["buckets"]]
+    return spark.createDataFrame(
+        flat, "key string, doc_count long, long_count long, "
+              "long_avg double")
+
+
+@register(
     "search_aggs_filter_buckets",
     # bucket sub-aggs under a filter agg (Kibana's filtered panel):
     # the recursion sees exactly the filtered scope
@@ -5154,6 +5192,7 @@ _CHECK_FIRST = [
     "search_knn_vector",               # NEW: ES 8.x knn body key
     "corpus_cluster_profile",          # NEW: corpus cartography
     "search_aggs_filter_buckets",      # NEW: filter>bucket recursion
+    "search_aggs_terms_filter",        # NEW: terms>filter gated aggs
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -5169,13 +5208,12 @@ _CHECK_FIRST = [
     "pricing_summary",
     "filter_project",
     "latest_event_per_key",
-    "top3_events_per_user",
     # (paginate, point_lookup, history_versioning, ingest_accounting,
-    #  nested_labels_json, union_all_entities, merge_upsert and
-    #  group_to_array — flagship members — yield their eight slots to
-    #  the late r7 additions this round only: all r6-green and
-    #  untouched, so their evidence stays within the two-round policy;
-    #  they re-front in r8.)
+    #  nested_labels_json, union_all_entities, merge_upsert,
+    #  group_to_array and top3_events_per_user — flagship members —
+    #  yield their nine slots to the late r7 additions this round
+    #  only: all r6-green and untouched, so their evidence stays
+    #  within the two-round policy; they re-front in r8.)
     # -- fill to 50: every fill slot was displaced by the r7-touched
     #    tier (39 entries) + the remaining flagship 11. The displaced
     #    queries lead the r8 fill, oldest-evidence first:

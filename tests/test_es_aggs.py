@@ -2050,3 +2050,32 @@ def test_filter_bucket_subaggs_and_meta(docs):
     # meta alone is still not an agg type
     with pytest.raises(DslError, match="exactly one type"):
         run_aggs(docs, {"f": {"meta": {"x": 1}}})
+
+
+def test_terms_filter_subagg_one_job(docs):
+    """r7: a filter sub-agg with metric children rides the parent
+    terms groupBy as gated conditional aggregates — no per-bucket
+    recursion, no extra job."""
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang"},
+        "aggs": {
+            "short": {"filter": {"range": {"n_chars": {"lte": 200}}},
+                      "aggs": {"mx": {"max": {"field": "n_chars"}}}},
+            "avg_c": {"avg": {"field": "n_chars"}},
+        },
+    }})
+    b = {x["key"]: x for x in out["langs"]["buckets"]}
+    # en: docs 1(100), 2(300), 7(null) → short: doc1 only
+    assert b["en"]["short"] == {"doc_count": 1, "mx": {"value": 100}}
+    # de: 200, 400 → short: the 200 one
+    assert b["de"]["short"] == {"doc_count": 1, "mx": {"value": 200}}
+    assert b["fr"]["short"]["doc_count"] == 1
+    # under histogram buckets too (same _metric_cols path)
+    out = run_aggs(docs, {"sizes": {
+        "histogram": {"field": "n_chars", "interval": 500},
+        "aggs": {"en_only": {"filter": {"term": {"lang": "en"}}}},
+    }})
+    # bucket 0 holds en docs 1+2; bucket 500 holds only the null-lang
+    # doc 6, so its gated count is 0
+    assert [x["en_only"]["doc_count"]
+            for x in out["sizes"]["buckets"]] == [2, 0]
