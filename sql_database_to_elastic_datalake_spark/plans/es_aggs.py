@@ -2616,6 +2616,25 @@ def _strip_meta(sub_aggs):
     return out
 
 
+
+_METRIC_KINDS = (*_METRICS, "stats", "percentiles", "missing",
+                 "extended_stats", "percentile_ranks", "weighted_avg",
+                 "filter")
+
+
+def _has_bucket_subs(sub) -> bool:
+    """True when any sub-agg is a bucket kind (needs scope recursion
+    rather than the one-job gated-metric path; `filter` counts as a
+    metric here because it rides the parent job gated)."""
+    return any(
+        isinstance(s, dict)
+        and next((x for x in s
+                  if x not in ("aggs", "aggregations", "meta")),
+                 None) not in _METRIC_KINDS
+        for s in (sub or {}).values()
+    )
+
+
 def run_aggs(
     df: DataFrame,
     aggs: dict,
@@ -2851,6 +2870,41 @@ def run_aggs(
             else:
                 out[name] = {"buckets": buckets}
         elif kind == "range":
+            if _has_bucket_subs(sub):
+                # bucket sub-trees under range bands (Kibana's
+                # banded drill-down): recurse per band over the band
+                # predicate — one job set per band, ES's cost
+                buckets = []
+                c = F.col(body["field"])
+                for r in body["ranges"]:
+                    pred = c.isNotNull()
+                    parts = []
+                    if r.get("from") is not None:
+                        pred = pred & (c >= F.lit(r["from"]))
+                        parts.append(str(r["from"]))
+                    else:
+                        parts.append("*")
+                    if r.get("to") is not None:
+                        pred = pred & (c < F.lit(r["to"]))
+                        parts.append(str(r["to"]))
+                    else:
+                        parts.append("*")
+                    scoped = df.filter(pred)
+                    b = {"doc_count": scoped.count()}
+                    if r.get("from") is not None:
+                        b["from"] = r["from"]
+                    if r.get("to") is not None:
+                        b["to"] = r["to"]
+                    b["key"] = r.get("key", "-".join(parts))
+                    b.update(run_aggs(scoped, sub,
+                                      schema_fields=schema_fields,
+                                      background=background))
+                    buckets.append(b)
+                out[name] = {"buckets": ({b.pop("key"): b
+                                          for b in buckets}
+                                         if body.get("keyed")
+                                         else buckets)}
+                continue
             row = range_frame(df, body, sub).collect()[0]
             buckets = []
             for i, r in enumerate(body["ranges"]):
@@ -2923,6 +2977,29 @@ def run_aggs(
         elif kind == "filters":
             specs = body.get("filters")
             anon = isinstance(specs, list)
+            if _has_bucket_subs(sub):
+                # bucket sub-trees under named filters: recurse per
+                # filter over its compiled predicate
+                fspecs = ({str(i): q for i, q in enumerate(specs)}
+                          if anon else specs)
+                if body.get("other_bucket") or \
+                        body.get("other_bucket_key"):
+                    raise DslError(
+                        "other_bucket with bucket sub-aggregations is "
+                        "not supported"
+                    )
+                fbuckets = {}
+                for fname, q in (fspecs or {}).items():
+                    scoped = df.filter(compile_dsl(
+                        q, schema_fields=schema_fields))
+                    env = {"doc_count": scoped.count()}
+                    env.update(run_aggs(scoped, sub,
+                                        schema_fields=schema_fields,
+                                        background=background))
+                    fbuckets[fname] = env
+                out[name] = {"buckets": (list(fbuckets.values())
+                                         if anon else fbuckets)}
+                continue
             row = filters_frame(df, body, sub, schema_fields).collect()[0]
             bnames = [str(i) for i in range(len(specs))] if anon \
                 else list(specs)
@@ -2949,16 +3026,7 @@ def run_aggs(
                 else {nm: fbucket(nm) for nm in bnames}
             )}
         elif kind == "filter":
-            has_bucket = any(
-                isinstance(s2, dict)
-                and next((x for x in s2
-                          if x not in ("aggs", "aggregations", "meta")),
-                         None) not in
-                (*_METRICS, "stats", "percentiles", "missing",
-                 "extended_stats", "percentile_ranks", "weighted_avg")
-                for s2 in (sub or {}).values()
-            )
-            if has_bucket:
+            if _has_bucket_subs(sub):
                 # bucket sub-aggs under filter (Kibana's filtered
                 # panel): recurse over the filtered scope — one extra
                 # job per sub-tree, exactly ES's cost

@@ -1622,6 +1622,46 @@ def search_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_aggs_range_buckets",
+    # bucket sub-trees under range bands recurse per band; the oracle
+    # replays each band scope with its own group-by
+    oracle="""
+    WITH banded AS (
+        SELECT CASE WHEN n_chars < 300 THEN '*-300'
+                    ELSE '300-*' END AS band,
+               lang
+        FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT band, lang AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM banded WHERE lang IS NOT NULL
+    GROUP BY band, lang
+    ORDER BY band, doc_count DESC, key
+    """,
+)
+def search_aggs_range_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucket sub-aggregations under ``range`` bands (r7): each band's
+    sub-tree recurses over the band scope — Kibana's banded drill-down
+    panel, at ES's own one-job-set-per-band cost."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"bands": {
+        "range": {"field": "n_chars",
+                  "ranges": [{"to": 300}, {"from": 300}]},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    }}, schema_fields=docs.columns)
+    flat = [
+        (b["key"], lb["key"], lb["doc_count"])
+        for b in out["bands"]["buckets"]
+        for lb in b["langs"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "band string, key string, doc_count long")
+
+
+@register(
     "search_aggs_terms_filter",
     # a filter sub-agg under terms = gated conditional aggregates in
     # the SAME groupBy — the oracle mirrors with CASE sums
@@ -5193,6 +5233,7 @@ _CHECK_FIRST = [
     "corpus_cluster_profile",          # NEW: corpus cartography
     "search_aggs_filter_buckets",      # NEW: filter>bucket recursion
     "search_aggs_terms_filter",        # NEW: terms>filter gated aggs
+    "search_aggs_range_buckets",       # NEW: range>bucket recursion
     "search_aggs_filters",             # NEW: filters (plural) agg
     "search_aggs_date_range",          # NEW: date_range bands
     "search_aggs_terms_include",       # NEW: terms include/exclude
@@ -5207,13 +5248,13 @@ _CHECK_FIRST = [
     "denormalized_orders",
     "pricing_summary",
     "filter_project",
-    "latest_event_per_key",
     # (paginate, point_lookup, history_versioning, ingest_accounting,
     #  nested_labels_json, union_all_entities, merge_upsert,
-    #  group_to_array and top3_events_per_user — flagship members —
-    #  yield their nine slots to the late r7 additions this round
-    #  only: all r6-green and untouched, so their evidence stays
-    #  within the two-round policy; they re-front in r8.)
+    #  group_to_array, top3_events_per_user and latest_event_per_key —
+    #  flagship members — yield their ten slots to the late r7
+    #  additions this round only: all r6-green and untouched, so their
+    #  evidence stays within the two-round policy; they re-front in
+    #  r8.)
     # -- fill to 50: every fill slot was displaced by the r7-touched
     #    tier (39 entries) + the remaining flagship 11. The displaced
     #    queries lead the r8 fill, oldest-evidence first:

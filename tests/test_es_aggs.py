@@ -2079,3 +2079,36 @@ def test_terms_filter_subagg_one_job(docs):
     # doc 6, so its gated count is 0
     assert [x["en_only"]["doc_count"]
             for x in out["sizes"]["buckets"]] == [2, 0]
+
+
+def test_range_and_filters_bucket_subaggs(docs):
+    """r7: bucket sub-trees under range bands and named filters
+    recurse over each band/filter scope (one job set per band, ES's
+    cost); other_bucket with bucket subs is a named error."""
+    out = run_aggs(docs, {"bands": {
+        "range": {"field": "n_chars",
+                  "ranges": [{"to": 250}, {"from": 250}]},
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+    }})
+    b = out["bands"]["buckets"]
+    # < 250: 100(en), 200(de), 50(fr); >= 250: 300(en), 400(de),
+    # 999(null lang — counts in the band, not in a lang bucket)
+    assert b[0]["doc_count"] == 3 and b[1]["doc_count"] == 3
+    assert {x["key"]: x["doc_count"]
+            for x in b[0]["langs"]["buckets"]} == \
+        {"en": 1, "de": 1, "fr": 1}
+    assert {x["key"]: x["doc_count"]
+            for x in b[1]["langs"]["buckets"]} == {"en": 1, "de": 1}
+    out = run_aggs(docs, {"f": {
+        "filters": {"filters": {"en": {"term": {"lang": "en"}}}},
+        "aggs": {"days": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day"}}},
+    }})
+    env = out["f"]["buckets"]["en"]
+    assert env["doc_count"] == 3
+    assert [x["doc_count"] for x in env["days"]["buckets"]] == [3]
+    with pytest.raises(DslError, match="other_bucket"):
+        run_aggs(docs, {"f": {
+            "filters": {"filters": {"en": {"term": {"lang": "en"}}},
+                        "other_bucket": True},
+            "aggs": {"t": {"terms": {"field": "lang"}}}}})
