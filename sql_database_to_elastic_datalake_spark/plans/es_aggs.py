@@ -251,7 +251,8 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
     for name, spec in (sub_aggs or {}).items():
         if not isinstance(spec, dict):
             raise DslError(f"aggregation {name!r} must be an object")
-        kinds = [k for k in spec if k not in ("aggs", "aggregations")]
+        kinds = [k for k in spec
+                 if k not in ("aggs", "aggregations", "meta")]
         if len(kinds) != 1:
             raise DslError(f"aggregation {name!r} must have exactly one type")
         kind, body = kinds[0], spec[kinds[0]]
@@ -272,7 +273,7 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
             cols.extend(_gated_metric_cols(
                 pred, inner, prefix=f"{prefix}{name}|"))
             continue
-        if len(spec) != 1:
+        if spec.get("aggs") or spec.get("aggregations"):
             raise DslError(
                 f"sub-aggregations under {name!r} ({kind}) are not "
                 "supported here"
@@ -359,7 +360,7 @@ def _metric_envelope(row, sub_aggs: dict, prefix: str = "") -> dict:
     out = {}
     for name, spec in (sub_aggs or {}).items():
         kind = next(k for k in spec
-                    if k not in ("aggs", "aggregations"))
+                    if k not in ("aggs", "aggregations", "meta"))
         if kind == "filter":
             env = {"doc_count": row[f"{prefix}{name}|doc_count"]}
             env.update(_metric_envelope(
@@ -925,8 +926,19 @@ def auto_date_histogram_plan(
                  F.max(field).alias("mx")).collect()[0]
     if row["mn"] is None:
         return None, ladder[0][0]
-    mn_e = int(row["mn"].replace(tzinfo=_dt.timezone.utc).timestamp())
-    mx_e = int(row["mx"].replace(tzinfo=_dt.timezone.utc).timestamp())
+    mn, mx = row["mn"], row["mx"]
+    if isinstance(mn, _dt.date) and not isinstance(mn, _dt.datetime):
+        # DATE-typed field: midnight-anchor the bounds so the epoch
+        # grid math below works (date.replace rejects tzinfo)
+        mn = _dt.datetime.combine(mn, _dt.time.min)
+        mx = _dt.datetime.combine(mx, _dt.time.min)
+    if not isinstance(mn, _dt.datetime):
+        raise DslError(
+            f"auto_date_histogram field {field!r} is not a date/"
+            "timestamp column"
+        )
+    mn_e = int(mn.replace(tzinfo=_dt.timezone.utc).timestamp())
+    mx_e = int(mx.replace(tzinfo=_dt.timezone.utc).timestamp())
     label = ladder[-1][0]
     for lbl, secs in ladder:
         # EXACT bucket count on the epoch-floored grid (a span-based
@@ -2600,6 +2612,20 @@ def _nested_envelope(df: DataFrame, path: str, sub: dict | None) -> dict:
 
 
 
+def _agg_kind(spec):
+    """The agg-type key of one agg spec: the single key that is not
+    ``aggs``/``aggregations``/``meta``. ES JSON key order is
+    client-controlled, so ``meta`` (or the sub-``aggs`` block) may
+    legally precede the type — ``next(iter(spec))`` would mis-route
+    those specs. Returns None when the spec is malformed (zero or
+    several type keys); callers treat that as "not this partition" and
+    the main dispatcher raises the named error."""
+    if not isinstance(spec, dict):
+        return None
+    kinds = [k for k in spec if k not in ("aggs", "aggregations", "meta")]
+    return kinds[0] if len(kinds) == 1 else None
+
+
 def _strip_meta(sub_aggs):
     """Drop ``meta`` keys from sub-agg specs recursively — accepted
     and ignored below the top level (it is pure client metadata; the
@@ -2655,7 +2681,7 @@ def run_aggs(
     # all TOP-LEVEL metric aggs share one job
     top_metrics = {
         n: s for n, s in aggs.items()
-        if isinstance(s, dict) and next(iter(s), None) in
+        if _agg_kind(s) in
         (*_METRICS, "stats", "percentiles", "missing",
          "extended_stats", "percentile_ranks", "weighted_avg")
     }
@@ -2733,17 +2759,15 @@ def run_aggs(
         elif kind == "terms":
             top_hits = {
                 n: s for n, s in (sub or {}).items()
-                if isinstance(s, dict) and next(iter(s), None) == "top_hits"
+                if _agg_kind(s) == "top_hits"
             }
             parent_pipes = {
                 n: s for n, s in (sub or {}).items()
-                if isinstance(s, dict)
-                and next(iter(s), None) in _PARENT_PIPELINES
+                if _agg_kind(s) in _PARENT_PIPELINES
             }
             top_mets = {
                 n: s for n, s in (sub or {}).items()
-                if isinstance(s, dict)
-                and next(iter(s), None) == "top_metrics"
+                if _agg_kind(s) == "top_metrics"
             }
             metrics = {n: s for n, s in (sub or {}).items()
                        if n not in top_hits and n not in parent_pipes
@@ -2842,8 +2866,7 @@ def run_aggs(
             sub = sub or {}
             parent_pipes = {
                 n: s for n, s in sub.items()
-                if isinstance(s, dict)
-                and next(iter(s), None) in _PARENT_PIPELINES
+                if _agg_kind(s) in _PARENT_PIPELINES
             }
             sub = {n: s for n, s in sub.items() if n not in parent_pipes}
             rows = histogram_frame(df, kind, body, sub).collect()

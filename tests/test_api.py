@@ -897,6 +897,17 @@ def test_suggest_term_suggester(service, spark):
         suggest={"fix": {"text": "merge", "term": {
             "field": "txt", "suggest_mode": "always"}}})
     assert out["suggest"]["fix"][0]["options"][0]["text"] == "merges"
+    # offsets are spans in the ORIGINAL text: case-folding 'İ' grows
+    # it to two codepoints, which used to shift every later offset
+    # (r7 ADVICE fix — spans now come from finditer, never re-finding
+    # lowered tokens)
+    out = service.advanced_search(
+        "data_lake_sg", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "İ spak",
+                         "term": {"field": "txt"}}})
+    ent = out["suggest"]["fix"]
+    assert [(e["text"], e["offset"], e["length"]) for e in ent] == \
+        [("spak", 2, 4)]
     with pytest.raises(DslError, match="completion"):
         service.advanced_search(
             "data_lake_sg", {"match_all": {}},
@@ -941,9 +952,11 @@ def test_rescore_two_phase_ranking(service, spark):
         "query": {"rescore_query": {"match": {"extra": "loop"}},
                   "score_mode": "multiply"}})
     hits = out["hits"]["hits"]
-    # combined: doc1 3·1=3, doc2 1·4=4, doc3 2·0=0
+    # combined: doc1 3·1=3, doc2 1·4=4; doc3 does NOT match the
+    # rescore query, so ES keeps query_weight·original = 2 — multiply
+    # must not zero it out (r7 ADVICE fix)
     assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
-        [(2, 4.0), (1, 3.0), (3, 0.0)]
+        [(2, 4.0), (1, 3.0), (3, 2.0)]
     with pytest.raises(DslError, match="rescore_query kind"):
         service.search("spark", ["data_lake_r"], rescore={
             "query": {"rescore_query": {"term": {"extra": "loop"}}}})
@@ -992,6 +1005,14 @@ def test_knn_vector_search(service, spark):
              "similarity": 0.99})
     assert [h["_source"]["id"]
             for h in out["hits"]["hits"]] == [1, 2]
+    # knn.k smaller than size caps BOTH the page and the total — ES
+    # returns at most knn.k hits when knn is the only query; the page
+    # must not backfill with docs beyond the k nearest (r8 fix)
+    out = service.advanced_search(
+        "data_lake_v", {"match_all": {}}, k=3,
+        knn={"field": "vec", "query_vector": [1.0, 0.0], "k": 1})
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [1]
+    assert out["hits"]["total"]["value"] == 1
     with pytest.raises(DslError, match="knn is not supported with"):
         service.advanced_search(
             "data_lake_v", {"match_all": {}}, sort=[{"id": "asc"}],

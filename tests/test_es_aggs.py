@@ -1869,6 +1869,28 @@ def test_auto_date_histogram(docs):
             "field": "ts", "minimum_interval": "fortnight"}}})
 
 
+def test_auto_date_histogram_date_typed_field(spark):
+    """r8 (r7 ADVICE): a DATE-typed field used to raise a bare
+    TypeError (date.replace rejects tzinfo) — bounds are now
+    midnight-anchored and the agg runs; a non-date column is a named
+    400, not an unnamed 500."""
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2)),
+         (3, dt.date(2024, 1, 5))],
+        "id long, d date",
+    )
+    out = run_aggs(df, {"a": {
+        "auto_date_histogram": {"field": "d", "buckets": 10},
+    }})
+    # Jan 1 → Jan 5 midnight-anchored: 9 12-hour buckets fit in 10
+    assert out["a"]["interval"] == "12h"
+    assert [x["doc_count"] for x in out["a"]["buckets"]] == \
+        [1, 0, 1, 0, 0, 0, 0, 0, 1]
+    with pytest.raises(DslError, match="not a date"):
+        run_aggs(df, {"a": {"auto_date_histogram": {
+            "field": "id", "buckets": 10}}})
+
+
 def test_nested_and_reverse_nested(spark):
     """r7: nested agg switches scope to array elements (ONE explode,
     no shuffle before the groupBy); reverse_nested counts DISTINCT
@@ -2050,6 +2072,31 @@ def test_filter_bucket_subaggs_and_meta(docs):
     # meta alone is still not an agg type
     with pytest.raises(DslError, match="exactly one type"):
         run_aggs(docs, {"f": {"meta": {"x": 1}}})
+
+
+def test_meta_key_order_does_not_change_routing(docs):
+    """r8 (r7 ADVICE): ES JSON key order is client-controlled — a
+    `meta` key listed BEFORE the agg type must not knock a metric off
+    the shared-job fast path (it used to fall through to the bucket
+    dispatcher and 400)."""
+    out = run_aggs(docs, {"a": {"meta": {"ui": 1},
+                                "avg": {"field": "n_chars"}}})
+    assert out["a"]["value"] == pytest.approx(2049 / 6)
+    assert out["a"]["meta"] == {"ui": 1}
+    # same for the sub-agg partitions (top_hits / top_metrics /
+    # parent pipelines detected under a terms parent)
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang"},
+        "aggs": {
+            "tm": {"meta": {"x": 2}, "top_metrics": {
+                "metrics": {"field": "n_chars"},
+                "sort": {"n_chars": "desc"}}},
+            "mx": {"meta": {"y": 3}, "max": {"field": "n_chars"}},
+        },
+    }})
+    b = {x["key"]: x for x in out["langs"]["buckets"]}
+    assert b["en"]["mx"]["value"] == 300
+    assert b["en"]["tm"]["top"][0]["metrics"]["n_chars"] == 300
 
 
 def test_terms_filter_subagg_one_job(docs):
