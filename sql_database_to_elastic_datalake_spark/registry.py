@@ -5189,88 +5189,68 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r7-touched: code or oracle changed THIS round (rotation rule:
+    # -- r9-touched tier: code changed THIS round (rotation rule:
     #    nothing ships with driver evidence older than its last
-    #    change). Seven NEW queries (date_histogram time_zone/offset,
-    #    metric-ordered nested chains, composite missing_bucket,
-    #    ranked-path offset paging, query_string bracket ranges,
-    #    match_phrase slop, fuzziness-in-match); bucket_key /
-    #    histogram_frame / composite_frame and the query_string parser
-    #    changed, so their existing query family re-fronts too.
-    "search_aggs_timezone",            # NEW: tz/offset bucket rounding
-    "search_aggs_nested_metric_order",  # NEW: order-by-metric chains
-    "search_aggs_composite_missing",   # NEW: missing_bucket paging
-    "search_ranked_offset_page",       # NEW: from on the ranked path
-    "search_dsl_qs_ranges",            # NEW: [a TO b] bracket ranges
-    "search_dsl_phrase_slop",          # NEW: sloppy phrase match
-    "search_dsl_match_fuzzy",          # NEW: fuzziness inside match
-    "search_dsl_qs_fuzzy",             # NEW: ~ / "…"~N / /regex/ ops
-    "search_aggs_histogram_offset",    # NEW: numeric histogram offset
-    "search_aggs_siblings",            # NEW: sibling bucket sub-aggs
-    "search_aggs_chain_top_hits",      # NEW: top_hits inside a chain
-    "search_aggs_pipeline",            # NEW: pipeline agg family
-    "search_aggs_tsvb_math",           # NEW: bucket_script/moving_fn
-    "search_aggs_bucket_sort",         # NEW: selector + sort page
-    "search_aggs_percentiles_bucket",  # NEW: sibling percentiles
-    "search_aggs_multi_terms",         # NEW: Lens multi-field terms
-    "search_aggs_rare_terms",          # NEW: long-tail buckets
-    "search_aggs_auto_interval",       # NEW: auto_date_histogram
-    "search_aggs_nested_parent",       # NEW: nested + reverse_nested
-    "search_aggs_extended_stats",      # NEW: ext-stats/ranks/wavg/mad
-    "search_aggs_top_metrics",         # NEW: Lens last-value
-    "search_dsl_compound",             # NEW: dis_max/boosting/pinned
-    "search_dsl_combined_fields",      # NEW: term-centric + mbp
-    "search_sort_options",             # NEW: sort missing placement
-    "search_sort_mode_array",          # NEW: array sort mode
-    "search_fields_retrieval",         # NEW: fields option
-    "search_min_score",                # NEW: relevance floor
-    "search_aggs_global",              # NEW: global bucket
-    "search_aggs_adjacency",           # NEW: adjacency_matrix
-    "search_suggest_terms",            # NEW: term suggester
-    "search_rescore_window",           # NEW: two-phase ranking
-    "semdedup_embeddings",             # NEW: SemDeDup operator
-    "search_knn_vector",               # NEW: ES 8.x knn body key
-    "corpus_cluster_profile",          # NEW: corpus cartography
-    "search_aggs_filter_buckets",      # NEW: filter>bucket recursion
-    "search_aggs_terms_filter",        # NEW: terms>filter gated aggs
-    "search_aggs_range_buckets",       # NEW: range>bucket recursion
-    "search_aggs_filters",             # NEW: filters (plural) agg
-    "search_aggs_date_range",          # NEW: date_range bands
-    "search_aggs_terms_include",       # NEW: terms include/exclude
-    "search_aggs_date_histogram",      # bucket_key changed (tz path)
-    "search_aggs_histogram_gaps",      # histogram_frame gap-fill split
-    "search_aggs_composite_page",      # composite_frame cursor/nulls
-    "search_aggs_nested_levels",       # nested collect budget + keys
-    "search_dsl_query_string",         # parser gained bracket ranges
-    "search_dsl_simple_qs",            # parser leniency path touched
-    "search_from_size_page",           # offset_page shared with ranked
-    # -- core-§2 flagship set: keep driver evidence <=1 round stale --
+    #    change). New r9 queries are prepended here by the commits
+    #    that introduce them; the fill tier below is trimmed from its
+    #    tail to hold the window at exactly 50.
+    "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
+    "search_suggest_terms",     # r9: shared token pattern (ADVICE)
+    "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
+    "search_aggs_nested_levels",   # r9: sub-agg _agg_kind dispatch fix
+    "search_aggs_chain_top_hits",  # r9: sub-agg _agg_kind dispatch fix
+    # -- core-§2 flagship 13: the ten below re-front after yielding
+    #    their slots in r7/r8 (evidence r6, the oldest any flagship
+    #    member may carry under the two-round policy).
     "denormalized_orders",
     "pricing_summary",
     "filter_project",
-    # (paginate, point_lookup, history_versioning, ingest_accounting,
-    #  nested_labels_json, union_all_entities, merge_upsert,
-    #  group_to_array, top3_events_per_user and latest_event_per_key —
-    #  flagship members — yield their ten slots to the late r7
-    #  additions this round only: all r6-green and untouched, so their
-    #  evidence stays within the two-round policy; they re-front in
-    #  r8.)
-    # -- fill to 50: every fill slot was displaced by the r7-touched
-    #    tier (39 entries) + the remaining flagship 11. The displaced
-    #    queries lead the r8 fill, oldest-evidence first:
-    # (leakage_safe_split,
-    #  text_repetition, array_functions_docs, corpus_composition,
-    #  incremental_sync_events, gdpr_delete_sync,
-    #  multimodal_frame_sample, text_cosine_pairs,
-    #  data_quality_audit, late_data_profile, value_histogram,
-    #  value_outliers_mad, event_transition_matrix,
-    #  revenue_share_by_segment, key_skew_report,
-    #  join_explosion_estimate, snapshot_diff, wow_growth,
-    #  weighted_sample_docs, rag_context_assembly,
-    #  dedup_keep_canonical, orders_revenue_7d_ma and
-    #  curriculum_deciles displaced to keep the window at exactly 50
-    #  after the late r7 additions — they lead the r8 fill,
-    #  oldest-evidence first)
+    "paginate",
+    "point_lookup",
+    "history_versioning",
+    "ingest_accounting",
+    "nested_labels_json",
+    "union_all_entities",
+    "merge_upsert",
+    "group_to_array",
+    "top3_events_per_user",
+    "latest_event_per_key",
+    # -- fill to 50: the 44 queries whose driver evidence dates to
+    #    round 3 (the oldest in the registry), in registration order.
+    #    The first 32 fit this window; the remainder
+    #    (events_hourly_heatmap onward) lead the r10 fill.
+    "incremental_sync_events",
+    "leakage_safe_split",
+    "text_repetition",
+    "array_functions_docs",
+    "corpus_composition",
+    "gdpr_delete_sync",
+    "multimodal_frame_sample",
+    "text_cosine_pairs",
+    "data_quality_audit",
+    "late_data_profile",
+    "value_histogram",
+    "value_outliers_mad",
+    "event_transition_matrix",
+    "revenue_share_by_segment",
+    "key_skew_report",
+    "join_explosion_estimate",
+    "snapshot_diff",
+    "wow_growth",
+    "weighted_sample_docs",
+    "rag_context_assembly",
+    "dedup_keep_canonical",
+    "orders_revenue_7d_ma",
+    "curriculum_deciles",
+    "mixture_rebalance_rates",
+    "rfm_segmentation",
+    "doc_keywords",
+    "events_hourly_heatmap",
+    "events_anomaly_days",
+    "user_feature_table",
+    "lang_id_confusion",
+    "type_share_drift",
+    "chunk_level_dedup",
 ]
 
 
