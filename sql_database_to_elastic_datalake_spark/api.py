@@ -977,10 +977,9 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
     does not maintain; named 400). One distributed job per suggester
     (:func:`plans.search.suggest_terms`); the envelope mirrors ES:
     one entry per input token with offset/length and scored options."""
-    import re as _re
-
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
         DslError,
+        token_spans,
     )
     from sql_database_to_elastic_datalake_spark.plans.search import (
         suggest_terms,
@@ -1011,8 +1010,16 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
         if not field:
             raise DslError(f"suggester {name!r} requires a field")
         text = str(spec["text"])
+        # One analyzer pass (plans.es_dsl.token_spans, the shared
+        # TOKEN_RE) yields BOTH the envelope entries (offsets index the
+        # original request text — case folding like 'İ' → 'i̇' can
+        # change lengths, so lowered text is never scanned) AND the
+        # token list the Spark job scores, so an entry exists for every
+        # token the job can return candidates for, by construction
+        # (r8 ADVICE: deriving them from two patterns let them desync).
+        spans = token_spans(text)
         rows = []
-        if field in df.columns:
+        if field in df.columns and spans:
             rows = suggest_terms(
                 df, field, text,
                 size=int(body.get("size", 5)),
@@ -1020,23 +1027,17 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                 prefix_length=int(body.get("prefix_length", 1)),
                 min_doc_freq=int(body.get("min_doc_freq", 1)),
                 suggest_mode=str(body.get("suggest_mode", "missing")),
+                tokens=[t for t, _, _ in spans],
             ).collect()
         by_token: dict[str, list] = {}
         for r in rows:
             by_token.setdefault(r["token"], []).append(
                 {"text": r["candidate"], "score": r["score"],
                  "freq": r["freq"]})
-        # token spans come from finditer over the ORIGINAL text, not
-        # from re-finding lowered tokens: case-folding can change the
-        # text's length ('İ' lowers to the two-codepoint 'i̇'), which
-        # would shift offsets or return -1 (r7 ADVICE). Offsets here
-        # are exact positions in the request text by construction.
         entries = []
-        for m in _re.finditer(r"[0-9a-zA-Z]+", text):
-            tok = m.group().lower()
+        for tok, off, ln in spans:
             entries.append({
-                "text": tok, "offset": m.start(),
-                "length": len(m.group()),
+                "text": tok, "offset": off, "length": ln,
                 "options": by_token.get(tok, []),
             })
         out[name] = entries

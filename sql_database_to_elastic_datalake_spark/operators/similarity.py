@@ -260,12 +260,14 @@ def knn_search(
     path when the corpus outgrows one pass.
 
     Plan: one scan → dot/norm column algebra (zip_with fold, no UDF)
-    → TakeOrdered(k) with a deterministic tie-break on the table's id
-    column (``id``/``*_id``) alone — that is already a total order, and
-    comparing one narrow key beats comparing every remaining column
-    (including wide text) per TakeOrdered comparison (r7 verdict nit);
-    tables without an id-named column fall back to all non-vector
-    columns. Null/zero vectors score null and drop.
+    → TakeOrdered(k) with a deterministic tie-break: an exact ``id``
+    column leads if present (unique by construction in this data
+    model), else the first ``*_id`` column — but a foreign-key
+    ``*_id`` is NOT necessarily unique, so the remaining non-vector
+    columns always follow as lower-priority sort keys. Comparisons
+    short-circuit on the first key, so the narrow-key perf win is
+    kept while exact-score ties stay deterministic even when the
+    leading column repeats. Null/zero vectors score null and drop.
     """
     q = [float(x) for x in query_vector]
     qn = sum(x * x for x in q) ** 0.5
@@ -285,8 +287,12 @@ def knn_search(
         .drop("_vec_d", "sq_norm")
     )
     others = [c for c in df.columns if c != vec_col]
-    ids = [c for c in others if c == "id" or c.endswith("_id")]
-    tie = ids[:1] if ids else others
+    if "id" in others:
+        lead = ["id"]
+    else:
+        suffixed = [c for c in others if c.endswith("_id")]
+        lead = suffixed[:1]
+    tie = [*lead, *[c for c in others if c not in lead]]
     order = [F.col("_score").desc()] + [
         F.col(c).asc_nulls_first() for c in tie
     ]

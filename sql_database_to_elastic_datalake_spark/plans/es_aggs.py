@@ -550,7 +550,10 @@ def _terms_order(body: dict, sub_aggs: dict | None) -> list[Column]:
             if base not in (sub_aggs or {}):
                 raise DslError(
                     f"terms order references unknown sub-agg {target!r}")
-            kind = next(iter(sub_aggs[base]))
+            kind = _agg_kind(sub_aggs[base])
+            if kind is None:
+                raise DslError(
+                    f"malformed sub-agg spec for terms order {target!r}")
             if kind == "stats":
                 if stat not in ("count", "min", "max", "avg", "sum"):
                     raise DslError(
@@ -2264,7 +2267,12 @@ def filters_frame(
             .alias(f"{name} doc_count")
         )
         for mname, spec in (sub_aggs or {}).items():
-            kind, mbody = next(iter(spec.items()))
+            kind = _agg_kind(spec)
+            if kind is None:
+                raise DslError(
+                    f"malformed sub-aggregation spec {mname!r}")
+            _reject_metric_subaggs(mname, kind, spec)
+            mbody = spec[kind]
             if mbody.get("field") is None:
                 raise DslError(
                     f"aggregation {mname!r} ({kind}) requires a field")
@@ -2303,6 +2311,20 @@ def filter_frame(
     return df.agg(*cols)
 
 
+def _reject_metric_subaggs(name: str, kind: str, spec: dict) -> None:
+    """A metric agg cannot accept sub-aggregations (ES names the same
+    error). Key order is client-controlled, so the ``aggs`` block may
+    precede the type — now that dispatch resolves the type via
+    :func:`_agg_kind` (r8 ADVICE: these sites used the first key), the
+    stray block must be rejected rather than silently dropped."""
+    nested = spec.get("aggs") or spec.get("aggregations")
+    if nested:
+        raise DslError(
+            f"sub-aggregations under {name!r} ({kind}) are not "
+            "supported here"
+        )
+
+
 def _gated_metric_cols(
     pred: Column, sub_aggs: dict, prefix: str = ""
 ) -> list[Column]:
@@ -2311,7 +2333,11 @@ def _gated_metric_cols(
     filter sub-aggs riding a parent bucket's groupBy."""
     cols: list[Column] = []
     for name, spec in sub_aggs.items():
-        kind, mbody = next(iter(spec.items()))
+        kind = _agg_kind(spec)
+        if kind is None:
+            raise DslError(f"malformed sub-aggregation spec {name!r}")
+        _reject_metric_subaggs(name, kind, spec)
+        mbody = spec[kind]
         field = mbody.get("field") if isinstance(mbody, dict) else None
         if field is None:
             raise DslError(f"aggregation {name!r} ({kind}) requires a field")
@@ -3033,7 +3059,7 @@ def run_aggs(
             def fbucket(nm: str) -> dict:
                 b: dict[str, Any] = {"doc_count": row[f"{nm} doc_count"]}
                 for mname, spec in (sub or {}).items():
-                    mk = next(iter(spec))
+                    mk = _agg_kind(spec)
                     if mk == "stats":
                         b[mname] = {
                             stat: row[f"{nm} {mname}.{stat}"]

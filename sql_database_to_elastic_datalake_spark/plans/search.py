@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    TOKEN_SPLIT_RE,
     DslError,
     compile_dsl,
     tf_score,
@@ -461,6 +462,7 @@ def suggest_terms(
     prefix_length: int = 1,
     min_doc_freq: int = 1,
     suggest_mode: str = "missing",
+    tokens: list[str] | None = None,
 ) -> DataFrame:
     """The ES *term suggester* ("did you mean"): per input token, the
     closest corpus terms by edit distance, weighted by frequency.
@@ -493,7 +495,13 @@ def suggest_terms(
 
     if suggest_mode not in ("missing", "popular", "always"):
         raise DslError(f"unknown suggest_mode {suggest_mode!r}")
-    tokens = list(dict.fromkeys(tokenize(str(text))))
+    # The API envelope passes the token list it derived via
+    # token_spans() over the original request text, so the job scores
+    # exactly the tokens the envelope will surface (r8 ADVICE: deriving
+    # them independently let case folding produce job tokens with no
+    # entry). Standalone callers fall back to the match analyzer.
+    tokens = list(dict.fromkeys(
+        tokens if tokens is not None else tokenize(str(text))))
     if not tokens:
         return df.sparkSession.createDataFrame(
             [], "token string, candidate string, freq long, "
@@ -503,7 +511,7 @@ def suggest_terms(
     # the match queries use
     toks_col = F.array_distinct(
         F.split(F.lower(F.col(field).cast("string")),
-                "[^0-9a-zA-Z]+"))
+                TOKEN_SPLIT_RE))
     dict_df = (
         df.select(F.explode(toks_col).alias("candidate"))
         .filter(F.length("candidate") > 0)

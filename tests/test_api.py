@@ -908,6 +908,19 @@ def test_suggest_term_suggester(service, spark):
     ent = out["suggest"]["fix"]
     assert [(e["text"], e["offset"], e["length"]) for e in ent] == \
         [("spak", 2, 4)]
+    # r9 (r8 ADVICE): the job scores exactly the tokens the envelope
+    # emits — one shared analyzer pass. 'İstanbul' lower-folds to
+    # 'i̇stanbul', which used to hand the job a token 'i' that no
+    # entry could ever surface; now both sides see only 'stanbul'
+    # (offset 1 in the original text) and the candidates land on it
+    out = service.advanced_search(
+        "data_lake_sg", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "İstanbul spak",
+                         "term": {"field": "txt"}}})
+    ent = out["suggest"]["fix"]
+    assert [(e["text"], e["offset"], e["length"]) for e in ent] == \
+        [("stanbul", 1, 7), ("spak", 9, 4)]
+    assert ent[1]["options"][0]["text"] == "spark"
     with pytest.raises(DslError, match="completion"):
         service.advanced_search(
             "data_lake_sg", {"match_all": {}},

@@ -2159,3 +2159,44 @@ def test_range_and_filters_bucket_subaggs(docs):
             "filters": {"filters": {"en": {"term": {"lang": "en"}}},
                         "other_bucket": True},
             "aggs": {"t": {"terms": {"field": "lang"}}}}})
+
+
+def test_subagg_key_order_does_not_change_dispatch(docs):
+    """r9 (r8 ADVICE): the remaining first-key dispatch sites — terms
+    ``order`` targets and the filter/filters gated-metric loops — now
+    resolve the agg type via ``_agg_kind``, so an ``aggs`` block
+    listed BEFORE the type can no longer mis-route the spec."""
+    # terms frame: the error must name the resolved kind ('avg'),
+    # not the literal first key ('aggs')
+    with pytest.raises(DslError, match=r"'m' \(avg\)"):
+        run_aggs(docs, {"l": {
+            "terms": {"field": "lang", "order": {"m": "desc"}},
+            "aggs": {"m": {"aggs": {"x": {"max": {"field": "n_chars"}}},
+                           "avg": {"field": "n_chars"}}},
+        }})
+    # filter agg gated metrics: a stray aggs block next to a metric is
+    # a named rejection (ES: metrics cannot accept sub-aggregations),
+    # never a silent drop or an 'unsupported kind aggs' mis-route
+    with pytest.raises(DslError, match=r"'m' \(avg\)"):
+        run_aggs(docs, {"f": {
+            "filter": {"term": {"lang": "en"}},
+            "aggs": {"m": {"aggs": {"x": {"max": {"field": "n_chars"}}},
+                           "avg": {"field": "n_chars"}}},
+        }})
+    # filters (plural) frame: same guard on its own metric loop
+    with pytest.raises(DslError, match=r"'m' \(avg\)"):
+        run_aggs(docs, {"f": {
+            "filters": {"filters": {"en": {"term": {"lang": "en"}}}},
+            "aggs": {"m": {"aggs": {"x": {"max": {"field": "n_chars"}}},
+                           "avg": {"field": "n_chars"}}},
+        }})
+    # positive routing pin: order by a metric whose spec lists 'aggs'
+    # last vs first must behave identically — here with meta riding
+    # the spec, the type still resolves and the order applies
+    out = run_aggs(docs, {"l": {
+        "terms": {"field": "lang", "order": {"m": "asc"}},
+        "aggs": {"m": {"meta": {"ui": 1}, "avg": {"field": "n_chars"}}},
+    }})
+    keys = [b["key"] for b in out["l"]["buckets"]]
+    avgs = [b["m"]["value"] for b in out["l"]["buckets"]]
+    assert avgs == sorted(avgs) and len(keys) == len(set(keys))

@@ -432,3 +432,28 @@ def test_r7_compound_leaves(docs):
         "organic": {"term": {"kind": "b"}}}}) == [2, 3]
     with pytest.raises(DslError, match="queries"):
         run(docs, {"dis_max": {"queries": []}})
+
+
+def test_token_spans_shared_analyzer():
+    """r9: one shared TOKEN_RE drives tokenize(), the corpus split
+    pattern and the suggest envelope's offset scan. token_spans scans
+    the ORIGINAL text (offsets index the request as sent) and a
+    non-token codepoint is a break — never an entry — so the suggest
+    job and envelope agree by construction."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        TOKEN_SPLIT_RE,
+        token_spans,
+        tokenize,
+    )
+
+    assert token_spans("Spak tabel") == [("spak", 0, 4),
+                                         ("tabel", 5, 5)]
+    # 'İ' is outside the token class: a break in the original text,
+    # though lower-first tokenize() still folds it to an 'i' token
+    # (the match analyzer mirrors the Spark-side lower-then-split)
+    assert token_spans("İstanbul") == [("stanbul", 1, 7)]
+    assert tokenize("İstanbul") == ["i", "stanbul"]
+    # the split pattern is the complement of the match pattern
+    import re
+
+    assert re.compile(TOKEN_SPLIT_RE).split("a-b c") == ["a", "b", "c"]

@@ -44,3 +44,31 @@ def test_semdedup_pair_tiers_agree(spark):
 
     with _pytest.raises(ValueError, match="pairs engine"):
         semdedup(emb, 0.4, pairs="gpu")
+
+
+def test_knn_tiebreak_prefers_exact_id_and_stays_total(spark):
+    """r9 (r8 ADVICE): the knn tie-break must lead with an exact
+    ``id`` column even when a ``*_id`` foreign key precedes it in the
+    schema, and a non-unique lead key must fall through to the
+    remaining columns so exact-score ties stay deterministic."""
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        knn_search,
+    )
+
+    # user_id precedes id in the schema and would win a first-match
+    # scan; both rows tie at cosine 1.0, so the orders differ
+    df = spark.createDataFrame(
+        [(2, 1, [1.0, 0.0]), (1, 2, [2.0, 0.0])],
+        "user_id long, id long, vec array<float>")
+    got = [r["id"] for r in
+           knn_search(df, "vec", [1.0, 0.0], k=2).collect()]
+    assert got == [1, 2]
+    # no exact id: the first *_id leads, but it is a NON-unique
+    # foreign key — the remaining columns must break the tie
+    df2 = spark.createDataFrame(
+        [(7, "b", [1.0, 0.0]), (7, "a", [3.0, 0.0])],
+        "user_id long, tag string, vec array<float>")
+    for _ in range(3):
+        got = [r["tag"] for r in
+               knn_search(df2, "vec", [1.0, 0.0], k=2).collect()]
+        assert got == ["a", "b"]
