@@ -458,6 +458,137 @@ class LakeService:
             "hits": hits,
         }}
 
+    def _scored_search(
+        self, names: list, dsl: dict, k: int, from_: int,
+        source, fields_opt, aggs, suggest, post_filter,
+        track_total_hits,
+    ) -> dict[str, Any]:
+        """The RANKED page for a top-level ``function_score`` /
+        ``script_score`` query (r9): (predicate, score) compiled by
+        :mod:`.plans.score_dsl` into pure column algebra, page ordered
+        by the computed ``_score``.
+
+        Plan shape per table: one scan → filter → score column →
+        TakeOrdered(from+size) with the deterministic tie-break
+        (:func:`.operators.similarity.tiebreak_columns`); totals ride
+        the TakeOrdered via an Observation (exact, one job). Pattern
+        requests merge per-table pages by score (cross-table score
+        ties break on table name, then per-table rank — stable).
+
+        ``aggs`` see the matched-and-min_score'd set (min_score is
+        query membership here, unlike the post-hoc request-level
+        floor); ``post_filter`` then narrows hits and totals only —
+        the standard faceted contract. Note the tie-break projects
+        every orderable column, so ``_source`` filtering does not
+        shrink this scan the way it does on unranked pages — the
+        determinism contract is worth more than the pruning."""
+        from pyspark.sql import Observation
+        from pyspark.sql.types import (
+            DateType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        from sql_database_to_elastic_datalake_spark.operators.similarity import (
+            tiebreak_columns,
+        )
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            function_score_columns,
+            script_score_columns,
+        )
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            resolve_source_columns,
+        )
+
+        kind = next(iter(dsl))
+        body = dsl[kind]
+        merged: list[tuple] = []
+        total_value = 0
+        aggregations = suggestions = None
+        for name in names:
+            df = self.spark.read.parquet(
+                os.path.join(self.lake_dir, name))
+
+            def resolve(f: str, _df=df):
+                return (F.col(f) if f in _df.columns
+                        else F.lit(None).cast("string"))
+
+            try:
+                if kind == "function_score":
+                    date_fields = {
+                        f.name for f in df.schema.fields
+                        if isinstance(f.dataType, (
+                            DateType, TimestampType, TimestampNTZType))
+                    }
+                    pred, score, ms = function_score_columns(
+                        body, resolve, df.columns, date_fields)
+                else:
+                    pred, score, ms = script_score_columns(
+                        body, resolve, df.columns)
+            except DslError:
+                raise
+            except Exception:
+                if len(names) == 1:
+                    raise
+                continue  # pattern member that can't express the query
+            # a null score (missing field, log of a non-positive …)
+            # drops the hit — the documented refuse-silently-wrong
+            # posture (score_dsl.script_column)
+            scored = (df.filter(pred)
+                      .withColumn("_score", score)
+                      .filter(F.col("_score").isNotNull()))
+            if ms is not None:
+                scored = scored.filter(F.col("_score") >= F.lit(ms))
+            if aggs:
+                from sql_database_to_elastic_datalake_spark.plans.es_aggs \
+                    import run_aggs
+
+                aggregations = run_aggs(
+                    scored.drop("_score"), aggs,
+                    schema_fields=df.columns, background=df)
+            if suggest:
+                suggestions = _run_suggest(df, suggest)
+            if post_filter is not None:
+                scored = scored.filter(compile_dsl(
+                    post_filter, field_resolver=resolve,
+                    schema_fields=df.columns))
+            if k == 0:
+                if track_total_hits is not False:
+                    total_value += scored.count()
+                continue
+            src_cols = resolve_source_columns(df.columns, source)
+            fout = _resolve_fields_option(fields_opt, df.columns)
+            fout_cols = [c for c, _ in fout]
+            tie = tiebreak_columns(df)
+            needed = list(dict.fromkeys(
+                src_cols + fout_cols + tie + ["_score"]))
+            page = scored.select(*needed)
+            obs = None
+            if track_total_hits is not False:
+                obs = Observation()
+                page = page.observe(obs, F.count(F.lit(1)).alias("n"))
+            order = [F.col("_score").desc()] + [
+                F.col(c).asc_nulls_first() for c in tie]
+            rows = page.orderBy(*order).limit(from_ + k).collect()
+            if obs is not None:
+                total_value += obs.get["n"]
+            for i, r in enumerate(rows):
+                h = {**_hit(name, r, src_cols, [], {}, "", "",
+                            fields_out=fout),
+                     "_score": r["_score"]}
+                merged.append((-r["_score"], name, i, h))
+        merged.sort(key=lambda t: t[:3])
+        hits = [h for _, _, _, h in merged[from_:from_ + k]]
+        out: dict[str, Any] = {"hits": {"hits": hits}}
+        if track_total_hits is not False:
+            out["hits"]["total"] = {
+                "value": total_value, "relation": "eq"}
+        if aggregations is not None:
+            out["aggregations"] = aggregations
+        if suggestions is not None:
+            out["suggest"] = suggestions
+        return out
+
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10,
         aggs: dict | None = None,
@@ -592,6 +723,30 @@ class LakeService:
             return self._knn_search(
                 names[0], knn, dsl, k=k, from_=from_, source=source,
                 fields_opt=fields_opt)
+        if (isinstance(dsl, dict) and len(dsl) == 1
+                and next(iter(dsl)) in ("function_score",
+                                        "script_score")
+                and not sort):
+            # top-level scoring query with no explicit sort: the
+            # computed score IS the order (the ranked path). With an
+            # explicit sort, scoring cannot affect the response and
+            # the body compiles as membership below (filter context).
+            if from_ < 0:
+                raise DslError("from must be a non-negative integer")
+            for bad, val in (("collapse", collapse),
+                             ("search_after", search_after),
+                             ("highlight", highlight)):
+                if val:
+                    raise DslError(
+                        f"{next(iter(dsl))} ranking is not supported "
+                        f"with {bad} (add an explicit sort for the "
+                        "membership-only page)"
+                    )
+            return self._scored_search(
+                names, dsl, k=k, from_=from_, source=source,
+                fields_opt=fields_opt, aggs=aggs, suggest=suggest,
+                post_filter=post_filter,
+                track_total_hits=track_total_hits)
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):

@@ -286,14 +286,30 @@ def knn_search(
         .filter(F.col("_score").isNotNull())
         .drop("_vec_d", "sq_norm")
     )
-    others = [c for c in df.columns if c != vec_col]
-    if "id" in others:
-        lead = ["id"]
-    else:
-        suffixed = [c for c in others if c.endswith("_id")]
-        lead = suffixed[:1]
-    tie = [*lead, *[c for c in others if c not in lead]]
     order = [F.col("_score").desc()] + [
-        F.col(c).asc_nulls_first() for c in tie
+        F.col(c).asc_nulls_first()
+        for c in tiebreak_columns(df, exclude=(vec_col,))
     ]
     return scored.orderBy(*order).limit(int(k))
+
+
+def tiebreak_columns(df: DataFrame, exclude: tuple = ()) -> list[str]:
+    """Deterministic tie-break key for a ranked page: an exact ``id``
+    column leads if present (unique by construction in this data
+    model), else the first ``*_id`` column — but a foreign-key is not
+    necessarily unique, so the remaining orderable columns always
+    follow. Comparisons short-circuit on the first key, keeping the
+    narrow-lead perf win. Map columns are skipped (not orderable in
+    Spark); arrays/structs are."""
+    from pyspark.sql.types import MapType
+
+    orderable = [
+        f.name for f in df.schema.fields
+        if f.name not in exclude and not isinstance(f.dataType, MapType)
+    ]
+    if "id" in orderable:
+        lead = ["id"]
+    else:
+        suffixed = [c for c in orderable if c.endswith("_id")]
+        lead = suffixed[:1]
+    return [*lead, *[c for c in orderable if c not in lead]]

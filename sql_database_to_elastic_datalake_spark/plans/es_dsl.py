@@ -775,6 +775,25 @@ def compile_dsl(
                 from None
         return compile_dsl(inner, field_resolver, schema_fields)
 
+    if kind in ("function_score", "script_score"):
+        # In FILTER context (this compiler's output) a scoring wrapper
+        # is pure membership of its inner query — the same posture as
+        # dis_max/boosting (scoring keys shape rank order, which
+        # filter context does not have). The RANKED path lives in
+        # plans.score_dsl + the API layer, which compiles the same
+        # body into (predicate, score) and orders the page by it.
+        # min_score is honored where a score exists; here it would
+        # silently change membership, so it is a named 400.
+        if not isinstance(body, dict):
+            raise DslError(f"{kind} must be an object")
+        if body.get("min_score") is not None:
+            raise DslError(
+                f"{kind}.min_score needs scoring context (top-level "
+                "query position); filter context is membership-only"
+            )
+        return compile_dsl(body.get("query", {"match_all": {}}),
+                           field_resolver, schema_fields)
+
     if kind == "pinned":
         # promoted ids + organic results: membership is the union
         # (the pinning only affects rank order, which sorted/filter

@@ -1,0 +1,550 @@
+"""ES ``function_score`` / ``script_score`` compiled to Column algebra.
+
+The reference forwards relevance-tuned saved queries verbatim to ES
+(/root/reference/src/search_api.py:38-46); ``function_score`` bodies
+(field-value-factor boosts, recency decay, weights) are the most common
+nontrivial production shapes. This module compiles them into pure
+Spark Column expressions — one scan, one TakeOrdered, no UDF, never
+``eval()``.
+
+Scoring model (documented divergence): this engine's DSL filter
+context is score-free, so the BASE query score inside
+``function_score``/``script_score`` is the constant 1.0 — exactly
+ES's own behavior when the inner query is ``match_all`` or sits in
+filter context. A text-scoring inner query therefore ranks purely by
+the function result; the oracle replays the same algebra.
+
+Painless subset for ``script_score``: the same ``params.x`` arithmetic
+grammar as the TSVB ``bucket_script`` evaluator
+(:mod:`.es_aggs`), extended with ``doc['field'].value`` access,
+``_score``, and the deterministic ``Math.*`` calls column algebra can
+express. A recursive-descent parser over a fixed token set — a
+malformed or out-of-grammar script is a named 400.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
+    compile_dsl,
+)
+
+_NUM = r"(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?"
+_SCRIPT_TOK = re.compile(
+    rf"""\s*(?:
+      ({_NUM})                                  # 1 number
+    | params\.([A-Za-z_][A-Za-z0-9_]*)          # 2 param ref
+    | doc\[\s*'([^']+)'\s*\]\.value             # 3 doc field access
+    | Math\.([A-Za-z][A-Za-z0-9]*)              # 4 math call
+    | (_score)                                  # 5 base score
+    | ([-+*/%(),])                              # 6 operator
+    )""",
+    re.X,
+)
+
+#: Math.* calls with Column twins. Java's Math.log is the NATURAL log.
+_MATH_1 = {
+    "log": lambda c: F.when(c > 0, F.log(c)),
+    "log10": lambda c: F.when(c > 0, F.log10(c)),
+    "sqrt": lambda c: F.when(c >= 0, F.sqrt(c)),
+    "abs": F.abs,
+    "exp": F.exp,
+    "floor": lambda c: F.floor(c).cast("double"),
+    "ceil": lambda c: F.ceil(c).cast("double"),
+}
+_MATH_2 = {
+    "pow": F.pow,
+    "max": F.greatest,
+    "min": F.least,
+}
+
+
+def _tokenize(src: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(src):
+        m = _SCRIPT_TOK.match(src, pos)
+        if m is None:
+            if src[pos:].strip() == "":
+                break
+            raise DslError(
+                f"unsupported script syntax at {src[pos:]!r} "
+                "(implemented: numbers, params.<name>, doc['f'].value, "
+                "_score, Math.log/log10/sqrt/abs/exp/floor/ceil/pow/"
+                "max/min, + - * / % ( ) ,)"
+            )
+        if m.group(1) is not None:
+            toks.append(("num", float(m.group(1))))
+        elif m.group(2) is not None:
+            toks.append(("param", m.group(2)))
+        elif m.group(3) is not None:
+            toks.append(("doc", m.group(3)))
+        elif m.group(4) is not None:
+            toks.append(("math", m.group(4)))
+        elif m.group(5) is not None:
+            toks.append(("score", None))
+        else:
+            toks.append(("op", m.group(6)))
+        pos = m.end()
+    return toks
+
+
+def script_column(
+    script: dict,
+    field_resolver: Callable[[str], Column],
+    base_score: Column,
+) -> Column:
+    """One painless-subset script → a double Column.
+
+    Null semantics (documented): a null/missing doc value propagates
+    to a null score and the hit drops from the ranked page — the
+    engine's refuse-silently-wrong posture where painless would throw
+    the whole request. Division/modulo by zero likewise nulls via
+    ``try_divide``/``try_mod``-style guards.
+    """
+    if not isinstance(script, dict):
+        raise DslError("script must be an object")
+    unknown = sorted(set(script) - {"source", "params", "lang"})
+    if unknown:
+        raise DslError(f"unsupported script keys: {unknown}")
+    if script.get("lang") not in (None, "painless"):
+        raise DslError(f"unsupported script lang {script['lang']!r}")
+    src = script.get("source")
+    if not isinstance(src, str):
+        raise DslError("script requires a source string")
+    params = script.get("params") or {}
+    if not isinstance(params, dict):
+        raise DslError("script params must be an object")
+
+    toks = _tokenize(src)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(op=None):
+        nonlocal pos
+        t = peek()
+        if t[0] is None or (op is not None and t != ("op", op)):
+            raise DslError(f"malformed script {src!r}")
+        pos += 1
+        return t
+
+    def primary() -> Column:
+        kind, val = peek()
+        if kind == "num":
+            take()
+            return F.lit(float(val))
+        if kind == "param":
+            take()
+            if val not in params:
+                raise DslError(
+                    f"script references params.{val} but params "
+                    f"defines {sorted(params)}"
+                )
+            v = params[val]
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise DslError(
+                    f"script param {val!r} must be numeric, got {v!r}")
+            return F.lit(float(v))
+        if kind == "doc":
+            take()
+            return field_resolver(val).cast("double")
+        if kind == "score":
+            take()
+            return base_score
+        if kind == "math":
+            take()
+            take("(")
+            args = [add_expr()]
+            while peek() == ("op", ","):
+                take(",")
+                args.append(add_expr())
+            take(")")
+            if val in _MATH_1 and len(args) == 1:
+                return _MATH_1[val](args[0])
+            if val in _MATH_2 and len(args) == 2:
+                return _MATH_2[val](*args)
+            raise DslError(
+                f"unsupported Math.{val} with {len(args)} args "
+                f"(implemented: {sorted(_MATH_1)} unary, "
+                f"{sorted(_MATH_2)} binary)"
+            )
+        if (kind, val) == ("op", "("):
+            take()
+            v = add_expr()
+            take(")")
+            return v
+        if (kind, val) == ("op", "-"):
+            take()
+            return -primary()
+        raise DslError(f"malformed script {src!r}")
+
+    def mul_expr() -> Column:
+        v = primary()
+        while peek() in (("op", "*"), ("op", "/"), ("op", "%")):
+            op = take()[1]
+            r = primary()
+            if op == "*":
+                v = v * r
+            elif op == "/":
+                v = F.try_divide(v, r)
+            else:
+                v = v % F.nullif(r, F.lit(0.0))
+        return v
+
+    def add_expr() -> Column:
+        v = mul_expr()
+        while peek() in (("op", "+"), ("op", "-")):
+            op = take()[1]
+            r = mul_expr()
+            v = (v + r) if op == "+" else (v - r)
+        return v
+
+    out = add_expr()
+    if peek()[0] is not None:
+        raise DslError(f"malformed script {src!r} (trailing tokens)")
+    return out.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# field_value_factor — modifier(factor * value), log base 10 like Lucene
+# ---------------------------------------------------------------------------
+
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log": lambda c: F.when(c > 0, F.log10(c)),
+    "log1p": lambda c: F.when(c > -1, F.log10(c + F.lit(1.0))),
+    "log2p": lambda c: F.when(c > -2, F.log10(c + F.lit(2.0))),
+    "ln": lambda c: F.when(c > 0, F.log(c)),
+    "ln1p": lambda c: F.when(c > -1, F.log(c + F.lit(1.0))),
+    "ln2p": lambda c: F.when(c > -2, F.log(c + F.lit(2.0))),
+    "square": lambda c: c * c,
+    "sqrt": lambda c: F.when(c >= 0, F.sqrt(c)),
+    "reciprocal": lambda c: F.try_divide(F.lit(1.0), c),
+}
+
+
+def _field_value_factor(body: dict, resolver) -> Column:
+    if not isinstance(body, dict) or not body.get("field"):
+        raise DslError("field_value_factor requires a field")
+    unknown = sorted(set(body) - {"field", "factor", "modifier",
+                                  "missing"})
+    if unknown:
+        raise DslError(
+            f"unsupported field_value_factor keys: {unknown}")
+    mod = str(body.get("modifier", "none"))
+    if mod not in _FVF_MODIFIERS:
+        raise DslError(
+            f"unknown field_value_factor modifier {mod!r} "
+            f"(implemented: {sorted(_FVF_MODIFIERS)})"
+        )
+    v = resolver(str(body["field"])).cast("double")
+    if body.get("missing") is not None:
+        v = F.coalesce(v, F.lit(float(body["missing"])))
+    return _FVF_MODIFIERS[mod](v * F.lit(float(body.get("factor", 1.0))))
+
+
+# ---------------------------------------------------------------------------
+# decay functions — gauss / exp / linear over numeric and date fields
+# ---------------------------------------------------------------------------
+
+_DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d|w)\s*$")
+_DURATION_SECS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0,
+                  "d": 86400.0, "w": 604800.0}
+
+
+def _duration_seconds(v, what: str) -> float:
+    """A decay scale/offset for a date field: ES duration string (or a
+    bare number of seconds) → seconds. ``now``-relative math is
+    rejected by the caller — a cacheable plan must not embed the wall
+    clock."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    m = _DURATION_RE.match(str(v))
+    if not m:
+        raise DslError(
+            f"unsupported decay {what} {v!r} (use e.g. '10d', '2h')")
+    return float(m.group(1)) * _DURATION_SECS[m.group(2)]
+
+
+def _parse_origin_ts(origin) -> float:
+    """Date-decay origin → epoch seconds. ``now`` is a named 400: the
+    compiled plan is cached/replayed, so wall-clock anchors would make
+    identical requests return different scores (pass an explicit
+    ISO instant instead)."""
+    if str(origin).strip().lower().startswith("now"):
+        raise DslError(
+            "decay origin 'now' is not supported (plans are "
+            "deterministic; pass an explicit ISO timestamp)"
+        )
+    try:
+        dt = _dt.datetime.fromisoformat(str(origin).replace("Z", "+00:00"))
+    except ValueError:
+        raise DslError(f"malformed decay origin {origin!r}") from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt.timestamp()
+
+
+def _decay_column(kind: str, body: dict, resolver,
+                  is_date: bool) -> Column:
+    """One decay spec ``{field: {origin, scale, offset, decay}}`` →
+    the decay value in (0, 1]. Shapes follow ES exactly:
+
+    - gauss:  exp(-d'^2 / (2 sigma^2)), sigma^2 = -scale^2/(2 ln decay)
+    - exp:    exp(lambda d'), lambda = ln(decay)/scale
+    - linear: max(0, (s - d')/s), s = scale/(1 - decay)
+
+    with d' = max(0, |x - origin| - offset). Dates measure distance in
+    seconds (``unix_timestamp``). A missing/null field contributes the
+    NEUTRAL 1.0 (distance 0) — ES's own decay contract for missing
+    fields — which also makes a pattern table lacking the field rank
+    uniformly instead of erroring.
+    """
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"{kind} decay expects exactly one field")
+    field, spec = next(iter(body.items()))
+    if not isinstance(spec, dict):
+        raise DslError(f"{kind} decay spec must be an object")
+    unknown = sorted(set(spec) - {"origin", "scale", "offset", "decay"})
+    if unknown:
+        raise DslError(f"unsupported {kind} decay keys: {unknown}")
+    if "origin" not in spec or "scale" not in spec:
+        raise DslError(f"{kind} decay requires origin and scale")
+    decay = float(spec.get("decay", 0.5))
+    if not (0.0 < decay < 1.0):
+        raise DslError(f"decay must be in (0, 1), got {decay}")
+
+    c = resolver(str(field))
+    if is_date:
+        x = F.unix_timestamp(c.cast("timestamp")).cast("double")
+        origin = float(_parse_origin_ts(spec["origin"]))
+        scale = _duration_seconds(spec["scale"], "scale")
+        offset = _duration_seconds(spec.get("offset", 0), "offset")
+    else:
+        x = c.cast("double")
+        try:
+            origin = float(spec["origin"])
+            scale = float(spec["scale"])
+            offset = float(spec.get("offset", 0))
+        except (TypeError, ValueError):
+            raise DslError(
+                f"numeric {kind} decay requires numeric origin/scale/"
+                f"offset (for a date field pass ISO origin + duration "
+                "scale)") from None
+    if scale <= 0:
+        raise DslError(f"decay scale must be positive, got {scale}")
+
+    import math
+
+    # greatest() skips nulls, so a null field value yields distance 0
+    # → decay 1.0 — exactly the missing-field neutrality we want; the
+    # coalesce pins that contract against any future reordering
+    dist = F.coalesce(
+        F.greatest(F.abs(x - F.lit(origin)) - F.lit(offset),
+                   F.lit(0.0)),
+        F.lit(0.0))
+    if kind == "gauss":
+        sigma_sq = -(scale * scale) / (2.0 * math.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma_sq))
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(dist * F.lit(lam))
+    # linear
+    s = scale / (1.0 - decay)
+    return F.greatest(
+        (F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+
+
+_DECAY_KINDS = ("gauss", "exp", "linear")
+_FUNCTION_KINDS = ("filter", "weight", "field_value_factor",
+                   "script_score", *_DECAY_KINDS)
+_SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
+_BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
+
+
+def _one_function(
+    fn: dict, resolver, schema_fields, base_score: Column,
+    date_fields: set[str],
+) -> tuple[Column, Column]:
+    """One entry of the functions list → (matches, value). ``matches``
+    is the function's filter (True when absent); ``value`` is the
+    function result times its weight. A weight-only entry is the
+    constant function ES documents it as."""
+    unknown = sorted(set(fn) - set(_FUNCTION_KINDS))
+    if unknown:
+        if "random_score" in unknown:
+            raise DslError(
+                "random_score is not supported (nondeterministic "
+                "ranking contradicts this engine's replayable-results "
+                "contract; use a field_value_factor over a hash column)"
+            )
+        raise DslError(f"unsupported score function keys: {unknown}")
+    cond = F.lit(True)
+    if fn.get("filter") is not None:
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import _ns
+
+        cond = _ns(compile_dsl(fn["filter"], field_resolver=resolver,
+                               schema_fields=schema_fields))
+    kinds = [k for k in fn if k in _FUNCTION_KINDS
+             and k not in ("filter", "weight")]
+    if len(kinds) > 1:
+        raise DslError(
+            f"a score function must have one kind, got {sorted(kinds)}")
+    if not kinds:
+        if "weight" not in fn:
+            raise DslError(
+                "a score function needs a kind (field_value_factor, "
+                "gauss/exp/linear, script_score) or a weight")
+        val: Column = F.lit(1.0)
+    elif kinds[0] == "field_value_factor":
+        val = _field_value_factor(fn["field_value_factor"], resolver)
+    elif kinds[0] == "script_score":
+        body = fn["script_score"]
+        if not isinstance(body, dict) or "script" not in body:
+            raise DslError("script_score function requires a script")
+        val = script_column(body["script"], resolver, base_score)
+    else:
+        decay_body = fn[kinds[0]]
+        if not isinstance(decay_body, dict) or len(decay_body) != 1:
+            raise DslError(
+                f"{kinds[0]} decay expects exactly one field")
+        fname = next(iter(decay_body))
+        val = _decay_column(kinds[0], decay_body, resolver,
+                            is_date=str(fname) in date_fields)
+    if fn.get("weight") is not None:
+        val = val * F.lit(float(fn["weight"]))
+    return cond, val
+
+
+def function_score_columns(
+    body: dict,
+    field_resolver: Callable[[str], Column],
+    schema_fields: list[str],
+    date_fields: set[str],
+) -> tuple[Column, Column, float | None]:
+    """A ``function_score`` body → (predicate, score, min_score).
+
+    The predicate is the inner query's membership (the same compile
+    the filter context uses); the score is pure column algebra:
+    per-function (matches, weightxvalue) pairs folded under
+    ``score_mode``, capped by ``max_boost``, combined with the base
+    score under ``boost_mode``. A function whose filter does not match
+    is EXCLUDED from the fold (ES semantics), and when none match the
+    functions contribute the neutral 1.0.
+    """
+    if not isinstance(body, dict):
+        raise DslError("function_score must be an object")
+    unknown = sorted(set(body) - {
+        "query", "functions", "score_mode", "boost_mode", "max_boost",
+        "min_score", "boost", *_FUNCTION_KINDS, "random_score",
+    })
+    if unknown:
+        raise DslError(f"unsupported function_score keys: {unknown}")
+    score_mode = str(body.get("score_mode", "multiply"))
+    boost_mode = str(body.get("boost_mode", "multiply"))
+    if score_mode not in _SCORE_MODES:
+        raise DslError(f"unknown score_mode {score_mode!r}")
+    if boost_mode not in _BOOST_MODES:
+        raise DslError(f"unknown boost_mode {boost_mode!r}")
+
+    inner = body.get("query", {"match_all": {}})
+    pred = compile_dsl(inner, field_resolver=field_resolver,
+                       schema_fields=schema_fields)
+    base = F.lit(1.0)  # filter-context base score (module docstring)
+
+    fns = body.get("functions")
+    if fns is None:
+        # single-function shorthand riding the function_score object
+        short = {k: v for k, v in body.items()
+                 if k in _FUNCTION_KINDS or k == "random_score"}
+        fns = [short] if short else []
+    if not isinstance(fns, list):
+        raise DslError("functions must be a list")
+    pairs = [
+        _one_function(fn, field_resolver, schema_fields, base,
+                      date_fields)
+        for fn in fns
+    ]
+
+    if not pairs:
+        combined = F.lit(1.0)
+    elif score_mode == "multiply":
+        acc = F.lit(1.0)
+        for cond, val in pairs:
+            acc = acc * F.when(cond, val).otherwise(F.lit(1.0))
+        combined = acc
+    elif score_mode == "sum":
+        acc = F.lit(0.0)
+        any_m = F.lit(False)
+        for cond, val in pairs:
+            acc = acc + F.when(cond, val).otherwise(F.lit(0.0))
+            any_m = any_m | cond
+        combined = F.when(any_m, acc).otherwise(F.lit(1.0))
+    elif score_mode == "avg":
+        total = F.lit(0.0)
+        n = F.lit(0.0)
+        for cond, val in pairs:
+            total = total + F.when(cond, val).otherwise(F.lit(0.0))
+            n = n + F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+        combined = F.coalesce(F.try_divide(total, n), F.lit(1.0))
+    elif score_mode == "first":
+        combined = F.coalesce(
+            *[F.when(cond, val) for cond, val in pairs], F.lit(1.0))
+    else:  # max / min — greatest/least skip nulls (non-matching fns)
+        agg = F.greatest if score_mode == "max" else F.least
+        vals = [F.when(cond, val) for cond, val in pairs]
+        one = vals[0] if len(vals) == 1 else agg(*vals)
+        combined = F.coalesce(one, F.lit(1.0))
+
+    if body.get("max_boost") is not None:
+        combined = F.least(combined, F.lit(float(body["max_boost"])))
+
+    if boost_mode == "multiply":
+        score = base * combined
+    elif boost_mode == "replace":
+        score = combined
+    elif boost_mode == "sum":
+        score = base + combined
+    elif boost_mode == "avg":
+        score = (base + combined) / F.lit(2.0)
+    elif boost_mode == "max":
+        score = F.greatest(base, combined)
+    else:
+        score = F.least(base, combined)
+
+    ms = body.get("min_score")
+    return pred, score.cast("double"), (
+        float(ms) if ms is not None else None)
+
+
+def script_score_columns(
+    body: dict,
+    field_resolver: Callable[[str], Column],
+    schema_fields: list[str],
+) -> tuple[Column, Column, float | None]:
+    """A ``script_score`` QUERY body → (predicate, score, min_score).
+    Score = the script result over the matched set (base ``_score``
+    binds to the filter-context 1.0 — module docstring)."""
+    if not isinstance(body, dict):
+        raise DslError("script_score must be an object")
+    unknown = sorted(set(body) - {"query", "script", "min_score",
+                                  "boost"})
+    if unknown:
+        raise DslError(f"unsupported script_score keys: {unknown}")
+    if "script" not in body:
+        raise DslError("script_score requires a script")
+    inner = body.get("query", {"match_all": {}})
+    pred = compile_dsl(inner, field_resolver=field_resolver,
+                       schema_fields=schema_fields)
+    score = script_column(body["script"], field_resolver, F.lit(1.0))
+    ms = body.get("min_score")
+    return pred, score, (float(ms) if ms is not None else None)

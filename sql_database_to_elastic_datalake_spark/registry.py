@@ -2902,6 +2902,132 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_dsl_function_score",
+    # every op is IEEE-exact cross-engine (sqrt is correctly rounded
+    # by spec; +-*/ are exact-rounded) — the gauss/exp/log tiers run
+    # the same column algebra but their libm constants differ by ulps
+    # across engines, so the pinned oracle uses the linear decay
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(sqrt(CAST(n_chars AS DOUBLE) * 2.0)
+                  + CASE WHEN lang = 'de' THEN 2.5 ELSE 0.0 END
+                  + greatest(
+                      (500.0 - coalesce(greatest(
+                          abs(CAST(n_chars AS DOUBLE) - 500.0) - 50.0,
+                          0.0), 0.0)) / 500.0,
+                      0.0)
+                 AS DOUBLE) AS score
+        FROM documents
+        WHERE lang IN ('de', 'en')
+    )
+    SELECT doc_id, score FROM scored WHERE score >= 31.0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_dsl_function_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``function_score`` (r9): the relevance-tuning wrapper the
+    reference's verbatim-body route forwards to ES
+    (/root/reference/src/search_api.py:38-46). A sqrt
+    field-value-factor, a filtered weight, and a linear decay fold
+    under ``score_mode: sum``; ``min_score`` floors the page. All
+    pure column algebra (plans/score_dsl.py) — one scan, one
+    TakeOrdered, no UDF; the terms filter pushes into the parquet
+    scan."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        function_score_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred, score, ms = function_score_columns(
+        {
+            "query": {"bool": {"filter": [
+                {"terms": {"lang": ["de", "en"]}}]}},
+            "functions": [
+                {"field_value_factor": {
+                    "field": "n_chars", "factor": 2.0,
+                    "modifier": "sqrt"}},
+                {"filter": {"term": {"lang": "de"}}, "weight": 2.5},
+                {"linear": {"n_chars": {
+                    "origin": 500, "scale": 250, "offset": 50,
+                    "decay": 0.5}}},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "replace",
+            "min_score": 31.0,
+        },
+        F.col, docs.columns, date_fields=set(),
+    )
+    return (
+        docs.filter(pred)
+        .withColumn("score", score)
+        .filter(F.col("score").isNotNull() & (F.col("score") >= ms))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+@register(
+    "search_dsl_script_score",
+    # the painless-subset script compiles to the same IEEE-exact
+    # arithmetic tree the SQL spells out (sqrt / abs / + - * /)
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(sqrt(CAST(n_chars AS DOUBLE))
+                  + 1.5 * CAST(n_chars AS DOUBLE) / 50.0
+                  - abs(CAST(n_chars AS DOUBLE) - 300.0) / 100.0
+                 AS DOUBLE) AS score
+        FROM documents
+        WHERE n_chars >= 100
+    )
+    SELECT doc_id, score FROM scored WHERE score >= 10.0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_dsl_script_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``script_score`` query (r9): the ``params.x`` /
+    ``doc['f'].value`` painless subset compiled by a recursive-descent
+    parser into Column algebra (plans/score_dsl.py:script_column) —
+    never eval(), no UDF. The range filter pushes to the scan; the
+    script is one projected expression."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        script_score_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred, score, ms = script_score_columns(
+        {
+            "query": {"range": {"n_chars": {"gte": 100}}},
+            "script": {
+                "source": ("Math.sqrt(doc['n_chars'].value) "
+                           "+ params.w * doc['n_chars'].value / 50.0 "
+                           "- Math.abs(doc['n_chars'].value - 300.0)"
+                           " / 100.0"),
+                "params": {"w": 1.5},
+            },
+            "min_score": 10.0,
+        },
+        F.col, docs.columns,
+    )
+    return (
+        docs.filter(pred)
+        .withColumn("score", score)
+        .filter(F.col("score").isNotNull() & (F.col("score") >= ms))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1 — BM25-style doc-length-normalized relevance (ES's actual ranking
 # family; /root/reference/src/search_api.py:16-36). Rational IDF — no ln —
@@ -5194,6 +5320,8 @@ _CHECK_FIRST = [
     #    change). New r9 queries are prepended here by the commits
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
+    "search_dsl_function_score",  # r9 NEW: relevance-tuning wrapper
+    "search_dsl_script_score",    # r9 NEW: painless-subset scoring
     "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
     "search_suggest_terms",     # r9: shared token pattern (ADVICE)
     "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
@@ -5249,8 +5377,6 @@ _CHECK_FIRST = [
     "events_anomaly_days",
     "user_feature_table",
     "lang_id_confusion",
-    "type_share_drift",
-    "chunk_level_dedup",
 ]
 
 

@@ -1093,3 +1093,123 @@ def test_highlight_fragment_windowing(service, spark):
         service.advanced_search(
             "data_lake_hl", {"match": {"txt": "needle"}},
             highlight={"fields": {"txt": {}}, "boundary_scanner": "x"})
+
+
+def test_function_score_ranked_page(service, spark):
+    """r9: top-level function_score ranks the page by the computed
+    score — field_value_factor, filtered weight, decay, score/boost
+    modes, max_boost, min_score — all column algebra."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, 4.0, "de"), (2, 100.0, "en"), (3, 25.0, "de"),
+         (4, None, "en")],
+        "id long, pop double, lang string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_fs"))
+    out = service.advanced_search("data_lake_fs", {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [
+            {"field_value_factor": {"field": "pop",
+                                    "modifier": "sqrt",
+                                    "missing": 0}},
+            {"filter": {"term": {"lang": "de"}}, "weight": 3.0},
+        ],
+        "score_mode": "sum", "boost_mode": "replace",
+    }}, k=10)
+    hits = out["hits"]["hits"]
+    # doc2 sqrt(100)=10; doc3 5+3=8; doc1 2+3=5; doc4 missing→0
+    assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
+        [(2, 10.0), (3, 8.0), (1, 5.0), (4, 0.0)]
+    assert out["hits"]["total"] == {"value": 4, "relation": "eq"}
+    # max_boost caps the function result; boost_mode sum adds the
+    # filter-context base 1.0; min_score floors page AND total
+    out = service.advanced_search("data_lake_fs", {"function_score": {
+        "functions": [
+            {"field_value_factor": {"field": "pop",
+                                    "modifier": "sqrt",
+                                    "missing": 0}}],
+        "max_boost": 6.0, "boost_mode": "sum", "min_score": 4.0,
+    }}, k=10)
+    hits = out["hits"]["hits"]
+    assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
+        [(2, 7.0), (3, 6.0)]
+    assert out["hits"]["total"] == {"value": 2, "relation": "eq"}
+    # score_mode multiply (default): a non-matching function is
+    # neutral 1.0, not 0
+    out = service.advanced_search("data_lake_fs", {"function_score": {
+        "functions": [
+            {"filter": {"term": {"lang": "de"}}, "weight": 4.0},
+            {"filter": {"term": {"lang": "ghost"}}, "weight": 100.0},
+        ],
+    }}, k=10)
+    scores = {h["_source"]["id"]: h["_score"]
+              for h in out["hits"]["hits"]}
+    assert scores[1] == 4.0 and scores[2] == 1.0
+    # an explicit sort wins: the body compiles as membership and the
+    # page is the sorted filter-context one (no _score)
+    out = service.advanced_search(
+        "data_lake_fs",
+        {"function_score": {"query": {"term": {"lang": "de"}}}},
+        k=10, sort=[{"id": "desc"}])
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [3, 1]
+    with pytest.raises(DslError, match="random_score"):
+        service.advanced_search("data_lake_fs", {"function_score": {
+            "functions": [{"random_score": {}}]}}, k=1)
+    with pytest.raises(DslError, match="min_score needs scoring"):
+        service.advanced_search("data_lake_fs", {"bool": {"filter": [
+            {"function_score": {"query": {"match_all": {}},
+                                "min_score": 2.0}}]}}, k=1)
+
+
+def test_function_score_date_decay_and_script(service, spark):
+    """r9: gauss/exp date decay (ISO origin, duration scale) and the
+    script_score query over the painless subset."""
+    import datetime as dt
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10.0),
+         (2, dt.datetime(2024, 1, 6), 20.0),
+         (3, dt.datetime(2024, 1, 11), 30.0), (4, None, 40.0)],
+        "id long, ts timestamp, v double",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_dd"))
+    out = service.advanced_search("data_lake_dd", {"function_score": {
+        "functions": [{"gauss": {"ts": {
+            "origin": "2024-01-01T00:00:00Z", "scale": "5d",
+            "decay": 0.5}}}],
+        "boost_mode": "replace",
+    }}, k=10)
+    scores = {h["_source"]["id"]: h["_score"]
+              for h in out["hits"]["hits"]}
+    assert scores[1] == pytest.approx(1.0)
+    assert scores[2] == pytest.approx(0.5)      # one scale out
+    assert scores[3] == pytest.approx(0.0625)   # two scales: decay^4
+    assert scores[4] == pytest.approx(1.0)      # missing → neutral
+    # 'now' anchors are a named 400 (deterministic-plan contract)
+    with pytest.raises(DslError, match="'now' is not supported"):
+        service.advanced_search("data_lake_dd", {"function_score": {
+            "functions": [{"gauss": {"ts": {"origin": "now",
+                                            "scale": "5d"}}}]}}, k=1)
+    # script_score: doc access, params, _score, Math.*; null field
+    # value drops the hit (documented posture)
+    out = service.advanced_search("data_lake_dd", {"script_score": {
+        "query": {"exists": {"field": "v"}},
+        "script": {"source":
+                   "Math.max(doc['v'].value, params.floor) / 10.0"
+                   " + _score",
+                   "params": {"floor": 15}},
+    }}, k=10)
+    assert [(h["_source"]["id"], h["_score"])
+            for h in out["hits"]["hits"]] == \
+        [(4, 5.0), (3, 4.0), (2, 3.0), (1, 2.5)]
+    with pytest.raises(DslError, match="unsupported script syntax"):
+        service.advanced_search("data_lake_dd", {"script_score": {
+            "script": {"source": "System.exit(1)"}}}, k=1)
+    with pytest.raises(DslError, match="params.missing"):
+        service.advanced_search("data_lake_dd", {"script_score": {
+            "script": {"source": "params.missing * 2"}}}, k=1)

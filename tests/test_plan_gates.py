@@ -304,6 +304,17 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # r9: function_score / script_score rank with pure column algebra —
+    # the plan stays one pruned scan + one TakeOrdered, zero
+    # exchanges, and the inner query's filter still reaches parquet
+    "search_dsl_function_score": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, ["In(lang, [de,en])"])},
+    ),
+    "search_dsl_script_score": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, ["GreaterThanOrEqual(n_chars,100)"])},
+    ),
     # r7: bracket ranges / sloppy phrases / fuzzy match all compile to
     # scan-level predicates — no shuffle, no join, pruned scans
     "search_dsl_qs_ranges": dict(
