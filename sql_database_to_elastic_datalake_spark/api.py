@@ -589,6 +589,118 @@ class LakeService:
             out["suggest"] = suggestions
         return out
 
+    def scroll_search(
+        self, table: str | None = None, dsl: dict | None = None,
+        size: int = 10, sort: list | None = None, source=None,
+        aggs: dict | None = None, scroll_id: str | None = None,
+    ) -> dict[str, Any]:
+        """``scroll``-shaped deep pagination, STATELESS (r9): the
+        continuation token encodes the query and the cursor, so any
+        node can serve any page and nothing expires server-side —
+        the documented divergence from ES's stateful contexts (whose
+        TTL/heap pressure is exactly what ``search_after`` was
+        introduced to fix; ES itself deprecates scroll for deep
+        pagination). The official client's ``helpers.scan`` — the
+        default bulk-export idiom — drains unchanged: first call with
+        the query, then repeated calls with the returned
+        ``_scroll_id``.
+
+        Paging is the existing ``search_after`` total-order cursor:
+        the caller's sort clauses (minus ``_doc``, whose arbitrary
+        order a deterministic engine replaces) are extended with the
+        table's tie-break columns
+        (:func:`.operators.similarity.tiebreak_columns`, atomic
+        orderable ones) so consecutive pages can never overlap or
+        gap; each page is one TakeOrdered whose cursor predicate
+        prunes at the scan. Totals on page N count the REMAINING
+        rows (the search_after divergence, documented there).
+
+        Two further divergences from ES, both stated: a scroll TTL in
+        the request is accepted-and-ignored (nothing to expire), and
+        the snapshot-isolation ES scroll contexts give (a scroll sees
+        the index as of context creation) does not hold — pages read
+        the live table, so a concurrent destructive refresh can shift
+        rows between pages. ``aggs`` ride the FIRST page only (like
+        ES, which computes them once per scroll).
+        """
+        import base64
+        import json as _json
+
+        from pyspark.sql.types import (
+            ArrayType,
+            BinaryType,
+            StructType,
+        )
+
+        from sql_database_to_elastic_datalake_spark.operators.similarity import (
+            tiebreak_columns,
+        )
+
+        if scroll_id is not None:
+            try:
+                st = _json.loads(
+                    base64.urlsafe_b64decode(scroll_id.encode()))
+                if st.get("v") != 1:
+                    raise ValueError
+                table, dsl, sort, size, source, after = (
+                    st["table"], st["query"], st["sort"], st["size"],
+                    st.get("_source"), st["after"])
+            except DslError:
+                raise
+            except Exception:
+                raise DslError(
+                    "malformed scroll_id (tokens are opaque — pass "
+                    "the _scroll_id of the previous page verbatim)"
+                ) from None
+        else:
+            if not table or "*" in table or "?" in table:
+                raise DslError(
+                    "scroll requires a single concrete table "
+                    "(per-table drains compose; a cross-pattern "
+                    "cursor would re-merge every page)"
+                )
+            df = self.spark.read.parquet(
+                os.path.join(self.lake_dir, table))
+            clauses: list = []
+            seen: set[str] = set()
+            for s in sort or []:
+                f = s if isinstance(s, str) else next(iter(s))
+                if f == "_doc":
+                    continue  # arbitrary order → the tie-break below
+                clauses.append({f: s[f]} if isinstance(s, dict)
+                               else {s: "asc"})
+                seen.add(f)
+            atomic = [
+                c for c in tiebreak_columns(df)
+                if not isinstance(df.schema[c].dataType,
+                                  (ArrayType, StructType, BinaryType))
+            ]
+            clauses.extend({c: "asc"} for c in atomic
+                           if c not in seen)
+            if not clauses:
+                raise DslError(
+                    "scroll needs at least one sortable column")
+            sort = clauses
+            after = None
+        dsl = dsl or {"match_all": {}}
+        out = self.advanced_search(
+            table, dsl, k=int(size), sort=sort, search_after=after,
+            source=source, aggs=aggs)
+        hits = out["hits"]["hits"]
+        new_after = hits[-1]["sort"] if hits else after
+
+        def _jsonable(v):
+            if hasattr(v, "isoformat"):
+                return v.isoformat(sep=" ")
+            raise TypeError(f"unserializable sort value {v!r}")
+
+        payload = {"v": 1, "table": table, "query": dsl,
+                   "sort": sort, "size": int(size),
+                   "_source": source, "after": new_after}
+        out["_scroll_id"] = base64.urlsafe_b64encode(
+            _json.dumps(payload, default=_jsonable).encode()).decode()
+        return out
+
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10,
         aggs: dict | None = None,
@@ -1647,7 +1759,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "table", "query", "k", "size", "from", "sort", "search_after",
         "aggs", "aggregations", "_source", "highlight",
         "post_filter", "collapse", "track_total_hits", "fields",
-        "suggest", "knn", "docvalue_fields",
+        "suggest", "knn", "docvalue_fields", "scroll",
     }
 
     def _page_size(body):
@@ -1739,6 +1851,26 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             from_ = int(body.get("from", 0))
         except (TypeError, ValueError):
             return jsonify({"error": "from must be a non-negative integer"}), 400
+        if body.get("scroll") is not None:
+            # scroll TTL accepted-and-ignored: the returned _scroll_id
+            # is a stateless continuation token (scroll_search docs)
+            for bad in ("from", "search_after", "collapse",
+                        "highlight", "knn", "post_filter"):
+                if body.get(bad):
+                    return jsonify({"error":
+                                    f"scroll is not supported with "
+                                    f"{bad} (the token manages the "
+                                    "cursor)"}), 400
+            try:
+                return jsonify(_wire_envelope(service.scroll_search(
+                    table=body.get("table"),
+                    dsl=body.get("query", {"match_all": {}}),
+                    size=k, sort=body.get("sort"),
+                    source=body.get("_source"),
+                    aggs=body.get("aggs") or body.get("aggregations"),
+                ))), 200
+            except DslError as ex:
+                return jsonify({"error": str(ex)}), 400
         try:
             return jsonify(_wire_envelope(
                 service.advanced_search(
@@ -1774,6 +1906,28 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             # a malformed/unsupported DSL tree is the CALLER's error —
             # the reference returns ES's 400 for these, not a 500
             return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/scroll", methods=["POST"])
+    def scroll_continue():
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        sid = body.get("scroll_id")
+        if not isinstance(sid, str) or not sid:
+            return jsonify({"error": "scroll_id is required"}), 400
+        # "scroll" (the TTL refresh) is accepted-and-ignored —
+        # stateless tokens don't expire (scroll_search docs)
+        try:
+            return jsonify(_wire_envelope(
+                service.scroll_search(scroll_id=sid))), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/scroll", methods=["DELETE"])
+    def scroll_clear():
+        # ES frees server-side contexts here; stateless tokens hold
+        # no server state, so clearing always succeeds
+        return jsonify({"succeeded": True, "num_freed": 0}), 200
 
     return app
 

@@ -2903,6 +2903,40 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_scroll_page",
+    # the oracle is the FULL matched set: a drain that overlaps or
+    # gaps between pages cannot reproduce it (row counts or values
+    # would differ) — the strongest page-boundary check there is
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE lang IN ('de', 'en')
+    """,
+)
+def search_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless ``scroll`` drain (r9): the official client's
+    ``helpers.scan`` idiom — first call with the query, then repeated
+    calls with the returned ``_scroll_id`` until an empty page. The
+    token is a stateless continuation (api.py:scroll_search) backed by
+    the search_after cursor over the tie-break total order; each page
+    is ONE TakeOrdered whose cursor predicate prunes at the parquet
+    scan, so page N of a huge table reads less than page 1. The
+    driver-side accumulation here IS the export — its transfer equals
+    the result size, same as any bulk drain."""
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, sf_dir)
+    out = svc.scroll_search(
+        table="documents.parquet",
+        dsl={"terms": {"lang": ["de", "en"]}},
+        size=150, sort=["_doc"])
+    rows: list[tuple] = []
+    while out["hits"]["hits"]:
+        rows += [(h["_source"]["doc_id"], h["_source"]["n_chars"])
+                 for h in out["hits"]["hits"]]
+        out = svc.scroll_search(scroll_id=out["_scroll_id"])
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+@register(
     "search_dsl_function_score",
     # every op is IEEE-exact cross-engine (sqrt is correctly rounded
     # by spec; +-*/ are exact-rounded) — the gauss/exp/log tiers run
@@ -5322,6 +5356,7 @@ _CHECK_FIRST = [
     #    tail to hold the window at exactly 50.
     "search_dsl_function_score",  # r9 NEW: relevance-tuning wrapper
     "search_dsl_script_score",    # r9 NEW: painless-subset scoring
+    "search_scroll_page",         # r9 NEW: stateless scroll drain
     "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
     "search_suggest_terms",     # r9: shared token pattern (ADVICE)
     "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
@@ -5376,7 +5411,6 @@ _CHECK_FIRST = [
     "events_hourly_heatmap",
     "events_anomaly_days",
     "user_feature_table",
-    "lang_id_confusion",
 ]
 
 

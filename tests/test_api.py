@@ -1213,3 +1213,77 @@ def test_function_score_date_decay_and_script(service, spark):
     with pytest.raises(DslError, match="params.missing"):
         service.advanced_search("data_lake_dd", {"script_score": {
             "script": {"source": "params.missing * 2"}}}, k=1)
+
+
+def test_scroll_stateless_drain(client, service, spark):
+    """r9: scroll-shaped deep pagination — helpers.scan's request
+    shape drains multi-page with no overlap or gap; the _scroll_id is
+    a stateless continuation token; named 400s for the unsupported
+    combinations."""
+    spark.createDataFrame(
+        [(i, f"doc {i}", i % 3) for i in range(37)],
+        "id long, txt string, grp long",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_sc"))
+    # first page: query + scroll TTL (accepted-and-ignored), _doc sort
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_sc", "scroll": "5m", "size": 10,
+        "sort": ["_doc"],
+        "query": {"range": {"id": {"gte": 5}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["hits"]["total"] == {"value": 32, "relation": "eq"}
+    seen: list[int] = []
+    pages = 0
+    while body["hits"]["hits"]:
+        seen += [h["_source"]["id"] for h in body["hits"]["hits"]]
+        pages += 1
+        assert pages < 10
+        r = client.post("/search/scroll", data=json.dumps({
+            "scroll": "5m", "scroll_id": body["_scroll_id"]}),
+            content_type="application/json")
+        assert r.status_code == 200
+        body = r.get_json()
+    assert pages == 4  # 10+10+10+2
+    assert sorted(seen) == list(range(5, 37))     # no gap
+    assert len(seen) == len(set(seen))            # no overlap
+    # a user sort is honored and still drains completely (the
+    # tie-break columns append to totalize it)
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_sc", "scroll": "1m", "size": 20,
+        "sort": [{"grp": "desc"}], "query": {"match_all": {}},
+    }), content_type="application/json")
+    body = r.get_json()
+    got: list[tuple] = []
+    while body["hits"]["hits"]:
+        got += [(h["_source"]["grp"], h["_source"]["id"])
+                for h in body["hits"]["hits"]]
+        body = client.post("/search/scroll", data=json.dumps(
+            {"scroll_id": body["_scroll_id"]}),
+            content_type="application/json").get_json()
+    assert len(got) == 37
+    assert [g for g, _ in got] == sorted(
+        [g for g, _ in got], reverse=True)
+    # clearing is a no-op success (nothing is held server-side)
+    r = client.delete("/search/scroll")
+    assert r.get_json() == {"succeeded": True, "num_freed": 0}
+    # garbage token: named 400, not a 500
+    r = client.post("/search/scroll", data=json.dumps(
+        {"scroll_id": "not-a-token"}),
+        content_type="application/json")
+    assert r.status_code == 400 and "scroll_id" in r.get_json()["error"]
+    r = client.post("/search/scroll", data=json.dumps({}),
+                    content_type="application/json")
+    assert r.status_code == 400
+    # scroll needs a concrete table; from/search_after are the
+    # cursor's job
+    r = client.post("/search/advanced", data=json.dumps({
+        "scroll": "1m", "query": {"match_all": {}}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "concrete table" in r.get_json()["error"]
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_sc", "scroll": "1m", "from": 10}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "scroll is not supported with from" in r.get_json()["error"]
