@@ -80,6 +80,16 @@ HEADLINE = (
     "search_aggs_top_metrics",
     "search_aggs_extended_stats",
     "search_aggs_tsvb_math",
+    # r9 (r8 verdict #4): the serving paths r8/r9 touched get timing
+    # artifacts so a plan regression in exactly that code is visible —
+    # knn (exact cosine TakeOrdered), the term-suggester dictionary
+    # groupBy, the two-phase rescore, SemDeDup's bucketed pair pass,
+    # and the new function_score ranked page
+    "search_knn_vector",
+    "search_suggest_terms",
+    "search_rescore_window",
+    "semdedup_embeddings",
+    "search_dsl_function_score",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -169,7 +179,9 @@ def main() -> None:
     # (measured: the flagship needs run 3 to fully amortize its
     # broadcast+codegen warm-up — 2.6 s cold, 2.0 s second, 1.6-1.7 s
     # steady).
-    bench_set = HEADLINE + SF1_EXTRA if sf1_mode else HEADLINE
+    bench_set = (HEADLINE + tuple(q for q in SF1_EXTRA
+                                  if q not in HEADLINE)
+                 if sf1_mode else HEADLINE)
     for name in bench_set:
         if name not in qs:
             continue
