@@ -458,6 +458,81 @@ class LakeService:
             "hits": hits,
         }}
 
+    def _resolve_mlt_likes(self, node, default_table: str | None):
+        """Deep-rewrite every ``more_like_this`` ``like`` list,
+        replacing document references with the referenced docs' field
+        text. ``{"_id": v}`` looks up ``v`` in the entry's ``_index``
+        (or the request's single concrete table) by the table's id
+        column; ``{"doc": {…}}`` is ES's artificial-document form and
+        needs no lookup. Only the mlt ``fields`` contribute text,
+        like ES."""
+        import fnmatch as _fn
+
+        if isinstance(node, list):
+            return [self._resolve_mlt_likes(x, default_table)
+                    for x in node]
+        if not isinstance(node, dict):
+            return node
+        out: dict = {}
+        for k, v in node.items():
+            if k != "more_like_this" or not isinstance(v, dict):
+                out[k] = self._resolve_mlt_likes(v, default_table)
+                continue
+            v = dict(v)
+            fields = [str(f).split("^", 1)[0]
+                      for f in (v.get("fields") or [])]
+            texts: list[str] = []
+            for e in _as_like_list(v.get("like")):
+                if isinstance(e, str):
+                    texts.append(e)
+                    continue
+                if not isinstance(e, dict):
+                    raise DslError(
+                        f"malformed more_like_this like entry {e!r}")
+                if "doc" in e:
+                    doc = e["doc"]
+                    if not isinstance(doc, dict):
+                        raise DslError(
+                            "more_like_this like.doc must be an object")
+                    texts.extend(
+                        str(val) for f, val in doc.items()
+                        if val is not None
+                        and (not fields or any(
+                            _fn.fnmatchcase(f, p) for p in fields)))
+                    continue
+                if "_id" not in e:
+                    raise DslError(
+                        f"malformed more_like_this like entry {e!r} "
+                        "(expected text, {'_id': …} or {'doc': …})"
+                    )
+                table = e.get("_index", default_table)
+                if not table:
+                    raise DslError(
+                        "more_like_this {'_id': …} entries need an "
+                        "_index (or a single concrete request table)"
+                    )
+                df = self.spark.read.parquet(
+                    os.path.join(self.lake_dir, str(table)))
+                idc = "id" if "id" in df.columns else next(
+                    (c for c in df.columns if c.endswith("_id")), None)
+                if idc is None:
+                    raise DslError(
+                        f"table {table!r} has no id column for "
+                        "more_like_this doc lookup"
+                    )
+                cols = [c for c in df.columns
+                        if not fields or any(
+                            _fn.fnmatchcase(c, p) for p in fields)]
+                rows = df.filter(
+                    F.col(idc).cast("string") == str(e["_id"])
+                ).select(*(cols or [idc])).limit(1).collect()
+                if rows:  # absent docs are ignored, like ES
+                    texts.extend(str(rows[0][c]) for c in cols
+                                 if rows[0][c] is not None)
+            v["like"] = texts
+            out[k] = v
+        return out
+
     def _scored_search(
         self, names: list, dsl: dict, k: int, from_: int,
         source, fields_opt, aggs, suggest, post_filter,
@@ -800,6 +875,14 @@ class LakeService:
             )
         else:
             names = [table]
+        if _has_mlt_doc_refs(dsl):
+            # more_like_this like-by-document entries ({"_id": …},
+            # {"doc": {…}}) resolve HERE — the schema-free compiler
+            # takes like text. One point-lookup job per referenced doc
+            # (id filter pushed to the scan); an absent doc is ignored
+            # like ES's "documents not available" rule.
+            dsl = self._resolve_mlt_likes(
+                dsl, names[0] if len(names) == 1 else None)
         if aggs and len(names) != 1:
             raise DslError(
                 "aggs require a single concrete table (pattern matched "
@@ -1618,6 +1701,30 @@ def _merge_sorted_hits(hits: list[dict], descs: list) -> list[dict]:
         return 0
 
     return sorted(hits, key=functools.cmp_to_key(cmp))
+
+
+def _as_like_list(v) -> list:
+    """A more_like_this ``like`` value: string, object, or list."""
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _has_mlt_doc_refs(node) -> bool:
+    """True when any more_like_this like entry is a document
+    reference (dict) the API layer must resolve before compiling."""
+    if isinstance(node, list):
+        return any(_has_mlt_doc_refs(x) for x in node)
+    if not isinstance(node, dict):
+        return False
+    for k, v in node.items():
+        if k == "more_like_this" and isinstance(v, dict):
+            if any(isinstance(e, dict)
+                   for e in _as_like_list(v.get("like"))):
+                return True
+        elif _has_mlt_doc_refs(v):
+            return True
+    return False
 
 
 def _search_after_pred(sort: list, fields: list[str], after: list):

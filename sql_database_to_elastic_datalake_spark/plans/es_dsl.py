@@ -775,6 +775,104 @@ def compile_dsl(
                 from None
         return compile_dsl(inner, field_resolver, schema_fields)
 
+    if kind == "more_like_this":
+        # "find documents like these": representative terms extracted
+        # from the like-text(s), OR'd under minimum_should_match.
+        # DOCUMENTED DIVERGENCE: ES selects terms by shard-local
+        # tf-idf and prunes by corpus doc frequency — statistics that
+        # are non-reproducible across shards even on ES itself. Term
+        # selection here is like-text tf with an alphabetical
+        # tie-break (deterministic, replayable by the oracle);
+        # min_doc_freq/max_doc_freq are therefore accepted-and-ignored
+        # (keeping them a 400 would reject every client default —
+        # the official client sends min_doc_freq: 5 implicitly).
+        # Membership-only in filter context like every compound; pair
+        # with function_score for ranked pages.
+        if not isinstance(body, dict):
+            raise DslError("more_like_this must be an object")
+        unknown = sorted(set(body) - {
+            "fields", "like", "min_term_freq", "max_query_terms",
+            "minimum_should_match", "min_word_length",
+            "max_word_length", "stop_words", "boost",
+            # corpus-statistics and scoring-only keys, accepted-and-
+            # ignored per the divergence note above
+            "min_doc_freq", "max_doc_freq", "boost_terms",
+            "fail_on_unsupported_field", "include", "analyzer",
+        })
+        if unknown:
+            raise DslError(
+                f"unsupported more_like_this keys: {unknown}")
+        raw_fields = body.get("fields")
+        if not isinstance(raw_fields, list) or not raw_fields:
+            raise DslError("more_like_this requires a fields list")
+        likes = _as_list(body.get("like"))
+        if not likes:
+            raise DslError("more_like_this requires like")
+        texts: list[str] = []
+        for e in likes:
+            if isinstance(e, str):
+                texts.append(e)
+            else:
+                raise DslError(
+                    "more_like_this like-by-document entries "
+                    "({'_id': …}) are resolved by the API layer; "
+                    "the schema-free compiler takes like TEXT"
+                )
+        min_tf = int(body.get("min_term_freq", 2))
+        max_terms = int(body.get("max_query_terms", 25))
+        if max_terms <= 0:
+            raise DslError("max_query_terms must be positive")
+        min_wl = int(body.get("min_word_length", 0))
+        max_wl = int(body.get("max_word_length", 0))
+        stops = {str(s).lower()
+                 for s in _as_list(body.get("stop_words"))}
+        tf: dict[str, int] = {}
+        for t in texts:
+            for tok in tokenize(str(t)):
+                tf[tok] = tf.get(tok, 0) + 1
+        cands = sorted(
+            ((n, tok) for tok, n in tf.items()
+             if n >= min_tf and len(tok) >= min_wl
+             and (not max_wl or len(tok) <= max_wl)
+             and tok not in stops),
+            key=lambda p: (-p[0], p[1]))
+        terms = [tok for _, tok in cands[:max_terms]]
+        if not terms:
+            return F.lit(False)
+        expanded: list[str] = []
+        for f in raw_fields:
+            name = str(f).split("^", 1)[0]
+            if "*" in name or "?" in name:
+                if schema_fields is None:
+                    raise DslError(
+                        f"wildcard field pattern {f!r} needs the "
+                        "table schema (pass schema_fields=df.columns)"
+                    )
+                expanded.extend(c for c in schema_fields
+                                if fnmatch.fnmatchcase(c, name))
+            else:
+                expanded.append(name)
+        expanded = list(dict.fromkeys(expanded))
+        if not expanded:
+            return F.lit(False)
+        per_term = []
+        for t in terms:
+            p = F.lit(False)
+            for f in expanded:
+                p = p | F.coalesce(
+                    F.lower(col(f).cast("string")).contains(t),
+                    F.lit(False))
+            per_term.append(p)
+        msm = resolve_minimum_should_match(
+            body.get("minimum_should_match", "30%"), len(per_term))
+        if msm <= 1:
+            acc = per_term[0]
+            for p in per_term[1:]:
+                acc = acc | p
+            return acc
+        count = sum((_ns(p).cast("int") for p in per_term), F.lit(0))
+        return count >= msm
+
     if kind in ("function_score", "script_score"):
         # In FILTER context (this compiler's output) a scoring wrapper
         # is pure membership of its inner query — the same posture as

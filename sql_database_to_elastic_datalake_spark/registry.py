@@ -2903,6 +2903,60 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_more_like_this",
+    # the oracle replays the WHOLE pipeline in SQL: seed tokenization
+    # (the analyzer's lower-then-split with the İ fold), tf-based term
+    # selection with the alphabetical tie-break, and the msm count —
+    # so the python-side selection logic is differentially checked too
+    oracle="""
+    WITH seed AS (
+        SELECT lower(replace(text, 'İ', 'i̇')) AS t
+        FROM documents WHERE doc_id = 7
+    ), tf AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(t, '[^0-9a-z]+'))
+                  AS tok FROM seed)
+        WHERE tok <> ''
+        GROUP BY tok
+    ), sel AS (
+        SELECT tok FROM tf WHERE n >= 3 AND length(tok) >= 4
+        ORDER BY n DESC, tok ASC LIMIT 8
+    )
+    SELECT d.doc_id
+    FROM documents d
+    WHERE (SELECT COUNT(*) FROM sel s
+           WHERE contains(lower(replace(d.text, 'İ', 'i̇')), s.tok))
+          >= 4
+    """,
+)
+def search_dsl_more_like_this(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``more_like_this`` (r9): "find documents like doc 7". Seed
+    lookup is ONE point-lookup job (doc_id filter pushed to the scan);
+    term selection (like-text tf, min_term_freq/min_word_length/
+    max_query_terms, alphabetical tie-break) happens at compile time;
+    the main predicate is ONE corpus scan counting per-term substring
+    hits under minimum_should_match — membership semantics, documented
+    tf-idf divergence at the compiler (plans/es_dsl.py)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") == 7) \
+        .select("text").limit(1).collect()[0][0]
+    pred = compile_dsl(
+        {"more_like_this": {
+            "fields": ["text"], "like": seed,
+            "min_term_freq": 3, "max_query_terms": 8,
+            "min_word_length": 4, "minimum_should_match": 4,
+        }},
+        schema_fields=docs.columns)
+    return docs.filter(pred).select("doc_id")
+
+
+@register(
     "search_scroll_page",
     # the oracle is the FULL matched set: a drain that overlaps or
     # gaps between pages cannot reproduce it (row counts or values
@@ -5357,6 +5411,7 @@ _CHECK_FIRST = [
     "search_dsl_function_score",  # r9 NEW: relevance-tuning wrapper
     "search_dsl_script_score",    # r9 NEW: painless-subset scoring
     "search_scroll_page",         # r9 NEW: stateless scroll drain
+    "search_dsl_more_like_this",  # r9 NEW: mlt term selection + msm
     "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
     "search_suggest_terms",     # r9: shared token pattern (ADVICE)
     "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
@@ -5410,7 +5465,6 @@ _CHECK_FIRST = [
     "doc_keywords",
     "events_hourly_heatmap",
     "events_anomaly_days",
-    "user_feature_table",
 ]
 
 

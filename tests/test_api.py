@@ -1287,3 +1287,49 @@ def test_scroll_stateless_drain(client, service, spark):
         content_type="application/json")
     assert r.status_code == 400
     assert "scroll is not supported with from" in r.get_json()["error"]
+
+
+def test_more_like_this_doc_resolution(service, spark):
+    """r9: like-by-document entries resolve at the API layer — one
+    point lookup per referenced doc, absent docs ignored, the
+    artificial-doc form needs no lookup."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [("a", "spark merge spark merge spark"),
+         ("b", "spark merge fast"), ("c", "pandas loop"),
+         ("d", "merge spark tables")],
+        "id string, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_mlt"))
+    out = service.advanced_search("data_lake_mlt", {"more_like_this": {
+        "fields": ["txt"], "like": [{"_id": "a"}],
+        "min_term_freq": 2, "minimum_should_match": 2,
+    }}, k=10)
+    ids = sorted(h["_source"]["id"] for h in out["hits"]["hits"])
+    assert ids == ["a", "b", "d"]  # seed terms {spark, merge}
+    # artificial doc + an absent _id (ignored like ES)
+    out = service.advanced_search("data_lake_mlt", {"more_like_this": {
+        "fields": ["txt"],
+        "like": [{"doc": {"txt": "pandas pandas loop loop"}},
+                 {"_id": "ghost"}],
+        "min_term_freq": 2, "minimum_should_match": 2,
+    }}, k=10)
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == ["c"]
+    # _id without a concrete table (a pattern matching MORE than one)
+    # is a named 400 — the lookup table would be ambiguous
+    spark.createDataFrame(
+        [("z", "other corpus")], "id string, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_mlt2"))
+    with pytest.raises(DslError, match="_index"):
+        service.advanced_search("data_lake_*", {"more_like_this": {
+            "fields": ["txt"], "like": [{"_id": "a"}]}}, k=1)
+    # …but an explicit _index resolves even under a pattern
+    out = service.advanced_search("data_lake_*", {"more_like_this": {
+        "fields": ["txt"],
+        "like": [{"_index": "data_lake_mlt", "_id": "a"}],
+        "min_term_freq": 2, "minimum_should_match": 2,
+    }}, k=20)
+    assert sorted(h["_source"]["id"] for h in out["hits"]["hits"]
+                  if h["_index"] == "data_lake_mlt") == ["a", "b", "d"]

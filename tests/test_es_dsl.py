@@ -457,3 +457,59 @@ def test_token_spans_shared_analyzer():
     import re
 
     assert re.compile(TOKEN_SPLIT_RE).split("a-b c") == ["a", "b", "c"]
+
+
+def test_more_like_this_term_selection_and_msm(spark):
+    """r9: more_like_this — like-text tf term selection
+    (min_term_freq, min_word_length, stop_words, max_query_terms with
+    the alphabetical tie-break) and the minimum_should_match count."""
+    import pytest
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+        compile_dsl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark merge table"), (2, "spark table"), (3, "spark"),
+         (4, "pandas loop"), (5, None)],
+        "id long, txt string")
+    # like text: spark x3, table x2, merge x1 (below min_term_freq),
+    # the x2 (stopword) → selected terms {spark, table}; msm 2 needs
+    # both
+    pred = compile_dsl({"more_like_this": {
+        "fields": ["txt"],
+        "like": "the spark table, the spark table... spark merge",
+        "min_term_freq": 2, "stop_words": ["the"],
+        "minimum_should_match": 2,
+    }}, schema_fields=df.columns)
+    assert sorted(r["id"] for r in df.filter(pred).collect()) == [1, 2]
+    # msm "30%" of 2 terms floors to 0 → Lucene's at-least-one rule
+    pred = compile_dsl({"more_like_this": {
+        "fields": ["txt"],
+        "like": "the spark table the spark table spark",
+        "min_term_freq": 2, "stop_words": ["the"],
+    }}, schema_fields=df.columns)
+    assert sorted(r["id"] for r in df.filter(pred).collect()) == \
+        [1, 2, 3]
+    # max_query_terms keeps the top-tf terms, alphabetical tie-break:
+    # tf2 {merge, spark, table} → top-2 = {merge, spark}
+    pred = compile_dsl({"more_like_this": {
+        "fields": ["txt"], "like": "spark spark table table merge merge",
+        "min_term_freq": 2, "max_query_terms": 2,
+        "minimum_should_match": 2,
+    }}, schema_fields=df.columns)
+    assert sorted(r["id"] for r in df.filter(pred).collect()) == [1]
+    # no term survives selection → matches nothing (ES's empty query)
+    pred = compile_dsl({"more_like_this": {
+        "fields": ["txt"], "like": "every word once only here",
+    }}, schema_fields=df.columns)
+    assert df.filter(pred).count() == 0
+    with pytest.raises(DslError, match="fields list"):
+        compile_dsl({"more_like_this": {"like": "x x"}})
+    with pytest.raises(DslError, match="resolved by the API layer"):
+        compile_dsl({"more_like_this": {
+            "fields": ["txt"], "like": [{"_id": 7}]}})
+    with pytest.raises(DslError, match="unsupported more_like_this"):
+        compile_dsl({"more_like_this": {
+            "fields": ["txt"], "like": "x", "unlike": "y"}})

@@ -315,6 +315,12 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, ["GreaterThanOrEqual(n_chars,100)"])},
     ),
+    # r9: more_like_this — the seed lookup is a separate point job;
+    # the returned plan is ONE corpus scan with the msm count inline
+    "search_dsl_more_like_this": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
     # r7: bracket ranges / sloppy phrases / fuzzy match all compile to
     # scan-level predicates — no shuffle, no join, pruned scans
     "search_dsl_qs_ranges": dict(
