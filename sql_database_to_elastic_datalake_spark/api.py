@@ -1322,16 +1322,20 @@ def _rescore_expr(rescore: dict | None, df: "DataFrame"):
 
 
 def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
-    """Execute an ES ``suggest`` section (term suggester only — the
-    completion/phrase suggesters need index-side structures this lake
-    does not maintain; named 400). One distributed job per suggester
-    (:func:`plans.search.suggest_terms`); the envelope mirrors ES:
-    one entry per input token with offset/length and scored options."""
+    """Execute an ES ``suggest`` section — the term suggester
+    (per-token corrections) and the phrase suggester (r9, whole-phrase
+    corrections via :func:`plans.search.suggest_phrase`). The
+    completion suggester needs an index-side FST this lake does not
+    maintain; named 400. One distributed job per suggester; the
+    envelope mirrors ES: per-token entries for ``term``, one
+    whole-text entry for ``phrase``, each with offset/length and
+    scored options."""
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
         DslError,
         token_spans,
     )
     from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_phrase,
         suggest_terms,
     )
 
@@ -1340,11 +1344,49 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
         if not isinstance(spec, dict) or "text" not in spec:
             raise DslError(f"suggester {name!r} requires text")
         kinds = [k for k in spec if k != "text"]
+        if kinds == ["phrase"]:
+            body = spec["phrase"]
+            unknown = sorted(set(body) - {
+                "field", "size", "max_edits", "prefix_length",
+                "min_doc_freq",
+                # ES model-tuning keys with no twin in the
+                # deterministic Laplace-bigram model — accepted and
+                # ignored (suggest_phrase docstring divergence note)
+                "gram_size", "real_word_error_likelihood",
+                "confidence", "separator", "shard_size",
+            })
+            if unknown:
+                raise DslError(
+                    f"unsupported phrase suggester options: {unknown}")
+            field = body.get("field")
+            if not field:
+                raise DslError(f"suggester {name!r} requires a field")
+            text = str(spec["text"])
+            spans = token_spans(text)
+            options = []
+            if field in df.columns and spans:
+                options = [
+                    {"text": r["phrase"], "score": r["score"]}
+                    for r in suggest_phrase(
+                        df, field, text,
+                        size=int(body.get("size", 3)),
+                        max_edits=int(body.get("max_edits", 2)),
+                        prefix_length=int(
+                            body.get("prefix_length", 1)),
+                        min_doc_freq=int(body.get("min_doc_freq", 1)),
+                        tokens=[t for t, _, _ in spans],
+                    ).collect()
+                ]
+            out[name] = [{
+                "text": text, "offset": 0, "length": len(text),
+                "options": options,
+            }]
+            continue
         if kinds != ["term"]:
             raise DslError(
                 f"unsupported suggester {kinds or 'missing'} under "
-                f"{name!r} (only the term suggester is implemented; "
-                "completion/phrase need index-side structures)"
+                f"{name!r} (term and phrase are implemented; "
+                "completion needs an index-side FST)"
             )
         body = spec["term"]
         unknown = sorted(set(body) - {

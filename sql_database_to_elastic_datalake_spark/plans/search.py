@@ -565,3 +565,153 @@ def suggest_terms(
     return gated.filter(
         F.col("self_freq").isNull()
         | (F.col("freq") > F.col("self_freq"))).drop("self_freq")
+
+
+def suggest_phrase(
+    df: DataFrame,
+    field: str,
+    text: str,
+    size: int = 3,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_doc_freq: int = 1,
+    per_token: int = 5,
+    tokens: list[str] | None = None,
+) -> DataFrame:
+    """The ES *phrase suggester* ("did you mean", whole phrase):
+    per-token candidates from the corpus vocabulary (levenshtein ≤
+    max_edits, the token itself included at distance 0), composed into
+    candidate phrases re-ranked by corpus BIGRAM plausibility with
+    Laplace smoothing:
+
+        score = Π tokenscore(cᵢ)
+              × Π (bigram(cᵢ₋₁, cᵢ) + 1) / (unigram(cᵢ₋₁) + V)
+
+    where tokenscore is the term suggester's ``1 − dist/max(len)``,
+    counts are corpus OCCURRENCE counts (the phrase model needs token
+    frequencies, unlike the term suggester's document frequencies —
+    a stated difference), and V is the vocabulary size. Every factor
+    is a ratio of exact integers, so the doubles replay bit-identically
+    in the DuckDB oracle.
+
+    Spark shape: ONE tokenized scan feeds the unigram and bigram
+    dictionaries (a groupBy each); candidate generation rides the
+    unigram dictionary exactly like the term suggester (explode the
+    tiny token list, levenshtein prune, window top ``per_token``);
+    composition touches only the per-token candidate sets and the few
+    candidate bigrams (collected — they are query-sized, ≤
+    per_token²·(n−1) rows), never the corpus.
+
+    Documented divergence: ES's phrase suggester scores with a
+    shard-local smoothed trigram/bigram mix (``stupid_backoff``)
+    whose statistics are not reproducible cross-engine; this model is
+    the deterministic Laplace-bigram equivalent, and ordering ties
+    break on the phrase string.
+    """
+    from pyspark.sql import Window
+
+    toks = [t for t in (tokens if tokens is not None
+                        else tokenize(str(text)))]
+    empty = df.sparkSession.createDataFrame(
+        [], "phrase string, score double")
+    if not toks:
+        return empty
+
+    arr = F.array_compact(F.split(
+        F.lower(F.col(field).cast("string")), TOKEN_SPLIT_RE))
+    arr = F.filter(arr, lambda t: t != F.lit(""))
+    tokenized = df.select(arr.alias("toks"))
+    uni = (
+        tokenized.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # adjacent pairs: zip the array with itself shifted by one — a
+    # generator expression, no shuffle before the pair groupBy
+    pairs_col = F.arrays_zip(
+        F.slice(F.col("toks"), 1,
+                F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2,
+                F.greatest(F.size("toks") - 1, F.lit(0))),
+    )
+    big = (
+        tokenized.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    # per-position candidates (the token itself rides at distance 0 —
+    # the phrase suggester corrects in context, so a valid word can
+    # still be replaced when the bigram model prefers a neighbor)
+    uniq = list(dict.fromkeys(toks))
+    cand = uni.select(
+        F.col("w").alias("candidate"), "cnt",
+        F.explode(F.array(*[F.lit(t) for t in uniq])).alias("token"),
+    ).filter(
+        (F.levenshtein(F.col("candidate"), F.col("token"))
+         <= int(max_edits))
+        & (F.col("cnt") >= int(min_doc_freq))
+    )
+    if prefix_length:
+        cand = cand.filter(
+            F.substring(F.col("candidate"), 1, int(prefix_length))
+            == F.substring(F.col("token"), 1, int(prefix_length))
+        )
+    dist = F.levenshtein(F.col("candidate"), F.col("token"))
+    cand = cand.withColumn(
+        "ts",
+        (F.lit(1.0) - dist.cast("double")
+         / F.greatest(F.length("token"),
+                      F.length("candidate")).cast("double")),
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("ts").desc(), F.col("cnt").desc(),
+        F.col("candidate").asc())
+    top = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(per_token))
+        .select("token", "candidate", "cnt", "ts")
+        .collect()
+    )
+    by_tok: dict[str, list] = {}
+    for r in top:
+        by_tok.setdefault(r["token"], []).append(
+            (r["candidate"], int(r["cnt"]), float(r["ts"])))
+    sets = [by_tok.get(t, []) for t in toks]
+    if any(not s for s in sets):
+        return empty  # a position with no candidate: no phrase (ES
+        # emits no option when generation fails for a term)
+    vocab = uni.count()
+
+    # the only bigrams that can matter are candidate adjacencies —
+    # query-sized, fetched in one pruned pass over the bigram frame
+    need = set()
+    for i in range(1, len(toks)):
+        for c1, _, _ in sets[i - 1]:
+            for c2, _, _ in sets[i]:
+                need.add((c1, c2))
+    bcnt: dict[tuple, int] = {}
+    if need:
+        w1s = sorted({a for a, _ in need})
+        w2s = sorted({b for _, b in need})
+        for r in big.filter(
+                F.col("w1").isin(w1s) & F.col("w2").isin(w2s)
+        ).collect():
+            bcnt[(r["w1"], r["w2"])] = int(r["cnt"])
+
+    phrases: list[tuple[str, float]] = []
+
+    def compose(i: int, words: list, prev_cnt: int, score: float):
+        if i == len(sets):
+            phrases.append((" ".join(words), score))
+            return
+        for c, cnt, ts in sets[i]:
+            s = score * ts
+            if i > 0:
+                b = bcnt.get((words[-1], c), 0)
+                s = s * (float(b + 1) / float(prev_cnt + vocab))
+            compose(i + 1, words + [c], cnt, s)
+
+    compose(0, [], 0, 1.0)
+    phrases.sort(key=lambda p: (-p[1], p[0]))
+    return df.sparkSession.createDataFrame(
+        phrases[:int(size)], "phrase string, score double")

@@ -2903,6 +2903,77 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_suggest_phrase",
+    # the oracle replays the full model: same analyzer, occurrence
+    # unigrams + adjacent bigrams, per-position candidate top-5 with
+    # the deterministic ordering, and the Laplace-bigram score — every
+    # factor a ratio of exact integers, so the doubles are
+    # bit-identical cross-engine
+    oracle="""
+    WITH tokarr AS (
+        SELECT list_filter(regexp_split_to_array(
+            lower(replace(text, 'İ', 'i̇')), '[^0-9a-zA-Z]+'),
+            x -> x <> '') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(toks) AS w FROM tokarr) GROUP BY w
+    ), big AS (
+        SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_zip(toks[1:len(toks)-1],
+                                     toks[2:len(toks)])) AS p
+              FROM tokarr)
+        GROUP BY 1, 2
+    ), qtoks AS (
+        SELECT unnest(['spak', 'tabel']) AS token,
+               unnest([1, 2]) AS pos
+    ), cand AS (
+        SELECT t.pos, u.w AS candidate, u.cnt,
+               1.0 - CAST(levenshtein(u.w, t.token) AS DOUBLE)
+                   / CAST(GREATEST(length(t.token), length(u.w))
+                          AS DOUBLE) AS ts
+        FROM uni u, qtoks t
+        WHERE levenshtein(u.w, t.token) <= 2
+          AND u.cnt >= 1
+          AND substr(u.w, 1, 1) = substr(t.token, 1, 1)
+    ), topc AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY pos
+                ORDER BY ts DESC, cnt DESC, candidate) AS rn
+            FROM cand)
+        WHERE rn <= 5
+    ), v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni)
+    SELECT c1.candidate || ' ' || c2.candidate AS phrase,
+           c1.ts * c2.ts
+             * (CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE)
+                / CAST(c1.cnt + v.vocab AS DOUBLE)) AS score
+    FROM topc c1
+    JOIN topc c2 ON c1.pos = 1 AND c2.pos = 2
+    LEFT JOIN big b ON b.w1 = c1.candidate AND b.w2 = c2.candidate
+    CROSS JOIN v
+    ORDER BY score DESC, phrase ASC
+    LIMIT 3
+    """,
+)
+def search_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES *phrase suggester* (r9): whole-phrase "did you mean" —
+    per-token candidates from the corpus vocabulary re-ranked by
+    corpus bigram plausibility with Laplace smoothing
+    (plans/search.py:suggest_phrase). The plan stays
+    dictionary-groupBy-bounded: one tokenized scan feeds the
+    unigram/bigram frames; composition touches only the query-sized
+    candidate sets. Deterministic twin of ES's shard-local
+    stupid-backoff model (documented divergence at the operator)."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_phrase,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest_phrase(docs, "text", "spak tabel", size=3)
+
+
+@register(
     "search_dsl_more_like_this",
     # the oracle replays the WHOLE pipeline in SQL: seed tokenization
     # (the analyzer's lower-then-split with the İ fold), tf-based term
@@ -5412,6 +5483,7 @@ _CHECK_FIRST = [
     "search_dsl_script_score",    # r9 NEW: painless-subset scoring
     "search_scroll_page",         # r9 NEW: stateless scroll drain
     "search_dsl_more_like_this",  # r9 NEW: mlt term selection + msm
+    "search_suggest_phrase",      # r9 NEW: Laplace-bigram phrase fix
     "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
     "search_suggest_terms",     # r9: shared token pattern (ADVICE)
     "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
@@ -5464,7 +5536,6 @@ _CHECK_FIRST = [
     "rfm_segmentation",
     "doc_keywords",
     "events_hourly_heatmap",
-    "events_anomaly_days",
 ]
 
 

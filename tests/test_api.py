@@ -1333,3 +1333,48 @@ def test_more_like_this_doc_resolution(service, spark):
     }}, k=20)
     assert sorted(h["_source"]["id"] for h in out["hits"]["hits"]
                   if h["_index"] == "data_lake_mlt") == ["a", "b", "d"]
+
+
+def test_suggest_phrase_suggester(service, spark):
+    """r9: the phrase suggester — whole-phrase corrections with the
+    Laplace-bigram re-rank; one entry spanning the input text; named
+    400s for unknown options; completion stays a named 400."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, "spark merges tables fast"), (2, "spark merge loop"),
+         (3, "spark table scan"), (4, "pandas table scan")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_ph"))
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "spak tabel",
+                         "phrase": {"field": "txt", "size": 3}}})
+    ent = out["suggest"]["fix"]
+    assert len(ent) == 1
+    assert (ent[0]["text"], ent[0]["offset"], ent[0]["length"]) == \
+        ("spak tabel", 0, 10)
+    opts = ent[0]["options"]
+    assert opts and opts[0]["text"] == "spark table"
+    assert all(o1["score"] >= o2["score"]
+               for o1, o2 in zip(opts, opts[1:]))
+    # the bigram model prefers an attested continuation: "merge loop"
+    # beats "merges loop" even though both are one edit from "merge"
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"fix": {"text": "merg loop",
+                         "phrase": {"field": "txt"}}})
+    assert out["suggest"]["fix"][0]["options"][0]["text"] == \
+        "merge loop"
+    with pytest.raises(DslError, match="phrase suggester options"):
+        service.advanced_search(
+            "data_lake_ph", {"match_all": {}}, k=1,
+            suggest={"f": {"text": "x", "phrase": {
+                "field": "txt", "collate": {}}}})
+    with pytest.raises(DslError, match="completion"):
+        service.advanced_search(
+            "data_lake_ph", {"match_all": {}}, k=1,
+            suggest={"c": {"text": "x",
+                           "completion": {"field": "txt"}}})
