@@ -790,6 +790,8 @@ class LakeService:
         fields_opt=None,
         suggest: dict | None = None,
         knn: dict | None = None,
+        runtime_mappings: dict | None = None,
+        script_fields: dict | None = None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -875,6 +877,37 @@ class LakeService:
             )
         else:
             names = [table]
+        rt_specs: dict = dict(runtime_mappings or {})
+        if script_fields:
+            # script_fields are runtime columns surfaced through the
+            # fields-retrieval machinery (ES returns both under
+            # hit["fields"]); they never enter _source
+            if not isinstance(script_fields, dict):
+                raise DslError("script_fields must be an object")
+            for sfname, sfspec in script_fields.items():
+                if not isinstance(sfspec, dict) \
+                        or "script" not in sfspec:
+                    raise DslError(
+                        f"script_fields entry {sfname!r} requires a "
+                        "script")
+                if sfname in rt_specs:
+                    raise DslError(
+                        f"{sfname!r} is both a runtime mapping and a "
+                        "script field")
+                rt_specs[sfname] = {"type": "double",
+                                    "script": sfspec["script"]}
+            fields_opt = (list(fields_opt or [])
+                          + [{"field": n} for n in script_fields])
+        if rt_specs and knn is not None:
+            raise DslError("runtime fields are not supported with knn")
+        if rt_specs and isinstance(dsl, dict) and len(dsl) == 1 \
+                and next(iter(dsl)) in ("function_score",
+                                        "script_score") and not sort:
+            raise DslError(
+                "runtime fields are not supported on the "
+                "function_score/script_score ranked page (reference "
+                "them from the score script directly instead)"
+            )
         if _has_mlt_doc_refs(dsl):
             # more_like_this like-by-document entries ({"_id": …},
             # {"doc": {…}}) resolve HERE — the schema-free compiler
@@ -1015,7 +1048,27 @@ class LakeService:
         total_value, total_exact = 0, True
         for name in names:
             df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
-            src_cols = resolve_source_columns(df.columns, source)
+            orig_cols = df.columns
+            if rt_specs:
+                # runtime fields become real columns of this table's
+                # frame — query, sort, aggs and fields retrieval all
+                # see them with zero special-casing. Catalyst inlines
+                # the expression everywhere it is referenced and
+                # prunes it where it is not, so an unused runtime
+                # field costs nothing at the scan. Later mappings may
+                # reference earlier ones (dict order, like ES).
+                from sql_database_to_elastic_datalake_spark.plans.score_dsl \
+                    import runtime_column
+
+                for rt_name, rt_spec in rt_specs.items():
+                    def rt_resolve(f: str, _df=df):
+                        return (F.col(f) if f in _df.columns
+                                else F.lit(None).cast("double"))
+                    df = df.withColumn(
+                        rt_name, runtime_column(rt_spec, rt_resolve))
+            # _source is the original document — runtime/script fields
+            # surface only through `fields` (ES's contract)
+            src_cols = resolve_source_columns(orig_cols, source)
             fout = _resolve_fields_option(fields_opt, df.columns)
             fout_cols = [c for c, _ in fout]
             hl_fields: list = []
@@ -1909,6 +1962,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "aggs", "aggregations", "_source", "highlight",
         "post_filter", "collapse", "track_total_hits", "fields",
         "suggest", "knn", "docvalue_fields", "scroll",
+        "runtime_mappings", "script_fields",
     }
 
     def _page_size(body):
@@ -2004,7 +2058,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             # scroll TTL accepted-and-ignored: the returned _scroll_id
             # is a stateless continuation token (scroll_search docs)
             for bad in ("from", "search_after", "collapse",
-                        "highlight", "knn", "post_filter"):
+                        "highlight", "knn", "post_filter",
+                        "runtime_mappings", "script_fields"):
                 if body.get(bad):
                     return jsonify({"error":
                                     f"scroll is not supported with "
@@ -2049,6 +2104,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                         or None),
                     suggest=body.get("suggest"),
                     knn=body.get("knn"),
+                    runtime_mappings=body.get("runtime_mappings"),
+                    script_fields=body.get("script_fields"),
                 )
             )), 200
         except DslError as ex:

@@ -548,3 +548,40 @@ def script_score_columns(
     score = script_column(body["script"], field_resolver, F.lit(1.0))
     ms = body.get("min_score")
     return pred, score, (float(ms) if ms is not None else None)
+
+
+_EMIT_RE = re.compile(r"^\s*emit\s*\((.*)\)\s*;?\s*$", re.S)
+
+_RUNTIME_TYPES = ("double", "long")
+
+
+def runtime_column(spec: dict, field_resolver) -> Column:
+    """One ``runtime_mappings`` entry → a typed Column. The script is
+    the same painless subset :func:`script_column` takes; ES's
+    ``emit(...)`` wrapper is unwrapped (a bare expression also
+    works). Only numeric runtime types are expressible in the
+    arithmetic grammar — ``keyword``/``date``/… are named 400s, not
+    silently-wrong strings."""
+    if not isinstance(spec, dict):
+        raise DslError("runtime field spec must be an object")
+    unknown = sorted(set(spec) - {"type", "script"})
+    if unknown:
+        raise DslError(f"unsupported runtime field keys: {unknown}")
+    rtype = str(spec.get("type", "double"))
+    if rtype not in _RUNTIME_TYPES:
+        raise DslError(
+            f"unsupported runtime field type {rtype!r} "
+            f"(implemented: {list(_RUNTIME_TYPES)})"
+        )
+    script = spec.get("script")
+    if isinstance(script, str):
+        script = {"source": script}
+    if not isinstance(script, dict) or "source" not in script:
+        raise DslError("runtime field requires a script")
+    src = str(script["source"])
+    m = _EMIT_RE.match(src)
+    if m:
+        src = m.group(1)
+    col = script_column({**script, "source": src}, field_resolver,
+                        F.lit(1.0))
+    return col.cast("long") if rtype == "long" else col

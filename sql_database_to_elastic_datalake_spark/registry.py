@@ -2903,6 +2903,58 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_runtime_mappings",
+    # the runtime field is one derived expression replayed verbatim;
+    # min/max metrics are summation-order-independent, so the doubles
+    # match bit-exactly (avg over non-integer doubles would not)
+    oracle="""
+    WITH rt AS (
+        SELECT lang,
+               CAST(n_chars AS DOUBLE) / 10.0 + 5.0 AS chars_score
+        FROM documents
+    )
+    SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           MAX(chars_score) AS max_score, MIN(chars_score) AS min_score
+    FROM rt WHERE chars_score >= 30.0 AND lang IS NOT NULL
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+    """,
+)
+def search_runtime_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``runtime_mappings`` (r9): a script-derived field (Kibana
+    runtime fields ride modern Discover requests) used in BOTH a query
+    filter and an aggregation. The field is injected as a real Column
+    (plans/score_dsl.py:runtime_column — the emit() painless subset,
+    never eval()), so Catalyst inlines it into the range predicate and
+    the groupBy metrics with zero special-casing; one scan, one
+    shuffle."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        terms_frame,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        runtime_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("chars_score", runtime_column(
+        {"type": "double",
+         "script": {"source":
+                    "emit(doc['n_chars'].value / 10.0 + params.b)",
+                    "params": {"b": 5}}},
+        F.col))
+    matched = docs.filter(compile_dsl(
+        {"range": {"chars_score": {"gte": 30.0}}},
+        schema_fields=docs.columns))
+    return terms_frame(
+        matched, {"field": "lang", "size": 10},
+        {"max_score": {"max": {"field": "chars_score"}},
+         "min_score": {"min": {"field": "chars_score"}}},
+    )
+
+
+@register(
     "search_suggest_phrase",
     # the oracle replays the full model: same analyzer, occurrence
     # unigrams + adjacent bigrams, per-position candidate top-5 with
@@ -5484,6 +5536,7 @@ _CHECK_FIRST = [
     "search_scroll_page",         # r9 NEW: stateless scroll drain
     "search_dsl_more_like_this",  # r9 NEW: mlt term selection + msm
     "search_suggest_phrase",      # r9 NEW: Laplace-bigram phrase fix
+    "search_runtime_mappings",    # r9 NEW: script-derived fields
     "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
     "search_suggest_terms",     # r9: shared token pattern (ADVICE)
     "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
@@ -5535,7 +5588,6 @@ _CHECK_FIRST = [
     "mixture_rebalance_rates",
     "rfm_segmentation",
     "doc_keywords",
-    "events_hourly_heatmap",
 ]
 
 

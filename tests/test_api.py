@@ -1378,3 +1378,71 @@ def test_suggest_phrase_suggester(service, spark):
             "data_lake_ph", {"match_all": {}}, k=1,
             suggest={"c": {"text": "x",
                            "completion": {"field": "txt"}}})
+
+
+def test_runtime_mappings_and_script_fields(client, service, spark):
+    """r9: runtime_mappings fields work in query, sort, aggs and
+    fields retrieval; script_fields surface under hit.fields; neither
+    leaks into _source; named 400s for bad types/scripts."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, 100, "de"), (2, 300, "en"), (3, 200, "de"),
+         (4, None, "en")],
+        "id long, n long, lang string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rt"))
+    rt = {"n2": {"type": "double", "script": {
+        "source": "emit(doc['n'].value / 10.0 + params.b)",
+        "params": {"b": 5}}}}
+    out = service.advanced_search(
+        "data_lake_rt", {"range": {"n2": {"gte": 15}}}, k=10,
+        sort=[{"n2": "desc"}], runtime_mappings=rt,
+        fields_opt=[{"field": "n2"}],
+        aggs={"mx": {"max": {"field": "n2"}}})
+    hits = out["hits"]["hits"]
+    assert [h["fields"]["n2"] for h in hits] == \
+        [[35.0], [25.0], [15.0]]
+    assert all("n2" not in h["_source"] for h in hits)
+    assert out["aggregations"]["mx"]["value"] == 35.0
+    assert out["hits"]["total"] == {"value": 3, "relation": "eq"}
+    # script_fields: computed per hit, under fields, never in _source
+    out = service.advanced_search(
+        "data_lake_rt", {"match_all": {}}, k=2, sort=[{"id": "asc"}],
+        script_fields={"dbl": {"script":
+                               {"source": "doc['n'].value * 2"}}})
+    assert [(h["_source"]["id"], h["fields"]["dbl"])
+            for h in out["hits"]["hits"]] == [(1, [200.0]),
+                                             (2, [600.0])]
+    # chained runtime fields (later may reference earlier, dict order)
+    out = service.advanced_search(
+        "data_lake_rt", {"term": {"lang": "de"}}, k=10,
+        sort=[{"id": "asc"}],
+        runtime_mappings={
+            "a": {"script": {"source": "doc['n'].value + 1"}},
+            "b": {"script": {"source": "doc['a'].value * 2"}},
+        },
+        fields_opt=[{"field": "b"}])
+    assert [h["fields"]["b"] for h in out["hits"]["hits"]] == \
+        [[202.0], [402.0]]
+    with pytest.raises(DslError, match="runtime field type"):
+        service.advanced_search(
+            "data_lake_rt", {"match_all": {}}, k=1,
+            runtime_mappings={"x": {"type": "keyword", "script": {
+                "source": "emit(1)"}}})
+    with pytest.raises(DslError, match="unsupported script syntax"):
+        service.advanced_search(
+            "data_lake_rt", {"match_all": {}}, k=1,
+            runtime_mappings={"x": {"script": {
+                "source": "emit(System.exit(1))"}}})
+    # wire: the body keys ride /search/advanced
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_rt",
+        "query": {"range": {"n2": {"gte": 25}}},
+        "sort": [{"n2": "desc"}],
+        "runtime_mappings": rt, "fields": [{"field": "n2"}],
+    }), content_type="application/json")
+    assert r.status_code == 200
+    assert [h["fields"]["n2"]
+            for h in r.get_json()["hits"]["hits"]] == [[35.0], [25.0]]
