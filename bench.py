@@ -97,6 +97,7 @@ HEADLINE = (
 #: regressions are caught by comparison). The default HEADLINE stays
 #: untouched to keep BENCH_r{N}.json min-of-3 comparable across rounds.
 SF1_EXTRA = (
+    "quality_classifier_scores",
     "semdedup_embeddings",
     "neardup_minhash_lsh",
     "simhash_hamming_pairs",

@@ -298,3 +298,96 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.col("top_count").cast("double") / nt).alias("top_token_share"),
         (F.col("n_chars").cast("double") / nt).alias("mean_word_len"),
     )
+
+
+#: Knuth multiplicative constant + a prime modulus: the deterministic
+#: default weight formula for :func:`quality_classifier_logits`.
+_QC_MIX = 2654435761
+_QC_MOD = 1000003
+
+
+def quality_classifier_logits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    buckets: int = 1 << 18,
+    bias: float = 0.0,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """fastText-style document-quality classifier scoring (r9): hashed
+    character n-grams → weight lookup → mean-pooled LOGIT per doc —
+    the standard learned corpus-filtering stage between the Gopher
+    heuristics (:func:`repetition_stats`, :func:`quality_score`) and
+    dedup (CCNet/LLaMA-pipeline shape: arXiv:1911.00359 §4.3).
+
+    Two tiers, same model:
+
+    * ``weights=None`` (default, the ORACLED tier): the weight of
+      bucket ``b`` is the deterministic formula
+      ``((b·2654435761) mod 1000003)/1000003 − 0.5`` inlined as column
+      algebra — the whole scorer is ONE projection, zero shuffles,
+      zero UDFs. The n-gram fold (``F.aggregate``) sums weights in
+      array order, so the doubles replay bit-identically in DuckDB's
+      ``list_reduce``.
+    * ``weights=DataFrame(bucket, weight)`` (the PRETRAINED tier):
+      explode grams → hash → broadcast-join the weight vector →
+      groupBy doc with a mean. A real fastText weight table is a few
+      MB (2^18–2^21 floats) — exactly the broadcast-join sweet spot;
+      partial aggregation combines map-side, so the shuffle carries
+      one row per doc. Summation order is then partition-dependent
+      (documented: scores differ from the inline tier by float ulps).
+
+    The output is the raw logit, not the sigmoid: exp() differs by
+    ulps across libms (which would break differential checks) and the
+    sigmoid is monotone, so thresholding logits is the same decision.
+
+    The hash is the first 8 hex digits of md5 — cross-engine stable
+    (Spark ``conv(substring(md5(g),1,8),16,10)`` ==
+    DuckDB ``CAST('0x'||substr(md5(g),1,8) AS UBIGINT)``), unlike
+    xxhash64 whose seeds differ between engines. Docs shorter than
+    ``n`` chars have no grams and score a null logit (quarantine tier,
+    not a silent 0.5)."""
+    txt = F.lower(F.col(text_col).cast("string"))
+    n_grams = F.greatest(F.length(txt) - F.lit(n - 1), F.lit(0))
+    grams = F.when(
+        n_grams > 0,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: txt.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def bucket_of(g):
+        return F.conv(F.substring(F.md5(g), 1, 8), 16, 10) \
+            .cast("bigint") % F.lit(int(buckets))
+
+    if weights is None:
+        def w_of(g):
+            return (
+                (bucket_of(g) * F.lit(_QC_MIX) % F.lit(_QC_MOD))
+                .cast("double") / F.lit(float(_QC_MOD))
+                - F.lit(0.5)
+            )
+        total = F.aggregate(
+            grams, F.lit(0.0), lambda a, g: a + w_of(g))
+        logit = (F.try_divide(total, n_grams.cast("double"))
+                 + F.lit(float(bias)))
+        return df.select(
+            F.col(id_col),
+            logit.cast("double").alias("logit"),
+        )
+    hashed = (
+        df.select(F.col(id_col),
+                  F.explode(grams).alias("g"))
+        .select(id_col, bucket_of(F.col("g")).alias("bucket"))
+    )
+    pooled = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg((F.sum("weight") / F.count(F.lit(1)))
+             .alias("__mean_w"))
+    )
+    return df.select(id_col).join(pooled, id_col, "left").select(
+        F.col(id_col),
+        (F.col("__mean_w") + F.lit(float(bias)))
+        .cast("double").alias("logit"),
+    )

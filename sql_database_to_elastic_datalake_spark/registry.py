@@ -2903,6 +2903,48 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_scores",
+    # the oracle replays the full model: same analyzer fold, same
+    # md5-hash buckets, same weight formula, and list_reduce's
+    # in-order summation matching F.aggregate's left fold — doubles
+    # are bit-identical cross-engine
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               [ (CAST(CAST(('0x' || substr(md5(substring(t, i, 3)),
+                                            1, 8)) AS UBIGINT)
+                       % 262144 AS BIGINT)
+                  * 2654435761 % 1000003) / 1000003.0 - 0.5
+                 for i in range(1, length(t) - 1) ] AS ws
+        FROM (SELECT doc_id, lower(replace(text, 'İ', 'i̇')) AS t
+              FROM documents)
+    )
+    SELECT doc_id,
+           CAST(list_reduce(ws, (a, b) -> a + b) / len(ws)
+                AS DOUBLE) AS logit
+    FROM g WHERE len(ws) > 0
+    """,
+)
+def quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-quality classifier logits (r9): the learned
+    corpus-filtering stage between the Gopher heuristics and dedup
+    (operators/text.py:quality_classifier_logits). Hashed char
+    3-grams → deterministic weight formula → mean-pooled logit, all
+    in ONE projection — zero shuffles, zero UDFs, the whole scorer
+    rides whole-stage codegen. The pretrained-weights tier
+    (broadcast-join) is the same model with a real weight table."""
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        quality_classifier_logits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_logits(docs).filter(
+        F.col("logit").isNotNull())
+
+
+@register(
     "search_runtime_mappings",
     # the runtime field is one derived expression replayed verbatim;
     # min/max metrics are summation-order-independent, so the doubles
@@ -5537,6 +5579,7 @@ _CHECK_FIRST = [
     "search_dsl_more_like_this",  # r9 NEW: mlt term selection + msm
     "search_suggest_phrase",      # r9 NEW: Laplace-bigram phrase fix
     "search_runtime_mappings",    # r9 NEW: script-derived fields
+    "quality_classifier_scores",  # r9 NEW: fastText-style filtering
     "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
     "search_suggest_terms",     # r9: shared token pattern (ADVICE)
     "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
@@ -5587,7 +5630,6 @@ _CHECK_FIRST = [
     "curriculum_deciles",
     "mixture_rebalance_rates",
     "rfm_segmentation",
-    "doc_keywords",
 ]
 
 

@@ -321,6 +321,12 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # r9: the quality classifier's inline tier is ONE projection —
+    # zero shuffles, zero joins, 2-column scan, whole-stage codegen
+    "quality_classifier_scores": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
     # r7: bracket ranges / sloppy phrases / fuzzy match all compile to
     # scan-level predicates — no shuffle, no join, pruned scans
     "search_dsl_qs_ranges": dict(

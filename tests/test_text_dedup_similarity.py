@@ -471,3 +471,45 @@ def test_dedup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n - 1)])
     out = dedup.dedup_clusters(nodes, pairs, "doc_id").collect()
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_quality_classifier_tiers_agree(spark):
+    """r9: the inline-formula tier and the broadcast-weight tier score
+    the same model — equal up to summation-order ulps; short docs get
+    a null logit (quarantine, not a silent mid-score)."""
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        _QC_MIX,
+        _QC_MOD,
+        quality_classifier_logits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "high quality prose with variety and length"),
+         (2, "spam spam spam spam spam"),
+         (3, "ab"),  # shorter than the 3-gram window
+         (4, None)],
+        "doc_id long, text string")
+    inline = {r["doc_id"]: r["logit"]
+              for r in quality_classifier_logits(df).collect()}
+    assert inline[3] is None and inline[4] is None
+    assert inline[1] is not None and inline[2] is not None
+    assert inline[1] != inline[2]  # the model discriminates
+    # the pretrained tier with the SAME weights as the formula
+    buckets = 1 << 18
+    weights = spark.range(buckets).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(_QC_MIX) % F.lit(_QC_MOD))
+         .cast("double") / F.lit(float(_QC_MOD))
+         - F.lit(0.5)).alias("weight"))
+    bj = {r["doc_id"]: r["logit"]
+          for r in quality_classifier_logits(
+              df, weights=weights).collect()}
+    assert bj[1] == pytest.approx(inline[1], abs=1e-12)
+    assert bj[2] == pytest.approx(inline[2], abs=1e-12)
+    assert bj[3] is None and bj[4] is None
+    # determinism: the inline tier is bit-stable across runs
+    again = {r["doc_id"]: r["logit"]
+             for r in quality_classifier_logits(df).collect()}
+    assert again == inline
