@@ -1394,7 +1394,56 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
 
     out: dict[str, Any] = {}
     for name, spec in suggest.items():
-        if not isinstance(spec, dict) or "text" not in spec:
+        if not isinstance(spec, dict):
+            raise DslError(f"suggester {name!r} must be an object")
+        if "completion" in spec:
+            # completion takes `prefix` (not `text`): value-dictionary
+            # prefix lookup ranked by doc frequency — the FST-weight
+            # divergence is documented at the operator
+            kinds = [k for k in spec
+                     if k not in ("prefix", "regex", "text")]
+            if kinds != ["completion"]:
+                raise DslError(
+                    f"suggester {name!r} mixes completion with "
+                    f"{sorted(set(kinds) - {'completion'})}")
+            body = spec["completion"]
+            unknown = sorted(set(body) - {
+                "field", "size", "skip_duplicates", "analyzer"})
+            if unknown:
+                raise DslError(
+                    f"unsupported completion suggester options: "
+                    f"{unknown} (fuzzy/regex completion need the "
+                    "index-side FST)")
+            if spec.get("regex") is not None:
+                raise DslError(
+                    "regex completion is not supported (needs the "
+                    "index-side FST); use prefix")
+            # ES accepts the legacy "text" spelling as the prefix
+            prefix = spec.get("prefix", spec.get("text"))
+            if not isinstance(prefix, str) or not prefix:
+                raise DslError(
+                    f"completion suggester {name!r} requires a "
+                    "prefix")
+            field = body.get("field")
+            if not field:
+                raise DslError(f"suggester {name!r} requires a field")
+            from sql_database_to_elastic_datalake_spark.plans.search \
+                import suggest_completion
+
+            options = []
+            if field in df.columns:
+                options = [
+                    {"text": r["value"], "_score": float(r["freq"])}
+                    for r in suggest_completion(
+                        df, field, prefix,
+                        size=int(body.get("size", 5))).collect()
+                ]
+            out[name] = [{
+                "text": prefix, "offset": 0, "length": len(prefix),
+                "options": options,
+            }]
+            continue
+        if "text" not in spec:
             raise DslError(f"suggester {name!r} requires text")
         kinds = [k for k in spec if k != "text"]
         if kinds == ["phrase"]:
@@ -1438,8 +1487,8 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
         if kinds != ["term"]:
             raise DslError(
                 f"unsupported suggester {kinds or 'missing'} under "
-                f"{name!r} (term and phrase are implemented; "
-                "completion needs an index-side FST)"
+                f"{name!r} (term, phrase and completion are "
+                "implemented)"
             )
         body = spec["term"]
         unknown = sorted(set(body) - {

@@ -715,3 +715,38 @@ def suggest_phrase(
     phrases.sort(key=lambda p: (-p[1], p[0]))
     return df.sparkSession.createDataFrame(
         phrases[:int(size)], "phrase string, score double")
+
+
+def suggest_completion(
+    df: DataFrame,
+    field: str,
+    prefix: str,
+    size: int = 5,
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """The ES *completion suggester* re-expressed lake-side (r9):
+    distinct VALUES of the field starting with the prefix, ranked by
+    document frequency, then alphabetically.
+
+    DOCUMENTED DIVERGENCE: ES's completion suggester serves from an
+    index-side FST built at ingest with per-entry ``weight``s; a
+    parquet lake has no FST, so rank weight here is document
+    frequency (no weights ingested → ES falls back to insertion-ish
+    order, which is not reproducible anyway). The lookup itself —
+    prefix-match over the value dictionary — is the same contract.
+
+    Plan: prefix filter pushed to the scan (StartsWith), one groupBy
+    on the value, TakeOrdered(size). Dictionary-groupBy-bounded like
+    the other suggesters."""
+    c = F.col(field).cast("string")
+    if case_insensitive:
+        pred = F.lower(c).startswith(str(prefix).lower())
+    else:
+        pred = c.startswith(str(prefix))
+    return (
+        df.filter(c.isNotNull() & pred)
+        .groupBy(c.alias("value"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("value").asc())
+        .limit(int(size))
+    )

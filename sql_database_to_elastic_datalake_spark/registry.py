@@ -2903,6 +2903,36 @@ def search_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_suggest_completion",
+    # value-dictionary prefix lookup: the İ-folded lower on the filter
+    # side only — the grouped value stays the original text
+    oracle="""
+    SELECT text AS value, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM documents
+    WHERE text IS NOT NULL
+      AND starts_with(lower(replace(text, 'İ', 'i̇')), 'the ')
+    GROUP BY text ORDER BY freq DESC, value ASC LIMIT 5
+    """,
+)
+def search_suggest_completion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES *completion suggester* re-expressed lake-side (r9): distinct
+    field values under the prefix ranked by doc frequency
+    (plans/search.py:suggest_completion). Documented divergence: ES
+    serves this from an ingest-time FST with per-entry weights a
+    parquet lake does not maintain — frequency is the deterministic
+    lake-side rank. Prefix filter pushes to the scan (StartsWith);
+    one groupBy + TakeOrdered."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_completion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest_completion(docs, "text", "the ", size=5)
+
+
+@register(
     "quality_classifier_scores",
     # the oracle replays the full model: same analyzer fold, same
     # md5-hash buckets, same weight formula, and list_reduce's

@@ -921,10 +921,17 @@ def test_suggest_term_suggester(service, spark):
     assert [(e["text"], e["offset"], e["length"]) for e in ent] == \
         [("stanbul", 1, 7), ("spak", 9, 4)]
     assert ent[1]["options"][0]["text"] == "spark"
-    with pytest.raises(DslError, match="completion"):
-        service.advanced_search(
-            "data_lake_sg", {"match_all": {}},
-            suggest={"c": {"text": "x", "completion": {"field": "txt"}}})
+    # completion is now the value-dictionary prefix lookup (r9): the
+    # legacy "text" spelling works as the prefix
+    out = service.advanced_search(
+        "data_lake_sg", {"match_all": {}}, k=1,
+        suggest={"c": {"text": "spark m",
+                       "completion": {"field": "txt"}}})
+    ent = out["suggest"]["c"][0]
+    assert (ent["text"], ent["offset"], ent["length"]) == \
+        ("spark m", 0, 7)
+    assert [o["text"] for o in ent["options"]] == \
+        ["spark merge loop", "spark merges tables fast"]
     spark.createDataFrame([(9,)], "id long").write.parquet(
         os.path.join(service.lake_dir, "data_lake_other"))
     with pytest.raises(DslError, match="single concrete"):
@@ -1373,11 +1380,25 @@ def test_suggest_phrase_suggester(service, spark):
             "data_lake_ph", {"match_all": {}}, k=1,
             suggest={"f": {"text": "x", "phrase": {
                 "field": "txt", "collate": {}}}})
-    with pytest.raises(DslError, match="completion"):
+    # completion with the canonical "prefix" key, doc-freq ranking,
+    # and the named 400s for FST-bound options
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"prefix": "spark ",
+                       "completion": {"field": "txt", "size": 2}}})
+    opts = out["suggest"]["c"][0]["options"]
+    assert len(opts) == 2
+    assert all(o["text"].startswith("spark ") for o in opts)
+    with pytest.raises(DslError, match="regex completion"):
         service.advanced_search(
             "data_lake_ph", {"match_all": {}}, k=1,
-            suggest={"c": {"text": "x",
+            suggest={"c": {"regex": "sp.*",
                            "completion": {"field": "txt"}}})
+    with pytest.raises(DslError, match="completion suggester options"):
+        service.advanced_search(
+            "data_lake_ph", {"match_all": {}}, k=1,
+            suggest={"c": {"prefix": "sp", "completion": {
+                "field": "txt", "fuzzy": {}}}})
 
 
 def test_runtime_mappings_and_script_fields(client, service, spark):
