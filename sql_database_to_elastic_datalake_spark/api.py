@@ -2162,6 +2162,81 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             # the reference returns ES's 400 for these, not a 500
             return jsonify({"error": str(ex)}), 400
 
+    @app.route("/search/count", methods=["POST"])
+    def count_route():
+        """ES ``_count``: the query's exact match count, no hits.
+        One count job per table with the predicate pushed to the
+        scan — the same cost ES pays. Runtime fields are honored
+        (a Kibana count over a runtime filter works)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"table", "query",
+                                      "runtime_mappings"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported count keys: {unknown}"}), 400
+        try:
+            out = service.advanced_search(
+                body.get("table", INDEX_PREFIX + "*"),
+                body.get("query", {"match_all": {}}),
+                k=0, track_total_hits=True,
+                runtime_mappings=body.get("runtime_mappings"))
+            return jsonify({
+                "count": out["hits"]["total"]["value"],
+                # the official client reads _shards for success gating
+                "_shards": {"total": 1, "successful": 1,
+                            "skipped": 0, "failed": 0},
+            }), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/msearch", methods=["POST"])
+    def msearch_route():
+        """ES ``_msearch``: NDJSON header/body line pairs → one
+        response per search, errors inline per-item (a bad body fails
+        its slot, not the batch — the multi-API contract). Headers
+        take ``index`` (table/pattern); bodies take the
+        /search/advanced key set."""
+        import json as _json
+
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        raw = request.get_data(as_text=True) or ""
+        lines = [ln for ln in raw.splitlines() if ln.strip()]
+        if len(lines) % 2:
+            return jsonify({"error":
+                            "msearch needs header/body line pairs"}), 400
+        responses = []
+        for i in range(0, len(lines), 2):
+            try:
+                header = _json.loads(lines[i])
+                body = _json.loads(lines[i + 1])
+            except ValueError:
+                responses.append({"error": "malformed NDJSON line",
+                                  "status": 400})
+                continue
+            try:
+                k = _page_size(body)
+                if k is None:
+                    raise DslError("k/size must be a non-negative "
+                                   "integer")
+                out = service.advanced_search(
+                    header.get("index",
+                               body.get("table", INDEX_PREFIX + "*")),
+                    body.get("query", {"match_all": {}}), k=k,
+                    aggs=body.get("aggs") or body.get("aggregations"),
+                    sort=body.get("sort"),
+                    from_=int(body.get("from", 0)),
+                    source=body.get("_source"),
+                    track_total_hits=body.get("track_total_hits"),
+                    runtime_mappings=body.get("runtime_mappings"),
+                )
+                responses.append({**_wire_envelope(out), "status": 200})
+            except DslError as ex:
+                responses.append({"error": str(ex), "status": 400})
+        return jsonify({"responses": responses}), 200
+
     @app.route("/search/scroll", methods=["POST"])
     def scroll_continue():
         from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError

@@ -1467,3 +1467,54 @@ def test_runtime_mappings_and_script_fields(client, service, spark):
     assert r.status_code == 200
     assert [h["fields"]["n2"]
             for h in r.get_json()["hits"]["hits"]] == [[35.0], [25.0]]
+
+
+def test_count_and_msearch_routes(client, service, spark):
+    """r9: the _count and _msearch client idioms — exact counts with
+    pushed predicates; NDJSON multi-search with per-item errors."""
+    spark.createDataFrame(
+        [(1, "spark", 10), (2, "spark", 20), (3, "pandas", 30)],
+        "id long, kind string, v long",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_ms1"))
+    r = client.post("/search/count", data=json.dumps({
+        "table": "data_lake_ms1",
+        "query": {"term": {"kind": "spark"}}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    assert r.get_json()["count"] == 2
+    assert r.get_json()["_shards"]["failed"] == 0
+    # runtime field in the counted predicate
+    r = client.post("/search/count", data=json.dumps({
+        "table": "data_lake_ms1",
+        "query": {"range": {"v2": {"gte": 40}}},
+        "runtime_mappings": {"v2": {"script": {
+            "source": "doc['v'].value * 2"}}}}),
+        content_type="application/json")
+    assert r.get_json()["count"] == 2
+    r = client.post("/search/count", data=json.dumps({
+        "table": "data_lake_ms1", "size": 5}),
+        content_type="application/json")
+    assert r.status_code == 400  # named unknown-key rejection
+    # msearch: two goods and one bad body — the bad one fails its
+    # slot only
+    nd = "\n".join([
+        json.dumps({"index": "data_lake_ms1"}),
+        json.dumps({"query": {"term": {"kind": "spark"}}, "size": 1}),
+        json.dumps({"index": "data_lake_ms1"}),
+        json.dumps({"query": {"nope": {}}}),
+        json.dumps({"index": "data_lake_ms1"}),
+        json.dumps({"query": {"match_all": {}}, "size": 0,
+                    "track_total_hits": True}),
+    ]) + "\n"
+    r = client.post("/search/msearch", data=nd,
+                    content_type="application/x-ndjson")
+    assert r.status_code == 200
+    rs = r.get_json()["responses"]
+    assert len(rs) == 3
+    assert rs[0]["status"] == 200 and len(rs[0]["hits"]["hits"]) == 1
+    assert rs[1]["status"] == 400 and "nope" in rs[1]["error"]
+    assert rs[2]["hits"]["total"] == {"value": 3, "relation": "eq"}
+    # odd line count is the caller's error
+    r = client.post("/search/msearch", data='{"index": "x"}\n',
+                    content_type="application/x-ndjson")
+    assert r.status_code == 400
