@@ -533,6 +533,66 @@ class LakeService:
             out[k] = v
         return out
 
+    def _resolve_terms_lookups(self, node, default_table: str | None):
+        """Deep-rewrite terms-lookup specs into plain value lists (the
+        schema-free compiler's input). The lookup doc is fetched by
+        the target table's id column; ``path`` must name a column —
+        an array value is the list, a scalar is a one-element list,
+        an absent doc or null value is the empty list."""
+        if isinstance(node, list):
+            return [self._resolve_terms_lookups(x, default_table)
+                    for x in node]
+        if not isinstance(node, dict):
+            return node
+        out: dict = {}
+        for k, v in node.items():
+            if k != "terms" or not isinstance(v, dict):
+                out[k] = self._resolve_terms_lookups(v, default_table)
+                continue
+            body = {}
+            for f, spec in v.items():
+                if not (isinstance(spec, dict)
+                        and {"id", "path"} <= set(spec)):
+                    body[f] = spec
+                    continue
+                unknown = sorted(set(spec) - {"index", "id", "path",
+                                              "routing"})
+                if unknown:
+                    raise DslError(
+                        f"unsupported terms lookup keys: {unknown}")
+                table = spec.get("index", default_table)
+                if not table:
+                    raise DslError(
+                        "terms lookup needs an index (or a single "
+                        "concrete request table)"
+                    )
+                df = self.spark.read.parquet(
+                    os.path.join(self.lake_dir, str(table)))
+                path = str(spec["path"])
+                if path not in df.columns:
+                    raise DslError(
+                        f"terms lookup path {path!r} is not a column "
+                        f"of {table!r}")
+                idc = "id" if "id" in df.columns else next(
+                    (c for c in df.columns if c.endswith("_id")),
+                    None)
+                if idc is None:
+                    raise DslError(
+                        f"table {table!r} has no id column for a "
+                        "terms lookup")
+                rows = df.filter(
+                    F.col(idc).cast("string") == str(spec["id"])
+                ).select(path).limit(1).collect()
+                val = rows[0][path] if rows else None
+                if val is None:
+                    body[f] = []
+                elif isinstance(val, (list, tuple)):
+                    body[f] = [x for x in val if x is not None]
+                else:
+                    body[f] = [val]
+            out[k] = body
+        return out
+
     def _scored_search(
         self, names: list, dsl: dict, k: int, from_: int,
         source, fields_opt, aggs, suggest, post_filter,
@@ -915,6 +975,13 @@ class LakeService:
             # (id filter pushed to the scan); an absent doc is ignored
             # like ES's "documents not available" rule.
             dsl = self._resolve_mlt_likes(
+                dsl, names[0] if len(names) == 1 else None)
+        if _has_terms_lookup(dsl):
+            # ES terms lookup ({"terms": {f: {"index","id","path"}}}):
+            # the referenced doc's path value becomes the terms list —
+            # one point lookup, pushed id filter. A missing doc yields
+            # an empty list (matches nothing), like ES.
+            dsl = self._resolve_terms_lookups(
                 dsl, names[0] if len(names) == 1 else None)
         if aggs and len(names) != 1:
             raise DslError(
@@ -1867,6 +1934,23 @@ def _has_mlt_doc_refs(node) -> bool:
                    for e in _as_like_list(v.get("like"))):
                 return True
         elif _has_mlt_doc_refs(v):
+            return True
+    return False
+
+
+def _has_terms_lookup(node) -> bool:
+    """True when any terms query carries an {"index","id","path"}
+    lookup spec the API layer must resolve before compiling."""
+    if isinstance(node, list):
+        return any(_has_terms_lookup(x) for x in node)
+    if not isinstance(node, dict):
+        return False
+    for k, v in node.items():
+        if k == "terms" and isinstance(v, dict):
+            if any(isinstance(s, dict) and {"id", "path"} <= set(s)
+                   for s in v.values()):
+                return True
+        elif _has_terms_lookup(v):
             return True
     return False
 

@@ -1518,3 +1518,47 @@ def test_count_and_msearch_routes(client, service, spark):
     r = client.post("/search/msearch", data='{"index": "x"}\n',
                     content_type="application/x-ndjson")
     assert r.status_code == 400
+
+
+def test_terms_lookup_resolution(service, spark):
+    """r9: ES terms lookup — the referenced doc's path value becomes
+    the terms list; array and scalar paths, missing docs, and the
+    named 400s."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [("u1", ["a", "b"], "b"), ("u2", [], "c")],
+        "id string, follows array<string>, fav string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_tl_u"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "id long, owner string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_tl_d"))
+    # array path: docs owned by anyone u1 follows
+    out = service.advanced_search("data_lake_tl_d", {"terms": {
+        "owner": {"index": "data_lake_tl_u", "id": "u1",
+                  "path": "follows"}}}, k=10)
+    assert sorted(h["_source"]["id"]
+                  for h in out["hits"]["hits"]) == [1, 2]
+    # scalar path wraps to a one-element list; inside a bool too
+    out = service.advanced_search("data_lake_tl_d", {"bool": {
+        "filter": [{"terms": {"owner": {
+            "index": "data_lake_tl_u", "id": "u1",
+            "path": "fav"}}}]}}, k=10)
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [2]
+    # empty list / missing doc match nothing (like ES)
+    for lid in ("u2", "ghost"):
+        out = service.advanced_search("data_lake_tl_d", {"terms": {
+            "owner": {"index": "data_lake_tl_u", "id": lid,
+                      "path": "follows"}}}, k=10)
+        assert out["hits"]["hits"] == []
+    with pytest.raises(DslError, match="not a column"):
+        service.advanced_search("data_lake_tl_d", {"terms": {
+            "owner": {"index": "data_lake_tl_u", "id": "u1",
+                      "path": "ghost"}}}, k=1)
+    with pytest.raises(DslError, match="terms lookup keys"):
+        service.advanced_search("data_lake_tl_d", {"terms": {
+            "owner": {"index": "x", "id": "1", "path": "p",
+                      "cache": True}}}, k=1)
