@@ -76,6 +76,17 @@ CHECKED = (
     "search_suggest_terms",
     "search_dsl_compound",
     "search_dsl_combined_fields",
+    # r9: empty/whitespace docs hit the phrase suggester's
+    # unigram/bigram dictionaries, the completion value dictionary,
+    # mlt's seed tokenization, the classifier's gram window (shorter
+    # than n → null logit, both engines), and the scored queries'
+    # column algebra
+    "search_suggest_phrase",
+    "search_suggest_completion",
+    "search_dsl_more_like_this",
+    "quality_classifier_scores",
+    "search_dsl_function_score",
+    "search_dsl_script_score",
 )
 
 

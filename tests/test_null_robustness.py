@@ -87,6 +87,16 @@ CHECKED = (
     # through the decontamination shingle pipeline
     "search_aggs_histogram_gaps",
     "benchmark_decontamination",
+    # r9: NULL text through the suggester dictionaries, mlt's corpus
+    # contains-count, the classifier's gram window (NULL → null
+    # logit), and NULL lang/n_chars through the scored queries'
+    # filters and decay algebra
+    "search_suggest_phrase",
+    "search_suggest_completion",
+    "search_dsl_more_like_this",
+    "quality_classifier_scores",
+    "search_dsl_function_score",
+    "search_dsl_script_score",
 )
 
 

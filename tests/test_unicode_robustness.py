@@ -73,6 +73,14 @@ CHECKED = (
     "search_suggest_terms",
     "search_dsl_phrase_slop",
     "search_dsl_qs_fuzzy",
+    # r9: the phrase/completion dictionaries and mlt's seed
+    # tokenization lower decorated text (the İ/ß/emoji folding
+    # traps); the classifier's md5 grams hash the decorated bytes
+    # identically in both engines
+    "search_suggest_phrase",
+    "search_suggest_completion",
+    "search_dsl_more_like_this",
+    "quality_classifier_scores",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
