@@ -50,6 +50,14 @@ INDEX_PREFIX = "data_lake_"
 
 ENTITY_TYPES = ("ticket", "user", "data_source", "module", "status", "label")
 
+#: Top-level query kinds that define their own rank order and route to
+#: the scored page (:meth:`LakeService._scored_search`) when no
+#: explicit ``sort`` overrides them. Inside a bool tree the same kinds
+#: compile as membership only — this engine's filter context is
+#: score-free (plans/score_dsl module docstring).
+_SCORED_KINDS = ("function_score", "script_score", "rank_feature",
+                 "distance_feature")
+
 
 def _utcnow_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
@@ -628,7 +636,9 @@ class LakeService:
             tiebreak_columns,
         )
         from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            distance_feature_columns,
             function_score_columns,
+            rank_feature_columns,
             script_score_columns,
         )
         from sql_database_to_elastic_datalake_spark.plans.search import (
@@ -648,15 +658,20 @@ class LakeService:
                 return (F.col(f) if f in _df.columns
                         else F.lit(None).cast("string"))
 
+            date_fields = {
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, (
+                    DateType, TimestampType, TimestampNTZType))
+            }
             try:
                 if kind == "function_score":
-                    date_fields = {
-                        f.name for f in df.schema.fields
-                        if isinstance(f.dataType, (
-                            DateType, TimestampType, TimestampNTZType))
-                    }
                     pred, score, ms = function_score_columns(
                         body, resolve, df.columns, date_fields)
+                elif kind == "rank_feature":
+                    pred, score, ms = rank_feature_columns(body, resolve)
+                elif kind == "distance_feature":
+                    pred, score, ms = distance_feature_columns(
+                        body, resolve, date_fields)
                 else:
                     pred, score, ms = script_score_columns(
                         body, resolve, df.columns)
@@ -961,8 +976,7 @@ class LakeService:
         if rt_specs and knn is not None:
             raise DslError("runtime fields are not supported with knn")
         if rt_specs and isinstance(dsl, dict) and len(dsl) == 1 \
-                and next(iter(dsl)) in ("function_score",
-                                        "script_score") and not sort:
+                and next(iter(dsl)) in _SCORED_KINDS and not sort:
             raise DslError(
                 "runtime fields are not supported on the "
                 "function_score/script_score ranked page (reference "
@@ -1019,8 +1033,7 @@ class LakeService:
                 names[0], knn, dsl, k=k, from_=from_, source=source,
                 fields_opt=fields_opt)
         if (isinstance(dsl, dict) and len(dsl) == 1
-                and next(iter(dsl)) in ("function_score",
-                                        "script_score")
+                and next(iter(dsl)) in _SCORED_KINDS
                 and not sort):
             # top-level scoring query with no explicit sort: the
             # computed score IS the order (the ranked path). With an

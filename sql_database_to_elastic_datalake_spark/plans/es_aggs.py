@@ -1485,7 +1485,10 @@ def _metric_order_getter(target: str, mets: dict, li: int):
     if spec is None:
         raise DslError(
             f"terms order references unknown sub-agg {target!r}")
-    mkind = next(iter(spec))
+    mkind = _agg_kind(spec)
+    if mkind is None:
+        raise DslError(
+            f"terms order target {target!r} has a malformed sub-agg spec")
     if mkind == "stats":
         if stat not in ("count", "min", "max", "avg", "sum"):
             raise DslError(

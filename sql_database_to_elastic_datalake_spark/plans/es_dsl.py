@@ -288,6 +288,204 @@ def _sloppy_phrase(col: Column, toks: list[str], slop: int) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# span queries (r9) — positional membership over the token array
+# ---------------------------------------------------------------------------
+
+_SPAN_KINDS = ("span_term", "span_near", "span_or", "span_first",
+               "span_not", "span_multi")
+
+#: clause-count honesty cap for span_near (one array_min/filter chain
+#: per clause — same shape and cap rationale as _MAX_SLOP_TOKENS)
+_MAX_SPAN_CLAUSES = 8
+
+_SPAN_MULTI_KINDS = ("prefix", "wildcard", "regexp", "fuzzy")
+
+
+def _span_field(kind: str, body) -> str:
+    """The ONE field a span tree targets. Lucene requires every clause
+    of a span query to address the same field; a mixed tree is a named
+    400 here (it would be a hard error in ES too)."""
+    if not isinstance(body, dict):
+        raise DslError(f"{kind} body must be an object")
+    if kind == "span_term":
+        return next(iter(body))
+    if kind == "span_multi":
+        match = body.get("match")
+        if not isinstance(match, dict) or len(match) != 1:
+            raise DslError("span_multi requires a single match query")
+        mkind, mbody = next(iter(match.items()))
+        if mkind not in _SPAN_MULTI_KINDS:
+            raise DslError(
+                f"span_multi supports {list(_SPAN_MULTI_KINDS)}, "
+                f"got {mkind!r}")
+        return next(iter(mbody))
+    if kind == "span_first":
+        sub = body.get("match")
+        if not isinstance(sub, dict) or len(sub) != 1:
+            raise DslError("span_first requires a match span clause")
+        return _span_field(*next(iter(sub.items())))
+    if kind in ("span_or", "span_near"):
+        clauses = body.get("clauses")
+        if not isinstance(clauses, list) or not clauses:
+            raise DslError(f"{kind} requires a non-empty clauses list")
+        fields = set()
+        for cl in clauses:
+            if not isinstance(cl, dict) or len(cl) != 1:
+                raise DslError(f"malformed span clause {cl!r}")
+            fields.add(_span_field(*next(iter(cl.items()))))
+        if len(fields) != 1:
+            raise DslError(
+                f"span clauses must target one field, got {sorted(fields)}")
+        return next(iter(fields))
+    if kind == "span_not":
+        fields = set()
+        for part in ("include", "exclude"):
+            sub = body.get(part)
+            if not isinstance(sub, dict) or len(sub) != 1:
+                raise DslError(f"span_not requires an {part} span clause")
+            fields.add(_span_field(*next(iter(sub.items()))))
+        if len(fields) != 1:
+            raise DslError(
+                f"span clauses must target one field, got {sorted(fields)}")
+        return next(iter(fields))
+    raise DslError(f"unsupported span clause kind {kind!r}")
+
+
+def _span_positions(arr: Column, kind: str, body: dict) -> Column:
+    """One span CLAUSE → the array<int> of its match positions in the
+    token array. Every supported clause yields SINGLE-TOKEN spans, so
+    a position fully identifies a span — which is what makes the
+    span_near chaining below exact. A nested span_near (a multi-token
+    span) would break that invariant and is a named 400."""
+    if kind == "span_term":
+        field, value = _field_value(body)
+        toks = tokenize(str(value))
+        if len(toks) != 1:
+            raise DslError(
+                f"span_term value {value!r} must analyze to one token")
+        return _token_positions(arr, toks[0])
+    if kind == "span_or":
+        out = None
+        for cl in body["clauses"]:
+            p = _span_positions(arr, *next(iter(cl.items())))
+            out = p if out is None else F.concat(out, p)
+        return F.array_sort(F.array_distinct(out))
+    if kind == "span_first":
+        end = body.get("end")
+        if not isinstance(end, int) or end < 1:
+            raise DslError("span_first requires a positive integer end")
+        inner = _span_positions(arr, *next(iter(body["match"].items())))
+        # a single-token span at position p has end p+1; SpanFirst
+        # keeps spans with end <= `end`
+        return F.filter(inner, lambda p: p < F.lit(end))
+    if kind == "span_not":
+        unknown = sorted(set(body) - {"include", "exclude", "boost"})
+        if unknown:
+            raise DslError(
+                f"unsupported span_not keys: {unknown} (pre/post/dist "
+                "windows are not implemented)")
+        inc = _span_positions(arr, *next(iter(body["include"].items())))
+        exc = _span_positions(arr, *next(iter(body["exclude"].items())))
+        return F.array_except(inc, exc)
+    if kind == "span_multi":
+        mkind, mbody = next(iter(body["match"].items()))
+        field, value = _field_value(
+            mbody, allowed=("fuzziness",) if mkind == "fuzzy" else ())
+        sval = str(value).lower()  # tokens are lowercase by analysis
+        if mkind == "prefix":
+            def tok_pred(t):
+                return t.startswith(sval)
+        elif mkind == "wildcard":
+            like = _wildcard_to_like(sval)
+
+            def tok_pred(t):
+                return t.like(like)
+        elif mkind == "regexp":
+            pat = f"^(?:{sval})$"  # Lucene whole-term anchoring
+
+            def tok_pred(t):
+                return t.rlike(pat)
+        else:  # fuzzy
+            fspec = mbody[field] if isinstance(mbody[field], dict) else {}
+            edits = _max_edits(fspec.get("fuzziness", "AUTO"), sval)
+
+            def tok_pred(t):
+                return F.levenshtein(t, F.lit(sval)) <= edits
+        return F.filter(
+            F.transform(arr, lambda t, i: F.when(tok_pred(t), i)),
+            lambda x: x.isNotNull(),
+        )
+    if kind == "span_near":
+        raise DslError(
+            "nested span_near is not supported (clauses must be "
+            "single-token spans: span_term/span_or/span_first/"
+            "span_not/span_multi)")
+    raise DslError(f"unsupported span clause kind {kind!r}")
+
+
+def _compile_span(kind: str, body: dict, col) -> Column:
+    """A top-level span query → boolean membership Column (this
+    engine's filter context is score-free — module docstring). All
+    positional algebra is transform/filter/array_min column
+    expressions over ONE token-array computation: no UDF, no explode,
+    whole-stage codegen applies."""
+    field = _span_field(kind, body)
+    arr = _token_array(col(field))
+    if kind != "span_near":
+        pos = _span_positions(arr, kind, body)
+        return F.coalesce(F.size(pos) > 0, F.lit(False))
+
+    unknown = sorted(set(body) - {"clauses", "slop", "in_order", "boost"})
+    if unknown:
+        raise DslError(f"unsupported span_near keys: {unknown}")
+    clauses = body["clauses"]
+    if len(clauses) > _MAX_SPAN_CLAUSES:
+        raise DslError(
+            f"span_near supports at most {_MAX_SPAN_CLAUSES} clauses")
+    slop = body.get("slop", 0)
+    if not isinstance(slop, int) or slop < 0:
+        raise DslError(f"malformed span_near slop {slop!r}")
+    in_order = bool(body.get("in_order", False))
+    pos_arrays = [
+        _span_positions(arr, *next(iter(cl.items()))) for cl in clauses
+    ]
+    if len(pos_arrays) == 1:
+        return F.coalesce(F.size(pos_arrays[0]) > 0, F.lit(False))
+    if in_order:
+        # greedy min-next chaining — exact for single-position spans
+        # (the same argument as _sloppy_phrase: the minimal valid
+        # choice minimizes the final span)
+        span = F.lit(len(pos_arrays) - 1 + slop)
+
+        def _min_after(pos: Column, prev: Column) -> Column:
+            # single-parameter lambda via closure (same PySpark
+            # binding note as _sloppy_phrase)
+            return F.array_min(F.filter(pos, lambda x: x > prev))
+
+        def chain(p0: Column) -> Column:
+            cur = p0
+            for parr in pos_arrays[1:]:
+                cur = _min_after(parr, cur)
+            return F.coalesce(cur - p0 <= span, F.lit(False))
+
+        return F.coalesce(F.exists(pos_arrays[0], chain), F.lit(False))
+    if len(pos_arrays) != 2:
+        raise DslError(
+            "span_near with in_order: false supports exactly 2 clauses "
+            "(the k-clause unordered minimum-window has no exact "
+            "column-algebra form; use in_order: true or 2 clauses)")
+    a, b = pos_arrays
+    return F.coalesce(
+        F.exists(a, lambda pa: F.exists(
+            b,
+            lambda pb: (F.greatest(pa, pb) - F.least(pa, pb) - F.lit(1))
+            <= F.lit(slop),
+        )),
+        F.lit(False),
+    )
+
+
 def _fuzzy_match(col: Column, text: str, fuzziness, operator: str) -> Column:
     """Fuzziness-in-match (r7 — previously a named 400): each query
     token matches any DOCUMENT token within its edit budget (AUTO
@@ -891,6 +1089,63 @@ def compile_dsl(
             )
         return compile_dsl(body.get("query", {"match_all": {}}),
                            field_resolver, schema_fields)
+
+    if kind == "rank_feature":
+        # inside a bool tree this is membership only (score-free
+        # filter context — ES's own rank_feature matches docs with a
+        # positive feature value); as a TOP-LEVEL query the API layer
+        # routes it to the scored page before reaching here
+        # (score_dsl.rank_feature_columns has the scoring math)
+        if not isinstance(body, dict) or not isinstance(
+                body.get("field"), str):
+            raise DslError("rank_feature requires a field")
+        unknown = sorted(set(body) - {
+            "field", "boost", "saturation", "log", "sigmoid", "linear"})
+        if unknown:
+            raise DslError(f"unsupported rank_feature keys: {unknown}")
+        # uncast comparison so the positive-feature membership pushes
+        # into the parquet scan
+        return F.coalesce(col(body["field"]) > 0, F.lit(False))
+
+    if kind == "distance_feature":
+        # membership = has the field (ES semantics); scoring only on
+        # the top-level ranked page (score_dsl.distance_feature_columns)
+        if not isinstance(body, dict) or not isinstance(
+                body.get("field"), str):
+            raise DslError("distance_feature requires a field")
+        unknown = sorted(set(body) - {"field", "origin", "pivot",
+                                      "boost"})
+        if unknown:
+            raise DslError(
+                f"unsupported distance_feature keys: {unknown}")
+        if "origin" not in body or "pivot" not in body:
+            raise DslError("distance_feature requires origin and pivot")
+        return col(body["field"]).isNotNull()
+
+    if kind == "script":
+        # ES filter-context script query ({"script": {"script": {…}}}):
+        # the painless-subset compiler (plans/score_dsl) evaluates the
+        # expression per row; truthiness is non-zero. ES exposes no
+        # _score to filter scripts — neither does this context (named
+        # 400 via base_score=None). A null result (missing doc value,
+        # division by zero) does NOT match — the documented
+        # refuse-silently-wrong posture, where painless throws.
+        # Reference parity: the reference forwards these bodies
+        # verbatim (/root/reference/src/search_api.py:38-46).
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            script_column,
+        )
+
+        if not isinstance(body, dict) or "script" not in body:
+            raise DslError("script query requires a script object")
+        unknown = sorted(set(body) - {"script", "boost"})
+        if unknown:
+            raise DslError(f"unsupported script query keys: {unknown}")
+        val = script_column(body["script"], col, base_score=None)
+        return F.coalesce(val != F.lit(0.0), F.lit(False))
+
+    if kind in _SPAN_KINDS:
+        return _compile_span(kind, body, col)
 
     if kind == "pinned":
         # promoted ids + organic results: membership is the union

@@ -44,10 +44,12 @@ _SCRIPT_TOK = re.compile(
     | doc\[\s*'([^']+)'\s*\]\.value             # 3 doc field access
     | Math\.([A-Za-z][A-Za-z0-9]*)              # 4 math call
     | (_score)                                  # 5 base score
-    | ([-+*/%(),])                              # 6 operator
+    | (==|!=|<=|>=|&&|\|\||[-+*/%(),<>!?:])    # 6 operator
     )""",
     re.X,
 )
+
+_CMP_OPS = ("==", "!=", "<", "<=", ">", ">=")
 
 #: Math.* calls with Column twins. Java's Math.log is the NATURAL log.
 _MATH_1 = {
@@ -66,6 +68,17 @@ _MATH_2 = {
 }
 
 
+def _truthy(c: Column) -> Column:
+    """Non-zero is true in this arithmetic subset; null stays null."""
+    return c != F.lit(0.0)
+
+
+def _bool_to_double(cond: Column) -> Column:
+    """Boolean Column → 1.0/0.0 double, null-propagating (a missing
+    doc value must not silently count as false)."""
+    return F.when(cond, F.lit(1.0)).when(~cond, F.lit(0.0))
+
+
 def _tokenize(src: str) -> list[tuple[str, object]]:
     toks: list[tuple[str, object]] = []
     pos = 0
@@ -78,7 +91,8 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
                 f"unsupported script syntax at {src[pos:]!r} "
                 "(implemented: numbers, params.<name>, doc['f'].value, "
                 "_score, Math.log/log10/sqrt/abs/exp/floor/ceil/pow/"
-                "max/min, + - * / % ( ) ,)"
+                "max/min, + - * / % ( ) , comparisons == != < <= > >=, "
+                "&& || !, and the ?: conditional)"
             )
         if m.group(1) is not None:
             toks.append(("num", float(m.group(1))))
@@ -99,7 +113,7 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
 def script_column(
     script: dict,
     field_resolver: Callable[[str], Column],
-    base_score: Column,
+    base_score: Column | None,
 ) -> Column:
     """One painless-subset script → a double Column.
 
@@ -108,6 +122,16 @@ def script_column(
     engine's refuse-silently-wrong posture where painless would throw
     the whole request. Division/modulo by zero likewise nulls via
     ``try_divide``/``try_mod``-style guards.
+
+    Booleans (r9, for the filter-context ``script`` query): comparisons
+    and ``&& || !`` evaluate to 1.0/0.0 doubles (painless booleans are
+    a distinct type, but this arithmetic subset folds them — the ``?:``
+    conditional treats any non-zero as true). Null handling is SQL's
+    Kleene logic (``0 && null`` is 0, ``1 || null`` is 1, a null
+    comparison or ``?:`` condition stays null) — deterministic where
+    painless would throw. ``base_score=None`` marks a context where ES exposes no
+    ``_score`` (filter scripts, runtime fields) — referencing it there
+    is a named 400.
     """
     if not isinstance(script, dict):
         raise DslError("script must be an object")
@@ -159,14 +183,19 @@ def script_column(
             return field_resolver(val).cast("double")
         if kind == "score":
             take()
+            if base_score is None:
+                raise DslError(
+                    "_score is not available in this script context "
+                    "(filter scripts and runtime fields see no score)"
+                )
             return base_score
         if kind == "math":
             take()
             take("(")
-            args = [add_expr()]
+            args = [expr()]
             while peek() == ("op", ","):
                 take(",")
-                args.append(add_expr())
+                args.append(expr())
             take(")")
             if val in _MATH_1 and len(args) == 1:
                 return _MATH_1[val](args[0])
@@ -179,12 +208,15 @@ def script_column(
             )
         if (kind, val) == ("op", "("):
             take()
-            v = add_expr()
+            v = expr()
             take(")")
             return v
         if (kind, val) == ("op", "-"):
             take()
             return -primary()
+        if (kind, val) == ("op", "!"):
+            take()
+            return _bool_to_double(~_truthy(primary()))
         raise DslError(f"malformed script {src!r}")
 
     def mul_expr() -> Column:
@@ -208,7 +240,46 @@ def script_column(
             v = (v + r) if op == "+" else (v - r)
         return v
 
-    out = add_expr()
+    def cmp_expr() -> Column:
+        v = add_expr()
+        if peek() in [("op", o) for o in _CMP_OPS]:
+            op = take()[1]
+            r = add_expr()
+            cond = {"==": v == r, "!=": v != r, "<": v < r,
+                    "<=": v <= r, ">": v > r, ">=": v >= r}[op]
+            return _bool_to_double(cond)
+        return v
+
+    def and_expr() -> Column:
+        v = cmp_expr()
+        while peek() == ("op", "&&"):
+            take()
+            r = cmp_expr()
+            v = _bool_to_double(_truthy(v) & _truthy(r))
+        return v
+
+    def or_expr() -> Column:
+        v = and_expr()
+        while peek() == ("op", "||"):
+            take()
+            r = and_expr()
+            v = _bool_to_double(_truthy(v) | _truthy(r))
+        return v
+
+    def expr() -> Column:
+        # right-associative ?: — null condition yields null (no
+        # branch is silently taken for a missing doc value)
+        c = or_expr()
+        if peek() == ("op", "?"):
+            take()
+            a = expr()
+            take(":")
+            b = expr()
+            t = _truthy(c)
+            return F.when(t, a).when(~t, b)
+        return c
+
+    out = expr()
     if peek()[0] is not None:
         raise DslError(f"malformed script {src!r} (trailing tokens)")
     return out.cast("double")
@@ -548,6 +619,150 @@ def script_score_columns(
     score = script_column(body["script"], field_resolver, F.lit(1.0))
     ms = body.get("min_score")
     return pred, score, (float(ms) if ms is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature / distance_feature (r9) — ranked-page scoring leaves
+# ---------------------------------------------------------------------------
+
+_RANK_FNS = ("saturation", "log", "sigmoid", "linear")
+
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
+_DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                "d": 86_400_000}
+
+
+def _duration_millis(spec) -> float:
+    if isinstance(spec, (int, float)) and not isinstance(spec, bool):
+        return float(spec)
+    m = _DURATION_RE.match(str(spec))
+    if not m:
+        raise DslError(
+            f"malformed time pivot {spec!r} (implemented units: "
+            f"{sorted(_DURATION_MS)})")
+    return float(m.group(1)) * _DURATION_MS[m.group(2)]
+
+
+def rank_feature_columns(
+    body: dict, field_resolver: Callable[[str], Column],
+) -> tuple[Column, Column, None]:
+    """A ``rank_feature`` query body → (predicate, score, None).
+
+    Membership is ES's: documents where the feature exists and is
+    positive. Score functions (Lucene's, exactly): ``saturation``
+    v/(v+pivot); ``log`` ln(scaling_factor·v + 1); ``sigmoid``
+    v^e/(v^e + pivot^e); ``linear`` v — times ``boost``.
+
+    Documented divergence: ES's default saturation pivot is an index
+    statistic (≈ the feature's geometric mean) — this engine does not
+    guess it; ``saturation`` without an explicit ``pivot`` is a named
+    400 so results can never silently depend on corpus state.
+    """
+    if not isinstance(body, dict):
+        raise DslError("rank_feature must be an object")
+    unknown = sorted(set(body) - {"field", "boost", *_RANK_FNS})
+    if unknown:
+        raise DslError(f"unsupported rank_feature keys: {unknown}")
+    field = body.get("field")
+    if not isinstance(field, str):
+        raise DslError("rank_feature requires a field")
+    c = field_resolver(field)
+    v = c.cast("double")
+    # membership on the UNCAST column so the positive-feature filter
+    # pushes into the parquet scan (a cast blocks pushdown)
+    pred = c.isNotNull() & (c > 0)
+    fns = [k for k in body if k in _RANK_FNS]
+    if len(fns) > 1:
+        raise DslError(
+            f"rank_feature takes one score function, got {sorted(fns)}")
+    if not fns:
+        raise DslError(
+            "rank_feature needs an explicit score function "
+            "(saturation {pivot}, log {scaling_factor}, sigmoid "
+            "{pivot, exponent}, linear {}) — ES's default saturation "
+            "pivot is an index statistic this engine does not guess"
+        )
+    kind = fns[0]
+    spec = body[kind] if isinstance(body[kind], dict) else {}
+    if kind == "saturation":
+        if "pivot" not in spec:
+            raise DslError(
+                "saturation requires an explicit pivot (see "
+                "rank_feature docs: the ES default is corpus-derived)")
+        p = float(spec["pivot"])
+        if p <= 0:
+            raise DslError("saturation pivot must be positive")
+        score = v / (v + F.lit(p))
+    elif kind == "log":
+        if "scaling_factor" not in spec:
+            raise DslError("log requires a scaling_factor")
+        score = F.log(v * F.lit(float(spec["scaling_factor"])) + F.lit(1.0))
+    elif kind == "sigmoid":
+        if "pivot" not in spec or "exponent" not in spec:
+            raise DslError("sigmoid requires pivot and exponent")
+        p, e = float(spec["pivot"]), float(spec["exponent"])
+        if p <= 0 or e <= 0:
+            raise DslError("sigmoid pivot and exponent must be positive")
+        ve = F.pow(v, F.lit(e))
+        score = ve / (ve + F.lit(p ** e))
+    else:  # linear
+        score = v
+    boost = float(body.get("boost", 1.0))
+    return pred, (score * F.lit(boost)).cast("double"), None
+
+
+def distance_feature_columns(
+    body: dict, field_resolver: Callable[[str], Column],
+    date_fields: set[str],
+) -> tuple[Column, Column, None]:
+    """A ``distance_feature`` query body → (predicate, score, None).
+
+    score = boost · pivot / (pivot + |value − origin|), the ES
+    formula, over numeric or date/timestamp fields (geo_point is not
+    in this data model). Membership is ES's: any document that has
+    the field. Date pivots take ES time units (``7d``, ``3h``, …);
+    ``origin: "now"`` is a named 400 (nondeterministic ranking
+    contradicts the replayable-results contract — send a concrete
+    timestamp)."""
+    if not isinstance(body, dict):
+        raise DslError("distance_feature must be an object")
+    unknown = sorted(set(body) - {"field", "origin", "pivot", "boost"})
+    if unknown:
+        raise DslError(f"unsupported distance_feature keys: {unknown}")
+    field = body.get("field")
+    if not isinstance(field, str):
+        raise DslError("distance_feature requires a field")
+    if "origin" not in body or "pivot" not in body:
+        raise DslError("distance_feature requires origin and pivot")
+    origin, pivot = body["origin"], body["pivot"]
+    boost = float(body.get("boost", 1.0))
+    c = field_resolver(field)
+    if field in date_fields:
+        if isinstance(origin, str) and origin.strip().lower() \
+                .startswith("now"):
+            raise DslError(
+                "distance_feature origin 'now' is not supported "
+                "(nondeterministic ranking; send a concrete timestamp)")
+        p = _duration_millis(pivot)
+        # origin parses in-plan with the same session-tz rules as the
+        # column's own epoch conversion
+        o_ms = F.unix_millis(F.to_timestamp(F.lit(str(origin))))
+        dist = F.abs(F.unix_millis(c.cast("timestamp")) - o_ms) \
+            .cast("double")
+    else:
+        try:
+            o = float(origin)
+            p = float(pivot)
+        except (TypeError, ValueError):
+            raise DslError(
+                f"distance_feature on a numeric field needs numeric "
+                f"origin/pivot, got origin={origin!r} pivot={pivot!r}"
+            ) from None
+        dist = F.abs(c.cast("double") - F.lit(o))
+    if p <= 0:
+        raise DslError("distance_feature pivot must be positive")
+    score = F.lit(boost) * F.lit(p) / (F.lit(p) + dist)
+    return c.isNotNull(), score.cast("double"), None
 
 
 _EMIT_RE = re.compile(r"^\s*emit\s*\((.*)\)\s*;?\s*$", re.S)

@@ -3312,6 +3312,212 @@ def search_dsl_script_score(
 
 
 # ---------------------------------------------------------------------------
+# span queries + script filter + feature-ranked pages (r9) — the rest of
+# the verbatim-body surface a migrating client's saved queries carry
+# (/root/reference/src/search_api.py:38-46 forwards these to ES as-is)
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_dsl_span_near",
+    # DuckDB mirrors the Spark positional algebra list-op for list-op
+    # (1-based lambda index normalized to the engine's 0-based
+    # positions); greedy min-next chaining is exact for single-token
+    # spans — same argument as the sloppy-phrase compiler
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[0-9a-z]+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, lang,
+               list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x = 'merge' THEN i - 1 END),
+                   y -> y IS NOT NULL) AS pa,
+               list_sort(list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x = 'join' OR x = 'sort' THEN i - 1 END),
+                   y -> y IS NOT NULL)) AS pb
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(pa, p0 -> coalesce(
+            list_aggregate(list_filter(pb, q -> q > p0), 'min') - p0
+            <= 3, FALSE))) > 0
+    ORDER BY doc_id
+    """,
+)
+def search_dsl_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_near`` (r9): 'merge' followed within slop 2 by 'join'
+    or 'sort' (a ``span_or`` clause). Positional membership compiled
+    to transform/filter/array_min column algebra over ONE token-array
+    expression (plans/es_dsl.py:_compile_span) — no UDF, no explode;
+    whole-stage codegen keeps it a single scan."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"span_near": {
+        "clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_or": {"clauses": [
+                {"span_term": {"text": "join"}},
+                {"span_term": {"text": "sort"}},
+            ]}},
+        ],
+        "slop": 2,
+        "in_order": True,
+    }})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
+    "search_dsl_span_first",
+    # span_not(include: s-prefixed tokens, exclude: 'sort') is exactly
+    # "s-word that is not sort"; span_first keeps positions < end
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[0-9a-z]+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, lang,
+               list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x LIKE 's%' AND x <> 'sort'
+                        THEN i - 1 END),
+                   y -> y IS NOT NULL) AS p
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(p, q -> q < 5)) > 0
+    ORDER BY doc_id
+    """,
+)
+def search_dsl_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_first`` over a ``span_not``/``span_multi`` tree (r9):
+    an s-prefixed token other than 'sort' within the first five
+    positions. Exercises the whole single-position span family in one
+    compiled predicate — still one scan, pure column algebra."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"span_first": {
+        "match": {"span_not": {
+            "include": {"span_multi": {"match": {
+                "prefix": {"text": {"value": "s"}}}}},
+            "exclude": {"span_term": {"text": "sort"}},
+        }},
+        "end": 5,
+    }})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
+    "search_dsl_script_query",
+    # exact arithmetic only (* / % comparisons) — IEEE-identical
+    # cross-engine; doubles' fmod equals integer mod for positive ids
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE value * 2.0 >= 50.0
+      AND (user_id % 7 = 2 OR value > 90.0)
+    ORDER BY event_id
+    LIMIT 100
+    """,
+)
+def search_dsl_script_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filter-context ``script`` query (r9): the painless-subset
+    compiler (plans/score_dsl.py) extended with comparisons, boolean
+    operators and the ?: conditional — compiled to one boolean Column,
+    never eval(), no UDF. Null doc values do not match (documented;
+    painless would throw)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    events = load_table(spark, sf_dir, "events")
+    pred = compile_dsl({"script": {"script": {
+        "source": ("doc['value'].value * params.m >= 50 && "
+                   "(doc['user_id'].value % 7 == 2 || "
+                   "doc['value'].value > 90)"),
+        "params": {"m": 2},
+    }}})
+    return (events.filter(pred)
+            .select("event_id", "user_id", "value")
+            .orderBy("event_id").limit(100))
+
+
+@register(
+    "search_dsl_rank_feature",
+    # saturation v/(v+pivot) times boost — exact-rounded IEEE ops only
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST((CAST(n_chars AS DOUBLE)
+                     / (CAST(n_chars AS DOUBLE) + 400.0)) * 1.2
+                 AS DOUBLE) AS score
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def search_dsl_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` ranked page (r9): saturation scoring
+    v/(v+pivot) with an explicit pivot (the ES default pivot is a
+    corpus statistic — named 400 here, documented divergence), boost
+    1.2. One scan → one score expression → one TakeOrdered; membership
+    is ES's positive-feature rule."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        rank_feature_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred, score, _ = rank_feature_columns(
+        {"field": "n_chars", "saturation": {"pivot": 400.0},
+         "boost": 1.2}, F.col)
+    return (docs.filter(pred).withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(25).select("doc_id", "score"))
+
+
+@register(
+    "search_dsl_distance_feature",
+    # pivot/(pivot + |epoch_ms − origin_ms|): long arithmetic then one
+    # exact-rounded divide; 30d = 2 592 000 000 ms
+    oracle="""
+    WITH scored AS (
+        SELECT o_orderkey,
+               CAST(2592000000.0 / (2592000000.0 + CAST(abs(
+                   epoch_ms(o_orderdate)
+                   - epoch_ms(TIMESTAMP '1998-01-01 00:00:00'))
+                   AS DOUBLE)) AS DOUBLE) AS score
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+    )
+    SELECT o_orderkey, score FROM scored
+    ORDER BY score DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def search_dsl_distance_feature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``distance_feature`` ranked page (r9): recency boost
+    pivot/(pivot+|date − origin|) with ES time-unit pivots ('30d');
+    ``origin: "now"`` is a named 400 (deterministic-ranking contract).
+    Date ties (day-granular column) break on the key — same
+    deterministic tie-break discipline as the knn page."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        distance_feature_columns,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    pred, score, _ = distance_feature_columns(
+        {"field": "o_orderdate", "origin": "1998-01-01 00:00:00",
+         "pivot": "30d"}, F.col, {"o_orderdate"})
+    return (orders.filter(pred).withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+            .limit(25).select("o_orderkey", "score"))
+
+
+# ---------------------------------------------------------------------------
 # Q1 — BM25-style doc-length-normalized relevance (ES's actual ranking
 # family; /root/reference/src/search_api.py:16-36). Rational IDF — no ln —
 # and exact-integer corpus stats keep the doubles bit-identical across
@@ -5603,6 +5809,11 @@ _CHECK_FIRST = [
     #    change). New r9 queries are prepended here by the commits
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
+    "search_dsl_span_near",       # r9 NEW: positional span family
+    "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
+    "search_dsl_script_query",    # r9 NEW: filter-context script
+    "search_dsl_rank_feature",    # r9 NEW: feature-ranked page
+    "search_dsl_distance_feature",  # r9 NEW: recency-ranked page
     "search_dsl_function_score",  # r9 NEW: relevance-tuning wrapper
     "search_dsl_script_score",    # r9 NEW: painless-subset scoring
     "search_scroll_page",         # r9 NEW: stateless scroll drain
@@ -5633,8 +5844,9 @@ _CHECK_FIRST = [
     "latest_event_per_key",
     # -- fill to 50: the 44 queries whose driver evidence dates to
     #    round 3 (the oldest in the registry), in registration order.
-    #    The first 32 fit this window; the remainder
-    #    (events_hourly_heatmap onward) lead the r10 fill.
+    #    The first 20 fit this r9 window (the span/script/feature tier
+    #    above took five slots; dedup_keep_canonical onward — then
+    #    events_hourly_heatmap onward — lead the r10 fill).
     "incremental_sync_events",
     "leakage_safe_split",
     "text_repetition",
@@ -5655,11 +5867,6 @@ _CHECK_FIRST = [
     "wow_growth",
     "weighted_sample_docs",
     "rag_context_assembly",
-    "dedup_keep_canonical",
-    "orders_revenue_7d_ma",
-    "curriculum_deciles",
-    "mixture_rebalance_rates",
-    "rfm_segmentation",
 ]
 
 

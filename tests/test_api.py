@@ -1562,3 +1562,78 @@ def test_terms_lookup_resolution(service, spark):
         service.advanced_search("data_lake_tl_d", {"terms": {
             "owner": {"index": "x", "id": "1", "path": "p",
                       "cache": True}}}, k=1)
+
+
+def test_rank_feature_ranked_page(service, spark):
+    """r9: top-level rank_feature ranks by the feature function;
+    membership is ES's positive-feature rule."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 40.0), (3, 0.0), (4, None)],
+        "id long, pr double",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rf"))
+    out = service.advanced_search("data_lake_rf", {"rank_feature": {
+        "field": "pr", "saturation": {"pivot": 10.0}}}, k=10)
+    hits = out["hits"]["hits"]
+    # saturation v/(v+10): doc2 0.8, doc1 0.5; zero/null features
+    # are non-members (ES semantics)
+    assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
+        [(2, 0.8), (1, 0.5)]
+    assert out["hits"]["total"] == {"value": 2, "relation": "eq"}
+    # linear + boost; log scaling
+    out = service.advanced_search("data_lake_rf", {"rank_feature": {
+        "field": "pr", "linear": {}, "boost": 2.0}}, k=1)
+    assert out["hits"]["hits"][0]["_score"] == 80.0
+    with pytest.raises(DslError, match="explicit pivot"):
+        service.advanced_search("data_lake_rf", {"rank_feature": {
+            "field": "pr", "saturation": {}}}, k=1)
+    with pytest.raises(DslError, match="explicit score function"):
+        service.advanced_search("data_lake_rf", {"rank_feature": {
+            "field": "pr"}}, k=1)
+    # inside a bool tree: membership only (score-free filter context)
+    out = service.advanced_search("data_lake_rf", {"bool": {"filter": [
+        {"rank_feature": {"field": "pr", "linear": {}}}]}}, k=10,
+        sort=[{"id": "asc"}])
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [1, 2]
+
+
+def test_distance_feature_ranked_page(service, spark):
+    """r9: distance_feature recency/proximity ranking over date and
+    numeric fields; origin 'now' is a named 400."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.sql("""
+        SELECT * FROM VALUES
+          (1, TIMESTAMP '2024-01-10 00:00:00', 5.0),
+          (2, TIMESTAMP '2024-01-01 00:00:00', 50.0),
+          (3, NULL, 20.0)
+        AS t(id, ts, num)
+    """).write.parquet(os.path.join(service.lake_dir, "data_lake_df"))
+    out = service.advanced_search("data_lake_df", {"distance_feature": {
+        "field": "ts", "origin": "2024-01-10 00:00:00",
+        "pivot": "9d"}}, k=10)
+    hits = out["hits"]["hits"]
+    # doc1 at origin → 1.0; doc2 9 days away → 0.5; null ts is not a
+    # member (has-the-field rule)
+    assert [(h["_source"]["id"], h["_score"]) for h in hits] == \
+        [(1, 1.0), (2, 0.5)]
+    # numeric origin/pivot
+    out = service.advanced_search("data_lake_df", {"distance_feature": {
+        "field": "num", "origin": 5.0, "pivot": 15.0}}, k=10)
+    assert [(h["_source"]["id"], h["_score"])
+            for h in out["hits"]["hits"]] == \
+        [(1, 1.0), (3, 0.5), (2, 0.25)]
+    with pytest.raises(DslError, match="now"):
+        service.advanced_search("data_lake_df", {"distance_feature": {
+            "field": "ts", "origin": "now-1d", "pivot": "7d"}}, k=1)
+    with pytest.raises(DslError, match="malformed time pivot"):
+        service.advanced_search("data_lake_df", {"distance_feature": {
+            "field": "ts", "origin": "2024-01-01", "pivot": "7x"}}, k=1)
+    with pytest.raises(DslError, match="pivot must be positive"):
+        service.advanced_search("data_lake_df", {"distance_feature": {
+            "field": "num", "origin": 1.0, "pivot": 0}}, k=1)

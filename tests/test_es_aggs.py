@@ -2097,6 +2097,18 @@ def test_meta_key_order_does_not_change_routing(docs):
     b = {x["key"]: x for x in out["langs"]["buckets"]}
     assert b["en"]["mx"]["value"] == 300
     assert b["en"]["tm"]["top"][0]["metrics"]["n_chars"] == 300
+    # r9: the metric-order getter in nested chains dispatches via
+    # _agg_kind too — meta listed before the type must not mis-route
+    # the order target (it used to read kind 'meta' and 400)
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang", "order": {"m": "desc"}},
+        "aggs": {"m": {"meta": {"ui": 9},
+                       "avg": {"field": "n_chars"}},
+                 "inner": {"terms": {"field": "doc_id"}}},
+    }})
+    keys = [x["key"] for x in out["langs"]["buckets"]]
+    avgs = [x["m"]["value"] for x in out["langs"]["buckets"]]
+    assert avgs == sorted(avgs, reverse=True) and len(keys) >= 2
 
 
 def test_terms_filter_subagg_one_job(docs):

@@ -513,3 +513,173 @@ def test_more_like_this_term_selection_and_msm(spark):
     with pytest.raises(DslError, match="unsupported more_like_this"):
         compile_dsl({"more_like_this": {
             "fields": ["txt"], "like": "x", "unlike": "y"}})
+
+
+# ---------------------------------------------------------------------------
+# span queries (r9) — positional membership over the token array
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, txt="alpha beta; gamma beta"),
+            Row(id=2, txt="beta gamma alpha"),
+            Row(id=3, txt=None),
+            Row(id=4, txt="alphabet soup gamma delta gamma"),
+        ]
+    )
+
+
+def test_span_term_or_first(span_docs):
+    assert run(span_docs, {"span_term": {"txt": "beta"}}) == [1, 2]
+    assert run(span_docs, {"span_term": {"txt": {"value": "Beta"}}}) == [1, 2]
+    assert run(span_docs, {"span_or": {"clauses": [
+        {"span_term": {"txt": "soup"}},
+        {"span_term": {"txt": "beta"}}]}}) == [1, 2, 4]
+    # span_first: end is the exclusive span end — position < end
+    assert run(span_docs, {"span_first": {
+        "match": {"span_term": {"txt": "beta"}}, "end": 1}}) == [2]
+    assert run(span_docs, {"span_first": {
+        "match": {"span_term": {"txt": "beta"}}, "end": 2}}) == [1, 2]
+
+
+def test_span_near_ordered(span_docs):
+    q = lambda slop: {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "gamma"}}],
+        "slop": slop, "in_order": True}}
+    # doc1: alpha@0 gamma@2 (1 intervening); doc2 has gamma BEFORE alpha
+    assert run(span_docs, q(0)) == []
+    assert run(span_docs, q(1)) == [1]
+    # unordered matches doc2 too (adjacent, 0 intervening)
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "gamma"}}],
+        "slop": 0, "in_order": False}}) == [2]
+    # span_or as a span_near clause
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "soup"}},
+        {"span_or": {"clauses": [
+            {"span_term": {"txt": "delta"}},
+            {"span_term": {"txt": "beta"}}]}}],
+        "slop": 1, "in_order": True}}) == [4]
+    # single clause degenerates to membership
+    assert run(span_docs, {"span_near": {
+        "clauses": [{"span_term": {"txt": "soup"}}]}}) == [4]
+
+
+def test_span_not_and_multi(span_docs):
+    # gamma positions not in the first 3 positions
+    assert run(span_docs, {"span_not": {
+        "include": {"span_term": {"txt": "gamma"}},
+        "exclude": {"span_first": {
+            "match": {"span_term": {"txt": "gamma"}}, "end": 3}},
+    }}) == [4]
+    assert run(span_docs, {"span_multi": {"match": {
+        "prefix": {"txt": {"value": "alph"}}}}}) == [1, 2, 4]
+    assert run(span_docs, {"span_multi": {"match": {
+        "wildcard": {"txt": "*lph*"}}}}) == [1, 2, 4]
+    assert run(span_docs, {"span_multi": {"match": {
+        "regexp": {"txt": "gamm."}}}}) == [1, 2, 4]
+    assert run(span_docs, {"span_multi": {"match": {
+        "fuzzy": {"txt": {"value": "bata", "fuzziness": 1}}}}}) == [1, 2]
+    # span_multi inside span_near
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"txt": {"value": "alphab"}}}}},
+        {"span_term": {"txt": "gamma"}}],
+        "slop": 1, "in_order": True}}) == [4]
+
+
+def test_span_named_400s(span_docs):
+    with pytest.raises(DslError, match="one token"):
+        compile_dsl({"span_term": {"txt": "two words"}})
+    with pytest.raises(DslError, match="one field"):
+        compile_dsl({"span_near": {"clauses": [
+            {"span_term": {"txt": "a"}},
+            {"span_term": {"other": "b"}}], "slop": 0}})
+    with pytest.raises(DslError, match="nested span_near"):
+        compile_dsl({"span_near": {"clauses": [
+            {"span_term": {"txt": "a"}},
+            {"span_near": {"clauses": [
+                {"span_term": {"txt": "b"}}], "slop": 0}}], "slop": 0}})
+    with pytest.raises(DslError, match="exactly 2 clauses"):
+        compile_dsl({"span_near": {"clauses": [
+            {"span_term": {"txt": "a"}},
+            {"span_term": {"txt": "b"}},
+            {"span_term": {"txt": "c"}}],
+            "slop": 1, "in_order": False}})
+    with pytest.raises(DslError, match="at most 8"):
+        compile_dsl({"span_near": {"clauses": [
+            {"span_term": {"txt": f"t{i}"}} for i in range(9)],
+            "slop": 0}})
+    with pytest.raises(DslError, match="pre/post/dist"):
+        compile_dsl({"span_not": {
+            "include": {"span_term": {"txt": "a"}},
+            "exclude": {"span_term": {"txt": "b"}}, "dist": 2}})
+    with pytest.raises(DslError, match="span_multi supports"):
+        compile_dsl({"span_multi": {"match": {"term": {"txt": "a"}}}})
+    with pytest.raises(DslError, match="positive integer end"):
+        compile_dsl({"span_first": {
+            "match": {"span_term": {"txt": "a"}}, "end": 0}})
+
+
+# ---------------------------------------------------------------------------
+# filter-context script query (r9) — painless-subset booleans
+# ---------------------------------------------------------------------------
+
+
+def test_script_query(docs):
+    assert run(docs, {"script": {"script": {
+        "source": "doc['n'].value > params.t", "params": {"t": 10},
+    }}}) == [2, 3]
+    # && / || / ternary / ! ; null doc value (id 4) never matches
+    assert run(docs, {"script": {"script": {
+        "source": "doc['n'].value >= 5 && doc['n'].value % 2 == 1",
+    }}}) == [1, 2, 3]
+    assert run(docs, {"script": {"script": {
+        "source": "doc['n'].value == 5 || doc['n'].value == 25",
+    }}}) == [1, 3]
+    assert run(docs, {"script": {"script": {
+        "source": "(doc['n'].value > 10 ? 1 : 0) * doc['id'].value == 2",
+    }}}) == [2]
+    assert run(docs, {"script": {"script": {
+        "source": "!(doc['n'].value > 10)",
+    }}}) == [1]
+    # Kleene: null && false is false — doc 4 (null n) must not match,
+    # and a definite false keeps it out deterministically
+    assert run(docs, {"script": {"script": {
+        "source": "doc['n'].value > 10 && doc['id'].value > 99",
+    }}}) == []
+
+
+def test_script_query_named_400s(docs):
+    with pytest.raises(DslError, match="_score is not available"):
+        compile_dsl({"script": {"script": {"source": "_score * 2"}}})
+    with pytest.raises(DslError, match="requires a script"):
+        compile_dsl({"script": {}})
+    with pytest.raises(DslError, match="unsupported script query keys"):
+        compile_dsl({"script": {"script": {"source": "1"}, "cache": True}})
+    with pytest.raises(DslError, match="params"):
+        compile_dsl({"script": {"script": {"source": "params.missing"}}})
+    with pytest.raises(DslError, match="malformed script"):
+        compile_dsl({"script": {"script": {"source": "doc['n'].value++"}}})
+    with pytest.raises(DslError, match="unsupported script syntax"):
+        compile_dsl({"script": {"script": {"source": "doc['n'].value & 2"}}})
+
+
+def test_rank_and_distance_feature_membership(docs):
+    # bool-tree context compiles membership only (score-free filter
+    # context; the ranked math lives in plans/score_dsl.py)
+    assert run(docs, {"rank_feature": {
+        "field": "n", "saturation": {"pivot": 10}}}) == [1, 2, 3]
+    assert run(docs, {"bool": {"must": [
+        {"rank_feature": {"field": "n", "linear": {}}},
+        {"term": {"kind": "a"}}]}}) == [1, 3]
+    assert run(docs, {"distance_feature": {
+        "field": "n", "origin": 5, "pivot": 10}}) == [1, 2, 3]
+    with pytest.raises(DslError, match="requires a field"):
+        compile_dsl({"rank_feature": {"saturation": {"pivot": 1}}})
+    with pytest.raises(DslError, match="origin and pivot"):
+        compile_dsl({"distance_feature": {"field": "n", "origin": 1}})

@@ -377,6 +377,32 @@ GATES = {
         shuffles=1, smj_max=0, bhj_min=1, wgl=False,
         scans={"embeddings": (2, [])},
     ),
+    # r9: span queries compile to transform/filter positional algebra
+    # over ONE token-array expression — zero exchanges, pruned scan
+    "search_dsl_span_near": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
+    "search_dsl_span_first": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
+    # r9: the filter-context script query is one scan-level predicate
+    "search_dsl_script_query": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"events": (3, [])},
+    ),
+    # r9: rank_feature / distance_feature ranked pages — one pruned
+    # scan + one TakeOrdered, zero exchanges; the positive-feature /
+    # not-null membership reaches parquet as a pushed filter
+    "search_dsl_rank_feature": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, ["GreaterThan(n_chars,0)"])},
+    ),
+    "search_dsl_distance_feature": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"orders": (2, ["IsNotNull(o_orderdate)"])},
+    ),
 }
 
 
