@@ -90,6 +90,11 @@ HEADLINE = (
     "search_rescore_window",
     "semdedup_embeddings",
     "search_dsl_function_score",
+    # r9 late additions with real distributed cost: the positional
+    # span compile (token-array algebra in one scan) and the
+    # three-shuffle boilerplate removal pipeline
+    "search_dsl_span_near",
+    "boilerplate_chunk_removal",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -97,6 +102,7 @@ HEADLINE = (
 #: regressions are caught by comparison). The default HEADLINE stays
 #: untouched to keep BENCH_r{N}.json min-of-3 comparable across rounds.
 SF1_EXTRA = (
+    "boilerplate_chunk_removal",
     "quality_classifier_scores",
     "semdedup_embeddings",
     "neardup_minhash_lsh",

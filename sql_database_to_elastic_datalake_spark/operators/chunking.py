@@ -253,3 +253,63 @@ def flag_contamination(
         .select(F.col(id_col), n_hits.alias("n_hits"),
                 (n_hits > 0).alias("contaminated"))
     )
+
+
+def boilerplate_chunk_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level boilerplate removal — the corpus-filtering stage
+    between doc-level dedup and chunking in CCNet/RefinedWeb-style
+    pipelines (headers, footers, license blocks survive document
+    dedup; they repeat ACROSS documents).
+
+    Semantics: split each doc into NON-overlapping ``chunk_size``-token
+    windows (stride = size, so the doc is exactly the concatenation of
+    its chunks), count the *distinct documents* each chunk text occurs
+    in corpus-wide, and drop every chunk seen in ≥ ``min_docs`` docs.
+    Output per surviving doc: ``id_col, clean_text`` (kept chunks
+    rejoined in order; '' when everything was boilerplate) and the
+    accounting columns ``n_chunks, chunks_removed, chars_removed``.
+    NULL text yields zero chunks, so those docs are absent — the same
+    contract as :func:`chunk_documents`.
+
+    Scale: three key-partitioned shuffles — the chunk-frequency
+    groupBy (map-side partial aggregation on the chunk hash), the
+    frequency join back (same key, no broadcast: the distinct-chunk
+    table is corpus-sized), and the per-doc regroup. No UDF, no
+    driver-side state; per-doc chunk lists are bounded by doc length.
+    Counting distinct DOCS (not occurrences) means a doc repeating its
+    own refrain is never self-flagged.
+    """
+    chunks = chunk_documents(df, id_col, text_col,
+                             chunk_size=chunk_size, stride=chunk_size)
+    h = F.md5(F.col("chunk"))
+    counts = (
+        chunks.groupBy(h.alias("__h"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    )
+    flagged = (
+        chunks.withColumn("__h", h)
+        .join(counts, "__h")
+        .withColumn("__boil", F.col("__df") >= F.lit(int(min_docs)))
+    )
+    kept = F.when(
+        ~F.col("__boil"),
+        F.struct(F.col("chunk_idx"), F.col("chunk")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)),
+                        lambda s: s["chunk"]),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("__boil"), 1).otherwise(0))
+        .cast("bigint").alias("chunks_removed"),
+        F.sum(F.when(F.col("__boil"), F.length("chunk")).otherwise(0))
+        .cast("bigint").alias("chars_removed"),
+    )

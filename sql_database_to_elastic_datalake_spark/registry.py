@@ -5809,6 +5809,7 @@ _CHECK_FIRST = [
     #    change). New r9 queries are prepended here by the commits
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
+    "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
     "search_dsl_span_near",       # r9 NEW: positional span family
     "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
     "search_dsl_script_query",    # r9 NEW: filter-context script
@@ -5866,7 +5867,6 @@ _CHECK_FIRST = [
     "snapshot_diff",
     "wow_growth",
     "weighted_sample_docs",
-    "rag_context_assembly",
 ]
 
 

@@ -2719,6 +2719,60 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_chunk_removal",
+    # the oracle rebuilds docs from kept chunks with the same
+    # non-overlapping windowing; grouping by the chunk TEXT equals the
+    # Spark side's md5-key grouping (hash is only an equality key)
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), c AS (
+        SELECT doc_id, toks,
+               GREATEST(CAST(ceil(len(toks) / 16.0) AS BIGINT), 1)
+                   AS n_chunks
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[(i*16 + 1):(i*16 + 16)], ' ') AS chunk
+        FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS i) r
+    ), counts AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    ), flagged AS (
+        SELECT ch.doc_id, ch.pos, ch.chunk, counts.df >= 2 AS boil
+        FROM chunks ch JOIN counts USING (chunk)
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list(chunk ORDER BY pos)
+                           FILTER (WHERE NOT boil), ' '), '')
+               AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT)
+               AS chunks_removed,
+           CAST(SUM(CASE WHEN boil THEN length(chunk) ELSE 0 END)
+                AS BIGINT) AS chars_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_chunk_removal_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Passage-level boilerplate REMOVAL (r9): the CCNet/RefinedWeb
+    corpus-filtering stage — non-overlapping 16-token chunks seen in
+    ≥2 distinct documents are dropped and each document is rebuilt
+    from its kept chunks in order, with removal accounting. Three
+    key-partitioned shuffles, no UDF
+    (operators/chunking.py:boilerplate_chunk_removal)."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        boilerplate_chunk_removal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_chunk_removal(
+        docs, "doc_id", "text", chunk_size=16, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Character-trigram language profiles + join fan-out histogram.
 # Char n-grams are the feature basis real language ID / script detection

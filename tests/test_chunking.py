@@ -154,3 +154,38 @@ def test_flag_contamination(spark):
         corpus, "doc_id", "text", probes, "t", n=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_chunk_removal(spark):
+    """r9: cross-doc repeated chunks drop; a doc repeating its OWN
+    refrain is never self-flagged (distinct-doc counting); docs
+    reassemble in chunk order; all-boilerplate docs yield ''."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        boilerplate_chunk_removal,
+    )
+
+    header = "terms of service apply"
+    rows = [
+        Row(doc_id=1, text=f"{header} alpha beta gamma delta"),
+        Row(doc_id=2, text=f"{header} epsilon zeta eta theta"),
+        Row(doc_id=3, text="unique words only here today"),
+        Row(doc_id=4, text=f"{header}"),           # pure boilerplate
+        Row(doc_id=5, text="echo echo echo echo echo echo echo echo"),
+        Row(doc_id=6, text=None),                   # absent from output
+    ]
+    out = {r["doc_id"]: r for r in boilerplate_chunk_removal(
+        spark.createDataFrame(rows), "doc_id", "text",
+        chunk_size=4, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["chunks_removed"] == 1
+    assert out[1]["chars_removed"] == len(header)
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[3]["clean_text"] == "unique words only here today"
+    assert out[3]["chunks_removed"] == 0
+    # all chunks boilerplate → empty string, accounting intact
+    assert out[4]["clean_text"] == "" and out[4]["chunks_removed"] == 1
+    # self-repetition across a doc's own chunks is NOT boilerplate
+    assert out[5]["chunks_removed"] == 0
+    assert out[5]["clean_text"].count("echo") == 8
+    assert out[5]["n_chunks"] == 2

@@ -377,6 +377,13 @@ GATES = {
         shuffles=1, smj_max=0, bhj_min=1, wgl=False,
         scans={"embeddings": (2, [])},
     ),
+    # r9: boilerplate removal — exactly three key-partitioned
+    # shuffles (chunk-freq groupBy, freq join back, per-doc regroup);
+    # a fourth would mean the chunk explode started shuffling
+    "boilerplate_chunk_removal": dict(
+        shuffles=3, smj_max=2, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
     # r9: span queries compile to transform/filter positional algebra
     # over ONE token-array expression — zero exchanges, pruned scan
     "search_dsl_span_near": dict(
