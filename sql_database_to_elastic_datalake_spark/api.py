@@ -851,6 +851,93 @@ class LakeService:
             _json.dumps(payload, default=_jsonable).encode()).decode()
         return out
 
+    def mget(
+        self, table: str | None = None, ids: list | None = None,
+        docs: list | None = None, source=None,
+    ) -> dict:
+        """ES ``_mget``: batch point lookups in request order.
+
+        Both request shapes: ``{"ids": [...]}`` against a request
+        table, or ``{"docs": [{"_index", "_id", "_source"?}, ...]}``
+        (``_index`` defaults to the request table). ONE scan per
+        distinct table with the id set pushed as an ``In`` filter —
+        never a scan per id; a missing table or id is ``found: false``
+        per entry, like ES, not a request error."""
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            resolve_source_columns,
+        )
+
+        if ids is not None and docs is not None:
+            raise DslError("mget takes ids or docs, not both")
+        if ids is not None:
+            if not isinstance(ids, list):
+                raise DslError("mget ids must be a list")
+            if not table:
+                raise DslError("mget ids form requires a table")
+            entries = [{"_index": table, "_id": i, "_source": source}
+                       for i in ids]
+        elif docs is not None:
+            if not isinstance(docs, list):
+                raise DslError("mget docs must be a list")
+            entries = []
+            for d in docs:
+                if not isinstance(d, dict) or "_id" not in d:
+                    raise DslError("mget docs entries need an _id")
+                unknown = sorted(set(d) - {"_index", "_id", "_source"})
+                if unknown:
+                    raise DslError(
+                        f"unsupported mget doc keys: {unknown}")
+                t = d.get("_index", table)
+                if not t:
+                    raise DslError(
+                        "mget docs entry needs an _index (or a "
+                        "request table)")
+                entries.append({"_index": str(t), "_id": d["_id"],
+                                "_source": d.get("_source", source)})
+        else:
+            raise DslError("mget requires ids or docs")
+
+        by_table: dict[str, list[int]] = {}
+        for i, e in enumerate(entries):
+            by_table.setdefault(e["_index"], []).append(i)
+        out_docs: list = [None] * len(entries)
+        for t, idxs in by_table.items():
+            path = os.path.join(self.lake_dir, t)
+            if not path_exists(self.spark, path):
+                for i in idxs:
+                    out_docs[i] = {"_index": t,
+                                   "_id": str(entries[i]["_id"]),
+                                   "found": False}
+                continue
+            df = self.spark.read.parquet(path)
+            idc = "id" if "id" in df.columns else next(
+                (c for c in df.columns if c.endswith("_id")), None)
+            if idc is None:
+                raise DslError(f"table {t!r} has no id column for mget")
+            wanted = sorted({str(entries[i]["_id"]) for i in idxs})
+            # one job: the In() filter pushes into the scan; output
+            # is bounded by the id list, so the collect is driver-safe
+            rows = (df.filter(F.col(idc).cast("string").isin(wanted))
+                    .orderBy(F.col(idc).asc_nulls_first())
+                    .collect())
+            by_id = {}
+            for r in rows:
+                by_id.setdefault(str(r[idc]), r)
+            for i in idxs:
+                rid = str(entries[i]["_id"])
+                r = by_id.get(rid)
+                if r is None:
+                    out_docs[i] = {"_index": t, "_id": rid,
+                                   "found": False}
+                else:
+                    src_cols = resolve_source_columns(
+                        df.columns, entries[i].get("_source"))
+                    out_docs[i] = {
+                        "_index": t, "_id": rid, "found": True,
+                        "_source": {c: r[c] for c in src_cols},
+                    }
+        return {"docs": out_docs}
+
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10,
         aggs: dict | None = None,
@@ -2333,6 +2420,27 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             except DslError as ex:
                 responses.append({"error": str(ex), "status": 400})
         return jsonify({"responses": responses}), 200
+
+    @app.route("/search/mget", methods=["POST"])
+    def mget_route():
+        """ES ``_mget``: batch point lookups, one pushed-In scan per
+        distinct table, misses reported per entry (never a request
+        error)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"table", "index", "ids", "docs",
+                                      "_source"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported mget keys: {unknown}"}), 400
+        try:
+            return jsonify(service.mget(
+                table=body.get("table") or body.get("index"),
+                ids=body.get("ids"), docs=body.get("docs"),
+                source=body.get("_source"))), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
 
     @app.route("/search/scroll", methods=["POST"])
     def scroll_continue():

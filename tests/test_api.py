@@ -1637,3 +1637,42 @@ def test_distance_feature_ranked_page(service, spark):
     with pytest.raises(DslError, match="pivot must be positive"):
         service.advanced_search("data_lake_df", {"distance_feature": {
             "field": "num", "origin": 1.0, "pivot": 0}}, k=1)
+
+
+def test_mget_batch_point_lookups(service, spark, client):
+    """r9: _mget — both request shapes, request-order docs, per-entry
+    misses, per-entry _source filtering, one pushed scan per table."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_mg"))
+    out = service.mget(table="data_lake_mg", ids=[2, 99, 1])
+    docs = out["docs"]
+    assert [(d["_id"], d["found"]) for d in docs] == \
+        [("2", True), ("99", False), ("1", True)]
+    assert docs[0]["_source"] == {"id": 2, "name": "b", "v": 20.0}
+    # docs form: per-entry _index and _source filter; a missing table
+    # is a per-entry miss, not an error
+    out = service.mget(docs=[
+        {"_index": "data_lake_mg", "_id": 3, "_source": ["name"]},
+        {"_index": "data_lake_ghost", "_id": 1},
+    ])
+    assert out["docs"][0]["_source"] == {"name": "c"}
+    assert out["docs"][1] == {"_index": "data_lake_ghost",
+                              "_id": "1", "found": False}
+    with pytest.raises(DslError, match="requires a table"):
+        service.mget(ids=[1])
+    with pytest.raises(DslError, match="not both"):
+        service.mget(table="data_lake_mg", ids=[1], docs=[])
+    # wire route
+    r = client.post("/search/mget", json={
+        "index": "data_lake_mg", "ids": [1]})
+    assert r.status_code == 200
+    assert r.get_json()["docs"][0]["found"] is True
+    r = client.post("/search/mget", json={"ids": [1], "refresh": True})
+    assert r.status_code == 400
+    assert "unsupported mget keys" in r.get_json()["error"]
