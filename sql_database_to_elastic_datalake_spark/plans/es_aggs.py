@@ -215,6 +215,11 @@ _AGG_BODY_KEYS = {
     "weighted_avg": {"value", "weight"},
     "median_absolute_deviation": {"field", "missing", "compression"},
     "top_metrics": {"metrics", "sort", "size"},
+    # r9: string_stats (top-level only — named 400 under buckets).
+    # count/lengths ride one agg job; the character distribution (and
+    # the entropy derived from it driver-side) is a second bounded
+    # groupBy — see string_stats_frame
+    "string_stats": {"field", "missing", "show_distribution"},
 }
 
 
@@ -875,6 +880,107 @@ def rare_terms_frame(df: DataFrame, body: dict) -> DataFrame:
         .filter(F.col("doc_count") <= mdc)
         .orderBy(F.col("doc_count").asc(), F.col("key").asc())
     )
+
+
+def string_stats_frame(df: DataFrame, body) -> DataFrame:
+    """Flat rows for ``string_stats`` (r9): one row per distinct
+    character — ``ch, n, prob`` — with the length statistics
+    (``cnt, min_length, max_length, avg_length``) broadcast onto every
+    row (the hits_envelope totals pattern). The entropy ES serves is
+    derived from exactly these probabilities driver-side
+    (:func:`_string_stats_envelope`) — the oracle pins the
+    distribution, keeping libm's log out of the exact-match gate.
+
+    Plan: the length stats are a 1-row aggregate; the character
+    distribution explodes string OFFSETS and substrs per row (the
+    char_trigram_profile idiom — stays in whole-stage codegen, unlike
+    a transform() lambda) into one groupBy bounded by the alphabet.
+    Top-level only: under a bucket agg the per-bucket explode would
+    hide a corpus-sized shuffle, so that is a named 400, not a slow
+    path."""
+    check_agg_keys("string_stats", body)
+    if not isinstance(body, dict) or not body.get("field"):
+        raise DslError("string_stats requires a field")
+    c = F.col(body["field"]).cast("string")
+    if body.get("missing") is not None:
+        c = F.coalesce(c, F.lit(str(body["missing"])))
+    s = df.select(c.alias("__s")).filter(F.col("__s").isNotNull())
+    lens = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min(F.length("__s")).cast("bigint").alias("min_length"),
+        F.max(F.length("__s")).cast("bigint").alias("max_length"),
+        F.sum(F.length("__s")).cast("bigint").alias("__sum_len"),
+    )
+    chars = (
+        s.filter(F.length("__s") > 0)
+        .select(
+            F.col("__s"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("__s"))).alias("__i"),
+        )
+        .select(F.col("__s").substr(F.col("__i"), F.lit(1)).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        chars.crossJoin(F.broadcast(lens))
+        .select(
+            "ch", "n",
+            (F.col("n").cast("double")
+             / F.col("__sum_len").cast("double")).alias("prob"),
+            "cnt", "min_length", "max_length",
+            (F.col("__sum_len").cast("double")
+             / F.col("cnt").cast("double")).alias("avg_length"),
+        )
+    )
+
+
+def _string_stats_envelope(df: DataFrame, body) -> dict:
+    """The ES ``string_stats`` response object. Entropy is Shannon
+    entropy over the character distribution (log base 2), computed
+    driver-side from the bounded frame — deterministic, and the
+    distribution it derives from is what the differential oracle
+    pins."""
+    import math
+
+    rows = string_stats_frame(df, body).collect()
+    if not rows:
+        # zero characters: either no non-null values at all, or every
+        # value is '' — the length stats still apply in the second
+        # case (ES reports count with zero lengths)
+        c = F.col(body["field"]).cast("string")
+        if body.get("missing") is not None:
+            c = F.coalesce(c, F.lit(str(body["missing"])))
+        r = (df.select(c.alias("__s"))
+             .filter(F.col("__s").isNotNull())
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min(F.length("__s")).alias("mn"),
+                  F.max(F.length("__s")).alias("mx"))
+             .collect()[0])
+        env0: dict[str, Any] = {
+            "count": r["cnt"], "min_length": r["mn"],
+            "max_length": r["mx"],
+            "avg_length": 0.0 if r["cnt"] else None,
+            "entropy": 0.0,
+        }
+        if body.get("show_distribution"):
+            env0["distribution"] = {}
+        return env0
+    entropy = -sum(r["prob"] * math.log2(r["prob"]) for r in rows
+                   if r["prob"] > 0)
+    env: dict[str, Any] = {
+        "count": rows[0]["cnt"],
+        "min_length": rows[0]["min_length"],
+        "max_length": rows[0]["max_length"],
+        "avg_length": rows[0]["avg_length"],
+        "entropy": entropy,
+    }
+    if body.get("show_distribution"):
+        env["distribution"] = {
+            r["ch"]: r["prob"]
+            for r in sorted(rows, key=lambda r: (-r["prob"], r["ch"]))
+        }
+    return env
 
 
 #: the auto_date_histogram interval ladder: ES's seconds→hours→days
@@ -2740,6 +2846,15 @@ def run_aggs(
             # deferred: pipeline reductions run over the computed
             # sibling envelopes after the main pass (free — no job)
             sibling_pipes[name] = (kind, body)
+            continue
+        if kind == "string_stats":
+            # r9: top-level only (the per-bucket char explode would
+            # hide a corpus-sized shuffle — named 400 via the metric
+            # dispatcher when nested)
+            if sub:
+                raise DslError(
+                    "string_stats takes no sub-aggregations")
+            out[name] = _string_stats_envelope(df, body)
             continue
         check_agg_keys(kind, body)
         has_bucket_sub = any(

@@ -3318,6 +3318,51 @@ def search_dsl_script_score(
 # ---------------------------------------------------------------------------
 
 @register(
+    "search_aggs_string_stats",
+    # the oracle pins the character distribution and the length stats;
+    # the served entropy is a pure function of exactly these
+    # probabilities (string_stats_frame docstring — libm's log stays
+    # out of the exact-match gate)
+    oracle="""
+    WITH s AS (
+        SELECT source AS v FROM documents WHERE source IS NOT NULL
+    ), lens AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MIN(length(v)) AS BIGINT) AS min_length,
+               CAST(MAX(length(v)) AS BIGINT) AS max_length,
+               CAST(SUM(length(v)) AS BIGINT) AS sum_len
+        FROM s
+    ), chars AS (
+        SELECT substr(v, i, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s, LATERAL (SELECT unnest(range(1, length(v) + 1)) AS i) r
+        GROUP BY 1
+    )
+    SELECT ch, n,
+           CAST(n AS DOUBLE) / CAST(sum_len AS DOUBLE) AS prob,
+           cnt, min_length, max_length,
+           CAST(sum_len AS DOUBLE) / CAST(cnt AS DOUBLE) AS avg_length
+    FROM chars, lens
+    """,
+)
+def search_aggs_string_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``string_stats`` metric agg (r9): length statistics plus the
+    character distribution Shannon entropy derives from. The flat
+    frame is the oracled surface (plans/es_aggs.py:string_stats_frame);
+    the envelope path serves count/lengths/entropy (+``distribution``
+    under ``show_distribution``) like ES. Top-level only — nesting
+    under buckets is a named 400 (the per-bucket char explode would
+    hide a corpus-sized shuffle)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        string_stats_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return string_stats_frame(docs, {"field": "source"})
+
+
+@register(
     "search_dsl_span_near",
     # DuckDB mirrors the Spark positional algebra list-op for list-op
     # (1-based lambda index normalized to the engine's 0-based
@@ -5810,6 +5855,7 @@ _CHECK_FIRST = [
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
     "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
+    "search_aggs_string_stats",   # r9 NEW: string_stats metric
     "search_dsl_span_near",       # r9 NEW: positional span family
     "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
     "search_dsl_script_query",    # r9 NEW: filter-context script
@@ -5866,7 +5912,6 @@ _CHECK_FIRST = [
     "join_explosion_estimate",
     "snapshot_diff",
     "wow_growth",
-    "weighted_sample_docs",
 ]
 
 

@@ -2212,3 +2212,47 @@ def test_subagg_key_order_does_not_change_dispatch(docs):
     keys = [b["key"] for b in out["l"]["buckets"]]
     avgs = [b["m"]["value"] for b in out["l"]["buckets"]]
     assert avgs == sorted(avgs) and len(keys) == len(set(keys))
+
+
+def test_string_stats(docs, spark):
+    """r9: string_stats — length stats + char-distribution entropy;
+    show_distribution; missing substitution; named 400 under buckets."""
+    import math
+
+    out = run_aggs(docs, {"s": {"string_stats": {"field": "lang"}}})
+    env = out["s"]
+    # 6 non-null langs, all length 2: en en de de fr en
+    assert env["count"] == 6
+    assert env["min_length"] == 2 and env["max_length"] == 2
+    assert env["avg_length"] == 2.0
+    # chars: e5 n3 d2 f1 r1 of 12 → entropy = -Σ p log2 p
+    probs = [5 / 12, 3 / 12, 2 / 12, 1 / 12, 1 / 12]
+    assert env["entropy"] == pytest.approx(
+        -sum(p * math.log2(p) for p in probs))
+    out = run_aggs(docs, {"s": {"string_stats": {
+        "field": "lang", "show_distribution": True,
+        "missing": "xx"}}})
+    env = out["s"]
+    assert env["count"] == 7  # missing substitutes the null lang
+    dist = env["distribution"]
+    assert sum(dist.values()) == pytest.approx(1.0)
+    assert list(dist)[0] == "e"  # most probable first
+    # meta echoes; sub-aggs and bucket nesting are named 400s
+    out = run_aggs(docs, {"s": {"meta": {"ui": 1},
+                                "string_stats": {"field": "lang"}}})
+    assert out["s"]["meta"] == {"ui": 1}
+    with pytest.raises(DslError, match="no sub-aggregations"):
+        run_aggs(docs, {"s": {"string_stats": {"field": "lang"},
+                              "aggs": {"x": {"avg": {"field": "n_chars"}}}}})
+    with pytest.raises(DslError, match="unsupported sub-aggregation"):
+        run_aggs(docs, {"t": {"terms": {"field": "lang"},
+                              "aggs": {"s": {"string_stats": {
+                                  "field": "lang"}}}}})
+    with pytest.raises(DslError, match="requires a field"):
+        run_aggs(docs, {"s": {"string_stats": {}}})
+    # zero-char corpus: empty-string values keep the count
+    empty = spark.createDataFrame([("",), ("",)], "v string")
+    env = run_aggs(empty, {"s": {"string_stats": {
+        "field": "v", "show_distribution": True}}})["s"]
+    assert env["count"] == 2 and env["entropy"] == 0.0
+    assert env["min_length"] == 0 and env["distribution"] == {}
