@@ -197,23 +197,25 @@ _AGG_BODY_KEYS = {
                   "gap_policy"},
     "serial_diff": {"buckets_path", "lag", "gap_policy"},
     "percentiles_bucket": {"buckets_path", "gap_policy", "percents"},
-    "avg": {"field", "missing"},
-    "sum": {"field", "missing"},
-    "min": {"field", "missing"},
-    "max": {"field", "missing"},
-    "value_count": {"field", "missing"},
-    "cardinality": {"field", "missing", "precision_threshold"},
-    "stats": {"field", "missing"},
-    "percentiles": {"field", "missing", "percents"},
+    "avg": {"field", "missing", "script"},
+    "sum": {"field", "missing", "script"},
+    "min": {"field", "missing", "script"},
+    "max": {"field", "missing", "script"},
+    "value_count": {"field", "missing", "script"},
+    "cardinality": {"field", "missing", "precision_threshold",
+                    "script"},
+    "stats": {"field", "missing", "script"},
+    "percentiles": {"field", "missing", "percents", "script"},
     "missing": {"field"},
     # r7 metric additions. extended_stats/percentile_ranks are exact
     # (the cardinality-style divergence: ES runs t-digest for ranks);
     # MAD's `compression` is a t-digest tuning knob — accepted and
     # ignored because the computation here is exact anyway
-    "extended_stats": {"field", "missing", "sigma"},
-    "percentile_ranks": {"field", "missing", "values"},
+    "extended_stats": {"field", "missing", "sigma", "script"},
+    "percentile_ranks": {"field", "missing", "values", "script"},
     "weighted_avg": {"value", "weight"},
-    "median_absolute_deviation": {"field", "missing", "compression"},
+    "median_absolute_deviation": {"field", "missing", "compression",
+                                  "script"},
     "top_metrics": {"metrics", "sort", "size"},
     # r9: string_stats (top-level only — named 400 under buckets).
     # count/lengths ride one agg job; the character distribution (and
@@ -240,8 +242,28 @@ def check_agg_keys(kind: str, body) -> None:
 
 def _metric_source(body: dict) -> Column:
     """The metric's input column, with ES's ``missing`` substitution
-    (docs lacking the field aggregate as if they carried this value)."""
-    c = F.col(body["field"])
+    (docs lacking the field aggregate as if they carried this value).
+
+    r9: a ``script`` body (Kibana's "JSON input" idiom) compiles
+    through the painless-subset Column compiler — same grammar as
+    ``script_score``, no ``_score`` in scope, never eval(). Script OR
+    field, not both (ES's ``_value``-transform combined form is a
+    named 400, not a silent drop)."""
+    if isinstance(body, dict) and body.get("script") is not None:
+        if body.get("field") is not None:
+            raise DslError(
+                "metric aggregations take field OR script (the "
+                "_value transform form is not implemented)")
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            script_column,
+        )
+
+        spec = body["script"]
+        if isinstance(spec, str):
+            spec = {"source": spec}
+        c = script_column(spec, F.col, base_score=None)
+    else:
+        c = F.col(body["field"])
     if body.get("missing") is not None:
         return F.coalesce(c, F.lit(body["missing"]))
     return c
@@ -304,8 +326,12 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
                         .alias(f"{prefix}{name}.w"))
             continue
         field = body.get("field") if isinstance(body, dict) else None
-        if field is None:
-            raise DslError(f"aggregation {name!r} ({kind}) requires a field")
+        has_script = isinstance(body, dict) and body.get("script") \
+            is not None and kind != "missing"
+        if field is None and not has_script:
+            raise DslError(
+                f"aggregation {name!r} ({kind}) requires a field"
+                + ("" if kind == "missing" else " or script"))
         check_agg_keys(kind, body)
         src = _metric_source(body)
         if kind == "extended_stats":

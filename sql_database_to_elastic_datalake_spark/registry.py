@@ -3318,6 +3318,44 @@ def search_dsl_script_score(
 # ---------------------------------------------------------------------------
 
 @register(
+    "search_aggs_metric_script",
+    # integer-valued script results keep the double sums exact and
+    # order-independent (ints < 2^53), so avg = exact-sum / count is
+    # one deterministic division; max is order-free on any doubles
+    oracle="""
+    SELECT CAST(SUM(l_quantity * 2.0) AS DOUBLE)
+               / CAST(COUNT(l_quantity) AS DOUBLE) AS q_avg,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END)
+                AS DOUBLE) AS n_heavy,
+           CAST(MAX(l_extendedprice / 100.0) AS DOUBLE) AS max_pct
+    FROM lineitem
+    """,
+)
+def search_aggs_metric_script(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metric aggs over a painless-subset ``script`` (r9) — Kibana's
+    "JSON input" idiom on every single-value metric. The scripts
+    compile to Columns (plans/score_dsl.py), so the whole family still
+    rides ONE shared aggregation job, no UDF
+    (plans/es_aggs.py:_metric_source)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        _metric_cols,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _metric_cols({
+        "q_avg": {"avg": {"script": {
+            "source": "doc['l_quantity'].value * 2.0"}}},
+        "n_heavy": {"sum": {"script": {
+            "source": "doc['l_quantity'].value > 25 ? 1.0 : 0.0"}}},
+        "max_pct": {"max": {"script": {
+            "source": "doc['l_extendedprice'].value / 100.0"}}},
+    })
+    return li.agg(*cols)
+
+
+@register(
     "search_aggs_string_stats",
     # the oracle pins the character distribution and the length stats;
     # the served entropy is a pure function of exactly these
@@ -5856,6 +5894,7 @@ _CHECK_FIRST = [
     #    tail to hold the window at exactly 50.
     "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
     "search_aggs_string_stats",   # r9 NEW: string_stats metric
+    "search_aggs_metric_script",  # r9 NEW: script-sourced metrics
     "search_dsl_span_near",       # r9 NEW: positional span family
     "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
     "search_dsl_script_query",    # r9 NEW: filter-context script
@@ -5911,7 +5950,6 @@ _CHECK_FIRST = [
     "key_skew_report",
     "join_explosion_estimate",
     "snapshot_diff",
-    "wow_growth",
 ]
 
 

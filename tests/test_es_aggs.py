@@ -2256,3 +2256,40 @@ def test_string_stats(docs, spark):
         "field": "v", "show_distribution": True}}})["s"]
     assert env["count"] == 2 and env["entropy"] == 0.0
     assert env["min_length"] == 0 and env["distribution"] == {}
+
+
+def test_metric_script_source(docs):
+    """r9: metric aggs over a painless-subset script (Kibana's "JSON
+    input" idiom) — script OR field, compiled to one Column, shared
+    job intact."""
+    out = run_aggs(docs, {
+        "a": {"avg": {"script": {
+            "source": "doc['n_chars'].value * 2"}}},
+        "s": {"sum": {"script": "doc['n_chars'].value % 100"}},
+        "hi": {"sum": {"script":
+                       "doc['n_chars'].value > 250 ? 1 : 0"}},
+    })
+    # n_chars: 100 300 200 400 50 999 null — null script results are
+    # skipped like missing fields
+    assert out["a"]["value"] == pytest.approx(2 * 2049 / 6)
+    assert out["s"]["value"] == 0 + 0 + 0 + 0 + 50 + 99
+    assert out["hi"]["value"] == 3
+    # under a terms bucket the script rides the same gated/shared job
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang"},
+        "aggs": {"m": {"max": {"script":
+                               "doc['n_chars'].value / 2"}}},
+    }})
+    b = {x["key"]: x for x in out["langs"]["buckets"]}
+    assert b["en"]["m"]["value"] == 150.0
+    assert b["de"]["m"]["value"] == 200.0
+    with pytest.raises(DslError, match="field OR script"):
+        run_aggs(docs, {"a": {"avg": {
+            "field": "n_chars",
+            "script": {"source": "doc['n_chars'].value"}}}})
+    with pytest.raises(DslError, match="requires a field"):
+        run_aggs(docs, {"a": {"missing": {"script": {
+            "source": "doc['n_chars'].value"}}}})
+    with pytest.raises(DslError, match="_score is not available"):
+        run_aggs(docs, {"a": {"avg": {"script": {
+            "source": "_score + 1"}}}})
