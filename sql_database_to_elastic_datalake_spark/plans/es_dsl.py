@@ -440,50 +440,218 @@ def _compile_span(kind: str, body: dict, col) -> Column:
     if unknown:
         raise DslError(f"unsupported span_near keys: {unknown}")
     clauses = body["clauses"]
-    if len(clauses) > _MAX_SPAN_CLAUSES:
-        raise DslError(
-            f"span_near supports at most {_MAX_SPAN_CLAUSES} clauses")
     slop = body.get("slop", 0)
     if not isinstance(slop, int) or slop < 0:
         raise DslError(f"malformed span_near slop {slop!r}")
-    in_order = bool(body.get("in_order", False))
-    pos_arrays = [
-        _span_positions(arr, *next(iter(cl.items()))) for cl in clauses
-    ]
+    # the greedy min-next chain in _positions_near is exact for
+    # single-position spans — the same argument as _sloppy_phrase:
+    # the minimal valid choice minimizes the final span
+    return _positions_near(
+        [_span_positions(arr, *next(iter(cl.items()))) for cl in clauses],
+        bool(body.get("in_order", False)), slop)
+
+
+# ---------------------------------------------------------------------------
+# intervals query (r9) — the modern proximity surface, compiled onto
+# the same positional algebra as the span family
+# ---------------------------------------------------------------------------
+
+_INTERVALS_RULES = ("match", "prefix", "wildcard", "fuzzy", "regexp",
+                    "any_of", "all_of")
+
+
+def _intervals_tok_positions(arr: Column, kind: str, body) -> Column:
+    """One SINGLE-POSITION intervals rule → its match-position array.
+    Multi-token matches and nested all_of produce wide intervals the
+    single-position model cannot chain exactly — named 400 under
+    ordering/gap constraints (same honesty rule as nested span_near)."""
+    if kind == "match":
+        if not isinstance(body, dict) or "query" not in body:
+            raise DslError("intervals match requires a query")
+        toks = tokenize(str(body["query"]))
+        if len(toks) != 1:
+            raise DslError(
+                "a multi-token intervals match cannot nest under "
+                "ordering/gap constraints (single-token intervals "
+                "only — flatten the tokens into the outer all_of)")
+        return _token_positions(arr, toks[0])
+    if kind == "prefix":
+        v = body.get("prefix") if isinstance(body, dict) else body
+        if not isinstance(v, str):
+            raise DslError("intervals prefix requires a prefix string")
+        return F.filter(
+            F.transform(arr, lambda t, i: F.when(
+                t.startswith(v.lower()), i)),
+            lambda x: x.isNotNull(),
+        )
+    if kind in ("wildcard", "regexp"):
+        v = body.get("pattern") if isinstance(body, dict) else body
+        if not isinstance(v, str):
+            raise DslError(f"intervals {kind} requires a pattern")
+        if kind == "wildcard":
+            like = _wildcard_to_like(v.lower())
+
+            def pred(t):
+                return t.like(like)
+        else:
+            pat = f"^(?:{v})$"  # Lucene whole-term anchoring
+
+            def pred(t):
+                return t.rlike(pat)
+        return F.filter(
+            F.transform(arr, lambda t, i: F.when(pred(t), i)),
+            lambda x: x.isNotNull(),
+        )
+    if kind == "fuzzy":
+        if not isinstance(body, dict) or "term" not in body:
+            raise DslError("intervals fuzzy requires a term")
+        term = str(body["term"]).lower()
+        edits = _max_edits(body.get("fuzziness", "AUTO"), term)
+        return F.filter(
+            F.transform(arr, lambda t, i: F.when(
+                F.levenshtein(t, F.lit(term)) <= edits, i)),
+            lambda x: x.isNotNull(),
+        )
+    if kind == "any_of":
+        ivs = body.get("intervals") if isinstance(body, dict) else None
+        if not isinstance(ivs, list) or not ivs:
+            raise DslError("any_of requires a non-empty intervals list")
+        out = None
+        for iv in ivs:
+            p = _intervals_tok_positions(arr, *_one_rule(iv))
+            out = p if out is None else F.concat(out, p)
+        return F.array_sort(F.array_distinct(out))
+    raise DslError(
+        f"intervals {kind} cannot nest under ordering/gap constraints")
+
+
+def _one_rule(spec) -> tuple[str, dict]:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise DslError(
+            f"an intervals rule must have exactly one kind, got {spec!r}")
+    kind, body = next(iter(spec.items()))
+    if kind == "filter":
+        raise DslError(
+            "intervals filter rules (containing/overlapping/...) are "
+            "not implemented")
+    if kind not in _INTERVALS_RULES:
+        raise DslError(f"unsupported intervals rule {kind!r}")
+    if isinstance(body, dict):
+        allowed = {
+            "match": {"query", "max_gaps", "ordered"},
+            "prefix": {"prefix"},
+            "wildcard": {"pattern"},
+            "regexp": {"pattern"},
+            "fuzzy": {"term", "fuzziness"},
+            "any_of": {"intervals"},
+            "all_of": {"intervals", "max_gaps", "ordered"},
+        }[kind]
+        unknown = sorted(set(body) - allowed)
+        if unknown:
+            # analyzer / use_field change which terms match — silently
+            # ignoring them would change results
+            raise DslError(
+                f"unsupported intervals {kind} options: {unknown} "
+                f"(supported: {sorted(allowed)})")
+    return kind, body
+
+
+def _positions_near(pos_arrays: list[Column], ordered: bool,
+                    max_gaps: int) -> Column:
+    """Membership for a list of single-position clause arrays under
+    ordering/gap constraints — the span_near core, shared by
+    intervals all_of and multi-token match."""
+    if len(pos_arrays) > _MAX_SPAN_CLAUSES:
+        raise DslError(
+            f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
     if len(pos_arrays) == 1:
         return F.coalesce(F.size(pos_arrays[0]) > 0, F.lit(False))
-    if in_order:
-        # greedy min-next chaining — exact for single-position spans
-        # (the same argument as _sloppy_phrase: the minimal valid
-        # choice minimizes the final span)
-        span = F.lit(len(pos_arrays) - 1 + slop)
-
+    if ordered:
         def _min_after(pos: Column, prev: Column) -> Column:
-            # single-parameter lambda via closure (same PySpark
-            # binding note as _sloppy_phrase)
             return F.array_min(F.filter(pos, lambda x: x > prev))
 
         def chain(p0: Column) -> Column:
             cur = p0
             for parr in pos_arrays[1:]:
                 cur = _min_after(parr, cur)
-            return F.coalesce(cur - p0 <= span, F.lit(False))
+            if max_gaps < 0:
+                return cur.isNotNull()
+            return F.coalesce(
+                cur - p0 <= F.lit(len(pos_arrays) - 1 + max_gaps),
+                F.lit(False))
 
         return F.coalesce(F.exists(pos_arrays[0], chain), F.lit(False))
+    if max_gaps < 0:
+        # unordered, unlimited gaps = every clause present somewhere
+        out = F.lit(True)
+        for parr in pos_arrays:
+            out = out & F.coalesce(F.size(parr) > 0, F.lit(False))
+        return out
     if len(pos_arrays) != 2:
         raise DslError(
-            "span_near with in_order: false supports exactly 2 clauses "
-            "(the k-clause unordered minimum-window has no exact "
-            "column-algebra form; use in_order: true or 2 clauses)")
+            "unordered proximity with max_gaps supports exactly 2 "
+            "clauses (the k-clause minimum-window has no exact "
+            "column-algebra form; use ordered: true or 2 clauses)")
     a, b = pos_arrays
     return F.coalesce(
         F.exists(a, lambda pa: F.exists(
             b,
             lambda pb: (F.greatest(pa, pb) - F.least(pa, pb) - F.lit(1))
-            <= F.lit(slop),
+            <= F.lit(max_gaps),
         )),
         F.lit(False),
     )
+
+
+def _intervals_rule(arr: Column, kind: str, body) -> Column:
+    """One intervals rule → boolean membership (score-free filter
+    context, like the span family)."""
+    if kind == "match":
+        if not isinstance(body, dict) or "query" not in body:
+            raise DslError("intervals match requires a query")
+        toks = tokenize(str(body["query"]))
+        if not toks:
+            return F.lit(False)
+        if len(toks) > _MAX_SPAN_CLAUSES:
+            raise DslError(
+                f"intervals match supports at most {_MAX_SPAN_CLAUSES}"
+                " tokens")
+        ordered = bool(body.get("ordered", False))
+        mg = body.get("max_gaps", -1)
+        if not isinstance(mg, int):
+            raise DslError(f"malformed max_gaps {mg!r}")
+        return _positions_near(
+            [_token_positions(arr, t) for t in toks], ordered, mg)
+    if kind == "all_of":
+        ivs = body.get("intervals") if isinstance(body, dict) else None
+        if not isinstance(ivs, list) or not ivs:
+            raise DslError("all_of requires a non-empty intervals list")
+        ordered = bool(body.get("ordered", False))
+        mg = body.get("max_gaps", -1)
+        if not isinstance(mg, int):
+            raise DslError(f"malformed max_gaps {mg!r}")
+        if not ordered and mg < 0:
+            # unconstrained conjunction — sub-rules keep their own
+            # internal constraints, exact for any rule shape
+            out = F.lit(True)
+            for iv in ivs:
+                out = out & _intervals_rule(arr, *_one_rule(iv))
+            return out
+        return _positions_near(
+            [_intervals_tok_positions(arr, *_one_rule(iv))
+             for iv in ivs], ordered, mg)
+    if kind == "any_of":
+        ivs = body.get("intervals") if isinstance(body, dict) else None
+        if not isinstance(ivs, list) or not ivs:
+            raise DslError("any_of requires a non-empty intervals list")
+        out = F.lit(False)
+        for iv in ivs:
+            out = out | _intervals_rule(arr, *_one_rule(iv))
+        return out
+    # leaf token rules: membership = any matching position
+    return F.coalesce(
+        F.size(_intervals_tok_positions(arr, kind, body)) > 0,
+        F.lit(False))
 
 
 def _fuzzy_match(col: Column, text: str, fuzziness, operator: str) -> Column:
@@ -1146,6 +1314,20 @@ def compile_dsl(
 
     if kind in _SPAN_KINDS:
         return _compile_span(kind, body, col)
+
+    if kind == "intervals":
+        # the modern proximity surface ({"intervals": {field: rule}}):
+        # match/prefix/wildcard/regexp/fuzzy/any_of/all_of compiled
+        # onto the same positional token-array algebra as the span
+        # family (score-free membership; `filter` rules and
+        # analyzer/use_field overrides are named 400s)
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError("intervals expects one field")
+        field, spec = next(iter(body.items()))
+        if isinstance(spec, dict) and "boost" in spec:
+            spec = {k: v for k, v in spec.items() if k != "boost"}
+        rkind, rbody = _one_rule(spec)
+        return _intervals_rule(_token_array(col(field)), rkind, rbody)
 
     if kind == "pinned":
         # promoted ids + organic results: membership is the union

@@ -3452,6 +3452,54 @@ def search_dsl_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_intervals",
+    # 'batch' followed within 4 gaps by 'stream' or a wind*-prefixed
+    # token — the same list-algebra mirror as the span oracles
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[0-9a-z]+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, lang,
+               list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x = 'batch' THEN i - 1 END),
+                   y -> y IS NOT NULL) AS pa,
+               list_sort(list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x = 'stream' OR x LIKE 'wind%'
+                        THEN i - 1 END),
+                   y -> y IS NOT NULL)) AS pb
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(pa, p0 -> coalesce(
+            list_aggregate(list_filter(pb, q -> q > p0), 'min') - p0
+            <= 5, FALSE))) > 0
+    """,
+)
+def search_dsl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``intervals`` query (r9): the modern proximity surface —
+    ``all_of`` (ordered, ``max_gaps``) over a ``match`` leaf and an
+    ``any_of`` of match/prefix leaves, compiled onto the same
+    positional token-array algebra as the span family. One scan, no
+    UDF, no shuffle."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"intervals": {"text": {"all_of": {
+        "intervals": [
+            {"match": {"query": "batch"}},
+            {"any_of": {"intervals": [
+                {"match": {"query": "stream"}},
+                {"prefix": {"prefix": "wind"}},
+            ]}},
+        ],
+        "ordered": True, "max_gaps": 4,
+    }}}})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
     "search_dsl_span_first",
     # span_not(include: s-prefixed tokens, exclude: 'sort') is exactly
     # "s-word that is not sort"; span_first keeps positions < end
@@ -5896,6 +5944,7 @@ _CHECK_FIRST = [
     "search_aggs_string_stats",   # r9 NEW: string_stats metric
     "search_aggs_metric_script",  # r9 NEW: script-sourced metrics
     "search_dsl_span_near",       # r9 NEW: positional span family
+    "search_dsl_intervals",       # r9 NEW: intervals proximity
     "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
     "search_dsl_script_query",    # r9 NEW: filter-context script
     "search_dsl_rank_feature",    # r9 NEW: feature-ranked page
@@ -5949,7 +5998,6 @@ _CHECK_FIRST = [
     "revenue_share_by_segment",
     "key_skew_report",
     "join_explosion_estimate",
-    "snapshot_diff",
 ]
 
 

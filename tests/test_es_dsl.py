@@ -683,3 +683,72 @@ def test_rank_and_distance_feature_membership(docs):
         compile_dsl({"rank_feature": {"saturation": {"pivot": 1}}})
     with pytest.raises(DslError, match="origin and pivot"):
         compile_dsl({"distance_feature": {"field": "n", "origin": 1}})
+
+
+# ---------------------------------------------------------------------------
+# intervals query (r9) — the modern proximity surface
+# ---------------------------------------------------------------------------
+
+
+def test_intervals_match(span_docs):
+    # multi-token ordered with gaps
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "alpha gamma", "ordered": True,
+        "max_gaps": 1}}}}) == [1]
+    # unordered bounded-gap pair picks up the reversed doc too
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "alpha gamma", "max_gaps": 0}}}}) == [2]
+    # unlimited gaps, unordered: plain conjunction
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "gamma alpha"}}}}) == [1, 2]
+    # ordered, unlimited gaps: subsequence
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "alpha beta gamma", "ordered": True}}}}) == [1]
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "zzz"}}}}) == []
+
+
+def test_intervals_leaves_and_composition(span_docs):
+    assert run(span_docs, {"intervals": {"txt": {
+        "prefix": {"prefix": "alph"}}}}) == [1, 2, 4]
+    assert run(span_docs, {"intervals": {"txt": {
+        "wildcard": {"pattern": "*oup"}}}}) == [4]
+    assert run(span_docs, {"intervals": {"txt": {
+        "fuzzy": {"term": "bata", "fuzziness": 1}}}}) == [1, 2]
+    assert run(span_docs, {"intervals": {"txt": {
+        "regexp": {"pattern": "gamm."}}}}) == [1, 2, 4]
+    # any_of of leaves
+    assert run(span_docs, {"intervals": {"txt": {"any_of": {
+        "intervals": [{"match": {"query": "soup"}},
+                      {"match": {"query": "beta"}}]}}}}) == [1, 2, 4]
+    # all_of ordered with gaps over single-token rules (a prefix leaf
+    # rides the positional chain)
+    assert run(span_docs, {"intervals": {"txt": {"all_of": {
+        "intervals": [{"prefix": {"prefix": "alphab"}},
+                      {"match": {"query": "gamma"}}],
+        "ordered": True, "max_gaps": 1}}}}) == [4]
+    # unconstrained all_of keeps sub-rule internal constraints
+    assert run(span_docs, {"intervals": {"txt": {"all_of": {
+        "intervals": [
+            {"match": {"query": "beta gamma", "ordered": True,
+                       "max_gaps": 0}},
+            {"match": {"query": "alpha"}}]}}}}) == [1, 2]
+
+
+def test_intervals_named_400s(span_docs):
+    with pytest.raises(DslError, match="multi-token intervals match"):
+        compile_dsl({"intervals": {"txt": {"all_of": {
+            "intervals": [{"match": {"query": "two words"}},
+                          {"match": {"query": "x"}}],
+            "ordered": True}}}})
+    with pytest.raises(DslError, match="filter rules"):
+        compile_dsl({"intervals": {"txt": {"filter": {
+            "containing": {"match": {"query": "x"}}}}}})
+    with pytest.raises(DslError, match="unsupported intervals match"):
+        compile_dsl({"intervals": {"txt": {"match": {
+            "query": "x", "use_field": "other"}}}})
+    with pytest.raises(DslError, match="exactly 2"):
+        compile_dsl({"intervals": {"txt": {"match": {
+            "query": "a b c", "max_gaps": 1}}}})
+    with pytest.raises(DslError, match="one field"):
+        compile_dsl({"intervals": {"a": {}, "b": {}}})
