@@ -87,6 +87,16 @@ CHECKED = (
     "quality_classifier_scores",
     "search_dsl_function_score",
     "search_dsl_script_score",
+    # late r9: empty/whitespace docs produce empty token arrays for
+    # the span/intervals algebra and single-empty-chunk docs for the
+    # boilerplate chunker; NaN/Inf events.value flows through the
+    # script query's comparisons (both engines order NaN above +Inf)
+    # and the script-sourced metric algebra
+    "search_dsl_span_near",
+    "search_dsl_span_first",
+    "search_dsl_intervals",
+    "boilerplate_chunk_removal",
+    "search_dsl_script_query",
 )
 
 

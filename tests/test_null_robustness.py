@@ -97,6 +97,20 @@ CHECKED = (
     "quality_classifier_scores",
     "search_dsl_function_score",
     "search_dsl_script_score",
+    # late r9: NULL text through the span/intervals token-array
+    # positional algebra and the boilerplate chunker (NULL → absent
+    # doc, both engines); NULL source through string_stats lengths
+    # and the char explode; NULL value/user_id through the script
+    # query's Kleene logic and the script-sourced metrics
+    "search_dsl_span_near",
+    "search_dsl_span_first",
+    "search_dsl_intervals",
+    "boilerplate_chunk_removal",
+    "search_aggs_string_stats",
+    "search_dsl_script_query",
+    "search_aggs_metric_script",
+    "search_dsl_rank_feature",
+    "search_dsl_distance_feature",
 )
 
 

@@ -81,6 +81,15 @@ CHECKED = (
     "search_suggest_completion",
     "search_dsl_more_like_this",
     "quality_classifier_scores",
+    # late r9: decorated text through the span/intervals token
+    # algebra (the [0-9a-z]+ analyzer must split identically around
+    # CJK/emoji/combining marks in both engines), the boilerplate
+    # chunker's \s+ split, and string_stats' per-codepoint explode
+    "search_dsl_span_near",
+    "search_dsl_span_first",
+    "search_dsl_intervals",
+    "boilerplate_chunk_removal",
+    "search_aggs_string_stats",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
