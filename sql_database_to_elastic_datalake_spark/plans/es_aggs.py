@@ -222,6 +222,10 @@ _AGG_BODY_KEYS = {
     # the entropy derived from it driver-side) is a second bounded
     # groupBy — see string_stats_frame
     "string_stats": {"field", "missing", "show_distribution"},
+    # r9: boxplot — exact quantiles + exact IQR-fence whiskers in one
+    # two-scan plan (ES runs TDigest: the same exactness divergence as
+    # percentiles; compression is accepted-and-ignored)
+    "boxplot": {"field", "missing", "compression", "script"},
 }
 
 
@@ -958,6 +962,41 @@ def string_stats_frame(df: DataFrame, body) -> DataFrame:
             (F.col("__sum_len").cast("double")
              / F.col("cnt").cast("double")).alias("avg_length"),
         )
+    )
+
+
+def boxplot_frame(df: DataFrame, body) -> DataFrame:
+    """One-row frame for ``boxplot`` (r9): ``min, max, q1, q2, q3``
+    (exact interpolated quantiles — ES approximates with TDigest, the
+    same exactness divergence as percentiles) plus the Tukey whiskers
+    ``lower``/``upper`` — the nearest values inside
+    ``[q1 − 1.5·IQR, q3 + 1.5·IQR]``, exactly as ES defines them.
+
+    Whiskers compare every value against the quantiles, so the plan is
+    one aggregate broadcast back over a second scan (crossJoin with
+    the 1-row stats frame) — two scans, zero driver round-trips, no
+    collect; at scale both scans prune to the single metric column."""
+    check_agg_keys("boxplot", body)
+    src = _metric_source(body)
+    s = df.select(src.cast("double").alias("__v")) \
+        .filter(F.col("__v").isNotNull())
+    q = s.agg(
+        F.min("__v").alias("min"), F.max("__v").alias("max"),
+        F.percentile(F.col("__v"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("q2"),
+        F.percentile(F.col("__v"), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo_fence = F.col("q1") - iqr * F.lit(1.5)
+    hi_fence = F.col("q3") + iqr * F.lit(1.5)
+    return s.crossJoin(F.broadcast(q)).agg(
+        F.first("min").alias("min"), F.first("max").alias("max"),
+        F.first("q1").alias("q1"), F.first("q2").alias("q2"),
+        F.first("q3").alias("q3"),
+        F.min(F.when(F.col("__v") >= lo_fence, F.col("__v")))
+        .alias("lower"),
+        F.max(F.when(F.col("__v") <= hi_fence, F.col("__v")))
+        .alias("upper"),
     )
 
 
@@ -3318,6 +3357,16 @@ def run_aggs(
                 out[name] = {"value": df.agg(F.percentile(
                     F.abs(src - F.lit(med)), F.lit(0.5)
                 ).alias("m")).collect()[0]["m"]}
+        elif kind == "boxplot":
+            # exact quantiles + Tukey whiskers in one two-scan plan
+            # (boxplot_frame); ES's TDigest is the documented
+            # exactness divergence
+            if sub:
+                raise DslError("boxplot takes no sub-aggregations")
+            r = boxplot_frame(df, body).collect()[0]
+            out[name] = {k: r[k] for k in
+                         ("min", "max", "q1", "q2", "q3",
+                          "lower", "upper")}
         elif kind == "multi_terms":
             rows = multi_terms_frame(df, body, sub).collect()
             kn = [f"k{i}" for i in range(len(body["terms"]))]

@@ -3318,6 +3318,44 @@ def search_dsl_script_score(
 # ---------------------------------------------------------------------------
 
 @register(
+    "search_aggs_boxplot",
+    # quantile_cont mirrors Spark's exact interpolated percentile
+    # bitwise (the value_percentiles precedent); the fence arithmetic
+    # is written with the same expression shape on both sides
+    oracle="""
+    WITH s AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL
+    ), q AS (
+        SELECT MIN(v) AS "min", MAX(v) AS "max",
+               quantile_cont(v, 0.25) AS q1,
+               quantile_cont(v, 0.5) AS q2,
+               quantile_cont(v, 0.75) AS q3
+        FROM s
+    )
+    SELECT q."min", q."max", q1, q2, q3,
+           (SELECT MIN(v) FROM s
+            WHERE v >= q.q1 - (q.q3 - q.q1) * 1.5) AS lower,
+           (SELECT MAX(v) FROM s
+            WHERE v <= q.q3 + (q.q3 - q.q1) * 1.5) AS upper
+    FROM q
+    """,
+)
+def search_aggs_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boxplot`` agg (r9): exact interpolated quartiles plus the
+    Tukey IQR-fence whiskers, in one two-scan plan — the 1-row
+    quantile aggregate broadcasts back over the second scan, no
+    driver round-trip (plans/es_aggs.py:boxplot_frame). ES's TDigest
+    is the documented exactness divergence."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        boxplot_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return boxplot_frame(ev, {"field": "value"})
+
+
+@register(
     "search_aggs_metric_script",
     # integer-valued script results keep the double sums exact and
     # order-independent (ints < 2^53), so avg = exact-sum / count is
@@ -5943,6 +5981,7 @@ _CHECK_FIRST = [
     "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
     "search_aggs_string_stats",   # r9 NEW: string_stats metric
     "search_aggs_metric_script",  # r9 NEW: script-sourced metrics
+    "search_aggs_boxplot",        # r9 NEW: exact-whisker boxplot
     "search_dsl_span_near",       # r9 NEW: positional span family
     "search_dsl_intervals",       # r9 NEW: intervals proximity
     "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
@@ -5997,7 +6036,6 @@ _CHECK_FIRST = [
     "event_transition_matrix",
     "revenue_share_by_segment",
     "key_skew_report",
-    "join_explosion_estimate",
 ]
 
 

@@ -2293,3 +2293,32 @@ def test_metric_script_source(docs):
     with pytest.raises(DslError, match="_score is not available"):
         run_aggs(docs, {"a": {"avg": {"script": {
             "source": "_score + 1"}}}})
+
+
+def test_boxplot(docs, spark):
+    """r9: boxplot — exact quantiles + Tukey IQR-fence whiskers."""
+    out = run_aggs(docs, {"b": {"boxplot": {"field": "n_chars"}}})
+    env = out["b"]
+    # n_chars non-null: 50 100 200 300 400 999
+    assert env["min"] == 50.0 and env["max"] == 999.0
+    assert env["q1"] == 125.0 and env["q2"] == 250.0
+    assert env["q3"] == 375.0
+    # fences: [125-375, 375+375] = [-250, 750] → whiskers 50, 400
+    assert env["lower"] == 50.0 and env["upper"] == 400.0
+    # script source + meta echo
+    out = run_aggs(docs, {"b": {"meta": {"ui": 1}, "boxplot": {
+        "script": {"source": "doc['n_chars'].value * 2"}}}})
+    assert out["b"]["q2"] == 500.0 and out["b"]["meta"] == {"ui": 1}
+    # empty input → all-null shape, not an error
+    empty = spark.createDataFrame([], "v double")
+    env = run_aggs(empty, {"b": {"boxplot": {"field": "v"}}})["b"]
+    assert env == {"min": None, "max": None, "q1": None, "q2": None,
+                   "q3": None, "lower": None, "upper": None}
+    with pytest.raises(DslError, match="no sub-aggregations"):
+        run_aggs(docs, {"b": {"boxplot": {"field": "n_chars"},
+                              "aggs": {"x": {"avg": {
+                                  "field": "n_chars"}}}}})
+    with pytest.raises(DslError, match="unsupported sub-aggregation"):
+        run_aggs(docs, {"t": {"terms": {"field": "lang"},
+                              "aggs": {"b": {"boxplot": {
+                                  "field": "n_chars"}}}}})
