@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
-    TOKEN_SPLIT_RE,
+    TOKEN_SPLIT_LOWER_RE,
     DslError,
     compile_dsl,
     tf_score,
@@ -511,7 +511,7 @@ def suggest_terms(
     # the match queries use
     toks_col = F.array_distinct(
         F.split(F.lower(F.col(field).cast("string")),
-                TOKEN_SPLIT_RE))
+                TOKEN_SPLIT_LOWER_RE))
     dict_df = (
         df.select(F.explode(toks_col).alias("candidate"))
         .filter(F.length("candidate") > 0)
@@ -618,7 +618,7 @@ def suggest_phrase(
         return empty
 
     arr = F.array_compact(F.split(
-        F.lower(F.col(field).cast("string")), TOKEN_SPLIT_RE))
+        F.lower(F.col(field).cast("string")), TOKEN_SPLIT_LOWER_RE))
     arr = F.filter(arr, lambda t: t != F.lit(""))
     tokenized = df.select(arr.alias("toks"))
     uni = (
