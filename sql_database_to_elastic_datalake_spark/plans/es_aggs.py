@@ -197,6 +197,16 @@ _AGG_BODY_KEYS = {
                   "gap_policy"},
     "serial_diff": {"buckets_path", "lag", "gap_policy"},
     "percentiles_bucket": {"buckets_path", "gap_policy", "percents"},
+    # r9: normalize — per-bucket rescale against the sibling list.
+    # `format` (value_as_string rendering) is unimplemented and names
+    # its 400 here rather than silently dropping the rendered form
+    "normalize": {"buckets_path", "method"},
+    # r9: cumulative_cardinality — EXACT running distinct via the
+    # first-occurrence histogram (ES merges HLL sketches: the same
+    # exactness divergence as cardinality itself). buckets_path must
+    # name a sibling `cardinality` sub-agg; the pipeline re-reads that
+    # agg's field, so script-sourced cardinality is a named 400
+    "cumulative_cardinality": {"buckets_path"},
     "avg": {"field", "missing", "script"},
     "sum": {"field", "missing", "script"},
     "min": {"field", "missing", "script"},
@@ -1811,7 +1821,12 @@ _SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket",
 _ORDERED_PIPELINES = ("cumulative_sum", "derivative", "serial_diff",
                       "moving_fn")
 _SCRIPT_PIPELINES = ("bucket_script", "bucket_selector", "bucket_sort")
-_PARENT_PIPELINES = _ORDERED_PIPELINES + _SCRIPT_PIPELINES
+#: normalize (r9) rescales each bucket's value against the whole
+#: sibling list — order-free, so any multi-bucket parent qualifies
+#: (ES allows it under terms as well as histograms)
+_VALUE_PIPELINES = ("normalize",)
+_PARENT_PIPELINES = (_ORDERED_PIPELINES + _SCRIPT_PIPELINES
+                     + _VALUE_PIPELINES)
 
 
 #: token stream for the bucket-script grammar: numbers, params.refs,
@@ -2004,6 +2019,73 @@ def _moving_fn_value(fn: str, vals: list):
     return (sum((v - mean) ** 2 for v in vals) / len(vals)) ** 0.5
 
 
+#: the six documented ES normalize methods (z-score spelled with the
+#: hyphen, like ES)
+_NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
+                      "mean", "z-score", "softmax")
+
+
+def _normalize_values(method: str, vals: list) -> list:
+    """ES ``normalize`` over one bucket-value list. Null values (gap
+    policy "skip") stay null and are excluded from the statistics,
+    like ES.
+
+    Moment arithmetic is FIXED-ORDER (sum / sumsq accumulated
+    left-to-right, then one divide/subtract/sqrt chain) so an oracle
+    replaying the same expressions over the same inputs matches
+    bit-exactly — the extended_stats convention. Degenerate spans
+    (max == min, zero deviation, zero sum) normalize to 0.0 — a
+    documented engine choice where ES's output is undefined division.
+    ``softmax`` is computed max-shifted (exp(v-max)/Σexp(v-max)):
+    mathematically ES's formula, stable for large magnitudes."""
+    import math
+
+    if method not in _NORMALIZE_METHODS:
+        raise DslError(
+            f"unsupported normalize method {method!r} "
+            f"(supported: {list(_NORMALIZE_METHODS)})"
+        )
+    present = [float(v) for v in vals if v is not None]
+    if not present:
+        return [None] * len(vals)
+    n = float(len(present))
+    s = 0.0
+    sq = 0.0
+    mx = present[0]
+    mn = present[0]
+    for v in present:
+        s += v
+        sq += v * v
+        if v > mx:
+            mx = v
+        if v < mn:
+            mn = v
+    rng = mx - mn
+    mean = s / n
+
+    if method == "softmax":
+        es = 0.0
+        for v in present:
+            es += math.exp(v - mx)
+        return [None if v is None else math.exp(float(v) - mx) / es
+                for v in vals]
+    if method == "percent_of_sum":
+        f = (lambda v: 0.0) if s == 0 else (lambda v: v / s)
+    elif method == "rescale_0_1":
+        f = (lambda v: 0.0) if rng == 0 else (lambda v: (v - mn) / rng)
+    elif method == "rescale_0_100":
+        f = (lambda v: 0.0) if rng == 0 \
+            else (lambda v: 100.0 * (v - mn) / rng)
+    elif method == "mean":
+        f = (lambda v: 0.0) if rng == 0 \
+            else (lambda v: (v - mean) / rng)
+    else:  # z-score: population deviation from raw moments
+        var = sq / n - mean * mean
+        sd = math.sqrt(var) if var > 0 else 0.0
+        f = (lambda v: 0.0) if sd == 0 else (lambda v: (v - mean) / sd)
+    return [None if v is None else f(float(v)) for v in vals]
+
+
 def _pipeline_path_value(bucket: dict, path: str):
     """Resolve the metric segment of a ``buckets_path`` against one
     bucket: ``_count`` → doc_count, ``m`` → the metric value,
@@ -2133,6 +2215,12 @@ def _apply_parent_pipelines(
                 if v is not None:
                     b[pname] = {"value": float(v) if isinstance(
                         v, bool) else v}
+        elif pk == "normalize":
+            vals = _path_values(buckets, pk, pb)
+            normed = _normalize_values(str(pb.get("method")), vals)
+            for b, v in zip(buckets, normed):
+                if v is not None:
+                    b[pname] = {"value": v}
     for pname, pb in selectors:
         script = pb.get("script")
         if script is None:
@@ -2861,6 +2949,68 @@ def _has_bucket_subs(sub) -> bool:
     )
 
 
+def _apply_cumulative_cardinality(
+    df: DataFrame, kind: str, body: dict, sub: dict,
+    buckets: list, cum_cards: dict,
+) -> None:
+    """ES ``cumulative_cardinality`` under a (date_)histogram — EXACT,
+    via the first-occurrence histogram instead of ES's merged HLL
+    sketches (the same exactness divergence as ``cardinality``).
+
+    The running distinct count at bucket *i* equals the number of
+    values whose FIRST bucket is ≤ *i* — so one value-level groupBy
+    (min bucket per value) plus one tiny bucket-level groupBy replace
+    any per-bucket distinct state. Two shuffles, both shrinking:
+    value-cardinality then bucket-cardinality rows. At 100 TB the
+    value groupBy is the same shuffle a plain cardinality would need;
+    nothing about the cumulative form adds state.
+
+    ``buckets_path`` must name a sibling ``cardinality`` sub-agg (ES's
+    contract); the pipeline re-reads that agg's FIELD, so a
+    script-sourced cardinality is a named 400. ``min_doc_count`` > 1
+    drops non-empty buckets, which would silently desync the running
+    count from ES (a value first seen in a dropped bucket still rides
+    later sketches there) — named 400."""
+    mdc = body.get("min_doc_count")
+    if mdc is not None and int(mdc) > 1:
+        raise DslError(
+            "cumulative_cardinality under min_doc_count > 1 is "
+            "unimplemented (dropped buckets would desync the running "
+            "distinct count)"
+        )
+    key = bucket_key(kind, body)
+    for pname, spec in cum_cards.items():
+        pb = spec["cumulative_cardinality"]
+        check_agg_keys("cumulative_cardinality", pb)
+        path = str(pb.get("buckets_path") or "")
+        target = sub.get(path)
+        if target is None or _agg_kind(target) != "cardinality":
+            raise DslError(
+                f"cumulative_cardinality buckets_path must name a "
+                f"sibling cardinality sub-agg (got {path!r})"
+            )
+        cb = target["cardinality"]
+        field = cb.get("field")
+        if field is None:
+            raise DslError(
+                "cumulative_cardinality over a script-sourced "
+                "cardinality is unimplemented"
+            )
+        firsts = (
+            df.filter(key.isNotNull() & F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("__v"))
+            .agg(F.min(key).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_key = {_key_envelope(r["__k"]): int(r["__n"]) for r in firsts}
+        run = 0
+        for b in buckets:
+            run += by_key.get(b["key"], 0)
+            b[pname] = {"value": run}
+
+
 def run_aggs(
     df: DataFrame,
     aggs: dict,
@@ -3077,7 +3227,12 @@ def run_aggs(
                 n: s for n, s in sub.items()
                 if _agg_kind(s) in _PARENT_PIPELINES
             }
-            sub = {n: s for n, s in sub.items() if n not in parent_pipes}
+            cum_cards = {
+                n: s for n, s in sub.items()
+                if _agg_kind(s) == "cumulative_cardinality"
+            }
+            sub = {n: s for n, s in sub.items()
+                   if n not in parent_pipes and n not in cum_cards}
             rows = histogram_frame(df, kind, body, sub).collect()
             buckets = []
             for r in rows:
@@ -3087,6 +3242,12 @@ def run_aggs(
                 if isinstance(r["key"], _dt.datetime):
                     b["key_as_string"] = _key_as_string(r["key"], body)
                 buckets.append(b)
+            if cum_cards:
+                # applied BEFORE the generic pipelines so a
+                # bucket_script/selector can reference the running
+                # count through buckets_path, like ES's reduce order
+                _apply_cumulative_cardinality(
+                    df, kind, body, sub, buckets, cum_cards)
             if parent_pipes:
                 buckets = _apply_parent_pipelines(
                     buckets, parent_pipes, ordered=True)

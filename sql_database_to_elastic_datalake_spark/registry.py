@@ -3439,6 +3439,144 @@ def search_aggs_string_stats(
 
 
 @register(
+    "search_aggs_normalize",
+    # fixed-order moment arithmetic over INTEGER bucket counts — the
+    # extended_stats convention: sums are exact, the divide/subtract/
+    # sqrt chain is replayed in the engine's op order, so doubles
+    # match bit-exactly. softmax is served by the envelope but stays
+    # out of the oracled frame (exp-sum order is engine-dependent,
+    # the entropy precedent from string_stats)
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(doc_count) AS DOUBLE) AS s,
+               CAST(SUM(doc_count * doc_count) AS DOUBLE) AS sq,
+               CAST(MIN(doc_count) AS DOUBLE) AS mn,
+               CAST(MAX(doc_count) AS DOUBLE) AS mx
+        FROM g
+    )
+    SELECT g.key, g.doc_count,
+           CAST(g.doc_count AS DOUBLE) / s AS pct_of_sum,
+           (CAST(g.doc_count AS DOUBLE) - s / n)
+               / SQRT(sq / n - (s / n) * (s / n)) AS z_score,
+           (CAST(g.doc_count AS DOUBLE) - mn) / (mx - mn) AS rescaled,
+           100.0 * (CAST(g.doc_count AS DOUBLE) - mn) / (mx - mn)
+               AS rescaled_100,
+           (CAST(g.doc_count AS DOUBLE) - s / n) / (mx - mn)
+               AS mean_centered
+    FROM g, m
+    """,
+)
+def search_aggs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``normalize`` pipeline agg (r9): per-bucket rescaling against
+    the sibling bucket list (Lens's "percent of total" / z-score
+    panels). Driver-side over the already-computed date_histogram
+    buckets — no job beyond the one groupBy; at 100 TB the cost stays
+    the returned-bucket count, never the corpus. All five oracled
+    methods ride the same fixed-order moments (plans/es_aggs.py:
+    _normalize_values); softmax is envelope-only by the same argument
+    that keeps entropy out of string_stats' oracle."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "pct_of_sum": {"normalize": {
+                "buckets_path": "_count", "method": "percent_of_sum"}},
+            "z_score": {"normalize": {
+                "buckets_path": "_count", "method": "z-score"}},
+            "rescaled": {"normalize": {
+                "buckets_path": "_count", "method": "rescale_0_1"}},
+            "rescaled_100": {"normalize": {
+                "buckets_path": "_count", "method": "rescale_0_100"}},
+            "mean_centered": {"normalize": {
+                "buckets_path": "_count", "method": "mean"}},
+        },
+    }})
+    import datetime as _dt
+
+    flat = [
+        (_dt.datetime.fromtimestamp(b["key"] / 1000, _dt.timezone.utc)
+         .replace(tzinfo=None),
+         b["doc_count"], b["pct_of_sum"]["value"],
+         b["z_score"]["value"], b["rescaled"]["value"],
+         b["rescaled_100"]["value"], b["mean_centered"]["value"])
+        for b in out["days"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "key timestamp, doc_count long, pct_of_sum double, "
+              "z_score double, rescaled double, rescaled_100 double, "
+              "mean_centered double"
+    )
+
+
+@register(
+    "search_aggs_cumulative_cardinality",
+    # the running distinct count at bucket i = #values whose FIRST
+    # bucket <= i: the oracle replays the first-occurrence histogram
+    # with a window sum — all BIGINT, exact on both engines
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS daily_users
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), f AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1
+    ), fh AS (
+        SELECT d0, CAST(COUNT(*) AS BIGINT) AS n0 FROM f GROUP BY 1
+    )
+    SELECT g.key, g.doc_count, g.daily_users,
+           CAST(SUM(COALESCE(fh.n0, 0)) OVER (ORDER BY g.key)
+                AS BIGINT) AS cum_users
+    FROM g LEFT JOIN fh ON fh.d0 = g.key
+    """,
+)
+def search_aggs_cumulative_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` (r9): EXACT running distinct
+    users per day — "total unique users to date", the canonical
+    adoption curve. ES merges per-bucket HLL sketches; the engine
+    computes the first-occurrence histogram instead (one value-level
+    groupBy + one bucket-level groupBy — the same shuffle a plain
+    cardinality needs, no per-bucket distinct state), then runs the
+    sum driver-side over returned buckets
+    (plans/es_aggs.py:_apply_cumulative_cardinality)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "daily_users": {"cardinality": {"field": "user_id"}},
+            "cum_users": {"cumulative_cardinality": {
+                "buckets_path": "daily_users"}},
+        },
+    }})
+    import datetime as _dt
+
+    flat = [
+        (_dt.datetime.fromtimestamp(b["key"] / 1000, _dt.timezone.utc)
+         .replace(tzinfo=None),
+         b["doc_count"], b["daily_users"]["value"],
+         b["cum_users"]["value"])
+        for b in out["days"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "key timestamp, doc_count long, daily_users long, "
+              "cum_users long"
+    )
+
+
+@register(
     "search_dsl_span_near",
     # DuckDB mirrors the Spark positional algebra list-op for list-op
     # (1-based lambda index normalized to the engine's 0-based
@@ -5978,6 +6116,8 @@ _CHECK_FIRST = [
     #    change). New r9 queries are prepended here by the commits
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
+    "search_aggs_normalize",      # r9 NEW: normalize pipeline agg
+    "search_aggs_cumulative_cardinality",  # r9 NEW: exact running distinct
     "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
     "search_aggs_string_stats",   # r9 NEW: string_stats metric
     "search_aggs_metric_script",  # r9 NEW: script-sourced metrics
@@ -6034,8 +6174,6 @@ _CHECK_FIRST = [
     "value_histogram",
     "value_outliers_mad",
     "event_transition_matrix",
-    "revenue_share_by_segment",
-    "key_skew_report",
 ]
 
 

@@ -2322,3 +2322,129 @@ def test_boxplot(docs, spark):
         run_aggs(docs, {"t": {"terms": {"field": "lang"},
                               "aggs": {"b": {"boxplot": {
                                   "field": "n_chars"}}}}})
+
+
+def test_normalize_methods(docs):
+    """r9: normalize — per-bucket rescale against the sibling list."""
+    out = run_aggs(docs, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "pct": {"normalize": {"buckets_path": "_count",
+                                  "method": "percent_of_sum"}},
+            "r01": {"normalize": {"buckets_path": "_count",
+                                  "method": "rescale_0_1"}},
+            "r100": {"normalize": {"buckets_path": "_count",
+                                   "method": "rescale_0_100"}},
+            "ctr": {"normalize": {"buckets_path": "_count",
+                                  "method": "mean"}},
+            "z": {"normalize": {"buckets_path": "_count",
+                                "method": "z-score"}},
+            "sm": {"normalize": {"buckets_path": "_count",
+                                 "method": "softmax"}},
+        },
+    }})
+    bs = out["days"]["buckets"]
+    # day counts: 3, 2, 2
+    assert [b["doc_count"] for b in bs] == [3, 2, 2]
+    assert [b["pct"]["value"] for b in bs] == pytest.approx(
+        [3 / 7, 2 / 7, 2 / 7])
+    assert [b["r01"]["value"] for b in bs] == [1.0, 0.0, 0.0]
+    assert [b["r100"]["value"] for b in bs] == [100.0, 0.0, 0.0]
+    mean = 7 / 3
+    assert [b["ctr"]["value"] for b in bs] == pytest.approx(
+        [3 - mean, 2 - mean, 2 - mean])
+    sd = (((3 - mean) ** 2 + 2 * (2 - mean) ** 2) / 3) ** 0.5
+    assert [b["z"]["value"] for b in bs] == pytest.approx(
+        [(3 - mean) / sd, (2 - mean) / sd, (2 - mean) / sd])
+    import math
+    es = math.exp(0) + 2 * math.exp(-1)
+    assert [b["sm"]["value"] for b in bs] == pytest.approx(
+        [1 / es, math.exp(-1) / es, math.exp(-1) / es])
+    assert sum(b["sm"]["value"] for b in bs) == pytest.approx(1.0)
+
+
+def test_normalize_terms_parent_and_metric_path(docs):
+    out = run_aggs(docs, {"langs": {
+        "terms": {"field": "lang"},
+        "aggs": {
+            "avg_chars": {"avg": {"field": "n_chars"}},
+            "rel": {"normalize": {"buckets_path": "avg_chars",
+                                  "method": "rescale_0_1"}},
+        },
+    }})
+    bs = out["langs"]["buckets"]
+    # avgs: en 200, de 300, fr 50 → rescaled (200-50)/250, 1, 0
+    by = {b["key"]: b["rel"]["value"] for b in bs}
+    assert by == pytest.approx({"en": 0.6, "de": 1.0, "fr": 0.0})
+
+
+def test_normalize_degenerate_and_errors(docs, spark):
+    # all-equal values: documented 0.0 instead of ES's undefined
+    # division
+    one = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string")
+    out = run_aggs(one, {"t": {
+        "terms": {"field": "k"},
+        "aggs": {"r": {"normalize": {"buckets_path": "_count",
+                                     "method": "rescale_0_1"}},
+                 "z": {"normalize": {"buckets_path": "_count",
+                                     "method": "z-score"}}},
+    }})
+    for b in out["t"]["buckets"]:
+        assert b["r"]["value"] == 0.0 and b["z"]["value"] == 0.0
+    with pytest.raises(DslError, match="unsupported normalize method"):
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"n": {"normalize": {"buckets_path": "_count",
+                                         "method": "median"}}}}})
+    with pytest.raises(DslError, match="unsupported normalize"):
+        # `format` is a named 400, not silently dropped rendering
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"n": {"normalize": {
+                "buckets_path": "_count", "method": "percent_of_sum",
+                "format": "00.0%"}}}}})
+
+
+def test_cumulative_cardinality(docs):
+    """r9: exact running distinct via the first-occurrence histogram."""
+    out = run_aggs(docs, {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "langs": {"cardinality": {"field": "lang"}},
+            "cum": {"cumulative_cardinality": {"buckets_path": "langs"}},
+        },
+    }})
+    bs = out["days"]["buckets"]
+    # day1 {en}, day2 {de}, day3 {fr, null-skipped}
+    assert [b["langs"]["value"] for b in bs] == [1, 1, 1]
+    assert [b["cum"]["value"] for b in bs] == [1, 2, 3]
+
+
+def test_cumulative_cardinality_errors(docs):
+    with pytest.raises(DslError, match="sibling cardinality"):
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"cum": {"cumulative_cardinality": {
+                "buckets_path": "nope"}}}}})
+    with pytest.raises(DslError, match="script-sourced"):
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "c": {"cardinality": {"script": {
+                    "source": "doc['n_chars'].value * 2"}}},
+                "cum": {"cumulative_cardinality": {
+                    "buckets_path": "c"}}}}})
+    with pytest.raises(DslError, match="min_doc_count"):
+        run_aggs(docs, {"days": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day",
+                               "min_doc_count": 2},
+            "aggs": {
+                "c": {"cardinality": {"field": "lang"}},
+                "cum": {"cumulative_cardinality": {
+                    "buckets_path": "c"}}}}})
