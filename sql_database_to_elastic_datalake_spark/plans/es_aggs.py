@@ -236,6 +236,14 @@ _AGG_BODY_KEYS = {
     # two-scan plan (ES runs TDigest: the same exactness divergence as
     # percentiles; compression is accepted-and-ignored)
     "boxplot": {"field", "missing", "compression", "script"},
+    # r9: t_test — two-sample means test. Top-level only (the
+    # conditional-moment pass is per-corpus; under buckets the metric
+    # dispatcher names the 400)
+    "t_test": {"a", "b", "type"},
+    # r9: matrix_stats — `mode` (multi-valued field reduction) has no
+    # meaning over scalar columns and is a named 400 rather than an
+    # accepted-and-diverging knob
+    "matrix_stats": {"fields", "missing"},
 }
 
 
@@ -1008,6 +1016,288 @@ def boxplot_frame(df: DataFrame, body) -> DataFrame:
         F.max(F.when(F.col("__v") <= hi_fence, F.col("__v")))
         .alias("upper"),
     )
+
+
+def t_test_frame(df: DataFrame, body) -> DataFrame:
+    """One-row frame for ``t_test`` (r9): group moments and the
+    t-statistic, all Spark column algebra in ONE conditional-aggregate
+    pass (no per-group scans — ES evaluates both filters per shard the
+    same way).
+
+    Unpaired (``heteroscedastic`` Welch — ES's default — or
+    ``homoscedastic`` pooled): each group is a ``filter``-scoped view
+    of its ``field``; moments accumulate behind ``when(pred, x)``.
+    ``paired``: both fields on the same row, differences where both
+    are present; ES rejects filters there and so does this.
+
+    The frame pins ``n / mean / var`` per group plus ``t_stat`` and
+    ``df_deg`` in FIXED operation order (the extended_stats
+    convention); the served p-value derives from (t, df) driver-side
+    through the regularized incomplete beta (:func:`_t_test_envelope`)
+    — a pure function of oracled inputs, like string_stats' entropy."""
+    check_agg_keys("t_test", body)
+    ttype = body.get("type", "heteroscedastic")
+    if ttype not in ("paired", "homoscedastic", "heteroscedastic"):
+        raise DslError(f"unknown t_test type {ttype!r}")
+    a, b = body.get("a"), body.get("b")
+    if not (isinstance(a, dict) and isinstance(b, dict)
+            and a.get("field") and b.get("field")):
+        raise DslError("t_test requires a.field and b.field")
+
+    if ttype == "paired":
+        if a.get("filter") or b.get("filter"):
+            raise DslError(
+                "paired t_test cannot take per-group filters (ES "
+                "pairs values by document)")
+        xa = F.col(a["field"]).cast("double")
+        xb = F.col(b["field"]).cast("double")
+        d = F.when(xa.isNotNull() & xb.isNotNull(), xa - xb)
+        n = F.count(d).cast("bigint")
+        s = F.sum(d)
+        sq = F.sum(d * d)
+        agg = df.agg(n.alias("n"), s.alias("s"), sq.alias("sq"))
+        nn = F.col("n").cast("double")
+        mean = F.col("s") / nn
+        var = (F.col("sq") - F.col("s") * F.col("s") / nn) \
+            / (nn - F.lit(1.0))
+        t = mean / F.sqrt(var / nn)
+        return agg.select(
+            F.col("n"),
+            F.when(F.col("n") >= 1, mean).alias("mean_diff"),
+            F.when(F.col("n") >= 2, var).alias("var_diff"),
+            F.when((F.col("n") >= 2) & (var > 0), t).alias("t_stat"),
+            F.when(F.col("n") >= 2, nn - F.lit(1.0)).alias("df_deg"),
+        )
+
+    def group(spec, tag):
+        x = F.col(spec["field"]).cast("double")
+        flt = spec.get("filter")
+        if flt is not None:
+            pred = compile_dsl(flt, schema_fields=list(df.columns))
+            x = F.when(pred, x)
+        return [
+            F.count(x).cast("bigint").alias(f"n{tag}"),
+            F.sum(x).alias(f"s{tag}"),
+            F.sum(x * x).alias(f"sq{tag}"),
+        ]
+
+    agg = df.agg(*group(a, "a"), *group(b, "b"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("sqa") - F.col("sa") * F.col("sa") / na) \
+        / (na - F.lit(1.0))
+    vb = (F.col("sqb") - F.col("sb") * F.col("sb") / nb) \
+        / (nb - F.lit(1.0))
+    if ttype == "homoscedastic":
+        dfree = na + nb - F.lit(2.0)
+        sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / dfree
+        t = (ma - mb) / F.sqrt(sp2 * (F.lit(1.0) / na
+                                      + F.lit(1.0) / nb))
+    else:  # heteroscedastic: Welch, with Welch-Satterthwaite df
+        se2 = va / na + vb / nb
+        t = (ma - mb) / F.sqrt(se2)
+        dfree = (se2 * se2) / (
+            (va / na) * (va / na) / (na - F.lit(1.0))
+            + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+        )
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2)
+    return agg.select(
+        F.col("na"), F.col("nb"),
+        F.when(F.col("na") >= 1, ma).alias("mean_a"),
+        F.when(F.col("nb") >= 1, mb).alias("mean_b"),
+        F.when(F.col("na") >= 2, va).alias("var_a"),
+        F.when(F.col("nb") >= 2, vb).alias("var_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dfree).alias("df_deg"),
+    )
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta
+    (modified Lentz iteration — the standard public algorithm)."""
+    eps, fpmin = 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < fpmin:
+        d = fpmin
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < eps:
+            break
+    return h
+
+
+def _reg_inc_beta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+                + a * math.log(x) + b * math.log(1.0 - x))
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_test_envelope(df: DataFrame, body) -> dict:
+    """The ES ``t_test`` response: ``{"value": p}`` — the two-sided
+    p-value, p = I_{df/(df+t²)}(df/2, ½), derived driver-side from
+    the oracled (t, df) pair."""
+    r = t_test_frame(df, body).collect()[0]
+    t, dfree = r["t_stat"], r["df_deg"]
+    if t is None or dfree is None or dfree <= 0:
+        return {"value": None}
+    x = dfree / (dfree + t * t)
+    return {"value": _reg_inc_beta(dfree / 2.0, 0.5, x)}
+
+
+def _matrix_fields(body) -> list[str]:
+    fields = body.get("fields")
+    if not isinstance(fields, list) or len(fields) < 2:
+        raise DslError("matrix_stats requires a fields list (>= 2)")
+    if len(set(fields)) != len(fields):
+        raise DslError("matrix_stats fields must be distinct")
+    return [str(f) for f in fields]
+
+
+def _matrix_source(df: DataFrame, body) -> tuple[DataFrame, list[str]]:
+    """Listwise-complete projection: per-field ``missing``
+    substitution, then drop rows lacking any field — ES's document
+    inclusion rule for matrix_stats."""
+    fields = _matrix_fields(body)
+    missing = body.get("missing") or {}
+    cols = []
+    for f in fields:
+        c = F.col(f).cast("double")
+        if f in missing:
+            c = F.coalesce(c, F.lit(float(missing[f])))
+        cols.append(c.alias(f))
+    s = df.select(*cols)
+    pred = None
+    for f in fields:
+        nn = F.col(f).isNotNull()
+        pred = nn if pred is None else (pred & nn)
+    return s.filter(pred), fields
+
+
+def matrix_stats_frame(df: DataFrame, body) -> DataFrame:
+    """One-row frame for ``matrix_stats`` (r9): doc_count, per-field
+    mean/variance and the upper-triangle covariance + correlation
+    matrix, derived from raw moment sums (n, Σx, Σx², Σxy) in FIXED
+    operation order — ONE conditional-aggregate pass over the listwise-
+    complete rows, K·(K+3)/2 accumulators, no extra scan per pair.
+
+    Sample (n−1) covariance/variance like ES; correlation cancels the
+    factor: (Σxy − ΣxΣy/n) / √((Σx²−(Σx)²/n)(Σy²−(Σy)²/n)). Skewness
+    and kurtosis are served by the envelope only
+    (:func:`_matrix_stats_envelope`) — the higher-power sums fall out
+    of double-exactness for wide-magnitude fields, the same argument
+    that keeps softmax out of normalize's oracle."""
+    check_agg_keys("matrix_stats", body)
+    s, fields = _matrix_source(df, body)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("doc_count")]
+    for f in fields:
+        aggs.append(F.sum(F.col(f)).alias(f"__s_{f}"))
+        aggs.append(F.sum(F.col(f) * F.col(f)).alias(f"__sq_{f}"))
+    for i, f in enumerate(fields):
+        for g in fields[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f) * F.col(g)).alias(f"__sp_{f}_{g}"))
+    agg = s.agg(*aggs)
+    n = F.col("doc_count").cast("double")
+    out = [F.col("doc_count")]
+    css = {}
+    for f in fields:
+        sx, sqx = F.col(f"__s_{f}"), F.col(f"__sq_{f}")
+        css[f] = sqx - sx * sx / n  # centered sum of squares
+        out.append((sx / n).alias(f"mean_{f}"))
+        out.append((css[f] / (n - F.lit(1.0))).alias(f"var_{f}"))
+    for i, f in enumerate(fields):
+        for g in fields[i + 1:]:
+            sxy = F.col(f"__sp_{f}_{g}")
+            cross = sxy - F.col(f"__s_{f}") * F.col(f"__s_{g}") / n
+            out.append(
+                (cross / (n - F.lit(1.0))).alias(f"cov_{f}_{g}"))
+            out.append(
+                (cross / F.sqrt(css[f] * css[g]))
+                .alias(f"corr_{f}_{g}"))
+    return agg.select(*out)
+
+
+def _matrix_stats_envelope(df: DataFrame, body) -> dict:
+    """The ES ``matrix_stats`` response object: per-field count/mean/
+    variance/skewness/kurtosis plus full (symmetric) covariance and
+    correlation maps. One extra aggregate pass adds the Σx³/Σx⁴ sums
+    the central moments need; skewness = m₃/m₂^1.5 and kurtosis =
+    m₄/m₂² (plain, normal = 3) derive driver-side."""
+    row = matrix_stats_frame(df, body).collect()[0]
+    s, fields = _matrix_source(df, body)
+    n = int(row["doc_count"])
+    if n == 0:
+        return {"doc_count": 0, "fields": []}
+    hi = s.agg(*(
+        [F.sum(F.col(f)).alias(f"s_{f}") for f in fields]
+        + [F.sum(F.col(f) * F.col(f)).alias(f"sq_{f}")
+           for f in fields]
+        + [F.sum(F.col(f) * F.col(f) * F.col(f)).alias(f"c3_{f}")
+           for f in fields]
+        + [F.sum(F.col(f) * F.col(f) * F.col(f) * F.col(f))
+           .alias(f"c4_{f}") for f in fields]
+    )).collect()[0]
+    out_fields = []
+    for f in fields:
+        mu = hi[f"s_{f}"] / n
+        m2 = hi[f"sq_{f}"] / n - mu * mu
+        m3 = (hi[f"c3_{f}"] - 3.0 * mu * hi[f"sq_{f}"]
+              + 2.0 * n * mu ** 3) / n
+        m4 = (hi[f"c4_{f}"] - 4.0 * mu * hi[f"c3_{f}"]
+              + 6.0 * mu * mu * hi[f"sq_{f}"] - 3.0 * n * mu ** 4) / n
+        cov = {}
+        corr = {}
+        for g in fields:
+            if g == f:
+                cov[g] = row[f"var_{f}"]
+                corr[g] = 1.0
+            else:
+                a, b = (f, g) if fields.index(f) < fields.index(g) \
+                    else (g, f)
+                cov[g] = row[f"cov_{a}_{b}"]
+                corr[g] = row[f"corr_{a}_{b}"]
+        out_fields.append({
+            "name": f, "count": n, "mean": mu,
+            "variance": row[f"var_{f}"],
+            "skewness": (m3 / m2 ** 1.5) if m2 > 0 else 0.0,
+            "kurtosis": (m4 / (m2 * m2)) if m2 > 0 else 0.0,
+            "covariance": cov, "correlation": corr,
+        })
+    return {"doc_count": n, "fields": out_fields}
 
 
 def _string_stats_envelope(df: DataFrame, body) -> dict:
@@ -3070,6 +3360,16 @@ def run_aggs(
                 raise DslError(
                     "string_stats takes no sub-aggregations")
             out[name] = _string_stats_envelope(df, body)
+            continue
+        if kind == "t_test":
+            if sub:
+                raise DslError("t_test takes no sub-aggregations")
+            out[name] = _t_test_envelope(df, body)
+            continue
+        if kind == "matrix_stats":
+            if sub:
+                raise DslError("matrix_stats takes no sub-aggregations")
+            out[name] = _matrix_stats_envelope(df, body)
             continue
         check_agg_keys(kind, body)
         has_bucket_sub = any(

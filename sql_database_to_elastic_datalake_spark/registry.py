@@ -3577,6 +3577,149 @@ def search_aggs_cumulative_cardinality(
 
 
 @register(
+    "search_aggs_t_test",
+    # the oracle replays the engine's conditional-moment pass and the
+    # Welch chain in the SAME operation order over exact integer sums
+    # — doubles match bit-exactly (extended_stats convention). The
+    # served p-value is a pure driver-side function of (t, df) via
+    # the regularized incomplete beta, kept out of the frame like
+    # string_stats' entropy
+    oracle="""
+    WITH m AS (
+        SELECT
+            CAST(COUNT(CASE WHEN l_returnflag = 'R'
+                            THEN l_quantity END) AS BIGINT) AS na,
+            CAST(COUNT(CASE WHEN l_returnflag = 'A'
+                            THEN l_quantity END) AS BIGINT) AS nb,
+            SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DOUBLE) END) AS sa,
+            SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DOUBLE) END) AS sb,
+            SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DOUBLE)
+                          * CAST(l_quantity AS DOUBLE) END) AS sqa,
+            SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DOUBLE)
+                          * CAST(l_quantity AS DOUBLE) END) AS sqb
+        FROM lineitem
+    ), d AS (
+        SELECT na, nb,
+               CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+               sa / CAST(na AS DOUBLE) AS mean_a,
+               sb / CAST(nb AS DOUBLE) AS mean_b,
+               (sqa - sa * sa / CAST(na AS DOUBLE))
+                   / (CAST(na AS DOUBLE) - 1.0) AS var_a,
+               (sqb - sb * sb / CAST(nb AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) - 1.0) AS var_b
+        FROM m
+    ), w AS (
+        SELECT d.*, var_a / nad + var_b / nbd AS se2 FROM d
+    )
+    SELECT na, nb, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / SQRT(se2) AS t_stat,
+           (se2 * se2) / ((var_a / nad) * (var_a / nad) / (nad - 1.0)
+                          + (var_b / nbd) * (var_b / nbd)
+                            / (nbd - 1.0)) AS df_deg
+    FROM w
+    """,
+)
+def search_aggs_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` metric agg (r9): Welch's (heteroscedastic) two-
+    sample test of mean l_quantity between returned ('R') and
+    available ('A') line items. ONE conditional-aggregate pass — the
+    per-group filters compile to ``when(pred, x)`` accumulators, never
+    a second scan (plans/es_aggs.py:t_test_frame); at 100 TB the cost
+    is the one corpus scan any metric pays."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        t_test_frame,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return t_test_frame(li, {
+        "a": {"field": "l_quantity",
+              "filter": {"term": {"l_returnflag": "R"}}},
+        "b": {"field": "l_quantity",
+              "filter": {"term": {"l_returnflag": "A"}}},
+        "type": "heteroscedastic",
+    })
+
+
+@register(
+    "search_aggs_matrix_stats",
+    # integer fields → exact raw sums; the sample var/cov and the
+    # correlation (the (n−1) factors cancel) derive in the engine's
+    # op order on both sides. Skewness/kurtosis stay envelope-only
+    # (Σx³/Σx⁴ exactness doesn't hold for wide-magnitude doubles)
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+               SUM(CAST(l_quantity AS DOUBLE)) AS s_q,
+               SUM(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_quantity AS DOUBLE)) AS sq_q,
+               SUM(CAST(l_linenumber AS DOUBLE)) AS s_l,
+               SUM(CAST(l_linenumber AS DOUBLE)
+                   * CAST(l_linenumber AS DOUBLE)) AS sq_l,
+               SUM(CAST(l_partkey AS DOUBLE)) AS s_p,
+               SUM(CAST(l_partkey AS DOUBLE)
+                   * CAST(l_partkey AS DOUBLE)) AS sq_p,
+               SUM(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_linenumber AS DOUBLE)) AS sp_ql,
+               SUM(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_partkey AS DOUBLE)) AS sp_qp,
+               SUM(CAST(l_linenumber AS DOUBLE)
+                   * CAST(l_partkey AS DOUBLE)) AS sp_lp
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+          AND l_partkey IS NOT NULL
+    ), d AS (
+        SELECT m.*, CAST(doc_count AS DOUBLE) AS n,
+               sq_q - s_q * s_q / CAST(doc_count AS DOUBLE) AS css_q,
+               sq_l - s_l * s_l / CAST(doc_count AS DOUBLE) AS css_l,
+               sq_p - s_p * s_p / CAST(doc_count AS DOUBLE) AS css_p
+        FROM m
+    )
+    SELECT doc_count,
+           s_q / n AS mean_l_quantity,
+           css_q / (n - 1.0) AS var_l_quantity,
+           s_l / n AS mean_l_linenumber,
+           css_l / (n - 1.0) AS var_l_linenumber,
+           s_p / n AS mean_l_partkey,
+           css_p / (n - 1.0) AS var_l_partkey,
+           (sp_ql - s_q * s_l / n) / (n - 1.0)
+               AS cov_l_quantity_l_linenumber,
+           (sp_ql - s_q * s_l / n) / SQRT(css_q * css_l)
+               AS corr_l_quantity_l_linenumber,
+           (sp_qp - s_q * s_p / n) / (n - 1.0)
+               AS cov_l_quantity_l_partkey,
+           (sp_qp - s_q * s_p / n) / SQRT(css_q * css_p)
+               AS corr_l_quantity_l_partkey,
+           (sp_lp - s_l * s_p / n) / (n - 1.0)
+               AS cov_l_linenumber_l_partkey,
+           (sp_lp - s_l * s_p / n) / SQRT(css_l * css_p)
+               AS corr_l_linenumber_l_partkey
+    FROM d
+    """,
+)
+def search_aggs_matrix_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``matrix_stats`` agg (r9): the pairwise covariance /
+    correlation matrix over three lineitem measures in ONE
+    conditional-aggregate pass (K·(K+3)/2 accumulators over the
+    listwise-complete rows — ES's document inclusion rule). The
+    envelope adds per-field skewness/kurtosis from one extra moment
+    pass (plans/es_aggs.py:_matrix_stats_envelope)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        matrix_stats_frame,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return matrix_stats_frame(li, {
+        "fields": ["l_quantity", "l_linenumber", "l_partkey"],
+    })
+
+
+@register(
     "search_dsl_span_near",
     # DuckDB mirrors the Spark positional algebra list-op for list-op
     # (1-based lambda index normalized to the engine's 0-based
@@ -6116,6 +6259,8 @@ _CHECK_FIRST = [
     #    change). New r9 queries are prepended here by the commits
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
+    "search_aggs_t_test",         # r9 NEW: Welch two-sample test
+    "search_aggs_matrix_stats",   # r9 NEW: covariance/correlation
     "search_aggs_normalize",      # r9 NEW: normalize pipeline agg
     "search_aggs_cumulative_cardinality",  # r9 NEW: exact running distinct
     "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
@@ -6172,8 +6317,6 @@ _CHECK_FIRST = [
     "data_quality_audit",
     "late_data_profile",
     "value_histogram",
-    "value_outliers_mad",
-    "event_transition_matrix",
 ]
 
 

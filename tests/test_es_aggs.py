@@ -2448,3 +2448,120 @@ def test_cumulative_cardinality_errors(docs):
                 "c": {"cardinality": {"field": "lang"}},
                 "cum": {"cumulative_cardinality": {
                     "buckets_path": "c"}}}}})
+
+
+def test_t_test_welch_and_pooled(docs, spark):
+    """r9: t_test — one conditional-moment pass, p from (t, df)."""
+    rows = [(1, "a", 10.0), (2, "a", 12.0), (3, "a", 11.0),
+            (4, "b", 14.0), (5, "b", 16.0), (6, "b", 15.0),
+            (7, "b", None), (8, None, 13.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    body = {"a": {"field": "v", "filter": {"term": {"grp": "a"}}},
+            "b": {"field": "v", "filter": {"term": {"grp": "b"}}}}
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        t_test_frame,
+    )
+    r = t_test_frame(df, body).collect()[0]
+    assert (r["na"], r["nb"]) == (3, 3)
+    assert r["mean_a"] == pytest.approx(11.0)
+    assert r["mean_b"] == pytest.approx(15.0)
+    assert r["var_a"] == pytest.approx(1.0)
+    assert r["var_b"] == pytest.approx(1.0)
+    # equal variances: Welch == pooled t = -4/sqrt(2/3), df = 4
+    assert r["t_stat"] == pytest.approx(-4.0 / (2.0 / 3.0) ** 0.5)
+    assert r["df_deg"] == pytest.approx(4.0)
+    out = run_aggs(df, {"t": {"t_test": body}})
+    # |t|=4.899, df=4 → two-sided p ≈ 0.00805 (hand-checked against
+    # the df=4 closed form below)
+    assert out["t"]["value"] == pytest.approx(0.00805, abs=2e-4)
+    pooled = run_aggs(
+        df, {"t": {"t_test": {**body, "type": "homoscedastic"}}})
+    assert pooled["t"]["value"] == pytest.approx(
+        out["t"]["value"], rel=1e-6)
+
+
+def test_t_test_paired_and_p_closed_forms(spark):
+    rows = [(1, 3.0, 1.0), (2, 5.0, 2.0), (3, 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = run_aggs(df, {"t": {"t_test": {
+        "a": {"field": "x"}, "b": {"field": "y"}, "type": "paired"}}})
+    # diffs 2,3,2: mean 7/3, var 1/3, t = (7/3)/sqrt(1/9) = 7, df 2
+    # df=2 closed form: p = 1 - t/sqrt(t^2+2)
+    assert out["t"]["value"] == pytest.approx(
+        1.0 - 7.0 / (49.0 + 2.0) ** 0.5, rel=1e-9)
+    # df=1 (Cauchy) closed form through the incomplete beta
+    import math
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        _reg_inc_beta,
+    )
+    for t in (0.5, 1.0, 12.7062):
+        p = _reg_inc_beta(0.5, 0.5, 1.0 / (1.0 + t * t))
+        assert p == pytest.approx(
+            1.0 - 2.0 / math.pi * math.atan(t), rel=1e-9)
+
+
+def test_t_test_errors(docs):
+    with pytest.raises(DslError, match="unknown t_test type"):
+        run_aggs(docs, {"t": {"t_test": {
+            "a": {"field": "n_chars"}, "b": {"field": "doc_id"},
+            "type": "welch"}}})
+    with pytest.raises(DslError, match="a.field and b.field"):
+        run_aggs(docs, {"t": {"t_test": {"a": {"field": "n_chars"}}}})
+    with pytest.raises(DslError, match="paired t_test cannot"):
+        run_aggs(docs, {"t": {"t_test": {
+            "a": {"field": "n_chars",
+                  "filter": {"term": {"lang": "en"}}},
+            "b": {"field": "doc_id"}, "type": "paired"}}})
+    with pytest.raises(DslError, match="no sub-aggregations"):
+        run_aggs(docs, {"t": {
+            "t_test": {"a": {"field": "n_chars"},
+                       "b": {"field": "doc_id"}},
+            "aggs": {"x": {"avg": {"field": "n_chars"}}}}})
+    # under-2 samples per group: null value, not a crash
+    out = run_aggs(docs.filter("doc_id = 1"), {"t": {"t_test": {
+        "a": {"field": "n_chars"}, "b": {"field": "doc_id"}}}})
+    assert out["t"]["value"] is None
+
+
+def test_matrix_stats(spark):
+    rows = [(1.0, 2.0, 1.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0),
+            (4.0, 8.0, 5.0), (None, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = run_aggs(df, {"m": {"matrix_stats": {
+        "fields": ["x", "y", "z"]}}})
+    assert out["m"]["doc_count"] == 4  # listwise: null-x row dropped
+    by = {f["name"]: f for f in out["m"]["fields"]}
+    assert by["x"]["mean"] == pytest.approx(2.5)
+    assert by["x"]["variance"] == pytest.approx(5.0 / 3.0)
+    # y = 2x exactly: corr 1, cov = 2·var(x)
+    assert by["x"]["correlation"]["y"] == pytest.approx(1.0)
+    assert by["x"]["covariance"]["y"] == pytest.approx(10.0 / 3.0)
+    assert by["y"]["correlation"]["x"] == pytest.approx(1.0)
+    assert by["x"]["correlation"]["x"] == 1.0
+    # symmetric z entries agree across field objects
+    assert by["x"]["covariance"]["z"] == pytest.approx(
+        by["z"]["covariance"]["x"])
+    # x symmetric 1,2,3,4 → zero skewness; kurtosis plain (normal=3)
+    assert by["x"]["skewness"] == pytest.approx(0.0, abs=1e-12)
+    # m4 = 2.5625, m2 = 1.25 → kurtosis 2.5625 / 1.5625 = 1.64
+    assert by["x"]["kurtosis"] == pytest.approx(1.64, abs=1e-9)
+    # missing substitution pulls the dropped row back in
+    out2 = run_aggs(df, {"m": {"matrix_stats": {
+        "fields": ["x", "y"], "missing": {"x": 2.5}}}})
+    assert out2["m"]["doc_count"] == 5
+
+
+def test_matrix_stats_errors(docs):
+    with pytest.raises(DslError, match="fields list"):
+        run_aggs(docs, {"m": {"matrix_stats": {
+            "fields": ["n_chars"]}}})
+    with pytest.raises(DslError, match="distinct"):
+        run_aggs(docs, {"m": {"matrix_stats": {
+            "fields": ["n_chars", "n_chars"]}}})
+    with pytest.raises(DslError, match="unsupported matrix_stats"):
+        run_aggs(docs, {"m": {"matrix_stats": {
+            "fields": ["n_chars", "doc_id"], "mode": "max"}}})
+    with pytest.raises(DslError, match="no sub-aggregations"):
+        run_aggs(docs, {"m": {
+            "matrix_stats": {"fields": ["n_chars", "doc_id"]},
+            "aggs": {"x": {"avg": {"field": "n_chars"}}}}})
