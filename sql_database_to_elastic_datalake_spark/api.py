@@ -63,6 +63,68 @@ def _utcnow_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
 
 
+#: Spark simpleString → ES field-caps type. Arrays of scalars
+#: dissolve to the element type (ES mappings have no array kind);
+#: float arrays are the embedding convention → dense_vector.
+_ES_TYPE_MAP = {
+    "bigint": "long", "int": "integer", "smallint": "short",
+    "tinyint": "byte", "double": "double", "float": "float",
+    "string": "keyword", "boolean": "boolean", "binary": "binary",
+    "date": "date",
+}
+
+
+def _es_field_type(simple: str) -> str:
+    if simple.startswith("timestamp"):
+        return "date"
+    if simple.startswith("decimal"):
+        return "double"
+    if simple in ("array<float>", "array<double>"):
+        return "dense_vector"
+    if simple.startswith("array<"):
+        return _es_field_type(simple[6:-1])
+    if simple.startswith(("struct<", "map<")):
+        return "object"
+    return _ES_TYPE_MAP.get(simple, "keyword")
+
+
+def analyze_text(text, analyzer: str = "standard") -> dict:
+    """ES ``_analyze`` — the analyzer debugging endpoint, replayed
+    over the engine's ONE token pattern (es_dsl.TOKEN_CHARS — the same
+    class every query/suggest/corpus consumer derives from, so what
+    this endpoint shows is exactly what matching does). Offsets index
+    the ORIGINAL text (token_spans); tokens are the lowercased forms
+    the engine matches on. Only the engine's own analysis chain is
+    implemented — any other ``analyzer`` name is a named 400, not a
+    silently different tokenization."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        token_spans,
+    )
+
+    if analyzer not in ("standard", "default"):
+        raise DslError(
+            f"unsupported analyzer {analyzer!r} (the engine has one "
+            "analysis chain: lowercase + alphanumeric tokens)")
+    texts = text if isinstance(text, list) else [text]
+    tokens = []
+    pos = 0
+    for t in texts:
+        if not isinstance(t, str):
+            raise DslError("analyze text must be a string or list "
+                           "of strings")
+        for tok, off, ln in token_spans(t):
+            tokens.append({
+                "token": tok,
+                "start_offset": off,
+                "end_offset": off + ln,
+                "type": "<NUM>" if tok.isdigit() else "<ALPHANUM>",
+                "position": pos,
+            })
+            pos += 1
+        pos += 100  # ES's position_increment_gap between list values
+    return {"tokens": tokens}
+
+
 @dataclass
 class ItemResult:
     index: int
@@ -937,6 +999,193 @@ class LakeService:
                         "_source": {c: r[c] for c in src_cols},
                     }
         return {"docs": out_docs}
+
+    def field_caps(self, table: str | None = None,
+                   fields=None) -> dict:
+        """ES ``_field_caps`` — Kibana's first call against any index
+        pattern. Pure metadata: schemas come from the parquet footers
+        (``spark.read.parquet(...).schema``), NO job runs.
+
+        Every engine column is both searchable and aggregatable (the
+        lake has no unindexed fields), so the caps object's value is
+        the TYPE map: Spark types render as their ES equivalents
+        (bigint→long, string→keyword, timestamp→date,
+        array<float>→dense_vector; arrays of scalars dissolve to the
+        element type — ES mappings have no array kind). When a field
+        carries different types across matched tables, each type entry
+        lists its ``indices`` like ES; a single agreeing type omits
+        the key, also like ES."""
+        import fnmatch as _fn
+
+        pattern = table or INDEX_PREFIX + "*"
+        if "*" in pattern or "?" in pattern:
+            names = sorted(
+                d for d in os.listdir(self.lake_dir)
+                if _fn.fnmatchcase(d, pattern)
+                and os.path.isdir(os.path.join(self.lake_dir, d))
+            )
+        else:
+            if not path_exists(self.spark,
+                               os.path.join(self.lake_dir, pattern)):
+                raise DslError(f"no such table {pattern!r}")
+            names = [pattern]
+        if fields is None:
+            pats = ["*"]
+        elif isinstance(fields, str):
+            pats = [p.strip() for p in fields.split(",") if p.strip()]
+        elif isinstance(fields, list):
+            pats = [str(p) for p in fields]
+        else:
+            raise DslError("field_caps fields must be a list or "
+                           "comma string")
+        # field -> es_type -> [tables]
+        by_field: dict[str, dict[str, list[str]]] = {}
+        for t in names:
+            schema = self.spark.read.parquet(
+                os.path.join(self.lake_dir, t)).schema
+            for f in schema.fields:
+                if not any(_fn.fnmatchcase(f.name, p) for p in pats):
+                    continue
+                et = _es_field_type(f.dataType.simpleString())
+                by_field.setdefault(f.name, {}).setdefault(
+                    et, []).append(t)
+        caps: dict[str, dict] = {}
+        for fname, types in sorted(by_field.items()):
+            entry = {}
+            for et, tabs in sorted(types.items()):
+                cap = {"type": et, "metadata_field": False,
+                       "searchable": True, "aggregatable": True}
+                if len(types) > 1:
+                    cap["indices"] = sorted(tabs)
+                entry[et] = cap
+            caps[fname] = entry
+        return {"indices": names, "fields": caps}
+
+    def terms_enum(
+        self, table: str, field: str, string: str = "",
+        size: int = 10, case_insensitive: bool = False,
+        search_after: str | None = None,
+    ) -> dict:
+        """ES ``_terms_enum`` — the index-backed autocomplete API
+        (Kibana's field-value suggestions). Distinct values of a
+        keyword field under a prefix, ascending, ≤ ``size``.
+
+        Plan per matched table: prefix filter (pushed as
+        StartsWith) → distinct → ascending TakeOrdered(size); tables
+        lacking the field contribute nothing (ES's unmapped rule),
+        per-table top-k lists merge driver-side (≤ size each). The
+        distinct shuffle carries only the single projected column
+        after the prefix filter — the same shape ES's per-shard terms
+        walk produces. Always ``complete: true``: the walk is exact,
+        never budget-truncated (divergence: ES may report false under
+        its shard timeout)."""
+        import fnmatch as _fn
+
+        if not field:
+            raise DslError("terms_enum requires a field")
+        if size < 1:
+            raise DslError("terms_enum size must be >= 1")
+        if "*" in table or "?" in table:
+            names = sorted(
+                d for d in os.listdir(self.lake_dir)
+                if _fn.fnmatchcase(d, table)
+                and os.path.isdir(os.path.join(self.lake_dir, d))
+            )
+        else:
+            names = [table]
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            terms_enum_frame,
+        )
+
+        terms: set[str] = set()
+        for t in names:
+            path = os.path.join(self.lake_dir, t)
+            if not path_exists(self.spark, path):
+                continue
+            df = self.spark.read.parquet(path)
+            if field not in df.columns:
+                continue
+            rows = terms_enum_frame(
+                df, field, string=string, size=size,
+                case_insensitive=case_insensitive,
+                search_after=search_after,
+            ).collect()
+            terms.update(r["term"] for r in rows)
+        return {
+            "terms": sorted(terms)[:size],
+            "complete": True,
+            "_shards": {"total": len(names),
+                        "successful": len(names), "failed": 0},
+        }
+
+    def explain(self, table: str, doc_id, query: dict) -> dict:
+        """ES ``_explain`` — "why does/doesn't this document match".
+        ONE point-lookup job (id filter pushed to the scan) evaluates
+        the compiled predicate — and, for a ``bool`` query, every
+        top-level clause's predicate — as extra boolean columns on the
+        same row, so the breakdown costs nothing beyond the lookup.
+
+        DOCUMENTED DIVERGENCE: the explanation describes COLUMN-
+        ALGEBRA MEMBERSHIP, not a BM25 score tree — this engine's
+        filter-context scores are constant 1.0, so ``value`` is 1/0
+        per clause and the description names the compiled clause. A
+        missing document raises (the route's 404), like ES."""
+        import json as _json
+
+        path = os.path.join(self.lake_dir, table)
+        if not path_exists(self.spark, path):
+            raise DslError(f"no such table {table!r}")
+        df = self.spark.read.parquet(path)
+        idc = "id" if "id" in df.columns else next(
+            (c for c in df.columns if c.endswith("_id")), None)
+        if idc is None:
+            raise DslError(f"table {table!r} has no id column")
+        pred = compile_dsl(query, schema_fields=list(df.columns))
+        probes = [pred.cast("boolean").alias("__m")]
+        clause_descs: list[str] = []
+        if isinstance(query, dict) and len(query) == 1 \
+                and next(iter(query)) == "bool" \
+                and isinstance(query["bool"], dict):
+            for occur, specs in query["bool"].items():
+                if occur not in ("must", "filter", "should",
+                                 "must_not"):
+                    continue
+                for spec in (specs if isinstance(specs, list)
+                             else [specs]):
+                    cp = compile_dsl(spec,
+                                     schema_fields=list(df.columns))
+                    if occur == "must_not":
+                        cp = ~F.coalesce(cp, F.lit(False))
+                    i = len(clause_descs)
+                    probes.append(
+                        cp.cast("boolean").alias(f"__c{i}"))
+                    clause_descs.append(
+                        f"{occur}: {_json.dumps(spec, sort_keys=True)}")
+        rows = (df.filter(F.col(idc).cast("string")
+                          == str(doc_id)).select(*probes).collect())
+        if not rows:
+            raise DslError(
+                f"document {doc_id!r} not found in {table!r}")
+        r = rows[0]
+        matched = bool(r["__m"]) if r["__m"] is not None else False
+        children = [
+            {"value": 1.0 if (r[f"__c{i}"] or False) else 0.0,
+             "description": d, "details": []}
+            for i, d in enumerate(clause_descs)
+        ]
+        return {
+            "_index": table,
+            "_id": str(doc_id),
+            "matched": matched,
+            "explanation": {
+                "value": 1.0 if matched else 0.0,
+                "description": (
+                    "column-algebra membership (filter-context "
+                    "scores are constant; BM25 score trees are a "
+                    "documented divergence)"),
+                "details": children,
+            },
+        }
 
     def advanced_search(
         self, table: str, dsl: dict, k: int = 10,
@@ -2441,6 +2690,105 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 source=body.get("_source"))), 200
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/field_caps", methods=["POST", "GET"])
+    def field_caps_route():
+        """ES ``_field_caps``: schema capabilities for an index
+        pattern — Kibana's first call. Footer metadata only, no job."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True, silent=True) or {}
+        unknown = sorted(set(body) - {"table", "index", "fields"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported field_caps keys: {unknown}"}), 400
+        try:
+            return jsonify(service.field_caps(
+                table=body.get("table") or body.get("index")
+                or request.args.get("index"),
+                fields=body.get("fields")
+                or request.args.get("fields"))), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/terms_enum", methods=["POST"])
+    def terms_enum_route():
+        """ES ``_terms_enum``: prefix autocomplete over a keyword
+        field (Kibana's field-value suggestions)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"table", "index", "field",
+                                      "string", "size",
+                                      "case_insensitive",
+                                      "search_after", "timeout"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported terms_enum keys: {unknown} "
+                            "(index_filter is unimplemented)"}), 400
+        try:
+            size = int(body.get("size", 10))
+        except (TypeError, ValueError):
+            return jsonify({"error": "size must be an integer"}), 400
+        try:
+            return jsonify(service.terms_enum(
+                table=(body.get("table") or body.get("index")
+                       or INDEX_PREFIX + "*"),
+                field=body.get("field"),
+                string=str(body.get("string", "") or ""),
+                size=size,
+                case_insensitive=bool(body.get("case_insensitive",
+                                                False)),
+                search_after=body.get("search_after"))), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/analyze", methods=["POST"])
+    def analyze_route():
+        """ES ``_analyze``: the engine's one analysis chain, echoed
+        with original-text offsets. Driver-side only."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"text", "analyzer"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported analyze keys: {unknown} "
+                            "(custom tokenizer/filter chains are "
+                            "unimplemented)"}), 400
+        if "text" not in body:
+            return jsonify({"error": "analyze requires text"}), 400
+        try:
+            return jsonify(analyze_text(
+                body["text"], body.get("analyzer", "standard"))), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/explain", methods=["POST"])
+    def explain_route():
+        """ES ``_explain``: per-document match breakdown (membership
+        explanation — the BM25 tree divergence is documented on the
+        service method)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"table", "index", "id", "query"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported explain keys: {unknown}"}), 400
+        table = body.get("table") or body.get("index")
+        if not table or body.get("id") is None:
+            return jsonify(
+                {"error": "explain requires table and id"}), 400
+        try:
+            return jsonify(service.explain(
+                table, body["id"],
+                body.get("query", {"match_all": {}}))), 200
+        except DslError as ex:
+            msg = str(ex)
+            return jsonify({"error": msg}), \
+                404 if "not found" in msg or "no such table" in msg \
+                else 400
 
     @app.route("/search/scroll", methods=["POST"])
     def scroll_continue():

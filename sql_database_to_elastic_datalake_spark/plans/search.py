@@ -118,6 +118,33 @@ def string_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
 
 
+def terms_enum_frame(
+    df: DataFrame, field: str, string: str = "", size: int = 10,
+    case_insensitive: bool = False, search_after: str | None = None,
+) -> DataFrame:
+    """ES ``_terms_enum`` over one table: distinct values of a keyword
+    field under a prefix, ascending, ≤ ``size`` — the plan the API
+    route and the registry query share.
+
+    Shape: prefix filter (pushed as StartsWith when case-sensitive) →
+    single-column distinct → ascending TakeOrdered(size). The distinct
+    shuffle carries only the filtered column; the limit keeps the
+    driver transfer at ``size`` rows regardless of corpus size."""
+    c = F.col(field).cast("string")
+    pred = c.isNotNull()
+    if string:
+        if case_insensitive:
+            pred = pred & F.lower(c).startswith(string.lower())
+        else:
+            pred = pred & c.startswith(string)
+    if search_after is not None:
+        pred = pred & (c > F.lit(str(search_after)))
+    return (
+        df.filter(pred).select(c.alias("term"))
+        .distinct().orderBy(F.col("term").asc()).limit(size)
+    )
+
+
 def multi_match_table(
     df: DataFrame,
     query: str,

@@ -3577,6 +3577,33 @@ def search_aggs_cumulative_cardinality(
 
 
 @register(
+    "search_terms_enum",
+    # DuckDB replays the distinct-prefix-topk walk directly
+    oracle="""
+    SELECT DISTINCT source AS term
+    FROM documents
+    WHERE source IS NOT NULL AND source LIKE 'src1%'
+    ORDER BY term
+    LIMIT 8
+    """,
+)
+def search_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_terms_enum`` (r9): the index-backed autocomplete API —
+    distinct values of a keyword field under a prefix, ascending,
+    size-capped (plans/search.py:terms_enum_frame; served at
+    POST /search/terms_enum). The prefix pushes as StartsWith, the
+    distinct shuffle carries one filtered column, and the limit
+    bounds the driver transfer — at 100 TB the cost is a pruned
+    column scan plus a value-cardinality shuffle."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        terms_enum_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return terms_enum_frame(docs, "source", string="src1", size=8)
+
+
+@register(
     "search_aggs_t_test",
     # the oracle replays the engine's conditional-moment pass and the
     # Welch chain in the SAME operation order over exact integer sums
@@ -6259,6 +6286,7 @@ _CHECK_FIRST = [
     #    change). New r9 queries are prepended here by the commits
     #    that introduce them; the fill tier below is trimmed from its
     #    tail to hold the window at exactly 50.
+    "search_terms_enum",          # r9 NEW: terms_enum autocomplete
     "search_aggs_t_test",         # r9 NEW: Welch two-sample test
     "search_aggs_matrix_stats",   # r9 NEW: covariance/correlation
     "search_aggs_normalize",      # r9 NEW: normalize pipeline agg
@@ -6316,7 +6344,6 @@ _CHECK_FIRST = [
     "text_cosine_pairs",
     "data_quality_audit",
     "late_data_profile",
-    "value_histogram",
 ]
 
 

@@ -1676,3 +1676,168 @@ def test_mget_batch_point_lookups(service, spark, client):
     r = client.post("/search/mget", json={"ids": [1], "refresh": True})
     assert r.status_code == 400
     assert "unsupported mget keys" in r.get_json()["error"]
+
+
+# ---------------------------------------------------------------------------
+# r9: _field_caps / _terms_enum / _analyze / _explain wire routes
+# ---------------------------------------------------------------------------
+
+
+def _write_lake_table(service, name, rows, schema):
+    df = service.spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(
+        os.path.join(service.lake_dir, name))
+
+
+def test_field_caps_types_and_conflicts(client, service):
+    _write_lake_table(service, "data_lake_a",
+                      [(1, "x", 1.5)], "id long, name string, v double")
+    _write_lake_table(service, "data_lake_b",
+                      [("k", "y")], "id string, name string")
+    r = client.post("/search/field_caps", data=json.dumps({}),
+                    content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["indices"] == ["data_lake_a", "data_lake_b"]
+    # agreeing type: no indices key
+    assert body["fields"]["name"] == {"keyword": {
+        "type": "keyword", "metadata_field": False,
+        "searchable": True, "aggregatable": True}}
+    # conflicting id types: each entry names its tables
+    assert body["fields"]["id"]["long"]["indices"] == ["data_lake_a"]
+    assert body["fields"]["id"]["keyword"]["indices"] == ["data_lake_b"]
+    # wildcard field filtering
+    r = client.post("/search/field_caps",
+                    data=json.dumps({"fields": "v,na*"}),
+                    content_type="application/json")
+    assert sorted(r.get_json()["fields"]) == ["name", "v"]
+    # unknown body key → named 400
+    r = client.post("/search/field_caps",
+                    data=json.dumps({"include_unmapped": True}),
+                    content_type="application/json")
+    assert r.status_code == 400
+    # concrete missing table → 400 with the table named
+    r = client.post("/search/field_caps",
+                    data=json.dumps({"table": "data_lake_nope"}),
+                    content_type="application/json")
+    assert r.status_code == 400
+    assert "data_lake_nope" in r.get_json()["error"]
+
+
+def test_field_caps_embedding_is_dense_vector(client, service):
+    _write_lake_table(
+        service, "data_lake_emb",
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    r = client.post("/search/field_caps",
+                    data=json.dumps({"table": "data_lake_emb"}),
+                    content_type="application/json")
+    f = r.get_json()["fields"]["embedding"]
+    assert list(f) == ["dense_vector"]
+
+
+def test_terms_enum(client, service):
+    _write_lake_table(
+        service, "data_lake_docs",
+        [(1, "alpha"), (2, "alpine"), (3, "Alps"), (4, "beta"),
+         (5, "alpha"), (6, None)],
+        "id long, tag string")
+    post = lambda b: client.post(  # noqa: E731
+        "/search/terms_enum", data=json.dumps(b),
+        content_type="application/json")
+    r = post({"table": "data_lake_docs", "field": "tag",
+              "string": "alp"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["terms"] == ["alpha", "alpine"]  # case-sensitive
+    assert body["complete"] is True
+    r = post({"table": "data_lake_docs", "field": "tag",
+              "string": "alp", "case_insensitive": True})
+    assert r.get_json()["terms"] == ["Alps", "alpha", "alpine"]
+    # size cap + search_after pagination
+    r = post({"table": "data_lake_docs", "field": "tag", "size": 2})
+    assert r.get_json()["terms"] == ["Alps", "alpha"]
+    r = post({"table": "data_lake_docs", "field": "tag", "size": 2,
+              "search_after": "alpha"})
+    assert r.get_json()["terms"] == ["alpine", "beta"]
+    # pattern: tables lacking the field contribute nothing
+    _write_lake_table(service, "data_lake_other",
+                      [(1,)], "other long")
+    r = post({"field": "tag", "string": "b"})
+    assert r.get_json()["terms"] == ["beta"]
+    # index_filter is a named 400, not silently ignored
+    r = post({"table": "data_lake_docs", "field": "tag",
+              "index_filter": {"term": {"id": 1}}})
+    assert r.status_code == 400
+    assert "index_filter" in r.get_json()["error"]
+
+
+def test_analyze(client):
+    r = client.post("/search/analyze",
+                    data=json.dumps({"text": "Quick-Fox 42!"}),
+                    content_type="application/json")
+    assert r.status_code == 200
+    toks = r.get_json()["tokens"]
+    assert [(t["token"], t["start_offset"], t["end_offset"],
+             t["type"], t["position"]) for t in toks] == [
+        ("quick", 0, 5, "<ALPHANUM>", 0),
+        ("fox", 6, 9, "<ALPHANUM>", 1),
+        ("42", 10, 12, "<NUM>", 2),
+    ]
+    # list values: ES's position_increment_gap (100) between entries
+    r = client.post("/search/analyze",
+                    data=json.dumps({"text": ["a b", "c"]}),
+                    content_type="application/json")
+    toks = r.get_json()["tokens"]
+    assert [t["position"] for t in toks] == [0, 1, 102]
+    # only the engine's own chain exists — anything else is named
+    r = client.post("/search/analyze",
+                    data=json.dumps({"text": "x",
+                                     "analyzer": "whitespace"}),
+                    content_type="application/json")
+    assert r.status_code == 400
+    r = client.post("/search/analyze",
+                    data=json.dumps({"text": "x",
+                                     "tokenizer": "keyword"}),
+                    content_type="application/json")
+    assert r.status_code == 400
+
+
+def test_explain(client, service):
+    _write_lake_table(
+        service, "data_lake_docs",
+        [(1, "alpha", 10), (2, "beta", 99)],
+        "id long, tag string, score long")
+    post = lambda b: client.post(  # noqa: E731
+        "/search/explain", data=json.dumps(b),
+        content_type="application/json")
+    q = {"bool": {"must": [{"term": {"tag": "alpha"}}],
+                  "filter": [{"range": {"score": {"lt": 50}}}]}}
+    r = post({"table": "data_lake_docs", "id": 1, "query": q})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["matched"] is True
+    assert body["explanation"]["value"] == 1.0
+    assert [d["value"] for d in body["explanation"]["details"]] \
+        == [1.0, 1.0]
+    # doc 2 fails BOTH clauses — the breakdown says which
+    r = post({"table": "data_lake_docs", "id": 2, "query": q})
+    body = r.get_json()
+    assert body["matched"] is False
+    assert [d["value"] for d in body["explanation"]["details"]] \
+        == [0.0, 0.0]
+    assert "must" in body["explanation"]["details"][0]["description"]
+    # must_not inverts per-clause like the overall predicate
+    r = post({"table": "data_lake_docs", "id": 2,
+              "query": {"bool": {"must_not": [
+                  {"term": {"tag": "alpha"}}]}}})
+    body = r.get_json()
+    assert body["matched"] is True
+    assert body["explanation"]["details"][0]["value"] == 1.0
+    # missing doc → 404; missing table → 404
+    assert post({"table": "data_lake_docs", "id": 7,
+                 "query": q}).status_code == 404
+    assert post({"table": "data_lake_nope", "id": 1,
+                 "query": q}).status_code == 404
+    # malformed query stays a 400
+    assert post({"table": "data_lake_docs", "id": 1,
+                 "query": {"nope": {}}}).status_code == 400
