@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from sql_database_to_elastic_datalake_spark.fs import path_exists
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
     DslError,
+    NotFoundError,
     compile_dsl,
 )
 from sql_database_to_elastic_datalake_spark.plans.search import (
@@ -902,8 +903,13 @@ class LakeService:
         new_after = hits[-1]["sort"] if hits else after
 
         def _jsonable(v):
-            if hasattr(v, "isoformat"):
+            # datetime.date.isoformat() takes no arguments — only
+            # datetime.datetime accepts sep=" " (DateType sort /
+            # tie-break columns reach here as plain date objects)
+            if isinstance(v, datetime):
                 return v.isoformat(sep=" ")
+            if hasattr(v, "isoformat"):
+                return v.isoformat()
             raise TypeError(f"unserializable sort value {v!r}")
 
         payload = {"v": 1, "table": table, "query": dsl,
@@ -1134,7 +1140,7 @@ class LakeService:
 
         path = os.path.join(self.lake_dir, table)
         if not path_exists(self.spark, path):
-            raise DslError(f"no such table {table!r}")
+            raise NotFoundError(f"no such table {table!r}")
         df = self.spark.read.parquet(path)
         idc = "id" if "id" in df.columns else next(
             (c for c in df.columns if c.endswith("_id")), None)
@@ -1164,7 +1170,7 @@ class LakeService:
         rows = (df.filter(F.col(idc).cast("string")
                           == str(doc_id)).select(*probes).collect())
         if not rows:
-            raise DslError(
+            raise NotFoundError(
                 f"document {doc_id!r} not found in {table!r}")
         r = rows[0]
         matched = bool(r["__m"]) if r["__m"] is not None else False
@@ -2784,11 +2790,10 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify(service.explain(
                 table, body["id"],
                 body.get("query", {"match_all": {}}))), 200
+        except NotFoundError as ex:
+            return jsonify({"error": str(ex)}), 404
         except DslError as ex:
-            msg = str(ex)
-            return jsonify({"error": msg}), \
-                404 if "not found" in msg or "no such table" in msg \
-                else 400
+            return jsonify({"error": str(ex)}), 400
 
     @app.route("/search/scroll", methods=["POST"])
     def scroll_continue():

@@ -380,10 +380,17 @@ def quality_classifier_logits(
                   F.explode(grams).alias("g"))
         .select(id_col, bucket_of(F.col("g")).alias("bucket"))
     )
+    # LEFT join + coalesce-to-zero: fastText pools the mean over ALL
+    # grams, treating a gram whose bucket is absent from the weight
+    # table as weight 0 — an inner join would silently drop missing
+    # grams from both numerator and denominator (and null the logit
+    # entirely for a doc with zero matched grams), diverging for
+    # sparse weight tables.
     pooled = (
-        hashed.join(F.broadcast(weights), "bucket")
+        hashed.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
-        .agg((F.sum("weight") / F.count(F.lit(1)))
+        .agg((F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
+              / F.count(F.lit(1)))
              .alias("__mean_w"))
     )
     return df.select(id_col).join(pooled, id_col, "left").select(

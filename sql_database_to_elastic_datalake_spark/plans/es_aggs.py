@@ -285,6 +285,11 @@ def _metric_source(body: dict) -> Column:
             spec = {"source": spec}
         c = script_column(spec, F.col, base_score=None)
     else:
+        if not isinstance(body, dict) or body.get("field") is None:
+            # named 400, not a KeyError-500, for a body with neither
+            # source (e.g. {"boxplot": {}})
+            raise DslError(
+                "metric aggregation requires a field or script")
         c = F.col(body["field"])
     if body.get("missing") is not None:
         return F.coalesce(c, F.lit(body["missing"]))

@@ -114,6 +114,15 @@ class DslError(ValueError):
     pass
 
 
+class NotFoundError(DslError):
+    """A missing table/document — the wire layer's 404 class. Kept as
+    a DslError subclass so existing ``except DslError`` handlers stay
+    correct; routes that distinguish 404 from 400 catch this FIRST
+    (structural classification — never substring-matching the message,
+    which would misroute a 400 whose text happens to embed
+    'not found')."""
+
+
 def _ns(pred: Column) -> Column:
     """Null-safe coercion: ES query semantics are two-valued — a
     predicate on a missing/null field is simply *no match*. SQL
@@ -450,10 +459,15 @@ def _compile_span(kind: str, body: dict, col) -> Column:
         raise DslError(f"malformed span_near slop {slop!r}")
     # the greedy min-next chain in _positions_near is exact for
     # single-position spans — the same argument as _sloppy_phrase:
-    # the minimal valid choice minimizes the final span
+    # the minimal valid choice minimizes the final span. in_order
+    # defaults to TRUE, matching Elasticsearch
+    # (SpanNearQueryBuilder.DEFAULT_IN_ORDER = true): a body without
+    # an explicit in_order takes the exact ordered chain, and the
+    # unordered-2-clause restriction applies only to explicit
+    # ``in_order: false``.
     return _positions_near(
         [_span_positions(arr, *next(iter(cl.items()))) for cl in clauses],
-        bool(body.get("in_order", False)), slop)
+        bool(body.get("in_order", True)), slop)
 
 
 # ---------------------------------------------------------------------------

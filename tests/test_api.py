@@ -1296,6 +1296,35 @@ def test_scroll_stateless_drain(client, service, spark):
     assert "scroll is not supported with from" in r.get_json()["error"]
 
 
+def test_scroll_date_sort_cursor(client, service, spark):
+    """r10 ADVICE fix: a DateType sort/tie-break column produces a
+    datetime.date cursor value — date.isoformat() takes no sep kwarg,
+    so _scroll_id serialization must branch on the type instead of
+    crashing with an unhandled TypeError on the first page."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 7), f"d{i}") for i in range(13)],
+        "id long, d date, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_scd"))
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_scd", "scroll": "1m", "size": 5,
+        "sort": [{"d": "asc"}], "query": {"match_all": {}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    seen: list[int] = []
+    while body["hits"]["hits"]:
+        seen += [h["_source"]["id"] for h in body["hits"]["hits"]]
+        r = client.post("/search/scroll", data=json.dumps(
+            {"scroll_id": body["_scroll_id"]}),
+            content_type="application/json")
+        assert r.status_code == 200
+        body = r.get_json()
+    assert sorted(seen) == list(range(13))
+    assert len(seen) == len(set(seen))
+
+
 def test_more_like_this_doc_resolution(service, spark):
     """r9: like-by-document entries resolve at the API layer — one
     point lookup per referenced doc, absent docs ignored, the

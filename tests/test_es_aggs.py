@@ -2314,6 +2314,10 @@ def test_boxplot(docs, spark):
     env = run_aggs(empty, {"b": {"boxplot": {"field": "v"}}})["b"]
     assert env == {"min": None, "max": None, "q1": None, "q2": None,
                    "q3": None, "lower": None, "upper": None}
+    # neither field nor script → named 400, not a KeyError-500
+    # (r10 ADVICE fix: the direct boxplot_frame path validates too)
+    with pytest.raises(DslError, match="requires a field or script"):
+        run_aggs(docs, {"b": {"boxplot": {}}})
     with pytest.raises(DslError, match="no sub-aggregations"):
         run_aggs(docs, {"b": {"boxplot": {"field": "n_chars"},
                               "aggs": {"x": {"avg": {

@@ -570,6 +570,27 @@ def test_span_near_ordered(span_docs):
         "clauses": [{"span_term": {"txt": "soup"}}]}}) == [4]
 
 
+def test_span_near_default_in_order(span_docs):
+    """r10 ADVICE fix: ES defaults in_order to TRUE
+    (SpanNearQueryBuilder.DEFAULT_IN_ORDER) — a body without an
+    explicit in_order must take the ordered chain, and 3+ clauses
+    with slop must NOT hit the unordered-2-clause 400."""
+    q = lambda slop: {"span_near": {"clauses": [  # noqa: E731
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "gamma"}}],
+        "slop": slop}}
+    # doc2 has gamma BEFORE alpha: matched only by in_order: false
+    assert run(span_docs, q(0)) == []
+    assert run(span_docs, q(1)) == [1]
+    # 3 clauses + slop + no in_order: valid ES body — ordered chain,
+    # no spurious unordered-2-clause 400
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "alphabet"}},
+        {"span_term": {"txt": "gamma"}},
+        {"span_term": {"txt": "delta"}}],
+        "slop": 1}}) == [4]
+
+
 def test_span_not_and_multi(span_docs):
     # gamma positions not in the first 3 positions
     assert run(span_docs, {"span_not": {

@@ -513,3 +513,40 @@ def test_quality_classifier_tiers_agree(spark):
     again = {r["doc_id"]: r["logit"]
              for r in quality_classifier_logits(df).collect()}
     assert again == inline
+
+
+def test_quality_classifier_sparse_weights(spark):
+    """r10 ADVICE fix: the pretrained tier pools over ALL grams,
+    treating a gram whose bucket is absent from the weight table as
+    weight 0 (fastText semantics) — a sparse table must not shrink
+    the denominator, and a doc with zero matched grams gets a
+    bias-only logit, not null."""
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        quality_classifier_logits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcd")],  # grams: abc, bcd → 2 grams
+        "doc_id long, text string")
+    # an empty weight table: every bucket missing → mean 0 → logit =
+    # bias exactly (inner-join semantics would null it)
+    empty_w = spark.createDataFrame([], "bucket long, weight double")
+    out = {r["doc_id"]: r["logit"]
+           for r in quality_classifier_logits(
+               df, weights=empty_w, bias=0.25).collect()}
+    assert out[1] == pytest.approx(0.25)
+    # one matched gram out of two: mean = w/2, not w/1
+    hashed = df.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 2), "
+            "i -> substring(text, i, 3))")).alias("g")).select(
+        (F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+         .cast("bigint") % F.lit(1 << 18)).alias("bucket")).collect()
+    one_w = spark.createDataFrame(
+        [(hashed[0]["bucket"], 0.8)], "bucket long, weight double")
+    out = {r["doc_id"]: r["logit"]
+           for r in quality_classifier_logits(
+               df, weights=one_w, bias=0.0).collect()}
+    assert out[1] == pytest.approx(0.8 / 2)
