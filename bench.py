@@ -104,6 +104,7 @@ HEADLINE = (
 SF1_EXTRA = (
     "boilerplate_chunk_removal",
     "quality_classifier_scores",
+    "dsir_importance_weights",
     "semdedup_embeddings",
     "neardup_minhash_lsh",
     "simhash_hamming_pairs",

@@ -84,8 +84,13 @@ def dsir_bucket_model(
     with Laplace-smoothed probabilities p = (c+1)/(N+B) — single
     divisions of exact integer counts (bit-portable). Plan: tokenize
     → explode → ONE groupBy(bucket) with a conditional target sum;
-    the totals ride a broadcast 1-row aggregate, never a second
-    corpus pass."""
+    the totals ride an unpartitioned window over the B-row counts
+    frame (one exchange of ≤ n_buckets rows — bounded however big the
+    corpus), never a second corpus pass: the whole model lineage is
+    exactly one corpus scan, so a consumer that references the model
+    twice pays two scans, not four."""
+    from pyspark.sql.window import Window
+
     toks = (
         docs.select(target_pred.alias("__is_t"),
                     F.explode(_tokens(text_col)).alias("__tok"))
@@ -98,20 +103,16 @@ def dsir_bucket_model(
         .cast("bigint").alias("c_target"),
         F.count(F.lit(1)).cast("bigint").alias("c_raw"),
     )
-    totals = counts.agg(
-        F.sum("c_target").cast("bigint").alias("__nt"),
-        F.sum("c_raw").cast("bigint").alias("__nr"),
-    )
+    w = Window.partitionBy()  # B rows total: a bounded single partition
     bl = F.lit(float(n_buckets))
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            "bucket", "c_target", "c_raw",
-            ((F.col("c_target").cast("double") + F.lit(1.0))
-             / (F.col("__nt").cast("double") + bl)).alias("p_target"),
-            ((F.col("c_raw").cast("double") + F.lit(1.0))
-             / (F.col("__nr").cast("double") + bl)).alias("p_raw"),
-        )
+    return counts.select(
+        "bucket", "c_target", "c_raw",
+        ((F.col("c_target").cast("double") + F.lit(1.0))
+         / (F.sum("c_target").over(w).cast("double") + bl))
+        .alias("p_target"),
+        ((F.col("c_raw").cast("double") + F.lit(1.0))
+         / (F.sum("c_raw").over(w).cast("double") + bl))
+        .alias("p_raw"),
     )
 
 
@@ -136,10 +137,15 @@ def dsir_doc_features(
     logit).
 
     Plan: explode → groupBy(doc, bucket) → broadcast join the B-row
-    model → groupBy(doc). A bucket the model never saw (possible when
-    scoring NEW docs against a frozen model) contributes the Laplace
-    floor: c = 0 and p = 1/(N+B), reconstructed from the model's own
-    (c_target, p_target) pair rather than a second totals pass."""
+    model → ONE groupBy(doc). A bucket the model never saw (possible
+    when scoring NEW docs against a frozen model) contributes the
+    Laplace floor c = 0, p = 1/(N+B) — reconstructed INSIDE the same
+    doc-level aggregate from the doc's own seen buckets (p/(c+1) =
+    1/(N+B) on EVERY model row, so min() over any non-empty subset is
+    the exact floor), never a second model pass. The one unservable
+    corner — a doc whose every bucket is unseen — has no floor
+    witness in its group and scores a null log_weight (the quarantine
+    tier; its integer moments are all-zero anyway)."""
     per_bucket = (
         docs.select(F.col(id_col).alias("__doc"),
                     F.explode(_tokens(text_col)).alias("__tok"))
@@ -149,43 +155,40 @@ def dsir_doc_features(
         .groupBy("__doc", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
-    # Laplace floor for unseen buckets: p(c=0) = p(c)·1/(c+1) since
-    # p = (c+1)/(N+B) — pure algebra on the joined row, no totals
-    # recompute, stays exact (integer ratio times one division)
     j = per_bucket.join(F.broadcast(model), "bucket", "left")
     c_t = F.coalesce(F.col("c_target"), F.lit(0).cast("bigint"))
     c_r = F.coalesce(F.col("c_raw"), F.lit(0).cast("bigint"))
-    # p/(c+1) = 1/(N+B) on EVERY model row — min() of a constant, a
-    # deterministic pick rather than a first() ordering dependence
-    floor_t = F.min(
-        F.col("p_target")
-        / (F.col("c_target").cast("double") + F.lit(1.0)))
-    floor_r = F.min(
-        F.col("p_raw")
-        / (F.col("c_raw").cast("double") + F.lit(1.0)))
     p_t = F.col("p_target")
     p_r = F.col("p_raw")
     lw = F.col("__n").cast("double") * (F.log(p_t) - F.log(p_r))
-    agg = j.groupBy("__doc").agg(
-        F.sum("__n").cast("bigint").alias("n_tokens"),
-        F.sum(F.col("__n") * c_t).cast("bigint").alias("target_hits"),
-        F.sum(F.col("__n") * c_r).cast("bigint").alias("raw_hits"),
-        F.sum(F.when(p_t.isNotNull(), lw)).alias("__lw_seen"),
-        F.sum(F.when(p_t.isNull(), F.col("__n").cast("double")))
-        .alias("__n_unseen"),
-    )
-    # fold the unseen-bucket floor in as a single multiply (every
-    # unseen bucket shares the same floor probabilities)
-    floors = model.agg(floor_t.alias("__ft"), floor_r.alias("__fr"))
+    # Laplace floor for unseen buckets: p(c=0) = p(c)·1/(c+1) since
+    # p = (c+1)/(N+B) — pure algebra on the joined rows, exact
+    # (integer ratio times one division), constant across model rows
+    floor_t = F.min(
+        p_t / (F.col("c_target").cast("double") + F.lit(1.0)))
+    floor_r = F.min(
+        p_r / (F.col("c_raw").cast("double") + F.lit(1.0)))
     return (
-        agg.crossJoin(F.broadcast(floors))
+        j.groupBy("__doc")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__n") * c_t).cast("bigint")
+            .alias("target_hits"),
+            F.sum(F.col("__n") * c_r).cast("bigint").alias("raw_hits"),
+            F.sum(F.when(p_t.isNotNull(), lw)).alias("__lw_seen"),
+            F.sum(F.when(p_t.isNull(), F.col("__n").cast("double")))
+            .alias("__n_unseen"),
+            floor_t.alias("__ft"),
+            floor_r.alias("__fr"),
+        )
         .select(
             F.col("__doc").alias(id_col),
             "n_tokens", "target_hits", "raw_hits",
             (F.coalesce(F.col("__lw_seen"), F.lit(0.0))
-             + F.coalesce(
+             + F.when(F.col("__n_unseen").isNull(), F.lit(0.0))
+             .otherwise(
                  F.col("__n_unseen")
-                 * (F.log(F.col("__ft")) - F.log(F.col("__fr"))),
-                 F.lit(0.0))).alias("log_weight"),
+                 * (F.log(F.col("__ft")) - F.log(F.col("__fr")))))
+            .alias("log_weight"),
         )
     )

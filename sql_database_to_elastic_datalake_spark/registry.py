@@ -6268,6 +6268,69 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, f"slide_counts_{next(_STREAM_SEQ)}")
 
 
+@register(
+    "dsir_importance_weights",
+    # the oracle pins the EXACT integer cross-moments (n_tokens,
+    # target_hits, raw_hits) — log_weight stays out because libm ln is
+    # not bit-portable across engines (operators/dsir.py docstring);
+    # the moments are the sufficient statistics the log-weight derives
+    # from, so pinning them pins the model. Same analyzer fold and
+    # md5-bucket hash as the quality-classifier oracle.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang IS NOT DISTINCT FROM 'en' AS is_t,
+               CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                    % 4096 AS BIGINT) AS bucket
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(
+                           lower(replace(text, 'İ', 'i̇')),
+                           '[^0-9a-z]+'),
+                       t -> t <> '')) AS tok
+            FROM documents
+        )
+    ),
+    model AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_target,
+               CAST(COUNT(*) AS BIGINT) AS c_raw
+        FROM b GROUP BY bucket
+    ),
+    perdoc AS (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * c_target) AS BIGINT) AS target_hits,
+           CAST(SUM(n * c_raw) AS BIGINT) AS raw_hits
+    FROM perdoc JOIN model USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): score every raw-pool
+    document by how target-like its hashed-unigram profile is — the
+    standard pretraining data-selection stage between language-ID and
+    dedup. Target pool = ``lang == 'en'`` documents; raw pool = the
+    whole corpus (operators/dsir.py). Plan: ONE tokenize pass builds
+    the 4096-row bucket model (groupBy bounded by n_buckets), the
+    model broadcast-joins the per-(doc, bucket) counts, one doc-level
+    groupBy emits the exact integer cross-moments. Nothing quadratic,
+    nothing collects; the model is B rows however big the corpus."""
+    from sql_database_to_elastic_datalake_spark.operators.dsir import (
+        dsir_bucket_model,
+        dsir_doc_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = dsir_bucket_model(docs, F.col("lang").eqNullSafe("en"))
+    return dsir_doc_features(docs, model).select(
+        "doc_id", "n_tokens", "target_hits", "raw_hits")
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
 # the first 50 registered queries per round. With coverage debt converged in

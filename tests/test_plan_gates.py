@@ -410,6 +410,16 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"orders": (2, ["IsNotNull(o_orderdate)"])},
     ),
+    # r10: DSIR importance weights — the bucket model is ONE corpus
+    # scan (groupBy bounded by n_buckets + an unpartitioned window
+    # over the B-row frame), broadcast-joined to the per-(doc, bucket)
+    # counts; a sort-merge here would mean the B-row model stopped
+    # broadcasting, and a 4th shuffle would mean the model lineage
+    # started double-evaluating
+    "dsir_importance_weights": dict(
+        shuffles=3, smj_max=0, bhj_min=1, wgl=False,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
