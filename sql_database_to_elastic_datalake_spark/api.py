@@ -12,6 +12,7 @@ Endpoints covered (SURVEY.md §2.1 S5/S6, §2.9 I1, §2.8 Q1/Q2/Q4):
   POST /<entity>/sync               → resync_entity()    (I2)
   POST /search                      → search()          (Q1)
   POST /search/advanced             → advanced_search() (Q2)
+  POST /search/pit (+DELETE)        → open_pit()        (Q23, r10)
 
 We replicate the declared surface, not the reference's wiring bugs
 (several handlers there declare an ``es_client`` parameter Flask never
@@ -918,6 +919,107 @@ class LakeService:
         out["_scroll_id"] = base64.urlsafe_b64encode(
             _json.dumps(payload, default=_jsonable).encode()).decode()
         return out
+
+    def open_pit(self, table: str, keep_alive=None) -> dict:
+        """ES 8.x ``_pit`` open — the modern replacement for scroll
+        (Kibana Discover and ``helpers.scan``'s PIT path send
+        PIT + ``search_after``). STATELESS, like :meth:`scroll_search`:
+        the id is an opaque token encoding the resolved table, so any
+        node serves any page, nothing is held server-side, and
+        ``keep_alive`` is accepted-and-ignored (nothing to expire).
+
+        DOCUMENTED DIVERGENCE (same as scroll): ES's PIT pins a
+        point-in-time VIEW of the index — this engine's pages read the
+        live table, so a concurrent destructive refresh can shift rows
+        between pages. An index PATTERN resolves at open time to the
+        concrete table (ES resolves the index set at open too); a
+        pattern matching several tables is a named 400 — per-table
+        PITs compose, a cross-table cursor would re-merge every page.
+        A missing table is the route's 404, like ES."""
+        import base64
+        import fnmatch as _fn
+        import json as _json
+
+        if not isinstance(table, str) or not table:
+            raise DslError("pit requires a table")
+        if "*" in table or "?" in table:
+            names = sorted(
+                d for d in os.listdir(self.lake_dir)
+                if _fn.fnmatchcase(d, table)
+                and os.path.isdir(os.path.join(self.lake_dir, d))
+            )
+            if not names:
+                raise NotFoundError(f"no table matches {table!r}")
+            if len(names) > 1:
+                raise DslError(
+                    f"pit pattern {table!r} matches {len(names)} "
+                    "tables; open one pit per table (per-table drains "
+                    "compose; a cross-table cursor would re-merge "
+                    "every page)")
+            table = names[0]
+        elif not path_exists(self.spark,
+                             os.path.join(self.lake_dir, table)):
+            raise NotFoundError(f"no such table {table!r}")
+        token = base64.urlsafe_b64encode(_json.dumps(
+            {"v": 1, "pit": table}).encode()).decode()
+        return {"id": token}
+
+    def resolve_pit(self, pit: dict | str) -> str:
+        """The table a ``pit.id`` token names (malformed → named
+        400; the table may have been dropped since open → 404, the
+        closest analogue of ES's expired-context error)."""
+        import base64
+        import json as _json
+
+        pit_id = pit.get("id") if isinstance(pit, dict) else pit
+        if not isinstance(pit_id, str) or not pit_id:
+            raise DslError("pit requires an id")
+        try:
+            st = _json.loads(base64.urlsafe_b64decode(pit_id.encode()))
+            table = st["pit"]
+            if st.get("v") != 1 or not isinstance(table, str):
+                raise ValueError
+        except Exception:
+            raise DslError(
+                "malformed pit id (tokens are opaque — pass the id "
+                "returned by the _pit open verbatim)") from None
+        if not path_exists(self.spark,
+                           os.path.join(self.lake_dir, table)):
+            raise NotFoundError(
+                f"pit target table {table!r} no longer exists")
+        return table
+
+    def pit_total_sort(self, table: str, sort: list | None) -> list:
+        """The request sort totalized for PIT paging: ES appends an
+        implicit ``_shard_doc`` tiebreak to every PIT search — this
+        engine appends the table's atomic orderable tie-break columns
+        (the scroll convention), so consecutive ``search_after`` pages
+        can never overlap or gap whatever the caller sorts by."""
+        from pyspark.sql.types import ArrayType, BinaryType, StructType
+
+        from sql_database_to_elastic_datalake_spark.operators.similarity import (
+            tiebreak_columns,
+        )
+
+        df = self.spark.read.parquet(os.path.join(self.lake_dir, table))
+        clauses: list = []
+        seen: set[str] = set()
+        for s in sort or []:
+            f = s if isinstance(s, str) else next(iter(s))
+            if f in ("_doc", "_shard_doc"):
+                continue  # arbitrary order → the tie-break below
+            clauses.append({f: s[f]} if isinstance(s, dict)
+                           else {s: "asc"})
+            seen.add(f)
+        atomic = [
+            c for c in tiebreak_columns(df)
+            if not isinstance(df.schema[c].dataType,
+                              (ArrayType, StructType, BinaryType))
+        ]
+        clauses.extend({c: "asc"} for c in atomic if c not in seen)
+        if not clauses:
+            raise DslError("pit needs at least one sortable column")
+        return clauses
 
     def mget(
         self, table: str | None = None, ids: list | None = None,
@@ -2450,7 +2552,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "aggs", "aggregations", "_source", "highlight",
         "post_filter", "collapse", "track_total_hits", "fields",
         "suggest", "knn", "docvalue_fields", "scroll",
-        "runtime_mappings", "script_fields",
+        "runtime_mappings", "script_fields", "pit",
     }
 
     def _page_size(body):
@@ -2561,6 +2663,46 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     source=body.get("_source"),
                     aggs=body.get("aggs") or body.get("aggregations"),
                 ))), 200
+            except DslError as ex:
+                return jsonify({"error": str(ex)}), 400
+        if body.get("pit") is not None:
+            # ES 8.x PIT + search_after: the pit carries the index (no
+            # index in the path → no "table" key), the caller manages
+            # the search_after cursor from each page's last hit. The
+            # sort is totalized with the table's tie-break columns
+            # (ES's implicit _shard_doc equivalent).
+            if body.get("table"):
+                return jsonify({"error":
+                                "pit is not supported with table "
+                                "(the pit id carries the table, like "
+                                "ES's no-index-in-path rule)"}), 400
+            for bad in ("from", "collapse", "knn"):
+                if body.get(bad):
+                    return jsonify({"error":
+                                    f"pit is not supported with "
+                                    f"{bad} (use search_after "
+                                    "paging)"}), 400
+            try:
+                table = service.resolve_pit(body["pit"])
+                out = service.advanced_search(
+                    table, body.get("query", {"match_all": {}}), k=k,
+                    aggs=body.get("aggs") or body.get("aggregations"),
+                    sort=service.pit_total_sort(
+                        table, body.get("sort")),
+                    search_after=body.get("search_after"),
+                    source=body.get("_source"),
+                    track_total_hits=body.get("track_total_hits"),
+                    runtime_mappings=body.get("runtime_mappings"),
+                    script_fields=body.get("script_fields"),
+                )
+                # ES returns the (possibly refreshed) pit_id on every
+                # page; stateless tokens never change
+                pid = body["pit"]
+                out["pit_id"] = (pid.get("id")
+                                 if isinstance(pid, dict) else pid)
+                return jsonify(_wire_envelope(out)), 200
+            except NotFoundError as ex:
+                return jsonify({"error": str(ex)}), 404
             except DslError as ex:
                 return jsonify({"error": str(ex)}), 400
         try:
@@ -2815,6 +2957,34 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     def scroll_clear():
         # ES frees server-side contexts here; stateless tokens hold
         # no server state, so clearing always succeeds
+        return jsonify({"succeeded": True, "num_freed": 0}), 200
+
+    @app.route("/search/pit", methods=["POST"])
+    def pit_open():
+        """ES ``POST /<index>/_pit``: mint a point-in-time id
+        (open_pit docs — stateless token; keep_alive accepted and
+        ignored). Body/query: {"table": ..., "keep_alive": ...}."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True, silent=True) or {}
+        unknown = sorted(set(body) - {"table", "index", "keep_alive"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported pit keys: {unknown}"}), 400
+        table = (body.get("table") or body.get("index")
+                 or request.args.get("table"))
+        try:
+            return jsonify(service.open_pit(
+                table, keep_alive=body.get("keep_alive"))), 200
+        except NotFoundError as ex:
+            return jsonify({"error": str(ex)}), 404
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/pit", methods=["DELETE"])
+    def pit_close():
+        # ES frees the reader contexts here; stateless tokens hold no
+        # server state, so closing always succeeds (like scroll clear)
         return jsonify({"succeeded": True, "num_freed": 0}), 200
 
     return app

@@ -3186,6 +3186,47 @@ def search_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_pit_page",
+    # the oracle is the FULL matched set (the scroll-drain convention):
+    # a PIT + search_after drain that overlaps or gaps between pages
+    # cannot reproduce it — the strongest page-boundary check there is
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE n_chars >= 100
+    """,
+)
+def search_pit_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x ``pit`` + ``search_after`` drain (r10): the modern
+    deep-pagination idiom Kibana Discover and ``helpers.scan`` send
+    where old clients sent scroll. The pit id is a stateless token
+    naming the table (api.py:open_pit — the no-snapshot divergence is
+    documented there); the request sort is totalized with the table's
+    tie-break columns (ES's implicit ``_shard_doc`` equivalent), and
+    the caller pages by passing each page's last ``sort`` tuple as
+    ``search_after``. Each page is ONE TakeOrdered whose cursor
+    predicate prunes at the parquet scan — page N of a huge table
+    reads less than page 1."""
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, sf_dir)
+    pit = svc.open_pit("documents.parquet")
+    table = svc.resolve_pit(pit)
+    sort = svc.pit_total_sort(table, [{"n_chars": "desc"}])
+    rows: list[tuple] = []
+    after = None
+    while True:
+        out = svc.advanced_search(
+            table, {"range": {"n_chars": {"gte": 100}}},
+            k=150, sort=sort, search_after=after)
+        hits = out["hits"]["hits"]
+        if not hits:
+            break
+        rows += [(h["_source"]["doc_id"], h["_source"]["n_chars"])
+                 for h in hits]
+        after = hits[-1]["sort"]
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+@register(
     "search_dsl_function_score",
     # every op is IEEE-exact cross-engine (sqrt is correctly rounded
     # by spec; +-*/ are exact-rounded) — the gauss/exp/log tiers run

@@ -1325,6 +1325,103 @@ def test_scroll_date_sort_cursor(client, service, spark):
     assert len(seen) == len(set(seen))
 
 
+def test_pit_search_after_drain(client, service, spark):
+    """r10: ES 8.x PIT + search_after — the modern helpers.scan /
+    Kibana Discover pagination. Full-drain parity with scroll: same
+    rows, no overlap, no gap; the pit id is a stateless token; named
+    errors for the unsupported combinations."""
+    spark.createDataFrame(
+        [(i, f"doc {i}", i % 5) for i in range(43)],
+        "id long, txt string, grp long",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_pit"))
+    # open: keep_alive accepted-and-ignored
+    r = client.post("/search/pit", data=json.dumps(
+        {"table": "data_lake_pit", "keep_alive": "1m"}),
+        content_type="application/json")
+    assert r.status_code == 200
+    pit_id = r.get_json()["id"]
+    assert isinstance(pit_id, str) and pit_id
+
+    def drain(sort):
+        got, after, pages = [], None, 0
+        while True:
+            body = {"pit": {"id": pit_id, "keep_alive": "1m"},
+                    "size": 10, "query":
+                    {"range": {"id": {"gte": 3}}}}
+            if sort:
+                body["sort"] = sort
+            if after is not None:
+                body["search_after"] = after
+            r = client.post("/search/advanced", data=json.dumps(body),
+                            content_type="application/json")
+            assert r.status_code == 200
+            out = r.get_json()
+            assert out["pit_id"] == pit_id  # echoed on every page
+            hits = out["hits"]["hits"]
+            if not hits:
+                return got
+            got += [h["_source"]["id"] for h in hits]
+            after = hits[-1]["sort"]
+            pages += 1
+            assert pages < 10
+
+    # no sort: the tie-break total order alone drains completely
+    seen = drain(None)
+    assert sorted(seen) == list(range(3, 43))
+    assert len(seen) == len(set(seen))
+    # a user sort is honored and the appended tie-breaks totalize it
+    seen = drain([{"grp": "desc"}])
+    assert len(seen) == 40 and len(set(seen)) == 40
+    # scroll drains the same query to the same row set
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_pit", "scroll": "1m", "size": 10,
+        "query": {"range": {"id": {"gte": 3}}}}),
+        content_type="application/json")
+    body = r.get_json()
+    via_scroll: list[int] = []
+    while body["hits"]["hits"]:
+        via_scroll += [h["_source"]["id"] for h in body["hits"]["hits"]]
+        body = client.post("/search/scroll", data=json.dumps(
+            {"scroll_id": body["_scroll_id"]}),
+            content_type="application/json").get_json()
+    assert sorted(via_scroll) == sorted(seen)
+    # close: stateless → always succeeds
+    r = client.delete("/search/pit")
+    assert r.get_json() == {"succeeded": True, "num_freed": 0}
+    # named errors: missing table 404, multi-match pattern 400,
+    # malformed id 400, pit+table 400, pit+from 400
+    assert client.post("/search/pit", data=json.dumps(
+        {"table": "data_lake_nope"}),
+        content_type="application/json").status_code == 404
+    spark.createDataFrame([(1,)], "id long").write.parquet(
+        os.path.join(service.lake_dir, "data_lake_pit2"))
+    r = client.post("/search/pit", data=json.dumps(
+        {"table": "data_lake_pit*"}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "one pit per table" in r.get_json()["error"]
+    # a single-match pattern resolves at open time, like ES
+    r = client.post("/search/pit", data=json.dumps(
+        {"table": "data_lake_pit2*"}),
+        content_type="application/json")
+    assert r.status_code == 200
+    r = client.post("/search/advanced", data=json.dumps(
+        {"pit": {"id": "garbage"}, "query": {"match_all": {}}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "malformed pit id" in r.get_json()["error"]
+    r = client.post("/search/advanced", data=json.dumps(
+        {"pit": {"id": pit_id}, "table": "data_lake_pit"}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "pit is not supported with table" in r.get_json()["error"]
+    r = client.post("/search/advanced", data=json.dumps(
+        {"pit": {"id": pit_id}, "from": 5}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "pit is not supported with from" in r.get_json()["error"]
+
+
 def test_more_like_this_doc_resolution(service, spark):
     """r9: like-by-document entries resolve at the API layer — one
     point lookup per referenced doc, absent docs ignored, the
