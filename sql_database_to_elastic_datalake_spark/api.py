@@ -757,9 +757,16 @@ class LakeService:
                 from sql_database_to_elastic_datalake_spark.plans.es_aggs \
                     import run_aggs
 
+                # the scored set's exact membership predicate (pred +
+                # non-null score + min_score) so significant_text can
+                # flag the foreground inside one background scan
+                fgp = pred & score.isNotNull()
+                if ms is not None:
+                    fgp = fgp & (score >= F.lit(ms))
                 aggregations = run_aggs(
                     scored.drop("_score"), aggs,
-                    schema_fields=df.columns, background=df)
+                    schema_fields=df.columns, background=df,
+                    background_pred=fgp)
             if suggest:
                 suggestions = _run_suggest(df, suggest)
             if post_filter is not None:
@@ -1643,7 +1650,8 @@ class LakeService:
 
                 aggregations = run_aggs(matched, aggs,
                                         schema_fields=df.columns,
-                                        background=df)
+                                        background=df,
+                                        background_pred=pred)
             if suggest:
                 # ES computes suggestions against the INDEX, not the
                 # query's match set — pass the unfiltered table

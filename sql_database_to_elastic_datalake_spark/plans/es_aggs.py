@@ -154,6 +154,12 @@ _AGG_BODY_KEYS = {
     "top_hits": {"size", "sort", "_source"},
     "significant_terms": {"field", "size", "min_doc_count",
                           "shard_size", "shard_min_doc_count"},
+    # r10: the text twin — same JLH scoring over TOKENS of an
+    # analyzed field (doc frequency: each doc counts once per
+    # distinct token). filter_duplicate_text (ES's near-dup text
+    # suppression) is a named 400, not a silent drop.
+    "significant_text": {"field", "size", "min_doc_count",
+                         "shard_size", "shard_min_doc_count"},
     # r7 bucket additions. multi_terms is Kibana Lens's "top values of
     # multiple fields"; rare_terms the long-tail panel (exact here —
     # ES's CuckooFilter approximation is a documented divergence,
@@ -2785,6 +2791,67 @@ def significant_terms_frame(
     )
 
 
+def significant_text_frame(
+    bg: DataFrame, fg_pred: Column, body: dict
+) -> DataFrame:
+    """ES ``significant_text``: tokens overrepresented in the query
+    scope relative to the whole index — Kibana's text-analytics twin
+    of ``significant_terms``, scored with the same exact JLH
+    heuristic ``(fg% − bg%) · (fg% / bg%)``.
+
+    Counting is DOC FREQUENCY like ES (each doc contributes once per
+    distinct token — ``array_distinct`` before the explode), and both
+    scopes ride ONE tokenized scan: the background table is tokenized
+    once with the foreground predicate as a flag column, so the
+    groupBy(token) emits the fg count (conditional sum) and the bg
+    count (plain count) together — the foreground is never re-scanned
+    and the tokenizer (the expensive part) runs once. The doc totals
+    are a second, tokenizer-free count-only pass. No UDF anywhere:
+    split/filter/array_distinct/explode are native expressions.
+    ``min_doc_count`` defaults to 3 like ES."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        TOKEN_SPLIT_LOWER_RE,
+    )
+
+    check_agg_keys("significant_text", body)
+    field = body.get("field")
+    if field is None:
+        raise DslError("significant_text requires a field")
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.col(field).cast("string")),
+                TOKEN_SPLIT_LOWER_RE),
+        lambda t: t != ""))
+    flag = F.coalesce(fg_pred, F.lit(False))
+    counts = (
+        bg.select(flag.alias("__fg"), F.explode(toks).alias("key"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("__fg"), 1).otherwise(0))
+            .cast("bigint").alias("doc_count"),
+            F.count(F.lit(1)).cast("bigint").alias("bg_count"),
+        )
+    )
+    totals = bg.agg(
+        F.sum(F.when(flag, 1).otherwise(0))
+        .cast("double").alias("ft"),
+        F.count(F.lit(1)).cast("double").alias("bt"),
+    )
+    fg_pct = F.col("doc_count").cast("double") / F.col("ft")
+    bg_pct = F.col("bg_count").cast("double") / F.col("bt")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter((F.col("doc_count") >= min_dc) & (fg_pct > bg_pct))
+        .select(
+            "key", "doc_count", "bg_count",
+            ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def filters_frame(
     df: DataFrame,
     body: dict,
@@ -3311,6 +3378,7 @@ def run_aggs(
     aggs: dict,
     schema_fields: list[str] | None = None,
     background: DataFrame | None = None,
+    background_pred: Column | None = None,
 ) -> dict:
     """Execute an ES ``aggs`` section and assemble the documented
     response envelope: ``{name: {"buckets": [...]}}`` for bucket aggs,
@@ -3318,7 +3386,10 @@ def run_aggs(
 
     ``background`` is the UNFILTERED table — ``significant_terms``
     contrasts the matched scope against it (the API layer passes the
-    table's full DataFrame)."""
+    table's full DataFrame). ``background_pred`` is the predicate
+    that produced ``df`` FROM ``background`` — ``significant_text``
+    needs it to count both scopes in one tokenized scan (a flag
+    column beats re-tokenizing the foreground)."""
     if not isinstance(aggs, dict):
         raise DslError("aggs must be an object")
     out: dict[str, Any] = {}
@@ -3890,6 +3961,32 @@ def run_aggs(
                     "/search/advanced, which passes it)"
                 )
             rows = significant_terms_frame(df, background, body).collect()
+            out[name] = {
+                "doc_count": df.count(),
+                "bg_count": background.count(),
+                "buckets": [
+                    {"key": _key_envelope(r["key"]),
+                     "doc_count": r["doc_count"],
+                     "bg_count": r["bg_count"],
+                     "score": r["score"]}
+                    for r in rows
+                ],
+            }
+        elif kind == "significant_text":
+            if sub:
+                raise DslError(
+                    "sub-aggregations under significant_text are not "
+                    "supported"
+                )
+            if background is None or background_pred is None:
+                raise DslError(
+                    "significant_text needs the background set and "
+                    "the query predicate — this entry point has no "
+                    "table context (use /search/advanced, which "
+                    "passes both)"
+                )
+            rows = significant_text_frame(
+                background, background_pred, body).collect()
             out[name] = {
                 "doc_count": df.count(),
                 "bg_count": background.count(),

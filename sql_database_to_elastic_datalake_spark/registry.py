@@ -2610,6 +2610,65 @@ def search_aggs_significant_terms(
 
 
 @register(
+    "search_aggs_significant_text",
+    # same bit-identical JLH expression tree as significant_terms,
+    # over TOKENS: doc frequency via list_distinct before the unnest
+    # (each doc counts once per distinct token), the engine's shared
+    # analyzer fold (lower + split on the one token class)
+    oracle="""
+    WITH tok AS (
+        SELECT lang IS NOT DISTINCT FROM 'en' AS is_t,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(
+                       lower(replace(text, 'İ', 'i̇')),
+                       '[^0-9a-z]+'),
+                   t -> t <> ''))) AS key
+        FROM documents
+    ),
+    c AS (
+        SELECT key,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doc_count,
+               CAST(COUNT(*) AS BIGINT) AS bg_count
+        FROM tok GROUP BY key
+    ),
+    tot AS (SELECT
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents
+         WHERE lang IS NOT DISTINCT FROM 'en') AS ft,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS bt)
+    SELECT key, doc_count, bg_count,
+           ((CAST(doc_count AS DOUBLE)/ft - CAST(bg_count AS DOUBLE)/bt)
+            * ((CAST(doc_count AS DOUBLE)/ft)
+               / (CAST(bg_count AS DOUBLE)/bt))) AS score
+    FROM c, tot
+    WHERE doc_count >= 3
+      AND CAST(doc_count AS DOUBLE)/ft > CAST(bg_count AS DOUBLE)/bt
+    ORDER BY score DESC, key LIMIT 10
+    """,
+)
+def search_aggs_significant_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``significant_text`` (r10): tokens overrepresented among
+    English documents vs the whole corpus — Kibana's text-analytics
+    twin of ``significant_terms``, same exact JLH scoring, doc
+    frequency per ES (array_distinct before the explode). Both scopes
+    ride ONE tokenized scan: the foreground predicate is a flag
+    column on the background tokenize, so the expensive part
+    (tokenization) runs once (plans/es_aggs.py:
+    significant_text_frame); no UDF anywhere."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        significant_text_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return significant_text_frame(
+        docs, F.col("lang").eqNullSafe("en"),
+        {"field": "text", "size": 10, "min_doc_count": 3},
+    )
+
+
+@register(
     "search_aggs_histogram_gaps",
     # generate_series mirrors the in-plan sequence(); the sparse
     # predicate (event_id % 997) guarantees observable gaps at small

@@ -777,6 +777,86 @@ def test_significant_terms_envelope(docs):
             background=docs)
 
 
+def test_significant_text_envelope(spark):
+    """r10: significant_text — JLH over TOKENS with doc frequency
+    (each doc counts once per distinct token), both scopes in one
+    tokenized scan via the foreground flag."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([
+        (1, "en", "spark spark engine"),   # 'spark' counts ONCE here
+        (2, "en", "spark cluster"),
+        (3, "de", "engine cluster motor"),
+        (4, "de", "der motor"),
+        (5, "fr", None),                   # null text: totals only
+    ], "doc_id long, lang string, text string")
+    fg = df.filter("lang = 'en'")
+    out = run_aggs(
+        fg, {"sig": {"significant_text": {
+            "field": "text", "min_doc_count": 1}}},
+        background=df, background_pred=F.col("lang") == "en")
+    env = out["sig"]
+    assert env["doc_count"] == 2 and env["bg_count"] == 5
+    buckets = {b["key"]: b for b in env["buckets"]}
+    # spark: fg 2/2 vs bg 2/5 — doc frequency, not term frequency
+    assert buckets["spark"]["doc_count"] == 2
+    assert buckets["spark"]["bg_count"] == 2
+    fg_pct, bg_pct = 2 / 2, 2 / 5
+    assert buckets["spark"]["score"] == pytest.approx(
+        (fg_pct - bg_pct) * (fg_pct / bg_pct))
+    # top score first; fg-absent tokens never qualify
+    assert env["buckets"][0]["key"] == "spark"
+    assert "der" not in buckets and "motor" not in buckets
+    # no background context → named error
+    with pytest.raises(DslError, match="background"):
+        run_aggs(fg, {"sig": {"significant_text": {"field": "text"}}},
+                 background=df)
+    # result-changing unknown options → named 400
+    with pytest.raises(DslError, match="filter_duplicate_text"):
+        run_aggs(fg, {"sig": {"significant_text": {
+            "field": "text", "filter_duplicate_text": True}}},
+            background=df, background_pred=F.col("lang") == "en")
+    with pytest.raises(DslError, match="sub-aggregations"):
+        run_aggs(fg, {"sig": {"significant_text": {"field": "text"},
+                              "aggs": {"m": {"avg": {
+                                  "field": "doc_id"}}}}},
+                 background=df, background_pred=F.col("lang") == "en")
+
+
+def test_significant_text_via_advanced_search(spark, tmp_path):
+    import json
+
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import (
+        LakeService,
+        create_app,
+    )
+
+    service = LakeService(spark, str(tmp_path))
+    spark.createDataFrame([
+        (1, "infra", "spark cluster tuning"),
+        (2, "infra", "spark shuffle tuning"),
+        (3, "app", "frontend forms"),
+        (4, "app", "frontend routing"),
+    ], "id long, topic string, body string").write.parquet(
+        str(tmp_path / "data_lake_note"))
+    app = create_app(service)
+    app.testing = True
+    c = app.test_client()
+    r = c.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_note",
+        "query": {"term": {"topic": "infra"}},
+        "aggs": {"sig": {"significant_text": {
+            "field": "body", "min_doc_count": 1}}},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    env = r.get_json()["aggregations"]["sig"]
+    keys = [b["key"] for b in env["buckets"]]
+    # infra-only tokens qualify; shared/absent ones don't
+    assert "spark" in keys and "tuning" in keys
+    assert "frontend" not in keys
+
+
 def test_significant_terms_via_advanced_search(spark, tmp_path):
     import json
 

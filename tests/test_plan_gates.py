@@ -410,6 +410,15 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"orders": (2, ["IsNotNull(o_orderdate)"])},
     ),
+    # r10: significant_text — BOTH scopes ride one tokenized scan
+    # (the fg predicate is a flag column on the background tokenize);
+    # the second scan is the count-only totals pass (1 col, no
+    # tokenizer). A third scan would mean the foreground started
+    # re-tokenizing.
+    "search_aggs_significant_text": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (2, [])},
+    ),
     # r10: DSIR importance weights — the bucket model is ONE corpus
     # scan (groupBy bounded by n_buckets + an unpartitioned window
     # over the B-row frame), broadcast-joined to the per-(doc, bucket)
