@@ -160,6 +160,12 @@ _AGG_BODY_KEYS = {
     # suppression) is a named 400, not a silent drop.
     "significant_text": {"field", "size", "min_doc_count",
                          "shard_size", "shard_min_doc_count"},
+    # r10: the cost-bounding wrappers around significant_*/terms on
+    # big indices. execution_hint is a non-result-changing hint in ES
+    # — accepted-and-ignored.
+    "sampler": {"shard_size"},
+    "diversified_sampler": {"shard_size", "field",
+                            "max_docs_per_value", "execution_hint"},
     # r7 bucket additions. multi_terms is Kibana Lens's "top values of
     # multiple fields"; rare_terms the long-tail panel (exact here —
     # ES's CuckooFilter approximation is a documented divergence,
@@ -913,6 +919,11 @@ def multi_terms_frame(
 #: can legitimately return many buckets; past this the request must
 #: narrow (named error, never a silent truncation or a driver OOM)
 _RARE_TERMS_BUDGET = 100_000
+
+#: sampler/diversified_sampler shard_size bound: the sample is
+#: materialized driver-side (one collect), which is the agg's whole
+#: point — a sample past this must narrow (named error)
+_SAMPLER_BUDGET = 100_000
 
 
 def rare_terms_frame(df: DataFrame, body: dict) -> DataFrame:
@@ -2852,6 +2863,77 @@ def significant_text_frame(
     )
 
 
+def sampler_scope(
+    df: DataFrame, body: dict, diversified: bool = False
+) -> DataFrame:
+    """The sampled scope for ``sampler`` / ``diversified_sampler`` —
+    ES's cost-bounding wrapper around ``significant_*``/``terms`` on
+    big indices: sub-aggs see at most ``shard_size`` docs.
+
+    DOCUMENTED DIVERGENCE: ES keeps the top-SCORING ``shard_size``
+    docs per shard; this engine's filter context is score-free and
+    shard counts are an execution detail, so the sample is the
+    ``shard_size`` docs with the smallest md5 of the table's lead
+    tie-break column (the :func:`deterministic_sample` convention) —
+    deterministic across engines, runs, and repartitioning, which ES's
+    per-shard sample is not. The plan is one TakeOrdered of
+    ``shard_size`` rows — the sample is bounded however big the
+    corpus, which is the whole point of the agg.
+
+    ``diversified_sampler`` adds ``field`` + ``max_docs_per_value``
+    (default 1, like ES): a window row_number per field value keeps
+    the cap BEFORE the TakeOrdered; docs with a null field value
+    bypass the cap (no value to deduplicate on).
+
+    The sample is MATERIALIZED as a local relation (one collect of
+    ≤ shard_size rows — ES buffers its sample in memory per shard the
+    same way, BestDocsDeferringCollector), so however many sub-aggs
+    consume it, the corpus is scanned exactly once; ``shard_size`` is
+    budget-capped like the other driver-side envelopes."""
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        tiebreak_columns,
+    )
+
+    kind = "diversified_sampler" if diversified else "sampler"
+    check_agg_keys(kind, body)
+    shard_size = body.get("shard_size", 100)
+    if not isinstance(shard_size, int) or isinstance(shard_size, bool) \
+            or shard_size <= 0:
+        raise DslError(f"{kind} shard_size must be a positive integer")
+    if shard_size > _SAMPLER_BUDGET:
+        raise DslError(
+            f"{kind} shard_size {shard_size} exceeds the "
+            f"{_SAMPLER_BUDGET} budget (the agg exists to bound "
+            "sub-agg cost; raise the budget deliberately, not the "
+            "sample)")
+    keys = tiebreak_columns(df)
+    if not keys:
+        raise DslError(f"{kind} needs an orderable column")
+    rank = F.md5(F.col(keys[0]).cast("string"))
+    scoped = df
+    if diversified:
+        field = body.get("field")
+        if field is None:
+            raise DslError("diversified_sampler requires a field")
+        m = body.get("max_docs_per_value", 1)
+        if not isinstance(m, int) or isinstance(m, bool) or m <= 0:
+            raise DslError(
+                "diversified_sampler max_docs_per_value must be a "
+                "positive integer")
+        from pyspark.sql.window import Window
+
+        w = (Window.partitionBy(F.col(field))
+             .orderBy(rank.asc(), F.col(keys[0]).asc()))
+        scoped = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col(field).isNull() | (F.col("__rn") <= m))
+            .drop("__rn")
+        )
+    page = scoped.orderBy(rank.asc(), F.col(keys[0]).asc()) \
+        .limit(int(shard_size))
+    return df.sparkSession.createDataFrame(page.collect(), page.schema)
+
+
 def filters_frame(
     df: DataFrame,
     body: dict,
@@ -3830,6 +3912,21 @@ def run_aggs(
                                      schema_fields=schema_fields,
                                      background=background))
             out[name] = genv
+        elif kind in ("sampler", "diversified_sampler"):
+            # the cost-bounding wrapper: sub-aggs see at most
+            # shard_size docs of the query scope (sampler_scope —
+            # the deterministic-hash divergence is documented there).
+            # significant_text under a sampler has no flag-predicate
+            # for its one-scan foreground (sample membership is
+            # rank-based), so its branch raises its named 400.
+            scoped = sampler_scope(
+                df, body, diversified=kind == "diversified_sampler")
+            senv: dict[str, Any] = {"doc_count": scoped.count()}
+            if sub:
+                senv.update(run_aggs(scoped, sub,
+                                     schema_fields=schema_fields,
+                                     background=background))
+            out[name] = senv
         elif kind == "adjacency_matrix":
             # pairwise filter intersections (the Kibana graph panel):
             # N(N+1)/2 conditional aggregates in ONE job — the same

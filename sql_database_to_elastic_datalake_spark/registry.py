@@ -2669,6 +2669,62 @@ def search_aggs_significant_text(
 
 
 @register(
+    "search_aggs_sampler_significant",
+    # the sample is the shard_size docs with the smallest md5(doc_id)
+    # (deterministic_sample convention) — exactly reproducible in SQL,
+    # unlike ES's per-shard top-scoring sample; the JLH tree is the
+    # bit-identical shared expression
+    oracle="""
+    WITH s AS (
+        SELECT * FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 200
+    ),
+    fg AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM s WHERE source IS NOT NULL GROUP BY 1
+    ),
+    bg AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS bg_count
+        FROM documents WHERE source IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM s) AS ft,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS bt)
+    SELECT key, doc_count, bg_count,
+           ((CAST(doc_count AS DOUBLE)/ft - CAST(bg_count AS DOUBLE)/bt)
+            * ((CAST(doc_count AS DOUBLE)/ft)
+               / (CAST(bg_count AS DOUBLE)/bt))) AS score
+    FROM fg JOIN bg USING (key), tot
+    WHERE doc_count >= 2
+      AND CAST(doc_count AS DOUBLE)/ft > CAST(bg_count AS DOUBLE)/bt
+    ORDER BY score DESC, key LIMIT 5
+    """,
+)
+def search_aggs_sampler_significant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``sampler`` wrapping ``significant_terms`` (r10): the
+    standard cost-bounding idiom on big indices — sub-aggs see at
+    most ``shard_size`` docs. The sample is ONE TakeOrdered of 200
+    rows over md5(doc_id) (plans/es_aggs.py:sampler_scope — the
+    deterministic-hash divergence from ES's per-shard top-scoring
+    sample is documented there), so the wrapped agg's cost is bounded
+    however big the corpus."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        sampler_scope,
+        significant_terms_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampler_scope(docs, {"shard_size": 200})
+    return significant_terms_frame(
+        sampled, docs,
+        {"field": "source", "size": 5, "min_doc_count": 2},
+    )
+
+
+@register(
     "search_aggs_histogram_gaps",
     # generate_series mirrors the in-plan sequence(); the sparse
     # predicate (event_id % 997) guarantees observable gaps at small

@@ -857,6 +857,68 @@ def test_significant_text_via_advanced_search(spark, tmp_path):
     assert "frontend" not in keys
 
 
+def test_sampler_and_diversified(spark):
+    """r10: sampler / diversified_sampler — sub-aggs see at most
+    shard_size docs, picked deterministically by md5 of the lead
+    tie-break column (the documented divergence from ES's per-shard
+    top-scoring sample)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, ["red", "blue", "green"][i % 3], i * 10)
+         for i in range(30)] + [(99, None, 990)],
+        "id long, color string, v long")
+    out = run_aggs(df, {"s": {
+        "sampler": {"shard_size": 8},
+        "aggs": {"avg_v": {"avg": {"field": "v"}},
+                 "colors": {"terms": {"field": "color", "size": 5,
+                                      "min_doc_count": 1}}},
+    }})
+    env = out["s"]
+    assert env["doc_count"] == 8
+    # the sample is exactly the 8 ids with the smallest md5(id)
+    ids = sorted(range(30), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = sorted([*ids[:8], 99], key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))[:8]
+    assert env["avg_v"]["value"] == pytest.approx(
+        sum(i * 10 for i in want) / 8)
+    assert sum(b["doc_count"] for b in env["colors"]["buckets"]) \
+        == len([i for i in want if i != 99])
+    # deterministic: the same call replays bit-identically
+    again = run_aggs(df, {"s": {
+        "sampler": {"shard_size": 8},
+        "aggs": {"avg_v": {"avg": {"field": "v"}}}}})
+    assert again["s"]["avg_v"]["value"] == env["avg_v"]["value"]
+    # diversified: at most max_docs_per_value per color; the null
+    # color bypasses the cap (no value to deduplicate on)
+    out = run_aggs(df, {"s": {
+        "diversified_sampler": {"shard_size": 10, "field": "color",
+                                "max_docs_per_value": 2,
+                                "execution_hint": "map"},
+        "aggs": {"colors": {"terms": {"field": "color", "size": 5,
+                                      "min_doc_count": 1}}},
+    }})
+    buckets = out["s"]["colors"]["buckets"]
+    assert buckets and all(b["doc_count"] <= 2 for b in buckets)
+    assert out["s"]["doc_count"] <= 10
+    # shard_size caps the whole sample even when the corpus is larger
+    out = run_aggs(df, {"s": {"sampler": {"shard_size": 5}}})
+    assert out["s"]["doc_count"] == 5
+    # named 400s
+    with pytest.raises(DslError, match="shard_size"):
+        run_aggs(df, {"s": {"sampler": {"shard_size": 0}}})
+    with pytest.raises(DslError, match="requires a field"):
+        run_aggs(df, {"s": {"diversified_sampler": {"shard_size": 5}}})
+    with pytest.raises(DslError, match="max_docs_per_value"):
+        run_aggs(df, {"s": {"diversified_sampler": {
+            "shard_size": 5, "field": "color",
+            "max_docs_per_value": 0}}})
+    with pytest.raises(DslError, match="unsupported"):
+        run_aggs(df, {"s": {"sampler": {"shard_size": 5,
+                                        "max_docs_per_value": 2}}})
+
+
 def test_significant_terms_via_advanced_search(spark, tmp_path):
     import json
 

@@ -419,6 +419,15 @@ GATES = {
         shuffles=2, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # r10: sampler > significant_terms — the sample is materialized
+    # (one eager TakeOrdered of shard_size rows, not in this plan);
+    # the returned plan touches the corpus only for the background
+    # term counts (pruned 1-col scan, pushed not-null) and the bg
+    # total (0-col count)
+    "search_aggs_sampler_significant": dict(
+        shuffles=4, smj_max=0, bhj_min=2, wgl=False,
+        scans={"documents": (1, ["IsNotNull(source)"])},
+    ),
     # r10: DSIR importance weights — the bucket model is ONE corpus
     # scan (groupBy bounded by n_buckets + an unpartitioned window
     # over the B-row frame), broadcast-joined to the per-(doc, bucket)
