@@ -1940,11 +1940,12 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                     f"{sorted(set(kinds) - {'completion'})}")
             body = spec["completion"]
             unknown = sorted(set(body) - {
-                "field", "size", "skip_duplicates", "analyzer"})
+                "field", "size", "skip_duplicates", "analyzer",
+                "fuzzy"})
             if unknown:
                 raise DslError(
                     f"unsupported completion suggester options: "
-                    f"{unknown} (fuzzy/regex completion need the "
+                    f"{unknown} (regex completion needs the "
                     "index-side FST)")
             if spec.get("regex") is not None:
                 raise DslError(
@@ -1968,7 +1969,8 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                     {"text": r["value"], "_score": float(r["freq"])}
                     for r in suggest_completion(
                         df, field, prefix,
-                        size=int(body.get("size", 5))).collect()
+                        size=int(body.get("size", 5)),
+                        fuzzy=body.get("fuzzy")).collect()
                 ]
             out[name] = [{
                 "text": prefix, "offset": 0, "length": len(prefix),

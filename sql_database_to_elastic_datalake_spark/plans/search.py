@@ -750,6 +750,7 @@ def suggest_completion(
     prefix: str,
     size: int = 5,
     case_insensitive: bool = True,
+    fuzzy: dict | bool | None = None,
 ) -> DataFrame:
     """The ES *completion suggester* re-expressed lake-side (r9):
     distinct VALUES of the field starting with the prefix, ranked by
@@ -762,18 +763,91 @@ def suggest_completion(
     order, which is not reproducible anyway). The lookup itself —
     prefix-match over the value dictionary — is the same contract.
 
+    ``fuzzy`` (r10) is ES's typo-tolerant mode: a value matches when
+    its leading characters are within ``fuzziness`` edits of the
+    typed prefix. Options mirror ES: ``fuzziness`` (int or "AUTO" —
+    0 edits under 3 chars, 1 under 6, 2 beyond), ``prefix_length``
+    (exact leading chars, default 1), ``min_length`` (inputs shorter
+    than this get no fuzz, default 3), ``transpositions`` /
+    ``unicode_aware`` accepted-and-documented: plain Levenshtein
+    counts a transposition as 2 edits (no Damerau in either engine's
+    built-in), the one scoring divergence from ES's FST walk. Edit
+    distance runs ONCE PER DISTINCT VALUE (after the groupBy, inside
+    the pushdown-friendly ``prefix_length`` pre-filter) with the
+    threshold form, and alignment tries every leading-window length
+    in ``len(prefix) ± fuzziness`` so boundary insertions/deletions
+    match like the FST's.
+
     Plan: prefix filter pushed to the scan (StartsWith), one groupBy
     on the value, TakeOrdered(size). Dictionary-groupBy-bounded like
     the other suggesters."""
     c = F.col(field).cast("string")
+    p = str(prefix)
+    val = F.lower(c) if case_insensitive else c
     if case_insensitive:
-        pred = F.lower(c).startswith(str(prefix).lower())
+        p = p.lower()
+    if fuzzy is None or fuzzy is False:
+        grouped = (
+            df.filter(c.isNotNull() & val.startswith(p))
+            .groupBy(c.alias("value"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
     else:
-        pred = c.startswith(str(prefix))
+        fz = {} if fuzzy is True else fuzzy
+        if not isinstance(fz, dict):
+            raise DslError(
+                "completion fuzzy must be true or an options object")
+        unknown = sorted(set(fz) - {
+            "fuzziness", "prefix_length", "min_length",
+            "transpositions", "unicode_aware"})
+        if unknown:
+            raise DslError(
+                f"unsupported completion fuzzy options: {unknown}")
+        fuzziness = fz.get("fuzziness", "AUTO")
+        if isinstance(fuzziness, str) and fuzziness.upper() == "AUTO":
+            f_edits = 0 if len(p) < 3 else (1 if len(p) < 6 else 2)
+        elif isinstance(fuzziness, int) \
+                and not isinstance(fuzziness, bool) \
+                and 0 <= fuzziness <= 2:
+            f_edits = fuzziness
+        else:
+            raise DslError(
+                f"malformed fuzziness {fuzziness!r} (0, 1, 2 or "
+                "\"AUTO\")")
+        pl = fz.get("prefix_length", 1)
+        if not isinstance(pl, int) or isinstance(pl, bool) or pl < 0:
+            raise DslError("fuzzy prefix_length must be >= 0")
+        min_len = fz.get("min_length", 3)
+        if not isinstance(min_len, int) or isinstance(min_len, bool) \
+                or min_len < 0:
+            raise DslError("fuzzy min_length must be >= 0")
+        if len(p) < min_len:
+            f_edits = 0  # ES: short inputs get no fuzz
+        pre = val.startswith(p[:pl]) if pl else F.lit(True)
+        grouped = (
+            df.filter(c.isNotNull() & pre)
+            .groupBy(c.alias("value"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        gval = (F.lower(F.col("value").cast("string"))
+                if case_insensitive
+                else F.col("value").cast("string"))
+        if f_edits == 0:
+            grouped = grouped.filter(gval.startswith(p))
+        else:
+            # threshold levenshtein returns -1 past the bound; least()
+            # over the leading-window lengths ignores the misses
+            dists = [
+                F.levenshtein(F.substring(gval, 1, n), F.lit(p),
+                              f_edits)
+                for n in range(max(len(p) - f_edits, pl, 0),
+                               len(p) + f_edits + 1)
+            ]
+            best = F.least(*[F.when(d >= 0, d) for d in dists]) \
+                if len(dists) > 1 else F.when(dists[0] >= 0, dists[0])
+            grouped = grouped.filter(best.isNotNull())
     return (
-        df.filter(c.isNotNull() & pred)
-        .groupBy(c.alias("value"))
-        .agg(F.count(F.lit(1)).alias("freq"))
+        grouped
         .orderBy(F.col("freq").desc(), F.col("value").asc())
         .limit(int(size))
     )

@@ -3048,6 +3048,53 @@ def search_suggest_completion(
 
 
 @register(
+    "search_suggest_completion_fuzzy",
+    # fuzzy completion for the typo "teh ": prefix_length 1 exact
+    # ('t', the pushdown pre-filter), then plain levenshtein ≤ 2 over
+    # every leading-window length in len±2 (the FST boundary
+    # alignment). Both engines' levenshtein is the textbook DP —
+    # integer distances compare exactly
+    oracle="""
+    WITH g AS (
+        SELECT text AS value, CAST(COUNT(*) AS BIGINT) AS freq,
+               lower(replace(text, 'İ', 'i̇')) AS lv
+        FROM documents
+        WHERE text IS NOT NULL
+          AND starts_with(lower(replace(text, 'İ', 'i̇')), 't')
+        GROUP BY 1
+    )
+    SELECT value, freq FROM g
+    WHERE least(
+        levenshtein(substr(lv, 1, 2), 'teh '),
+        levenshtein(substr(lv, 1, 3), 'teh '),
+        levenshtein(substr(lv, 1, 4), 'teh '),
+        levenshtein(substr(lv, 1, 5), 'teh '),
+        levenshtein(substr(lv, 1, 6), 'teh ')) <= 2
+    ORDER BY freq DESC, value ASC LIMIT 5
+    """,
+)
+def search_suggest_completion_fuzzy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES *completion suggester* ``fuzzy`` mode (r10): typo-tolerant
+    prefix lookup — "teh " finds "the ..." values within 2 edits
+    (plans/search.py:suggest_completion). The exact ``prefix_length``
+    leading char is the cheap pushdown pre-filter; the threshold
+    levenshtein runs once per DISTINCT value after the groupBy, over
+    the len±fuzziness leading windows so boundary inserts/deletes
+    align like ES's FST walk. Transpositions count 2 edits (plain
+    Levenshtein — the documented divergence)."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_completion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest_completion(
+        docs, "text", "teh ", size=5,
+        fuzzy={"fuzziness": 2, "prefix_length": 1})
+
+
+@register(
     "quality_classifier_scores",
     # the oracle replays the full model: same analyzer fold, same
     # md5-hash buckets, same weight formula, and list_reduce's

@@ -1520,11 +1520,31 @@ def test_suggest_phrase_suggester(service, spark):
             "data_lake_ph", {"match_all": {}}, k=1,
             suggest={"c": {"regex": "sp.*",
                            "completion": {"field": "txt"}}})
-    with pytest.raises(DslError, match="completion suggester options"):
+    # r10: fuzzy completion — the typo "spakr " still completes;
+    # prefix_length guards the exact lead, bad options stay named 400s
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"prefix": "spakr ", "completion": {
+            "field": "txt", "size": 3,
+            "fuzzy": {"fuzziness": 2, "prefix_length": 2}}}})
+    opts = out["suggest"]["c"][0]["options"]
+    assert opts and all(o["text"].startswith("spark ") for o in opts)
+    # AUTO fuzziness: a 2-char prefix gets NO fuzz (exact only)
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"prefix": "sq", "completion": {
+            "field": "txt", "fuzzy": True}}})
+    assert out["suggest"]["c"][0]["options"] == []
+    with pytest.raises(DslError, match="fuzzy options"):
         service.advanced_search(
             "data_lake_ph", {"match_all": {}}, k=1,
             suggest={"c": {"prefix": "sp", "completion": {
-                "field": "txt", "fuzzy": {}}}})
+                "field": "txt", "fuzzy": {"boost": 2}}}})
+    with pytest.raises(DslError, match="malformed fuzziness"):
+        service.advanced_search(
+            "data_lake_ph", {"match_all": {}}, k=1,
+            suggest={"c": {"prefix": "sp", "completion": {
+                "field": "txt", "fuzzy": {"fuzziness": 9}}}})
 
 
 def test_runtime_mappings_and_script_fields(client, service, spark):

@@ -419,6 +419,13 @@ GATES = {
         shuffles=2, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # r10: fuzzy completion — dictionary groupBy (1 shuffle, 1-col
+    # pruned scan, not-null pushed); the threshold levenshtein rides
+    # the post-groupBy filter so it runs once per DISTINCT value
+    "search_suggest_completion_fuzzy": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (1, ["IsNotNull(text)"])},
+    ),
     # r10: sampler > significant_terms — the sample is materialized
     # (one eager TakeOrdered of shard_size rows, not in this plan);
     # the returned plan touches the corpus only for the background
