@@ -719,3 +719,196 @@ def test_pack_by_token_budget_is_prefix_floor(spark, counts, budget):
         assert out[i] >= prev_batch  # non-decreasing in doc order
         prev_batch = out[i]
         prefix += c
+
+
+# --- painless-subset differential vs DuckDB (r10, verdict #9) --------------
+#
+# score_dsl.script_column is a hand-rolled recursive-descent parser now
+# load-bearing for four surfaces (function_score, the script query,
+# script-sourced metrics, runtime_mappings). Hypothesis builds a random
+# AST, renders it BOTH as a painless source string (fully parenthesized)
+# and as the equivalent DuckDB SQL expression encoding the documented
+# semantics (null propagation, try_divide, Kleene logic, libm guards),
+# then compares Spark's evaluation against DuckDB's row by row. Floats
+# compare with a tiny relative tolerance: +-*/ are IEEE exact-rounded,
+# but ln/exp/pow differ by last-ulps across libms (the engine's
+# documented reason to keep them out of value-hash oracles).
+
+_SCRIPT_FIELDS = ("a", "b", "c")  # c carries nulls
+_SCRIPT_PARAMS = {"p": 2.5, "q": -3.0}
+
+_script_leaf = st.one_of(
+    st.sampled_from([("num", v) for v in
+                     (0.0, 1.0, -2.0, 0.5, 3.25, 10.0)]),
+    st.sampled_from([("field", f) for f in _SCRIPT_FIELDS]),
+    st.sampled_from([("param", p) for p in _SCRIPT_PARAMS]),
+)
+
+
+def _script_node(children):
+    return st.one_of(
+        st.tuples(st.just("un"), st.sampled_from(["-", "!"]), children),
+        st.tuples(st.just("bin"),
+                  st.sampled_from(["+", "-", "*", "/", "%"]),
+                  children, children),
+        st.tuples(st.just("cmp"),
+                  st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+                  children, children),
+        st.tuples(st.just("logic"), st.sampled_from(["&&", "||"]),
+                  children, children),
+        st.tuples(st.just("cond"), children, children, children),
+        st.tuples(st.just("math1"),
+                  st.sampled_from(["log", "log10", "sqrt", "abs",
+                                   "exp", "floor", "ceil"]), children),
+        st.tuples(st.just("math2"),
+                  st.sampled_from(["pow", "max", "min"]),
+                  children, children),
+    )
+
+
+script_asts = st.recursive(_script_leaf, _script_node, max_leaves=8)
+
+
+def _painless(node) -> str:
+    k = node[0]
+    if k == "num":
+        return f"({node[1]!r})"
+    if k == "field":
+        return f"doc['{node[1]}'].value"
+    if k == "param":
+        return f"params.{node[1]}"
+    if k == "un":
+        return f"({node[1]}{_painless(node[2])})"
+    if k in ("bin", "cmp", "logic"):
+        return f"({_painless(node[2])} {node[1]} {_painless(node[3])})"
+    if k == "cond":
+        return (f"({_painless(node[1])} ? {_painless(node[2])}"
+                f" : {_painless(node[3])})")
+    if k == "math1":
+        return f"Math.{node[1]}({_painless(node[2])})"
+    return f"Math.{node[1]}({_painless(node[2])}, {_painless(node[3])})"
+
+
+def _truthy_sql(x: str) -> str:
+    return f"({x} <> 0.0)"
+
+
+def _b2d_sql(cond: str) -> str:
+    # null-propagating boolean → 1.0/0.0 (score_dsl._bool_to_double)
+    return (f"(CASE WHEN {cond} THEN 1.0 "
+            f"WHEN NOT {cond} THEN 0.0 END)")
+
+
+def _sql(node) -> str:
+    k = node[0]
+    if k == "num":
+        return f"(CAST({node[1]!r} AS DOUBLE))"
+    if k == "field":
+        return f"(CAST({node[1]} AS DOUBLE))"
+    if k == "param":
+        return f"(CAST({_SCRIPT_PARAMS[node[1]]!r} AS DOUBLE))"
+    if k == "un":
+        if node[1] == "-":
+            return f"(-{_sql(node[2])})"
+        return _b2d_sql(f"NOT {_truthy_sql(_sql(node[2]))}")
+    if k == "bin":
+        left, right = _sql(node[2]), _sql(node[3])
+        if node[1] == "/":
+            # try_divide: null on /0 (DuckDB doubles give inf)
+            return f"({left} / nullif({right}, 0.0))"
+        if node[1] == "%":
+            # Java % on doubles is the TRUNCATED remainder (sign of
+            # the dividend) — DuckDB's % operator matches; its fmod()
+            # is the FLOORED remainder and does not. Null on %0.
+            return f"({left} % nullif({right}, 0.0))"
+        return f"({left} {node[1]} {right})"
+    if k == "cmp":
+        op = "=" if node[1] == "==" else node[1]
+        return _b2d_sql(f"({_sql(node[2])} {op} {_sql(node[3])})")
+    if k == "logic":
+        sop = "AND" if node[1] == "&&" else "OR"
+        return _b2d_sql(
+            f"({_truthy_sql(_sql(node[2]))} {sop} "
+            f"{_truthy_sql(_sql(node[3]))})")
+    if k == "cond":
+        t = _truthy_sql(_sql(node[1]))
+        return (f"(CASE WHEN {t} THEN {_sql(node[2])} "
+                f"WHEN NOT {t} THEN {_sql(node[3])} END)")
+    if k == "math1":
+        x = _sql(node[2])
+        fn = node[1]
+        if fn == "log":
+            return f"(CASE WHEN {x} > 0 THEN ln({x}) END)"
+        if fn == "log10":
+            return f"(CASE WHEN {x} > 0 THEN log10({x}) END)"
+        if fn == "sqrt":
+            return f"(CASE WHEN {x} >= 0 THEN sqrt({x}) END)"
+        if fn in ("floor", "ceil"):
+            return f"(CAST({fn}({x}) AS DOUBLE))"
+        return f"({fn}({x}))"
+    fn = {"pow": "pow", "max": "greatest", "min": "least"}[node[1]]
+    return f"({fn}({_sql(node[2])}, {_sql(node[3])}))"
+
+
+_SCRIPT_ROWS = [
+    (1, 0.0, 1.0, None),
+    (2, -2.5, 0.0, 4.0),
+    (3, 7.0, -1.0, -0.5),
+    (4, 1.0, 100.0, 0.0),
+    (5, -0.0, 0.25, 2.0),
+    (6, 1e6, -1e-3, None),
+]
+
+
+@pytest.mark.usefixtures("spark")
+class TestScriptDifferential:
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "25")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ast=script_asts)
+    def test_script_column_matches_duckdb(self, spark, ast):
+        import math
+
+        import duckdb
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            script_column,
+        )
+
+        df = getattr(type(self), "_df", None)
+        if df is None:
+            df = spark.createDataFrame(
+                _SCRIPT_ROWS,
+                "id long, a double, b double, c double")
+            type(self)._df = df
+            type(self)._pdf = pd.DataFrame(
+                _SCRIPT_ROWS, columns=["id", "a", "b", "c"],
+                dtype=object).astype(
+                    {"id": "int64", "a": "float64",
+                     "b": "float64", "c": "float64"})
+        src = _painless(ast)
+        col = script_column(
+            {"source": src, "params": _SCRIPT_PARAMS}, F.col,
+            base_score=None)
+        got = {r["id"]: r["v"]
+               for r in df.select("id", col.alias("v")).collect()}
+        tbl = type(self)._pdf  # noqa: F841 (duckdb reads local var)
+        want = {int(r[0]): r[1] for r in duckdb.sql(
+            f"SELECT id, {_sql(ast)} AS v FROM tbl ORDER BY id"
+        ).fetchall()}
+        for i in got:
+            g, w = got[i], want[i]
+            if g is None or w is None:
+                assert g is None and w is None, \
+                    f"src={src} id={i} spark={g} duckdb={w}"
+            elif math.isnan(g) or math.isnan(w):
+                assert math.isnan(g) and math.isnan(w), \
+                    f"src={src} id={i} spark={g} duckdb={w}"
+            else:
+                assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-12), \
+                    f"src={src} id={i} spark={g} duckdb={w}"
