@@ -6547,69 +6547,66 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r9-touched tier: code changed THIS round (rotation rule:
+    # -- r10 tier: new or code-touched THIS round (rotation rule:
     #    nothing ships with driver evidence older than its last
-    #    change). New r9 queries are prepended here by the commits
-    #    that introduce them; the fill tier below is trimmed from its
-    #    tail to hold the window at exactly 50.
-    "search_terms_enum",          # r9 NEW: terms_enum autocomplete
-    "search_aggs_t_test",         # r9 NEW: Welch two-sample test
-    "search_aggs_matrix_stats",   # r9 NEW: covariance/correlation
-    "search_aggs_normalize",      # r9 NEW: normalize pipeline agg
-    "search_aggs_cumulative_cardinality",  # r9 NEW: exact running distinct
-    "boilerplate_chunk_removal",  # r9 NEW: passage boilerplate stage
-    "search_aggs_string_stats",   # r9 NEW: string_stats metric
-    "search_aggs_metric_script",  # r9 NEW: script-sourced metrics
-    "search_aggs_boxplot",        # r9 NEW: exact-whisker boxplot
-    "search_dsl_span_near",       # r9 NEW: positional span family
-    "search_dsl_intervals",       # r9 NEW: intervals proximity
-    "search_dsl_span_first",      # r9 NEW: span_first/not/multi tree
-    "search_dsl_script_query",    # r9 NEW: filter-context script
-    "search_dsl_rank_feature",    # r9 NEW: feature-ranked page
-    "search_dsl_distance_feature",  # r9 NEW: recency-ranked page
-    "search_dsl_function_score",  # r9 NEW: relevance-tuning wrapper
-    "search_dsl_script_score",    # r9 NEW: painless-subset scoring
-    "search_scroll_page",         # r9 NEW: stateless scroll drain
-    "search_dsl_more_like_this",  # r9 NEW: mlt term selection + msm
-    "search_suggest_phrase",      # r9 NEW: Laplace-bigram phrase fix
-    "search_runtime_mappings",    # r9 NEW: script-derived fields
-    "quality_classifier_scores",  # r9 NEW: fastText-style filtering
-    "search_knn_vector",        # r9: knn tie-break column fix (ADVICE)
-    "search_suggest_terms",     # r9: shared token pattern (ADVICE)
-    "search_aggs_nested_parent",   # r9: sub-agg _agg_kind dispatch fix
-    "search_aggs_nested_levels",   # r9: sub-agg _agg_kind dispatch fix
-    "search_aggs_chain_top_hits",  # r9: sub-agg _agg_kind dispatch fix
-    # -- core-§2 flagship 13: the ten below re-front after yielding
-    #    their slots in r7/r8 (evidence r6, the oldest any flagship
-    #    member may carry under the two-round policy).
-    "denormalized_orders",
-    "pricing_summary",
-    "filter_project",
-    "paginate",
-    "point_lookup",
-    "history_versioning",
-    "ingest_accounting",
-    "nested_labels_json",
-    "union_all_entities",
-    "merge_upsert",
-    "group_to_array",
-    "top3_events_per_user",
-    "latest_event_per_key",
-    # -- fill to 50: the 44 queries whose driver evidence dates to
-    #    round 3 (the oldest in the registry), in registration order.
-    #    The first 20 fit this r9 window (the span/script/feature tier
-    #    above took five slots; dedup_keep_canonical onward — then
-    #    events_hourly_heatmap onward — lead the r10 fill).
-    "incremental_sync_events",
-    "leakage_safe_split",
-    "text_repetition",
-    "array_functions_docs",
-    "corpus_composition",
-    "gdpr_delete_sync",
-    "multimodal_frame_sample",
-    "text_cosine_pairs",
-    "data_quality_audit",
-    "late_data_profile",
+    #    change).
+    "dsir_importance_weights",      # r10 NEW: DSIR corpus selection
+    "search_pit_page",              # r10 NEW: PIT + search_after drain
+    "search_aggs_significant_text", # r10 NEW: JLH over tokens
+    "search_aggs_sampler_significant",  # r10 NEW: sampler wrapper
+    "search_suggest_completion_fuzzy",  # r10 NEW: typo completion
+    "search_suggest_completion",    # r9, NEVER driver-windowed; r10
+                                    # touched (fuzzy param)
+    "search_dsl_span_near",         # r10 touched: in_order default
+    "search_scroll_page",           # r10 touched: date cursor fix
+    "quality_classifier_scores",    # r10 touched: sparse-weight tier
+    "search_aggs_boxplot",          # r10 touched: field/script 400
+    # -- evidence-freshness fill (r9 verdict directive #1): ALL 34
+    #    queries still carrying round-3 evidence, oldest first —
+    #    after this window nothing in the registry is older than r4.
+    "conditional_agg_returns",
+    "streaming_click_attribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_brand_revenue",
+    "streaming_enriched_counts",
+    "batch_sessionization",
+    "funnel_conversion",
+    "cohort_retention",
+    "value_histogram",
+    "value_outliers_mad",
+    "event_transition_matrix",
+    "revenue_share_by_segment",
+    "key_skew_report",
+    "join_explosion_estimate",
+    "snapshot_diff",
+    "wow_growth",
+    "weighted_sample_docs",
+    "rag_context_assembly",
+    "dedup_keep_canonical",
+    "orders_revenue_7d_ma",
+    "curriculum_deciles",
+    "mixture_rebalance_rates",
+    "rfm_segmentation",
+    "doc_keywords",
+    "events_hourly_heatmap",
+    "events_anomaly_days",
+    "user_feature_table",
+    "lang_id_confusion",
+    "type_share_drift",
+    "chunk_level_dedup",
+    "char_trigram_profile",
+    "order_fanout_histogram",
+    "zipf_profile",
+    "value_seasonality_by_hour",
+    # -- remaining slots: the oldest round-4-evidence queries in
+    #    registration order (the rest of the r4 tier leads the r11
+    #    fill).
+    "namespace_provenance",
+    "group_count",
+    "orderby_limit",
+    "content_hash_ids",
+    "json_extract",
+    "self_join_parent",
 ]
 
 
