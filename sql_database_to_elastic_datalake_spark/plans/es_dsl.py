@@ -366,42 +366,56 @@ def _span_field(kind: str, body) -> str:
     raise DslError(f"unsupported span clause kind {kind!r}")
 
 
-def _span_positions(arr: Column, kind: str, body: dict) -> Column:
-    """One span CLAUSE → the array<int> of its match positions in the
-    token array. Every supported clause yields SINGLE-TOKEN spans, so
-    a position fully identifies a span — which is what makes the
-    span_near chaining below exact. A nested span_near (a multi-token
-    span) would break that invariant and is a named 400."""
+def _pos_to_spans(pos: Column) -> Column:
+    """array<int> of single-token positions → array<struct<s,e>>
+    spans (a token at p is the half-open span [p, p+1))."""
+    return F.transform(
+        pos, lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")))
+
+
+def _span_spans(arr: Column, kind: str, body: dict) -> Column:
+    """One span CLAUSE → the array<struct<s,e>> of its match spans in
+    the token array (half-open [s, e) positions, Lucene's own span
+    model). r10 generalizes the r9 single-position algebra to real
+    spans, which is what makes a NESTED span_near (a multi-token
+    span) an ordinary clause instead of a named 400."""
     if kind == "span_term":
         field, value = _field_value(body)
         toks = tokenize(str(value))
         if len(toks) != 1:
             raise DslError(
                 f"span_term value {value!r} must analyze to one token")
-        return _token_positions(arr, toks[0])
+        return _pos_to_spans(_token_positions(arr, toks[0]))
     if kind == "span_or":
         out = None
         for cl in body["clauses"]:
-            p = _span_positions(arr, *next(iter(cl.items())))
+            p = _span_spans(arr, *next(iter(cl.items())))
             out = p if out is None else F.concat(out, p)
         return F.array_sort(F.array_distinct(out))
     if kind == "span_first":
         end = body.get("end")
         if not isinstance(end, int) or end < 1:
             raise DslError("span_first requires a positive integer end")
-        inner = _span_positions(arr, *next(iter(body["match"].items())))
-        # a single-token span at position p has end p+1; SpanFirst
-        # keeps spans with end <= `end`
-        return F.filter(inner, lambda p: p < F.lit(end))
+        inner = _span_spans(arr, *next(iter(body["match"].items())))
+        # SpanFirst keeps spans whose END is <= `end`
+        return F.filter(inner, lambda sp: sp["e"] <= F.lit(end))
     if kind == "span_not":
         unknown = sorted(set(body) - {"include", "exclude", "boost"})
         if unknown:
             raise DslError(
                 f"unsupported span_not keys: {unknown} (pre/post/dist "
                 "windows are not implemented)")
-        inc = _span_positions(arr, *next(iter(body["include"].items())))
-        exc = _span_positions(arr, *next(iter(body["exclude"].items())))
-        return F.array_except(inc, exc)
+        inc = _span_spans(arr, *next(iter(body["include"].items())))
+        exc = _span_spans(arr, *next(iter(body["exclude"].items())))
+        # SpanNot keeps include spans that do not OVERLAP any exclude
+        # span (for single-token spans this is the r9 array_except)
+        return F.filter(
+            inc,
+            lambda a: ~F.coalesce(
+                F.exists(exc, lambda b: (a["s"] < b["e"])
+                         & (b["s"] < a["e"])),
+                F.lit(False)),
+        )
     if kind == "span_multi":
         mkind, mbody = next(iter(body["match"].items()))
         field, value = _field_value(
@@ -426,47 +440,143 @@ def _span_positions(arr: Column, kind: str, body: dict) -> Column:
 
             def tok_pred(t):
                 return F.levenshtein(t, F.lit(sval)) <= edits
-        return F.filter(
+        return _pos_to_spans(F.filter(
             F.transform(arr, lambda t, i: F.when(tok_pred(t), i)),
             lambda x: x.isNotNull(),
-        )
+        ))
     if kind == "span_near":
-        raise DslError(
-            "nested span_near is not supported (clauses must be "
-            "single-token spans: span_term/span_or/span_first/"
-            "span_not/span_multi)")
+        # a nested span_near is a SPAN PRODUCER: enumerate every valid
+        # ordered chain and emit its envelope [first.s, last.e). The
+        # accumulator carries the spent gap budget g = Σ(s_i − e_{i−1})
+        # — exactly Lucene's ordered-near slop (match length minus the
+        # clause lengths) — so the final filter is exact for clauses of
+        # ANY width. Cost is the product of per-clause match counts
+        # (flatten × transform), bounded by _MAX_SPAN_CLAUSES and by
+        # term selectivity — the same combination walk Lucene's
+        # NearSpansOrdered performs per document.
+        unknown = sorted(set(body) - {"clauses", "slop", "in_order",
+                                      "boost"})
+        if unknown:
+            raise DslError(f"unsupported span_near keys: {unknown}")
+        clauses = body.get("clauses")
+        if not isinstance(clauses, list) or not clauses:
+            raise DslError("span_near requires a non-empty clauses list")
+        if len(clauses) > _MAX_SPAN_CLAUSES:
+            raise DslError(
+                f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
+        slop = body.get("slop", 0)
+        if not isinstance(slop, int) or slop < 0:
+            raise DslError(f"malformed span_near slop {slop!r}")
+        if not bool(body.get("in_order", True)):
+            raise DslError(
+                "a nested unordered span_near is not supported (its "
+                "minimum-enclosing-window spans have no bounded "
+                "column-algebra enumeration; use in_order: true or "
+                "lift it to the top level)")
+        subs = [_span_spans(arr, *next(iter(cl.items())))
+                for cl in clauses]
+        acc = F.transform(
+            subs[0],
+            lambda x: F.struct(x["s"].alias("s"), x["e"].alias("e"),
+                               F.lit(0).alias("g")))
+        for nxt in subs[1:]:
+            acc = F.flatten(F.transform(
+                acc,
+                lambda a: F.filter(
+                    F.transform(
+                        nxt,
+                        lambda x: F.when(
+                            x["s"] >= a["e"],
+                            F.struct(a["s"].alias("s"),
+                                     x["e"].alias("e"),
+                                     (a["g"] + (x["s"] - a["e"]))
+                                     .alias("g")))),
+                    lambda v: v.isNotNull()),
+            ))
+        return F.array_sort(F.array_distinct(F.transform(
+            F.filter(acc, lambda a: a["g"] <= F.lit(slop)),
+            lambda a: F.struct(a["s"].alias("s"), a["e"].alias("e")))))
     raise DslError(f"unsupported span clause kind {kind!r}")
+
+
+def _spans_near_exists(span_arrays: list[Column], ordered: bool,
+                       slop: int) -> Column:
+    """Top-level span_near MEMBERSHIP over span arrays: one nested
+    ``exists`` per clause, so every clause's chosen span is in scope
+    for the innermost constraint — brute-force exact for any clause
+    count and any span widths (r10; the r9 greedy min-next chain was
+    exact only for single-token spans, and unordered was capped at 2
+    clauses). Ordered: consecutive non-overlap with Σ gaps ≤ slop.
+    Unordered: pairwise disjoint with (max e − min s − Σ len) ≤ slop —
+    Lucene's NearSpansUnordered condition. Cost is the product of
+    per-clause match counts, same as Lucene's per-document walk."""
+    if len(span_arrays) > _MAX_SPAN_CLAUSES:
+        raise DslError(
+            f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
+    if len(span_arrays) == 1:
+        return F.coalesce(F.size(span_arrays[0]) > 0, F.lit(False))
+
+    def constraint(chosen: list[Column]) -> Column:
+        if ordered:
+            cond = F.lit(True)
+            gaps = None
+            for prev, cur in zip(chosen, chosen[1:]):
+                cond = cond & (cur["s"] >= prev["e"])
+                g = cur["s"] - prev["e"]
+                gaps = g if gaps is None else gaps + g
+            return cond & (gaps <= F.lit(slop))
+        cond = F.lit(True)
+        for i, a in enumerate(chosen):
+            for b in chosen[i + 1:]:
+                cond = cond & ((a["e"] <= b["s"]) | (b["e"] <= a["s"]))
+        max_e = F.greatest(*[c["e"] for c in chosen]) \
+            if len(chosen) > 1 else chosen[0]["e"]
+        min_s = F.least(*[c["s"] for c in chosen]) \
+            if len(chosen) > 1 else chosen[0]["s"]
+        total_len = None
+        for c in chosen:
+            ln = c["e"] - c["s"]
+            total_len = ln if total_len is None else total_len + ln
+        return cond & (max_e - min_s - total_len <= F.lit(slop))
+
+    def rec(i: int, chosen: list[Column]) -> Column:
+        if i == len(span_arrays):
+            return constraint(chosen)
+        return F.exists(span_arrays[i],
+                        lambda x: rec(i + 1, chosen + [x]))
+
+    return F.coalesce(rec(0, []), F.lit(False))
 
 
 def _compile_span(kind: str, body: dict, col) -> Column:
     """A top-level span query → boolean membership Column (this
     engine's filter context is score-free — module docstring). All
-    positional algebra is transform/filter/array_min column
-    expressions over ONE token-array computation: no UDF, no explode,
-    whole-stage codegen applies."""
+    positional algebra is transform/filter/exists column expressions
+    over ONE token-array computation: no UDF, no explode, whole-stage
+    codegen applies."""
     field = _span_field(kind, body)
     arr = _token_array(col(field))
     if kind != "span_near":
-        pos = _span_positions(arr, kind, body)
-        return F.coalesce(F.size(pos) > 0, F.lit(False))
+        sp = _span_spans(arr, kind, body)
+        return F.coalesce(F.size(sp) > 0, F.lit(False))
 
     unknown = sorted(set(body) - {"clauses", "slop", "in_order", "boost"})
     if unknown:
         raise DslError(f"unsupported span_near keys: {unknown}")
     clauses = body["clauses"]
+    if not isinstance(clauses, list) or not clauses:
+        raise DslError("span_near requires a non-empty clauses list")
     slop = body.get("slop", 0)
     if not isinstance(slop, int) or slop < 0:
         raise DslError(f"malformed span_near slop {slop!r}")
-    # the greedy min-next chain in _positions_near is exact for
-    # single-position spans — the same argument as _sloppy_phrase:
-    # the minimal valid choice minimizes the final span. in_order
-    # defaults to TRUE, matching Elasticsearch
-    # (SpanNearQueryBuilder.DEFAULT_IN_ORDER = true): a body without
-    # an explicit in_order takes the exact ordered chain, and the
-    # unordered-2-clause restriction applies only to explicit
-    # ``in_order: false``.
-    return _positions_near(
-        [_span_positions(arr, *next(iter(cl.items()))) for cl in clauses],
+    # in_order defaults to TRUE, matching Elasticsearch
+    # (SpanNearQueryBuilder.DEFAULT_IN_ORDER = true). Membership is
+    # the brute-force nested-exists walk (_spans_near_exists) — exact
+    # for any clause count, any order, and multi-token clause spans
+    # (r10: the single-position greedy chain and its unordered
+    # 2-clause cap are gone).
+    return _spans_near_exists(
+        [_span_spans(arr, *next(iter(cl.items()))) for cl in clauses],
         bool(body.get("in_order", True)), slop)
 
 

@@ -3389,6 +3389,58 @@ def search_pit_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_span_nested",
+    # the oracle replays the span algebra with list comprehensions:
+    # inner ordered chain ("table" then "hash", adjacent) → spans
+    # [i, i+2); outer UNORDERED near with "scan" → pairwise-disjoint
+    # windows with max_e − min_s − Σlen ≤ slop (1-based vs 0-based
+    # cancels — only differences appear)
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               [i FOR i IN range(1, len(toks))
+                IF toks[i] = 'table' AND toks[i+1] = 'hash'] AS th,
+               [i FOR i IN range(1, len(toks)+1)
+                IF toks[i] = 'scan'] AS sc
+        FROM t
+    )
+    SELECT doc_id, lang FROM m
+    WHERE len(list_filter(th, a -> len(list_filter(sc,
+              b -> ((a+2 <= b) OR (b+1 <= a))
+                   AND (greatest(a+2, b+1) - least(a, b) - 3 <= 2)))
+              > 0)) > 0
+    """,
+)
+def search_dsl_span_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ``span_near`` (r10): the phrase-like inner chain
+    ("table" immediately followed by "hash") is a SPAN PRODUCER whose
+    [start, end) envelopes feed an unordered outer near with "scan" —
+    the r9 single-position algebra could only 400 this shape. The
+    whole tree compiles to transform/filter/exists column expressions
+    over ONE token-array computation (plans/es_dsl.py:_span_spans /
+    _spans_near_exists): no UDF, no explode, one pruned scan."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"span_near": {
+        "clauses": [
+            {"span_near": {"clauses": [
+                {"span_term": {"text": "table"}},
+                {"span_term": {"text": "hash"}}], "slop": 0}},
+            {"span_term": {"text": "scan"}},
+        ],
+        "slop": 2, "in_order": False}})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
     "search_dsl_function_score",
     # every op is IEEE-exact cross-engine (sqrt is correctly rounded
     # by spec; +-*/ are exact-rounded) — the gauss/exp/log tiers run
@@ -6557,7 +6609,9 @@ _CHECK_FIRST = [
     "search_suggest_completion_fuzzy",  # r10 NEW: typo completion
     "search_suggest_completion",    # r9, NEVER driver-windowed; r10
                                     # touched (fuzzy param)
-    "search_dsl_span_near",         # r10 touched: in_order default
+    "search_dsl_span_near",         # r10 touched: span-struct algebra
+    "search_dsl_span_nested",       # r10 NEW: nested span_near
+    "search_dsl_span_first",        # r10 touched: span-struct algebra
     "search_scroll_page",           # r10 touched: date cursor fix
     "quality_classifier_scores",    # r10 touched: sparse-weight tier
     "search_aggs_boxplot",          # r10 touched: field/script 400
@@ -6605,8 +6659,6 @@ _CHECK_FIRST = [
     "group_count",
     "orderby_limit",
     "content_hash_ids",
-    "json_extract",
-    "self_join_parent",
 ]
 
 

@@ -613,6 +613,49 @@ def test_span_not_and_multi(span_docs):
         "slop": 1, "in_order": True}}) == [4]
 
 
+def test_span_near_nested_and_unordered_k(span_docs):
+    """r10: the span algebra carries real (start, end) spans — a
+    NESTED ordered span_near is an ordinary clause, and unordered
+    span_near takes any clause count with exact Lucene window
+    semantics (max_e − min_s − Σlen ≤ slop, pairwise disjoint)."""
+    # nested ordered chain: (alpha→beta) then gamma, adjacent
+    inner = {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "beta"}}], "slop": 0}}
+    assert run(span_docs, {"span_near": {"clauses": [
+        inner, {"span_term": {"txt": "gamma"}}], "slop": 0}}) == [1]
+    # slop counts GAPS, not clause widths: the 2-token inner span ends
+    # at 2; delta@3 is gap 1 in doc4 ("alphabet soup gamma delta …")
+    inner2 = {"span_near": {"clauses": [
+        {"span_term": {"txt": "alphabet"}},
+        {"span_term": {"txt": "soup"}}], "slop": 0}}
+    q = lambda slop: {"span_near": {"clauses": [  # noqa: E731
+        inner2, {"span_term": {"txt": "delta"}}], "slop": slop}}
+    assert run(span_docs, q(0)) == []
+    assert run(span_docs, q(1)) == [4]
+    # unordered with 3 clauses: minimum window over alpha/beta/gamma
+    # is tight (3 tokens in 3 positions) in docs 1 and 2
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "beta"}},
+        {"span_term": {"txt": "gamma"}}],
+        "slop": 0, "in_order": False}}) == [1, 2]
+    # ordered keeps doc1 (alpha@0→beta@1→gamma@2) but rejects doc2
+    # ("beta gamma alpha" — wrong order at any slop)
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "beta"}},
+        {"span_term": {"txt": "gamma"}}],
+        "slop": 3, "in_order": True}}) == [1]
+    # unordered spans must be DISJOINT: two clauses matching only the
+    # same single token can never pair
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "soup"}},
+        {"span_multi": {"match": {"prefix": {"txt": {
+            "value": "sou"}}}}}],
+        "slop": 9, "in_order": False}}) == []
+
+
 def test_span_named_400s(span_docs):
     with pytest.raises(DslError, match="one token"):
         compile_dsl({"span_term": {"txt": "two words"}})
@@ -620,17 +663,15 @@ def test_span_named_400s(span_docs):
         compile_dsl({"span_near": {"clauses": [
             {"span_term": {"txt": "a"}},
             {"span_term": {"other": "b"}}], "slop": 0}})
-    with pytest.raises(DslError, match="nested span_near"):
+    # r10: only the UNORDERED nested form stays a named 400 (its
+    # minimum-window span enumeration has no bounded algebra)
+    with pytest.raises(DslError, match="nested unordered span_near"):
         compile_dsl({"span_near": {"clauses": [
             {"span_term": {"txt": "a"}},
             {"span_near": {"clauses": [
-                {"span_term": {"txt": "b"}}], "slop": 0}}], "slop": 0}})
-    with pytest.raises(DslError, match="exactly 2 clauses"):
-        compile_dsl({"span_near": {"clauses": [
-            {"span_term": {"txt": "a"}},
-            {"span_term": {"txt": "b"}},
-            {"span_term": {"txt": "c"}}],
-            "slop": 1, "in_order": False}})
+                {"span_term": {"txt": "b"}},
+                {"span_term": {"txt": "c"}}],
+                "slop": 0, "in_order": False}}], "slop": 0}})
     with pytest.raises(DslError, match="at most 8"):
         compile_dsl({"span_near": {"clauses": [
             {"span_term": {"txt": f"t{i}"}} for i in range(9)],

@@ -394,6 +394,14 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (3, [])},
     ),
+    # r10: the nested span_near tree (span-producer inner chain +
+    # unordered outer exists-walk) stays zero-exchange column algebra
+    # over one pruned scan — an exchange here would mean the span
+    # enumeration stopped being per-row
+    "search_dsl_span_nested": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
     # r9: the filter-context script query is one scan-level predicate
     "search_dsl_script_query": dict(
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
