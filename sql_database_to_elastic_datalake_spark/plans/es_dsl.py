@@ -473,48 +473,73 @@ def _span_spans(arr: Column, kind: str, body: dict) -> Column:
                 "minimum-enclosing-window spans have no bounded "
                 "column-algebra enumeration; use in_order: true or "
                 "lift it to the top level)")
-        subs = [_span_spans(arr, *next(iter(cl.items())))
-                for cl in clauses]
-        acc = F.transform(
-            subs[0],
-            lambda x: F.struct(x["s"].alias("s"), x["e"].alias("e"),
-                               F.lit(0).alias("g")))
-        for nxt in subs[1:]:
-            acc = F.flatten(F.transform(
-                acc,
-                lambda a: F.filter(
-                    F.transform(
-                        nxt,
-                        lambda x: F.when(
-                            x["s"] >= a["e"],
-                            F.struct(a["s"].alias("s"),
-                                     x["e"].alias("e"),
-                                     (a["g"] + (x["s"] - a["e"]))
-                                     .alias("g")))),
-                    lambda v: v.isNotNull()),
-            ))
-        return F.array_sort(F.array_distinct(F.transform(
-            F.filter(acc, lambda a: a["g"] <= F.lit(slop)),
-            lambda a: F.struct(a["s"].alias("s"), a["e"].alias("e")))))
+        return _chain_spans(
+            [_span_spans(arr, *next(iter(cl.items())))
+             for cl in clauses], slop)
     raise DslError(f"unsupported span clause kind {kind!r}")
 
 
+def _chain_spans(subs: list[Column], gap_budget: int) -> Column:
+    """Ordered-chain SPAN PRODUCER: every valid in-order chain over
+    the clause span arrays → its envelope [first.s, last.e). The
+    accumulator carries the spent gap budget g = Σ(s_i − e_{i−1}) —
+    exactly Lucene's ordered-near slop (match length minus clause
+    lengths) — so the final filter is exact for clauses of ANY width;
+    ``gap_budget < 0`` means unlimited (intervals' max_gaps: -1).
+    Cost is the product of per-clause match counts (flatten ×
+    transform) — the combination walk Lucene performs per document."""
+    acc = F.transform(
+        subs[0],
+        lambda x: F.struct(x["s"].alias("s"), x["e"].alias("e"),
+                           F.lit(0).alias("g")))
+    for nxt in subs[1:]:
+        acc = F.flatten(F.transform(
+            acc,
+            lambda a: F.filter(
+                F.transform(
+                    nxt,
+                    lambda x: F.when(
+                        x["s"] >= a["e"],
+                        F.struct(a["s"].alias("s"),
+                                 x["e"].alias("e"),
+                                 (a["g"] + (x["s"] - a["e"]))
+                                 .alias("g")))),
+                lambda v: v.isNotNull()),
+        ))
+    if gap_budget >= 0:
+        acc = F.filter(acc, lambda a: a["g"] <= F.lit(gap_budget))
+    return F.array_sort(F.array_distinct(F.transform(
+        acc,
+        lambda a: F.struct(a["s"].alias("s"), a["e"].alias("e")))))
+
+
 def _spans_near_exists(span_arrays: list[Column], ordered: bool,
-                       slop: int) -> Column:
-    """Top-level span_near MEMBERSHIP over span arrays: one nested
-    ``exists`` per clause, so every clause's chosen span is in scope
-    for the innermost constraint — brute-force exact for any clause
-    count and any span widths (r10; the r9 greedy min-next chain was
-    exact only for single-token spans, and unordered was capped at 2
-    clauses). Ordered: consecutive non-overlap with Σ gaps ≤ slop.
-    Unordered: pairwise disjoint with (max e − min s − Σ len) ≤ slop —
-    Lucene's NearSpansUnordered condition. Cost is the product of
-    per-clause match counts, same as Lucene's per-document walk."""
+                       slop: int, disjoint: bool = True) -> Column:
+    """Proximity MEMBERSHIP over span arrays: one nested ``exists``
+    per clause, so every clause's chosen span is in scope for the
+    innermost constraint — brute-force exact for any clause count and
+    any span widths (r10; the r9 greedy min-next chain was exact only
+    for single-token spans, and unordered was capped at 2 clauses).
+    Ordered: consecutive non-overlap with Σ gaps ≤ slop. Unordered
+    with ``disjoint=True`` (span_near): pairwise disjoint with
+    (max e − min s − Σ len) ≤ slop — Lucene's NearSpansUnordered
+    condition. ``disjoint=False`` is the INTERVALS unordered flavor
+    (Lucene's UNORDERED allows overlap): window condition only.
+    ``slop < 0`` means unlimited (intervals max_gaps: -1). Cost is the
+    product of per-clause match counts, same as Lucene's per-document
+    walk."""
     if len(span_arrays) > _MAX_SPAN_CLAUSES:
         raise DslError(
             f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
     if len(span_arrays) == 1:
         return F.coalesce(F.size(span_arrays[0]) > 0, F.lit(False))
+    if not ordered and slop < 0 and not disjoint:
+        # unconstrained unordered (intervals' default): every clause
+        # present somewhere — skip the combination walk
+        out = F.lit(True)
+        for sp in span_arrays:
+            out = out & F.coalesce(F.size(sp) > 0, F.lit(False))
+        return out
 
     def constraint(chosen: list[Column]) -> Column:
         if ordered:
@@ -524,20 +549,24 @@ def _spans_near_exists(span_arrays: list[Column], ordered: bool,
                 cond = cond & (cur["s"] >= prev["e"])
                 g = cur["s"] - prev["e"]
                 gaps = g if gaps is None else gaps + g
-            return cond & (gaps <= F.lit(slop))
+            if slop >= 0:
+                cond = cond & (gaps <= F.lit(slop))
+            return cond
         cond = F.lit(True)
-        for i, a in enumerate(chosen):
-            for b in chosen[i + 1:]:
-                cond = cond & ((a["e"] <= b["s"]) | (b["e"] <= a["s"]))
-        max_e = F.greatest(*[c["e"] for c in chosen]) \
-            if len(chosen) > 1 else chosen[0]["e"]
-        min_s = F.least(*[c["s"] for c in chosen]) \
-            if len(chosen) > 1 else chosen[0]["s"]
-        total_len = None
-        for c in chosen:
-            ln = c["e"] - c["s"]
-            total_len = ln if total_len is None else total_len + ln
-        return cond & (max_e - min_s - total_len <= F.lit(slop))
+        if disjoint:
+            for i, a in enumerate(chosen):
+                for b in chosen[i + 1:]:
+                    cond = cond & ((a["e"] <= b["s"])
+                                   | (b["e"] <= a["s"]))
+        if slop >= 0:
+            max_e = F.greatest(*[c["e"] for c in chosen])
+            min_s = F.least(*[c["s"] for c in chosen])
+            total_len = None
+            for c in chosen:
+                ln = c["e"] - c["s"]
+                total_len = ln if total_len is None else total_len + ln
+            cond = cond & (max_e - min_s - total_len <= F.lit(slop))
+        return cond
 
     def rec(i: int, chosen: list[Column]) -> Column:
         if i == len(span_arrays):
@@ -661,19 +690,20 @@ def _one_rule(spec) -> tuple[str, dict]:
     kind, body = next(iter(spec.items()))
     if kind == "filter":
         raise DslError(
-            "intervals filter rules (containing/overlapping/...) are "
-            "not implemented")
+            "an intervals filter attaches INSIDE a rule body "
+            "({'match': {..., 'filter': {...}}}), it is not a rule")
     if kind not in _INTERVALS_RULES:
         raise DslError(f"unsupported intervals rule {kind!r}")
     if isinstance(body, dict):
         allowed = {
-            "match": {"query", "max_gaps", "ordered"},
-            "prefix": {"prefix"},
-            "wildcard": {"pattern"},
-            "regexp": {"pattern"},
-            "fuzzy": {"term", "fuzziness"},
-            "any_of": {"intervals"},
-            "all_of": {"intervals", "max_gaps", "ordered"},
+            # every rule takes a filter (r10) — applied to its spans
+            "match": {"query", "max_gaps", "ordered", "filter"},
+            "prefix": {"prefix", "filter"},
+            "wildcard": {"pattern", "filter"},
+            "regexp": {"pattern", "filter"},
+            "fuzzy": {"term", "fuzziness", "filter"},
+            "any_of": {"intervals", "filter"},
+            "all_of": {"intervals", "max_gaps", "ordered", "filter"},
         }[kind]
         unknown = sorted(set(body) - allowed)
         if unknown:
@@ -685,56 +715,141 @@ def _one_rule(spec) -> tuple[str, dict]:
     return kind, body
 
 
-def _positions_near(pos_arrays: list[Column], ordered: bool,
-                    max_gaps: int) -> Column:
-    """Membership for a list of single-position clause arrays under
-    ordering/gap constraints — the span_near core, shared by
-    intervals all_of and multi-token match."""
-    if len(pos_arrays) > _MAX_SPAN_CLAUSES:
-        raise DslError(
-            f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
-    if len(pos_arrays) == 1:
-        return F.coalesce(F.size(pos_arrays[0]) > 0, F.lit(False))
-    if ordered:
-        def _min_after(pos: Column, prev: Column) -> Column:
-            return F.array_min(F.filter(pos, lambda x: x > prev))
-
-        def chain(p0: Column) -> Column:
-            cur = p0
-            for parr in pos_arrays[1:]:
-                cur = _min_after(parr, cur)
-            if max_gaps < 0:
-                return cur.isNotNull()
-            return F.coalesce(
-                cur - p0 <= F.lit(len(pos_arrays) - 1 + max_gaps),
-                F.lit(False))
-
-        return F.coalesce(F.exists(pos_arrays[0], chain), F.lit(False))
-    if max_gaps < 0:
-        # unordered, unlimited gaps = every clause present somewhere
-        out = F.lit(True)
-        for parr in pos_arrays:
-            out = out & F.coalesce(F.size(parr) > 0, F.lit(False))
-        return out
-    if len(pos_arrays) != 2:
-        raise DslError(
-            "unordered proximity with max_gaps supports exactly 2 "
-            "clauses (the k-clause minimum-window has no exact "
-            "column-algebra form; use ordered: true or 2 clauses)")
-    a, b = pos_arrays
-    return F.coalesce(
-        F.exists(a, lambda pa: F.exists(
-            b,
-            lambda pb: (F.greatest(pa, pb) - F.least(pa, pb) - F.lit(1))
-            <= F.lit(max_gaps),
-        )),
-        F.lit(False),
+def _minimal_spans(sp: Column) -> Column:
+    """Lucene's MINIMAL-interval semantics: an interval strictly
+    containing another match is never produced. Pairwise prune —
+    O(m²) per row over a rule's own (small) match set."""
+    return F.filter(
+        sp,
+        lambda a: ~F.coalesce(
+            F.exists(sp, lambda b:
+                     ((b["s"] > a["s"]) & (b["e"] <= a["e"]))
+                     | ((b["s"] >= a["s"]) & (b["e"] < a["e"]))),
+            F.lit(False)),
     )
+
+
+#: intervals filter relations (rule body ``filter`` key, r10):
+#: keep source spans standing in the relation to SOME filter span
+_INTERVAL_FILTER_RELS = {
+    "containing": lambda a, b: (a["s"] <= b["s"]) & (b["e"] <= a["e"]),
+    "contained_by": lambda a, b: (b["s"] <= a["s"]) & (a["e"] <= b["e"]),
+    "overlapping": lambda a, b: (a["s"] < b["e"]) & (b["s"] < a["e"]),
+    # half-open [s, e): "entirely before/after" the filter span
+    "before": lambda a, b: a["e"] <= b["s"],
+    "after": lambda a, b: a["s"] >= b["e"],
+}
+
+
+def _apply_interval_filter(arr: Column, sp: Column, fspec) -> Column:
+    """Apply a rule's ``filter`` option: keep source spans in the
+    stated relation to the filter rule's spans (``not_*`` = in the
+    relation to NONE of them). The filter rule is itself a span
+    producer, so filters nest."""
+    if not isinstance(fspec, dict) or len(fspec) != 1:
+        raise DslError(
+            "an intervals filter takes exactly one relation "
+            f"({sorted(_INTERVAL_FILTER_RELS) + ['not_containing', 'not_contained_by', 'not_overlapping']}), got {fspec!r}")
+    rel_name, frule = next(iter(fspec.items()))
+    if rel_name == "script":
+        raise DslError("intervals filter script is not implemented")
+    neg = rel_name.startswith("not_")
+    base_name = rel_name[4:] if neg else rel_name
+    rel = _INTERVAL_FILTER_RELS.get(base_name)
+    if rel is None or (neg and base_name in ("before", "after")):
+        raise DslError(
+            f"unsupported intervals filter relation {rel_name!r}")
+    fsp = _intervals_spans(arr, *_one_rule(frule))
+    if neg:
+        return F.filter(
+            sp, lambda a: ~F.coalesce(
+                F.exists(fsp, lambda b: rel(a, b)), F.lit(False)))
+    return F.filter(
+        sp, lambda a: F.coalesce(
+            F.exists(fsp, lambda b: rel(a, b)), F.lit(False)))
+
+
+def _intervals_spans(arr: Column, kind: str, body) -> Column:
+    """One intervals rule → its array<struct<s,e>> of match spans
+    (half-open, minimal-interval pruned) — the producer that lets
+    multi-token matches, ordered all_of chains, and filtered rules
+    nest under ordering/gap constraints and under each other. The
+    unordered constrained combinations have no bounded span
+    enumeration (their minimal windows interleave) — membership-only
+    there, named 400 here."""
+    fspec = body.get("filter") if isinstance(body, dict) else None
+    if kind == "match":
+        if not isinstance(body, dict) or "query" not in body:
+            raise DslError("intervals match requires a query")
+        toks = tokenize(str(body["query"]))
+        if len(toks) > _MAX_SPAN_CLAUSES:
+            raise DslError(
+                f"intervals match supports at most {_MAX_SPAN_CLAUSES}"
+                " tokens")
+        if not toks:
+            sp = F.array().cast("array<struct<s:int,e:int>>")
+        elif len(toks) == 1:
+            sp = _pos_to_spans(_token_positions(arr, toks[0]))
+        else:
+            ordered = bool(body.get("ordered", False))
+            mg = body.get("max_gaps", -1)
+            if not isinstance(mg, int):
+                raise DslError(f"malformed max_gaps {mg!r}")
+            if not ordered:
+                raise DslError(
+                    "an unordered multi-token intervals match cannot "
+                    "produce spans (its minimal windows have no "
+                    "bounded enumeration); use ordered: true here")
+            sp = _minimal_spans(_chain_spans(
+                [_pos_to_spans(_token_positions(arr, t))
+                 for t in toks], mg))
+    elif kind == "any_of":
+        ivs = body.get("intervals") if isinstance(body, dict) else None
+        if not isinstance(ivs, list) or not ivs:
+            raise DslError("any_of requires a non-empty intervals list")
+        out = None
+        for iv in ivs:
+            p = _intervals_spans(arr, *_one_rule(iv))
+            out = p if out is None else F.concat(out, p)
+        sp = _minimal_spans(F.array_sort(F.array_distinct(out)))
+    elif kind == "all_of":
+        ivs = body.get("intervals") if isinstance(body, dict) else None
+        if not isinstance(ivs, list) or not ivs:
+            raise DslError("all_of requires a non-empty intervals list")
+        if len(ivs) > _MAX_SPAN_CLAUSES:
+            raise DslError(
+                f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
+        mg = body.get("max_gaps", -1)
+        if not isinstance(mg, int):
+            raise DslError(f"malformed max_gaps {mg!r}")
+        if not bool(body.get("ordered", False)):
+            raise DslError(
+                "an unordered all_of cannot produce spans (its "
+                "minimal windows have no bounded enumeration); use "
+                "ordered: true here")
+        sp = _minimal_spans(_chain_spans(
+            [_intervals_spans(arr, *_one_rule(iv)) for iv in ivs], mg))
+    else:
+        # single-token leaves: prefix / wildcard / regexp / fuzzy
+        sp = _pos_to_spans(_intervals_tok_positions(arr, kind, body))
+    if fspec is not None:
+        sp = _apply_interval_filter(arr, sp, fspec)
+    return sp
 
 
 def _intervals_rule(arr: Column, kind: str, body) -> Column:
     """One intervals rule → boolean membership (score-free filter
-    context, like the span family)."""
+    context, like the span family). Constrained combinations run the
+    nested-exists walk (r10 — exact for any clause count; the r9
+    unordered-2-clause cap is gone), with the INTERVALS unordered
+    flavor: Lucene's UNORDERED allows overlapping sub-intervals, so
+    ``disjoint=False`` (unlike span_near's NearSpansUnordered)."""
+    if isinstance(body, dict) and body.get("filter") is not None:
+        # a filtered rule goes through the span producer (the filter
+        # relation needs real spans)
+        return F.coalesce(
+            F.size(_intervals_spans(arr, kind, body)) > 0,
+            F.lit(False))
     if kind == "match":
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("intervals match requires a query")
@@ -749,8 +864,9 @@ def _intervals_rule(arr: Column, kind: str, body) -> Column:
         mg = body.get("max_gaps", -1)
         if not isinstance(mg, int):
             raise DslError(f"malformed max_gaps {mg!r}")
-        return _positions_near(
-            [_token_positions(arr, t) for t in toks], ordered, mg)
+        return _spans_near_exists(
+            [_pos_to_spans(_token_positions(arr, t)) for t in toks],
+            ordered, mg, disjoint=False)
     if kind == "all_of":
         ivs = body.get("intervals") if isinstance(body, dict) else None
         if not isinstance(ivs, list) or not ivs:
@@ -766,9 +882,13 @@ def _intervals_rule(arr: Column, kind: str, body) -> Column:
             for iv in ivs:
                 out = out & _intervals_rule(arr, *_one_rule(iv))
             return out
-        return _positions_near(
-            [_intervals_tok_positions(arr, *_one_rule(iv))
-             for iv in ivs], ordered, mg)
+        # constrained: sub-rules must produce spans — multi-token
+        # ordered matches, nested ordered all_of and filtered rules
+        # all qualify now (r10); unordered nested combinations stay
+        # the producer's named 400
+        return _spans_near_exists(
+            [_intervals_spans(arr, *_one_rule(iv)) for iv in ivs],
+            ordered, mg, disjoint=False)
     if kind == "any_of":
         ivs = body.get("intervals") if isinstance(body, dict) else None
         if not isinstance(ivs, list) or not ivs:

@@ -3441,6 +3441,47 @@ def search_dsl_span_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_intervals_filter",
+    # not_overlapping against the adjacent "filter scan" bigram: a
+    # source token 'filter' survives iff its successor is not 'scan'
+    # (an out-of-range successor survives — coalesce TRUE mirrors the
+    # engine's exists-over-empty false)
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang FROM t
+    WHERE len([i FOR i IN range(1, len(toks)+1)
+               IF toks[i] = 'filter'
+                  AND coalesce(toks[i+1] <> 'scan', TRUE)]) > 0
+    """,
+)
+def search_dsl_intervals_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``intervals`` filter relations (r10): keep 'filter' tokens NOT
+    overlapping any adjacent "filter scan" phrase — the
+    Kibana-era proximity-minus idiom the r9 single-position model
+    400'd. The filter rule is itself a span producer (the ordered
+    bigram chain), so relations nest
+    (plans/es_dsl.py:_apply_interval_filter). One pruned scan, zero
+    exchanges, no UDF."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"intervals": {"text": {"match": {
+        "query": "filter",
+        "filter": {"not_overlapping": {"match": {
+            "query": "filter scan", "ordered": True,
+            "max_gaps": 0}}}}}}})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
     "search_dsl_function_score",
     # every op is IEEE-exact cross-engine (sqrt is correctly rounded
     # by spec; +-*/ are exact-rounded) — the gauss/exp/log tiers run
@@ -6612,6 +6653,8 @@ _CHECK_FIRST = [
     "search_dsl_span_near",         # r10 touched: span-struct algebra
     "search_dsl_span_nested",       # r10 NEW: nested span_near
     "search_dsl_span_first",        # r10 touched: span-struct algebra
+    "search_dsl_intervals_filter",  # r10 NEW: filter relations
+    "search_dsl_intervals",         # r10 touched: exists-walk core
     "search_scroll_page",           # r10 touched: date cursor fix
     "quality_classifier_scores",    # r10 touched: sparse-weight tier
     "search_aggs_boxplot",          # r10 touched: field/script 400
@@ -6657,8 +6700,6 @@ _CHECK_FIRST = [
     #    fill).
     "namespace_provenance",
     "group_count",
-    "orderby_limit",
-    "content_hash_ids",
 ]
 
 

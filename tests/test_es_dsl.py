@@ -797,20 +797,76 @@ def test_intervals_leaves_and_composition(span_docs):
             {"match": {"query": "alpha"}}]}}}}) == [1, 2]
 
 
+def test_intervals_nested_and_filters(span_docs):
+    """r10: the span producer lifts the r9 caps — multi-token ordered
+    matches nest under constraints, unordered takes any clause count,
+    and the ``filter`` relations work on real spans."""
+    # multi-token ordered match nested under a constrained all_of:
+    # "alpha beta" (span [0,2) in doc1) then gamma at gap 0
+    assert run(span_docs, {"intervals": {"txt": {"all_of": {
+        "intervals": [
+            {"match": {"query": "alpha beta", "ordered": True,
+                       "max_gaps": 0}},
+            {"match": {"query": "gamma"}}],
+        "ordered": True, "max_gaps": 0}}}}) == [1]
+    # unordered match with 3 tokens and a gap budget (the r9 2-clause
+    # cap is gone); intervals' unordered allows overlap, so the same
+    # token twice matches at one position
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "gamma beta alpha", "max_gaps": 0}}}}) == [1, 2]
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "soup soup", "max_gaps": 0}}}}) == [4]
+    # filter relations: gamma NOT before delta → doc4's gamma@4
+    # survives not_overlapping but gamma-before-delta keeps only
+    # docs with gamma@2 < delta@3
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "gamma",
+        "filter": {"before": {"match": {"query": "delta"}}}}}}}) \
+        == [4]
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "gamma",
+        "filter": {"after": {"match": {"query": "delta"}}}}}}}) \
+        == [4]
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "beta",
+        "filter": {"not_overlapping": {
+            "match": {"query": "beta gamma", "ordered": True,
+                      "max_gaps": 0}}}}}}}) == [1]
+    # contained_by / containing over a produced envelope
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "soup",
+        "filter": {"contained_by": {"match": {
+            "query": "alphabet gamma", "ordered": True,
+            "max_gaps": 1}}}}}}}) == [4]
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "alphabet gamma", "ordered": True, "max_gaps": 1,
+        "filter": {"containing": {"match": {"query": "soup"}}}}}}}) \
+        == [4]
+
+
 def test_intervals_named_400s(span_docs):
-    with pytest.raises(DslError, match="multi-token intervals match"):
+    # unordered producers stay honest 400s under constraints/filters
+    with pytest.raises(DslError, match="unordered multi-token"):
         compile_dsl({"intervals": {"txt": {"all_of": {
             "intervals": [{"match": {"query": "two words"}},
                           {"match": {"query": "x"}}],
             "ordered": True}}}})
-    with pytest.raises(DslError, match="filter rules"):
+    with pytest.raises(DslError, match="unordered all_of"):
+        compile_dsl({"intervals": {"txt": {"all_of": {
+            "intervals": [{"all_of": {"intervals": [
+                {"match": {"query": "a"}},
+                {"match": {"query": "b"}}]}},
+                {"match": {"query": "x"}}],
+            "ordered": True}}}})
+    with pytest.raises(DslError, match="not a rule"):
         compile_dsl({"intervals": {"txt": {"filter": {
             "containing": {"match": {"query": "x"}}}}}})
+    with pytest.raises(DslError, match="filter relation"):
+        compile_dsl({"intervals": {"txt": {"match": {
+            "query": "x", "filter": {"nearby": {
+                "match": {"query": "y"}}}}}}})
     with pytest.raises(DslError, match="unsupported intervals match"):
         compile_dsl({"intervals": {"txt": {"match": {
             "query": "x", "use_field": "other"}}}})
-    with pytest.raises(DslError, match="exactly 2"):
-        compile_dsl({"intervals": {"txt": {"match": {
-            "query": "a b c", "max_gaps": 1}}}})
     with pytest.raises(DslError, match="one field"):
         compile_dsl({"intervals": {"a": {}, "b": {}}})

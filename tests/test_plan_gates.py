@@ -394,6 +394,12 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (3, [])},
     ),
+    # r10: intervals filter relations — span producer + relation
+    # filter stay zero-exchange column algebra over one pruned scan
+    "search_dsl_intervals_filter": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
     # r10: the nested span_near tree (span-producer inner chain +
     # unordered outer exists-walk) stays zero-exchange column algebra
     # over one pruned scan — an exchange here would mean the span
