@@ -95,6 +95,16 @@ HEADLINE = (
     # three-shuffle boilerplate removal pipeline
     "search_dsl_span_near",
     "boilerplate_chunk_removal",
+    # r10 additions with real distributed cost: the DSIR two-pass
+    # model+score pipeline, the one-tokenized-scan significant_text,
+    # the materialized-sample wrapper, the span-producer trees, and
+    # the per-distinct-value fuzzy completion
+    "dsir_importance_weights",
+    "search_aggs_significant_text",
+    "search_aggs_sampler_significant",
+    "search_dsl_span_nested",
+    "search_dsl_intervals_filter",
+    "search_suggest_completion_fuzzy",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -105,6 +115,7 @@ SF1_EXTRA = (
     "boilerplate_chunk_removal",
     "quality_classifier_scores",
     "dsir_importance_weights",
+    "search_aggs_significant_text",
     "semdedup_embeddings",
     "neardup_minhash_lsh",
     "simhash_hamming_pairs",

@@ -3916,16 +3916,32 @@ def run_aggs(
             # the cost-bounding wrapper: sub-aggs see at most
             # shard_size docs of the query scope (sampler_scope —
             # the deterministic-hash divergence is documented there).
-            # significant_text under a sampler has no flag-predicate
-            # for its one-scan foreground (sample membership is
-            # rank-based), so its branch raises its named 400.
+            # The sample is a materialized local relation, so a
+            # significant_text foreground flag is an In-predicate on
+            # the sample's lead tie-break key (bounded by shard_size,
+            # pushdown-friendly) — the one-tokenized-scan contract
+            # holds under the wrapper too.
             scoped = sampler_scope(
                 df, body, diversified=kind == "diversified_sampler")
             senv: dict[str, Any] = {"doc_count": scoped.count()}
             if sub:
+                sample_pred = None
+                if background is not None and scoped.columns:
+                    from sql_database_to_elastic_datalake_spark.operators.similarity import (  # noqa: E501
+                        tiebreak_columns,
+                    )
+
+                    skeys = tiebreak_columns(scoped)
+                    if skeys:
+                        vals = [r[skeys[0]]
+                                for r in scoped.select(skeys[0])
+                                .collect()]
+                        sample_pred = F.col(skeys[0]).isin(vals) \
+                            if vals else F.lit(False)
                 senv.update(run_aggs(scoped, sub,
                                      schema_fields=schema_fields,
-                                     background=background))
+                                     background=background,
+                                     background_pred=sample_pred))
             out[name] = senv
         elif kind == "adjacency_matrix":
             # pairwise filter intersections (the Kibana graph panel):

@@ -905,6 +905,21 @@ def test_sampler_and_diversified(spark):
     # shard_size caps the whole sample even when the corpus is larger
     out = run_aggs(df, {"s": {"sampler": {"shard_size": 5}}})
     assert out["s"]["doc_count"] == 5
+    # r10: significant_text works UNDER a sampler — the foreground
+    # flag is an In-predicate on the sample's tie-break key, so the
+    # one-tokenized-scan contract holds under the wrapper too
+    tdf = spark.createDataFrame(
+        [(i, "hot topic" if i % 2 else "cold stuff")
+         for i in range(20)],
+        "id long, body string")
+    out = run_aggs(tdf, {"s": {
+        "sampler": {"shard_size": 6},
+        "aggs": {"sig": {"significant_text": {
+            "field": "body", "min_doc_count": 1}}},
+    }}, background=tdf)
+    sig = out["s"]["sig"]
+    assert sig["doc_count"] == 6 and sig["bg_count"] == 20
+    assert all(b["doc_count"] <= 6 for b in sig["buckets"])
     # named 400s
     with pytest.raises(DslError, match="shard_size"):
         run_aggs(df, {"s": {"sampler": {"shard_size": 0}}})
