@@ -153,13 +153,15 @@ _AGG_BODY_KEYS = {
     "composite": {"sources", "size", "after"},
     "top_hits": {"size", "sort", "_source"},
     "significant_terms": {"field", "size", "min_doc_count",
-                          "shard_size", "shard_min_doc_count"},
+                          "shard_size", "shard_min_doc_count",
+                          "background_filter"},
     # r10: the text twin — same JLH scoring over TOKENS of an
     # analyzed field (doc frequency: each doc counts once per
     # distinct token). filter_duplicate_text (ES's near-dup text
     # suppression) is a named 400, not a silent drop.
     "significant_text": {"field", "size", "min_doc_count",
-                         "shard_size", "shard_min_doc_count"},
+                         "shard_size", "shard_min_doc_count",
+                         "background_filter"},
     # r10: the cost-bounding wrappers around significant_*/terms on
     # big indices. execution_hint is a non-result-changing hint in ES
     # — accepted-and-ignored.
@@ -2803,7 +2805,8 @@ def significant_terms_frame(
 
 
 def significant_text_frame(
-    bg: DataFrame, fg_pred: Column, body: dict
+    bg: DataFrame, fg_pred: Column, body: dict,
+    bg_pred: Column | None = None,
 ) -> DataFrame:
     """ES ``significant_text``: tokens overrepresented in the query
     scope relative to the whole index — Kibana's text-analytics twin
@@ -2819,7 +2822,12 @@ def significant_text_frame(
     and the tokenizer (the expensive part) runs once. The doc totals
     are a second, tokenizer-free count-only pass. No UDF anywhere:
     split/filter/array_distinct/explode are native expressions.
-    ``min_doc_count`` defaults to 3 like ES."""
+    ``min_doc_count`` defaults to 3 like ES.
+
+    ``bg_pred`` is ES's ``background_filter`` (r10): the background
+    scope narrows to rows matching it. The one-scan contract holds —
+    the scan covers ``fg_pred OR bg_pred`` rows with TWO flag columns
+    and the bg count becomes its own conditional sum."""
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
         TOKEN_SPLIT_LOWER_RE,
     )
@@ -2835,19 +2843,26 @@ def significant_text_frame(
                 TOKEN_SPLIT_LOWER_RE),
         lambda t: t != ""))
     flag = F.coalesce(fg_pred, F.lit(False))
+    bflag = F.lit(True) if bg_pred is None \
+        else F.coalesce(bg_pred, F.lit(False))
+    scan = bg if bg_pred is None else bg.filter(flag | bflag)
     counts = (
-        bg.select(flag.alias("__fg"), F.explode(toks).alias("key"))
+        scan.select(flag.alias("__fg"), bflag.alias("__bg"),
+                    F.explode(toks).alias("key"))
         .groupBy("key")
         .agg(
             F.sum(F.when(F.col("__fg"), 1).otherwise(0))
             .cast("bigint").alias("doc_count"),
-            F.count(F.lit(1)).cast("bigint").alias("bg_count"),
+            F.sum(F.when(F.col("__bg"), 1).otherwise(0))
+            .cast("bigint").alias("bg_count"),
         )
     )
-    totals = bg.agg(
+    counts = counts.filter(F.col("bg_count") > 0)
+    totals = scan.agg(
         F.sum(F.when(flag, 1).otherwise(0))
         .cast("double").alias("ft"),
-        F.count(F.lit(1)).cast("double").alias("bt"),
+        F.sum(F.when(bflag, 1).otherwise(0))
+        .cast("double").alias("bt"),
     )
     fg_pct = F.col("doc_count").cast("double") / F.col("ft")
     bg_pct = F.col("bg_count").cast("double") / F.col("bt")
@@ -4073,10 +4088,18 @@ def run_aggs(
                     "entry point has no table context (use "
                     "/search/advanced, which passes it)"
                 )
-            rows = significant_terms_frame(df, background, body).collect()
+            bgdf = background
+            if body.get("background_filter") is not None:
+                # ES's background_filter narrows the contrast scope
+                bgdf = background.filter(compile_dsl(
+                    body["background_filter"],
+                    schema_fields=schema_fields))
+                body = {k: v for k, v in body.items()
+                        if k != "background_filter"}
+            rows = significant_terms_frame(df, bgdf, body).collect()
             out[name] = {
                 "doc_count": df.count(),
-                "bg_count": background.count(),
+                "bg_count": bgdf.count(),
                 "buckets": [
                     {"key": _key_envelope(r["key"]),
                      "doc_count": r["doc_count"],
@@ -4098,11 +4121,19 @@ def run_aggs(
                     "table context (use /search/advanced, which "
                     "passes both)"
                 )
+            bg_pred = None
+            if body.get("background_filter") is not None:
+                bg_pred = compile_dsl(body["background_filter"],
+                                      schema_fields=schema_fields)
+                body = {k: v for k, v in body.items()
+                        if k != "background_filter"}
             rows = significant_text_frame(
-                background, background_pred, body).collect()
+                background, background_pred, body,
+                bg_pred=bg_pred).collect()
             out[name] = {
                 "doc_count": df.count(),
-                "bg_count": background.count(),
+                "bg_count": (background.count() if bg_pred is None
+                             else background.filter(bg_pred).count()),
                 "buckets": [
                     {"key": _key_envelope(r["key"]),
                      "doc_count": r["doc_count"],

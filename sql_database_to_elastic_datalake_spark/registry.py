@@ -2669,6 +2669,57 @@ def search_aggs_significant_text(
 
 
 @register(
+    "search_aggs_significant_bgfilter",
+    # ES's background_filter narrows the contrast scope: German docs
+    # against the de+en subset instead of the whole corpus — the same
+    # bit-identical JLH tree over the narrowed totals
+    oracle="""
+    WITH fg AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM documents WHERE lang = 'de' AND source IS NOT NULL
+        GROUP BY 1
+    ),
+    bg AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS bg_count
+        FROM documents
+        WHERE lang IN ('de', 'en') AND source IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents
+         WHERE lang = 'de') AS ft,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents
+         WHERE lang IN ('de', 'en')) AS bt)
+    SELECT key, doc_count, bg_count,
+           ((CAST(doc_count AS DOUBLE)/ft - CAST(bg_count AS DOUBLE)/bt)
+            * ((CAST(doc_count AS DOUBLE)/ft)
+               / (CAST(bg_count AS DOUBLE)/bt))) AS score
+    FROM fg JOIN bg USING (key), tot
+    WHERE doc_count >= 2
+      AND CAST(doc_count AS DOUBLE)/ft > CAST(bg_count AS DOUBLE)/bt
+    ORDER BY score DESC, key LIMIT 5
+    """,
+)
+def search_aggs_significant_bgfilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``significant_terms`` with ES's ``background_filter`` (r10):
+    the contrast scope narrows to a filtered background (Kibana's
+    "uncommonly common within a slice" idiom) — previously a
+    result-changing named 400. Same two-agg + term-join plan; the
+    filter pushes into the background scan."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        significant_terms_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return significant_terms_frame(
+        docs.filter(F.col("lang") == "de"),
+        docs.filter(F.col("lang").isin("de", "en")),
+        {"field": "source", "size": 5, "min_doc_count": 2},
+    )
+
+
+@register(
     "search_aggs_sampler_significant",
     # the sample is the shard_size docs with the smallest md5(doc_id)
     # (deterministic_sample convention) — exactly reproducible in SQL,
@@ -6658,6 +6709,8 @@ _CHECK_FIRST = [
     "search_scroll_page",           # r10 touched: date cursor fix
     "quality_classifier_scores",    # r10 touched: sparse-weight tier
     "search_aggs_boxplot",          # r10 touched: field/script 400
+    "search_aggs_significant_bgfilter",  # r10 NEW: background_filter
+    "search_aggs_significant_terms",     # r10 touched: bgfilter path
     # -- evidence-freshness fill (r9 verdict directive #1): ALL 34
     #    queries still carrying round-3 evidence, oldest first —
     #    after this window nothing in the registry is older than r4.
@@ -6697,9 +6750,7 @@ _CHECK_FIRST = [
     "value_seasonality_by_hour",
     # -- remaining slots: the oldest round-4-evidence queries in
     #    registration order (the rest of the r4 tier leads the r11
-    #    fill).
-    "namespace_provenance",
-    "group_count",
+    #    fill — the r10 feature tier consumed the remaining slots).
 ]
 
 

@@ -770,11 +770,20 @@ def test_significant_terms_envelope(docs):
     # no background context -> named error, not a silent empty result
     with pytest.raises(DslError, match="background"):
         run_aggs(docs, {"sig": {"significant_terms": {"field": "lang"}}})
-    # result-changing unknown options still 400
-    with pytest.raises(DslError, match="background_filter"):
-        run_aggs(docs, {"sig": {"significant_terms": {
-            "field": "lang", "background_filter": {"term": {"x": 1}}}}},
-            background=docs)
+    # r10: background_filter narrows the contrast scope (ES option)
+    out = run_aggs(docs.filter("n_chars >= 200"),
+                   {"sig": {"significant_terms": {
+                       "field": "lang", "min_doc_count": 1,
+                       "background_filter": {
+                           "range": {"n_chars": {"gte": 100}}}}}},
+                   background=docs)
+    env = out["sig"]
+    # bg scope: n_chars >= 100 → 5 docs (null n_chars drops)
+    assert env["bg_count"] == 5
+    de = {b["key"]: b for b in env["buckets"]}["de"]
+    fg_pct, bg_pct = 2 / 4, 2 / 5
+    assert de["score"] == pytest.approx(
+        (fg_pct - bg_pct) * (fg_pct / bg_pct))
 
 
 def test_significant_text_envelope(spark):
@@ -821,6 +830,20 @@ def test_significant_text_envelope(spark):
                               "aggs": {"m": {"avg": {
                                   "field": "doc_id"}}}}},
                  background=df, background_pred=F.col("lang") == "en")
+    # r10: background_filter narrows the bg scope; the one-scan
+    # contract holds (fg OR bg rows, two flags). fg=en vs bg=de:
+    # 'spark' has bg_count 0 there → dropped (no zero-division inf)
+    out = run_aggs(
+        fg, {"sig": {"significant_text": {
+            "field": "text", "min_doc_count": 1,
+            "background_filter": {"term": {"lang": "de"}}}}},
+        background=df, background_pred=F.col("lang") == "en")
+    env = out["sig"]
+    assert env["doc_count"] == 2 and env["bg_count"] == 2
+    keys = {b["key"] for b in env["buckets"]}
+    assert "spark" not in keys  # bg_count 0 → dropped, not inf
+    # 'engine'/'cluster': fg 1/2 vs bg 1/2 → fg% == bg% → out too
+    assert keys == set()
 
 
 def test_significant_text_via_advanced_search(spark, tmp_path):
