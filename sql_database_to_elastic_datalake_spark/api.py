@@ -12,7 +12,8 @@ Endpoints covered (SURVEY.md §2.1 S5/S6, §2.9 I1, §2.8 Q1/Q2/Q4):
   POST /<entity>/sync               → resync_entity()    (I2)
   POST /search                      → search()          (Q1)
   POST /search/advanced             → advanced_search() (Q2)
-  POST /search/pit (+DELETE)        → open_pit()        (Q23, r10)
+  POST /search/pit (+DELETE)        → open_pit()        (Q27, r10)
+  POST /search/validate             → compile-only pre-flight (r10)
 
 We replicate the declared surface, not the reference's wiring bugs
 (several handlers there declare an ``es_client`` parameter Flask never
@@ -2990,6 +2991,51 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify({"error": str(ex)}), 404
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/validate", methods=["POST"])
+    def validate_query():
+        """ES ``_validate/query``: pre-flight a query body without
+        running it (client SDKs and Kibana use it to surface syntax
+        errors early). Compiles the DSL against the target table's
+        schema — ``valid`` plus, with ``explain=true``, the ES-shaped
+        per-"shard" explanation carrying the error text. Nothing
+        executes: compilation only, no Spark job."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            DslError,
+            compile_dsl,
+        )
+
+        body = request.get_json(force=True, silent=True) or {}
+        unknown = sorted(set(body) - {"table", "index", "query",
+                                      "explain", "rewrite"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported validate keys: {unknown}"}), 400
+        table = body.get("table") or body.get("index")
+        fields = None
+        if table and "*" not in table and "?" not in table:
+            path = os.path.join(service.lake_dir, table)
+            if not path_exists(service.spark, path):
+                return jsonify(
+                    {"error": f"no such table {table!r}"}), 404
+            fields = service.spark.read.parquet(path).columns
+        err = None
+        try:
+            compile_dsl(body.get("query", {"match_all": {}}),
+                        schema_fields=fields)
+        except DslError as ex:
+            err = str(ex)
+        out: dict = {"valid": err is None,
+                     "_shards": {"total": 1,
+                                 "successful": 0 if err else 1,
+                                 "failed": 1 if err else 0}}
+        if body.get("explain"):
+            exp = {"index": table or INDEX_PREFIX + "*",
+                   "valid": err is None}
+            exp["error" if err else "explanation"] = (
+                err or "column-algebra predicate compiled")
+            out["explanations"] = [exp]
+        return jsonify(out), 200
 
     @app.route("/search/pit", methods=["DELETE"])
     def pit_close():

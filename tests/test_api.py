@@ -1325,6 +1325,34 @@ def test_scroll_date_sort_cursor(client, service, spark):
     assert len(seen) == len(set(seen))
 
 
+def test_validate_query_route(client, service, spark):
+    """r10: ES _validate/query — compile-only pre-flight, no job."""
+    spark.createDataFrame([(1, "x")], "id long, txt string") \
+        .write.parquet(os.path.join(service.lake_dir, "data_lake_vq"))
+    post = lambda b: client.post(  # noqa: E731
+        "/search/validate", data=json.dumps(b),
+        content_type="application/json")
+    r = post({"table": "data_lake_vq",
+              "query": {"term": {"txt": "x"}}})
+    assert r.status_code == 200
+    assert r.get_json()["valid"] is True
+    assert r.get_json()["_shards"]["failed"] == 0
+    # a malformed body is valid=false (a 200, like ES), with the
+    # error text under explain
+    r = post({"table": "data_lake_vq", "explain": True,
+              "query": {"nope": {}}})
+    body = r.get_json()
+    assert r.status_code == 200 and body["valid"] is False
+    assert "nope" in body["explanations"][0]["error"]
+    # empty body defaults to match_all; missing table is a 404;
+    # stray keys are named 400s
+    assert post({}).get_json()["valid"] is True
+    assert post({"table": "data_lake_nope",
+                 "query": {}}).status_code == 404
+    assert post({"table": "data_lake_vq",
+                 "size": 5}).status_code == 400
+
+
 def test_pit_search_after_drain(client, service, spark):
     """r10: ES 8.x PIT + search_after — the modern helpers.scan /
     Kibana Discover pagination. Full-drain parity with scroll: same
