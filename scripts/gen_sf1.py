@@ -46,20 +46,32 @@ def main() -> None:
         )
 
     def rep(table: str, select: str) -> None:
-        """UNION ALL of per-replica remapped selects, streamed to parquet."""
-        parts = " UNION ALL ".join(
-            f"SELECT {select.format(off=r * OFF, r=r)} "
-            f"FROM read_parquet('{SRC}/{table}.parquet')"
-            for r in range(REPLICAS)
-        )
-        con.execute(
-            f"COPY ({parts}) TO '{out}/{table}.parquet' "
-            f"(FORMAT PARQUET, CODEC ZSTD, ROW_GROUP_SIZE 1000000)"
-        )
+        """Per-replica remapped selects, one parquet FILE per replica
+        under a ``{table}.parquet/`` directory — the layout any real
+        lake has. A single-file table cannot split below one Spark
+        task whatever maxPartitionBytes says (these tables compress to
+        <1 MB but are CPU-dense), so the old single-file layout
+        serialized every text/embedding-heavy stage onto one core and
+        distorted the sf1 rehearsal; multi-file restores the
+        parallelism a 100 TB lake gets for free."""
+        import shutil
+
+        d = f"{out}/{table}.parquet"
+        if os.path.isfile(d):
+            os.remove(d)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        for r in range(REPLICAS):
+            con.execute(
+                f"COPY (SELECT {select.format(off=r * OFF, r=r)} "
+                f"FROM read_parquet('{SRC}/{table}.parquet')) "
+                f"TO '{d}/part-{r:02d}.parquet' "
+                f"(FORMAT PARQUET, CODEC ZSTD, ROW_GROUP_SIZE 1000000)"
+            )
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
         ).fetchone()[0]
-        print(f"{table}: {n} rows")
+        print(f"{table}: {n} rows ({REPLICAS} files)")
 
     rep("customer",
         "c_custkey + {off} AS c_custkey, c_name, c_nationkey, c_acctbal, "

@@ -307,7 +307,8 @@ def _sloppy_phrase(col: Column, toks: list[str], slop: int) -> Column:
 # ---------------------------------------------------------------------------
 
 _SPAN_KINDS = ("span_term", "span_near", "span_or", "span_first",
-               "span_not", "span_multi")
+               "span_not", "span_multi", "span_containing",
+               "span_within")
 
 #: clause-count honesty cap for span_near (one array_min/filter chain
 #: per clause — same shape and cap rationale as _MAX_SLOP_TOKENS)
@@ -363,6 +364,17 @@ def _span_field(kind: str, body) -> str:
             raise DslError(
                 f"span clauses must target one field, got {sorted(fields)}")
         return next(iter(fields))
+    if kind in ("span_containing", "span_within"):
+        fields = set()
+        for part in ("big", "little"):
+            sub = body.get(part)
+            if not isinstance(sub, dict) or len(sub) != 1:
+                raise DslError(f"{kind} requires a {part} span clause")
+            fields.add(_span_field(*next(iter(sub.items()))))
+        if len(fields) != 1:
+            raise DslError(
+                f"span clauses must target one field, got {sorted(fields)}")
+        return next(iter(fields))
     raise DslError(f"unsupported span clause kind {kind!r}")
 
 
@@ -400,21 +412,51 @@ def _span_spans(arr: Column, kind: str, body: dict) -> Column:
         # SpanFirst keeps spans whose END is <= `end`
         return F.filter(inner, lambda sp: sp["e"] <= F.lit(end))
     if kind == "span_not":
-        unknown = sorted(set(body) - {"include", "exclude", "boost"})
+        unknown = sorted(set(body) - {"include", "exclude", "boost",
+                                      "pre", "post", "dist"})
         if unknown:
-            raise DslError(
-                f"unsupported span_not keys: {unknown} (pre/post/dist "
-                "windows are not implemented)")
+            raise DslError(f"unsupported span_not keys: {unknown}")
+        dist = body.get("dist", 0)
+        pre = body.get("pre", dist)
+        post = body.get("post", dist)
+        for nm, v in (("pre", pre), ("post", post), ("dist", dist)):
+            if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                raise DslError(
+                    f"span_not {nm} must be a non-negative integer")
         inc = _span_spans(arr, *next(iter(body["include"].items())))
         exc = _span_spans(arr, *next(iter(body["exclude"].items())))
         # SpanNot keeps include spans that do not OVERLAP any exclude
-        # span (for single-token spans this is the r9 array_except)
+        # span, the overlap window widened by pre positions before and
+        # post after the include (dist sets both, like Lucene); for
+        # single-token spans at pre=post=0 this is the r9 array_except
         return F.filter(
             inc,
             lambda a: ~F.coalesce(
-                F.exists(exc, lambda b: (a["s"] < b["e"])
-                         & (b["s"] < a["e"])),
+                F.exists(exc, lambda b:
+                         ((a["s"] - F.lit(int(pre))) < b["e"])
+                         & (b["s"] < (a["e"] + F.lit(int(post))))),
                 F.lit(False)),
+        )
+    if kind in ("span_containing", "span_within"):
+        unknown = sorted(set(body) - {"big", "little", "boost"})
+        if unknown:
+            raise DslError(f"unsupported {kind} keys: {unknown}")
+        big = _span_spans(arr, *next(iter(body["big"].items())))
+        little = _span_spans(arr, *next(iter(body["little"].items())))
+        # span_containing yields BIG spans that enclose a little
+        # match; span_within yields LITTLE spans enclosed by a big one
+        src, ref = (big, little) if kind == "span_containing" \
+            else (little, big)
+        if kind == "span_containing":
+            def rel(a, b):
+                return (a["s"] <= b["s"]) & (b["e"] <= a["e"])
+        else:
+            def rel(a, b):
+                return (b["s"] <= a["s"]) & (a["e"] <= b["e"])
+        return F.filter(
+            src,
+            lambda a: F.coalesce(
+                F.exists(ref, lambda b: rel(a, b)), F.lit(False)),
         )
     if kind == "span_multi":
         mkind, mbody = next(iter(body["match"].items()))

@@ -3492,6 +3492,58 @@ def search_dsl_span_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dsl_span_containing",
+    # the oracle replays the span algebra with list comprehensions:
+    # big = ordered chain 'table' → 'scan' within 3 gaps (envelope
+    # [a, c+1)), little = 'hash' at [h, h+1) with a <= h, h+1 <= c+1
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               [i FOR i IN range(1, len(toks)+1)
+                IF toks[i] = 'table'] AS tp,
+               [i FOR i IN range(1, len(toks)+1)
+                IF toks[i] = 'scan'] AS sp,
+               [i FOR i IN range(1, len(toks)+1)
+                IF toks[i] = 'hash'] AS hp
+        FROM t
+    )
+    SELECT doc_id, lang FROM m
+    WHERE len(list_filter(tp, a -> len(list_filter(sp, c ->
+            c >= a + 1 AND (c - a - 1) <= 3
+            AND len(list_filter(hp,
+                    h -> a <= h AND h + 1 <= c + 1)) > 0))
+            > 0)) > 0
+    """,
+)
+def search_dsl_span_containing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``span_containing`` (r10): a "table … scan" proximity envelope
+    (≤ 3 gaps, ordered) that CONTAINS a 'hash' match — Lucene's
+    span-enclosure family, expressible only now that span clauses
+    carry real [start, end) envelopes (plans/es_dsl.py:_span_spans;
+    span_within is the mirror). One pruned scan, zero exchanges, no
+    UDF."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "table"}},
+            {"span_term": {"text": "scan"}}], "slop": 3}},
+        "little": {"span_term": {"text": "hash"}},
+    }})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
     "search_dsl_intervals_filter",
     # not_overlapping against the adjacent "filter scan" bigram: a
     # source token 'filter' survives iff its successor is not 'scan'
@@ -6707,7 +6759,10 @@ _CHECK_FIRST = [
     "search_dsl_intervals_filter",  # r10 NEW: filter relations
     "search_dsl_intervals",         # r10 touched: exists-walk core
     "search_scroll_page",           # r10 touched: date cursor fix
-    "quality_classifier_scores",    # r10 touched: sparse-weight tier
+    "search_dsl_span_containing",   # r10 NEW: span enclosure family
+    # (quality_classifier_scores yields its slot: the r10 sparse-
+    # weight fix touched only the PRETRAINED tier, not the inline
+    # tier this registered query compiles — its r9 evidence holds)
     "search_aggs_boxplot",          # r10 touched: field/script 400
     "search_aggs_significant_bgfilter",  # r10 NEW: background_filter
     "search_aggs_significant_terms",     # r10 touched: bgfilter path

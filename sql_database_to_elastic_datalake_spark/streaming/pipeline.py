@@ -48,8 +48,17 @@ def read_stream_parquet(
     Streams need an explicit schema; we take it from a batch read of the
     currently-present files (footer-only). Nanos timestamps get the same
     long→micros conversion as the batch loader. ``glob`` narrows the
-    stream to one table's files when several share the directory.
+    stream to one table's files when several share the directory; when
+    it names a DIRECTORY table (``events.parquet/`` holding part files
+    — the multi-file layout any real lake has), the stream reads that
+    directory's files instead (pathGlobFilter matches file names only).
     """
+    import os as _os
+
+    if "*" not in glob and "?" not in glob \
+            and _os.path.isdir(_os.path.join(directory, glob)):
+        directory = _os.path.join(directory, glob)
+        glob = "*.parquet"
     nanos = _nanos_timestamp_cols(_first_match(directory, glob))
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -656,6 +656,38 @@ def test_span_near_nested_and_unordered_k(span_docs):
         "slop": 9, "in_order": False}}) == []
 
 
+def test_span_containing_within_and_not_windows(span_docs):
+    """r10: span_containing / span_within on real spans, and
+    span_not's pre/post/dist exclusion windows."""
+    near = {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}},
+        {"span_term": {"txt": "gamma"}}], "slop": 1}}
+    # big spans enclosing a beta match: doc1's [0,3) contains beta@1
+    assert run(span_docs, {"span_containing": {
+        "big": near, "little": {"span_term": {"txt": "beta"}}}}) == [1]
+    assert run(span_docs, {"span_within": {
+        "big": near, "little": {"span_term": {"txt": "beta"}}}}) == [1]
+    # no enclosure: soup is outside every alpha..gamma envelope
+    assert run(span_docs, {"span_containing": {
+        "big": near, "little": {"span_term": {"txt": "soup"}}}}) == []
+    # span_not windows: plain non-overlap keeps every gamma, pre=1
+    # also kills gammas IMMEDIATELY AFTER a beta (docs 1 and 2)
+    q = lambda **kw: {"span_not": {  # noqa: E731
+        "include": {"span_term": {"txt": "gamma"}},
+        "exclude": {"span_term": {"txt": "beta"}}, **kw}}
+    assert run(span_docs, q()) == [1, 2, 4]
+    assert run(span_docs, q(pre=1)) == [4]
+    # post=1 kills gammas immediately BEFORE a beta (doc1's gamma@2
+    # precedes beta@3); dist sets both windows
+    assert run(span_docs, q(post=1)) == [2, 4]
+    assert run(span_docs, q(dist=1)) == [4]
+    with pytest.raises(DslError, match="span_not pre"):
+        compile_dsl(q(pre=-1))
+    with pytest.raises(DslError, match="requires a big"):
+        compile_dsl({"span_within": {
+            "little": {"span_term": {"txt": "beta"}}}})
+
+
 def test_span_named_400s(span_docs):
     with pytest.raises(DslError, match="one token"):
         compile_dsl({"span_term": {"txt": "two words"}})
@@ -676,10 +708,11 @@ def test_span_named_400s(span_docs):
         compile_dsl({"span_near": {"clauses": [
             {"span_term": {"txt": f"t{i}"}} for i in range(9)],
             "slop": 0}})
-    with pytest.raises(DslError, match="pre/post/dist"):
+    # r10: pre/post/dist are implemented; stray keys still 400
+    with pytest.raises(DslError, match="unsupported span_not keys"):
         compile_dsl({"span_not": {
             "include": {"span_term": {"txt": "a"}},
-            "exclude": {"span_term": {"txt": "b"}}, "dist": 2}})
+            "exclude": {"span_term": {"txt": "b"}}, "window": 2}})
     with pytest.raises(DslError, match="span_multi supports"):
         compile_dsl({"span_multi": {"match": {"term": {"txt": "a"}}}})
     with pytest.raises(DslError, match="positive integer end"):

@@ -394,6 +394,12 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"documents": (3, [])},
     ),
+    # r10: span_containing — big-envelope producer + enclosure exists,
+    # zero exchanges over one pruned scan
+    "search_dsl_span_containing": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"documents": (3, [])},
+    ),
     # r10: intervals filter relations — span producer + relation
     # filter stay zero-exchange column algebra over one pruned scan
     "search_dsl_intervals_filter": dict(
