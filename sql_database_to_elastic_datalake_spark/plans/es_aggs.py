@@ -641,22 +641,49 @@ def _terms_order(body: dict, sub_aggs: dict | None) -> list[Column]:
     return cols
 
 
+def _partition_spec(which: str, spec: dict) -> tuple[int, int]:
+    """Validate ES's partition form ``{"partition": p,
+    "num_partitions": n}`` (the high-cardinality terms pager)."""
+    if which != "include":
+        raise DslError("terms exclude does not take a partition form")
+    unknown = sorted(set(spec) - {"partition", "num_partitions"})
+    if unknown:
+        raise DslError(f"unsupported include partition keys: {unknown}")
+    p, n = spec.get("partition"), spec.get("num_partitions")
+    for nm, v in (("partition", p), ("num_partitions", n)):
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise DslError(
+                f"include {nm} must be a non-negative integer")
+    if n < 1 or p >= n:
+        raise DslError(
+            "include partition must be < num_partitions (>= 1)")
+    return p, n
+
+
 def _include_exclude_pred(key: Column, body: dict) -> Column | None:
     """ES ``terms`` ``include``/``exclude`` (r7 — Kibana's bucket
     filtering): exact-value lists (``isin``) or whole-value-anchored
     regex strings (Lucene semantics), applied to the BUCKET KEY before
     ordering/truncation so ``size`` picks among the surviving terms.
-    The partition form (``{"partition": …}``) is a named 400."""
+
+    r10: the partition form ``{"partition": p, "num_partitions": n}``
+    — Kibana's high-cardinality pager — keeps keys whose md5 bucket is
+    p (the engine's deterministic-hash convention). DOCUMENTED
+    DIVERGENCE: ES partitions on its own term hash, so WHICH keys land
+    in partition p differs — the contract that holds (and the one
+    clients rely on) is each key in exactly one partition, stable
+    across requests."""
     pred: Column | None = None
     for which, positive in (("include", True), ("exclude", False)):
         spec = body.get(which)
         if spec is None:
             continue
         if isinstance(spec, dict):
-            raise DslError(
-                f"terms {which} partitions are not supported (use a "
-                "composite aggregation to page a large key domain)"
-            )
+            p, n = _partition_spec(which, spec)
+            pk = (F.conv(F.substring(F.md5(key.cast("string")), 1, 8),
+                         16, 10).cast("bigint") % F.lit(n)) == F.lit(p)
+            pred = pk if pred is None else (pred & pk)
+            continue
         if isinstance(spec, list):
             p = key.isin(list(spec))
         else:
@@ -676,11 +703,13 @@ def _include_exclude_py(k, body: dict) -> bool:
         if spec is None:
             continue
         if isinstance(spec, dict):
-            raise DslError(
-                f"terms {which} partitions are not supported (use a "
-                "composite aggregation to page a large key domain)"
-            )
-        if isinstance(spec, list):
+            import hashlib
+
+            p, n = _partition_spec(which, spec)
+            b = int(hashlib.md5(
+                str(k).encode()).hexdigest()[:8], 16) % n
+            hit = b == p
+        elif isinstance(spec, list):
             hit = k in spec
         else:
             hit = re.fullmatch(spec, str(k)) is not None

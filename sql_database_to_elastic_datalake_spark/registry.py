@@ -2669,6 +2669,43 @@ def search_aggs_significant_text(
 
 
 @register(
+    "search_aggs_terms_partition",
+    # the partition predicate is the engine's deterministic md5 hash
+    # on the stringified key — replayed exactly; ES's own term-hash
+    # partitioning is the documented divergence (stable-membership
+    # contract holds)
+    oracle="""
+    SELECT key, doc_count FROM (
+        SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    )
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 4 AS BIGINT) = 1
+    ORDER BY doc_count DESC, key ASC LIMIT 10
+    """,
+)
+def search_aggs_terms_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``terms`` ``include`` PARTITIONS (r10): Kibana's
+    high-cardinality pager — request partition p of n and every key
+    lands in exactly one stable partition
+    (plans/es_aggs.py:_include_exclude_pred). The predicate applies
+    row-level before the groupBy, so the shuffle carries only the
+    partition's keys — exactly the cost reduction the option exists
+    for."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        terms_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return terms_frame(ev, {
+        "field": "user_id", "size": 10, "min_doc_count": 1,
+        "include": {"partition": 1, "num_partitions": 4}})
+
+
+@register(
     "search_aggs_significant_bgfilter",
     # ES's background_filter narrows the contrast scope: German docs
     # against the de+en subset instead of the whole corpus — the same
@@ -6763,7 +6800,10 @@ _CHECK_FIRST = [
     # (quality_classifier_scores yields its slot: the r10 sparse-
     # weight fix touched only the PRETRAINED tier, not the inline
     # tier this registered query compiles — its r9 evidence holds)
-    "search_aggs_boxplot",          # r10 touched: field/script 400
+    "search_aggs_terms_partition",  # r10 NEW: high-cardinality pager
+    # (search_aggs_boxplot yields its slot: the r10 fix adds a named
+    # 400 for a missing field — the registered query has one, so its
+    # compiled plan is unchanged and its r9 evidence holds)
     "search_aggs_significant_bgfilter",  # r10 NEW: background_filter
     "search_aggs_significant_terms",     # r10 touched: bgfilter path
     # -- evidence-freshness fill (r9 verdict directive #1): ALL 34

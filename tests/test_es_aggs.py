@@ -880,6 +880,38 @@ def test_significant_text_via_advanced_search(spark, tmp_path):
     assert "frontend" not in keys
 
 
+def test_terms_include_partitions(docs):
+    """r10: ES's high-cardinality terms pager — include.partition
+    keys land in exactly one partition, the union is complete, and
+    malformed specs are named 400s."""
+    import hashlib
+
+    seen: list = []
+    for p in range(3):
+        out = run_aggs(docs, {"t": {"terms": {
+            "field": "lang", "size": 10, "min_doc_count": 1,
+            "include": {"partition": p, "num_partitions": 3}}}})
+        for b in out["t"]["buckets"]:
+            want = int(hashlib.md5(
+                b["key"].encode()).hexdigest()[:8], 16) % 3
+            assert want == p
+            seen.append(b["key"])
+    assert sorted(seen) == ["de", "en", "fr"]  # disjoint + complete
+    with pytest.raises(DslError, match="partition keys"):
+        run_aggs(docs, {"t": {"terms": {
+            "field": "lang",
+            "include": {"partition": 0, "num_partitions": 3,
+                        "size": 9}}}})
+    with pytest.raises(DslError, match="num_partitions"):
+        run_aggs(docs, {"t": {"terms": {
+            "field": "lang",
+            "include": {"partition": 3, "num_partitions": 3}}}})
+    with pytest.raises(DslError, match="exclude does not take"):
+        run_aggs(docs, {"t": {"terms": {
+            "field": "lang",
+            "exclude": {"partition": 0, "num_partitions": 3}}}})
+
+
 def test_sampler_and_diversified(spark):
     """r10: sampler / diversified_sampler — sub-aggs see at most
     shard_size docs, picked deterministically by md5 of the lead
@@ -1880,11 +1912,12 @@ def test_terms_include_exclude(docs):
     day1 = out["days"]["buckets"][0]  # en-only day: no buckets survive
     assert day1["doc_count"] == 3
     assert day1["langs"]["buckets"] == []
-    # the partition form is a named 400
+    # r10: the partition form is implemented —
+    # test_terms_include_partitions covers it; a malformed spec 400s
     with pytest.raises(DslError, match="partition"):
         run_aggs(docs, {"t": {"terms": {
-            "field": "lang",
-            "include": {"partition": 0, "num_partitions": 2}}}})
+            "field": "lang", "include": {"partition": -1,
+                                         "num_partitions": 2}}}})
 
 
 def test_tsvb_pipeline_family(docs):
