@@ -1529,10 +1529,15 @@ class LakeService:
                     "from is not allowed with search_after (ES rejects "
                     "a nonzero from there too)"
                 )
+        inner_hits = None
         if collapse is not None:
             if not (isinstance(collapse, dict)
                     and isinstance(collapse.get("field"), str)):
                 raise DslError('collapse requires a "field" string')
+            unknown = sorted(set(collapse) - {"field", "inner_hits"})
+            if unknown:
+                raise DslError(
+                    f"unsupported collapse options: {unknown}")
             if not sort:
                 raise DslError(
                     "collapse requires a sort (this engine has no "
@@ -1540,6 +1545,36 @@ class LakeService:
                 )
             if search_after is not None:
                 raise DslError("collapse is not allowed with search_after")
+            inner_hits = collapse.get("inner_hits")
+            if inner_hits is not None:
+                # ES allows a LIST of inner_hits per collapse; one
+                # object covers the Kibana/group-results idiom
+                if isinstance(inner_hits, list):
+                    raise DslError(
+                        "multiple collapse inner_hits are not "
+                        "supported (pass one object)")
+                if not isinstance(inner_hits, dict):
+                    raise DslError(
+                        "collapse inner_hits must be an object")
+                bad = sorted(set(inner_hits) - {
+                    "name", "size", "from", "sort", "_source"})
+                if bad:
+                    raise DslError(
+                        f"unsupported inner_hits options: {bad}")
+                for nm in ("size", "from"):
+                    v = inner_hits.get(nm)
+                    if v is not None and (not isinstance(v, int)
+                                          or isinstance(v, bool)
+                                          or v < 0):
+                        raise DslError(
+                            f"inner_hits {nm} must be a non-negative "
+                            "integer")
+                if len(names) > 1:
+                    raise DslError(
+                        "collapse inner_hits requires a single "
+                        f"concrete table (pattern matched "
+                        f"{len(names)}; a cross-pattern group would "
+                        "need a cross-table query per page)")
         if not (track_total_hits is None
                 or isinstance(track_total_hits, (bool, int))):
             raise DslError(
@@ -1804,6 +1839,18 @@ class LakeService:
                     uniq.append(h)
                 merged = uniq
             merged = merged[from_:from_ + k]
+            if inner_hits is not None and merged:
+                # ES's second inner_hits phase: ONE bounded job for
+                # the page's groups — the key set (≤ from+size keys)
+                # pushes into the scan as an In filter, a window
+                # top-(from+size) per key pre-truncates
+                # (WindowGroupLimit), and per-group totals ride a
+                # groupBy over the same pruned scope. `matched` is the
+                # single table's post-post_filter scope (the hits
+                # scope, like ES).
+                self._attach_collapse_inner_hits(
+                    names[0], matched, collapse["field"], inner_hits,
+                    sort, merged)
             total = {"value": total_value, "relation": "eq"}
         elif track_total_hits is None:
             if total_value > k:
@@ -1832,6 +1879,80 @@ class LakeService:
         if suggestions is not None:
             out["suggest"] = suggestions
         return out
+
+    def _attach_collapse_inner_hits(
+        self, table: str, matched: DataFrame, cfield: str,
+        inner: dict, sort: list, merged: list[dict],
+    ) -> None:
+        """Populate ``inner_hits`` on the returned collapsed page —
+        each group's top ``size`` docs under the inner sort (default:
+        the request sort, deterministic where ES would use ``_score``
+        — documented). One bounded job: In-filter on the page's keys,
+        window top-(from+size) per key, per-group exact totals."""
+        from pyspark.sql import Window
+
+        from sql_database_to_elastic_datalake_spark.plans.search import (
+            resolve_source_columns,
+        )
+
+        keys = [h.get("fields", {}).get(cfield, [None])[0]
+                for h in merged]
+        non_null = [v for v in keys if v is not None]
+        if cfield not in matched.columns:
+            key_col = F.lit(None).cast("string")
+        else:
+            key_col = F.col(cfield)
+        pred = None
+        if non_null:
+            pred = key_col.isin(non_null)
+        if any(v is None for v in keys):
+            nn = key_col.isNull()
+            pred = nn if pred is None else (pred | nn)
+        if pred is None:
+            return
+        isort = inner.get("sort") or sort
+        ifields, iorder, igetters = _parse_sort(
+            isort, matched.columns, matched.schema)
+        isize = int(inner.get("size", 3))
+        ifrom = int(inner.get("from", 0))
+        iname = str(inner.get("name") or cfield)
+        src_cols = resolve_source_columns(
+            matched.columns, inner.get("_source"))
+        scoped = matched.filter(pred)
+        order = list(iorder) + [
+            F.col(c).asc_nulls_first() for c in matched.columns
+        ]
+        w = Window.partitionBy(key_col).orderBy(*order)
+        need = list(dict.fromkeys(
+            src_cols + ifields
+            + ([cfield] if cfield in matched.columns else [])))
+        rows = (
+            scoped.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.lit(ifrom + isize))
+            .select(*need, "__rn")
+            .collect()
+        )
+        counts = {
+            r["__k"]: int(r["__n"])
+            for r in scoped.groupBy(key_col.alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__n")).collect()
+        }
+        by_key: dict = {}
+        for r in sorted(rows, key=lambda r: r["__rn"]):
+            kv = r[cfield] if cfield in matched.columns else None
+            if r["__rn"] > ifrom:
+                by_key.setdefault(kv, []).append(r)
+        for h, kv in zip(merged, keys):
+            grp = by_key.get(kv, [])[:isize]
+            h["inner_hits"] = {iname: {"hits": {
+                "total": {"value": counts.get(kv, 0),
+                          "relation": "eq"},
+                "hits": [
+                    _hit(table, r, src_cols, [], {}, "", "",
+                         sort_getters=igetters)
+                    for r in grp
+                ],
+            }}}
 
 
 def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:

@@ -1325,6 +1325,79 @@ def test_scroll_date_sort_cursor(client, service, spark):
     assert len(seen) == len(set(seen))
 
 
+def test_collapse_inner_hits(service, spark):
+    """r10: collapse.inner_hits — each collapsed hit carries its
+    group's top docs under the inner sort; per-group totals exact;
+    named 400s for the unsupported shapes."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(i, f"u{i % 3}", i * 10, f"d{i}") for i in range(12)]
+        + [(99, None, 5, "dn")],
+        "id long, user string, score long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_ih"))
+    out = service.advanced_search(
+        "data_lake_ih", {"match_all": {}}, k=2,
+        sort=[{"score": "desc"}],
+        collapse={"field": "user", "inner_hits": {
+            "name": "recent", "size": 2,
+            "sort": [{"id": "asc"}], "_source": ["id"]}})
+    hits = out["hits"]["hits"]
+    assert len(hits) == 2
+    top = hits[0]  # best score 110 → user u2 (id 11)
+    assert top["fields"]["user"] == ["u2"]
+    ih = top["inner_hits"]["recent"]["hits"]
+    # group u2 = ids 2,5,8,11 → total 4, inner sort id asc → 2,5
+    assert ih["total"] == {"value": 4, "relation": "eq"}
+    assert [h["_source"] for h in ih["hits"]] == [{"id": 2}, {"id": 5}]
+    assert [h["sort"] for h in ih["hits"]] == [[2], [5]]
+    # default inner sort = the request sort; default name = the field
+    out = service.advanced_search(
+        "data_lake_ih", {"match_all": {}}, k=1,
+        sort=[{"score": "desc"}],
+        collapse={"field": "user", "inner_hits": {"size": 1}})
+    ih = out["hits"]["hits"][0]["inner_hits"]["user"]["hits"]
+    assert ih["hits"][0]["_source"]["id"] == 11  # best score in u2
+    # the null-key group works (one group, like the collapse itself)
+    out = service.advanced_search(
+        "data_lake_ih", {"term": {"score": 5}}, k=1,
+        sort=[{"score": "asc"}],
+        collapse={"field": "user", "inner_hits": {"size": 2}})
+    h = out["hits"]["hits"][0]
+    assert h["fields"]["user"] == [None]
+    assert h["inner_hits"]["user"]["hits"]["total"]["value"] == 1
+    assert h["inner_hits"]["user"]["hits"]["hits"][0]["_source"]["id"] \
+        == 99
+    # named 400s: list form, stray options, pattern target
+    with pytest.raises(DslError, match="one object"):
+        service.advanced_search(
+            "data_lake_ih", {"match_all": {}}, k=1,
+            sort=[{"score": "desc"}],
+            collapse={"field": "user", "inner_hits": [{}, {}]})
+    with pytest.raises(DslError, match="inner_hits options"):
+        service.advanced_search(
+            "data_lake_ih", {"match_all": {}}, k=1,
+            sort=[{"score": "desc"}],
+            collapse={"field": "user",
+                      "inner_hits": {"collapse": {}}})
+    spark.createDataFrame([(1, "a", 1, "t")],
+                          "id long, user string, score long, txt string"
+                          ).write.parquet(
+        os.path.join(service.lake_dir, "data_lake_ih2"))
+    with pytest.raises(DslError, match="single concrete table"):
+        service.advanced_search(
+            "data_lake_ih*", {"match_all": {}}, k=1,
+            sort=[{"id": "desc"}],
+            collapse={"field": "user", "inner_hits": {}})
+    with pytest.raises(DslError, match="collapse options"):
+        service.advanced_search(
+            "data_lake_ih", {"match_all": {}}, k=1,
+            sort=[{"score": "desc"}],
+            collapse={"field": "user", "max_concurrent_group_searches": 4})
+
+
 def test_validate_query_route(client, service, spark):
     """r10: ES _validate/query — compile-only pre-flight, no job."""
     spark.createDataFrame([(1, "x")], "id long, txt string") \
