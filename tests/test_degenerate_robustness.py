@@ -97,6 +97,16 @@ CHECKED = (
     "search_dsl_intervals",
     "boilerplate_chunk_removal",
     "search_dsl_script_query",
+    # r10: empty/whitespace docs produce empty span-producer arrays
+    # (nested chains, enclosure, interval filters), zero-gram DSIR
+    # docs (dropped, both engines), empty significant_text token sets,
+    # and empty fuzzy-completion dictionary entries
+    "search_dsl_span_nested",
+    "search_dsl_span_containing",
+    "search_dsl_intervals_filter",
+    "search_aggs_significant_text",
+    "search_suggest_completion_fuzzy",
+    "dsir_importance_weights",
 )
 
 

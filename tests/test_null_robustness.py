@@ -111,6 +111,22 @@ CHECKED = (
     "search_aggs_metric_script",
     "search_dsl_rank_feature",
     "search_dsl_distance_feature",
+    # r10: NULL text through the span-producer trees (nested chains,
+    # enclosure, interval filters — NULL → absent doc both engines),
+    # NULL lang through the significant_text foreground flag and the
+    # DSIR target predicate (null-safe eq), NULL doc_id through the
+    # sampler's md5 rank and the terms partition hash, NULL text
+    # through the fuzzy-completion dictionary
+    "search_dsl_span_nested",
+    "search_dsl_span_containing",
+    "search_dsl_intervals_filter",
+    "search_aggs_significant_text",
+    "search_aggs_significant_bgfilter",
+    "search_aggs_sampler_significant",
+    "search_aggs_terms_partition",
+    "search_suggest_completion_fuzzy",
+    "dsir_importance_weights",
+    "search_pit_page",
 )
 
 

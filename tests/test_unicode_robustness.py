@@ -90,6 +90,17 @@ CHECKED = (
     "search_dsl_intervals",
     "boilerplate_chunk_removal",
     "search_aggs_string_stats",
+    # r10: decorated text through the span-producer trees and the
+    # interval filters (the analyzer must split identically around
+    # CJK/emoji/combining marks), the significant_text doc-frequency
+    # tokenize, the DSIR md5 bucket hash over decorated tokens, and
+    # the fuzzy completion's levenshtein over decorated values
+    "search_dsl_span_nested",
+    "search_dsl_span_containing",
+    "search_dsl_intervals_filter",
+    "search_aggs_significant_text",
+    "search_suggest_completion_fuzzy",
+    "dsir_importance_weights",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
