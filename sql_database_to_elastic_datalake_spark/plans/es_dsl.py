@@ -556,7 +556,8 @@ def _chain_spans(subs: list[Column], gap_budget: int) -> Column:
 
 
 def _spans_near_exists(span_arrays: list[Column], ordered: bool,
-                       slop: int, disjoint: bool = True) -> Column:
+                       slop: int, disjoint: bool = True,
+                       single_token: bool = False) -> Column:
     """Proximity MEMBERSHIP over span arrays: one nested ``exists``
     per clause, so every clause's chosen span is in scope for the
     innermost constraint — brute-force exact for any clause count and
@@ -569,7 +570,12 @@ def _spans_near_exists(span_arrays: list[Column], ordered: bool,
     (Lucene's UNORDERED allows overlap): window condition only.
     ``slop < 0`` means unlimited (intervals max_gaps: -1). Cost is the
     product of per-clause match counts, same as Lucene's per-document
-    walk."""
+    walk — EXCEPT the ordered single-token case (``single_token=True``,
+    the overwhelmingly common shape), which takes the greedy min-next
+    chain instead: exact for width-1 spans (the minimal valid next
+    choice minimizes the final span — the r9 argument) at O(n·k)
+    instead of O(Πn), so a pathologically frequent term cannot blow
+    the walk up."""
     if len(span_arrays) > _MAX_SPAN_CLAUSES:
         raise DslError(
             f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
@@ -582,6 +588,28 @@ def _spans_near_exists(span_arrays: list[Column], ordered: bool,
         for sp in span_arrays:
             out = out & F.coalesce(F.size(sp) > 0, F.lit(False))
         return out
+    if ordered and single_token:
+        k = len(span_arrays)
+
+        def _min_after(arr: Column, cur: Column) -> Column:
+            # a one-arg lambda closing over cur: a two-parameter
+            # lambda would bind Spark's (element, index) HOF form
+            return F.array_min(F.transform(
+                F.filter(arr, lambda x: x["s"] >= cur),
+                lambda x: x["e"]))
+
+        def chain(first: Column) -> Column:
+            cur = first["e"]
+            for arr in span_arrays[1:]:
+                cur = _min_after(arr, cur)
+            if slop < 0:
+                return cur.isNotNull()
+            # Σ gaps for width-1 spans = last.e − first.s − k
+            return F.coalesce(
+                cur - first["s"] <= F.lit(k + slop), F.lit(False))
+
+        return F.coalesce(
+            F.exists(span_arrays[0], chain), F.lit(False))
 
     def constraint(chosen: list[Column]) -> Column:
         if ordered:
@@ -642,13 +670,16 @@ def _compile_span(kind: str, body: dict, col) -> Column:
         raise DslError(f"malformed span_near slop {slop!r}")
     # in_order defaults to TRUE, matching Elasticsearch
     # (SpanNearQueryBuilder.DEFAULT_IN_ORDER = true). Membership is
-    # the brute-force nested-exists walk (_spans_near_exists) — exact
-    # for any clause count, any order, and multi-token clause spans
-    # (r10: the single-position greedy chain and its unordered
-    # 2-clause cap are gone).
+    # the nested-exists walk (_spans_near_exists) — exact for any
+    # clause count, any order, and multi-token clause spans (r10: the
+    # unordered 2-clause cap is gone). Every clause kind except a
+    # nested span_near produces width-1 spans structurally, which
+    # keeps the ordered greedy fast path on for the common shape.
+    single = all(next(iter(cl.items()))[0] != "span_near"
+                 for cl in clauses if isinstance(cl, dict) and cl)
     return _spans_near_exists(
         [_span_spans(arr, *next(iter(cl.items()))) for cl in clauses],
-        bool(body.get("in_order", True)), slop)
+        bool(body.get("in_order", True)), slop, single_token=single)
 
 
 # ---------------------------------------------------------------------------
@@ -908,7 +939,7 @@ def _intervals_rule(arr: Column, kind: str, body) -> Column:
             raise DslError(f"malformed max_gaps {mg!r}")
         return _spans_near_exists(
             [_pos_to_spans(_token_positions(arr, t)) for t in toks],
-            ordered, mg, disjoint=False)
+            ordered, mg, disjoint=False, single_token=True)
     if kind == "all_of":
         ivs = body.get("intervals") if isinstance(body, dict) else None
         if not isinstance(ivs, list) or not ivs:
