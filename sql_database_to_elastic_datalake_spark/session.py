@@ -49,6 +49,13 @@ _DEFAULT_CONF = {
     # files pack less tightly — compaction is the right fix there, not a
     # coarser open cost.
     "spark.sql.files.openCostInBytes": str(512 * 1024),
+    # Deeply composed span/interval trees (nested exists/transform
+    # lambdas) can exceed the analyzer's 100-iteration Resolution
+    # fixed point — a RuntimeException 500 for a semantically valid
+    # query (found by the r10 span differential harness). 1000 covers
+    # any tree the clause-count caps admit; plain queries never get
+    # near either bound.
+    "spark.sql.analyzer.maxIterations": "1000",
     # Heap for sessions THIS engine creates (bench/selfcheck/CLI): the
     # local-mode default of 1g is sized for toy examples — a single
     # quadratic-verifier demo at sf0.1 OOMs it. Static conf: only takes
@@ -166,6 +173,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.parquet.outputTimestampType",
         "spark.sql.files.openCostInBytes",
+        "spark.sql.analyzer.maxIterations",
         # the r5 RocksDB default reaches driver-harness sessions too —
         # dynamic conf, read at stream start
         "spark.sql.streaming.stateStore.providerClass",

@@ -912,3 +912,166 @@ class TestScriptDifferential:
             else:
                 assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-12), \
                     f"src={src} id={i} spark={g} duckdb={w}"
+
+
+# --- span-query differential vs a pure-python evaluator (r10) ---------------
+#
+# The span algebra carries real [s, e) envelopes through producers
+# (span_or/first/not/multi, nested ordered span_near) and a
+# nested-exists membership walk with a greedy single-token fast path —
+# enough moving parts that a structural bug (the HOF two-parameter
+# lambda trap was found this round) can hide in a corner no example
+# test covers. Hypothesis generates random span trees over a tiny
+# vocabulary and compares Spark's filter membership against an
+# independent python implementation of the documented span semantics.
+
+_SPAN_VOCAB = ("a", "b", "c", "d")
+
+_span_leaf = st.one_of(
+    st.sampled_from([{"span_term": {"txt": t}} for t in _SPAN_VOCAB]),
+    st.sampled_from([
+        {"span_multi": {"match": {"prefix": {"txt": {"value": t}}}}}
+        for t in ("a", "b")]),
+)
+
+
+def _span_node(children):
+    return st.one_of(
+        st.builds(lambda cs: {"span_or": {"clauses": cs}},
+                  st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda c, e: {"span_first": {"match": c, "end": e}},
+                  children, st.integers(min_value=1, max_value=6)),
+        st.builds(lambda i, x: {"span_not": {"include": i, "exclude": x}},
+                  children, children),
+        st.builds(
+            lambda cs, slop: {"span_near": {
+                "clauses": cs, "slop": slop, "in_order": True}},
+            st.lists(children, min_size=1, max_size=3),
+            st.integers(min_value=0, max_value=3)),
+        st.builds(
+            lambda b, l: {"span_containing": {"big": b, "little": l}},
+            children, children),
+        st.builds(
+            lambda b, l: {"span_within": {"big": b, "little": l}},
+            children, children),
+    )
+
+
+span_trees = st.recursive(_span_leaf, _span_node, max_leaves=5)
+
+# top level additionally exercises the unordered walk
+top_span_trees = st.one_of(
+    span_trees,
+    st.builds(
+        lambda cs, slop, o: {"span_near": {
+            "clauses": cs, "slop": slop, "in_order": o}},
+        st.lists(span_trees, min_size=2, max_size=3),
+        st.integers(min_value=0, max_value=4),
+        st.booleans()),
+)
+
+_SPAN_DOCS = [
+    (1, "a b c d"),
+    (2, "d c b a"),
+    (3, "a a b b"),
+    (4, "c"),
+    (5, ""),
+    (6, None),
+    (7, "b a d a c b"),
+    (8, "a b a b a"),
+]
+
+
+def _py_spans(toks: list, node: dict) -> set:
+    """Independent evaluator: a span clause → its set of (s, e)."""
+    kind, body = next(iter(node.items()))
+    if kind == "span_term":
+        t = body["txt"] if not isinstance(body["txt"], dict) \
+            else body["txt"]["value"]
+        return {(i, i + 1) for i, w in enumerate(toks) if w == t}
+    if kind == "span_multi":
+        pre = body["match"]["prefix"]["txt"]["value"]
+        return {(i, i + 1) for i, w in enumerate(toks)
+                if w.startswith(pre)}
+    if kind == "span_or":
+        out: set = set()
+        for cl in body["clauses"]:
+            out |= _py_spans(toks, cl)
+        return out
+    if kind == "span_first":
+        return {sp for sp in _py_spans(toks, body["match"])
+                if sp[1] <= body["end"]}
+    if kind == "span_not":
+        inc = _py_spans(toks, body["include"])
+        exc = _py_spans(toks, body["exclude"])
+        return {a for a in inc
+                if not any(a[0] < b[1] and b[0] < a[1] for b in exc)}
+    if kind in ("span_containing", "span_within"):
+        big = _py_spans(toks, body["big"])
+        little = _py_spans(toks, body["little"])
+        if kind == "span_containing":
+            return {a for a in big
+                    if any(a[0] <= b[0] and b[1] <= a[1]
+                           for b in little)}
+        return {a for a in little
+                if any(b[0] <= a[0] and a[1] <= b[1] for b in big)}
+    if kind == "span_near":
+        subs = [_py_spans(toks, cl) for cl in body["clauses"]]
+        slop = body.get("slop", 0)
+        # ordered chain producer: envelopes with gap budget
+        out = set()
+
+        def rec(i, s0, prev_e, g):
+            if g > slop:
+                return
+            if i == len(subs):
+                out.add((s0, prev_e))
+                return
+            for (s, e) in subs[i]:
+                if s >= prev_e:
+                    rec(i + 1, s0, e, g + (s - prev_e))
+
+        for (s, e) in subs[0]:
+            rec(1, s, e, 0)
+        return out
+    raise AssertionError(kind)
+
+
+def _py_member(toks: list, node: dict) -> bool:
+    kind, body = next(iter(node.items()))
+    if kind == "span_near" and not body.get("in_order", True):
+        subs = [_py_spans(toks, cl) for cl in body["clauses"]]
+        slop = body.get("slop", 0)
+        import itertools
+
+        for combo in itertools.product(*subs):
+            if any(a[0] < b[1] and b[0] < a[1]
+                   for a, b in itertools.combinations(combo, 2)):
+                continue
+            win = max(e for _, e in combo) - min(s for s, _ in combo)
+            if win - sum(e - s for s, e in combo) <= slop:
+                return True
+        return False
+    return bool(_py_spans(toks, node))
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpanDifferential:
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "25")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(tree=top_span_trees)
+    def test_span_compiler_matches_python(self, spark, tree):
+        df = getattr(type(self), "_df", None)
+        if df is None:
+            df = spark.createDataFrame(_SPAN_DOCS, "id long, txt string")
+            type(self)._df = df
+        got = sorted(
+            r["id"] for r in
+            df.filter(compile_dsl(tree)).collect())
+        want = sorted(
+            i for i, txt in _SPAN_DOCS
+            if txt is not None and _py_member(txt.split(), tree))
+        assert got == want, f"tree={tree}"
