@@ -2823,7 +2823,14 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                         table, body.get("sort")),
                     search_after=body.get("search_after"),
                     source=body.get("_source"),
+                    highlight=body.get("highlight"),
+                    post_filter=body.get("post_filter"),
                     track_total_hits=body.get("track_total_hits"),
+                    fields_opt=(
+                        ((body.get("fields") or [])
+                         + (body.get("docvalue_fields") or []))
+                        or None),
+                    suggest=body.get("suggest"),
                     runtime_mappings=body.get("runtime_mappings"),
                     script_fields=body.get("script_fields"),
                 )

@@ -1521,6 +1521,21 @@ def test_pit_search_after_drain(client, service, spark):
         content_type="application/json")
     assert r.status_code == 400
     assert "pit is not supported with from" in r.get_json()["error"]
+    # the full retrieval surface forwards under pit (no silent drops):
+    # highlight, fields arrays and post_filter all ride a pit page
+    r = client.post("/search/advanced", data=json.dumps({
+        "pit": {"id": pit_id}, "size": 3,
+        "query": {"match": {"txt": "doc"}},
+        "post_filter": {"range": {"id": {"gte": 40}}},
+        "highlight": {"fields": {"txt": {}}},
+        "fields": ["grp"],
+    }), content_type="application/json")
+    assert r.status_code == 200
+    hits = r.get_json()["hits"]["hits"]
+    assert hits and all(h["_source"]["id"] >= 40 for h in hits)
+    assert all("<em>doc" in h["highlight"]["txt"][0] for h in hits)
+    assert all(h["fields"]["grp"] == [h["_source"]["grp"]]
+               for h in hits)
 
 
 def test_more_like_this_doc_resolution(service, spark):
