@@ -2781,7 +2781,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             # is a stateless continuation token (scroll_search docs)
             for bad in ("from", "search_after", "collapse",
                         "highlight", "knn", "post_filter",
-                        "runtime_mappings", "script_fields"):
+                        "runtime_mappings", "script_fields",
+                        "fields", "docvalue_fields", "suggest"):
                 if body.get(bad):
                     return jsonify({"error":
                                     f"scroll is not supported with "
