@@ -509,15 +509,33 @@ def _span_spans(arr: Column, kind: str, body: dict) -> Column:
         slop = body.get("slop", 0)
         if not isinstance(slop, int) or slop < 0:
             raise DslError(f"malformed span_near slop {slop!r}")
+        subs = [_span_spans(arr, *next(iter(cl.items())))
+                for cl in clauses]
         if not bool(body.get("in_order", True)):
-            raise DslError(
-                "a nested unordered span_near is not supported (its "
-                "minimum-enclosing-window spans have no bounded "
-                "column-algebra enumeration; use in_order: true or "
-                "lift it to the top level)")
-        return _chain_spans(
-            [_span_spans(arr, *next(iter(cl.items())))
-             for cl in clauses], slop)
+            # unordered producer (r10-late): NearSpansUnordered spans
+            # are pairwise-DISJOINT arrangements, and every disjoint
+            # arrangement is some ordered chain — so the union of the
+            # ordered chain producer over clause PERMUTATIONS is the
+            # exact span set, and each chain's gap budget
+            # Σ(s_i − e_{i−1}) equals the unordered window formula
+            # (max_e − min_s − Σlen) for that arrangement. k! chains
+            # bound the cost; past 4 clauses (24 chains) the request
+            # must order or flatten (named 400, the honesty cap).
+            import itertools
+
+            if len(subs) > 4:
+                raise DslError(
+                    "a nested unordered span_near supports at most 4 "
+                    "clauses (the permutation enumeration is k!; use "
+                    "in_order: true or lift it to the top level)")
+            if len(subs) == 1:
+                return _chain_spans(subs, slop)
+            out = None
+            for perm in itertools.permutations(subs):
+                p = _chain_spans(list(perm), slop)
+                out = p if out is None else F.concat(out, p)
+            return F.array_sort(F.array_distinct(out))
+        return _chain_spans(subs, slop)
     raise DslError(f"unsupported span clause kind {kind!r}")
 
 
@@ -672,14 +690,44 @@ def _compile_span(kind: str, body: dict, col) -> Column:
     # (SpanNearQueryBuilder.DEFAULT_IN_ORDER = true). Membership is
     # the nested-exists walk (_spans_near_exists) — exact for any
     # clause count, any order, and multi-token clause spans (r10: the
-    # unordered 2-clause cap is gone). Every clause kind except a
-    # nested span_near produces width-1 spans structurally, which
+    # unordered 2-clause cap is gone). A clause yields width-1 spans
+    # iff no span_near appears along its OUTPUT path
+    # (_span_clause_wide — wrappers like span_first/containing can
+    # carry a wide producer, found by the differential harness), which
     # keeps the ordered greedy fast path on for the common shape.
-    single = all(next(iter(cl.items()))[0] != "span_near"
-                 for cl in clauses if isinstance(cl, dict) and cl)
+    single = not any(_span_clause_wide(cl) for cl in clauses
+                     if isinstance(cl, dict) and cl)
     return _spans_near_exists(
         [_span_spans(arr, *next(iter(cl.items()))) for cl in clauses],
         bool(body.get("in_order", True)), slop, single_token=single)
+
+
+def _span_clause_wide(node: dict) -> bool:
+    """Whether a span clause can OUTPUT spans wider than one token —
+    true iff a span_near producer sits on its output path. Wrappers
+    pass their output side through: span_not emits include spans,
+    span_containing big spans, span_within little spans; the other
+    side only filters and cannot widen the output."""
+    if not isinstance(node, dict) or len(node) != 1:
+        return True  # malformed — let the producer raise its 400
+    kind, body = next(iter(node.items()))
+    if kind == "span_near":
+        return True
+    if not isinstance(body, dict):
+        return False
+    if kind == "span_or":
+        cls = body.get("clauses")
+        return any(_span_clause_wide(c) for c in cls) \
+            if isinstance(cls, list) else True
+    if kind == "span_first":
+        return _span_clause_wide(body.get("match", {}))
+    if kind == "span_not":
+        return _span_clause_wide(body.get("include", {}))
+    if kind == "span_containing":
+        return _span_clause_wide(body.get("big", {}))
+    if kind == "span_within":
+        return _span_clause_wide(body.get("little", {}))
+    return False  # span_term / span_multi: width 1
 
 
 # ---------------------------------------------------------------------------

@@ -654,6 +654,23 @@ def test_span_near_nested_and_unordered_k(span_docs):
         {"span_multi": {"match": {"prefix": {"txt": {
             "value": "sou"}}}}}],
         "slop": 9, "in_order": False}}) == []
+    # r10-late: a nested UNORDERED span_near produces spans via the
+    # permutation enumeration — (gamma,beta unordered adjacent) is
+    # [1,3) in doc1 ("alpha beta; gamma beta": beta@1 gamma@2... no:
+    # gamma@2,beta@3 → [2,4) and beta@1,gamma@2 → [1,3)), then alpha
+    # immediately before one of them
+    inner_u = {"span_near": {"clauses": [
+        {"span_term": {"txt": "gamma"}},
+        {"span_term": {"txt": "beta"}}],
+        "slop": 0, "in_order": False}}
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "alpha"}}, inner_u],
+        "slop": 0, "in_order": True}}) == [1]
+    # doc2 "beta gamma alpha": the unordered pair spans [0,2); alpha
+    # follows it, so the reversed outer chain matches doc2 only
+    assert run(span_docs, {"span_near": {"clauses": [
+        inner_u, {"span_term": {"txt": "alpha"}}],
+        "slop": 0, "in_order": True}}) == [2]
 
 
 def test_span_containing_within_and_not_windows(span_docs):
@@ -695,14 +712,13 @@ def test_span_named_400s(span_docs):
         compile_dsl({"span_near": {"clauses": [
             {"span_term": {"txt": "a"}},
             {"span_term": {"other": "b"}}], "slop": 0}})
-    # r10: only the UNORDERED nested form stays a named 400 (its
-    # minimum-window span enumeration has no bounded algebra)
-    with pytest.raises(DslError, match="nested unordered span_near"):
+    # r10-late: the unordered nested form enumerates permutations —
+    # only past 4 clauses does the k! honesty cap 400
+    with pytest.raises(DslError, match="at most 4"):
         compile_dsl({"span_near": {"clauses": [
             {"span_term": {"txt": "a"}},
             {"span_near": {"clauses": [
-                {"span_term": {"txt": "b"}},
-                {"span_term": {"txt": "c"}}],
+                {"span_term": {"txt": f"t{i}"}} for i in range(5)],
                 "slop": 0, "in_order": False}}], "slop": 0}})
     with pytest.raises(DslError, match="at most 8"):
         compile_dsl({"span_near": {"clauses": [

@@ -944,10 +944,11 @@ def _span_node(children):
         st.builds(lambda i, x: {"span_not": {"include": i, "exclude": x}},
                   children, children),
         st.builds(
-            lambda cs, slop: {"span_near": {
-                "clauses": cs, "slop": slop, "in_order": True}},
+            lambda cs, slop, o: {"span_near": {
+                "clauses": cs, "slop": slop, "in_order": o}},
             st.lists(children, min_size=1, max_size=3),
-            st.integers(min_value=0, max_value=3)),
+            st.integers(min_value=0, max_value=3),
+            st.booleans()),
         st.builds(
             lambda b, l: {"span_containing": {"big": b, "little": l}},
             children, children),
@@ -1018,21 +1019,28 @@ def _py_spans(toks: list, node: dict) -> set:
     if kind == "span_near":
         subs = [_py_spans(toks, cl) for cl in body["clauses"]]
         slop = body.get("slop", 0)
-        # ordered chain producer: envelopes with gap budget
+        # chain producer: envelopes with gap budget; unordered = the
+        # union over clause permutations (every disjoint arrangement
+        # is some ordered chain)
+        import itertools
+
+        orders = [subs] if body.get("in_order", True) \
+            else [list(p) for p in itertools.permutations(subs)]
         out = set()
+        for arrs in orders:
 
-        def rec(i, s0, prev_e, g):
-            if g > slop:
-                return
-            if i == len(subs):
-                out.add((s0, prev_e))
-                return
-            for (s, e) in subs[i]:
-                if s >= prev_e:
-                    rec(i + 1, s0, e, g + (s - prev_e))
+            def rec(i, s0, prev_e, g):
+                if g > slop:
+                    return
+                if i == len(arrs):
+                    out.add((s0, prev_e))
+                    return
+                for (s, e) in arrs[i]:
+                    if s >= prev_e:
+                        rec(i + 1, s0, e, g + (s - prev_e))
 
-        for (s, e) in subs[0]:
-            rec(1, s, e, 0)
+            for (s, e) in arrs[0]:
+                rec(1, s, e, 0)
         return out
     raise AssertionError(kind)
 
