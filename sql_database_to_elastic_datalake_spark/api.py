@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 import uuid as _uuid
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1703,7 +1703,8 @@ class LakeService:
                     sort, df.columns, df.schema)
                 if search_after is not None:
                     matched = matched.filter(
-                        _search_after_pred(sort, fields, search_after)
+                        _search_after_pred(sort, fields, search_after,
+                                           schema=df.schema)
                     )
                 if k == 0:
                     # size:0 is ES's aggs-only/total-only request;
@@ -1918,9 +1919,17 @@ class LakeService:
         iname = str(inner.get("name") or cfield)
         src_cols = resolve_source_columns(
             matched.columns, inner.get("_source"))
+        from sql_database_to_elastic_datalake_spark.operators.similarity import (
+            tiebreak_columns,
+        )
+
         scoped = matched.filter(pred)
+        # tiebreak over ORDERABLE columns only: a MapType column in
+        # the window order is an AnalysisException
+        # (INVALID_ORDERING_TYPE), turning a valid collapse+inner_hits
+        # request into a 500 on tables with map columns
         order = list(iorder) + [
-            F.col(c).asc_nulls_first() for c in matched.columns
+            F.col(c).asc_nulls_first() for c in tiebreak_columns(matched)
         ]
         w = Window.partitionBy(key_col).orderBy(*order)
         need = list(dict.fromkeys(
@@ -2544,10 +2553,20 @@ def _has_terms_lookup(node) -> bool:
     return False
 
 
-def _search_after_pred(sort: list, fields: list[str], after: list):
+def _search_after_pred(sort: list, fields: list[str], after: list,
+                       schema=None):
     """Direction-aware strict lexicographic "(row sort tuple) comes
     after (cursor tuple)" predicate over the RAW columns — deep pages
-    prune before the sort, the point of ES's search_after."""
+    prune before the sort, the point of ES's search_after.
+
+    Date/timestamp cursor values arrive as the ISO-8601 strings the
+    hit ``sort`` arrays carry on the wire (the app's JSON provider
+    emits ISO, like ES) — with ``schema`` they are cast EXPLICITLY to
+    the column's type, so the comparison never leans on string-vs-date
+    implicit coercion (which under non-ANSI silently NULLs a
+    malformed cursor into row loss)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
     if not isinstance(after, list) or len(after) != len(fields):
@@ -2567,6 +2586,12 @@ def _search_after_pred(sort: list, fields: list[str], after: list):
     for field, value, desc in zip(reversed(fields), reversed(after),
                                   reversed(descs)):
         c, a = F.col(field), F.lit(value)
+        if schema is not None and isinstance(value, str) \
+                and field in schema.fieldNames():
+            dt = schema[field].dataType
+            if isinstance(dt, (DateType, TimestampType,
+                               TimestampNTZType)):
+                a = a.cast(dt)
         strict = (c < a) if desc else (c > a)
         pred = strict | ((c == a) & pred)
     return pred
@@ -2596,8 +2621,28 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     return 503 rather than silently falling through to ingest.
     """
     from flask import Flask, jsonify, request
+    from flask.json.provider import DefaultJSONProvider
+
+    class _IsoJSONProvider(DefaultJSONProvider):
+        """Flask's default provider renders date/datetime values as
+        RFC-1123 HTTP-dates ('Fri, 05 Jan 2024 00:00:00 GMT'). A
+        PIT/search_after client echoes a hit's ``sort`` values back
+        verbatim, and an HTTP-date string cannot cast against the
+        DATE/TIMESTAMP column it came from — page 2 of a drain over a
+        date sort key 500s (or silently loses rows under non-ANSI).
+        ES puts ISO-8601 on the wire; so does this app. The sep=' '
+        form matches scroll's token serializer (``_jsonable``)."""
+
+        @staticmethod
+        def default(o):
+            if isinstance(o, datetime):
+                return o.isoformat(sep=" ")
+            if isinstance(o, date):
+                return o.isoformat()
+            return DefaultJSONProvider.default(o)
 
     app = Flask("sql_database_to_elastic_datalake_spark")
+    app.json = _IsoJSONProvider(app)
 
     def _etype(segment):
         return ROUTE_ENTITY.get(segment, segment.rstrip("s"))
@@ -2782,7 +2827,11 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             for bad in ("from", "search_after", "collapse",
                         "highlight", "knn", "post_filter",
                         "runtime_mappings", "script_fields",
-                        "fields", "docvalue_fields", "suggest"):
+                        "fields", "docvalue_fields", "suggest",
+                        # a body carrying BOTH cursor mechanisms is a
+                        # client bug — reject, never silently prefer
+                        # one (the reject-instead-of-drop policy)
+                        "pit"):
                 if body.get(bad):
                     return jsonify({"error":
                                     f"scroll is not supported with "

@@ -3961,27 +3961,66 @@ def run_aggs(
             # shard_size docs of the query scope (sampler_scope —
             # the deterministic-hash divergence is documented there).
             # The sample is a materialized local relation, so a
-            # significant_text foreground flag is an In-predicate on
-            # the sample's lead tie-break key (bounded by shard_size,
-            # pushdown-friendly) — the one-tokenized-scan contract
-            # holds under the wrapper too.
+            # significant_text foreground flag is a membership
+            # predicate on the sample's identity (bounded by
+            # shard_size, pushdown-friendly) — the one-tokenized-scan
+            # contract holds under the wrapper too.
             scoped = sampler_scope(
                 df, body, diversified=kind == "diversified_sampler")
             senv: dict[str, Any] = {"doc_count": scoped.count()}
             if sub:
                 sample_pred = None
                 if background is not None and scoped.columns:
+                    from pyspark.sql.types import (
+                        ArrayType, BinaryType, StructType,
+                    )
+
                     from sql_database_to_elastic_datalake_spark.operators.similarity import (  # noqa: E501
                         tiebreak_columns,
                     )
 
                     skeys = tiebreak_columns(scoped)
-                    if skeys:
-                        vals = [r[skeys[0]]
-                                for r in scoped.select(skeys[0])
-                                .collect()]
-                        sample_pred = F.col(skeys[0]).isin(vals) \
+                    if skeys and skeys[0] == "id":
+                        # the unique-by-construction id column: a
+                        # plain In-membership identifies the sample
+                        vals = [r["id"]
+                                for r in scoped.select("id").collect()]
+                        sample_pred = F.col("id").isin(vals) \
                             if vals else F.lit(False)
+                    elif skeys:
+                        # the lead tiebreak may be a NON-unique *_id
+                        # foreign key — an isin() on it would count
+                        # background rows sharing the key value as
+                        # foreground and skew JLH. Identify sample
+                        # rows by the FULL atomic tiebreak tuple
+                        # (null-safe equality), width-bounded; a
+                        # too-wide predicate leaves sample_pred None
+                        # so significant_* raises its existing named
+                        # 400 instead of returning skewed scores.
+                        akeys = [
+                            c for c in skeys
+                            if not isinstance(
+                                scoped.schema[c].dataType,
+                                (ArrayType, StructType, BinaryType))
+                        ]
+                        rows = (scoped.select(*akeys).collect()
+                                if akeys else [])
+                        if not akeys:
+                            pass
+                        elif not rows:
+                            sample_pred = F.lit(False)
+                        elif len(rows) * len(akeys) <= 20_000:
+                            sample_pred = None
+                            for r in rows:
+                                conj = None
+                                for c in akeys:
+                                    eq = F.col(c).eqNullSafe(
+                                        F.lit(r[c]))
+                                    conj = eq if conj is None \
+                                        else conj & eq
+                                sample_pred = conj \
+                                    if sample_pred is None \
+                                    else sample_pred | conj
                 senv.update(run_aggs(scoped, sub,
                                      schema_fields=schema_fields,
                                      background=background,

@@ -574,18 +574,20 @@ def _chain_spans(subs: list[Column], gap_budget: int) -> Column:
 
 
 def _spans_near_exists(span_arrays: list[Column], ordered: bool,
-                       slop: int, disjoint: bool = True,
+                       slop: int,
                        single_token: bool = False) -> Column:
     """Proximity MEMBERSHIP over span arrays: one nested ``exists``
     per clause, so every clause's chosen span is in scope for the
     innermost constraint — brute-force exact for any clause count and
     any span widths (r10; the r9 greedy min-next chain was exact only
     for single-token spans, and unordered was capped at 2 clauses).
-    Ordered: consecutive non-overlap with Σ gaps ≤ slop. Unordered
-    with ``disjoint=True`` (span_near): pairwise disjoint with
-    (max e − min s − Σ len) ≤ slop — Lucene's NearSpansUnordered
-    condition. ``disjoint=False`` is the INTERVALS unordered flavor
-    (Lucene's UNORDERED allows overlap): window condition only.
+    Ordered: consecutive non-overlap with Σ gaps ≤ slop. Unordered:
+    (max e − min s − Σ len) ≤ slop over the chosen tuple — exactly
+    Lucene's ``NearSpansUnordered.atMatch``, which permits OVERLAPPING
+    clause spans (two clauses matching the same token match; r11 —
+    the previous pairwise-disjointness conjunct was stricter than
+    Lucene and dropped such documents). This is also the intervals
+    UNORDERED flavor — both surfaces share the one walk.
     ``slop < 0`` means unlimited (intervals max_gaps: -1). Cost is the
     product of per-clause match counts, same as Lucene's per-document
     walk — EXCEPT the ordered single-token case (``single_token=True``,
@@ -599,7 +601,7 @@ def _spans_near_exists(span_arrays: list[Column], ordered: bool,
             f"at most {_MAX_SPAN_CLAUSES} proximity clauses")
     if len(span_arrays) == 1:
         return F.coalesce(F.size(span_arrays[0]) > 0, F.lit(False))
-    if not ordered and slop < 0 and not disjoint:
+    if not ordered and slop < 0:
         # unconstrained unordered (intervals' default): every clause
         # present somewhere — skip the combination walk
         out = F.lit(True)
@@ -641,11 +643,6 @@ def _spans_near_exists(span_arrays: list[Column], ordered: bool,
                 cond = cond & (gaps <= F.lit(slop))
             return cond
         cond = F.lit(True)
-        if disjoint:
-            for i, a in enumerate(chosen):
-                for b in chosen[i + 1:]:
-                    cond = cond & ((a["e"] <= b["s"])
-                                   | (b["e"] <= a["s"]))
         if slop >= 0:
             max_e = F.greatest(*[c["e"] for c in chosen])
             min_s = F.least(*[c["s"] for c in chosen])
@@ -962,9 +959,9 @@ def _intervals_rule(arr: Column, kind: str, body) -> Column:
     """One intervals rule → boolean membership (score-free filter
     context, like the span family). Constrained combinations run the
     nested-exists walk (r10 — exact for any clause count; the r9
-    unordered-2-clause cap is gone), with the INTERVALS unordered
-    flavor: Lucene's UNORDERED allows overlapping sub-intervals, so
-    ``disjoint=False`` (unlike span_near's NearSpansUnordered)."""
+    unordered-2-clause cap is gone); the unordered flavor permits
+    overlapping sub-intervals, matching both Lucene's intervals
+    UNORDERED and NearSpansUnordered (r11 — one shared walk)."""
     if isinstance(body, dict) and body.get("filter") is not None:
         # a filtered rule goes through the span producer (the filter
         # relation needs real spans)
@@ -987,7 +984,7 @@ def _intervals_rule(arr: Column, kind: str, body) -> Column:
             raise DslError(f"malformed max_gaps {mg!r}")
         return _spans_near_exists(
             [_pos_to_spans(_token_positions(arr, t)) for t in toks],
-            ordered, mg, disjoint=False, single_token=True)
+            ordered, mg, single_token=True)
     if kind == "all_of":
         ivs = body.get("intervals") if isinstance(body, dict) else None
         if not isinstance(ivs, list) or not ivs:
@@ -1009,7 +1006,7 @@ def _intervals_rule(arr: Column, kind: str, body) -> Column:
         # the producer's named 400
         return _spans_near_exists(
             [_intervals_spans(arr, *_one_rule(iv)) for iv in ivs],
-            ordered, mg, disjoint=False)
+            ordered, mg)
     if kind == "any_of":
         ivs = body.get("intervals") if isinstance(body, dict) else None
         if not isinstance(ivs, list) or not ivs:

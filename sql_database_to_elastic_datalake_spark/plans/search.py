@@ -260,11 +260,18 @@ def collapse_hits(
 
     Ties beyond the request sort break deterministically on the
     remaining columns (the same determinism divergence as terms
-    ordering / top_hits — ES leaves them shard-arbitrary)."""
+    ordering / top_hits — ES leaves them shard-arbitrary). The
+    tiebreak spans ORDERABLE columns only: a MapType column in a
+    window order is an AnalysisException (INVALID_ORDERING_TYPE),
+    which would 500 a valid collapse on tables with map columns."""
     from pyspark.sql import Window
 
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        tiebreak_columns,
+    )
+
     order = list(order_cols) + [
-        F.col(c).asc_nulls_first() for c in df.columns
+        F.col(c).asc_nulls_first() for c in tiebreak_columns(df)
     ]
     key = F.col(field) if isinstance(field, str) else field
     w = Window.partitionBy(key).orderBy(*order)

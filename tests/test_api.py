@@ -1538,6 +1538,94 @@ def test_pit_search_after_drain(client, service, spark):
                for h in hits)
 
 
+def test_pit_drain_over_date_column(client, service, spark):
+    """r11 (ADVICE, high): PIT + search_after over a table WITH a
+    date/timestamp column — pit_total_sort appends those columns to
+    the sort, so page cursors carry their values. The wire must
+    serialize them as ISO-8601 (Flask's default provider emits
+    RFC-1123 HTTP-dates, which cannot cast back against the DATE
+    column on page 2 → DateTimeException/500 or silent row loss)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 20),
+          dt.datetime(2024, 1, 1, i % 24, 0, 0), f"d{i}")
+         for i in range(37)],
+        "id long, d date, ts timestamp, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_pitd"))
+    pit_id = client.post("/search/pit", data=json.dumps(
+        {"table": "data_lake_pitd"}),
+        content_type="application/json").get_json()["id"]
+    got, after, pages = [], None, 0
+    while True:
+        body = {"pit": {"id": pit_id}, "size": 10,
+                "sort": [{"d": "asc"}]}
+        if after is not None:
+            after = json.loads(json.dumps(after))  # wire round-trip
+            body["search_after"] = after
+        r = client.post("/search/advanced", data=json.dumps(body),
+                        content_type="application/json")
+        assert r.status_code == 200, r.get_json()
+        hits = r.get_json()["hits"]["hits"]
+        if not hits:
+            break
+        # sort values reach the wire as ISO strings, not HTTP-dates
+        for h in hits:
+            assert all(
+                not (isinstance(v, str) and "GMT" in v)
+                for v in h["sort"]), h["sort"]
+        got += [h["_source"]["id"] for h in hits]
+        after = hits[-1]["sort"]
+        pages += 1
+        assert pages < 10
+    assert sorted(got) == list(range(37))
+    assert len(got) == len(set(got))  # no overlap, no gap
+    # _source date values render ISO too (ES wire form)
+    r = client.post("/search/advanced", data=json.dumps(
+        {"table": "data_lake_pitd", "size": 1,
+         "sort": [{"id": "asc"}]}),
+        content_type="application/json")
+    src = r.get_json()["hits"]["hits"][0]["_source"]
+    assert src["d"] == "2024-01-01" and src["ts"].startswith("2024-01-01")
+
+
+def test_scroll_rejects_pit(client, service, spark):
+    """r11 (ADVICE): a body carrying BOTH cursor mechanisms is a named
+    400 — previously the scroll branch silently ignored the pit."""
+    spark.createDataFrame([(1, "x")], "id long, txt string") \
+        .write.parquet(os.path.join(service.lake_dir, "data_lake_sp"))
+    pit_id = client.post("/search/pit", data=json.dumps(
+        {"table": "data_lake_sp"}),
+        content_type="application/json").get_json()["id"]
+    r = client.post("/search/advanced", data=json.dumps(
+        {"table": "data_lake_sp", "scroll": "1m", "size": 5,
+         "pit": {"id": pit_id}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "scroll is not supported with pit" in r.get_json()["error"]
+
+
+def test_collapse_inner_hits_with_map_column(service, spark):
+    """r11 (ADVICE, medium): collapse+inner_hits on a table with a
+    MapType column — the window tiebreak previously ordered by ALL
+    columns and raised INVALID_ORDERING_TYPE (a 500 for a valid
+    request). The tiebreak now uses orderable columns only."""
+    df = spark.createDataFrame(
+        [(1, "u1", {"k": "a"}), (2, "u1", {"k": "b"}),
+         (3, "u2", {"k": "c"})],
+        "id long, user string, meta map<string,string>")
+    df.write.parquet(os.path.join(service.lake_dir, "data_lake_cmap"))
+    out = service.advanced_search(
+        "data_lake_cmap", {"match_all": {}}, k=5,
+        sort=[{"id": "asc"}],
+        collapse={"field": "user", "inner_hits": {"size": 2}})
+    hits = out["hits"]["hits"]
+    assert [h["_source"]["user"] for h in hits] == ["u1", "u2"]
+    ih = hits[0]["inner_hits"]["user"]["hits"]
+    assert ih["total"]["value"] == 2
+    assert sorted(r["_source"]["id"] for r in ih["hits"]) == [1, 2]
+
+
 def test_more_like_this_doc_resolution(service, spark):
     """r9: like-by-document entries resolve at the API layer — one
     point lookup per referenced doc, absent docs ignored, the

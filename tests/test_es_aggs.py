@@ -989,6 +989,42 @@ def test_sampler_and_diversified(spark):
                                         "max_docs_per_value": 2}}})
 
 
+def test_sampler_foreground_non_unique_lead_key(spark):
+    """r11 (ADVICE): a table without a unique ``id`` column leads its
+    tiebreak with a foreign-key ``*_id`` that may repeat — an isin()
+    foreground predicate on it counted background rows OUTSIDE the
+    sample as foreground, inflating significant_text doc counts. The
+    fixed predicate identifies sample rows by the full atomic
+    tiebreak tuple, so a grp_id twin left out of the sample stays
+    background."""
+    import hashlib
+
+    # 10 grp_ids × 2 rows each; text is a pure function of grp_id
+    tdf = spark.createDataFrame(
+        [(g, 2 * g + j, f"tok{g} common")
+         for g in range(10) for j in range(2)],
+        "grp_id long, seq long, body string")
+    # sample rank = md5(lead key): shard_size 5 takes the two
+    # smallest-md5 grp_ids whole and SPLITS the third pair — one row
+    # in the sample, its twin outside (the bug counted both)
+    order = sorted(range(10),
+                   key=lambda g: hashlib.md5(str(g).encode()).hexdigest())
+    full, split = order[:2], order[2]
+    out = run_aggs(tdf, {"s": {
+        "sampler": {"shard_size": 5},
+        "aggs": {"sig": {"significant_text": {
+            "field": "body", "min_doc_count": 1}}},
+    }}, background=tdf)
+    sig = out["s"]["sig"]
+    assert sig["doc_count"] == 5 and sig["bg_count"] == 20
+    got = {b["key"]: b["doc_count"] for b in sig["buckets"]}
+    # 'common' is in every doc (fg ratio == bg ratio == 1 → score 0,
+    # dropped); each sampled tok{g} is significant (fg 2/5 or 1/5 vs
+    # bg 2/20)
+    assert got == {f"tok{full[0]}": 2, f"tok{full[1]}": 2,
+                   f"tok{split}": 1}, got
+
+
 def test_significant_terms_via_advanced_search(spark, tmp_path):
     import json
 

@@ -617,7 +617,7 @@ def test_span_near_nested_and_unordered_k(span_docs):
     """r10: the span algebra carries real (start, end) spans — a
     NESTED ordered span_near is an ordinary clause, and unordered
     span_near takes any clause count with exact Lucene window
-    semantics (max_e − min_s − Σlen ≤ slop, pairwise disjoint)."""
+    semantics (max_e − min_s − Σlen ≤ slop; overlap permitted)."""
     # nested ordered chain: (alpha→beta) then gamma, adjacent
     inner = {"span_near": {"clauses": [
         {"span_term": {"txt": "alpha"}},
@@ -647,13 +647,21 @@ def test_span_near_nested_and_unordered_k(span_docs):
         {"span_term": {"txt": "beta"}},
         {"span_term": {"txt": "gamma"}}],
         "slop": 3, "in_order": True}}) == [1]
-    # unordered spans must be DISJOINT: two clauses matching only the
-    # same single token can never pair
+    # r11: unordered spans may OVERLAP — Lucene's
+    # NearSpansUnordered.atMatch checks only the window condition
+    # (max_e − min_s − Σlen ≤ slop), so two clauses matching the SAME
+    # single token pair up (window −1 ≤ slop); doc4 has "soup"
     assert run(span_docs, {"span_near": {"clauses": [
         {"span_term": {"txt": "soup"}},
         {"span_multi": {"match": {"prefix": {"txt": {
             "value": "sou"}}}}}],
-        "slop": 9, "in_order": False}}) == []
+        "slop": 9, "in_order": False}}) == [4]
+    # …and even at slop 0 (the overlap window is negative)
+    assert run(span_docs, {"span_near": {"clauses": [
+        {"span_term": {"txt": "soup"}},
+        {"span_multi": {"match": {"prefix": {"txt": {
+            "value": "sou"}}}}}],
+        "slop": 0, "in_order": False}}) == [4]
     # r10-late: a nested UNORDERED span_near produces spans via the
     # permutation enumeration — (gamma,beta unordered adjacent) is
     # [1,3) in doc1 ("alpha beta; gamma beta": beta@1 gamma@2... no:

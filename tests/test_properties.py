@@ -1048,14 +1048,14 @@ def _py_spans(toks: list, node: dict) -> set:
 def _py_member(toks: list, node: dict) -> bool:
     kind, body = next(iter(node.items()))
     if kind == "span_near" and not body.get("in_order", True):
+        # Lucene NearSpansUnordered.atMatch: window condition only —
+        # overlapping clause spans are PERMITTED (r11; the former
+        # pairwise-disjoint check was stricter than Lucene)
         subs = [_py_spans(toks, cl) for cl in body["clauses"]]
         slop = body.get("slop", 0)
         import itertools
 
         for combo in itertools.product(*subs):
-            if any(a[0] < b[1] and b[0] < a[1]
-                   for a, b in itertools.combinations(combo, 2)):
-                continue
             win = max(e for _, e in combo) - min(s for s, _ in combo)
             if win - sum(e - s for s, e in combo) <= slop:
                 return True
