@@ -55,6 +55,10 @@ def summarize(plan: str) -> dict:
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "shuffles": len(re.findall(r"\(\d+\) Exchange\b", plan)),
         "window_group_limit": plan.count("WindowGroupLimit"),
+        # all-pairs joins: fine for a broadcast verifier tier, fatal
+        # at corpus scale — gates pin 0 for the scale-path queries
+        "cartesian": (plan.count("CartesianProduct")
+                      + plan.count("BroadcastNestedLoopJoin")),
         "aqe": "AdaptiveSparkPlan" in plan,
     }
 

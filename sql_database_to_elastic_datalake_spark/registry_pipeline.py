@@ -385,21 +385,37 @@ def embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_bucketed(emb, _ANN_QUERY_IDS, k=3, sign_dims=6)
 
 
+def _neardup_bucket_sql(sign_dims: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(1, sign_dims + 1)
+    )
+
+
 @register(
     "embed_neardup_pairs",
+    # r11 (verdict #2): the REGISTERED tier is the sign-bucketed scale
+    # path — pairs meet only inside their deterministic sign-LSH
+    # bucket (an equi-join, never a cartesian product), the same
+    # two-tier pattern as semdedup's matmul/join pair. The oracle
+    # replays the bucket membership bit-identically; the exact
+    # all-pairs tier stays as the pytest-pinned recall verifier
+    # (tests/test_text_dedup_similarity.py::
+    # test_neardup_bucketed_vs_exact).
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq FROM e)
+    n AS (SELECT vec_id, v, {_dot_sql('v', 'v')} AS sq,
+                 {_neardup_bucket_sql(6)} AS bucket FROM e)
     SELECT a.vec_id AS a, b.vec_id AS b,
            CAST(({_dot_sql('a.v', 'b.v')}) / (sqrt(a.sq) * sqrt(b.sq))
                 AS DOUBLE) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ({_dot_sql('a.v', 'b.v')}) / (sqrt(a.sq) * sqrt(b.sq)) >= 0.4
     """,
 )
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4, sign_dims=6)
 
 
 # ---------------------------------------------------------------------------

@@ -465,6 +465,15 @@ GATES = {
         shuffles=3, smj_max=0, bhj_min=1, wgl=False,
         scans={"documents": (2, [])},
     ),
+    # r11 (verdict #2): embed_neardup_pairs now REGISTERS the
+    # sign-bucketed tier — pairs meet through a bucket EQUI-join
+    # (broadcast at sf0.01, shuffled hash/SMJ at scale), never a
+    # cartesian product; cartesian_max=0 is the whole point of the
+    # re-registration (the exact all-pairs tier is pytest-only)
+    "embed_neardup_pairs": dict(
+        shuffles=0, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
+        scans={"embeddings": (2, [])},
+    ),
 }
 
 
@@ -497,6 +506,12 @@ def test_plan_gate(summaries, name):
         f"{name}: WindowGroupLimit pushdown flipped "
         f"(now {got['window_group_limit'] > 0}, recorded {want['wgl']})"
     )
+    if "cartesian_max" in want:
+        assert got["cartesian"] <= want["cartesian_max"], (
+            f"{name}: {got['cartesian']} cartesian/nested-loop joins "
+            f"(max {want['cartesian_max']}) — an equi-join degraded "
+            f"to all-pairs"
+        )
     seen_tables = {s["table"] for s in got["scans"]}
     for table, (max_cols, fragments) in want["scans"].items():
         table_scans = [s for s in got["scans"] if s["table"] == table]

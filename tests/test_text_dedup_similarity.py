@@ -244,6 +244,34 @@ def test_cosine_neardup_pairs(spark, emb):
     assert {(r["a"], r["b"]) for r in bucketed} == {(0, 1)}
 
 
+def test_neardup_bucketed_vs_exact(spark):
+    """r11 (verdict #2): the REGISTERED embed_neardup_pairs tier is now
+    the sign-bucketed equi-join; the exact all-pairs crossJoin stays as
+    THIS verifier (the semdedup matmul/join two-tier pattern). At
+    sf0.01 the bucketed result must equal the exact result restricted
+    to same-sign-bucket pairs — i.e. the bucket join loses exactly the
+    cross-bucket pairs and nothing else, with identical cosines."""
+    from sql_database_to_elastic_datalake_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.4).collect()
+    bucketed = similarity.cosine_neardup_pairs(
+        emb, threshold=0.4, sign_dims=6).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def bucket(vid):
+        return "".join(
+            "1" if float(x) >= 0 else "0" for x in vecs[vid][:6])
+
+    want = {(r["a"], r["b"]): r["cosine"] for r in exact
+            if bucket(r["a"]) == bucket(r["b"])}
+    got = {(r["a"], r["b"]): r["cosine"] for r in bucketed}
+    assert got == want
+    assert len(exact) >= len(got)  # bucketing only ever prunes
+
+
 def test_multimodal_plumbing(spark, docs):
     # Non-media payloads (raw text bytes) degrade to metadata-only rows.
     wb = multimodal.to_binary_column(docs, "text")
