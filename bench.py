@@ -105,6 +105,11 @@ HEADLINE = (
     "search_dsl_span_nested",
     "search_dsl_intervals_filter",
     "search_suggest_completion_fuzzy",
+    # r11: variable-span duplicate-run removal (the one-explode
+    # k-gram pipeline — the heaviest corpus-prep stage per byte) and
+    # the re-registered sign-bucketed embedding near-dup pairs
+    "exact_substring_dedup",
+    "embed_neardup_pairs",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -122,6 +127,7 @@ SF1_EXTRA = (
     "dedup_clusters_jaccard",
     "embed_ann_ivf",
     "corpus_prep_stats",
+    "exact_substring_dedup",
 )
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -313,3 +313,117 @@ def boilerplate_chunk_removal(
         F.sum(F.when(F.col("__boil"), F.length("chunk")).otherwise(0))
         .cast("bigint").alias("chars_removed"),
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style VARIABLE-SPAN duplicate-run removal — the
+    public training-data dedup standard (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every token inside a verbatim duplicated run of ≥ ``k`` tokens is
+    removed, whatever the run's length.
+
+    Exactness argument: a token is removed iff it lies inside SOME
+    length-``k`` window whose text occurs at ≥ ``min_occurrences``
+    sites (a site = a (doc, position) pair, so WITHIN-doc repeats
+    count — Lee et al.'s "appears more than once in the corpus",
+    unlike :func:`boilerplate_chunk_removal`'s distinct-doc rule). A
+    duplicated run of length L ≥ k has all of its k-windows duplicated
+    (each occurs wherever the run does), so the window cover equals
+    the union of all duplicated spans of length ≥ k — the suffix-array
+    result, computed with sorted k-gram GROUPING instead of a suffix
+    array (the shuffle IS the sort, distributed).
+
+    Plan shape (no UDF, no driver state): tokenize once → k-gram
+    hash explode (one corpus-sized explode, stride 1 — the cost Lee
+    et al. pay in suffix construction) → k-gram-frequency groupBy
+    (map-side partial agg on the hash) → frequency join back (same
+    key) → per-doc duplicated-start list (groupBy id, bounded by doc
+    length) → one join back to the docs → pure column algebra:
+    duplicated starts are merged into maximal covered intervals
+    (consecutive starts ≤ k apart chain into one run), tokens are
+    kept iff no interval covers their index, the doc is rebuilt in
+    order. Four key-partitioned shuffles at scale.
+
+    Output per doc (``text_col`` NULL docs are absent, the
+    :func:`chunk_documents` contract): ``id_col, clean_text`` (kept
+    tokens rejoined; '' when the whole doc was duplicated runs) and
+    accounting ``n_tokens, tokens_removed, n_spans_removed``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size(F.col("__toks")))
+    )
+    grams = (
+        base.filter(F.col("__n") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.md5(F.array_join(
+                        F.slice(F.col("__toks"), i + 1, k), " ")
+                    ).alias("h"),
+                ),
+            )).alias("__g"),
+        )
+        .select(F.col(id_col), F.col("__g.s").alias("__s"),
+                F.col("__g.h").alias("__h"))
+    )
+    # site counts via a window over the gram hash, NOT a
+    # groupBy + self-join back: the k-gram explode is the dominant
+    # cost and a join would recompute it (two more corpus scans).
+    # Skew note: a pathologically frequent k-gram puts all its sites
+    # in one window partition — Spark's window spills, and such grams
+    # are exactly the ones being removed anyway.
+    from pyspark.sql import Window
+
+    occ = F.count("*").over(Window.partitionBy("__h"))
+    starts = (
+        grams.withColumn("__occ", occ)
+        .filter(F.col("__occ") >= F.lit(int(min_occurrences)))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__s")).alias("__starts"))
+    )
+    out = base.join(starts, id_col, "left")
+    st = F.col("__starts")
+    nst = F.size(st)
+    idx = F.sequence(F.lit(0), nst - 1)
+    # merged covered intervals: consecutive duplicated starts ≤ k
+    # apart chain into one run (their [s, s+k) windows touch); a gap
+    # > k splits. i==0 / i==last short-circuit the NULL neighbor
+    # lookups (TRUE OR NULL = TRUE).
+    heads = F.filter(
+        idx, lambda i: (i == 0) | (F.get(st, i) - F.get(st, i - 1) > k))
+    tails = F.filter(
+        idx, lambda i: (i == nst - 1) | (F.get(st, i + 1) - F.get(st, i) > k))
+    ivs = F.when(st.isNotNull(), F.zip_with(
+        heads, tails,
+        lambda h, t: F.struct(
+            F.get(st, h).alias("lo"), (F.get(st, t) + k).alias("hi")),
+    )).otherwise(F.array().cast("array<struct<lo:int,hi:int>>"))
+    out = out.withColumn("__ivs", ivs)
+    kept = F.filter(
+        F.transform(F.col("__toks"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__ivs"),
+            lambda iv: (s["i"] >= iv["lo"]) & (s["i"] < iv["hi"])),
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        (F.col("__n") - F.size(kept)).cast("bigint")
+        .alias("tokens_removed"),
+        F.size(F.col("__ivs")).cast("bigint").alias("n_spans_removed"),
+    )

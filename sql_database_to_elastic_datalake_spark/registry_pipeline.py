@@ -2789,6 +2789,79 @@ def boilerplate_chunk_removal_q(
         docs, "doc_id", "text", chunk_size=16, min_docs=2)
 
 
+_ESD_K = 25  # Lee et al. 2021 use 50-token spans; the synthetic docs
+#              average ~54 tokens, so 25 keeps sub-document runs real
+
+@register(
+    "exact_substring_dedup",
+    # full-rebuild oracle (the boilerplate template): the k-gram
+    # sites, the ≥2-occurrence filter, the covered-position union, the
+    # gaps-and-islands span count and the in-order rebuild are all
+    # replayed in SQL — grouping by the gram TEXT hash equals the
+    # Spark side's md5 equality key. A (doc, position) SITE count (not
+    # distinct docs): within-doc repeats are duplicates too (Lee et
+    # al.'s "appears more than once in the corpus").
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), g AS (
+        SELECT doc_id, i AS s,
+               md5(array_to_string(toks[(i+1):(i+{_ESD_K})], ' ')) AS h
+        FROM t, LATERAL (SELECT unnest(range(len(toks) - {_ESD_K} + 1))
+                         AS i) r
+        WHERE len(toks) >= {_ESD_K}
+    ), dup AS (
+        SELECT g.doc_id, g.s FROM g
+        JOIN (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2) o
+        USING (h)
+    ), cov AS (
+        SELECT DISTINCT doc_id, s + j AS pos
+        FROM dup, LATERAL (SELECT unnest(range({_ESD_K})) AS j) rr
+    ), tok AS (
+        SELECT doc_id, i AS pos, toks[i+1] AS tok
+        FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i) r
+    ), flag AS (
+        SELECT tok.doc_id, tok.pos, tok.tok,
+               cov.pos IS NOT NULL AS covered
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+    ), spans AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev
+            FROM cov) q
+        WHERE prev IS NULL OR pos - prev > 1 GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           COALESCE(array_to_string(
+               list(tok ORDER BY pos) FILTER (WHERE NOT covered), ' '),
+               '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           CAST(COALESCE(MAX(spans.n_spans), 0) AS BIGINT)
+               AS n_spans_removed
+    FROM flag f LEFT JOIN spans USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-span duplicate-run removal (r11, verdict #1): every
+    token inside a verbatim duplicated run of ≥ 25 tokens is removed
+    and the doc rebuilt with accounting — the Lee et al. 2021
+    ExactSubstr standard, via sorted k-gram grouping
+    (operators/chunking.py:exact_substring_dedup)."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        exact_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(
+        docs, "doc_id", "text", k=_ESD_K, min_occurrences=2)
+
+
 # ---------------------------------------------------------------------------
 # Character-trigram language profiles + join fan-out histogram.
 # Char n-grams are the feature basis real language ID / script detection

@@ -189,3 +189,84 @@ def test_boilerplate_chunk_removal(spark):
     assert out[5]["chunks_removed"] == 0
     assert out[5]["clean_text"].count("echo") == 8
     assert out[5]["n_chunks"] == 2
+
+
+def test_exact_substring_dedup(spark):
+    """r11 (verdict #1): ExactSubstr-style variable-span removal — a
+    duplicated run of ANY length ≥ k is removed whole (run extension
+    through overlapping k-windows), within-doc repeats count as
+    duplication, spans merge/split exactly at the k-gap boundary."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        exact_substring_dedup,
+    )
+
+    run = "d1 d2 d3 d4 d5"                    # 5-token duplicated run
+    texts = [
+        f"a0 a1 {run} a2 a3",                 # 0: run mid-doc
+        f"b0 {run} b1 b2 b3 b4",              # 1: same run elsewhere
+        "c0 c1 c2 c3 c4 c5 c6",               # 2: unique → untouched
+        "e0 x y z q e1 x y z q e2",           # 3: WITHIN-doc repeat
+        run,                                  # 4: whole doc duplicated
+        f"{run} m0 m1 m2 m3 {run}",           # 5: two disjoint spans
+        "f0 f1",                              # 6: shorter than k
+        None,                                 # 7: NULL → absent
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(
+            _docs(spark, *texts), "doc_id", "text",
+            k=3, min_occurrences=2,
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}  # NULL text absent
+    # the 5-token run is covered END TO END (its three 3-windows all
+    # duplicate), not just one k-window
+    assert out[0]["clean_text"] == "a0 a1 a2 a3"
+    assert out[0]["tokens_removed"] == 5
+    assert out[0]["n_spans_removed"] == 1
+    assert out[1]["clean_text"] == "b0 b1 b2 b3 b4"
+    # unique doc untouched
+    assert out[2]["clean_text"] == texts[2]
+    assert out[2]["tokens_removed"] == 0
+    assert out[2]["n_spans_removed"] == 0
+    # within-doc repetition IS duplication (site count, not doc count
+    # — the boilerplate operator's distinct-doc rule differs)
+    assert out[3]["clean_text"] == "e0 e1 e2"
+    assert out[3]["tokens_removed"] == 8
+    assert out[3]["n_spans_removed"] == 2
+    # whole-doc duplicate → empty rebuild, full accounting
+    assert out[4]["clean_text"] == ""
+    assert out[4]["tokens_removed"] == 5
+    assert out[4]["n_tokens"] == 5
+    # two disjoint duplicated spans stay two spans
+    assert out[5]["clean_text"] == "m0 m1 m2 m3"
+    assert out[5]["n_spans_removed"] == 2
+    # sub-k doc has no k-grams → untouched
+    assert out[6]["clean_text"] == "f0 f1"
+    assert out[6]["tokens_removed"] == 0
+
+
+def test_exact_substring_dedup_adjacent_runs_merge(spark):
+    """Two duplicated k-grams whose windows touch (start gap == k)
+    merge into ONE maximal span; a gap of k+1 splits them."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        exact_substring_dedup,
+    )
+
+    # g1 and g2 are independent duplicated 2-grams placed adjacently
+    # in doc 0 ("p q r s" = [p q][r s]) → one contiguous covered span
+    texts = [
+        "a0 p q r s a1",
+        "b0 p q b1 b2 r s b3",   # the two grams duplicated separately
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(
+            _docs(spark, *texts), "doc_id", "text",
+            k=2, min_occurrences=2,
+        ).collect()
+    }
+    assert out[0]["tokens_removed"] == 4
+    assert out[0]["n_spans_removed"] == 1       # merged
+    assert out[1]["n_spans_removed"] == 2       # split by the gap
+    assert out[1]["clean_text"] == "b0 b1 b2 b3"

@@ -474,6 +474,15 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
         scans={"embeddings": (2, [])},
     ),
+    # r11 (verdict #1): ExactSubstr duplicate-span removal — ONE
+    # k-gram explode (site counts via a window over the gram hash,
+    # not a groupBy + self-join that would re-run the explode), one
+    # per-doc regroup, one join back (broadcast at sf0.01). A third
+    # shuffle means the explode started double-evaluating.
+    "exact_substring_dedup": dict(
+        shuffles=2, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
+        scans={"documents": (2, ["IsNotNull(text)"])},
+    ),
 }
 
 
