@@ -142,6 +142,11 @@ class LakeService:
     def __init__(self, spark: SparkSession, lake_dir: str):
         self.spark = spark
         self.lake_dir = lake_dir
+        #: stored search templates (ES ``_scripts`` namespace, r11):
+        #: id → validated {"lang": "mustache", "source": …}. Held
+        #: in-service, like the PIT/scroll statelessness contract —
+        #: nothing here needs to survive the process.
+        self.stored_templates: dict[str, dict] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -1643,9 +1648,26 @@ class LakeService:
             if highlight:
                 # per-field fragment options override the request-level
                 # ones (ES's precedence); each entry carries
-                # (column, fragment_size, number_of_fragments)
-                g_fs = highlight.get("fragment_size")
-                g_nof = highlight.get("number_of_fragments")
+                # (column, fragment_size, number_of_fragments).
+                # Unspecified options take ES's DEFAULTS (r11, verdict
+                # #3): fragment_size 100, number_of_fragments 5 — a
+                # long document highlights as windowed snippets like
+                # ES, not as one whole-value fragment. The remaining
+                # documented divergence is the snippet BOUNDARY rule:
+                # windows center on match clusters instead of snapping
+                # to sentence edges (plans/search.py:
+                # highlight_snippets).
+                def _hl_int(spec, key, default, minimum):
+                    v = spec.get(key, default)
+                    if not isinstance(v, int) or isinstance(v, bool) \
+                            or v < minimum:
+                        raise DslError(
+                            f"highlight {key} must be an integer "
+                            f">= {minimum}")
+                    return v
+
+                g_fs = _hl_int(highlight, "fragment_size", 100, 1)
+                g_nof = _hl_int(highlight, "number_of_fragments", 5, 0)
                 seen_hl: set[str] = set()
                 for pat, fspec in highlight["fields"].items():
                     fs, nof = g_fs, g_nof
@@ -1656,8 +1678,9 @@ class LakeService:
                             raise DslError(
                                 f"unsupported highlight field options:"
                                 f" {bad}")
-                        fs = fspec.get("fragment_size", g_fs)
-                        nof = fspec.get("number_of_fragments", g_nof)
+                        fs = _hl_int(fspec, "fragment_size", g_fs, 1)
+                        nof = _hl_int(fspec, "number_of_fragments",
+                                      g_nof, 0)
                     for c in _expand_patterns([pat], df.columns):
                         if c not in seen_hl:
                             seen_hl.add(c)
@@ -2800,9 +2823,13 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
 
     @app.route("/search/advanced", methods=["POST"])
     def advanced():
+        return _advanced_body(request.get_json(force=True))
+
+    def _advanced_body(body):
+        """The /search/advanced body pipeline — shared verbatim by the
+        template route (r11): a rendered template IS an advanced body."""
         from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
-        body = request.get_json(force=True)
         k = _page_size(body)
         if k is None:
             return jsonify({"error": "k/size must be a non-negative integer"}), 400
@@ -2931,6 +2958,106 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             # a malformed/unsupported DSL tree is the CALLER's error —
             # the reference returns ES's 400 for these, not a 500
             return jsonify({"error": str(ex)}), 400
+
+    def _resolve_template(body):
+        """(source, params) from a template request body — exactly one
+        of inline ``source`` / stored ``id``; unknown keys are named
+        400s (the reject-instead-of-drop policy)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            DslError,
+        )
+
+        if not isinstance(body, dict):
+            raise DslError("template request must be a JSON object")
+        unknown = sorted(set(body) - {"source", "id", "params", "table"})
+        if unknown:
+            raise DslError(
+                f"unsupported template request keys: {unknown} "
+                "(supported: source | id, params, table)")
+        has_src = body.get("source") is not None
+        has_id = body.get("id") is not None
+        if has_src == has_id:
+            raise DslError(
+                "template request needs exactly one of inline "
+                "'source' or stored-template 'id'")
+        if has_id:
+            sid = body["id"]
+            tpl = service.stored_templates.get(sid)
+            if tpl is None:
+                raise NotFoundError(f"no stored template {sid!r}")
+            source = tpl["source"]
+        else:
+            source = body["source"]
+        return source, body.get("params")
+
+    @app.route("/search/template", methods=["POST"])
+    def search_template():
+        """ES ``_search/template`` (r11, verdict #5): render the
+        mustache template, then run the result through the ordinary
+        advanced-search pipeline — the rendered body obeys every
+        advanced-body rule (unknown keys 400, cursor rules, …)."""
+        from sql_database_to_elastic_datalake_spark.plans.templates import (
+            render_search_template,
+        )
+
+        body = request.get_json(force=True)
+        try:
+            source, params = _resolve_template(body)
+            rendered = render_search_template(source, params)
+        except NotFoundError as ex:
+            return jsonify({"error": str(ex)}), 404
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+        # the engine's table extension rides the OUTER request (ES
+        # carries the index in the path); the template may also set it
+        if body.get("table") is not None and "table" not in rendered:
+            rendered["table"] = body["table"]
+        return _advanced_body(rendered)
+
+    @app.route("/render/template", methods=["POST"])
+    def render_template():
+        """ES ``_render/template``: the rendered body without running
+        it — the template-debugging endpoint."""
+        from sql_database_to_elastic_datalake_spark.plans.templates import (
+            render_search_template,
+        )
+
+        body = request.get_json(force=True)
+        try:
+            source, params = _resolve_template(body)
+            rendered = render_search_template(source, params)
+        except NotFoundError as ex:
+            return jsonify({"error": str(ex)}), 404
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+        return jsonify({"template_output": rendered}), 200
+
+    @app.route("/scripts/<sid>", methods=["PUT", "POST"])
+    def put_script(sid):
+        from sql_database_to_elastic_datalake_spark.plans.templates import (
+            validate_stored_script,
+        )
+
+        try:
+            service.stored_templates[sid] = validate_stored_script(
+                request.get_json(force=True))
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+        return jsonify({"acknowledged": True}), 200
+
+    @app.route("/scripts/<sid>", methods=["GET"])
+    def get_script(sid):
+        tpl = service.stored_templates.get(sid)
+        if tpl is None:
+            return jsonify({"_id": sid, "found": False}), 404
+        return jsonify({"_id": sid, "found": True, "script": tpl}), 200
+
+    @app.route("/scripts/<sid>", methods=["DELETE"])
+    def delete_script(sid):
+        if sid not in service.stored_templates:
+            return jsonify({"error": f"no stored template {sid!r}"}), 404
+        del service.stored_templates[sid]
+        return jsonify({"acknowledged": True}), 200
 
     @app.route("/search/count", methods=["POST"])
     def count_route():

@@ -1022,40 +1022,88 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of operators.chunking.luhn_valid, inlined per use of
+#: the digit-stripped candidate (RE2/SQL cannot bind a local).
+_PII_D = "regexp_replace(cand, '[ -]', '', 'g')"
+_PII_LUHN = (
+    f"list_sum(list_transform(range(length({_PII_D})), i -> "
+    f"CASE WHEN (length({_PII_D}) - 1 - i) % 2 = 1 "
+    f"THEN CASE WHEN 2*CAST({_PII_D}[i+1] AS INT) > 9 "
+    f"THEN 2*CAST({_PII_D}[i+1] AS INT) - 9 "
+    f"ELSE 2*CAST({_PII_D}[i+1] AS INT) END "
+    f"ELSE CAST({_PII_D}[i+1] AS INT) END)) % 10 = 0"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_SSN = "[0-9]{3}[- ][0-9]{2}[- ][0-9]{4}"
+_PII_IPV4 = ("(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+             "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])")
+_PII_IPV6 = "(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}"
+_PII_CC_G = "(?:[0-9]{4}[ -]){3}[0-9]{4}"
+_PII_CC_B = "[0-9]{13,19}"
+
+
 @register(
     "pii_redaction",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT doc_id,
                -- || not concat(): DuckDB's concat SKIPS NULL arguments
                -- while Spark's propagates them; || is NULL-propagating
                -- in both engines, so a NULL text stays NULL end-to-end.
-               CASE WHEN doc_id % 5 = 0
+               (CASE WHEN doc_id % 5 = 0
                     THEN text || ' contact user' ||
                          CAST(doc_id AS VARCHAR) ||
                          '@example.com or 555-867-530' ||
                          CAST(doc_id % 10 AS VARCHAR)
-                    ELSE text END AS text
+                    ELSE text END) ||
+               (CASE WHEN doc_id % 7 = 0
+                    THEN ' ssn 123-45-6789 ip 10.0.' ||
+                         CAST(doc_id % 256 AS VARCHAR) ||
+                         '.7 ip6 2001:db8:85a3:1:2:8a2e:370:7334' ||
+                         ' card 4539 1488 0343 6467' ||
+                         ' junk 4539 1488 0343 6468'
+                    ELSE '' END) AS text
         FROM documents
+    ), c AS (
+        SELECT doc_id, text,
+               list_filter(
+                   regexp_extract_all(text, '{_PII_CC_G}') ||
+                   regexp_extract_all(text, '{_PII_CC_B}'),
+                   cand -> {_PII_LUHN}) AS cc_valid,
+               regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_SSN}', '<SSN>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_IPV6}', '<IP>', 'g') AS clean0
+        FROM d
     )
     SELECT doc_id,
-           len(regexp_split_to_array(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+           len(regexp_split_to_array(text, '{_PII_EMAIL}')) - 1
                AS n_emails,
-           len(regexp_split_to_array(text,
-               '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) - 1 AS n_phones,
-           regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-               '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
-               AS clean_text
-    FROM d
+           len(regexp_split_to_array(text, '{_PII_PHONE}')) - 1
+               AS n_phones,
+           len(regexp_split_to_array(text, '{_PII_SSN}')) - 1 AS n_ssns,
+           len(regexp_split_to_array(text, '{_PII_IPV4}')) - 1
+               AS n_ipv4s,
+           len(regexp_split_to_array(text, '{_PII_IPV6}')) - 1
+               AS n_ipv6s,
+           CAST(len(cc_valid) AS BIGINT) AS n_credit_cards,
+           CASE WHEN len(cc_valid) = 0 THEN clean0
+                ELSE list_reduce(list_prepend(clean0, cc_valid),
+                     (acc, x) -> replace(acc, x, '<CREDIT_CARD>'))
+           END AS clean_text
+    FROM c
     """,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic PII is injected for every 5th doc (the corpus has none)
-    so redaction counts are nonzero and both engines construct the same
-    input deterministically."""
+    """Synthetic PII is injected deterministically (the corpus has
+    none) so redaction counts are nonzero in both engines: every 5th
+    doc gets an email+phone (r2), every 7th an SSN, IPv4, IPv6 and a
+    Luhn-VALID card next to a Luhn-INVALID control that must survive
+    (r11, verdict #6)."""
     from sql_database_to_elastic_datalake_spark.operators.chunking import (
         redact_pii,
     )
@@ -1063,19 +1111,32 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     injected = docs.withColumn(
         "text",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or 555-867-530"),
-                (F.col("doc_id") % 10).cast("string"),
-            ),
-        ).otherwise(F.col("text")),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-867-530"),
+                    (F.col("doc_id") % 10).cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-6789 ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 ip6 2001:db8:85a3:1:2:8a2e:370:7334"
+                          " card 4539 1488 0343 6467"
+                          " junk 4539 1488 0343 6468"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
     )
     return redact_pii(injected, "text").select(
-        "doc_id", "n_emails", "n_phones", "clean_text"
+        "doc_id", "n_emails", "n_phones", "n_ssns", "n_ipv4s",
+        "n_ipv6s", "n_credit_cards", "clean_text",
     )
 
 

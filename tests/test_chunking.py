@@ -74,6 +74,38 @@ def test_redact_pii_counts_and_text(spark):
     assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 0
 
 
+def test_redact_pii_wide_rule_set(spark):
+    """r11 (verdict #6): SSN / IPv4 / IPv6 / credit-card redaction —
+    the Luhn gate redacts valid cards (grouped and bare) and leaves
+    Luhn-invalid digit runs untouched; per-type accounting; unicode-
+    adjacent digits still match ([0-9] + ASCII \\b in both engines)."""
+    texts = [
+        "ssn 123-45-6789 also 987 65 4321 end",
+        "v4 192.168.1.10 and 8.8.8.8 but ver 1.2.3 stays",
+        "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 time 12:30:45 ok",
+        # 4539148803436467 is Luhn-valid; final digit 8 breaks it
+        "card 4539 1488 0343 6467 bad 4539 1488 0343 6468",
+        "bare 4539148803436467 and short 123456 stay-short",
+        "unicode٣123-45-6789،edge",   # arabic digit/comma adjacency
+    ]
+    out = {r["doc_id"]: r
+           for r in redact_pii(_docs(spark, *texts), "text").collect()}
+    assert out[0]["clean_text"] == "ssn <SSN> also <SSN> end"
+    assert out[0]["n_ssns"] == 2
+    assert out[1]["clean_text"] == "v4 <IP> and <IP> but ver 1.2.3 stays"
+    assert out[1]["n_ipv4s"] == 2
+    assert out[2]["clean_text"] == "v6 <IP> time 12:30:45 ok"
+    assert out[2]["n_ipv6s"] == 1 and out[2]["n_ipv4s"] == 0
+    assert out[3]["clean_text"] \
+        == "card <CREDIT_CARD> bad 4539 1488 0343 6468"
+    assert out[3]["n_credit_cards"] == 1
+    assert out[4]["clean_text"] == "bare <CREDIT_CARD> and short 123456 stay-short"
+    assert out[4]["n_credit_cards"] == 1
+    # ٣ is a non-ASCII-word char → \b boundary holds → SSN matches
+    assert out[5]["clean_text"] == "unicode٣<SSN>،edge"
+    assert out[5]["n_ssns"] == 1
+
+
 def test_stratified_sample_deterministic_and_rate_shaped(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, grp="a" if i % 2 == 0 else "b") for i in range(400)]
