@@ -128,6 +128,9 @@ SF1_EXTRA = (
     "embed_ann_ivf",
     "corpus_prep_stats",
     "exact_substring_dedup",
+    # r11: the Arrow-batched exact-BPE tier — CPU-dense Python work
+    # whose sf1 time proves the pandas-UDF batching parallelizes
+    "token_count_bpe_exact",
 )
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -80,6 +80,48 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: committed golden for the tokenizer-exact BPE tier (r11, verdict
+#: #8) — same content-addressed pattern as multimodal_decode
+_BPE_GOLDEN = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "golden", "bpe_token_counts.parquet",
+)
+
+
+@register(
+    "token_count_bpe_exact",
+    # Golden-join oracle: the expected count of every document was
+    # derived by an INDEPENDENT restatement of the GPT-2 byte-level
+    # BPE algorithm (scripts/gen_bpe_golden.py — no package import)
+    # against the committed data/bpe/merges.txt, keyed by (doc_id,
+    # md5(text)). BPE's iterative merge loop is not SQL-expressible;
+    # the golden join is the strongest available tier (precedent:
+    # multimodal_decode).
+    oracle=f"""
+    SELECT d.doc_id, g.n_bpe_exact
+    FROM documents d
+    JOIN read_parquet('{_BPE_GOLDEN}') g
+      ON g.doc_id = d.doc_id AND g.text_md5 = md5(coalesce(d.text, ''))
+    """,
+)
+def token_count_bpe_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-EXACT token counts (r11, verdict #8): a real
+    merge-table byte-level BPE (public GPT-2 merges.txt format) as an
+    Arrow-batched pandas-UDF tier, so pack_by_token_budget can quote
+    exact budget numbers. The heuristic column tier (text_stats'
+    bpe_tokens) stays the default — this tier is for when the budget
+    must match a production tokenizer (operators/bpe.py)."""
+    from sql_database_to_elastic_datalake_spark.operators.bpe import (
+        default_merges_path,
+        token_count_bpe_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count_bpe_exact(
+        docs, "text", default_merges_path(), out_col="n_bpe_exact",
+    ).select("doc_id", "n_bpe_exact")
+
+
 def _lang_scores_sql() -> tuple[str, str]:
     """(score column defs, argmax CASE) for the lang-id v2 oracle — the
     DuckDB twin of :func:`operators.text.lang_id` (Cavnar–Trenkle
