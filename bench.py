@@ -150,6 +150,17 @@ CANARY_PINS = {
 }
 CANARY_SF, CANARY_CPUS = 0.1, "32"
 
+#: sf1-tier canary (r11 verdict #9): same mechanism for the --sf1
+#: artifact so cross-round sf1 comparisons stop leaning on machine
+#: stability. Pins = three heavy, code-stable members at their
+#: recorded BENCH_sf1_r10.json min-of-3 (local[32]). Re-pin when a
+#: member's code is deliberately changed.
+SF1_CANARY_PINS = {
+    "q4_order_priority": 2.642,
+    "text_stats": 3.739,
+    "neardup_minhash_lsh": 4.953,
+}
+
 
 def main() -> None:
     sf1_mode = "--sf1" in sys.argv[1:]
@@ -236,6 +247,11 @@ def main() -> None:
             sum(timings[q] for q in CANARY_PINS)
             / sum(CANARY_PINS.values()), 3)
         out["canary_queries"] = sorted(CANARY_PINS)
+    if sf1_mode and all(q in timings for q in SF1_CANARY_PINS):
+        out["canary_ratio"] = round(
+            sum(timings[q] for q in SF1_CANARY_PINS)
+            / sum(SF1_CANARY_PINS.values()), 3)
+        out["canary_queries"] = sorted(SF1_CANARY_PINS)
     print(json.dumps(out))
 
 

@@ -2062,11 +2062,12 @@ def _rescore_expr(rescore: dict | None, df: "DataFrame"):
 
 def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
     """Execute an ES ``suggest`` section — the term suggester
-    (per-token corrections) and the phrase suggester (r9, whole-phrase
-    corrections via :func:`plans.search.suggest_phrase`). The
-    completion suggester needs an index-side FST this lake does not
-    maintain; named 400. One distributed job per suggester; the
-    envelope mirrors ES: per-token entries for ``term``, one
+    (per-token corrections), the phrase suggester (r9, whole-phrase
+    corrections via :func:`plans.search.suggest_phrase`), and the
+    completion suggester in prefix, fuzzy (r10) and regex (r11)
+    modes over the value dictionary (the FST-weight divergence is
+    documented at the operator). One distributed job per suggester;
+    the envelope mirrors ES: per-token entries for ``term``, one
     whole-text entry for ``phrase``, each with offset/length and
     scored options."""
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
@@ -2095,30 +2096,64 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
             body = spec["completion"]
             unknown = sorted(set(body) - {
                 "field", "size", "skip_duplicates", "analyzer",
-                "fuzzy"})
+                "fuzzy", "regex"})
             if unknown:
                 raise DslError(
                     f"unsupported completion suggester options: "
-                    f"{unknown} (regex completion needs the "
-                    "index-side FST)")
-            if spec.get("regex") is not None:
-                raise DslError(
-                    "regex completion is not supported (needs the "
-                    "index-side FST); use prefix")
+                    f"{unknown}")
+            regex = spec.get("regex")
             # ES accepts the legacy "text" spelling as the prefix
             prefix = spec.get("prefix", spec.get("text"))
-            if not isinstance(prefix, str) or not prefix:
+            if regex is not None and prefix is not None:
+                raise DslError(
+                    f"completion suggester {name!r} takes prefix OR "
+                    "regex, not both")
+            if regex is None and (
+                    not isinstance(prefix, str) or not prefix):
                 raise DslError(
                     f"completion suggester {name!r} requires a "
-                    "prefix")
+                    "prefix or regex")
             field = body.get("field")
             if not field:
                 raise DslError(f"suggester {name!r} requires a field")
             from sql_database_to_elastic_datalake_spark.plans.search \
-                import suggest_completion
+                import suggest_completion, suggest_completion_regex
 
             options = []
-            if field in df.columns:
+            if regex is not None:
+                # r11: regex mode — whole-value Lucene-regexp match
+                # over the value dictionary (the automaton-specific
+                # operators stay named 400s in the translator). The
+                # regex OPTIONS object under completion.regex
+                # (flags / max_determinized_states) tunes Lucene's
+                # automaton determinization; there is no automaton
+                # here, so it is accepted-and-ignored like scroll's
+                # keep_alive.
+                if not isinstance(regex, str) or not regex:
+                    raise DslError(
+                        f"completion suggester {name!r} regex must "
+                        "be a non-empty string")
+                if body.get("fuzzy") is not None:
+                    raise DslError(
+                        "completion regex mode does not take fuzzy "
+                        "(ES restriction)")
+                ropts = body.get("regex")
+                if ropts is not None:
+                    bad = sorted(set(ropts) - {
+                        "flags", "max_determinized_states"})
+                    if bad:
+                        raise DslError(
+                            f"unsupported completion regex options: "
+                            f"{bad}")
+                if field in df.columns:
+                    options = [
+                        {"text": r["value"], "_score": float(r["freq"])}
+                        for r in suggest_completion_regex(
+                            df, field, regex,
+                            size=int(body.get("size", 5))).collect()
+                    ]
+                shown = regex
+            elif field in df.columns:
                 options = [
                     {"text": r["value"], "_score": float(r["freq"])}
                     for r in suggest_completion(
@@ -2126,8 +2161,11 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                         size=int(body.get("size", 5)),
                         fuzzy=body.get("fuzzy")).collect()
                 ]
+                shown = prefix
+            else:
+                shown = prefix
             out[name] = [{
-                "text": prefix, "offset": 0, "length": len(prefix),
+                "text": shown, "offset": 0, "length": len(shown),
                 "options": options,
             }]
             continue

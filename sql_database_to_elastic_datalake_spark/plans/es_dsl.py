@@ -870,7 +870,52 @@ def _apply_interval_filter(arr: Column, sp: Column, fspec) -> Column:
             f"({sorted(_INTERVAL_FILTER_RELS) + ['not_containing', 'not_contained_by', 'not_overlapping']}), got {fspec!r}")
     rel_name, frule = next(iter(fspec.items()))
     if rel_name == "script":
-        raise DslError("intervals filter script is not implemented")
+        # r11: the painless interval-filter script. ES exposes an
+        # `interval` object with start/end (token positions, end
+        # INCLUSIVE — our half-open spans map end → e-1) and gaps;
+        # gaps are producer-internal state this engine does not carry
+        # on produced spans, so referencing interval.gaps is a named
+        # 400. The script compiles through the shared painless-subset
+        # compiler (score_dsl.script_column) with the interval fields
+        # pre-rewritten to its doc[...] reference form — evaluated
+        # per SPAN as pure column algebra, zero exchanges like every
+        # other intervals constraint.
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            script_column,
+        )
+
+        if not isinstance(frule, dict) or not isinstance(
+                frule.get("source"), str):
+            raise DslError(
+                "intervals filter script requires a source string")
+        src = frule["source"]
+        if "interval.gaps" in src:
+            raise DslError(
+                "intervals filter scripts may reference "
+                "interval.start / interval.end; interval.gaps is "
+                "producer-internal state this engine does not carry "
+                "on produced spans")
+        rewritten = dict(frule)
+        rewritten["source"] = (
+            src.replace("interval.start", "doc['__iv_start'].value")
+               .replace("interval.end", "doc['__iv_end'].value"))
+
+        def _keep(a: Column) -> Column:
+            def resolve(name: str, _a=a) -> Column:
+                if name == "__iv_start":
+                    return _a["s"].cast("double")
+                if name == "__iv_end":
+                    return (_a["e"] - 1).cast("double")
+                raise DslError(
+                    f"intervals filter scripts see only the interval "
+                    f"object (interval.start / interval.end), not "
+                    f"doc[{name!r}]")
+
+            col = script_column(rewritten, resolve, base_score=None)
+            # painless truthiness: non-zero keeps; null drops
+            return F.coalesce(col != F.lit(0.0), F.lit(False))
+
+        return F.filter(sp, _keep)
     neg = rel_name.startswith("not_")
     base_name = rel_name[4:] if neg else rel_name
     rel = _INTERVAL_FILTER_RELS.get(base_name)

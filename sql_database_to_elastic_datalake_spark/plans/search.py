@@ -858,3 +858,87 @@ def suggest_completion(
         .orderBy(F.col("freq").desc(), F.col("value").asc())
         .limit(int(size))
     )
+
+
+def lucene_regex_to_java(pattern: str) -> str:
+    """Translate the SHARED subset of Lucene's regexp syntax (what the
+    completion/regexp suggesters take) to a Java/RE2-portable pattern:
+    literals, ``.``, ``*``, ``+``, ``?``, ``|``, groups, char classes
+    and ``{n,m}`` pass through; Lucene's ``@`` (any string) becomes
+    ``.*``; the automaton-specific operators — ``~`` complement,
+    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty
+    language — are NAMED 400s (no finite translation exists without
+    Lucene's automaton library; r11 retired the blanket regex-mode
+    400 down to exactly these)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+    out: list[str] = []
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= len(pattern):
+                raise DslError("regex ends in a bare backslash")
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+        elif ch == "[":
+            in_class = True
+            out.append(ch)
+        elif ch in "~&<#":
+            raise DslError(
+                f"unsupported Lucene regexp operator {ch!r} "
+                "(complement/intersection/interval/empty need the "
+                "index-side automaton; escape it for the literal)")
+        elif ch == "@":
+            out.append(".*")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def suggest_completion_regex(
+    df: DataFrame,
+    field: str,
+    pattern: str,
+    size: int = 5,
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """ES completion suggester ``regex`` mode (r11): distinct values
+    whose ANALYZED form matches the whole pattern (Lucene regexes are
+    implicitly anchored at both ends — the FST walk consumes the
+    entire entry), ranked by document frequency like the prefix mode.
+
+    The pattern is Lucene-regexp syntax translated by
+    :func:`lucene_regex_to_java` and matched against the lowercased
+    value (ES matches the analyzer's output form, which the default
+    completion analyzer lowercases). One scan → groupBy value →
+    RLIKE on the DISTINCT values (the dictionary, not the corpus) →
+    TakeOrdered."""
+    java_pat = lucene_regex_to_java(str(pattern))
+    import re as _re
+
+    try:
+        _re.compile(java_pat)
+    except _re.error as ex:
+        raise DslError(f"malformed regex {pattern!r}: {ex}") from None
+    c = F.col(field).cast("string")
+    grouped = (
+        df.filter(c.isNotNull())
+        .groupBy(c.alias("value"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    gval = (F.lower(F.col("value").cast("string")) if case_insensitive
+            else F.col("value").cast("string"))
+    anchored = f"^(?:{java_pat})$"
+    return (
+        grouped.filter(gval.rlike(anchored))
+        .orderBy(F.col("freq").desc(), F.col("value").asc())
+        .limit(int(size))
+    )

@@ -3183,6 +3183,40 @@ def search_suggest_completion_fuzzy(
 
 
 @register(
+    "search_suggest_completion_regex",
+    # r11: regex mode — whole-value anchored match over the value
+    # dictionary (Lucene regexes consume the entire FST entry, hence
+    # regexp_full_match); the analyzed form is Spark's lower(), which
+    # DuckDB mirrors via the İ pre-fold like every lower() oracle
+    oracle="""
+    SELECT text AS value, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM documents
+    WHERE text IS NOT NULL
+      AND regexp_full_match(lower(replace(text, 'İ', 'i̇')),
+                            'the [a-z]+ .*')
+    GROUP BY text ORDER BY freq DESC, value ASC LIMIT 5
+    """,
+)
+def search_suggest_completion_regex(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES *completion suggester* ``regex`` mode (r11): distinct values
+    whose analyzed (lowercased) form matches the WHOLE Lucene-regexp
+    pattern, ranked by doc frequency
+    (plans/search.py:suggest_completion_regex). The shared regexp
+    subset translates to Java/RE2; Lucene's automaton operators
+    (~ & <n-m> #) stay named 400s. Dictionary-bounded: the RLIKE runs
+    after the groupBy, once per distinct value."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        suggest_completion_regex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest_completion_regex(
+        docs, "text", "the [a-z]+ .*", size=5)
+
+
+@register(
     "quality_classifier_scores",
     # the oracle replays the full model: same analyzer fold, same
     # md5-hash buckets, same weight formula, and list_reduce's
@@ -3618,6 +3652,46 @@ def search_dsl_intervals_filter(
         "filter": {"not_overlapping": {"match": {
             "query": "filter scan", "ordered": True,
             "max_gaps": 0}}}}}}})
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+@register(
+    "search_dsl_intervals_script",
+    # r11: the painless interval-filter script — a 'filter' token
+    # survives iff its 0-based position is in [2, 10]. DuckDB's i is
+    # 1-based, so start = i-1; a single-token span has end == start
+    # (ES's inclusive end)
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang FROM t
+    WHERE len([i FOR i IN range(1, len(toks)+1)
+               IF toks[i] = 'filter'
+                  AND i - 1 >= 2 AND i - 1 <= 10]) > 0
+    """,
+)
+def search_dsl_intervals_script(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``intervals`` filter ``script`` rule (r11): the painless
+    position predicate Kibana's interval builder emits — evaluated
+    per span through the shared painless-subset compiler as pure
+    column algebra (plans/es_dsl.py:_apply_interval_filter), zero
+    exchanges. interval.end is ES's INCLUSIVE last-token position;
+    interval.gaps stays a named 400 (producer-internal state)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_dsl({"intervals": {"text": {"match": {
+        "query": "filter",
+        "filter": {"script": {"source":
+                   "interval.start >= 2 && interval.end <= 10"}},
+    }}}})
     return docs.filter(pred).select("doc_id", "lang")
 
 
@@ -6780,72 +6854,66 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r10 tier: new or code-touched THIS round (rotation rule:
-    #    nothing ships with driver evidence older than its last
-    #    change).
-    "dsir_importance_weights",      # r10 NEW: DSIR corpus selection
-    "search_pit_page",              # r10 NEW: PIT + search_after drain
-    "search_aggs_significant_text", # r10 NEW: JLH over tokens
-    "search_aggs_sampler_significant",  # r10 NEW: sampler wrapper
-    "search_suggest_completion_fuzzy",  # r10 NEW: typo completion
-    "search_suggest_completion",    # r9, NEVER driver-windowed; r10
-                                    # touched (fuzzy param)
-    "search_dsl_span_near",         # r10 touched: span-struct algebra
-    "search_dsl_span_nested",       # r10 NEW: nested span_near
-    "search_dsl_span_first",        # r10 touched: span-struct algebra
-    "search_dsl_intervals_filter",  # r10 NEW: filter relations
-    "search_dsl_intervals",         # r10 touched: exists-walk core
-    "search_scroll_page",           # r10 touched: date cursor fix
-    "search_dsl_span_containing",   # r10 NEW: span enclosure family
-    # (quality_classifier_scores yields its slot: the r10 sparse-
-    # weight fix touched only the PRETRAINED tier, not the inline
-    # tier this registered query compiles — its r9 evidence holds)
-    "search_aggs_terms_partition",  # r10 NEW: high-cardinality pager
-    # (search_aggs_boxplot yields its slot: the r10 fix adds a named
-    # 400 for a missing field — the registered query has one, so its
-    # compiled plan is unchanged and its r9 evidence holds)
-    "search_aggs_significant_bgfilter",  # r10 NEW: background_filter
-    "search_aggs_significant_terms",     # r10 touched: bgfilter path
-    # -- evidence-freshness fill (r9 verdict directive #1): ALL 34
-    #    queries still carrying round-3 evidence, oldest first —
-    #    after this window nothing in the registry is older than r4.
-    "conditional_agg_returns",
-    "streaming_click_attribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_brand_revenue",
-    "streaming_enriched_counts",
-    "batch_sessionization",
-    "funnel_conversion",
-    "cohort_retention",
-    "value_histogram",
-    "value_outliers_mad",
-    "event_transition_matrix",
-    "revenue_share_by_segment",
-    "key_skew_report",
-    "join_explosion_estimate",
-    "snapshot_diff",
-    "wow_growth",
-    "weighted_sample_docs",
-    "rag_context_assembly",
-    "dedup_keep_canonical",
-    "orders_revenue_7d_ma",
-    "curriculum_deciles",
-    "mixture_rebalance_rates",
-    "rfm_segmentation",
-    "doc_keywords",
-    "events_hourly_heatmap",
-    "events_anomaly_days",
-    "user_feature_table",
-    "lang_id_confusion",
-    "type_share_drift",
-    "chunk_level_dedup",
-    "char_trigram_profile",
-    "order_fanout_histogram",
-    "zipf_profile",
-    "value_seasonality_by_hour",
-    # -- remaining slots: the oldest round-4-evidence queries in
-    #    registration order (the rest of the r4 tier leads the r11
-    #    fill — the r10 feature tier consumed the remaining slots).
+    # -- r11 tier: new or semantics-touched THIS round (rotation
+    #    rule: nothing ships with driver evidence older than its
+    #    last change).
+    "exact_substring_dedup",       # r11 NEW: variable-span dedup
+    "token_count_bpe_exact",       # r11 NEW: merge-table BPE tier
+    "pii_redaction",               # r11 touched: SSN/IP/Luhn-CC rules
+    "embed_neardup_pairs",         # r11 touched: bucketed tier is now
+                                   # the registered query (was r5-era)
+    "search_dsl_span_nested",      # r11 touched: unordered overlap
+                                   # now permitted (Lucene parity)
+    "search_dsl_intervals_filter", # r11 touched: shares the walk
+    # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
+    #    queries still carrying round-4 evidence — after this window
+    #    nothing in the registry is older than round 5.
+    "namespace_provenance",
+    "group_count",
+    "orderby_limit",
+    "content_hash_ids",
+    "json_extract",
+    "self_join_parent",
+    "nation_with_children",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "neardup_jaccard",
+    "simhash_hamming_pairs",
+    "embed_cosine_topk",
+    "embed_ann_bucketed",
+    "multimodal_decode",
+    "embed_ann_ivf",
+    "doc_chunks",
+    "streaming_window_counts",
+    "json_parse_struct",
+    "table_counts",
+    "iso_export",
+    "salted_group_agg",
+    "running_totals",
+    "daily_event_stats",
+    "value_percentiles",
+    "generic_table_sync",
+    "events_time_range",
+    "events_range_join_prior",
+    "streaming_stateful_totals",
+    "range_frame_hourly",
+    "sliding_window_counts",
+    # -- remaining slots: the OLDEST r5-era queries in registration
+    #    order (12 of 31; the rest retire in the r12 window).
+    "semi_join_discounted",
+    "anti_join_no_orders",
+    "search_dsl_bool",
+    "search_dsl_should_wildcard",
+    "search_dsl_msm_wildcard",
+    "search_dsl_terms_set",
+    "search_multimatch_scored",
+    "search_bm25_scored",
+    "search_all_tables",
+    "search_nested_labels",
+    "search_hits_envelope",
+    "multimodal_binary_meta",
 ]
 
 

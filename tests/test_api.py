@@ -1729,7 +1729,9 @@ def test_more_like_this_doc_resolution(service, spark):
 def test_suggest_phrase_suggester(service, spark):
     """r9: the phrase suggester — whole-phrase corrections with the
     Laplace-bigram re-rank; one entry spanning the input text; named
-    400s for unknown options; completion stays a named 400."""
+    400s for unknown options; completion prefix/fuzzy/regex modes
+    (regex landed r11 — only Lucene's automaton operators remain
+    named 400s)."""
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
         DslError,
     )
@@ -1773,11 +1775,52 @@ def test_suggest_phrase_suggester(service, spark):
     opts = out["suggest"]["c"][0]["options"]
     assert len(opts) == 2
     assert all(o["text"].startswith("spark ") for o in opts)
-    with pytest.raises(DslError, match="regex completion"):
+    # r11: regex completion — whole-value anchored Lucene-subset
+    # match over the value dictionary, doc-freq ranked
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"regex": "spark .*",
+                       "completion": {"field": "txt"}}})
+    opts = out["suggest"]["c"][0]["options"]
+    assert len(opts) == 3
+    assert all(o["text"].startswith("spark ") for o in opts)
+    # anchored BOTH ends: a mid-value fragment matches nothing
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"regex": "table",
+                       "completion": {"field": "txt"}}})
+    assert out["suggest"]["c"][0]["options"] == []
+    # Lucene's @ (any string) translates; char-class + alternation ride
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"regex": "(spark|pandas) table@",
+                       "completion": {"field": "txt"}}})
+    got = {o["text"] for o in out["suggest"]["c"][0]["options"]}
+    assert got == {"spark table scan", "pandas table scan"}
+    # regex OPTIONS object accepted-and-ignored (no automaton here)
+    out = service.advanced_search(
+        "data_lake_ph", {"match_all": {}}, k=1,
+        suggest={"c": {"regex": "spark .*", "completion": {
+            "field": "txt",
+            "regex": {"flags": "ALL",
+                      "max_determinized_states": 10000}}}})
+    assert out["suggest"]["c"][0]["options"]
+    # named 400s: automaton operators, prefix+regex, regex+fuzzy
+    with pytest.raises(DslError, match="Lucene regexp operator"):
         service.advanced_search(
             "data_lake_ph", {"match_all": {}}, k=1,
-            suggest={"c": {"regex": "sp.*",
+            suggest={"c": {"regex": "spark~1",
                            "completion": {"field": "txt"}}})
+    with pytest.raises(DslError, match="prefix OR regex"):
+        service.advanced_search(
+            "data_lake_ph", {"match_all": {}}, k=1,
+            suggest={"c": {"regex": "x", "prefix": "y",
+                           "completion": {"field": "txt"}}})
+    with pytest.raises(DslError, match="does not take fuzzy"):
+        service.advanced_search(
+            "data_lake_ph", {"match_all": {}}, k=1,
+            suggest={"c": {"regex": "x", "completion": {
+                "field": "txt", "fuzzy": True}}})
     # r10: fuzzy completion — the typo "spakr " still completes;
     # prefix_length guards the exact lead, bad options stay named 400s
     out = service.advanced_search(

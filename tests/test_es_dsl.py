@@ -901,6 +901,41 @@ def test_intervals_nested_and_filters(span_docs):
         == [4]
 
 
+def test_intervals_script_filter(span_docs):
+    """r11: the painless interval-filter script — per-span position
+    predicates via the shared painless compiler; end is ES's
+    INCLUSIVE last-token position; gaps / doc refs are named 400s."""
+    # doc1 "alpha beta; gamma beta": beta @1 and @3 (0-based). Keep
+    # only betas at position >= 2 → doc1 still matches via beta@3;
+    # doc2 "beta gamma alpha" has beta@0 only → filtered out.
+    q = lambda src: {"intervals": {"txt": {"match": {  # noqa: E731
+        "query": "beta", "filter": {"script": {"source": src}}}}}}
+    assert run(span_docs, q("interval.start >= 2")) == [1]
+    assert run(span_docs, q("interval.start >= 0")) == [1, 2]
+    assert run(span_docs, q("interval.start >= 9")) == []
+    # a single-token span has end == start (inclusive-end contract)
+    assert run(span_docs, q("interval.end == interval.start")) == [1, 2]
+    # multi-token chain spans: "alpha beta" in doc1 spans [0, 2) →
+    # start 0, end 1; width predicate sees the real span
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "alpha beta", "ordered": True, "max_gaps": 0,
+        "filter": {"script": {
+            "source": "interval.end - interval.start == 1"}}}}}}) == [1]
+    # params flow through the shared compiler
+    assert run(span_docs, {"intervals": {"txt": {"match": {
+        "query": "beta",
+        "filter": {"script": {
+            "source": "interval.start >= params.lo",
+            "params": {"lo": 2}}}}}}}) == [1]
+    with pytest.raises(DslError, match="interval.gaps"):
+        compile_dsl(q("interval.gaps == 0"))
+    with pytest.raises(DslError, match="only the interval object"):
+        compile_dsl(q("doc['txt'].value > 0"))
+    with pytest.raises(DslError, match="source string"):
+        compile_dsl({"intervals": {"txt": {"match": {
+            "query": "beta", "filter": {"script": {}}}}}})
+
+
 def test_intervals_named_400s(span_docs):
     # unordered producers stay honest 400s under constraints/filters
     with pytest.raises(DslError, match="unordered multi-token"):
