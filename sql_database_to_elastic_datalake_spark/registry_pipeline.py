@@ -1064,6 +1064,47 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_token_budget_exact",
+    # r11: packing quoted in EXACT tokenizer counts — the oracle rides
+    # the committed BPE golden (content-addressed join, then the same
+    # start-offset window as pack_token_budget), so the full
+    # count→pack composition is differentially checked even though
+    # the BPE loop itself is not SQL-expressible
+    oracle=f"""
+    WITH tc AS (
+        SELECT d.doc_id, g.n_bpe_exact AS n_tokens
+        FROM documents d
+        JOIN read_parquet('{{_BPE_GOLDEN}}') g
+          ON g.doc_id = d.doc_id
+         AND g.text_md5 = md5(coalesce(d.text, ''))
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512) AS BIGINT) AS batch_id
+    FROM tc
+    """.replace("{_BPE_GOLDEN}", _BPE_GOLDEN),
+)
+def pack_token_budget_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing quoted in tokenizer-EXACT counts (r11,
+    verdict #8's point): the Arrow-batched BPE tier feeds the same
+    window packer, so batch boundaries match what a training loader
+    counting with the production tokenizer would see."""
+    from sql_database_to_elastic_datalake_spark.operators.bpe import (
+        default_merges_path,
+        token_count_bpe_exact,
+    )
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        pack_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = token_count_bpe_exact(
+        docs, "text", default_merges_path(), out_col="__bpe")
+    return pack_by_token_budget(counted, "doc_id", "__bpe", budget=512)
+
+
 #: DuckDB twin of operators.chunking.luhn_valid, inlined per use of
 #: the digit-stripped candidate (RE2/SQL cannot bind a local).
 _PII_D = "regexp_replace(cand, '[ -]', '', 'g')"

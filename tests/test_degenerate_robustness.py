@@ -107,6 +107,17 @@ CHECKED = (
     "search_aggs_significant_text",
     "search_suggest_completion_fuzzy",
     "dsir_importance_weights",
+    # r11: empty/whitespace docs tokenize to a single '' token for
+    # the k-gram dedup (below k → untouched), regex completion sees
+    # the degenerate value dictionary, the interval script filter
+    # runs over empty span arrays, and the widened PII rules must
+    # not fire on whitespace (token_count_bpe_exact is golden-join
+    # keyed on the ORIGINAL corpus, so — like multimodal_decode —
+    # it cannot run on a derived lake)
+    "exact_substring_dedup",
+    "search_suggest_completion_regex",
+    "search_dsl_intervals_script",
+    "pii_redaction",
 )
 
 

@@ -127,6 +127,15 @@ CHECKED = (
     "search_suggest_completion_fuzzy",
     "dsir_importance_weights",
     "search_pit_page",
+    # r11: NULL text through the k-gram dedup (NULL → absent doc,
+    # both engines), the regex-completion value dictionary, the
+    # interval script filter's span algebra, and the widened PII
+    # rule set (NULL propagates through every count and the Luhn
+    # fold; the golden-join token_count_bpe_exact is excluded — it
+    # keys on the original corpus, like multimodal_decode)
+    "exact_substring_dedup",
+    "search_suggest_completion_regex",
+    "search_dsl_intervals_script",
 )
 
 

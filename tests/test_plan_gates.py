@@ -483,6 +483,26 @@ GATES = {
         shuffles=2, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
         scans={"documents": (2, ["IsNotNull(text)"])},
     ),
+    # r11: regex completion — one dictionary groupBy (pruned 1-col
+    # scan, not-null pushed); the anchored RLIKE runs on the DISTINCT
+    # values after the shuffle, never per corpus row
+    "search_suggest_completion_regex": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (1, ["IsNotNull(text)"])},
+    ),
+    # r11: the interval script filter is per-row span algebra like the
+    # rest of the positional family — zero exchanges
+    "search_dsl_intervals_script": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (3, [])},
+    ),
+    # r11: the Arrow-batched exact-BPE count is a pure projection
+    # (zero shuffles — a shuffle here means the pandas UDF stopped
+    # riding the scan)
+    "token_count_bpe_exact": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
