@@ -188,6 +188,49 @@ def _wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def lucene_regex_to_java(pattern: str) -> str:
+    """Translate the SHARED subset of Lucene's regexp syntax (what the
+    ``regexp`` query, span_multi/intervals regexp rules and the
+    completion/regexp suggesters take) to a Java/RE2-portable pattern:
+    literals, ``.``, ``*``, ``+``, ``?``, ``|``, groups, char classes
+    and ``{n,m}`` pass through; Lucene's ``@`` (any string) becomes
+    ``.*``; the automaton-specific operators — ``~`` complement,
+    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty
+    language — are NAMED 400s (no finite translation exists without
+    Lucene's automaton library). Before r11 these sites passed raw
+    patterns to Java regex, where ``~ & < #`` are LITERALS — a silent
+    semantic divergence instead of an error."""
+    out: list[str] = []
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= len(pattern):
+                raise DslError("regex ends in a bare backslash")
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+        elif ch == "[":
+            in_class = True
+            out.append(ch)
+        elif ch in "~&<#":
+            raise DslError(
+                f"unsupported Lucene regexp operator {ch!r} "
+                "(complement/intersection/interval/empty need the "
+                "index-side automaton; escape it for the literal)")
+        elif ch == "@":
+            out.append(".*")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def resolve_minimum_should_match(spec, n_optional: int) -> int:
     """Resolve an ES ``minimum_should_match`` spec against ``n_optional``
     should clauses, per the Lucene/Solr grammar the ES docs defer to:
@@ -472,7 +515,9 @@ def _span_spans(arr: Column, kind: str, body: dict) -> Column:
             def tok_pred(t):
                 return t.like(like)
         elif mkind == "regexp":
-            pat = f"^(?:{sval})$"  # Lucene whole-term anchoring
+            # Lucene whole-term anchoring; pattern via the shared
+            # Lucene-subset translation (r11 — raw Java before)
+            pat = f"^(?:{lucene_regex_to_java(sval)})$"
 
             def tok_pred(t):
                 return t.rlike(pat)
@@ -770,7 +815,8 @@ def _intervals_tok_positions(arr: Column, kind: str, body) -> Column:
             def pred(t):
                 return t.like(like)
         else:
-            pat = f"^(?:{v})$"  # Lucene whole-term anchoring
+            # Lucene whole-term anchoring; shared subset translation
+            pat = f"^(?:{lucene_regex_to_java(v)})$"
 
             def pred(t):
                 return t.rlike(pat)
@@ -1192,8 +1238,10 @@ def compile_dsl(
     if kind == "regexp":
         # ES regexp queries anchor to the WHOLE field value (Lucene
         # semantics), unlike rlike's substring search — wrap in ^$.
+        # The pattern goes through the shared Lucene-subset
+        # translation (r11): @ → .*, automaton operators named 400s.
         field, value = _field_value(body, allowed=("case_insensitive",))
-        pat = f"^(?:{value})$"
+        pat = f"^(?:{lucene_regex_to_java(str(value))})$"
         if _spec_flag(body, "case_insensitive"):
             pat = "(?i)" + pat
         return col(field).cast("string").rlike(pat)

@@ -29,6 +29,7 @@ from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
     TOKEN_SPLIT_LOWER_RE,
     DslError,
     compile_dsl,
+    lucene_regex_to_java,
     tf_score,
     tokenize,
 )
@@ -858,49 +859,6 @@ def suggest_completion(
         .orderBy(F.col("freq").desc(), F.col("value").asc())
         .limit(int(size))
     )
-
-
-def lucene_regex_to_java(pattern: str) -> str:
-    """Translate the SHARED subset of Lucene's regexp syntax (what the
-    completion/regexp suggesters take) to a Java/RE2-portable pattern:
-    literals, ``.``, ``*``, ``+``, ``?``, ``|``, groups, char classes
-    and ``{n,m}`` pass through; Lucene's ``@`` (any string) becomes
-    ``.*``; the automaton-specific operators — ``~`` complement,
-    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty
-    language — are NAMED 400s (no finite translation exists without
-    Lucene's automaton library; r11 retired the blanket regex-mode
-    400 down to exactly these)."""
-    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
-
-    out: list[str] = []
-    in_class = False
-    i = 0
-    while i < len(pattern):
-        ch = pattern[i]
-        if ch == "\\":
-            if i + 1 >= len(pattern):
-                raise DslError("regex ends in a bare backslash")
-            out.append(pattern[i:i + 2])
-            i += 2
-            continue
-        if in_class:
-            if ch == "]":
-                in_class = False
-            out.append(ch)
-        elif ch == "[":
-            in_class = True
-            out.append(ch)
-        elif ch in "~&<#":
-            raise DslError(
-                f"unsupported Lucene regexp operator {ch!r} "
-                "(complement/intersection/interval/empty need the "
-                "index-side automaton; escape it for the literal)")
-        elif ch == "@":
-            out.append(".*")
-        else:
-            out.append(ch)
-        i += 1
-    return "".join(out)
 
 
 def suggest_completion_regex(

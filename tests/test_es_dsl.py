@@ -61,6 +61,16 @@ def test_regexp_fuzzy(docs):
     assert run(docs, {"regexp": {"kind": "a|b"}}) == [1, 2, 3]
     assert run(docs, {"regexp": {"txt": "spark.*"}}) == [4]
     assert run(docs, {"regexp": {"txt": "spark"}}) == []
+    # r11: Lucene-subset translation — @ is Lucene's any-string
+    # (previously a Java literal → silently matched nothing)...
+    assert run(docs, {"regexp": {"txt": "spark@"}}) == [4]
+    # ...and the automaton operators are named 400s, not Java literals
+    with pytest.raises(DslError, match="Lucene regexp operator"):
+        run(docs, {"regexp": {"txt": "spark~1"}})
+    with pytest.raises(DslError, match="Lucene regexp operator"):
+        run(docs, {"regexp": {"txt": "a&b"}})
+    # escaped forms stay literals; in-class chars stay literals
+    assert run(docs, {"regexp": {"txt": "spark[&~]?.*"}}) == [4]
     # fuzzy: AUTO fuzziness for a 5-char term allows 1 edit
     assert run(docs, {"fuzzy": {"kind": "a"}}) == [1, 3]  # 0 edits (len<=2)
     assert run(
