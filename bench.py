@@ -110,6 +110,7 @@ HEADLINE = (
     # the re-registered sign-bucketed embedding near-dup pairs
     "exact_substring_dedup",
     "embed_neardup_pairs",
+    "lm_perplexity_features",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -128,6 +129,7 @@ SF1_EXTRA = (
     "embed_ann_ivf",
     "corpus_prep_stats",
     "exact_substring_dedup",
+    "lm_perplexity_features",
     # r11: the Arrow-batched exact-BPE tier — CPU-dense Python work
     # whose sf1 time proves the pandas-UDF batching parallelizes
     "token_count_bpe_exact",

@@ -6859,6 +6859,10 @@ _CHECK_FIRST = [
     #    last change).
     "exact_substring_dedup",       # r11 NEW: variable-span dedup
     "token_count_bpe_exact",       # r11 NEW: merge-table BPE tier
+    "lm_perplexity_features",      # r11 NEW: CCNet LM quality moments
+    "pack_token_budget_exact",     # r11 NEW: exact-BPE packing
+    "search_suggest_completion_regex",  # r11 NEW: regex completion
+    "search_dsl_intervals_script", # r11 NEW: interval filter scripts
     "pii_redaction",               # r11 touched: SSN/IP/Luhn-CC rules
     "embed_neardup_pairs",         # r11 touched: bucketed tier is now
                                    # the registered query (was r5-era)
@@ -6910,10 +6914,9 @@ _CHECK_FIRST = [
     "search_dsl_terms_set",
     "search_multimatch_scored",
     "search_bm25_scored",
-    "search_all_tables",
-    "search_nested_labels",
-    "search_hits_envelope",
-    "multimodal_binary_meta",
+    # (search_all_tables / search_nested_labels / search_hits_envelope
+    #  / multimodal_binary_meta yield their slots to the four late-r11
+    #  additions above; they retire with the remaining r5 tier in r12)
 ]
 
 

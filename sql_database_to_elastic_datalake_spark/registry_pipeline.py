@@ -1105,6 +1105,64 @@ def pack_token_budget_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(counted, "doc_id", "__bpe", budget=512)
 
 
+@register(
+    "lm_perplexity_features",
+    # r11: CCNet-style LM quality scoring — the oracle pins the EXACT
+    # integer cross-moments (n_bigrams, model_hits, context_hits);
+    # log_prob/perplexity stay out (libm ln/exp are not bit-portable —
+    # the DSIR convention). Same analyzer fold + md5 bucket hash as
+    # every hashed model oracle; bigrams are ADJACENT token pairs, so
+    # order rides the token array in both engines.
+    oracle="""
+    WITH tt AS (
+        SELECT doc_id, lang IS NOT DISTINCT FROM 'en' AS is_t,
+               list_filter(regexp_split_to_array(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   t -> t <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, is_t,
+               CAST(CAST(('0x' || substr(md5(toks[i]), 1, 8))
+                    AS UBIGINT) % 1024 AS BIGINT) AS b1,
+               CAST(CAST(('0x' || substr(md5(toks[i+1]), 1, 8))
+                    AS UBIGINT) % 1024 AS BIGINT) AS b2
+        FROM tt, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ), model AS (
+        SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg WHERE is_t GROUP BY b1, b2
+    ), ctx AS (
+        SELECT b1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY b1
+    ), perdoc AS (
+        SELECT doc_id, b1, b2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY doc_id, b1, b2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n * COALESCE(c12, 0)) AS BIGINT) AS model_hits,
+           CAST(SUM(n * COALESCE(c1, 0)) AS BIGINT) AS context_hits
+    FROM perdoc
+    LEFT JOIN model USING (b1, b2)
+    LEFT JOIN ctx USING (b1)
+    GROUP BY doc_id
+    """,
+)
+def lm_perplexity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring (arXiv:1911.00359 §4.3): a
+    hashed-bigram model trained on the target pool (lang == 'en')
+    scores every document; head/middle/tail terciles are the public
+    corpus-quality split. Registered surface = the exact integer
+    moments the log score derives from (operators/lm.py — the DSIR
+    oracle convention); the log/perplexity tier is pytest-checked
+    against a plain-python replica."""
+    from sql_database_to_elastic_datalake_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.lm_bigram_model(docs, F.col("lang") == "en")
+    feats = lm.lm_doc_features(docs, model)
+    return feats.select(
+        "doc_id", "n_bigrams", "model_hits", "context_hits")
+
+
 #: DuckDB twin of operators.chunking.luhn_valid, inlined per use of
 #: the digit-stripped candidate (RE2/SQL cannot bind a local).
 _PII_D = "regexp_replace(cand, '[ -]', '', 'g')"

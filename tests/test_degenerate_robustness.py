@@ -118,6 +118,7 @@ CHECKED = (
     "search_suggest_completion_regex",
     "search_dsl_intervals_script",
     "pii_redaction",
+    "lm_perplexity_features",
 )
 
 

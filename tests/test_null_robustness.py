@@ -136,6 +136,7 @@ CHECKED = (
     "exact_substring_dedup",
     "search_suggest_completion_regex",
     "search_dsl_intervals_script",
+    "lm_perplexity_features",
 )
 
 

@@ -503,6 +503,13 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
         scans={"documents": (2, [])},
     ),
+    # r11: CCNet-style LM perplexity — the pair model and its context
+    # margin BROADCAST (saturation-bounded at B² rows whatever the
+    # corpus); an SMJ here means a model stopped broadcasting
+    "lm_perplexity_features": dict(
+        shuffles=5, smj_max=0, bhj_min=2, wgl=False, cartesian_max=0,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
