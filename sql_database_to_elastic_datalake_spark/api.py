@@ -3172,6 +3172,59 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 responses.append({"error": str(ex), "status": 400})
         return jsonify({"responses": responses}), 200
 
+    @app.route("/search/msearch_template", methods=["POST"])
+    def msearch_template_route():
+        """ES ``_msearch/template`` (r11): NDJSON header/template-body
+        line pairs — each body carries {source|id, params} and renders
+        through the one mustache engine, then runs as its pair's
+        search. Errors stay inline per-item like _msearch (a missing
+        stored template 404s ITS slot, not the batch)."""
+        import json as _json
+
+        from sql_database_to_elastic_datalake_spark.plans.templates import (
+            render_search_template,
+        )
+
+        raw = request.get_data(as_text=True) or ""
+        lines = [ln for ln in raw.splitlines() if ln.strip()]
+        if len(lines) % 2:
+            return jsonify({"error":
+                            "msearch_template needs header/body line "
+                            "pairs"}), 400
+        responses = []
+        for i in range(0, len(lines), 2):
+            try:
+                header = _json.loads(lines[i])
+                tbody = _json.loads(lines[i + 1])
+            except ValueError:
+                responses.append({"error": "malformed NDJSON line",
+                                  "status": 400})
+                continue
+            try:
+                source, params = _resolve_template(tbody)
+                body = render_search_template(source, params)
+                k = _page_size(body)
+                if k is None:
+                    raise DslError("k/size must be a non-negative "
+                                   "integer")
+                out = service.advanced_search(
+                    header.get("index",
+                               body.get("table", INDEX_PREFIX + "*")),
+                    body.get("query", {"match_all": {}}), k=k,
+                    aggs=body.get("aggs") or body.get("aggregations"),
+                    sort=body.get("sort"),
+                    from_=int(body.get("from", 0)),
+                    source=body.get("_source"),
+                    track_total_hits=body.get("track_total_hits"),
+                    runtime_mappings=body.get("runtime_mappings"),
+                )
+                responses.append({**_wire_envelope(out), "status": 200})
+            except NotFoundError as ex:
+                responses.append({"error": str(ex), "status": 404})
+            except DslError as ex:
+                responses.append({"error": str(ex), "status": 400})
+        return jsonify({"responses": responses}), 200
+
     @app.route("/search/mget", methods=["POST"])
     def mget_route():
         """ES ``_mget``: batch point lookups, one pushed-In scan per

@@ -2382,3 +2382,44 @@ def test_search_template_routes(client, service, spark):
         "source": '{"table": "data_lake_tpl", "explain": true}'})
     assert r.status_code == 400
     assert "unsupported request keys" in r.get_json()["error"]
+
+
+def test_msearch_template_route(client, service, spark):
+    """r11: _msearch/template — header/template-body NDJSON pairs,
+    per-item errors inline (a missing stored template 404s its slot,
+    not the batch)."""
+    spark.createDataFrame(
+        [(i, f"item {i}", i % 2) for i in range(8)],
+        "id long, txt string, grp long",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_mst"))
+    client.put("/scripts/by_grp", data=json.dumps({"script": {
+        "lang": "mustache",
+        "source": '{"query": {"term": {"grp": {{g}}}}, '
+                  '"sort": [{"id": "asc"}], "size": 10}'}}),
+        content_type="application/json")
+    nd = "\n".join([
+        json.dumps({"index": "data_lake_mst"}),
+        json.dumps({"id": "by_grp", "params": {"g": 0}}),
+        json.dumps({"index": "data_lake_mst"}),
+        json.dumps({"source": '{"query": {"match": {"txt": "{{q}}"}},'
+                              ' "size": 2}',
+                    "params": {"q": "item"}}),
+        json.dumps({"index": "data_lake_mst"}),
+        json.dumps({"id": "nope", "params": {}}),          # 404 slot
+        json.dumps({"index": "data_lake_mst"}),
+        json.dumps({"source": '{"a": "{{#join}}x{{/join}}"}'}),  # 400
+    ]) + "\n"
+    r = client.post("/search/msearch_template", data=nd,
+                    content_type="application/x-ndjson")
+    assert r.status_code == 200
+    rs = r.get_json()["responses"]
+    assert [x["status"] for x in rs] == [200, 200, 404, 400]
+    assert [h["_source"]["id"] for h in rs[0]["hits"]["hits"]] \
+        == [0, 2, 4, 6]
+    assert len(rs[1]["hits"]["hits"]) == 2
+    assert "no stored template" in rs[2]["error"]
+    assert "section" in rs[3]["error"]
+    # odd line count is the request's 400 (can't pair)
+    r = client.post("/search/msearch_template", data='{"index": "x"}\n',
+                    content_type="application/x-ndjson")
+    assert r.status_code == 400
