@@ -124,6 +124,16 @@ AUDITED = (
     "search_dsl_span_containing",
     "search_aggs_terms_partition",
     "search_aggs_significant_bgfilter",
+    # r11 additions: variable-span dedup, bucketed near-dup pairs,
+    # exact-BPE counting/packing, LM perplexity, regex completion,
+    # interval filter scripts
+    "exact_substring_dedup",
+    "embed_neardup_pairs",
+    "token_count_bpe_exact",
+    "pack_token_budget_exact",
+    "lm_perplexity_features",
+    "search_suggest_completion_regex",
+    "search_dsl_intervals_script",
 )
 
 SF = "/root/testdata/sf0.01"
