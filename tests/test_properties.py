@@ -1083,3 +1083,67 @@ class TestSpanDifferential:
             i for i, txt in _SPAN_DOCS
             if txt is not None and _py_member(txt.split(), tree))
         assert got == want, f"tree={tree}"
+
+
+# ---------------------------------------------------------------------------
+# Search-template renderer differential (r11): random templates from the
+# implemented mustache subset, rendered BOTH by the engine and by an
+# independent build-then-encode construction that never touches the
+# template text — escaping or substitution bugs show up as JSON
+# inequality.
+# ---------------------------------------------------------------------------
+
+_tpl_scalars = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.text(max_size=20),  # includes quotes/backslashes/unicode
+)
+_tpl_names = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+
+
+@settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "25")) * 4,
+    deadline=None,
+)
+@given(
+    params=st.dictionaries(_tpl_names, _tpl_scalars, max_size=4),
+    json_param=st.one_of(
+        st.lists(st.integers(min_value=0, max_value=99), max_size=4),
+        st.dictionaries(st.text(max_size=5), st.integers(), max_size=3),
+        st.none(),
+    ),
+)
+def test_template_renderer_differential(params, json_param):
+    import json as _json
+
+    from sql_database_to_elastic_datalake_spark.plans.templates import (
+        render_search_template,
+    )
+
+    # Build the EXPECTED body first (pure data), then derive a template
+    # whose rendering must reproduce it: every scalar param rides a
+    # string slot "v:{{name}}" (string context exercises JSON escaping)
+    # and a numeric slot where numbers/bools appear bare; the structure
+    # param rides {{#toJson}}.
+    names = sorted(params)
+    expected: dict = {"query": {"match_all": {}}}
+    tpl_fields = ['"query": {"match_all": {}}']
+    all_params = dict(params)
+    for n in names:
+        v = params[n]
+        if isinstance(v, str):
+            sval = v
+        elif isinstance(v, bool):
+            sval = "true" if v else "false"
+        else:
+            sval = _json.dumps(v)
+        expected[f"s_{n}"] = f"v:{sval}"
+        tpl_fields.append(f'"s_{n}": "v:{{{{{n}}}}}"')
+    if json_param is not None:
+        all_params["the_json"] = json_param
+        expected["struct"] = json_param
+        tpl_fields.append('"struct": {{#toJson}}the_json{{/toJson}}')
+    tpl = "{" + ", ".join(tpl_fields) + "}"
+    got = render_search_template(tpl, all_params)
+    assert got == expected, (tpl, all_params)
