@@ -101,6 +101,15 @@ CHECKED = (
     "search_aggs_significant_text",
     "search_suggest_completion_fuzzy",
     "dsir_importance_weights",
+    # r11: decorated text through the k-gram dedup's \s+ split +
+    # md5 gram hashes, the regex-completion dictionary (anchored
+    # RLIKE over decorated values), the interval script filter's
+    # token algebra, the widened PII rules (unicode-adjacent digits —
+    # the reason the patterns carry no \b), and the LM bigram hash
+    "exact_substring_dedup",
+    "search_suggest_completion_regex",
+    "search_dsl_intervals_script",
+    "lm_perplexity_features",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
