@@ -3156,13 +3156,20 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 if k is None:
                     raise DslError("k/size must be a non-negative "
                                    "integer")
+                try:
+                    from_ = int(body.get("from", 0))
+                except (TypeError, ValueError):
+                    # a malformed `from` is ITS slot's 400, never an
+                    # unhandled ValueError -> request-level 500
+                    raise DslError(
+                        "from must be a non-negative integer") from None
                 out = service.advanced_search(
                     header.get("index",
                                body.get("table", INDEX_PREFIX + "*")),
                     body.get("query", {"match_all": {}}), k=k,
                     aggs=body.get("aggs") or body.get("aggregations"),
                     sort=body.get("sort"),
-                    from_=int(body.get("from", 0)),
+                    from_=from_,
                     source=body.get("_source"),
                     track_total_hits=body.get("track_total_hits"),
                     runtime_mappings=body.get("runtime_mappings"),
@@ -3207,13 +3214,20 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 if k is None:
                     raise DslError("k/size must be a non-negative "
                                    "integer")
+                try:
+                    from_ = int(body.get("from", 0))
+                except (TypeError, ValueError):
+                    # a malformed `from` is ITS slot's 400, never an
+                    # unhandled ValueError -> request-level 500
+                    raise DslError(
+                        "from must be a non-negative integer") from None
                 out = service.advanced_search(
                     header.get("index",
                                body.get("table", INDEX_PREFIX + "*")),
                     body.get("query", {"match_all": {}}), k=k,
                     aggs=body.get("aggs") or body.get("aggregations"),
                     sort=body.get("sort"),
-                    from_=int(body.get("from", 0)),
+                    from_=from_,
                     source=body.get("_source"),
                     track_total_hits=body.get("track_total_hits"),
                     runtime_mappings=body.get("runtime_mappings"),

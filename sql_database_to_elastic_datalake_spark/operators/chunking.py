@@ -453,6 +453,12 @@ def exact_substring_dedup(
     tokens rejoined; '' when the whole doc was duplicated runs) and
     accounting ``n_tokens, tokens_removed, n_spans_removed``.
     """
+    if int(k) < 2:
+        raise ValueError("exact_substring_dedup needs k >= 2 "
+                         "(k=1 removes every repeated token)")
+    if int(min_occurrences) < 2:
+        raise ValueError("min_occurrences >= 2 (1 would cover "
+                         "every position)")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = (
         df.filter(F.col(text_col).isNotNull())

@@ -1965,6 +1965,20 @@ def test_count_and_msearch_routes(client, service, spark):
     r = client.post("/search/msearch", data='{"index": "x"}\n',
                     content_type="application/x-ndjson")
     assert r.status_code == 400
+    # r11: a malformed `from` is ITS slot's 400, not an unhandled
+    # ValueError turning the whole batch into a 500
+    nd = "\n".join([
+        json.dumps({"index": "data_lake_ms1"}),
+        json.dumps({"query": {"match_all": {}}, "from": "x"}),
+        json.dumps({"index": "data_lake_ms1"}),
+        json.dumps({"query": {"match_all": {}}, "size": 1}),
+    ]) + "\n"
+    r = client.post("/search/msearch", data=nd,
+                    content_type="application/x-ndjson")
+    assert r.status_code == 200
+    rs = r.get_json()["responses"]
+    assert rs[0]["status"] == 400 and "from" in rs[0]["error"]
+    assert rs[1]["status"] == 200
 
 
 def test_terms_lookup_resolution(service, spark):
