@@ -111,6 +111,7 @@ HEADLINE = (
     "exact_substring_dedup",
     "embed_neardup_pairs",
     "lm_perplexity_features",
+    "benchmark_decontamination_spans",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -130,6 +131,7 @@ SF1_EXTRA = (
     "corpus_prep_stats",
     "exact_substring_dedup",
     "lm_perplexity_features",
+    "benchmark_decontamination_spans",
     # r11: the Arrow-batched exact-BPE tier — CPU-dense Python work
     # whose sf1 time proves the pandas-UDF batching parallelizes
     "token_count_bpe_exact",

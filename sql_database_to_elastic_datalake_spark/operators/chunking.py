@@ -497,7 +497,19 @@ def exact_substring_dedup(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__s")).alias("__starts"))
     )
-    out = base.join(starts, id_col, "left")
+    return _rebuild_minus_covered(base.join(starts, id_col, "left"),
+                                  id_col, k)
+
+
+def _rebuild_minus_covered(out: DataFrame, id_col: str,
+                           k: int) -> DataFrame:
+    """Shared span-removal rebuild: expects ``__toks`` (tokens to
+    rebuild from), ``__n`` and a per-doc sorted ``__starts`` array of
+    covered k-window start positions (NULL = nothing covered).
+    Merges starts into maximal intervals, drops covered tokens,
+    rejoins in order with accounting — the back half of
+    :func:`exact_substring_dedup`, shared with
+    :func:`remove_probe_spans`."""
     st = F.col("__starts")
     nst = F.size(st)
     idx = F.sequence(F.lit(0), nst - 1)
@@ -531,3 +543,86 @@ def exact_substring_dedup(
         .alias("tokens_removed"),
         F.size(F.col("__ivs")).cast("bigint").alias("n_spans_removed"),
     )
+
+
+def remove_probe_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: DataFrame,
+    probe_text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination (r11): remove every token
+    inside a span of ≥ ``k`` tokens that appears verbatim in a probe
+    (benchmark/eval) document — the span-removal counterpart of
+    :func:`flag_contamination` (which only FLAGS whole docs; dropping
+    a whole document for one leaked question wastes the rest of it,
+    the Lee et al. 2021 argument applied to decontamination).
+
+    Matching is case-folded (lowercase with the İ parity fold) on
+    WHITESPACE tokens, so fold-equal spans in different case are
+    caught — but the doc is rebuilt from its ORIGINAL tokens (folding
+    preserves token count, so positions line up). Note the analyzer
+    difference from :func:`flag_contamination`: that stage splits on
+    the search analyzer's token class; this one must keep positions
+    faithful to the rebuild, so it splits on whitespace.
+
+    Scale shape: probe k-grams build once and BROADCAST (benchmarks
+    are megabytes against a 100 TB corpus); the corpus pays ONE
+    k-gram explode + the per-doc regroup + the rebuild join — no
+    corpus-sized groupBy at all (cheaper than exact_substring_dedup:
+    the duplicate set is given, not discovered). Same cover-exactness
+    argument: a probe-shared span of length L ≥ k has all its
+    k-windows in the probe set.
+
+    Output: the :func:`exact_substring_dedup` shape — every non-NULL
+    ``text_col`` doc with ``clean_text, n_tokens, tokens_removed,
+    n_spans_removed``.
+    """
+    if int(k) < 1:
+        raise ValueError("remove_probe_spans needs k >= 1")
+
+    def fold(tok):
+        return F.lower(F.regexp_replace(tok, "İ", "i̇"))
+
+    def gram_structs(toks_col):
+        n = F.size(toks_col)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.md5(F.array_join(
+                        F.transform(F.slice(toks_col, i + 1, k), fold),
+                        " ")).alias("h"),
+                ),
+            ),
+        )
+
+    ptoks = F.split(F.trim(F.col(probe_text_col)), r"\s+")
+    probe_grams = (
+        probes.filter(F.col(probe_text_col).isNotNull())
+        .select(F.explode(gram_structs(ptoks)).alias("__g"))
+        .select(F.col("__g.h").alias("__h"))
+        .distinct()
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size(F.col("__toks")))
+    )
+    hits = (
+        base.select(F.col(id_col),
+                    F.explode(gram_structs(F.col("__toks")))
+                    .alias("__g"))
+        .select(F.col(id_col), F.col("__g.s").alias("__s"),
+                F.col("__g.h").alias("__h"))
+        .join(F.broadcast(probe_grams), "__h")
+    )
+    starts = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__s")).alias("__starts"))
+    return _rebuild_minus_covered(base.join(starts, id_col, "left"),
+                                  id_col, k)

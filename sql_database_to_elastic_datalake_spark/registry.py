@@ -6863,6 +6863,7 @@ _CHECK_FIRST = [
     "pack_token_budget_exact",     # r11 NEW: exact-BPE packing
     "search_suggest_completion_regex",  # r11 NEW: regex completion
     "search_dsl_intervals_script", # r11 NEW: interval filter scripts
+    "benchmark_decontamination_spans",  # r11 NEW: surgical decontam
     "pii_redaction",               # r11 touched: SSN/IP/Luhn-CC rules
     "embed_neardup_pairs",         # r11 touched: bucketed tier is now
                                    # the registered query (was r5-era)
@@ -6913,7 +6914,8 @@ _CHECK_FIRST = [
     "search_dsl_msm_wildcard",
     "search_dsl_terms_set",
     "search_multimatch_scored",
-    "search_bm25_scored",
+    # (search_bm25_scored also yields its slot to the late additions;
+    #  it retires with the r5 tier in r12)
     # (search_all_tables / search_nested_labels / search_hits_envelope
     #  / multimodal_binary_meta yield their slots to the four late-r11
     #  additions above; they retire with the remaining r5 tier in r12)

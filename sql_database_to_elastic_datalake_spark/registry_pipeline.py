@@ -1329,6 +1329,80 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination_spans",
+    # r11: the SURGICAL counterpart of benchmark_decontamination —
+    # full-rebuild oracle (the exact_substring template): probe
+    # 8-grams from the doc_id % 50 == 0 docs, case-folded matching on
+    # whitespace tokens, covered-position union, gaps-and-islands
+    # span count, in-order rebuild from the ORIGINAL tokens
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), g AS (
+        SELECT doc_id, i AS s,
+               md5(array_to_string(list_transform(
+                   toks[(i+1):(i+8)],
+                   x -> lower(replace(x, 'İ', 'i̇'))), ' ')) AS h
+        FROM t, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i) r
+        WHERE len(toks) >= 8
+    ), probe AS (
+        SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0
+    ), dup AS (
+        SELECT g.doc_id, g.s FROM g JOIN probe USING (h)
+    ), cov AS (
+        SELECT DISTINCT doc_id, s + j AS pos
+        FROM dup, LATERAL (SELECT unnest(range(8)) AS j) rr
+    ), tok AS (
+        SELECT doc_id, i AS pos, toks[i+1] AS tok
+        FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i) r
+    ), flag AS (
+        SELECT tok.doc_id, tok.pos, tok.tok,
+               cov.pos IS NOT NULL AS covered
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+    ), spans AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev
+            FROM cov) q
+        WHERE prev IS NULL OR pos - prev > 1 GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           COALESCE(array_to_string(
+               list(tok ORDER BY pos) FILTER (WHERE NOT covered), ' '),
+               '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           CAST(COALESCE(MAX(spans.n_spans), 0) AS BIGINT)
+               AS n_spans_removed
+    FROM flag f LEFT JOIN spans USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def benchmark_decontamination_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Surgical benchmark decontamination (r11): REMOVE the spans
+    shared with the probe set instead of flagging whole docs — a doc
+    leaking one benchmark question keeps the rest of its text. Probes
+    = the ``doc_id % 50 == 0`` documents (the leaked-eval scenario of
+    `benchmark_decontamination`); probe 8-grams broadcast, the corpus
+    pays one k-gram explode and the rebuild
+    (operators/chunking.py:remove_probe_spans). The probes themselves
+    are fully covered by construction (clean_text '')."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        remove_probe_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return remove_probe_spans(docs, "doc_id", "text", probes, "text", k=8)
+
+
+@register(
     "stratified_sample_langs",
     oracle="""
     SELECT doc_id, lang

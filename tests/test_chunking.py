@@ -302,3 +302,39 @@ def test_exact_substring_dedup_adjacent_runs_merge(spark):
     assert out[0]["n_spans_removed"] == 1       # merged
     assert out[1]["n_spans_removed"] == 2       # split by the gap
     assert out[1]["clean_text"] == "b0 b1 b2 b3"
+
+
+def test_remove_probe_spans(spark):
+    """r11: surgical decontamination — spans shared with a probe doc
+    are removed (run extension included), matching is case-folded but
+    the rebuild keeps original tokens, non-matching docs untouched."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        remove_probe_spans,
+    )
+
+    leak = "what is the capital of france"           # 6-token probe run
+    texts = [
+        f"intro text {leak} outro text",              # 0: exact leak
+        f"intro text {leak.upper()} outro text",      # 1: case-folded
+        "totally unrelated document body here",       # 2: untouched
+        leak,                                         # 3: pure leak
+        f"{leak} bridge words {leak}",                # 4: two spans
+    ]
+    docs = _docs(spark, *texts)
+    probes = spark.createDataFrame([(leak,)], "ptext string")
+    out = {r["doc_id"]: r for r in remove_probe_spans(
+        docs, "doc_id", "text", probes, "ptext", k=3).collect()}
+    assert out[0]["clean_text"] == "intro text outro text"
+    assert out[0]["tokens_removed"] == 6
+    assert out[0]["n_spans_removed"] == 1
+    # case-folded match, ORIGINAL tokens rebuilt (outro kept verbatim)
+    assert out[1]["clean_text"] == "intro text outro text"
+    assert out[2]["clean_text"] == texts[2]
+    assert out[2]["tokens_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["tokens_removed"] == 6
+    assert out[4]["n_spans_removed"] == 2
+    assert out[4]["clean_text"] == "bridge words"
+    # sub-k probes contribute no grams; sub-k docs are untouched
+    out2 = {r["doc_id"]: r for r in remove_probe_spans(
+        docs, "doc_id", "text", probes, "ptext", k=7).collect()}
+    assert all(r["tokens_removed"] == 0 for r in out2.values())

@@ -119,6 +119,7 @@ CHECKED = (
     "search_dsl_intervals_script",
     "pii_redaction",
     "lm_perplexity_features",
+    "benchmark_decontamination_spans",
 )
 
 

@@ -137,6 +137,7 @@ CHECKED = (
     "search_suggest_completion_regex",
     "search_dsl_intervals_script",
     "lm_perplexity_features",
+    "benchmark_decontamination_spans",
 )
 
 

@@ -503,6 +503,13 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
         scans={"documents": (2, [])},
     ),
+    # r11: surgical decontamination — probe grams BROADCAST (the
+    # probe set is benchmark-sized); the corpus pays one k-gram
+    # explode + the per-doc regroup; never a cartesian
+    "benchmark_decontamination_spans": dict(
+        shuffles=2, smj_max=0, bhj_min=2, wgl=False, cartesian_max=0,
+        scans={"documents": (2, ["IsNotNull(text)"])},
+    ),
     # r11: CCNet-style LM perplexity — the pair model and its context
     # margin BROADCAST (saturation-bounded at B² rows whatever the
     # corpus); an SMJ here means a model stopped broadcasting

@@ -110,6 +110,7 @@ CHECKED = (
     "search_suggest_completion_regex",
     "search_dsl_intervals_script",
     "lm_perplexity_features",
+    "benchmark_decontamination_spans",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
