@@ -2060,6 +2060,173 @@ def _rescore_expr(rescore: dict | None, df: "DataFrame"):
     return tf_score(cols, str(query)).cast("double")
 
 
+#: metric → its accepted option keys (ES's rank_eval option surface)
+_RANK_EVAL_METRICS = {
+    "precision": {"k", "relevant_rating_threshold", "ignore_unlabeled"},
+    "recall": {"k", "relevant_rating_threshold"},
+    "mean_reciprocal_rank": {"k", "relevant_rating_threshold"},
+    "dcg": {"k", "normalize"},
+    "expected_reciprocal_rank": {"k", "maximum_relevance"},
+}
+
+
+def _hit_id(hit: dict) -> str | None:
+    """A hit's document id under the engine's id convention (the mget
+    rule): the ``id`` column if the table has one, else the first
+    ``*_id`` column."""
+    src = hit.get("_source") or {}
+    if "id" in src:
+        return None if src["id"] is None else str(src["id"])
+    for c in src:
+        if c.endswith("_id"):
+            return None if src[c] is None else str(src[c])
+    return None
+
+
+def _rank_eval_score(mname: str, mspec: dict, ranked: list[str | None],
+                     rmap: dict[str, int]) -> float:
+    import math
+
+    thr = int(mspec.get("relevant_rating_threshold", 1))
+    if mname == "precision":
+        rels = [rmap.get(i) for i in ranked]
+        if mspec.get("ignore_unlabeled"):
+            labeled = [r for r in rels if r is not None]
+            denom = len(labeled)
+            num = sum(1 for r in labeled if r >= thr)
+        else:
+            denom = len(rels)
+            num = sum(1 for r in rels if r is not None and r >= thr)
+        return num / denom if denom else 0.0
+    if mname == "recall":
+        total = sum(1 for r in rmap.values() if r >= thr)
+        num = sum(1 for i in ranked
+                  if rmap.get(i) is not None and rmap[i] >= thr)
+        return num / total if total else 0.0
+    if mname == "mean_reciprocal_rank":
+        for pos, i in enumerate(ranked, 1):
+            if rmap.get(i) is not None and rmap[i] >= thr:
+                return 1.0 / pos
+        return 0.0
+    if mname == "dcg":
+        def dcg(gains):
+            return sum((2 ** g - 1) / math.log2(pos + 1)
+                       for pos, g in enumerate(gains, 1))
+
+        score = dcg([rmap.get(i, 0) or 0 for i in ranked])
+        if mspec.get("normalize"):
+            ideal = dcg(sorted(rmap.values(), reverse=True)
+                        [:len(ranked)])
+            return score / ideal if ideal else 0.0
+        return score
+    # expected_reciprocal_rank (Chapelle et al. 2009)
+    gmax = mspec["maximum_relevance"]
+    err, p_continue = 0.0, 1.0
+    for pos, i in enumerate(ranked, 1):
+        g = rmap.get(i, 0) or 0
+        r = (2 ** g - 1) / (2 ** gmax)
+        err += p_continue * r / pos
+        p_continue *= (1 - r)
+    return err
+
+
+def _run_rank_eval(service: "LakeService", body) -> dict[str, Any]:
+    """ES ``_rank_eval`` semantics over the engine's ranked pages —
+    validation, per-request evaluation, mean score."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+    if not isinstance(body, dict):
+        raise DslError("rank_eval body must be a JSON object")
+    unknown = sorted(set(body) - {"requests", "metric", "table"})
+    if unknown:
+        raise DslError(f"unsupported rank_eval keys: {unknown}")
+    reqs = body.get("requests")
+    metric = body.get("metric")
+    if not isinstance(reqs, list) or not reqs:
+        raise DslError("rank_eval requires a non-empty requests list")
+    if not isinstance(metric, dict) or len(metric) != 1:
+        raise DslError("rank_eval requires exactly one metric")
+    (mname, mspec), = metric.items()
+    if mname not in _RANK_EVAL_METRICS:
+        raise DslError(
+            f"unsupported rank_eval metric {mname!r} "
+            f"(supported: {sorted(_RANK_EVAL_METRICS)})")
+    mspec = mspec or {}
+    bad = sorted(set(mspec) - _RANK_EVAL_METRICS[mname])
+    if bad:
+        raise DslError(f"unsupported {mname} options: {bad}")
+    k = mspec.get("k", 10)
+    if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+        raise DslError("rank_eval k must be a positive integer")
+    if mname == "expected_reciprocal_rank":
+        gmax = mspec.get("maximum_relevance")
+        if not isinstance(gmax, int) or isinstance(gmax, bool) \
+                or gmax < 1:
+            raise DslError(
+                "expected_reciprocal_rank requires maximum_relevance "
+                ">= 1")
+    details: dict[str, Any] = {}
+    scores: list[float] = []
+    seen_ids: set[str] = set()
+    for req in reqs:
+        if not isinstance(req, dict):
+            raise DslError("each rank_eval request must be an object")
+        runknown = sorted(set(req) - {"id", "request", "ratings",
+                                      "table"})
+        if runknown:
+            raise DslError(
+                f"unsupported rank_eval request keys: {runknown}")
+        rid = req.get("id")
+        if not isinstance(rid, str) or not rid:
+            raise DslError("each rank_eval request needs an id")
+        if rid in seen_ids:
+            raise DslError(f"duplicate rank_eval request id {rid!r}")
+        seen_ids.add(rid)
+        search = req.get("request")
+        if not isinstance(search, dict) or "query" not in search:
+            raise DslError(
+                f"request {rid!r} needs a request.query object")
+        sunknown = sorted(set(search) - {"query", "sort"})
+        if sunknown:
+            raise DslError(
+                f"unsupported keys in request {rid!r}: {sunknown} "
+                "(rank_eval evaluates query + sort at the metric's k)")
+        ratings = req.get("ratings")
+        if not isinstance(ratings, list):
+            raise DslError(f"request {rid!r} needs a ratings list")
+        rmap: dict[str, int] = {}
+        for ent in ratings:
+            if not isinstance(ent, dict) or "_id" not in ent \
+                    or "rating" not in ent:
+                raise DslError(
+                    f"request {rid!r}: each rating needs _id and "
+                    "rating")
+            rmap[str(ent["_id"])] = int(ent["rating"])
+        out = service.advanced_search(
+            req.get("table") or body.get("table", INDEX_PREFIX + "*"),
+            search["query"], k=k, sort=search.get("sort"),
+            track_total_hits=False)
+        hits = out["hits"]["hits"]
+        ranked = [_hit_id(h) for h in hits]
+        score = _rank_eval_score(mname, mspec, ranked, rmap)
+        scores.append(score)
+        details[rid] = {
+            "metric_score": score,
+            "unrated_docs": [
+                {"_index": h.get("_index"), "_id": i}
+                for h, i in zip(hits, ranked) if i not in rmap
+            ],
+            "hits": [
+                {"hit": h, "rating": rmap.get(i)}
+                for h, i in zip(hits, ranked)
+            ],
+        }
+    return {
+        "metric_score": sum(scores) / len(scores),
+        "details": details,
+    }
+
+
 def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
     """Execute an ES ``suggest`` section — the term suggester
     (per-token corrections), the phrase suggester (r9, whole-phrase
@@ -3096,6 +3263,27 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify({"error": f"no stored template {sid!r}"}), 404
         del service.stored_templates[sid]
         return jsonify({"acknowledged": True}), 200
+
+    @app.route("/search/rank_eval", methods=["POST"])
+    def rank_eval_route():
+        """ES ``_rank_eval`` (r11): run each rated request, score the
+        ranked page with the chosen metric, return per-request detail
+        + the mean — the search-quality tuning endpoint
+        (precision/recall@k, MRR, (n)DCG, ERR). Metrics are computed
+        driver-side over the page's ids (bounded by k); each request
+        is ONE ordinary ranked search."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            DslError,
+        )
+
+        body = request.get_json(force=True)
+        try:
+            out = _run_rank_eval(service, body)
+        except NotFoundError as ex:
+            return jsonify({"error": str(ex)}), 404
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+        return jsonify(out), 200
 
     @app.route("/search/count", methods=["POST"])
     def count_route():

@@ -2437,3 +2437,94 @@ def test_msearch_template_route(client, service, spark):
     r = client.post("/search/msearch_template", data='{"index": "x"}\n',
                     content_type="application/x-ndjson")
     assert r.status_code == 400
+
+
+def test_rank_eval_route(client, service, spark):
+    """r11: _rank_eval — precision/recall@k, MRR, (n)DCG, ERR over
+    rated requests; per-request details with unrated docs; named 400s
+    for the option surface."""
+    import math
+
+    spark.createDataFrame(
+        [(i, f"doc about {'spark' if i < 6 else 'pandas'} {i}")
+         for i in range(10)],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_re"))
+
+    def post(body):
+        return client.post("/search/rank_eval", data=json.dumps(body),
+                           content_type="application/json")
+
+    # deterministic ranked page: sort by id asc, query matches ids 0-5
+    req = {"id": "q1",
+           "request": {"query": {"match": {"txt": "spark"}},
+                       "sort": [{"id": "asc"}]},
+           "ratings": [{"_id": "0", "rating": 3},
+                       {"_id": "1", "rating": 0},
+                       {"_id": "2", "rating": 1}]}
+    # precision@5: ranked = 0..4; relevant(>=1) labeled = 0,2 → 2/5
+    r = post({"table": "data_lake_re", "metric":
+              {"precision": {"k": 5}}, "requests": [req]})
+    assert r.status_code == 200, r.get_json()
+    out = r.get_json()
+    assert out["metric_score"] == pytest.approx(0.4)
+    d = out["details"]["q1"]
+    assert d["metric_score"] == pytest.approx(0.4)
+    assert [u["_id"] for u in d["unrated_docs"]] == ["3", "4"]
+    assert [h["rating"] for h in d["hits"]] == [3, 0, 1, None, None]
+    # ignore_unlabeled: 2 relevant of 3 labeled
+    r = post({"table": "data_lake_re", "metric": {"precision": {
+        "k": 5, "ignore_unlabeled": True}}, "requests": [req]})
+    assert r.get_json()["metric_score"] == pytest.approx(2 / 3)
+    # recall@2: only doc 0 of the 2 relevant ratings retrieved in top-2
+    r = post({"table": "data_lake_re", "metric":
+              {"recall": {"k": 2}}, "requests": [req]})
+    assert r.get_json()["metric_score"] == pytest.approx(0.5)
+    # MRR with threshold 2: first hit rated >=2 is position 1
+    r = post({"table": "data_lake_re", "metric": {
+        "mean_reciprocal_rank": {"k": 5,
+                                 "relevant_rating_threshold": 2}},
+        "requests": [req]})
+    assert r.get_json()["metric_score"] == pytest.approx(1.0)
+    # DCG@3 = (2^3-1)/log2(2) + 0 + (2^1-1)/log2(4)
+    want_dcg = 7 / math.log2(2) + 1 / math.log2(4)
+    r = post({"table": "data_lake_re", "metric": {"dcg": {"k": 3}},
+              "requests": [req]})
+    assert r.get_json()["metric_score"] == pytest.approx(want_dcg)
+    # nDCG: ideal = ratings sorted desc [3,1,0]
+    ideal = 7 / math.log2(2) + 1 / math.log2(3)
+    r = post({"table": "data_lake_re", "metric": {"dcg": {
+        "k": 3, "normalize": True}}, "requests": [req]})
+    assert r.get_json()["metric_score"] == pytest.approx(
+        want_dcg / ideal)
+    # ERR@2, gmax 3: R1=(2^3-1)/8, R2=0 → ERR = R1
+    r = post({"table": "data_lake_re", "metric": {
+        "expected_reciprocal_rank": {"k": 2, "maximum_relevance": 3}},
+        "requests": [req]})
+    assert r.get_json()["metric_score"] == pytest.approx(7 / 8)
+    # mean over requests
+    req2 = dict(req, id="q2", ratings=[{"_id": "9", "rating": 3}])
+    r = post({"table": "data_lake_re", "metric":
+              {"precision": {"k": 5}},
+              "requests": [req, req2]})
+    assert r.get_json()["metric_score"] == pytest.approx(0.2)
+    # named 400s
+    bad = [
+        ({"requests": [req]}, "exactly one metric"),
+        ({"requests": [], "metric": {"precision": {}}}, "non-empty"),
+        ({"requests": [req], "metric": {"nope": {}}}, "unsupported"),
+        ({"requests": [req], "metric": {"precision": {"kk": 1}}},
+         "precision options"),
+        ({"requests": [req, req], "metric": {"precision": {}}},
+         "duplicate"),
+        ({"requests": [req],
+          "metric": {"expected_reciprocal_rank": {"k": 2}}},
+         "maximum_relevance"),
+        ({"requests": [{"id": "x", "request": {"query": {}, "from": 2},
+                        "ratings": []}],
+          "metric": {"precision": {}}}, "unsupported keys"),
+    ]
+    for body, frag in bad:
+        rr = post(dict(body, table="data_lake_re"))
+        assert rr.status_code == 400, (body, rr.get_json())
+        assert frag in rr.get_json()["error"], (body, rr.get_json())
