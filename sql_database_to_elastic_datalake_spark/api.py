@@ -1034,6 +1034,117 @@ class LakeService:
             raise DslError("pit needs at least one sortable column")
         return clauses
 
+    def termvectors(
+        self, table: str, doc_id, fields: list | None = None,
+        term_statistics: bool = False, field_statistics: bool = True,
+    ) -> dict:
+        """ES ``_termvectors`` (r11): one document's per-field term
+        vectors — term_freq + positions + character offsets from the
+        SAME analyzer the match queries use, ``doc_freq``/``ttf``
+        under ``term_statistics``, and corpus ``field_statistics``
+        (sum_doc_freq, doc_count, sum_ttf).
+
+        Plan shape: the document is ONE point lookup (id In-filter
+        pushed to the scan); its own vectors are driver-side string
+        work on that single row. The optional statistics are the only
+        distributed part — per requested field, one tokenize-explode
+        pass over that COLUMN (pruned scan): term stats filter to the
+        doc's own terms before the groupBy (a bounded In), field
+        stats aggregate the same exploded stream. A diagnostic API —
+        bounded driver transfer, corpus cost proportional to the
+        columns asked about.
+
+        Artificial-doc and per-field-analyzer forms are named 400s
+        (this engine has one analyzer); a missing doc is
+        ``found: false`` like ES, a missing table the route's 404."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            TOKEN_SPLIT_LOWER_RE,
+            token_spans,
+        )
+
+        path = os.path.join(self.lake_dir, table)
+        if not path_exists(self.spark, path):
+            raise NotFoundError(f"no such table {table!r}")
+        df = self.spark.read.parquet(path)
+        id_col = "id" if "id" in df.columns else next(
+            (c for c in df.columns if c.endswith("_id")), None)
+        if id_col is None:
+            raise DslError(
+                f"table {table!r} has no id column for a point lookup")
+        rows = df.filter(
+            F.col(id_col).cast("string") == str(doc_id)).limit(2).collect()
+        out: dict[str, Any] = {"_index": table, "_id": str(doc_id),
+                               "found": bool(rows)}
+        if not rows:
+            return out
+        row = rows[0]
+        from pyspark.sql.types import StringType
+
+        text_cols = [f.name for f in df.schema.fields
+                     if isinstance(f.dataType, StringType)]
+        if fields is None:
+            wanted = text_cols
+        else:
+            if not isinstance(fields, list):
+                raise DslError("termvectors fields must be a list")
+            # ES silently skips unmapped fields; non-string columns
+            # have no terms to vectorize — same skip
+            wanted = [f for f in fields if f in text_cols]
+        tvs: dict[str, Any] = {}
+        for fname in wanted:
+            val = row[fname]
+            if val is None:
+                continue
+            spans = token_spans(str(val))
+            terms: dict[str, Any] = {}
+            for pos, (tok, off, ln) in enumerate(spans):
+                ent = terms.setdefault(tok, {"term_freq": 0,
+                                             "tokens": []})
+                ent["term_freq"] += 1
+                ent["tokens"].append({
+                    "position": pos, "start_offset": off,
+                    "end_offset": off + ln,
+                })
+            fentry: dict[str, Any] = {"terms": terms}
+            if terms and (term_statistics or field_statistics):
+                toks_col = F.filter(
+                    F.split(F.lower(F.col(fname).cast("string")),
+                            TOKEN_SPLIT_LOWER_RE),
+                    lambda t: t != "")
+                exploded = df.select(
+                    F.col(id_col).alias("__doc"),
+                    F.explode(toks_col).alias("__t"))
+                if field_statistics:
+                    stats = exploded.agg(
+                        F.count(F.lit(1)).alias("sum_ttf"),
+                        F.count_distinct("__doc").alias("doc_count"),
+                        F.count_distinct("__doc", "__t")
+                        .alias("sum_doc_freq"),
+                    ).collect()[0]
+                    fentry["field_statistics"] = {
+                        "sum_doc_freq": int(stats["sum_doc_freq"]),
+                        "doc_count": int(stats["doc_count"]),
+                        "sum_ttf": int(stats["sum_ttf"]),
+                    }
+                if term_statistics:
+                    per_term = {
+                        r["__t"]: r
+                        for r in exploded
+                        .filter(F.col("__t").isin(list(terms)))
+                        .groupBy("__t")
+                        .agg(F.count(F.lit(1)).alias("ttf"),
+                             F.count_distinct("__doc")
+                             .alias("doc_freq"))
+                        .collect()
+                    }
+                    for tok, ent in terms.items():
+                        st = per_term.get(tok)
+                        ent["doc_freq"] = int(st["doc_freq"]) if st else 0
+                        ent["ttf"] = int(st["ttf"]) if st else 0
+            tvs[fname] = fentry
+        out["term_vectors"] = tvs
+        return out
+
     def mget(
         self, table: str | None = None, ids: list | None = None,
         docs: list | None = None, source=None,
@@ -3263,6 +3374,43 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify({"error": f"no stored template {sid!r}"}), 404
         del service.stored_templates[sid]
         return jsonify({"acknowledged": True}), 200
+
+    @app.route("/search/termvectors", methods=["POST"])
+    def termvectors_route():
+        """ES ``_termvectors``: one doc's per-field term vectors with
+        optional corpus statistics (service.termvectors docstring)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            DslError,
+        )
+
+        body = request.get_json(force=True)
+        if not isinstance(body, dict):
+            return jsonify({"error": "body must be a JSON object"}), 400
+        unknown = sorted(set(body) - {
+            "table", "id", "fields", "term_statistics",
+            "field_statistics"})
+        if unknown:
+            # doc (artificial document) / per_field_analyzer /
+            # offsets / payloads toggles are named here, not dropped
+            return jsonify({"error":
+                            f"unsupported termvectors keys: {unknown} "
+                            "(supported: table, id, fields, "
+                            "term_statistics, field_statistics)"}), 400
+        if not body.get("table") or body.get("id") is None:
+            return jsonify({"error":
+                            "termvectors requires table and id"}), 400
+        try:
+            return jsonify(service.termvectors(
+                body["table"], body["id"],
+                fields=body.get("fields"),
+                term_statistics=bool(body.get("term_statistics")),
+                field_statistics=body.get("field_statistics", True)
+                is not False,
+            )), 200
+        except NotFoundError as ex:
+            return jsonify({"error": str(ex)}), 404
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
 
     @app.route("/search/rank_eval", methods=["POST"])
     def rank_eval_route():

@@ -2528,3 +2528,53 @@ def test_rank_eval_route(client, service, spark):
         rr = post(dict(body, table="data_lake_re"))
         assert rr.status_code == 400, (body, rr.get_json())
         assert frag in rr.get_json()["error"], (body, rr.get_json())
+
+
+def test_termvectors_route(client, service, spark):
+    """r11: _termvectors — per-field term vectors (freq, positions,
+    character offsets from the match analyzer), doc_freq/ttf under
+    term_statistics, corpus field_statistics; found:false for a
+    missing doc; named 400s for the unimplemented forms."""
+    spark.createDataFrame(
+        [(1, "Spark merges Spark tables", "alpha"),
+         (2, "spark joins tables", "beta"),
+         (3, None, "gamma")],
+        "id long, txt string, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_tv"))
+
+    def post(body):
+        return client.post("/search/termvectors", data=json.dumps(body),
+                           content_type="application/json")
+
+    r = post({"table": "data_lake_tv", "id": 1, "fields": ["txt"],
+              "term_statistics": True})
+    assert r.status_code == 200, r.get_json()
+    out = r.get_json()
+    assert out["found"] is True and out["_id"] == "1"
+    terms = out["term_vectors"]["txt"]["terms"]
+    assert terms["spark"]["term_freq"] == 2
+    # positions + ORIGINAL-text character offsets
+    assert [t["position"] for t in terms["spark"]["tokens"]] == [0, 2]
+    assert terms["spark"]["tokens"][0]["start_offset"] == 0
+    assert terms["spark"]["tokens"][0]["end_offset"] == 5
+    assert terms["merges"]["tokens"][0]["start_offset"] == 6
+    # term_statistics across the corpus: 'spark' in docs 1+2, 3 occs
+    assert terms["spark"]["doc_freq"] == 2 and terms["spark"]["ttf"] == 3
+    assert terms["merges"]["doc_freq"] == 1
+    # field_statistics (default true): 7 tokens over 2 non-null docs,
+    # 7 distinct (doc, term) pairs minus the repeated spark in doc 1
+    fs = out["term_vectors"]["txt"]["field_statistics"]
+    assert fs == {"sum_ttf": 7, "doc_count": 2, "sum_doc_freq": 6}
+    # default fields = every string column; NULL field rows skipped
+    r = post({"table": "data_lake_tv", "id": 3})
+    tv = r.get_json()["term_vectors"]
+    assert "txt" not in tv and tv["tag"]["terms"]["gamma"]["term_freq"] == 1
+    # missing doc: found false, like ES
+    r = post({"table": "data_lake_tv", "id": 99})
+    assert r.status_code == 200 and r.get_json()["found"] is False
+    # named errors: missing table 404, artificial-doc form 400
+    assert post({"table": "data_lake_nope", "id": 1}).status_code == 404
+    r = post({"table": "data_lake_tv", "doc": {"txt": "x"}, "id": 1})
+    assert r.status_code == 400
+    assert "unsupported termvectors keys" in r.get_json()["error"]
+    assert post({"table": "data_lake_tv"}).status_code == 400
