@@ -3412,6 +3412,68 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
 
+    @app.route("/search/mtermvectors", methods=["POST"])
+    def mtermvectors_route():
+        """ES ``_mtermvectors``: the batch form — ``ids`` against a
+        request table, or ``docs`` entries carrying ``_index``/
+        ``_id`` (+ per-entry fields/term_statistics). Per-entry
+        errors stay inline (the multi-API contract)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            DslError,
+        )
+
+        body = request.get_json(force=True)
+        if not isinstance(body, dict):
+            return jsonify({"error": "body must be a JSON object"}), 400
+        unknown = sorted(set(body) - {
+            "table", "ids", "docs", "fields", "term_statistics",
+            "field_statistics"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported mtermvectors keys: "
+                            f"{unknown}"}), 400
+        if (body.get("ids") is None) == (body.get("docs") is None):
+            return jsonify({"error":
+                            "mtermvectors takes ids or docs, not "
+                            "both/neither"}), 400
+        if body.get("ids") is not None:
+            if not body.get("table"):
+                return jsonify({"error":
+                                "mtermvectors ids form requires a "
+                                "table"}), 400
+            entries = [{"_index": body["table"], "_id": i}
+                       for i in body["ids"]]
+        else:
+            entries = body["docs"]
+            if not isinstance(entries, list):
+                return jsonify({"error": "docs must be a list"}), 400
+        out = []
+        for ent in entries:
+            if not isinstance(ent, dict) or ent.get("_id") is None:
+                out.append({"error": "each entry needs an _id"})
+                continue
+            table = ent.get("_index", body.get("table"))
+            if not table:
+                out.append({"_id": str(ent["_id"]),
+                            "error": "entry has no _index/table"})
+                continue
+            try:
+                out.append(service.termvectors(
+                    table, ent["_id"],
+                    fields=ent.get("fields", body.get("fields")),
+                    term_statistics=bool(
+                        ent.get("term_statistics",
+                                body.get("term_statistics"))),
+                    field_statistics=ent.get(
+                        "field_statistics",
+                        body.get("field_statistics", True))
+                    is not False,
+                ))
+            except (NotFoundError, DslError) as ex:
+                out.append({"_index": table, "_id": str(ent["_id"]),
+                            "error": str(ex)})
+        return jsonify({"docs": out}), 200
+
     @app.route("/search/rank_eval", methods=["POST"])
     def rank_eval_route():
         """ES ``_rank_eval`` (r11): run each rated request, score the

@@ -2578,3 +2578,36 @@ def test_termvectors_route(client, service, spark):
     assert r.status_code == 400
     assert "unsupported termvectors keys" in r.get_json()["error"]
     assert post({"table": "data_lake_tv"}).status_code == 400
+
+
+def test_mtermvectors_route(client, service, spark):
+    """r11: _mtermvectors — batch term vectors with per-entry errors
+    inline; ids form and docs form."""
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_mtv"))
+
+    def post(body):
+        return client.post("/search/mtermvectors",
+                           data=json.dumps(body),
+                           content_type="application/json")
+
+    r = post({"table": "data_lake_mtv", "ids": [1, 2, 99]})
+    assert r.status_code == 200
+    docs = r.get_json()["docs"]
+    assert [d["found"] for d in docs] == [True, True, False]
+    assert docs[0]["term_vectors"]["txt"]["terms"]["alpha"]["term_freq"] == 1
+    # docs form with a missing table: ITS entry errors, batch survives
+    r = post({"docs": [
+        {"_index": "data_lake_mtv", "_id": 2,
+         "term_statistics": True},
+        {"_index": "data_lake_nope", "_id": 1},
+    ]})
+    docs = r.get_json()["docs"]
+    assert docs[0]["term_vectors"]["txt"]["terms"]["beta"]["doc_freq"] == 2
+    assert "no such table" in docs[1]["error"]
+    # named 400s: neither/both forms
+    assert post({"table": "data_lake_mtv"}).status_code == 400
+    assert post({"table": "data_lake_mtv", "ids": [1],
+                 "docs": []}).status_code == 400

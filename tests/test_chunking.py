@@ -338,3 +338,23 @@ def test_remove_probe_spans(spark):
     out2 = {r["doc_id"]: r for r in remove_probe_spans(
         docs, "doc_id", "text", probes, "ptext", k=7).collect()}
     assert all(r["tokens_removed"] == 0 for r in out2.values())
+
+
+def test_exact_substring_dedup_adversarial_all_identical(spark):
+    """Adversarial skew: EVERY doc is the same 40-token text — every
+    k-gram lands in one hash partition (the documented window-skew
+    case) and every token is covered; the job must survive and zero
+    out every doc."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        exact_substring_dedup,
+    )
+
+    text = " ".join(f"w{i}" for i in range(40))
+    out = exact_substring_dedup(
+        _docs(spark, *([text] * 200)), "doc_id", "text",
+        k=25, min_occurrences=2,
+    ).collect()
+    assert len(out) == 200
+    assert all(r["clean_text"] == "" for r in out)
+    assert all(r["tokens_removed"] == 40 for r in out)
+    assert all(r["n_spans_removed"] == 1 for r in out)
