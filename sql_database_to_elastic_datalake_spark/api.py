@@ -2312,7 +2312,11 @@ def _run_rank_eval(service: "LakeService", body) -> dict[str, Any]:
                 raise DslError(
                     f"request {rid!r}: each rating needs _id and "
                     "rating")
-            rmap[str(ent["_id"])] = int(ent["rating"])
+            if isinstance(ent["rating"], bool) \
+                    or not isinstance(ent["rating"], int):
+                raise DslError(
+                    f"request {rid!r}: rating must be an integer")
+            rmap[str(ent["_id"])] = ent["rating"]
         out = service.advanced_search(
             req.get("table") or body.get("table", INDEX_PREFIX + "*"),
             search["query"], k=k, sort=search.get("sort"),
@@ -2336,6 +2340,20 @@ def _run_rank_eval(service: "LakeService", body) -> dict[str, Any]:
         "metric_score": sum(scores) / len(scores),
         "details": details,
     }
+
+
+def _int_opt(container: dict, key: str, default: int) -> int:
+    """An integer option or a named 400 — a malformed size/max_edits
+    must never surface as an unhandled ValueError (a 500)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+    v = container.get(key, default)
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise DslError(f"{key} must be an integer")
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        raise DslError(f"{key} must be an integer") from None
 
 
 def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
@@ -2428,7 +2446,7 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                         {"text": r["value"], "_score": float(r["freq"])}
                         for r in suggest_completion_regex(
                             df, field, regex,
-                            size=int(body.get("size", 5))).collect()
+                            size=_int_opt(body, "size", 5)).collect()
                     ]
                 shown = regex
             elif field in df.columns:
@@ -2436,7 +2454,7 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                     {"text": r["value"], "_score": float(r["freq"])}
                     for r in suggest_completion(
                         df, field, prefix,
-                        size=int(body.get("size", 5)),
+                        size=_int_opt(body, "size", 5),
                         fuzzy=body.get("fuzzy")).collect()
                 ]
                 shown = prefix
@@ -2475,11 +2493,11 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
                     {"text": r["phrase"], "score": r["score"]}
                     for r in suggest_phrase(
                         df, field, text,
-                        size=int(body.get("size", 3)),
-                        max_edits=int(body.get("max_edits", 2)),
-                        prefix_length=int(
-                            body.get("prefix_length", 1)),
-                        min_doc_freq=int(body.get("min_doc_freq", 1)),
+                        size=_int_opt(body, "size", 3),
+                        max_edits=_int_opt(body, "max_edits", 2),
+                        prefix_length=_int_opt(
+                            body, "prefix_length", 1),
+                        min_doc_freq=_int_opt(body, "min_doc_freq", 1),
                         tokens=[t for t, _, _ in spans],
                     ).collect()
                 ]
@@ -2520,10 +2538,10 @@ def _run_suggest(df: "DataFrame", suggest: dict) -> dict[str, Any]:
         if field in df.columns and spans:
             rows = suggest_terms(
                 df, field, text,
-                size=int(body.get("size", 5)),
-                max_edits=int(body.get("max_edits", 2)),
-                prefix_length=int(body.get("prefix_length", 1)),
-                min_doc_freq=int(body.get("min_doc_freq", 1)),
+                size=_int_opt(body, "size", 5),
+                max_edits=_int_opt(body, "max_edits", 2),
+                prefix_length=_int_opt(body, "prefix_length", 1),
+                min_doc_freq=_int_opt(body, "min_doc_freq", 1),
                 suggest_mode=str(body.get("suggest_mode", "missing")),
                 tokens=[t for t, _, _ in spans],
             ).collect()

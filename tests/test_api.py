@@ -2611,3 +2611,31 @@ def test_mtermvectors_route(client, service, spark):
     assert post({"table": "data_lake_mtv"}).status_code == 400
     assert post({"table": "data_lake_mtv", "ids": [1],
                  "docs": []}).status_code == 400
+
+
+def test_malformed_integer_options_are_named_400s(client, service, spark):
+    """r11 hardening: a malformed size/max_edits/rating in the suggest
+    or rank_eval surfaces is the caller's named 400, never an
+    unhandled ValueError → 500."""
+    spark.createDataFrame([(1, "alpha beta")], "id long, txt string") \
+        .write.parquet(os.path.join(service.lake_dir, "data_lake_iv"))
+
+    def post(path, body):
+        return client.post(path, data=json.dumps(body),
+                           content_type="application/json")
+
+    r = post("/search/advanced", {
+        "table": "data_lake_iv", "query": {"match_all": {}},
+        "suggest": {"c": {"prefix": "al", "completion": {
+            "field": "txt", "size": "big"}}}})
+    assert r.status_code == 400 and "size" in r.get_json()["error"]
+    r = post("/search/advanced", {
+        "table": "data_lake_iv", "query": {"match_all": {}},
+        "suggest": {"t": {"text": "alpa", "term": {
+            "field": "txt", "max_edits": "x"}}}})
+    assert r.status_code == 400 and "max_edits" in r.get_json()["error"]
+    r = post("/search/rank_eval", {
+        "table": "data_lake_iv", "metric": {"precision": {}},
+        "requests": [{"id": "q", "request": {"query": {"match_all": {}}},
+                      "ratings": [{"_id": "1", "rating": "high"}]}]})
+    assert r.status_code == 400 and "rating" in r.get_json()["error"]
