@@ -367,6 +367,8 @@ def _span_field(kind: str, body) -> str:
     if not isinstance(body, dict):
         raise DslError(f"{kind} body must be an object")
     if kind == "span_term":
+        if not body:
+            raise DslError("span_term requires a field")
         return next(iter(body))
     if kind == "span_multi":
         match = body.get("match")
@@ -377,6 +379,8 @@ def _span_field(kind: str, body) -> str:
             raise DslError(
                 f"span_multi supports {list(_SPAN_MULTI_KINDS)}, "
                 f"got {mkind!r}")
+        if not isinstance(mbody, dict) or not mbody:
+            raise DslError(f"span_multi {mkind} requires a field")
         return next(iter(mbody))
     if kind == "span_first":
         sub = body.get("match")
@@ -1195,7 +1199,9 @@ def compile_dsl(
         return col(field).isin(list(values))
 
     if kind == "ids":
-        values = body["values"]
+        values = body.get("values")
+        if not isinstance(values, list):
+            raise DslError("ids requires a values list")
         return col(body.get("field", "id")).cast("string").isin(
             [str(v) for v in values]
         )
@@ -1219,6 +1225,8 @@ def compile_dsl(
         return acc
 
     if kind == "exists":
+        if not isinstance(body, dict) or not body.get("field"):
+            raise DslError("exists requires a field")
         return col(body["field"]).isNotNull()
 
     if kind == "prefix":

@@ -972,3 +972,20 @@ def test_intervals_named_400s(span_docs):
             "query": "x", "use_field": "other"}}}})
     with pytest.raises(DslError, match="one field"):
         compile_dsl({"intervals": {"a": {}, "b": {}}})
+
+
+def test_empty_leaf_bodies_are_named_400s(docs):
+    """r11 hardening: an empty/fieldless leaf body is the caller's
+    named DslError, never a raw StopIteration/KeyError (a wire 500).
+    Swept over every leaf kind the compiler accepts."""
+    for bad in (
+        {"term": {}}, {"terms": {}}, {"range": {}}, {"match": {}},
+        {"match_phrase": {}}, {"prefix": {}}, {"wildcard": {}},
+        {"regexp": {}}, {"fuzzy": {}}, {"exists": {}}, {"ids": {}},
+        {"exists": {"field": None}}, {"span_term": {}},
+        {"span_multi": {"match": {"prefix": {}}}},
+        {"match_bool_prefix": {}}, {"intervals": {}},
+        {"bool": {"must": [{"term": {}}]}},
+    ):
+        with pytest.raises(DslError):
+            compile_dsl(bad, schema_fields=["txt"])
