@@ -1799,24 +1799,49 @@ def gdpr_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus-prep funnel as one plan, reporting survivors per
-    stage. Each stage becomes a FLAG on the document (left joins against
-    the stage survivor sets), and every count is a conditional sum in a
-    single final aggregation — a crossJoin of per-stage count scalars
-    would make Catalyst re-execute the shared pipeline subtree once per
-    branch (observed: 64 shuffles vs ~10 for this shape). (Splits hash
-    the doc id directly — the cluster-keyed variant is
-    leakage_safe_split; post-dedup every cluster has exactly one
-    surviving doc, so the id IS the cluster key.)"""
+    stage. Each stage becomes a FLAG on the document (the near-dup drop
+    set left-joins back; the exact-dedup keep flag rides a WINDOW over
+    the content hash), and every count is a conditional sum in a single
+    final aggregation — a crossJoin of per-stage count scalars would
+    make Catalyst re-execute the shared pipeline subtree once per branch
+    (observed: 64 shuffles vs ~10 for this shape). The window replaces
+    the r4–r11 ``exact_dedup``-groupBy-rejoined-into-two-branches shape:
+    that groupBy subtree (and the quality scan under it) re-executed
+    once per consuming branch, which is where the sf1 run-to-run
+    bimodality came from (SELFCHECK_r11: 4.4–19.8 s for unchanged code);
+    the flag shape shares ONE shuffle between the shingle branch and the
+    final count. (Splits hash the doc id directly — the cluster-keyed
+    variant is leakage_safe_split; post-dedup every cluster has exactly
+    one surviving doc, so the id IS the cluster key.)"""
+    from pyspark.sql.window import Window
+
+    from sql_database_to_elastic_datalake_spark.functions.scalar import (
+        content_hash,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     is_quality = (text.token_count_ws("text") >= 20) & (F.col("lang") == "en")
     base = docs.select("doc_id", "text", is_quality.alias("is_q"))
-    quality = base.filter(F.col("is_q"))
-    kept_exact = (
-        dedup.exact_dedup(quality, ["text"], "doc_id")
-        .select("doc_id")
-        .withColumn("is_keep", F.lit(True))
+
+    def flag_count(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
+
+    # Branch A — raw/quality totals: one pushdown-free full scan with
+    # map-side partial aggregation, no shuffle beyond the 1-row gather.
+    totals = base.agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        flag_count(F.col("is_q"), "n_quality"),
     )
-    surviving = quality.join(kept_exact.drop("is_keep"), "doc_id", "left_semi")
+    # Branch B — everything past the quality gate. The lang='en'
+    # predicate is pushed into every scan under this branch; the
+    # exact-dedup keep flag is ONE window over the content hash (same
+    # keep rule as dedup.exact_dedup: min id per identical content).
+    quality = base.filter(F.col("is_q")).select("doc_id", "text")
+    min_doc = F.min("doc_id").over(
+        Window.partitionBy(content_hash(["text"]))
+    )
+    flagged = quality.withColumn("is_keep", F.col("doc_id") == min_doc)
+    surviving = flagged.filter(F.col("is_keep")).select("doc_id", "text")
     sh = dedup.word_shingles(surviving, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     drop = (
@@ -1825,35 +1850,42 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_drop", F.lit(True))
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    flags = (
-        base.join(kept_exact, "doc_id", "left")
-        .join(drop, "doc_id", "left")
+    clean = F.col("is_keep") & ~F.coalesce(F.col("is_drop"), F.lit(False))
+    split = (
+        F.when(bucket < "e666", F.lit("train"))
+        .when(bucket < "f333", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    qcounts = (
+        flagged.join(drop, "doc_id", "left")
         .select(
-            F.col("is_q"),
-            F.coalesce(F.col("is_keep"), F.lit(False)).alias("is_keep"),
-            (
-                F.coalesce(F.col("is_keep"), F.lit(False))
-                & ~F.coalesce(F.col("is_drop"), F.lit(False))
-            ).alias("is_clean"),
-            F.when(bucket < "e666", F.lit("train"))
-            .when(bucket < "f333", F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("s"),
+            F.col("is_keep"),
+            clean.alias("is_clean"),
+            split.alias("s"),
+        )
+        .agg(
+            flag_count(F.col("is_keep"), "n_exact_unique"),
+            flag_count(F.col("is_clean"), "n_clean"),
+            flag_count(F.col("is_clean") & (F.col("s") == "train"), "n_train"),
+            flag_count(F.col("is_clean") & (F.col("s") == "val"), "n_val"),
+            flag_count(F.col("is_clean") & (F.col("s") == "test"), "n_test"),
         )
     )
-
-    def flag_count(cond, alias):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
-
-    clean = F.col("is_clean")
-    return flags.agg(
-        F.count("*").cast("bigint").alias("n_raw"),
-        flag_count(F.col("is_q"), "n_quality"),
-        flag_count(F.col("is_keep"), "n_exact_unique"),
-        flag_count(clean, "n_clean"),
-        flag_count(clean & (F.col("s") == "train"), "n_train"),
-        flag_count(clean & (F.col("s") == "val"), "n_val"),
-        flag_count(clean & (F.col("s") == "test"), "n_test"),
+    # 1-row + 1-row assembly WITHOUT a join: a constant-key equi-join
+    # constant-folds into a nested-loop join, so instead the branches
+    # union with complementary NULLs and a final max() collapses them.
+    cols = ["n_raw", "n_quality", "n_exact_unique", "n_clean",
+            "n_train", "n_val", "n_test"]
+    a_row = totals.select(
+        *[F.col(c) if c in ("n_raw", "n_quality")
+          else F.lit(None).cast("bigint").alias(c) for c in cols]
+    )
+    b_row = qcounts.select(
+        *[F.lit(None).cast("bigint").alias(c) if c in ("n_raw", "n_quality")
+          else F.col(c) for c in cols]
+    )
+    return a_row.unionByName(b_row).agg(
+        *[F.max(c).cast("bigint").alias(c) for c in cols]
     )
 
 
