@@ -184,6 +184,15 @@ _AGG_BODY_KEYS = {
                    "exclude", "precision"},
     "auto_date_histogram": {"field", "buckets", "minimum_interval",
                             "format"},
+    # r11 late: variable_width_histogram is the largest-gaps exact
+    # variant (initial_buffer/shard_size tune ES's approximation —
+    # accepted-and-ignored); categorize_text is the exact-template
+    # tier (similarity_threshold != 100 is a named 400 in the frame)
+    "variable_width_histogram": {"field", "buckets", "initial_buffer",
+                                 "shard_size"},
+    "categorize_text": {"field", "size", "min_doc_count",
+                        "similarity_threshold",
+                        "categorization_filters", "shard_size"},
     "nested": {"path"},
     "reverse_nested": set(),
     # metric kinds: field + ES's missing-value substitution;
@@ -1480,6 +1489,95 @@ def auto_date_histogram_plan(
         hist_body["format"] = body["format"]
     return histogram_frame(df, "date_histogram", hist_body,
                            sub_aggs), label
+
+
+#: distinct-value budget for variable_width_histogram's global-sort
+#: windows (the rare_terms posture: a named 400, never a silent cap)
+_VWH_BUDGET = 1_000_000
+
+
+def variable_width_histogram_frame(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``variable_width_histogram`` (7.9+): at most N dynamically
+    sized buckets over a numeric field.
+
+    DOCUMENTED DIVERGENCE: ES streams values into clusters with a
+    buffered nearest-centroid merge — the ES docs themselves flag the
+    result as order-dependent ("bucket bounds are approximate"). This
+    engine partitions the SORTED DISTINCT values at the N−1 largest
+    adjacent gaps (ties: the leftmost gap wins) — the exact 1-D
+    clustering that maximizes inter-bucket separation, deterministic
+    across engines, runs, and repartitioning (the same exactness
+    posture as rare_terms vs ES's CuckooFilter).
+    ``initial_buffer``/``shard_size`` only tune ES's approximation and
+    are accepted-and-ignored.
+
+    Plan: one groupBy collapses docs to (value, doc_count) pairs, so
+    the two windows that follow (adjacent gap via lag, then the
+    boundary-rank / running-bucket-id pass) run over DISTINCT values
+    only — never over docs. Unpartitioned windows mean a single-task
+    sort, so the distinct count is hard-bounded (named 400 past the
+    budget); a numeric column needing variable-width buckets past 1M
+    distinct points wants a plain histogram instead. Values compare as
+    doubles in BOTH engines (decimal-exact gaps on one side and binary
+    doubles on the other could rank ties differently). Per bucket:
+    min / max / doc_count and the doc-weighted mean as ``key`` (ES's
+    centroid)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    check_agg_keys("variable_width_histogram", body)
+    field = body.get("field")
+    if field is None:
+        raise DslError("variable_width_histogram requires a field")
+    n = body.get("buckets", 10)
+    if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+        raise DslError(
+            "variable_width_histogram buckets must be a positive integer")
+    try:
+        dt = df.schema[str(field)].dataType
+    except KeyError:
+        raise DslError(
+            f"variable_width_histogram: unknown field {field!r}") from None
+    if not isinstance(dt, NumericType):
+        raise DslError(
+            f"variable_width_histogram field {field!r} is not numeric")
+    vals = (
+        df.select(F.col(field).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    if vals.limit(_VWH_BUDGET + 1).count() > _VWH_BUDGET:
+        raise DslError(
+            f"variable_width_histogram over more than {_VWH_BUDGET} "
+            "distinct values — gap ranking needs a global sort; use a "
+            "fixed-interval histogram at that cardinality")
+    w_v = Window.orderBy("v")
+    gapped = vals.withColumn("gap", F.col("v") - F.lag("v").over(w_v))
+    # rank gaps largest-first, leftmost value breaking ties; the first
+    # value's null gap sorts as -1 (gaps between distinct sorted
+    # values are always > 0) so it can never become a boundary even
+    # when there are fewer distinct values than buckets
+    rnk = F.row_number().over(
+        Window.orderBy(F.coalesce(F.col("gap"), F.lit(-1.0)).desc(),
+                       F.col("v").asc()))
+    boundary = F.col("gap").isNotNull() & (rnk <= F.lit(n - 1))
+    bucketed = gapped.withColumn(
+        "bucket",
+        F.sum(F.when(boundary, 1).otherwise(0)).over(
+            w_v.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            (F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt")).alias("key"),
+            F.sum("cnt").cast("bigint").alias("doc_count"),
+        )
+        .orderBy("min")
+        .select("key", "min", "max", "doc_count")
+    )
 
 
 def range_frame(
@@ -2907,6 +3005,75 @@ def significant_text_frame(
     )
 
 
+def categorize_text_frame(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``categorize_text`` (the ML log-pattern agg): group
+    semi-structured messages by their token template.
+
+    DOCUMENTED DIVERGENCE: ES's categorizer clusters messages
+    incrementally against a similarity threshold (default 70) — the
+    result depends on document order, and ES itself re-categorized
+    existing data when the 8.3 algorithm changed. This engine
+    implements the exact-template tier: two messages share a category
+    iff their digit-free token sequences are IDENTICAL — the
+    ``similarity_threshold: 100`` semantics, deterministic across
+    engines and runs; an explicit threshold other than 100 is a named
+    400, never a silent approximation. Matching ES's tokenizer
+    contract: tokens containing any digit are the variable parts of a
+    log line and are dropped from the template;
+    ``categorization_filters`` (Java regexes) are stripped from the
+    raw text first; messages whose template is empty (all-numeric
+    lines) are uncategorizable and skipped, like ES.
+
+    Plan: one tokenized scan → groupBy(template) where doc_count and
+    ``max_matching_length`` (the longest raw message in the category;
+    ES reports an analyzer-dependent estimate — documented) ride the
+    same shuffle → min_doc_count filter → TakeOrdered(size)."""
+    check_agg_keys("categorize_text", body)
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        TOKEN_SPLIT_LOWER_RE,
+    )
+
+    field = body.get("field")
+    if field is None:
+        raise DslError("categorize_text requires a field")
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 1))
+    thresh = body.get("similarity_threshold")
+    if thresh is not None and thresh != 100:
+        raise DslError(
+            "categorize_text similarity_threshold below 100 needs ES's "
+            "order-dependent incremental clustering — only the "
+            "deterministic exact-template tier (100) is implemented")
+    src = F.col(field).cast("string")
+    filters = body.get("categorization_filters") or []
+    if not isinstance(filters, list) or \
+            not all(isinstance(p, str) for p in filters):
+        raise DslError(
+            "categorization_filters must be an array of regex strings")
+    for pat in filters:
+        src = F.regexp_replace(src, pat, "")
+    toks = F.filter(
+        F.split(F.lower(src), TOKEN_SPLIT_LOWER_RE),
+        lambda t: (t != "") & ~t.rlike("[0-9]"),
+    )
+    return (
+        df.filter(F.col(field).isNotNull())
+        .select(
+            F.array_join(toks, " ").alias("key"),
+            F.length(F.col(field).cast("string")).alias("len"),
+        )
+        .filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_count"),
+            F.max("len").cast("bigint").alias("max_matching_length"),
+        )
+        .filter(F.col("doc_count") >= min_dc)
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def sampler_scope(
     df: DataFrame, body: dict, diversified: bool = False
 ) -> DataFrame:
@@ -4128,6 +4295,31 @@ def run_aggs(
                 {"key": _key_envelope(r["key"]),
                  "doc_count": r["doc_count"]}
                 for r in rows
+            ]}
+        elif kind == "variable_width_histogram":
+            if sub:
+                raise DslError(
+                    "sub-aggregations under variable_width_histogram "
+                    "are not supported"
+                )
+            out[name] = {"buckets": [
+                {"min": r["min"], "key": r["key"], "max": r["max"],
+                 "doc_count": r["doc_count"]}
+                for r in variable_width_histogram_frame(df, body)
+                .collect()
+            ]}
+        elif kind == "categorize_text":
+            if sub:
+                raise DslError(
+                    "sub-aggregations under categorize_text are not "
+                    "supported"
+                )
+            out[name] = {"buckets": [
+                {"key": r["key"], "doc_count": r["doc_count"],
+                 "regex": ".*?" + ".*?".join(
+                     re.escape(t) for t in r["key"].split(" ")) + ".*?",
+                 "max_matching_length": r["max_matching_length"]}
+                for r in categorize_text_frame(df, body).collect()
             ]}
         elif kind == "auto_date_histogram":
             frame, label = auto_date_histogram_plan(df, body, sub)

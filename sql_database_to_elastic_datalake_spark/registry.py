@@ -2257,6 +2257,118 @@ def search_aggs_auto_interval(
 
 
 @register(
+    "search_aggs_variable_width",
+    # the deterministic largest-gaps variant of ES's (order-dependent)
+    # variable_width_histogram: split sorted distinct values at the
+    # N-1 widest adjacent gaps, leftmost gap breaking ties. n_chars is
+    # integral, so every double sum below is integer-valued (< 2^53)
+    # and therefore order-independent and engine-exact
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    gapped AS (
+        SELECT v, cnt, v - lag(v) OVER (ORDER BY v) AS gap FROM vals
+    ),
+    ranked AS (
+        SELECT v, cnt, gap,
+               row_number() OVER (
+                   ORDER BY coalesce(gap, -1.0) DESC, v ASC) AS rnk
+        FROM gapped
+    ),
+    bucketed AS (
+        SELECT v, cnt,
+               SUM(CASE WHEN gap IS NOT NULL AND rnk <= 7
+                        THEN 1 ELSE 0 END)
+                   OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS bucket
+        FROM ranked
+    )
+    SELECT SUM(v * cnt) / SUM(cnt) AS key,
+           MIN(v) AS vw_min, MAX(v) AS vw_max,
+           CAST(SUM(cnt) AS BIGINT) AS doc_count
+    FROM bucketed GROUP BY bucket ORDER BY vw_min
+    """,
+)
+def search_aggs_variable_width(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``variable_width_histogram`` (r11 late — Kibana's adaptive
+    numeric facet): one groupBy collapses docs to distinct values,
+    budget-bounded single-task windows rank the gaps, and one final
+    groupBy emits min/centroid/max/doc_count per bucket. ES's
+    streaming nearest-centroid merge is order-dependent; the
+    largest-gaps split is the deterministic exact counterpart
+    (divergence documented in the frame docstring)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_aggs(docs, {"widths": {
+        "variable_width_histogram": {"field": "n_chars", "buckets": 8},
+    }})
+    flat = [(b["key"], b["min"], b["max"], b["doc_count"])
+            for b in out["widths"]["buckets"]]
+    return spark.createDataFrame(
+        flat, "key double, vw_min double, vw_max double, doc_count long")
+
+
+@register(
+    "search_aggs_categorize_text",
+    # exact-template categorization (similarity 100): digit-bearing
+    # tokens are a log line's variable parts and drop out of the key;
+    # grouping is by the remaining token sequence. The synthetic "log"
+    # is event_type || ' user=' || user_id, so categories collapse to
+    # the event_type vocabulary with max_matching_length the longest
+    # raw line
+    oracle="""
+    WITH msgs AS (
+        SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)
+                   AS message
+        FROM events
+    ),
+    keyed AS (
+        SELECT message,
+               array_to_string(list_filter(
+                   string_split_regex(lower(message), '[^0-9a-z]+'),
+                   t -> t <> '' AND NOT regexp_matches(t, '[0-9]')),
+                   ' ') AS key
+        FROM msgs WHERE message IS NOT NULL
+    )
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           '.*?' || replace(key, ' ', '.*?') || '.*?' AS regex,
+           CAST(MAX(length(message)) AS BIGINT) AS max_matching_length
+    FROM keyed WHERE key <> ''
+    GROUP BY key ORDER BY doc_count DESC, key LIMIT 20
+    """,
+)
+def search_aggs_categorize_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``categorize_text`` (r11 late — the ES ML log-pattern agg, and
+    a corpus-prep primitive: template extraction is how boilerplate
+    log lines get grouped before dedup): ONE tokenized scan, count +
+    max-length in the same shuffle, TakeOrdered(size). Exact-template
+    tier only (divergence documented in the frame docstring)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(F.concat(
+        F.col("event_type"), F.lit(" user="),
+        F.col("user_id").cast("string")).alias("message"))
+    out = run_aggs(msgs, {"cats": {
+        "categorize_text": {"field": "message", "size": 20},
+    }})
+    flat = [(b["key"], b["doc_count"], b["regex"],
+             b["max_matching_length"])
+            for b in out["cats"]["buckets"]]
+    return spark.createDataFrame(
+        flat,
+        "key string, doc_count long, regex string, "
+        "max_matching_length long")
+
+
+@register(
     "search_aggs_nested_parent",
     # the nested agg over order->labels arrays IS lineitem x part at
     # source granularity: per-brand element counts, DISTINCT parent
@@ -6870,6 +6982,9 @@ _CHECK_FIRST = [
     "search_dsl_span_nested",      # r11 touched: unordered overlap
                                    # now permitted (Lucene parity)
     "search_dsl_intervals_filter", # r11 touched: shares the walk
+    "corpus_prep_stats",           # r11 touched: two-branch window plan
+    "search_aggs_variable_width",  # r11 NEW: largest-gaps vwh
+    "search_aggs_categorize_text", # r11 NEW: exact-template categorizer
     # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
     #    queries still carrying round-4 evidence — after this window
     #    nothing in the registry is older than round 5.
@@ -6911,9 +7026,9 @@ _CHECK_FIRST = [
     "anti_join_no_orders",
     "search_dsl_bool",
     "search_dsl_should_wildcard",
-    "search_dsl_msm_wildcard",
-    "search_dsl_terms_set",
-    "search_multimatch_scored",
+    # (search_dsl_msm_wildcard / search_dsl_terms_set /
+    #  search_multimatch_scored yield their slots to the restructured
+    #  corpus_prep_stats and the two late-r11 aggs above)
     # (search_bm25_scored also yields its slot to the late additions;
     #  it retires with the r5 tier in r12)
     # (search_all_tables / search_nested_labels / search_hits_envelope

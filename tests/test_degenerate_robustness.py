@@ -120,6 +120,12 @@ CHECKED = (
     "pii_redaction",
     "lm_perplexity_features",
     "benchmark_decontamination_spans",
+    # late r11: the gap-split histogram over a tiny/degenerate value
+    # set (fewer distinct values than buckets, single-value buckets)
+    # and the template categorizer over whitespace-only messages
+    # (empty templates skipped, both engines)
+    "search_aggs_variable_width",
+    "search_aggs_categorize_text",
 )
 
 
