@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Redaction patterns — the subset of regex syntax identical in
@@ -269,6 +269,100 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_hex_threshold(rate))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: Mapping[str, float],
+) -> DataFrame:
+    """Materialize a target domain mixture by deterministic up/down
+    resampling — the step after :func:`mixture weights are chosen
+    <stratified_sample>` in a DoReMi/Pile-style pipeline (public refs:
+    arXiv:2305.10429 DoReMi; The Pile's per-set epoch counts,
+    arXiv:2101.00027 Table 1, which upsamples small high-quality sets
+    by repeating them a fractional number of epochs).
+
+    Each listed domain is resampled to ``round(w_d / Σw · N_total)``
+    rows (unlisted domains drop — weight 0); a domain's copies spread
+    as evenly as possible: every doc gets ``target ÷ n`` copies and
+    the first ``target mod n`` docs in md5-of-id order get one more,
+    so per-doc copy counts differ by at most 1 and membership is a
+    pure function of (id, domain counts) — stable across engines,
+    partitionings and reruns, like every sampling draw in this module.
+    Downsampling is the ``{0,1}``-copy special case of the same rule.
+
+    Output: one row per (input row × copy), ``copy`` = 0..n_copies−1
+    (training loaders shuffle downstream; the copy index keeps the
+    output row-identifiable for accounting and oracles).
+
+    Plan: one tiny per-domain count aggregate (broadcast back), one
+    rank window partitioned BY DOMAIN (parallel across domains — never
+    a global sort), and a generator explode for the copies. The
+    domain-count lookup is rows=|domains|, broadcast however big the
+    corpus.
+    """
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{domain_col} string, __wt double",
+    )
+    counts = df.groupBy(domain_col).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    # N_total spans the WHOLE corpus (summed before the weight join),
+    # so the resampled output keeps the original corpus size even when
+    # unlisted domains drop out
+    n_total = Window.partitionBy()
+    targets = (
+        counts.withColumn(
+            "__total", F.sum("__n").over(n_total).cast("double")
+        )
+        .join(F.broadcast(wdf), domain_col)
+        .select(
+            domain_col,
+            "__n",
+            F.round(
+                F.col("__wt") / F.lit(total_w) * F.col("__total")
+            ).cast("bigint").alias("__target"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    copies = (
+        df.join(F.broadcast(targets), domain_col)
+        .withColumn("__rn", rn)
+        .withColumn(
+            "__copies",
+            # integral DIV, not float division-and-truncate: a
+            # correctly-rounded double quotient can land exactly ON an
+            # integer the true ratio sits just below
+            F.expr("__target DIV __n").cast("bigint")
+            + F.when(
+                F.col("__rn") <= F.col("__target") % F.col("__n"), 1
+            ).otherwise(0),
+        )
+    )
+    return (
+        copies.select(
+            *df.columns,
+            F.explode(
+                F.when(
+                    F.col("__copies") > 0,
+                    F.sequence(F.lit(0), (F.col("__copies") - 1).cast("int")),
+                ).otherwise(F.array())
+            ).alias("copy"),
+        )
+        # a generator cannot nest inside expressions — cast after
+        .withColumn("copy", F.col("copy").cast("bigint"))
+    )
 
 
 def leakage_safe_split(

@@ -6985,6 +6985,7 @@ _CHECK_FIRST = [
     "corpus_prep_stats",           # r11 touched: two-branch window plan
     "search_aggs_variable_width",  # r11 NEW: largest-gaps vwh
     "search_aggs_categorize_text", # r11 NEW: exact-template categorizer
+    "mixture_domain_resample",     # r11 NEW: mixture materialization
     # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
     #    queries still carrying round-4 evidence — after this window
     #    nothing in the registry is older than round 5.
@@ -7025,10 +7026,10 @@ _CHECK_FIRST = [
     "semi_join_discounted",
     "anti_join_no_orders",
     "search_dsl_bool",
-    "search_dsl_should_wildcard",
-    # (search_dsl_msm_wildcard / search_dsl_terms_set /
-    #  search_multimatch_scored yield their slots to the restructured
-    #  corpus_prep_stats and the two late-r11 aggs above)
+    # (search_dsl_should_wildcard / search_dsl_msm_wildcard /
+    #  search_dsl_terms_set / search_multimatch_scored yield their
+    #  slots to the restructured corpus_prep_stats and the three
+    #  late-r11 queries above)
     # (search_bm25_scored also yields its slot to the late additions;
     #  it retires with the r5 tier in r12)
     # (search_all_tables / search_nested_labels / search_hits_envelope

@@ -2686,6 +2686,68 @@ def mixture_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_domain_resample",
+    # DoReMi/Pile-style mixture materialization: each weighted domain
+    # resamples to round(w/Σw · N_total) rows; copies spread evenly in
+    # md5-of-id order (first target-mod-n docs get the extra copy) —
+    # all-integer arithmetic, so the replay is engine-exact
+    oracle="""
+    WITH w(source, wt) AS (
+        VALUES ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)
+    ),
+    counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ),
+    targets AS (
+        SELECT c.source, c.n,
+               CAST(ROUND(w.wt / (SELECT SUM(wt) FROM w)
+                          * (SELECT SUM(n) FROM counts)) AS BIGINT)
+                   AS target
+        FROM counts c JOIN w ON c.source = w.source
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, t.n, t.target,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d JOIN targets t ON d.source = t.source
+    ),
+    copies AS (
+        SELECT doc_id, source,
+               (target // n)
+               + CASE WHEN rn <= (target % n) THEN 1 ELSE 0 END AS nc
+        FROM ranked
+    )
+    SELECT doc_id, source, CAST(i AS BIGINT) AS copy
+    FROM copies, LATERAL (SELECT unnest(range(0, nc)) AS i) r
+    """,
+)
+def mixture_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture materialization
+    (operators/chunking.py:resample_to_mixture): the missing step
+    between ``mixture_rebalance_rates`` (which computes rates) and a
+    training run — rows actually repeat/drop to hit each domain's
+    target share, Pile-style fractional epochs as integer copy counts.
+    Plan: tiny count aggregate + weight lookup broadcast back, ONE
+    per-domain rank window (parallel across domains), generator
+    explode for the copies. Unlisted domains drop (weight 0)."""
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        resample_to_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    out = resample_to_mixture(
+        docs, "doc_id", "source",
+        {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0},
+    )
+    return out.select("doc_id", "source", "copy")
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation — the classic customer-scoring analytic.
 # ---------------------------------------------------------------------------

@@ -358,3 +358,88 @@ def test_exact_substring_dedup_adversarial_all_identical(spark):
     assert all(r["clean_text"] == "" for r in out)
     assert all(r["tokens_removed"] == 40 for r in out)
     assert all(r["n_spans_removed"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# resample_to_mixture (late r11 — mixture materialization)
+# ---------------------------------------------------------------------------
+
+def _domains(spark, spec):
+    """spec: {domain: n_rows} → (id, domain) frame with global ids."""
+    rows, i = [], 0
+    for dom, n in sorted(spec.items()):
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    return spark.createDataFrame(rows, "id long, dom string")
+
+
+def test_resample_hits_rounded_targets(spark):
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        resample_to_mixture,
+    )
+
+    df = _domains(spark, {"a": 10, "b": 40})
+    out = resample_to_mixture(
+        df, "id", "dom", {"a": 3.0, "b": 1.0}).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], []).append(r)
+    # N_total=50: a -> round(3/4*50)=38 from 10 docs, b -> round(1/4*50)=13
+    assert len(by_dom["a"]) == 38 and len(by_dom["b"]) == 13
+    # copies spread evenly: every a-doc 3 or 4 copies (38 = 10*3 + 8)
+    from collections import Counter
+
+    a_copies = Counter(r["id"] for r in by_dom["a"])
+    assert sorted(a_copies.values()) == [3] * 2 + [4] * 8
+    assert set(Counter(r["id"] for r in by_dom["b"]).values()) == {1}
+    # copy indices are dense per doc
+    for rid, n in a_copies.items():
+        got = sorted(r["copy"] for r in by_dom["a"] if r["id"] == rid)
+        assert got == list(range(n))
+
+
+def test_resample_drops_unlisted_domains_and_is_deterministic(spark):
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        resample_to_mixture,
+    )
+
+    df = _domains(spark, {"a": 5, "zzz": 20})
+    out1 = resample_to_mixture(df, "id", "dom", {"a": 1.0})
+    rows1 = sorted((r["id"], r["copy"]) for r in out1.collect())
+    assert all(True for _ in rows1)
+    assert {r for r, _ in rows1} <= set(range(5))
+    # target = round(1/1 * 25) = 25 copies over 5 docs -> 5 each
+    assert len(rows1) == 25
+    rows2 = sorted(
+        (r["id"], r["copy"])
+        for r in resample_to_mixture(
+            df.repartition(7), "id", "dom", {"a": 1.0}).collect())
+    assert rows1 == rows2
+
+
+def test_resample_rejects_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        resample_to_mixture,
+    )
+
+    df = _domains(spark, {"a": 1})
+    with _pytest.raises(ValueError, match="positive"):
+        resample_to_mixture(df, "id", "dom", {"a": 0.0})
+
+
+def test_resample_plan_no_global_sort(spark):
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        resample_to_mixture,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.audit import audit
+
+    df = _domains(spark, {"a": 5, "b": 5})
+    a = audit(resample_to_mixture(df, "id", "dom", {"a": 1.0, "b": 1.0}))
+    assert a["cartesian"] == 0
+    # count groupBy (+1-row window) + the PER-DOMAIN rank window; the
+    # corpus itself shuffles once on the domain key
+    assert a["shuffles"] <= 4
+    assert a["broadcast_joins"] >= 2
