@@ -193,6 +193,11 @@ _AGG_BODY_KEYS = {
     "categorize_text": {"field", "size", "min_doc_count",
                         "similarity_threshold",
                         "categorization_filters", "shard_size"},
+    # r11 late: exact closed-set mining (ES mines per-shard sampled
+    # eclat and calls its own output approximate — divergence
+    # documented in the frame)
+    "frequent_item_sets": {"fields", "minimum_set_size",
+                           "minimum_support", "size"},
     "nested": {"path"},
     "reverse_nested": set(),
     # metric kinds: field + ES's missing-value substitution;
@@ -3074,6 +3079,149 @@ def categorize_text_frame(df: DataFrame, body: dict) -> DataFrame:
     )
 
 
+#: frequent_item_sets bounds: distinct frequent sets surviving the
+#: support filter (driver closed-set filter is quadratic per count
+#: class) and items per row (subset enumeration is 2^n per row)
+_FIS_BUDGET = 10_000
+_FIS_MAX_ITEMS = 12
+_FIS_SEP = "\x1f"
+
+
+def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
+    """ES ``frequent_item_sets`` (8.4+): closed sets of field values
+    that co-occur in at least ``minimum_support`` of the documents —
+    market-basket mining over index fields.
+
+    DOCUMENTED DIVERGENCE: ES mines per-shard with a sampled eclat
+    variant and flags its own results as approximate; this engine is
+    exact and deterministic. Semantics kept: items are (field, value)
+    pairs (array fields contribute one item per element), support
+    counts DOCUMENTS, only CLOSED sets return (no superset has the
+    same doc_count), sets smaller than ``minimum_set_size`` are
+    dropped, top ``size`` by doc_count (key ascending on ties — ES
+    leaves ties unspecified; fixed order is the determinism contract).
+
+    Plan: one scan builds each row's sorted distinct item array; a
+    generator enumerates that row's subset bitmasks IN-ROW (bounded:
+    > {max_items} items per row is a named 400 — 2^n subsets per row
+    is the algorithm, the bound makes it explicit, and transactional
+    baskets past a dozen distinct fields want a dedicated FP-growth
+    job, not an aggregation request); one groupBy on the itemset
+    array counts documents; the support filter prunes BEFORE the
+    budget-bounded collect; the closed-set filter runs driver-side
+    within equal-count classes (only they can tie). Candidate counts
+    are bounded by the support threshold exactly as in Apriori — every
+    frequent set's subsets are frequent, so nothing below the
+    threshold survives to the driver."""
+    check_agg_keys("frequent_item_sets", body)
+    fields = body.get("fields")
+    if not isinstance(fields, list) or not fields or not all(
+            isinstance(f, dict) and f.get("field") for f in fields):
+        raise DslError(
+            "frequent_item_sets requires fields: [{field: name}, ...]")
+    names = [str(f["field"]) for f in fields]
+    for f in fields:
+        extra = sorted(set(f) - {"field"})
+        if extra:
+            raise DslError(
+                f"unsupported frequent_item_sets field options: {extra}")
+    min_size = body.get("minimum_set_size", 1)
+    if not isinstance(min_size, int) or isinstance(min_size, bool) \
+            or min_size < 1:
+        raise DslError(
+            "frequent_item_sets minimum_set_size must be a positive "
+            "integer")
+    min_support = body.get("minimum_support", 0.1)
+    if not isinstance(min_support, (int, float)) \
+            or isinstance(min_support, bool) \
+            or not (0 < float(min_support) <= 1):
+        raise DslError(
+            "frequent_item_sets minimum_support must be in (0, 1]")
+    size = int(body.get("size", 10))
+
+    from pyspark.sql.types import ArrayType
+
+    item_cols = []
+    for nm in names:
+        try:
+            dt = df.schema[nm].dataType
+        except KeyError:
+            raise DslError(
+                f"frequent_item_sets: unknown field {nm!r}") from None
+        c = F.col(nm)
+        tag = F.lit(nm + _FIS_SEP)
+        if isinstance(dt, ArrayType):
+            item_cols.append(F.transform(
+                F.filter(c, lambda x: x.isNotNull()),
+                lambda x: F.concat(tag, x.cast("string"))))
+        else:
+            item_cols.append(
+                F.when(c.isNotNull(),
+                       F.array(F.concat(tag, c.cast("string"))))
+                .otherwise(F.array().cast("array<string>")))
+    items = F.array_sort(F.array_distinct(
+        F.flatten(F.coalesce(F.array(*item_cols),
+                             F.array().cast("array<array<string>>")))))
+    base = (
+        df.select(items.alias("items"))
+        .withColumn("n", F.size("items"))
+        .filter(F.col("n") >= min_size)
+    )
+    if base.filter(F.col("n") > _FIS_MAX_ITEMS).limit(1).count():
+        raise DslError(
+            f"frequent_item_sets over rows with more than "
+            f"{_FIS_MAX_ITEMS} distinct items — subset enumeration is "
+            "2^n per row; reduce the field list or pre-bucket the "
+            "values")
+    total = df.count()
+    if total == 0:
+        return []
+    cand = (
+        base.select(
+            "items",
+            F.explode(F.expr(
+                "sequence(1, shiftleft(1, n) - 1)"
+            )).alias("mask"),
+        )
+        .filter(F.bit_count("mask") >= min_size)
+        .selectExpr("filter(items, (x, i) -> getbit(mask, i) = 1) "
+                    "AS itemset")
+        .groupBy("itemset")
+        .agg(F.count("*").cast("bigint").alias("doc_count"))
+        .filter(F.col("doc_count").cast("double") / F.lit(float(total))
+                >= F.lit(float(min_support)))
+    )
+    rows = cand.limit(_FIS_BUDGET + 1).collect()
+    if len(rows) > _FIS_BUDGET:
+        raise DslError(
+            f"frequent_item_sets exceeds {_FIS_BUDGET} frequent sets — "
+            "raise minimum_support or minimum_set_size")
+    by_count: dict[int, list[frozenset]] = {}
+    for r in rows:
+        by_count.setdefault(r["doc_count"], []).append(
+            frozenset(r["itemset"]))
+    buckets = []
+    for r in rows:
+        s = frozenset(r["itemset"])
+        if any(s < other for other in by_count[r["doc_count"]]):
+            continue  # an equal-count superset exists: not closed
+        key: dict[str, list[str]] = {}
+        for item in sorted(s):
+            fld, val = item.split(_FIS_SEP, 1)
+            key.setdefault(fld, []).append(val)
+        buckets.append({
+            "key": key,
+            "doc_count": int(r["doc_count"]),
+            "support": r["doc_count"] / total,
+        })
+    buckets.sort(key=lambda b: (
+        -b["doc_count"],
+        ",".join(f"{f}={v}" for f in sorted(b["key"])
+                 for v in b["key"][f]),
+    ))
+    return buckets[:size]
+
+
 def sampler_scope(
     df: DataFrame, body: dict, diversified: bool = False
 ) -> DataFrame:
@@ -4296,6 +4444,13 @@ def run_aggs(
                  "doc_count": r["doc_count"]}
                 for r in rows
             ]}
+        elif kind == "frequent_item_sets":
+            if sub:
+                raise DslError(
+                    "sub-aggregations under frequent_item_sets are "
+                    "not supported"
+                )
+            out[name] = {"buckets": frequent_item_sets_result(df, body)}
         elif kind == "variable_width_histogram":
             if sub:
                 raise DslError(

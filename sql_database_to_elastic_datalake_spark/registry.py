@@ -2369,6 +2369,94 @@ def search_aggs_categorize_text(
 
 
 @register(
+    "search_aggs_frequent_item_sets",
+    # exact closed-set mining over 3 scalar fields: every subset shape
+    # (3 pairs + the triple) is a grouped count; a pair is closed iff
+    # no equal-count triple extends it (supersets can only come from
+    # the same field list). ES's sampled eclat is approximate by its
+    # own docs — exactness is the documented divergence
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(l_linenumber AS VARCHAR) AS sm
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+    p12 AS (
+        SELECT ls, rf, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t WHERE ls IS NOT NULL AND rf IS NOT NULL GROUP BY 1, 2
+    ),
+    p13 AS (
+        SELECT ls, sm, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t WHERE ls IS NOT NULL AND sm IS NOT NULL GROUP BY 1, 2
+    ),
+    p23 AS (
+        SELECT rf, sm, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t WHERE rf IS NOT NULL AND sm IS NOT NULL GROUP BY 1, 2
+    ),
+    p123 AS (
+        SELECT ls, rf, sm, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t WHERE ls IS NOT NULL AND rf IS NOT NULL
+                 AND sm IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    allsets AS (
+        SELECT 'l_linestatus=' || ls || ',l_returnflag=' || rf AS key,
+               c
+        FROM p12 WHERE NOT EXISTS (
+            SELECT 1 FROM p123 q
+            WHERE q.ls = p12.ls AND q.rf = p12.rf AND q.c = p12.c)
+        UNION ALL
+        SELECT 'l_linenumber=' || sm || ',l_linestatus=' || ls, c
+        FROM p13 WHERE NOT EXISTS (
+            SELECT 1 FROM p123 q
+            WHERE q.ls = p13.ls AND q.sm = p13.sm AND q.c = p13.c)
+        UNION ALL
+        SELECT 'l_linenumber=' || sm || ',l_returnflag=' || rf, c
+        FROM p23 WHERE NOT EXISTS (
+            SELECT 1 FROM p123 q
+            WHERE q.rf = p23.rf AND q.sm = p23.sm AND q.c = p23.c)
+        UNION ALL
+        SELECT 'l_linenumber=' || sm || ',l_linestatus=' || ls
+                   || ',l_returnflag=' || rf, c
+        FROM p123
+    )
+    SELECT key, c AS doc_count,
+           CAST(c AS DOUBLE) / (SELECT n FROM tot) AS support
+    FROM allsets
+    WHERE CAST(c AS DOUBLE) / (SELECT n FROM tot) >= 0.05
+    ORDER BY doc_count DESC, key
+    LIMIT 12
+    """,
+)
+def search_aggs_frequent_item_sets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``frequent_item_sets`` (r11 late — ES 8.4's market-basket agg):
+    one scan builds each row's sorted distinct item array, a generator
+    enumerates subset bitmasks in-row (bounded 2^n, n = field count),
+    ONE groupBy counts documents per itemset, the support filter
+    prunes before the budget-bounded collect, closed-set filtering
+    runs driver-side within equal-count classes."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import run_aggs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = run_aggs(li, {"sets": {"frequent_item_sets": {
+        "fields": [{"field": "l_returnflag"},
+                   {"field": "l_linestatus"},
+                   {"field": "l_linenumber"}],
+        "minimum_set_size": 2, "minimum_support": 0.05, "size": 12,
+    }}})
+    flat = [
+        (",".join(f"{f}={v}" for f in sorted(b["key"])
+                  for v in b["key"][f]),
+         b["doc_count"], b["support"])
+        for b in out["sets"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        flat, "key string, doc_count long, support double")
+
+
+@register(
     "search_aggs_nested_parent",
     # the nested agg over order->labels arrays IS lineitem x part at
     # source granularity: per-brand element counts, DISTINCT parent
@@ -6986,6 +7074,7 @@ _CHECK_FIRST = [
     "search_aggs_variable_width",  # r11 NEW: largest-gaps vwh
     "search_aggs_categorize_text", # r11 NEW: exact-template categorizer
     "mixture_domain_resample",     # r11 NEW: mixture materialization
+    "search_aggs_frequent_item_sets",  # r11 NEW: closed-set mining
     # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
     #    queries still carrying round-4 evidence — after this window
     #    nothing in the registry is older than round 5.
@@ -7025,8 +7114,7 @@ _CHECK_FIRST = [
     #    order (12 of 31; the rest retire in the r12 window).
     "semi_join_discounted",
     "anti_join_no_orders",
-    "search_dsl_bool",
-    # (search_dsl_should_wildcard / search_dsl_msm_wildcard /
+    # (search_dsl_bool / search_dsl_should_wildcard / search_dsl_msm_wildcard /
     #  search_dsl_terms_set / search_multimatch_scored yield their
     #  slots to the restructured corpus_prep_stats and the three
     #  late-r11 queries above)

@@ -186,3 +186,109 @@ def test_categorize_plan_one_shuffle_then_order(spark, sf_dir):
     assert a["shuffles"] <= 2
     [scan] = a["scans"]
     assert scan["table"] == "documents" and scan["n_cols"] == 1
+
+
+# ---------------------------------------------------------------------------
+# frequent_item_sets
+# ---------------------------------------------------------------------------
+
+def _fis(spark, rows, schema, body):
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        frequent_item_sets_result,
+    )
+
+    return frequent_item_sets_result(
+        spark.createDataFrame(rows, schema), body)
+
+
+def test_fis_mines_closed_sets_only(spark):
+    # {a=1, b=x} appears in exactly the same 3 docs as {a=1}: the
+    # singleton is NOT closed and must not return even at set size 1
+    rows = [(1, "x"), (1, "x"), (1, "x"), (2, "y")]
+    out = _fis(spark, rows, "a long, b string",
+               {"fields": [{"field": "a"}, {"field": "b"}],
+                "minimum_support": 0.5, "minimum_set_size": 1})
+    assert out == [{
+        "key": {"a": ["1"], "b": ["x"]}, "doc_count": 3,
+        "support": 0.75,
+    }]
+
+
+def test_fis_support_and_set_size_filters(spark):
+    rows = [(1, "x"), (1, "y"), (2, "x")]
+    out = _fis(spark, rows, "a long, b string",
+               {"fields": [{"field": "a"}, {"field": "b"}],
+                "minimum_support": 0.6, "minimum_set_size": 1})
+    # only {a=1} (2/3) and {b=x} (2/3) pass 0.6 support; both are
+    # closed (their supersets have count 1)
+    assert [(b["key"], b["doc_count"]) for b in out] == [
+        ({"a": ["1"]}, 2), ({"b": ["x"]}, 2)]
+    out2 = _fis(spark, rows, "a long, b string",
+                {"fields": [{"field": "a"}, {"field": "b"}],
+                 "minimum_support": 0.6, "minimum_set_size": 2})
+    assert out2 == []
+
+
+def test_fis_array_fields_contribute_elements(spark):
+    rows = [(["p", "q"],), (["p"],), (["p", "q"],)]
+    out = _fis(spark, rows, "tags array<string>",
+               {"fields": [{"field": "tags"}],
+                "minimum_support": 0.5, "minimum_set_size": 2})
+    assert out == [{
+        "key": {"tags": ["p", "q"]}, "doc_count": 2,
+        "support": pytest.approx(2 / 3),
+    }]
+
+
+def test_fis_named_400s(spark):
+    df_rows = [(1, "x")]
+    with pytest.raises(DslError, match="requires fields"):
+        _fis(spark, df_rows, "a long, b string", {"fields": []})
+    with pytest.raises(DslError, match="minimum_support"):
+        _fis(spark, df_rows, "a long, b string",
+             {"fields": [{"field": "a"}], "minimum_support": 0})
+    with pytest.raises(DslError, match="minimum_set_size"):
+        _fis(spark, df_rows, "a long, b string",
+             {"fields": [{"field": "a"}], "minimum_set_size": 0})
+    with pytest.raises(DslError, match="unknown field"):
+        _fis(spark, df_rows, "a long, b string",
+             {"fields": [{"field": "zz"}]})
+    with pytest.raises(DslError, match="field options"):
+        _fis(spark, df_rows, "a long, b string",
+             {"fields": [{"field": "a", "filter": {}}]})
+    with pytest.raises(DslError, match="more than 12 distinct items"):
+        _fis(spark, [(list("abcdefghijklmn"),)], "tags array<string>",
+             {"fields": [{"field": "tags"}], "minimum_support": 0.1})
+
+
+def test_fis_envelope_and_sub_agg_rejection(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = run_aggs(df, {"s": {"frequent_item_sets": {
+        "fields": [{"field": "a"}, {"field": "b"}],
+        "minimum_set_size": 2, "minimum_support": 0.5}}})
+    assert out["s"]["buckets"][0]["key"] == {"a": ["1"], "b": ["x"]}
+    with pytest.raises(DslError, match="sub-aggregations under "
+                                       "frequent_item_sets"):
+        run_aggs(df, {"s": {
+            "frequent_item_sets": {"fields": [{"field": "a"}]},
+            "aggs": {"m": {"avg": {"field": "a"}}}}})
+
+
+def test_fis_plan_single_corpus_groupby(spark, sf_dir):
+    from sql_database_to_elastic_datalake_spark.sources.parquet import (
+        load_table,
+    )
+    # the candidate plan (pre-collect) is scan -> generator -> ONE
+    # groupBy; audited indirectly: the result call runs end-to-end on
+    # real data without error and honors determinism across calls
+    li = load_table(spark, sf_dir, "lineitem")
+    body = {"fields": [{"field": "l_returnflag"},
+                       {"field": "l_linestatus"}],
+            "minimum_set_size": 2, "minimum_support": 0.05}
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        frequent_item_sets_result,
+    )
+
+    a = frequent_item_sets_result(li, body)
+    b = frequent_item_sets_result(li.repartition(5), body)
+    assert a == b and len(a) >= 1
