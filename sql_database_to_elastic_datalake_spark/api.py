@@ -1487,8 +1487,11 @@ class LakeService:
         response trimming. ``highlight`` wraps the query's positive
         text terms in ``pre_tags``/``post_tags`` on the RETURNED hits
         only (≤ from+size rows driver-side — never a distributed
-        pass); one whole-value fragment per field, the documented
-        fragment_size divergence (plans/search.py:highlight_value).
+        pass); fragments window to ES's defaults (fragment_size 100 /
+        number_of_fragments 5) with edges snapped to boundary chars —
+        the remaining documented divergence is the unified
+        highlighter's sentence BreakIterator
+        (plans/search.py:highlight_snippets).
 
         ``post_filter`` is ES's post-aggregation filter: ``aggs`` see
         the ``query`` scope, the hits page (and its totals) see
@@ -1711,7 +1714,8 @@ class LakeService:
                 raise DslError('highlight requires a "fields" object')
             unknown = sorted(set(highlight) - {
                 "fields", "pre_tags", "post_tags", "fragment_size",
-                "number_of_fragments", "order",
+                "number_of_fragments", "order", "boundary_chars",
+                "boundary_max_scan", "boundary_scanner",
             })
             if unknown:
                 raise DslError(
@@ -1758,16 +1762,18 @@ class LakeService:
             hl_terms: dict[str, list[str]] = {}
             if highlight:
                 # per-field fragment options override the request-level
-                # ones (ES's precedence); each entry carries
-                # (column, fragment_size, number_of_fragments).
-                # Unspecified options take ES's DEFAULTS (r11, verdict
-                # #3): fragment_size 100, number_of_fragments 5 — a
-                # long document highlights as windowed snippets like
-                # ES, not as one whole-value fragment. The remaining
-                # documented divergence is the snippet BOUNDARY rule:
-                # windows center on match clusters instead of snapping
-                # to sentence edges (plans/search.py:
-                # highlight_snippets).
+                # ones (ES's precedence); each entry carries (column,
+                # fragment_size, number_of_fragments, boundary_chars,
+                # boundary_max_scan). Unspecified options take ES's
+                # DEFAULTS (r11, verdict #3): fragment_size 100,
+                # number_of_fragments 5, boundary ".,!? \\t\\n"/20 —
+                # long documents highlight as boundary-snapped
+                # windowed snippets like ES. The remaining documented
+                # divergence is the unified highlighter's SENTENCE
+                # BreakIterator default: this engine implements the
+                # `chars` scanner (match-centered window snapped to
+                # boundary_chars; `word`/`sentence` scanners are
+                # java.text BreakIterator machinery — named 400).
                 def _hl_int(spec, key, default, minimum):
                     v = spec.get(key, default)
                     if not isinstance(v, int) or isinstance(v, bool) \
@@ -1777,14 +1783,36 @@ class LakeService:
                             f">= {minimum}")
                     return v
 
+                def _hl_boundary(spec, d_chars, d_scan):
+                    sc = spec.get("boundary_scanner")
+                    if sc not in (None, "chars"):
+                        raise DslError(
+                            f"highlight boundary_scanner {sc!r} is not "
+                            "implemented (the word/sentence scanners "
+                            "are java.text BreakIterator semantics; "
+                            "only \"chars\" is supported)")
+                    bc = spec.get("boundary_chars", d_chars)
+                    if not isinstance(bc, str):
+                        raise DslError(
+                            "highlight boundary_chars must be a string")
+                    return bc, _hl_int(spec, "boundary_max_scan",
+                                       d_scan, 0)
+
+                from sql_database_to_elastic_datalake_spark.plans.search \
+                    import BOUNDARY_CHARS, BOUNDARY_MAX_SCAN
+
                 g_fs = _hl_int(highlight, "fragment_size", 100, 1)
                 g_nof = _hl_int(highlight, "number_of_fragments", 5, 0)
+                g_bc, g_scan = _hl_boundary(
+                    highlight, BOUNDARY_CHARS, BOUNDARY_MAX_SCAN)
                 seen_hl: set[str] = set()
                 for pat, fspec in highlight["fields"].items():
-                    fs, nof = g_fs, g_nof
+                    fs, nof, bc, scan = g_fs, g_nof, g_bc, g_scan
                     if isinstance(fspec, dict):
                         bad = sorted(set(fspec) - {
-                            "fragment_size", "number_of_fragments"})
+                            "fragment_size", "number_of_fragments",
+                            "boundary_chars", "boundary_max_scan",
+                            "boundary_scanner"})
                         if bad:
                             raise DslError(
                                 f"unsupported highlight field options:"
@@ -1792,10 +1820,11 @@ class LakeService:
                         fs = _hl_int(fspec, "fragment_size", g_fs, 1)
                         nof = _hl_int(fspec, "number_of_fragments",
                                       g_nof, 0)
+                        bc, scan = _hl_boundary(fspec, g_bc, g_scan)
                     for c in _expand_patterns([pat], df.columns):
                         if c not in seen_hl:
                             seen_hl.add(c)
-                            hl_fields.append((c, fs, nof))
+                            hl_fields.append((c, fs, nof, bc, scan))
                 hl_terms = collect_highlight_terms(dsl, df.columns)
 
             def resolve(field: str, _df=df):
@@ -1858,7 +1887,7 @@ class LakeService:
                 # along
                 cfield = collapse["field"] if collapse else None
                 needed = list(dict.fromkeys(
-                    src_cols + fields + [f for f, _, _ in hl_fields]
+                    src_cols + fields + [f for f, *_ in hl_fields]
                     + fout_cols
                     + ([cfield] if cfield and cfield in df.columns
                        else []))) or None
@@ -1918,7 +1947,7 @@ class LakeService:
                     total_exact = False
                     break
                 needed = list(dict.fromkeys(
-                    src_cols + [f for f, _, _ in hl_fields]
+                    src_cols + [f for f, *_ in hl_fields]
                     + fout_cols)) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
@@ -1935,7 +1964,7 @@ class LakeService:
                 # true pays a count, an integer bound scans at most
                 # n+1 rows, false pays nothing)
                 needed = list(dict.fromkeys(
-                    src_cols + [f for f, _, _ in hl_fields]
+                    src_cols + [f for f, *_ in hl_fields]
                     + fout_cols)) or None
                 page = matched.select(*needed) if needed \
                     else matched.select(F.lit(1).alias("__1"))
@@ -2650,9 +2679,10 @@ def _hit(
         )
 
         hl = {}
-        for f, fs, nof in hl_fields:
+        for f, fs, nof, bc, scan in hl_fields:
             snips = highlight_snippets(
-                row[f], hl_terms.get(f, []), pre, post, fs, nof)
+                row[f], hl_terms.get(f, []), pre, post, fs, nof,
+                boundary_chars=bc, boundary_max_scan=scan)
             if snips:
                 hl[f] = snips
         if hl:

@@ -440,21 +440,69 @@ def highlight_value(
     return _wrap_spans(s, merged, pre, post)
 
 
+#: ES highlight boundary defaults (the SimpleBoundaryScanner contract:
+#: boundary_chars ".,!? \t\n", boundary_max_scan 20)
+BOUNDARY_CHARS = ".,!? \t\n"
+BOUNDARY_MAX_SCAN = 20
+
+
+def _snap_boundaries(
+    s: str, st: int, en: int, chars: str, max_scan: int
+) -> tuple[int, int]:
+    """Snap a fragment window to boundary chars, Lucene
+    SimpleBoundaryScanner-style: the start moves LEFT to just after
+    the nearest boundary char within ``max_scan`` probes (to the value
+    start if the scan reaches it); the end moves RIGHT to just after
+    the nearest boundary char within ``max_scan`` probes (to the value
+    end if the scan reaches it). No boundary in range leaves the
+    match-centered edge as-is. Both moves only GROW the fragment, so a
+    wrapped match can never be cut. One restated difference from
+    Lucene: the end snap keeps the boundary char inside the fragment
+    ("…end of sentence." rather than dropping the period)."""
+    if max_scan > 0 and chars:
+        o = st
+        for _ in range(max_scan):
+            if o <= 0:
+                st = 0
+                break
+            if s[o - 1] in chars:
+                st = o
+                break
+            o -= 1
+        o = en
+        for _ in range(max_scan):
+            if o >= len(s):
+                en = len(s)
+                break
+            if s[o] in chars:
+                en = o + 1
+                break
+            o += 1
+    return st, en
+
+
 def highlight_snippets(
     text, terms: list[str], pre: str, post: str,
     fragment_size: int | None,
     number_of_fragments: int | None,
+    boundary_chars: str = BOUNDARY_CHARS,
+    boundary_max_scan: int = BOUNDARY_MAX_SCAN,
 ) -> list[str] | None:
     """ES-shaped highlight fragments: ``fragment_size``-char windows
-    centered on each match cluster, overlapping windows merged, the
-    first ``number_of_fragments`` in POSITION order (ES's
-    ``order: "none"`` default), matches wrapped inside each.
+    centered on each match cluster, edges snapped to the nearest
+    boundary char (``boundary_chars``/``boundary_max_scan``, ES's
+    SimpleBoundaryScanner defaults — see :func:`_snap_boundaries`),
+    overlapping windows merged, the first ``number_of_fragments`` in
+    POSITION order (ES's ``order: "none"`` default), matches wrapped
+    inside each.
 
     ``fragment_size`` None keeps the whole-value single fragment.
-    Documented divergence from ES's unified highlighter: windows
-    center on matches rather than snapping to sentence boundaries
-    (the lake has no sentence index), so fragment EDGES may differ
-    from ES while every wrapped match is identical."""
+    Documented divergence from ES's unified highlighter: the unified
+    default boundary_scanner is a java.text sentence BreakIterator;
+    this engine implements the ``chars`` scanner (window centers on
+    the match cluster, then snaps to boundary chars), so fragment
+    EDGES can differ from ES on sentence-spanning text while every
+    wrapped match is identical."""
     if text is None or not terms:
         return None
     s = str(text)
@@ -473,6 +521,8 @@ def highlight_snippets(
         half = max(fs - (b - a), 0) // 2
         st = max(0, a - half)
         en = min(len(s), max(st + fs, b))
+        st, en = _snap_boundaries(s, st, en, boundary_chars,
+                                  int(boundary_max_scan))
         if windows and st <= windows[-1][1]:
             windows[-1] = (windows[-1][0], max(windows[-1][1], en))
         else:

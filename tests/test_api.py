@@ -1076,7 +1076,12 @@ def test_highlight_fragment_windowing(service, spark):
     frags = out["hits"]["hits"][0]["highlight"]["txt"]
     assert len(frags) == 2
     assert all("<em>needle</em>" in f for f in frags)
-    assert all(len(f) <= 30 + len("<em></em>") + len("needle")
+    # window ≤ fragment_size + tags + the match, grown ≤ one "alpha "
+    # word per edge by the boundary snap (r11 late: edges land on
+    # boundary chars instead of mid-word)
+    assert all(len(f) <= 30 + len("<em></em>") + len("needle") + 12
+               for f in frags)
+    assert all(not f.startswith("lpha") and not f.startswith("pha")
                for f in frags)
     # number_of_fragments caps in position order
     out = service.advanced_search(
@@ -1096,10 +1101,15 @@ def test_highlight_fragment_windowing(service, spark):
         DslError,
     )
 
-    with pytest.raises(DslError, match="highlight options"):
+    with pytest.raises(DslError, match="boundary_scanner"):
         service.advanced_search(
             "data_lake_hl", {"match": {"txt": "needle"}},
             highlight={"fields": {"txt": {}}, "boundary_scanner": "x"})
+    with pytest.raises(DslError, match="boundary_scanner"):
+        service.advanced_search(
+            "data_lake_hl", {"match": {"txt": "needle"}},
+            highlight={"fields": {"txt": {}},
+                       "boundary_scanner": "sentence"})
 
 
 def test_highlight_defaults_window_like_es(service, spark):
@@ -1154,6 +1164,60 @@ def test_highlight_defaults_window_like_es(service, spark):
         service.advanced_search(
             "data_lake_hld", {"match": {"txt": "needle"}}, k=1,
             highlight={"fields": {"txt": {"number_of_fragments": -1}}})
+
+
+def test_highlight_boundary_snapping(service, spark):
+    """r11 late: fragment edges snap to boundary chars (ES
+    SimpleBoundaryScanner semantics: chars \".,!? \\t\\n\", max_scan
+    20) so snippets never start or end mid-word when a boundary is in
+    range; boundary_chars / boundary_max_scan / boundary_scanner are
+    accepted at request and field level, word/sentence scanners are
+    named 400s."""
+    text = ("one. twosentence here with a needle inside the middle "
+            "part. threelong continuation " + "y" * 60)
+    spark.createDataFrame(
+        [(1, text)], "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_hlb"))
+
+    def frags(**hl_extra):
+        out = service.advanced_search(
+            "data_lake_hlb", {"match": {"txt": "needle"}}, k=1,
+            highlight={"fields": {"txt": {}}, "fragment_size": 30,
+                       **hl_extra})
+        return out["hits"]["hits"][0]["highlight"]["txt"]
+
+    [f] = frags()
+    # default snap: starts right after a space, ends just after one
+    assert "<em>needle</em>" in f
+    assert not f.startswith("wosentence")  # no mid-word start
+    assert f[-1] in ".,!? \t\n" or f.endswith("</em>")
+    # a boundary_chars override changes where edges land: only '.'
+    # boundaries → the fragment starts after "one." (scan hits the
+    # period) or at the value start
+    [g] = frags(boundary_chars=".", boundary_max_scan=1000)
+    assert g.startswith(" twosentence") or g.startswith("one.")
+    # boundary_max_scan 0 disables snapping (raw match-centered edges)
+    [h] = frags(boundary_max_scan=0)
+    assert "<em>needle</em>" in h
+    # per-field override beats the request level
+    out = service.advanced_search(
+        "data_lake_hlb", {"match": {"txt": "needle"}}, k=1,
+        highlight={"fields": {"txt": {"boundary_max_scan": 0}},
+                   "fragment_size": 30, "boundary_max_scan": 1000})
+    assert out["hits"]["hits"][0]["highlight"]["txt"] == [h]
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="boundary_chars"):
+        frags(boundary_chars=7)
+    with pytest.raises(DslError, match="boundary_max_scan"):
+        frags(boundary_max_scan=-1)
+    with pytest.raises(DslError, match="boundary_scanner"):
+        service.advanced_search(
+            "data_lake_hlb", {"match": {"txt": "needle"}}, k=1,
+            highlight={"fields": {"txt": {"boundary_scanner": "word"}},
+                       "fragment_size": 30})
 
 
 def test_function_score_ranked_page(service, spark):
