@@ -112,6 +112,11 @@ HEADLINE = (
     "embed_neardup_pairs",
     "lm_perplexity_features",
     "benchmark_decontamination_spans",
+    # late r11: exact closed-set mining (subset-bitmask generator +
+    # one itemset groupBy) and the mixture materialization's
+    # per-domain rank window + copy explode
+    "search_aggs_frequent_item_sets",
+    "mixture_domain_resample",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -135,6 +140,9 @@ SF1_EXTRA = (
     # r11: the Arrow-batched exact-BPE tier — CPU-dense Python work
     # whose sf1 time proves the pandas-UDF batching parallelizes
     "token_count_bpe_exact",
+    # late r11: the two heaviest of the new members at corpus scale
+    "search_aggs_frequent_item_sets",
+    "mixture_domain_resample",
 )
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -28,6 +28,7 @@ and merge operators, so semantics are identical.
 from __future__ import annotations
 
 import os
+import re
 import uuid as _uuid
 from dataclasses import dataclass
 from datetime import date, datetime, timezone
@@ -295,6 +296,164 @@ class LakeService:
         return {"status_code": 200, "synced": n, "ticket_id": ticket_id,
                 "status": "success",
                 "message": "Ticket successfully synced to data lake"}
+
+    def delete_by_query(self, table: str, dsl: dict) -> dict[str, Any]:
+        """ES ``_delete_by_query``: remove every document the query
+        matches and report the count — the bulk-delete twin of the
+        verbatim-DSL search route (the reference's ES cluster serves
+        this natively on the same index the sync writes,
+        /root/reference/src/es_connector.py:21-49).
+
+        Lake semantics: one predicate compile, one count of the
+        matched set, one survivor rewrite under the point-re-sync
+        convention (localCheckpoint pins the survivors before the
+        overwrite — api.resync_ticket). Rows where the predicate is
+        NULL (two-valued doc-missing semantics) are NOT matches and
+        survive, exactly like the search route's hit set. SCALE NOTE:
+        this rewrites the whole table like ES rewrites every matched
+        segment; at lake scale the right pattern is a partition-scoped
+        rewrite or a read-side tombstone anti-join
+        (registry_pipeline.gdpr_delete_sync) — this route is the
+        API-parity form. ``version_conflicts``/``noops`` are
+        structurally 0 on a snapshot lake (no concurrent versioning
+        inside one rewrite)."""
+        import time as _time
+
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            compile_dsl,
+        )
+
+        t0 = _time.monotonic()
+        path = os.path.join(self.lake_dir, table)
+        if not path_exists(self.spark, path):
+            raise DslError(f"unknown table {table!r}")
+        df = self.spark.read.parquet(path)
+
+        def resolve(field: str, _df=df):
+            return (F.col(field) if field in _df.columns
+                    else F.lit(None).cast("string"))
+
+        pred = compile_dsl(dsl, field_resolver=resolve,
+                           schema_fields=df.columns)
+        matched = F.coalesce(pred, F.lit(False))
+        deleted = int(df.filter(matched).count())
+        if deleted:
+            survivors = df.filter(~matched)
+            survivors.localCheckpoint(eager=True).write.mode(
+                "overwrite").parquet(path)
+        return {
+            "took": int((_time.monotonic() - t0) * 1000),
+            "timed_out": False, "total": deleted, "deleted": deleted,
+            "batches": 1 if deleted else 0, "version_conflicts": 0,
+            "noops": 0, "retries": {"bulk": 0, "search": 0},
+            "throttled_millis": 0, "requests_per_second": -1.0,
+            "throttled_until_millis": 0, "failures": [],
+        }
+
+    def update_by_query(
+        self, table: str, dsl: dict | None, script: dict | None
+    ) -> dict[str, Any]:
+        """ES ``_update_by_query``: apply a painless update script to
+        every matching document. The script grammar is the assignment
+        subset painless updates actually use — ``;``-separated
+        statements of ``ctx._source.<field> <op>= <expr>`` (``=``,
+        ``+=``, ``-=``, ``*=``, ``/=``), the right-hand side being the
+        SAME params/doc/Math arithmetic the ``script_score`` compiler
+        serves (``ctx._source.<f>`` references resolve to columns).
+        Statements execute in order: a later statement sees earlier
+        assignments, while the MATCHED SET is pinned before any
+        assignment (a script that rewrites a queried column cannot
+        change who matches mid-flight). Anything beyond the subset —
+        ``ctx.op`` deletes, conditionals, method calls — is a named
+        400, never a silent drop.
+
+        Without a ``query`` the scope is ``match_all`` (ES's default).
+        Assigned values cast back to the column's existing type (a
+        lake table's schema is the contract ES's dynamic mapping does
+        not have — documented divergence); assigning a NEW field
+        appends a double column. Rewrite + bookkeeping mirror
+        :meth:`delete_by_query`."""
+        import time as _time
+
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            compile_dsl,
+        )
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            script_column,
+        )
+
+        t0 = _time.monotonic()
+        if not isinstance(script, dict):
+            raise DslError("update_by_query requires a script object")
+        src = script.get("source")
+        if not isinstance(src, str):
+            raise DslError("script requires a source string")
+        path = os.path.join(self.lake_dir, table)
+        if not path_exists(self.spark, path):
+            raise DslError(f"unknown table {table!r}")
+        df = self.spark.read.parquet(path)
+
+        def resolve(field: str):
+            return (F.col(field) if field in df.columns
+                    else F.lit(None).cast("string"))
+
+        pred = (F.lit(True) if dsl is None else
+                F.coalesce(compile_dsl(dsl, field_resolver=resolve,
+                                       schema_fields=df.columns),
+                           F.lit(False)))
+        stmts = [s.strip() for s in src.split(";") if s.strip()]
+        if not stmts:
+            raise DslError("update script has no statements")
+        assign_re = re.compile(
+            r"^ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(=|\+=|-=|\*=|/=)\s*(.+)$", re.S)
+        out = df.withColumn("__match", pred)
+        updated = int(out.filter(F.col("__match")).count())
+        for stmt in stmts:
+            m = assign_re.match(stmt)
+            if not m:
+                raise DslError(
+                    f"unsupported update statement {stmt!r} (the "
+                    "implemented subset is ctx._source.<field> "
+                    "=|+=|-=|*=|/= <painless arithmetic>; ctx.op, "
+                    "conditionals and method calls are not "
+                    "column-expressible)")
+            field, op, rhs = m.group(1), m.group(2), m.group(3)
+            # ctx._source refs in the RHS are column reads — route
+            # them through the script compiler's doc[] access
+            rhs = re.sub(r"ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)",
+                         r"doc['\1'].value", rhs)
+            val = script_column(
+                {"source": rhs, "params": script.get("params"),
+                 "lang": script.get("lang")},
+                lambda f, _o=out: (F.col(f) if f in _o.columns
+                                   else F.lit(None).cast("double")),
+                base_score=None,
+            )
+            if op != "=":
+                cur = (F.col(field) if field in out.columns
+                       else F.lit(None)).cast("double")
+                val = {"+=": cur + val, "-=": cur - val,
+                       "*=": cur * val, "/=": cur / val}[op]
+            if field in out.columns:
+                val = val.cast(out.schema[field].dataType)
+                keep = F.col(field)
+            else:
+                keep = F.lit(None).cast("double")
+            out = out.withColumn(
+                field, F.when(F.col("__match"), val).otherwise(keep))
+        if updated:
+            out.drop("__match").localCheckpoint(eager=True).write.mode(
+                "overwrite").parquet(path)
+        return {
+            "took": int((_time.monotonic() - t0) * 1000),
+            "timed_out": False, "total": updated, "updated": updated,
+            "deleted": 0, "batches": 1 if updated else 0,
+            "version_conflicts": 0, "noops": 0,
+            "retries": {"bulk": 0, "search": 0},
+            "throttled_millis": 0, "requests_per_second": -1.0,
+            "throttled_until_millis": 0, "failures": [],
+        }
 
     def search(
         self, term: str, tables: list[str] | None = None, k: int = 10,
@@ -3569,6 +3728,67 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 "_shards": {"total": 1, "successful": 1,
                             "skipped": 0, "failed": 0},
             }), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/delete_by_query", methods=["POST"])
+    def delete_by_query_route():
+        """ES ``_delete_by_query`` (service.delete_by_query). ``query``
+        is REQUIRED like ES's (an unscoped bulk delete must be said
+        out loud — that is what the snapshot write mode is for);
+        ``conflicts`` abort/proceed is accepted-and-ignored (a
+        snapshot lake rewrite has no concurrent versioning to
+        conflict with)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"table", "index", "query",
+                                      "conflicts"})
+        if unknown:
+            return jsonify({"error": "unsupported delete_by_query "
+                                     f"keys: {unknown}"}), 400
+        table = body.get("table") or body.get("index")
+        if not table:
+            return jsonify({"error": "delete_by_query requires a "
+                                     "table/index"}), 400
+        if body.get("conflicts") not in (None, "abort", "proceed"):
+            return jsonify({"error": "conflicts must be abort or "
+                                     "proceed"}), 400
+        if not isinstance(body.get("query"), dict):
+            return jsonify({"error": "delete_by_query requires a "
+                                     "query object"}), 400
+        try:
+            return jsonify(service.delete_by_query(
+                table, body["query"])), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/update_by_query", methods=["POST"])
+    def update_by_query_route():
+        """ES ``_update_by_query`` (service.update_by_query): painless
+        assignment subset over the matched set; no ``query`` means
+        match_all, like ES."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"table", "index", "query",
+                                      "script", "conflicts"})
+        if unknown:
+            return jsonify({"error": "unsupported update_by_query "
+                                     f"keys: {unknown}"}), 400
+        table = body.get("table") or body.get("index")
+        if not table:
+            return jsonify({"error": "update_by_query requires a "
+                                     "table/index"}), 400
+        if body.get("conflicts") not in (None, "abort", "proceed"):
+            return jsonify({"error": "conflicts must be abort or "
+                                     "proceed"}), 400
+        q = body.get("query")
+        if q is not None and not isinstance(q, dict):
+            return jsonify({"error": "query must be an object"}), 400
+        try:
+            return jsonify(service.update_by_query(
+                table, q, body.get("script"))), 200
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
 

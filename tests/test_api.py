@@ -2703,3 +2703,119 @@ def test_malformed_integer_options_are_named_400s(client, service, spark):
         "requests": [{"id": "q", "request": {"query": {"match_all": {}}},
                       "ratings": [{"_id": "1", "rating": "high"}]}]})
     assert r.status_code == 400 and "rating" in r.get_json()["error"]
+
+
+# ---------------------------------------------------------------------------
+# _delete_by_query / _update_by_query (late r11)
+# ---------------------------------------------------------------------------
+
+def _write_dbq_table(service, spark, name):
+    rows = [(1, "error", 10, "keep"), (2, "error", 20, "keep"),
+            (3, "info", 30, "keep"), (4, None, 40, "keep")]
+    spark.createDataFrame(
+        rows, "id long, level string, v long, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, name))
+
+
+def test_delete_by_query_removes_matches_only(service, spark):
+    _write_dbq_table(service, spark, "data_lake_dbq")
+    out = service.delete_by_query(
+        "data_lake_dbq", {"term": {"level": "error"}})
+    assert out["deleted"] == 2 and out["total"] == 2
+    assert out["version_conflicts"] == 0 and out["failures"] == []
+    left = sorted(
+        r["id"] for r in spark.read.parquet(
+            os.path.join(service.lake_dir, "data_lake_dbq")).collect())
+    # the NULL-level row is NOT a match (two-valued semantics): it
+    # survives, exactly like the search route's hit set
+    assert left == [3, 4]
+    # idempotent second run deletes nothing
+    out2 = service.delete_by_query(
+        "data_lake_dbq", {"term": {"level": "error"}})
+    assert out2["deleted"] == 0 and out2["batches"] == 0
+
+
+def test_delete_by_query_route_contract(client, service, spark):
+    _write_dbq_table(service, spark, "data_lake_dbqr")
+    r = client.post("/search/delete_by_query", data=json.dumps(
+        {"index": "data_lake_dbqr", "query": {"term": {"id": 1}},
+         "conflicts": "proceed"}), content_type="application/json")
+    assert r.status_code == 200 and r.get_json()["deleted"] == 1
+    # query is REQUIRED (an unscoped bulk delete must be explicit)
+    r = client.post("/search/delete_by_query", data=json.dumps(
+        {"index": "data_lake_dbqr"}), content_type="application/json")
+    assert r.status_code == 400 and "query" in r.get_json()["error"]
+    r = client.post("/search/delete_by_query", data=json.dumps(
+        {"index": "data_lake_dbqr", "query": {"match_all": {}},
+         "max_docs": 1}), content_type="application/json")
+    assert r.status_code == 400 and "max_docs" in r.get_json()["error"]
+    r = client.post("/search/delete_by_query", data=json.dumps(
+        {"index": "data_lake_nope", "query": {"match_all": {}}}),
+        content_type="application/json")
+    assert r.status_code == 400 and "unknown table" in r.get_json()["error"]
+
+
+def test_update_by_query_assignment_subset(service, spark):
+    _write_dbq_table(service, spark, "data_lake_ubq")
+    # scoped += with params; sequential statements see earlier writes
+    out = service.update_by_query(
+        "data_lake_ubq", {"term": {"level": "error"}},
+        {"source": "ctx._source.v += params.d; "
+                   "ctx._source.v2 = ctx._source.v * 2",
+         "params": {"d": 5}})
+    assert out["updated"] == 2 and out["deleted"] == 0
+    rows = {r["id"]: r for r in spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_ubq")).collect()}
+    assert rows[1]["v"] == 15 and rows[2]["v"] == 25      # += applied
+    assert rows[1]["v2"] == 30.0 and rows[2]["v2"] == 50.0  # sees new v
+    assert rows[3]["v"] == 30 and rows[3]["v2"] is None   # unmatched
+    # v keeps its bigint type (lake schema is the contract)
+    assert dict(spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_ubq")).dtypes
+    )["v"] == "bigint"
+
+
+def test_update_by_query_match_all_default_and_400s(service, spark):
+    _write_dbq_table(service, spark, "data_lake_ubq2")
+    out = service.update_by_query(
+        "data_lake_ubq2", None, {"source": "ctx._source.v = 7"})
+    assert out["updated"] == 4
+    vals = {r["v"] for r in spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_ubq2")).collect()}
+    assert vals == {7}
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="unsupported update statement"):
+        service.update_by_query(
+            "data_lake_ubq2", None, {"source": "ctx.op = 'delete'"})
+    with pytest.raises(DslError, match="unsupported update statement"):
+        service.update_by_query(
+            "data_lake_ubq2", None,
+            {"source": "if (ctx._source.v > 1) { ctx._source.v = 0 }"})
+    with pytest.raises(DslError, match="requires a script"):
+        service.update_by_query("data_lake_ubq2", None, None)
+    with pytest.raises(DslError, match="params"):
+        service.update_by_query(
+            "data_lake_ubq2", None,
+            {"source": "ctx._source.v = params.missing"})
+
+
+def test_update_by_query_route_contract(client, service, spark):
+    _write_dbq_table(service, spark, "data_lake_ubqr")
+    r = client.post("/search/update_by_query", data=json.dumps(
+        {"index": "data_lake_ubqr", "query": {"term": {"id": 3}},
+         "script": {"source": "ctx._source.tag = 0"}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["updated"] == 1 and body["noops"] == 0
+    # string column keeps its type: the numeric assignment casts back
+    rows = {r2["id"]: r2 for r2 in spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_ubqr")).collect()}
+    assert rows[3]["tag"] in ("0", "0.0") and rows[1]["tag"] == "keep"
+    r = client.post("/search/update_by_query", data=json.dumps(
+        {"index": "data_lake_ubqr", "script": {"source": "x"},
+         "max_docs": 2}), content_type="application/json")
+    assert r.status_code == 400 and "max_docs" in r.get_json()["error"]
