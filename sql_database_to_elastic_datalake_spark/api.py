@@ -375,18 +375,10 @@ class LakeService:
         :meth:`delete_by_query`."""
         import time as _time
 
-        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
-            compile_dsl,
-        )
-        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
-            script_column,
-        )
-
         t0 = _time.monotonic()
         if not isinstance(script, dict):
             raise DslError("update_by_query requires a script object")
-        src = script.get("source")
-        if not isinstance(src, str):
+        if not isinstance(script.get("source"), str):
             raise DslError("script requires a source string")
         path = os.path.join(self.lake_dir, table)
         if not path_exists(self.spark, path):
@@ -401,47 +393,9 @@ class LakeService:
                 F.coalesce(compile_dsl(dsl, field_resolver=resolve,
                                        schema_fields=df.columns),
                            F.lit(False)))
-        stmts = [s.strip() for s in src.split(";") if s.strip()]
-        if not stmts:
-            raise DslError("update script has no statements")
-        assign_re = re.compile(
-            r"^ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*"
-            r"(=|\+=|-=|\*=|/=)\s*(.+)$", re.S)
         out = df.withColumn("__match", pred)
         updated = int(out.filter(F.col("__match")).count())
-        for stmt in stmts:
-            m = assign_re.match(stmt)
-            if not m:
-                raise DslError(
-                    f"unsupported update statement {stmt!r} (the "
-                    "implemented subset is ctx._source.<field> "
-                    "=|+=|-=|*=|/= <painless arithmetic>; ctx.op, "
-                    "conditionals and method calls are not "
-                    "column-expressible)")
-            field, op, rhs = m.group(1), m.group(2), m.group(3)
-            # ctx._source refs in the RHS are column reads — route
-            # them through the script compiler's doc[] access
-            rhs = re.sub(r"ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)",
-                         r"doc['\1'].value", rhs)
-            val = script_column(
-                {"source": rhs, "params": script.get("params"),
-                 "lang": script.get("lang")},
-                lambda f, _o=out: (F.col(f) if f in _o.columns
-                                   else F.lit(None).cast("double")),
-                base_score=None,
-            )
-            if op != "=":
-                cur = (F.col(field) if field in out.columns
-                       else F.lit(None)).cast("double")
-                val = {"+=": cur + val, "-=": cur - val,
-                       "*=": cur * val, "/=": cur / val}[op]
-            if field in out.columns:
-                val = val.cast(out.schema[field].dataType)
-                keep = F.col(field)
-            else:
-                keep = F.lit(None).cast("double")
-            out = out.withColumn(
-                field, F.when(F.col("__match"), val).otherwise(keep))
+        out = _apply_update_script(out, script)
         if updated:
             out.drop("__match").localCheckpoint(eager=True).write.mode(
                 "overwrite").parquet(path)
@@ -449,6 +403,68 @@ class LakeService:
             "took": int((_time.monotonic() - t0) * 1000),
             "timed_out": False, "total": updated, "updated": updated,
             "deleted": 0, "batches": 1 if updated else 0,
+            "version_conflicts": 0, "noops": 0,
+            "retries": {"bulk": 0, "search": 0},
+            "throttled_millis": 0, "requests_per_second": -1.0,
+            "throttled_until_millis": 0, "failures": [],
+        }
+
+    def reindex(self, body: dict) -> dict[str, Any]:
+        """ES ``_reindex``: copy the (optionally query-scoped) source
+        table into the destination, optionally transforming each doc
+        with the same painless ASSIGNMENT subset ``_update_by_query``
+        serves. Source and dest resolve in the lake; a missing dest is
+        created, an existing one is APPENDED to (history-mode
+        convention — documented divergence: ES merges by ``_id``,
+        which plain lake rows do not have; the id-keyed merge lives on
+        the upsert route). ``op_type``/``version_type``/``remote`` are
+        id/cluster semantics with nothing to bind to here — named
+        400s, not silent drops."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        src_spec = body.get("source")
+        dst_spec = body.get("dest")
+        if not isinstance(src_spec, dict) or not src_spec.get("index"):
+            raise DslError("reindex requires source.index")
+        if not isinstance(dst_spec, dict) or not dst_spec.get("index"):
+            raise DslError("reindex requires dest.index")
+        bad = sorted(set(src_spec) - {"index", "query"})
+        if bad:
+            raise DslError(f"unsupported reindex source keys: {bad}")
+        bad = sorted(set(dst_spec) - {"index"})
+        if bad:
+            raise DslError(f"unsupported reindex dest keys: {bad}")
+        src_path = os.path.join(self.lake_dir, str(src_spec["index"]))
+        dst_path = os.path.join(self.lake_dir, str(dst_spec["index"]))
+        if src_path == dst_path:
+            raise DslError("reindex source and dest must differ")
+        if not path_exists(self.spark, src_path):
+            raise DslError(f"unknown table {src_spec['index']!r}")
+        df = self.spark.read.parquet(src_path)
+        q = src_spec.get("query")
+        if q is not None:
+            def resolve(field: str, _df=df):
+                return (F.col(field) if field in _df.columns
+                        else F.lit(None).cast("string"))
+            df = df.filter(F.coalesce(
+                compile_dsl(q, field_resolver=resolve,
+                            schema_fields=df.columns), F.lit(False)))
+        script = body.get("script")
+        if script is not None:
+            if not isinstance(script, dict):
+                raise DslError("reindex script must be an object")
+            df = _apply_update_script(
+                df.withColumn("__match", F.lit(True)), script
+            ).drop("__match")
+        created = int(df.count())
+        if created:
+            df.write.mode("append").option(
+                "compression", "zstd").parquet(dst_path)
+        return {
+            "took": int((_time.monotonic() - t0) * 1000),
+            "timed_out": False, "total": created, "created": created,
+            "updated": 0, "deleted": 0, "batches": 1 if created else 0,
             "version_conflicts": 0, "noops": 0,
             "retries": {"bulk": 0, "search": 0},
             "throttled_millis": 0, "requests_per_second": -1.0,
@@ -2286,6 +2302,66 @@ class LakeService:
             }}}
 
 
+def _apply_update_script(out: DataFrame, script: dict) -> DataFrame:
+    """The painless ASSIGNMENT subset shared by ``_update_by_query``
+    and ``_reindex``: ``;``-separated ``ctx._source.<field>
+    =|+=|-=|*=|/= <arith>`` statements applied WHERE the ``__match``
+    flag column holds (the caller pins the matched set before any
+    assignment). Right-hand sides compile through the script_score
+    arithmetic compiler with ``ctx._source`` references rewritten to
+    column reads; statements execute in order and see earlier
+    assignments; values cast back to the column's existing lake type,
+    new fields append as doubles. Out-of-subset statements (ctx.op,
+    conditionals, method calls) are named 400s."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        script_column,
+    )
+
+    src = script.get("source")
+    if not isinstance(src, str):
+        raise DslError("script requires a source string")
+    stmts = [s.strip() for s in src.split(";") if s.strip()]
+    if not stmts:
+        raise DslError("update script has no statements")
+    assign_re = re.compile(
+        r"^ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*"
+        r"(=|\+=|-=|\*=|/=)\s*(.+)$", re.S)
+    for stmt in stmts:
+        m = assign_re.match(stmt)
+        if not m:
+            raise DslError(
+                f"unsupported update statement {stmt!r} (the "
+                "implemented subset is ctx._source.<field> "
+                "=|+=|-=|*=|/= <painless arithmetic>; ctx.op, "
+                "conditionals and method calls are not "
+                "column-expressible)")
+        field, op, rhs = m.group(1), m.group(2), m.group(3)
+        # ctx._source refs in the RHS are column reads — route them
+        # through the script compiler's doc[] access
+        rhs = re.sub(r"ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)",
+                     r"doc['\1'].value", rhs)
+        val = script_column(
+            {"source": rhs, "params": script.get("params"),
+             "lang": script.get("lang")},
+            lambda f, _o=out: (F.col(f) if f in _o.columns
+                               else F.lit(None).cast("double")),
+            base_score=None,
+        )
+        if op != "=":
+            cur = (F.col(field) if field in out.columns
+                   else F.lit(None)).cast("double")
+            val = {"+=": cur + val, "-=": cur - val,
+                   "*=": cur * val, "/=": cur / val}[op]
+        if field in out.columns:
+            val = val.cast(out.schema[field].dataType)
+            keep = F.col(field)
+        else:
+            keep = F.lit(None).cast("double")
+        out = out.withColumn(
+            field, F.when(F.col("__match"), val).otherwise(keep))
+    return out
+
+
 def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
     """Highlight field names/patterns → concrete columns of one table
     (a pattern matching nothing highlights nothing, like ES)."""
@@ -3789,6 +3865,25 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         try:
             return jsonify(service.update_by_query(
                 table, q, body.get("script"))), 200
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+
+    @app.route("/search/reindex", methods=["POST"])
+    def reindex_route():
+        """ES ``_reindex`` (service.reindex)."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"source", "dest", "script",
+                                      "conflicts"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported reindex keys: {unknown}"}), 400
+        if body.get("conflicts") not in (None, "abort", "proceed"):
+            return jsonify({"error": "conflicts must be abort or "
+                                     "proceed"}), 400
+        try:
+            return jsonify(service.reindex(body)), 200
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
 

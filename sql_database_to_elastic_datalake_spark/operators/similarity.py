@@ -108,6 +108,67 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k highest-cosine candidates carrying a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable; public practice per DPR arXiv:2004.04906
+    §5.2 / SimCSE arXiv:2104.08821).
+
+    Same broadcast-queries × one-corpus-pass shape as
+    :func:`cosine_topk`, with the label inequality pushed into the
+    pair filter so same-label candidates drop before the top-k window.
+    Rows with a NULL label are excluded from BOTH sides (a negative
+    needs a known-different label; documented rather than silently
+    treated as different). Output adds both labels for downstream
+    accounting.
+    """
+    base = with_sq_norm(
+        embeddings.filter(F.col(label_col).isNotNull()), vec_col)
+    queries = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col("_vec_d").alias("q_vec"),
+            F.col("sq_norm").alias("q_sq"),
+        )
+    )
+    cands = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("_vec_d").alias("c_vec"),
+        F.col("sq_norm").alias("c_sq"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.sqrt(F.col("q_sq")) * F.sqrt(F.col("c_sq")))
+            ).cast("double"),
+        )
+    )
+    return top_k_per_group(
+        scored.select("query_id", "query_label", "neighbor_id",
+                      "neighbor_label", "cosine"),
+        keys=["query_id"],
+        order_by=[F.col("cosine"), (-F.col("neighbor_id"))],
+        k=k,
+        descending=True,
+    )
+
+
 def sign_bucket(vec_col: Column, sign_dims: int) -> Column:
     """Deterministic coarse-quantizer bucket: concatenated sign bits of
     the first ``sign_dims`` components ('1' for ≥ 0, else '0')."""

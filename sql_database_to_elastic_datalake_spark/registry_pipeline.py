@@ -393,6 +393,44 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, _TOPK_QUERY_IDS, k=3)
 
 
+def _hard_negatives_oracle(query_ids: list[int], k: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label IS NOT NULL),
+    n AS (SELECT vec_id, label, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               CAST(({_dot_sql('q.v', 'c.v')}) / (sqrt(q.sq) * sqrt(c.sq))
+                    AS DOUBLE) AS cosine
+        FROM n q JOIN n c ON q.label != c.label
+        WHERE q.vec_id IN ({ids})
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn FROM pairs
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "embed_hard_negatives",
+    oracle=_hard_negatives_oracle(_TOPK_QUERY_IDS, k=3),
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives) —
+    the contrastive-training counterpart of embed_cosine_topk: top-k
+    most-similar DIFFERENT-label candidates per query, label
+    inequality pushed before the top-k window, broadcast queries ×
+    one corpus pass (the exact tier; the bucketed/IVF tiers compose
+    identically at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, _TOPK_QUERY_IDS, k=3)
+
+
 def _ann_bucketed_oracle(query_ids: list[int], k: int, sign_dims: int) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     bucket = " || ".join(

@@ -2819,3 +2819,51 @@ def test_update_by_query_route_contract(client, service, spark):
         {"index": "data_lake_ubqr", "script": {"source": "x"},
          "max_docs": 2}), content_type="application/json")
     assert r.status_code == 400 and "max_docs" in r.get_json()["error"]
+
+
+def test_reindex_copy_filter_and_script(client, service, spark):
+    """r11 late: _reindex copies the query-scoped source into dest,
+    optionally transformed by the shared assignment subset; missing
+    dest is created, existing dest appends; op_type/remote named 400s."""
+    _write_dbq_table(service, spark, "data_lake_rix_src")
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix_src",
+                   "query": {"term": {"level": "error"}}},
+        "dest": {"index": "data_lake_rix_dst"},
+        "script": {"source": "ctx._source.v = ctx._source.v + 100"},
+    }), content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["created"] == 2 and body["failures"] == []
+    rows = {x["id"]: x for x in spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_rix_dst")).collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[1]["v"] == 110 and rows[2]["v"] == 120
+    # source untouched
+    src = {x["id"]: x for x in spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_rix_src")).collect()}
+    assert src[1]["v"] == 10
+    # existing dest appends
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix_src",
+                   "query": {"term": {"id": 3}}},
+        "dest": {"index": "data_lake_rix_dst"},
+    }), content_type="application/json")
+    assert r.status_code == 200 and r.get_json()["created"] == 1
+    assert spark.read.parquet(os.path.join(
+        service.lake_dir, "data_lake_rix_dst")).count() == 3
+    # id/cluster semantics have nothing to bind to: named 400s
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix_src", "remote": {}},
+        "dest": {"index": "x"}}), content_type="application/json")
+    assert r.status_code == 400 and "source keys" in r.get_json()["error"]
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix_src"},
+        "dest": {"index": "x", "op_type": "create"}}),
+        content_type="application/json")
+    assert r.status_code == 400 and "dest keys" in r.get_json()["error"]
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix_src"},
+        "dest": {"index": "data_lake_rix_src"}}),
+        content_type="application/json")
+    assert r.status_code == 400 and "must differ" in r.get_json()["error"]
