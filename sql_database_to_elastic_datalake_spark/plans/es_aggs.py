@@ -3162,17 +3162,25 @@ def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
     items = F.array_sort(F.array_distinct(
         F.flatten(F.coalesce(F.array(*item_cols),
                              F.array().cast("array<array<string>>")))))
+    # the per-row item cap rides INSIDE the candidate job via
+    # raise_error (no separate full scan just to check it — the items
+    # expression is the expensive part of every pass); total is a
+    # metadata-cheap count-star
+    overflow = F.raise_error(F.lit(
+        f"frequent_item_sets over rows with more than "
+        f"{_FIS_MAX_ITEMS} distinct items — subset enumeration is "
+        "2^n per row; reduce the field list or pre-bucket the "
+        "values")).cast("int")
     base = (
         df.select(items.alias("items"))
         .withColumn("n", F.size("items"))
         .filter(F.col("n") >= min_size)
+        .withColumn(
+            "n",
+            F.when(F.col("n") <= _FIS_MAX_ITEMS, F.col("n"))
+            .otherwise(overflow),
+        )
     )
-    if base.filter(F.col("n") > _FIS_MAX_ITEMS).limit(1).count():
-        raise DslError(
-            f"frequent_item_sets over rows with more than "
-            f"{_FIS_MAX_ITEMS} distinct items — subset enumeration is "
-            "2^n per row; reduce the field list or pre-bucket the "
-            "values")
     total = df.count()
     if total == 0:
         return []
@@ -3191,7 +3199,16 @@ def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
         .filter(F.col("doc_count").cast("double") / F.lit(float(total))
                 >= F.lit(float(min_support)))
     )
-    rows = cand.limit(_FIS_BUDGET + 1).collect()
+    try:
+        rows = cand.limit(_FIS_BUDGET + 1).collect()
+    except Exception as ex:  # surface the executor-side cap as a 400
+        if "more than 12 distinct items" in str(ex):
+            raise DslError(
+                f"frequent_item_sets over rows with more than "
+                f"{_FIS_MAX_ITEMS} distinct items — subset enumeration "
+                "is 2^n per row; reduce the field list or pre-bucket "
+                "the values") from None
+        raise
     if len(rows) > _FIS_BUDGET:
         raise DslError(
             f"frequent_item_sets exceeds {_FIS_BUDGET} frequent sets — "
