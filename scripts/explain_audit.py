@@ -134,6 +134,11 @@ AUDITED = (
     "lm_perplexity_features",
     "search_suggest_completion_regex",
     "search_dsl_intervals_script",
+    # late r11: the mixture materialization and hard-negative mining
+    # distributed frames (the new aggs rebuild driver-side — their
+    # plan bounds live in tests/test_vwh_categorize.py instead)
+    "mixture_domain_resample",
+    "embed_hard_negatives",
 )
 
 SF = "/root/testdata/sf0.01"

@@ -458,6 +458,17 @@ class LakeService:
                 df.withColumn("__match", F.lit(True)), script
             ).drop("__match")
         created = int(df.count())
+        if created and path_exists(self.spark, dst_path):
+            # appending a different shape would silently mix schemas
+            # in one directory — refuse by name instead
+            have = set(self.spark.read.parquet(dst_path).columns)
+            want = set(df.columns)
+            if have != want:
+                raise DslError(
+                    "reindex dest schema mismatch: dest has "
+                    f"{sorted(have - want)} extra / missing "
+                    f"{sorted(want - have)} — reindex appends, it "
+                    "does not migrate schemas")
         if created:
             df.write.mode("append").option(
                 "compression", "zstd").parquet(dst_path)
@@ -2302,6 +2313,19 @@ class LakeService:
             }}}
 
 
+_KEEP_ALIVE_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
+_KEEP_ALIVE_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                  "d": 86_400_000}
+
+
+def _parse_keep_alive(spec) -> int | None:
+    """ES time-value grammar ("5m", "30s") → millis; None = invalid."""
+    m = _KEEP_ALIVE_RE.match(str(spec))
+    if not m:
+        return None
+    return int(m.group(1)) * _KEEP_ALIVE_MS[m.group(2)]
+
+
 def _apply_update_script(out: DataFrame, script: dict) -> DataFrame:
     """The painless ASSIGNMENT subset shared by ``_update_by_query``
     and ``_reindex``: ``;``-separated ``ctx._source.<field>
@@ -3867,6 +3891,72 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                 table, q, body.get("script"))), 200
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
+
+    #: completed async searches kept for the GET/DELETE lifecycle
+    #: (service-local, like the stored-scripts namespace)
+    async_store: dict[str, dict] = {}
+
+    @app.route("/search/async", methods=["POST"])
+    def async_search_route():
+        """ES ``_async_search``: Kibana's default search mode. This
+        engine completes every search within the request (there is no
+        shard fan-out to wait on), so the response is always
+        ``is_running: false`` — exactly ES's behavior when the search
+        beats ``wait_for_completion_timeout`` (accepted-and-ignored
+        along with ``batched_reduce_size``, execution tuning with
+        nothing to tune here). ``keep_on_completion: true`` stores the
+        completed response under an id for the GET/DELETE lifecycle;
+        ES's partial-results states never occur (documented: they
+        require mid-flight reads of a distributed reduce)."""
+        import time as _time
+        import uuid as _u
+
+        body = dict(request.get_json(force=True))
+        keep = body.pop("keep_on_completion", False)
+        body.pop("wait_for_completion_timeout", None)
+        body.pop("batched_reduce_size", None)
+        keep_alive = body.pop("keep_alive", None)
+        if not isinstance(keep, bool):
+            return jsonify({"error": "keep_on_completion must be a "
+                                     "boolean"}), 400
+        resp = _advanced_body(body)
+        payload, status = (resp if isinstance(resp, tuple)
+                           else (resp, 200))
+        if status != 200:
+            return payload, status
+        now = int(_time.time() * 1000)
+        ttl = 5 * 60_000 if keep_alive is None \
+            else _parse_keep_alive(keep_alive)
+        if ttl is None:
+            return jsonify({"error": "keep_alive must look like 5m/"
+                                     "30s/1h"}), 400
+        env = {
+            "is_partial": False, "is_running": False,
+            "start_time_in_millis": now,
+            "expiration_time_in_millis": now + ttl,
+            "response": payload.get_json(),
+        }
+        if keep:
+            sid = _u.uuid4().hex
+            async_store[sid] = env
+            env = {"id": sid, **env}
+        return jsonify(env), 200
+
+    @app.route("/search/async/<sid>", methods=["GET"])
+    def async_search_get(sid):
+        env = async_store.get(sid)
+        if env is None:
+            return jsonify({"error": f"async search {sid!r} not "
+                                     "found"}), 404
+        return jsonify({"id": sid, **env}), 200
+
+    @app.route("/search/async/<sid>", methods=["DELETE"])
+    def async_search_delete(sid):
+        if sid not in async_store:
+            return jsonify({"error": f"async search {sid!r} not "
+                                     "found"}), 404
+        del async_store[sid]
+        return jsonify({"acknowledged": True}), 200
 
     @app.route("/search/reindex", methods=["POST"])
     def reindex_route():

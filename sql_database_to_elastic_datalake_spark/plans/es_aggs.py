@@ -3087,6 +3087,14 @@ _FIS_MAX_ITEMS = 12
 _FIS_SEP = "\x1f"
 
 
+def _any_col(conds: list[Column]) -> Column:
+    """OR-fold a non-empty Column list."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
     """ES ``frequent_item_sets`` (8.4+): closed sets of field values
     that co-occur in at least ``minimum_support`` of the documents —
@@ -3101,18 +3109,25 @@ def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
     dropped, top ``size`` by doc_count (key ascending on ties — ES
     leaves ties unspecified; fixed order is the determinism contract).
 
-    Plan: one scan builds each row's sorted distinct item array; a
+    Plan, scalar fields (the common form): the subsets of a row's
+    basket are exactly the 2^F grouping sets, so ONE ``cube()`` —
+    a single Expand + a single groupBy, fully JVM-side with native
+    column keys — counts every candidate set; cube-NULL vs value-NULL
+    separate via ``grouping()`` (a genuinely NULL value's item is
+    absent from the basket and its groups drop). Plan, array fields:
+    one scan builds each row's sorted distinct item array and a
     generator enumerates that row's subset bitmasks IN-ROW (bounded:
-    > {max_items} items per row is a named 400 — 2^n subsets per row
-    is the algorithm, the bound makes it explicit, and transactional
-    baskets past a dozen distinct fields want a dedicated FP-growth
-    job, not an aggregation request); one groupBy on the itemset
-    array counts documents; the support filter prunes BEFORE the
-    budget-bounded collect; the closed-set filter runs driver-side
-    within equal-count classes (only they can tie). Candidate counts
-    are bounded by the support threshold exactly as in Apriori — every
-    frequent set's subsets are frequent, so nothing below the
-    threshold survives to the driver."""
+    > {max_items} items per row is a named 400 raised executor-side
+    inside the same job — 2^n subsets per row is the algorithm, the
+    bound makes it explicit, and baskets past a dozen distinct items
+    want a dedicated FP-growth job, not an aggregation request),
+    then one groupBy on the itemset array. Both paths: the support
+    filter prunes BEFORE the budget-bounded collect; the closed-set
+    filter runs driver-side within equal-count classes (only they can
+    tie). Candidate counts are bounded by the support threshold
+    exactly as in Apriori — every frequent set's subsets are
+    frequent, so nothing below the threshold survives to the
+    driver."""
     check_agg_keys("frequent_item_sets", body)
     fields = body.get("fields")
     if not isinstance(fields, list) or not fields or not all(
@@ -3141,74 +3156,113 @@ def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
 
     from pyspark.sql.types import ArrayType
 
-    item_cols = []
+    dts = {}
     for nm in names:
         try:
-            dt = df.schema[nm].dataType
+            dts[nm] = df.schema[nm].dataType
         except KeyError:
             raise DslError(
                 f"frequent_item_sets: unknown field {nm!r}") from None
-        c = F.col(nm)
-        tag = F.lit(nm + _FIS_SEP)
-        if isinstance(dt, ArrayType):
-            item_cols.append(F.transform(
-                F.filter(c, lambda x: x.isNotNull()),
-                lambda x: F.concat(tag, x.cast("string"))))
-        else:
-            item_cols.append(
-                F.when(c.isNotNull(),
-                       F.array(F.concat(tag, c.cast("string"))))
-                .otherwise(F.array().cast("array<string>")))
-    items = F.array_sort(F.array_distinct(
-        F.flatten(F.coalesce(F.array(*item_cols),
-                             F.array().cast("array<array<string>>")))))
-    # the per-row item cap rides INSIDE the candidate job via
-    # raise_error (no separate full scan just to check it — the items
-    # expression is the expensive part of every pass); total is a
-    # metadata-cheap count-star
-    overflow = F.raise_error(F.lit(
-        f"frequent_item_sets over rows with more than "
-        f"{_FIS_MAX_ITEMS} distinct items — subset enumeration is "
-        "2^n per row; reduce the field list or pre-bucket the "
-        "values")).cast("int")
-    base = (
-        df.select(items.alias("items"))
-        .withColumn("n", F.size("items"))
-        .filter(F.col("n") >= min_size)
-        .withColumn(
-            "n",
-            F.when(F.col("n") <= _FIS_MAX_ITEMS, F.col("n"))
-            .otherwise(overflow),
-        )
-    )
     total = df.count()
     if total == 0:
         return []
-    cand = (
-        base.select(
-            "items",
-            F.explode(F.expr(
-                "sequence(1, shiftleft(1, n) - 1)"
-            )).alias("mask"),
+    if not any(isinstance(dt, ArrayType) for dt in dts.values()):
+        # SCALAR FAST PATH: with one item per field, the subsets of a
+        # row's basket are exactly the 2^F grouping sets — Spark's
+        # cube() computes them all in ONE Expand + ONE groupBy, fully
+        # JVM-side, no per-row item arrays or bitmask generators. A
+        # cube NULL means "field not in this grouping set"; grouping()
+        # separates it from a genuinely NULL value (whose item is
+        # absent from the basket — those groups drop, same semantics
+        # as the array path's missing item).
+        gflags = [F.grouping(nm).alias(f"__g{i}")
+                  for i, nm in enumerate(names)]
+        grouped = df.cube(*names).agg(
+            F.count("*").cast("bigint").alias("doc_count"), *gflags)
+        included = [F.col(f"__g{i}") == 0 for i in range(len(names))]
+        set_size = sum(
+            F.when(c, 1).otherwise(0) for c in included)
+        null_value = [inc & F.col(nm).isNull()
+                      for inc, nm in zip(included, names)]
+        item_strs = [
+            F.when(inc, F.concat(F.lit(nm + _FIS_SEP),
+                                 F.col(nm).cast("string")))
+            for inc, nm in zip(included, names)
+        ]
+        cand = (
+            grouped
+            .filter(set_size >= min_size)
+            .filter(~_any_col(null_value))
+            .select(
+                F.array_sort(F.filter(
+                    F.array(*item_strs), lambda x: x.isNotNull()
+                )).alias("itemset"),
+                "doc_count",
+            )
+            .filter(F.col("doc_count").cast("double")
+                    / F.lit(float(total)) >= F.lit(float(min_support)))
         )
-        .filter(F.bit_count("mask") >= min_size)
-        .selectExpr("filter(items, (x, i) -> getbit(mask, i) = 1) "
-                    "AS itemset")
-        .groupBy("itemset")
-        .agg(F.count("*").cast("bigint").alias("doc_count"))
-        .filter(F.col("doc_count").cast("double") / F.lit(float(total))
-                >= F.lit(float(min_support)))
-    )
-    try:
         rows = cand.limit(_FIS_BUDGET + 1).collect()
-    except Exception as ex:  # surface the executor-side cap as a 400
-        if "more than 12 distinct items" in str(ex):
-            raise DslError(
-                f"frequent_item_sets over rows with more than "
-                f"{_FIS_MAX_ITEMS} distinct items — subset enumeration "
-                "is 2^n per row; reduce the field list or pre-bucket "
-                "the values") from None
-        raise
+    else:
+        item_cols = []
+        for nm in names:
+            c = F.col(nm)
+            tag = F.lit(nm + _FIS_SEP)
+            if isinstance(dts[nm], ArrayType):
+                item_cols.append(F.transform(
+                    F.filter(c, lambda x: x.isNotNull()),
+                    lambda x: F.concat(tag, x.cast("string"))))
+            else:
+                item_cols.append(
+                    F.when(c.isNotNull(),
+                           F.array(F.concat(tag, c.cast("string"))))
+                    .otherwise(F.array().cast("array<string>")))
+        items = F.array_sort(F.array_distinct(
+            F.flatten(F.coalesce(F.array(*item_cols),
+                                 F.array().cast("array<array<string>>")))))
+        # the per-row item cap rides INSIDE the candidate job via
+        # raise_error (no separate full scan just to check it — the
+        # items expression is the expensive part of every pass)
+        overflow = F.raise_error(F.lit(
+            f"frequent_item_sets over rows with more than "
+            f"{_FIS_MAX_ITEMS} distinct items — subset enumeration is "
+            "2^n per row; reduce the field list or pre-bucket the "
+            "values")).cast("int")
+        base = (
+            df.select(items.alias("items"))
+            .withColumn("n", F.size("items"))
+            .filter(F.col("n") >= min_size)
+            .withColumn(
+                "n",
+                F.when(F.col("n") <= _FIS_MAX_ITEMS, F.col("n"))
+                .otherwise(overflow),
+            )
+        )
+        cand = (
+            base.select(
+                "items",
+                F.explode(F.expr(
+                    "sequence(1, shiftleft(1, n) - 1)"
+                )).alias("mask"),
+            )
+            .filter(F.bit_count("mask") >= min_size)
+            .selectExpr("filter(items, (x, i) -> getbit(mask, i) = 1) "
+                        "AS itemset")
+            .groupBy("itemset")
+            .agg(F.count("*").cast("bigint").alias("doc_count"))
+            .filter(F.col("doc_count").cast("double")
+                    / F.lit(float(total)) >= F.lit(float(min_support)))
+        )
+        try:
+            rows = cand.limit(_FIS_BUDGET + 1).collect()
+        except Exception as ex:  # executor-side cap → the named 400
+            if "more than 12 distinct items" in str(ex):
+                raise DslError(
+                    f"frequent_item_sets over rows with more than "
+                    f"{_FIS_MAX_ITEMS} distinct items — subset "
+                    "enumeration is 2^n per row; reduce the field "
+                    "list or pre-bucket the values") from None
+            raise
     if len(rows) > _FIS_BUDGET:
         raise DslError(
             f"frequent_item_sets exceeds {_FIS_BUDGET} frequent sets — "

@@ -2867,3 +2867,57 @@ def test_reindex_copy_filter_and_script(client, service, spark):
         "dest": {"index": "data_lake_rix_src"}}),
         content_type="application/json")
     assert r.status_code == 400 and "must differ" in r.get_json()["error"]
+
+
+def test_reindex_rejects_schema_mismatch(client, service, spark):
+    _write_dbq_table(service, spark, "data_lake_rix2_src")
+    spark.createDataFrame([(1, "x")], "other long, shape string") \
+        .write.parquet(os.path.join(service.lake_dir, "data_lake_rix2_dst"))
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix2_src"},
+        "dest": {"index": "data_lake_rix2_dst"}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "schema mismatch" in r.get_json()["error"]
+
+
+def test_async_search_lifecycle(client, service, spark):
+    """r11 late: _async_search — always-completed responses (the
+    engine has no shard fan-out to wait on), keep_on_completion stores
+    under an id for GET/DELETE; tuning knobs accepted-and-ignored."""
+    _write_dbq_table(service, spark, "data_lake_async")
+    r = client.post("/search/async", data=json.dumps({
+        "table": "data_lake_async", "query": {"term": {"level": "info"}},
+        "wait_for_completion_timeout": "10ms",
+        "batched_reduce_size": 5}), content_type="application/json")
+    assert r.status_code == 200
+    env = r.get_json()
+    assert env["is_running"] is False and env["is_partial"] is False
+    assert "id" not in env  # completed and not kept: no id, like ES
+    assert env["response"]["hits"]["total"]["value"] == 1
+    # keep_on_completion stores it
+    r = client.post("/search/async", data=json.dumps({
+        "table": "data_lake_async", "query": {"match_all": {}},
+        "keep_on_completion": True, "keep_alive": "10m"}),
+        content_type="application/json")
+    env = r.get_json()
+    sid = env["id"]
+    assert env["expiration_time_in_millis"] - env["start_time_in_millis"] \
+        == 600_000
+    g = client.get(f"/search/async/{sid}")
+    assert g.status_code == 200
+    assert g.get_json()["response"]["hits"]["total"]["value"] == 4
+    d = client.delete(f"/search/async/{sid}")
+    assert d.status_code == 200 and d.get_json()["acknowledged"]
+    assert client.get(f"/search/async/{sid}").status_code == 404
+    assert client.delete(f"/search/async/{sid}").status_code == 404
+    # named 400s: bad keep_alive, bad body keys flow through the
+    # advanced pipeline's rejection
+    r = client.post("/search/async", data=json.dumps({
+        "table": "data_lake_async", "query": {"match_all": {}},
+        "keep_alive": "soon"}), content_type="application/json")
+    assert r.status_code == 400 and "keep_alive" in r.get_json()["error"]
+    r = client.post("/search/async", data=json.dumps({
+        "table": "data_lake_async", "query": {"match_all": {}},
+        "ccs_minimize_roundtrips": True}), content_type="application/json")
+    assert r.status_code == 400

@@ -517,6 +517,14 @@ GATES = {
         shuffles=5, smj_max=0, bhj_min=2, wgl=False, cartesian_max=0,
         scans={"documents": (2, [])},
     ),
+    # late r11: mixture materialization — the domain-count/target
+    # lookup BROADCASTS back (rows = |domains|); the corpus pays one
+    # shuffle on the domain key for the rank window, never a global
+    # sort, never a cartesian
+    "mixture_domain_resample": dict(
+        shuffles=3, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
+        scans={"documents": (2, [])},
+    ),
 }
 
 
