@@ -2725,6 +2725,61 @@ def mixture_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_dedup_sync",
+    # the nightly-batch form of exact dedup: dedup WITHIN the incoming
+    # batch (min doc_id per content hash), then anti-join the existing
+    # corpus's hash set — only genuinely new content lands
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(coalesce(text, chr(0))) AS h
+        FROM documents WHERE doc_id % 10 != 7
+    ),
+    incoming AS (
+        SELECT doc_id, md5(coalesce(text, chr(0))) AS h
+        FROM documents WHERE doc_id % 10 = 7
+    ),
+    batch_keep AS (
+        SELECT h AS content_id, MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS batch_dupes
+        FROM incoming GROUP BY h
+    )
+    SELECT b.doc_id, b.content_id, b.batch_dupes
+    FROM batch_keep b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.content_id)
+    """,
+)
+def incremental_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the form a RUNNING pipeline needs
+    (dedup_exact is the full-corpus backfill): the incoming batch
+    dedups within itself (one groupBy on the content hash, min-id
+    keep + dupe accounting), then a LEFT ANTI join against the
+    existing corpus's hash set drops content already ingested. The
+    batch split here is synthetic (doc_id mod) so the oracle is
+    self-contained. Scale shape: the anti-join keys on the hash —
+    broadcast when the DAILY batch is small, shuffle otherwise; at
+    100 TB the corpus hash set is a bucketed table so the nightly
+    anti-join is co-located and shuffle-free (write_bucketed_table)."""
+    from sql_database_to_elastic_datalake_spark.functions.scalar import (
+        content_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = content_hash(["text"]).alias("content_id")
+    corpus = (docs.filter(F.col("doc_id") % 10 != 7)
+              .select(h).distinct())
+    incoming = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", h)
+    batch_keep = incoming.groupBy("content_id").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").cast("bigint").alias("batch_dupes"),
+    )
+    return (
+        batch_keep.join(corpus, "content_id", "left_anti")
+        .select("doc_id", "content_id", "batch_dupes")
+    )
+
+
+@register(
     "mixture_domain_resample",
     # DoReMi/Pile-style mixture materialization: each weighted domain
     # resamples to round(w/Σw · N_total) rows; copies spread evenly in

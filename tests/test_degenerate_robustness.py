@@ -61,6 +61,7 @@ CHECKED = (
     "doc_chunks",
     "pack_token_budget",
     "dedup_exact",
+    "incremental_dedup_sync",
     "chunk_level_dedup",
     "corpus_prep_stats",
     "curriculum_deciles",

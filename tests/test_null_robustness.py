@@ -38,6 +38,7 @@ CHECKED = (
     "text_fingerprint",
     "text_lang_id",
     "dedup_exact",
+    "incremental_dedup_sync",
     "word_count",
     "group_count",
     "value_histogram",
