@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import re
 import uuid as _uuid
+from decimal import Decimal as _Decimal
 from dataclasses import dataclass
 from datetime import date, datetime, timezone
 from typing import Any
@@ -481,6 +482,51 @@ class LakeService:
             "throttled_millis": 0, "requests_per_second": -1.0,
             "throttled_until_millis": 0, "failures": [],
         }
+
+    def sql_query(self, query: str) -> tuple[list[dict], list[list]]:
+        """The ``_sql`` endpoint's engine half: run a READ-ONLY SQL
+        statement over the lake tables (each lake directory is a temp
+        view under its own name) and return (columns, rows) in ES
+        SQL's wire vocabulary.
+
+        DOCUMENTED DIVERGENCE: the dialect is Spark SQL, not ES SQL —
+        the relational core (SELECT/WHERE/GROUP BY/HAVING/ORDER
+        BY/LIMIT/JOIN/WITH) coincides, ES-SQL-specific scalar
+        functions (DATE_PARSE, MATCH, QUERY) do not exist here and
+        Spark's do. The statement gates through the PARSED logical
+        plan (no commands, no writes — see _assert_read_only_sql);
+        results are budget-bounded (named 400 past {budget} rows: the
+        SQL wire format is a page protocol, an unbounded SELECT
+        belongs on the lake, not an HTTP response)."""
+        _assert_read_only_sql(self.spark, query)
+        for name in sorted(os.listdir(self.lake_dir)):
+            p = os.path.join(self.lake_dir, name)
+            if os.path.isdir(p):
+                self.spark.read.parquet(p).createOrReplaceTempView(name)
+        df = self.spark.sql(query)
+        cols = [
+            {"name": f.name,
+             "type": _ES_SQL_TYPES.get(f.dataType.simpleString(),
+                                       f.dataType.simpleString())}
+            for f in df.schema.fields
+        ]
+        collected = df.limit(_SQL_ROW_BUDGET + 1).collect()
+        if len(collected) > _SQL_ROW_BUDGET:
+            raise DslError(
+                f"SQL result exceeds {_SQL_ROW_BUDGET} rows — add a "
+                "LIMIT or aggregate; the SQL wire format is a page "
+                "protocol, not a bulk export")
+
+        def cell(v):
+            if isinstance(v, _Decimal):
+                return float(v)
+            if isinstance(v, (bytes, bytearray)):
+                import base64 as _b64
+
+                return _b64.b64encode(bytes(v)).decode()
+            return v
+
+        return cols, [[cell(v) for v in r] for r in collected]
 
     def search(
         self, term: str, tables: list[str] | None = None, k: int = 10,
@@ -2313,6 +2359,49 @@ class LakeService:
             }}}
 
 
+#: parsed-plan node names that make a SQL statement non-read-only.
+#: Checked at LINE START of the parsed (unanalyzed) treeString — a
+#: string literal can only appear inside a node's own line, so a
+#: literal spelling one of these names can at worst cause a FALSE
+#: POSITIVE (rejected), never smuggle a real command through.
+_SQL_DENY = re.compile(
+    r"^(?:Insert|Create|Drop|Alter|Set|Use|Analyze|Cache|Uncache|"
+    r"Refresh|Truncate|Repair|Load|Merge|Update|Delete|Replace|"
+    r"Show|Describe|Comment|Add|Remove|Reset|Declare|Call|Execute)"
+    r"\w*$|^\w*Command$|^\w*Statement$")
+
+_SQL_ROW_BUDGET = 100_000
+
+#: Spark simpleString → ES SQL column type names
+_ES_SQL_TYPES = {
+    "bigint": "long", "int": "integer", "smallint": "short",
+    "tinyint": "byte", "double": "double", "float": "float",
+    "string": "keyword", "boolean": "boolean",
+    "timestamp": "datetime", "timestamp_ntz": "datetime",
+    "date": "datetime", "binary": "binary",
+}
+
+
+def _assert_read_only_sql(spark, query: str) -> None:
+    """Named 400 unless the statement parses to a pure relational
+    plan. The gate walks the PARSED tree (nothing executes during
+    parsePlan) and rejects any node whose name matches the deny
+    pattern — this catches commands nested under WITH (the top-level
+    node alone would miss ``WITH x AS (...) INSERT ...``)."""
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser() \
+            .parsePlan(query)
+    except Exception as ex:
+        first = str(ex).splitlines()[0] if str(ex) else "parse error"
+        raise DslError(f"SQL parse error: {first}") from None
+    for line in plan.treeString().splitlines():
+        m = re.match(r"^[\s:+|\-]*'?([A-Za-z][A-Za-z0-9_]*)", line)
+        if m and _SQL_DENY.match(m.group(1)):
+            raise DslError(
+                "only read-only SELECT statements are accepted "
+                f"(found {m.group(1)})")
+
+
 _KEEP_ALIVE_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
 _KEEP_ALIVE_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
                   "d": 86_400_000}
@@ -3957,6 +4046,73 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                                      "found"}), 404
         del async_store[sid]
         return jsonify({"acknowledged": True}), 200
+
+    #: open SQL cursors: materialized remainder pages (the budget cap
+    #: bounds what a cursor can hold; draining is deterministic
+    #: because the rows were collected ONCE — re-running offset pages
+    #: would let a shuffle reorder them between requests)
+    sql_cursors: dict[str, dict] = {}
+
+    @app.route("/search/sql", methods=["POST"])
+    def sql_route():
+        """ES ``_sql`` wire shape over the engine's native SQL
+        (service.sql_query): first page carries ``columns`` +
+        ``rows`` (+ ``cursor`` when more), cursor pages carry rows
+        only, ``columnar: true`` transposes to per-column ``values``
+        lists — all per the ES SQL REST docs."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+        body = request.get_json(force=True)
+        unknown = sorted(set(body) - {"query", "fetch_size", "cursor",
+                                      "columnar"})
+        if unknown:
+            return jsonify({"error":
+                            f"unsupported sql keys: {unknown}"}), 400
+        fs = body.get("fetch_size", 1000)
+        if not isinstance(fs, int) or isinstance(fs, bool) or fs < 1:
+            return jsonify({"error": "fetch_size must be a positive "
+                                     "integer"}), 400
+        columnar = body.get("columnar", False)
+        if not isinstance(columnar, bool):
+            return jsonify({"error": "columnar must be a boolean"}), 400
+        cur = body.get("cursor")
+        if cur is not None:
+            if body.get("query") is not None:
+                return jsonify({"error": "send query OR cursor, not "
+                                         "both"}), 400
+            entry = sql_cursors.pop(str(cur), None)
+            if entry is None:
+                return jsonify({"error": f"unknown cursor {cur!r}"}), 400
+            rows, rest = entry["rows"][:fs], entry["rows"][fs:]
+            out = {}
+            columnar = entry["columnar"]
+        else:
+            if not isinstance(body.get("query"), str):
+                return jsonify({"error": "sql requires a query "
+                                         "string"}), 400
+            try:
+                cols, all_rows = service.sql_query(body["query"])
+            except DslError as ex:
+                return jsonify({"error": str(ex)}), 400
+            rows, rest = all_rows[:fs], all_rows[fs:]
+            out = {"columns": cols}
+        if columnar:
+            out["values"] = [list(c) for c in zip(*rows)] if rows else []
+        else:
+            out["rows"] = rows
+        if rest:
+            sid = _uuid.uuid4().hex
+            sql_cursors[sid] = {"rows": rest, "columnar": columnar}
+            out["cursor"] = sid
+        return jsonify(out), 200
+
+    @app.route("/search/sql/close", methods=["POST"])
+    def sql_close_route():
+        """ES ``_sql/close``: release an open cursor."""
+        body = request.get_json(force=True)
+        cur = str(body.get("cursor", ""))
+        return jsonify(
+            {"succeeded": sql_cursors.pop(cur, None) is not None}), 200
 
     @app.route("/search/reindex", methods=["POST"])
     def reindex_route():

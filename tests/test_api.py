@@ -2921,3 +2921,57 @@ def test_async_search_lifecycle(client, service, spark):
         "table": "data_lake_async", "query": {"match_all": {}},
         "ccs_minimize_roundtrips": True}), content_type="application/json")
     assert r.status_code == 400
+
+
+def test_sql_endpoint_pages_and_read_only_gate(client, service, spark):
+    """r11 late: /search/sql — ES SQL wire shape over the engine's
+    native SQL. First page carries columns+rows+cursor, cursor pages
+    drain rows only, columnar transposes, the parsed-plan gate
+    rejects every write/command form including WITH-nested inserts."""
+    _write_dbq_table(service, spark, "data_lake_sqlt")
+    r = client.post("/search/sql", data=json.dumps({
+        "query": "SELECT id, v FROM data_lake_sqlt ORDER BY id",
+        "fetch_size": 3}), content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert [c["name"] for c in body["columns"]] == ["id", "v"]
+    assert [c["type"] for c in body["columns"]] == ["long", "long"]
+    assert body["rows"] == [[1, 10], [2, 20], [3, 30]]
+    cur = body["cursor"]
+    r2 = client.post("/search/sql", data=json.dumps({"cursor": cur}),
+                     content_type="application/json")
+    b2 = r2.get_json()
+    assert "columns" not in b2 and b2["rows"] == [[4, 40]]
+    assert "cursor" not in b2  # drained
+    # aggregation + columnar
+    r = client.post("/search/sql", data=json.dumps({
+        "query": "SELECT level, count(*) AS n FROM data_lake_sqlt "
+                 "WHERE level IS NOT NULL GROUP BY level ORDER BY level",
+        "columnar": True}), content_type="application/json")
+    b = r.get_json()
+    assert b["values"] == [["error", "info"], [2, 1]]
+    # read-only gate: plain and WITH-nested commands, parse errors
+    for bad in ("DROP TABLE data_lake_sqlt",
+                "INSERT INTO data_lake_sqlt VALUES (9,'x',9,'x')",
+                "WITH x AS (SELECT 1) INSERT INTO data_lake_sqlt "
+                "SELECT 9,'x',9,'x'",
+                "CREATE TABLE zz (a INT)",
+                "SET spark.sql.shuffle.partitions=1"):
+        r = client.post("/search/sql", data=json.dumps({"query": bad}),
+                        content_type="application/json")
+        assert r.status_code == 400, bad
+        assert "read-only" in r.get_json()["error"], bad
+    r = client.post("/search/sql", data=json.dumps(
+        {"query": "SELEC nope"}), content_type="application/json")
+    assert r.status_code == 400 and "parse error" in r.get_json()["error"]
+    # cursor close lifecycle
+    r = client.post("/search/sql", data=json.dumps({
+        "query": "SELECT id FROM data_lake_sqlt", "fetch_size": 1}),
+        content_type="application/json")
+    cur = r.get_json()["cursor"]
+    r = client.post("/search/sql/close", data=json.dumps({"cursor": cur}),
+                    content_type="application/json")
+    assert r.get_json()["succeeded"] is True
+    r = client.post("/search/sql/close", data=json.dumps({"cursor": cur}),
+                    content_type="application/json")
+    assert r.get_json()["succeeded"] is False
