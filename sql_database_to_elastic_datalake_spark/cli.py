@@ -74,6 +74,18 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Read-only SQL over the lake — the CLI twin of POST
+    /search/sql (same parsed-plan gate, same budget, ES SQL wire
+    columns), one JSON object per run."""
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    service = LakeService(_spark(), args.lake)
+    cols, rows = service.sql_query(args.query)
+    print(json.dumps({"columns": cols, "rows": rows}, default=str))
+    return 0
+
+
 def cmd_explain(args) -> int:
     from sql_database_to_elastic_datalake_spark import registry
 
@@ -175,6 +187,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.set_defaults(fn=cmd_search)
+
+    q = sub.add_parser("sql", help="read-only SQL over the lake tables")
+    q.add_argument("--lake", required=True)
+    q.add_argument("--query", required=True)
+    q.set_defaults(fn=cmd_sql)
 
     x = sub.add_parser("explain", help="print a registered query's physical plan")
     x.add_argument("--query", required=True)

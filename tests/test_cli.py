@@ -123,3 +123,15 @@ def test_cli_load_es(spark, tmp_path, capsys):
         assert (out["ok"], out["retried"], out["rejected"]) == (0, 0, 0)
     finally:
         server.shutdown()
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    lake = os.path.join(str(tmp_path), "lake")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(os.path.join(lake, "data_lake_t"))
+    assert main(["sql", "--lake", lake, "--query",
+                 "SELECT count(*) AS n FROM data_lake_t"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"] == [{"name": "n", "type": "long"}]
+    assert out["rows"] == [[2]]
