@@ -4053,6 +4053,43 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
     #: would let a shuffle reorder them between requests)
     sql_cursors: dict[str, dict] = {}
 
+    @app.route("/search/mapping", methods=["GET", "POST"])
+    def mapping_route():
+        """ES ``GET /{index}/_mapping``: the index's field mappings,
+        derived from the parquet schema through the SAME ladder the
+        live-cluster index codegen uses (sinks/bulk_export.
+        create_index_body — one source of truth for wire mappings).
+        ``table`` supports the usual wildcard; response keyed per
+        index like ES."""
+        import fnmatch as _fn
+        import json as _json
+
+        from sql_database_to_elastic_datalake_spark.sinks.bulk_export import (
+            create_index_body,
+        )
+
+        body = request.get_json(silent=True) or {}
+        table = request.args.get("table") or body.get("table") \
+            or body.get("index")
+        if not table:
+            return jsonify({"error": "mapping requires a table/index "
+                                     "(query param or body)"}), 400
+        if "*" in table or "?" in table:
+            names = sorted(
+                d for d in os.listdir(service.lake_dir)
+                if _fn.fnmatchcase(d, table)
+                and os.path.isdir(os.path.join(service.lake_dir, d)))
+        else:
+            names = [table]
+        out = {}
+        for name in names:
+            p = os.path.join(service.lake_dir, name)
+            if not path_exists(service.spark, p):
+                return jsonify({"error": f"unknown table {name!r}"}), 404
+            df = service.spark.read.parquet(p)
+            out[name] = _json.loads(create_index_body(df))
+        return jsonify(out), 200
+
     @app.route("/search/sql", methods=["POST"])
     def sql_route():
         """ES ``_sql`` wire shape over the engine's native SQL

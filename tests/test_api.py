@@ -2975,3 +2975,18 @@ def test_sql_endpoint_pages_and_read_only_gate(client, service, spark):
     r = client.post("/search/sql/close", data=json.dumps({"cursor": cur}),
                     content_type="application/json")
     assert r.get_json()["succeeded"] is False
+
+
+def test_mapping_route(client, service, spark):
+    """r11 late: GET _mapping derived from the parquet schema through
+    the same ladder as the live-cluster index codegen."""
+    _write_dbq_table(service, spark, "data_lake_mapt")
+    r = client.get("/search/mapping?table=data_lake_mapt")
+    assert r.status_code == 200
+    props = r.get_json()["data_lake_mapt"]["mappings"]["properties"]
+    assert props["id"]["type"] == "long"
+    assert props["level"]["type"] == "keyword"
+    r = client.get("/search/mapping?table=data_lake_map*")
+    assert "data_lake_mapt" in r.get_json()
+    assert client.get("/search/mapping?table=nope_zz").status_code == 404
+    assert client.get("/search/mapping").status_code == 400
