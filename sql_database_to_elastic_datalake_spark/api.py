@@ -4090,6 +4090,55 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             out[name] = _json.loads(create_index_body(df))
         return jsonify(out), 200
 
+    @app.route("/search/stats", methods=["GET", "POST"])
+    def stats_route():
+        """ES ``GET /{index}/_stats`` (the docs/store core Kibana's
+        index management reads): per-table document count (one
+        metadata-cheap count job) and on-disk byte/file totals from
+        the parquet directory listing. Wildcard tables like
+        _mapping."""
+        import fnmatch as _fn
+
+        body = request.get_json(silent=True) or {}
+        table = request.args.get("table") or body.get("table") \
+            or body.get("index") or "*"
+        if "*" in table or "?" in table:
+            names = sorted(
+                d for d in os.listdir(service.lake_dir)
+                if _fn.fnmatchcase(d, table)
+                and os.path.isdir(os.path.join(service.lake_dir, d)))
+        else:
+            names = [table]
+        indices = {}
+        total_docs, total_bytes = 0, 0
+        for name in names:
+            p = os.path.join(service.lake_dir, name)
+            if not path_exists(service.spark, p):
+                return jsonify({"error": f"unknown table {name!r}"}), 404
+            n = service.spark.read.parquet(p).count()
+            size = files = 0
+            for root, _dirs, fnames in os.walk(p):
+                for fn in fnames:
+                    if not fn.startswith(("_", ".")):
+                        size += os.path.getsize(os.path.join(root, fn))
+                        files += 1
+            total_docs += n
+            total_bytes += size
+            indices[name] = {
+                "primaries": {
+                    "docs": {"count": n, "deleted": 0},
+                    "store": {"size_in_bytes": size,
+                              "file_count": files},
+                },
+            }
+        return jsonify({
+            "_all": {"primaries": {
+                "docs": {"count": total_docs, "deleted": 0},
+                "store": {"size_in_bytes": total_bytes},
+            }},
+            "indices": indices,
+        }), 200
+
     @app.route("/search/sql", methods=["POST"])
     def sql_route():
         """ES ``_sql`` wire shape over the engine's native SQL

@@ -2990,3 +2990,18 @@ def test_mapping_route(client, service, spark):
     assert "data_lake_mapt" in r.get_json()
     assert client.get("/search/mapping?table=nope_zz").status_code == 404
     assert client.get("/search/mapping").status_code == 400
+
+
+def test_stats_route(client, service, spark):
+    """r11 late: _stats — docs count + store bytes per table, _all
+    rollup, wildcard selection."""
+    _write_dbq_table(service, spark, "data_lake_statt")
+    r = client.get("/search/stats?table=data_lake_statt")
+    assert r.status_code == 200
+    b = r.get_json()
+    pri = b["indices"]["data_lake_statt"]["primaries"]
+    assert pri["docs"]["count"] == 4
+    assert pri["store"]["size_in_bytes"] > 0
+    assert pri["store"]["file_count"] >= 1
+    assert b["_all"]["primaries"]["docs"]["count"] == 4
+    assert client.get("/search/stats?table=zz_nope").status_code == 404
