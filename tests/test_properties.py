@@ -1147,3 +1147,90 @@ def test_template_renderer_differential(params, json_param):
     tpl = "{" + ", ".join(tpl_fields) + "}"
     got = render_search_template(tpl, all_params)
     assert got == expected, (tpl, all_params)
+
+
+# --- frequent_item_sets: cube path ≡ bitmask path ---------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from([None, 0, 1, 2]),
+                  st.sampled_from([None, "x", "y"]),
+                  st.sampled_from([None, "p", "q", "r"])),
+        min_size=1, max_size=25),
+    min_size_=st.integers(min_value=1, max_value=3),
+    support=st.sampled_from([0.05, 0.2, 0.5]),
+)
+def test_fis_cube_path_equals_bitmask_path(spark, rows, min_size_, support):
+    """The scalar cube() fast path and the array bitmask path are two
+    plans for the SAME semantics: wrapping every scalar in a
+    one-element array forces the bitmask path with an identical item
+    model, so results must match bucket-for-bucket (keys, counts,
+    support, closedness) on arbitrary frames with NULLs."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        frequent_item_sets_result,
+    )
+
+    body = {"fields": [{"field": "a"}, {"field": "b"}, {"field": "c"}],
+            "minimum_set_size": min_size_, "minimum_support": support,
+            "size": 100}
+    scalar_df = spark.createDataFrame(
+        rows, "a long, b string, c string")
+    wrapped_df = spark.createDataFrame(
+        [([a] if a is not None else [],
+          [b] if b is not None else [],
+          [c] if c is not None else [])
+         for a, b, c in rows],
+        "a array<long>, b array<string>, c array<string>")
+    assert frequent_item_sets_result(scalar_df, body) == \
+        frequent_item_sets_result(wrapped_df, body)
+
+
+# --- mixture resampling invariants ------------------------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=20),
+                   min_size=1, max_size=4),
+    weights=st.lists(st.floats(min_value=0.1, max_value=5.0,
+                               allow_nan=False),
+                     min_size=1, max_size=4),
+)
+def test_resample_invariants(spark, sizes, weights):
+    """For any domain sizes and positive weights: each listed domain
+    lands EXACTLY round(w/Σw · N_total) rows; per-doc copy counts
+    within a domain differ by at most 1; copy indices are dense."""
+    from collections import Counter
+
+    from sql_database_to_elastic_datalake_spark.operators.chunking import (
+        resample_to_mixture,
+    )
+
+    doms = [f"d{i}" for i in range(len(sizes))]
+    rows, rid = [], 0
+    for dom, n in zip(doms, sizes):
+        for _ in range(n):
+            rows.append((rid, dom))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, dom string")
+    wmap = {d: w for d, w in zip(doms, weights)}
+    out = resample_to_mixture(df, "id", "dom", wmap).collect()
+    total = sum(sizes)
+    tw = sum(wmap.values())
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], []).append(r)
+    for d, w in wmap.items():
+        target = round(w / tw * total)
+        got = by_dom.get(d, [])
+        assert len(got) == target, (d, target, len(got))
+        copies = Counter(r["id"] for r in got)
+        if copies:
+            assert max(copies.values()) - min(copies.values()) <= 1
+        for i, n in copies.items():
+            assert sorted(r["copy"] for r in got if r["id"] == i) \
+                == list(range(n))
