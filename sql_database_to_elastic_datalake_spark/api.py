@@ -4033,7 +4033,16 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
 
     @app.route("/search/async/<sid>", methods=["GET"])
     def async_search_get(sid):
+        import time as _time
+
         env = async_store.get(sid)
+        if env is not None and \
+                env["expiration_time_in_millis"] < _time.time() * 1000:
+            # keep_alive enforcement is LAZY (no background reaper in a
+            # request-driven service): an expired entry 404s exactly
+            # like ES's reaped one, and drops on touch
+            del async_store[sid]
+            env = None
         if env is None:
             return jsonify({"error": f"async search {sid!r} not "
                                      "found"}), 404
@@ -4189,6 +4198,13 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         if rest:
             sid = _uuid.uuid4().hex
             sql_cursors[sid] = {"rows": rest, "columnar": columnar}
+            # bounded store: a client that never drains or closes
+            # cursors must not grow the service without limit — evict
+            # the OLDEST cursor past the cap (dict preserves insertion
+            # order), the ES-expiry analogue for a request-driven
+            # service
+            while len(sql_cursors) > 100:
+                del sql_cursors[next(iter(sql_cursors))]
             out["cursor"] = sid
         return jsonify(out), 200
 

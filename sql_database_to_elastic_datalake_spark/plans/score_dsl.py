@@ -58,8 +58,18 @@ _MATH_1 = {
     "sqrt": lambda c: F.when(c >= 0, F.sqrt(c)),
     "abs": F.abs,
     "exp": F.exp,
-    "floor": lambda c: F.floor(c).cast("double"),
-    "ceil": lambda c: F.ceil(c).cast("double"),
+    # Spark's floor/ceil return LONG and so CLAMP non-finite input
+    # (NaN → 0, ±Inf → Long.MIN/MAX); Java's Math.floor/ceil — the
+    # painless semantics this compiler restates — return the input
+    # unchanged for NaN/±Inf. Pass non-finite through (found by the
+    # hypothesis differential vs DuckDB, whose floor is double-typed
+    # like Java's).
+    "floor": lambda c: F.when(
+        F.isnan(c) | (F.abs(c) == float("inf")), c
+    ).otherwise(F.floor(c).cast("double")),
+    "ceil": lambda c: F.when(
+        F.isnan(c) | (F.abs(c) == float("inf")), c
+    ).otherwise(F.ceil(c).cast("double")),
 }
 _MATH_2 = {
     "pow": F.pow,

@@ -3005,3 +3005,34 @@ def test_stats_route(client, service, spark):
     assert pri["store"]["file_count"] >= 1
     assert b["_all"]["primaries"]["docs"]["count"] == 4
     assert client.get("/search/stats?table=zz_nope").status_code == 404
+
+
+def test_async_search_lazy_expiry_and_sql_cursor_cap(client, service, spark):
+    """r11 late: keep_alive enforcement is lazy (an expired async
+    entry 404s and drops on touch); the SQL cursor store is bounded
+    (oldest evicted past the cap)."""
+    _write_dbq_table(service, spark, "data_lake_ttl")
+    r = client.post("/search/async", data=json.dumps({
+        "table": "data_lake_ttl", "query": {"match_all": {}},
+        "keep_on_completion": True, "keep_alive": "1ms"}),
+        content_type="application/json")
+    sid = r.get_json()["id"]
+    import time as _t
+
+    _t.sleep(0.01)
+    assert client.get(f"/search/async/{sid}").status_code == 404
+    # cursor cap: 102 open cursors -> the first two evicted
+    first = None
+    for i in range(102):
+        r = client.post("/search/sql", data=json.dumps({
+            "query": "SELECT id FROM data_lake_ttl", "fetch_size": 1}),
+            content_type="application/json")
+        cur = r.get_json()["cursor"]
+        if first is None:
+            first = cur
+    r = client.post("/search/sql", data=json.dumps({"cursor": first}),
+                    content_type="application/json")
+    assert r.status_code == 400 and "unknown cursor" in r.get_json()["error"]
+    r = client.post("/search/sql", data=json.dumps({"cursor": cur}),
+                    content_type="application/json")
+    assert r.status_code == 200

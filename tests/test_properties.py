@@ -1234,3 +1234,28 @@ def test_resample_invariants(spark, sizes, weights):
         for i, n in copies.items():
             assert sorted(r["copy"] for r in got if r["id"] == i) \
                 == list(range(n))
+
+
+def test_math_floor_ceil_nonfinite_painless_semantics(spark):
+    """Pinned regression for the differential's find: Java's
+    Math.floor/ceil return NaN/±Inf unchanged, while Spark's
+    long-typed floor/ceil CLAMP them (NaN → 0, Inf → Long.MAX). The
+    compiler must pass non-finite through."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        script_column,
+    )
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (1.5,)],
+        "a double")
+    for fn, finite in (("floor", 1.0), ("ceil", 2.0)):
+        out = [r["v"] for r in df.select(script_column(
+            {"source": f"Math.{fn}(doc['a'].value)"},
+            F.col, base_score=None).alias("v")).collect()]
+        assert math.isnan(out[0])
+        assert out[1] == float("inf") and out[2] == float("-inf")
+        assert out[3] == finite
