@@ -58,17 +58,20 @@ _MATH_1 = {
     "sqrt": lambda c: F.when(c >= 0, F.sqrt(c)),
     "abs": F.abs,
     "exp": F.exp,
-    # Spark's floor/ceil return LONG and so CLAMP non-finite input
-    # (NaN → 0, ±Inf → Long.MIN/MAX); Java's Math.floor/ceil — the
-    # painless semantics this compiler restates — return the input
-    # unchanged for NaN/±Inf. Pass non-finite through (found by the
-    # hypothesis differential vs DuckDB, whose floor is double-typed
-    # like Java's).
+    # Spark's floor/ceil return LONG and so SATURATE anything a long
+    # cannot hold — NaN → 0, ±Inf AND finite doubles ≥ 2^63 →
+    # Long.MIN/MAX. Java's Math.floor/ceil (the painless semantics
+    # this compiler restates) are double→double: NaN/±Inf pass
+    # through, and any |x| ≥ 2^52 is already integral so floor(x) = x.
+    # Guard: outside ±2^63 (or NaN) return the input unchanged; the
+    # long-typed fast path only serves the range it represents
+    # exactly. Both tiers found by the hypothesis differential vs
+    # DuckDB (double-typed floor, like Java).
     "floor": lambda c: F.when(
-        F.isnan(c) | (F.abs(c) == float("inf")), c
+        F.isnan(c) | (F.abs(c) >= F.lit(9.223372036854776e18)), c
     ).otherwise(F.floor(c).cast("double")),
     "ceil": lambda c: F.when(
-        F.isnan(c) | (F.abs(c) == float("inf")), c
+        F.isnan(c) | (F.abs(c) >= F.lit(9.223372036854776e18)), c
     ).otherwise(F.ceil(c).cast("double")),
 }
 _MATH_2 = {

@@ -1259,3 +1259,11 @@ def test_math_floor_ceil_nonfinite_painless_semantics(spark):
         assert math.isnan(out[0])
         assert out[1] == float("inf") and out[2] == float("-inf")
         assert out[3] == finite
+    # finite doubles past Long.MAX are already integral — Java returns
+    # them unchanged where Spark's long floor would saturate at 2^63
+    big = spark.createDataFrame([(3.2e19,), (-3.2e19,)], "a double")
+    for fn in ("floor", "ceil"):
+        out = [r["v"] for r in big.select(script_column(
+            {"source": f"Math.{fn}(doc['a'].value)"},
+            F.col, base_score=None).alias("v")).collect()]
+        assert out == [3.2e19, -3.2e19]
