@@ -4028,6 +4028,11 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         if keep:
             sid = _u.uuid4().hex
             async_store[sid] = env
+            # same bounded-store rule as the SQL cursors: a client
+            # that stores and never collects must not grow the
+            # service without limit — oldest evicted past the cap
+            while len(async_store) > 100:
+                del async_store[next(iter(async_store))]
             env = {"id": sid, **env}
         return jsonify(env), 200
 
