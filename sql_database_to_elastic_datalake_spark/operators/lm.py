@@ -163,6 +163,107 @@ def lm_doc_features(
     )
 
 
+#: fixed absolute discount — Chen & Goodman's recommended constant
+#: range for interpolated KN; the count-of-counts estimate
+#: n1/(n1+2n2) is a knob a deployment can tune
+KN_DISCOUNT = 0.75
+
+
+def lm_kn_doc_features(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    discount: float = KN_DISCOUNT,
+) -> DataFrame:
+    """Interpolated Kneser–Ney scoring against the SAME hashed-bigram
+    model — the smoothing KenLM (and therefore CCNet's reference
+    pipeline) actually uses, next to the Laplace tier of
+    :func:`lm_doc_features`::
+
+        P(b2|b1) = max(c12 − D, 0)/c1 + (D·N1+(b1,·)/c1) · P_cont(b2)
+        P_cont(b2) = (N1+(·,b2) + 1) / (T + B)
+
+    where N1+(b1,·)/N1+(·,b2) are distinct-continuation /
+    distinct-predecessor type counts, T = total distinct pair types,
+    and the +1/+B Laplace floor on the continuation distribution
+    keeps unseen events strictly positive (textbook KN leaves
+    P_cont = 0 for a token type the model never saw — a documented
+    simplification, positivity is what a pipeline score needs). A
+    wholly unseen context (c1 = 0) backs off entirely to P_cont.
+
+    Output: ``doc_id, n_bigrams, model_hits, context_hits, fw_types,
+    bw_types, log_prob, perplexity`` — the five integer columns are
+    exact cross-moments (the oracle-pinned surface; fw/bw are
+    Σ n·N1+(b1,·) / Σ n·N1+(·,b2)); the log tier is pytest-pinned to
+    a python replica, never oracled (libm portability, the DSIR
+    measurement).
+
+    Plan: identical to the Laplace tier plus ONE more broadcast
+    margin (the backward type counts) — pair explode →
+    groupBy(doc, pair) → THREE broadcast joins (pair model, forward
+    margin, backward margin) → ONE doc groupBy. T is one bounded
+    count over the ≤ B² model frame."""
+    fw = model.groupBy("b1").agg(
+        F.max("c1").cast("bigint").alias("__c1m"),
+        F.count(F.lit(1)).cast("bigint").alias("__n1f"),
+    )
+    bw = model.groupBy("b2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n1b"))
+    total_types = model.count()
+    per_pair = (
+        docs.select(F.col(id_col).alias("__doc"),
+                    F.explode(_bigram_pairs(text_col, n_buckets))
+                    .alias("__p"))
+        .select("__doc", F.col("__p.b1").alias("b1"),
+                F.col("__p.b2").alias("b2"))
+        .groupBy("__doc", "b1", "b2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    j = (
+        per_pair
+        .join(F.broadcast(model.select("b1", "b2", "c12")),
+              ["b1", "b2"], "left")
+        .join(F.broadcast(fw), "b1", "left")
+        .join(F.broadcast(bw), "b2", "left")
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0).cast("bigint")).cast("double")
+    c1 = F.coalesce(F.col("__c1m"), F.lit(0).cast("bigint")).cast("double")
+    n1f = F.coalesce(F.col("__n1f"), F.lit(0).cast("bigint")).cast("double")
+    n1b = F.coalesce(F.col("__n1b"), F.lit(0).cast("bigint")).cast("double")
+    d = F.lit(float(discount))
+    p_cont = (n1b + F.lit(1.0)) / F.lit(float(total_types + n_buckets))
+    p_seen = (F.greatest(c12 - d, F.lit(0.0)) / c1
+              + (d * n1f / c1) * p_cont)
+    p = F.when(c1 > 0, p_seen).otherwise(p_cont)
+    term = F.col("__n").cast("double") * F.log(p)
+    out = j.groupBy("__doc").agg(
+        F.sum("__n").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("__n") * F.col("c12")).cast("bigint")
+        .alias("model_hits"),
+        F.sum(F.col("__n") * F.col("__c1m")).cast("bigint")
+        .alias("context_hits"),
+        F.sum(F.col("__n") * F.col("__n1f")).cast("bigint")
+        .alias("fw_types"),
+        F.sum(F.col("__n") * F.col("__n1b")).cast("bigint")
+        .alias("bw_types"),
+        F.sum(term).alias("log_prob"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        F.col("__doc").alias(id_col),
+        "n_bigrams",
+        F.coalesce(F.col("model_hits"), zero).alias("model_hits"),
+        F.coalesce(F.col("context_hits"), zero).alias("context_hits"),
+        F.coalesce(F.col("fw_types"), zero).alias("fw_types"),
+        F.coalesce(F.col("bw_types"), zero).alias("bw_types"),
+        "log_prob",
+        F.exp(-F.col("log_prob") / F.col("n_bigrams").cast("double"))
+        .alias("perplexity"),
+    )
+
+
 def perplexity_tiers(
     scored: DataFrame,
     lang_col: str = "lang",

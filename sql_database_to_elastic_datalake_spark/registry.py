@@ -7077,6 +7077,7 @@ _CHECK_FIRST = [
     "search_aggs_frequent_item_sets",  # r11 NEW: closed-set mining
     "embed_hard_negatives",        # r11 NEW: contrastive negatives
     "incremental_dedup_sync",      # r11 NEW: nightly-batch dedup
+    "lm_kneser_ney_features",      # r11 NEW: KenLM-style KN tier
     # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
     #    queries still carrying round-4 evidence — after this window
     #    nothing in the registry is older than round 5.
@@ -7111,10 +7112,12 @@ _CHECK_FIRST = [
     "events_range_join_prior",
     "streaming_stateful_totals",
     "range_frame_hourly",
-    "sliding_window_counts",
+    # (sliding_window_counts — r4-era but re-window-checked via the
+    #  streaming family — yields its slot to the KN tier; it rejoins
+    #  in r12)
     # -- remaining slots: the OLDEST r5-era queries in registration
-    #    order (12 of 31; the rest retire in the r12 window).
-    # (semi_join_discounted / anti_join_no_orders / search_dsl_bool / search_dsl_should_wildcard / search_dsl_msm_wildcard /
+    #    order (the rest retire in the r12 window).
+    # (semi_join_discounted, anti_join_no_orders (r5-era) / search_dsl_bool / search_dsl_should_wildcard / search_dsl_msm_wildcard /
     #  search_dsl_terms_set / search_multimatch_scored yield their
     #  slots to the restructured corpus_prep_stats and the three
     #  late-r11 queries above)

@@ -1201,6 +1201,71 @@ def lm_perplexity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bigrams", "model_hits", "context_hits")
 
 
+@register(
+    "lm_kneser_ney_features",
+    # r11 late: interpolated-KN scoring against the same hashed model
+    # — the KenLM smoothing next to the Laplace tier. Oracle pins the
+    # exact integer cross-moments incl. the forward/backward
+    # distinct-type margins the KN terms derive from; the log tier is
+    # python-replica-pinned (the DSIR convention).
+    oracle="""
+    WITH tt AS (
+        SELECT doc_id, lang IS NOT DISTINCT FROM 'en' AS is_t,
+               list_filter(regexp_split_to_array(
+                   lower(replace(text, 'İ', 'i̇')), '[^0-9a-z]+'),
+                   t -> t <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, is_t,
+               CAST(CAST(('0x' || substr(md5(toks[i]), 1, 8))
+                    AS UBIGINT) % 1024 AS BIGINT) AS b1,
+               CAST(CAST(('0x' || substr(md5(toks[i+1]), 1, 8))
+                    AS UBIGINT) % 1024 AS BIGINT) AS b2
+        FROM tt, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ), model AS (
+        SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg WHERE is_t GROUP BY b1, b2
+    ), ctx AS (
+        SELECT b1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM model GROUP BY b1
+    ), bwm AS (
+        SELECT b2, CAST(COUNT(*) AS BIGINT) AS n1b
+        FROM model GROUP BY b2
+    ), perdoc AS (
+        SELECT doc_id, b1, b2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY doc_id, b1, b2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(SUM(n * c12), 0) AS BIGINT) AS model_hits,
+           CAST(COALESCE(SUM(n * c1), 0) AS BIGINT) AS context_hits,
+           CAST(COALESCE(SUM(n * n1f), 0) AS BIGINT) AS fw_types,
+           CAST(COALESCE(SUM(n * n1b), 0) AS BIGINT) AS bw_types
+    FROM perdoc
+    LEFT JOIN model USING (b1, b2)
+    LEFT JOIN ctx USING (b1)
+    LEFT JOIN bwm USING (b2)
+    GROUP BY doc_id
+    """,
+)
+def lm_kneser_ney_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney LM scoring (operators/lm.py:
+    lm_kn_doc_features) — the smoothing KenLM/CCNet's reference
+    pipeline uses, over the same broadcastable hashed-bigram model as
+    lm_perplexity_features; one extra broadcast margin (backward type
+    counts) is the whole plan delta. Registered surface = the exact
+    integer moments (incl. both distinct-type margins)."""
+    from sql_database_to_elastic_datalake_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.lm_bigram_model(docs, F.col("lang") == "en")
+    feats = lm.lm_kn_doc_features(docs, model)
+    return feats.select(
+        "doc_id", "n_bigrams", "model_hits", "context_hits",
+        "fw_types", "bw_types")
+
+
 #: DuckDB twin of operators.chunking.luhn_valid, inlined per use of
 #: the digit-stripped candidate (RE2/SQL cannot bind a local).
 _PII_D = "regexp_replace(cand, '[ -]', '', 'g')"

@@ -120,6 +120,7 @@ CHECKED = (
     "search_dsl_intervals_script",
     "pii_redaction",
     "lm_perplexity_features",
+    "lm_kneser_ney_features",
     "benchmark_decontamination_spans",
     # late r11: the gap-split histogram over a tiny/degenerate value
     # set (fewer distinct values than buckets, single-value buckets)

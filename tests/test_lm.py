@@ -107,3 +107,76 @@ def test_lm_model_is_saturation_bounded(spark):
          for i in range(50)])
     model = lm.lm_bigram_model(df, F.lit(True), n_buckets=4)
     assert model.count() <= 16
+
+def _kn_replica(docs: list[tuple[int, str, str]], target_lang: str,
+                D: float = 0.75):
+    model: dict[tuple[int, int], int] = {}
+    for _, lang, text in docs:
+        if lang != target_lang:
+            continue
+        t = _toks(text)
+        for a, b in zip(t, t[1:]):
+            k = (_bucket(a), _bucket(b))
+            model[k] = model.get(k, 0) + 1
+    ctx: dict[int, int] = {}
+    n1f: dict[int, int] = {}
+    n1b: dict[int, int] = {}
+    for (b1, b2), c in model.items():
+        ctx[b1] = ctx.get(b1, 0) + c
+        n1f[b1] = n1f.get(b1, 0) + 1
+        n1b[b2] = n1b.get(b2, 0) + 1
+    T = len(model)
+    out = {}
+    for doc_id, _, text in docs:
+        t = _toks(text)
+        pairs = [(_bucket(a), _bucket(b)) for a, b in zip(t, t[1:])]
+        if not pairs:
+            continue
+        n = len(pairs)
+        mh = sum(model.get(p, 0) for p in pairs)
+        ch = sum(ctx.get(p[0], 0) for p in pairs)
+        fw = sum(n1f.get(p[0], 0) for p in pairs)
+        bw = sum(n1b.get(p[1], 0) for p in pairs)
+        lp = 0.0
+        for b1, b2 in pairs:
+            pc = (n1b.get(b2, 0) + 1) / (T + B)
+            c1 = ctx.get(b1, 0)
+            if c1 > 0:
+                p = (max(model.get((b1, b2), 0) - D, 0.0) / c1
+                     + D * n1f[b1] / c1 * pc)
+            else:
+                p = pc
+            lp += math.log(p)
+        out[doc_id] = (n, mh, ch, fw, bw, lp, math.exp(-lp / n))
+    return out
+
+
+def test_lm_kn_features_match_replica(spark):
+    docs = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat ran to the mat"),
+        (3, "de", "der hund lief zum haus"),
+        (4, "en", "completely novel words here xyzzy"),
+        (5, "en", "one"),
+        (6, "en", None),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=g, text=t) for i, g, t in docs])
+    model = lm.lm_bigram_model(df, F.col("lang") == "en", n_buckets=B)
+    feats = {r["doc_id"]: r for r in lm.lm_kn_doc_features(
+        df, model, n_buckets=B).collect()}
+    want = _kn_replica(docs, "en")
+    assert set(feats) == set(want) == {1, 2, 3, 4}
+    for d, (n, mh, ch, fw, bw, lp, perp) in want.items():
+        r = feats[d]
+        assert (r["n_bigrams"], r["model_hits"], r["context_hits"],
+                r["fw_types"], r["bw_types"]) == (n, mh, ch, fw, bw), d
+        assert r["log_prob"] == pytest.approx(lp, rel=1e-12), d
+        assert r["perplexity"] == pytest.approx(perp, rel=1e-12), d
+    # KN gives every probability a strictly positive floor and the
+    # target-like doc still wins
+    assert feats[1]["perplexity"] < feats[4]["perplexity"]
+    # discount knob shifts scores (sanity that D is actually used)
+    alt = {r["doc_id"]: r["log_prob"] for r in lm.lm_kn_doc_features(
+        df, model, n_buckets=B, discount=0.1).collect()}
+    assert alt[1] != pytest.approx(feats[1]["log_prob"], rel=1e-12)

@@ -517,6 +517,12 @@ GATES = {
         shuffles=5, smj_max=0, bhj_min=2, wgl=False, cartesian_max=0,
         scans={"documents": (2, [])},
     ),
+    # late r11: interpolated-KN scoring — the Laplace tier's shape
+    # plus one broadcast margin; every model-side join must broadcast
+    "lm_kneser_ney_features": dict(
+        shuffles=7, smj_max=0, bhj_min=3, wgl=False, cartesian_max=0,
+        scans={"documents": (2, [])},
+    ),
     # late r11: mixture materialization — the domain-count/target
     # lookup BROADCASTS back (rows = |domains|); the corpus pays one
     # shuffle on the domain key for the rank window, never a global
