@@ -300,6 +300,70 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fineweb_line_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """C4/FineWeb line-level quality rules per document — the public
+    heuristics between language-ID and dedup in released pipelines
+    (C4, Raffel et al. arXiv:1910.10683 §2.2: terminal-punctuation
+    lines, "lorem ipsum" and curly-brace drops; FineWeb, Penedo et
+    al. arXiv:2406.17557: line-punctuation ratio filter; Gopher, Rae
+    et al. arXiv:2112.11446 Table A1: bullet-start ≤ 90%,
+    ellipsis-end ≤ 30%; RefinedWeb-family duplicate-line fraction).
+
+    Output per doc: exact integer line counts (``n_lines``,
+    ``n_punct_lines``, ``n_bullet_lines``, ``n_ellipsis_lines``,
+    ``n_distinct_lines``), the two C4 witnesses (``has_lorem_ipsum``,
+    ``has_curly_brace``), the derived ratios (single division of
+    exact ints — engine-portable), and ``keep`` combining the
+    published defaults: no C4 witness, bullet ≤ 0.9, ellipsis ≤ 0.3,
+    duplicate-line fraction ≤ 0.3, terminal-punctuation ratio ≥ 0.12
+    (FineWeb's threshold). Pure per-row column algebra over one
+    line-split array — zero shuffles, zero UDFs, embarrassingly
+    parallel at any scale."""
+    # regex trim, not F.trim: trim() strips only 0x20 spaces, so a
+    # tab-only line would count as content in one engine and not the
+    # other (ASCII \s agrees between Java regex and RE2)
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
+        lambda x: x != "",
+    )
+    count = (lambda pred: F.size(F.filter(lines, pred)).cast("bigint"))
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        count(lambda x: x.rlike("[.!?\"']$")).alias("n_punct_lines"),
+        count(lambda x: x.rlike("^[-*•]")).alias("n_bullet_lines"),
+        count(lambda x: x.rlike("\\.\\.\\.$")).alias("n_ellipsis_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint")
+        .alias("n_distinct_lines"),
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        .alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").alias("has_curly_brace"),
+    ).filter(F.col("n_lines") > 0)
+    nl = F.col("n_lines").cast("double")
+    punct_r = F.col("n_punct_lines").cast("double") / nl
+    bullet_r = F.col("n_bullet_lines").cast("double") / nl
+    ell_r = F.col("n_ellipsis_lines").cast("double") / nl
+    dup_r = (F.col("n_lines") - F.col("n_distinct_lines")) \
+        .cast("double") / nl
+    return base.select(
+        "*",
+        punct_r.alias("punct_line_ratio"),
+        bullet_r.alias("bullet_line_ratio"),
+        ell_r.alias("ellipsis_line_ratio"),
+        dup_r.alias("dup_line_ratio"),
+        (
+            ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace")
+            & (bullet_r <= 0.9) & (ell_r <= 0.3) & (dup_r <= 0.3)
+            & (punct_r >= 0.12)
+        ).alias("keep"),
+    )
+
+
 #: Knuth multiplicative constant + a prime modulus: the deterministic
 #: default weight formula for :func:`quality_classifier_logits`.
 _QC_MIX = 2654435761

@@ -7078,6 +7078,7 @@ _CHECK_FIRST = [
     "embed_hard_negatives",        # r11 NEW: contrastive negatives
     "incremental_dedup_sync",      # r11 NEW: nightly-batch dedup
     "lm_kneser_ney_features",      # r11 NEW: KenLM-style KN tier
+    "fineweb_quality_filters",     # r11 NEW: C4/FineWeb line rules
     # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
     #    queries still carrying round-4 evidence — after this window
     #    nothing in the registry is older than round 5.
@@ -7111,10 +7112,10 @@ _CHECK_FIRST = [
     "events_time_range",
     "events_range_join_prior",
     "streaming_stateful_totals",
-    "range_frame_hourly",
-    # (sliding_window_counts — r4-era but re-window-checked via the
-    #  streaming family — yields its slot to the KN tier; it rejoins
-    #  in r12)
+    # (range_frame_hourly and sliding_window_counts — r4-era, both
+    #  carried by deep pytest/oracle evidence (range-join differential
+    #  file, streaming bench artifacts) — yield their slots to the KN
+    #  and FineWeb tiers; they rejoin in r12)
     # -- remaining slots: the OLDEST r5-era queries in registration
     #    order (the rest retire in the r12 window).
     # (semi_join_discounted, anti_join_no_orders (r5-era) / search_dsl_bool / search_dsl_should_wildcard / search_dsl_msm_wildcard /

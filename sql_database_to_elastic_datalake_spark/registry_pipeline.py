@@ -1202,6 +1202,70 @@ def lm_perplexity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fineweb_quality_filters",
+    # C4/FineWeb/Gopher line-level rules: exact integer line counts,
+    # witnesses, ratios as one division of exact ints, and the keep
+    # flag at the published thresholds — all per-row column algebra
+    oracle="""
+    WITH lined AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   string_split(text, chr(10)),
+                   l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),
+                   l -> l <> '') AS lines,
+               lower(text) LIKE '%lorem ipsum%' AS has_lorem_ipsum,
+               text LIKE '%{%' AS has_curly_brace
+        FROM documents WHERE text IS NOT NULL
+    ), counted AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '[.!?"'']$'))) AS BIGINT)
+                   AS n_punct_lines,
+               CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '^[-*•]'))) AS BIGINT)
+                   AS n_bullet_lines,
+               CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '\\.\\.\\.$'))) AS BIGINT)
+                   AS n_ellipsis_lines,
+               CAST(len(list_distinct(lines)) AS BIGINT)
+                   AS n_distinct_lines,
+               has_lorem_ipsum, has_curly_brace
+        FROM lined WHERE len(lines) > 0
+    )
+    SELECT doc_id, n_lines, n_punct_lines, n_bullet_lines,
+           n_ellipsis_lines, n_distinct_lines,
+           has_lorem_ipsum, has_curly_brace,
+           CAST(n_punct_lines AS DOUBLE) / n_lines
+               AS punct_line_ratio,
+           CAST(n_bullet_lines AS DOUBLE) / n_lines
+               AS bullet_line_ratio,
+           CAST(n_ellipsis_lines AS DOUBLE) / n_lines
+               AS ellipsis_line_ratio,
+           CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines
+               AS dup_line_ratio,
+           (NOT has_lorem_ipsum AND NOT has_curly_brace
+            AND CAST(n_bullet_lines AS DOUBLE) / n_lines <= 0.9
+            AND CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+            AND CAST(n_lines - n_distinct_lines AS DOUBLE)
+                / n_lines <= 0.3
+            AND CAST(n_punct_lines AS DOUBLE) / n_lines >= 0.12)
+               AS keep
+    FROM counted
+    """,
+)
+def fineweb_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/FineWeb/Gopher line-level rule bundle
+    (operators/text.py:fineweb_line_stats): terminal-punctuation
+    ratio, bullet/ellipsis line shares, within-doc duplicate-line
+    fraction, the two C4 witnesses, and the keep flag at the
+    published thresholds. Zero shuffles — pure per-row folds over
+    one line-split array."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fineweb_line_stats(docs, "doc_id", "text")
+
+
+@register(
     "lm_kneser_ney_features",
     # r11 late: interpolated-KN scoring against the same hashed model
     # — the KenLM smoothing next to the Laplace tier. Oracle pins the

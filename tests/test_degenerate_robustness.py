@@ -55,6 +55,7 @@ CHECKED = (
     "session_window_counts",
     # text family over empty/whitespace docs
     "text_stats",
+    "fineweb_quality_filters",
     "text_fingerprint",
     "text_lang_id",
     "word_count",

@@ -35,6 +35,7 @@ TABLES = (
 #: exercised elsewhere; this gate is about scalar NULL semantics.
 CHECKED = (
     "text_stats",
+    "fineweb_quality_filters",
     "text_fingerprint",
     "text_lang_id",
     "dedup_exact",

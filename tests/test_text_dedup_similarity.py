@@ -578,3 +578,39 @@ def test_quality_classifier_sparse_weights(spark):
            for r in quality_classifier_logits(
                df, weights=one_w, bias=0.0).collect()}
     assert out[1] == pytest.approx(0.8 / 2)
+
+
+def test_fineweb_line_stats_rules(spark):
+    """C4/FineWeb/Gopher rule bundle: per-rule counts, witnesses, and
+    the keep flag at the published thresholds; whitespace-only and
+    NULL docs are absent (no lines to judge)."""
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        fineweb_line_stats,
+    )
+
+    rows = [
+        (1, "Good sentence one.\nAnother fine line!\nAnd a third?"),
+        (2, "- bullet one\n- bullet two\n- bullet three\nplain."),
+        (3, "trailing dots...\nmore dots...\nok."),
+        (4, "dup line.\ndup line.\ndup line.\nuniq."),
+        (5, "contains lorem ipsum filler."),
+        (6, "code { block } here."),
+        (7, "   \n  \t "),
+        (8, None),
+        (9, "no punctuation at all\nstill none"),
+    ]
+    out = {r["doc_id"]: r for r in fineweb_line_stats(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 9}  # 7/8: no lines
+    assert out[1]["n_lines"] == 3 and out[1]["n_punct_lines"] == 3
+    assert out[1]["keep"] is True
+    assert out[2]["n_bullet_lines"] == 3
+    assert out[2]["bullet_line_ratio"] == 0.75 and out[2]["keep"] is True
+    assert out[3]["n_ellipsis_lines"] == 2
+    assert out[3]["keep"] is False          # ellipsis ratio 2/3 > 0.3
+    assert out[4]["n_distinct_lines"] == 2
+    assert out[4]["dup_line_ratio"] == 0.5 and out[4]["keep"] is False
+    assert out[5]["has_lorem_ipsum"] is True and out[5]["keep"] is False
+    assert out[6]["has_curly_brace"] is True and out[6]["keep"] is False
+    assert out[9]["punct_line_ratio"] == 0.0 and out[9]["keep"] is False
