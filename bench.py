@@ -117,6 +117,10 @@ HEADLINE = (
     # per-domain rank window + copy explode
     "search_aggs_frequent_item_sets",
     "mixture_domain_resample",
+    # late r11 second wave: the KN tier (one more broadcast margin
+    # than the Laplace member) and the zero-shuffle line-rule bundle
+    "lm_kneser_ney_features",
+    "fineweb_quality_filters",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:
@@ -143,6 +147,7 @@ SF1_EXTRA = (
     # late r11: the two heaviest of the new members at corpus scale
     "search_aggs_frequent_item_sets",
     "mixture_domain_resample",
+    "lm_kneser_ney_features",
 )
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
