@@ -462,14 +462,25 @@ class LakeService:
         if created and path_exists(self.spark, dst_path):
             # appending a different shape would silently mix schemas
             # in one directory — refuse by name instead
-            have = set(self.spark.read.parquet(dst_path).columns)
-            want = set(df.columns)
+            have = {f.name: f.dataType.simpleString()
+                    for f in self.spark.read.parquet(dst_path)
+                    .schema.fields}
+            want = {f.name: f.dataType.simpleString()
+                    for f in df.schema.fields}
             if have != want:
+                # names AND types must match: same-named columns with
+                # different types would append mixed-type parquet
+                # files into one directory and fail on later reads
+                retyped = sorted(
+                    f"{n} (dest {have[n]} vs source {want[n]})"
+                    for n in set(have) & set(want)
+                    if have[n] != want[n])
                 raise DslError(
                     "reindex dest schema mismatch: dest has "
-                    f"{sorted(have - want)} extra / missing "
-                    f"{sorted(want - have)} — reindex appends, it "
-                    "does not migrate schemas")
+                    f"{sorted(set(have) - set(want))} extra / missing "
+                    f"{sorted(set(want) - set(have))} / retyped "
+                    f"{retyped} — reindex appends, it does not "
+                    "migrate schemas")
         if created:
             df.write.mode("append").option(
                 "compression", "zstd").parquet(dst_path)

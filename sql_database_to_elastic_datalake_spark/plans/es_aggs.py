@@ -3209,9 +3209,16 @@ def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
             c = F.col(nm)
             tag = F.lit(nm + _FIS_SEP)
             if isinstance(dts[nm], ArrayType):
-                item_cols.append(F.transform(
-                    F.filter(c, lambda x: x.isNotNull()),
-                    lambda x: F.concat(tag, x.cast("string"))))
+                # a NULL array value must contribute NO items, not
+                # null the whole basket: flatten() returns NULL when
+                # any nested array is NULL, which would drop the row's
+                # items from its OTHER fields too (ES treats a missing
+                # field as absent-from-basket, same as the cube path)
+                item_cols.append(F.coalesce(
+                    F.transform(
+                        F.filter(c, lambda x: x.isNotNull()),
+                        lambda x: F.concat(tag, x.cast("string"))),
+                    F.array().cast("array<string>")))
             else:
                 item_cols.append(
                     F.when(c.isNotNull(),
@@ -3256,7 +3263,7 @@ def frequent_item_sets_result(df: DataFrame, body: dict) -> list[dict]:
         try:
             rows = cand.limit(_FIS_BUDGET + 1).collect()
         except Exception as ex:  # executor-side cap → the named 400
-            if "more than 12 distinct items" in str(ex):
+            if f"more than {_FIS_MAX_ITEMS} distinct items" in str(ex):
                 raise DslError(
                     f"frequent_item_sets over rows with more than "
                     f"{_FIS_MAX_ITEMS} distinct items — subset "

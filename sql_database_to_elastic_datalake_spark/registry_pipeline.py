@@ -1206,7 +1206,7 @@ def lm_perplexity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/FineWeb/Gopher line-level rules: exact integer line counts,
     # witnesses, ratios as one division of exact ints, and the keep
     # flag at the published thresholds — all per-row column algebra
-    oracle="""
+    oracle=r"""
     WITH lined AS (
         SELECT doc_id,
                list_filter(list_transform(
@@ -2051,8 +2051,13 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(None).cast("bigint").alias(c) if c in ("n_raw", "n_quality")
           else F.col(c) for c in cols]
     )
+    # coalesce to 0: sum(when(...)) over an EMPTY frame is NULL, so a
+    # corpus where no doc passes the quality gate would otherwise
+    # report NULL for every branch-B counter (the oracle's scalar
+    # COUNT subqueries report 0)
     return a_row.unionByName(b_row).agg(
-        *[F.max(c).cast("bigint").alias(c) for c in cols]
+        *[F.coalesce(F.max(c), F.lit(0)).cast("bigint").alias(c)
+          for c in cols]
     )
 
 

@@ -2881,6 +2881,32 @@ def test_reindex_rejects_schema_mismatch(client, service, spark):
     assert "schema mismatch" in r.get_json()["error"]
 
 
+def test_reindex_rejects_same_names_different_types(client, service, spark):
+    """r12 ADVICE regression: the dest guard must compare TYPES, not
+    just column names — same-named columns with different types used to
+    pass and append mixed-type parquet files into one directory."""
+    _write_dbq_table(service, spark, "data_lake_rix3_src")
+    src_cols = spark.read.parquet(os.path.join(
+        service.lake_dir, "data_lake_rix3_src")).schema.fieldNames()
+    # same names, but every column retyped to string
+    spark.createDataFrame(
+        [tuple("x" for _ in src_cols)],
+        ", ".join(f"`{c}` string" for c in src_cols),
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rix3_dst"))
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rix3_src"},
+        "dest": {"index": "data_lake_rix3_dst"}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    err = r.get_json()["error"]
+    assert "schema mismatch" in err and "retyped" in err
+    # the mismatched column and both types are named in the 400
+    assert "string" in err
+    # dest untouched: still exactly one row
+    assert spark.read.parquet(os.path.join(
+        service.lake_dir, "data_lake_rix3_dst")).count() == 1
+
+
 def test_async_search_lifecycle(client, service, spark):
     """r11 late: _async_search — always-completed responses (the
     engine has no shard fan-out to wait on), keep_on_completion stores

@@ -53,3 +53,25 @@ def test_registry_queries_on_empty_tables(spark, empty_sf):
         out = qs[name](spark, empty_sf)
         n = out.count()
         assert n in (0, 1), (name, n)  # global aggs may emit one row
+
+
+def test_corpus_prep_stats_empty_quality_reports_zeros(
+        spark, tmp_path_factory):
+    """r12 ADVICE regression: when NO doc passes the quality gate,
+    branch B aggregates over an empty frame and sum(when(...)) is NULL
+    — the funnel counters must still report 0 (the DuckDB oracle's
+    scalar COUNT subqueries do)."""
+    import __spark_entry__ as e
+
+    d = tmp_path_factory.mktemp("noquality_sf")
+    # docs exist (n_raw > 0) but none are English with >= 20 tokens
+    spark.createDataFrame(
+        [(1, "bonjour le monde", "fr", "web", 16),
+         (2, "short en text", "en", "web", 13)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.parquet(os.path.join(str(d), "documents.parquet"))
+    [row] = e.queries()["corpus_prep_stats"](spark, str(d)).collect()
+    assert row["n_raw"] == 2 and row["n_quality"] == 0
+    for c in ("n_exact_unique", "n_clean", "n_train", "n_val", "n_test"):
+        assert row[c] == 0, (c, row[c])

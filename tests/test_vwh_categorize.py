@@ -240,6 +240,23 @@ def test_fis_array_fields_contribute_elements(spark):
     }]
 
 
+def test_fis_null_array_field_keeps_other_items(spark):
+    """r12 ADVICE regression: a NULL array value must contribute no
+    items — not null the whole basket. flatten() returns NULL when any
+    nested array is NULL, which used to drop the row entirely, losing
+    the items from its other non-null fields ({b=x}:3 went missing)."""
+    rows = [(["p"], "x"), (["p"], "x"), (None, "x")]
+    out = _fis(spark, rows, "tags array<string>, b string",
+               {"fields": [{"field": "tags"}, {"field": "b"}],
+                "minimum_support": 0.5, "minimum_set_size": 1})
+    got = {(tuple(sorted((k, tuple(v)) for k, v in b["key"].items())),
+            b["doc_count"]) for b in out}
+    assert ((("b", ("x",)),), 3) in got          # the NULL row counts
+    assert ((("b", ("x",)), ("tags", ("p",))), 2) in got
+    # the singleton {tags=p}:2 is not closed (equal-count superset)
+    assert ((("tags", ("p",)),), 2) not in got
+
+
 def test_fis_named_400s(spark):
     df_rows = [(1, "x")]
     with pytest.raises(DslError, match="requires fields"):
