@@ -7054,79 +7054,68 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r11 tier: new or semantics-touched THIS round (rotation
-    #    rule: nothing ships with driver evidence older than its
-    #    last change).
-    "exact_substring_dedup",       # r11 NEW: variable-span dedup
-    "token_count_bpe_exact",       # r11 NEW: merge-table BPE tier
-    "lm_perplexity_features",      # r11 NEW: CCNet LM quality moments
-    "pack_token_budget_exact",     # r11 NEW: exact-BPE packing
-    "search_suggest_completion_regex",  # r11 NEW: regex completion
-    "search_dsl_intervals_script", # r11 NEW: interval filter scripts
-    "benchmark_decontamination_spans",  # r11 NEW: surgical decontam
-    "pii_redaction",               # r11 touched: SSN/IP/Luhn-CC rules
-    "embed_neardup_pairs",         # r11 touched: bucketed tier is now
-                                   # the registered query (was r5-era)
-    "search_dsl_span_nested",      # r11 touched: unordered overlap
-                                   # now permitted (Lucene parity)
-    "search_dsl_intervals_filter", # r11 touched: shares the walk
-    "corpus_prep_stats",           # r11 touched: two-branch window plan
-    "search_aggs_variable_width",  # r11 NEW: largest-gaps vwh
-    "search_aggs_categorize_text", # r11 NEW: exact-template categorizer
-    "mixture_domain_resample",     # r11 NEW: mixture materialization
-    "search_aggs_frequent_item_sets",  # r11 NEW: closed-set mining
-    "embed_hard_negatives",        # r11 NEW: contrastive negatives
-    "incremental_dedup_sync",      # r11 NEW: nightly-batch dedup
-    "lm_kneser_ney_features",      # r11 NEW: KenLM-style KN tier
-    "fineweb_quality_filters",     # r11 NEW: C4/FineWeb line rules
-    # -- evidence-freshness fill (r10 verdict directive #4): ALL 32
-    #    queries still carrying round-4 evidence — after this window
-    #    nothing in the registry is older than round 5.
-    "namespace_provenance",
-    "group_count",
-    "orderby_limit",
-    "content_hash_ids",
-    "json_extract",
-    "self_join_parent",
-    "nation_with_children",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "neardup_jaccard",
-    "simhash_hamming_pairs",
-    "embed_cosine_topk",
-    "embed_ann_bucketed",
-    "multimodal_decode",
-    "embed_ann_ivf",
-    "doc_chunks",
-    "streaming_window_counts",
-    "json_parse_struct",
-    "table_counts",
-    "iso_export",
-    "salted_group_agg",
-    "running_totals",
-    "daily_event_stats",
-    "value_percentiles",
-    "generic_table_sync",
-    "events_time_range",
-    "events_range_join_prior",
-    "streaming_stateful_totals",
-    # (range_frame_hourly and sliding_window_counts — r4-era, both
-    #  carried by deep pytest/oracle evidence (range-join differential
-    #  file, streaming bench artifacts) — yield their slots to the KN
-    #  and FineWeb tiers; they rejoin in r12)
-    # -- remaining slots: the OLDEST r5-era queries in registration
-    #    order (the rest retire in the r12 window).
-    # (semi_join_discounted, anti_join_no_orders (r5-era) / search_dsl_bool / search_dsl_should_wildcard / search_dsl_msm_wildcard /
-    #  search_dsl_terms_set / search_multimatch_scored yield their
-    #  slots to the restructured corpus_prep_stats and the three
-    #  late-r11 queries above)
-    # (search_bm25_scored also yields its slot to the late additions;
-    #  it retires with the r5 tier in r12)
-    # (search_all_tables / search_nested_labels / search_hits_envelope
-    #  / multimodal_binary_meta yield their slots to the four late-r11
-    #  additions above; they retire with the remaining r5 tier in r12)
+    # -- r12 tier: semantics-touched THIS round (rotation rule:
+    #    nothing ships with driver evidence older than its last
+    #    change). New r12 queries are appended here as they land.
+    "corpus_prep_stats",           # r12 touched: empty-quality-gate
+                                   # counters coalesce to 0
+    "search_aggs_frequent_item_sets",  # r12 touched: NULL array
+                                   # values no longer null the basket
+    # -- evidence-freshness window (r11 verdict directive #4): the 2
+    #    r4-era + 30 r5-era queries — after this window nothing in
+    #    the registry carries driver evidence older than round 6.
+    "range_frame_hourly",
+    "sliding_window_counts",
+    "anti_join_no_orders",
+    "approx_sketches",
+    "corpus_clean",
+    "cube_status_priority",
+    "date_arith_orders",
+    "deterministic_sample",
+    "distinct_counts_by_flag",
+    "event_gaps",
+    "events_asof_order",
+    "fuzzy_match",
+    "gap_filled_daily_counts",
+    "grouping_sets_events",
+    "having_frequent_pairs",
+    "map_functions_events",
+    "multimodal_binary_meta",
+    "pack_token_budget",
+    "parts_above_type_avg",
+    "retrieval_filtered_topk",
+    "search_all_tables",
+    "search_bm25_scored",
+    "search_dsl_bool",
+    "search_dsl_msm_wildcard",
+    "search_dsl_should_wildcard",
+    "search_dsl_terms_set",
+    "search_hits_envelope",
+    "search_multimatch_scored",
+    "search_nested_labels",
+    "semi_join_discounted",
+    "session_window_counts",
+    "streaming_dedup_keys",
+    # -- remaining slots: the oldest r6-era queries in name order
+    #    (they become the owed window in r13; starting early keeps
+    #    the freshness horizon rolling). Trimmed from the end as new
+    #    r12 queries take slots above.
+    "benchmark_decontamination",
+    "dedup_clusters_jaccard",
+    "embed_quantize_int8",
+    "events_ewma",
+    "history_asof_read",
+    "neardup_minhash_lsh",
+    "pivot_event_types",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "regex_extract_docs",
+    "rollup_status_priority",
+    "search_aggs_filter_metrics",
 ]
 
 
