@@ -121,6 +121,10 @@ HEADLINE = (
     # than the Laplace member) and the zero-shuffle line-rule bundle
     "lm_kneser_ney_features",
     "fineweb_quality_filters",
+    # r12: relevance-boost ranked pages (compile_score column algebra
+    # — two tf columns + TakeOrdered; one member stands in for the
+    # four-query family, the others share its plan shape)
+    "search_boosted_multimatch",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:

@@ -63,6 +63,16 @@ ENTITY_TYPES = ("ticket", "user", "data_source", "module", "status", "label")
 _SCORED_KINDS = ("function_score", "script_score", "rank_feature",
                  "distance_feature")
 
+#: Text-relevance kinds that ALSO rank by their computed score when
+#: nothing forces the membership page (r12 — ES's default ``_score``
+#: order, with ``boost``/``^weight`` honored via
+#: :func:`.plans.es_dsl.compile_score`). Unlike _SCORED_KINDS they
+#: fall back to the membership page — not a 400 — when the request
+#: carries collapse/search_after/highlight/runtime fields, so every
+#: pre-r12 request shape keeps working.
+_TEXT_SCORED_KINDS = ("multi_match", "query_string",
+                      "simple_query_string")
+
 
 def _utcnow_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
@@ -607,15 +617,23 @@ class LakeService:
             df = self.spark.read.parquet(os.path.join(self.lake_dir, name))
             cols = None
             if fields is not None:
-                cols = []
+                from sql_database_to_elastic_datalake_spark.plans.es_dsl \
+                    import split_field_boost
+
+                # r12: ^boost suffixes are KEPT — each expanded column
+                # re-carries its pattern's weight into the tf score
+                # (the ES title^2 idiom; previously ignored)
+                seen: dict[str, float] = {}
                 for f in fields:
-                    nm = str(f).split("^", 1)[0]  # boost: ignored
+                    nm, w = split_field_boost(f, "search field")
                     if "*" in nm or "?" in nm:
-                        cols.extend(c for c in df.columns
-                                    if _fn.fnmatchcase(c, nm))
+                        for c in df.columns:
+                            if _fn.fnmatchcase(c, nm):
+                                seen.setdefault(c, w)
                     elif nm in df.columns:
-                        cols.append(nm)
-                cols = list(dict.fromkeys(cols))
+                        seen.setdefault(nm, w)
+                cols = [c if w == 1.0 else f"{c}^{w}"
+                        for c, w in seen.items()]
                 if not cols:
                     continue  # no requested field exists in this table
             matched = multi_match_table(df, term, fields=cols)
@@ -985,9 +1003,23 @@ class LakeService:
                 elif kind == "distance_feature":
                     pred, score, ms = distance_feature_columns(
                         body, resolve, date_fields)
-                else:
+                elif kind == "script_score":
                     pred, score, ms = script_score_columns(
                         body, resolve, df.columns)
+                else:
+                    # r12: generic scoreable query (multi_match /
+                    # query_string / simple_query_string) — membership
+                    # from compile_dsl, rank from compile_score
+                    from sql_database_to_elastic_datalake_spark.plans \
+                        .es_dsl import compile_score
+
+                    pred = compile_dsl(
+                        dsl, field_resolver=resolve,
+                        schema_fields=df.columns)
+                    score = compile_score(
+                        dsl, field_resolver=resolve,
+                        schema_fields=df.columns)
+                    ms = None
             except DslError:
                 raise
             except Exception:
@@ -1869,6 +1901,23 @@ class LakeService:
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
                 track_total_hits=track_total_hits)
+        if (isinstance(dsl, dict) and len(dsl) == 1
+                and next(iter(dsl)) in _TEXT_SCORED_KINDS
+                and not sort and not collapse and search_after is None
+                and not highlight and not rt_specs):
+            # r12: a top-level text-relevance query with no explicit
+            # sort ranks by its computed score (ES's default _score
+            # order, boosts honored). Feature combinations the ranked
+            # page doesn't carry (collapse/search_after/highlight/
+            # runtime fields) fall through to the membership page —
+            # the pre-r12 behavior — instead of erroring.
+            if from_ < 0:
+                raise DslError("from must be a non-negative integer")
+            return self._scored_search(
+                names, dsl, k=k, from_=from_, source=source,
+                fields_opt=fields_opt, aggs=aggs, suggest=suggest,
+                post_filter=post_filter,
+                track_total_hits=track_total_hits)
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):
@@ -2506,14 +2555,8 @@ def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
 def _rescore_expr(rescore: dict | None, df: "DataFrame"):
     """The rescore query's secondary tf score as an in-plan Column for
     one table (0.0 when rescoring is off or no requested field exists
-    here). Scoreable leaves only — this engine has no score for
-    filter-context trees, so anything else is a named 400."""
-    import fnmatch as _fn
-
-    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
-        tf_score,
-    )
-
+    here). Scoreable leaves only — the kind gate predates
+    compile_score and stays as the documented contract."""
     if rescore is None:
         return F.lit(0.0)
     if not isinstance(rescore, dict):
@@ -2533,30 +2576,28 @@ def _rescore_expr(rescore: dict | None, df: "DataFrame"):
     if not isinstance(rq, dict) or len(rq) != 1:
         raise DslError("rescore_query must be a single query node")
     kind, body = next(iter(rq.items()))
-    if kind == "multi_match":
-        query = body.get("query")
-        fields = body.get("fields") or []
-    elif kind in ("match", "match_phrase"):
-        field, spec = next(iter(body.items()))
-        query = spec.get("query") if isinstance(spec, dict) else spec
-        fields = [field]
-    else:
+    if kind not in ("multi_match", "match", "match_phrase"):
         raise DslError(
             f"unsupported rescore_query kind {kind!r} (scoreable "
             "leaves only: multi_match, match, match_phrase)"
         )
-    cols = []
-    for f in fields:
-        nm = str(f).split("^", 1)[0]
-        if "*" in nm or "?" in nm:
-            cols.extend(c for c in df.columns
-                        if _fn.fnmatchcase(c, nm))
-        elif nm in df.columns:
-            cols.append(nm)
-    cols = list(dict.fromkeys(cols))
-    if not cols or query is None:
-        return F.lit(0.0)
-    return tf_score(cols, str(query)).cast("double")
+    if kind == "multi_match" and not body.get("fields"):
+        return F.lit(0.0)  # no requested field → zero contribution
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_score,
+    )
+
+    def resolve(f: str):
+        # a field this table lacks contributes nothing (ES's
+        # missing-field behavior), instead of failing analysis
+        return (F.col(f) if f in df.columns
+                else F.lit(None).cast("string"))
+
+    # r12: boosts (leaf + per-field ^suffix) are honored — the score
+    # compiler shares the leaf semantics with the ranked pages
+    return compile_score(rq, field_resolver=resolve,
+                         schema_fields=df.columns).cast("double")
 
 
 #: metric → its accepted option keys (ES's rank_eval option surface)

@@ -26,12 +26,14 @@ Semantics notes (documented divergences from Elasticsearch):
     ordering is not reproducible without ES's corpus statistics
     (SURVEY.md §7.3 hard-part #3).
   * ``bool.filter`` ≡ ``bool.must`` (we have no scoring context).
-  * ``boost`` is ACCEPTED AND IGNORED everywhere ES allows it (leaf
-    ``{"value": v, "boost": 2.0}`` specs, ``bool.boost``, and the
-    ``field^2`` suffix in ``multi_match`` fields): boosting only
-    affects relevance scores, and this compiler produces a boolean
-    filter — the documented divergence is that result ORDER comes from
-    :func:`tf_score`/``bm25_rank``, never from boosts.
+  * ``boost`` never changes MEMBERSHIP (this compiler produces a
+    boolean filter; boosting only affects relevance), but as of r12 it
+    IS honored wherever the engine ranks: :func:`compile_score`
+    compiles the same tree into a score Column (leaf ``{"value": v,
+    "boost": 2.0}`` specs, ``bool.boost``, the ``field^2`` suffix in
+    ``multi_match``/``query_string`` fields, ``constant_score``,
+    ``dis_max`` ``tie_breaker``, ``boosting`` ``negative_boost``) —
+    see its docstring for the deterministic scoring model.
   * ``minimum_should_match`` supports the full ES spec grammar:
     integers, negative integers, percentages (``"75%"``, ``"-25%"``,
     rounded down per the Lucene spec), and conditional forms
@@ -1214,6 +1216,8 @@ def compile_dsl(
         preds = []
         ops = {"gte": c.__ge__, "gt": c.__gt__, "lte": c.__le__, "lt": c.__lt__}
         for op, v in bounds.items():
+            if op == "boost":
+                continue  # scoring-only; honored by compile_score
             if op not in ops:
                 raise DslError(f"unsupported range op {op}")
             preds.append(ops[op](F.lit(v)))
@@ -1843,7 +1847,10 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
-def tf_score(fields: list[Column | str], query: str) -> Column:
+def tf_score(
+    fields: list[Column | str], query: str,
+    weights: list[float] | None = None,
+) -> Column:
     """Deterministic naive term-frequency relevance score.
 
     Counts total (possibly overlapping-free) occurrences of each query
@@ -1851,15 +1858,293 @@ def tf_score(fields: list[Column | str], query: str) -> Column:
     ``(len(s) - len(replace(s, token))) / len(token)`` summed over
     tokens × fields. Reproducible anywhere — unlike BM25 — so ranked
     search output can be differentially tested.
+
+    ``weights`` (r12, relevance ``boost``): one multiplier per field —
+    the ES ``title^2`` idiom. Each field's token counts scale by its
+    weight before the sum; omitted = all 1.0.
     """
     toks = tokenize(query)
+    if weights is not None and len(weights) != len(fields):
+        raise DslError("tf_score weights must match fields one-to-one")
     score = F.lit(0)
-    for fld in fields:
+    for i, fld in enumerate(fields):
         c = F.lower((F.col(fld) if isinstance(fld, str) else fld).cast("string"))
         base_len = F.length(c)
+        w = 1.0 if weights is None else float(weights[i])
         for t in toks:
             occ = (base_len - F.length(F.replace(c, F.lit(t), F.lit("")))) / F.lit(
                 len(t)
             )
-            score = score + F.coalesce(occ, F.lit(0.0))
+            score = score + F.lit(w) * F.coalesce(occ, F.lit(0.0))
     return score.cast("double")
+
+
+def split_field_boost(field: str, where: str = "field") -> tuple[str, float]:
+    """Split ES's ``name^boost`` field suffix into (name, weight).
+
+    The single most common relevance idiom (``"fields": ["title^2",
+    "body"]``). A malformed suffix is a named 400 — ES rejects
+    ``title^x`` too."""
+    s = str(field)
+    if "^" not in s:
+        return s, 1.0
+    name, _, suffix = s.partition("^")
+    try:
+        w = float(suffix)
+    except ValueError:
+        raise DslError(
+            f"malformed {where} boost suffix {field!r} (expected "
+            "name^number)") from None
+    if w < 0:
+        raise DslError(f"{where} boost must be non-negative ({field!r})")
+    return name, w
+
+
+def _boost_of(value, where: str) -> float:
+    """Validate one explicit ``boost`` value (ES: non-negative float)."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        raise DslError(f"{where} boost must be a number, got {value!r}")
+    b = float(value)
+    if b < 0:
+        raise DslError(f"{where} boost must be non-negative, got {value!r}")
+    return b
+
+
+def _node_boost(body, where: str) -> float:
+    """The ``boost`` carried by a query node, wherever ES's grammar
+    puts it: the leaf body itself (``multi_match``/``bool``/…) or the
+    single-field spec object (``{"term": {"f": {"value": v, "boost":
+    b}}}``). Default 1.0."""
+    if not isinstance(body, dict):
+        return 1.0
+    if "boost" in body:
+        return _boost_of(body["boost"], where)
+    for v in body.values():
+        if isinstance(v, dict) and "boost" in v:
+            return _boost_of(v["boost"], where)
+    return 1.0
+
+
+def compile_score(
+    dsl: dict,
+    field_resolver: Callable[[str], Column] | None = None,
+    schema_fields: list[str] | None = None,
+) -> Column:
+    """Compile an ES query DSL tree into its relevance-score Column —
+    the companion to :func:`compile_dsl` (membership from there, rank
+    from here; the score is only meaningful on rows the predicate
+    matches, and validation of unknown options lives in the predicate
+    compile, so callers always run both).
+
+    r12: this closes the module's historical "boost is accepted and
+    ignored" divergence for the RANKED paths. Scoring model (documented
+    divergence, deterministic by design):
+
+    * text leaves (``match``, ``multi_match``, ``query_string``,
+      ``simple_query_string``) score by :func:`tf_score` — term
+      frequency, exactly replayable by a SQL oracle — times their
+      ``boost`` and per-field ``^weight`` suffixes; BM25's corpus
+      statistics are not reproducible without ES's shards
+      (SURVEY.md §7.3 hard-part #3).
+    * ``multi_match`` honors ES ``type`` scoring: ``best_fields``
+      (default) takes the best single field plus ``tie_breaker`` times
+      the others; ``most_fields`` sums. Other types score as
+      ``best_fields`` (their match-set semantics are already the
+      documented substring divergence in the filter path).
+    * every other leaf scores a CONSTANT ``boost`` (default 1.0) when
+      matched — exactly what ES's ``constant_score``/filter context
+      gives, and the honest deterministic stand-in for BM25 on
+      term/range/… leaves.
+    * compounds follow Lucene: ``bool`` sums the scores of matching
+      ``must``+``should`` clauses (``filter``/``must_not`` contribute
+      0 — a filter-only bool scores 0.0 like ES), ``dis_max`` takes
+      the best clause plus ``tie_breaker`` times the rest,
+      ``boosting`` multiplies by ``negative_boost`` when the negative
+      matches, ``constant_score`` returns its boost, and every node
+      multiplies by its own ``boost``.
+
+    Pure column algebra — whole-stage codegen, no UDF; the ranked page
+    stays one scan + one TakeOrdered.
+    """
+    col = field_resolver or F.col
+
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise DslError(f"query node must have exactly one key, got {dsl!r}")
+    kind, body = next(iter(dsl.items()))
+
+    if kind == "bool":
+        boost = _boost_of(body["boost"], "bool") if isinstance(
+            body, dict) and "boost" in body else 1.0
+        parts: list[Column] = []
+        for key in ("must", "should"):
+            for sub in _as_list(body.get(key)):
+                p = _ns(compile_dsl(sub, field_resolver, schema_fields))
+                s = compile_score(sub, field_resolver, schema_fields)
+                parts.append(F.when(p, s).otherwise(F.lit(0.0)))
+        total = parts[0] if parts else F.lit(0.0)
+        for p in parts[1:]:
+            total = total + p
+        return (total * F.lit(boost)).cast("double")
+
+    if kind == "dis_max":
+        boost = _boost_of(body["boost"], "dis_max") \
+            if isinstance(body, dict) and "boost" in body else 1.0
+        tb = float(body.get("tie_breaker", 0.0)) \
+            if isinstance(body, dict) else 0.0
+        queries = body.get("queries") if isinstance(body, dict) else None
+        if not isinstance(queries, list) or not queries:
+            raise DslError("dis_max requires a non-empty queries list")
+        masked = [
+            F.when(_ns(compile_dsl(q, field_resolver, schema_fields)),
+                   compile_score(q, field_resolver, schema_fields))
+            for q in queries
+        ]
+        best = masked[0] if len(masked) == 1 else F.greatest(*masked)
+        best = F.coalesce(best, F.lit(0.0))
+        matched_sum = masked[0] if len(masked) == 1 else None
+        if matched_sum is None:
+            matched_sum = F.lit(0.0)
+            for m in masked:
+                matched_sum = matched_sum + F.coalesce(m, F.lit(0.0))
+        else:
+            matched_sum = F.coalesce(matched_sum, F.lit(0.0))
+        score = best + F.lit(tb) * (matched_sum - best)
+        return (score * F.lit(boost)).cast("double")
+
+    if kind == "boosting":
+        if not isinstance(body, dict) or "positive" not in body:
+            raise DslError("boosting requires a positive clause")
+        boost = _boost_of(body["boost"], "boosting") \
+            if "boost" in body else 1.0
+        pos = compile_score(body["positive"], field_resolver,
+                            schema_fields)
+        if "negative" in body:
+            if "negative_boost" not in body:
+                raise DslError(
+                    "boosting with a negative clause requires "
+                    "negative_boost (ES rejects its absence too)")
+            nb = _boost_of(body["negative_boost"], "negative_boost")
+            neg = _ns(compile_dsl(body["negative"], field_resolver,
+                                  schema_fields))
+            pos = pos * F.when(neg, F.lit(nb)).otherwise(F.lit(1.0))
+        return (pos * F.lit(boost)).cast("double")
+
+    if kind == "constant_score":
+        boost = _boost_of(body.get("boost", 1.0), "constant_score") \
+            if isinstance(body, dict) else 1.0
+        return F.lit(boost).cast("double")
+
+    if kind == "match_all":
+        boost = _node_boost(body, "match_all") \
+            if isinstance(body, dict) else 1.0
+        return F.lit(boost).cast("double")
+
+    if kind == "match":
+        field, spec = next(iter(body.items()))
+        value = spec.get("query") if isinstance(spec, dict) else spec
+        boost = _boost_of(spec["boost"], "match") \
+            if isinstance(spec, dict) and "boost" in spec else 1.0
+        return (tf_score([col(field)], str(value)) * F.lit(boost)) \
+            .cast("double")
+
+    if kind in ("match_phrase", "match_phrase_prefix"):
+        # phrase-aware tf: count occurrences of the WHOLE phrase (the
+        # same substring semantics the membership compile uses), so a
+        # doc repeating the phrase outranks one containing it once
+        field, spec = next(iter(body.items()))
+        value = str(spec.get("query") if isinstance(spec, dict)
+                    else spec).lower()
+        boost = _boost_of(spec["boost"], kind) \
+            if isinstance(spec, dict) and "boost" in spec else 1.0
+        if not value:
+            return F.lit(0.0)
+        c = F.lower(col(field).cast("string"))
+        occ = (F.length(c)
+               - F.length(F.replace(c, F.lit(value), F.lit("")))) \
+            / F.lit(len(value))
+        return (F.coalesce(occ, F.lit(0.0)) * F.lit(boost)) \
+            .cast("double")
+
+    if kind == "multi_match":
+        boost = _boost_of(body["boost"], "multi_match") \
+            if "boost" in body else 1.0
+        mm_type = str(body.get("type", "best_fields"))
+        tb = float(body.get("tie_breaker", 0.0))
+        query = str(body.get("query", ""))
+        fields = body.get("fields")
+        if not isinstance(fields, list) or not fields:
+            raise DslError(
+                "multi_match requires an explicit non-empty fields "
+                "list (field expansion needs the table schema)")
+        weights: dict[str, float] = {}
+        for f in fields:
+            name, w = split_field_boost(f, "multi_match field")
+            if "*" in name or "?" in name:
+                if schema_fields is None:
+                    raise DslError(
+                        f"wildcard field pattern {f!r} needs the "
+                        "table schema (pass schema_fields=df.columns)")
+                for c in schema_fields:
+                    if fnmatch.fnmatchcase(c, name):
+                        weights.setdefault(c, w)
+            else:
+                weights.setdefault(name, w)
+        if not weights:
+            return F.lit(0.0)
+        per_field = [
+            tf_score([col(f)], query) * F.lit(w)
+            for f, w in weights.items()
+        ]
+        if mm_type == "most_fields":
+            score = per_field[0]
+            for s in per_field[1:]:
+                score = score + s
+        else:  # best_fields (default) and the documented-divergence
+            # types score as best_fields: best + tie_breaker * rest
+            best = per_field[0] if len(per_field) == 1 \
+                else F.greatest(*per_field)
+            total = per_field[0]
+            for s in per_field[1:]:
+                total = total + s
+            score = best + F.lit(tb) * (total - best)
+        return (score * F.lit(boost)).cast("double")
+
+    if kind in ("query_string", "simple_query_string"):
+        from sql_database_to_elastic_datalake_spark.plans.query_string import (
+            parse_query_string,
+        )
+
+        boost = 1.0
+        if isinstance(body, dict) and "boost" in body:
+            boost = _boost_of(body["boost"], kind)
+        tree = parse_query_string(
+            body, schema_fields=schema_fields,
+            simple=kind == "simple_query_string",
+        )
+        return (compile_score(tree, field_resolver, schema_fields)
+                * F.lit(boost)).cast("double")
+
+    if kind == "wrapper":
+        import base64
+        import json as _json
+
+        raw = body.get("query") if isinstance(body, dict) else None
+        if not isinstance(raw, str):
+            raise DslError("wrapper requires a base64 query string")
+        try:
+            inner = _json.loads(base64.b64decode(raw))
+        except Exception:
+            raise DslError("wrapper query is not valid base64 JSON") \
+                from None
+        return compile_score(inner, field_resolver, schema_fields)
+
+    if kind in ("function_score", "script_score"):
+        raise DslError(
+            f"{kind} inside a scored tree is not supported — nest its "
+            "query directly and move the functions to the top level")
+
+    # every other leaf (term/terms/range/exists/prefix/wildcard/
+    # regexp/fuzzy/ids/terms_set/nested/span_*/intervals/script/
+    # more_like_this/…): constant boost when matched, like ES's
+    # filter context / constant_score
+    return F.lit(_node_boost(body, kind)).cast("double")

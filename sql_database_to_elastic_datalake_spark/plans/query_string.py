@@ -85,21 +85,70 @@ def _coerce_number(s: str):
 
 def _expand_fields(
     patterns: list[str], schema_fields: list[str] | None
-) -> list[str]:
-    out: list[str] = []
+) -> dict[str, float]:
+    """Expand field names/patterns to an ordered name → ^boost-weight
+    map (first occurrence wins, mirroring the membership path's
+    dedup). r12: the weight is RETAINED — it multiplies into each
+    generated leaf's ``boost`` so the scored paths honor ``title^2``
+    (previously accepted-and-ignored)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        split_field_boost,
+    )
+
+    out: dict[str, float] = {}
     for f in patterns:
-        name = str(f).split("^", 1)[0]  # ^boost: ignored
+        name, w = split_field_boost(f, "query_string field")
         if "*" in name or "?" in name:
             if schema_fields is None:
                 raise DslError(
                     f"query_string field pattern {f!r} needs the table "
                     "schema (pass schema_fields=df.columns)"
                 )
-            out.extend(c for c in schema_fields
-                       if fnmatch.fnmatchcase(c, name))
+            for c in schema_fields:
+                if fnmatch.fnmatchcase(c, name):
+                    out.setdefault(c, w)
         else:
-            out.append(name)
-    return list(dict.fromkeys(out))
+            out.setdefault(name, w)
+    return out
+
+
+def _split_term_boost(value: str) -> tuple[str, float]:
+    """Strip a Lucene ``term^boost`` suffix, returning the weight.
+    Malformed suffixes are named 400s (ES rejects ``a^x`` too)."""
+    if "^" not in value:
+        return value, 1.0
+    term, _, suf = value.partition("^")
+    try:
+        w = float(suf)
+    except ValueError:
+        raise DslError(
+            f"malformed term boost {value!r} in query string "
+            "(expected term^number)") from None
+    if w < 0:
+        raise DslError(
+            f"term boost must be non-negative ({value!r})")
+    return term, w
+
+
+def _with_boost(leaf: dict, b: float) -> dict:
+    """Attach a combined field-weight x term-boost to a generated
+    structured leaf, in the spec shape the DSL compiler reads. A
+    neutral 1.0 attaches nothing, so boost-free query strings parse to
+    byte-identical trees."""
+    if b == 1.0:
+        return leaf
+    kind, body = next(iter(leaf.items()))
+    if kind == "exists":
+        return {kind: {**body, "boost": b}}
+    if kind == "bool":
+        return {kind: {**body, "boost": b}}
+    f, spec = next(iter(body.items()))
+    if kind == "range":
+        return {kind: {f: {**spec, "boost": b}}}
+    if not isinstance(spec, dict):
+        key = "query" if kind in ("match", "match_phrase") else "value"
+        spec = {key: spec}
+    return {kind: {f: {**spec, "boost": b}}}
 
 
 # ---------------------------------------------------------------------------
@@ -210,12 +259,15 @@ def _tokens(s: str, simple: bool) -> list[tuple]:
 
 class _Parser:
     def __init__(self, toks: list[tuple], fields: list[str],
-                 default_and: bool, simple: bool):
+                 default_and: bool, simple: bool,
+                 weights: dict[str, float] | None = None):
         self.toks = toks
         self.i = 0
         self.fields = fields
         self.default_and = default_and
         self.simple = simple
+        #: field → ^boost weight from the fields list (r12)
+        self.weights = weights or {}
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -324,7 +376,10 @@ class _Parser:
                 if not value:
                     raise DslError("_exists_: requires a field name")
                 return {"exists": {"field": value}}
-            name = field.split("^", 1)[0]
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl \
+                import split_field_boost
+
+            name, fw = split_field_boost(field, "query_string field")
             if value and value[0] in "<>":
                 # range shorthand (field:>10, field:<=2024-01-01) →
                 # the structured range leaf
@@ -335,20 +390,28 @@ class _Parser:
                 if not bound:
                     raise DslError(
                         f"range shorthand {word!r} has no bound")
-                return {"range": {name: {op: _coerce_number(bound)}}}
+                return _with_boost(
+                    {"range": {name: {op: _coerce_number(bound)}}}, fw)
             sub = [name]
+            sub_w = {name: fw}
             if value and value[0] in "[{":
                 # Lucene bracket range: field:[a TO b] / {a TO b}
                 bounds = self._to_range_bounds(value)
                 if not bounds:
-                    return {"exists": {"field": name}}  # [* TO *]
-                return {"range": {name: bounds}}
+                    return _with_boost(
+                        {"exists": {"field": name}}, fw)  # [* TO *]
+                return _with_boost({"range": {name: bounds}}, fw)
             if value:
-                return self._term_leaf(value, sub)
+                return self._term_leaf(value, sub, weights=sub_w)
             nxt = self.peek()
             if nxt == ("(",) or (nxt and nxt[0] == "PHRASE"):
                 # field:(grouped …) / field:"a phrase"
-                return self.primary(sub)
+                saved = self.weights
+                self.weights = sub_w
+                try:
+                    return self.primary(sub)
+                finally:
+                    self.weights = saved
             raise DslError(f"field {field!r} has no value in query string")
         return self._term_leaf(word, fields)
 
@@ -395,8 +458,9 @@ class _Parser:
             bounds["lte" if close == "]" else "lt"] = _coerce_number(hi)
         return bounds
 
-    def _term_leaf(self, value: str, fields: list[str]) -> dict:
-        value = value.split("^", 1)[0]  # term boost: ignored
+    def _term_leaf(self, value: str, fields: list[str],
+                   weights: dict[str, float] | None = None) -> dict:
+        value, tb = _split_term_boost(value)
         if not value:
             raise DslError("empty term in query string")
         if (value[0] in "[{" or value == "TO") and not self.simple:
@@ -409,9 +473,11 @@ class _Parser:
             bounds = self._to_range_bounds(value)
             if not bounds:
                 return self._per_field(
-                    fields, lambda f: {"exists": {"field": f}})
+                    fields, lambda f: {"exists": {"field": f}},
+                    term_boost=tb, weights=weights)
             return self._per_field(
-                fields, lambda f: {"range": {f: bounds}})
+                fields, lambda f: {"range": {f: bounds}},
+                term_boost=tb, weights=weights)
         if value[0] == "/" and not self.simple:
             # /regex/ → the structured regexp leaf (whole-value
             # anchoring, the engine's documented regexp posture).
@@ -421,7 +487,9 @@ class _Parser:
                 raise DslError(
                     f"unterminated regex {value!r} in query string")
             pat = value[1:-1]
-            return self._per_field(fields, lambda f: {"regexp": {f: pat}})
+            return self._per_field(fields,
+                                   lambda f: {"regexp": {f: pat}},
+                                   term_boost=tb, weights=weights)
         if "~" in value:
             # Lucene fuzzy: term~ (AUTO) / term~N → the r7
             # fuzziness-in-match leaf (token-vs-token edit distance)
@@ -434,35 +502,52 @@ class _Parser:
             return self._per_field(
                 fields,
                 lambda f: {"match": {f: {"query": term,
-                                         "fuzziness": fuzz}}})
+                                         "fuzziness": fuzz}}},
+                term_boost=tb, weights=weights)
         if "*" in value or "?" in value:
             return self._per_field(
-                fields, lambda f: {"wildcard": {f: value}})
-        return self._per_field(fields, lambda f: {"match": {f: value}})
+                fields, lambda f: {"wildcard": {f: value}},
+                term_boost=tb, weights=weights)
+        return self._per_field(fields, lambda f: {"match": {f: value}},
+                               term_boost=tb, weights=weights)
 
     def _phrase_leaf(self, text: str, fields: list[str]) -> dict:
         # "a phrase"~N → match_phrase slop (the r7 positional leaf);
         # the slop suffix arrives as its own WORD token after the
         # quoted phrase
         nxt = self.peek()
-        if nxt and nxt[0] == "WORD" and re.fullmatch(r"~\d+", nxt[1]):
-            self.next()
-            slop = int(nxt[1][1:])
-            if slop:
-                return self._per_field(
-                    fields,
-                    lambda f: {"match_phrase": {f: {"query": text,
-                                                    "slop": slop}}})
+        slop, pb = 0, 1.0
+        if nxt and nxt[0] == "WORD":
+            m = re.fullmatch(
+                r"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?", nxt[1])
+            if m and nxt[1]:
+                self.next()
+                slop = int(m.group(1)) if m.group(1) else 0
+                pb = float(m.group(2)) if m.group(2) else 1.0
+        if slop:
+            return self._per_field(
+                fields,
+                lambda f: {"match_phrase": {f: {"query": text,
+                                                "slop": slop}}},
+                term_boost=pb)
         return self._per_field(
-            fields, lambda f: {"match_phrase": {f: text}})
+            fields, lambda f: {"match_phrase": {f: text}},
+            term_boost=pb)
 
-    def _per_field(self, fields: list[str], mk) -> dict:
+    def _per_field(self, fields: list[str], mk,
+                   term_boost: float = 1.0,
+                   weights: dict[str, float] | None = None) -> dict:
         if not fields:
             # ES: a field list that expands to nothing matches no docs
             return {"bool": {"must_not": [{"match_all": {}}]}}
+        w = self.weights if weights is None else weights
+        leaves = [
+            _with_boost(mk(f), w.get(f, 1.0) * term_boost)
+            for f in fields
+        ]
         if len(fields) == 1:
-            return mk(fields[0])
-        return {"bool": {"should": [mk(f) for f in fields],
+            return leaves[0]
+        return {"bool": {"should": leaves,
                          "minimum_should_match": 1}}
 
 
@@ -490,7 +575,8 @@ def parse_query_string(
         raw_fields = [default]
     if not isinstance(raw_fields, list) or not raw_fields:
         raise DslError("query_string fields must be a non-empty list")
-    fields = _expand_fields(raw_fields, schema_fields)
+    weighted = _expand_fields(raw_fields, schema_fields)
+    fields = list(weighted)
     op = str(body.get("default_operator", "or")).lower()
     if op not in ("and", "or"):
         raise DslError(f"unknown default_operator {op!r}")
@@ -501,7 +587,8 @@ def parse_query_string(
 
     def _parse(qs: str) -> dict:
         toks = _tokens(qs, simple)
-        p = _Parser(toks, fields, default_and=op == "and", simple=simple)
+        p = _Parser(toks, fields, default_and=op == "and",
+                    simple=simple, weights=weighted)
         node = p.or_expr(fields)
         if p.peek() is not None:
             raise DslError("unbalanced parenthesis in query string")

@@ -7,12 +7,14 @@ nontrivial production shapes. This module compiles them into pure
 Spark Column expressions — one scan, one TakeOrdered, no UDF, never
 ``eval()``.
 
-Scoring model (documented divergence): this engine's DSL filter
-context is score-free, so the BASE query score inside
-``function_score``/``script_score`` is the constant 1.0 — exactly
-ES's own behavior when the inner query is ``match_all`` or sits in
-filter context. A text-scoring inner query therefore ranks purely by
-the function result; the oracle replays the same algebra.
+Scoring model: the BASE query score inside ``function_score``/
+``script_score`` is the inner query's relevance score
+(:func:`.es_dsl.compile_score` — r12; previously the flat
+filter-context 1.0). ``match_all`` and plain leaves still score 1.0
+(times their ``boost``), text leaves score by deterministic term
+frequency, and a filter-only ``bool`` scores 0.0 exactly like ES; the
+oracle replays the same algebra. The top-level ``boost`` multiplies
+the final score (Lucene's contract).
 
 Painless subset for ``script_score``: the same ``params.x`` arithmetic
 grammar as the TSVB ``bucket_script`` evaluator
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
     DslError,
     compile_dsl,
+    compile_score,
 )
 
 _NUM = r"(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?"
@@ -79,6 +82,18 @@ _MATH_2 = {
     "max": F.greatest,
     "min": F.least,
 }
+
+
+def _req_boost(value, where: str) -> float:
+    """Validate a top-level ``boost``: ES requires a non-negative
+    number."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        raise DslError(f"{where} boost must be a number, got {value!r}")
+    b = float(value)
+    if b < 0:
+        raise DslError(
+            f"{where} boost must be non-negative, got {value!r}")
+    return b
 
 
 def _truthy(c: Column) -> Column:
@@ -524,6 +539,15 @@ def function_score_columns(
     score under ``boost_mode``. A function whose filter does not match
     is EXCLUDED from the fold (ES semantics), and when none match the
     functions contribute the neutral 1.0.
+
+    r12: the base score is the inner query's REAL relevance score
+    (:func:`.es_dsl.compile_score` — tf-scored text leaves, boost-
+    honoring compounds), no longer the flat filter-context 1.0; a
+    ``match_all``/plain-leaf inner query still scores 1.0, so the
+    pre-r12 shapes are unchanged, while a filter-only ``bool`` now
+    scores 0.0 exactly like ES. The top-level ``boost`` multiplies the
+    final combined score (Lucene's boost contract), where it was
+    previously accepted-and-ignored.
     """
     if not isinstance(body, dict):
         raise DslError("function_score must be an object")
@@ -543,7 +567,8 @@ def function_score_columns(
     inner = body.get("query", {"match_all": {}})
     pred = compile_dsl(inner, field_resolver=field_resolver,
                        schema_fields=schema_fields)
-    base = F.lit(1.0)  # filter-context base score (module docstring)
+    base = compile_score(inner, field_resolver=field_resolver,
+                         schema_fields=schema_fields)
 
     fns = body.get("functions")
     if fns is None:
@@ -605,6 +630,11 @@ def function_score_columns(
     else:
         score = F.least(base, combined)
 
+    if "boost" in body:
+        # the top-level query boost: multiplies the final combined
+        # score (Lucene wraps the whole function_score query)
+        score = score * F.lit(_req_boost(body["boost"], "function_score"))
+
     ms = body.get("min_score")
     return pred, score.cast("double"), (
         float(ms) if ms is not None else None)
@@ -616,8 +646,10 @@ def script_score_columns(
     schema_fields: list[str],
 ) -> tuple[Column, Column, float | None]:
     """A ``script_score`` QUERY body → (predicate, score, min_score).
-    Score = the script result over the matched set (base ``_score``
-    binds to the filter-context 1.0 — module docstring)."""
+    Score = the script result over the matched set, times the optional
+    top-level ``boost``; ``_score`` inside the script binds to the
+    inner query's relevance score (module docstring — r12; previously
+    the flat 1.0)."""
     if not isinstance(body, dict):
         raise DslError("script_score must be an object")
     unknown = sorted(set(body) - {"query", "script", "min_score",
@@ -629,7 +661,11 @@ def script_score_columns(
     inner = body.get("query", {"match_all": {}})
     pred = compile_dsl(inner, field_resolver=field_resolver,
                        schema_fields=schema_fields)
-    score = script_column(body["script"], field_resolver, F.lit(1.0))
+    base = compile_score(inner, field_resolver=field_resolver,
+                         schema_fields=schema_fields)
+    score = script_column(body["script"], field_resolver, base)
+    if "boost" in body:
+        score = score * F.lit(_req_boost(body["boost"], "script_score"))
     ms = body.get("min_score")
     return pred, score, (float(ms) if ms is not None else None)
 

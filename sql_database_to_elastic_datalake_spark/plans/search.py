@@ -153,14 +153,26 @@ def multi_match_table(
     with_score: bool = True,
 ) -> DataFrame:
     """Match ``query`` tokens against the given (default: all string)
-    columns of one table; optionally attach the tf relevance score."""
-    cols = fields or string_columns(df)
-    if not cols:
+    columns of one table; optionally attach the tf relevance score.
+
+    r12: field entries may carry ES's ``name^boost`` suffix — the
+    weight multiplies that field's tf contribution (membership is
+    unchanged; boosts only shape rank)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        split_field_boost,
+    )
+
+    raw = fields or string_columns(df)
+    if not raw:
         return df.limit(0)
+    pairs = [split_field_boost(f, "multi_match field") for f in raw]
+    cols = [n for n, _ in pairs]
     pred = compile_dsl({"multi_match": {"query": query, "fields": cols}})
     out = df.filter(pred)
     if with_score:
-        out = out.withColumn("score", tf_score(cols, query))
+        out = out.withColumn(
+            "score", tf_score(cols, query,
+                              weights=[w for _, w in pairs]))
     return out
 
 

@@ -1,0 +1,241 @@
+"""Relevance ``boost`` (r12): compile_score ordering parity vs pinned
+ES semantics.
+
+The r11 verdict's #1 missing item: ``title^2`` / ``{"boost": 2}`` were
+parsed-and-ignored, so any boosted saved query got ES-divergent hit
+ordering. These tests pin the ES ordering contracts that survive the
+engine's deterministic-tf divergence: a boost multiplies its clause's
+score, bool sums matching scoring clauses, dis_max takes the best plus
+tie_breaker times the rest, constant_score scores its boost,
+best_fields vs most_fields shape multi_match, and function_score's
+base is the inner query's real score with the top-level boost
+multiplying the result. Each scenario is constructed so ES's BM25
+would order identically (same-text docs, boost-dominated gaps) — the
+ordering, not the absolute score, is the parity claim.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+    DslError,
+    compile_dsl,
+    compile_score,
+    split_field_boost,
+    tf_score,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "spark spark spark", "apache", "en"),
+         (2, "spark merge", "spark", "en"),
+         (3, "merge merge", "merge", "de"),
+         (4, "nothing", None, "fr")],
+        "id long, txt string, title string, lang string",
+    )
+
+
+def ranked(df, dsl, schema=None):
+    p = compile_dsl(dsl, schema_fields=schema or df.columns)
+    s = compile_score(dsl, schema_fields=schema or df.columns)
+    rows = (df.filter(p).withColumn("_s", s)
+            .orderBy(F.col("_s").desc(), F.col("id")).collect())
+    return [(r["id"], r["_s"]) for r in rows]
+
+
+def test_field_boost_flips_best_fields_order(docs):
+    # unboosted: doc1 wins on txt tf (3 spark). title^10 makes doc2's
+    # title match dominate — ES's ^boost contract: the boosted field's
+    # score scales, flipping the order
+    dsl = {"multi_match": {"query": "spark", "fields": ["txt", "title"]}}
+    assert [i for i, _ in ranked(docs, dsl)] == [1, 2]
+    dsl = {"multi_match": {"query": "spark",
+                           "fields": ["txt", "title^10"]}}
+    assert [i for i, _ in ranked(docs, dsl)] == [2, 1]
+
+
+def test_multi_match_types_and_tie_breaker(docs):
+    # doc2 matches "spark" in BOTH fields (tf 1 each); doc1 only in
+    # txt (tf 3). best_fields (default): doc1 3 > doc2 1. most_fields
+    # sums: doc2 2 < 3 still, but tie_breaker 1.0 == most_fields
+    base = {"query": "spark", "fields": ["txt", "title"]}
+    bf = ranked(docs, {"multi_match": base})
+    assert bf[0] == (1, 3.0) and bf[1] == (2, 1.0)
+    mf = ranked(docs, {"multi_match": {**base, "type": "most_fields"}})
+    assert mf[0] == (1, 3.0) and mf[1] == (2, 2.0)
+    tb = ranked(docs, {"multi_match": {**base, "tie_breaker": 1.0}})
+    assert tb == mf
+
+
+def test_bool_should_sums_matching_boosted_clauses(docs):
+    # ES: a bool's score is the sum of its matching scoring clauses,
+    # each times its boost; non-matching should clauses contribute 0
+    dsl = {"bool": {"should": [
+        {"term": {"lang": {"value": "de", "boost": 10.0}}},
+        {"match": {"txt": "merge"}},
+    ]}}
+    out = ranked(docs, dsl)
+    # doc3: 10 (de) + 2 (merge tf) = 12; doc2: 0 + 1 = 1
+    assert out == [(3, 12.0), (2, 1.0)]
+    # must clauses also contribute score; filter does not
+    dsl = {"bool": {
+        "must": [{"match": {"txt": "merge"}}],
+        "filter": [{"term": {"lang": "de"}}],
+    }}
+    assert ranked(docs, dsl) == [(3, 2.0)]
+    # a filter-only bool scores 0.0 — exactly ES
+    assert ranked(docs, {"bool": {"filter": [
+        {"term": {"lang": "en"}}]}}) == [(1, 0.0), (2, 0.0)]
+
+
+def test_dis_max_tie_breaker_and_constant_score(docs):
+    dsl = {"dis_max": {"queries": [
+        {"match": {"txt": "spark"}},
+        {"constant_score": {"filter": {"term": {"lang": "en"}},
+                            "boost": 2.5}},
+    ], "tie_breaker": 0.4}}
+    out = dict(ranked(docs, dsl))
+    # doc1: best max(3, 2.5)=3 + 0.4*2.5 = 4.0; doc2: max(1,2.5)=2.5
+    # + 0.4*1 = 2.9
+    assert out[1] == pytest.approx(4.0) and out[2] == pytest.approx(2.9)
+
+
+def test_boosting_demotes_negative_matches(docs):
+    dsl = {"boosting": {
+        "positive": {"match": {"txt": "merge"}},
+        "negative": {"term": {"lang": "de"}},
+        "negative_boost": 0.1,
+    }}
+    # doc3 has the higher raw tf (2) but is demoted to 0.2 below
+    # doc2's 1.0 — ES's boosting contract
+    assert ranked(docs, dsl) == [(2, 1.0), (3, pytest.approx(0.2))]
+    with pytest.raises(DslError, match="negative_boost"):
+        compile_score({"boosting": {
+            "positive": {"match_all": {}},
+            "negative": {"match_all": {}}}})
+
+
+def test_query_string_boosts_flow_through_parse(docs):
+    # Lucene term^boost: merge^10 outranks doc1's triple spark
+    dsl = {"query_string": {"query": "spark OR merge^10",
+                            "fields": ["txt"]}}
+    out = ranked(docs, dsl)
+    assert [i for i, _ in out] == [3, 2, 1]
+    assert dict(out)[3] == 20.0 and dict(out)[1] == 3.0
+    # field weight multiplies term boost; top-level boost scales all
+    dsl = {"query_string": {"query": "spark^2", "fields": ["txt^3"],
+                            "boost": 0.5}}
+    assert dict(ranked(docs, dsl))[1] == pytest.approx(9.0)
+
+
+def test_phrase_scoring_counts_whole_phrase(docs):
+    # match_phrase scores occurrences of the PHRASE, not its tokens:
+    # doc3 repeats "merge merge"? no — "merge merge" contains the
+    # 2-gram "merge merge" once; doc2's "spark merge" zero times
+    out = ranked(docs, {"match_phrase": {"txt": "merge merge"}})
+    assert out == [(3, 1.0)]
+
+
+def test_boost_validation_named_400s(docs):
+    with pytest.raises(DslError, match="non-negative"):
+        compile_score({"match": {"txt": {"query": "x", "boost": -1}}})
+    with pytest.raises(DslError, match="malformed"):
+        split_field_boost("txt^x")
+    with pytest.raises(DslError, match="weights must match"):
+        tf_score(["txt"], "x", weights=[1.0, 2.0])
+    with pytest.raises(DslError, match="not supported"):
+        compile_score({"function_score": {"query": {"match_all": {}}}})
+
+
+def test_function_score_base_is_query_score(docs):
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        function_score_columns,
+        script_score_columns,
+    )
+
+    pred, score, _ = function_score_columns(
+        {"query": {"match": {"txt": {"query": "spark", "boost": 2.0}}},
+         "functions": [{"filter": {"term": {"lang": "en"}},
+                        "weight": 3.0}],
+         "boost": 0.5},
+        F.col, docs.columns, date_fields=set())
+    rows = {r["id"]: r["_s"] for r in docs.filter(pred)
+            .withColumn("_s", score).collect()}
+    # doc1: base 3*2=6, fn 3.0, multiply, x boost 0.5 → 9.0
+    assert rows[1] == pytest.approx(9.0)
+    assert rows[2] == pytest.approx(3.0)
+    # script_score: _score binds to the inner query's REAL score and
+    # the top-level boost multiplies the script result
+    pred, score, _ = script_score_columns(
+        {"query": {"match": {"txt": "spark"}},
+         "script": {"source": "_score * 10.0"}, "boost": 2.0},
+        F.col, docs.columns)
+    rows = {r["id"]: r["_s"] for r in docs.filter(pred)
+            .withColumn("_s", score).collect()}
+    assert rows[1] == pytest.approx(60.0) and rows[2] == pytest.approx(20.0)
+
+
+def test_api_text_query_ranks_by_score(spark, tmp_path):
+    """Top-level multi_match/query_string on /search/advanced rank by
+    the computed _score (ES's default order) when nothing forces the
+    membership page; feature combinations the ranked page doesn't
+    carry fall back to the pre-r12 membership behavior."""
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "spark", "b"), (2, "spark spark spark", "a"),
+         (3, "other", "c")],
+        "id long, txt string, grp string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_rank"))
+    out = svc.advanced_search(
+        "data_lake_rank",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}}, k=5)
+    hits = out["hits"]["hits"]
+    assert [h["_source"]["id"] for h in hits] == [2, 1]
+    assert hits[0]["_score"] == 3.0 and hits[1]["_score"] == 1.0
+    # an explicit sort wins (membership page, no _score ranking)
+    out = svc.advanced_search(
+        "data_lake_rank",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}},
+        k=5, sort=[{"id": "desc"}])
+    assert [h["_source"]["id"]
+            for h in out["hits"]["hits"]] == [2, 1]
+    # collapse forces the membership page instead of a 400
+    out = svc.advanced_search(
+        "data_lake_rank",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}},
+        k=5, sort=[{"id": "asc"}], collapse={"field": "grp"})
+    assert len(out["hits"]["hits"]) == 2
+    # query_string with term boosts ranks boosted-first
+    out = svc.advanced_search(
+        "data_lake_rank",
+        {"query_string": {"query": "other^100 OR spark",
+                          "fields": ["txt"]}}, k=5)
+    assert [h["_source"]["id"]
+            for h in out["hits"]["hits"]] == [3, 2, 1]
+
+
+def test_search_route_honors_field_boosts(spark, tmp_path):
+    """The reference-shaped /search route (fields list): ^boost
+    weights each field's tf contribution — title^5 outranks a
+    body-only repeat match."""
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "spark spark spark", "x"), (2, "spark", "spark")],
+        "id long, body string, title string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_w"))
+    out = svc.search("spark", ["data_lake_w"], k=5,
+                     fields=["body", "title^5"])
+    ids = [__import__("json").loads(h["_source"])["id"]
+           if isinstance(h.get("_source"), str) else h["_source"]["id"]
+           for h in out["hits"]["hits"]]
+    assert ids == [2, 1]  # 1 + 5*1 = 6 beats 3

@@ -106,9 +106,14 @@ def test_multi_field_and_wildcards():
     assert t == {"bool": {"should": [{"wildcard": {"text": "spa*"}},
                                      {"wildcard": {"title": "spa*"}}],
                  "minimum_should_match": 1}}
-    # ^boost suffixes accepted-and-ignored on fields and terms
+    # ^boost suffixes RETAINED (r12): field weight x term boost rides
+    # the generated leaf so the scored paths honor it; membership
+    # (compile_dsl) still ignores it
     t = parse_query_string({"query": "spark^2", "fields": ["text^3"]})
-    assert t == {"match": {"text": "spark"}}
+    assert t == {"match": {"text": {"query": "spark", "boost": 6.0}}}
+    # a malformed boost suffix is a named 400, like ES
+    with pytest.raises(DslError, match="boost"):
+        parse_query_string({"query": "spark^x", "fields": ["text"]})
 
 
 def test_default_operator_and():
