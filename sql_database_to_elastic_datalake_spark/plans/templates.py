@@ -8,13 +8,22 @@ This module implements the MUSTACHE SUBSET real templates use:
   * ``{{var}}``      — scalar substitution, JSON-escaped (ES configures
     mustache with a JSON escaper, not the HTML default);
   * ``{{#toJson}}var{{/toJson}}`` — full JSON encoding of the
-    parameter (arrays/objects — the "pass a terms list" idiom).
+    parameter (arrays/objects — the "pass a terms list" idiom);
+  * ``{{#name}}…{{/name}}`` sections (r12): render nothing on a falsy
+    value (missing/null/false/empty list — the mustache spec's falsey
+    set), once per element over a list (the element pushed as the
+    lookup context, ``{{.}}`` the implicit iterator), once with the
+    value pushed otherwise — full spec context-stack lookup, nested
+    sections included;
+  * ``{{^name}}…{{/name}}`` inverted sections (r12): render exactly
+    when the section value is falsy — the "default this clause when
+    the param is absent" idiom.
 
-Everything else in the mustache grammar (conditional sections,
-inverted sections, partials, triple-stache, ``{{#join}}``,
-``{{#url}}``, dotted paths) is a NAMED 400 — the reject-instead-of-
-drop policy: a template relying on unimplemented syntax must fail
-loudly, not render wrong.
+Everything else in the mustache grammar (partials ``{{>}}``,
+triple-stache, comments, set-delimiter, ``{{#join}}``, ``{{#url}}``,
+dotted paths) is a NAMED 400 — the reject-instead-of-drop policy: a
+template relying on unimplemented syntax must fail loudly, not render
+wrong.
 
 Rendering happens over the template's JSON TEXT (object sources are
 serialized first, like ES), then the result must parse back to a JSON
@@ -29,7 +38,7 @@ import re
 
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
 
-_NAME_RE = re.compile(r"[A-Za-z0-9_-]+")  # no '.' — dotted-path 400s
+_NAME_RE = re.compile(r"[A-Za-z0-9_-]+|\.")  # no dotted paths
 
 _TOJSON_CLOSE = "{{/toJson}}"
 
@@ -62,6 +71,120 @@ def _scalar(value) -> str:
         "with {{#toJson}}name{{/toJson}}, not {{name}}")
 
 
+def _falsy(value) -> bool:
+    """The mustache spec's falsey set: absent/null, false, and the
+    empty list. (0 and "" are TRUTHY per the spec.)"""
+    return value is None or value is False or (
+        isinstance(value, list) and not value)
+
+
+def _parse(tpl: str, i: int, stop: str | None):
+    """Parse template text into a node list until the matching
+    ``{{/stop}}`` close (or end of input when ``stop`` is None).
+    Nodes: ("text", s) | ("var", name) | ("tojson", name) |
+    ("section", name, children) | ("inverted", name, children).
+    Returns (nodes, next_index)."""
+    nodes: list[tuple] = []
+    while True:
+        j = tpl.find("{{", i)
+        if j < 0:
+            if stop is not None:
+                raise DslError(
+                    f"missing {{{{/{stop}}}}} close tag in template")
+            nodes.append(("text", tpl[i:]))
+            return nodes, len(tpl)
+        nodes.append(("text", tpl[i:j]))
+        end = tpl.find("}}", j + 2)
+        if end < 0:
+            raise DslError("unterminated {{ tag in template")
+        tag = tpl[j + 2:end]
+        i = end + 2
+        if tag.startswith("{"):
+            raise DslError(
+                "unsupported mustache triple-stache {{{ }}} — scalar "
+                "{{var}} is already JSON-escaped; use "
+                "{{#toJson}}var{{/toJson}} for structures")
+        if tag.startswith("#"):
+            section = tag[1:].strip()
+            if section == "toJson":
+                close = tpl.find(_TOJSON_CLOSE, i)
+                if close < 0:
+                    raise DslError("missing {{/toJson}} close tag")
+                var = _check_name(tpl[i:close])
+                i = close + len(_TOJSON_CLOSE)
+                nodes.append(("tojson", var))
+                continue
+            if section in ("join", "url"):
+                # ES-mustache CUSTOM LAMBDAS, not plain sections —
+                # rendering them with section semantics would be
+                # silently wrong, so they stay named 400s
+                raise DslError(
+                    f"unsupported mustache section "
+                    f"{{{{#{section}}}}} (ES's {section} lambda is "
+                    "not implemented; sections/inversions/toJson are)")
+            name = _check_name(section)
+            children, i = _parse(tpl, i, stop=name)
+            nodes.append(("section", name, children))
+        elif tag.startswith("^"):
+            name = _check_name(tag[1:])
+            children, i = _parse(tpl, i, stop=name)
+            nodes.append(("inverted", name, children))
+        elif tag.startswith("/"):
+            name = tag[1:].strip()
+            if stop is None or name != stop:
+                raise DslError(
+                    f"unexpected close tag {{{{/{name}}}}}" + (
+                        f" (open section is {{{{#{stop}}}}})"
+                        if stop else " with no open section"))
+            return nodes, i
+        elif tag[:1] in (">", "!", "&", "="):
+            raise DslError(
+                f"unsupported mustache tag {{{{{tag}}}}} (supported: "
+                "{{var}}, {{#toJson}}var{{/toJson}}, {{#section}}, "
+                "{{^inverted}})")
+        else:
+            nodes.append(("var", _check_name(tag)))
+
+
+def _lookup(stack: list, name: str):
+    """Mustache context-stack resolution: ``.`` is the innermost
+    frame; a plain name walks the stack innermost-out and returns the
+    first dict frame that defines it (missing → None)."""
+    if name == ".":
+        return stack[-1]
+    for frame in reversed(stack):
+        if isinstance(frame, dict) and name in frame:
+            return frame[name]
+    return None
+
+
+def _render(nodes: list[tuple], stack: list, out: list[str]) -> None:
+    for node in nodes:
+        kind = node[0]
+        if kind == "text":
+            out.append(node[1])
+        elif kind == "var":
+            out.append(_scalar(_lookup(stack, node[1])))
+        elif kind == "tojson":
+            val = _lookup(stack, node[1])
+            out.append(json.dumps(val))
+        elif kind == "section":
+            val = _lookup(stack, node[1])
+            if _falsy(val):
+                continue
+            if isinstance(val, list):
+                for el in val:
+                    _render(node[2], stack + [el], out)
+            else:
+                # dicts push a lookup frame; truthy scalars push as
+                # the {{.}} value — both once, per the spec
+                _render(node[2], stack + [val], out)
+        else:  # inverted
+            val = _lookup(stack, node[1])
+            if _falsy(val):
+                _render(node[2], stack, out)
+
+
 def render_search_template(source, params) -> dict:
     """Render a search template to the request body it parameterizes.
 
@@ -81,44 +204,9 @@ def render_search_template(source, params) -> dict:
     if not isinstance(params, dict):
         raise DslError("template params must be an object")
 
+    nodes, _ = _parse(tpl, 0, stop=None)
     out: list[str] = []
-    i = 0
-    while True:
-        j = tpl.find("{{", i)
-        if j < 0:
-            out.append(tpl[i:])
-            break
-        out.append(tpl[i:j])
-        end = tpl.find("}}", j + 2)
-        if end < 0:
-            raise DslError("unterminated {{ tag in template")
-        tag = tpl[j + 2:end]
-        i = end + 2
-        if tag.startswith("{"):
-            raise DslError(
-                "unsupported mustache triple-stache {{{ }}} — scalar "
-                "{{var}} is already JSON-escaped; use "
-                "{{#toJson}}var{{/toJson}} for structures")
-        if tag.startswith("#"):
-            section = tag[1:].strip()
-            if section != "toJson":
-                raise DslError(
-                    f"unsupported mustache section {{{{#{section}}}}} "
-                    "(only {{#toJson}} is implemented)")
-            close = tpl.find(_TOJSON_CLOSE, i)
-            if close < 0:
-                raise DslError("missing {{/toJson}} close tag")
-            var = _check_name(tpl[i:close])
-            i = close + len(_TOJSON_CLOSE)
-            out.append(json.dumps(params.get(var))
-                       if var in params else "null")
-        elif tag[:1] in ("/", "^", ">", "!", "&", "="):
-            raise DslError(
-                f"unsupported mustache tag {{{{{tag}}}}} (supported: "
-                "{{var}} and {{#toJson}}var{{/toJson}})")
-        else:
-            var = _check_name(tag)
-            out.append(_scalar(params.get(var)))
+    _render(nodes, [params], out)
     rendered = "".join(out)
     try:
         body = json.loads(rendered)

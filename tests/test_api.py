@@ -2432,6 +2432,57 @@ def test_search_template_routes(client, service, spark):
     r = post("/render/template", {
         "source": '{"query": {"match": {"txt": "x{{gone}}y"}}}'})
     assert r.get_json()["template_output"]["query"]["match"]["txt"] == "xy"
+    # r12: {{#section}} / {{^inverted}} — the "optional clause" idiom:
+    # present param keeps the filter clause, absent param renders the
+    # inverted default; stored-template round-trip over an ARRAY var
+    sec_tpl = (
+        '{"table": "data_lake_tpl", "sort": [{"id": "asc"}],'
+        ' "query": {"bool": {"must": ['
+        '{"match": {"txt": "doc"}}'
+        '{{#grp}}, {"term": {"grp": {{.}}}}{{/grp}}'
+        '{{^grp}}, {"range": {"id": {"lt": 2}}}{{/grp}}'
+        ']}}}')
+    r = client.put("/scripts/sec_tpl", data=json.dumps({
+        "script": {"lang": "mustache", "source": sec_tpl}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    r = post("/search/template", {"id": "sec_tpl",
+                                  "params": {"grp": [1]}})
+    assert r.status_code == 200, r.get_json()
+    assert all(h["_source"]["grp"] == 1
+               for h in r.get_json()["hits"]["hits"])
+    r = post("/search/template", {"id": "sec_tpl", "params": {}})
+    assert [h["_source"]["id"]
+            for h in r.get_json()["hits"]["hits"]] == [0, 1]
+    client.delete("/scripts/sec_tpl")
+    # list section iterates with the element as context ({{.}} and
+    # dict-element lookup), nested sections included
+    r = post("/render/template", {
+        "source": '{"clauses": [true{{#cs}}, {"term": {"{{f}}": '
+                  '{{#vals}}{{.}}{{/vals}}}}{{/cs}}]}',
+        "params": {"cs": [{"f": "a", "vals": [1]},
+                          {"f": "b", "vals": [2]}]}})
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json()["template_output"] == {
+        "clauses": [True, {"term": {"a": 1}}, {"term": {"b": 2}}]}
+    # falsy section values (false / empty list / null) render nothing;
+    # inverted renders exactly then
+    r = post("/render/template", {
+        "source": '{"a": "x{{#p}}S{{/p}}{{^p}}I{{/p}}"}',
+        "params": {"p": []}})
+    assert r.get_json()["template_output"] == {"a": "xI"}
+    r = post("/render/template", {
+        "source": '{"a": "x{{#p}}S{{/p}}{{^p}}I{{/p}}"}',
+        "params": {"p": True}})
+    assert r.get_json()["template_output"] == {"a": "xS"}
+    # unbalanced sections are named 400s
+    for bad_tpl, frag in [
+        ('{"a": "{{#p}}x"}', "missing"),
+        ('{"a": "x{{/p}}"}', "unexpected close"),
+        ('{"a": "{{#p}}x{{/q}}"}', "unexpected close"),
+    ]:
+        r = post("/render/template", {"source": bad_tpl})
+        assert r.status_code == 400 and frag in r.get_json()["error"]
     # named 400s: unsupported grammar, both source+id, bad params,
     # array through {{var}}, invalid rendered JSON, non-mustache lang
     bad = [

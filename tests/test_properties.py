@@ -1147,6 +1147,21 @@ def test_template_renderer_differential(params, json_param):
     tpl = "{" + ", ".join(tpl_fields) + "}"
     got = render_search_template(tpl, all_params)
     assert got == expected, (tpl, all_params)
+    # r12 sections: the same body wrapped so every field rides inside
+    # a truthy section, an inverted-absent section appends a default,
+    # and a LIST section replays the integer json_param elements with
+    # {{.}} — the independent construction never renders text
+    if isinstance(json_param, list):
+        all_params["on"] = True
+        sec_tpl = ("{" + ", ".join(tpl_fields)
+                   + ', "seq": [-1{{#the_json}}, {{.}}{{/the_json}}]'
+                   + ', "dflt": "{{#on}}y{{/on}}{{^off}}n{{/off}}"'
+                   + "}")
+        sec_expected = dict(expected)
+        sec_expected["seq"] = [-1, *json_param]
+        sec_expected["dflt"] = "yn"
+        got = render_search_template(sec_tpl, all_params)
+        assert got == sec_expected, (sec_tpl, all_params)
 
 
 # --- frequent_item_sets: cube path ≡ bitmask path ---------------------------
