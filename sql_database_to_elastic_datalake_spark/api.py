@@ -1763,10 +1763,12 @@ class LakeService:
         text terms in ``pre_tags``/``post_tags`` on the RETURNED hits
         only (≤ from+size rows driver-side — never a distributed
         pass); fragments window to ES's defaults (fragment_size 100 /
-        number_of_fragments 5) with edges snapped to boundary chars —
-        the remaining documented divergence is the unified
-        highlighter's sentence BreakIterator
-        (plans/search.py:highlight_snippets).
+        number_of_fragments 5) with edges snapped to boundary chars,
+        and ``boundary_scanner: "sentence"`` (r12) gives the unified
+        highlighter's whole-sentence fragments (BreakIterator
+        restatement incl. the SB8 abbreviation guard —
+        plans/search.py:sentence_spans); the remaining divergence is
+        scorer internals only (``order: "score"`` fragment ranking).
 
         ``post_filter`` is ES's post-aggregation filter: ``aggs`` see
         the ``query`` scope, the hits page (and its totals) see
@@ -2061,11 +2063,10 @@ class LakeService:
                 # number_of_fragments 5, boundary ".,!? \\t\\n"/20 —
                 # long documents highlight as boundary-snapped
                 # windowed snippets like ES. The remaining documented
-                # divergence is the unified highlighter's SENTENCE
-                # BreakIterator default: this engine implements the
-                # `chars` scanner (match-centered window snapped to
-                # boundary_chars; `word`/`sentence` scanners are
-                # java.text BreakIterator machinery — named 400).
+                # `chars` scanner gives match-centered windows
+                # snapped to boundary_chars; `sentence` (r12) gives
+                # the unified highlighter's whole-sentence fragments;
+                # `word` stays a named 400.
                 def _hl_int(spec, key, default, minimum):
                     v = spec.get(key, default)
                     if not isinstance(v, int) or isinstance(v, bool) \
@@ -2075,31 +2076,33 @@ class LakeService:
                             f">= {minimum}")
                     return v
 
-                def _hl_boundary(spec, d_chars, d_scan):
-                    sc = spec.get("boundary_scanner")
-                    if sc not in (None, "chars"):
+                def _hl_boundary(spec, d_chars, d_scan,
+                                 d_scanner="chars"):
+                    sc = spec.get("boundary_scanner", d_scanner)
+                    if sc not in ("chars", "sentence"):
                         raise DslError(
                             f"highlight boundary_scanner {sc!r} is not "
-                            "implemented (the word/sentence scanners "
-                            "are java.text BreakIterator semantics; "
-                            "only \"chars\" is supported)")
+                            "implemented (supported: \"chars\", "
+                            "\"sentence\" — the unified highlighter "
+                            "default; \"word\" is java.text "
+                            "BreakIterator word machinery)")
                     bc = spec.get("boundary_chars", d_chars)
                     if not isinstance(bc, str):
                         raise DslError(
                             "highlight boundary_chars must be a string")
                     return bc, _hl_int(spec, "boundary_max_scan",
-                                       d_scan, 0)
+                                       d_scan, 0), sc
 
                 from sql_database_to_elastic_datalake_spark.plans.search \
                     import BOUNDARY_CHARS, BOUNDARY_MAX_SCAN
 
                 g_fs = _hl_int(highlight, "fragment_size", 100, 1)
                 g_nof = _hl_int(highlight, "number_of_fragments", 5, 0)
-                g_bc, g_scan = _hl_boundary(
+                g_bc, g_scan, g_sc = _hl_boundary(
                     highlight, BOUNDARY_CHARS, BOUNDARY_MAX_SCAN)
                 seen_hl: set[str] = set()
                 for pat, fspec in highlight["fields"].items():
-                    fs, nof, bc, scan = g_fs, g_nof, g_bc, g_scan
+                    fs, nof, bc, scan, sc = g_fs, g_nof, g_bc, g_scan, g_sc
                     if isinstance(fspec, dict):
                         bad = sorted(set(fspec) - {
                             "fragment_size", "number_of_fragments",
@@ -2112,11 +2115,12 @@ class LakeService:
                         fs = _hl_int(fspec, "fragment_size", g_fs, 1)
                         nof = _hl_int(fspec, "number_of_fragments",
                                       g_nof, 0)
-                        bc, scan = _hl_boundary(fspec, g_bc, g_scan)
+                        bc, scan, sc = _hl_boundary(fspec, g_bc, g_scan,
+                                                    g_sc)
                     for c in _expand_patterns([pat], df.columns):
                         if c not in seen_hl:
                             seen_hl.add(c)
-                            hl_fields.append((c, fs, nof, bc, scan))
+                            hl_fields.append((c, fs, nof, bc, scan, sc))
                 hl_terms = collect_highlight_terms(dsl, df.columns)
 
             def resolve(field: str, _df=df):
@@ -3079,10 +3083,11 @@ def _hit(
         )
 
         hl = {}
-        for f, fs, nof, bc, scan in hl_fields:
+        for f, fs, nof, bc, scan, sc in hl_fields:
             snips = highlight_snippets(
                 row[f], hl_terms.get(f, []), pre, post, fs, nof,
-                boundary_chars=bc, boundary_max_scan=scan)
+                boundary_chars=bc, boundary_max_scan=scan,
+                boundary_scanner=sc)
             if snips:
                 hl[f] = snips
         if hl:

@@ -457,6 +457,63 @@ def highlight_value(
 BOUNDARY_CHARS = ".,!? \t\n"
 BOUNDARY_MAX_SCAN = 20
 
+#: sentence terminators / post-terminator closers for the sentence
+#: boundary scanner (the UAX#29 SAtTerm / Close classes' common cases)
+_SENT_TERMS = ".!?"
+_SENT_CLOSERS = "\"')]}»’”"
+
+
+def sentence_spans(s: str) -> list[tuple[int, int]]:
+    """Sentence segmentation for ``boundary_scanner: "sentence"`` (r12)
+    — a deterministic restatement of the unified highlighter's
+    BreakIterator rules (ICU UAX#29 sentence break, the cases that
+    matter for highlight windows):
+
+    * a boundary follows a terminator (``.!?``) plus any closing
+      quotes/brackets plus whitespace — positioned at the first char
+      of the NEXT sentence (trailing whitespace stays with the
+      preceding sentence, the BreakIterator convention);
+    * SB8 abbreviation guard: a ``.`` whose next non-space char is
+      LOWERCASE does not break ("e.g. foo", "vs. bar" stay one
+      sentence) — exactly ICU; "Dr. Smith" DOES break after "Dr.",
+      also exactly ICU (no abbreviation dictionary, same as ES);
+    * a newline is a mandatory break (ICU SB4 Sep/CR/LF).
+    """
+    spans: list[tuple[int, int]] = []
+    start = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("\n", "\r"):
+            j = i + 1
+            if ch == "\r" and j < n and s[j] == "\n":
+                j += 1
+            spans.append((start, j))
+            start = i = j
+            continue
+        if ch in _SENT_TERMS:
+            j = i + 1
+            while j < n and s[j] in _SENT_CLOSERS:
+                j += 1
+            k = j
+            while k < n and s[k] in " \t":
+                k += 1
+            if j >= n:
+                break  # terminator at end of value: tail span below
+            if k == j and s[k] not in ("\n", "\r"):
+                i = j  # no whitespace after: "U.S.A." internal dots
+                continue
+            if ch == "." and k < n and s[k].islower():
+                i = k  # SB8: lowercase continuation — no break
+                continue
+            spans.append((start, k))
+            start = i = k
+            continue
+        i += 1
+    if start < n:
+        spans.append((start, n))
+    return spans
+
 
 def _snap_boundaries(
     s: str, st: int, en: int, chars: str, max_scan: int
@@ -499,22 +556,29 @@ def highlight_snippets(
     number_of_fragments: int | None,
     boundary_chars: str = BOUNDARY_CHARS,
     boundary_max_scan: int = BOUNDARY_MAX_SCAN,
+    boundary_scanner: str = "chars",
 ) -> list[str] | None:
-    """ES-shaped highlight fragments: ``fragment_size``-char windows
-    centered on each match cluster, edges snapped to the nearest
-    boundary char (``boundary_chars``/``boundary_max_scan``, ES's
-    SimpleBoundaryScanner defaults — see :func:`_snap_boundaries`),
-    overlapping windows merged, the first ``number_of_fragments`` in
-    POSITION order (ES's ``order: "none"`` default), matches wrapped
-    inside each.
+    """ES-shaped highlight fragments, overlapping windows merged, the
+    first ``number_of_fragments`` in POSITION order (ES's ``order:
+    "none"`` default), matches wrapped inside each.
 
-    ``fragment_size`` None keeps the whole-value single fragment.
-    Documented divergence from ES's unified highlighter: the unified
-    default boundary_scanner is a java.text sentence BreakIterator;
-    this engine implements the ``chars`` scanner (window centers on
-    the match cluster, then snaps to boundary chars), so fragment
-    EDGES can differ from ES on sentence-spanning text while every
-    wrapped match is identical."""
+    ``boundary_scanner`` (r12):
+
+    * ``"chars"`` — ``fragment_size``-char windows centered on each
+      match cluster, edges snapped to the nearest boundary char
+      (``boundary_chars``/``boundary_max_scan``, ES's
+      SimpleBoundaryScanner defaults — see :func:`_snap_boundaries`);
+    * ``"sentence"`` — the unified highlighter's DEFAULT: fragments
+      are whole sentences (:func:`sentence_spans` — the BreakIterator
+      restatement), starting from the sentence containing the match
+      and extended forward by whole sentences while the fragment stays
+      within ``fragment_size`` (the LengthGoalBreakIterator contract;
+      a single sentence longer than the goal stays whole — a match is
+      never cut). Remaining documented divergence vs ES is scorer
+      internals only (which fragments rank first under ``order:
+      "score"`` — unsupported — not where their edges sit).
+
+    ``fragment_size`` None keeps the whole-value single fragment."""
     if text is None or not terms:
         return None
     s = str(text)
@@ -529,16 +593,33 @@ def highlight_snippets(
     fs = max(int(fragment_size), 1)
     nof = int(number_of_fragments) if number_of_fragments else 5
     windows: list[tuple[int, int]] = []
-    for a, b in merged:
-        half = max(fs - (b - a), 0) // 2
-        st = max(0, a - half)
-        en = min(len(s), max(st + fs, b))
-        st, en = _snap_boundaries(s, st, en, boundary_chars,
-                                  int(boundary_max_scan))
-        if windows and st <= windows[-1][1]:
-            windows[-1] = (windows[-1][0], max(windows[-1][1], en))
-        else:
-            windows.append((st, en))
+    if boundary_scanner == "sentence":
+        sents = sentence_spans(s)
+        for a, b in merged:
+            covering = [sp for sp in sents if sp[0] < b and sp[1] > a]
+            if not covering:  # whitespace-only value edge case
+                covering = [(a, b)]
+            st, en = covering[0][0], covering[-1][1]
+            for sp in sents:  # length-goal forward extension
+                if sp[0] >= en:
+                    if sp[1] - st > fs:
+                        break
+                    en = sp[1]
+            if windows and st <= windows[-1][1]:
+                windows[-1] = (windows[-1][0], max(windows[-1][1], en))
+            else:
+                windows.append((st, en))
+    else:
+        for a, b in merged:
+            half = max(fs - (b - a), 0) // 2
+            st = max(0, a - half)
+            en = min(len(s), max(st + fs, b))
+            st, en = _snap_boundaries(s, st, en, boundary_chars,
+                                      int(boundary_max_scan))
+            if windows and st <= windows[-1][1]:
+                windows[-1] = (windows[-1][0], max(windows[-1][1], en))
+            else:
+                windows.append((st, en))
     out: list[str] = []
     for st, en in windows[:nof]:
         inside = [(max(a, st), min(b, en)) for a, b in merged

@@ -1109,7 +1109,60 @@ def test_highlight_fragment_windowing(service, spark):
         service.advanced_search(
             "data_lake_hl", {"match": {"txt": "needle"}},
             highlight={"fields": {"txt": {}},
-                       "boundary_scanner": "sentence"})
+                       "boundary_scanner": "word"})
+
+
+def test_highlight_sentence_boundary_scanner(service, spark):
+    """r12 (verdict #6): boundary_scanner "sentence" — the unified
+    highlighter's default — returns whole-sentence fragments: the
+    sentence containing the match, extended forward by whole sentences
+    within fragment_size. Pins the BreakIterator edge cases: an
+    abbreviation-adjacent match (e.g. + lowercase does not split, ICU
+    SB8), matches at fragment/value edges, and a sentence longer than
+    fragment_size surviving whole."""
+    rows = [
+        (1, "First sentence here. The needle is in this one! "
+            "A third sentence. And a fourth one follows."),
+        (2, "Results improve, e.g. the needle case. Unrelated tail."),
+        (3, "Needle starts the value. Second part."),
+        (4, "The tail holds the needle"),
+        (5, "This single enormous sentence mentions the needle and "
+            "then keeps going on and on without any terminator at "
+            "all so it exceeds the fragment goal by a wide margin"),
+    ]
+    spark.createDataFrame(rows, "id long, txt string").write.parquet(
+        os.path.join(service.lake_dir, "data_lake_hls"))
+
+    def frags(i, **hl):
+        out = service.advanced_search(
+            "data_lake_hls",
+            {"bool": {"must": [{"term": {"id": i}},
+                               {"match": {"txt": "needle"}}]}},
+            k=1, highlight={"fields": {"txt": {}},
+                            "boundary_scanner": "sentence", **hl})
+        return out["hits"]["hits"][0]["highlight"]["txt"]
+
+    # the fragment is the WHOLE containing sentence (trailing space
+    # with the preceding sentence, per the BreakIterator convention)
+    [f] = frags(1, fragment_size=40)
+    assert f == "The <em>needle</em> is in this one! "
+    # length-goal: a bigger budget pulls in following whole sentences
+    # (60 fits the third sentence, 45+25 for the fourth exceeds it)
+    [f] = frags(1, fragment_size=60)
+    assert f == "The <em>needle</em> is in this one! A third sentence. "
+    # SB8: "e.g. the" does not split — the abbreviation-adjacent match
+    # stays inside ONE sentence fragment
+    [f] = frags(2, fragment_size=45)
+    assert f == "Results improve, e.g. the <em>needle</em> case. "
+    # match at value start / value end
+    [f] = frags(3, fragment_size=30)
+    assert f.startswith("<em>Needle</em> starts")
+    [f] = frags(4, fragment_size=30)
+    assert f == "The tail holds the <em>needle</em>"
+    # a sentence longer than fragment_size stays whole — the match is
+    # never cut
+    [f] = frags(5, fragment_size=30)
+    assert "<em>needle</em>" in f and f.endswith("wide margin")
 
 
 def test_highlight_defaults_window_like_es(service, spark):
