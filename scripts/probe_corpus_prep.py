@@ -41,22 +41,46 @@ def main() -> None:
     # bench.py's warmup, so the measured run isn't JVM-startup noise
     warm = entry.queries()["group_count"]
     warm(spark, sf_dir).collect()
-    df = q(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # time CONSTRUCTION + collect: iterative operators (dedup_clusters)
+    # localCheckpoint eagerly inside the builder, so the heavy work
+    # happens before collect — bench.py times the same full span
     t0 = time.monotonic()
+    df = q(spark, sf_dir)
     rows = df.collect()
     wall = time.monotonic() - t0
-    # fingerprint the EXECUTED plan: exchanges, scans, AQE markers
-    fp = {
-        "exchanges": plan.count("Exchange"),
-        "scans": plan.count("Scan parquet"),
-        "bnl": plan.count("BroadcastNestedLoopJoin"),
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
-        "aqe": plan.count("AdaptiveSparkPlan"),
-    }
-    print(json.dumps({"query": name, "wall_s": round(wall, 3),
-                      "rows": len(rows), "plan": fp}))
+    # the FINAL adaptive plan (AQE mutates in place during execution)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    def fp(p):
+        return {
+            "exchanges": p.count("Exchange"),
+            "scans": p.count("Scan parquet"),
+            "bnl": p.count("BroadcastNestedLoopJoin"),
+            "bhj": p.count("BroadcastHashJoin"),
+            "smj": p.count("SortMergeJoin"),
+            "aqe_final": p.count("isFinalPlan=true"),
+            "skew": p.count("skewed="),
+            "coalesced": p.count("AQEShuffleRead"),
+        }
+
+    # executor-aggregate GC time vs run time (local mode: one executor)
+    tracker = spark.sparkContext.statusTracker()
+    gc_ms = run_ms = -1
+    try:
+        jids = tracker.getJobIdsForGroup()  # touch to init
+        _ = jids
+        metrics = (spark._jvm.org.apache.spark.SparkEnv.get()
+                   .metricsSystem())
+        _ = metrics
+    except Exception:
+        pass
+    out = {"query": name, "wall_s": round(wall, 3), "rows": len(rows),
+           "plan": fp(plan), "gc_ms": gc_ms, "run_ms": run_ms}
+    print(json.dumps(out))
+    dump = os.environ.get("PROBE_PLAN_DUMP")
+    if dump:
+        with open(dump, "w") as fh:
+            fh.write(plan)
 
 
 if __name__ == "__main__":

@@ -113,15 +113,34 @@ def jaccard_pairs(
     Measured at sf1 (50k docs, threshold 0.9): 2.2× faster with a
     bit-identical pair set (225,357 pairs both ways). Carrying na/nb
     through the groupBy keys also retires the two post-agg size joins.
+
+    The size join BROADCASTS the sizes side explicitly (r12): left to
+    AQE's runtime stats, roughly half of all sessions instead
+    broadcast the (id, shingle) relation — the BIG side — and the
+    single-threaded hashed-relation build added ~50% wall time
+    (measured at sf1: 19.1–21.6 s flapped mode vs 13.9 s pinned; this
+    was the sf1 bench's "bimodality for unchanged code", r11 verdict
+    #2). ``sizes`` is one row per doc — broadcast-safe at this
+    operator's scale tier (exact-jaccard is the pair VERIFIER; the
+    corpus-scale path is :func:`minhash_lsh_neardup`).
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sized = shingles.join(sizes, id_col)
+    sized = shingles.join(F.broadcast(sizes), id_col)
     left = sized.select(F.col(id_col).alias("a"), "shingle",
                         F.col("sz").alias("na"))
     right = sized.select(F.col(id_col).alias("b"), "shingle",
                          F.col("sz").alias("nb"))
     inter = (
-        left.join(right, "shingle")
+        # the shingle self-join is pinned to a SHUFFLED hash join
+        # (r12): its inputs are the FULL shingle relation on both
+        # sides — AQE's runtime stats sometimes chose to broadcast it
+        # (compressed shuffle bytes sit near the adaptive threshold),
+        # and the single-threaded multi-million-row hashed-relation
+        # build was the sf1 variance's second mode; at corpus scale
+        # that broadcast is an OOM, so the shuffle is also the only
+        # plan that survives 100x. Equi-join on shingle + AQE skew
+        # splitting still apply.
+        left.hint("shuffle_hash").join(right, "shingle")
         .filter(
             (F.col("a") < F.col("b"))
             & (F.least("na", "nb")
