@@ -425,11 +425,15 @@ class LakeService:
         table into the destination, optionally transforming each doc
         with the same painless ASSIGNMENT subset ``_update_by_query``
         serves. Source and dest resolve in the lake; a missing dest is
-        created, an existing one is APPENDED to (history-mode
-        convention — documented divergence: ES merges by ``_id``,
-        which plain lake rows do not have; the id-keyed merge lives on
-        the upsert route). ``op_type``/``version_type``/``remote`` are
-        id/cluster semantics with nothing to bind to here — named
+        created. An EXISTING dest merges by the engine's doc-id
+        convention (r12 — the "id" column, else the first ``*_id``
+        column): incoming rows overwrite same-id dest rows exactly
+        like ES's default ``op_type: index`` (the response's
+        ``updated`` counts the overwrites, ``created`` the rest); a
+        table with NO id column keeps the append behavior
+        (history-mode — ES has nothing to merge on either without
+        ``_id``). ``op_type``/``version_type``/``remote`` are
+        id/cluster semantics with nothing further to bind to — named
         400s, not silent drops."""
         import time as _time
 
@@ -468,13 +472,14 @@ class LakeService:
             df = _apply_update_script(
                 df.withColumn("__match", F.lit(True)), script
             ).drop("__match")
-        created = int(df.count())
-        if created and path_exists(self.spark, dst_path):
+        total = int(df.count())
+        created, updated = total, 0
+        if total and path_exists(self.spark, dst_path):
+            dest = self.spark.read.parquet(dst_path)
             # appending a different shape would silently mix schemas
             # in one directory — refuse by name instead
             have = {f.name: f.dataType.simpleString()
-                    for f in self.spark.read.parquet(dst_path)
-                    .schema.fields}
+                    for f in dest.schema.fields}
             want = {f.name: f.dataType.simpleString()
                     for f in df.schema.fields}
             if have != want:
@@ -491,13 +496,52 @@ class LakeService:
                     f"{sorted(set(want) - set(have))} / retyped "
                     f"{retyped} — reindex appends, it does not "
                     "migrate schemas")
-        if created:
+            id_col = "id" if "id" in dest.columns else next(
+                (c for c in dest.columns if c.endswith("_id")), None)
+            if id_col is not None:
+                # ES op_type index: same-_id docs are OVERWRITTEN.
+                # updated = colliding ids; surviving dest rows
+                # anti-join the incoming id set, then the union
+                # rewrites the directory (the same full-rewrite shape
+                # the upsert sink uses — parquet has no in-place row
+                # update at any scale)
+                incoming_ids = df.select(
+                    F.col(id_col).alias("__rid")).distinct()
+                updated = int(dest.join(
+                    incoming_ids,
+                    dest[id_col] == incoming_ids["__rid"],
+                    "left_semi").count())
+                created = total - updated
+                keep = dest.join(
+                    incoming_ids,
+                    dest[id_col] == incoming_ids["__rid"],
+                    "left_anti")
+                merged = keep.unionByName(df)
+                # materialize (executor-side) BEFORE overwriting the
+                # directory the plan still reads from — the same
+                # localCheckpoint-then-overwrite shape the upsert
+                # route uses
+                merged.localCheckpoint(eager=True).write.mode(
+                    "overwrite").option(
+                    "compression", "zstd").parquet(dst_path)
+                return {
+                    "took": int((_time.monotonic() - t0) * 1000),
+                    "timed_out": False, "total": total,
+                    "created": created, "updated": updated,
+                    "deleted": 0, "batches": 1,
+                    "version_conflicts": 0, "noops": 0,
+                    "retries": {"bulk": 0, "search": 0},
+                    "throttled_millis": 0, "requests_per_second": -1.0,
+                    "throttled_until_millis": 0, "failures": [],
+                }
+        if total:
             df.write.mode("append").option(
                 "compression", "zstd").parquet(dst_path)
         return {
             "took": int((_time.monotonic() - t0) * 1000),
-            "timed_out": False, "total": created, "created": created,
-            "updated": 0, "deleted": 0, "batches": 1 if created else 0,
+            "timed_out": False, "total": total, "created": created,
+            "updated": updated, "deleted": 0,
+            "batches": 1 if total else 0,
             "version_conflicts": 0, "noops": 0,
             "retries": {"bulk": 0, "search": 0},
             "throttled_millis": 0, "requests_per_second": -1.0,
@@ -1082,6 +1126,10 @@ class LakeService:
         merged.sort(key=lambda t: t[:3])
         hits = [h for _, _, _, h in merged[from_:from_ + k]]
         out: dict[str, Any] = {"hits": {"hits": hits}}
+        # ES ranked pages carry hits.max_score (r12): the best score
+        # of the RETURNED page, null when the page is empty
+        out["hits"]["max_score"] = (
+            max(h["_score"] for h in hits) if hits else None)
         if track_total_hits is not False:
             out["hits"]["total"] = {
                 "value": total_value, "relation": "eq"}
@@ -2014,11 +2062,9 @@ class LakeService:
             if unknown:
                 raise DslError(
                     f"unsupported highlight options: {unknown}")
-            if highlight.get("order") not in (None, "none"):
+            if highlight.get("order") not in (None, "none", "score"):
                 raise DslError(
-                    "highlight order must be \"none\" (score-ordered "
-                    "fragments need per-fragment scoring)"
-                )
+                    'highlight order must be "none" or "score"')
         pre = (highlight.get("pre_tags") or ["<em>"])[0] if highlight else ""
         post = (highlight.get("post_tags") or ["</em>"])[0] if highlight \
             else ""
@@ -2100,6 +2146,7 @@ class LakeService:
                 g_nof = _hl_int(highlight, "number_of_fragments", 5, 0)
                 g_bc, g_scan, g_sc = _hl_boundary(
                     highlight, BOUNDARY_CHARS, BOUNDARY_MAX_SCAN)
+                g_order = highlight.get("order") or "none"
                 seen_hl: set[str] = set()
                 for pat, fspec in highlight["fields"].items():
                     fs, nof, bc, scan, sc = g_fs, g_nof, g_bc, g_scan, g_sc
@@ -2120,7 +2167,8 @@ class LakeService:
                     for c in _expand_patterns([pat], df.columns):
                         if c not in seen_hl:
                             seen_hl.add(c)
-                            hl_fields.append((c, fs, nof, bc, scan, sc))
+                            hl_fields.append(
+                                (c, fs, nof, bc, scan, sc, g_order))
                 hl_terms = collect_highlight_terms(dsl, df.columns)
 
             def resolve(field: str, _df=df):
@@ -3083,11 +3131,11 @@ def _hit(
         )
 
         hl = {}
-        for f, fs, nof, bc, scan, sc in hl_fields:
+        for f, fs, nof, bc, scan, sc, order in hl_fields:
             snips = highlight_snippets(
                 row[f], hl_terms.get(f, []), pre, post, fs, nof,
                 boundary_chars=bc, boundary_max_scan=scan,
-                boundary_scanner=sc)
+                boundary_scanner=sc, order=order)
             if snips:
                 hl[f] = snips
         if hl:

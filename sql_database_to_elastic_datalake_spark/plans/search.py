@@ -557,10 +557,18 @@ def highlight_snippets(
     boundary_chars: str = BOUNDARY_CHARS,
     boundary_max_scan: int = BOUNDARY_MAX_SCAN,
     boundary_scanner: str = "chars",
+    order: str = "none",
 ) -> list[str] | None:
     """ES-shaped highlight fragments, overlapping windows merged, the
     first ``number_of_fragments`` in POSITION order (ES's ``order:
     "none"`` default), matches wrapped inside each.
+
+    ``order: "score"`` (r12) returns the BEST-scoring fragments first
+    — the deterministic restatement of ES's passage scorer: a
+    fragment's score is its matched-occurrence count (position breaks
+    ties), where ES uses passage BM25 (corpus statistics this engine
+    deliberately avoids — the module-wide scoring divergence). The
+    ``number_of_fragments`` cap keeps the best fragments, like ES.
 
     ``boundary_scanner`` (r12):
 
@@ -620,6 +628,14 @@ def highlight_snippets(
                 windows[-1] = (windows[-1][0], max(windows[-1][1], en))
             else:
                 windows.append((st, en))
+    if order == "score":
+        # best fragments first (cap keeps the best, like ES): score =
+        # matched-occurrence count, ties broken by position
+        def frag_score(w):
+            st, en = w
+            return -sum(1 for a, b in merged if a < en and b > st), st
+
+        windows.sort(key=frag_score)
     out: list[str] = []
     for st, en in windows[:nof]:
         inside = [(max(a, st), min(b, en)) for a, b in merged

