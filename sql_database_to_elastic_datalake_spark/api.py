@@ -69,9 +69,13 @@ _SCORED_KINDS = ("function_score", "script_score", "rank_feature",
 #: :func:`.plans.es_dsl.compile_score`). Unlike _SCORED_KINDS they
 #: fall back to the membership page — not a 400 — when the request
 #: carries collapse/search_after/highlight/runtime fields, so every
-#: pre-r12 request shape keeps working.
+#: pre-r12 request shape keeps working. Only kinds whose score is
+#: NON-CONSTANT are listed: ranking a constant-scored query
+#: (term/range/constant_score/…) by tie-break order adds nothing over
+#: the membership page.
 _TEXT_SCORED_KINDS = ("multi_match", "query_string",
-                      "simple_query_string")
+                      "simple_query_string", "match", "match_phrase",
+                      "dis_max", "boosting")
 
 
 def _utcnow_iso() -> str:

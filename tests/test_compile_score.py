@@ -220,6 +220,15 @@ def test_api_text_query_ranks_by_score(spark, tmp_path):
                           "fields": ["txt"]}}, k=5)
     assert [h["_source"]["id"]
             for h in out["hits"]["hits"]] == [3, 2, 1]
+    # bare match and dis_max rank too (r12 widened routing)
+    out = svc.advanced_search(
+        "data_lake_rank", {"match": {"txt": "spark"}}, k=5)
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [2, 1]
+    assert out["hits"]["max_score"] == 3.0
+    out = svc.advanced_search("data_lake_rank", {"dis_max": {
+        "queries": [{"match": {"txt": "spark"}},
+                    {"match": {"txt": "other"}}]}}, k=5)
+    assert out["hits"]["hits"][0]["_source"]["id"] == 2
 
 
 def test_search_route_honors_field_boosts(spark, tmp_path):
