@@ -983,7 +983,7 @@ class LakeService:
     def _scored_search(
         self, names: list, dsl: dict, k: int, from_: int,
         source, fields_opt, aggs, suggest, post_filter,
-        track_total_hits,
+        track_total_hits, highlight: dict | None = None,
     ) -> dict[str, Any]:
         """The RANKED page for a top-level ``function_score`` /
         ``script_score`` query (r9): (predicate, score) compiled by
@@ -1021,9 +1021,12 @@ class LakeService:
             script_score_columns,
         )
         from sql_database_to_elastic_datalake_spark.plans.search import (
+            collect_highlight_terms,
             resolve_source_columns,
         )
 
+        _validate_highlight(highlight)
+        pre, post = _highlight_tags(highlight)
         kind = next(iter(dsl))
         body = dsl[kind]
         merged: list[tuple] = []
@@ -1109,9 +1112,17 @@ class LakeService:
             src_cols = resolve_source_columns(df.columns, source)
             fout = _resolve_fields_option(fields_opt, df.columns)
             fout_cols = [c for c, _ in fout]
+            hl_fields: list = []
+            hl_terms: dict[str, list[str]] = {}
+            if highlight:
+                # highlight on the RANKED page (r12): same driver-side
+                # returned-rows-only contract as the membership page
+                hl_fields = _highlight_plan(highlight, df.columns)
+                hl_terms = collect_highlight_terms(dsl, df.columns)
             tie = tiebreak_columns(df)
             needed = list(dict.fromkeys(
-                src_cols + fout_cols + tie + ["_score"]))
+                src_cols + fout_cols + [f for f, *_ in hl_fields]
+                + tie + ["_score"]))
             page = scored.select(*needed)
             obs = None
             if track_total_hits is not False:
@@ -1123,8 +1134,8 @@ class LakeService:
             if obs is not None:
                 total_value += obs.get["n"]
             for i, r in enumerate(rows):
-                h = {**_hit(name, r, src_cols, [], {}, "", "",
-                            fields_out=fout),
+                h = {**_hit(name, r, src_cols, hl_fields, hl_terms,
+                            pre, post, fields_out=fout),
                      "_score": r["_score"]}
                 merged.append((-r["_score"], name, i, h))
         merged.sort(key=lambda t: t[:3])
@@ -1942,8 +1953,7 @@ class LakeService:
             if from_ < 0:
                 raise DslError("from must be a non-negative integer")
             for bad, val in (("collapse", collapse),
-                             ("search_after", search_after),
-                             ("highlight", highlight)):
+                             ("search_after", search_after)):
                 if val:
                     raise DslError(
                         f"{next(iter(dsl))} ranking is not supported "
@@ -1954,24 +1964,26 @@ class LakeService:
                 names, dsl, k=k, from_=from_, source=source,
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
-                track_total_hits=track_total_hits)
+                track_total_hits=track_total_hits,
+                highlight=highlight)
         if (isinstance(dsl, dict) and len(dsl) == 1
                 and next(iter(dsl)) in _TEXT_SCORED_KINDS
                 and not sort and not collapse and search_after is None
-                and not highlight and not rt_specs):
+                and not rt_specs):
             # r12: a top-level text-relevance query with no explicit
             # sort ranks by its computed score (ES's default _score
-            # order, boosts honored). Feature combinations the ranked
-            # page doesn't carry (collapse/search_after/highlight/
-            # runtime fields) fall through to the membership page —
-            # the pre-r12 behavior — instead of erroring.
+            # order, boosts honored) — highlight rides the ranked
+            # page. Feature combinations the ranked page doesn't
+            # carry (collapse/search_after/runtime fields) fall
+            # through to the membership page instead of erroring.
             if from_ < 0:
                 raise DslError("from must be a non-negative integer")
             return self._scored_search(
                 names, dsl, k=k, from_=from_, source=source,
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
-                track_total_hits=track_total_hits)
+                track_total_hits=track_total_hits,
+                highlight=highlight)
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):
@@ -2054,24 +2066,8 @@ class LakeService:
             resolve_source_columns,
         )
 
-        if highlight is not None:
-            if not (isinstance(highlight, dict)
-                    and isinstance(highlight.get("fields"), dict)):
-                raise DslError('highlight requires a "fields" object')
-            unknown = sorted(set(highlight) - {
-                "fields", "pre_tags", "post_tags", "fragment_size",
-                "number_of_fragments", "order", "boundary_chars",
-                "boundary_max_scan", "boundary_scanner",
-            })
-            if unknown:
-                raise DslError(
-                    f"unsupported highlight options: {unknown}")
-            if highlight.get("order") not in (None, "none", "score"):
-                raise DslError(
-                    'highlight order must be "none" or "score"')
-        pre = (highlight.get("pre_tags") or ["<em>"])[0] if highlight else ""
-        post = (highlight.get("post_tags") or ["</em>"])[0] if highlight \
-            else ""
+        _validate_highlight(highlight)
+        pre, post = _highlight_tags(highlight)
         aggregations = None
         suggestions = None
         descs = _sort_directions(sort) if sort else []
@@ -2105,74 +2101,7 @@ class LakeService:
             hl_fields: list = []
             hl_terms: dict[str, list[str]] = {}
             if highlight:
-                # per-field fragment options override the request-level
-                # ones (ES's precedence); each entry carries (column,
-                # fragment_size, number_of_fragments, boundary_chars,
-                # boundary_max_scan). Unspecified options take ES's
-                # DEFAULTS (r11, verdict #3): fragment_size 100,
-                # number_of_fragments 5, boundary ".,!? \\t\\n"/20 —
-                # long documents highlight as boundary-snapped
-                # windowed snippets like ES. The remaining documented
-                # `chars` scanner gives match-centered windows
-                # snapped to boundary_chars; `sentence` (r12) gives
-                # the unified highlighter's whole-sentence fragments;
-                # `word` stays a named 400.
-                def _hl_int(spec, key, default, minimum):
-                    v = spec.get(key, default)
-                    if not isinstance(v, int) or isinstance(v, bool) \
-                            or v < minimum:
-                        raise DslError(
-                            f"highlight {key} must be an integer "
-                            f">= {minimum}")
-                    return v
-
-                def _hl_boundary(spec, d_chars, d_scan,
-                                 d_scanner="chars"):
-                    sc = spec.get("boundary_scanner", d_scanner)
-                    if sc not in ("chars", "sentence"):
-                        raise DslError(
-                            f"highlight boundary_scanner {sc!r} is not "
-                            "implemented (supported: \"chars\", "
-                            "\"sentence\" — the unified highlighter "
-                            "default; \"word\" is java.text "
-                            "BreakIterator word machinery)")
-                    bc = spec.get("boundary_chars", d_chars)
-                    if not isinstance(bc, str):
-                        raise DslError(
-                            "highlight boundary_chars must be a string")
-                    return bc, _hl_int(spec, "boundary_max_scan",
-                                       d_scan, 0), sc
-
-                from sql_database_to_elastic_datalake_spark.plans.search \
-                    import BOUNDARY_CHARS, BOUNDARY_MAX_SCAN
-
-                g_fs = _hl_int(highlight, "fragment_size", 100, 1)
-                g_nof = _hl_int(highlight, "number_of_fragments", 5, 0)
-                g_bc, g_scan, g_sc = _hl_boundary(
-                    highlight, BOUNDARY_CHARS, BOUNDARY_MAX_SCAN)
-                g_order = highlight.get("order") or "none"
-                seen_hl: set[str] = set()
-                for pat, fspec in highlight["fields"].items():
-                    fs, nof, bc, scan, sc = g_fs, g_nof, g_bc, g_scan, g_sc
-                    if isinstance(fspec, dict):
-                        bad = sorted(set(fspec) - {
-                            "fragment_size", "number_of_fragments",
-                            "boundary_chars", "boundary_max_scan",
-                            "boundary_scanner"})
-                        if bad:
-                            raise DslError(
-                                f"unsupported highlight field options:"
-                                f" {bad}")
-                        fs = _hl_int(fspec, "fragment_size", g_fs, 1)
-                        nof = _hl_int(fspec, "number_of_fragments",
-                                      g_nof, 0)
-                        bc, scan, sc = _hl_boundary(fspec, g_bc, g_scan,
-                                                    g_sc)
-                    for c in _expand_patterns([pat], df.columns):
-                        if c not in seen_hl:
-                            seen_hl.add(c)
-                            hl_fields.append(
-                                (c, fs, nof, bc, scan, sc, g_order))
+                hl_fields = _highlight_plan(highlight, df.columns)
                 hl_terms = collect_highlight_terms(dsl, df.columns)
 
             def resolve(field: str, _df=df):
@@ -2588,6 +2517,95 @@ def _apply_update_script(out: DataFrame, script: dict) -> DataFrame:
             keep = F.lit(None).cast("double")
         out = out.withColumn(
             field, F.when(F.col("__match"), val).otherwise(keep))
+    return out
+
+
+
+def _validate_highlight(highlight) -> None:
+    """Top-level highlight option validation (shared by the membership
+    and ranked pages)."""
+    if highlight is None:
+        return
+    if not (isinstance(highlight, dict)
+            and isinstance(highlight.get("fields"), dict)):
+        raise DslError('highlight requires a "fields" object')
+    unknown = sorted(set(highlight) - {
+        "fields", "pre_tags", "post_tags", "fragment_size",
+        "number_of_fragments", "order", "boundary_chars",
+        "boundary_max_scan", "boundary_scanner",
+    })
+    if unknown:
+        raise DslError(f"unsupported highlight options: {unknown}")
+    if highlight.get("order") not in (None, "none", "score"):
+        raise DslError('highlight order must be "none" or "score"')
+
+
+def _highlight_tags(highlight) -> tuple[str, str]:
+    pre = (highlight.get("pre_tags") or ["<em>"])[0] if highlight else ""
+    post = (highlight.get("post_tags") or ["</em>"])[0] if highlight \
+        else ""
+    return pre, post
+
+
+def _highlight_plan(highlight: dict, columns: list[str]) -> list[tuple]:
+    """Per-column highlight specs for one table: (column,
+    fragment_size, number_of_fragments, boundary_chars,
+    boundary_max_scan, boundary_scanner, order). Per-field fragment
+    options override the request-level ones (ES's precedence);
+    unspecified options take ES's DEFAULTS (fragment_size 100,
+    number_of_fragments 5, boundary ".,!? \\t\\n"/20; `chars`
+    scanner = match-centered windows snapped to boundary_chars,
+    `sentence` = the unified highlighter's whole-sentence fragments,
+    `word` a named 400)."""
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        BOUNDARY_CHARS,
+        BOUNDARY_MAX_SCAN,
+    )
+
+    def _hl_int(spec, key, default, minimum):
+        v = spec.get(key, default)
+        if not isinstance(v, int) or isinstance(v, bool) or v < minimum:
+            raise DslError(
+                f"highlight {key} must be an integer >= {minimum}")
+        return v
+
+    def _hl_boundary(spec, d_chars, d_scan, d_scanner="chars"):
+        sc = spec.get("boundary_scanner", d_scanner)
+        if sc not in ("chars", "sentence"):
+            raise DslError(
+                f"highlight boundary_scanner {sc!r} is not "
+                'implemented (supported: "chars", "sentence" — the '
+                'unified highlighter default; "word" is java.text '
+                "BreakIterator word machinery)")
+        bc = spec.get("boundary_chars", d_chars)
+        if not isinstance(bc, str):
+            raise DslError("highlight boundary_chars must be a string")
+        return bc, _hl_int(spec, "boundary_max_scan", d_scan, 0), sc
+
+    g_fs = _hl_int(highlight, "fragment_size", 100, 1)
+    g_nof = _hl_int(highlight, "number_of_fragments", 5, 0)
+    g_bc, g_scan, g_sc = _hl_boundary(
+        highlight, BOUNDARY_CHARS, BOUNDARY_MAX_SCAN)
+    g_order = highlight.get("order") or "none"
+    out: list[tuple] = []
+    seen: set[str] = set()
+    for pat, fspec in highlight["fields"].items():
+        fs, nof, bc, scan, sc = g_fs, g_nof, g_bc, g_scan, g_sc
+        if isinstance(fspec, dict):
+            bad = sorted(set(fspec) - {
+                "fragment_size", "number_of_fragments",
+                "boundary_chars", "boundary_max_scan",
+                "boundary_scanner"})
+            if bad:
+                raise DslError(
+                    f"unsupported highlight field options: {bad}")
+            fs = _hl_int(fspec, "fragment_size", g_fs, 1)
+            nof = _hl_int(fspec, "number_of_fragments", g_nof, 0)
+            bc, scan, sc = _hl_boundary(fspec, g_bc, g_scan, g_sc)
+        for c in _expand_patterns([pat], columns):
+            if c not in seen:
+                seen.add(c)
+                out.append((c, fs, nof, bc, scan, sc, g_order))
     return out
 
 

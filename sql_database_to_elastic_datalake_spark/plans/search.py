@@ -391,6 +391,16 @@ def collect_highlight_terms(
                 simple=kind == "simple_query_string"))
         elif kind == "constant_score":
             walk(body.get("filter") or {})
+        elif kind in ("function_score", "script_score"):
+            # r12: highlight rides the ranked page, so the scoring
+            # wrappers' INNER query contributes its positive terms
+            walk(body.get("query") or {})
+        elif kind == "dis_max":
+            for s in (body.get("queries") or []):
+                walk(s)
+        elif kind == "boosting":
+            # positive terms only — the negative clause only demotes
+            walk(body.get("positive") or {})
         elif kind == "bool":
             for key in ("must", "filter", "should"):
                 subs = body.get(key) or []

@@ -231,6 +231,41 @@ def test_api_text_query_ranks_by_score(spark, tmp_path):
     assert out["hits"]["hits"][0]["_source"]["id"] == 2
 
 
+def test_highlight_rides_the_ranked_page(spark, tmp_path):
+    """r12: highlight works on the ranked pages — the canonical search
+    UI request (multi_match + highlight, no sort) gets score-ordered
+    hits WITH highlight, and function_score + highlight no longer
+    400s."""
+    import os
+
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "spark once"), (2, "spark spark twice")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_hr"))
+    out = svc.advanced_search(
+        "data_lake_hr",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}},
+        k=5, highlight={"fields": {"txt": {}}})
+    hits = out["hits"]["hits"]
+    assert [h["_source"]["id"] for h in hits] == [2, 1]  # ranked
+    assert hits[0]["highlight"]["txt"] == \
+        ["<em>spark</em> <em>spark</em> twice"]
+    assert hits[1]["highlight"]["txt"] == ["<em>spark</em> once"]
+    out = svc.advanced_search(
+        "data_lake_hr",
+        {"function_score": {
+            "query": {"match": {"txt": "spark"}},
+            "functions": [{"filter": {"term": {"id": 1}},
+                           "weight": 100.0}]}},
+        k=5, highlight={"fields": {"txt": {}}})
+    hits = out["hits"]["hits"]
+    assert hits[0]["_source"]["id"] == 1  # weight flips the order
+    assert "highlight" in hits[0]
+
+
 def test_search_route_honors_field_boosts(spark, tmp_path):
     """The reference-shaped /search route (fields list): ^boost
     weights each field's tf contribution — title^5 outranks a
