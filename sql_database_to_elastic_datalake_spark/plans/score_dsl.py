@@ -465,7 +465,7 @@ def _decay_column(kind: str, body: dict, resolver,
 
 _DECAY_KINDS = ("gauss", "exp", "linear")
 _FUNCTION_KINDS = ("filter", "weight", "field_value_factor",
-                   "script_score", *_DECAY_KINDS)
+                   "script_score", "random_score", *_DECAY_KINDS)
 _SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
 _BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
 
@@ -480,12 +480,6 @@ def _one_function(
     constant function ES documents it as."""
     unknown = sorted(set(fn) - set(_FUNCTION_KINDS))
     if unknown:
-        if "random_score" in unknown:
-            raise DslError(
-                "random_score is not supported (nondeterministic "
-                "ranking contradicts this engine's replayable-results "
-                "contract; use a field_value_factor over a hash column)"
-            )
         raise DslError(f"unsupported score function keys: {unknown}")
     cond = F.lit(True)
     if fn.get("filter") is not None:
@@ -511,6 +505,42 @@ def _one_function(
         if not isinstance(body, dict) or "script" not in body:
             raise DslError("script_score function requires a script")
         val = script_column(body["script"], resolver, base_score)
+    elif kinds[0] == "random_score":
+        # r12: the SEEDED form is deterministic and therefore
+        # implementable under the replayable-results contract — ES
+        # itself documents that seed+field gives reproducible scores.
+        # value = uniform [0, 1) from md5(seed ':' field), bit-exact
+        # in any engine with md5 (the oracle replays it); the
+        # UNSEEDED form (ES hashes a random per-request seed) stays a
+        # named 400. Divergence: ES derives its uniform from a
+        # different hash mix, so the VALUES differ — the contract
+        # random_score provides (stable pseudo-random ordering keyed
+        # by seed+field) is identical.
+        body = fn["random_score"]
+        if not isinstance(body, dict):
+            raise DslError("random_score must be an object")
+        bad = sorted(set(body) - {"seed", "field"})
+        if bad:
+            raise DslError(f"unsupported random_score keys: {bad}")
+        if "seed" not in body or "field" not in body:
+            raise DslError(
+                "random_score requires BOTH seed and field (the "
+                "unseeded form is nondeterministic — this engine's "
+                "replayable-results contract needs the reproducible "
+                "variant ES documents for consistent paging)")
+        seed = body["seed"]
+        if isinstance(seed, bool) or not isinstance(seed, (int, str)):
+            raise DslError("random_score seed must be an int or string")
+        val = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.lit(f"{seed}:"),
+                        resolver(str(body["field"])).cast("string"))),
+                    1, 8),
+                16, 10,
+            ).cast("double") / F.lit(4294967296.0)
+        )
     else:
         decay_body = fn[kinds[0]]
         if not isinstance(decay_body, dict) or len(decay_body) != 1:

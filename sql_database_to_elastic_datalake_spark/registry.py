@@ -5142,6 +5142,54 @@ def search_function_score_query_base(
     )
 
 
+@register(
+    "search_function_score_random",
+    # seed+field random_score is DETERMINISTIC (ES documents the
+    # reproducible variant for consistent paging): uniform [0,1) from
+    # md5(seed ':' field) — both engines compute the identical md5 and
+    # the same 32-bit-int / 2^32 division, so scores are bit-exact
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(
+                        md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) / 4294967296.0 AS DOUBLE) AS score
+        FROM documents WHERE lang = 'en'
+    )
+    SELECT doc_id, score FROM s
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_function_score_random(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``function_score`` ``random_score`` with ``seed`` + ``field``
+    (r12 — previously a blanket named 400): the deterministic variant
+    ES itself documents for reproducible "random" ordering (A/B
+    bucketing, sampled review queues). md5-derived uniform [0,1),
+    replayable by the oracle; the unseeded form stays a named 400."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        function_score_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred, score, _ = function_score_columns(
+        {
+            "query": {"term": {"lang": "en"}},
+            "functions": [{"random_score": {"seed": 42,
+                                            "field": "doc_id"}}],
+            "boost_mode": "replace",
+        },
+        F.col, docs.columns, date_fields=set(),
+    )
+    return (
+        docs.filter(pred).withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20).select("doc_id", "score")
+    )
+
+
 # Training-data-pipeline registrations (dedup/similarity/text/multimodal)
 # live in registry_pipeline.py; importing it registers into QUERIES/ORACLES.
 from sql_database_to_elastic_datalake_spark import registry_pipeline  # noqa: E402,F401
@@ -7273,6 +7321,7 @@ _CHECK_FIRST = [
     "search_boosted_bool_should",  # r12 NEW: boosted should-sum rank
     "search_query_string_boosted",  # r12 NEW: Lucene term^boost rank
     "search_function_score_query_base",  # r12 NEW: scored query base
+    "search_function_score_random",  # r12 NEW: seeded random_score
     # -- evidence-freshness window (r11 verdict directive #4): the 2
     #    r4-era + 30 r5-era queries — after this window nothing in
     #    the registry carries driver evidence older than round 6.
@@ -7323,7 +7372,6 @@ _CHECK_FIRST = [
     "q18_large_orders",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier_volume",
 ]
 
 

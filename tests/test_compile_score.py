@@ -283,3 +283,43 @@ def test_search_route_honors_field_boosts(spark, tmp_path):
            if isinstance(h.get("_source"), str) else h["_source"]["id"]
            for h in out["hits"]["hits"]]
     assert ids == [2, 1]  # 1 + 5*1 = 6 beats 3
+
+
+def test_random_score_seeded_deterministic(spark, tmp_path):
+    """r12: random_score with seed+field is the deterministic variant
+    ES documents — same seed = same order across sessions; different
+    seeds reshuffle; unseeded / partial forms stay named 400s."""
+    import os
+
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(i, "x") for i in range(20)], "id long, t string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_rs"))
+
+    def order(seed):
+        out = svc.advanced_search("data_lake_rs", {"function_score": {
+            "functions": [{"random_score": {"seed": seed,
+                                            "field": "id"}}],
+            "boost_mode": "replace"}}, k=20)
+        return [h["_source"]["id"] for h in out["hits"]["hits"]]
+
+    a, b, c = order(1), order(1), order(2)
+    assert a == b and a != c and sorted(a) == list(range(20))
+    # scores are uniform [0,1)
+    out = svc.advanced_search("data_lake_rs", {"function_score": {
+        "functions": [{"random_score": {"seed": 1, "field": "id"}}],
+        "boost_mode": "replace"}}, k=20)
+    assert all(0.0 <= h["_score"] < 1.0 for h in out["hits"]["hits"])
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="seed and field"):
+        svc.advanced_search("data_lake_rs", {"function_score": {
+            "functions": [{"random_score": {"seed": 1}}]}}, k=1)
+    with pytest.raises(DslError, match="random_score keys"):
+        svc.advanced_search("data_lake_rs", {"function_score": {
+            "functions": [{"random_score": {"seed": 1, "field": "id",
+                                            "salt": 2}}]}}, k=1)
