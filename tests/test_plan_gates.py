@@ -531,6 +531,29 @@ GATES = {
         shuffles=3, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
         scans={"documents": (2, [])},
     ),
+    # r12: the relevance-boost ranked family — pure column algebra
+    # over ONE pruned scan, zero shuffles (TakeOrdered pages), the
+    # membership predicate pushed where a leaf allows it
+    "search_boosted_multimatch": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (3, [])},
+    ),
+    "search_boosted_bool_should": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (4, [])},
+    ),
+    "search_query_string_boosted": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (2, [])},
+    ),
+    "search_function_score_query_base": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (3, ["IsNotNull(text)"])},
+    ),
+    "search_function_score_random": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"documents": (2, ["EqualTo(lang,en)"])},
+    ),
 }
 
 
