@@ -984,6 +984,7 @@ class LakeService:
         self, names: list, dsl: dict, k: int, from_: int,
         source, fields_opt, aggs, suggest, post_filter,
         track_total_hits, highlight: dict | None = None,
+        collapse: dict | None = None,
     ) -> dict[str, Any]:
         """The RANKED page for a top-level ``function_score`` /
         ``script_score`` query (r9): (predicate, score) compiled by
@@ -1027,6 +1028,24 @@ class LakeService:
 
         _validate_highlight(highlight)
         pre, post = _highlight_tags(highlight)
+        cfield = None
+        if collapse is not None:
+            # r12: collapse rides the ranked page — ES's default
+            # (group results under the _score order, no explicit sort
+            # needed). inner_hits stay on the sorted membership page.
+            if not (isinstance(collapse, dict)
+                    and isinstance(collapse.get("field"), str)):
+                raise DslError('collapse requires a "field" string')
+            unknown = sorted(set(collapse) - {"field", "inner_hits"})
+            if unknown:
+                raise DslError(
+                    f"unsupported collapse options: {unknown}")
+            if collapse.get("inner_hits") is not None:
+                raise DslError(
+                    "collapse inner_hits on the ranked page are not "
+                    "supported — add an explicit sort for the "
+                    "inner_hits page")
+            cfield = collapse["field"]
         kind = next(iter(dsl))
         body = dsl[kind]
         merged: list[tuple] = []
@@ -1122,6 +1141,7 @@ class LakeService:
             tie = tiebreak_columns(df)
             needed = list(dict.fromkeys(
                 src_cols + fout_cols + [f for f, *_ in hl_fields]
+                + ([cfield] if cfield and cfield in df.columns else [])
                 + tie + ["_score"]))
             page = scored.select(*needed)
             obs = None
@@ -1130,6 +1150,17 @@ class LakeService:
                 page = page.observe(obs, F.count(F.lit(1)).alias("n"))
             order = [F.col("_score").desc()] + [
                 F.col(c).asc_nulls_first() for c in tie]
+            if cfield is not None:
+                from sql_database_to_elastic_datalake_spark.plans.search \
+                    import collapse_hits
+
+                # observed pre-collapse (ES totals count matches, not
+                # groups); the window top-1 per key under the _score
+                # order is the WindowGroupLimit shape — per-key best
+                # rows pre-truncate before the shuffle
+                ckey = (F.col(cfield) if cfield in df.columns
+                        else F.lit(None).cast("string"))
+                page = collapse_hits(page, ckey, order)
             rows = page.orderBy(*order).limit(from_ + k).collect()
             if obs is not None:
                 total_value += obs.get["n"]
@@ -1137,8 +1168,26 @@ class LakeService:
                 h = {**_hit(name, r, src_cols, hl_fields, hl_terms,
                             pre, post, fields_out=fout),
                      "_score": r["_score"]}
+                if cfield is not None:
+                    # the collapse key outside _source (which may be
+                    # filtered away) — ES returns it under `fields`
+                    h.setdefault("fields", {})[cfield] = [
+                        r[cfield] if cfield in df.columns else None]
                 merged.append((-r["_score"], name, i, h))
         merged.sort(key=lambda t: t[:3])
+        if cfield is not None and len(names) > 1:
+            # pattern request: global re-collapse across tables —
+            # merged is score-ordered, so first-seen IS the best
+            seen: set = set()
+            uniq = []
+            for t in merged:
+                v = t[3].get("fields", {}).get(cfield, [None])[0]
+                key_ = ("\0null",) if v is None else v
+                if key_ in seen:
+                    continue
+                seen.add(key_)
+                uniq.append(t)
+            merged = uniq
         hits = [h for _, _, _, h in merged[from_:from_ + k]]
         out: dict[str, Any] = {"hits": {"hits": hits}}
         # ES ranked pages carry hits.max_score (r12): the best score
@@ -1952,30 +2001,28 @@ class LakeService:
             # the body compiles as membership below (filter context).
             if from_ < 0:
                 raise DslError("from must be a non-negative integer")
-            for bad, val in (("collapse", collapse),
-                             ("search_after", search_after)):
-                if val:
-                    raise DslError(
-                        f"{next(iter(dsl))} ranking is not supported "
-                        f"with {bad} (add an explicit sort for the "
-                        "membership-only page)"
-                    )
+            if search_after is not None:
+                raise DslError(
+                    f"{next(iter(dsl))} ranking is not supported "
+                    "with search_after (add an explicit sort for the "
+                    "membership-only page)")
             return self._scored_search(
                 names, dsl, k=k, from_=from_, source=source,
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
                 track_total_hits=track_total_hits,
-                highlight=highlight)
+                highlight=highlight, collapse=collapse)
         if (isinstance(dsl, dict) and len(dsl) == 1
                 and next(iter(dsl)) in _TEXT_SCORED_KINDS
-                and not sort and not collapse and search_after is None
-                and not rt_specs):
+                and not sort and search_after is None
+                and not rt_specs
+                and not (collapse and collapse.get("inner_hits"))):
             # r12: a top-level text-relevance query with no explicit
             # sort ranks by its computed score (ES's default _score
-            # order, boosts honored) — highlight rides the ranked
-            # page. Feature combinations the ranked page doesn't
-            # carry (collapse/search_after/runtime fields) fall
-            # through to the membership page instead of erroring.
+            # order, boosts honored) — highlight and collapse ride
+            # the ranked page. Feature combinations it doesn't carry
+            # (search_after / runtime fields / collapse inner_hits)
+            # fall through to the membership page instead of erroring.
             if from_ < 0:
                 raise DslError("from must be a non-negative integer")
             return self._scored_search(
@@ -1983,7 +2030,7 @@ class LakeService:
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
                 track_total_hits=track_total_hits,
-                highlight=highlight)
+                highlight=highlight, collapse=collapse)
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):

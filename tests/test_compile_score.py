@@ -323,3 +323,36 @@ def test_random_score_seeded_deterministic(spark, tmp_path):
         svc.advanced_search("data_lake_rs", {"function_score": {
             "functions": [{"random_score": {"seed": 1, "field": "id",
                                             "salt": 2}}]}}, k=1)
+
+
+def test_collapse_rides_the_ranked_page(spark, tmp_path):
+    """r12: collapse under the default _score order (ES's contract —
+    no explicit sort needed): one best hit per field value, collapse
+    key under `fields`, totals count PRE-collapse matches; collapse
+    inner_hits still need the sorted membership page (named 400
+    guidance preserved via fallback)."""
+    import os
+
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "spark", "a"), (2, "spark spark", "a"),
+         (3, "spark spark spark", "b"), (4, "none", "c")],
+        "id long, txt string, grp string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_cr"))
+    out = svc.advanced_search(
+        "data_lake_cr", {"match": {"txt": "spark"}}, k=5,
+        collapse={"field": "grp"})
+    hits = out["hits"]["hits"]
+    # one hit per group, best-by-score first: b's triple, then a's pair
+    assert [(h["_source"]["id"], h["fields"]["grp"]) for h in hits] \
+        == [(3, ["b"]), (2, ["a"])]
+    # totals count pre-collapse MATCHES (3), not groups (2)
+    assert out["hits"]["total"] == {"value": 3, "relation": "eq"}
+    # function_score + collapse also rides the ranked page now
+    out = svc.advanced_search(
+        "data_lake_cr",
+        {"function_score": {"query": {"match": {"txt": "spark"}}}},
+        k=5, collapse={"field": "grp"})
+    assert len(out["hits"]["hits"]) == 2
