@@ -129,6 +129,16 @@ CHECKED = (
     # (empty templates skipped, both engines)
     "search_aggs_variable_width",
     "search_aggs_categorize_text",
+    # r12: the relevance-boost ranked family — NULL/degenerate/
+    # unicode text and lang flow through the tf counts (coalesced per
+    # token), the constant-boost leaves' predicates (two-valued
+    # semantics drop null matches both engines), and the seeded
+    # random_score md5 (null field -> null score both engines)
+    "search_boosted_multimatch",
+    "search_boosted_bool_should",
+    "search_query_string_boosted",
+    "search_function_score_query_base",
+    "search_function_score_random",
 )
 
 

@@ -111,6 +111,16 @@ CHECKED = (
     "search_dsl_intervals_script",
     "lm_perplexity_features",
     "benchmark_decontamination_spans",
+    # r12: the relevance-boost ranked family — NULL/degenerate/
+    # unicode text and lang flow through the tf counts (coalesced per
+    # token), the constant-boost leaves' predicates (two-valued
+    # semantics drop null matches both engines), and the seeded
+    # random_score md5 (null field -> null score both engines)
+    "search_boosted_multimatch",
+    "search_boosted_bool_should",
+    "search_query_string_boosted",
+    "search_function_score_query_base",
+    "search_function_score_random",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
