@@ -985,6 +985,8 @@ class LakeService:
         source, fields_opt, aggs, suggest, post_filter,
         track_total_hits, highlight: dict | None = None,
         collapse: dict | None = None,
+        indices_boost=None,
+        rescore: dict | None = None,
     ) -> dict[str, Any]:
         """The RANKED page for a top-level ``function_score`` /
         ``script_score`` query (r9): (predicate, score) compiled by
@@ -1046,6 +1048,31 @@ class LakeService:
                     "supported — add an explicit sort for the "
                     "inner_hits page")
             cfield = collapse["field"]
+        boost_by_pattern: list[tuple[str, float]] = []
+        if indices_boost is not None:
+            # ES indices_boost: per-index score multiplier on pattern
+            # searches (list of one-key objects; the legacy dict form
+            # accepted too). First matching pattern wins, like ES.
+            entries = (list(indices_boost.items())
+                       if isinstance(indices_boost, dict) else [
+                           next(iter(e.items()))
+                           for e in indices_boost
+                           if isinstance(e, dict) and len(e) == 1])
+            if not entries or (isinstance(indices_boost, list) and any(
+                    not (isinstance(e, dict) and len(e) == 1)
+                    for e in indices_boost)):
+                raise DslError(
+                    "indices_boost must be a non-empty list of "
+                    "single-entry {index: factor} objects")
+            for pat, factor in entries:
+                if isinstance(factor, bool) or not isinstance(
+                        factor, (int, float)) or factor < 0:
+                    raise DslError(
+                        f"indices_boost factor for {pat!r} must be a "
+                        "non-negative number")
+                boost_by_pattern.append((str(pat), float(factor)))
+        if rescore is not None and cfield is not None:
+            raise DslError("rescore is not supported with collapse")
         kind = next(iter(dsl))
         body = dsl[kind]
         merged: list[tuple] = []
@@ -1096,12 +1123,27 @@ class LakeService:
                 if len(names) == 1:
                     raise
                 continue  # pattern member that can't express the query
+            import fnmatch as _fn2
+
+            if boost_by_pattern:
+                for pat, factor in boost_by_pattern:
+                    if _fn2.fnmatchcase(name, pat):
+                        score = score * F.lit(factor)
+                        break
             # a null score (missing field, log of a non-positive …)
             # drops the hit — the documented refuse-silently-wrong
             # posture (score_dsl.script_column)
             scored = (df.filter(pred)
                       .withColumn("_score", score)
                       .filter(F.col("_score").isNotNull()))
+            if rescore is not None:
+                # two-phase ranking on the ranked page (r12): the
+                # secondary score rides the SAME scan as an extra
+                # Column; window recombination happens driver-side on
+                # the collected window only — per-table windows are
+                # the analog of ES's per-shard rescore windows
+                scored = scored.withColumn(
+                    "_rescore", _rescore_expr(rescore, df))
             if ms is not None:
                 scored = scored.filter(F.col("_score") >= F.lit(ms))
             if aggs:
@@ -1142,7 +1184,8 @@ class LakeService:
             needed = list(dict.fromkeys(
                 src_cols + fout_cols + [f for f, *_ in hl_fields]
                 + ([cfield] if cfield and cfield in df.columns else [])
-                + tie + ["_score"]))
+                + tie + ["_score"]
+                + (["_rescore"] if rescore is not None else [])))
             page = scored.select(*needed)
             obs = None
             if track_total_hits is not False:
@@ -1161,19 +1204,51 @@ class LakeService:
                 ckey = (F.col(cfield) if cfield in df.columns
                         else F.lit(None).cast("string"))
                 page = collapse_hits(page, ckey, order)
-            rows = page.orderBy(*order).limit(from_ + k).collect()
+            window = int(rescore.get("window_size", 10)) \
+                if rescore is not None else 0
+            rows = page.orderBy(*order).limit(
+                max(window, from_ + k)).collect()
             if obs is not None:
                 total_value += obs.get["n"]
+            if rescore is not None and rows:
+                rspec = rescore.get("query") or {}
+                qw = float(rspec.get("query_weight", 1.0))
+                rqw = float(rspec.get("rescore_query_weight", 1.0))
+                mode = rspec.get("score_mode", "total")
+                combine = {
+                    "total": lambda o, r: o + r,
+                    "multiply": lambda o, r: o * r,
+                    "avg": lambda o, r: (o + r) / 2.0,
+                    "max": max,
+                    "min": min,
+                }.get(mode)
+                if combine is None:
+                    raise DslError(
+                        f"unknown rescore score_mode {mode!r}")
+                head = [
+                    ((combine(qw * r["_score"], rqw * r["_rescore"])
+                      if r["_rescore"] else qw * r["_score"]), i, r)
+                    for i, r in enumerate(rows[:window])
+                ]
+                head.sort(key=lambda t: (-t[0], t[1]))
+                rows = [r for _, _, r in head] + list(rows[window:])
+                rescored = {id(r): c for c, _, r in head}
+                rows = rows[:from_ + k]
+            else:
+                rescored = {}
+                rows = rows[:from_ + k]
             for i, r in enumerate(rows):
                 h = {**_hit(name, r, src_cols, hl_fields, hl_terms,
                             pre, post, fields_out=fout),
-                     "_score": r["_score"]}
+                     "_score": rescored.get(id(r), r["_score"])}
                 if cfield is not None:
                     # the collapse key outside _source (which may be
                     # filtered away) — ES returns it under `fields`
                     h.setdefault("fields", {})[cfield] = [
                         r[cfield] if cfield in df.columns else None]
-                merged.append((-r["_score"], name, i, h))
+                # the merge key is the FINAL (possibly rescored)
+                # score; i preserves each table's post-window order
+                merged.append((-h["_score"], name, i, h))
         merged.sort(key=lambda t: t[:3])
         if cfield is not None and len(names) > 1:
             # pattern request: global re-collapse across tables —
@@ -1822,6 +1897,8 @@ class LakeService:
         knn: dict | None = None,
         runtime_mappings: dict | None = None,
         script_fields: dict | None = None,
+        indices_boost=None,
+        rescore: dict | None = None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -2011,7 +2088,8 @@ class LakeService:
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
                 track_total_hits=track_total_hits,
-                highlight=highlight, collapse=collapse)
+                highlight=highlight, collapse=collapse,
+                indices_boost=indices_boost, rescore=rescore)
         if (isinstance(dsl, dict) and len(dsl) == 1
                 and next(iter(dsl)) in _TEXT_SCORED_KINDS
                 and not sort and search_after is None
@@ -2030,7 +2108,18 @@ class LakeService:
                 fields_opt=fields_opt, aggs=aggs, suggest=suggest,
                 post_filter=post_filter,
                 track_total_hits=track_total_hits,
-                highlight=highlight, collapse=collapse)
+                highlight=highlight, collapse=collapse,
+                indices_boost=indices_boost, rescore=rescore)
+        if indices_boost is not None or rescore is not None:
+            # scoring-only keys on a page with no scores: silently
+            # dropping them would change nothing the user asked for —
+            # reject by name (the reference's ES applies them to the
+            # _score order this page does not have)
+            which = "indices_boost" if indices_boost is not None \
+                else "rescore"
+            raise DslError(
+                f"{which} needs a relevance-ranked page (a top-level "
+                "scoring query with no explicit sort)")
         if search_after is not None and not sort:
             raise DslError("search_after requires a sort")
         if search_after is not None and sort and _sort_has_options(sort):
@@ -3639,6 +3728,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "post_filter", "collapse", "track_total_hits", "fields",
         "suggest", "knn", "docvalue_fields", "scroll",
         "runtime_mappings", "script_fields", "pit",
+        "indices_boost", "rescore",
     }
 
     def _page_size(body):
@@ -3838,6 +3928,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     knn=body.get("knn"),
                     runtime_mappings=body.get("runtime_mappings"),
                     script_fields=body.get("script_fields"),
+                    indices_boost=body.get("indices_boost"),
+                    rescore=body.get("rescore"),
                 )
             )), 200
         except DslError as ex:

@@ -356,3 +356,59 @@ def test_collapse_rides_the_ranked_page(spark, tmp_path):
         {"function_score": {"query": {"match": {"txt": "spark"}}}},
         k=5, collapse={"field": "grp"})
     assert len(out["hits"]["hits"]) == 2
+
+
+def test_indices_boost_and_rescore_on_ranked_page(spark, tmp_path):
+    """r12: indices_boost multiplies per-table scores on pattern
+    searches (first matching pattern wins) and rescore's two-phase
+    ranking rides the ranked page; both are named 400s on pages with
+    no scores (never silently dropped)."""
+    import os
+
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame([(1, "spark spark")], "id long, txt string") \
+        .write.parquet(os.path.join(svc.lake_dir, "data_lake_iba"))
+    spark.createDataFrame([(2, "spark")], "id long, txt string") \
+        .write.parquet(os.path.join(svc.lake_dir, "data_lake_ibb"))
+    q = {"multi_match": {"query": "spark", "fields": ["txt"]}}
+    out = svc.advanced_search("data_lake_ib*", q, k=5)
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [1, 2]
+    out = svc.advanced_search(
+        "data_lake_ib*", q, k=5,
+        indices_boost=[{"data_lake_ibb": 10.0}])
+    hits = out["hits"]["hits"]
+    assert [h["_source"]["id"] for h in hits] == [2, 1]
+    assert hits[0]["_score"] == 10.0 and hits[1]["_score"] == 2.0
+    # rescore: the window re-ranks by combined score
+    spark.createDataFrame(
+        [(1, "spark spark spark", "x"), (2, "spark", "loop loop")],
+        "id long, txt string, extra string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_rr"))
+    out = svc.advanced_search(
+        "data_lake_rr", {"match": {"txt": "spark"}}, k=5,
+        rescore={"window_size": 5, "query": {
+            "rescore_query": {"match": {"extra": "loop"}},
+            "rescore_query_weight": 10.0}})
+    hits = out["hits"]["hits"]
+    # doc2: 1 + 10*2 = 21 beats doc1's 3 + 0
+    assert [h["_source"]["id"] for h in hits] == [2, 1]
+    assert hits[0]["_score"] == 21.0
+    assert out["hits"]["max_score"] == 21.0
+    # scoring-only keys on a sorted (membership) page: named 400s
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="indices_boost needs"):
+        svc.advanced_search("data_lake_rr", {"match": {"txt": "spark"}},
+                            k=5, sort=[{"id": "asc"}],
+                            indices_boost=[{"a": 2.0}])
+    with pytest.raises(DslError, match="rescore needs"):
+        svc.advanced_search("data_lake_rr", {"term": {"id": 1}},
+                            k=5, rescore={"query": {
+                                "rescore_query": {"match": {"txt": "x"}}}})
+    with pytest.raises(DslError, match="factor"):
+        svc.advanced_search("data_lake_rr", {"match": {"txt": "spark"}},
+                            k=5, indices_boost=[{"a": -1}])
