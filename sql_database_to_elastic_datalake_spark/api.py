@@ -987,6 +987,7 @@ class LakeService:
         collapse: dict | None = None,
         indices_boost=None,
         rescore: dict | None = None,
+        min_score=None,
     ) -> dict[str, Any]:
         """The RANKED page for a top-level ``function_score`` /
         ``script_score`` query (r9): (predicate, score) compiled by
@@ -1146,6 +1147,16 @@ class LakeService:
                     "_rescore", _rescore_expr(rescore, df))
             if ms is not None:
                 scored = scored.filter(F.col("_score") >= F.lit(ms))
+            if min_score is not None:
+                # the request-level floor (ES: composes with a
+                # function_score's own min_score) — drops hits from
+                # BOTH the page and the totals, like ES
+                try:
+                    scored = scored.filter(
+                        F.col("_score") >= F.lit(float(min_score)))
+                except (TypeError, ValueError):
+                    raise DslError("min_score must be a number") \
+                        from None
             if aggs:
                 from sql_database_to_elastic_datalake_spark.plans.es_aggs \
                     import run_aggs
@@ -1899,6 +1910,7 @@ class LakeService:
         script_fields: dict | None = None,
         indices_boost=None,
         rescore: dict | None = None,
+        min_score=None,
     ) -> dict[str, Any]:
         """Raw ES-DSL passthrough compiled to a Spark predicate (Q2);
         an optional ``aggs`` section runs over the MATCHED set (ES's
@@ -2089,7 +2101,8 @@ class LakeService:
                 post_filter=post_filter,
                 track_total_hits=track_total_hits,
                 highlight=highlight, collapse=collapse,
-                indices_boost=indices_boost, rescore=rescore)
+                indices_boost=indices_boost, rescore=rescore,
+                min_score=min_score)
         if (isinstance(dsl, dict) and len(dsl) == 1
                 and next(iter(dsl)) in _TEXT_SCORED_KINDS
                 and not sort and search_after is None
@@ -2109,14 +2122,17 @@ class LakeService:
                 post_filter=post_filter,
                 track_total_hits=track_total_hits,
                 highlight=highlight, collapse=collapse,
-                indices_boost=indices_boost, rescore=rescore)
-        if indices_boost is not None or rescore is not None:
+                indices_boost=indices_boost, rescore=rescore,
+                min_score=min_score)
+        if indices_boost is not None or rescore is not None \
+                or min_score is not None:
             # scoring-only keys on a page with no scores: silently
             # dropping them would change nothing the user asked for —
             # reject by name (the reference's ES applies them to the
             # _score order this page does not have)
-            which = "indices_boost" if indices_boost is not None \
-                else "rescore"
+            which = ("indices_boost" if indices_boost is not None
+                     else "rescore" if rescore is not None
+                     else "min_score")
             raise DslError(
                 f"{which} needs a relevance-ranked page (a top-level "
                 "scoring query with no explicit sort)")
@@ -3728,7 +3744,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         "post_filter", "collapse", "track_total_hits", "fields",
         "suggest", "knn", "docvalue_fields", "scroll",
         "runtime_mappings", "script_fields", "pit",
-        "indices_boost", "rescore",
+        "indices_boost", "rescore", "min_score",
     }
 
     def _page_size(body):
@@ -3930,6 +3946,7 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     script_fields=body.get("script_fields"),
                     indices_boost=body.get("indices_boost"),
                     rescore=body.get("rescore"),
+                    min_score=body.get("min_score"),
                 )
             )), 200
         except DslError as ex:

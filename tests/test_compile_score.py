@@ -412,3 +412,32 @@ def test_indices_boost_and_rescore_on_ranked_page(spark, tmp_path):
     with pytest.raises(DslError, match="factor"):
         svc.advanced_search("data_lake_rr", {"match": {"txt": "spark"}},
                             k=5, indices_boost=[{"a": -1}])
+
+
+def test_min_score_on_advanced_ranked_page(spark, tmp_path):
+    """r12: the advanced body's min_score floors the ranked page —
+    hits below it drop from page AND totals (ES's contract); on a
+    page with no scores it is a named 400, not a silent drop."""
+    import os
+
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    svc = LakeService(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "spark"), (2, "spark spark spark")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_ms"))
+    out = svc.advanced_search(
+        "data_lake_ms", {"match": {"txt": "spark"}}, k=5,
+        min_score=2.0)
+    assert [h["_source"]["id"] for h in out["hits"]["hits"]] == [2]
+    assert out["hits"]["total"] == {"value": 1, "relation": "eq"}
+    with pytest.raises(DslError, match="min_score needs"):
+        svc.advanced_search("data_lake_ms", {"term": {"id": 1}},
+                            k=5, min_score=1.0)
+    with pytest.raises(DslError, match="must be a number"):
+        svc.advanced_search("data_lake_ms", {"match": {"txt": "spark"}},
+                            k=5, min_score="high")
