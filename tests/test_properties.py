@@ -378,6 +378,128 @@ def eval_dsl(row: dict, dsl: dict) -> bool:
 
 # --- DSL tree strategy ------------------------------------------------------
 
+
+
+def eval_score(row, dsl) -> float:
+    """Independent python mirror of compile_score's deterministic
+    scoring model (r12): tf-scored text leaves x boost x ^weights,
+    constant-boost filter leaves, Lucene compound rules. Arithmetic
+    mirrors the Column expression ORDER so doubles agree bit-for-bit.
+    Only meaningful where eval_dsl(row, dsl) holds."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _node_boost,
+        split_field_boost,
+    )
+
+    kind, body = next(iter(dsl.items()))
+
+    def tf(field, query):
+        s = row.get(field)
+        low = str(s).lower() if s is not None else None
+        score = 0.0
+        for t in tokenize(str(query)):
+            occ = (0.0 if low is None
+                   else (len(low) - len(low.replace(t, ""))) / len(t))
+            score = score + 1.0 * occ
+        return float(score)
+
+    if kind == "bool":
+        boost = float(body["boost"]) if "boost" in body else 1.0
+        total = 0.0
+        for key in ("must", "should"):
+            subs = body.get(key) or []
+            for sub in (subs if isinstance(subs, list) else [subs]):
+                total = total + (eval_score(row, sub)
+                                 if eval_dsl(row, sub) else 0.0)
+        return total * boost
+    if kind == "dis_max":
+        boost = float(body["boost"]) if "boost" in body else 1.0
+        tb = float(body.get("tie_breaker", 0.0))
+        matched = [(eval_dsl(row, q), q) for q in body["queries"]]
+        scores = [eval_score(row, q) for m, q in matched if m]
+        best = max(scores) if scores else 0.0
+        msum = 0.0
+        for m, q in matched:
+            msum = msum + (eval_score(row, q) if m else 0.0)
+        return (best + tb * (msum - best)) * boost
+    if kind == "boosting":
+        boost = float(body["boost"]) if "boost" in body else 1.0
+        pos = eval_score(row, body["positive"])
+        if "negative" in body and eval_dsl(row, body["negative"]):
+            pos = pos * float(body["negative_boost"])
+        return pos * boost
+    if kind == "constant_score":
+        return float(body.get("boost", 1.0))
+    if kind == "match_all":
+        return _node_boost(body, kind) if isinstance(body, dict) else 1.0
+    if kind == "match":
+        f, spec = next(iter(body.items()))
+        value = spec.get("query") if isinstance(spec, dict) else spec
+        boost = (float(spec["boost"])
+                 if isinstance(spec, dict) and "boost" in spec else 1.0)
+        return tf(f, value) * boost
+    if kind in ("match_phrase", "match_phrase_prefix"):
+        f, spec = next(iter(body.items()))
+        value = str(spec.get("query") if isinstance(spec, dict)
+                    else spec).lower()
+        boost = (float(spec["boost"])
+                 if isinstance(spec, dict) and "boost" in spec else 1.0)
+        if not value:
+            return 0.0
+        s = row.get(f)
+        low = str(s).lower() if s is not None else None
+        occ = (0.0 if low is None
+               else (len(low) - len(low.replace(value, "")))
+               / len(value))
+        return occ * boost
+    if kind == "multi_match":
+        boost = float(body["boost"]) if "boost" in body else 1.0
+        tb = float(body.get("tie_breaker", 0.0))
+        weights: dict = {}
+        for f in body["fields"]:
+            name, w = split_field_boost(f)
+            if "*" in name or "?" in name:
+                import fnmatch as _fn
+
+                for c in ROW_COLUMNS:
+                    if _fn.fnmatchcase(c, name):
+                        weights.setdefault(c, w)
+            else:
+                weights.setdefault(name, w)
+        if not weights:
+            return 0.0
+        per = [tf(f, body.get("query", "")) * w
+               for f, w in weights.items()]
+        if str(body.get("type", "best_fields")) == "most_fields":
+            score = per[0]
+            for x in per[1:]:
+                score = score + x
+        else:
+            best = per[0] if len(per) == 1 else max(per)
+            total = per[0]
+            for x in per[1:]:
+                total = total + x
+            score = best + tb * (total - best)
+        return score * boost
+    if kind in ("query_string", "simple_query_string"):
+        from sql_database_to_elastic_datalake_spark.plans.query_string \
+            import parse_query_string
+
+        boost = (float(body["boost"])
+                 if isinstance(body, dict) and "boost" in body else 1.0)
+        tree = parse_query_string(
+            body, schema_fields=ROW_COLUMNS,
+            simple=kind == "simple_query_string")
+        return eval_score(row, tree) * boost
+    if kind == "wrapper":
+        import base64 as _b64
+        import json as _json
+
+        return eval_score(row, _json.loads(_b64.b64decode(
+            body["query"])))
+    return _node_boost(body, kind)
+
+
 leaf = st.one_of(
     st.just({"match_all": {}}),
     st.builds(lambda v: {"term": {"kind": v}}, st.sampled_from(["a", "b", "c", "x", "ü"])),
@@ -627,6 +749,36 @@ class TestDslDifferential:
             df.filter(compile_dsl(dsl, schema_fields=ROW_COLUMNS)).collect()
         )
         want = sorted(r["id"] for r in ROWS if eval_dsl(r, dsl))
+        assert got == want, f"dsl={dsl}"
+
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "25")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(dsl=dsl_trees)
+    def test_score_compiler_matches_python_eval(self, spark, dsl):
+        """r12: compile_score vs the independent python scorer — every
+        generated tree's per-row relevance score (boosts, field
+        weights, bool sums, dis_max tie_breaker, phrase counts, tf)
+        must agree bit-for-bit on the rows the tree matches."""
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            compile_score,
+        )
+
+        df = getattr(self, "_df", None)
+        if df is None:
+            df = spark.createDataFrame(ROWS, ROWS_SCHEMA)
+            type(self)._df = df
+        got = {
+            r["id"]: r["_s"] for r in
+            df.filter(compile_dsl(dsl, schema_fields=ROW_COLUMNS))
+            .withColumn("_s", compile_score(dsl,
+                                            schema_fields=ROW_COLUMNS))
+            .collect()
+        }
+        want = {r["id"]: eval_score(r, dsl)
+                for r in ROWS if eval_dsl(r, dsl)}
         assert got == want, f"dsl={dsl}"
 
 
