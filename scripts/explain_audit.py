@@ -54,6 +54,13 @@ AUDITED = (
     "wow_growth",
     "key_skew_report",
     "snapshot_diff",
+    # r12: the relevance-boost ranked family (zero-shuffle pruned
+    # scans — the plan gates pin these, the audit documents them)
+    "search_boosted_multimatch",
+    "search_boosted_bool_should",
+    "search_query_string_boosted",
+    "search_function_score_query_base",
+    "search_function_score_random",
     # round-4 plan changes: graduated oracles + fixed-grid IVF
     "approx_sketches",
     "embed_ann_ivf",
