@@ -27,6 +27,7 @@ and merge operators, so semantics are identical.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import uuid as _uuid
@@ -4435,6 +4436,80 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             }},
             "indices": indices,
         }), 200
+
+    @app.route("/cat/indices", methods=["GET"])
+    def cat_indices_route():
+        """ES ``GET _cat/indices`` (r12 — the ops-tooling listing
+        curl/scripts poll): one row per lake table with docs.count and
+        store.size. ``format=json`` returns ES's JSON rows; the
+        default text format returns the whitespace-aligned columns
+        ES prints. ``index`` query param filters by pattern. Health/
+        status are constant green/open (no shard states to report);
+        uuid/pri/rep are the lake's honest equivalents."""
+        import fnmatch as _fn
+
+        pat = request.args.get("index") or "*"
+        fmt = request.args.get("format", "text")
+        if fmt not in ("text", "json"):
+            return jsonify({"error":
+                            "format must be text or json"}), 400
+        names = sorted(
+            d for d in os.listdir(service.lake_dir)
+            if _fn.fnmatchcase(d, pat)
+            and os.path.isdir(os.path.join(service.lake_dir, d)))
+        rows = []
+        for name in names:
+            p = os.path.join(service.lake_dir, name)
+            n = service.spark.read.parquet(p).count()
+            size = 0
+            for root, _dirs, fnames in os.walk(p):
+                for fn in fnames:
+                    if not fn.startswith(("_", ".")):
+                        size += os.path.getsize(os.path.join(root, fn))
+            rows.append({
+                "health": "green", "status": "open", "index": name,
+                "uuid": hashlib.md5(name.encode()).hexdigest()[:22],
+                "pri": "1", "rep": "0",
+                "docs.count": str(n), "docs.deleted": "0",
+                "store.size": f"{size}b",
+                "pri.store.size": f"{size}b",
+            })
+        if fmt == "json":
+            return jsonify(rows), 200
+        cols = ["health", "status", "index", "uuid", "pri", "rep",
+                "docs.count", "docs.deleted", "store.size",
+                "pri.store.size"]
+        widths = {c: max([len(c)] + [len(r[c]) for r in rows])
+                  for c in cols}
+        lines = [" ".join(r[c].ljust(widths[c]) for c in cols).rstrip()
+                 for r in rows]
+        return "\n".join(lines) + ("\n" if lines else ""), 200, {
+            "Content-Type": "text/plain; charset=UTF-8"}
+
+    @app.route("/cat/count", methods=["GET"])
+    def cat_count_route():
+        """ES ``GET _cat/count[?index=pattern]``: epoch, timestamp,
+        total doc count — the monitoring one-liner."""
+        import fnmatch as _fn
+        import time as _time
+
+        pat = request.args.get("index") or "*"
+        fmt = request.args.get("format", "text")
+        if fmt not in ("text", "json"):
+            return jsonify({"error":
+                            "format must be text or json"}), 400
+        total = 0
+        for name in sorted(os.listdir(service.lake_dir)):
+            p = os.path.join(service.lake_dir, name)
+            if _fn.fnmatchcase(name, pat) and os.path.isdir(p):
+                total += service.spark.read.parquet(p).count()
+        epoch = int(_time.time())
+        ts = _time.strftime("%H:%M:%S", _time.gmtime(epoch))
+        if fmt == "json":
+            return jsonify([{"epoch": str(epoch), "timestamp": ts,
+                             "count": str(total)}]), 200
+        return f"{epoch} {ts} {total}\n", 200, {
+            "Content-Type": "text/plain; charset=UTF-8"}
 
     @app.route("/search/sql", methods=["POST"])
     def sql_route():

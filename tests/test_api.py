@@ -3254,3 +3254,29 @@ def test_async_search_lazy_expiry_and_sql_cursor_cap(client, service, spark):
     r = client.post("/search/sql", data=json.dumps({"cursor": cur}),
                     content_type="application/json")
     assert r.status_code == 200
+
+
+def test_cat_indices_and_count(client, service, spark):
+    """r12: the _cat ops surface — indices listing (text columns /
+    format=json) and the count one-liner, pattern-filtered."""
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(
+        os.path.join(service.lake_dir, "data_lake_cat1"))
+    spark.createDataFrame([(3,)], "id long").write.parquet(
+        os.path.join(service.lake_dir, "data_lake_cat2"))
+    r = client.get("/cat/indices?index=data_lake_cat*&format=json")
+    assert r.status_code == 200
+    rows = r.get_json()
+    assert [x["index"] for x in rows] == ["data_lake_cat1",
+                                          "data_lake_cat2"]
+    assert rows[0]["docs.count"] == "2" and rows[0]["health"] == "green"
+    assert rows[0]["store.size"].endswith("b")
+    # text format: whitespace-aligned columns, one line per index
+    r = client.get("/cat/indices?index=data_lake_cat*")
+    assert r.status_code == 200
+    lines = r.get_data(as_text=True).splitlines()
+    assert len(lines) == 2 and "data_lake_cat1" in lines[0]
+    r = client.get("/cat/count?index=data_lake_cat*&format=json")
+    assert r.get_json()[0]["count"] == "3"
+    r = client.get("/cat/count?index=data_lake_cat*")
+    assert r.get_data(as_text=True).strip().endswith(" 3")
+    assert client.get("/cat/indices?format=xml").status_code == 400
