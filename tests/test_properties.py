@@ -677,6 +677,11 @@ _qs_term = st.one_of(
                      'txt:"spark merges"~3', '"merges spark"~1']),
     st.sampled_from(["txt:/[Ss]park.*/", "txt:/(slow|fast).*/",
                      "kind:/[ab]/"]),
+    # r12 boosts: term^w, field^w:term, "phrase"^w, fuzzy~N^w —
+    # retained in the parsed tree and honored by the score compiler
+    st.sampled_from(["spark^2", "txt:merge^3", "loop^0.5",
+                     "txt^2:spark", '"pandas loop"^2',
+                     '"spark fast"~1^3', "spork~1^2"]),
 )
 _qs_unary = st.builds(
     lambda p, t: p + t,
@@ -693,10 +698,13 @@ def _qs_group(children):
 
 
 qs_leaf = st.builds(
-    lambda q, op: {"query_string": {
-        "query": q, "fields": ["txt"], "default_operator": op}},
+    lambda q, op, fs: {"query_string": {
+        "query": q, "fields": fs, "default_operator": op}},
     st.recursive(_qs_unary, _qs_group, max_leaves=4),
     st.sampled_from(["or", "and"]),
+    # r12: weighted/wildcard field lists exercise the weight map
+    st.sampled_from([["txt"], ["txt^2"], ["txt^1.5", "kind"],
+                     ["tx*^2", "kind^3"]]),
 )
 simple_qs_leaf = st.builds(
     lambda items: {"simple_query_string": {
