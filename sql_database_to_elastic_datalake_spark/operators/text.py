@@ -462,3 +462,44 @@ def quality_classifier_logits(
         (F.col("__mean_w") + F.lit(float(bias)))
         .cast("double").alias("logit"),
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Deterministic Unicode text normalization (r12) — the standard
+    corpus-prep cleanup stage every published pipeline runs before
+    tokenization (C4 strips control chars; CCNet/fastText NFC-fold):
+
+    1. NFC normalization (composed forms — an Arrow-batched pandas
+       UDF over ``unicodedata``; Spark has no codegen NFC, and the
+       batch shape is the sanctioned slow-path form, like the BPE
+       tier). DuckDB's ``nfc_normalize`` replays it exactly.
+    2. strip C0/C1 control characters except ``\\n``/``\\t``
+       (``[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]``);
+    3. drop the invisible-width troublemakers ZWSP/BOM/soft-hyphen
+       (``U+200B``, ``U+FEFF``, ``U+00AD``) — ZWJ/ZWNJ are KEPT
+       (removing them breaks emoji families and Indic conjuncts);
+    4. collapse runs of spaces/tabs to one space (newlines preserved —
+       the line-rule quality operators need line structure);
+    5. trim leading/trailing spaces/tabs (whole value).
+
+    Pure column algebra after step 1; null text stays null. Scale: a
+    per-row map with no shuffle — the Arrow batch transfer is the only
+    cost over codegen, and it rides whatever scan feeds it.
+    """
+    import pandas as pd  # noqa: F401 (typing for the UDF signature)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pragma: no cover - executed on executors
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    c = F.col(col) if isinstance(col, str) else col
+    out = _nfc(c)
+    out = F.regexp_replace(
+        out, r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", "")
+    out = F.regexp_replace(out, r"[\x{200B}\x{FEFF}\x{00AD}]", "")
+    out = F.regexp_replace(out, r"[ \t]{2,}", " ")
+    return F.regexp_replace(out, r"^[ \t]+|[ \t]+$", "")

@@ -7322,6 +7322,7 @@ _CHECK_FIRST = [
     "search_query_string_boosted",  # r12 NEW: Lucene term^boost rank
     "search_function_score_query_base",  # r12 NEW: scored query base
     "search_function_score_random",  # r12 NEW: seeded random_score
+    "text_normalize",              # r12 NEW: NFC + control/zero-width
     # -- evidence-freshness window (r11 verdict directive #4): the 2
     #    r4-era + 30 r5-era queries — after this window nothing in
     #    the registry carries driver evidence older than round 6.
@@ -7371,7 +7372,6 @@ _CHECK_FIRST = [
     "q10_returned_revenue",
     "q18_large_orders",
     "q3_shipping_priority",
-    "q4_order_priority",
 ]
 
 

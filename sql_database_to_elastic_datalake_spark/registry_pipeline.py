@@ -3605,3 +3605,49 @@ def value_seasonality_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (r12) — the standard pre-tokenization
+# cleanup stage (C4 control stripping + CCNet-style NFC folding),
+# hash-exact vs DuckDB's nfc_normalize + identical regex passes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(nfc_normalize(text),
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+                 '[\x{200B}\x{FEFF}\x{00AD}]', '', 'g'),
+               '[ \t]{2,}', ' ', 'g'),
+             '^[ \t]+|[ \t]+$', '', 'g') AS norm_text,
+           CAST(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(nfc_normalize(text),
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+                 '[\x{200B}\x{FEFF}\x{00AD}]', '', 'g'),
+               '[ \t]{2,}', ' ', 'g'),
+             '^[ \t]+|[ \t]+$', '', 'g') <> text AS BOOLEAN)
+             AS changed
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization over the corpus
+    (operators/text.py:normalize_text — NFC via an Arrow-batched
+    pandas UDF, then pure-column control/zero-width stripping and
+    whitespace collapse). The ``changed`` flag is what a pipeline
+    monitors (normalization rate spikes signal encoding regressions
+    upstream). One scan, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).cast("boolean").alias("changed"),
+    )

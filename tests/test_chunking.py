@@ -443,3 +443,33 @@ def test_resample_plan_no_global_sort(spark):
     # corpus itself shuffles once on the domain key
     assert a["shuffles"] <= 4
     assert a["broadcast_joins"] >= 2
+
+
+def test_normalize_text_rules(spark):
+    """r12: deterministic Unicode normalization — NFC composition,
+    C0/C1 control stripping (newline/tab kept), zero-width removal
+    (ZWJ preserved for emoji families), space-run collapse, edge
+    trim."""
+    from sql_database_to_elastic_datalake_spark.operators.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "cafe\u0301 combining"),     # NFD e+acute
+        (2, "a\x00b\x07c\nd\te"),             # controls out, \n\t kept
+        (3, "zero​width﻿ soft­hyphen"),
+        (4, "a   b\t\t c"),                   # run collapse
+        (5, "  padded  "),                    # edge trim
+        (6, "fam\U0001F469‍\U0001F469ily"),  # ZWJ survives
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text("t").alias("n")).collect()}
+    assert out[1] == "caf\u00e9 combining"  # composed
+    assert out[2] == "abc\nd\te"
+    assert out[3] == "zerowidth softhyphen"
+    assert out[4] == "a b c"
+    assert out[5] == "padded"
+    assert out[6] == "fam\U0001F469‍\U0001F469ily"
+    assert out[7] is None

@@ -150,6 +150,7 @@ CHECKED = (
     "search_query_string_boosted",
     "search_function_score_query_base",
     "search_function_score_random",
+    "text_normalize",
 )
 
 

@@ -121,6 +121,7 @@ CHECKED = (
     "search_query_string_boosted",
     "search_function_score_query_base",
     "search_function_score_random",
+    "text_normalize",
 )
 
 # Decorations keyed by doc_id % 9 — each is a known engine-divergence
