@@ -464,8 +464,10 @@ def quality_classifier_logits(
     )
 
 
-def normalize_text(col: Column | str) -> Column:
-    """Deterministic Unicode text normalization (r12) — the standard
+def normalize_unicode(col: Column | str) -> Column:
+    """Deterministic Unicode text normalization (r12 — distinct from
+    :func:`normalize_text`, the lossy lowercase/strip-punctuation
+    canonical form the fingerprint uses) — the standard
     corpus-prep cleanup stage every published pipeline runs before
     tokenization (C4 strips control chars; CCNet/fastText NFC-fold):
 

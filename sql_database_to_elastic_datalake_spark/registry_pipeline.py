@@ -3639,13 +3639,13 @@ def value_seasonality_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization over the corpus
-    (operators/text.py:normalize_text — NFC via an Arrow-batched
+    (operators/text.py:normalize_unicode — NFC via an Arrow-batched
     pandas UDF, then pure-column control/zero-width stripping and
     whitespace collapse). The ``changed`` flag is what a pipeline
     monitors (normalization rate spikes signal encoding regressions
     upstream). One scan, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = text.normalize_text("text")
+    norm = text.normalize_unicode("text")
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),

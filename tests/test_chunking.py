@@ -451,7 +451,7 @@ def test_normalize_text_rules(spark):
     (ZWJ preserved for emoji families), space-run collapse, edge
     trim."""
     from sql_database_to_elastic_datalake_spark.operators.text import (
-        normalize_text,
+        normalize_unicode,
     )
 
     rows = [
@@ -465,7 +465,7 @@ def test_normalize_text_rules(spark):
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     out = {r["id"]: r["n"] for r in df.select(
-        "id", normalize_text("t").alias("n")).collect()}
+        "id", normalize_unicode("t").alias("n")).collect()}
     assert out[1] == "caf\u00e9 combining"  # composed
     assert out[2] == "abc\nd\te"
     assert out[3] == "zerowidth softhyphen"
