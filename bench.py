@@ -205,6 +205,18 @@ BASELINE_RESETS = {
 }
 
 
+def _state_store_tag(spark) -> str:
+    """The session's streaming state-store provider as a short tag for
+    the bench artifact ("rocksdb" / "hdfs" / the raw class name)."""
+    cls = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+    if "RocksDB" in cls:
+        return "rocksdb"
+    if "HDFSBacked" in cls:
+        return "hdfs"
+    return cls or "unset"
+
+
 def main() -> None:
     sf1_mode = "--sf1" in sys.argv[1:]
     # --sf1 pins the lake (the env default belongs to the driver's
@@ -222,6 +234,22 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
+
+    # r13 (r12 verdict #1): the streaming members' recorded times MUST
+    # come from the pinned RocksDB provider — two consecutive rounds of
+    # "state-store IO drift" on streaming_window_counts were a bench
+    # protocol defect, not a plan one. Re-pin explicitly (get_spark
+    # already defaults to it; this guards externally mutated sessions),
+    # hard-fail rather than record an artifact under the wrong tier,
+    # and stamp the provider into the artifact of record.
+    from sql_database_to_elastic_datalake_spark.session import (
+        enable_rocksdb_state_store,
+    )
+
+    enable_rocksdb_state_store(spark)
+    if _state_store_tag(spark) != "rocksdb":
+        sys.exit("bench requires the RocksDB state-store tier; got "
+                 + _state_store_tag(spark))
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -301,6 +329,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the tier the streaming members ran under — asserted rocksdb
+        # above, recorded so the artifact proves it (r12 verdict #1)
+        "state_store_provider": _state_store_tag(spark),
     }
     if spreads:
         out["spread"] = spreads

@@ -505,17 +505,28 @@ class LakeService:
                 (c for c in dest.columns if c.endswith("_id")), None)
             if id_col is not None:
                 # ES op_type index: same-_id docs are OVERWRITTEN.
-                # updated = colliding ids; surviving dest rows
-                # anti-join the incoming id set, then the union
-                # rewrites the directory (the same full-rewrite shape
-                # the upsert sink uses — parquet has no in-place row
-                # update at any scale)
+                # Counts are INCOMING-side (r12 ADVICE: counting dest
+                # rows let a dup-id dest drive updated > total and a
+                # negative created): updated = incoming ids that exist
+                # in dest, created = the rest. Duplicate ids INSIDE
+                # the incoming set are a named 400 — ES's last-wins
+                # depends on scroll order, and a parquet scan has no
+                # row order to define "last"; a silent arbitrary
+                # winner would be nondeterministic across runs.
                 incoming_ids = df.select(
                     F.col(id_col).alias("__rid")).distinct()
-                updated = int(dest.join(
-                    incoming_ids,
-                    dest[id_col] == incoming_ids["__rid"],
-                    "left_semi").count())
+                n_ids = int(incoming_ids.count())
+                if n_ids != total:
+                    raise DslError(
+                        f"reindex source has {total - n_ids} rows "
+                        f"with duplicate {id_col!r} values — parquet "
+                        "sources have no scroll order to define ES's "
+                        "last-wins overwrite; deduplicate the source "
+                        "(or narrow it with source.query) first")
+                dest_ids = dest.select(
+                    F.col(id_col).alias("__rid")).distinct()
+                updated = int(incoming_ids.join(
+                    dest_ids, "__rid", "left_semi").count())
                 created = total - updated
                 keep = dest.join(
                     incoming_ids,
@@ -655,6 +666,7 @@ class LakeService:
 
         if from_ < 0:
             raise DslError("from must be a non-negative integer")
+        _validate_rescore_options(rescore)
         names = tables or [
             d for d in sorted(os.listdir(self.lake_dir))
             if d.startswith(INDEX_PREFIX)
@@ -697,6 +709,8 @@ class LakeService:
                     F.lit(name).alias("_index"),
                     F.col("score").cast("double").alias("_score"),
                     _rescore_expr(rescore, df).alias("_rescore"),
+                    _rescore_match_expr(rescore, df).alias(
+                        "_rescore_matched"),
                     (F.col(tb[0]) if tb else F.lit("")).alias("_tiebreak"),
                     F.to_json(
                         F.struct(*[F.col(c) for c in df.columns]),
@@ -753,11 +767,14 @@ class LakeService:
             # a non-matching window doc keeps query_weight * original
             # (feeding 0 into multiply/avg/min would zero/halve/floor
             # it and reorder the window differently from ES — r7
-            # ADVICE). A matched tf score is always > 0, so falsy
-            # _rescore (0.0/None) means "no match".
+            # ADVICE). Matched-ness is the rescore query's membership
+            # predicate computed in-plan (r12 ADVICE: a matched doc
+            # can legitimately score 0.0 under boost 0, and ES still
+            # combines it — score truthiness was the wrong proxy).
             win = [
                 ((combine(qw * r["_score"], rqw * r["_rescore"])
-                  if r["_rescore"] else qw * r["_score"]), i, r)
+                  if r["_rescore_matched"]
+                  else qw * r["_score"]), i, r)
                 for i, r in enumerate(rows[:window])
             ]
             # stable on the original rank for equal combined scores
@@ -1145,7 +1162,9 @@ class LakeService:
                 # the collected window only — per-table windows are
                 # the analog of ES's per-shard rescore windows
                 scored = scored.withColumn(
-                    "_rescore", _rescore_expr(rescore, df))
+                    "_rescore", _rescore_expr(rescore, df)
+                ).withColumn(
+                    "_rescore_matched", _rescore_match_expr(rescore, df))
             if ms is not None:
                 scored = scored.filter(F.col("_score") >= F.lit(ms))
             if min_score is not None:
@@ -1197,7 +1216,8 @@ class LakeService:
                 src_cols + fout_cols + [f for f, *_ in hl_fields]
                 + ([cfield] if cfield and cfield in df.columns else [])
                 + tie + ["_score"]
-                + (["_rescore"] if rescore is not None else [])))
+                + (["_rescore", "_rescore_matched"]
+                   if rescore is not None else [])))
             page = scored.select(*needed)
             obs = None
             if track_total_hits is not False:
@@ -1237,9 +1257,14 @@ class LakeService:
                 if combine is None:
                     raise DslError(
                         f"unknown rescore score_mode {mode!r}")
+                # combine iff the rescore query MATCHES — a membership
+                # boolean computed in-plan, not score truthiness: a
+                # matched doc can score 0.0 (boost 0) and ES still
+                # combines it (r12 ADVICE)
                 head = [
                     ((combine(qw * r["_score"], rqw * r["_rescore"])
-                      if r["_rescore"] else qw * r["_score"]), i, r)
+                      if r["_rescore_matched"]
+                      else qw * r["_score"]), i, r)
                     for i, r in enumerate(rows[:window])
                 ]
                 head.sort(key=lambda t: (-t[0], t[1]))
@@ -1277,10 +1302,11 @@ class LakeService:
             merged = uniq
         hits = [h for _, _, _, h in merged[from_:from_ + k]]
         out: dict[str, Any] = {"hits": {"hits": hits}}
-        # ES ranked pages carry hits.max_score (r12): the best score
-        # of the RETURNED page, null when the page is empty
-        out["hits"]["max_score"] = (
-            max(h["_score"] for h in hits) if hits else None)
+        # ES ranked pages carry hits.max_score: the best MATCHING
+        # doc's score regardless of the from_ offset (r13 ADVICE —
+        # slicing first under-reported it on paged requests), null
+        # when nothing matched
+        out["hits"]["max_score"] = (-merged[0][0]) if merged else None
         if track_total_hits is not False:
             out["hits"]["total"] = {
                 "value": total_value, "relation": "eq"}
@@ -1993,6 +2019,20 @@ class LakeService:
         TakeOrdered for free — a strictly-more-accurate divergence
         from ES's 10k default bound)."""
         import fnmatch as _fn
+
+        # r13 (ADVICE): malformed bodies must be named 400s, not 500s
+        # — a non-dict collapse reached `.get` in the routing
+        # condition, a scalar indices_boost raised on iteration, and
+        # a non-numeric rescore window/weight raised ValueError deep
+        # in the combine. Shape-check the scoring options up front.
+        if collapse is not None and not isinstance(collapse, dict):
+            raise DslError('collapse must be an object with a "field"')
+        if indices_boost is not None and not isinstance(
+                indices_boost, (dict, list)):
+            raise DslError(
+                "indices_boost must be a list of single-entry "
+                "{index: factor} objects")
+        _validate_rescore_options(rescore)
 
         if "*" in table or "?" in table:
             names = sorted(
@@ -2779,6 +2819,27 @@ def _expand_patterns(names: list[str], columns: list[str]) -> list[str]:
 
 
 
+def _validate_rescore_options(rescore) -> None:
+    """Named 400s for malformed rescore scalar options (r13 ADVICE:
+    a non-numeric window_size/weight raised ValueError deep in the
+    combine, i.e. a 500, instead of the repo's named-400 posture)."""
+    if rescore is None:
+        return
+    if not isinstance(rescore, dict):
+        raise DslError("rescore must be an object")
+    ws = rescore.get("window_size", 10)
+    if isinstance(ws, bool) or not isinstance(ws, int) or ws < 0:
+        raise DslError("rescore window_size must be a non-negative "
+                       "integer")
+    rspec = rescore.get("query")
+    if isinstance(rspec, dict):
+        for wkey in ("query_weight", "rescore_query_weight"):
+            wv = rspec.get(wkey, 1.0)
+            if isinstance(wv, bool) or not isinstance(
+                    wv, (int, float)):
+                raise DslError(f"rescore {wkey} must be a number")
+
+
 def _rescore_expr(rescore: dict | None, df: "DataFrame"):
     """The rescore query's secondary tf score as an in-plan Column for
     one table (0.0 when rescoring is off or no requested field exists
@@ -2825,6 +2886,39 @@ def _rescore_expr(rescore: dict | None, df: "DataFrame"):
     # compiler shares the leaf semantics with the ranked pages
     return compile_score(rq, field_resolver=resolve,
                          schema_fields=df.columns).cast("double")
+
+
+def _rescore_match_expr(rescore: dict | None, df: "DataFrame"):
+    """Whether the rescore query MATCHES a row, as a boolean Column.
+
+    Matched-ness must come from the query's membership predicate, not
+    from score truthiness: a matched doc can legitimately score 0.0
+    (``boost: 0``, a zero-weighted constant leaf) and ES still
+    combines it — under multiply/min the combined score is 0 where
+    the truthiness proxy kept ``query_weight * original`` (r12
+    ADVICE). Shape errors are left to :func:`_rescore_expr`, which
+    runs first on the same spec and raises the named 400s."""
+    if rescore is None or not isinstance(rescore, dict):
+        return F.lit(False)
+    rspec = rescore.get("query")
+    if not isinstance(rspec, dict):
+        return F.lit(False)
+    rq = rspec.get("rescore_query")
+    if not isinstance(rq, dict) or len(rq) != 1:
+        return F.lit(False)
+    kind, body = next(iter(rq.items()))
+    if kind == "multi_match" and not (
+            isinstance(body, dict) and body.get("fields")):
+        return F.lit(False)  # no requested field → nothing matches
+
+    def resolve(f: str):
+        return (F.col(f) if f in df.columns
+                else F.lit(None).cast("string"))
+
+    return F.coalesce(
+        compile_dsl(rq, field_resolver=resolve,
+                    schema_fields=df.columns),
+        F.lit(False))
 
 
 #: metric → its accepted option keys (ES's rank_eval option surface)

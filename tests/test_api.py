@@ -3280,3 +3280,149 @@ def test_cat_indices_and_count(client, service, spark):
     r = client.get("/cat/count?index=data_lake_cat*")
     assert r.get_data(as_text=True).strip().endswith(" 3")
     assert client.get("/cat/indices?format=xml").status_code == 400
+
+
+def test_reindex_counts_with_duplicate_dest_ids(client, service, spark):
+    """r12 ADVICE (medium) regression: `updated` must count INCOMING
+    rows whose id exists in dest, not dest rows matching incoming ids
+    — a dest holding duplicate ids (possible from pre-r12 appends)
+    used to drive updated above total and `created` negative."""
+    _write_dbq_table(service, spark, "data_lake_rdd_src")  # ids 1..4
+    # dest holds id 2 THREE times plus an untouched id 9
+    spark.createDataFrame(
+        [(2, "error", 991, "stale"), (2, "error", 992, "stale"),
+         (2, "error", 993, "stale"), (9, "info", 90, "keep")],
+        "id long, level string, v long, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rdd_dst"))
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rdd_src"},
+        "dest": {"index": "data_lake_rdd_dst"}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    # id 2 collides (ONE incoming doc overwrites all three stale
+    # copies); 1, 3, 4 are new — created must never go negative
+    assert body["total"] == 4
+    assert body["updated"] == 1 and body["created"] == 3
+    rows = spark.read.parquet(os.path.join(
+        service.lake_dir, "data_lake_rdd_dst")).collect()
+    by_id = {}
+    for x in rows:
+        by_id.setdefault(x["id"], []).append(x)
+    assert sorted(by_id) == [1, 2, 3, 4, 9]
+    # the three stale copies collapsed to the single source doc
+    assert len(by_id[2]) == 1 and by_id[2][0]["tag"] != "stale"
+    assert by_id[9][0]["tag"] == "keep"
+
+
+def test_reindex_rejects_duplicate_source_ids(client, service, spark):
+    """r12 ADVICE (medium) regression: duplicate ids INSIDE the
+    incoming source are a named 400 — ES's last-wins depends on scroll
+    order, which a parquet scan does not have; silently keeping every
+    copy (the old union behavior) diverged from ES's one-doc-per-_id."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rds_src"))
+    spark.createDataFrame(
+        [(2, "old")], "id long, tag string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rds_dst"))
+    r = client.post("/search/reindex", data=json.dumps({
+        "source": {"index": "data_lake_rds_src"},
+        "dest": {"index": "data_lake_rds_dst"}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    err = r.get_json()["error"]
+    assert "duplicate" in err and "'id'" in err
+    # dest untouched on rejection
+    assert spark.read.parquet(os.path.join(
+        service.lake_dir, "data_lake_rds_dst")).count() == 1
+
+
+def test_ranked_max_score_is_global_not_page_slice(service, spark):
+    """r12 ADVICE regression: hits.max_score reports the best MATCHING
+    doc's score regardless of the from_ offset — slicing first made a
+    paged request (from_>0) report the page's best instead, unlike ES."""
+    spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark spark"), (3, "spark")],
+        "id long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_gms"))
+    first = service.advanced_search(
+        "data_lake_gms",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}}, k=1)
+    best = first["hits"]["max_score"]
+    assert best == first["hits"]["hits"][0]["_score"]
+    paged = service.advanced_search(
+        "data_lake_gms",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}},
+        k=1, from_=2)
+    # page carries the 3rd-best hit but max_score is still the global
+    assert paged["hits"]["hits"][0]["_score"] < best
+    assert paged["hits"]["max_score"] == best
+
+
+def test_malformed_scoring_options_are_named_400s(service, spark):
+    """r12 ADVICE regression: a non-dict collapse, a scalar
+    indices_boost, and non-numeric rescore window/weights must raise
+    DslError (named 400s), not AttributeError/TypeError/ValueError."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame([(1, "spark")], "id long, txt string") \
+        .write.parquet(os.path.join(service.lake_dir, "data_lake_m4"))
+    q = {"multi_match": {"query": "spark", "fields": ["txt"]}}
+    with pytest.raises(DslError, match="collapse"):
+        service.advanced_search("data_lake_m4", q, collapse=["txt"])
+    with pytest.raises(DslError, match="collapse"):
+        service.advanced_search("data_lake_m4", q, collapse="txt")
+    with pytest.raises(DslError, match="indices_boost"):
+        service.advanced_search("data_lake_m4", q, indices_boost=7)
+    with pytest.raises(DslError, match="window_size"):
+        service.advanced_search("data_lake_m4", q, rescore={
+            "window_size": "ten",
+            "query": {"rescore_query": {"match": {"txt": "spark"}}}})
+    with pytest.raises(DslError, match="query_weight"):
+        service.advanced_search("data_lake_m4", q, rescore={
+            "query": {"rescore_query": {"match": {"txt": "spark"}},
+                      "query_weight": "heavy"}})
+    with pytest.raises(DslError, match="rescore_query_weight"):
+        service.advanced_search("data_lake_m4", q, rescore={
+            "query": {"rescore_query": {"match": {"txt": "spark"}},
+                      "rescore_query_weight": True}})
+    # the legacy multi_match route shares the same validation
+    with pytest.raises(DslError, match="window_size"):
+        service.search("spark", ["data_lake_m4"], rescore={
+            "window_size": -1,
+            "query": {"rescore_query": {"match": {"txt": "spark"}}}})
+
+
+def test_rescore_zero_score_match_still_combines(service, spark):
+    """r12 ADVICE regression: matched-ness comes from the rescore
+    query's membership predicate, not score truthiness — a matched doc
+    whose rescore query legitimately scores 0.0 (boost 0) must combine
+    (multiply → 0), where the truthiness proxy kept qw·original."""
+    spark.createDataFrame(
+        [(1, "spark spark", "loop"), (2, "spark", "nothing")],
+        "id long, txt string, extra string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_rz"))
+    out = service.search("spark", ["data_lake_rz"], k=2, rescore={
+        "window_size": 10,
+        "query": {"rescore_query": {
+            "match": {"extra": {"query": "loop", "boost": 0}}},
+            "score_mode": "multiply"}})
+    hits = {h["_source"]["id"]: h["_score"] for h in out["hits"]["hits"]}
+    # doc1 MATCHES the rescore query with score 0·tf = 0 → 2·0 = 0;
+    # doc2 does not match → keeps query_weight·original = 1
+    assert hits[1] == 0.0 and hits[2] == 1.0
+    # same semantics on the ranked advanced page
+    out = service.advanced_search(
+        "data_lake_rz",
+        {"multi_match": {"query": "spark", "fields": ["txt"]}},
+        k=2, rescore={
+            "window_size": 10,
+            "query": {"rescore_query": {
+                "match": {"extra": {"query": "loop", "boost": 0}}},
+                "score_mode": "multiply"}})
+    hits = {h["_source"]["id"]: h["_score"]
+            for h in out["hits"]["hits"]}
+    assert hits[1] == 0.0 and hits[2] == 1.0

@@ -72,3 +72,36 @@ def test_rocksdb_state_store_tier(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, before)
+
+
+def test_bench_pins_and_records_state_store_provider(spark):
+    """r12 verdict #1: the bench artifact of record must run its
+    streaming members under the pinned RocksDB tier and stamp the
+    provider into the JSON — two rounds of 'state-store IO drift' on
+    streaming_window_counts were a protocol defect, not a plan one."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    bench = importlib.import_module("bench")
+    ensure_session_conf(spark)
+    assert bench._state_store_tag(spark) == "rocksdb"
+    # the A/B harness's HDFS revert is detected, never mislabeled
+    from sql_database_to_elastic_datalake_spark.session import (
+        HDFS_STATE_STORE_CONF,
+        enable_rocksdb_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, HDFS_STATE_STORE_CONF[key])
+        assert bench._state_store_tag(spark) == "hdfs"
+        enable_rocksdb_state_store(spark)
+        assert bench._state_store_tag(spark) == "rocksdb"
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
