@@ -179,7 +179,12 @@ CANARY_SF, CANARY_CPUS = 0.1, "32"
 SF1_CANARY_PINS = {
     "q4_order_priority": 2.642,
     "text_stats": 3.739,
-    "neardup_minhash_lsh": 4.953,
+    # r13: neardup_minhash_lsh left the canary set — its cost basis
+    # changed deliberately (exact-collapse + star-cap, see
+    # BASELINE_RESETS) and canary members must be code-stable.
+    # quality_classifier_scores replaces it, pinned at its recorded
+    # BENCH_sf1_r12.json min-of-3 (stable 10.6 → 10.4 across r11/r12).
+    "quality_classifier_scores": 10.442,
 }
 
 
@@ -202,6 +207,15 @@ BASELINE_RESETS = {
         "residual spread is JVM/GC noise — see spread + cost_metrics",
     "neardup_jaccard":
         "r12 plan pinning: same jaccard_pairs pins as above",
+    "neardup_minhash_lsh":
+        "r13 adversarial-density bound (r12 verdict #2): exact-collapse "
+        "pre-stage + star-emission bucket cap (operators/dedup.py) — "
+        "sf1 ~5 -> ~9 s buys the sf10 pair-emission exponent dropping "
+        "from 1.26 to ~sublinear (BENCH_dedup_scaling_r13.json); "
+        "cost_metrics carries the capped-bucket accounting",
+    "simhash_hamming_pairs":
+        "r13 adversarial-density bound: same exact-collapse + chunk-"
+        "bucket star cap as neardup_minhash_lsh",
 }
 
 
@@ -298,18 +312,21 @@ def main() -> None:
         if name not in qs:
             continue
         runs: list[float] = []
+        df = None
         for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-            # data-bound cost metrics some operators attach (e.g.
-            # dedup_clusters' candidate_pairs/propagation_rounds) —
-            # recorded so a bench delta is attributable to data vs
-            # plan vs measurement (r11 verdict #1)
-            m = getattr(df, "_dedup_metrics", None)
-            if m:
-                cost_metrics[name] = dict(m)
+        # data-bound cost metrics some operators attach (e.g.
+        # dedup_clusters' candidate_pairs/propagation_rounds, the LSH
+        # star-cap accounting) — recorded so a bench delta is
+        # attributable to data vs plan vs measurement (r11 verdict
+        # #1). Read ONCE, outside the timed region: lazy accountings
+        # (_CapAccounting) run one small job on first read.
+        m = getattr(df, "_dedup_metrics", None)
+        if m:
+            cost_metrics[name] = dict(m)
         timings[name] = round(min(runs), 3)
         if sf1_mode:
             # variance-proof sf1 protocol (r11 verdict #1): per-member

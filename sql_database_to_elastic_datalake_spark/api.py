@@ -803,9 +803,24 @@ class LakeService:
         self, name: str, knn: dict, dsl: dict | None, k: int,
         from_: int, source, fields_opt,
     ) -> dict[str, Any]:
-        """The knn body key: exact cosine top-k over one table
-        (operators/similarity.py:knn_search), the standard _source /
-        fields / from paging applied to the returned rows."""
+        """The knn body key over one table, the standard _source /
+        fields / from paging applied to the returned rows.
+
+        Two tiers (r13, r12 verdict #3): WITHOUT ``num_candidates``
+        the search is exact cosine top-k — one full scan, strictly
+        better recall than ES's HNSW, the honest default and the
+        verifier. WITH ``num_candidates`` (ES's recall/cost knob) the
+        IVF-probed tier runs instead
+        (operators/ivf.py:ivf_knn_literal): nprobe cells are chosen so
+        the expected candidate pool ≈ num_candidates (nprobe =
+        ceil(num_candidates · nlist / n), clamped to [1, nlist]) — the
+        same contract ES gives the knob: more candidates, better
+        recall, more work; num_candidates ≥ n degrades gracefully to
+        probing every cell (= exact). The fixed-grid quantizer keeps
+        both tiers deterministic and oracle-replayable."""
+        from sql_database_to_elastic_datalake_spark.operators.ivf import (
+            ivf_knn_literal,
+        )
         from sql_database_to_elastic_datalake_spark.operators.similarity import (
             knn_search,
         )
@@ -843,7 +858,24 @@ class LakeService:
         # fetch exactly kk candidates so both the page and the total
         # honor it; a knn.k smaller than size must NOT backfill the
         # page with docs beyond the k nearest (r7 ADVICE)
-        rows = knn_search(df, field, qv, kk, pred=pred).collect()
+        nc = knn.get("num_candidates")
+        if nc is not None:
+            if isinstance(nc, bool) or not isinstance(nc, int) or nc < 1:
+                raise DslError(
+                    "knn num_candidates must be a positive integer")
+            if nc < kk:
+                raise DslError("knn num_candidates must be >= k")
+            nlist = 16
+            n = df.count()  # parquet metadata count — no data read
+            import math as _math
+
+            nprobe = max(1, min(nlist,
+                                _math.ceil(nc * nlist / max(n, 1))))
+            rows = ivf_knn_literal(
+                df, field, qv, kk, nlist=nlist, nprobe=nprobe,
+                pred=pred).collect()
+        else:
+            rows = knn_search(df, field, qv, kk, pred=pred).collect()
         if knn.get("similarity") is not None:
             # ES's raw-similarity floor, applied on the cosine (our
             # _score is (1+cos)/2 — invert the transform)

@@ -183,6 +183,8 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int,
     rows_per_band: int,
+    bucket_cap: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Band the signature and emit distinct (a < b) bucket-collision pairs.
 
@@ -191,6 +193,28 @@ def lsh_candidate_pairs(
     is ONE self-join on (band_idx, band_key) — a per-band join loop
     would shuffle the signature table once per band; melting costs a
     single explode and a single shuffle regardless of band count.
+
+    ``bucket_cap`` (r13, r12 verdict #2) bounds pair EMISSION under
+    adversarial bucket density: a boilerplate-heavy corpus puts k
+    near-identical docs in the same band bucket and the all-pairs join
+    emits k(k-1)/2 rows per bucket — quadratic in clique size, the one
+    super-linear stage the sf10 rehearsal measured. A bucket larger
+    than the cap switches to STAR emission: every member pairs with the
+    bucket's minimum id (the hub) only — k-1 rows, linear — instead of
+    all pairs. Downstream cluster resolution (:func:`dedup_clusters`)
+    recovers the full clique through the hub by transitive closure, so
+    keep-one-per-cluster semantics are unchanged; what is lost is only
+    the explicit non-hub pair rows (and, for false-positive bucket
+    members whose hub pair fails verification, a possible member-member
+    link — the documented recall trade at pathological density). The
+    bucket-size pass is one groupBy + join on the SAME key the
+    candidate self-join shuffles on, so the exchange is reused.
+
+    ``metrics`` (filled via an Observation riding the bucket-stats
+    materialization — no extra job) records the no-silent-caps
+    accounting: ``capped_buckets`` (buckets that switched to star
+    emission) and ``capped_bucket_docs`` (their total membership rows).
+    Read it AFTER an action has materialized the result.
     """
     band_structs = []
     for b in range(bands):
@@ -207,14 +231,102 @@ def lsh_candidate_pairs(
         F.col(id_col), F.col("bk.band_idx").alias("band_idx"),
         F.col("bk.band_key").alias("band_key"),
     )
-    left = melted.select(F.col(id_col).alias("a"), "band_idx", "band_key")
-    right = melted.select(F.col(id_col).alias("b"), "band_idx", "band_key")
-    return (
+    if bucket_cap is None:
+        left = melted.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+        right = melted.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+        return (
+            left.join(right, ["band_idx", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    # bucket size + hub via ONE window pass over the bucket key the
+    # candidate self-join shuffles on anyway — a groupBy+join-back
+    # form re-plans the shingle→signature subtree once per consumer
+    # (measured: 22 exchanges vs 6), while the windowed relation is
+    # one exchange every branch reuses
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_key")
+    keyed = melted.withColumn("__bsz", F.count("*").over(w)) \
+                  .withColumn("__hub", F.min(id_col).over(w))
+    sparse = keyed.filter(F.col("__bsz") <= bucket_cap)
+    left = sparse.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+    right = sparse.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+    all_pairs = (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    # dense buckets: hub = bucket min, so hub < member always holds
+    star = (
+        keyed.filter(F.col("__bsz") > bucket_cap)
+        .filter(F.col(id_col) != F.col("__hub"))
+        .select(F.col("__hub").alias("a"), F.col(id_col).alias("b"))
+    )
+    if metrics is not None:
+        metrics["bucket_cap"] = bucket_cap
+        metrics["__dense_stats"] = keyed.filter(
+            (F.col("__bsz") > bucket_cap)
+            & (F.col(id_col) == F.col("__hub"))
+        ).select("__bsz")
+    return all_pairs.unionByName(star).distinct()
+
+
+class _CapAccounting:
+    """Lazy mapping view of the bucket-cap accounting (the no-silent-
+    caps numbers): resolving it runs ONE small aggregation over the
+    dense-bucket stats relation, and only when something actually reads
+    the metrics (the bench loop reads them OUTSIDE its timed region) —
+    the hot path pays nothing."""
+
+    _KEYS = ("bucket_cap", "capped_buckets", "capped_bucket_docs")
+
+    def __init__(self, cap: int, dense_stats: DataFrame) -> None:
+        self._cap, self._df, self._vals = cap, dense_stats, None
+
+    def _resolve(self) -> dict:
+        if self._vals is None:
+            row = self._df.agg(
+                F.count("*").alias("b"),
+                F.coalesce(F.sum("__bsz"), F.lit(0)).alias("d"),
+            ).first()
+            self._vals = {"capped_buckets": int(row["b"]),
+                          "capped_bucket_docs": int(row["d"])}
+        return self._vals
+
+    def keys(self):
+        return self._KEYS
+
+    def __getitem__(self, k):
+        if k == "bucket_cap":
+            return self._cap
+        return self._resolve()[k]
+
+    def __iter__(self):
+        return iter(self._KEYS)
+
+    def __len__(self) -> int:
+        return len(self._KEYS)
+
+
+def exact_representatives(
+    df: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Collapse exact-content duplicates to their min-id representative
+    BEFORE near-dup detection (r12 verdict #2: standard practice — a
+    clique of k byte-identical docs is the EXACT dedup stage's finding;
+    letting it reach LSH banding re-derives its k(k-1)/2 pairs through
+    the most expensive stage in the pipeline). One groupBy on the
+    content hash + one semi-join back — both linear, and at boilerplate
+    density they REPLACE quadratic pair emission."""
+    reps = (
+        df.select(F.col(id_col), content_hash(content_cols).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
 
 
 def minhash_lsh_neardup(
@@ -225,11 +337,24 @@ def minhash_lsh_neardup(
     shingle_n: int = 1,
     seeds: tuple[str, ...] = DEFAULT_SEEDS,
     bands: int = 4,
+    collapse_exact: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup detection: shingle → MinHash → LSH candidates
     → exact-Jaccard verification of candidates only.
 
     Output: a, b, jaccard (verified ≥ threshold).
+
+    ``collapse_exact`` runs :func:`exact_representatives` first, so
+    byte-identical duplicates never reach banding (their pairs belong
+    to :func:`exact_dedup`); emitted pairs then reference representative
+    ids only. ``bucket_cap`` bounds per-bucket pair emission via star
+    edges (see :func:`lsh_candidate_pairs`); when set, the returned
+    DataFrame carries a ``_dedup_metrics`` mapping with the capped-
+    bucket accounting (readable after an action). Both default OFF here
+    for drop-in compatibility; the registered corpus queries enable
+    both — that pairing is what holds emission ~linear in docs on a
+    boilerplate-heavy corpus (the 100-TB adversarial case).
     """
     if len(seeds) % bands:
         # a non-divisible split would silently DROP the trailing seeds
@@ -238,9 +363,14 @@ def minhash_lsh_neardup(
             f"{len(seeds)} seeds do not split into {bands} bands"
         )
     rows_per_band = len(seeds) // bands
+    if collapse_exact:
+        df = exact_representatives(df, id_col, [text_col])
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
     sigs = minhash_signatures(sh, id_col, seeds)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cap_metrics: dict | None = {} if bucket_cap is not None else None
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, rows_per_band,
+        bucket_cap=bucket_cap, metrics=cap_metrics)
     # Verify ONLY the LSH candidates: join each pair to its two per-doc
     # shingle sets (two hash joins keyed on doc id — linear in candidate
     # count) and compute |A∩B| / |A∪B| on the arrays. Running the
@@ -259,7 +389,7 @@ def minhash_lsh_neardup(
     # sound (never drops a true pair).
     sza, szb = F.size(F.col("sa")), F.size(F.col("sb"))
     ratio_ok = F.least(sza, szb) >= F.lit(threshold) * F.greatest(sza, szb)
-    return (
+    out = (
         cands.join(a_sets, "a")
         .join(b_sets, "b")
         .filter(ratio_ok)
@@ -274,6 +404,10 @@ def minhash_lsh_neardup(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if cap_metrics is not None and "__dense_stats" in cap_metrics:
+        out._dedup_metrics = _CapAccounting(  # type: ignore[attr-defined]
+            cap_metrics["bucket_cap"], cap_metrics["__dense_stats"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -329,9 +463,19 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int, bits: int
+    hashes: DataFrame, id_col: str, max_hamming: int, bits: int,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ d via pigeonhole banding.
+
+    ``bucket_cap`` (r13): same adversarial-density bound as
+    :func:`lsh_candidate_pairs` — a chunk bucket holding more than the
+    cap switches from all-pairs to STAR emission (every member pairs
+    with the bucket's min id), bounding per-bucket pair emission at
+    k-1 instead of k(k-1)/2; the true-hamming filter still verifies
+    every emitted pair, and cluster resolution recovers full cliques
+    through the hub. The returned DataFrame carries ``_dedup_metrics``
+    (capped-bucket accounting, readable after an action) when capped.
 
     The ``bits``-bit hash splits into d+1 chunks; any pair within
     distance d agrees on at least one chunk — each chunk is a join
@@ -362,24 +506,59 @@ def simhash_pairs(
         F.col("simhash"),
         F.explode(F.array(*parts)).alias("__c"),
     ).select(id_col, "simhash", F.col("__c.ck").alias("ck"), F.col("__c.cv").alias("cv"))
-    left = keyed.select(
+    dense_stats = None
+    if bucket_cap is not None:
+        # one window pass on the chunk key (the join key) gives size
+        # AND the hub's (id, hash) — min of the struct orders by id
+        # first, so no hub-hash re-join is needed
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ck", "cv")
+        keyed = (
+            keyed.withColumn("__bsz", F.count("*").over(w))
+            .withColumn(
+                "__hubrow",
+                F.min(F.struct(F.col(id_col), F.col("simhash"))).over(w),
+            )
+        )
+        dense_stats = keyed.filter(
+            (F.col("__bsz") > bucket_cap)
+            & (F.col(id_col) == F.col("__hubrow")[id_col])
+        ).select("__bsz")
+    sparse = (keyed.filter(F.col("__bsz") <= bucket_cap)
+              if bucket_cap is not None else keyed)
+    left = sparse.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "ck", "cv"
     )
-    right = keyed.select(
+    right = sparse.select(
         F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "ck", "cv"
     )
     cands = (
         left.join(right, ["ck", "cv"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "ha", "hb")
-        .distinct()
     )
+    if bucket_cap is not None:
+        star = (
+            keyed.filter(F.col("__bsz") > bucket_cap)
+            .filter(F.col(id_col) != F.col("__hubrow")[id_col])
+            .select(F.col("__hubrow")[id_col].alias("a"),
+                    F.col("__hubrow")["simhash"].alias("ha"),
+                    F.col(id_col).alias("b"),
+                    F.col("simhash").alias("hb"))
+        )
+        cands = cands.unionByName(star)
+    cands = cands.distinct()
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
+    out = (
         cands.withColumn("hamming", dist.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    if dense_stats is not None:
+        out._dedup_metrics = _CapAccounting(  # type: ignore[attr-defined]
+            bucket_cap, dense_stats)
+    return out
 
 
 # ---------------------------------------------------------------------------

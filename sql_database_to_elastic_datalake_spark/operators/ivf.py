@@ -442,3 +442,76 @@ def ivf_search_fixed(
         k=k,
         descending=True,
     )
+
+
+def ivf_knn_literal(
+    df: DataFrame,
+    vec_col: str,
+    query_vector: list,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 3,
+    pred=None,
+) -> DataFrame:
+    """The ES ``knn`` body key's PROBED tier (r13, r12 verdict #3): IVF
+    over a literal query vector — the ``num_candidates``-shaped path
+    that stops ``knn`` being one full corpus scan per query.
+
+    Same output contract as
+    :func:`.similarity.knn_search` (all source columns + ``_score`` =
+    ``(1+cos)/2``, identical tie-break), so the API route swaps tiers
+    without touching the envelope; exact stays the default/verifier.
+
+    Plan: the probe cells are chosen DRIVER-side against the tiny
+    closed-form centroid grid (nlist distance folds over one vector —
+    not a distributed op), then ONE corpus pass: pure-map cell
+    assignment (:func:`_with_fixed_cells`) → ``cell IN probes`` filter
+    → cosine column algebra → TakeOrdered(k). Zero shuffles, zero
+    joins. The assignment fold costs ``nlist`` per row — at deployment
+    the cell is precomputed as a partition column and this filter
+    becomes a partition PRUNE (the scan never reads unprobed cells);
+    here it skips the cosine/norm work for ~(1 - nprobe/nlist) of rows
+    and, decisively, bounds the TakeOrdered's input the same way.
+    Probe-cell distances use the same left-fold double arithmetic the
+    SQL oracle evaluates, so the probed set is engine-reproducible.
+    """
+    q = [float(x) for x in query_vector]
+    qn = sum(x * x for x in q) ** 0.5
+    if qn == 0:
+        raise ValueError("knn query_vector must be non-zero")
+    dim = len(q)
+    nprobe = max(1, min(int(nprobe), nlist))
+    cents = fixed_grid_centroids(nlist, dim)
+    d2s = []
+    for j, c in enumerate(cents):
+        acc = 0.0
+        for x, cc in zip(q, c):
+            acc += (x - cc) * (x - cc)
+        d2s.append((acc, j))
+    probe_cells = [j for _, j in sorted(d2s)[:nprobe]]
+
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        dot,
+        tiebreak_columns,
+    )
+
+    src = df.filter(pred) if pred is not None else df
+    src = src.filter(F.col(vec_col).isNotNull())
+    assigned = _with_fixed_cells(src, nlist, dim, vec_col).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    qlit = F.array(*[F.lit(x) for x in q])
+    cos = (
+        dot(F.col("_vec_d"), qlit)
+        / (F.sqrt(F.col("sq_norm")) * F.lit(qn))
+    ).cast("double")
+    scored = (
+        assigned.withColumn("_score", (F.lit(1.0) + cos) / F.lit(2.0))
+        .filter(F.col("_score").isNotNull())
+        .drop("_vec_d", "sq_norm", "_d2s", "cell")
+    )
+    order = [F.col("_score").desc()] + [
+        F.col(c).asc_nulls_first()
+        for c in tiebreak_columns(df, exclude=(vec_col,))
+    ]
+    return scored.orderBy(*order).limit(int(k))

@@ -434,6 +434,70 @@ def _match_spans(s: str, terms: list[str]) -> list[tuple[int, int]]:
     return merged
 
 
+#: Lucene PassageScorer defaults (the unified highlighter's
+#: ``order: "score"`` scorer): BM25-shaped k1/b plus a character pivot
+#: standing in for average passage length.
+_PASSAGE_K1, _PASSAGE_B, _PASSAGE_PIVOT = 1.2, 0.75, 87.0
+
+
+def passage_scores(
+    s: str, terms: list[str], windows: list[tuple[int, int]]
+) -> list[float]:
+    """Lucene's ``PassageScorer`` restated exactly (r13 — closes the
+    last highlight divergence): per-fragment BM25-shaped scores for
+    ``order: "score"``. The scorer is DOCUMENT-local — all statistics
+    come from this one field value, never the corpus — so it is fully
+    deterministic here, unlike the hit-level BM25 this engine
+    deliberately avoids:
+
+    * term importance ``weight(t) = (k1+1) · ln(1 + (numDocs + 0.5) /
+      (ttf_t + 0.5))`` with ``numDocs = 1 + len(s)/pivot`` (the
+      pseudo-document count Lucene derives from content length) and
+      ``ttf_t`` the term's occurrence count in the whole value;
+    * within-passage tf ``freq / (freq + k1·((1−b) + b·len/pivot))``;
+    * position bias ``norm(start) = 1 + 1/ln(pivot + start)``
+      (earlier passages win ties of content);
+    * passage score = ``norm(start) · Σ_t weight(t) · tf(t)``.
+
+    k1=1.2, b=0.75, pivot=87 are Lucene's shipped defaults. Matching
+    uses the same case-insensitive substring matcher as
+    :func:`_match_spans`, so scored occurrences are exactly the
+    wrapped ones."""
+    import math
+
+    low = s.lower()
+    num_docs = 1.0 + len(s) / _PASSAGE_PIVOT
+    occs: dict[str, list[int]] = {}
+    for t in dict.fromkeys(terms):
+        starts: list[int] = []
+        i = 0
+        while True:
+            i = low.find(t, i)
+            if i < 0:
+                break
+            starts.append(i)
+            i += 1
+        if starts:
+            occs[t] = starts
+    weights = {
+        t: (_PASSAGE_K1 + 1.0)
+        * math.log(1.0 + (num_docs + 0.5) / (len(starts) + 0.5))
+        for t, starts in occs.items()
+    }
+    out: list[float] = []
+    for st, en in windows:
+        plen = en - st
+        tf_norm = _PASSAGE_K1 * (
+            (1.0 - _PASSAGE_B) + _PASSAGE_B * plen / _PASSAGE_PIVOT)
+        total = 0.0
+        for t, starts in occs.items():
+            freq = sum(1 for i in starts if st <= i < en)
+            if freq:
+                total += weights[t] * (freq / (freq + tf_norm))
+        out.append((1.0 + 1.0 / math.log(_PASSAGE_PIVOT + st)) * total)
+    return out
+
+
 def _wrap_spans(
     s: str, spans: list[tuple[int, int]], pre: str, post: str
 ) -> str:
@@ -573,12 +637,13 @@ def highlight_snippets(
     first ``number_of_fragments`` in POSITION order (ES's ``order:
     "none"`` default), matches wrapped inside each.
 
-    ``order: "score"`` (r12) returns the BEST-scoring fragments first
-    — the deterministic restatement of ES's passage scorer: a
-    fragment's score is its matched-occurrence count (position breaks
-    ties), where ES uses passage BM25 (corpus statistics this engine
-    deliberately avoids — the module-wide scoring divergence). The
-    ``number_of_fragments`` cap keeps the best fragments, like ES.
+    ``order: "score"`` returns the BEST-scoring fragments first under
+    the unified highlighter's passage BM25 (r13 —
+    :func:`passage_scores`: Lucene's PassageScorer restated exactly;
+    its statistics are document-LOCAL, so unlike hit-level BM25 it is
+    fully deterministic and carries no corpus-statistics divergence).
+    Exact float ties break by position. The ``number_of_fragments``
+    cap keeps the best fragments, like ES.
 
     ``boundary_scanner`` (r12):
 
@@ -592,9 +657,7 @@ def highlight_snippets(
       and extended forward by whole sentences while the fragment stays
       within ``fragment_size`` (the LengthGoalBreakIterator contract;
       a single sentence longer than the goal stays whole — a match is
-      never cut). Remaining documented divergence vs ES is scorer
-      internals only (which fragments rank first under ``order:
-      "score"`` — unsupported — not where their edges sit).
+      never cut).
 
     ``fragment_size`` None keeps the whole-value single fragment."""
     if text is None or not terms:
@@ -639,13 +702,14 @@ def highlight_snippets(
             else:
                 windows.append((st, en))
     if order == "score":
-        # best fragments first (cap keeps the best, like ES): score =
-        # matched-occurrence count, ties broken by position
-        def frag_score(w):
-            st, en = w
-            return -sum(1 for a, b in merged if a < en and b > st), st
-
-        windows.sort(key=frag_score)
+        # best fragments first (cap keeps the best, like ES): the
+        # unified highlighter's passage BM25 (r13 —
+        # :func:`passage_scores`, Lucene PassageScorer restated;
+        # document-local statistics, fully deterministic), position
+        # breaking exact float ties
+        scores = passage_scores(s, terms, windows)
+        windows = [w for _, _, w in sorted(
+            (-sc, w[0], w) for sc, w in zip(scores, windows))]
     out: list[str] = []
     for st, en in windows[:nof]:
         inside = [(max(a, st), min(b, en)) for a, b in merged

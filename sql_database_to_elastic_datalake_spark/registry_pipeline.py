@@ -234,6 +234,25 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate pairs from 5k docs at sf0.1. Sequences, not vocabularies,
 # must match for a 3-gram to collide, so cross-doc similarity (and the
 # candidate count) drops to ~the true near-dup rate.
+#: min-id representative per exact text (the exact-collapse pre-stage —
+#: r12 verdict #2: byte-identical duplicates are dedup_exact's finding;
+#: they must never reach near-dup banding, where a k-clique of them
+#: costs k(k-1)/2 pair emissions)
+_REPS_CTE = """
+    reps AS (SELECT min(doc_id) AS doc_id
+             FROM documents GROUP BY md5(coalesce(text, chr(0))))
+"""
+
+
+def _shingle3_cte(rep_collapsed: bool = False) -> str:
+    """The word-3-gram shingle + exact-jaccard CTE block, optionally
+    restricted to exact-text representatives (requires _REPS_CTE)."""
+    src = ("(SELECT * FROM documents "
+           "WHERE doc_id IN (SELECT doc_id FROM reps))"
+           if rep_collapsed else "documents")
+    return _SHINGLE3_JACCARD_CTE.replace("FROM documents)", f"FROM {src})", 1)
+
+
 _SHINGLE3_JACCARD_CTE = """
     tarr AS (SELECT doc_id,
                     regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS toks
@@ -260,7 +279,16 @@ _SHINGLE3_JACCARD_CTE = """
 """
 
 
-def _minhash_oracle(seeds: tuple[str, ...], bands: int, threshold: float) -> str:
+def _minhash_oracle(
+    seeds: tuple[str, ...], bands: int, threshold: float,
+    bucket_cap: int | None = None, rep_collapsed: bool = False,
+) -> str:
+    """Full-pipeline SQL replica of :func:`dedup.minhash_lsh_neardup`,
+    including (r13) the exact-collapse pre-stage and the star-emission
+    bucket cap: a band bucket holding more than ``bucket_cap`` docs
+    contributes hub(min-id)→member pairs only, exactly like the Spark
+    path — the oracle implements the documented semantics, not a
+    superset (r12 verdict #2)."""
     rows = len(seeds) // bands
     sig_cols = ", ".join(
         f"min(md5(concat_ws('|', '{s}', w))) AS mh_{i}" for i, s in enumerate(seeds)
@@ -271,15 +299,40 @@ def _minhash_oracle(seeds: tuple[str, ...], bands: int, threshold: float) -> str
         + f")) AS band_{b}"
         for b in range(bands)
     )
-    band_joins = "\nUNION\n".join(
-        f"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x "
-        f"JOIN banded y ON x.band_{b} = y.band_{b} AND x.doc_id < y.doc_id"
-        for b in range(bands)
-    )
+    if bucket_cap is None:
+        band_stats = ""
+        band_joins = "\nUNION\n".join(
+            f"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x "
+            f"JOIN banded y ON x.band_{b} = y.band_{b} AND x.doc_id < y.doc_id"
+            for b in range(bands)
+        )
+    else:
+        band_stats = "".join(
+            f", bstat_{b} AS (SELECT band_{b} AS key, COUNT(*) AS bsz, "
+            f"min(doc_id) AS hub FROM banded GROUP BY 1)"
+            for b in range(bands)
+        )
+        terms = []
+        for b in range(bands):
+            terms.append(
+                f"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x "
+                f"JOIN banded y ON x.band_{b} = y.band_{b} "
+                f"AND x.doc_id < y.doc_id "
+                f"JOIN bstat_{b} s ON s.key = x.band_{b} "
+                f"AND s.bsz <= {bucket_cap}"
+            )
+            terms.append(
+                f"SELECT s.hub AS a, x.doc_id AS b FROM banded x "
+                f"JOIN bstat_{b} s ON s.key = x.band_{b} "
+                f"WHERE s.bsz > {bucket_cap} AND x.doc_id <> s.hub"
+            )
+        band_joins = "\nUNION\n".join(terms)
+    reps = f"{_REPS_CTE}," if rep_collapsed else ""
     return f"""
-    WITH {_SHINGLE3_JACCARD_CTE},
+    WITH {reps} {_shingle3_cte(rep_collapsed)},
     sig AS (SELECT doc_id, {sig_cols} FROM tok3 GROUP BY doc_id),
-    banded AS (SELECT doc_id, {band_cols} FROM sig),
+    banded AS (SELECT doc_id, {band_cols} FROM sig)
+    {band_stats},
     cand AS ({band_joins})
     SELECT j.a, j.b, j.jaccard
     FROM jac3 j
@@ -287,6 +340,16 @@ def _minhash_oracle(seeds: tuple[str, ...], bands: int, threshold: float) -> str
       AND EXISTS (SELECT 1 FROM cand c WHERE c.a = j.a AND c.b = j.b)
     """
 
+
+#: per-band bucket membership above which pair emission switches to
+#: star edges (r13, r12 verdict #2): all-pairs inside a bucket is
+#: k(k-1)/2 — at boilerplate density (the sf10 rehearsal's 100-member
+#: cliques, and the realistic 100-TB crawl shape) that is the one
+#: super-linear stage in the pipeline. 32 is comfortably above any
+#: honest near-dup neighborhood at the oracle-checked scales (sf0.01/
+#: sf0.1 max bucket sizes are single-digit) while bounding adversarial
+#: buckets at k-1 emissions; accounting rides _dedup_metrics.
+_LSH_BUCKET_CAP = 32
 
 @register(
     "neardup_minhash_lsh",
@@ -296,16 +359,28 @@ def _minhash_oracle(seeds: tuple[str, ...], bands: int, threshold: float) -> str
     # pairs wholesale. With 3-gram shingles + this banding, sf0.1
     # candidates drop from 7.7M to the true near-dup neighborhood and
     # the end-to-end wall from 90 s to seconds.
-    oracle=_minhash_oracle(dedup.DEFAULT_SEEDS, bands=3, threshold=0.9),
+    # r13: exact-collapse pre-stage + star-emission bucket cap — the
+    # oracle replicates BOTH, so the differential checks the documented
+    # capped semantics, not an uncapped superset.
+    oracle=_minhash_oracle(dedup.DEFAULT_SEEDS, bands=3, threshold=0.9,
+                           bucket_cap=_LSH_BUCKET_CAP,
+                           rep_collapsed=True),
 )
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_neardup(
-        docs, "doc_id", "text", threshold=0.9, shingle_n=3, bands=3
+        docs, "doc_id", "text", threshold=0.9, shingle_n=3, bands=3,
+        collapse_exact=True, bucket_cap=_LSH_BUCKET_CAP,
     )
 
 
-def _simhash_oracle(max_hamming: int, bits: int = 32) -> str:
+def _simhash_oracle(
+    max_hamming: int, bits: int = 32,
+    bucket_cap: int | None = None, rep_collapsed: bool = False,
+) -> str:
+    """SQL replica of :func:`dedup.simhash` + :func:`dedup.simhash_pairs`
+    including (r13) the exact-collapse pre-stage and the star-emission
+    chunk-bucket cap (see _minhash_oracle)."""
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
         for i in range(bits)
@@ -316,23 +391,45 @@ def _simhash_oracle(max_hamming: int, bits: int = 32) -> str:
     chunks = max_hamming + 1
     width = bits // chunks
     chunk_joins = []
+    chunk_stats = []
     for c in range(chunks):
         shift = c * width
         w = width + (bits - chunks * width if c == chunks - 1 else 0)
         mask = (1 << w) - 1
-        chunk_joins.append(
-            f"SELECT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb "
-            f"FROM sh x JOIN sh y ON ((x.simhash >> {shift}) & {mask}) = "
-            f"((y.simhash >> {shift}) & {mask}) AND x.doc_id < y.doc_id"
-        )
+        key = f"((simhash >> {shift}) & {mask})"
+        xkey = f"((x.simhash >> {shift}) & {mask})"
+        ykey = f"((y.simhash >> {shift}) & {mask})"
+        if bucket_cap is None:
+            chunk_joins.append(
+                f"SELECT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb "
+                f"FROM sh x JOIN sh y ON {xkey} = {ykey} AND x.doc_id < y.doc_id"
+            )
+        else:
+            chunk_stats.append(
+                f", cstat_{c} AS (SELECT {key} AS key, COUNT(*) AS bsz, "
+                f"min(doc_id) AS hub FROM sh GROUP BY 1)"
+            )
+            chunk_joins.append(
+                f"SELECT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb "
+                f"FROM sh x JOIN sh y ON {xkey} = {ykey} AND x.doc_id < y.doc_id "
+                f"JOIN cstat_{c} s ON s.key = {xkey} AND s.bsz <= {bucket_cap}"
+            )
+            chunk_joins.append(
+                f"SELECT s.hub AS a, hh.simhash AS ha, x.doc_id AS b, x.simhash AS hb "
+                f"FROM sh x JOIN cstat_{c} s ON s.key = {xkey} "
+                f"JOIN sh hh ON hh.doc_id = s.hub "
+                f"WHERE s.bsz > {bucket_cap} AND x.doc_id <> s.hub"
+            )
     cand = "\nUNION\n".join(chunk_joins)
+    reps = f"{_REPS_CTE}," if rep_collapsed else ""
     return f"""
-    WITH {_SHINGLE3_JACCARD_CTE},
+    WITH {reps} {_shingle3_cte(rep_collapsed)},
     tv AS (SELECT doc_id,
                   CAST(('0x' || substr(md5(w), 1, {bits // 4})) AS BIGINT) AS v
            FROM tok3),
     sums AS (SELECT doc_id, {bit_sums} FROM tv GROUP BY doc_id),
-    sh AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums),
+    sh AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums)
+    {"".join(chunk_stats)},
     cand AS ({cand})
     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
@@ -344,11 +441,16 @@ def _simhash_oracle(max_hamming: int, bits: int = 32) -> str:
 # bags over a shared vocabulary give unrelated docs similar bit sums —
 # candidate generation degenerates toward all-pairs both ways (see
 # operators.dedup.simhash for the measurements).
-@register("simhash_hamming_pairs", oracle=_simhash_oracle(max_hamming=3))
+@register("simhash_hamming_pairs",
+          oracle=_simhash_oracle(max_hamming=3,
+                                 bucket_cap=_LSH_BUCKET_CAP,
+                                 rep_collapsed=True))
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hashes = dedup.simhash(docs, "doc_id", "text", bits=32, shingle_n=3)
-    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3, bits=32)
+    reps = dedup.exact_representatives(docs, "doc_id", ["text"])
+    hashes = dedup.simhash(reps, "doc_id", "text", bits=32, shingle_n=3)
+    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3, bits=32,
+                               bucket_cap=_LSH_BUCKET_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -895,6 +997,86 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_fixed(
         emb, query_ids=list(range(10)), k=3, nlist=16, nprobe=3
     )
+
+
+def _knn_ivf_oracle(k: int, nlist: int, nprobe: int) -> str:
+    """The knn PROBED tier replayed in SQL: probe-cell selection (top
+    nprobe centroids by the same left-fold distance to the literal
+    query, (d2, j) total order), fixed-grid cell assignment, scoring
+    over probed cells only, (score desc, vec_id) top-k — every stage
+    of operators/ivf.py:ivf_knn_literal with identical arithmetic."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+    )
+
+    q = fixed_grid_centroids(97, _DIM)[41]
+    qn = sum(x * x for x in q) ** 0.5
+    qlit = f"[{', '.join(repr(x) for x in q)}]::DOUBLE[]"
+    cent_rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(fixed_grid_centroids(nlist, _DIM))
+    )
+    d2 = " + ".join(
+        f"(v[{i}]-c[{i}])*(v[{i}]-c[{i}])" for i in range(1, _DIM + 1)
+    )
+    d2q = " + ".join(
+        f"(q[{i}]-c[{i}])*(q[{i}]-c[{i}])" for i in range(1, _DIM + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents(j, c) AS (VALUES
+        {cent_rows}),
+    qv(q) AS (VALUES ({qlit})),
+    probes AS (
+        SELECT j FROM (SELECT cents.j, {d2q} AS d2 FROM cents, qv)
+        ORDER BY d2 ASC, j ASC LIMIT {nprobe}
+    ),
+    cd AS (
+        SELECT e.vec_id, cents.j, {d2} AS d2 FROM e CROSS JOIN cents
+    ),
+    assign AS (
+        SELECT vec_id, j AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS crn
+            FROM cd
+        ) WHERE crn = 1
+    ),
+    n AS (SELECT vec_id, label, v, {_dot_sql('v', 'v')} AS sq FROM e),
+    s AS (
+        SELECT n.vec_id, n.label,
+               (1.0 + ({_dot_sql('v', f"({qlit})")})
+                      / (sqrt(sq) * {qn!r})) / 2.0 AS score
+        FROM n JOIN assign USING (vec_id)
+        WHERE assign.cell IN (SELECT j FROM probes)
+    )
+    SELECT vec_id, label, CAST(score AS DOUBLE) AS _score FROM s
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "search_knn_ivf",
+    oracle=_knn_ivf_oracle(k=10, nlist=16, nprobe=3),
+)
+def search_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knn body key's IVF-probed tier (r13, r12 verdict #3): what
+    the API route runs when ``num_candidates`` is set — probe-cell
+    selection driver-side against the closed-form grid, then ONE
+    corpus pass: pure-map cell assignment → probed-cell filter →
+    cosine column algebra → TakeOrdered(k). Zero shuffles, zero joins
+    (plan-gated); exact knn (search_knn_vector) stays the verifier —
+    recall vs exact is pytest-asserted like embed_ann_ivf's."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+        ivf_knn_literal,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fixed_grid_centroids(97, _DIM)[41]
+    return ivf_knn_literal(
+        emb, "embedding", q, k=10, nlist=16, nprobe=3
+    ).select("vec_id", "label", "_score")
 
 
 # ---------------------------------------------------------------------------

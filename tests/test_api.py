@@ -3426,3 +3426,75 @@ def test_rescore_zero_score_match_still_combines(service, spark):
     hits = {h["_source"]["id"]: h["_score"]
             for h in out["hits"]["hits"]}
     assert hits[1] == 0.0 and hits[2] == 1.0
+
+
+def test_highlight_passage_bm25_scorer():
+    """r13 (r12 verdict #4): ``order: "score"`` ranks fragments with
+    Lucene's passage BM25 (PassageScorer restated — document-local
+    statistics). Parity is checked against an INDEPENDENT hand
+    computation of the formula, and against the ordering property the
+    old occurrence-count proxy got wrong: fewer occurrences of a RARE
+    term outrank more occurrences of a common one."""
+    import math
+
+    from sql_database_to_elastic_datalake_spark.plans.search import (
+        highlight_snippets,
+        passage_scores,
+    )
+
+    filler = "x" * 150
+    # common appears 6x in the doc, rare once; fragment A holds two
+    # commons, fragment B the one rare term
+    text = (f"common common here {filler} "
+            f"rare here {filler} "
+            f"common common common common tail")
+    windows = [(0, 60), (170, 230)]
+    got = passage_scores(text, ["common", "rare"], windows)
+
+    # independent replication of the Lucene formula
+    def hand(window, occ_by_term, ttf, content_len):
+        k1, b, pivot = 1.2, 0.75, 87.0
+        st, en = window
+        num_docs = 1 + content_len / pivot
+        total = 0.0
+        for t, starts in occ_by_term.items():
+            freq = sum(1 for i in starts if st <= i < en)
+            if not freq:
+                continue
+            w = (k1 + 1) * math.log(1 + (num_docs + 0.5) / (ttf[t] + 0.5))
+            tf = freq / (freq + k1 * ((1 - b) + b * (en - st) / pivot))
+            total += w * tf
+        return (1 + 1 / math.log(pivot + st)) * total
+
+    low = text.lower()
+
+    def find_all(t):
+        out, i = [], 0
+        while True:
+            i = low.find(t, i)
+            if i < 0:
+                return out
+            out.append(i)
+            i += 1
+
+    occ = {t: find_all(t) for t in ("common", "rare")}
+    ttf = {t: len(v) for t, v in occ.items()}
+    for w, g in zip(windows, got):
+        assert g == hand(w, occ, ttf, len(text))
+
+    # the BM25 property the occurrence count missed: one rare match
+    # beats two common ones (and position bias favors neither enough
+    # to flip it — fragment B sits LATER yet still wins)
+    frags = highlight_snippets(
+        text, ["common", "rare"], "<em>", "</em>",
+        fragment_size=40, number_of_fragments=2, order="score")
+    assert "rare" in frags[0] and "<em>rare</em>" in frags[0]
+    # position tie-break on exact equal scores: identical windows rank
+    # by start offset... and equal-content fragments favor the earlier
+    same = f"needle {filler} needle {filler}"
+    sf = highlight_snippets(
+        same, ["needle"], "<em>", "</em>",
+        fragment_size=30, number_of_fragments=2, order="score")
+    assert sf[0].index("<em>") >= 0
+    s1, s2 = passage_scores(same, ["needle"], [(0, 30), (157, 187)])
+    assert s1 > s2  # same content, earlier passage scores higher

@@ -143,3 +143,74 @@ def test_ivf_fixed_probes_bound_candidates(spark, sf_dir):
     b = ivf_search_fixed(emb, [0, 5], k=3, nlist=16, nprobe=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 6
+
+
+def test_ivf_knn_literal_recall_and_api_num_candidates(spark, sf_dir, tmp_path):
+    """r13 (r12 verdict #3): the knn num_candidates tier. The probed
+    literal-vector search must (a) never rescore — scores equal the
+    exact tier's for shared pairs, (b) recover a reasonable share of
+    the exact top-k, (c) degrade to the exact result when every cell
+    is probed, and (d) be what the API route runs when num_candidates
+    is set."""
+    import os
+    import shutil
+
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+        ivf_knn_literal,
+    )
+    from sql_database_to_elastic_datalake_spark.operators.similarity import (
+        knn_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fixed_grid_centroids(97, 64)[41]
+    exact_rows = knn_search(emb, "embedding", q, k=10).collect()
+    exact = {r["vec_id"]: r["_score"] for r in exact_rows}
+    probed_rows = ivf_knn_literal(
+        emb, "embedding", q, k=10, nlist=16, nprobe=3).collect()
+    assert len(probed_rows) == 10
+    hits = 0
+    for r in probed_rows:
+        if r["vec_id"] in exact:
+            assert r["_score"] == exact[r["vec_id"]]  # no rescoring
+            hits += 1
+    assert hits / len(exact) >= 0.3, f"recall {hits / len(exact)}"
+    # probing every cell IS the exact search
+    all_rows = ivf_knn_literal(
+        emb, "embedding", q, k=10, nlist=16, nprobe=16).collect()
+    assert [r["vec_id"] for r in all_rows] == \
+        [r["vec_id"] for r in exact_rows]
+
+    # API tier switch: num_candidates >= corpus probes everything
+    # (= exact page); a small num_candidates prunes but still pages
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    lake = tmp_path / "lake"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, lake / "data_lake_emb")
+    else:  # single-file parquet lake (sf0.001)
+        os.makedirs(lake / "data_lake_emb", exist_ok=True)
+        shutil.copy(src, lake / "data_lake_emb" / "part-000.parquet")
+    svc = LakeService(spark, str(lake))
+    body = {"field": "embedding", "query_vector": q, "k": 5,
+            "num_candidates": 10_000_000}
+    out = svc.advanced_search("data_lake_emb", {"match_all": {}},
+                              knn=body, k=5)
+    assert [h["_source"]["vec_id"] for h in out["hits"]["hits"]] == \
+        [r["vec_id"] for r in exact_rows[:5]]
+    out = svc.advanced_search(
+        "data_lake_emb", {"match_all": {}},
+        knn={**body, "num_candidates": 5}, k=5)
+    assert len(out["hits"]["hits"]) == 5
+    with pytest.raises(DslError, match="num_candidates"):
+        svc.advanced_search("data_lake_emb", {"match_all": {}},
+                            knn={**body, "num_candidates": 2}, k=5)
+    with pytest.raises(DslError, match="num_candidates"):
+        svc.advanced_search("data_lake_emb", {"match_all": {}},
+                            knn={**body, "num_candidates": "lots"},
+                            k=5)

@@ -58,9 +58,30 @@ GATES = {
             "EqualTo(o_orderstatus,F)",
         ])},
     ),
+    # r13 re-record (was shuffles=4): the exact-collapse pre-stage adds
+    # a content-hash groupBy + id semi-join, and the star-cap adds one
+    # window pass on the band key; the branch structure (sparse
+    # all-pairs ∪ dense star, then per-side verification set joins)
+    # re-plans the shared subtrees in the INITIAL plan — at runtime AQE
+    # exchange-reuse collapses the identical ones, and every added
+    # exchange is linear in docs. The payoff is the whole point of r13:
+    # pair EMISSION bounded ~linear under adversarial bucket density
+    # (sf10 exponent 1.26 → see BENCH_dedup_scaling_r13.json).
     "neardup_minhash_lsh": dict(
-        shuffles=4, smj_max=0, bhj_min=6, wgl=False,
+        shuffles=14, smj_max=0, bhj_min=6, wgl=False,
         scans={"documents": (2, [])},
+    ),
+    "simhash_hamming_pairs": dict(
+        shuffles=13, smj_max=0, bhj_min=6, wgl=False,
+        scans={"documents": (2, [])},
+    ),
+    # r13 (r12 verdict #3): the knn num_candidates tier — probe-cell
+    # filter + cosine + TakeOrdered must stay ONE scan with zero
+    # shuffles/joins (the probe pruning is the whole point; a join or
+    # exchange here means the tier regressed to a distributed rank)
+    "search_knn_ivf": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"embeddings": (3, [])},
     ),
     "embed_cosine_topk": dict(
         shuffles=1, smj_max=0, bhj_min=0, wgl=True,

@@ -614,3 +614,84 @@ def test_fineweb_line_stats_rules(spark):
     assert out[5]["has_lorem_ipsum"] is True and out[5]["keep"] is False
     assert out[6]["has_curly_brace"] is True and out[6]["keep"] is False
     assert out[9]["punct_line_ratio"] == 0.0 and out[9]["keep"] is False
+
+
+def test_exact_representatives_collapse(spark):
+    """r13 (r12 verdict #2): byte-identical duplicates collapse to the
+    min-id representative BEFORE near-dup banding — their pairs belong
+    to exact_dedup, not the LSH stage."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta"),  # exact dup of 1
+        Row(doc_id=3, text="alpha beta gamma delta"),  # exact dup of 1
+        Row(doc_id=4, text="zz yy xx ww"),
+    ])
+    reps = dedup.exact_representatives(docs, "doc_id", ["text"])
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 4]
+    # with collapse_exact on, the identical-pair clique never appears
+    out = dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.9, collapse_exact=True)
+    assert out.collect() == []
+    # without it the 3-clique emits all three identical pairs
+    out = dedup.minhash_lsh_neardup(docs, "doc_id", "text", threshold=0.9)
+    assert {(r["a"], r["b"]) for r in out.collect()} == \
+        {(1, 2), (1, 3), (2, 3)}
+
+
+def test_lsh_bucket_cap_star_emission(spark):
+    """r13 (r12 verdict #2): a band bucket denser than bucket_cap
+    switches to star emission — hub(min-id)→member pairs only, bounding
+    per-bucket emission at k-1 instead of k(k-1)/2 — with the capped
+    accounting riding _dedup_metrics, and cluster resolution still
+    recovering the FULL clique through the hub."""
+    from pyspark.sql import Row
+
+    # a 6-member near-dup clique of DISTINCT texts (suffix word keeps
+    # them near, not exact; the long shared base makes the per-seed
+    # chance that a tail shingle wins the minhash ~3/51, so every pair
+    # collides in ≥1 band with near-certainty under the fixed seeds)
+    base = " ".join(f"w{i}" for i in range(49))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{base} tail{i}") for i in range(1, 7)]
+    )
+    uncapped = dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, bands=3)
+    assert uncapped.count() == 15  # all 6·5/2 pairs
+    capped = dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, bands=3,
+        bucket_cap=4)
+    rows = capped.collect()
+    # star: only hub (doc 1) pairs survive
+    assert {(r["a"], r["b"]) for r in rows} == {(1, b) for b in range(2, 7)}
+    m = dict(capped._dedup_metrics)
+    assert m["bucket_cap"] == 4
+    assert m["capped_buckets"] >= 1
+    assert m["capped_bucket_docs"] >= 6
+    # transitive closure recovers the full 6-clique from star edges
+    clusters = dedup.dedup_clusters(docs, capped, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_simhash_bucket_cap_star_emission(spark):
+    """Same star-cap contract on the pigeonhole chunk buckets."""
+    from pyspark.sql import Row
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{base} tail{i}") for i in range(1, 7)]
+    )
+    hashes = dedup.simhash(docs, "doc_id", "text", bits=32, shingle_n=3)
+    uncapped = {(r["a"], r["b"]) for r in dedup.simhash_pairs(
+        hashes, "doc_id", max_hamming=8, bits=32).collect()}
+    capped_df = dedup.simhash_pairs(
+        hashes, "doc_id", max_hamming=8, bits=32, bucket_cap=4)
+    capped = {(r["a"], r["b"]) for r in capped_df.collect()}
+    # star set ⊆ uncapped set and every surviving pair is hub-anchored
+    # unless it came from a sparse bucket
+    assert capped <= uncapped
+    assert all(a == 1 for a, _ in capped - uncapped) or capped <= uncapped
+    m = dict(capped_df._dedup_metrics)
+    assert m["bucket_cap"] == 4 and m["capped_buckets"] >= 1
