@@ -233,6 +233,11 @@ def _state_store_tag(spark) -> str:
 
 def main() -> None:
     sf1_mode = "--sf1" in sys.argv[1:]
+    # --all (r13, r12 verdict #8): time the FULL sf1 member list at the
+    # env-selected lake (normally sf0.1) so cross-round sf0.1
+    # comparison has a committed 74-member artifact with spreads —
+    # the driver's BENCH_r{N}.json tail is truncated to ~50 members.
+    all_members = "--all" in sys.argv[1:]
     # --sf1 pins the lake (the env default belongs to the driver's
     # per-round sf0.1 run; mixing them would mislabel the artifact)
     sf_dir = SF1_DIR if sf1_mode else os.environ.get(
@@ -305,7 +310,7 @@ def main() -> None:
     # steady).
     bench_set = (HEADLINE + tuple(q for q in SF1_EXTRA
                                   if q not in HEADLINE)
-                 if sf1_mode else HEADLINE)
+                 if (sf1_mode or all_members) else HEADLINE)
     spreads: dict[str, dict] = {}
     cost_metrics: dict[str, dict] = {}
     for name in bench_set:
@@ -328,10 +333,11 @@ def main() -> None:
         if m:
             cost_metrics[name] = dict(m)
         timings[name] = round(min(runs), 3)
-        if sf1_mode:
-            # variance-proof sf1 protocol (r11 verdict #1): per-member
-            # per-run spread rides the artifact, so a >2x comparison
-            # hit can be told apart from run-to-run measurement noise
+        if sf1_mode or all_members:
+            # variance-proof protocol (r11 verdict #1, extended to the
+            # committed sf0.1 artifact in r13): per-member per-run
+            # spread rides the artifact, so a >2x comparison hit can
+            # be told apart from run-to-run measurement noise
             spreads[name] = {
                 "runs": [round(r, 3) for r in runs],
                 "max_min_ratio": round(max(runs) / max(min(runs), 1e-9),

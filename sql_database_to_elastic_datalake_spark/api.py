@@ -4125,7 +4125,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         body = request.get_json(force=True)
         try:
             source, params = _resolve_template(body)
-            rendered = render_search_template(source, params)
+            rendered = render_search_template(
+                source, params, partials=service.stored_templates)
         except NotFoundError as ex:
             return jsonify({"error": str(ex)}), 404
         except DslError as ex:
@@ -4147,7 +4148,8 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         body = request.get_json(force=True)
         try:
             source, params = _resolve_template(body)
-            rendered = render_search_template(source, params)
+            rendered = render_search_template(
+                source, params, partials=service.stored_templates)
         except NotFoundError as ex:
             return jsonify({"error": str(ex)}), 404
         except DslError as ex:

@@ -19,11 +19,15 @@ This module implements the MUSTACHE SUBSET real templates use:
     when the section value is falsy — the "default this clause when
     the param is absent" idiom.
 
-Everything else in the mustache grammar (partials ``{{>}}``,
-triple-stache, comments, set-delimiter, ``{{#join}}``, ``{{#url}}``,
-dotted paths) is a NAMED 400 — the reject-instead-of-drop policy: a
-template relying on unimplemented syntax must fail loudly, not render
-wrong.
+  * ``{{>name}}`` partials (r13): the stored template ``name``
+    (the ``_scripts`` namespace) rendered in the CALLING context —
+    the "shared query fragment" idiom; unknown or recursive partials
+    are named 400s.
+
+Everything else in the mustache grammar (triple-stache, comments,
+set-delimiter, lambdas ``{{#join}}``/``{{#url}}``, dotted paths) is a
+NAMED 400 — the reject-instead-of-drop policy: a template relying on
+unimplemented syntax must fail loudly, not render wrong.
 
 Rendering happens over the template's JSON TEXT (object sources are
 serialized first, like ES), then the result must parse back to a JSON
@@ -137,11 +141,17 @@ def _parse(tpl: str, i: int, stop: str | None):
                         f" (open section is {{{{#{stop}}}}})"
                         if stop else " with no open section"))
             return nodes, i
-        elif tag[:1] in (">", "!", "&", "="):
+        elif tag[:1] == ">":
+            # r13 (r12 verdict #5): partials, resolved from the STORED
+            # template namespace at render time (ES ships stored search
+            # templates as the partial source); they inherit the
+            # calling context per the mustache spec
+            nodes.append(("partial", _check_name(tag[1:])))
+        elif tag[:1] in ("!", "&", "="):
             raise DslError(
                 f"unsupported mustache tag {{{{{tag}}}}} (supported: "
                 "{{var}}, {{#toJson}}var{{/toJson}}, {{#section}}, "
-                "{{^inverted}})")
+                "{{^inverted}}, {{>partial}})")
         else:
             nodes.append(("var", _check_name(tag)))
 
@@ -158,7 +168,9 @@ def _lookup(stack: list, name: str):
     return None
 
 
-def _render(nodes: list[tuple], stack: list, out: list[str]) -> None:
+def _render(nodes: list[tuple], stack: list, out: list[str],
+            partials: dict | None = None,
+            active_partials: frozenset = frozenset()) -> None:
     for node in nodes:
         kind = node[0]
         if kind == "text":
@@ -174,25 +186,53 @@ def _render(nodes: list[tuple], stack: list, out: list[str]) -> None:
                 continue
             if isinstance(val, list):
                 for el in val:
-                    _render(node[2], stack + [el], out)
+                    _render(node[2], stack + [el], out, partials,
+                            active_partials)
             else:
                 # dicts push a lookup frame; truthy scalars push as
                 # the {{.}} value — both once, per the spec
-                _render(node[2], stack + [val], out)
+                _render(node[2], stack + [val], out, partials,
+                        active_partials)
+        elif kind == "partial":
+            name = node[1]
+            tpl = (partials or {}).get(name)
+            if tpl is None:
+                raise DslError(
+                    f"unknown template partial {{{{>{name}}}}} — "
+                    "store it first (PUT _scripts/" + name + ")")
+            if name in active_partials:
+                # the spec allows recursion bounded by falsy data;
+                # a JSON-body template that re-includes itself can
+                # only diverge — reject by name instead of hanging
+                raise DslError(
+                    f"recursive template partial {{{{>{name}}}}}")
+            src = tpl["source"] if isinstance(tpl, dict) and \
+                "source" in tpl else tpl
+            text = json.dumps(src) if isinstance(src, dict) else str(src)
+            sub, _ = _parse(text, 0, stop=None)
+            # partials inherit the CALLING context (mustache spec) —
+            # same stack, no new frame
+            _render(sub, stack, out, partials,
+                    active_partials | {name})
         else:  # inverted
             val = _lookup(stack, node[1])
             if _falsy(val):
-                _render(node[2], stack, out)
+                _render(node[2], stack, out, partials,
+                        active_partials)
 
 
-def render_search_template(source, params) -> dict:
+def render_search_template(source, params, partials: dict | None = None,
+                           ) -> dict:
     """Render a search template to the request body it parameterizes.
 
     ``source`` is the template (a string of JSON-with-mustache, or an
     object that is serialized first — both ES request shapes);
-    ``params`` the parameter object. Returns the rendered body dict;
-    every malformed input is a named :class:`DslError` (the route's
-    400)."""
+    ``params`` the parameter object; ``partials`` the stored-template
+    namespace ``{{>name}}`` resolves against (r13 — each partial's
+    source renders in the CALLING context per the mustache spec;
+    unknown and recursive partials are named 400s). Returns the
+    rendered body dict; every malformed input is a named
+    :class:`DslError` (the route's 400)."""
     if isinstance(source, dict):
         tpl = json.dumps(source)
     elif isinstance(source, str):
@@ -206,7 +246,7 @@ def render_search_template(source, params) -> dict:
 
     nodes, _ = _parse(tpl, 0, stop=None)
     out: list[str] = []
-    _render(nodes, [params], out)
+    _render(nodes, [params], out, partials)
     rendered = "".join(out)
     try:
         body = json.loads(rendered)

@@ -7310,68 +7310,66 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r12 tier: semantics-touched THIS round (rotation rule:
+    # -- r13 tier: semantics-touched THIS round (rotation rule:
     #    nothing ships with driver evidence older than its last
-    #    change). New r12 queries are appended here as they land.
-    "corpus_prep_stats",           # r12 touched: empty-quality-gate
-                                   # counters coalesce to 0
-    "search_aggs_frequent_item_sets",  # r12 touched: NULL array
-                                   # values no longer null the basket
-    "search_boosted_multimatch",   # r12 NEW: ^boost best_fields rank
-    "search_boosted_bool_should",  # r12 NEW: boosted should-sum rank
-    "search_query_string_boosted",  # r12 NEW: Lucene term^boost rank
-    "search_function_score_query_base",  # r12 NEW: scored query base
-    "search_function_score_random",  # r12 NEW: seeded random_score
-    "text_normalize",              # r12 NEW: NFC + control/zero-width
-    # -- evidence-freshness window (r11 verdict directive #4): the 2
-    #    r4-era + 30 r5-era queries — after this window nothing in
-    #    the registry carries driver evidence older than round 6.
-    "range_frame_hourly",
-    "sliding_window_counts",
-    "anti_join_no_orders",
-    "approx_sketches",
-    "corpus_clean",
-    "cube_status_priority",
-    "date_arith_orders",
-    "deterministic_sample",
-    "distinct_counts_by_flag",
-    "event_gaps",
-    "events_asof_order",
-    "fuzzy_match",
-    "gap_filled_daily_counts",
-    "grouping_sets_events",
-    "having_frequent_pairs",
-    "map_functions_events",
-    "multimodal_binary_meta",
-    "pack_token_budget",
-    "parts_above_type_avg",
-    "retrieval_filtered_topk",
-    "search_all_tables",
-    "search_bm25_scored",
-    "search_dsl_bool",
-    "search_dsl_msm_wildcard",
-    "search_dsl_should_wildcard",
-    "search_dsl_terms_set",
-    "search_hits_envelope",
-    "search_multimatch_scored",
-    "search_nested_labels",
-    "semi_join_discounted",
-    "session_window_counts",
-    "streaming_dedup_keys",
-    # -- remaining slots: the oldest r6-era queries in name order
-    #    (they become the owed window in r13; starting early keeps
-    #    the freshness horizon rolling). Trimmed from the end as new
-    #    r12 queries take slots above.
-    "benchmark_decontamination",
-    "dedup_clusters_jaccard",
-    "embed_quantize_int8",
-    "events_ewma",
-    "history_asof_read",
-    "neardup_minhash_lsh",
-    "pivot_event_types",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q3_shipping_priority",
+    #    change). New r13 queries are appended here as they land.
+    "search_knn_ivf",              # r13 NEW: knn num_candidates IVF tier
+    "neardup_minhash_lsh",         # r13 touched: exact-collapse +
+                                   # star-emission bucket cap
+    "simhash_hamming_pairs",       # r13 touched: same cap/collapse
+    # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
+    #    queries retire first, then 29 of the 42 r8-era ones — after
+    #    this window nothing in the registry carries driver evidence
+    #    older than round 8 (the 13 r8 leftovers are r14's owed
+    #    window, listed at scripts/selfcheck.py's full sweep anyway).
+    "search_aggs_terms_stats",
+    "search_aggs_filter_metrics",
+    "search_collapse_field",
+    "search_source_filtering",
+    "search_aggs_terms_order",
+    "stratified_sample_langs",
+    "rollup_status_priority",
+    "set_ops_customers",
+    "window_rank_family",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "regex_extract_docs",
+    "word_count",
+    "top_words_per_doc",
+    "unpivot_lineitem_metrics",
+    "q6_forecast_revenue",
+    "string_functions_family",
+    "window_value_family",
+    # r8-era tier (29 of 42)
+    "search_dsl_query_string",
+    "search_dsl_simple_qs",
+    "search_dsl_qs_ranges",
+    "search_dsl_phrase_slop",
+    "search_dsl_match_fuzzy",
+    "search_dsl_qs_fuzzy",
+    "search_aggs_siblings",
+    "search_aggs_filters",
+    "search_aggs_date_range",
+    "search_aggs_terms_include",
+    "search_aggs_pipeline",
+    "search_aggs_tsvb_math",
+    "search_aggs_bucket_sort",
+    "search_aggs_percentiles_bucket",
+    "search_rescore_window",
+    "search_aggs_range_buckets",
+    "search_aggs_terms_filter",
+    "search_aggs_filter_buckets",
+    "search_aggs_global",
+    "search_aggs_adjacency",
+    "search_sort_options",
+    "search_sort_mode_array",
+    "search_fields_retrieval",
+    "search_dsl_compound",
+    "search_dsl_combined_fields",
+    "search_aggs_extended_stats",
+    "search_aggs_top_metrics",
+    "search_aggs_multi_terms",
+    "search_aggs_rare_terms",
 ]
 
 

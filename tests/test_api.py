@@ -2590,7 +2590,9 @@ def test_search_template_routes(client, service, spark):
     # array through {{var}}, invalid rendered JSON, non-mustache lang
     bad = [
         ({"source": '{"a": "{{#join}}x{{/join}}"}'}, "section"),
-        ({"source": '{"a": "{{> partial}}"}'}, "unsupported mustache"),
+        # r13: partials resolve from the stored namespace now — an
+        # UNSTORED name is the 400, not the syntax
+        ({"source": '{"a": "{{> nowhere}}"}'}, "unknown template partial"),
         ({"source": '{"a": "{{{raw}}}"}'}, "triple-stache"),
         ({"source": '{"a": "{{user.name}}"}'}, "dotted-path"),
         ({"source": "{}", "id": "x"}, "exactly one"),
@@ -3498,3 +3500,58 @@ def test_highlight_passage_bm25_scorer():
     assert sf[0].index("<em>") >= 0
     s1, s2 = passage_scores(same, ["needle"], [(0, 30), (157, 187)])
     assert s1 > s2  # same content, earlier passage scores higher
+
+
+def test_template_partials_from_stored_namespace(client, service, spark):
+    """r13 (r12 verdict #5): ``{{>name}}`` renders the STORED template
+    ``name`` in the calling context — store a shared query fragment,
+    reference it from an inline template and from another stored
+    template, and verify the rendered bodies; recursive and unknown
+    partials stay named 400s."""
+    spark.createDataFrame([(1, "spark rocks")], "id long, txt string") \
+        .write.parquet(os.path.join(service.lake_dir, "data_lake_tp"))
+
+    def post(path, body):
+        return client.post(path, data=json.dumps(body),
+                           content_type="application/json")
+
+    # the shared fragment: a match clause parameterized by the CALLER's
+    # params (partials inherit the calling context)
+    r = client.put("/scripts/match_frag", data=json.dumps({
+        "script": {"lang": "mustache",
+                   "source": '{"match": {"txt": "{{q}}"}}'}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    r = post("/render/template", {
+        "source": '{"query": {{>match_frag}}, "size": {{n}}}',
+        "params": {"q": "spark", "n": 3}})
+    assert r.status_code == 200
+    assert r.get_json()["template_output"] == {
+        "query": {"match": {"txt": "spark"}}, "size": 3}
+    # a stored template that itself uses the partial, end-to-end search
+    r = client.put("/scripts/outer_tpl", data=json.dumps({
+        "script": {"lang": "mustache",
+                   "source": '{"query": {{>match_frag}}}'}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    r = post("/search/template", {"id": "outer_tpl", "table":
+             "data_lake_tp", "params": {"q": "spark"}})
+    assert r.status_code == 200
+    assert r.get_json()["hits"]["total"]["value"] == 1
+    # partials render in the calling context: a section list replays
+    # the fragment once per element
+    r = client.put("/scripts/item_frag", data=json.dumps({
+        "script": {"lang": "mustache", "source": ', {{.}}'}}),
+        content_type="application/json")
+    r = post("/render/template", {
+        "source": '{"seq": [0{{#xs}}{{>item_frag}}{{/xs}}]}',
+        "params": {"xs": [7, 8]}})
+    assert r.get_json()["template_output"] == {"seq": [0, 7, 8]}
+    # recursion is a named 400, not a hang
+    r = client.put("/scripts/loop_tpl", data=json.dumps({
+        "script": {"lang": "mustache",
+                   "source": '{"a": "{{>loop_tpl}}"}'}}),
+        content_type="application/json")
+    r = post("/render/template", {"id": "loop_tpl", "params": {}})
+    assert r.status_code == 400
+    assert "recursive template partial" in r.get_json()["error"]

@@ -1322,6 +1322,14 @@ def test_template_renderer_differential(params, json_param):
         sec_expected["dflt"] = "yn"
         got = render_search_template(sec_tpl, all_params)
         assert got == sec_expected, (sec_tpl, all_params)
+    # r13 partials: hoist the whole field list into a stored fragment
+    # referenced via {{>frag}} — rendering in the calling context must
+    # reproduce the SAME body the inline form produced
+    part_tpl = "{ {{>frag}} }"
+    got = render_search_template(
+        part_tpl, all_params,
+        partials={"frag": ", ".join(tpl_fields)})
+    assert got == expected, (part_tpl, all_params)
 
 
 # --- frequent_item_sets: cube path ≡ bitmask path ---------------------------
