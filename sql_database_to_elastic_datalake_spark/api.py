@@ -164,6 +164,11 @@ class LakeService:
         #: in-service, like the PIT/scroll statelessness contract —
         #: nothing here needs to survive the process.
         self.stored_templates: dict[str, dict] = {}
+        #: stored percolator queries (r13, r12 verdict stretch #10):
+        #: id → parsed DSL tree, validated through compile_dsl at PUT
+        #: time. Service-local like the templates namespace; the
+        #: corpus-scale form is the registered percolate_orders query.
+        self.percolator_queries: dict[str, dict] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -893,6 +898,61 @@ class LakeService:
         return {"hits": {
             "total": {"value": len(rows), "relation": "eq"},
             "hits": hits,
+        }}
+
+    def _percolate_search(self, body, k: int, from_: int,
+                          ) -> dict[str, Any]:
+        """The ``percolate`` query (r13): which STORED queries match
+        the request's document(s). Hits are the stored queries (_id =
+        the stored id, _source carries the query), constant-scored —
+        ES's percolator scores are query-relevance over the one doc,
+        which collapses to membership under this engine's scoring
+        model. ``documents`` (the batch form) annotates each hit with
+        ES's ``_percolator_document_slot`` fields entry. One
+        compile-all-queries pass per document
+        (plans/percolate.py:percolate_document); the corpus-scale
+        form — a whole table against the stored set in one scan — is
+        the registered ``percolate_orders`` query."""
+        from sql_database_to_elastic_datalake_spark.plans.percolate import (
+            percolate_document,
+        )
+
+        if not isinstance(body, dict):
+            raise DslError("percolate must be an object")
+        unknown = sorted(set(body) - {"field", "document", "documents",
+                                      "name"})
+        if unknown:
+            raise DslError(f"unsupported percolate options: {unknown}")
+        has_doc = body.get("document") is not None
+        has_docs = body.get("documents") is not None
+        if has_doc == has_docs:
+            raise DslError(
+                "percolate takes document or documents, not "
+                "both/neither (index-based percolation — "
+                "index/id/routing — is not supported: stored docs "
+                "live in lake tables, pass them inline)")
+        docs = body["documents"] if has_docs else [body["document"]]
+        if not isinstance(docs, list) or not docs:
+            raise DslError("percolate documents must be a non-empty "
+                           "list")
+        slots: dict[str, list[int]] = {}
+        for i, doc in enumerate(docs):
+            if self.percolator_queries:
+                for qid in percolate_document(
+                        self.spark, doc, self.percolator_queries):
+                    slots.setdefault(qid, []).append(i)
+        hits = []
+        for qid in sorted(slots):
+            h = {"_index": "percolator", "_id": qid, "_score": 1.0,
+                 "_source": {"query": self.percolator_queries[qid]}}
+            if has_docs:
+                h["fields"] = {"_percolator_document_slot": slots[qid]}
+            hits.append(h)
+        total = len(hits)
+        return {"hits": {
+            "total": {"value": total, "relation": "eq"},
+            "max_score": 1.0 if hits else None,
+            "hits": hits[from_:from_ + k],
         }}
 
     def _resolve_mlt_likes(self, node, default_table: str | None):
@@ -2074,6 +2134,24 @@ class LakeService:
             )
         else:
             names = [table]
+        if isinstance(dsl, dict) and len(dsl) == 1 \
+                and next(iter(dsl)) == "percolate":
+            # r13 reverse search: the percolate query matches STORED
+            # queries against the request's document(s) — the table
+            # plays no part (ES reads queries from the percolator
+            # index; here they live in the service namespace)
+            for bad, val in (("sort", sort), ("aggs", aggs),
+                             ("knn", knn), ("collapse", collapse),
+                             ("suggest", suggest),
+                             ("search_after", search_after),
+                             ("rescore", rescore),
+                             ("highlight", highlight)):
+                if val:
+                    raise DslError(
+                        f"percolate is not supported with {bad} "
+                        "(the hits are stored queries, not documents)")
+            return self._percolate_search(dsl["percolate"], k=k,
+                                          from_=from_)
         rt_specs: dict = dict(runtime_mappings or {})
         if script_fields:
             # script_fields are runtime columns surfaced through the
@@ -4181,6 +4259,44 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
         if sid not in service.stored_templates:
             return jsonify({"error": f"no stored template {sid!r}"}), 404
         del service.stored_templates[sid]
+        return jsonify({"acknowledged": True}), 200
+
+    @app.route("/percolator/<pid>", methods=["PUT", "POST"])
+    def put_percolator(pid):
+        """Store a percolator query (r13): the ES idiom of indexing a
+        doc with a percolator-typed ``query`` field, re-expressed as a
+        service-local namespace. The tree is validated through the
+        compiler AT STORE TIME (schema-free: unknown kinds/options 400
+        now, missing fields resolve NULL at match time)."""
+        body = request.get_json(force=True)
+        if not isinstance(body, dict) or not isinstance(
+                body.get("query"), dict):
+            return jsonify({"error":
+                            "percolator body must carry a query "
+                            "object"}), 400
+        try:
+            compile_dsl(body["query"],
+                        field_resolver=lambda f:
+                        F.lit(None).cast("string"))
+        except DslError as ex:
+            return jsonify({"error": str(ex)}), 400
+        service.percolator_queries[pid] = body["query"]
+        return jsonify({"acknowledged": True, "_id": pid}), 200
+
+    @app.route("/percolator/<pid>", methods=["GET"])
+    def get_percolator(pid):
+        q = service.percolator_queries.get(pid)
+        if q is None:
+            return jsonify({"_id": pid, "found": False}), 404
+        return jsonify({"_id": pid, "found": True,
+                        "query": q}), 200
+
+    @app.route("/percolator/<pid>", methods=["DELETE"])
+    def delete_percolator(pid):
+        if pid not in service.percolator_queries:
+            return jsonify({"error": f"no percolator query "
+                            f"{pid!r}"}), 404
+        del service.percolator_queries[pid]
         return jsonify({"acknowledged": True}), 200
 
     @app.route("/search/termvectors", methods=["POST"])

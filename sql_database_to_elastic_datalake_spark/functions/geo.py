@@ -1,0 +1,166 @@
+"""Geo column algebra: haversine distance, geohash cells, bounding-box
+membership — the ES geo_point query family (geo_distance /
+geo_bounding_box / geohash_grid) re-expressed as pure Spark columns.
+
+Reference surface: the reference passes arbitrary search DSL to a real
+ES 8.11 (/root/reference/src/search_api.py:38-46), whose geo family is
+the one wholly-absent query class this engine had (r12 verdict missing
+#4). The reference schema carries no geo columns, so the registry
+queries derive DETERMINISTIC synthetic coordinates from integer keys
+(pure integer modulo + decimal division — bit-identical in any IEEE
+engine); real deployments bring their own lat/lon columns.
+
+Scale + reproducibility notes:
+
+* Everything here is whole-stage-codegen column algebra — no UDFs, no
+  shuffles of its own; a geo predicate is an ordinary filter and a
+  geohash is an ordinary grouping key.
+* ``geohash`` uses ONLY exact arithmetic (scale, floor, bit
+  interleave): both engines compute identical doubles through the
+  identical operation sequence, so the DuckDB oracles compare
+  hash-exact. ``haversine_km`` is transcendental (sin/cos/asin differ
+  across libms in the last ULPs, relative ~1e-16) — oracled queries
+  must therefore compare distances ROUNDED (≥3 decimals ≈ metre
+  precision leaves ~9 orders of margin) or compare membership with a
+  radius margin, never raw doubles.
+* At 100 TB the geohash is the partition story: bucket by cell prefix
+  and a geo_distance filter prunes to the cells intersecting the
+  radius — same shape as every other bucketed operator here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Lucene GeoUtils.EARTH_MEAN_RADIUS (metres) / 1000 — ES's haversine
+#: radius, so distances line up with what a migrating client saw.
+EARTH_RADIUS_KM = 6371.0087714
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column,
+                 lon2: Column) -> Column:
+    """Great-circle distance in km (haversine, ES/Lucene's mean earth
+    radius). Column algebra only — usable as filter, sort key, or
+    projection."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    # clamp against rounding drift pushing sqrt's argument past 1
+    return (2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def geohash(lat: Column, lon: Column, precision: int = 5) -> Column:
+    """Standard geohash cell string (base32, ``precision`` chars) from
+    exact arithmetic: scale each coordinate to its bit range, floor,
+    clamp, interleave bits (lon first, per the spec), then decode 5-bit
+    groups through the base32 alphabet. No transcendentals — the SQL
+    oracle replays it bit-for-bit (see geo queries in the registry)."""
+    if not 1 <= int(precision) <= 8:
+        raise ValueError("geohash precision must be in [1, 8]")
+    precision = int(precision)
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    ix = F.least(
+        F.floor(((lon + F.lit(180.0)) / F.lit(360.0))
+                * F.lit(float(1 << lon_bits))).cast("long"),
+        F.lit((1 << lon_bits) - 1),
+    )
+    iy = F.least(
+        F.floor(((lat + F.lit(90.0)) / F.lit(180.0))
+                * F.lit(float(1 << lat_bits))).cast("long"),
+        F.lit((1 << lat_bits) - 1),
+    )
+    # interleave: even result bits (from the top) come from lon, odd
+    # from lat — build the integer by unrolled shifts (≤40 terms)
+    z = F.lit(0).cast("long")
+    for b in range(total_bits):
+        # bit b counted from the MOST significant interleaved bit
+        if b % 2 == 0:  # lon bit
+            src, width = ix, lon_bits
+            idx = b // 2
+        else:
+            src, width = iy, lat_bits
+            idx = b // 2
+        take = F.shiftright(src, width - 1 - idx).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(take.cast("long"), total_bits - 1 - b)
+    alphabet = F.array(*[F.lit(c) for c in _BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(z, total_bits - 5 * (i + 1))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def bbox_predicate(lat: Column, lon: Column,
+                   top: float, left: float,
+                   bottom: float, right: float) -> Column:
+    """ES geo_bounding_box membership. Handles the antimeridian: when
+    ``left > right`` the box crosses the dateline and the longitude
+    test becomes a disjunction, exactly like ES."""
+    lat_ok = (lat <= F.lit(float(top))) & (lat >= F.lit(float(bottom)))
+    if float(left) <= float(right):
+        lon_ok = (lon >= F.lit(float(left))) & (lon <= F.lit(float(right)))
+    else:
+        lon_ok = (lon >= F.lit(float(left))) | (lon <= F.lit(float(right)))
+    return lat_ok & lon_ok
+
+
+def parse_distance_km(spec) -> float:
+    """An ES distance spec ("10km", "500m", "3mi", bare number =
+    metres) as km; malformed specs raise ValueError (callers map it to
+    their named 400)."""
+    units = {"km": 1.0, "m": 0.001, "mi": 1.609344, "yd": 0.0009144,
+             "ft": 0.0003048, "cm": 0.00001, "mm": 0.000001,
+             "nmi": 1.852, "nm": 1.852, "in": 0.0000254}
+    if isinstance(spec, bool):
+        raise ValueError(f"malformed distance {spec!r}")
+    if isinstance(spec, (int, float)):
+        return float(spec) * 0.001  # ES default unit: metres
+    s = str(spec).strip().lower()
+    for u in sorted(units, key=len, reverse=True):
+        if s.endswith(u):
+            try:
+                return float(s[: -len(u)]) * units[u]
+            except ValueError:
+                break
+    try:
+        return float(s) * 0.001
+    except ValueError:
+        raise ValueError(f"malformed distance {spec!r}") from None
+
+
+def geohash_py(lat: float, lon: float, precision: int = 5) -> str:
+    """Driver-side reference implementation of :func:`geohash` (same
+    exact arithmetic) — used by tests and by agg bucket labeling."""
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    ix = min(int(math.floor(((lon + 180.0) / 360.0)
+                            * float(1 << lon_bits))), (1 << lon_bits) - 1)
+    iy = min(int(math.floor(((lat + 90.0) / 180.0)
+                            * float(1 << lat_bits))), (1 << lat_bits) - 1)
+    z = 0
+    for b in range(total_bits):
+        if b % 2 == 0:
+            take = (ix >> (lon_bits - 1 - b // 2)) & 1
+        else:
+            take = (iy >> (lat_bits - 1 - b // 2)) & 1
+        z |= take << (total_bits - 1 - b)
+    return "".join(
+        _BASE32[(z >> (total_bits - 5 * (i + 1))) & 31]
+        for i in range(precision)
+    )

@@ -165,6 +165,9 @@ _AGG_BODY_KEYS = {
     # r10: the cost-bounding wrappers around significant_*/terms on
     # big indices. execution_hint is a non-result-changing hint in ES
     # — accepted-and-ignored.
+    # r13: geohash cells at exact-arithmetic precision (functions/
+    # geo.py); shard_size is ES-internal accuracy tuning — ignored
+    "geohash_grid": {"field", "precision", "size", "shard_size"},
     "sampler": {"shard_size"},
     "diversified_sampler": {"shard_size", "field",
                             "max_docs_per_value", "execution_hint"},
@@ -4010,6 +4013,53 @@ def run_aggs(
                 )
                 _graft_sibling(merged, tree_s, levels_s, 0, d)
             out[name] = merged
+        elif kind == "geohash_grid":
+            # r13 (r12 verdict stretch #9): per-geohash-cell doc
+            # counts — the cell is EXACT bit arithmetic
+            # (functions/geo.py), one groupBy shuffle, buckets by
+            # (doc_count desc, key asc) like ES. Sub-aggregations are
+            # a named 400 (bucket chains belong to the nested-levels
+            # machinery; grafting geo cells there is future work, and
+            # silently dropping subs would return wrong envelopes).
+            from sql_database_to_elastic_datalake_spark.functions.geo import (
+                geohash,
+            )
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+                _geo_field_cols,
+            )
+
+            if sub:
+                raise DslError(
+                    "geohash_grid sub-aggregations are not supported")
+            field = body.get("field")
+            if not field:
+                raise DslError("geohash_grid requires a field")
+            precision = body.get("precision", 5)
+            if isinstance(precision, bool) or not isinstance(
+                    precision, int) or not 1 <= precision <= 8:
+                raise DslError(
+                    "geohash_grid precision must be an integer in "
+                    "[1, 8] (9+ exceeds the exact-arithmetic cell "
+                    "width this engine guarantees)")
+            size = body.get("size", 10000)
+            if isinstance(size, bool) or not isinstance(size, int) \
+                    or size < 1:
+                raise DslError("geohash_grid size must be a positive "
+                               "integer")
+            lat_c, lon_c = _geo_field_cols(
+                field, F.col, schema_fields or df.columns)
+            rows = (
+                df.filter(lat_c.isNotNull() & lon_c.isNotNull())
+                .groupBy(geohash(lat_c, lon_c, precision).alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+                .limit(size)
+                .collect()
+            )
+            out[name] = {"buckets": [
+                {"key": r["key"], "doc_count": r["doc_count"]}
+                for r in rows
+            ]}
         elif kind == "terms":
             top_hits = {
                 n: s for n, s in (sub or {}).items()

@@ -1814,7 +1814,131 @@ def compile_dsl(
         return id_pred | compile_dsl(organic, field_resolver,
                                      schema_fields)
 
+    if kind == "geo_distance":
+        # r13 (r12 verdict stretch #9): ES geo_distance membership —
+        # haversine (Lucene's mean earth radius) against a literal
+        # point, pure column algebra. Parquet-native geo_point
+        # encoding: a `f_lat`/`f_lon` column pair, or a struct column
+        # `f` with lat/lon fields.
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            haversine_km,
+            parse_distance_km,
+        )
+
+        if not isinstance(body, dict):
+            raise DslError("geo_distance expects an object")
+        opts = {k: v for k, v in body.items()
+                if k in ("distance", "distance_type",
+                         "validation_method", "_name", "boost")}
+        fields = {k: v for k, v in body.items() if k not in opts}
+        if "distance" not in opts:
+            raise DslError("geo_distance requires distance")
+        if opts.get("distance_type", "arc") != "arc":
+            raise DslError(
+                "unsupported geo_distance distance_type "
+                f"{opts['distance_type']!r} (arc only — plane would "
+                "return different members, not a degraded version)")
+        if len(fields) != 1:
+            raise DslError("geo_distance expects exactly one field")
+        field, point = next(iter(fields.items()))
+        try:
+            radius_km = parse_distance_km(opts["distance"])
+        except ValueError as ex:
+            raise DslError(str(ex)) from None
+        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        plat, plon = _parse_geo_point(point)
+        d = haversine_km(lat_c, lon_c, F.lit(plat), F.lit(plon))
+        return d <= F.lit(radius_km)
+
+    if kind == "geo_bounding_box":
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            bbox_predicate,
+        )
+
+        if not isinstance(body, dict):
+            raise DslError("geo_bounding_box expects an object")
+        fields = {k: v for k, v in body.items()
+                  if k not in ("validation_method", "type", "_name",
+                               "boost", "ignore_unmapped")}
+        if body.get("type", "memory") not in ("memory", "indexed"):
+            raise DslError(
+                f"unsupported geo_bounding_box type {body['type']!r}")
+        if len(fields) != 1:
+            raise DslError("geo_bounding_box expects exactly one field")
+        field, box = next(iter(fields.items()))
+        if not isinstance(box, dict):
+            raise DslError("geo_bounding_box box must be an object")
+        if {"top_left", "bottom_right"} <= set(box):
+            tl, br = (_parse_geo_point(box["top_left"]),
+                      _parse_geo_point(box["bottom_right"]))
+            top, left, bottom, right = tl[0], tl[1], br[0], br[1]
+        elif {"top_right", "bottom_left"} <= set(box):
+            tr, bl = (_parse_geo_point(box["top_right"]),
+                      _parse_geo_point(box["bottom_left"]))
+            top, left, bottom, right = tr[0], bl[1], bl[0], tr[1]
+        elif {"top", "left", "bottom", "right"} <= set(box):
+            try:
+                top, left, bottom, right = (
+                    float(box["top"]), float(box["left"]),
+                    float(box["bottom"]), float(box["right"]))
+            except (TypeError, ValueError):
+                raise DslError("malformed geo_bounding_box edges") \
+                    from None
+        else:
+            raise DslError(
+                "geo_bounding_box needs top_left/bottom_right, "
+                "top_right/bottom_left, or top/left/bottom/right")
+        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        return bbox_predicate(lat_c, lon_c, top, left, bottom, right)
+
+    if kind in ("geo_shape", "geo_polygon", "geo_grid"):
+        # shape topology (WKT/GeoJSON intersection predicates) is a
+        # real geometry engine, not a column expression — a silent
+        # approximation would return wrong members, so: named 400
+        raise DslError(
+            f"unsupported query kind: {kind} (geo_distance and "
+            "geo_bounding_box are implemented; shape topology is not)")
+
     raise DslError(f"unsupported query kind: {kind}")
+
+
+def _geo_field_cols(field: str, col, schema_fields) -> tuple:
+    """Resolve a geo_point field to (lat, lon) Columns: the
+    parquet-native ``f_lat``/``f_lon`` column pair when both exist,
+    else a struct column ``f`` with lat/lon subfields when ``f``
+    exists; an entirely unmapped field is a named 400 (ES errors on
+    geo queries against unmapped fields too)."""
+    f = str(field)
+    if schema_fields is not None:
+        if f"{f}_lat" in schema_fields and f"{f}_lon" in schema_fields:
+            return col(f"{f}_lat"), col(f"{f}_lon")
+        if f in schema_fields:
+            base = col(f)
+            return base["lat"], base["lon"]
+        raise DslError(
+            f"unknown geo field {f!r} (expected a struct column or a "
+            f"{f}_lat/{f}_lon pair)")
+    base = col(f)
+    return base["lat"], base["lon"]
+
+
+def _parse_geo_point(v) -> tuple[float, float]:
+    """An ES geo-point literal as (lat, lon): object form, [lon, lat]
+    array, or "lat,lon" string. The geohash point form is a named 400
+    (cell-center semantics would silently shift the query point)."""
+    try:
+        if isinstance(v, dict) and {"lat", "lon"} <= set(v):
+            return float(v["lat"]), float(v["lon"])
+        if isinstance(v, list) and len(v) == 2:
+            return float(v[1]), float(v[0])  # GeoJSON order: lon, lat
+        if isinstance(v, str) and "," in v:
+            lat_s, lon_s = v.split(",", 1)
+            return float(lat_s), float(lon_s)
+    except (TypeError, ValueError):
+        pass
+    raise DslError(
+        f"malformed geo point {v!r} (use {{lat, lon}}, [lon, lat], "
+        "or 'lat,lon'; geohash points are not supported)")
 
 
 def _max_edits(fuzziness, term: str) -> int:

@@ -7298,6 +7298,216 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Geo family (r13, r12 verdict stretch #9): the one wholly-missing ES
+# query class. The lake has no geo columns, so coordinates are DERIVED
+# deterministically from integer keys (pure integer modulo + decimal
+# division — bit-identical in any IEEE engine); a real deployment's
+# lat/lon columns slot straight into the same operators
+# (functions/geo.py). geo_distance emits ROUNDED distances (haversine
+# is transcendental; libm sin/cos differ in the last ULPs across
+# engines — metre-precision rounding leaves ~9 orders of margin);
+# geohash/bbox are exact arithmetic and compare hash-exact raw.
+# ---------------------------------------------------------------------------
+
+#: derived synthetic coordinates for a bigint key column — SQL twin
+#: below must stay textually parallel
+def _derived_lat_lon(key):
+    lat = (key * 37 % 1800) / F.lit(10.0) - F.lit(90.0)
+    lon = (key * 73 % 3600) / F.lit(10.0) - F.lit(180.0)
+    return lat, lon
+
+
+_GEO_SQL_LAT = "((c_custkey * 37) % 1800) / 10.0 - 90.0"
+_GEO_SQL_LON = "((c_custkey * 73) % 3600) / 10.0 - 180.0"
+
+
+def _geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """DuckDB twin of functions/geo.py:geohash — the same scale /
+    floor / clamp / interleave / base32 sequence, generated per
+    precision so both engines run identical IEEE operations."""
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    ix = (f"least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * "
+          f"{float(1 << lon_bits)!r}) AS BIGINT), {(1 << lon_bits) - 1})")
+    iy = (f"least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * "
+          f"{float(1 << lat_bits)!r}) AS BIGINT), {(1 << lat_bits) - 1})")
+    terms = []
+    for b in range(total_bits):
+        if b % 2 == 0:
+            src, width = "gx", lon_bits
+        else:
+            src, width = "gy", lat_bits
+        terms.append(f"((({src} >> {width - 1 - b // 2}) & 1) "
+                     f"<< {total_bits - 1 - b})")
+    z = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((gz >> {total_bits - 5 * (i + 1)}) & 31) AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    )
+    return ix, iy, z, chars
+
+
+@register(
+    "geo_distance_ring",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    d AS (
+        SELECT c_custkey,
+               2.0 * 6371.0087714 * asin(sqrt(least(
+                   sin(radians(25.0 - lat) / 2) * sin(radians(25.0 - lat) / 2)
+                   + cos(radians(lat)) * cos(radians(25.0))
+                     * sin(radians(45.0 - lon) / 2)
+                     * sin(radians(45.0 - lon) / 2), 1.0))) AS dist
+        FROM g
+    )
+    SELECT c_custkey, round(dist, 3) AS dist_km
+    FROM d WHERE dist <= 3000.0
+    """,
+)
+def geo_distance_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance``: customers whose derived coordinates sit
+    within 3000 km of (25°N, 45°E). One scan, one column-algebra
+    filter — at 100 TB the geohash-bucketed layout prunes cells first
+    (functions/geo.py scale note)."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        haversine_km,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    d = haversine_km(lat, lon, F.lit(25.0), F.lit(45.0))
+    return (
+        cust.select("c_custkey", d.alias("dist"))
+        .filter(F.col("dist") <= 3000.0)
+        .select("c_custkey", F.round("dist", 3).alias("dist_km"))
+    )
+
+
+@register(
+    "geo_bbox_members",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    )
+    SELECT c_custkey, lat, lon FROM g
+    WHERE lat <= 60.0 AND lat >= -60.0
+      AND (lon >= 150.0 OR lon <= -150.0)
+    """,
+)
+def geo_bbox_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounding_box`` crossing the ANTIMERIDIAN (left 150° >
+    right -150° — the dateline box, where the longitude test becomes a
+    disjunction exactly like ES). Pure comparisons: hash-exact."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        bbox_predicate,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    base = cust.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    return base.filter(
+        bbox_predicate(F.col("lat"), F.col("lon"),
+                       top=60.0, left=150.0, bottom=-60.0, right=-150.0))
+
+
+def _geohash_grid_oracle(precision: int) -> str:
+    ix, iy, z, chars = _geohash_sql("lat", "lon", precision)
+    return f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    b AS (SELECT c_custkey, {ix} AS gx, {iy} AS gy FROM g),
+    zz AS (SELECT c_custkey, {z} AS gz FROM b),
+    h AS (SELECT c_custkey, {chars} AS cell FROM zz)
+    SELECT cell, COUNT(*) AS doc_count
+    FROM h GROUP BY cell
+    """
+
+
+@register("geo_grid_counts", oracle=_geohash_grid_oracle(2))
+def geo_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geohash_grid`` bucketing: per-cell counts at precision 2 —
+    geohash is exact bit arithmetic (functions/geo.py), so the cell
+    strings and counts compare hash-exact against the SQL twin. One
+    map + one groupBy shuffle; the grouping key is the partition story
+    at scale."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        geohash,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    return (
+        cust.select(geohash(lat, lon, 2).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percolate (r13, r12 verdict stretch #10): reverse search — stored
+# query trees evaluated against a document corpus in ONE scan
+# (plans/percolate.py). This is the deployment shape of alerting /
+# saved-search matching: N stored queries become N codegen'd boolean
+# columns; per-row cost is N predicate evaluations, no joins, no
+# shuffles of its own.
+# ---------------------------------------------------------------------------
+
+#: the stored-query set the registered corpus percolation evaluates —
+#: three alerting-shaped rules over orders; SQL twins in the oracle
+_PERCOLATOR_RULES = {
+    "high_value": {"range": {"o_totalprice": {"gte": 400000}}},
+    "urgent_open": {"bool": {"must": [
+        {"term": {"o_orderpriority": "1-URGENT"}},
+        {"term": {"o_orderstatus": "O"}},
+    ]}},
+    "mid_band": {"bool": {"must": [
+        {"range": {"o_totalprice": {"gte": 150000, "lt": 160000}}},
+        {"terms": {"o_orderpriority": ["2-HIGH", "3-MEDIUM"]}},
+    ]}},
+}
+
+
+@register(
+    "percolate_orders",
+    oracle="""
+    SELECT o_orderkey, 'high_value' AS query_id FROM orders
+    WHERE o_totalprice >= 400000
+    UNION ALL
+    SELECT o_orderkey, 'urgent_open' FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, 'mid_band' FROM orders
+    WHERE o_totalprice >= 150000 AND o_totalprice < 160000
+      AND o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+    """,
+)
+def percolate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percolate`` at corpus scale (r13): every stored query
+    evaluated against every order in ONE pass — the array-of-structs
+    filter+explode keeps the whole stored set inside whole-stage
+    codegen (plans/percolate.py:percolate_corpus). Output one row per
+    (document, matching stored query)."""
+    from sql_database_to_elastic_datalake_spark.plans.percolate import (
+        percolate_corpus,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return percolate_corpus(orders, _PERCOLATOR_RULES,
+                            id_cols=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
 # the first 50 registered queries per round. With coverage debt converged in
 # r3 (every query has a driver verdict across r1 ∪ r2 ∪ r3), the rotation
@@ -7317,6 +7527,10 @@ _CHECK_FIRST = [
     "neardup_minhash_lsh",         # r13 touched: exact-collapse +
                                    # star-emission bucket cap
     "simhash_hamming_pairs",       # r13 touched: same cap/collapse
+    "geo_distance_ring",           # r13 NEW: geo family
+    "geo_bbox_members",            # r13 NEW: antimeridian bbox
+    "geo_grid_counts",             # r13 NEW: geohash_grid cells
+    "percolate_orders",            # r13 NEW: reverse search, one scan
     # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
     #    queries retire first, then 29 of the 42 r8-era ones — after
     #    this window nothing in the registry carries driver evidence
@@ -7340,7 +7554,7 @@ _CHECK_FIRST = [
     "q6_forecast_revenue",
     "string_functions_family",
     "window_value_family",
-    # r8-era tier (29 of 42)
+    # r8-era tier (25 of 42; 4 slots ceded to the new r13 queries)
     "search_dsl_query_string",
     "search_dsl_simple_qs",
     "search_dsl_qs_ranges",
@@ -7366,10 +7580,6 @@ _CHECK_FIRST = [
     "search_fields_retrieval",
     "search_dsl_compound",
     "search_dsl_combined_fields",
-    "search_aggs_extended_stats",
-    "search_aggs_top_metrics",
-    "search_aggs_multi_terms",
-    "search_aggs_rare_terms",
 ]
 
 

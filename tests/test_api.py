@@ -3555,3 +3555,96 @@ def test_template_partials_from_stored_namespace(client, service, spark):
     r = post("/render/template", {"id": "loop_tpl", "params": {}})
     assert r.status_code == 400
     assert "recursive template partial" in r.get_json()["error"]
+
+
+def test_percolate_reverse_search(client, service, spark):
+    """r13 (r12 verdict stretch #10): the percolate query — stored
+    query trees matched against request documents. Store rules, match
+    single and batched docs (slot annotations), exercise the named
+    400s, and confirm storage-time validation rejects malformed
+    trees."""
+    def put(pid, query):
+        return client.put(f"/percolator/{pid}", data=json.dumps(
+            {"query": query}), content_type="application/json")
+
+    assert put("hot", {"range": {"temp": {"gte": 30}}}).status_code == 200
+    assert put("spark_doc",
+               {"match": {"txt": "spark"}}).status_code == 200
+    # malformed tree 400s AT STORE TIME
+    r = put("bad", {"frobnicate": {"x": 1}})
+    assert r.status_code == 400
+    assert "unsupported query kind" in r.get_json()["error"]
+    # single document
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_anything",
+        "query": {"percolate": {"field": "query", "document":
+                  {"temp": 35, "txt": "nothing here"}}}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert [h["_id"] for h in body["hits"]["hits"]] == ["hot"]
+    assert body["hits"]["hits"][0]["_source"]["query"] == {
+        "range": {"temp": {"gte": 30}}}
+    assert body["hits"]["total"]["value"] == 1
+    # batch documents carry ES's _percolator_document_slot
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "t", "query": {"percolate": {"documents": [
+            {"temp": 35}, {"txt": "spark is fast"},
+            {"temp": 40, "txt": "spark"}]}}}),
+        content_type="application/json")
+    hits = {h["_id"]: h["fields"]["_percolator_document_slot"]
+            for h in r.get_json()["hits"]["hits"]}
+    assert hits == {"hot": [0, 2], "spark_doc": [1, 2]}
+    # a doc missing every queried field matches nothing
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "t", "query": {"percolate": {"document":
+                                              {"other": 1}}}}),
+        content_type="application/json")
+    assert r.get_json()["hits"]["total"]["value"] == 0
+    assert r.get_json()["hits"]["max_score"] is None
+    # named 400s: both/neither doc forms, unknown options, combos
+    for body, frag in [
+        ({"percolate": {"document": {"a": 1},
+                        "documents": [{"a": 1}]}}, "not both"),
+        ({"percolate": {}}, "not both"),
+        ({"percolate": {"document": {"a": 1}, "index": "x"}},
+         "unsupported percolate options"),
+    ]:
+        r = client.post("/search/advanced", data=json.dumps(
+            {"table": "t", "query": body}),
+            content_type="application/json")
+        assert r.status_code == 400 and frag in r.get_json()["error"]
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    with pytest.raises(DslError, match="percolate is not supported"):
+        service.advanced_search(
+            "t", {"percolate": {"document": {"a": 1}}},
+            sort=[{"a": "asc"}])
+    # namespace round-trip
+    r = client.get("/percolator/hot")
+    assert r.status_code == 200 and r.get_json()["found"] is True
+    assert client.delete("/percolator/hot").status_code == 200
+    assert client.get("/percolator/hot").status_code == 404
+
+
+def test_percolate_corpus_operator(spark, tmp_path):
+    """The scale form: a whole table against the stored set in one
+    scan — plan has no joins and no shuffles of its own."""
+    from sql_database_to_elastic_datalake_spark.plans.percolate import (
+        percolate_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 35.0, "spark rocks"), (3, 50.0, "spark")],
+        "id long, temp double, txt string")
+    out = percolate_corpus(df, {
+        "hot": {"range": {"temp": {"gte": 30}}},
+        "sparky": {"match": {"txt": "spark"}},
+    }, id_cols=["id"])
+    got = sorted((r["id"], r["query_id"]) for r in out.collect())
+    assert got == [(2, "hot"), (2, "sparky"), (3, "hot"),
+                   (3, "sparky")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
