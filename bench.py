@@ -125,6 +125,12 @@ HEADLINE = (
     # — two tf columns + TakeOrdered; one member stands in for the
     # four-query family, the others share its plan shape)
     "search_boosted_multimatch",
+    # r13: the new plan families get recorded wall times (r6 verdict
+    # precedent) — the knn IVF probed tier (one pruned scan), the
+    # geohash cell groupBy, and the one-scan stored-query sweep
+    "search_knn_ivf",
+    "geo_grid_counts",
+    "percolate_orders",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:

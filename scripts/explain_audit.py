@@ -20,6 +20,9 @@ AUDITED = (
     "merge_upsert",
     "search_dsl_bool",
     "neardup_minhash_lsh",
+    "search_knn_ivf",
+    "geo_grid_counts",
+    "percolate_orders",
     "embed_cosine_topk",
     "streaming_window_counts",
     "events_range_join_prior",

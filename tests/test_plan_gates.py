@@ -83,6 +83,17 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"embeddings": (3, [])},
     ),
+    # r13: geohash cells are a pure-map grouping key — exactly one
+    # groupBy shuffle; the stored-query sweep is one scan with zero
+    # joins/shuffles (N queries = N codegen'd predicates, not data)
+    "geo_grid_counts": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (1, [])},
+    ),
+    "percolate_orders": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"orders": (4, [])},
+    ),
     "embed_cosine_topk": dict(
         shuffles=1, smj_max=0, bhj_min=0, wgl=True,
         scans={"embeddings": (2, ["In(vec_id, [0,1,2,3,4]"])},
