@@ -220,8 +220,12 @@ BASELINE_RESETS = {
         "from 1.26 to ~sublinear (BENCH_dedup_scaling_r13.json); "
         "cost_metrics carries the capped-bucket accounting",
     "simhash_hamming_pairs":
-        "r13 adversarial-density bound: same exact-collapse + chunk-"
-        "bucket star cap as neardup_minhash_lsh",
+        "r13 adversarial-density bound (exact-collapse + chunk-bucket "
+        "star cap, as neardup_minhash_lsh) AND a 32 -> 60 bit hash "
+        "resize: 8-bit pigeonhole chunks saturate at sf1 (~195 docs "
+        "per bucket - every bucket over the cap), 15-bit chunks give "
+        "~1.5 - the cap is now inert at real density (sf1: 2 capped "
+        "buckets, 124,912 true hamming<=3 pairs)",
 }
 
 

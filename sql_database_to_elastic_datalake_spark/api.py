@@ -1949,12 +1949,23 @@ class LakeService:
         top-level clause's predicate — as extra boolean columns on the
         same row, so the breakdown costs nothing beyond the lookup.
 
-        DOCUMENTED DIVERGENCE: the explanation describes COLUMN-
-        ALGEBRA MEMBERSHIP, not a BM25 score tree — this engine's
-        filter-context scores are constant 1.0, so ``value`` is 1/0
-        per clause and the description names the compiled clause. A
-        missing document raises (the route's 404), like ES."""
+        r13 upgrade (compile_score landed in r12): ``value`` is the
+        doc's REAL score under the deterministic tf scoring model —
+        the same number the ranked pages order by — and must/should
+        clause details carry their score contributions (score when the
+        clause matches, 0 otherwise, bool-sum semantics like Lucene);
+        filter/must_not details stay 1/0 pass markers (they never
+        contribute score, in ES either). DOCUMENTED DIVERGENCE: the
+        tree is one level deep and the model is the engine's
+        reproducible tf scoring, not shard-dependent BM25 — the
+        description says so. A missing document returns a
+        ``found: false`` envelope (the route's 404 body), like ES; a
+        missing TABLE still raises (404 error body)."""
         import json as _json
+
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            compile_score,
+        )
 
         path = os.path.join(self.lake_dir, table)
         if not path_exists(self.spark, path):
@@ -1965,8 +1976,10 @@ class LakeService:
         if idc is None:
             raise DslError(f"table {table!r} has no id column")
         pred = compile_dsl(query, schema_fields=list(df.columns))
-        probes = [pred.cast("boolean").alias("__m")]
-        clause_descs: list[str] = []
+        score = compile_score(query, schema_fields=list(df.columns))
+        probes = [pred.cast("boolean").alias("__m"),
+                  score.cast("double").alias("__s")]
+        clause_descs: list[tuple[str, bool]] = []
         if isinstance(query, dict) and len(query) == 1 \
                 and next(iter(query)) == "bool" \
                 and isinstance(query["bool"], dict):
@@ -1983,30 +1996,46 @@ class LakeService:
                     i = len(clause_descs)
                     probes.append(
                         cp.cast("boolean").alias(f"__c{i}"))
-                    clause_descs.append(
-                        f"{occur}: {_json.dumps(spec, sort_keys=True)}")
+                    scored = occur in ("must", "should")
+                    if scored:
+                        probes.append(
+                            compile_score(
+                                spec, schema_fields=list(df.columns))
+                            .cast("double").alias(f"__cs{i}"))
+                    clause_descs.append((
+                        f"{occur}: {_json.dumps(spec, sort_keys=True)}",
+                        scored))
         rows = (df.filter(F.col(idc).cast("string")
                           == str(doc_id)).select(*probes).collect())
         if not rows:
-            raise NotFoundError(
-                f"document {doc_id!r} not found in {table!r}")
+            return {"_index": table, "_id": str(doc_id),
+                    "found": False, "matched": False}
         r = rows[0]
         matched = bool(r["__m"]) if r["__m"] is not None else False
-        children = [
-            {"value": 1.0 if (r[f"__c{i}"] or False) else 0.0,
-             "description": d, "details": []}
-            for i, d in enumerate(clause_descs)
-        ]
+        children = []
+        for i, (d, scored) in enumerate(clause_descs):
+            hit = bool(r[f"__c{i}"] or False)
+            if scored:
+                v = float(r[f"__cs{i}"] or 0.0) if hit else 0.0
+            else:
+                v = 1.0 if hit else 0.0
+            children.append(
+                {"value": v,
+                 "description":
+                     f"{d} ({'matched' if hit else 'no match'})",
+                 "details": []})
         return {
             "_index": table,
             "_id": str(doc_id),
+            "found": True,
             "matched": matched,
             "explanation": {
-                "value": 1.0 if matched else 0.0,
+                "value": (float(r["__s"] or 0.0) if matched else 0.0),
                 "description": (
-                    "column-algebra membership (filter-context "
-                    "scores are constant; BM25 score trees are a "
-                    "documented divergence)"),
+                    "deterministic tf scoring model (the ranked "
+                    "pages' _score; divergence: reproducible scores, "
+                    "not shard-dependent BM25; filter/must_not "
+                    "details are 1/0 pass markers)"),
                 "details": children,
             },
         }
@@ -2442,12 +2471,19 @@ class LakeService:
                     compile_dsl(post_filter, field_resolver=resolve,
                                 schema_fields=df.columns))
             if sort:
+                tsort = sort
+                if any(isinstance(s, dict) and "_geo_distance" in s
+                       for s in sort):
+                    # r13: geo sort — distance materialized as a
+                    # Column, then the ordinary machinery applies
+                    matched, tsort = _rewrite_geo_sort(
+                        matched, sort, df.columns)
                 fields, order_cols, getters = _parse_sort(
-                    sort, df.columns, df.schema)
+                    tsort, matched.columns, matched.schema)
                 if search_after is not None:
                     matched = matched.filter(
-                        _search_after_pred(sort, fields, search_after,
-                                           schema=df.schema)
+                        _search_after_pred(tsort, fields, search_after,
+                                           schema=matched.schema)
                     )
                 if k == 0:
                     # size:0 is ES's aggs-only/total-only request;
@@ -3537,6 +3573,70 @@ _SORT_CLAUSE_KEYS = {"order", "missing", "mode", "unmapped_type"}
 #: array sort modes → driver-side value fold for the hit's `sort`
 #: entry (the in-plan Column twin lives in _parse_sort)
 _SORT_MODES = ("min", "max", "avg", "sum")
+
+
+def _rewrite_geo_sort(df: "DataFrame", sort: list,
+                      columns: list[str]) -> tuple["DataFrame", list]:
+    """ES ``_geo_distance`` sort clauses (r13) → a materialized
+    haversine Column on ``df`` plus a plain field clause, so the
+    ordinary sort machinery (projection, TakeOrdered, hit ``sort``
+    values, per-table merge) handles it unchanged. The hit's sort
+    entry carries the distance in the requested ``unit`` (ES default:
+    metres). Multi-point clauses / ``mode`` / plane distance are named
+    400s; the geo field resolves via the same ``f_lat``/``f_lon`` or
+    struct convention as the geo query leaves."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        haversine_km,
+        parse_distance_km,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _geo_field_cols,
+        _parse_geo_point,
+    )
+
+    out_sort: list = []
+    n = 0
+    for s in sort:
+        if not (isinstance(s, dict) and len(s) == 1
+                and "_geo_distance" in s):
+            out_sort.append(s)
+            continue
+        spec = s["_geo_distance"]
+        if not isinstance(spec, dict):
+            raise DslError("_geo_distance sort must be an object")
+        opts = {k: v for k, v in spec.items()
+                if k in ("order", "unit", "distance_type", "mode",
+                         "ignore_unmapped")}
+        if opts.get("distance_type", "arc") != "arc":
+            raise DslError(
+                "unsupported _geo_distance distance_type "
+                f"{opts['distance_type']!r} (arc only)")
+        if opts.get("mode") is not None:
+            raise DslError(
+                "_geo_distance sort mode is not supported "
+                "(multi-valued geo fields are not modeled; each doc "
+                "carries one point)")
+        gfields = {k: v for k, v in spec.items() if k not in opts}
+        if len(gfields) != 1:
+            raise DslError("_geo_distance sort expects exactly one "
+                           "geo field")
+        field, point = next(iter(gfields.items()))
+        plat, plon = _parse_geo_point(point)
+        lat_c, lon_c = _geo_field_cols(field, F.col, columns)
+        unit = opts.get("unit", "m")
+        try:
+            per_unit_km = parse_distance_km(f"1{unit}")
+        except ValueError:
+            raise DslError(f"unknown _geo_distance unit {unit!r}") \
+                from None
+        name = f"__geo_dist_{n}"
+        n += 1
+        df = df.withColumn(
+            name,
+            haversine_km(lat_c, lon_c, F.lit(plat), F.lit(plon))
+            * F.lit(1.0 / per_unit_km))
+        out_sort.append({name: {"order": opts.get("order", "asc")}})
+    return df, out_sort
 
 
 def _parse_sort(
@@ -5066,13 +5166,15 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             return jsonify(
                 {"error": "explain requires table and id"}), 400
         try:
-            return jsonify(service.explain(
+            out = service.explain(
                 table, body["id"],
-                body.get("query", {"match_all": {}}))), 200
+                body.get("query", {"match_all": {}}))
         except NotFoundError as ex:
             return jsonify({"error": str(ex)}), 404
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
+        # ES returns the found:false envelope with a 404 status
+        return jsonify(out), (200 if out.get("found") else 404)
 
     @app.route("/search/scroll", methods=["POST"])
     def scroll_continue():

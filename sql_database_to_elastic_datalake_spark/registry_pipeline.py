@@ -436,20 +436,25 @@ def _simhash_oracle(
     """
 
 
-# 32-bit hashes over 3-gram shingles: at 16 bits a few thousand docs
-# saturate the space (pigeonhole chunks collide at 1/16), and unigram
-# bags over a shared vocabulary give unrelated docs similar bit sums —
-# candidate generation degenerates toward all-pairs both ways (see
-# operators.dedup.simhash for the measurements).
+# 60-bit hashes over 3-gram shingles (r13; was 32, and 16 before
+# that): chunk saturation is the sizing constraint — hamming ≤ 3
+# pigeonholes the hash into 4 chunks, and a chunk bucket's expected
+# membership is n/2^width. At 32 bits (8-bit chunks) sf1's 50k docs
+# put ~195 docs in EVERY bucket — banding degenerates to all-pairs
+# and the r13 star cap fired on all 1024 buckets (a degenerate
+# operating point, even though capped + accounted). 60 bits (15-bit
+# chunks, the md5→BIGINT ceiling) gives 32k buckets per chunk: ~1.5
+# docs/bucket at sf1, so the cap is inert at real density and fires
+# only on adversarial cliques — the same profile as the MinHash tier.
 @register("simhash_hamming_pairs",
-          oracle=_simhash_oracle(max_hamming=3,
+          oracle=_simhash_oracle(max_hamming=3, bits=60,
                                  bucket_cap=_LSH_BUCKET_CAP,
                                  rep_collapsed=True))
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     reps = dedup.exact_representatives(docs, "doc_id", ["text"])
-    hashes = dedup.simhash(reps, "doc_id", "text", bits=32, shingle_n=3)
-    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3, bits=32,
+    hashes = dedup.simhash(reps, "doc_id", "text", bits=60, shingle_n=3)
+    return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3, bits=60,
                                bucket_cap=_LSH_BUCKET_CAP)
 
 

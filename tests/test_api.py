@@ -3648,3 +3648,47 @@ def test_percolate_corpus_operator(spark, tmp_path):
                    (3, "sparky")]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_explain_route(client, service, spark):
+    """r13: ES _explain — matched + deterministic score + one level of
+    bool-clause detail in ONE point-lookup job; missing doc is a 404
+    envelope, not an error."""
+    spark.createDataFrame(
+        [(1, "spark spark fast", 10), (2, "slow", 99)],
+        "id long, txt string, v long",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_ex"))
+    q = {"bool": {"must": [{"match": {"txt": "spark"}}],
+                  "should": [{"range": {"v": {"gte": 50}}}]}}
+    r = client.post("/search/explain", data=json.dumps({
+        "table": "data_lake_ex", "id": 1, "query": q}),
+        content_type="application/json")
+    assert r.status_code == 200
+    out = r.get_json()
+    assert out["matched"] is True and out["found"] is True
+    exp = out["explanation"]
+    # tf score: 2 occurrences of "spark"; should-range doesn't match
+    assert exp["value"] == 2.0
+    assert [d["value"] for d in exp["details"]] == [2.0, 0.0]
+    assert "no match" in exp["details"][1]["description"]
+    # non-matching doc: matched False, value 0
+    r = client.post("/search/explain", data=json.dumps({
+        "table": "data_lake_ex", "id": 2, "query": q}),
+        content_type="application/json")
+    out = r.get_json()
+    assert out["matched"] is False and out["explanation"]["value"] == 0.0
+    # missing doc: 404 envelope with found False
+    r = client.post("/search/explain", data=json.dumps({
+        "table": "data_lake_ex", "id": 99, "query": q}),
+        content_type="application/json")
+    assert r.status_code == 404 and r.get_json()["found"] is False
+    # unknown table 404s; malformed body 400s by name
+    r = client.post("/search/explain", data=json.dumps({
+        "table": "data_lake_nope", "id": 1, "query": q}),
+        content_type="application/json")
+    assert r.status_code == 404
+    r = client.post("/search/explain", data=json.dumps({
+        "table": "data_lake_ex", "id": 1, "query": q, "extra": 1}),
+        content_type="application/json")
+    assert r.status_code == 400
+    assert "unsupported explain keys" in r.get_json()["error"]

@@ -241,3 +241,50 @@ def test_bbox_wrap_math(spark):
         F.col("lat"), F.col("lon"), 10.0, 170.0, -10.0, -170.0)
     ).collect()]
     assert got == [True, True, False]
+
+
+def test_geo_distance_sort(service, spark):
+    """r13: the ES ``_geo_distance`` sort — hits ordered by haversine
+    to the point, sort values carrying the distance in the requested
+    unit; named 400s for mode/plane/multi-field."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    name = _geo_table(service, spark, "data_lake_geos")
+    out = service.advanced_search(
+        name, {"exists": {"field": "loc_lat"}}, k=3,
+        sort=[{"_geo_distance": {"loc": {"lat": 48.8566, "lon": 2.3522},
+                                 "order": "asc", "unit": "km"}}])
+    hits = out["hits"]["hits"]
+    # nearest to paris: paris (0), berlin (~878), newyork (~5837)
+    assert [h["_source"]["id"] for h in hits] == [2, 1, 3]
+    assert hits[0]["sort"][0] < 1e-9
+    assert abs(hits[1]["sort"][0] - 878) / 878 < 0.005
+    # default unit is metres
+    out = service.advanced_search(
+        name, {"exists": {"field": "loc_lat"}}, k=2,
+        sort=[{"_geo_distance": {"loc": [2.3522, 48.8566]}}])
+    assert abs(out["hits"]["hits"][1]["sort"][0] - 878_000) < 5000
+    # desc order works; secondary tie-break clause composes
+    out = service.advanced_search(
+        name, {"exists": {"field": "loc_lat"}}, k=1,
+        sort=[{"_geo_distance": {"loc": "48.8566,2.3522",
+                                 "order": "desc", "unit": "km"}},
+              {"id": "asc"}])
+    assert out["hits"]["hits"][0]["_source"]["id"] == 4  # sydney
+    for bad, frag in [
+        ({"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+                            "mode": "min"}}, "mode"),
+        ({"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+                            "distance_type": "plane"}},
+         "distance_type"),
+        ({"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+                            "unit": "parsec"}}, "unit"),
+        ({"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+                            "other": {"lat": 1, "lon": 1}}},
+         "exactly one"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            service.advanced_search(name, {"match_all": {}}, k=1,
+                                    sort=[bad])
