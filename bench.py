@@ -131,6 +131,13 @@ HEADLINE = (
     "search_knn_ivf",
     "geo_grid_counts",
     "percolate_orders",
+    # r13 late: the rest of the geo family — the tile/ring groupBys
+    # share geo_grid_counts' plan shape but carry the transcendental
+    # mercator/haversine key math; bounds+centroid is the
+    # six-conditional-extreme single-agg job
+    "geo_tile_counts",
+    "geo_rings_balance",
+    "geo_bounds_centroid",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:

@@ -920,18 +920,44 @@ class LakeService:
         if not isinstance(body, dict):
             raise DslError("percolate must be an object")
         unknown = sorted(set(body) - {"field", "document", "documents",
-                                      "name"})
+                                      "name", "index", "id"})
         if unknown:
+            # routing/preference/version stay named 400s: the lake
+            # has no routing shards or doc versions to honor
             raise DslError(f"unsupported percolate options: {unknown}")
         has_doc = body.get("document") is not None
         has_docs = body.get("documents") is not None
-        if has_doc == has_docs:
+        has_ref = body.get("index") is not None or \
+            body.get("id") is not None
+        if sum((has_doc, has_docs, has_ref)) != 1:
             raise DslError(
-                "percolate takes document or documents, not "
-                "both/neither (index-based percolation — "
-                "index/id/routing — is not supported: stored docs "
-                "live in lake tables, pass them inline)")
-        docs = body["documents"] if has_docs else [body["document"]]
+                "percolate takes exactly one of document, documents, "
+                "or index+id")
+        if has_ref:
+            # r13 late: index-based percolation — ES's "percolate a
+            # doc already in an index". One point lookup (id filter
+            # pushed to the scan), then the inline path.
+            table, doc_id = body.get("index"), body.get("id")
+            if not table or doc_id is None:
+                raise DslError(
+                    "index-based percolate requires both index and id")
+            path = os.path.join(self.lake_dir, str(table))
+            if not path_exists(self.spark, path):
+                raise NotFoundError(f"no such table {table!r}")
+            df = self.spark.read.parquet(path)
+            idc = "id" if "id" in df.columns else next(
+                (c for c in df.columns if c.endswith("_id")), None)
+            if idc is None:
+                raise DslError(f"table {table!r} has no id column")
+            rows = (df.filter(F.col(idc).cast("string")
+                              == str(doc_id)).limit(1).collect())
+            if not rows:
+                raise NotFoundError(
+                    f"document {doc_id!r} not found in {table!r}")
+            docs = [rows[0].asDict(recursive=True)]
+        else:
+            docs = (body["documents"] if has_docs
+                    else [body["document"]])
         if not isinstance(docs, list) or not docs:
             raise DslError("percolate documents must be a non-empty "
                            "list")
@@ -4254,6 +4280,10 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
                     min_score=body.get("min_score"),
                 )
             )), 200
+        except NotFoundError as ex:
+            # r13 late: index-based percolation references a concrete
+            # table/doc — a dangling reference is ES's 404
+            return jsonify({"error": str(ex)}), 404
         except DslError as ex:
             # a malformed/unsupported DSL tree is the CALLER's error —
             # the reference returns ES's 400 for these, not a 500

@@ -54,8 +54,12 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column,
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
         * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
-    # clamp against rounding drift pushing sqrt's argument past 1
-    return (2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    # clamp against rounding drift pushing sqrt's argument past 1 —
+    # via when(), NOT F.least (least IGNORES nulls, so a null
+    # coordinate would silently become the antipodal max distance
+    # instead of staying null)
+    a = F.when(a > 1.0, F.lit(1.0)).otherwise(a)
+    return (2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
 def geohash(lat: Column, lon: Column, precision: int = 5) -> Column:
@@ -164,3 +168,51 @@ def geohash_py(lat: float, lon: float, precision: int = 5) -> str:
         _BASE32[(z >> (total_bits - 5 * (i + 1))) & 31]
         for i in range(precision)
     )
+
+
+#: Web-Mercator latitude ceiling (ES/OSM): tiles only cover |lat| up
+#: to atan(sinh(pi)) — ES's geotile_grid clamps beyond it.
+MAX_MERCATOR_LAT = 85.0511287798066
+
+
+def geotile(lat: Column, lon: Column, zoom: int) -> Column:
+    """ES ``geotile_grid`` cell key ``"z/x/y"`` (OSM slippy-map
+    tiles). x is linear in longitude (exact arithmetic); y is the Web
+    Mercator row — ``ln``/``tan`` are transcendental, so unlike
+    :func:`geohash` a cross-engine comparison is only
+    boundary-stable: a point would have to land within ~1 ULP of a
+    tile edge for libm differences to flip its cell (the registry's
+    0.1°-grid synthetic coordinates sit far from every edge at the
+    registered zoom). Latitudes are clamped to ±85.05112878° like ES;
+    indexes clamp into [0, 2^z) against rounding drift."""
+    if not 0 <= int(zoom) <= 29:
+        raise ValueError("geotile_grid precision must be in [0, 29]")
+    zoom = int(zoom)
+    n = float(1 << zoom)
+    lat_c = F.greatest(F.least(lat, F.lit(MAX_MERCATOR_LAT)),
+                       F.lit(-MAX_MERCATOR_LAT))
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    lat_r = F.radians(lat_c)
+    y = F.floor(
+        (F.lit(1.0)
+         - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r))
+         / F.lit(math.pi))
+        / F.lit(2.0) * F.lit(n))
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.least(c.cast("long"), F.lit((1 << zoom) - 1)), F.lit(0))
+    return F.concat_ws("/", F.lit(str(zoom)),
+                       clamp(x).cast("string"),
+                       clamp(y).cast("string"))
+
+
+def geotile_py(lat: float, lon: float, zoom: int) -> str:
+    """Driver-side reference implementation of :func:`geotile` (same
+    operation sequence) — used by tests."""
+    n = 1 << zoom
+    lat = max(min(lat, MAX_MERCATOR_LAT), -MAX_MERCATOR_LAT)
+    x = int(math.floor((lon + 180.0) / 360.0 * float(n)))
+    lat_r = math.radians(lat)
+    y = int(math.floor(
+        (1.0 - math.log(math.tan(lat_r) + 1.0 / math.cos(lat_r))
+         / math.pi) / 2.0 * float(n)))
+    return f"{zoom}/{max(min(x, n - 1), 0)}/{max(min(y, n - 1), 0)}"

@@ -168,6 +168,13 @@ _AGG_BODY_KEYS = {
     # r13: geohash cells at exact-arithmetic precision (functions/
     # geo.py); shard_size is ES-internal accuracy tuning — ignored
     "geohash_grid": {"field", "precision", "size", "shard_size"},
+    # r13 late: the rest of the geo agg family. geotile `bounds` is
+    # result-changing and NOT listed (named 400, not a silent drop)
+    "geotile_grid": {"field", "precision", "size", "shard_size"},
+    "geo_distance": {"field", "origin", "ranges", "unit",
+                     "distance_type", "keyed"},
+    "geo_bounds": {"field", "wrap_longitude"},
+    "geo_centroid": {"field"},
     "sampler": {"shard_size"},
     "diversified_sampler": {"shard_size", "field",
                             "max_docs_per_value", "execution_hint"},
@@ -1319,6 +1326,88 @@ def matrix_stats_frame(df: DataFrame, body) -> DataFrame:
                 (cross / F.sqrt(css[f] * css[g]))
                 .alias(f"corr_{f}_{g}"))
     return agg.select(*out)
+
+
+def _geo_bounds_envelope(df: DataFrame, body,
+                         schema_fields=None) -> dict:
+    """The ES ``geo_bounds`` response: the smallest lat/lon envelope
+    holding every point. ES's GeoBoundsAggregator tracks SIX running
+    extremes (top, bottom, and the positive/negative longitude
+    edges) so the dateline-crossing box is a closed-form CHOICE at
+    result time — restated here as six conditional aggregates in one
+    ``df.agg`` job, the wrap decision on the driver. With
+    ``wrap_longitude: false`` (or no pos/neg split) it degrades to
+    plain min/max, matching ES."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _geo_field_cols,
+    )
+
+    field = body.get("field")
+    if not field:
+        raise DslError("geo_bounds requires a field")
+    wrap = body.get("wrap_longitude", True)
+    if not isinstance(wrap, bool):
+        raise DslError("geo_bounds wrap_longitude must be a boolean")
+    lat_c, lon_c = _geo_field_cols(
+        field, F.col, schema_fields or df.columns)
+    ok = lat_c.isNotNull() & lon_c.isNotNull()
+    pos = ok & (lon_c >= 0)
+    neg = ok & (lon_c < 0)
+    r = df.agg(
+        F.max(F.when(ok, lat_c)).alias("top"),
+        F.min(F.when(ok, lat_c)).alias("bottom"),
+        F.min(F.when(pos, lon_c)).alias("pos_left"),
+        F.max(F.when(pos, lon_c)).alias("pos_right"),
+        F.min(F.when(neg, lon_c)).alias("neg_left"),
+        F.max(F.when(neg, lon_c)).alias("neg_right"),
+    ).collect()[0]
+    if r["top"] is None:
+        return {}  # ES omits bounds when no docs carry the field
+    if r["pos_left"] is None:
+        left, right = r["neg_left"], r["neg_right"]
+    elif r["neg_left"] is None:
+        left, right = r["pos_left"], r["pos_right"]
+    else:
+        unwrapped = r["pos_right"] - r["neg_left"]
+        wrapped = 360.0 - (r["pos_left"] - r["neg_right"])
+        if wrap and wrapped < unwrapped:
+            left, right = r["pos_left"], r["neg_right"]
+        else:
+            left, right = r["neg_left"], r["pos_right"]
+    return {"bounds": {
+        "top_left": {"lat": float(r["top"]), "lon": float(left)},
+        "bottom_right": {"lat": float(r["bottom"]),
+                         "lon": float(right)},
+    }}
+
+
+def _geo_centroid_envelope(df: DataFrame, body,
+                           schema_fields=None) -> dict:
+    """The ES ``geo_centroid`` response: arithmetic mean of lat/lon
+    over docs carrying the field, plus the contributing count — one
+    ``df.agg`` job. (ES averages the raw coordinates too; its only
+    twist is encoding loss through the spatial index, a documented
+    divergence we don't replicate.)"""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _geo_field_cols,
+    )
+
+    field = body.get("field")
+    if not field:
+        raise DslError("geo_centroid requires a field")
+    lat_c, lon_c = _geo_field_cols(
+        field, F.col, schema_fields or df.columns)
+    ok = lat_c.isNotNull() & lon_c.isNotNull()
+    r = df.agg(
+        F.avg(F.when(ok, lat_c)).alias("lat"),
+        F.avg(F.when(ok, lon_c)).alias("lon"),
+        F.count(F.when(ok, F.lit(1))).alias("n"),
+    ).collect()[0]
+    if not r["n"]:
+        return {"count": 0}  # ES omits location on an empty scope
+    return {"location": {"lat": float(r["lat"]),
+                         "lon": float(r["lon"])},
+            "count": int(r["n"])}
 
 
 def _matrix_stats_envelope(df: DataFrame, body) -> dict:
@@ -3969,6 +4058,19 @@ def run_aggs(
                 raise DslError("matrix_stats takes no sub-aggregations")
             out[name] = _matrix_stats_envelope(df, body)
             continue
+        if kind in ("geo_bounds", "geo_centroid"):
+            # r13 late: geo metric aggs — ONE df.agg job each, pure
+            # conditional min/max/avg column algebra (ES's
+            # GeoBounds/GeoCentroid aggregators restated; wrap choice
+            # is a driver-side closed form over 6 aggregates)
+            if sub:
+                raise DslError(f"{kind} takes no sub-aggregations")
+            check_agg_keys(kind, body)
+            out[name] = (_geo_bounds_envelope(df, body, schema_fields)
+                         if kind == "geo_bounds"
+                         else _geo_centroid_envelope(
+                             df, body, schema_fields))
+            continue
         check_agg_keys(kind, body)
         has_bucket_sub = any(
             isinstance(s, dict)
@@ -4060,6 +4162,104 @@ def run_aggs(
                 {"key": r["key"], "doc_count": r["doc_count"]}
                 for r in rows
             ]}
+        elif kind == "geotile_grid":
+            # r13 late: OSM slippy-map tiles ("z/x/y" keys) — the
+            # Kibana Maps default grid. Same shape as geohash_grid
+            # (one groupBy shuffle, buckets by doc_count desc / key
+            # asc); `bounds` is unlisted in _AGG_BODY_KEYS → named
+            # 400. Boundary-stability note on functions/geo.py:geotile.
+            from sql_database_to_elastic_datalake_spark.functions.geo import (
+                geotile,
+            )
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+                _geo_field_cols,
+            )
+
+            if sub:
+                raise DslError(
+                    "geotile_grid sub-aggregations are not supported")
+            field = body.get("field")
+            if not field:
+                raise DslError("geotile_grid requires a field")
+            precision = body.get("precision", 7)
+            if isinstance(precision, bool) or not isinstance(
+                    precision, int) or not 0 <= precision <= 29:
+                raise DslError(
+                    "geotile_grid precision must be an integer in "
+                    "[0, 29]")
+            size = body.get("size", 10000)
+            if isinstance(size, bool) or not isinstance(size, int) \
+                    or size < 1:
+                raise DslError("geotile_grid size must be a positive "
+                               "integer")
+            lat_c, lon_c = _geo_field_cols(
+                field, F.col, schema_fields or df.columns)
+            rows = (
+                df.filter(lat_c.isNotNull() & lon_c.isNotNull())
+                .groupBy(geotile(lat_c, lon_c, precision).alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+                .limit(size)
+                .collect()
+            )
+            out[name] = {"buckets": [
+                {"key": r["key"], "doc_count": r["doc_count"]}
+                for r in rows
+            ]}
+        elif kind == "geo_distance":
+            # r13 late: distance-ring buckets — REWRITTEN into the
+            # range machinery over a materialized haversine column,
+            # so keyed form, sub-aggregations (bucket AND metric),
+            # and the bucket envelope all come from the one
+            # implementation. Distances and from/to are in the
+            # requested ES unit (agg default: metres).
+            from sql_database_to_elastic_datalake_spark.functions.geo import (
+                haversine_km,
+                parse_distance_km,
+            )
+            from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+                _geo_field_cols,
+                _parse_geo_point,
+            )
+
+            field = body.get("field")
+            if not field:
+                raise DslError("geo_distance requires a field")
+            if body.get("origin") is None:
+                raise DslError("geo_distance requires an origin")
+            if body.get("distance_type", "arc") != "arc":
+                raise DslError(
+                    "unsupported geo_distance distance_type "
+                    f"{body['distance_type']!r} (arc only)")
+            ranges = body.get("ranges")
+            if not isinstance(ranges, list) or not ranges:
+                raise DslError("geo_distance requires ranges")
+            unit = body.get("unit", "m")
+            try:
+                per_unit_km = parse_distance_km(f"1{unit}")
+            except ValueError:
+                raise DslError(
+                    f"unknown geo_distance unit {unit!r}") from None
+            plat, plon = _parse_geo_point(body["origin"])
+            lat_c, lon_c = _geo_field_cols(
+                field, F.col, schema_fields or df.columns)
+            tmp = "__geo_distance_band"
+            scoped = df.withColumn(
+                tmp,
+                haversine_km(lat_c, lon_c, F.lit(plat), F.lit(plon))
+                * F.lit(1.0 / per_unit_km))
+            inner: dict[str, Any] = {
+                "range": {"field": tmp, "ranges": ranges,
+                          **({"keyed": body["keyed"]}
+                             if "keyed" in body else {})}}
+            if sub:
+                inner["aggs"] = (spec.get("aggs")
+                                 or spec.get("aggregations"))
+            res = run_aggs(
+                scoped, {name: inner},
+                schema_fields=[*(schema_fields or df.columns), tmp],
+                background=background)
+            out[name] = res[name]
         elif kind == "terms":
             top_hits = {
                 n: s for n, s in (sub or {}).items()
@@ -4208,10 +4408,14 @@ def run_aggs(
             else:
                 out[name] = {"buckets": buckets}
         elif kind == "range":
-            if _has_bucket_subs(sub):
-                # bucket sub-trees under range bands (Kibana's
-                # banded drill-down): recurse per band over the band
-                # predicate — one job set per band, ES's cost
+            if sub:
+                # sub-trees under range bands (Kibana's banded
+                # drill-down): recurse per band over the band
+                # predicate — one job set per band, ES's cost.
+                # r13 late: metric subs take this path too (they
+                # used to be a named 400 pointing at the filter-agg
+                # form; the per-band recursion handles them for free
+                # and geo_distance rings inherit it)
                 buckets = []
                 c = F.col(body["field"])
                 for r in body["ranges"]:

@@ -24,9 +24,12 @@ This module implements the MUSTACHE SUBSET real templates use:
     the "shared query fragment" idiom; unknown or recursive partials
     are named 400s.
 
-Everything else in the mustache grammar (triple-stache, comments,
-set-delimiter, lambdas ``{{#join}}``/``{{#url}}``, dotted paths) is a
-NAMED 400 — the reject-instead-of-drop policy: a template relying on
+  * ``{{{var}}}`` / ``{{&var}}`` (r13 late) — RAW scalar insertion
+    (no escaping): the published-template idiom for a parameter that
+    is itself a pre-escaped fragment.
+
+Everything else in the mustache grammar (comments, set-delimiter,
+lambdas ``{{#join}}``/``{{#url}}``, dotted paths) is a NAMED 400 — the reject-instead-of-drop policy: a template relying on
 unimplemented syntax must fail loudly, not render wrong.
 
 Rendering happens over the template's JSON TEXT (object sources are
@@ -75,6 +78,24 @@ def _scalar(value) -> str:
         "with {{#toJson}}name{{/toJson}}, not {{name}}")
 
 
+def _raw(value) -> str:
+    """A ``{{{var}}}`` / ``{{&var}}`` insertion: the value's text form
+    with NO escaping — the caller's fragment lands verbatim (so a
+    param can carry, e.g., a pre-escaped query_string). Same
+    missing/None→empty and array/object→400 rules as :func:`_scalar`."""
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return json.dumps(value)
+    if isinstance(value, str):
+        return value
+    raise DslError(
+        "template parameter is an array/object — interpolate those "
+        "with {{#toJson}}name{{/toJson}}, not {{{name}}}")
+
+
 def _falsy(value) -> bool:
     """The mustache spec's falsey set: absent/null, false, and the
     empty list. (0 and "" are TRUTHY per the spec.)"""
@@ -104,10 +125,17 @@ def _parse(tpl: str, i: int, stop: str | None):
         tag = tpl[j + 2:end]
         i = end + 2
         if tag.startswith("{"):
-            raise DslError(
-                "unsupported mustache triple-stache {{{ }}} — scalar "
-                "{{var}} is already JSON-escaped; use "
-                "{{#toJson}}var{{/toJson}} for structures")
+            # r13 late: triple-stache {{{var}}} — RAW (unescaped)
+            # scalar insertion, the published-template idiom for a
+            # param that is itself a query-string fragment. The
+            # naive `find("}}")` above stopped INSIDE the closing
+            # `}}}`; the third brace is the next char.
+            if i >= len(tpl) or tpl[i] != "}":
+                raise DslError(
+                    "unterminated mustache triple-stache {{{ }}}")
+            i += 1
+            nodes.append(("raw", _check_name(tag[1:])))
+            continue
         if tag.startswith("#"):
             section = tag[1:].strip()
             if section == "toJson":
@@ -147,10 +175,14 @@ def _parse(tpl: str, i: int, stop: str | None):
             # templates as the partial source); they inherit the
             # calling context per the mustache spec
             nodes.append(("partial", _check_name(tag[1:])))
-        elif tag[:1] in ("!", "&", "="):
+        elif tag[:1] == "&":
+            # {{&var}} is the spec's alias for triple-stache
+            nodes.append(("raw", _check_name(tag[1:])))
+        elif tag[:1] in ("!", "="):
             raise DslError(
                 f"unsupported mustache tag {{{{{tag}}}}} (supported: "
-                "{{var}}, {{#toJson}}var{{/toJson}}, {{#section}}, "
+                "{{var}}, {{{var}}}/{{&var}}, "
+                "{{#toJson}}var{{/toJson}}, {{#section}}, "
                 "{{^inverted}}, {{>partial}})")
         else:
             nodes.append(("var", _check_name(tag)))
@@ -177,6 +209,8 @@ def _render(nodes: list[tuple], stack: list, out: list[str],
             out.append(node[1])
         elif kind == "var":
             out.append(_scalar(_lookup(stack, node[1])))
+        elif kind == "raw":
+            out.append(_raw(_lookup(stack, node[1])))
         elif kind == "tojson":
             val = _lookup(stack, node[1])
             out.append(json.dumps(val))

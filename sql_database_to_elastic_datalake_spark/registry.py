@@ -7454,6 +7454,215 @@ def geo_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geotile_sql(lat_expr: str, lon_expr: str, zoom: int) -> tuple:
+    """DuckDB twin of functions/geo.py:geotile — the same clamp /
+    mercator / floor / index-clamp sequence. Boundary-stability note
+    on the Spark function (ln/tan are transcendental; the synthetic
+    0.1°-grid coordinates sit far from every tile edge at z=3)."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    lat_c = (f"greatest(least({lat_expr}, 85.0511287798066), "
+             "-85.0511287798066)")
+    x = (f"CAST(floor((({lon_expr}) + 180.0) / 360.0 * {n!r}) "
+         "AS BIGINT)")
+    y = (f"CAST(floor((1.0 - ln(tan(radians({lat_c})) + 1.0 / "
+         f"cos(radians({lat_c}))) / pi()) / 2.0 * {n!r}) AS BIGINT)")
+    return (f"greatest(least({x}, {hi}), 0)",
+            f"greatest(least({y}, {hi}), 0)")
+
+
+def _geo_tile_oracle(zoom: int) -> str:
+    tx, ty = _geotile_sql("lat", "lon", zoom)
+    return f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    )
+    SELECT '{zoom}/' || CAST({tx} AS VARCHAR) || '/'
+               || CAST({ty} AS VARCHAR) AS cell,
+           COUNT(*) AS doc_count
+    FROM g GROUP BY cell
+    """
+
+
+@register("geo_tile_counts", oracle=_geo_tile_oracle(3))
+def geo_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geotile_grid`` bucketing (r13 late): per-OSM-tile counts
+    at zoom 3 — the Kibana Maps default grid, "z/x/y" keys. Same
+    plan shape as geo_grid_counts: one map + one groupBy shuffle; at
+    100 TB the tile is the partition key and cell pruning is the
+    scan story."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        geotile,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    return (
+        cust.select(geotile(lat, lon, 3).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+#: haversine from the derived point to (25°N, 45°E) — the SQL twin of
+#: functions/geo.py:haversine_km the geo ring queries share
+_GEO_SQL_DIST = """
+    2.0 * 6371.0087714 * asin(sqrt(least(
+        sin(radians(25.0 - lat) / 2) * sin(radians(25.0 - lat) / 2)
+        + cos(radians(lat)) * cos(radians(25.0))
+          * sin(radians(45.0 - lon) / 2)
+          * sin(radians(45.0 - lon) / 2), 1.0)))
+"""
+
+
+@register(
+    "geo_rings_balance",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_acctbal,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    d AS (SELECT c_acctbal, {_GEO_SQL_DIST} AS dist FROM g)
+    SELECT CASE WHEN dist < 3000.0 THEN '*-3000'
+                WHEN dist < 8000.0 THEN '3000-8000'
+                ELSE '8000-*' END AS ring,
+           COUNT(*) AS doc_count,
+           CAST(SUM(c_acctbal) AS DOUBLE) AS sum_acctbal
+    FROM d GROUP BY ring
+    """,
+)
+def geo_rings_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` aggregation (r13 late): distance-ring
+    buckets from (25°N, 45°E) with a per-ring metric sub (doc count +
+    account-balance sum). The API path rewrites rings into the range
+    machinery (plans/es_aggs.py geo_distance branch); this registry
+    twin expresses the same bands as ONE groupBy over a CASE label —
+    one scan, one shuffle. Band edges at 3000/8000 km sit ≥ metres
+    from every derived point (haversine rounding note in
+    functions/geo.py)."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        haversine_km,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    d = haversine_km(lat, lon, F.lit(25.0), F.lit(45.0))
+    ring = (F.when(d < 3000.0, "*-3000")
+            .when(d < 8000.0, "3000-8000")
+            .otherwise("8000-*"))
+    return (
+        cust.select(ring.alias("ring"), F.col("c_acctbal"))
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.sum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@register(
+    "geo_bounds_centroid",
+    oracle=f"""
+    WITH g AS (
+        SELECT {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    a AS (
+        SELECT max(lat) AS top, min(lat) AS bottom,
+               min(CASE WHEN lon >= 0 THEN lon END) AS pos_left,
+               max(CASE WHEN lon >= 0 THEN lon END) AS pos_right,
+               min(CASE WHEN lon < 0 THEN lon END) AS neg_left,
+               max(CASE WHEN lon < 0 THEN lon END) AS neg_right,
+               round(avg(lat), 6) AS centroid_lat,
+               round(avg(lon), 6) AS centroid_lon,
+               COUNT(*) AS doc_count
+        FROM g
+    )
+    SELECT top, bottom,
+           CASE WHEN pos_left IS NULL THEN neg_left
+                WHEN neg_left IS NULL THEN pos_left
+                WHEN 360.0 - (pos_left - neg_right)
+                     < pos_right - neg_left THEN pos_left
+                ELSE neg_left END AS left_lon,
+           CASE WHEN pos_left IS NULL THEN neg_right
+                WHEN neg_left IS NULL THEN pos_right
+                WHEN 360.0 - (pos_left - neg_right)
+                     < pos_right - neg_left THEN neg_right
+                ELSE pos_right END AS right_lon,
+           centroid_lat, centroid_lon, doc_count
+    FROM a
+    """,
+)
+def geo_bounds_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounds`` (wrap_longitude semantics) + ``geo_centroid``
+    (r13 late) in ONE df.agg job: six conditional extremes decide the
+    dateline-crossing box exactly like ES's GeoBoundsAggregator; the
+    centroid is the arithmetic lat/lon mean, ROUNDED to 1e-6° (~0.1 m
+    — float-sum order differs across engines; min/max/count are
+    exact and compare raw)."""
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    a = cust.agg(
+        F.max(lat).alias("top"), F.min(lat).alias("bottom"),
+        F.min(F.when(lon >= 0, lon)).alias("pos_left"),
+        F.max(F.when(lon >= 0, lon)).alias("pos_right"),
+        F.min(F.when(lon < 0, lon)).alias("neg_left"),
+        F.max(F.when(lon < 0, lon)).alias("neg_right"),
+        F.round(F.avg(lat), 6).alias("centroid_lat"),
+        F.round(F.avg(lon), 6).alias("centroid_lon"),
+        F.count(F.lit(1)).alias("doc_count"),
+    )
+    wrapped = (F.lit(360.0) - (F.col("pos_left") - F.col("neg_right"))
+               < F.col("pos_right") - F.col("neg_left"))
+    left = (F.when(F.col("pos_left").isNull(), F.col("neg_left"))
+            .when(F.col("neg_left").isNull(), F.col("pos_left"))
+            .when(wrapped, F.col("pos_left"))
+            .otherwise(F.col("neg_left")))
+    right = (F.when(F.col("pos_left").isNull(), F.col("neg_right"))
+             .when(F.col("neg_left").isNull(), F.col("pos_right"))
+             .when(wrapped, F.col("neg_right"))
+             .otherwise(F.col("pos_right")))
+    return a.select(
+        "top", "bottom", left.alias("left_lon"),
+        right.alias("right_lon"), "centroid_lat", "centroid_lon",
+        "doc_count")
+
+
+@register(
+    "geo_nearest_topk",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    d AS (SELECT c_custkey, {_GEO_SQL_DIST} AS dist FROM g)
+    SELECT c_custkey, round(dist, 3) AS dist_km
+    FROM d ORDER BY dist, c_custkey LIMIT 10
+    """,
+)
+def geo_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_geo_distance`` sort (r13 late, api._rewrite_geo_sort)
+    as a registry query: the 10 nearest customers to (25°N, 45°E),
+    distance in km rounded at the OUTPUT boundary (ordering and the
+    top-k cut use the raw double; the 10/11 boundary gap is ~km —
+    ULP-safe). TakeOrdered top-k: no global sort shuffle."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        haversine_km,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    d = haversine_km(lat, lon, F.lit(25.0), F.lit(45.0))
+    return (
+        cust.select("c_custkey", d.alias("dist"))
+        .orderBy("dist", "c_custkey")
+        .limit(10)
+        .select("c_custkey", F.round("dist", 3).alias("dist_km"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Percolate (r13, r12 verdict stretch #10): reverse search — stored
 # query trees evaluated against a document corpus in ONE scan
@@ -7531,6 +7740,10 @@ _CHECK_FIRST = [
     "geo_bbox_members",            # r13 NEW: antimeridian bbox
     "geo_grid_counts",             # r13 NEW: geohash_grid cells
     "percolate_orders",            # r13 NEW: reverse search, one scan
+    "geo_tile_counts",             # r13 NEW (late): geotile_grid
+    "geo_rings_balance",           # r13 NEW (late): geo_distance agg
+    "geo_bounds_centroid",         # r13 NEW (late): bounds + centroid
+    "geo_nearest_topk",            # r13 NEW (late): _geo_distance sort
     # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
     #    queries retire first, then 29 of the 42 r8-era ones — after
     #    this window nothing in the registry carries driver evidence
@@ -7554,7 +7767,8 @@ _CHECK_FIRST = [
     "q6_forecast_revenue",
     "string_functions_family",
     "window_value_family",
-    # r8-era tier (25 of 42; 4 slots ceded to the new r13 queries)
+    # r8-era tier (21 of 42; 8 slots ceded to the new r13 queries —
+    # the leftovers are r14's owed window)
     "search_dsl_query_string",
     "search_dsl_simple_qs",
     "search_dsl_qs_ranges",
@@ -7576,10 +7790,6 @@ _CHECK_FIRST = [
     "search_aggs_global",
     "search_aggs_adjacency",
     "search_sort_options",
-    "search_sort_mode_array",
-    "search_fields_retrieval",
-    "search_dsl_compound",
-    "search_dsl_combined_fields",
 ]
 
 

@@ -2578,6 +2578,16 @@ def test_search_template_routes(client, service, spark):
         "source": '{"a": "x{{#p}}S{{/p}}{{^p}}I{{/p}}"}',
         "params": {"p": True}})
     assert r.get_json()["template_output"] == {"a": "xS"}
+    # r13 late: triple-stache / {{&var}} insert RAW (no JSON
+    # escaping) — {{var}} escapes the same payload
+    r = post("/render/template", {
+        "source": '{"a": "{{{frag}}}", "b": "{{&frag}}", '
+                  '"c": "{{frag}}", "d": {{{n}}}}',
+        "params": {"frag": 'say \\"hi\\"', "n": 7}})
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json()["template_output"] == {
+        "a": 'say "hi"', "b": 'say "hi"', "c": 'say \\"hi\\"',
+        "d": 7}
     # unbalanced sections are named 400s
     for bad_tpl, frag in [
         ('{"a": "{{#p}}x"}', "missing"),
@@ -2593,7 +2603,11 @@ def test_search_template_routes(client, service, spark):
         # r13: partials resolve from the stored namespace now — an
         # UNSTORED name is the 400, not the syntax
         ({"source": '{"a": "{{> nowhere}}"}'}, "unknown template partial"),
-        ({"source": '{"a": "{{{raw}}}"}'}, "triple-stache"),
+        # r13 late: triple-stache renders raw now; the 400 is only
+        # for the unterminated form
+        ({"source": '{"a": "{{{raw}} x"}'}, "triple-stache"),
+        ({"source": '{"a": "{{{raw}}}"}', "params": {"raw": [1]}},
+         "toJson"),
         ({"source": '{"a": "{{user.name}}"}'}, "dotted-path"),
         ({"source": "{}", "id": "x"}, "exactly one"),
         ({"params": {}}, "exactly one"),
@@ -3602,12 +3616,41 @@ def test_percolate_reverse_search(client, service, spark):
         content_type="application/json")
     assert r.get_json()["hits"]["total"]["value"] == 0
     assert r.get_json()["hits"]["max_score"] is None
-    # named 400s: both/neither doc forms, unknown options, combos
+    # index-based percolation (r13 late): percolate a doc already in
+    # a lake table — one point lookup, then the inline path
+    spark.createDataFrame(
+        [(1, 35, "spark rules"), (2, 10, "cold prose")],
+        "id long, temp long, txt string",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_perc"))
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "t", "query": {"percolate": {
+            "index": "data_lake_perc", "id": 1}}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    assert sorted(h["_id"] for h in r.get_json()["hits"]["hits"]) \
+        == ["hot", "spark_doc"]
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "t", "query": {"percolate": {
+            "index": "data_lake_perc", "id": 2}}}),
+        content_type="application/json")
+    assert r.get_json()["hits"]["total"]["value"] == 0
+    # missing referenced doc / table → 404
+    for ref in [{"index": "data_lake_perc", "id": 99},
+                {"index": "data_lake_nope", "id": 1}]:
+        r = client.post("/search/advanced", data=json.dumps(
+            {"table": "t", "query": {"percolate": ref}}),
+            content_type="application/json")
+        assert r.status_code == 404
+    # named 400s: form combos, unknown options, dangling index/id
     for body, frag in [
         ({"percolate": {"document": {"a": 1},
-                        "documents": [{"a": 1}]}}, "not both"),
-        ({"percolate": {}}, "not both"),
+                        "documents": [{"a": 1}]}}, "exactly one"),
+        ({"percolate": {}}, "exactly one"),
         ({"percolate": {"document": {"a": 1}, "index": "x"}},
+         "exactly one"),
+        ({"percolate": {"index": "data_lake_perc"}},
+         "both index and id"),
+        ({"percolate": {"document": {"a": 1}, "routing": "r"}},
          "unsupported percolate options"),
     ]:
         r = client.post("/search/advanced", data=json.dumps(

@@ -288,3 +288,117 @@ def test_geo_distance_sort(service, spark):
         with pytest.raises(DslError, match=frag):
             service.advanced_search(name, {"match_all": {}}, k=1,
                                     sort=[bad])
+
+
+def test_geo_agg_family(service, spark):
+    """r13 late: geotile_grid / geo_distance rings (with metric subs)
+    / geo_bounds (wrap choice) / geo_centroid through the aggs
+    pipeline, plus the named 400s for result-changing options."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    name = _geo_table(service, spark, "data_lake_geoagg")
+    out = service.advanced_search(name, {"match_all": {}}, k=0, aggs={
+        "tiles": {"geotile_grid": {"field": "loc", "precision": 2}},
+        "rings": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 48.8566, "lon": 2.3522},
+            "ranges": [{"to": 1000}, {"from": 1000, "to": 7000},
+                       {"from": 7000}],
+            "unit": "km"},
+            "aggs": {"ids": {"sum": {"field": "id"}}}},
+        "box": {"geo_bounds": {"field": "loc"}},
+        "c": {"geo_centroid": {"field": "loc"}},
+    })
+    aggs = out["aggregations"]
+    tiles = {b["key"]: b["doc_count"] for b in aggs["tiles"]["buckets"]}
+    # paris+berlin share z2 tile 2/2/1; fiji 2/3/2, samoa 2/0/2
+    assert tiles["2/2/1"] == 2 and tiles["2/0/2"] == 1
+    rings = aggs["rings"]["buckets"]
+    # <1000 km of paris: paris + berlin (sum ids 3); null point in NO
+    # band (haversine null regression — least() must not clamp null)
+    assert [b["doc_count"] for b in rings] == [2, 1, 3]
+    assert rings[0]["ids"]["value"] == 3
+    assert sum(b["doc_count"] for b in rings) == 6
+    # fiji(178.065) + samoa(-172.1) make the wrapped box smaller:
+    # bounds still unwrapped here (newyork/sydney dominate) — so
+    # check wrap explicitly on the pacific pair
+    b = aggs["box"]["bounds"]
+    assert b["top_left"]["lat"] == 52.52
+    assert b["bottom_right"]["lat"] == -33.8688
+    assert aggs["c"]["count"] == 6
+    assert abs(aggs["c"]["location"]["lat"]
+               - (52.52 + 48.8566 + 40.7128 - 33.8688 - 17.7134
+                  - 13.759) / 6) < 1e-9
+
+    # dateline pair alone: the wrapped box crosses (left 178.065,
+    # right -172.1046); wrap_longitude false gives the unwrapped box
+    spark.createDataFrame(
+        [(1, 10.0, 178.065), (2, -5.0, -172.1046)],
+        "id long, p_lat double, p_lon double",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_geodl"))
+    outs = [service.advanced_search(
+        "data_lake_geodl", {"match_all": {}}, k=0,
+        aggs={"b": {"geo_bounds": {"field": "p",
+                                   "wrap_longitude": w}}})
+        for w in (True, False)]
+    bw = outs[0]["aggregations"]["b"]["bounds"]
+    assert (bw["top_left"]["lon"], bw["bottom_right"]["lon"]) \
+        == (178.065, -172.1046)
+    bn = outs[1]["aggregations"]["b"]["bounds"]
+    assert (bn["top_left"]["lon"], bn["bottom_right"]["lon"]) \
+        == (-172.1046, 178.065)
+
+    # named 400s: geotile bounds (result-changing, unlisted key),
+    # bad precision, geo_distance plane, unknown unit
+    for bad in [
+        {"t": {"geotile_grid": {"field": "loc",
+                                "bounds": {"top_left": "u"}}}},
+        {"t": {"geotile_grid": {"field": "loc", "precision": 30}}},
+        {"r": {"geo_distance": {"field": "loc", "origin": "0,0",
+                                "ranges": [{"to": 1}],
+                                "distance_type": "plane"}}},
+        {"r": {"geo_distance": {"field": "loc", "origin": "0,0",
+                                "ranges": [{"to": 1}],
+                                "unit": "parsec"}}},
+        {"b": {"geo_bounds": {"field": "loc",
+                              "wrap_longitude": "yes"}}},
+        {"c": {"geo_centroid": {"field": "loc", "extra": 1}}},
+    ]:
+        with pytest.raises(DslError):
+            service.advanced_search(name, {"match_all": {}}, k=0,
+                                    aggs=bad)
+
+
+def test_haversine_null_stays_null(spark):
+    """Regression (r13 late): F.least ignores nulls, so the sqrt-arg
+    clamp used to turn a NULL coordinate into the antipodal max
+    distance. Null in → null out."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        haversine_km,
+    )
+
+    df = spark.createDataFrame(
+        [(None, None), (0.0, 0.0)], "lat double, lon double")
+    got = [r[0] for r in df.select(haversine_km(
+        F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0))).collect()]
+    assert got[0] is None and abs(got[1]) < 1e-9
+
+
+def test_geotile_matches_reference(spark):
+    """geotile column vs the driver-side twin vs a published OSM tile
+    (paris z10 = 10/518/352), incl. the ±85.05° mercator clamp."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        geotile,
+        geotile_py,
+    )
+
+    pts = [(48.8566, 2.3522), (0.0, 0.0), (89.9, 179.99),
+           (-89.9, -180.0), (-33.8688, 151.2093), (85.0512, 0.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for z in (0, 1, 7, 10):
+        got = [r[0] for r in df.select(
+            geotile(F.col("lat"), F.col("lon"), z)).collect()]
+        want = [geotile_py(lat, lon, z) for lat, lon in pts]
+        assert got == want, (z, got, want)
+    assert geotile_py(48.8566, 2.3522, 10) == "10/518/352"

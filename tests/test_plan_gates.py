@@ -94,6 +94,26 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"orders": (4, [])},
     ),
+    # r13 late: rest of the geo family. Tiles/rings are one groupBy
+    # shuffle over a map-computed key/label; bounds+centroid is a
+    # single two-phase agg; nearest-topk must stay TakeOrdered (a
+    # global sort exchange here means the top-k cut regressed)
+    "geo_tile_counts": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (1, [])},
+    ),
+    "geo_rings_balance": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (2, [])},
+    ),
+    "geo_bounds_centroid": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (1, [])},
+    ),
+    "geo_nearest_topk": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (1, [])},
+    ),
     "embed_cosine_topk": dict(
         shuffles=1, smj_max=0, bhj_min=0, wgl=True,
         scans={"embeddings": (2, ["In(vec_id, [0,1,2,3,4]"])},
