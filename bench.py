@@ -138,6 +138,9 @@ HEADLINE = (
     "geo_tile_counts",
     "geo_rings_balance",
     "geo_bounds_centroid",
+    # second wave: decay-scored ranked page + ray-cast polygon filter
+    "geo_distance_feature_rank",
+    "geo_polygon_members",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:

@@ -79,6 +79,33 @@ _TEXT_SCORED_KINDS = ("multi_match", "query_string",
                       "dis_max", "boosting")
 
 
+def _has_feature_scorer(node) -> bool:
+    """Does this query tree carry a ``rank_feature`` /
+    ``distance_feature`` leaf in a SCORING position (bool must/should,
+    dis_max queries, boosting positive)? Those leaves exist to decay-
+    rank inside compounds — a bool containing one routes to the ranked
+    page (r13 late); filter/must_not positions never score and don't
+    count."""
+    if not isinstance(node, dict) or len(node) != 1:
+        return False
+    kind, body = next(iter(node.items()))
+    if kind in ("rank_feature", "distance_feature"):
+        return True
+    if kind == "bool" and isinstance(body, dict):
+        return any(
+            _has_feature_scorer(sub)
+            for key in ("must", "should")
+            for sub in (body.get(key) if isinstance(body.get(key), list)
+                        else [body.get(key)] if body.get(key) else [])
+        )
+    if kind == "dis_max" and isinstance(body, dict):
+        return any(_has_feature_scorer(q)
+                   for q in (body.get("queries") or []))
+    if kind == "boosting" and isinstance(body, dict):
+        return _has_feature_scorer(body.get("positive"))
+    return False
+
+
 def _utcnow_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
 
@@ -1236,7 +1263,8 @@ class LakeService:
                     pred, score, ms = rank_feature_columns(body, resolve)
                 elif kind == "distance_feature":
                     pred, score, ms = distance_feature_columns(
-                        body, resolve, date_fields)
+                        body, resolve, date_fields,
+                        schema_fields=df.columns)
                 elif kind == "script_score":
                     pred, score, ms = script_score_columns(
                         body, resolve, df.columns)
@@ -2310,7 +2338,15 @@ class LakeService:
                 indices_boost=indices_boost, rescore=rescore,
                 min_score=min_score)
         if (isinstance(dsl, dict) and len(dsl) == 1
-                and next(iter(dsl)) in _TEXT_SCORED_KINDS
+                and (next(iter(dsl)) in _TEXT_SCORED_KINDS
+                     # r13 late: a bool tree carrying a FEATURE
+                     # scorer (rank_feature / distance_feature) in a
+                     # scoring position ranks by the summed score —
+                     # "boost nearby/recent inside a bool should" is
+                     # those leaves' entire use case. Text/constant
+                     # bools keep the documented membership order.
+                     or (next(iter(dsl)) == "bool"
+                         and _has_feature_scorer(dsl)))
                 and not sort and search_after is None
                 and not rt_specs
                 and not (collapse and collapse.get("inner_hits"))):

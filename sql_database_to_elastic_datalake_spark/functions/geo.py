@@ -216,3 +216,36 @@ def geotile_py(lat: float, lon: float, zoom: int) -> str:
         (1.0 - math.log(math.tan(lat_r) + 1.0 / math.cos(lat_r))
          / math.pi) / 2.0 * float(n)))
     return f"{zoom}/{max(min(x, n - 1), 0)}/{max(min(y, n - 1), 0)}"
+
+
+def point_in_polygon(lat: Column, lon: Column,
+                     vertices: list) -> Column:
+    """Ray-casting point-in-polygon membership, unrolled into column
+    algebra over the literal vertex list (N edges → N crossing
+    terms, XOR by sum-mod-2). Vertices are (lat, lon) pairs; the
+    ring closes itself (last→first edge implied).
+
+    DOCUMENTED DIVERGENCE vs ES/Lucene: edges are PLANAR segments in
+    lat/lon space, not great-circle arcs, and no dateline splitting —
+    correct for the city/region-sized polygons the query is used
+    for; continent-scale or antimeridian-crossing rings diverge. The
+    SQL oracle replays the identical arithmetic, so differentials
+    compare exactly. A null coordinate is NOT inside (crossing terms
+    evaluate null → counted 0)."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    crossings = F.lit(0)
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = float(vertices[i][0]), float(vertices[i][1])
+        yj, xj = (float(vertices[(i + 1) % n][0]),
+                  float(vertices[(i + 1) % n][1]))
+        if yi == yj:
+            continue  # horizontal edge never crosses the ray
+        cond = (
+            ((F.lit(yi) > lat) != (F.lit(yj) > lat))
+            & (lon < (F.lit(xj - xi) * (lat - F.lit(yi))
+                      / F.lit(yj - yi) + F.lit(xi)))
+        )
+        crossings = crossings + F.when(cond, 1).otherwise(0)
+    return crossings % 2 == 1

@@ -1760,7 +1760,13 @@ def compile_dsl(
                 f"unsupported distance_feature keys: {unknown}")
         if "origin" not in body or "pivot" not in body:
             raise DslError("distance_feature requires origin and pivot")
-        return col(body["field"]).isNotNull()
+        f = body["field"]
+        if schema_fields is not None and f"{f}_lat" in schema_fields \
+                and f"{f}_lon" in schema_fields:
+            # r13 late: geo tier — membership is "has the point"
+            return (col(f"{f}_lat").isNotNull()
+                    & col(f"{f}_lon").isNotNull())
+        return col(f).isNotNull()
 
     if kind == "script":
         # ES filter-context script query ({"script": {"script": {…}}}):
@@ -1891,13 +1897,186 @@ def compile_dsl(
         lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
         return bbox_predicate(lat_c, lon_c, top, left, bottom, right)
 
-    if kind in ("geo_shape", "geo_polygon", "geo_grid"):
-        # shape topology (WKT/GeoJSON intersection predicates) is a
-        # real geometry engine, not a column expression — a silent
-        # approximation would return wrong members, so: named 400
+    if kind == "geo_polygon":
+        # r13 late: ES's (deprecated-but-used) polygon membership —
+        # ray casting unrolled into column algebra over the literal
+        # vertex list (functions/geo.py:point_in_polygon; planar-edge
+        # divergence documented there)
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            point_in_polygon,
+        )
+
+        if not isinstance(body, dict):
+            raise DslError("geo_polygon expects an object")
+        fields = {k: v for k, v in body.items()
+                  if k not in ("validation_method", "_name", "boost",
+                               "ignore_unmapped")}
+        if len(fields) != 1:
+            raise DslError("geo_polygon expects exactly one field")
+        field, spec = next(iter(fields.items()))
+        pts = spec.get("points") if isinstance(spec, dict) else None
+        if not isinstance(pts, list) or len(pts) < 3:
+            raise DslError(
+                "geo_polygon requires a points list of at least 3 "
+                "geo points")
+        verts = [_parse_geo_point(p) for p in pts]
+        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        return point_in_polygon(lat_c, lon_c, verts)
+
+    if kind == "geo_shape":
+        # r13 late: geo_shape over POINT-encODED docs (the only geo
+        # data model here) — envelope is the bbox predicate, circle
+        # the haversine, polygon the ray cast, point an exact match.
+        # Relations collapse for point docs: intersects == within;
+        # disjoint = has-the-point AND NOT inside; contains only
+        # holds for a point shape. Indexed shapes (indexed_shape) and
+        # multi-geometry / holes are named 400s — a real geometry
+        # engine problem, not a column expression.
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            bbox_predicate,
+            haversine_km,
+            parse_distance_km,
+            point_in_polygon,
+        )
+
+        if not isinstance(body, dict):
+            raise DslError("geo_shape expects an object")
+        fields = {k: v for k, v in body.items()
+                  if k not in ("ignore_unmapped", "_name", "boost")}
+        if len(fields) != 1:
+            raise DslError("geo_shape expects exactly one field")
+        field, spec = next(iter(fields.items()))
+        if not isinstance(spec, dict):
+            raise DslError("geo_shape field spec must be an object")
+        if "indexed_shape" in spec:
+            raise DslError(
+                "geo_shape indexed_shape is not supported (pass the "
+                "shape inline)")
+        shape = spec.get("shape")
+        if not isinstance(shape, dict) or "type" not in shape:
+            raise DslError("geo_shape requires an inline shape with "
+                           "a type")
+        relation = str(spec.get("relation", "intersects")).lower()
+        if relation not in ("intersects", "within", "disjoint",
+                            "contains"):
+            raise DslError(f"unknown geo_shape relation {relation!r}")
+        stype = str(shape["type"]).lower()
+        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        if stype == "envelope":
+            coords = shape.get("coordinates")
+            if not (isinstance(coords, list) and len(coords) == 2
+                    and all(isinstance(c, list) and len(c) == 2
+                            for c in coords)):
+                raise DslError(
+                    "envelope coordinates must be [[minLon, maxLat], "
+                    "[maxLon, minLat]] (GeoJSON order)")
+            (min_lon, max_lat), (max_lon, min_lat) = coords
+            inside = bbox_predicate(lat_c, lon_c, float(max_lat),
+                                    float(min_lon), float(min_lat),
+                                    float(max_lon))
+        elif stype == "circle":
+            coords = shape.get("coordinates")
+            if not (isinstance(coords, list) and len(coords) == 2):
+                raise DslError(
+                    "circle coordinates must be [lon, lat]")
+            if "radius" not in shape:
+                raise DslError("circle requires a radius")
+            try:
+                r_km = parse_distance_km(shape["radius"])
+            except ValueError as ex:
+                raise DslError(str(ex)) from None
+            inside = haversine_km(
+                lat_c, lon_c, F.lit(float(coords[1])),
+                F.lit(float(coords[0]))) <= F.lit(r_km)
+        elif stype == "polygon":
+            coords = shape.get("coordinates")
+            if not (isinstance(coords, list) and coords
+                    and isinstance(coords[0], list)):
+                raise DslError(
+                    "polygon coordinates must be a ring list "
+                    "(GeoJSON)")
+            if len(coords) > 1:
+                raise DslError(
+                    "polygon holes are not supported (outer ring "
+                    "only)")
+            ring = coords[0]
+            if len(ring) >= 2 and ring[0] == ring[-1]:
+                ring = ring[:-1]  # GeoJSON closes the ring explicitly
+            if len(ring) < 3:
+                raise DslError("polygon ring needs at least 3 points")
+            verts = []
+            for p in ring:
+                if not (isinstance(p, list) and len(p) == 2):
+                    raise DslError(
+                        "polygon points must be [lon, lat] pairs")
+                verts.append((float(p[1]), float(p[0])))
+            inside = point_in_polygon(lat_c, lon_c, verts)
+        elif stype == "point":
+            coords = shape.get("coordinates")
+            if not (isinstance(coords, list) and len(coords) == 2):
+                raise DslError("point coordinates must be [lon, lat]")
+            inside = (lat_c == F.lit(float(coords[1]))) \
+                & (lon_c == F.lit(float(coords[0])))
+        else:
+            raise DslError(
+                f"unsupported geo_shape type {stype!r} (implemented "
+                "over point docs: envelope, circle, polygon, point; "
+                "multi-geometries and linestrings are not)")
+        has = lat_c.isNotNull() & lon_c.isNotNull()
+        if relation == "disjoint":
+            return has & ~F.coalesce(inside, F.lit(False))
+        if relation == "contains":
+            if stype != "point":
+                raise DslError(
+                    "geo_shape relation 'contains' over point docs "
+                    "only holds for a point shape")
+            return inside
+        return inside  # intersects == within for a point doc
+
+    if kind == "geo_grid":
+        # r13 late: cell membership for POINT docs — the doc's
+        # computed geohash/geotile cell equals the requested one
+        # (prefix containment comes free: a geohash cell contains a
+        # point iff the point's hash at the CELL's precision matches).
+        # geohex needs the H3 hexagon math — named 400.
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            geohash,
+            geotile,
+        )
+
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError("geo_grid expects exactly one field")
+        field, spec = next(iter(body.items()))
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(
+                "geo_grid field spec must be {geohash|geotile: cell}")
+        grid_kind, cell = next(iter(spec.items()))
+        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        if grid_kind == "geohash":
+            cell = str(cell).lower()
+            if not 1 <= len(cell) <= 8:
+                raise DslError(
+                    "geo_grid geohash cell must be 1-8 characters "
+                    "(the exact-arithmetic precision bound)")
+            return geohash(lat_c, lon_c, len(cell)) == F.lit(cell)
+        if grid_kind == "geotile":
+            parts = str(cell).split("/")
+            if len(parts) != 3:
+                raise DslError(
+                    "geo_grid geotile cell must be 'z/x/y'")
+            try:
+                z = int(parts[0])
+            except ValueError:
+                raise DslError(
+                    "geo_grid geotile zoom must be an integer") \
+                    from None
+            if not 0 <= z <= 29:
+                raise DslError(
+                    "geo_grid geotile zoom must be in [0, 29]")
+            return geotile(lat_c, lon_c, z) == F.lit(str(cell))
         raise DslError(
-            f"unsupported query kind: {kind} (geo_distance and "
-            "geo_bounding_box are implemented; shape topology is not)")
+            f"unsupported geo_grid kind {grid_kind!r} (geohash and "
+            "geotile are implemented; geohex needs H3 hexagon math)")
 
     raise DslError(f"unsupported query kind: {kind}")
 
@@ -2266,6 +2445,36 @@ def compile_score(
         raise DslError(
             f"{kind} inside a scored tree is not supported — nest its "
             "query directly and move the functions to the top level")
+
+    if kind in ("rank_feature", "distance_feature"):
+        # r13 late: the feature queries' ENTIRE purpose is decay
+        # scoring inside a bool should — a constant fallback here
+        # would silently flatten them. Delegate to the score_dsl
+        # implementations the top-level ranked page already uses.
+        from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+            distance_feature_columns,
+            rank_feature_columns,
+        )
+
+        if kind == "rank_feature":
+            _, score, _ = rank_feature_columns(body, col)
+            return score
+        field = body.get("field") if isinstance(body, dict) else None
+        origin = body.get("origin") if isinstance(body, dict) else None
+        is_geo = (schema_fields is not None and isinstance(field, str)
+                  and f"{field}_lat" in schema_fields
+                  and f"{field}_lon" in schema_fields)
+        date_fields: set = set()
+        if not is_geo and isinstance(origin, str):
+            # no schema types here — a non-numeric string origin IS
+            # the date tier (ES requires numbers for numeric fields)
+            try:
+                float(origin)
+            except ValueError:
+                date_fields = {field}
+        _, score, _ = distance_feature_columns(
+            body, col, date_fields, schema_fields=schema_fields)
+        return score
 
     # every other leaf (term/terms/range/exists/prefix/wildcard/
     # regexp/fuzzy/ids/terms_set/nested/span_*/intervals/script/

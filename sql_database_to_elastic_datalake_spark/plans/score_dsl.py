@@ -792,17 +792,22 @@ def rank_feature_columns(
 
 def distance_feature_columns(
     body: dict, field_resolver: Callable[[str], Column],
-    date_fields: set[str],
+    date_fields: set[str], schema_fields=None,
 ) -> tuple[Column, Column, None]:
     """A ``distance_feature`` query body → (predicate, score, None).
 
     score = boost · pivot / (pivot + |value − origin|), the ES
-    formula, over numeric or date/timestamp fields (geo_point is not
-    in this data model). Membership is ES's: any document that has
-    the field. Date pivots take ES time units (``7d``, ``3h``, …);
-    ``origin: "now"`` is a named 400 (nondeterministic ranking
-    contradicts the replayable-results contract — send a concrete
-    timestamp)."""
+    formula, over numeric, date/timestamp, or (r13 late) geo_point
+    fields. A geo field is detected by the parquet-native
+    ``f_lat``/``f_lon`` pair in ``schema_fields`` (the struct form is
+    name-ambiguous with a plain numeric column, so only the pair
+    convention auto-detects); its origin takes the ES geo-point
+    literal forms, its pivot the ES distance grammar (``"1000m"``),
+    and distance is the same haversine the geo query leaves use.
+    Membership is ES's: any document that has the field. Date pivots
+    take ES time units (``7d``, ``3h``, …); ``origin: "now"`` is a
+    named 400 (nondeterministic ranking contradicts the
+    replayable-results contract — send a concrete timestamp)."""
     if not isinstance(body, dict):
         raise DslError("distance_feature must be an object")
     unknown = sorted(set(body) - {"field", "origin", "pivot", "boost"})
@@ -815,6 +820,32 @@ def distance_feature_columns(
         raise DslError("distance_feature requires origin and pivot")
     origin, pivot = body["origin"], body["pivot"]
     boost = float(body.get("boost", 1.0))
+    if schema_fields is not None \
+            and f"{field}_lat" in schema_fields \
+            and f"{field}_lon" in schema_fields:
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            haversine_km,
+            parse_distance_km,
+        )
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            _parse_geo_point,
+        )
+
+        plat, plon = _parse_geo_point(origin)
+        try:
+            p = parse_distance_km(pivot)
+        except ValueError:
+            raise DslError(
+                f"malformed distance_feature pivot {pivot!r}") \
+                from None
+        if p <= 0:
+            raise DslError("distance_feature pivot must be positive")
+        lat_c = field_resolver(f"{field}_lat")
+        lon_c = field_resolver(f"{field}_lon")
+        dist = haversine_km(lat_c, lon_c, F.lit(plat), F.lit(plon))
+        score = F.lit(boost) * F.lit(p) / (F.lit(p) + dist)
+        return (lat_c.isNotNull() & lon_c.isNotNull(),
+                score.cast("double"), None)
     c = field_resolver(field)
     if field in date_fields:
         if isinstance(origin, str) and origin.strip().lower() \

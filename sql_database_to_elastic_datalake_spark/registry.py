@@ -7663,6 +7663,103 @@ def geo_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: triangle-ish test polygon over the derived-coordinate space,
+#: (lat, lon) vertices — big enough to catch a few hundred customers
+_GEO_POLY = [(10.0, 20.0), (60.0, 80.0), (-30.0, 120.0), (-20.0, 30.0)]
+
+
+def _point_in_polygon_sql(lat: str, lon: str, verts) -> str:
+    """DuckDB twin of functions/geo.py:point_in_polygon — the same
+    unrolled ray cast. Planar arithmetic only (multiply/divide are
+    IEEE-exact single operations), so membership compares hash-exact
+    with no rounding margin."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        yi, xi = verts[i]
+        yj, xj = verts[(i + 1) % n]
+        if yi == yj:
+            continue
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat}) != ({yj!r} > {lat})) AND "
+            f"({lon} < ({xj - xi!r}) * (({lat}) - {yi!r}) / "
+            f"({yj - yi!r}) + {xi!r}) THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@register(
+    "geo_polygon_members",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    )
+    SELECT c_custkey, lat, lon FROM g
+    WHERE {_point_in_polygon_sql("lat", "lon", _GEO_POLY)}
+    """,
+)
+def geo_polygon_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_polygon`` membership (r13 late): ray casting unrolled
+    into column algebra over the literal vertex list — one scan, one
+    filter, whole-stage codegen (planar-edge divergence documented on
+    functions/geo.py:point_in_polygon). All-planar arithmetic →
+    hash-exact oracle, no rounding margin."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        point_in_polygon,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    base = cust.select("c_custkey", lat.alias("lat"),
+                       lon.alias("lon"))
+    return base.filter(point_in_polygon(
+        F.col("lat"), F.col("lon"), _GEO_POLY))
+
+
+@register(
+    "geo_distance_feature_rank",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    d AS (SELECT c_custkey,
+                 1000.0 / (1000.0 + ({_GEO_SQL_DIST})) AS score
+          FROM g)
+    SELECT c_custkey, round(score, 9) AS score
+    FROM d ORDER BY score DESC, c_custkey LIMIT 15
+    """,
+)
+def geo_distance_feature_rank(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ES ``distance_feature`` over a GEO field (r13 late): score =
+    pivot/(pivot + haversine(point, origin)) — the "boost nearby"
+    ranking leaf, here as a top-15 page from (25°N, 45°E) with pivot
+    1000 km. Scores ROUNDED at the output boundary (haversine is
+    transcendental; rank + cut use the raw double). One scan, zero
+    shuffles (TakeOrdered)."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        distance_feature_columns,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    base = cust.select("c_custkey", lat.alias("loc_lat"),
+                       lon.alias("loc_lon"))
+    pred, score, _ = distance_feature_columns(
+        {"field": "loc", "origin": {"lat": 25.0, "lon": 45.0},
+         "pivot": "1000km"},
+        F.col, set(), schema_fields=["loc_lat", "loc_lon"])
+    return (
+        base.filter(pred).withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("c_custkey").asc())
+        .limit(15)
+        .select("c_custkey", F.round("score", 9).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Percolate (r13, r12 verdict stretch #10): reverse search — stored
 # query trees evaluated against a document corpus in ONE scan
@@ -7744,6 +7841,8 @@ _CHECK_FIRST = [
     "geo_rings_balance",           # r13 NEW (late): geo_distance agg
     "geo_bounds_centroid",         # r13 NEW (late): bounds + centroid
     "geo_nearest_topk",            # r13 NEW (late): _geo_distance sort
+    "geo_distance_feature_rank",   # r13 NEW (late): geo decay scoring
+    "geo_polygon_members",         # r13 NEW (late): ray-cast polygon
     # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
     #    queries retire first, then 29 of the 42 r8-era ones — after
     #    this window nothing in the registry carries driver evidence
@@ -7767,7 +7866,7 @@ _CHECK_FIRST = [
     "q6_forecast_revenue",
     "string_functions_family",
     "window_value_family",
-    # r8-era tier (21 of 42; 8 slots ceded to the new r13 queries —
+    # r8-era tier (19 of 42; 10 slots ceded to the new r13 queries —
     # the leftovers are r14's owed window)
     "search_dsl_query_string",
     "search_dsl_simple_qs",
@@ -7788,8 +7887,6 @@ _CHECK_FIRST = [
     "search_aggs_terms_filter",
     "search_aggs_filter_buckets",
     "search_aggs_global",
-    "search_aggs_adjacency",
-    "search_sort_options",
 ]
 
 

@@ -402,3 +402,128 @@ def test_geotile_matches_reference(spark):
         want = [geotile_py(lat, lon, z) for lat, lon in pts]
         assert got == want, (z, got, want)
     assert geotile_py(48.8566, 2.3522, 10) == "10/518/352"
+
+
+def test_geo_distance_feature(service, spark):
+    """r13 late: distance_feature over a geo field — ES's "boost
+    nearby" leaf. Top-level ranked page orders by proximity; inside a
+    bool should it contributes its decay score (not a constant)."""
+    name = _geo_table(service, spark, "data_lake_geodf")
+    body = {"distance_feature": {
+        "field": "loc", "origin": {"lat": 48.8566, "lon": 2.3522},
+        "pivot": "1000km"}}
+    out = service.advanced_search(name, body, k=3)
+    hits = out["hits"]["hits"]
+    # nearest to paris first: paris, berlin, newyork
+    assert [h["_source"]["id"] for h in hits] == [2, 1, 3]
+    # paris is the origin: score == boost * pivot/(pivot+0) == 1
+    assert abs(hits[0]["_score"] - 1.0) < 1e-9
+    # berlin ~878 km: pivot/(pivot+878)
+    assert abs(hits[1]["_score"] - 1000.0 / 1878.0) < 1e-2
+    # null-point doc is not a member
+    assert out["hits"]["total"]["value"] == 6
+
+    # inside a bool should: decay score rides the sum (match_all
+    # contributes 1.0; paris beats sydney)
+    out = service.advanced_search(name, {"bool": {
+        "must": [{"match_all": {}}],
+        "should": [body["distance_feature"] and body]}}, k=2)
+    hits = out["hits"]["hits"]
+    assert hits[0]["_source"]["id"] == 2
+    assert abs(hits[0]["_score"] - 2.0) < 1e-9
+
+    # named 400s: malformed pivot, missing origin
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+    with pytest.raises(DslError, match="pivot"):
+        service.advanced_search(name, {"distance_feature": {
+            "field": "loc", "origin": "0,0",
+            "pivot": "wat"}}, k=1)
+
+
+def test_geo_polygon_shape_grid(service, spark):
+    """r13 late: geo_polygon (ray cast), geo_shape over point docs
+    (envelope/circle/polygon/point × relations), geo_grid cell
+    membership (geohash + geotile) — and their named 400s."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        geohash_py,
+        geotile_py,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    name = _geo_table(service, spark, "data_lake_geoshape")
+
+    def ids(q, **kw):
+        out = service.advanced_search(name, q, k=10,
+                                      sort=[{"id": "asc"}], **kw)
+        return [h["_source"]["id"] for h in out["hits"]["hits"]]
+
+    # polygon around western europe: berlin + paris in, rest out
+    eu = {"points": [{"lat": 60.0, "lon": -10.0},
+                     {"lat": 60.0, "lon": 20.0},
+                     {"lat": 40.0, "lon": 20.0},
+                     {"lat": 40.0, "lon": -10.0}]}
+    assert ids({"geo_polygon": {"loc": eu}}) == [1, 2]
+
+    # geo_shape envelope (GeoJSON corner order) — same box
+    env = {"type": "envelope",
+           "coordinates": [[-10.0, 60.0], [20.0, 40.0]]}
+    assert ids({"geo_shape": {"loc": {"shape": env}}}) == [1, 2]
+    # within == intersects for point docs; disjoint = the rest
+    # (null-point doc 7 matches neither)
+    assert ids({"geo_shape": {"loc": {"shape": env,
+                                      "relation": "within"}}}) == [1, 2]
+    assert ids({"geo_shape": {"loc": {"shape": env,
+                                      "relation": "disjoint"}}}) \
+        == [3, 4, 5, 6]
+    # circle: 1000 km around paris
+    circ = {"type": "circle", "coordinates": [2.3522, 48.8566],
+            "radius": "1000km"}
+    assert ids({"geo_shape": {"loc": {"shape": circ}}}) == [1, 2]
+    # polygon shape (GeoJSON ring, lon-lat order, explicit close)
+    ring = {"type": "polygon", "coordinates": [[
+        [-10.0, 60.0], [20.0, 60.0], [20.0, 40.0], [-10.0, 40.0],
+        [-10.0, 60.0]]]}
+    assert ids({"geo_shape": {"loc": {"shape": ring}}}) == [1, 2]
+    # point shape: exact match; contains holds only for point shapes
+    pt = {"type": "point", "coordinates": [13.405, 52.52]}
+    assert ids({"geo_shape": {"loc": {"shape": pt}}}) == [1]
+    assert ids({"geo_shape": {"loc": {"shape": pt,
+                                      "relation": "contains"}}}) == [1]
+
+    # geo_grid: berlin's geohash-2 cell and geotile z4 tile
+    cell = geohash_py(52.52, 13.405, 2)
+    got = ids({"geo_grid": {"loc": {"geohash": cell}}})
+    assert 1 in got and 3 not in got
+    tile = geotile_py(52.52, 13.405, 4)
+    got = ids({"geo_grid": {"loc": {"geotile": tile}}})
+    assert 1 in got and 4 not in got
+
+    # named 400s
+    for bad, frag in [
+        ({"geo_polygon": {"loc": {"points": [{"lat": 0, "lon": 0}]}}},
+         "at least 3"),
+        ({"geo_shape": {"loc": {"indexed_shape": {"id": "x"}}}},
+         "indexed_shape"),
+        ({"geo_shape": {"loc": {"shape": env, "relation": "wat"}}},
+         "relation"),
+        ({"geo_shape": {"loc": {"shape": ring,
+                                "relation": "contains"}}}, "contains"),
+        ({"geo_shape": {"loc": {"shape": {
+            "type": "multipolygon", "coordinates": []}}}},
+         "multi-geometries"),
+        ({"geo_shape": {"loc": {"shape": {
+            "type": "polygon",
+            "coordinates": [[[0.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                             [0.0, 0.0]], [[0.1, 0.1], [0.2, 0.2],
+                                           [0.1, 0.2], [0.1, 0.1]]]}}}},
+         "holes"),
+        ({"geo_grid": {"loc": {"geohex": "8a1"}}}, "geohex"),
+        ({"geo_grid": {"loc": {"geotile": "4/2"}}}, "z/x/y"),
+        ({"geo_grid": {"loc": {"geohash": "a" * 9}}}, "1-8"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            service.advanced_search(name, bad, k=1)

@@ -114,6 +114,14 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False,
         scans={"customer": (1, [])},
     ),
+    "geo_distance_feature_rank": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (1, [])},
+    ),
+    "geo_polygon_members": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False,
+        scans={"customer": (1, [])},
+    ),
     "embed_cosine_topk": dict(
         shuffles=1, smj_max=0, bhj_min=0, wgl=True,
         scans={"embeddings": (2, ["In(vec_id, [0,1,2,3,4]"])},
