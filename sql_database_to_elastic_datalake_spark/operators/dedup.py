@@ -366,7 +366,16 @@ def minhash_lsh_neardup(
     if collapse_exact:
         df = exact_representatives(df, id_col, [text_col])
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    sigs = minhash_signatures(sh, id_col, seeds)
+    # localCheckpoint the two per-doc relations BOTH downstream fan-outs
+    # read (r13 late): the signature table feeds the melted band join's
+    # two sides plus the star/metrics branches, and the shingle-set
+    # table feeds both verification sides — without the checkpoint the
+    # whole scan→explode→groupBy subtree replans per consumer (measured:
+    # 22 exchanges vs 7, and the recompute is what a 100-TB corpus pays
+    # four times). Signatures are one short row per doc; the set
+    # relation is corpus-sized but materializing it once still beats
+    # computing it twice.
+    sigs = minhash_signatures(sh, id_col, seeds).localCheckpoint()
     cap_metrics: dict | None = {} if bucket_cap is not None else None
     cands = lsh_candidate_pairs(
         sigs, id_col, bands, rows_per_band,
@@ -376,7 +385,8 @@ def minhash_lsh_neardup(
     # count) and compute |A∩B| / |A∪B| on the arrays. Running the
     # all-shared-shingle jaccard_pairs() here instead would be the O(n²)
     # cost LSH exists to avoid.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shset"))
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shset")).localCheckpoint()
     a_sets = sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa"))
     b_sets = sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -488,6 +498,12 @@ def simhash_pairs(
     generation silently degenerates to all-pairs — the exact quadratic
     blow-up this operator exists to avoid.
     """
+    # localCheckpoint the hash relation (r13 late): one short row per
+    # doc, but its lineage is the full shingle→60-conditional-sum
+    # aggregation — the chunk join's two sides plus the star/stats
+    # branches would each replan it (same 22-vs-7-exchange pathology
+    # as minhash_lsh_neardup; measured there).
+    hashes = hashes.localCheckpoint()
     chunks = max_hamming + 1
     width = bits // chunks
     parts = []

@@ -58,22 +58,28 @@ GATES = {
             "EqualTo(o_orderstatus,F)",
         ])},
     ),
-    # r13 re-record (was shuffles=4): the exact-collapse pre-stage adds
-    # a content-hash groupBy + id semi-join, and the star-cap adds one
-    # window pass on the band key; the branch structure (sparse
-    # all-pairs ∪ dense star, then per-side verification set joins)
-    # re-plans the shared subtrees in the INITIAL plan — at runtime AQE
-    # exchange-reuse collapses the identical ones, and every added
-    # exchange is linear in docs. The payoff is the whole point of r13:
-    # pair EMISSION bounded ~linear under adversarial bucket density
-    # (sf10 exponent 1.26 → see BENCH_dedup_scaling_r13.json).
+    # r13 re-record #2 (14 → 4 / 13 → 3): the signature / hash /
+    # shingle-set relations the branch structure fans out over
+    # (sparse all-pairs ∪ dense star, per-side verification joins)
+    # are now localCheckpointed at their fan-out points, so the
+    # audited plan sees checkpoint scans instead of one replanned
+    # shingle→aggregate subtree per consumer (was 22 exchanges in
+    # the initial plan, AQE-reuse-dependent at runtime; measured
+    # sf1: simhash 13.6 → ~6 s steady, identical pair sets). The
+    # checkpointed subtrees themselves carry the collapse groupBy +
+    # semi-join + signature groupBy — linear, and now guaranteed to
+    # run ONCE. bhj_min drops with the exchange count (the dim-side
+    # broadcasts live inside the checkpointed subtrees now).
+    # (scans: the parquet read lives INSIDE the checkpointed
+    # subtrees, so the audited final plan has no scan to bound —
+    # the 2-column projection is pinned by the dedup operator tests)
     "neardup_minhash_lsh": dict(
-        shuffles=14, smj_max=0, bhj_min=6, wgl=False,
-        scans={"documents": (2, [])},
+        shuffles=4, smj_max=0, bhj_min=2, wgl=False,
+        scans={},
     ),
     "simhash_hamming_pairs": dict(
-        shuffles=13, smj_max=0, bhj_min=6, wgl=False,
-        scans={"documents": (2, [])},
+        shuffles=4, smj_max=0, bhj_min=0, wgl=False,
+        scans={},
     ),
     # r13 (r12 verdict #3): the knn num_candidates tier — probe-cell
     # filter + cosine + TakeOrdered must stay ONE scan with zero
