@@ -3684,7 +3684,8 @@ def _rewrite_geo_sort(df: "DataFrame", sort: list,
                            "geo field")
         field, point = next(iter(gfields.items()))
         plat, plon = _parse_geo_point(point)
-        lat_c, lon_c = _geo_field_cols(field, F.col, columns)
+        lat_c, lon_c = _geo_field_cols(field, F.col, columns,
+                                       schema=df.schema)
         unit = opts.get("unit", "m")
         try:
             per_unit_km = parse_distance_km(f"1{unit}")

@@ -1349,7 +1349,7 @@ def _geo_bounds_envelope(df: DataFrame, body,
     if not isinstance(wrap, bool):
         raise DslError("geo_bounds wrap_longitude must be a boolean")
     lat_c, lon_c = _geo_field_cols(
-        field, F.col, schema_fields or df.columns)
+        field, F.col, schema_fields or df.columns, schema=df.schema)
     ok = lat_c.isNotNull() & lon_c.isNotNull()
     pos = ok & (lon_c >= 0)
     neg = ok & (lon_c < 0)
@@ -1396,7 +1396,7 @@ def _geo_centroid_envelope(df: DataFrame, body,
     if not field:
         raise DslError("geo_centroid requires a field")
     lat_c, lon_c = _geo_field_cols(
-        field, F.col, schema_fields or df.columns)
+        field, F.col, schema_fields or df.columns, schema=df.schema)
     ok = lat_c.isNotNull() & lon_c.isNotNull()
     r = df.agg(
         F.avg(F.when(ok, lat_c)).alias("lat"),
@@ -4149,7 +4149,8 @@ def run_aggs(
                 raise DslError("geohash_grid size must be a positive "
                                "integer")
             lat_c, lon_c = _geo_field_cols(
-                field, F.col, schema_fields or df.columns)
+                field, F.col, schema_fields or df.columns,
+                schema=df.schema)
             rows = (
                 df.filter(lat_c.isNotNull() & lon_c.isNotNull())
                 .groupBy(geohash(lat_c, lon_c, precision).alias("key"))
@@ -4193,7 +4194,8 @@ def run_aggs(
                 raise DslError("geotile_grid size must be a positive "
                                "integer")
             lat_c, lon_c = _geo_field_cols(
-                field, F.col, schema_fields or df.columns)
+                field, F.col, schema_fields or df.columns,
+                schema=df.schema)
             rows = (
                 df.filter(lat_c.isNotNull() & lon_c.isNotNull())
                 .groupBy(geotile(lat_c, lon_c, precision).alias("key"))
@@ -4242,7 +4244,8 @@ def run_aggs(
                     f"unknown geo_distance unit {unit!r}") from None
             plat, plon = _parse_geo_point(body["origin"])
             lat_c, lon_c = _geo_field_cols(
-                field, F.col, schema_fields or df.columns)
+                field, F.col, schema_fields or df.columns,
+                schema=df.schema)
             tmp = "__geo_distance_band"
             scoped = df.withColumn(
                 tmp,
@@ -4408,6 +4411,9 @@ def run_aggs(
             else:
                 out[name] = {"buckets": buckets}
         elif kind == "range":
+            if body.get("field") is None or not body.get("ranges"):
+                raise DslError(
+                    "range aggregation requires field and ranges")
             if sub:
                 # sub-trees under range bands (Kibana's banded
                 # drill-down): recurse per band over the band

@@ -2081,17 +2081,32 @@ def compile_dsl(
     raise DslError(f"unsupported query kind: {kind}")
 
 
-def _geo_field_cols(field: str, col, schema_fields) -> tuple:
+def _geo_field_cols(field: str, col, schema_fields,
+                    schema=None) -> tuple:
     """Resolve a geo_point field to (lat, lon) Columns: the
     parquet-native ``f_lat``/``f_lon`` column pair when both exist,
     else a struct column ``f`` with lat/lon subfields when ``f``
     exists; an entirely unmapped field is a named 400 (ES errors on
-    geo queries against unmapped fields too)."""
+    geo queries against unmapped fields too). With ``schema`` (a
+    StructType — the agg/sort paths have the DataFrame in hand) the
+    struct branch is TYPE-checked, so a geo agg on a plain numeric
+    column is a named 400 rather than a mid-plan AnalysisException."""
     f = str(field)
     if schema_fields is not None:
         if f"{f}_lat" in schema_fields and f"{f}_lon" in schema_fields:
             return col(f"{f}_lat"), col(f"{f}_lon")
         if f in schema_fields:
+            if schema is not None:
+                from pyspark.sql.types import StructType
+
+                dt = next((sf.dataType for sf in schema.fields
+                           if sf.name == f), None)
+                if not (isinstance(dt, StructType)
+                        and {"lat", "lon"} <= {x.name for x in dt.fields}):
+                    raise DslError(
+                        f"field {f!r} is not a geo_point (expected a "
+                        f"struct with lat/lon or a {f}_lat/{f}_lon "
+                        "pair)")
             base = col(f)
             return base["lat"], base["lon"]
         raise DslError(

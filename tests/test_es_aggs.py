@@ -1062,13 +1062,17 @@ def test_significant_terms_via_advanced_search(spark, tmp_path):
 def test_agg_errors_are_dsl_errors(docs):
     for bad in (
         {"x": {"terms": {"field": "lang"}, "histogram": {}}},  # two kinds
-        {"x": {"geo_bounds": {"field": "n_chars"}}},           # unsupported
+        # r13 late: geo_bounds exists now — on a NON-geo column it
+        # must still be a named 400 (type-checked), not a mid-plan
+        # AnalysisException; range+metric subs became supported, so
+        # the former range error case is a missing-ranges one
+        {"x": {"geo_bounds": {"field": "n_chars"}}},
         {"x": {"histogram": {"field": "n_chars", "interval": 0}}},
         {"x": {"date_histogram": {"field": "ts"}}},            # no interval
         {"x": {"date_histogram": {"field": "ts",
                                   "fixed_interval": "5fortnights"}}},
-        {"x": {"range": {"field": "n_chars", "ranges": [{"to": 1}],
-                         }, "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
+        {"x": {"range": {"field": "n_chars"},
+               "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
         {"x": {"avg": {}}},                                    # no field
     ):
         with pytest.raises(DslError):
