@@ -23,6 +23,12 @@ AUDITED = (
     "search_knn_ivf",
     "geo_grid_counts",
     "percolate_orders",
+    "geo_tile_counts",
+    "geo_rings_balance",
+    "geo_bounds_centroid",
+    "geo_nearest_topk",
+    "geo_distance_feature_rank",
+    "geo_polygon_members",
     "embed_cosine_topk",
     "streaming_window_counts",
     "events_range_join_prior",
