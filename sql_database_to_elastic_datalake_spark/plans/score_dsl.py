@@ -394,7 +394,7 @@ def _parse_origin_ts(origin) -> float:
 
 
 def _decay_column(kind: str, body: dict, resolver,
-                  is_date: bool) -> Column:
+                  is_date: bool, schema_fields=None) -> Column:
     """One decay spec ``{field: {origin, scale, offset, decay}}`` →
     the decay value in (0, 1]. Shapes follow ES exactly:
 
@@ -403,10 +403,13 @@ def _decay_column(kind: str, body: dict, resolver,
     - linear: max(0, (s - d')/s), s = scale/(1 - decay)
 
     with d' = max(0, |x - origin| - offset). Dates measure distance in
-    seconds (``unix_timestamp``). A missing/null field contributes the
-    NEUTRAL 1.0 (distance 0) — ES's own decay contract for missing
-    fields — which also makes a pattern table lacking the field rank
-    uniformly instead of erroring.
+    seconds (``unix_timestamp``); GEO fields (r13 late — detected by
+    the ``f_lat``/``f_lon`` pair convention in ``schema_fields``)
+    measure haversine km from an ES geo-point origin, with
+    scale/offset in the ES distance grammar ("10km"). A missing/null
+    field contributes the NEUTRAL 1.0 (distance 0) — ES's own decay
+    contract for missing fields — which also makes a pattern table
+    lacking the field rank uniformly instead of erroring.
     """
     if not isinstance(body, dict) or len(body) != 1:
         raise DslError(f"{kind} decay expects exactly one field")
@@ -421,6 +424,30 @@ def _decay_column(kind: str, body: dict, resolver,
     decay = float(spec.get("decay", 0.5))
     if not (0.0 < decay < 1.0):
         raise DslError(f"decay must be in (0, 1), got {decay}")
+
+    f = str(field)
+    if schema_fields is not None and f"{f}_lat" in schema_fields \
+            and f"{f}_lon" in schema_fields:
+        from sql_database_to_elastic_datalake_spark.functions.geo import (
+            haversine_km,
+            parse_distance_km,
+        )
+        from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+            _parse_geo_point,
+        )
+
+        plat, plon = _parse_geo_point(spec["origin"])
+        try:
+            scale = parse_distance_km(spec["scale"])
+            offset = parse_distance_km(spec.get("offset", 0))
+        except ValueError as ex:
+            raise DslError(f"geo {kind} decay: {ex}") from None
+        if scale <= 0:
+            raise DslError(
+                f"decay scale must be positive, got {scale}")
+        raw = haversine_km(resolver(f"{f}_lat"), resolver(f"{f}_lon"),
+                           F.lit(plat), F.lit(plon))
+        return _decay_shape(kind, raw, scale, offset, decay)
 
     c = resolver(str(field))
     if is_date:
@@ -441,15 +468,20 @@ def _decay_column(kind: str, body: dict, resolver,
                 "scale)") from None
     if scale <= 0:
         raise DslError(f"decay scale must be positive, got {scale}")
+    return _decay_shape(kind, F.abs(x - F.lit(origin)), scale, offset,
+                        decay)
 
+
+def _decay_shape(kind: str, raw_dist: Column, scale: float,
+                 offset: float, decay: float) -> Column:
+    """The shared decay shape over a raw distance Column (numeric/
+    date |x − origin|, geo haversine): d' = max(0, raw − offset),
+    null → distance 0 → decay 1.0 (the missing-field neutrality —
+    greatest() skips nulls and the coalesce pins the contract)."""
     import math
 
-    # greatest() skips nulls, so a null field value yields distance 0
-    # → decay 1.0 — exactly the missing-field neutrality we want; the
-    # coalesce pins that contract against any future reordering
     dist = F.coalesce(
-        F.greatest(F.abs(x - F.lit(origin)) - F.lit(offset),
-                   F.lit(0.0)),
+        F.greatest(raw_dist - F.lit(float(offset)), F.lit(0.0)),
         F.lit(0.0))
     if kind == "gauss":
         sigma_sq = -(scale * scale) / (2.0 * math.log(decay))
@@ -548,7 +580,8 @@ def _one_function(
                 f"{kinds[0]} decay expects exactly one field")
         fname = next(iter(decay_body))
         val = _decay_column(kinds[0], decay_body, resolver,
-                            is_date=str(fname) in date_fields)
+                            is_date=str(fname) in date_fields,
+                            schema_fields=schema_fields)
     if fn.get("weight") is not None:
         val = val * F.lit(float(fn["weight"]))
     return cond, val

@@ -527,3 +527,50 @@ def test_geo_polygon_shape_grid(service, spark):
     ]:
         with pytest.raises(DslError, match=frag):
             service.advanced_search(name, bad, k=1)
+
+
+def test_geo_decay_function_score(service, spark):
+    """r13 late: function_score gauss/exp/linear decay over a GEO
+    field — haversine distance, ES distance-grammar scale/offset;
+    null points decay to the neutral 1.0 like missing fields."""
+    name = _geo_table(service, spark, "data_lake_geodecay")
+    out = service.advanced_search(name, {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"gauss": {"loc": {
+            "origin": {"lat": 48.8566, "lon": 2.3522},
+            "scale": "2000km"}}}],
+        "boost_mode": "replace",
+    }}, k=7)
+    hits = out["hits"]["hits"]
+    scores = {h["_source"]["id"]: h["_score"] for h in hits}
+    # paris at the origin scores exactly 1.0; berlin (~878 km) decays
+    # by gauss: exp(-d^2/(2*sigma^2)), sigma^2 = -scale^2/(2 ln 0.5)
+    assert abs(scores[2] - 1.0) < 1e-9
+    sigma_sq = -(2000.0 ** 2) / (2.0 * math.log(0.5))
+    import math as _m
+    assert abs(scores[1] - _m.exp(-(878.4 ** 2) / (2 * sigma_sq))) < 2e-3
+    # the null-point doc scores the neutral 1.0 (missing-field rule)
+    assert abs(scores[7] - 1.0) < 1e-9
+    # ordering: paris/nulls at 1.0, then berlin, then the far cities
+    assert scores[1] > scores[3] > scores[4]
+    # linear decay hits exactly 0 beyond s = scale/(1-decay)
+    out = service.advanced_search(name, {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"linear": {"loc": {
+            "origin": "48.8566,2.3522", "scale": "100km",
+            "offset": "900km", "decay": 0.5}}}],
+        "boost_mode": "replace",
+    }}, k=7)
+    s2 = {h["_source"]["id"]: h["_score"]
+          for h in out["hits"]["hits"]}
+    assert s2[2] == 1.0 and s2[4] == 0.0  # paris inside offset; sydney far
+    # named 400: malformed geo scale
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+    with pytest.raises(DslError, match="decay"):
+        service.advanced_search(name, {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"gauss": {"loc": {
+                "origin": "0,0", "scale": "parsecs"}}}],
+        }}, k=1)
