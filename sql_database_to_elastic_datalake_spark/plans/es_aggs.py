@@ -175,6 +175,8 @@ _AGG_BODY_KEYS = {
                      "distance_type", "keyed"},
     "geo_bounds": {"field", "wrap_longitude"},
     "geo_centroid": {"field"},
+    "geo_line": {"point", "sort", "include_sort", "sort_order",
+                 "size"},
     "sampler": {"shard_size"},
     "diversified_sampler": {"shard_size", "field",
                             "max_docs_per_value", "execution_hint"},
@@ -1326,6 +1328,70 @@ def matrix_stats_frame(df: DataFrame, body) -> DataFrame:
                 (cross / F.sqrt(css[f] * css[g]))
                 .alias(f"corr_{f}_{g}"))
     return agg.select(*out)
+
+
+def _geo_line_envelope(df: DataFrame, body,
+                       schema_fields=None) -> dict:
+    """The ES ``geo_line`` response: a GeoJSON Feature whose
+    LineString connects each doc's point in ``sort``-field order —
+    the vessel-track / GPS-trail aggregation. One
+    ``sort_array(collect_list(struct(sort, lon, lat)))`` agg job;
+    docs missing the point or the sort value are excluded (ES
+    requires both); ``size`` (ES cap 10000) keeps the first points
+    in sort order and truncation sets ``properties.complete`` false,
+    like ES."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _geo_field_cols,
+    )
+
+    point = body.get("point")
+    sort = body.get("sort")
+    if not (isinstance(point, dict) and point.get("field")):
+        raise DslError("geo_line requires point.field")
+    if not (isinstance(sort, dict) and sort.get("field")):
+        raise DslError("geo_line requires sort.field")
+    order = str(body.get("sort_order", "asc")).lower()
+    if order not in ("asc", "desc"):
+        raise DslError(f"unknown geo_line sort_order {order!r}")
+    size = body.get("size", 10000)
+    if isinstance(size, bool) or not isinstance(size, int) \
+            or not 1 <= size <= 10000:
+        raise DslError(
+            "geo_line size must be an integer in [1, 10000] (the ES "
+            "cap — it bounds the driver transfer here too)")
+    include_sort = body.get("include_sort", False)
+    if not isinstance(include_sort, bool):
+        raise DslError("geo_line include_sort must be a boolean")
+    lat_c, lon_c = _geo_field_cols(
+        point["field"], F.col, schema_fields or df.columns,
+        schema=df.schema)
+    sort_c = F.col(str(sort["field"]))
+    ok = lat_c.isNotNull() & lon_c.isNotNull() & sort_c.isNotNull()
+    r = df.agg(
+        F.sort_array(
+            F.collect_list(F.when(ok, F.struct(
+                sort_c.alias("s"),
+                lon_c.cast("double").alias("lon"),
+                lat_c.cast("double").alias("lat")))),
+            asc=(order == "asc"),
+        ).alias("pts"),
+    ).collect()[0]
+    pts = r["pts"] or []
+    complete = len(pts) <= size
+    pts = pts[:size]
+    out: dict[str, Any] = {
+        "type": "Feature",
+        "geometry": {
+            "type": "LineString",
+            "coordinates": [[p["lon"], p["lat"]] for p in pts],
+        },
+        "properties": {"complete": complete},
+    }
+    if include_sort:
+        sv = [p["s"] for p in pts]
+        out["properties"]["sort_values"] = [
+            _key_envelope(v) for v in sv]
+    return out
 
 
 def _geo_bounds_envelope(df: DataFrame, body,
@@ -4057,6 +4123,17 @@ def run_aggs(
             if sub:
                 raise DslError("matrix_stats takes no sub-aggregations")
             out[name] = _matrix_stats_envelope(df, body)
+            continue
+        if kind == "geo_line":
+            # r13 late: ES's track/path agg — points connected into a
+            # GeoJSON LineString ordered by a sort field. ONE
+            # sort_array(collect_list(struct)) agg job; the transfer
+            # is bounded by ES's own 10k size cap, truncation is
+            # flagged via properties.complete exactly like ES.
+            if sub:
+                raise DslError("geo_line takes no sub-aggregations")
+            check_agg_keys(kind, body)
+            out[name] = _geo_line_envelope(df, body, schema_fields)
             continue
         if kind in ("geo_bounds", "geo_centroid"):
             # r13 late: geo metric aggs — ONE df.agg job each, pure

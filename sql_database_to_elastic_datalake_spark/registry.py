@@ -7718,6 +7718,50 @@ def geo_polygon_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_decay_rank",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey,
+               {_GEO_SQL_LAT} AS lat, {_GEO_SQL_LON} AS lon
+        FROM customer
+    ),
+    d AS (SELECT c_custkey,
+                 exp(-(({_GEO_SQL_DIST}) * ({_GEO_SQL_DIST}))
+                     / (2.0 * (-(2000.0 * 2000.0) / (2.0 * ln(0.5)))))
+                 AS score
+          FROM g)
+    SELECT c_custkey, round(score, 9) AS score
+    FROM d ORDER BY score DESC, c_custkey LIMIT 15
+    """,
+)
+def geo_decay_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` gauss decay over a GEO field (r13 late):
+    exp(−d²/2σ²) with σ² = −scale²/(2 ln decay), d = haversine to
+    (25°N, 45°E), scale 2000 km — the "boost nearby" ranking as a
+    top-15 page. Scores rounded at the output boundary
+    (transcendental); one scan, TakeOrdered."""
+    from sql_database_to_elastic_datalake_spark.plans.score_dsl import (
+        _decay_column,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = _derived_lat_lon(F.col("c_custkey"))
+    base = cust.select("c_custkey", lat.alias("loc_lat"),
+                       lon.alias("loc_lon"))
+    score = _decay_column(
+        "gauss", {"loc": {"origin": {"lat": 25.0, "lon": 45.0},
+                          "scale": "2000km"}},
+        F.col, is_date=False,
+        schema_fields=["loc_lat", "loc_lon"])
+    return (
+        base.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("c_custkey").asc())
+        .limit(15)
+        .select("c_custkey", F.round("score", 9).alias("score"))
+    )
+
+
+@register(
     "geo_distance_feature_rank",
     oracle=f"""
     WITH g AS (
@@ -7843,6 +7887,7 @@ _CHECK_FIRST = [
     "geo_nearest_topk",            # r13 NEW (late): _geo_distance sort
     "geo_distance_feature_rank",   # r13 NEW (late): geo decay scoring
     "geo_polygon_members",         # r13 NEW (late): ray-cast polygon
+    "geo_decay_rank",              # r13 NEW (late): gauss geo decay
     # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
     #    queries retire first, then 29 of the 42 r8-era ones — after
     #    this window nothing in the registry carries driver evidence
@@ -7866,7 +7911,7 @@ _CHECK_FIRST = [
     "q6_forecast_revenue",
     "string_functions_family",
     "window_value_family",
-    # r8-era tier (19 of 42; 10 slots ceded to the new r13 queries —
+    # r8-era tier (18 of 42; 11 slots ceded to the new r13 queries —
     # the leftovers are r14's owed window)
     "search_dsl_query_string",
     "search_dsl_simple_qs",
@@ -7886,7 +7931,6 @@ _CHECK_FIRST = [
     "search_aggs_range_buckets",
     "search_aggs_terms_filter",
     "search_aggs_filter_buckets",
-    "search_aggs_global",
 ]
 
 

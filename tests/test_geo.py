@@ -574,3 +574,54 @@ def test_geo_decay_function_score(service, spark):
             "functions": [{"gauss": {"loc": {
                 "origin": "0,0", "scale": "parsecs"}}}],
         }}, k=1)
+
+
+def test_geo_line_agg(service, spark):
+    """r13 late: geo_line — points connected into a GeoJSON
+    LineString in sort order; truncation flags complete=false; docs
+    missing point or sort are excluded."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    spark.createDataFrame(
+        [(1, 3, 10.0, 1.0), (2, 1, 30.0, 3.0), (3, 2, 20.0, 2.0),
+         (4, 4, None, None), (5, None, 40.0, 4.0)],
+        "id long, seq long, p_lat double, p_lon double",
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_track"))
+    out = service.advanced_search("data_lake_track", {"match_all": {}},
+                                  k=0, aggs={"trk": {"geo_line": {
+                                      "point": {"field": "p"},
+                                      "sort": {"field": "seq"},
+                                      "include_sort": True}}})
+    trk = out["aggregations"]["trk"]
+    assert trk["geometry"]["type"] == "LineString"
+    # seq order 1,2,3 -> coords [lon, lat]; ids 4 (null point) and 5
+    # (null sort) excluded
+    assert trk["geometry"]["coordinates"] == [
+        [3.0, 30.0], [2.0, 20.0], [1.0, 10.0]]
+    assert trk["properties"] == {"complete": True,
+                                 "sort_values": [1, 2, 3]}
+    # desc + size truncation flags complete False
+    out = service.advanced_search("data_lake_track", {"match_all": {}},
+                                  k=0, aggs={"trk": {"geo_line": {
+                                      "point": {"field": "p"},
+                                      "sort": {"field": "seq"},
+                                      "sort_order": "desc",
+                                      "size": 2}}})
+    trk = out["aggregations"]["trk"]
+    assert trk["geometry"]["coordinates"] == [[1.0, 10.0], [2.0, 20.0]]
+    assert trk["properties"]["complete"] is False
+    # named 400s: missing sort, bad size, subs
+    for bad in [
+        {"trk": {"geo_line": {"point": {"field": "p"}}}},
+        {"trk": {"geo_line": {"point": {"field": "p"},
+                              "sort": {"field": "seq"},
+                              "size": 20000}}},
+        {"trk": {"geo_line": {"point": {"field": "p"},
+                              "sort": {"field": "seq"}},
+                 "aggs": {"m": {"avg": {"field": "seq"}}}}},
+    ]:
+        with pytest.raises(DslError):
+            service.advanced_search("data_lake_track",
+                                    {"match_all": {}}, k=0, aggs=bad)
