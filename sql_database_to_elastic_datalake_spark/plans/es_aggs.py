@@ -177,6 +177,10 @@ _AGG_BODY_KEYS = {
     "geo_centroid": {"field"},
     "geo_line": {"point", "sort", "include_sort", "sort_order",
                  "size"},
+    # r13 late: rate — only valid under a date_histogram (enforced in
+    # the branch); `unit` beyond week is a named 400 (calendar UNITS
+    # have no fixed second count; calendar bucket SPANS are handled)
+    "rate": {"field", "unit", "mode"},
     "sampler": {"shard_size"},
     "diversified_sampler": {"shard_size", "field",
                             "max_docs_per_value", "execution_hint"},
@@ -334,6 +338,63 @@ def _metric_source(body: dict) -> Column:
     if body.get("missing") is not None:
         return F.coalesce(c, F.lit(body["missing"]))
     return c
+
+
+_RATE_UNIT_SECONDS = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
+                      "day": 86400.0, "week": 604800.0}
+
+
+def _rate_unit_seconds(unit) -> float:
+    """Seconds per rate unit. Calendar units (month/quarter/year) have
+    no fixed second count — a named 400 rather than ES's own
+    fixed-ms approximation (divide by day and scale client-side)."""
+    u = str(unit)
+    if u not in _RATE_UNIT_SECONDS:
+        raise DslError(
+            f"unsupported rate unit {u!r} (second/minute/hour/day/"
+            "week; calendar units have no fixed length)")
+    return _RATE_UNIT_SECONDS[u]
+
+
+def _bucket_span_seconds(key, body: dict) -> float:
+    """The CALENDAR span of one date_histogram bucket in seconds —
+    next bucket start minus this one, computed in the histogram's
+    time_zone so 28-vs-31-day months and 23/25-hour DST days divide
+    correctly. ``key`` is the bucket-start instant the frame
+    returned (naive UTC datetime)."""
+    fixed = body.get("fixed_interval")
+    if fixed is not None:
+        m = _FIXED_RE.match(str(fixed))
+        return float(m.group(1)) * _FIXED_SECS[m.group(2)]
+    unit = _CALENDAR_TRUNC[str(body.get("calendar_interval"))]
+    tz = _check_time_zone(body.get("time_zone"))
+    from zoneinfo import ZoneInfo
+
+    if tz and not re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
+        zone = ZoneInfo(tz)
+    elif tz:
+        sign = 1 if tz[0] == "+" else -1
+        zone = _dt.timezone(sign * _dt.timedelta(
+            hours=int(tz[1:3]), minutes=int(tz[4:6])))
+    else:
+        zone = _dt.timezone.utc
+    start_utc = key.replace(tzinfo=_dt.timezone.utc)
+    local = start_utc.astimezone(zone).replace(tzinfo=None)
+    if unit == "month":
+        t = local.year * 12 + (local.month - 1) + 1
+        nxt = local.replace(year=t // 12, month=t % 12 + 1)
+    elif unit == "quarter":
+        t = local.year * 12 + (local.month - 1) + 3
+        nxt = local.replace(year=t // 12, month=t % 12 + 1)
+    elif unit == "year":
+        nxt = local.replace(year=local.year + 1)
+    elif unit == "week":
+        nxt = local + _dt.timedelta(days=7)
+    else:
+        nxt = local + _dt.timedelta(
+            seconds=_RATE_UNIT_SECONDS[unit])
+    next_utc = nxt.replace(tzinfo=zone).astimezone(_dt.timezone.utc)
+    return (next_utc - start_utc).total_seconds()
 
 
 def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
@@ -4456,16 +4517,64 @@ def run_aggs(
                 n: s for n, s in sub.items()
                 if _agg_kind(s) == "cumulative_cardinality"
             }
+            # r13 late: the rate agg — ES allows it only under a
+            # date_histogram (or composite date source). Each rate
+            # rewrites to its sum/value_count component riding the
+            # same frame; the per-bucket division by
+            # bucket_span/unit happens driver-side where the bucket
+            # key (and so the CALENDAR span — 28 vs 31-day months,
+            # DST days) is known.
+            rates = {
+                n: s for n, s in sub.items()
+                if _agg_kind(s) == "rate"
+            }
+            if rates and kind != "date_histogram":
+                raise DslError(
+                    "rate can only be used inside a date_histogram "
+                    "aggregation (ES's own constraint)")
             sub = {n: s for n, s in sub.items()
-                   if n not in parent_pipes and n not in cum_cards}
+                   if n not in parent_pipes and n not in cum_cards
+                   and n not in rates}
+            rate_comp: dict[str, str | None] = {}
+            for n, s in rates.items():
+                rb = s["rate"]
+                check_agg_keys("rate", rb)
+                mode = rb.get("mode", "sum")
+                if mode not in ("sum", "value_count"):
+                    raise DslError(
+                        f"unknown rate mode {mode!r}")
+                if rb.get("field") is not None:
+                    mk = ("sum" if mode == "sum" else "value_count")
+                    sub[f"__rate_{n}"] = {mk: {"field": rb["field"]}}
+                    rate_comp[n] = f"__rate_{n}"
+                else:
+                    rate_comp[n] = None  # doc_count-based rate
             rows = histogram_frame(df, kind, body, sub).collect()
             buckets = []
             for r in rows:
+                vis = {n: s for n, s in sub.items()
+                       if not n.startswith("__rate_")}
                 b = {"key": _key_envelope(r["key"]),
                      "doc_count": r["doc_count"],
-                     **_metric_envelope(r, sub)}
+                     **_metric_envelope(r, vis)}
                 if isinstance(r["key"], _dt.datetime):
                     b["key_as_string"] = _key_as_string(r["key"], body)
+                for n, comp in rate_comp.items():
+                    if comp is None:
+                        raw = float(r["doc_count"])
+                    else:
+                        v = r[comp]
+                        raw = float(v) if v is not None else 0.0
+                    unit = rates[n]["rate"].get("unit")
+                    if unit is None:
+                        # ES default: the rate unit IS the histogram
+                        # interval — the value is the bucket's own
+                        # sum/count
+                        b[n] = {"value": raw}
+                    else:
+                        span = _bucket_span_seconds(r["key"], body)
+                        b[n] = {"value": raw * _rate_unit_seconds(unit)
+                                / span if span else 0.0}
                 buckets.append(b)
             if cum_cards:
                 # applied BEFORE the generic pipelines so a

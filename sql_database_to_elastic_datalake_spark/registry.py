@@ -7718,6 +7718,62 @@ def geo_polygon_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rate_events_per_day",
+    oracle="""
+    WITH spread AS (
+        SELECT ts + (user_id % 4) * INTERVAL 1 MONTH AS ts2, value
+        FROM events WHERE ts IS NOT NULL
+    ),
+    b AS (
+        SELECT date_trunc('month', ts2) AS key,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               SUM(value) AS sum_value
+        FROM spread GROUP BY 1
+    )
+    SELECT key, doc_count,
+           round(doc_count * 86400.0 /
+               (epoch(key + INTERVAL 1 MONTH) - epoch(key)), 6)
+               AS docs_per_day,
+           round(sum_value * 86400.0 /
+               (epoch(key + INTERVAL 1 MONTH) - epoch(key)), 6)
+               AS value_per_day
+    FROM b ORDER BY key
+    """,
+)
+def rate_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rate`` under a monthly ``date_histogram`` (r13 late):
+    docs/day and sum(value)/day per CALENDAR month — the spans divide
+    by 29 (leap Feb), 30, and 31 real days, which is the whole point
+    of the agg (the API path computes the same division driver-side
+    in run_aggs; this DataFrame twin keeps it in column algebra).
+    Events are month-spread via interval arithmetic so the lake's
+    single-month window still yields varying spans. Rates rounded at
+    the boundary (double sums differ in last ULPs across engines)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        histogram_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()).withColumn(
+        "ts2", F.expr(
+            "ts + make_interval(0, CAST(user_id % 4 AS INT))"))
+    frame = histogram_frame(
+        ev, "date_histogram",
+        {"field": "ts2", "calendar_interval": "month"},
+        {"sum_value": {"sum": {"field": "value"}}},
+    )
+    span = (F.unix_timestamp(F.col("key") + F.expr("INTERVAL 1 MONTH"))
+            - F.unix_timestamp("key")).cast("double")
+    return frame.select(
+        "key", "doc_count",
+        F.round(F.col("doc_count") * 86400.0 / span, 6)
+        .alias("docs_per_day"),
+        F.round(F.col("sum_value") * 86400.0 / span, 6)
+        .alias("value_per_day"),
+    )
+
+
+@register(
     "geo_decay_rank",
     oracle=f"""
     WITH g AS (
@@ -7888,6 +7944,7 @@ _CHECK_FIRST = [
     "geo_distance_feature_rank",   # r13 NEW (late): geo decay scoring
     "geo_polygon_members",         # r13 NEW (late): ray-cast polygon
     "geo_decay_rank",              # r13 NEW (late): gauss geo decay
+    "rate_events_per_day",         # r13 NEW (late): calendar rate agg
     # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
     #    queries retire first, then 29 of the 42 r8-era ones — after
     #    this window nothing in the registry carries driver evidence
@@ -7911,7 +7968,7 @@ _CHECK_FIRST = [
     "q6_forecast_revenue",
     "string_functions_family",
     "window_value_family",
-    # r8-era tier (18 of 42; 11 slots ceded to the new r13 queries —
+    # r8-era tier (17 of 42; 12 slots ceded to the new r13 queries —
     # the leftovers are r14's owed window)
     "search_dsl_query_string",
     "search_dsl_simple_qs",
@@ -7930,7 +7987,6 @@ _CHECK_FIRST = [
     "search_rescore_window",
     "search_aggs_range_buckets",
     "search_aggs_terms_filter",
-    "search_aggs_filter_buckets",
 ]
 
 

@@ -2822,3 +2822,68 @@ def test_matrix_stats_errors(docs):
         run_aggs(docs, {"m": {
             "matrix_stats": {"fields": ["n_chars", "doc_id"]},
             "aggs": {"x": {"avg": {"field": "n_chars"}}}}})
+
+
+def test_rate_agg_under_date_histogram(spark, docs):
+    """r13 late: the rate agg — sum/value_count/doc_count rates per
+    bucket, calendar-aware spans (leap Feb = 29 days), ES's
+    under-date-histogram-only constraint, named 400s."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          (1, TIMESTAMP '2024-01-05 00:00:00', CAST(10.0 AS DOUBLE)),
+          (2, TIMESTAMP '2024-01-25 00:00:00', CAST(21.0 AS DOUBLE)),
+          (3, TIMESTAMP '2024-02-10 00:00:00', CAST(29.0 AS DOUBLE)),
+          (4, TIMESTAMP '2024-02-11 00:00:00', NULL)
+        AS t(id, ts, v)
+    """)
+    out = run_aggs(df, {"m": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {
+            "r_sum": {"rate": {"field": "v", "unit": "day"}},
+            "r_cnt": {"rate": {"unit": "day"}},
+            "r_vc": {"rate": {"field": "v", "unit": "day",
+                              "mode": "value_count"}},
+            "r_def": {"rate": {"field": "v"}},
+            "plain": {"sum": {"field": "v"}},
+        }}})
+    b = out["m"]["buckets"]
+    # jan: sum 31 over 31 days -> 1.0/day; 2 docs; feb (leap): sum 29
+    # over 29 days -> 1.0/day; value_count 1 (null v excluded)
+    assert abs(b[0]["r_sum"]["value"] - 1.0) < 1e-12
+    assert abs(b[0]["r_cnt"]["value"] - 2.0 / 31.0) < 1e-12
+    assert abs(b[1]["r_sum"]["value"] - 1.0) < 1e-12
+    assert abs(b[1]["r_cnt"]["value"] - 2.0 / 29.0) < 1e-12
+    assert abs(b[1]["r_vc"]["value"] - 1.0 / 29.0) < 1e-12
+    # unit omitted: the bucket's own sum (ES default)
+    assert abs(b[0]["r_def"]["value"] - 31.0) < 1e-12
+    # ordinary metrics still ride the same frame
+    assert abs(b[0]["plain"]["value"] - 31.0) < 1e-12
+    # named 400s: rate at top level / under terms, calendar unit,
+    # bad mode
+    for bad, frag in [
+        ({"r": {"rate": {"field": "v"}}}, "aggregation"),
+        ({"t": {"terms": {"field": "id"},
+                "aggs": {"r": {"rate": {"field": "v"}}}}}, "rate"),
+        ({"m": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "month"},
+                "aggs": {"r": {"rate": {"field": "v",
+                                        "unit": "month"}}}}},
+         "rate unit"),
+        ({"m": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "month"},
+                "aggs": {"r": {"rate": {"field": "v",
+                                        "mode": "avg"}}}}},
+         "rate mode"),
+        ({"h": {"histogram": {"field": "id", "interval": 1},
+                "aggs": {"r": {"rate": {"field": "v"}}}}},
+         "date_histogram"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            run_aggs(df, bad)
