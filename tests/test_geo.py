@@ -625,3 +625,26 @@ def test_geo_line_agg(service, spark):
         with pytest.raises(DslError):
             service.advanced_search("data_lake_track",
                                     {"match_all": {}}, k=0, aggs=bad)
+
+
+def test_geo_centroid_under_distance_rings(service, spark):
+    """r13 late lock-in: geo metric aggs ride the per-band recursion —
+    a geo_distance ring with a geo_centroid/geo_bounds sub gives the
+    per-ring centroid/box (the Kibana Maps drill-down shape)."""
+    name = _geo_table(service, spark, "data_lake_georings2")
+    out = service.advanced_search(name, {"match_all": {}}, k=0, aggs={
+        "rings": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 48.8566, "lon": 2.3522},
+            "ranges": [{"to": 1000}, {"from": 1000}], "unit": "km"},
+            "aggs": {"c": {"geo_centroid": {"field": "loc"}},
+                     "b": {"geo_bounds": {"field": "loc"}}}},
+    })
+    rings = out["aggregations"]["rings"]["buckets"]
+    near, far = rings[0], rings[1]
+    # near ring = paris + berlin
+    assert near["doc_count"] == 2 and near["c"]["count"] == 2
+    assert abs(near["c"]["location"]["lat"]
+               - (48.8566 + 52.52) / 2) < 1e-9
+    assert near["b"]["bounds"]["top_left"]["lat"] == 52.52
+    # far ring holds the other four real points
+    assert far["doc_count"] == 4 and far["c"]["count"] == 4
