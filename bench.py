@@ -239,6 +239,34 @@ BASELINE_RESETS = {
 }
 
 
+#: Canary gate (r14, r13 verdict #1): an artifact-of-record captured
+#: on a contended host is WORSE than no artifact — r13 committed a
+#: canary-1.276 sf1 record carrying an unreproducible 9.6x reading on
+#: a code-untouched member. The canary exists to detect contamination;
+#: this makes it act: in the committed-artifact modes (--sf1 / --all)
+#: a canary ratio above the threshold refuses to emit (nonzero exit,
+#: ratio printed) so a contended reading can never become the record.
+#: The driver's plain per-round run is NOT gated — refusing there
+#: would leave the round without any bench evidence, and the judge
+#: already canary-adjusts that window. ``--allow-contended`` exists
+#: for diagnosis only; artifacts recorded with it must say so.
+CANARY_GATE_THRESHOLD = 1.1
+
+
+def check_canary_gate(ratio, record_mode: bool,
+                      allow_contended: bool = False,
+                      threshold: float = CANARY_GATE_THRESHOLD) -> None:
+    """Refuse (SystemExit, nonzero) a contended artifact-of-record."""
+    if not record_mode or ratio is None or allow_contended:
+        return
+    if ratio > threshold:
+        raise SystemExit(
+            f"canary ratio {ratio:.3f} > {threshold} — host is "
+            "contended; refusing to emit an artifact of record. "
+            "Re-run on a quiet host (or pass --allow-contended for a "
+            "diagnostic, non-record run).")
+
+
 def _state_store_tag(spark) -> str:
     """The session's streaming state-store provider as a short tag for
     the bench artifact ("rocksdb" / "hdfs" / the raw class name)."""
@@ -394,6 +422,20 @@ def main() -> None:
             sum(timings[q] for q in SF1_CANARY_PINS)
             / sum(SF1_CANARY_PINS.values()), 3)
         out["canary_queries"] = sorted(SF1_CANARY_PINS)
+    allow_contended = "--allow-contended" in sys.argv[1:]
+    if allow_contended:
+        out["allow_contended"] = True  # diagnostic run, NOT a record
+    try:
+        check_canary_gate(out.get("canary_ratio"),
+                          record_mode=(sf1_mode or all_members),
+                          allow_contended=allow_contended)
+    except SystemExit:
+        # the timings are still useful for diagnosis — emit them on
+        # stderr (never stdout: the one-JSON-line stdout contract is
+        # what artifact tooling captures) and exit nonzero
+        print(json.dumps({**out, "artifact_of_record": False}),
+              file=sys.stderr)
+        raise
     print(json.dumps(out))
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from sql_database_to_elastic_datalake_spark.fs import path_exists
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
     DslError,
+    GeoResolutionError,
     NotFoundError,
     compile_dsl,
 )
@@ -382,7 +383,7 @@ class LakeService:
                     else F.lit(None).cast("string"))
 
         pred = compile_dsl(dsl, field_resolver=resolve,
-                           schema_fields=df.columns)
+                           schema_fields=df.schema)
         matched = F.coalesce(pred, F.lit(False))
         deleted = int(df.filter(matched).count())
         if deleted:
@@ -439,7 +440,7 @@ class LakeService:
 
         pred = (F.lit(True) if dsl is None else
                 F.coalesce(compile_dsl(dsl, field_resolver=resolve,
-                                       schema_fields=df.columns),
+                                       schema_fields=df.schema),
                            F.lit(False)))
         out = df.withColumn("__match", pred)
         updated = int(out.filter(F.col("__match")).count())
@@ -501,7 +502,7 @@ class LakeService:
                         else F.lit(None).cast("string"))
             df = df.filter(F.coalesce(
                 compile_dsl(q, field_resolver=resolve,
-                            schema_fields=df.columns), F.lit(False)))
+                            schema_fields=df.schema), F.lit(False)))
         script = body.get("script")
         if script is not None:
             if not isinstance(script, dict):
@@ -881,10 +882,10 @@ class LakeService:
         pred = None
         if knn.get("filter") is not None:
             pred = compile_dsl(knn["filter"], field_resolver=resolve,
-                               schema_fields=df.columns)
+                               schema_fields=df.schema)
         if dsl is not None and dsl != {"match_all": {}}:
             qpred = compile_dsl(dsl, field_resolver=resolve,
-                                schema_fields=df.columns)
+                                schema_fields=df.schema)
             pred = qpred if pred is None else (pred & qpred)
         # ES returns at most knn.k hits when knn is the only query —
         # fetch exactly kk candidates so both the page and the total
@@ -1264,7 +1265,7 @@ class LakeService:
                 elif kind == "distance_feature":
                     pred, score, ms = distance_feature_columns(
                         body, resolve, date_fields,
-                        schema_fields=df.columns)
+                        schema_fields=df.schema)
                 elif kind == "script_score":
                     pred, score, ms = script_score_columns(
                         body, resolve, df.columns)
@@ -1277,10 +1278,10 @@ class LakeService:
 
                     pred = compile_dsl(
                         dsl, field_resolver=resolve,
-                        schema_fields=df.columns)
+                        schema_fields=df.schema)
                     score = compile_score(
                         dsl, field_resolver=resolve,
-                        schema_fields=df.columns)
+                        schema_fields=df.schema)
                     ms = None
             except DslError:
                 raise
@@ -1335,14 +1336,14 @@ class LakeService:
                     fgp = fgp & (score >= F.lit(ms))
                 aggregations = run_aggs(
                     scored.drop("_score"), aggs,
-                    schema_fields=df.columns, background=df,
+                    schema_fields=df.schema, background=df,
                     background_pred=fgp)
             if suggest:
                 suggestions = _run_suggest(df, suggest)
             if post_filter is not None:
                 scored = scored.filter(compile_dsl(
                     post_filter, field_resolver=resolve,
-                    schema_fields=df.columns))
+                    schema_fields=df.schema))
             if k == 0:
                 if track_total_hits is not False:
                     total_value += scored.count()
@@ -2029,8 +2030,8 @@ class LakeService:
             (c for c in df.columns if c.endswith("_id")), None)
         if idc is None:
             raise DslError(f"table {table!r} has no id column")
-        pred = compile_dsl(query, schema_fields=list(df.columns))
-        score = compile_score(query, schema_fields=list(df.columns))
+        pred = compile_dsl(query, schema_fields=df.schema)
+        score = compile_score(query, schema_fields=df.schema)
         probes = [pred.cast("boolean").alias("__m"),
                   score.cast("double").alias("__s")]
         clause_descs: list[tuple[str, bool]] = []
@@ -2044,7 +2045,7 @@ class LakeService:
                 for spec in (specs if isinstance(specs, list)
                              else [specs]):
                     cp = compile_dsl(spec,
-                                     schema_fields=list(df.columns))
+                                     schema_fields=df.schema)
                     if occur == "must_not":
                         cp = ~F.coalesce(cp, F.lit(False))
                     i = len(clause_descs)
@@ -2054,7 +2055,7 @@ class LakeService:
                     if scored:
                         probes.append(
                             compile_score(
-                                spec, schema_fields=list(df.columns))
+                                spec, schema_fields=df.schema)
                             .cast("double").alias(f"__cs{i}"))
                     clause_descs.append((
                         f"{occur}: {_json.dumps(spec, sort_keys=True)}",
@@ -2506,7 +2507,7 @@ class LakeService:
 
             try:
                 pred = compile_dsl(dsl, field_resolver=resolve,
-                                   schema_fields=df.columns)
+                                   schema_fields=df.schema)
                 matched = df.filter(pred)
             except DslError:
                 raise
@@ -2519,7 +2520,7 @@ class LakeService:
                     import run_aggs
 
                 aggregations = run_aggs(matched, aggs,
-                                        schema_fields=df.columns,
+                                        schema_fields=df.schema,
                                         background=df,
                                         background_pred=pred)
             if suggest:
@@ -2531,7 +2532,7 @@ class LakeService:
                 # scope ABOVE; hits and totals see query AND post_filter
                 matched = matched.filter(
                     compile_dsl(post_filter, field_resolver=resolve,
-                                schema_fields=df.columns))
+                                schema_fields=df.schema))
             if sort:
                 tsort = sort
                 if any(isinstance(s, dict) and "_geo_distance" in s
@@ -3093,7 +3094,7 @@ def _rescore_expr(rescore: dict | None, df: "DataFrame"):
     # r12: boosts (leaf + per-field ^suffix) are honored — the score
     # compiler shares the leaf semantics with the ranked pages
     return compile_score(rq, field_resolver=resolve,
-                         schema_fields=df.columns).cast("double")
+                         schema_fields=df.schema).cast("double")
 
 
 def _rescore_match_expr(rescore: dict | None, df: "DataFrame"):
@@ -3125,7 +3126,7 @@ def _rescore_match_expr(rescore: dict | None, df: "DataFrame"):
 
     return F.coalesce(
         compile_dsl(rq, field_resolver=resolve,
-                    schema_fields=df.columns),
+                    schema_fields=df.schema),
         F.lit(False))
 
 
@@ -4445,6 +4446,12 @@ def create_app(service: LakeService, entities: dict[str, "DataFrame"] | None = N
             compile_dsl(body["query"],
                         field_resolver=lambda f:
                         F.lit(None).cast("string"))
+        except GeoResolutionError:
+            # r14 (ADVICE): geo leaves are TOLERATED at store time —
+            # whether the field resolves to a geo_point is a property
+            # of the table percolated against, unknown here; match
+            # time still raises the named 400 on a non-geo target
+            pass
         except DslError as ex:
             return jsonify({"error": str(ex)}), 400
         service.percolator_queries[pid] = body["query"]

@@ -67,7 +67,14 @@ def geohash(lat: Column, lon: Column, precision: int = 5) -> Column:
     exact arithmetic: scale each coordinate to its bit range, floor,
     clamp, interleave bits (lon first, per the spec), then decode 5-bit
     groups through the base32 alphabet. No transcendentals — the SQL
-    oracle replays it bit-for-bit (see geo queries in the registry)."""
+    oracle replays it bit-for-bit (see geo queries in the registry).
+
+    NULL inputs propagate to a NULL hash (r14, ADVICE): the clamps use
+    F.least/F.greatest, which IGNORE nulls, so without the outer
+    when() a null lat/lon would collapse to an edge/corner cell
+    (all-ones hash) and a geo_grid query against that cell would
+    spuriously match docs missing the field — ES never matches absent
+    fields."""
     if not 1 <= int(precision) <= 8:
         raise ValueError("geohash precision must be in [1, 8]")
     precision = int(precision)
@@ -106,7 +113,8 @@ def geohash(lat: Column, lon: Column, precision: int = 5) -> Column:
         )
         for i in range(precision)
     ]
-    return F.concat(*chars)
+    return F.when(lat.isNull() | lon.isNull(),
+                  F.lit(None).cast("string")).otherwise(F.concat(*chars))
 
 
 def bbox_predicate(lat: Column, lon: Column,
@@ -184,7 +192,10 @@ def geotile(lat: Column, lon: Column, zoom: int) -> Column:
     tile edge for libm differences to flip its cell (the registry's
     0.1°-grid synthetic coordinates sit far from every edge at the
     registered zoom). Latitudes are clamped to ±85.05112878° like ES;
-    indexes clamp into [0, 2^z) against rounding drift."""
+    indexes clamp into [0, 2^z) against rounding drift. NULL inputs
+    propagate to a NULL key (r14, ADVICE — the least/greatest clamps
+    ignore nulls, so a null coordinate would otherwise land in an edge
+    tile and spuriously match a geo_grid query on that cell)."""
     if not 0 <= int(zoom) <= 29:
         raise ValueError("geotile_grid precision must be in [0, 29]")
     zoom = int(zoom)
@@ -200,9 +211,11 @@ def geotile(lat: Column, lon: Column, zoom: int) -> Column:
         / F.lit(2.0) * F.lit(n))
     clamp = lambda c: F.greatest(  # noqa: E731
         F.least(c.cast("long"), F.lit((1 << zoom) - 1)), F.lit(0))
-    return F.concat_ws("/", F.lit(str(zoom)),
-                       clamp(x).cast("string"),
-                       clamp(y).cast("string"))
+    return F.when(lat.isNull() | lon.isNull(),
+                  F.lit(None).cast("string")).otherwise(
+        F.concat_ws("/", F.lit(str(zoom)),
+                    clamp(x).cast("string"),
+                    clamp(y).cast("string")))
 
 
 def geotile_py(lat: float, lon: float, zoom: int) -> str:

@@ -1395,12 +1395,14 @@ def _geo_line_envelope(df: DataFrame, body,
                        schema_fields=None) -> dict:
     """The ES ``geo_line`` response: a GeoJSON Feature whose
     LineString connects each doc's point in ``sort``-field order —
-    the vessel-track / GPS-trail aggregation. One
-    ``sort_array(collect_list(struct(sort, lon, lat)))`` agg job;
-    docs missing the point or the sort value are excluded (ES
-    requires both); ``size`` (ES cap 10000) keeps the first points
-    in sort order and truncation sets ``properties.complete`` false,
-    like ES."""
+    the vessel-track / GPS-trail aggregation. The transfer is bounded
+    IN-PLAN (r14, ADVICE): ``orderBy(sort).limit(size + 1)`` compiles
+    to TakeOrderedAndProject — per-partition top-k then a driver merge
+    of ≤ size+1 rows per partition — so a large corpus never
+    concentrates every point into one aggregation row. Docs missing
+    the point or the sort value are excluded (ES requires both);
+    ``size`` (ES cap 10000) keeps the first points in sort order, the
+    size+1 sentinel row sets ``properties.complete`` false, like ES."""
     from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
         _geo_field_cols,
     )
@@ -1428,16 +1430,16 @@ def _geo_line_envelope(df: DataFrame, body,
         schema=df.schema)
     sort_c = F.col(str(sort["field"]))
     ok = lat_c.isNotNull() & lon_c.isNotNull() & sort_c.isNotNull()
-    r = df.agg(
-        F.sort_array(
-            F.collect_list(F.when(ok, F.struct(
-                sort_c.alias("s"),
+    pts = (
+        df.filter(ok)
+        .select(sort_c.alias("s"),
                 lon_c.cast("double").alias("lon"),
-                lat_c.cast("double").alias("lat")))),
-            asc=(order == "asc"),
-        ).alias("pts"),
-    ).collect()[0]
-    pts = r["pts"] or []
+                lat_c.cast("double").alias("lat"))
+        .orderBy(F.col("s").asc() if order == "asc"
+                 else F.col("s").desc())
+        .limit(size + 1)
+        .collect()
+    )
     complete = len(pts) <= size
     pts = pts[:size]
     out: dict[str, Any] = {
@@ -4128,6 +4130,11 @@ def run_aggs(
     that produced ``df`` FROM ``background`` — ``significant_text``
     needs it to count both scopes in one tokenized scan (a flag
     column beats re-tokenizing the foreground)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _norm_schema_fields,
+    )
+
+    schema_fields = _norm_schema_fields(schema_fields)
     if not isinstance(aggs, dict):
         raise DslError("aggs must be an object")
     out: dict[str, Any] = {}
@@ -4545,15 +4552,27 @@ def run_aggs(
                         f"unknown rate mode {mode!r}")
                 if rb.get("field") is not None:
                     mk = ("sum" if mode == "sum" else "value_count")
-                    sub[f"__rate_{n}"] = {mk: {"field": rb["field"]}}
-                    rate_comp[n] = f"__rate_{n}"
+                    # synthetic component name — uniquified against
+                    # the user's agg names so a user agg that happens
+                    # to share the name is neither overwritten nor
+                    # stripped from the envelope (r14, ADVICE)
+                    comp = f"__rate_{n}"
+                    while comp in sub:
+                        comp = f"_{comp}"
+                    sub[comp] = {mk: {"field": rb["field"]}}
+                    rate_comp[n] = comp
                 else:
                     rate_comp[n] = None  # doc_count-based rate
             rows = histogram_frame(df, kind, body, sub).collect()
             buckets = []
+            # strip ONLY the tracked synthetic rate components, not
+            # anything that merely looks like one — a user sub-agg
+            # literally named "__rate_x" stays visible (r14, ADVICE)
+            rate_synth = {c for c in rate_comp.values()
+                          if c is not None}
             for r in rows:
                 vis = {n: s for n, s in sub.items()
-                       if not n.startswith("__rate_")}
+                       if n not in rate_synth}
                 b = {"key": _key_envelope(r["key"]),
                      "doc_count": r["doc_count"],
                      **_metric_envelope(r, vis)}

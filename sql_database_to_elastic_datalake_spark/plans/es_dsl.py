@@ -125,6 +125,39 @@ class NotFoundError(DslError):
     'not found')."""
 
 
+class GeoResolutionError(DslError):
+    """A geo leaf whose field cannot be resolved to a geo_point
+    against the AVAILABLE schema knowledge (r14, ADVICE): unknown
+    field, a column that exists but is not a lat/lon struct or
+    ``f_lat``/``f_lon`` pair, or a schema-free resolver that cannot
+    host struct access. Still a DslError (named 400 at query time),
+    but distinguishable so percolator PUT validation can TOLERATE geo
+    leaves — field resolution there is a match-time concern, the
+    target table isn't known yet."""
+
+
+class _SchemaFields(list):
+    """``compile_dsl``'s ``schema_fields`` as a plain column-name list
+    that also carries the full StructType when the caller has the
+    DataFrame in hand — so geo leaves can type-check the struct branch
+    (named 400) instead of dying in an AnalysisException mid-plan.
+    Subclasses list: every existing membership/iteration site works
+    unchanged, and the attribute rides through recursive calls."""
+
+    def __init__(self, names, schema=None):
+        super().__init__(names)
+        self.schema = schema
+
+
+def _norm_schema_fields(schema_fields):
+    """Accept a StructType wherever a column-name list is expected."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema_fields, StructType):
+        return _SchemaFields(schema_fields.fieldNames(), schema_fields)
+    return schema_fields
+
+
 def _ns(pred: Column) -> Column:
     """Null-safe coercion: ES query semantics are two-valued — a
     predicate on a missing/null field is simply *no match*. SQL
@@ -1174,7 +1207,13 @@ def compile_dsl(
     the way ES expands them from the index mapping; callers that know
     the DataFrame (the API layer) pass ``df.columns``. Without it,
     wildcard patterns raise — a schema-free compiler cannot guess.
+
+    r14: ``schema_fields`` may also be the DataFrame's ``StructType``
+    (``df.schema``) — same name semantics, plus geo leaves can then
+    TYPE-check struct columns (named 400 instead of an
+    AnalysisException when a filter names a non-geo column).
     """
+    schema_fields = _norm_schema_fields(schema_fields)
     col = field_resolver or F.col
 
     if not isinstance(dsl, dict) or len(dsl) != 1:
@@ -1851,7 +1890,9 @@ def compile_dsl(
             radius_km = parse_distance_km(opts["distance"])
         except ValueError as ex:
             raise DslError(str(ex)) from None
-        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        lat_c, lon_c = _geo_field_cols(
+            field, col, schema_fields,
+            schema=getattr(schema_fields, "schema", None))
         plat, plon = _parse_geo_point(point)
         d = haversine_km(lat_c, lon_c, F.lit(plat), F.lit(plon))
         return d <= F.lit(radius_km)
@@ -1894,7 +1935,9 @@ def compile_dsl(
             raise DslError(
                 "geo_bounding_box needs top_left/bottom_right, "
                 "top_right/bottom_left, or top/left/bottom/right")
-        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        lat_c, lon_c = _geo_field_cols(
+            field, col, schema_fields,
+            schema=getattr(schema_fields, "schema", None))
         return bbox_predicate(lat_c, lon_c, top, left, bottom, right)
 
     if kind == "geo_polygon":
@@ -1920,7 +1963,9 @@ def compile_dsl(
                 "geo_polygon requires a points list of at least 3 "
                 "geo points")
         verts = [_parse_geo_point(p) for p in pts]
-        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        lat_c, lon_c = _geo_field_cols(
+            field, col, schema_fields,
+            schema=getattr(schema_fields, "schema", None))
         return point_in_polygon(lat_c, lon_c, verts)
 
     if kind == "geo_shape":
@@ -1961,7 +2006,9 @@ def compile_dsl(
                             "contains"):
             raise DslError(f"unknown geo_shape relation {relation!r}")
         stype = str(shape["type"]).lower()
-        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        lat_c, lon_c = _geo_field_cols(
+            field, col, schema_fields,
+            schema=getattr(schema_fields, "schema", None))
         if stype == "envelope":
             coords = shape.get("coordinates")
             if not (isinstance(coords, list) and len(coords) == 2
@@ -2051,7 +2098,9 @@ def compile_dsl(
             raise DslError(
                 "geo_grid field spec must be {geohash|geotile: cell}")
         grid_kind, cell = next(iter(spec.items()))
-        lat_c, lon_c = _geo_field_cols(field, col, schema_fields)
+        lat_c, lon_c = _geo_field_cols(
+            field, col, schema_fields,
+            schema=getattr(schema_fields, "schema", None))
         if grid_kind == "geohash":
             cell = str(cell).lower()
             if not 1 <= len(cell) <= 8:
@@ -2103,17 +2152,31 @@ def _geo_field_cols(field: str, col, schema_fields,
                            if sf.name == f), None)
                 if not (isinstance(dt, StructType)
                         and {"lat", "lon"} <= {x.name for x in dt.fields}):
-                    raise DslError(
+                    raise GeoResolutionError(
                         f"field {f!r} is not a geo_point (expected a "
                         f"struct with lat/lon or a {f}_lat/{f}_lon "
                         "pair)")
             base = col(f)
-            return base["lat"], base["lon"]
-        raise DslError(
+            try:
+                return base["lat"], base["lon"]
+            except Exception:
+                # a resolver handing back a literal/typed non-struct
+                # column fails struct access EAGERLY — name it (r14,
+                # ADVICE) instead of leaking the raw error
+                raise GeoResolutionError(
+                    f"field {f!r} is not a geo_point (expected a "
+                    f"struct with lat/lon or a {f}_lat/{f}_lon "
+                    "pair)") from None
+        raise GeoResolutionError(
             f"unknown geo field {f!r} (expected a struct column or a "
             f"{f}_lat/{f}_lon pair)")
     base = col(f)
-    return base["lat"], base["lon"]
+    try:
+        return base["lat"], base["lon"]
+    except Exception:
+        raise GeoResolutionError(
+            f"cannot resolve geo field {f!r} without a table schema "
+            "(the resolver returned a non-struct column)") from None
 
 
 def _parse_geo_point(v) -> tuple[float, float]:
@@ -2284,6 +2347,7 @@ def compile_score(
     Pure column algebra — whole-stage codegen, no UDF; the ranked page
     stays one scan + one TakeOrdered.
     """
+    schema_fields = _norm_schema_fields(schema_fields)
     col = field_resolver or F.col
 
     if not isinstance(dsl, dict) or len(dsl) != 1:

@@ -841,6 +841,11 @@ def distance_feature_columns(
     take ES time units (``7d``, ``3h``, …); ``origin: "now"`` is a
     named 400 (nondeterministic ranking contradicts the
     replayable-results contract — send a concrete timestamp)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _norm_schema_fields,
+    )
+
+    schema_fields = _norm_schema_fields(schema_fields)
     if not isinstance(body, dict):
         raise DslError("distance_feature must be an object")
     unknown = sorted(set(body) - {"field", "origin", "pivot", "boost"})

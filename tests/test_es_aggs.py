@@ -2887,3 +2887,30 @@ def test_rate_agg_under_date_histogram(spark, docs):
     ]:
         with pytest.raises(DslError, match=frag):
             run_aggs(df, bad)
+
+
+def test_rate_synthetic_component_never_shadows_user_agg(spark, docs):
+    """r14 (ADVICE): the rate agg's internal sum/value_count component
+    is stripped from the bucket envelope by its TRACKED name, not by
+    the '__rate_' prefix — a user sub-agg literally named '__rate_r'
+    survives, and the synthetic name uniquifies around it instead of
+    overwriting it."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          (1, TIMESTAMP '2024-01-05 00:00:00', CAST(10.0 AS DOUBLE)),
+          (2, TIMESTAMP '2024-01-25 00:00:00', CAST(21.0 AS DOUBLE))
+        AS t(id, ts, v)
+    """)
+    out = run_aggs(df, {"m": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {
+            "r": {"rate": {"field": "v", "unit": "day"}},
+            "__rate_r": {"max": {"field": "v"}},
+        }}})
+    b = out["m"]["buckets"][0]
+    assert abs(b["r"]["value"] - 1.0) < 1e-12       # 31 over 31 days
+    assert b["__rate_r"]["value"] == 21.0           # user agg intact

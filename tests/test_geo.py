@@ -648,3 +648,100 @@ def test_geo_centroid_under_distance_rings(service, spark):
     assert near["b"]["bounds"]["top_left"]["lat"] == 52.52
     # far ring holds the other four real points
     assert far["doc_count"] == 4 and far["c"]["count"] == 4
+
+
+def test_geohash_geotile_null_propagation(spark):
+    """r14 (ADVICE): null lat/lon gives a NULL cell key — the
+    least/greatest clamps IGNORE nulls, so without propagation a doc
+    missing the field would collapse into the edge/corner cell
+    (all-ones geohash, tile row 0) and spuriously match a geo_grid
+    query on that cell."""
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        geohash,
+        geotile,
+    )
+
+    df = spark.createDataFrame(
+        [(52.52, 13.405), (None, 13.405), (52.52, None), (None, None)],
+        "lat double, lon double")
+    got = df.select(
+        geohash(F.col("lat"), F.col("lon"), 5).alias("h"),
+        geotile(F.col("lat"), F.col("lon"), 7).alias("t")).collect()
+    assert got[0]["h"] is not None and got[0]["t"] is not None
+    for r in got[1:]:
+        assert r["h"] is None and r["t"] is None
+
+
+def test_geo_grid_query_never_matches_null_coords(service, spark):
+    """r14 (ADVICE): the geo_grid query leaf must not match docs whose
+    geo field is absent — pre-fix, a null coordinate clamped to the
+    all-ones geohash / max tile cell and matched queries on that
+    cell."""
+    rows = [(1, 89.999, 179.999),   # the real corner-cell resident
+            (2, None, None)]        # absent field
+    spark.createDataFrame(
+        rows, "id long, loc_lat double, loc_lon double"
+    ).write.parquet(os.path.join(service.lake_dir, "data_lake_geoz"))
+    from sql_database_to_elastic_datalake_spark.functions.geo import (
+        geohash_py,
+        geotile_py,
+    )
+
+    corner_hash = geohash_py(89.999, 179.999, 5)
+    assert corner_hash == "zzzzz"  # the cell nulls used to clamp into
+    out = service.advanced_search("data_lake_geoz", {"geo_grid": {
+        "loc": {"geohash": corner_hash}}})
+    ids = sorted(h["_source"]["id"] for h in out["hits"]["hits"])
+    assert ids == [1]
+    corner_tile = geotile_py(89.999, 179.999, 6)
+    out = service.advanced_search("data_lake_geoz", {"geo_grid": {
+        "loc": {"geotile": corner_tile}}})
+    ids = sorted(h["_source"]["id"] for h in out["hits"]["hits"])
+    assert ids == [1]
+
+
+def test_geo_filter_on_non_geo_column_named_400(service, spark):
+    """r14 (ADVICE): the FILTER path (no aggs/sort involved) now
+    carries the schema, so a geo leaf naming an existing non-geo
+    column is the named 'not a geo_point' 400 — not an
+    AnalysisException-shaped 500."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        GeoResolutionError,
+    )
+
+    name = _geo_table(service, spark, "data_lake_geobad")
+    with pytest.raises(GeoResolutionError, match="not a geo_point"):
+        service.advanced_search(name, {"geo_distance": {
+            "distance": "10km", "city": {"lat": 1.0, "lon": 2.0}}})
+    with pytest.raises(GeoResolutionError, match="unknown geo field"):
+        service.advanced_search(name, {"geo_distance": {
+            "distance": "10km", "nosuch": {"lat": 1.0, "lon": 2.0}}})
+
+
+def test_percolator_put_tolerates_geo_leaves(client, service, spark):
+    """r14 (ADVICE): storing a percolator query with a geo leaf is
+    accepted (field resolution is a match-time concern); matching
+    still works against a geo table and stays a named 400 against a
+    non-geo one."""
+    r = client.put("/percolator/geo1", data=json.dumps({
+        "query": {"geo_distance": {"distance": "1000km",
+                                   "loc": {"lat": 48.8566,
+                                           "lon": 2.3522}}}}),
+        content_type="application/json")
+    assert r.status_code == 200, r.get_json()
+    # a malformed geo leaf still 400s at PUT (grammar, not resolution)
+    r = client.put("/percolator/geo2", data=json.dumps({
+        "query": {"geo_distance": {"distance": "not-a-distance",
+                                   "loc": {"lat": 0.0, "lon": 0.0}}}}),
+        content_type="application/json")
+    assert r.status_code == 400
+    name = _geo_table(service, spark, "data_lake_geoperc")
+    from sql_database_to_elastic_datalake_spark.plans.percolate import (
+        percolate_corpus,
+    )
+
+    df = spark.read.parquet(os.path.join(service.lake_dir, name))
+    out = percolate_corpus(df, {"geo1": service.percolator_queries[
+        "geo1"]}, id_cols=["id"])
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2]  # berlin + paris within 1000km of paris

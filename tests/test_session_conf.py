@@ -105,3 +105,36 @@ def test_bench_pins_and_records_state_store_provider(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, before)
+
+
+def test_bench_canary_gate_refuses_contended_records():
+    """r14 (r13 verdict #1): the canary exists to DETECT host
+    contention; the gate makes it act — a committed-artifact mode run
+    (--sf1/--all) with canary ratio above the threshold must refuse
+    (nonzero exit), so a contended reading can never become the
+    artifact of record. The driver's plain per-round run stays
+    ungated, and --allow-contended is a diagnostic escape only."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    bench = importlib.import_module("bench")
+
+    # contended + record mode -> refuse
+    with pytest.raises(SystemExit, match="contended"):
+        bench.check_canary_gate(1.276, record_mode=True)
+    # quiet host -> pass
+    bench.check_canary_gate(1.05, record_mode=True)
+    # exactly at threshold -> pass (the gate is ">", documented ~1.1)
+    bench.check_canary_gate(bench.CANARY_GATE_THRESHOLD,
+                            record_mode=True)
+    # driver per-round run (not a record) -> never refuses
+    bench.check_canary_gate(1.9, record_mode=False)
+    # no canary computed (partial member list) -> nothing to gate
+    bench.check_canary_gate(None, record_mode=True)
+    # diagnostic escape
+    bench.check_canary_gate(1.9, record_mode=True,
+                            allow_contended=True)
