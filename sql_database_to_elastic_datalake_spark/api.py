@@ -2499,6 +2499,22 @@ class LakeService:
                 hl_fields = _highlight_plan(highlight, df.columns)
                 hl_terms = collect_highlight_terms(dsl, df.columns)
 
+            # r14: join-field leaves (has_child / has_parent /
+            # parent_id) rewrite into semi-join flag columns BEFORE
+            # the compile — the envelope machinery above resolved
+            # against the unaugmented frame, and the flags are
+            # dropped right after the filter, so they never reach a
+            # response (plans/join_field.py)
+            table_dsl, jf_flags = dsl, []
+            from sql_database_to_elastic_datalake_spark.plans.join_field \
+                import has_join_field, lake_sibling_loader, \
+                rewrite_join_field
+
+            if has_join_field(dsl):
+                df, table_dsl, jf_flags = rewrite_join_field(
+                    df, dsl, name,
+                    lake_sibling_loader(self.spark, self.lake_dir))
+
             def resolve(field: str, _df=df):
                 # ES: a query on a field an index lacks matches nothing
                 # there — two-valued null semantics do exactly that
@@ -2506,7 +2522,7 @@ class LakeService:
                         else F.lit(None).cast("string"))
 
             try:
-                pred = compile_dsl(dsl, field_resolver=resolve,
+                pred = compile_dsl(table_dsl, field_resolver=resolve,
                                    schema_fields=df.schema)
                 matched = df.filter(pred)
             except DslError:
@@ -2515,6 +2531,8 @@ class LakeService:
                 if len(names) == 1:
                     raise
                 continue  # pattern member that can't express the query
+            if jf_flags:
+                matched = matched.drop(*jf_flags)
             if aggs:
                 from sql_database_to_elastic_datalake_spark.plans.es_aggs \
                     import run_aggs

@@ -2127,6 +2127,17 @@ def compile_dsl(
             f"unsupported geo_grid kind {grid_kind!r} (geohash and "
             "geotile are implemented; geohex needs H3 hexagon math)")
 
+    if kind in ("has_child", "has_parent", "parent_id"):
+        # r14: the join-field family is a REWRITE, not a compile — a
+        # single-frame boolean compiler cannot host the second table
+        # (plans/join_field.py). advanced_search rewrites these leaves
+        # before compiling; every other DSL entry point names the gap.
+        raise DslError(
+            f"{kind} is a join-field query — supported on the search "
+            "routes (advanced_search / /search/advanced), which "
+            "rewrite it over the declared parent/child relation; "
+            "this entry point compiles single-table predicates only")
+
     raise DslError(f"unsupported query kind: {kind}")
 
 

@@ -7914,6 +7914,103 @@ def percolate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join-field query family (r14, r13 verdict #3): has_child /
+# has_parent / parent_id over the lake's REAL parent/child pair
+# (orders ↔ lineitem) — each leaf one distinct-key semi-join flag,
+# composing under bool so must_not is the anti-join for free
+# (plans/join_field.py). The registered queries run the SAME rewrite +
+# compile machinery the API route uses.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_field_has_child",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders o
+    WHERE (SELECT count(*) FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          >= 3
+    """,
+)
+def join_field_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` with ``min_children`` (r14): orders having ≥3
+    lineitems with quantity > 45 — the child side reduces to a
+    count-filtered key set (one groupBy shuffle of KEYS, never rows),
+    then one pinned shuffle-hash flag join onto orders; the leaf
+    compiles as exists(flag). DuckDB twin: a correlated COUNT
+    subquery. Reference surface: verbatim-DSL passthrough
+    /root/reference/src/search_api.py:38-46."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.join_field import (
+        rewrite_join_field,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dsl = {"has_child": {
+        "type": "lineitem",
+        "query": {"range": {"l_quantity": {"gt": 45}}},
+        "min_children": 3,
+    }}
+    df, rewritten, flags = rewrite_join_field(
+        orders, dsl, "orders",
+        lambda n: load_table(spark, sf_dir, n))
+    return (
+        df.filter(compile_dsl(rewritten, schema_fields=df.schema))
+        .drop(*flags)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "join_field_has_parent",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_totalprice > 250000)
+    """,
+)
+def join_field_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_parent`` in both polarities (r14): lineitems whose
+    parent order is URGENT (must = EXISTS / semi) and NOT high-value
+    (must_not = NOT EXISTS / anti) — two distinct-key flag joins
+    composing under one bool tree, the anti side falling out of
+    ordinary must_not semantics instead of a dedicated anti-join
+    operator."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.join_field import (
+        rewrite_join_field,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dsl = {"bool": {
+        "must": [{"has_parent": {
+            "parent_type": "orders",
+            "query": {"term": {"o_orderpriority": "1-URGENT"}},
+        }}],
+        "must_not": [{"has_parent": {
+            "parent_type": "orders",
+            "query": {"range": {"o_totalprice": {"gt": 250000}}},
+        }}],
+    }}
+    df, rewritten, flags = rewrite_join_field(
+        lineitem, dsl, "lineitem",
+        lambda n: load_table(spark, sf_dir, n))
+    return (
+        df.filter(compile_dsl(rewritten, schema_fields=df.schema))
+        .drop(*flags)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
 # the first 50 registered queries per round. With coverage debt converged in
 # r3 (every query has a driver verdict across r1 ∪ r2 ∪ r3), the rotation

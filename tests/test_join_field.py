@@ -1,0 +1,188 @@
+"""Join-field query family (r14, r13 verdict #3): has_child /
+has_parent / parent_id rewritten into semi-join flag columns over the
+lake's declared parent/child relation (plans/join_field.py).
+
+Reference surface: the reference forwards search bodies verbatim to a
+real ES 8.11 (/root/reference/src/search_api.py:38-46) whose join
+field relates parent and child documents; this lake stores the
+relation as the orders ↔ lineitem table pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from sql_database_to_elastic_datalake_spark.plans.es_dsl import DslError
+
+
+@pytest.fixture()
+def service(spark, tmp_path):
+    from sql_database_to_elastic_datalake_spark.api import LakeService
+
+    svc = LakeService(spark, str(tmp_path))
+    # a small orders/lineitem pair under the lake prefix — the
+    # relation resolves by SUFFIX, so data_lake_orders ↔
+    # data_lake_lineitem works like bare orders ↔ lineitem
+    spark.createDataFrame(
+        [(1, "1-URGENT", 100.0), (2, "2-HIGH", 900.0),
+         (3, "1-URGENT", 900.0), (4, "5-LOW", 50.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_orders"))
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 60.0), (2, 1, 70.0), (2, 2, 80.0),
+         (2, 3, 90.0), (3, 1, 5.0), (None, 9, 99.0)],
+        "l_orderkey long, l_linenumber long, l_quantity double",
+    ).write.parquet(os.path.join(svc.lake_dir, "data_lake_lineitem"))
+    return svc
+
+
+@pytest.fixture()
+def client(service):
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from sql_database_to_elastic_datalake_spark.api import create_app
+
+    app = create_app(service)
+    app.testing = True
+    return app.test_client()
+
+
+def _ids(out):
+    return sorted(h["_source"]["o_orderkey"]
+                  for h in out["hits"]["hits"])
+
+
+def test_has_child_membership_and_bool_composition(service):
+    # orders with any lineitem of quantity > 50: orders 1 (60) and 2
+    out = service.advanced_search("data_lake_orders", {"has_child": {
+        "type": "lineitem",
+        "query": {"range": {"l_quantity": {"gt": 50}}}}})
+    assert _ids(out) == [1, 2]
+    # flags never leak into the response envelope
+    assert all(not k.startswith("__jf")
+               for h in out["hits"]["hits"] for k in h["_source"])
+    # must_not = the anti-join: orders with NO such lineitem
+    out = service.advanced_search("data_lake_orders", {"bool": {
+        "must_not": [{"has_child": {
+            "type": "lineitem",
+            "query": {"range": {"l_quantity": {"gt": 50}}}}}]}})
+    assert _ids(out) == [3, 4]
+    # composing with an ordinary leaf in the same bool
+    out = service.advanced_search("data_lake_orders", {"bool": {
+        "must": [
+            {"has_child": {"type": "lineitem",
+                           "query": {"match_all": {}}}},
+            {"term": {"o_orderpriority": "1-URGENT"}},
+        ]}})
+    assert _ids(out) == [1, 3]
+
+
+def test_has_child_min_max_children(service):
+    out = service.advanced_search("data_lake_orders", {"has_child": {
+        "type": "lineitem", "query": {"match_all": {}},
+        "min_children": 2}})
+    assert _ids(out) == [1, 2]
+    out = service.advanced_search("data_lake_orders", {"has_child": {
+        "type": "lineitem", "query": {"match_all": {}},
+        "min_children": 2, "max_children": 2}})
+    assert _ids(out) == [1]
+    with pytest.raises(DslError, match="min_children"):
+        service.advanced_search("data_lake_orders", {"has_child": {
+            "type": "lineitem", "query": {"match_all": {}},
+            "min_children": -1}})
+
+
+def test_has_parent_and_parent_id(service):
+    out = service.advanced_search("data_lake_lineitem", {"has_parent": {
+        "parent_type": "orders",
+        "query": {"term": {"o_orderpriority": "1-URGENT"}}}})
+    got = sorted((h["_source"]["l_orderkey"],
+                  h["_source"]["l_linenumber"])
+                 for h in out["hits"]["hits"])
+    assert got == [(1, 1), (1, 2), (3, 1)]
+    # parent_id: pure equality on the carried key — ES's string id
+    # coerces onto the numeric key column
+    out = service.advanced_search("data_lake_lineitem", {"parent_id": {
+        "type": "lineitem", "id": "2"}})
+    got = sorted(h["_source"]["l_linenumber"]
+                 for h in out["hits"]["hits"])
+    assert got == [1, 2, 3]
+
+
+def test_named_400s(service):
+    # unknown relation type
+    with pytest.raises(DslError, match="no join-field relation"):
+        service.advanced_search("data_lake_orders", {"has_child": {
+            "type": "nosuch", "query": {"match_all": {}}}})
+    # ignore_unmapped tolerates it (zero hits, no error)
+    out = service.advanced_search("data_lake_orders", {"has_child": {
+        "type": "nosuch", "query": {"match_all": {}},
+        "ignore_unmapped": True}})
+    assert out["hits"]["hits"] == []
+    # has_child against the CHILD table (wrong side)
+    with pytest.raises(DslError, match="no join-field relation"):
+        service.advanced_search("data_lake_lineitem", {"has_child": {
+            "type": "lineitem", "query": {"match_all": {}}}})
+    # score shapes that need ES's scoring joins are named 400s
+    with pytest.raises(DslError, match="score_mode"):
+        service.advanced_search("data_lake_orders", {"has_child": {
+            "type": "lineitem", "query": {"match_all": {}},
+            "score_mode": "max"}})
+    with pytest.raises(DslError, match="score"):
+        service.advanced_search("data_lake_lineitem", {"has_parent": {
+            "parent_type": "orders", "query": {"match_all": {}},
+            "score": True}})
+    with pytest.raises(DslError, match="inner_hits"):
+        service.advanced_search("data_lake_orders", {"has_child": {
+            "type": "lineitem", "query": {"match_all": {}},
+            "inner_hits": {}}})
+    with pytest.raises(DslError, match="requires a query"):
+        service.advanced_search("data_lake_orders", {"has_child": {
+            "type": "lineitem"}})
+    with pytest.raises(DslError, match="unsupported has_child"):
+        service.advanced_search("data_lake_orders", {"has_child": {
+            "type": "lineitem", "query": {"match_all": {}},
+            "bogus": 1}})
+
+
+def test_non_search_entry_points_reject_by_name(service):
+    """compile_dsl paths without the rewrite (delete_by_query etc.)
+    name the gap instead of the generic unsupported-kind error."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+
+    with pytest.raises(DslError, match="join-field"):
+        compile_dsl({"has_child": {"type": "lineitem",
+                                   "query": {"match_all": {}}}})
+    with pytest.raises(DslError, match="join-field"):
+        compile_dsl({"parent_id": {"type": "lineitem", "id": "1"}})
+
+
+def test_rest_route_and_aggs_scope(client, service):
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_orders",
+        "query": {"has_child": {
+            "type": "lineitem",
+            "query": {"range": {"l_quantity": {"gt": 50}}}}},
+        "aggs": {"by_prio": {"terms": {"field": "o_orderpriority"}}},
+    }), content_type="application/json")
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert sorted(h["_source"]["o_orderkey"]
+                  for h in body["hits"]["hits"]) == [1, 2]
+    # aggs see the has_child-matched scope
+    buckets = {b["key"]: b["doc_count"]
+               for b in body["aggregations"]["by_prio"]["buckets"]}
+    assert buckets == {"1-URGENT": 1, "2-HIGH": 1}
+    # a leaf body that merely shares a join-field name walks through
+    r = client.post("/search/advanced", data=json.dumps({
+        "table": "data_lake_orders",
+        "query": {"exists": {"field": "has_child"}}}),
+        content_type="application/json")
+    assert r.status_code == 200
+    assert r.get_json()["hits"]["hits"] == []

@@ -620,6 +620,29 @@ GATES = {
         shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
         scans={"documents": (2, ["EqualTo(lang,en)"])},
     ),
+    # r14: the join-field family — each leaf ONE distinct/count key
+    # reduction + ONE pinned shuffle-hash flag join (broadcast stays
+    # 0 BY CONSTRUCTION: letting AQE gamble a big key set into a
+    # broadcast is the OOM mode the dedup pins guard against); inner
+    # queries push to the sibling scan; never a cartesian.
+    # has_child(min_children=3): keys groupBy exchange is REUSED as
+    # the join-side exchange -> 2 total.
+    "join_field_has_child": dict(
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={
+            "orders": (2, []),
+            "lineitem": (2, ["GreaterThan(l_quantity,45.0)"]),
+        },
+    ),
+    # two has_parent leaves: lineitem exchanged once (the second flag
+    # join reuses the first's partitioning) + one distinct per leaf
+    "join_field_has_parent": dict(
+        shuffles=3, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={
+            "lineitem": (3, []),
+            "orders": (2, ["EqualTo(o_orderpriority,1-URGENT)"]),
+        },
+    ),
 }
 
 
