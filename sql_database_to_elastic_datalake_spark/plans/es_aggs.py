@@ -453,6 +453,17 @@ def _metric_cols(sub_aggs: dict, prefix: str = "") -> list[Column]:
             cols.append(F.sum(F.when(both, wc))
                         .alias(f"{prefix}{name}.w"))
             continue
+        if kind == "scripted_metric":
+            # r14 (r13 verdict #4): the deterministic init/map/
+            # combine/reduce subset compiles to ONE aggregate Column
+            # (plans/scripted_metric.py), so it rides every frame
+            # like any single-value metric
+            from sql_database_to_elastic_datalake_spark.plans \
+                .scripted_metric import scripted_metric_column
+
+            cols.append(scripted_metric_column(body)
+                        .alias(f"{prefix}{name}"))
+            continue
         field = body.get("field") if isinstance(body, dict) else None
         has_script = isinstance(body, dict) and body.get("script") \
             is not None and kind != "missing"
@@ -718,7 +729,7 @@ def _terms_order(body: dict, sub_aggs: dict | None) -> list[Column]:
                     raise DslError(
                         f"unknown stats path in terms order {target!r}")
                 c = F.col(f"`{base}.{stat}`")
-            elif kind in _METRICS:
+            elif kind in _METRICS or kind == "scripted_metric":
                 c = F.col(base)
             else:
                 raise DslError(
@@ -4035,7 +4046,7 @@ def _strip_meta(sub_aggs):
 
 _METRIC_KINDS = (*_METRICS, "stats", "percentiles", "missing",
                  "extended_stats", "percentile_ranks", "weighted_avg",
-                 "filter")
+                 "scripted_metric", "filter")
 
 
 def _has_bucket_subs(sub) -> bool:
@@ -4144,7 +4155,8 @@ def run_aggs(
         n: s for n, s in aggs.items()
         if _agg_kind(s) in
         (*_METRICS, "stats", "percentiles", "missing",
-         "extended_stats", "percentile_ranks", "weighted_avg")
+         "extended_stats", "percentile_ranks", "weighted_avg",
+         "scripted_metric")
     }
     if top_metrics:
         row = df.agg(*_metric_cols(top_metrics)).collect()[0]

@@ -8010,6 +8010,51 @@ def join_field_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scripted_metric_priority",
+    # the deterministic scripted_metric subset restates as plain SQL
+    # aggregates: += merges by SUM, Math.max by MAX, reduce is plain
+    # arithmetic over the merged accumulators
+    oracle="""
+    SELECT o_orderpriority AS key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           SUM(o_totalprice) / COUNT(*)
+               + MAX(o_totalprice) * 0.001 AS m
+    FROM orders
+    GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+    """,
+)
+def scripted_metric_priority(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ES ``scripted_metric`` (r14, r13 verdict #4): the deterministic
+    init/map/combine/reduce subset compiled to ONE aggregate Column
+    riding the terms frame (plans/scripted_metric.py) — here an
+    avg-plus-scaled-max of order value per priority. Reference
+    surface: verbatim-DSL aggs passthrough
+    /root/reference/src/search_api.py:38-46."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        terms_frame,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return terms_frame(
+        orders, {"field": "o_orderpriority", "size": 10},
+        {"m": {"scripted_metric": {
+            "init_script":
+                "state.rev = 0; state.n = 0; state.mx = 0",
+            "map_script":
+                "state.rev += doc['o_totalprice'].value; "
+                "state.n += 1; "
+                "state.mx = Math.max(state.mx, "
+                "doc['o_totalprice'].value)",
+            "combine_script": "return state",
+            "reduce_script":
+                "return state.rev / state.n + state.mx * params.w",
+            "params": {"w": 0.001},
+        }}},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
 # the first 50 registered queries per round. With coverage debt converged in

@@ -2914,3 +2914,69 @@ def test_rate_synthetic_component_never_shadows_user_agg(spark, docs):
     b = out["m"]["buckets"][0]
     assert abs(b["r"]["value"] - 1.0) < 1e-12       # 31 over 31 days
     assert b["__rate_r"]["value"] == 21.0           # user agg intact
+
+
+def test_scripted_metric_deterministic_subset(spark, docs):
+    """r14 (r13 verdict #4): scripted_metric — the deterministic
+    init/map/combine/reduce subset compiles to ONE aggregate Column
+    (merge declared by the map operator), rides top-level / terms /
+    date_histogram envelopes, orders terms buckets, and names the
+    shard- or order-dependent shapes as 400s."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          ('a', 1.0), ('a', 3.0), ('b', 10.0),
+          ('b', CAST(NULL AS DOUBLE))
+        AS t(g, v)""")
+    sm = {"scripted_metric": {
+        "init_script": "state.s = 0; state.n = 0; state.mx = -1000",
+        "map_script": ("state.s += doc['v'].value * params.f; "
+                       "state.n += 1; "
+                       "state.mx = Math.max(state.mx, "
+                       "doc['v'].value)"),
+        "combine_script": "return state",
+        # states.mx accepted as an alias for the merged state
+        "reduce_script": "return state.s / state.n + states.mx",
+        "params": {"f": 2.0},
+    }}
+    # top level: s=(1+3+10)*2=28, n counts ALL docs (the expr doesn't
+    # touch the null field)=4, mx=10 -> 28/4+10
+    out = run_aggs(df, {"m": sm})
+    assert out["m"] == {"value": 17.0}
+    # under terms: per-bucket merge; ordering BY the scripted metric
+    out = run_aggs(df, {"t": {
+        "terms": {"field": "g", "order": {"m": "desc"}},
+        "aggs": {"m": sm}}})
+    got = [(b["key"], b["m"]["value"]) for b in out["t"]["buckets"]]
+    assert got == [("b", 20.0), ("a", 7.0)]
+    # shard-/order-dependent or out-of-subset shapes: named 400s
+    base = {"init_script": "state.s = 0", "map_script": "state.s += 1",
+            "combine_script": "return state",
+            "reduce_script": "return state.s"}
+    for patch, frag in [
+        ({"map_script": "state.s = doc['v'].value"}, "re-assignment"),
+        ({"init_script": "state.s = 5"}, "PER SHARD"),
+        ({"map_script": "for (x in docs) state.s += 1"},
+         "deterministic subset"),
+        ({"combine_script": "return state.s"}, "combine_script"),
+        ({"reduce_script": "return state.q"}, "never defined"),
+        ({"reduce_script": "s = state.s; return s"}, "single"),
+        ({"map_script": "state.s += 1; state.s += 2"}, "twice"),
+        ({"init_script": "state.s = doc['v'].value"},
+         "numeric literal"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            run_aggs(df, {"m": {"scripted_metric": {**base, **patch}}})
+    # an accumulator the map never touches merges as its init
+    out = run_aggs(df, {"m": {"scripted_metric": {
+        "init_script": "state.s = 0; state.k = 7",
+        "map_script": "state.s += 1",
+        "combine_script": "return state",
+        "reduce_script": "return state.s * state.k"}}})
+    assert out["m"] == {"value": 28.0}
