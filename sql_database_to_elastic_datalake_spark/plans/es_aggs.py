@@ -241,6 +241,9 @@ _AGG_BODY_KEYS = {
                   "gap_policy"},
     "serial_diff": {"buckets_path", "lag", "gap_policy"},
     "percentiles_bucket": {"buckets_path", "gap_policy", "percents"},
+    # r14 (r13 verdict #5): the pipeline-agg tail
+    "extended_stats_bucket": {"buckets_path", "gap_policy", "sigma"},
+    "moving_percentiles": {"buckets_path", "window", "shift"},
     # r9: normalize — per-bucket rescale against the sibling list.
     # `format` (value_as_string rendering) is unimplemented and names
     # its 400 here rather than silently dropping the rendered form
@@ -2495,7 +2498,7 @@ def _assemble_levels(
 #: multi-bucket agg, terms included.
 _SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket",
                       "max_bucket", "stats_bucket",
-                      "percentiles_bucket")
+                      "percentiles_bucket", "extended_stats_bucket")
 _ORDERED_PIPELINES = ("cumulative_sum", "derivative", "serial_diff",
                       "moving_fn")
 _SCRIPT_PIPELINES = ("bucket_script", "bucket_selector", "bucket_sort")
@@ -2998,6 +3001,59 @@ def _sibling_pipeline_envelope(kind: str, body: dict, out: dict) -> dict:
             "avg": (sum(vals) / cnt) if cnt else None,
             "sum": sum(vals) if vals else 0,
         }
+    if kind == "extended_stats_bucket":
+        # r14: stats_bucket plus the moment family — the SAME
+        # sum/sum-of-squares arithmetic the extended_stats METRIC
+        # derives its envelope from (ES shares the implementation
+        # between them too). Floats throughout: a decimal-typed
+        # sibling metric would poison the sqrt
+        vals = [float(v) for v in vals]
+        cnt = len(vals)
+        s = sum(vals)
+        sq = sum(v * v for v in vals)
+        sigma = float(body.get("sigma", 2.0))
+        env: dict[str, Any] = {
+            "count": cnt,
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "sum": s if vals else 0,
+            "sum_of_squares": sq if vals else None,
+            "avg": None, "variance": None,
+            "variance_population": None, "variance_sampling": None,
+            "std_deviation": None, "std_deviation_population": None,
+            "std_deviation_sampling": None,
+            "std_deviation_bounds": {
+                "upper": None, "lower": None,
+                "upper_population": None, "lower_population": None,
+                "upper_sampling": None, "lower_sampling": None,
+            },
+        }
+        if cnt:
+            avg = s / cnt
+            var_p = max(sq / cnt - avg * avg, 0.0)
+            var_s = (max(sq - cnt * avg * avg, 0.0) / (cnt - 1)
+                     if cnt > 1 else None)
+            sd_p = var_p ** 0.5
+            sd_s = var_s ** 0.5 if var_s is not None else None
+            env.update({
+                "avg": avg, "variance": var_p,
+                "variance_population": var_p,
+                "variance_sampling": var_s,
+                "std_deviation": sd_p,
+                "std_deviation_population": sd_p,
+                "std_deviation_sampling": sd_s,
+                "std_deviation_bounds": {
+                    "upper": avg + sigma * sd_p,
+                    "lower": avg - sigma * sd_p,
+                    "upper_population": avg + sigma * sd_p,
+                    "lower_population": avg - sigma * sd_p,
+                    "upper_sampling": (avg + sigma * sd_s)
+                    if sd_s is not None else None,
+                    "lower_sampling": (avg - sigma * sd_s)
+                    if sd_s is not None else None,
+                },
+            })
+        return env
     if not vals:
         return {"value": None if kind != "sum_bucket" else 0}
     if kind == "avg_bucket":
@@ -4062,6 +4118,90 @@ def _has_bucket_subs(sub) -> bool:
     )
 
 
+def _apply_moving_percentiles(
+    df: DataFrame, kind: str, body: dict, sub: dict,
+    rows: list, buckets: list, movpct: dict,
+) -> None:
+    """ES ``moving_percentiles`` under a (date_)histogram (r14, r13
+    verdict #5): per bucket, the percentiles of the raw values in the
+    sliding bucket window ``[i - window + shift, i + shift)`` — the
+    same window convention as ``moving_fn``.
+
+    ES merges the window's per-bucket t-digests; this engine computes
+    the EXACT interpolated percentile over the same value set — the
+    same documented exactness divergence (strictly more accurate) the
+    ``percentiles`` metric carries. ``buckets_path`` must name a
+    sibling ``percentiles`` sub-agg (ES's contract), whose field and
+    percents configure the pipeline.
+
+    Spark shape — one auxiliary job, in-plan: each row joins its
+    bucket ORDINAL (a bucket-count-sized broadcast), explodes into
+    the ≤``window`` target ordinals it contributes to, and one
+    groupBy computes every percentile per target. Window semantics
+    are over bucket POSITIONS (ES's), so gap-filled zero buckets
+    count as positions. The explode factor is the window length —
+    bounded, never corpus²."""
+    keys = [r["key"] for r in rows]
+    key_col = bucket_key(kind, body)
+    for pname, spec in movpct.items():
+        pb = spec["moving_percentiles"]
+        check_agg_keys("moving_percentiles", pb)
+        window = pb.get("window")
+        if isinstance(window, bool) or not isinstance(window, int) \
+                or window < 1:
+            raise DslError(
+                "moving_percentiles requires a positive integer "
+                "window")
+        shift = int(pb.get("shift", 0))
+        ref = str(pb.get("buckets_path", ""))
+        target = sub.get(ref)
+        if not (isinstance(target, dict)
+                and _agg_kind(target) == "percentiles"):
+            raise DslError(
+                "moving_percentiles buckets_path must name a sibling "
+                f"percentiles sub-aggregation (got {ref!r})")
+        tbody = target["percentiles"]
+        if tbody.get("field") is None:
+            raise DslError(
+                "moving_percentiles needs a field-sourced "
+                "percentiles target (script sources are not "
+                "re-readable here)")
+        percents = [float(p)
+                    for p in tbody.get("percents", _DEFAULT_PERCENTS)]
+        if not keys:
+            continue
+        src = _metric_source(tbody)
+        spark = df.sparkSession
+        kdf = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)],
+            ["__mp_key", "__mp_j"])
+        contrib = (
+            df.filter(key_col.isNotNull() & src.isNotNull())
+            .select(key_col.alias("__mp_key"),
+                    src.cast("double").alias("__mp_v"))
+            .join(F.broadcast(kdf), on="__mp_key")
+            # row in bucket j contributes to every window position
+            # i with i-window+shift <= j < i+shift
+            .select(
+                F.explode(F.sequence(
+                    F.col("__mp_j") - F.lit(shift) + F.lit(1),
+                    F.col("__mp_j") - F.lit(shift) + F.lit(window),
+                )).alias("__mp_i"),
+                "__mp_v")
+            .filter((F.col("__mp_i") >= 0)
+                    & (F.col("__mp_i") <= len(keys) - 1))
+        )
+        agg = contrib.groupBy("__mp_i").agg(
+            *[F.percentile(F.col("__mp_v"), F.lit(p / 100.0))
+              .alias(f"p{j}") for j, p in enumerate(percents)])
+        got = {int(r["__mp_i"]):
+               {str(p): r[f"p{j}"] for j, p in enumerate(percents)}
+               for r in agg.collect()}
+        for i, b in enumerate(buckets):
+            if i in got:
+                b[pname] = {"values": got[i]}
+
+
 def _apply_cumulative_cardinality(
     df: DataFrame, kind: str, body: dict, sub: dict,
     buckets: list, cum_cards: dict,
@@ -4551,9 +4691,20 @@ def run_aggs(
                 raise DslError(
                     "rate can only be used inside a date_histogram "
                     "aggregation (ES's own constraint)")
+            # r14 (r13 verdict #5): moving_percentiles — percentiles
+            # of the WINDOW'S RAW VALUES per bucket (ES merges the
+            # window's t-digests; this engine computes the exact
+            # interpolated percentile over the same value set — the
+            # same documented exactness divergence as the percentiles
+            # metric). Runs as ONE auxiliary explode+groupBy job
+            # after the bucket keys are known (_moving_percentiles).
+            movpct = {
+                n: s for n, s in sub.items()
+                if _agg_kind(s) == "moving_percentiles"
+            }
             sub = {n: s for n, s in sub.items()
                    if n not in parent_pipes and n not in cum_cards
-                   and n not in rates}
+                   and n not in rates and n not in movpct}
             rate_comp: dict[str, str | None] = {}
             for n, s in rates.items():
                 rb = s["rate"]
@@ -4607,6 +4758,9 @@ def run_aggs(
                         b[n] = {"value": raw * _rate_unit_seconds(unit)
                                 / span if span else 0.0}
                 buckets.append(b)
+            if movpct:
+                _apply_moving_percentiles(
+                    df, kind, body, sub, rows, buckets, movpct)
             if cum_cards:
                 # applied BEFORE the generic pipelines so a
                 # bucket_script/selector can reference the running

@@ -8055,6 +8055,125 @@ def scripted_metric_priority(spark: SparkSession,
     )
 
 
+@register(
+    "extended_stats_bucket_daily",
+    # the sibling reduction restates as SQL aggregates over the
+    # per-day counts; variance/sd via the SAME sum/sumsq moments ES
+    # accumulates (population forms)
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('day', ts) AS k,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(c) AS mn, MAX(c) AS mx, SUM(c) AS s,
+           SUM(c * c) AS sumsq,
+           AVG(c) AS avg,
+           round(SUM(c * c) / COUNT(*) - AVG(c) * AVG(c), 6)
+               AS var_pop,
+           round(sqrt(SUM(c * c) / COUNT(*) - AVG(c) * AVG(c)), 6)
+               AS sd_pop
+    FROM g
+    """,
+)
+def extended_stats_bucket_daily(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ES sibling ``extended_stats_bucket`` (r14, r13 verdict #5):
+    the moment family over a date_histogram's per-day doc counts —
+    one groupBy job, the reduction driver-side over the returned
+    buckets like its stats_bucket sibling. Variance terms ROUNDED at
+    the output boundary (the oracle's sum-order differs in the last
+    ULPs)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {
+        "days": {"date_histogram": {"field": "ts",
+                                    "calendar_interval": "day"}},
+        "es": {"extended_stats_bucket": {
+            "buckets_path": "days>_count"}},
+    })
+    e = out["es"]
+    return spark.createDataFrame(
+        [(e["count"], float(e["min"]), float(e["max"]),
+          float(e["sum"]), float(e["sum_of_squares"]), e["avg"],
+          round(e["variance_population"], 6),
+          round(e["std_deviation_population"], 6))],
+        "cnt long, mn double, mx double, s double, sumsq double, "
+        "avg double, var_pop double, sd_pop double")
+
+
+@register(
+    "moving_percentiles_daily",
+    # position-based window (ES's): dense_rank orders the day
+    # buckets, each day's value set is the UNION of the prior 3
+    # positions' raw values, quantile_cont = the same interpolated
+    # percentile F.percentile computes
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('day', ts) AS k, CAST(value AS DOUBLE) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    pos AS (
+        SELECT k, dense_rank() OVER (ORDER BY k) - 1 AS i
+        FROM (SELECT DISTINCT k FROM b)
+    ),
+    bi AS (SELECT pos.i, b.v FROM b JOIN pos USING (k)),
+    w AS (
+        SELECT t.i AS ti, bi.v
+        FROM pos t JOIN bi ON bi.i >= t.i - 3 AND bi.i < t.i
+    )
+    SELECT pos.k AS key,
+           round(quantile_cont(w.v, 0.5), 6) AS p50,
+           round(quantile_cont(w.v, 0.9), 6) AS p90
+    FROM w JOIN pos ON pos.i = w.ti
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def moving_percentiles_daily(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ES ``moving_percentiles`` (r14, r13 verdict #5): per day, the
+    p50/p90 of the prior-3-day window's RAW event values — ES merges
+    the window's t-digests, this engine computes the exact
+    interpolated percentile over the same set (the documented
+    percentiles exactness divergence). One histogram groupBy + one
+    bounded explode(window)+groupBy auxiliary job
+    (plans/es_aggs.py:_apply_moving_percentiles). Rounded at the
+    output boundary (interpolation arithmetic order differs across
+    engines)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_aggs(ev, {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "pct": {"percentiles": {"field": "value",
+                                    "percents": [50, 90]}},
+            "mp": {"moving_percentiles": {"buckets_path": "pct",
+                                          "window": 3}},
+        }}})
+    import datetime as _dt
+
+    rows = []
+    for b in out["d"]["buckets"]:
+        if "mp" not in b:
+            continue
+        rows.append((
+            _dt.datetime.fromtimestamp(b["key"] / 1000.0,
+                                       _dt.timezone.utc)
+            .replace(tzinfo=None),
+            round(b["mp"]["values"]["50.0"], 6),
+            round(b["mp"]["values"]["90.0"], 6),
+        ))
+    return spark.createDataFrame(
+        rows, "key timestamp, p50 double, p90 double")
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage ordering. The external correctness gate records rows for
 # the first 50 registered queries per round. With coverage debt converged in

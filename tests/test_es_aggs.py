@@ -2980,3 +2980,65 @@ def test_scripted_metric_deterministic_subset(spark, docs):
         "combine_script": "return state",
         "reduce_script": "return state.s * state.k"}}})
     assert out["m"] == {"value": 28.0}
+
+
+def test_extended_stats_bucket_and_moving_percentiles(spark, docs):
+    """r14 (r13 verdict #5): the pipeline-agg tail —
+    extended_stats_bucket (sibling moment family) and
+    moving_percentiles (exact percentiles over the sliding bucket
+    window's raw values, ES's moving_fn window convention)."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+    )
+
+    df = spark.sql("""SELECT ts, CAST(v AS DOUBLE) v FROM VALUES
+      (TIMESTAMP '2024-01-01 01:00', 1.0),
+      (TIMESTAMP '2024-01-01 02:00', 3.0),
+      (TIMESTAMP '2024-01-02 01:00', 5.0),
+      (TIMESTAMP '2024-01-03 01:00', 7.0),
+      (TIMESTAMP '2024-01-04 01:00', 9.0)
+      AS t(ts, v)""")
+    out = run_aggs(df, {
+        "d": {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "day"},
+              "aggs": {"s": {"sum": {"field": "v"}}}},
+        "es": {"extended_stats_bucket": {"buckets_path": "d>s",
+                                         "sigma": 1}}})
+    e = out["es"]
+    # per-day sums: 4, 5, 7, 9 -> the same moment arithmetic the
+    # extended_stats metric uses
+    assert e["count"] == 4 and e["min"] == 4.0 and e["max"] == 9.0
+    assert e["sum"] == 25.0 and e["sum_of_squares"] == 171.0
+    assert abs(e["avg"] - 6.25) < 1e-12
+    assert abs(e["variance"] - 3.6875) < 1e-12
+    assert abs(e["std_deviation_bounds"]["upper"]
+               - (6.25 + 3.6875 ** 0.5)) < 1e-12
+    assert e["variance_sampling"] is not None
+    # moving_percentiles: window = the PRIOR 2 buckets (shift 0)
+    out = run_aggs(df, {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "pct": {"percentiles": {"field": "v", "percents": [50]}},
+            "mp": {"moving_percentiles": {"buckets_path": "pct",
+                                          "window": 2}},
+        }}})
+    got = [b.get("mp", {}).get("values", {}).get("50.0")
+           for b in out["d"]["buckets"]]
+    # bucket 0: empty window -> absent; 1: median(1,3)=2;
+    # 2: median(1,3,5)=3; 3: median(5,7)=6
+    assert got == [None, 2.0, 3.0, 6.0]
+    for bad, frag in [
+        ({"buckets_path": "nope", "window": 2}, "sibling"),
+        ({"buckets_path": "pct"}, "positive integer window"),
+        ({"buckets_path": "pct", "window": 2, "x": 1},
+         "moving_percentiles aggregation options"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            run_aggs(df, {"d": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"pct": {"percentiles": {"field": "v"}},
+                         "mp": {"moving_percentiles": bad}}}})
