@@ -1225,6 +1225,21 @@ def compile_dsl(
 
     if kind == "term":
         field, value = _field_value(body, allowed=("case_insensitive",))
+        if isinstance(value, str) and "/" in value:
+            # r14 (r13 verdict #7): a CIDR-shaped term takes ES's
+            # ip-field block semantics — two numeric comparisons over
+            # the parsed long; non-ip column values parse null and
+            # never match (two-valued, like every other leaf)
+            from sql_database_to_elastic_datalake_spark.functions.ip \
+                import cidr_member, is_cidr_literal
+
+            if is_cidr_literal(value):
+                return cidr_member(col(field).cast("string"), value)
+            if ":" in value \
+                    and re.fullmatch(r"[0-9A-Fa-f:]+/\d{1,3}", value):
+                raise DslError(
+                    f"ipv6 CIDR term {value!r} is unimplemented "
+                    "(needs 128-bit two-long arithmetic)")
         if _spec_flag(body, "case_insensitive"):
             return (F.lower(col(field).cast("string"))
                     == F.lit(str(value).lower()))

@@ -3042,3 +3042,78 @@ def test_extended_stats_bucket_and_moving_percentiles(spark, docs):
                                    "calendar_interval": "day"},
                 "aggs": {"pct": {"percentiles": {"field": "v"}},
                          "mp": {"moving_percentiles": bad}}}})
+
+
+def test_ip_range_and_cidr_term(spark, docs):
+    """r14 (r13 verdict #7): ip_range agg (from/to + CIDR-mask bands
+    as numeric comparisons over the parsed long) and CIDR term
+    membership; ipv6/malformed shapes are named 400s, non-ip values
+    parse null and never match."""
+    from sql_database_to_elastic_datalake_spark.functions.ip import (
+        int_to_ipv4,
+        ipv4_to_int,
+        parse_cidr,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        DslError,
+        compile_dsl,
+    )
+
+    # driver-side arithmetic twins
+    assert ipv4_to_int("10.0.0.1") == (10 << 24) + 1
+    assert int_to_ipv4((10 << 24) + 513) == "10.0.2.1"
+    assert parse_cidr("10.0.2.7/23") == (ipv4_to_int("10.0.2.0"),
+                                         ipv4_to_int("10.0.4.0"))
+    for bad in ("::1/64", "10.0.0.0/33", "10.0.0.256/8", "x/8"):
+        with pytest.raises(ValueError):
+            parse_cidr(bad)
+
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.1.5",), ("10.0.2.5",), ("10.0.3.200",),
+         ("not-an-ip",), (None,)], "ip string")
+    out = run_aggs(df, {"b": {"ip_range": {
+        "field": "ip",
+        "ranges": [
+            {"to": "10.0.1.0"},
+            {"from": "10.0.1.0", "to": "10.0.2.0"},
+            {"mask": "10.0.2.0/23"},
+        ]}}})
+    b = out["b"]["buckets"]
+    assert [x["doc_count"] for x in b] == [1, 1, 2]
+    assert b[0] == {"key": "*-10.0.1.0", "to": "10.0.1.0",
+                    "doc_count": 1}
+    # mask band renders its computed from/to like ES
+    assert b[2]["key"] == "10.0.2.0/23"
+    assert b[2]["from"] == "10.0.2.0" and b[2]["to"] == "10.0.4.0"
+    # keyed form
+    out = run_aggs(df, {"b": {"ip_range": {
+        "field": "ip", "keyed": True,
+        "ranges": [{"mask": "10.0.0.0/22", "key": "block"}]}}})
+    assert out["b"]["buckets"]["block"]["doc_count"] == 4
+    # CIDR term: block membership; non-ip strings never match
+    got = sorted(r["ip"] for r in df.filter(compile_dsl(
+        {"term": {"ip": "10.0.2.0/23"}})).collect())
+    assert got == ["10.0.2.5", "10.0.3.200"]
+    # a slash value that is NOT a CIDR stays plain equality
+    df2 = spark.createDataFrame([("a/b",), ("10.0.2.5",)],
+                                "ip string")
+    assert df2.filter(compile_dsl(
+        {"term": {"ip": "a/b"}})).count() == 1
+    # named 400s
+    for bad_body, frag in [
+        ({"field": "ip", "ranges": [{"mask": "::1/64"}]}, "ipv6"),
+        ({"field": "ip", "ranges": [{"from": "10.0.0.999"}]},
+         "malformed"),
+        ({"field": "ip", "ranges": [
+            {"mask": "10.0.0.0/8", "from": "10.0.0.0"}]},
+         "mask OR"),
+        ({"field": "ip", "ranges": [{"x": 1}]}, "entry keys"),
+        ({"field": "ip", "ranges": []}, "non-empty"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            run_aggs(df, {"b": {"ip_range": bad_body}})
+    with pytest.raises(DslError, match="ipv6"):
+        compile_dsl({"term": {"ip": "2001:db8::/32"}})
