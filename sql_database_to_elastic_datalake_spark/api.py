@@ -2537,10 +2537,14 @@ class LakeService:
                 from sql_database_to_elastic_datalake_spark.plans.es_aggs \
                     import run_aggs
 
-                aggregations = run_aggs(matched, aggs,
-                                        schema_fields=df.schema,
-                                        background=df,
-                                        background_pred=pred)
+                from sql_database_to_elastic_datalake_spark.plans \
+                    .join_field import lake_sibling_loader as _lsl
+
+                aggregations = run_aggs(
+                    matched, aggs, schema_fields=df.schema,
+                    background=df, background_pred=pred,
+                    relation_ctx=(name, _lsl(self.spark,
+                                             self.lake_dir)))
             if suggest:
                 # ES computes suggestions against the INDEX, not the
                 # query's match set — pass the unfiltered table

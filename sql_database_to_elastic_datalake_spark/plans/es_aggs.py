@@ -4274,6 +4274,7 @@ def run_aggs(
     schema_fields: list[str] | None = None,
     background: DataFrame | None = None,
     background_pred: Column | None = None,
+    relation_ctx: tuple | None = None,
 ) -> dict:
     """Execute an ES ``aggs`` section and assemble the documented
     response envelope: ``{name: {"buckets": [...]}}`` for bucket aggs,
@@ -5352,6 +5353,69 @@ def run_aggs(
                     for r in rows
                 ],
             }
+        elif kind in ("children", "parent"):
+            # r14 (r13 verdict stretch #8): scope-switch across the
+            # declared join-field relation — `children` moves the agg
+            # scope from matched parents to their child rows,
+            # `parent` from matched children to their parents. ONE
+            # distinct-key semi-join (pinned shuffle_hash like the
+            # has_child/has_parent leaves), then the sub-aggs recurse
+            # over the switched frame.
+            from sql_database_to_elastic_datalake_spark.plans \
+                .join_field import RELATIONS, _match_side
+
+            if relation_ctx is None:
+                raise DslError(
+                    f"the {kind} aggregation needs table context "
+                    "(the search route passes it; this entry point "
+                    "compiles single-table aggs only)")
+            table, load_sibling = relation_ctx
+            type_name = body.get("type")
+            if not isinstance(type_name, str) or not type_name:
+                raise DslError(f"{kind} aggregation requires a "
+                               "'type' string")
+            unknown = sorted(set(body) - {"type"})
+            if unknown:
+                raise DslError(
+                    f"unsupported {kind} aggregation options: "
+                    f"{unknown}")
+            rel = next((r for r in RELATIONS
+                        if r["child"] == type_name), None)
+            side = (rel and _match_side(
+                table, rel["parent" if kind == "children"
+                           else "child"]))
+            if rel is None or side is None:
+                raise DslError(
+                    f"no join-field relation maps the {kind} "
+                    f"aggregation type {type_name!r} onto table "
+                    f"{table!r}")
+            target_name = side + (rel["child"] if kind == "children"
+                                  else rel["parent"])
+            other = load_sibling(target_name)
+            if other is None:
+                raise DslError(
+                    f"{kind} aggregation type {type_name!r} resolves "
+                    f"to table {target_name!r}, which does not exist")
+            if kind == "children":
+                here_key, there_key = (rel["parent_key"],
+                                       rel["child_key"])
+            else:
+                here_key, there_key = (rel["child_key"],
+                                       rel["parent_key"])
+            keys = (df.select(F.col(here_key).alias("__rel_k"))
+                    .filter(F.col("__rel_k").isNotNull()).distinct())
+            scoped = other.join(
+                keys.hint("shuffle_hash"),
+                on=F.col(there_key) == F.col("__rel_k"),
+                how="left_semi")
+            env = {"doc_count": scoped.count()}
+            if sub:
+                env.update(run_aggs(scoped, sub,
+                                    schema_fields=scoped.schema,
+                                    background=scoped,
+                                    relation_ctx=(target_name,
+                                                  load_sibling)))
+            out[name] = env
         else:
             raise DslError(f"unsupported aggregation kind {kind!r}")
     # sibling pipeline reductions see every computed envelope,

@@ -38,18 +38,38 @@ from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
 )
 
 
+#: Stored-set batch size (r14, r13 verdict #6): beyond this many
+#: stored queries, the compiled array-of-structs is split into
+#: ceil(N / batch) per-batch scans unioned together. Measured at
+#: sf0.1/local[32] (BENCH_percolate_r14.json): the one-scan plan's
+#: wall time grows superlinearly past ~2k stored queries (expression
+#: mass pushes whole-stage codegen over the JVM method limit into
+#: interpreted evaluation, and plan compile time grows with the
+#: tree), while batched scans stay linear. No silent cap: every
+#: stored query is always evaluated — batching only changes the plan
+#: shape.
+DEFAULT_BATCH_SIZE = 1000
+
+
 def percolate_corpus(
     df: DataFrame,
     queries: dict[str, dict],
     id_cols: list[str] | None = None,
+    batch_size: int | None = DEFAULT_BATCH_SIZE,
 ) -> DataFrame:
-    """Evaluate every stored query against every row of ``df`` in ONE
-    scan. Output: ``id_cols`` (default: all of ``df``'s columns) +
-    ``query_id``, one row per (document, matching query).
+    """Evaluate every stored query against every row of ``df`` — ONE
+    scan per ``batch_size`` stored queries (one scan total for sets
+    up to the batch size). Output: ``id_cols`` (default: all of
+    ``df``'s columns) + ``query_id``, one row per (document, matching
+    query).
 
     Missing fields resolve to NULL (ES's unmapped-field behavior in
     percolation: the clause just doesn't match); a NULL predicate is
-    coalesced to false so it never leaks rows."""
+    coalesced to false so it never leaks rows.
+
+    ``batch_size=None`` forces the single-scan plan regardless of N
+    (the measurement escape hatch; see DEFAULT_BATCH_SIZE for why the
+    default batches)."""
     if not isinstance(queries, dict) or not queries:
         raise DslError("percolate needs at least one stored query")
 
@@ -57,20 +77,28 @@ def percolate_corpus(
         return (F.col(f) if f in _df.columns
                 else F.lit(None).cast("string"))
 
-    structs = []
-    for qid in sorted(queries):
-        pred = compile_dsl(queries[qid], field_resolver=resolve,
-                           schema_fields=df.columns)
-        structs.append(F.struct(
-            F.lit(str(qid)).alias("query_id"),
-            F.coalesce(pred, F.lit(False)).alias("matched"),
-        ))
     keep = id_cols if id_cols is not None else list(df.columns)
-    matched = F.filter(F.array(*structs), lambda s: s["matched"])
-    return (
-        df.select(*keep, F.explode(matched).alias("__m"))
-        .select(*keep, F.col("__m")["query_id"].alias("query_id"))
-    )
+    qids = sorted(queries)
+    step = batch_size if batch_size else len(qids)
+    parts: list[DataFrame] = []
+    for start in range(0, len(qids), max(step, 1)):
+        structs = []
+        for qid in qids[start:start + step]:
+            pred = compile_dsl(queries[qid], field_resolver=resolve,
+                               schema_fields=df.columns)
+            structs.append(F.struct(
+                F.lit(str(qid)).alias("query_id"),
+                F.coalesce(pred, F.lit(False)).alias("matched"),
+            ))
+        matched = F.filter(F.array(*structs), lambda s: s["matched"])
+        parts.append(
+            df.select(*keep, F.explode(matched).alias("__m"))
+            .select(*keep, F.col("__m")["query_id"].alias("query_id"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def percolate_document(spark, doc: dict, queries: dict[str, dict],

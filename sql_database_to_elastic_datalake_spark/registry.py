@@ -8174,6 +8174,56 @@ def moving_percentiles_daily(spark: SparkSession,
         rows, "key timestamp, p50 double, p90 double")
 
 
+@register(
+    "children_agg_lineitems",
+    oracle="""
+    WITH scoped AS (
+        SELECT l.* FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderpriority = '1-URGENT')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+           AVG(l_quantity) AS avg_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM scoped
+    """,
+)
+def children_agg_lineitems(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """ES ``children`` aggregation (r14, r13 verdict stretch #8): the
+    agg scope switches from matched URGENT orders to their lineitem
+    rows across the declared join-field relation — one distinct-key
+    semi-join (pinned shuffle_hash), sub-metrics recursing over the
+    switched frame. Reference surface: verbatim-DSL aggs passthrough
+    /root/reference/src/search_api.py:38-46."""
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    matched = orders.filter(compile_dsl(
+        {"term": {"o_orderpriority": "1-URGENT"}}))
+    out = run_aggs(
+        matched,
+        {"kids": {"children": {"type": "lineitem"},
+                  "aggs": {
+                      "avg_qty": {"avg": {"field": "l_quantity"}},
+                      "max_price": {"max": {
+                          "field": "l_extendedprice"}}}}},
+        relation_ctx=("orders",
+                      lambda n: load_table(spark, sf_dir, n)),
+    )
+    k = out["kids"]
+    return spark.createDataFrame(
+        [(k["doc_count"], k["avg_qty"]["value"],
+          float(k["max_price"]["value"]))],
+        "doc_count long, avg_qty double, max_price double")
+
+
 # ---------------------------------------------------------------------------
 # ip family (r14, r13 verdict #7): the geo r13 derived-column pattern
 # — deterministic synthetic IPv4 addresses from integer keys (pure

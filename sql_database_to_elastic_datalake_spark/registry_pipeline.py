@@ -1004,7 +1004,8 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_ivf_oracle(k: int, nlist: int, nprobe: int) -> str:
+def _knn_ivf_oracle(k: int, nlist: int, nprobe: int,
+                    where: str = "") -> str:
     """The knn PROBED tier replayed in SQL: probe-cell selection (top
     nprobe centroids by the same left-fold distance to the literal
     query, (d2, j) total order), fixed-grid cell assignment, scoring
@@ -1029,7 +1030,7 @@ def _knn_ivf_oracle(k: int, nlist: int, nprobe: int) -> str:
     )
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings {where}),
     cents(j, c) AS (VALUES
         {cent_rows}),
     qv(q) AS (VALUES ({qlit})),
@@ -1081,6 +1082,36 @@ def search_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = fixed_grid_centroids(97, _DIM)[41]
     return ivf_knn_literal(
         emb, "embedding", q, k=10, nlist=16, nprobe=3
+    ).select("vec_id", "label", "_score")
+
+
+@register(
+    "search_knn_ivf_filtered",
+    oracle=_knn_ivf_oracle(k=10, nlist=16, nprobe=3,
+                           where="WHERE label IN (3, 7)"),
+)
+def search_knn_ivf_filtered(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """knn with a DSL ``filter`` through the PROBED tier (r14, r13
+    verdict stretch #9): the compiled filter applies BEFORE the cell
+    assignment and cosine work — rows outside the filter never pay
+    the nlist-fold or the norm math, and the comparison pushes to the
+    parquet scan (plan-gated). Same zero-shuffle/zero-join plan as
+    search_knn_ivf."""
+    from sql_database_to_elastic_datalake_spark.operators.ivf import (
+        fixed_grid_centroids,
+        ivf_knn_literal,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fixed_grid_centroids(97, _DIM)[41]
+    pred = compile_dsl({"terms": {"label": [3, 7]}},
+                       schema_fields=emb.schema)
+    return ivf_knn_literal(
+        emb, "embedding", q, k=10, nlist=16, nprobe=3, pred=pred
     ).select("vec_id", "label", "_score")
 
 

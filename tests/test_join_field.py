@@ -186,3 +186,46 @@ def test_rest_route_and_aggs_scope(client, service):
         content_type="application/json")
     assert r.status_code == 200
     assert r.get_json()["hits"]["hits"] == []
+
+
+def test_children_and_parent_aggs(service):
+    """r14 (r13 verdict stretch #8): children/parent agg kinds —
+    scope-switch across the declared relation, sub-aggs over the
+    switched frame, named 400s without relation context."""
+    out = service.advanced_search(
+        "data_lake_orders",
+        {"term": {"o_orderpriority": "1-URGENT"}}, k=0,
+        aggs={"kids": {"children": {"type": "lineitem"},
+                       "aggs": {"q": {"sum": {
+                           "field": "l_quantity"}}}}})
+    kids = out["aggregations"]["kids"]
+    # orders 1 and 3 -> lineitems (1,1),(1,2),(3,1): 10+60+5
+    assert kids["doc_count"] == 3
+    assert kids["q"]["value"] == 75.0
+    # parent agg: children matching quantity > 50 -> their orders
+    out = service.advanced_search(
+        "data_lake_lineitem",
+        {"range": {"l_quantity": {"gt": 50}}}, k=0,
+        aggs={"par": {"parent": {"type": "lineitem"},
+                      "aggs": {"p": {"max": {
+                          "field": "o_totalprice"}}}}})
+    par = out["aggregations"]["par"]
+    assert par["doc_count"] == 2  # orders 1 and 2, deduped
+    assert par["p"]["value"] == 900.0
+    # named 400s
+    from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
+        run_aggs,
+    )
+
+    with pytest.raises(DslError, match="table context"):
+        run_aggs(service.spark.range(1), {"kids": {
+            "children": {"type": "lineitem"}}})
+    with pytest.raises(DslError, match="no join-field relation"):
+        service.advanced_search(
+            "data_lake_lineitem", {"match_all": {}}, k=0,
+            aggs={"kids": {"children": {"type": "lineitem"}}})
+    with pytest.raises(DslError, match="options"):
+        service.advanced_search(
+            "data_lake_orders", {"match_all": {}}, k=0,
+            aggs={"kids": {"children": {"type": "lineitem",
+                                        "x": 1}}})

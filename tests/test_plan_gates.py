@@ -643,6 +643,28 @@ GATES = {
             "orders": (2, ["EqualTo(o_orderpriority,1-URGENT)"]),
         },
     ),
+    # r14: knn DSL filter through the probed IVF tier — the filter
+    # must PUSH to the scan (rows outside it never pay the nlist
+    # assignment fold or the cosine), plan stays zero-shuffle like
+    # the unfiltered tier
+    "search_knn_ivf_filtered": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"embeddings": (3, ["In(label, [3,7])",
+                                  "IsNotNull(embedding)"])},
+    ),
+    # r14: CIDR term — numeric block membership over the derived ip
+    # string; one projection, zero shuffles (the derived column
+    # can't push, a REAL ip column's comparisons would)
+    "cidr_term_members": dict(
+        shuffles=0, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"customer": (1, [])},
+    ),
+    # r14: scripted_metric rides the terms frame — same single
+    # groupBy shuffle as any terms agg, reduce fused into the agg
+    "scripted_metric_priority": dict(
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        scans={"orders": (2, [])},
+    ),
 }
 
 
