@@ -141,6 +141,17 @@ HEADLINE = (
     # second wave: decay-scored ranked page + ray-cast polygon filter
     "geo_distance_feature_rank",
     "geo_polygon_members",
+    # r14: the new plan families with real distributed cost get
+    # recorded wall times (r6 precedent) — the join-field semi-join
+    # flags, the children scope-switch, the scripted_metric terms
+    # frame, the moving-percentiles auxiliary explode+groupBy, and
+    # the filtered knn IVF tier
+    "join_field_has_child",
+    "join_field_has_parent",
+    "children_agg_lineitems",
+    "scripted_metric_priority",
+    "moving_percentiles_daily",
+    "search_knn_ivf_filtered",
 )
 
 #: Extra members timed only under ``--sf1`` (r4 verdict directive #4:

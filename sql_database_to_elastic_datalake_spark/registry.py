@@ -8328,67 +8328,64 @@ def cidr_term_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r13 tier: semantics-touched THIS round (rotation rule:
-    #    nothing ships with driver evidence older than its last
-    #    change). New r13 queries are appended here as they land.
-    "search_knn_ivf",              # r13 NEW: knn num_candidates IVF tier
-    "neardup_minhash_lsh",         # r13 touched: exact-collapse +
-                                   # star-emission bucket cap
-    "simhash_hamming_pairs",       # r13 touched: same cap/collapse
-    "geo_distance_ring",           # r13 NEW: geo family
-    "geo_bbox_members",            # r13 NEW: antimeridian bbox
-    "geo_grid_counts",             # r13 NEW: geohash_grid cells
-    "percolate_orders",            # r13 NEW: reverse search, one scan
-    "geo_tile_counts",             # r13 NEW (late): geotile_grid
-    "geo_rings_balance",           # r13 NEW (late): geo_distance agg
-    "geo_bounds_centroid",         # r13 NEW (late): bounds + centroid
-    "geo_nearest_topk",            # r13 NEW (late): _geo_distance sort
-    "geo_distance_feature_rank",   # r13 NEW (late): geo decay scoring
-    "geo_polygon_members",         # r13 NEW (late): ray-cast polygon
-    "geo_decay_rank",              # r13 NEW (late): gauss geo decay
-    "rate_events_per_day",         # r13 NEW (late): calendar rate agg
-    # -- evidence-freshness window (r12 verdict #6): the 18 r6-era
-    #    queries retire first, then 29 of the 42 r8-era ones — after
-    #    this window nothing in the registry carries driver evidence
-    #    older than round 8 (the 13 r8 leftovers are r14's owed
-    #    window, listed at scripts/selfcheck.py's full sweep anyway).
-    "search_aggs_terms_stats",
-    "search_aggs_filter_metrics",
-    "search_collapse_field",
-    "search_source_filtering",
-    "search_aggs_terms_order",
-    "stratified_sample_langs",
-    "rollup_status_priority",
-    "set_ops_customers",
-    "window_rank_family",
-    "q5_local_supplier_volume",
-    "q4_order_priority",
-    "regex_extract_docs",
-    "word_count",
-    "top_words_per_doc",
-    "unpivot_lineitem_metrics",
-    "q6_forecast_revenue",
-    "string_functions_family",
-    "window_value_family",
-    # r8-era tier (17 of 42; 12 slots ceded to the new r13 queries —
-    # the leftovers are r14's owed window)
-    "search_dsl_query_string",
-    "search_dsl_simple_qs",
-    "search_dsl_qs_ranges",
-    "search_dsl_phrase_slop",
-    "search_dsl_match_fuzzy",
-    "search_dsl_qs_fuzzy",
-    "search_aggs_siblings",
-    "search_aggs_filters",
-    "search_aggs_date_range",
-    "search_aggs_terms_include",
-    "search_aggs_pipeline",
-    "search_aggs_tsvb_math",
-    "search_aggs_bucket_sort",
-    "search_aggs_percentiles_bucket",
-    "search_rescore_window",
-    "search_aggs_range_buckets",
-    "search_aggs_terms_filter",
+    # -- r14 tier: new or semantics-touched THIS round (rotation
+    #    rule: nothing ships with driver evidence older than its
+    #    last change).
+    "join_field_has_child",         # r14 NEW: has_child + min_children
+    "join_field_has_parent",        # r14 NEW: semi + anti has_parent
+    "scripted_metric_priority",     # r14 NEW: scripted_metric subset
+    "extended_stats_bucket_daily",  # r14 NEW: sibling moment family
+    "moving_percentiles_daily",     # r14 NEW: windowed percentiles
+    "ip_range_customers",           # r14 NEW: ip_range bands
+    "cidr_term_members",            # r14 NEW: CIDR term membership
+    "children_agg_lineitems",       # r14 NEW: children agg scope-switch
+    "search_knn_ivf_filtered",      # r14 NEW: knn filter + IVF tier
+    "geo_grid_counts",              # r14 touched: geohash null propagation
+    "geo_tile_counts",              # r14 touched: geotile null propagation
+    "percolate_orders",             # r14 touched: batched stored-set plan
+    "rate_events_per_day",          # r14 touched: synthetic-name stripping
+    # -- evidence-freshness window (r13 verdict #2): the 25 remaining
+    #    r8-era queries retire NOW — after this window no registry
+    #    query carries driver evidence older than round 9.
+    "corpus_cluster_profile",
+    "search_aggs_adjacency",
+    "search_aggs_auto_interval",
+    "search_aggs_composite_missing",
+    "search_aggs_composite_page",
+    "search_aggs_date_histogram",
+    "search_aggs_extended_stats",
+    "search_aggs_filter_buckets",
+    "search_aggs_global",
+    "search_aggs_histogram_gaps",
+    "search_aggs_histogram_offset",
+    "search_aggs_multi_terms",
+    "search_aggs_nested_metric_order",
+    "search_aggs_rare_terms",
+    "search_aggs_timezone",
+    "search_aggs_top_metrics",
+    "search_dsl_combined_fields",
+    "search_dsl_compound",
+    "search_fields_retrieval",
+    "search_from_size_page",
+    "search_min_score",
+    "search_ranked_offset_page",
+    "search_sort_mode_array",
+    "search_sort_options",
+    "semdedup_embeddings",
+    # -- oldest-evidence round-robin: 12 slots begin retiring the 46
+    #    r9-era queries (the remaining 34 are r15's owed window).
+    "array_functions_docs",
+    "boilerplate_chunk_removal",
+    "corpus_composition",
+    "data_quality_audit",
+    "denormalized_orders",
+    "filter_project",
+    "gdpr_delete_sync",
+    "group_to_array",
+    "history_versioning",
+    "incremental_sync_events",
+    "ingest_accounting",
+    "late_data_profile",
 ]
 
 

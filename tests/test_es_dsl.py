@@ -989,3 +989,37 @@ def test_empty_leaf_bodies_are_named_400s(docs):
     ):
         with pytest.raises(DslError):
             compile_dsl(bad, schema_fields=["txt"])
+
+
+def test_percolate_batching_is_plan_shape_only(spark):
+    """r14 (r13 verdict #6): the stored-set batch splits the compiled
+    array into ceil(N/batch) per-batch scans — results are IDENTICAL
+    to the one-scan plan (no silent cap: every stored query always
+    evaluates), and the batched plan holds one scan per batch."""
+    from sql_database_to_elastic_datalake_spark.plans.percolate import (
+        DEFAULT_BATCH_SIZE,
+        percolate_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(50)], "id long, v double")
+    queries = {f"q{i:03d}": {"range": {"v": {"gte": i * 7,
+                                             "lt": i * 7 + 40}}}
+               for i in range(30)}
+    one = percolate_corpus(df, queries, id_cols=["id"],
+                           batch_size=None)
+    batched = percolate_corpus(df, queries, id_cols=["id"],
+                               batch_size=7)
+    a = sorted((r["id"], r["query_id"]) for r in one.collect())
+    b = sorted((r["id"], r["query_id"]) for r in batched.collect())
+    assert a == b and len(a) > 0
+    # the default batch bound exists and is documented-positive
+    assert DEFAULT_BATCH_SIZE >= 1
+    # batched plan: ceil(30/7)=5 per-batch branches unioned;
+    # one-scan: no union at all
+    from sql_database_to_elastic_datalake_spark.plans.audit import (
+        plan_string,
+    )
+
+    assert "Union" in plan_string(batched)
+    assert "Union" not in plan_string(one)
