@@ -42,13 +42,15 @@ from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
 #: stored queries, the compiled array-of-structs is split into
 #: ceil(N / batch) per-batch scans unioned together. Measured at
 #: sf0.1/local[32] (BENCH_percolate_r14.json): the one-scan plan's
-#: wall time grows superlinearly past ~2k stored queries (expression
-#: mass pushes whole-stage codegen over the JVM method limit into
-#: interpreted evaluation, and plan compile time grows with the
-#: tree), while batched scans stay linear. No silent cap: every
-#: stored query is always evaluated — batching only changes the plan
-#: shape.
-DEFAULT_BATCH_SIZE = 1000
+#: per-query cost knees past ~500 stored queries (0.073 s/query at
+#: 500 → 0.115 at 1000 → 0.143 at 2000 — expression mass pushes the
+#: compiled batch out of efficient codegen and plan compile grows
+#: with the tree), while 500-query batches hold it flat AND overlap
+#: across the union (2000 queries: one-scan 285.6 s, batched-1000
+#: 183.4 s, batched-500 **73.7 s**, identical match sets). No silent
+#: cap: every stored query is always evaluated — batching only
+#: changes the plan shape.
+DEFAULT_BATCH_SIZE = 500
 
 
 def percolate_corpus(
