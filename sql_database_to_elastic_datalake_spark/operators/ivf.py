@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sql_database_to_elastic_datalake_spark.functions.scalar import (
+    lit_double_array,
+    lit_double_matrix,
+)
 from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
     top_k_per_group,
 )
@@ -315,9 +319,7 @@ def _with_fixed_cells(
     the centroid-distance array in the row; ties to the smallest cell
     id, the SQL oracle's (d2, j) total order)."""
     centroids = fixed_grid_centroids(nlist, dim)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in centroids]
-    )
+    cent_lit = lit_double_matrix(centroids)
     base = with_sq_norm(embeddings, vec_col)
     d2s = F.transform(
         cent_lit,
@@ -367,9 +369,7 @@ def ivf_search_fixed(
     from pyspark.sql import Window
 
     centroids = fixed_grid_centroids(nlist, dim)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in centroids]
-    )
+    cent_lit = lit_double_matrix(centroids)
     base = with_sq_norm(embeddings, vec_col)
 
     # per-row array of nlist squared distances via the house sequential
@@ -500,7 +500,7 @@ def ivf_knn_literal(
     assigned = _with_fixed_cells(src, nlist, dim, vec_col).filter(
         F.col("cell").isin(probe_cells)
     )
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_double_array(q)
     cos = (
         dot(F.col("_vec_d"), qlit)
         / (F.sqrt(F.col("sq_norm")) * F.lit(qn))

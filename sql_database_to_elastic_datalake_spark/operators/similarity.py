@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_database_to_elastic_datalake_spark.functions.scalar import (
+    lit_double_array,
+)
 from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
     top_k_per_group,
 )
@@ -337,7 +340,7 @@ def knn_search(
     src = df.filter(pred) if pred is not None else df
     src = src.filter(F.col(vec_col).isNotNull())
     base = with_sq_norm(src, vec_col)
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_double_array(q)
     cos = (
         dot(F.col("_vec_d"), qlit)
         / (F.sqrt(F.col("sq_norm")) * F.lit(qn))
