@@ -59,7 +59,8 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 1
+    df: DataFrame, id_col: str, text_col: str, n: int = 1,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct lowercase word n-gram shingles per document, exploded to
     (id, shingle) rows.
@@ -69,6 +70,14 @@ def word_shingles(
     from inside the window lambda makes every ``element_at`` re-split
     the document — O(len²) tokenizations per row (measured: 13 s vs
     <2 s for 5k docs at sf0.1).
+
+    ``distinct=False`` (r14, guide §2.4): ``array_distinct`` already
+    dedupes WITHIN each document, so the trailing ``.distinct()`` —
+    a full exchange of the exploded corpus-sized stream — only guards
+    against duplicate input ids. A caller whose input id is unique by
+    construction (a primary-key scan, an :func:`exact_representatives`
+    output, a semi-join of either) opts out and produces the identical
+    row set one exchange cheaper.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col), toks.alias("__toks"))
@@ -87,12 +96,10 @@ def word_shingles(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    return (
-        base.select(
-            F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
-        )
-        .distinct()
+    out = base.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -310,6 +317,28 @@ class _CapAccounting:
         return len(self._KEYS)
 
 
+def widen_narrow_input(out: DataFrame, probe: DataFrame) -> DataFrame:
+    """Round-robin ``out`` to the session's default parallelism when the
+    RAW input scan is narrower than the core count — else return it
+    untouched.
+
+    r14 (guide §2.5 input skew; SCALE.md r10 lesson 1): the shingle →
+    per-shingle-hash stages downstream are CPU-dense per byte, and both
+    the scan split count of a small/compacted table and AQE's
+    byte-based partition coalescing serialize them onto 1-2 tasks
+    (measured: the minhash signature+set pass at sf0.1 runs 2.7 s on
+    the scan's 2 partitions vs 1.2 s widened to 32). ``probe`` must be
+    the raw scan dataframe — its RDD partition count is the real split
+    count; probing a post-shuffle frame would read the static
+    shuffle-partition setting and say nothing about runtime AQE
+    coalescing. At lake scale the scan has thousands of splits, the
+    probe says "wide", and no extra exchange is added."""
+    sc = out.sparkSession.sparkContext
+    if probe.rdd.getNumPartitions() < sc.defaultParallelism:
+        return out.repartition(sc.defaultParallelism)
+    return out
+
+
 def exact_representatives(
     df: DataFrame, id_col: str, content_cols: list[str]
 ) -> DataFrame:
@@ -319,14 +348,18 @@ def exact_representatives(
     letting it reach LSH banding re-derives its k(k-1)/2 pairs through
     the most expensive stage in the pipeline). One groupBy on the
     content hash + one semi-join back — both linear, and at boilerplate
-    density they REPLACE quadratic pair emission."""
+    density they REPLACE quadratic pair emission.
+
+    The collapsed output is widened to the session parallelism when the
+    input scan is narrow (see :func:`widen_narrow_input`) — every
+    caller feeds it straight into the CPU-dense shingle/hash stages."""
     reps = (
         df.select(F.col(id_col), content_hash(content_cols).alias("__h"))
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(reps, id_col, "left_semi")
+    return widen_narrow_input(df.join(reps, id_col, "left_semi"), df)
 
 
 def minhash_lsh_neardup(
@@ -365,17 +398,32 @@ def minhash_lsh_neardup(
     rows_per_band = len(seeds) // bands
     if collapse_exact:
         df = exact_representatives(df, id_col, [text_col])
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    # localCheckpoint the two per-doc relations BOTH downstream fan-outs
-    # read (r13 late): the signature table feeds the melted band join's
-    # two sides plus the star/metrics branches, and the shingle-set
-    # table feeds both verification sides — without the checkpoint the
-    # whole scan→explode→groupBy subtree replans per consumer (measured:
-    # 22 exchanges vs 7, and the recompute is what a 100-TB corpus pays
-    # four times). Signatures are one short row per doc; the set
-    # relation is corpus-sized but materializing it once still beats
-    # computing it twice.
-    sigs = minhash_signatures(sh, id_col, seeds).localCheckpoint()
+    else:
+        df = widen_narrow_input(df, df)
+    # distinct=False: ids are unique here by contract (raw PK scan or
+    # the collapsed representatives), and the two consumers below
+    # (min per seed, collect_set) are duplicate-insensitive anyway —
+    # the guard exchange bought nothing (r14, guide §2.4).
+    sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
+    # ONE groupBy computes signatures AND shingle sets, checkpointed
+    # once (r14; refines the r13 two-checkpoint shape): the signature
+    # table feeds the melted band join's two sides plus the star/
+    # metrics branches, and the set table feeds both verification
+    # sides — without a checkpoint the whole scan→explode→groupBy
+    # subtree replans per consumer (r13 measured: 22 exchanges vs 7).
+    # Splitting sigs and sets into two groupBys additionally ran the
+    # scan→shingle-explode subtree twice; fusing them into one
+    # aggregation halves that (sf0.1 measured: 6.1 → 3.4 s, → 1.2 s
+    # combined with the narrow-input widening above).
+    per_doc = (
+        sh.groupBy(id_col)
+        .agg(*[F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle"))))
+               .alias(f"mh_{i}") for i, s in enumerate(seeds)],
+             F.collect_set("shingle").alias("shset"))
+        .localCheckpoint()
+    )
+    sigs = per_doc.select(
+        id_col, *[f"mh_{i}" for i in range(len(seeds))])
     cap_metrics: dict | None = {} if bucket_cap is not None else None
     cands = lsh_candidate_pairs(
         sigs, id_col, bands, rows_per_band,
@@ -385,8 +433,7 @@ def minhash_lsh_neardup(
     # count) and compute |A∩B| / |A∪B| on the arrays. Running the
     # all-shared-shingle jaccard_pairs() here instead would be the O(n²)
     # cost LSH exists to avoid.
-    sets = sh.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("shset")).localCheckpoint()
+    sets = per_doc.select(id_col, "shset")
     a_sets = sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa"))
     b_sets = sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -430,6 +477,7 @@ def simhash(
     text_col: str,
     bits: int = 32,
     shingle_n: int = 3,
+    distinct_shingles: bool = True,
 ) -> DataFrame:
     """``bits``-bit SimHash per document from md5-derived shingle values.
 
@@ -444,9 +492,16 @@ def simhash(
     shared-vocabulary corpus gives unrelated docs similar bit sums —
     1.57M hamming≤3 "pairs" from 5k docs. 32 bits over 3-gram shingles
     keeps both the hash space and the feature space discriminative.
+
+    ``distinct_shingles=False``: the bit sums are duplicate-SENSITIVE,
+    so this is only sound when the input id is unique by construction
+    (then ``array_distinct`` already made the rows unique and the
+    ``.distinct()`` exchange is pure overhead — see
+    :func:`word_shingles`).
     """
     assert bits % 4 == 0 and bits <= 60, "bits must be a hex multiple ≤60"
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sh = word_shingles(df, id_col, text_col, n=shingle_n,
+                       distinct=distinct_shingles)
     tokval = sh.withColumn(
         "v",
         F.conv(
@@ -661,17 +716,26 @@ def dedup_clusters(
         msgs = und.join(
             labels.withColumnRenamed("id", "s"), "s"
         ).select(F.col("d").alias("id"), "label")
+        # r14 (guide §1.2): the changed-row count rides the round's
+        # checkpoint materialization as an Observation on the
+        # new-vs-old comparison join, instead of a second job per
+        # round — halves the per-round job count for identical labels
+        # and an identical stopping decision.
+        from pyspark.sql import Observation
+
+        robs = Observation()
         new = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .join(labels.withColumnRenamed("label", "__old"), "id")
+            .observe(robs, F.sum(
+                (F.col("label") != F.col("__old")).cast("long")
+            ).alias("chg"))
+            .select("id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = int(robs.get["chg"] or 0)
         labels = new
         if changed == 0:
             break

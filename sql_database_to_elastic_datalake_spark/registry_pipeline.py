@@ -223,7 +223,8 @@ _JACCARD_CTE = f"""
 )
 def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    # distinct=False: doc_id is the table PK, rows already unique (r14)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1, distinct=False)
     return dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
 
 
@@ -453,7 +454,10 @@ def _simhash_oracle(
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     reps = dedup.exact_representatives(docs, "doc_id", ["text"])
-    hashes = dedup.simhash(reps, "doc_id", "text", bits=60, shingle_n=3)
+    # distinct_shingles=False: reps ids are unique by construction, so
+    # the shingle rows are already distinct (r14 — drops one exchange)
+    hashes = dedup.simhash(reps, "doc_id", "text", bits=60, shingle_n=3,
+                           distinct_shingles=False)
     return dedup.simhash_pairs(hashes, "doc_id", max_hamming=3, bits=60,
                                bucket_cap=_LSH_BUCKET_CAP)
 
@@ -1164,7 +1168,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept_exact = dedup.exact_dedup(quality, ["text"], "doc_id").select("doc_id")
     surviving = quality.join(kept_exact, "doc_id", "left_semi")
-    sh = dedup.word_shingles(surviving, "doc_id", "text", n=3)
+    sh = dedup.word_shingles(surviving, "doc_id", "text", n=3, distinct=False)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     return surviving.join(drop, "doc_id", "left_anti").select("doc_id")
@@ -1836,7 +1840,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     # cost-attribution metrics (r5 verdict #5): this is the biggest
     # line of the sf1 bench, and its cost driver is LSH/shingle pair
@@ -1948,7 +1952,7 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
     return leakage_safe_split(docs, clusters, "doc_id")
@@ -2227,7 +2231,7 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = quality.withColumn("is_keep", F.col("doc_id") == min_doc)
     surviving = flagged.filter(F.col("is_keep")).select("doc_id", "text")
-    sh = dedup.word_shingles(surviving, "doc_id", "text", n=3)
+    sh = dedup.word_shingles(surviving, "doc_id", "text", n=3, distinct=False)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     drop = (
         pairs.select(F.col("b").alias("doc_id"))
@@ -2957,7 +2961,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. This is the materialized shrink the pair/cluster queries
     only describe; filter(id == cluster_id) ∘ dedup_clusters."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=0.9)
     clusters = dedup.dedup_clusters(docs, pairs, "doc_id")
     canonical = clusters.filter(
