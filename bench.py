@@ -209,9 +209,16 @@ SF1_CANARY_PINS = {
     # r13: neardup_minhash_lsh left the canary set — its cost basis
     # changed deliberately (exact-collapse + star-cap, see
     # BASELINE_RESETS) and canary members must be code-stable.
-    # quality_classifier_scores replaces it, pinned at its recorded
-    # BENCH_sf1_r12.json min-of-3 (stable 10.6 → 10.4 across r11/r12).
-    "quality_classifier_scores": 10.442,
+    # r14: quality_classifier_scores left for the same reason (the
+    # inline tier's Arrow-batched rewrite cut it ~13x — keeping the
+    # 10.442 pin would report every future run as impossibly quiet
+    # and blind the contention gate). Replaced by two members whose
+    # code is untouched this round, pinned at their recorded
+    # BENCH_sf1_r12.json min-of-3 (canary_ratio 0.999 — a quiet
+    # host): the DSIR two-pass model+score pipeline and the
+    # mixture-materialization rank window.
+    "dsir_importance_weights": 1.641,
+    "mixture_domain_resample": 0.615,
 }
 
 

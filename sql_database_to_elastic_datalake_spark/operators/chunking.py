@@ -680,8 +680,20 @@ def remove_probe_spans(
     def fold(tok):
         return F.lower(F.regexp_replace(tok, "İ", "i̇"))
 
-    def gram_structs(toks_col):
-        n = F.size(toks_col)
+    def folded(toks_col):
+        return F.transform(toks_col, fold)
+
+    def gram_structs(ftoks_col):
+        # ``ftoks_col`` MUST be a materialized pre-folded column (see
+        # the callers): r14 (guide §1.2 per-task work) — the fold used
+        # to run INSIDE the per-window slice transform, so every token
+        # paid the İ regexp + lowercase once per window it appears in
+        # (k times); folding the array once in its own projection is
+        # the same strings hashed, k regexp passes fewer. (Referencing
+        # a derived array expression from inside the window lambda
+        # would re-run the whole-array fold per window — the
+        # word_shingles O(len²) hazard — hence the materialization.)
+        n = F.size(ftoks_col)
         return F.when(
             n >= k,
             F.transform(
@@ -689,8 +701,7 @@ def remove_probe_spans(
                 lambda i: F.struct(
                     i.alias("s"),
                     F.md5(F.array_join(
-                        F.transform(F.slice(toks_col, i + 1, k), fold),
-                        " ")).alias("h"),
+                        F.slice(ftoks_col, i + 1, k), " ")).alias("h"),
                 ),
             ),
         )
@@ -698,7 +709,8 @@ def remove_probe_spans(
     ptoks = F.split(F.trim(F.col(probe_text_col)), r"\s+")
     probe_grams = (
         probes.filter(F.col(probe_text_col).isNotNull())
-        .select(F.explode(gram_structs(ptoks)).alias("__g"))
+        .select(folded(ptoks).alias("__ftoks"))
+        .select(F.explode(gram_structs(F.col("__ftoks"))).alias("__g"))
         .select(F.col("__g.h").alias("__h"))
         .distinct()
     )
@@ -710,8 +722,10 @@ def remove_probe_spans(
     )
     hits = (
         base.select(F.col(id_col),
-                    F.explode(gram_structs(F.col("__toks")))
-                    .alias("__g"))
+                    folded(F.col("__toks")).alias("__ftoks"))
+        .select(F.col(id_col),
+                F.explode(gram_structs(F.col("__ftoks")))
+                .alias("__g"))
         .select(F.col(id_col), F.col("__g.s").alias("__s"),
                 F.col("__g.h").alias("__h"))
         .join(F.broadcast(probe_grams), "__h")

@@ -55,18 +55,40 @@ from sql_database_to_elastic_datalake_spark.operators.dsir import (
 DEFAULT_BUCKETS = 1024
 
 
-def _bigram_pairs(text_col: str, n_buckets: int) -> Column:
-    """Adjacent-token bucket pairs as one array column — built from
-    the token array BEFORE any explode (``zip_with`` over the array
-    against its own tail), so the pair stream costs what the
-    tokenizer pass already pays."""
-    toks = _tokens(text_col)
-    return F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(
-            _token_bucket(a, n_buckets).alias("b1"),
-            _token_bucket(b, n_buckets).alias("b2")),
+def _bigram_stream(
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    keep: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One ``(keep..., b1, b2)`` row per adjacent-token pair — built
+    from the token array BEFORE any explode (``zip_with`` over the
+    bucket array against its own tail), so the pair stream costs what
+    the tokenizer pass already pays.
+
+    r14 (guide §1.2 per-task work): each token is bucketed ONCE — the
+    md5+conv bucket runs in a ``transform`` materialized in its own
+    projection, and the zip pairs two slices of that materialized
+    array. The previous shape bucketed inside the zip lambda over two
+    slices of the RAW token array, so every token paid the md5 twice
+    (as the right side of pair i−1 and the left side of pair i).
+    Bucket values are unchanged — same hash, same order.
+    """
+    keep = keep or {}
+    bks = F.transform(
+        _tokens(text_col), lambda t: _token_bucket(t, n_buckets))
+    base = docs.select(
+        *[c.alias(n) for n, c in keep.items()], bks.alias("__bks"))
+    m = F.greatest(F.size(F.col("__bks")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("__bks"), 1, m),
+        F.slice(F.col("__bks"), 2, m),
+        lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+    )
+    return (
+        base.select(*keep, F.explode(pairs).alias("__p"))
+        .select(*keep, F.col("__p.b1").alias("b1"),
+                F.col("__p.b2").alias("b2"))
     )
 
 
@@ -85,12 +107,8 @@ def lm_bigram_model(
     bounded exchange), never a second corpus pass."""
     from pyspark.sql.window import Window
 
-    pairs = (
-        docs.filter(target_pred)
-        .select(F.explode(_bigram_pairs(text_col, n_buckets))
-                .alias("__p"))
-        .select(F.col("__p.b1").alias("b1"), F.col("__p.b2").alias("b2"))
-    )
+    pairs = _bigram_stream(docs.filter(target_pred), text_col,
+                           n_buckets)
     counts = pairs.groupBy("b1", "b2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12"))
     w = Window.partitionBy("b1")
@@ -129,11 +147,8 @@ def lm_doc_features(
         .agg(F.max("c1").cast("bigint").alias("__c1m"))
     )
     per_pair = (
-        docs.select(F.col(id_col).alias("__doc"),
-                    F.explode(_bigram_pairs(text_col, n_buckets))
-                    .alias("__p"))
-        .select("__doc", F.col("__p.b1").alias("b1"),
-                F.col("__p.b2").alias("b2"))
+        _bigram_stream(docs, text_col, n_buckets,
+                       keep={"__doc": F.col(id_col)})
         .groupBy("__doc", "b1", "b2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
@@ -211,13 +226,19 @@ def lm_kn_doc_features(
     )
     bw = model.groupBy("b2").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n1b"))
-    total_types = model.count()
+    # r14 (guide §5 driver): T used to be a driver-side
+    # ``model.count()`` at query-construction time — a blocking job
+    # that re-executed the whole model lineage (corpus scan → pair
+    # groupBy) once per build, invisible in the plan. As a 1-row
+    # broadcast cross-join the count shares the model subtree's
+    # exchange with the other margins (ReuseExchange) and the build
+    # does no Spark work. (T + B) as a double is bit-identical to the
+    # old ``float(total_types + n_buckets)`` literal for any count
+    # below 2^53.
+    tt = model.agg(F.count(F.lit(1)).cast("bigint").alias("__T"))
     per_pair = (
-        docs.select(F.col(id_col).alias("__doc"),
-                    F.explode(_bigram_pairs(text_col, n_buckets))
-                    .alias("__p"))
-        .select("__doc", F.col("__p.b1").alias("b1"),
-                F.col("__p.b2").alias("b2"))
+        _bigram_stream(docs, text_col, n_buckets,
+                       keep={"__doc": F.col(id_col)})
         .groupBy("__doc", "b1", "b2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
@@ -227,13 +248,15 @@ def lm_kn_doc_features(
               ["b1", "b2"], "left")
         .join(F.broadcast(fw), "b1", "left")
         .join(F.broadcast(bw), "b2", "left")
+        .crossJoin(F.broadcast(tt))
     )
     c12 = F.coalesce(F.col("c12"), F.lit(0).cast("bigint")).cast("double")
     c1 = F.coalesce(F.col("__c1m"), F.lit(0).cast("bigint")).cast("double")
     n1f = F.coalesce(F.col("__n1f"), F.lit(0).cast("bigint")).cast("double")
     n1b = F.coalesce(F.col("__n1b"), F.lit(0).cast("bigint")).cast("double")
     d = F.lit(float(discount))
-    p_cont = (n1b + F.lit(1.0)) / F.lit(float(total_types + n_buckets))
+    p_cont = (n1b + F.lit(1.0)) / (
+        F.col("__T") + F.lit(int(n_buckets))).cast("double")
     p_seen = (F.greatest(c12 - d, F.lit(0.0)) / c1
               + (d * n1f / c1) * p_cont)
     p = F.when(c1 > 0, p_seen).otherwise(p_cont)
