@@ -258,8 +258,13 @@ class LakeService:
             ]
             cols = sorted({k for r in rows for k in r})
             normalized = [tuple(r.get(c) for c in cols) for r in rows]
-            df = self.spark.createDataFrame(
-                normalized, schema=", ".join(f"`{c}` string" for c in cols)
+            from sql_database_to_elastic_datalake_spark.localrel import (
+                local_frame,
+            )
+
+            df = local_frame(
+                self.spark, normalized,
+                ", ".join(f"`{c}` string" for c in cols)
             )
             df.write.mode("append").parquet(self._table_path(entity_type))
         ok = sum(1 for r in results if r.ok)

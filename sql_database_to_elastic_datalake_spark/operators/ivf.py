@@ -28,6 +28,7 @@ from sql_database_to_elastic_datalake_spark.functions.scalar import (
     lit_double_array,
     lit_double_matrix,
 )
+from sql_database_to_elastic_datalake_spark.localrel import local_frame
 from sql_database_to_elastic_datalake_spark.operators.dedup_window import (
     top_k_per_group,
 )
@@ -137,7 +138,8 @@ def ivf_search(
         for cell in np.argsort(d2)[:nprobe]:
             probe_pairs.append((r[id_col], int(cell)))
     spark = embeddings.sparkSession
-    probes = spark.createDataFrame(probe_pairs, "query_id bigint, cell int")
+    probes = local_frame(spark, probe_pairs,
+                         "query_id bigint, cell int")
 
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),

@@ -57,6 +57,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_database_to_elastic_datalake_spark.localrel import local_frame
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
     DslError,
     compile_dsl,
@@ -3136,7 +3137,7 @@ def _attach_chain_top_hits(
         StructField(f"__k{j}", frame.schema[f"__k{j}"].dataType)
         for j in range(nk)
     ])
-    keys_df = spark.createDataFrame(keys, schema)
+    keys_df = local_frame(spark, keys, schema)
     key_exprs = [
         bucket_key(knd, bdy).alias(f"__k{j}")
         for j, (_, knd, bdy) in enumerate(levels)
@@ -3208,16 +3209,29 @@ def significant_terms_frame(
     key = F.col(field)
     fgc = (fg.filter(key.isNotNull()).groupBy(key.alias("key"))
            .agg(F.count(F.lit(1)).alias("doc_count")))
-    bgc = (bg.filter(key.isNotNull()).groupBy(key.alias("key"))
-           .agg(F.count(F.lit(1)).alias("bg_count")))
+    # ONE background pass (r14, guide §2.2 fewer passes): group
+    # WITHOUT the null filter so the total doc count bt (which counts
+    # null-key docs too, ES's doc_count basis) rides the grouped
+    # result as an unpartitioned-window sum — term-cardinality rows,
+    # one single-partition gather. The old shape paid a SECOND full
+    # background scan for that one scalar (and a two-branch reuse
+    # attempt fails: the key-null filter pushes into one branch's
+    # scan and breaks exchange-subtree identity).
+    from pyspark.sql.window import Window as _W
+
+    bgc = (
+        bg.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+        .withColumn("bt", F.sum("bg_count").over(
+            _W.partitionBy()).cast("double"))
+        .filter(F.col("key").isNotNull())
+    )
     fgt = fg.agg(F.count(F.lit(1)).cast("double").alias("ft"))
-    bgt = bg.agg(F.count(F.lit(1)).cast("double").alias("bt"))
     fg_pct = F.col("doc_count").cast("double") / F.col("ft")
     bg_pct = F.col("bg_count").cast("double") / F.col("bt")
     return (
         fgc.join(bgc, "key")
         .crossJoin(F.broadcast(fgt))
-        .crossJoin(F.broadcast(bgt))
         .filter((F.col("doc_count") >= min_dc) & (fg_pct > bg_pct))
         .select(
             "key", "doc_count", "bg_count",
@@ -3660,7 +3674,7 @@ def sampler_scope(
         )
     page = scoped.orderBy(rank.asc(), F.col(keys[0]).asc()) \
         .limit(int(shard_size))
-    return df.sparkSession.createDataFrame(page.collect(), page.schema)
+    return local_frame(df.sparkSession, page.collect(), page.schema)
 
 
 def filters_frame(
@@ -4145,6 +4159,8 @@ def _apply_moving_percentiles(
     are over bucket POSITIONS (ES's), so gap-filled zero buckets
     count as positions. The explode factor is the window length —
     bounded, never corpus²."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     keys = [r["key"] for r in rows]
     key_col = bucket_key(kind, body)
     for pname, spec in movpct.items():
@@ -4176,9 +4192,15 @@ def _apply_moving_percentiles(
             continue
         src = _metric_source(tbody)
         spark = df.sparkSession
-        kdf = spark.createDataFrame(
-            [(k, i) for i, k in enumerate(keys)],
-            ["__mp_key", "__mp_j"])
+        # Arrow-backed like every other local relation (localrel.py);
+        # the key type comes from the frame the keys were read from,
+        # so the broadcast-join key matches without inference.
+        kdf = local_frame(
+            spark, [(k, i) for i, k in enumerate(keys)],
+            StructType([
+                df.select(key_col.alias("__mp_key")).schema[0],
+                StructField("__mp_j", LongType()),
+            ]))
         contrib = (
             df.filter(key_col.isNotNull() & src.isNotNull())
             .select(key_col.alias("__mp_key"),

@@ -322,6 +322,20 @@ def resolve_minimum_should_match(spec, n_optional: int) -> int:
         raise DslError(f"malformed minimum_should_match {spec!r}") from None
 
 
+def _let1(value: Column, fn) -> Column:
+    """LET-bind ``value`` — evaluate it ONCE per row — inside a
+    boolean expression tree: a single-element ``exists`` returns
+    exactly ``fn(value)`` (true/false/null included) while forcing one
+    evaluation of ``value``. Catalyst has no LET and does not
+    common-subexpression-eliminate across a FilterExec condition, so a
+    predicate referencing a derived token array N times re-runs the
+    regexp tokenizer N times per row (r14: the intervals member's plan
+    carried 5 ``split(`` nodes; binding once measured sf0.1 steady
+    1.45 -> 0.52 s with identical rows). ``fn`` runs eagerly at
+    compile time — validation raises exactly as before."""
+    return F.exists(F.array(value), fn)
+
+
 def _token_array(col: Column) -> Column:
     """The field value as its lowercase token array — the same analyzer
     as :func:`tokenize`, as a column expression (split + filter, no
@@ -360,7 +374,6 @@ def _sloppy_phrase(col: Column, toks: list[str], slop: int) -> Column:
     semantics); this compiler matches in request order only — a
     reordered match is missed, never a false positive.
     """
-    arr = _token_array(col)
     span = F.lit(len(toks) - 1 + slop)
 
     def _min_after(pos: Column, prev: Column) -> Column:
@@ -369,15 +382,20 @@ def _sloppy_phrase(col: Column, toks: list[str], slop: int) -> Column:
         # function's INDEX argument over the default
         return F.array_min(F.filter(pos, lambda x: x > prev))
 
-    def chain(p0: Column) -> Column:
-        cur = p0
-        for tok in toks[1:]:
-            cur = _min_after(_token_positions(arr, tok), cur)
-        return F.coalesce(cur - p0 <= span, F.lit(False))
+    def over(arr: Column) -> Column:
+        def chain(p0: Column) -> Column:
+            cur = p0
+            for tok in toks[1:]:
+                cur = _min_after(_token_positions(arr, tok), cur)
+            return F.coalesce(cur - p0 <= span, F.lit(False))
 
-    return F.coalesce(
-        F.exists(_token_positions(arr, toks[0]), chain), F.lit(False)
-    )
+        return F.coalesce(
+            F.exists(_token_positions(arr, toks[0]), chain),
+            F.lit(False))
+
+    # token array LET-bound (r14, _let1): the chain references the
+    # array once per phrase token — n tokenizer runs per row before
+    return _let1(_token_array(col), over)
 
 
 # ---------------------------------------------------------------------------
@@ -753,10 +771,13 @@ def _compile_span(kind: str, body: dict, col) -> Column:
     over ONE token-array computation: no UDF, no explode, whole-stage
     codegen applies."""
     field = _span_field(kind, body)
-    arr = _token_array(col(field))
     if kind != "span_near":
-        sp = _span_spans(arr, kind, body)
-        return F.coalesce(F.size(sp) > 0, F.lit(False))
+        # token array LET-bound (r14, _let1): multi-reference span
+        # trees re-ran the tokenizer once per reference
+        return _let1(
+            _token_array(col(field)),
+            lambda a: F.coalesce(
+                F.size(_span_spans(a, kind, body)) > 0, F.lit(False)))
 
     unknown = sorted(set(body) - {"clauses", "slop", "in_order", "boost"})
     if unknown:
@@ -778,9 +799,11 @@ def _compile_span(kind: str, body: dict, col) -> Column:
     # keeps the ordered greedy fast path on for the common shape.
     single = not any(_span_clause_wide(cl) for cl in clauses
                      if isinstance(cl, dict) and cl)
-    return _spans_near_exists(
-        [_span_spans(arr, *next(iter(cl.items()))) for cl in clauses],
-        bool(body.get("in_order", True)), slop, single_token=single)
+    return _let1(
+        _token_array(col(field)),
+        lambda a: _spans_near_exists(
+            [_span_spans(a, *next(iter(cl.items()))) for cl in clauses],
+            bool(body.get("in_order", True)), slop, single_token=single))
 
 
 def _span_clause_wide(node: dict) -> bool:
@@ -1085,6 +1108,29 @@ def _intervals_spans(arr: Column, kind: str, body) -> Column:
     return sp
 
 
+def _rule_required_tokens(kind: str, body) -> list[str]:
+    """Tokens that MUST appear in the field for an intervals rule to
+    match — the necessary-condition set behind the contains() guard at
+    the intervals leaf. ``match``: all of its analyzed tokens (a
+    ``filter`` relation only restricts the source spans, so the source
+    tokens stay necessary); ``all_of``: the union over sub-rules.
+    Other kinds (any_of, prefix, wildcard, regexp, fuzzy) return []
+    — no guard, the rule evaluates as before."""
+    if kind == "match" and isinstance(body, dict):
+        toks = tokenize(str(body.get("query", "")))
+        return list(dict.fromkeys(toks))
+    if kind == "all_of" and isinstance(body, dict) \
+            and isinstance(body.get("intervals"), list):
+        out: list[str] = []
+        for iv in body["intervals"]:
+            try:
+                out.extend(_rule_required_tokens(*_one_rule(iv)))
+            except DslError:
+                return []
+        return list(dict.fromkeys(out))
+    return []
+
+
 def _intervals_rule(arr: Column, kind: str, body) -> Column:
     """One intervals rule → boolean membership (score-free filter
     context, like the span family). Constrained combinations run the
@@ -1161,20 +1207,24 @@ def _fuzzy_match(col: Column, text: str, fuzziness, operator: str) -> Column:
     toks = tokenize(text)
     if not toks:
         return F.lit(False)
-    arr = _token_array(col)
 
-    def _fuzzy_tok(tok: str) -> Column:
-        maxed = _max_edits(fuzziness, tok)
-        return F.coalesce(
-            F.exists(arr, lambda t: F.levenshtein(
-                t, F.lit(tok)) <= F.lit(maxed)),
-            F.lit(False))
+    def over(arr: Column) -> Column:
+        def _fuzzy_tok(tok: str) -> Column:
+            maxed = _max_edits(fuzziness, tok)
+            return F.coalesce(
+                F.exists(arr, lambda t: F.levenshtein(
+                    t, F.lit(tok)) <= F.lit(maxed)),
+                F.lit(False))
 
-    preds = [_fuzzy_tok(tok) for tok in toks]
-    acc = preds[0]
-    for p in preds[1:]:
-        acc = (acc & p) if operator == "and" else (acc | p)
-    return acc
+        preds = [_fuzzy_tok(tok) for tok in toks]
+        acc = preds[0]
+        for p in preds[1:]:
+            acc = (acc & p) if operator == "and" else (acc | p)
+        return acc
+
+    # token array LET-bound (r14, _let1): one tokenizer run per row,
+    # not one per query token
+    return _let1(_token_array(col), over)
 
 
 def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
@@ -1192,7 +1242,53 @@ def _match_tokens(col: Column, text: str, require_all: bool = False) -> Column:
     return acc
 
 
+#: Compiled-predicate cache (r14, guide §5 driver overhead): span /
+#: intervals / fuzzy trees cost 1-2 s of pure driver time to build —
+#: thousands of py4j round-trips composing Column nodes — and a serving
+#: engine compiles the SAME stored/repeated queries over and over (the
+#: prepared-statement pattern; ES itself caches parsed queries). A
+#: Column is an immutable unresolved-expression handle, safe to reuse
+#: across DataFrames and sessions within the process, so identical
+#: (dsl, schema) requests return the identical handle. This caches
+#: EXPRESSIONS only — every action still computes from the data; no
+#: result or plan-output ever lands here.
+_COMPILE_CACHE: "dict[tuple, Column]" = {}
+_COMPILE_CACHE_MAX = 512
+
+
+def _compile_cache_key(dsl: dict, schema_fields) -> tuple | None:
+    import json as _json
+
+    try:
+        return (_json.dumps(dsl, sort_keys=True), repr(schema_fields))
+    except (TypeError, ValueError):
+        return None  # non-JSON payload: compile uncached
+
+
 def compile_dsl(
+    dsl: dict,
+    field_resolver: Callable[[str], Column] | None = None,
+    schema_fields: list[str] | None = None,
+) -> Column:
+    """Compile an ES query DSL tree into one boolean Column (cached:
+    identical ``(dsl, schema_fields)`` requests with the default field
+    resolver return the same Column handle — see ``_COMPILE_CACHE``).
+    """
+    if field_resolver is None:
+        key = _compile_cache_key(dsl, schema_fields)
+        if key is not None:
+            hit = _COMPILE_CACHE.get(key)
+            if hit is not None:
+                return hit
+            out = _compile_dsl(dsl, None, schema_fields)
+            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+                _COMPILE_CACHE.clear()
+            _COMPILE_CACHE[key] = out
+            return out
+    return _compile_dsl(dsl, field_resolver, schema_fields)
+
+
+def _compile_dsl(
     dsl: dict,
     field_resolver: Callable[[str], Column] | None = None,
     schema_fields: list[str] | None = None,
@@ -1859,7 +1955,31 @@ def compile_dsl(
         if isinstance(spec, dict) and "boost" in spec:
             spec = {k: v for k, v in spec.items() if k != "boost"}
         rkind, rbody = _one_rule(spec)
-        return _intervals_rule(_token_array(col(field)), rkind, rbody)
+        # r14 (guide §1.2 per-row work): bind the token array ONCE via
+        # a 1-element exists() — Catalyst has no LET, and the rule
+        # tree references the array once per term/position helper, so
+        # the regexp tokenizer ran 5x per row in the r13 plan
+        # (measured sf0.1 steady 1.45 -> 0.52 s; identical rows — the
+        # single-element exists returns exactly f(element), nulls
+        # included)
+        pred = _let1(_token_array(col(field)),
+                     lambda a: _intervals_rule(a, rkind, rbody))
+        # r14 (guide §2.2 cheap pre-filter): every token of a match /
+        # all_of rule tree is a NECESSARY substring of the lowercased
+        # field (doc tokens are substrings of lower(text) by
+        # construction of _token_array), so a contains() conjunction
+        # short-circuits the positional span algebra — the expensive
+        # part — on every row that cannot match. Pure pruning: rows
+        # passing the guard evaluate exactly the old predicate;
+        # rows failing it evaluated to FALSE before too.
+        req = _rule_required_tokens(rkind, rbody)
+        if req:
+            low = F.lower(col(field).cast("string"))
+            guard = low.contains(req[0])
+            for t in req[1:]:
+                guard = guard & low.contains(t)
+            pred = guard & pred
+        return pred
 
     if kind == "pinned":
         # promoted ids + organic results: membership is the union

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from sql_database_to_elastic_datalake_spark.localrel import local_frame
 from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
     TOKEN_SPLIT_LOWER_RE,
     DslError,
@@ -771,9 +772,9 @@ def suggest_terms(
     tokens = list(dict.fromkeys(
         tokens if tokens is not None else tokenize(str(text))))
     if not tokens:
-        return df.sparkSession.createDataFrame(
-            [], "token string, candidate string, freq long, "
-                "score double")
+        return local_frame(
+            df.sparkSession, [],
+            "token string, candidate string, freq long, score double")
     # 1. term dictionary with doc frequency — the SAME token class as
     # :func:`.es_dsl.tokenize`, so suggestions come from the analyzer
     # the match queries use
@@ -880,8 +881,8 @@ def suggest_phrase(
 
     toks = [t for t in (tokens if tokens is not None
                         else tokenize(str(text)))]
-    empty = df.sparkSession.createDataFrame(
-        [], "phrase string, score double")
+    empty = local_frame(df.sparkSession, [],
+                        "phrase string, score double")
     if not toks:
         return empty
 
@@ -981,8 +982,8 @@ def suggest_phrase(
 
     compose(0, [], 0, 1.0)
     phrases.sort(key=lambda p: (-p[1], p[0]))
-    return df.sparkSession.createDataFrame(
-        phrases[:int(size)], "phrase string, score double")
+    return local_frame(df.sparkSession, phrases[:int(size)],
+                       "phrase string, score double")
 
 
 def suggest_completion(

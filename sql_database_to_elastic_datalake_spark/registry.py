@@ -43,6 +43,7 @@ from sql_database_to_elastic_datalake_spark.operators.nest import (
     group_to_sorted_string,
     namespace_columns,
 )
+from sql_database_to_elastic_datalake_spark.localrel import local_frame
 from sql_database_to_elastic_datalake_spark.session import ensure_session_conf
 from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
 
@@ -1152,7 +1153,7 @@ def search_aggs_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for sib in ("h200", "h150")
         for hb in lb[sib]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "lang string, sibling string, bucket long, doc_count long"
     )
 
@@ -1194,7 +1195,7 @@ def search_aggs_chain_top_hits(
         for lb in out["langs"]["buckets"]
         for hb in lb["lens"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat,
         "lang string, bucket long, doc_count long, hit_doc_id long",
     )
@@ -1350,7 +1351,7 @@ def search_aggs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          b.get("dx", {}).get("value"))
         for b in out["days"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key timestamp, doc_count long, avg_value double, "
               "cum_docs double, deriv_docs long"
     )
@@ -1413,7 +1414,7 @@ def search_aggs_tsvb_math(spark: SparkSession, sf_dir: str) -> DataFrame:
          b.get("wow", {}).get("value"))
         for b in out["days"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key timestamp, doc_count long, avg_value double, "
               "day_total double, mov3 double, wow_diff long"
     )
@@ -1461,7 +1462,7 @@ def search_aggs_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     }})
     flat = [(b["key"], b["doc_count"], b["avg_value"]["value"])
             for b in out["types"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key string, doc_count long, avg_value double")
 
 
@@ -1508,7 +1509,7 @@ def search_aggs_percentiles_bucket(
             "percents": [25, 50, 75, 99]}},
     })
     v = out["p"]["values"]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(v["25.0"], v["50.0"], v["75.0"], v["99.0"])],
         "p25 long, p50 long, p75 long, p99 long")
 
@@ -1565,7 +1566,7 @@ def search_rescore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((1.0 * r["score"] + 2.0 * r["r"], i, r["doc_id"])
          for i, r in enumerate(rows)),
         key=lambda t: (-t[0], t[1]))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(d, c) for c, _, d in win[:20]],
         "doc_id long, final_score double")
 
@@ -1657,7 +1658,7 @@ def search_aggs_range_buckets(
         for b in out["bands"]["buckets"]
         for lb in b["langs"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "band string, key string, doc_count long")
 
 
@@ -1694,7 +1695,7 @@ def search_aggs_terms_filter(
     flat = [(b["key"], b["doc_count"], b["long"]["doc_count"],
              b["long"]["long_avg"]["value"])
             for b in out["langs"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key string, doc_count long, long_count long, "
               "long_avg double")
 
@@ -1739,7 +1740,7 @@ def search_aggs_filter_buckets(
     flat = [(b["key"], b["doc_count"], b["avg_chars"]["value"],
              env["doc_count"])
             for b in env["langs"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key string, doc_count long, avg_chars double, "
               "filter_count long")
 
@@ -1776,7 +1777,7 @@ def search_aggs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = [(b["key"], b["doc_count"], g["doc_count"],
              out["scoped_count"]["value"])
             for b in g["langs"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key string, doc_count long, global_total long, "
               "scoped_total long")
 
@@ -1825,7 +1826,7 @@ def search_aggs_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src1": {"term": {"source": "src1"}},
     }}}}, schema_fields=docs.columns)
     flat = [(b["key"], b["doc_count"]) for b in out["am"]["buckets"]]
-    return spark.createDataFrame(flat, "key string, doc_count long")
+    return local_frame(spark, flat, "key string, doc_count long")
 
 
 @register(
@@ -1925,7 +1926,7 @@ def search_fields_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         tuple(_render_field_value(r[c], fmt) for c, fmt in fout)
         for r in rows
     ]
-    out = spark.createDataFrame(
+    out = local_frame(spark, 
         flat, "okey long, odate string, price double")
     return out.select(F.col("okey").cast("string").alias("okey"),
                       "odate", "price")
@@ -2081,7 +2082,7 @@ def search_aggs_extended_stats(
         "mad": {"median_absolute_deviation": {"field": "l_quantity"}},
     })
     e = out["es"]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(
             e["count"], e["min"], e["max"], e["sum"],
             e["sum_of_squares"], e["avg"], e["variance"],
@@ -2145,7 +2146,7 @@ def search_aggs_top_metrics(
          b["last"]["top"][0]["metrics"]["value"])
         for b in out["types"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat,
         "key string, doc_count long, last_ts long, last_value double")
 
@@ -2182,7 +2183,7 @@ def search_aggs_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = [(b["key_as_string"], b["doc_count"],
              b["avg_price"]["value"])
             for b in out["combo"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key_as_string string, doc_count long, avg_price double")
 
 
@@ -2208,7 +2209,7 @@ def search_aggs_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rare_terms": {"field": "o_custkey", "max_doc_count": 2},
     }})
     flat = [(b["key"], b["doc_count"]) for b in out["rare"]["buckets"]]
-    return spark.createDataFrame(flat or [],
+    return local_frame(spark, flat or [],
                                  "key long, doc_count long")
 
 
@@ -2252,7 +2253,7 @@ def search_aggs_auto_interval(
          b["avg_value"]["value"])
         for b in out["auto"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key timestamp, doc_count long, avg_value double")
 
 
@@ -2309,7 +2310,7 @@ def search_aggs_variable_width(
     }})
     flat = [(b["key"], b["min"], b["max"], b["doc_count"])
             for b in out["widths"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key double, vw_min double, vw_max double, doc_count long")
 
 
@@ -2362,7 +2363,7 @@ def search_aggs_categorize_text(
     flat = [(b["key"], b["doc_count"], b["regex"],
              b["max_matching_length"])
             for b in out["cats"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat,
         "key string, doc_count long, regex string, "
         "max_matching_length long")
@@ -2452,7 +2453,7 @@ def search_aggs_frequent_item_sets(
          b["doc_count"], b["support"])
         for b in out["sets"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key string, doc_count long, support double")
 
 
@@ -2508,7 +2509,7 @@ def search_aggs_nested_parent(
     flat = [(b["key"], b["doc_count"], b["parents"]["doc_count"],
              b["avg_qty"]["value"])
             for b in out["lab"]["brands"]["buckets"]]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat,
         "key string, doc_count long, parent_docs long, avg_qty double")
 
@@ -3190,7 +3191,7 @@ def search_aggs_nested_metric_order(
         for lb in tree["buckets"]
         for hb in lb["len_hist"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "lang string, avg_chars double, bucket long, doc_count long"
     )
 
@@ -3666,7 +3667,7 @@ def search_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows += [(h["_source"]["doc_id"], h["_source"]["n_chars"])
                  for h in out["hits"]["hits"]]
         out = svc.scroll_search(scroll_id=out["_scroll_id"])
-    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+    return local_frame(spark, rows, "doc_id long, n_chars long")
 
 
 @register(
@@ -3707,7 +3708,7 @@ def search_pit_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows += [(h["_source"]["doc_id"], h["_source"]["n_chars"])
                  for h in hits]
         after = hits[-1]["sort"]
-    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+    return local_frame(spark, rows, "doc_id long, n_chars long")
 
 
 @register(
@@ -4218,7 +4219,7 @@ def search_aggs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          b["rescaled_100"]["value"], b["mean_centered"]["value"])
         for b in out["days"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key timestamp, doc_count long, pct_of_sum double, "
               "z_score double, rescaled double, rescaled_100 double, "
               "mean_centered double"
@@ -4280,7 +4281,7 @@ def search_aggs_cumulative_cardinality(
          b["cum_users"]["value"])
         for b in out["days"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         flat, "key timestamp, doc_count long, daily_users long, "
               "cum_users long"
     )
@@ -8097,7 +8098,7 @@ def extended_stats_bucket_daily(spark: SparkSession,
             "buckets_path": "days>_count"}},
     })
     e = out["es"]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(e["count"], float(e["min"]), float(e["max"]),
           float(e["sum"]), float(e["sum_of_squares"]), e["avg"],
           round(e["variance_population"], 6),
@@ -8170,7 +8171,7 @@ def moving_percentiles_daily(spark: SparkSession,
             round(b["mp"]["values"]["50.0"], 6),
             round(b["mp"]["values"]["90.0"], 6),
         ))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "key timestamp, p50 double, p90 double")
 
 
@@ -8218,7 +8219,7 @@ def children_agg_lineitems(spark: SparkSession,
                       lambda n: load_table(spark, sf_dir, n)),
     )
     k = out["kids"]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(k["doc_count"], k["avg_qty"]["value"],
           float(k["max_price"]["value"]))],
         "doc_count long, avg_qty double, max_price double")
@@ -8286,7 +8287,7 @@ def ip_range_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"from": "10.0.2.0", "to": "10.0.4.0"},
             {"mask": "10.0.4.0/23"},
         ]}}})
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(b["key"], b["doc_count"])
          for b in out["bands"]["buckets"]],
         "key string, doc_count long")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_database_to_elastic_datalake_spark.functions.scalar import finite_or_null
+from sql_database_to_elastic_datalake_spark.localrel import local_frame
 from sql_database_to_elastic_datalake_spark.operators import dedup, multimodal, similarity, text
 from sql_database_to_elastic_datalake_spark.registry import register
 from sql_database_to_elastic_datalake_spark.sources.parquet import load_table
@@ -2428,7 +2429,7 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders_plus = orders.select("o_orderkey", "o_custkey").unionByName(
-        spark.createDataFrame([(-999, -1)], "o_orderkey bigint, o_custkey bigint")
+        local_frame(spark, [(-999, -1)], "o_orderkey bigint, o_custkey bigint")
     )
     dup = quality.duplicate_key_rows(customer, ["c_custkey"]).agg(
         F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
@@ -2771,7 +2772,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("payload"),
         )
         .unionByName(
-            spark.createDataFrame([(-1, "added")], "id bigint, payload string")
+            local_frame(spark, [(-1, "added")], "id bigint, payload string")
         )
     )
     o = old.select(F.col("id").alias("o_id"), F.col("payload").alias("o_p"))

@@ -174,6 +174,11 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.parquet.outputTimestampType",
         "spark.sql.files.openCostInBytes",
         "spark.sql.analyzer.maxIterations",
+        # runtime-settable (a SQLConf, not a static conf): without it a
+        # driver-harness session builds every localrel.local_frame
+        # relation through the pickle/Python-RDD path — ~0.4 s of
+        # Python-worker round-trip per downstream action (guide §4)
+        "spark.sql.execution.arrow.pyspark.enabled",
         # the r5 RocksDB default reaches driver-harness sessions too —
         # dynamic conf, read at stream start
         "spark.sql.streaming.stateStore.providerClass",

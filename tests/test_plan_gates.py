@@ -517,9 +517,15 @@ GATES = {
     # the returned plan touches the corpus only for the background
     # term counts (pruned 1-col scan, pushed not-null) and the bg
     # total (0-col count)
+    # r14: the background branch groups WITHOUT the key-null filter
+    # (one corpus pass — the total-docs scalar bt rides the grouped
+    # frame as an unpartitioned-window sum; nulls filtered after the
+    # agg), so IsNotNull(source) deliberately no longer pushes to the
+    # scan: the scan is one column wide either way and the old shape
+    # paid a SECOND full scan for the scalar
     "search_aggs_sampler_significant": dict(
-        shuffles=4, smj_max=0, bhj_min=2, wgl=False,
-        scans={"documents": (1, ["IsNotNull(source)"])},
+        shuffles=4, smj_max=0, bhj_min=1, wgl=False,
+        scans={"documents": (1, [])},
     ),
     # r10: DSIR importance weights — the bucket model is ONE corpus
     # scan (groupBy bounded by n_buckets + an unpartitioned window
@@ -584,9 +590,19 @@ GATES = {
         scans={"documents": (2, [])},
     ),
     # late r11: interpolated-KN scoring — the Laplace tier's shape
-    # plus one broadcast margin; every model-side join must broadcast
+    # plus one broadcast margin; every model-side join must broadcast.
+    # r14: 7 -> 8 shuffles — the type total T moved from a blocking
+    # driver-side model.count() at build time (a whole EXTRA job
+    # re-running the model lineage, invisible to this gate) into a
+    # 1-row count aggregate broadcast-cross-joined in the same job;
+    # the +1 is that count's single-row gather exchange, and the
+    # model subtree is shared via ReuseExchange instead of re-executed.
+    # cartesian_max=2 is ONE BroadcastNestedLoopJoin (formatted plans
+    # print each node twice): the scalar T attach — its build side is
+    # an empty-key 1-row aggregate BY CONSTRUCTION, so the nested loop
+    # is a scalar broadcast, not an all-pairs hazard at any scale
     "lm_kneser_ney_features": dict(
-        shuffles=7, smj_max=0, bhj_min=3, wgl=False, cartesian_max=0,
+        shuffles=8, smj_max=0, bhj_min=3, wgl=False, cartesian_max=2,
         scans={"documents": (2, [])},
     ),
     # late r11: mixture materialization — the domain-count/target
