@@ -204,21 +204,33 @@ CANARY_SF, CANARY_CPUS = 0.1, "32"
 #: recorded BENCH_sf1_r10.json min-of-3 (local[32]). Re-pin when a
 #: member's code is deliberately changed.
 SF1_CANARY_PINS = {
-    "q4_order_priority": 2.642,
-    "text_stats": 3.739,
     # r13: neardup_minhash_lsh left the canary set — its cost basis
     # changed deliberately (exact-collapse + star-cap, see
     # BASELINE_RESETS) and canary members must be code-stable.
     # r14: quality_classifier_scores left for the same reason (the
     # inline tier's Arrow-batched rewrite cut it ~13x — keeping the
     # 10.442 pin would report every future run as impossibly quiet
-    # and blind the contention gate). Replaced by two members whose
-    # code is untouched this round, pinned at their recorded
-    # BENCH_sf1_r12.json min-of-3 (canary_ratio 0.999 — a quiet
-    # host): the DSIR two-pass model+score pipeline and the
-    # mixture-materialization rank window.
-    "dsir_importance_weights": 1.641,
-    "mixture_domain_resample": 0.615,
+    # and blind the contention gate). The interim replacements
+    # (dsir_importance_weights 1.641 / mixture_domain_resample
+    # 0.615) ALSO left before any artifact was recorded against
+    # them: the r14 driver-local-relation rewrite (localrel) cut
+    # both deliberately (mixture 2.21 -> 0.29 s at sf0.1), so they
+    # fail the same code-stability rule.
+    #
+    # Current set: three members verified code-identical from r12
+    # through HEAD (function-body diff vs the r12 verdict commit,
+    # incl. their operators/* helpers), pinned at their recorded
+    # BENCH_sf1_r12.json min-of-3 — the last sf1 artifact from a
+    # proven-quiet host (its own canary_ratio 0.999, tight spreads).
+    # q4/text_stats were previously pinned at BENCH_sf1_r10 values;
+    # those embed pre-r12 drift (the quiet r12 artifact read them at
+    # 1.14x the r10 pins), which under the r14 gate would misreport
+    # a genuinely quiet host as contended — the pin basis must be
+    # the newest quiet artifact in which the member's code already
+    # had its current shape.
+    "q4_order_priority": 3.010,
+    "text_stats": 4.283,
+    "token_count_bpe_exact": 0.754,
 }
 
 
