@@ -717,18 +717,36 @@ def dedup_clusters(
             labels.withColumnRenamed("id", "s"), "s"
         ).select(F.col("d").alias("id"), "label")
         # r14 (guide §1.2): the changed-row count rides the round's
-        # checkpoint materialization as an Observation on the
-        # new-vs-old comparison join, instead of a second job per
-        # round — halves the per-round job count for identical labels
-        # and an identical stopping decision.
+        # checkpoint materialization as an Observation, instead of a
+        # second job per round — halves the per-round job count for
+        # identical labels and an identical stopping decision.
+        # r14 late (guide §2.1): the old label rides the SAME groupBy
+        # as a tagged min instead of a second join — every id carries
+        # exactly one own=true row (labels is one row per edge id and
+        # msgs only ever adds own=false rows), so
+        # min(label WHERE own) IS the old label and the per-round
+        # new-vs-old join (one full shuffle of the label frame per
+        # round) disappears. min(label) over own ∪ msgs is unchanged:
+        # identical labels, identical changed count, one fewer
+        # exchange per propagation round (measured sf1, pairs
+        # pre-materialized, alternating min-of-4: 3.87 → 3.57 s for
+        # the 3-round resolution stage — locally modest because the
+        # label frame is small, but the eliminated exchange ships the
+        # ENTIRE label frame once per round, which is what matters at
+        # lake scale).
         from pyspark.sql import Observation
 
         robs = Observation()
         new = (
-            labels.unionByName(msgs)
+            labels.select("id", "label", F.lit(True).alias("__own"))
+            .unionByName(msgs.select(
+                "id", "label", F.lit(False).alias("__own")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .join(labels.withColumnRenamed("label", "__old"), "id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own"), F.col("label")))
+                .alias("__old"),
+            )
             .observe(robs, F.sum(
                 (F.col("label") != F.col("__old")).cast("long")
             ).alias("chg"))

@@ -501,6 +501,31 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert {r["cluster_id"] for r in out} == {0}
 
 
+def test_dedup_clusters_stopping_round_count(spark):
+    """r14: the changed-count that stops the propagation loop rides the
+    round's groupBy as a tagged own-label min (no new-vs-old join) —
+    pin the STOPPING decision itself: a star graph converges in round 1
+    and needs exactly one more round to observe zero changes, so the
+    rounds metric must be 2 (a wrong changed-count either stops early,
+    fragmenting clusters, or runs to max_iter)."""
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(5)])
+    pairs = spark.createDataFrame(
+        [Row(a=0, b=1), Row(a=0, b=2), Row(a=0, b=3)]
+    )
+    metrics: dict = {}
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(
+            nodes, pairs, "doc_id", metrics=metrics
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+    assert metrics["propagation_rounds"] == 2
+    assert metrics["candidate_pairs"] == 3
+
+
 def test_quality_classifier_tiers_agree(spark):
     """r9: the inline-formula tier and the broadcast-weight tier score
     the same model — equal up to summation-order ulps; short docs get
