@@ -537,13 +537,17 @@ GATES = {
         shuffles=3, smj_max=0, bhj_min=1, wgl=False,
         scans={"documents": (2, [])},
     ),
-    # r11 (verdict #2): embed_neardup_pairs now REGISTERS the
-    # sign-bucketed tier — pairs meet through a bucket EQUI-join
-    # (broadcast at sf0.01, shuffled hash/SMJ at scale), never a
-    # cartesian product; cartesian_max=0 is the whole point of the
-    # re-registration (the exact all-pairs tier is pytest-only)
+    # r11 (verdict #2): embed_neardup_pairs REGISTERS the
+    # sign-bucketed tier, never a cartesian product (cartesian_max=0;
+    # the exact all-pairs tier is pytest-only). r14: the bucket
+    # self-join became a per-bucket grouped map (the SemDeDup
+    # pattern) — ONE embeddings scan shipped once into ONE bucket
+    # regroup shuffle, no join at all, bit-identical pair output
+    # (operators/similarity.py _bucketed_neardup_pairs; sf1
+    # 5.8 -> 1.0 s). A join reappearing here means the grouped-map
+    # tier regressed to pair materialization.
     "embed_neardup_pairs": dict(
-        shuffles=0, smj_max=0, bhj_min=1, wgl=False, cartesian_max=0,
+        shuffles=1, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
         scans={"embeddings": (2, [])},
     ),
     # r11 (verdict #1): ExactSubstr duplicate-span removal — ONE
