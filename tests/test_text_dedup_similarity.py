@@ -665,6 +665,35 @@ def test_exact_representatives_collapse(spark):
         {(1, 2), (1, 3), (2, 3)}
 
 
+def test_lsh_grouped_verify_matches_relational_tier(spark):
+    """r15 (guide §4, r14 verdict #2): with ``bucket_cap`` set, sparse
+    band buckets verify inside one grouped map (Python set
+    intersection) instead of per-pair set joins. With an inert cap (no
+    bucket over it) the output must equal the uncapped relational
+    tier EXACTLY — same (a, b) pairs AND bit-identical jaccard
+    doubles (int division is IEEE-identical in both tiers)."""
+    from pyspark.sql import Row
+
+    base = " ".join(f"w{i}" for i in range(49))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{base} tail{i}") for i in range(1, 7)]
+        + [Row(doc_id=10, text="zz yy xx ww vv uu tt ss")]
+    )
+    relational = dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, bands=3)
+    grouped = dedup.minhash_lsh_neardup(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, bands=3,
+        bucket_cap=32)
+    rel = sorted((r["a"], r["b"], r["jaccard"])
+                 for r in relational.collect())
+    grp = sorted((r["a"], r["b"], r["jaccard"])
+                 for r in grouped.collect())
+    assert rel == grp and len(rel) == 15
+    # the inert cap reports zero capped buckets
+    m = dict(grouped._dedup_metrics)
+    assert m["capped_buckets"] == 0 and m["capped_bucket_docs"] == 0
+
+
 def test_lsh_bucket_cap_star_emission(spark):
     """r13 (r12 verdict #2): a band bucket denser than bucket_cap
     switches to star emission — hub(min-id)→member pairs only, bounding
