@@ -805,11 +805,17 @@ def dedup_clusters(
     # Edge endpoints must carry the NODES' id dtype: a hard cast (e.g. to
     # long) would turn string ids into NULL edges that silently drop in
     # the propagation join, fragmenting every cluster into singletons.
+    # NULL endpoints (a null pair id, or a cast that failed) are
+    # dropped EXPLICITLY (r15, ADVICE): the pre-r14 per-round inner
+    # join dropped them implicitly, but the fused tagged-min groupBy
+    # treats NULL as a key — without this filter a null-id label row
+    # would persist into the output (and duplicate the null singleton
+    # from the final unionByName).
     id_type = ids.schema["id"].dataType
     edges = pairs.select(
         F.col("a").cast(id_type).alias("s"),
         F.col("b").cast(id_type).alias("d"),
-    )
+    ).filter(F.col("s").isNotNull() & F.col("d").isNotNull())
     # The edge list is MATERIALIZED once (localCheckpoint): every round
     # joins against it, and without the checkpoint each round — plus
     # the singleton anti-join below — re-executes the entire upstream

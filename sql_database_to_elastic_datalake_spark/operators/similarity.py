@@ -262,11 +262,20 @@ def cosine_neardup_pairs(
     but without AQE skew-splitting — raise ``sign_dims`` if a bucket
     outgrows a task); row-blocking bounds the score matrix at
     1024 × bucket_size doubles.
+
+    Degenerate inputs (r15, ADVICE): ZERO-NORM vectors are excluded
+    from BOTH tiers up front — cosine is undefined for them, and
+    without the filter the tiers diverged (the SQL division raised
+    DIVIDE_BY_ZERO under ANSI where the numpy path silently dropped a
+    NaN). Duplicate ``id_col`` values likewise cannot form an
+    ``a == b`` pair in either tier (the join's strict ``a < b`` and
+    an explicit id-inequality mask in the grouped map). The
+    equivalence claims above are exact for the remaining rows.
     """
     if sign_dims:
         return _bucketed_neardup_pairs(
             embeddings, float(threshold), id_col, vec_col, sign_dims)
-    base = with_sq_norm(embeddings, vec_col)
+    base = with_sq_norm(embeddings, vec_col).filter(F.col("sq_norm") > 0)
     a = base.select(
         F.col(id_col).alias("a"), F.col("_vec_d").alias("va"),
         F.col("sq_norm").alias("na"),
@@ -333,12 +342,20 @@ def _bucketed_neardup_pairs(
         if len(ids) < 2:
             return None
         mat = np.vstack(list(vec_objs)).astype(np.float64)
-        n, d = mat.shape
         # norms first: sum of x*x in index order == the sq_norm fold
-        nrm = np.zeros(n)
-        for j in range(d):
+        nrm = np.zeros(mat.shape[0])
+        for j in range(mat.shape[1]):
             c = mat[:, j]
             nrm = nrm + c * c
+        # zero-norm vectors are excluded in both tiers (see the
+        # cosine_neardup_pairs docstring): cosine is undefined, and
+        # silently NaN-dropping here while the SQL tier raised
+        # DIVIDE_BY_ZERO was a tier divergence
+        ok = nrm > 0
+        if ok.sum() < 2:
+            return None
+        ids, mat, nrm = ids[ok], mat[ok], nrm[ok]
+        n, d = mat.shape
         root = np.sqrt(nrm)
         out_a, out_b, out_c = [], [], []
         for r0 in range(0, n, 1024):
@@ -354,6 +371,11 @@ def _bucketed_neardup_pairs(
             up = (ri + r0) < ci  # each unordered pair once
             ri, ci = ri[up], ci[up]
             ai, bi = ids[ri + r0], ids[ci]
+            # duplicate id values cannot form a pair (the join's
+            # strict a < b dropped them; position-based dedup alone
+            # would emit an a == b row)
+            ne = ai != bi
+            ri, ci, ai, bi = ri[ne], ci[ne], ai[ne], bi[ne]
             sw = ai > bi  # a < b by ID, not by row position
             out_a.append(np.where(sw, bi, ai))
             out_b.append(np.where(sw, ai, bi))

@@ -244,6 +244,63 @@ def test_cosine_neardup_pairs(spark, emb):
     assert {(r["a"], r["b"]) for r in bucketed} == {(0, 1)}
 
 
+def test_cosine_neardup_pairs_zero_norm_consistent(spark):
+    """r15 (ADVICE): a zero-norm vector has no defined cosine — BOTH
+    tiers must drop it identically. Before the fix the exact tier
+    raised DIVIDE_BY_ZERO under ANSI while the grouped tier silently
+    NaN-dropped (a tier divergence on degenerate input)."""
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),   # zero norm
+    ])
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    assert {(r["a"], r["b"]) for r in exact} == {(0, 1)}
+    bucketed = similarity.cosine_neardup_pairs(
+        emb, threshold=0.9, sign_dims=1).collect()
+    assert {(r["a"], r["b"]) for r in bucketed} == {(0, 1)}
+
+
+def test_cosine_neardup_pairs_duplicate_ids_no_self_pair(spark):
+    """r15 (ADVICE): two rows sharing an id value must not emit an
+    a == b pair from the grouped tier (the exact join's strict a < b
+    already drops them)."""
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame([
+        Row(vec_id=7, embedding=[1.0, 0.0]),
+        Row(vec_id=7, embedding=[1.0, 0.0]),   # duplicate id
+        Row(vec_id=9, embedding=[-1.0, 0.0]),
+    ])
+    bucketed = similarity.cosine_neardup_pairs(
+        emb, threshold=0.9, sign_dims=1).collect()
+    assert all(r["a"] != r["b"] for r in bucketed)
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    assert all(r["a"] != r["b"] for r in exact)
+
+
+def test_dedup_clusters_null_edge_endpoints_dropped(spark):
+    """r15 (ADVICE): an edge with a NULL endpoint (e.g. an id that
+    failed the cast to the node id type) must not leak a null-keyed
+    label row — the pre-r14 per-round inner join dropped those rows
+    implicitly, and the fused tagged-min groupBy must match."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in (1, 2, 3)])
+    pairs = spark.createDataFrame([
+        Row(a=1, b=2),
+        Row(a=None, b=3),   # null endpoint: dropped, 3 stays singleton
+    ], schema="a int, b int")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    out = dedup.dedup_clusters(docs, pairs, "doc_id").collect()
+    assert len(out) == 3  # no extra null-id row
+
+
 def test_neardup_bucketed_vs_exact(spark):
     """r11 (verdict #2): the REGISTERED embed_neardup_pairs tier is now
     the sign-bucketed equi-join; the exact all-pairs crossJoin stays as
