@@ -404,6 +404,7 @@ def flag_contamination(
     probes: DataFrame,
     probe_text_col: str,
     n: int = 8,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     lowercase word ``n``-gram with a probe (benchmark/eval) document
@@ -420,23 +421,42 @@ def flag_contamination(
     split, distinct shingles) is shared with the dedup family
     (:func:`~.dedup.word_shingles`), so "contaminated" and "near-dup
     of a probe" agree on tokenization.
+
+    r15 (guide §2.3 + §3.2; r14 verdict #7): the join key is the
+    two-seed xxhash64 pair over the shingle, not the shingle STRING —
+    the broadcast set shrinks to 16 bytes/gram (what keeps a
+    lake-scale probe set broadcastable) and the corpus-side probe is
+    a 16-byte struct compare. Grouping/membership is identical absent
+    a 128-bit-class collision (the exact_substring_dedup collision
+    note: ~1e-13 at 1e13 grams). ``ids_unique`` (same contract as
+    ``word_shingles(distinct=False)``): a caller whose input ids are
+    unique by construction skips the corpus-wide (id, shingle)
+    distinct — a full exchange of the exploded corpus stream that
+    only ever guarded against duplicate input ids; within-doc
+    duplicate grams are already collapsed per doc.
     """
     from sql_database_to_elastic_datalake_spark.operators.dedup import (
         word_shingles,
     )
 
-    probe_sh = (
+    def gram_key(col: Column) -> Column:
+        return F.struct(F.xxhash64(col).alias("a"),
+                        F.xxhash64(col, F.lit(1)).alias("b"))
+
+    probe_keys = (
         word_shingles(
             probes.select(F.col(probe_text_col).alias("__t"))
             .withColumn("__pid", F.monotonically_increasing_id()),
-            "__pid", "__t", n=n,
+            "__pid", "__t", n=n, distinct=False,
         )
-        .select("shingle")
+        .select(gram_key(F.col("shingle")).alias("__h"))
         .distinct()
     )
-    corpus_sh = word_shingles(df, id_col, text_col, n=n)
+    corpus_sh = word_shingles(df, id_col, text_col, n=n,
+                              distinct=not ids_unique)
     hits = (
-        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        corpus_sh.select(F.col(id_col), gram_key(F.col("shingle")).alias("__h"))
+        .join(F.broadcast(probe_keys), "__h")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

@@ -4087,6 +4087,16 @@ def _nested_envelope(df: DataFrame, path: str, sub: dict | None) -> dict:
 
 
 
+#: Metric kinds that compile to aliased aggregate Columns and can
+#: therefore share ONE ``df.agg`` job (the run_aggs top-level fusion;
+#: r15 also fuses the children/parent scope-switch's doc_count into
+#: the same job).
+_FUSABLE_METRIC_KINDS = (
+    *_METRICS, "stats", "percentiles", "missing", "extended_stats",
+    "percentile_ranks", "weighted_avg", "scripted_metric",
+)
+
+
 def _agg_kind(spec):
     """The agg-type key of one agg spec: the single key that is not
     ``aggs``/``aggregations``/``meta``. ES JSON key order is
@@ -4320,10 +4330,7 @@ def run_aggs(
     # all TOP-LEVEL metric aggs share one job
     top_metrics = {
         n: s for n, s in aggs.items()
-        if _agg_kind(s) in
-        (*_METRICS, "stats", "percentiles", "missing",
-         "extended_stats", "percentile_ranks", "weighted_avg",
-         "scripted_metric")
+        if _agg_kind(s) in _FUSABLE_METRIC_KINDS
     }
     if top_metrics:
         row = df.agg(*_metric_cols(top_metrics)).collect()[0]
@@ -5430,13 +5437,27 @@ def run_aggs(
                 keys.hint("shuffle_hash"),
                 on=F.col(there_key) == F.col("__rel_k"),
                 how="left_semi")
-            env = {"doc_count": scoped.count()}
-            if sub:
-                env.update(run_aggs(scoped, sub,
-                                    schema_fields=scoped.schema,
-                                    background=scoped,
-                                    relation_ctx=(target_name,
-                                                  load_sibling)))
+            sub_aggs = sub or {}
+            if all(_agg_kind(s) in _FUSABLE_METRIC_KINDS
+                   for s in sub_aggs.values()):
+                # r15 (guide §1.2, r14 verdict #5): doc_count rides
+                # the sub-metrics aggregation — ONE job (and ONE run
+                # of the semi-join) instead of a count job plus a
+                # metrics job that re-executed the semi-join
+                row = scoped.agg(
+                    F.count(F.lit(1)).cast("bigint")
+                    .alias("__rel_doc_count"),
+                    *_metric_cols(sub_aggs)).collect()[0]
+                env = {"doc_count": int(row["__rel_doc_count"])}
+                env.update(_metric_envelope(row, sub_aggs))
+            else:
+                env = {"doc_count": scoped.count()}
+                if sub:
+                    env.update(run_aggs(scoped, sub,
+                                        schema_fields=scoped.schema,
+                                        background=scoped,
+                                        relation_ctx=(target_name,
+                                                      load_sibling)))
             out[name] = env
         else:
             raise DslError(f"unsupported aggregation kind {kind!r}")

@@ -1715,7 +1715,10 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") % 50 == 0).select("text")
-    return flag_contamination(docs, "doc_id", "text", probes, "text", n=8)
+    # ids_unique: doc_id is the table's primary key, so the corpus-wide
+    # (id, shingle) distinct exchange is skipped (r15, guide §2.4)
+    return flag_contamination(docs, "doc_id", "text", probes, "text",
+                              n=8, ids_unique=True)
 
 
 @register(

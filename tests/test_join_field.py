@@ -212,6 +212,20 @@ def test_children_and_parent_aggs(service):
     par = out["aggregations"]["par"]
     assert par["doc_count"] == 2  # orders 1 and 2, deduped
     assert par["p"]["value"] == 900.0
+    # r15: metric-only sub-aggs ride ONE fused job with doc_count; a
+    # BUCKET sub-agg must still take the recursive (unfused) path and
+    # produce the same envelope shape
+    out = service.advanced_search(
+        "data_lake_orders",
+        {"term": {"o_orderpriority": "1-URGENT"}}, k=0,
+        aggs={"kids": {"children": {"type": "lineitem"},
+                       "aggs": {"by_line": {"terms": {
+                           "field": "l_linenumber"}}}}})
+    kids = out["aggregations"]["kids"]
+    assert kids["doc_count"] == 3
+    got = {b["key"]: b["doc_count"]
+           for b in kids["by_line"]["buckets"]}
+    assert got == {1: 2, 2: 1}
     # named 400s
     from sql_database_to_elastic_datalake_spark.plans.es_aggs import (
         run_aggs,
