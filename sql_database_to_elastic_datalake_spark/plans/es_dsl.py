@@ -2457,6 +2457,33 @@ def compile_score(
     field_resolver: Callable[[str], Column] | None = None,
     schema_fields: list[str] | None = None,
 ) -> Column:
+    """Cached entry point for :func:`_compile_score` (r15, r14 verdict
+    #6): identical ``(dsl, schema_fields)`` requests with the default
+    field resolver return the same unresolved Column handle, sharing
+    the bounded ``_COMPILE_CACHE`` store with :func:`compile_dsl`
+    (score entries are keyed under a ``"score"`` namespace so the two
+    compilers can never collide on the same dsl). Expressions only —
+    never results; see the cache's own docstring."""
+    if field_resolver is None:
+        key = _compile_cache_key(dsl, schema_fields)
+        if key is not None:
+            key = ("score", *key)
+            hit = _COMPILE_CACHE.get(key)
+            if hit is not None:
+                return hit
+            out = _compile_score(dsl, None, schema_fields)
+            if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+                _COMPILE_CACHE.clear()
+            _COMPILE_CACHE[key] = out
+            return out
+    return _compile_score(dsl, field_resolver, schema_fields)
+
+
+def _compile_score(
+    dsl: dict,
+    field_resolver: Callable[[str], Column] | None = None,
+    schema_fields: list[str] | None = None,
+) -> Column:
     """Compile an ES query DSL tree into its relevance-score Column —
     the companion to :func:`compile_dsl` (membership from there, rank
     from here; the score is only meaningful on rows the predicate

@@ -441,3 +441,41 @@ def test_min_score_on_advanced_ranked_page(spark, tmp_path):
     with pytest.raises(DslError, match="must be a number"):
         svc.advanced_search("data_lake_ms", {"match": {"txt": "spark"}},
                             k=5, min_score="high")
+
+
+def test_compile_score_cache_keys(spark):
+    """r15 (r14 verdict #6): compile_score shares the bounded compile
+    cache — same (dsl, schema) with the default resolver returns the
+    SAME unresolved Column handle; a different schema is a distinct
+    entry; a custom resolver bypasses the cache; and the score
+    namespace never collides with compile_dsl's entries for the same
+    dsl."""
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        _COMPILE_CACHE,
+        compile_dsl,
+        compile_score,
+    )
+
+    _COMPILE_CACHE.clear()
+    dsl = {"match": {"txt": "spark rdd"}}
+    s1 = ["id", "txt"]
+    s2 = ["id", "txt", "extra"]
+    a = compile_score(dsl, schema_fields=s1)
+    b = compile_score(dsl, schema_fields=s1)
+    assert a is b                       # cache hit: same handle
+    c = compile_score(dsl, schema_fields=s2)
+    assert c is not a                   # schema is part of the key
+    d = compile_dsl(dsl, schema_fields=s1)
+    assert d is not a                   # namespaces never collide
+    # a custom resolver must bypass the cache entirely
+    n0 = len(_COMPILE_CACHE)
+    e = compile_score(dsl, field_resolver=lambda f: F.col(f),
+                      schema_fields=s1)
+    assert e is not a and len(_COMPILE_CACHE) == n0
+    # and the cached handle still evaluates correctly on a frame
+    df = spark.createDataFrame(
+        [(1, "spark spark rdd"), (2, "none")], "id long, txt string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", compile_score(dsl, schema_fields=s1)
+                     .alias("s")).collect()}
+    assert got[1] > got[2]
