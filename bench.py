@@ -191,10 +191,19 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 #: and the total together — ``total_ratio / canary_ratio`` isolates
 #: the code effect, which r5 had to prove with a manual same-box A/B.
 #: Re-pin whenever a canary member's code is deliberately changed.
+#: r15 re-pin (r14 verdict #1): the r5-era pins made the ≤1.1 record
+#: gate reject genuinely QUIET hosts — four idle-host r14 runs read
+#: canary {1.078, 1.12, 1.189, 1.235} because these sub-2 s members'
+#: in-bench min-of-3 rarely amortizes JIT warm-up against pins from a
+#: different code/JVM generation. Values are VERBATIM min-of-3 from
+#: BENCH_sf01_r14.json (the newest gate-passing quiet sf0.1 artifact,
+#: canary 1.078 under the OLD pins); all three members code-stable.
+#: Record mode additionally runs canary members 5× (see the bench
+#: loop) so the min amortizes instead of riding run-3 luck.
 CANARY_PINS = {
-    "denormalized_orders": 1.873,
-    "pricing_summary": 0.875,
-    "q10_returned_revenue": 0.726,
+    "denormalized_orders": 2.042,
+    "pricing_summary": 1.000,
+    "q10_returned_revenue": 0.703,
 }
 CANARY_SF, CANARY_CPUS = 0.1, "32"
 
@@ -228,9 +237,17 @@ SF1_CANARY_PINS = {
     # a genuinely quiet host as contended — the pin basis must be
     # the newest quiet artifact in which the member's code already
     # had its current shape.
+    # r15 (ADVICE): token_count_bpe_exact left the set — its own r12
+    # spread was 1.663/0.785/0.754 (2.21×), so the member's min is a
+    # cold-JIT lottery and it made the gate itself noisy. Replaced by
+    # text_fingerprint: code-identical r12 → HEAD (operators/text.py
+    # diff since the r12 verdict commit touches only the quality-
+    # classifier functions) and r12 spread 1.93/1.902/2.084 (1.10×).
+    # Pin is the BENCH_sf1_r12.json min-of-3, same basis as its two
+    # set-mates.
     "q4_order_priority": 3.010,
     "text_stats": 4.283,
-    "token_count_bpe_exact": 0.754,
+    "text_fingerprint": 1.902,
 }
 
 
@@ -392,12 +409,21 @@ def main() -> None:
                  if (sf1_mode or all_members) else HEADLINE)
     spreads: dict[str, dict] = {}
     cost_metrics: dict[str, dict] = {}
+    record_mode = sf1_mode or all_members
+    canary_set = set(SF1_CANARY_PINS if sf1_mode else CANARY_PINS)
     for name in bench_set:
         if name not in qs:
             continue
         runs: list[float] = []
         df = None
-        for _ in range(3):
+        # r15 (r14 verdict #1): in RECORD mode the canary members run
+        # 5× instead of 3× — their sub-2 s min-of-3 often fails to
+        # amortize JIT warm-up, which is pure measurement noise in the
+        # contention ratio the gate acts on (four idle r14 hosts read
+        # 1.08-1.24 against honest pins). Min over all runs; every run
+        # rides the spread block. The driver's plain run is unchanged.
+        n_runs = 5 if (record_mode and name in canary_set) else 3
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -165,3 +165,27 @@ def test_release_local_checkpoints(spark):
     released = release_local_checkpoints(spark)
     assert released >= 1
     assert n_persistent() == 0
+
+
+def test_canary_pins_match_source_artifacts():
+    """r15 (r14 verdict #1): canary pins must be VERBATIM min-of-3
+    values from their stated source artifacts — a hand-adjusted pin
+    would let a contended host read as quiet (gate-rigging). sf0.1
+    pins come from BENCH_sf01_r14.json (newest gate-passing quiet
+    sf0.1 record); sf1 pins from BENCH_sf1_r12.json (last quiet sf1
+    artifact whose members' code already had today's shape)."""
+    import importlib
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    bench = importlib.import_module("bench")
+
+    sf01 = json.loads((root / "BENCH_sf01_r14.json").read_text())
+    for q, pin in bench.CANARY_PINS.items():
+        assert sf01["queries"][q] == pin, q
+    sf1 = json.loads((root / "BENCH_sf1_r12.json").read_text())
+    for q, pin in bench.SF1_CANARY_PINS.items():
+        assert sf1["queries"][q] == pin, q
