@@ -305,10 +305,28 @@ def _bucketed_neardup_pairs(
     id_col: str,
     vec_col: str,
     sign_dims: int,
+    split_threshold: int = 8192,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Per-bucket grouped-map scorer for :func:`cosine_neardup_pairs`
     (see its docstring for the equivalence argument). One shuffle
-    (the bucket regroup), no join, vectors shipped once."""
+    (the bucket regroup), no join, vectors shipped once.
+
+    r15 (guide §2.5; r14 verdict #4): a HOT bucket no longer becomes a
+    single straggler task. Bucket sizes ride the same exchange as the
+    regroup (a window count on the bucket key); buckets up to
+    ``split_threshold`` keep the one-task path, and an oversized
+    bucket splits into ``ceil(size / block_rows)`` deterministic
+    hash-blocks (``pmod(xxhash64(id), nblk)`` — no sort, stable under
+    retries). Every block pair (i ≤ j) becomes its own task: a member
+    row is replicated once per block, so an n-row bucket costs
+    n·nblk shipped rows and nblk(nblk+1)/2 bounded tasks instead of
+    one quadratic task. Each unordered pair lands in exactly ONE
+    block-pair group (blocks partition the bucket), and the scorer
+    runs the identical per-dimension index-order accumulation, so the
+    pair set and cosines are bit-identical to the unsplit path
+    (pinned by test and by the skewed-bucket ledger entry in
+    SCALE.md)."""
     id_sql = embeddings.schema[id_col].dataType.simpleString()
 
     def bucket_pairs(pdf):  # pragma: no cover - executor-side
@@ -386,17 +404,117 @@ def _bucketed_neardup_pairs(
             "a": np.concatenate(out_a), "b": np.concatenate(out_b),
             "cosine": np.concatenate(out_c)})
 
+    def _norms_index_order(np, mat):
+        nrm = np.zeros(mat.shape[0])
+        for j in range(mat.shape[1]):
+            c = mat[:, j]
+            nrm = nrm + c * c
+        return nrm
+
+    def _clean_side(np, pdf, mask):
+        """(ids, vec-objs, lengths) of one block side: null vectors
+        dropped (same NULL-fold drop as the diagonal scorer)."""
+        vecs = pdf[vec_col].values[mask]
+        keep = np.array([v is not None for v in vecs], dtype=bool)
+        ids = pdf[id_col].values[mask][keep]
+        vecs = vecs[keep]
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64,
+                           count=len(vecs))
+        return ids, vecs, lens
+
+    def cross_pairs(pdf):  # pragma: no cover - executor-side
+        import numpy as np
+        import pandas as pd
+
+        if pdf["__lo"].iat[0] == pdf["__hi"].iat[0]:
+            # diagonal block-pair: all pairs within the block — the
+            # unsplit scorer, unchanged
+            return bucket_pairs(pdf)
+        empty = pd.DataFrame({"a": pdf[id_col][:0], "b": pdf[id_col][:0],
+                              "cosine": pd.Series([], dtype="float64")})
+        blk = pdf["__blk"].values
+        lo = pdf["__lo"].iat[0]
+        ids_a, vecs_a, lens_a = _clean_side(np, pdf, blk == lo)
+        ids_b, vecs_b, lens_b = _clean_side(np, pdf, blk != lo)
+        frames = []
+        for length in np.intersect1d(np.unique(lens_a),
+                                     np.unique(lens_b)):
+            f = _score_cross_class(
+                np, pd,
+                ids_a[lens_a == length], vecs_a[lens_a == length],
+                ids_b[lens_b == length], vecs_b[lens_b == length],
+                threshold)
+            if f is not None:
+                frames.append(f)
+        return pd.concat(frames) if frames else empty
+
+    def _score_cross_class(np, pd, ids_a, va, ids_b, vb, threshold):
+        if not len(ids_a) or not len(ids_b):
+            return None
+        ma = np.vstack(list(va)).astype(np.float64)
+        mb = np.vstack(list(vb)).astype(np.float64)
+        na, nb = _norms_index_order(np, ma), _norms_index_order(np, mb)
+        # zero-norm exclusion: same rule as the diagonal scorer
+        oa, ob = na > 0, nb > 0
+        if not oa.any() or not ob.any():
+            return None
+        ids_a, ma, na = ids_a[oa], ma[oa], na[oa]
+        ids_b, mb, nb = ids_b[ob], mb[ob], nb[ob]
+        ra, rb = np.sqrt(na), np.sqrt(nb)
+        n, d = ma.shape
+        out_a, out_b, out_c = [], [], []
+        for r0 in range(0, n, 1024):
+            rows = slice(r0, min(r0 + 1024, n))
+            # identical per-dimension index-order accumulation
+            dots = np.zeros((rows.stop - r0, mb.shape[0]))
+            for j in range(d):
+                dots = dots + ma[rows, j][:, None] * mb[:, j][None, :]
+            cos = dots / (ra[rows, None] * rb[None, :])
+            ri, ci = np.nonzero(cos >= threshold)
+            ai, bi = ids_a[ri + r0], ids_b[ci]
+            ne = ai != bi  # duplicate id values never pair
+            ri, ci, ai, bi = ri[ne], ci[ne], ai[ne], bi[ne]
+            sw = ai > bi  # a < b by ID
+            out_a.append(np.where(sw, bi, ai))
+            out_b.append(np.where(sw, ai, bi))
+            out_c.append(cos[ri, ci])
+        if not out_a:
+            return None
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c)})
+
+    from pyspark.sql import Window
+
+    keyed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(_to_double(F.col(vec_col)), sign_dims)
+        .alias("bucket"),
+    )
+    schema = f"a {id_sql}, b {id_sql}, cosine double"
+    # ONE pipeline, no branch: a branch (small-filter ∪ big-filter)
+    # would replan the scan→window subtree per side — two full scans
+    # and two full exchanges on the healthy path. Here a healthy
+    # bucket has nblk = 1, so the explode emits exactly one row into
+    # the (bucket, 0, 0) group and the diagonal scorer IS the r14
+    # one-task path; only an oversized bucket pays the replication.
+    sized = keyed.withColumn(
+        "__bsz", F.count("*").over(Window.partitionBy("bucket")))
+    nblk = F.when(
+        F.col("__bsz") > split_threshold,
+        F.ceil(F.col("__bsz") / F.lit(int(block_rows))).cast("int"),
+    ).otherwise(F.lit(1))
     return (
-        embeddings
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            sign_bucket(_to_double(F.col(vec_col)), sign_dims)
-            .alias("bucket"),
-        )
-        .groupBy("bucket")
-        .applyInPandas(
-            bucket_pairs, f"a {id_sql}, b {id_sql}, cosine double")
+        sized
+        .withColumn("__blk",
+                    F.pmod(F.xxhash64(F.col(id_col)), nblk).cast("int"))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), nblk - 1)))
+        .withColumn("__lo", F.least("__blk", "__j"))
+        .withColumn("__hi", F.greatest("__blk", "__j"))
+        .select(id_col, vec_col, "__blk", "bucket", "__lo", "__hi")
+        .groupBy("bucket", "__lo", "__hi")
+        .applyInPandas(cross_pairs, schema)
     )
 
 

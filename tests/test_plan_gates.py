@@ -545,7 +545,11 @@ GATES = {
     # regroup shuffle, no join at all, bit-identical pair output
     # (operators/similarity.py _bucketed_neardup_pairs; sf1
     # 5.8 -> 1.0 s). A join reappearing here means the grouped-map
-    # tier regressed to pair materialization.
+    # tier regressed to pair materialization. r15: the salt-split for
+    # oversized buckets rides the SAME exchange (window count on the
+    # bucket key + conditional block explode; hash(bucket) satisfies
+    # the (bucket, lo, hi) clustering), so shuffles stays EXACTLY 1 —
+    # a second exchange means the split started reshuffling vectors.
     "embed_neardup_pairs": dict(
         shuffles=1, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
         scans={"embeddings": (2, [])},

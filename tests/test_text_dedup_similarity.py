@@ -281,6 +281,39 @@ def test_cosine_neardup_pairs_duplicate_ids_no_self_pair(spark):
     assert all(r["a"] != r["b"] for r in exact)
 
 
+def test_neardup_salt_split_identical(spark):
+    """r15 (r14 verdict #4): an oversized sign bucket splits into
+    deterministic hash-blocks scored one block pair per task; the
+    pair set and cosine doubles must be bit-identical to the unsplit
+    one-task path (every unordered pair lands in exactly one
+    block-pair group; same index-order accumulation)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from sql_database_to_elastic_datalake_spark.operators import (
+        similarity as sim,
+    )
+
+    random.seed(7)
+    rows = [Row(vec_id=i,
+                embedding=[abs(random.gauss(0, 1)) + 0.01
+                           for _ in range(8)])
+            for i in range(400)]         # all-positive → ONE bucket
+    rows += [Row(vec_id=900, embedding=[0.0] * 8),   # zero norm
+             Row(vec_id=901, embedding=None),        # null vector
+             Row(vec_id=100, embedding=rows[100].embedding)]  # dup id
+    emb = spark.createDataFrame(rows)
+    unsplit = sim._bucketed_neardup_pairs(
+        emb, 0.9, "vec_id", "embedding", 4, split_threshold=1 << 60)
+    split = sim._bucketed_neardup_pairs(
+        emb, 0.9, "vec_id", "embedding", 4,
+        split_threshold=100, block_rows=50)
+    u = sorted((r["a"], r["b"], r["cosine"]) for r in unsplit.collect())
+    s = sorted((r["a"], r["b"], r["cosine"]) for r in split.collect())
+    assert u == s and len(u) > 1000
+
+
 def test_dedup_clusters_null_edge_endpoints_dropped(spark):
     """r15 (ADVICE): an edge with a NULL endpoint (e.g. an id that
     failed the cast to the node id type) must not leak a null-keyed
