@@ -129,8 +129,19 @@ def rewrite_join_field(
     ``load_sibling`` resolves a sibling table name to its DataFrame
     (or None when absent) — the API passes a lake reader, the registry
     passes ``load_table``.
+
+    r15 (guide §2.4; r14 verdict #5): leaves that resolve to the SAME
+    (sibling table, source key, destination key) now share ONE
+    qualifying-key pass and ONE flag join — each leaf becomes a
+    conditional aggregate over the union-filtered sibling (existence:
+    ``max(when(pred, true))``; min/max_children: a count-gated
+    ``when``), TRUE-or-NULL so ``exists(flag)`` composes exactly as
+    before. A two-leaf has_parent bool (the registered
+    ``join_field_has_parent``) drops from two groupBy shuffles + two
+    shuffle-hash joins to one of each; leaves on different relations
+    or keys keep separate joins.
     """
-    state = {"df": df, "i": 0, "flags": []}
+    state = {"df": df, "i": 0, "flags": [], "pending": {}}
 
     def leaf(kind: str, body) -> dict:
         if not isinstance(body, dict):
@@ -227,8 +238,8 @@ def rewrite_join_field(
 
         i = state["i"]
         state["i"] += 1
-        kcol, fcol = f"__jf_key_{i}", f"__jf_{i}"
-        base = other.filter(cpred).filter(F.col(src_key).isNotNull())
+        fcol = f"__jf_{i}"
+        min_c = max_c = None
         if kind == "has_child" and (
                 "min_children" in body or "max_children" in body):
             min_c = body.get("min_children", 1)
@@ -240,26 +251,11 @@ def rewrite_join_field(
                                       or v < 0):
                     raise DslError(
                         f"{label} must be a non-negative integer")
-            keys = (
-                base.groupBy(F.col(src_key).alias(kcol))
-                .agg(F.count(F.lit(1)).alias("__jf_n"))
-                .filter(
-                    (F.col("__jf_n") >= F.lit(int(min_c)))
-                    & ((F.col("__jf_n") <= F.lit(int(max_c)))
-                       if max_c is not None else F.lit(True)))
-                .drop("__jf_n")
-            )
-        else:
-            # plain existence: DISTINCT keys (map-side partial
-            # aggregate — one shuffle of the key set, never the rows)
-            keys = base.select(F.col(src_key).alias(kcol)).distinct()
-        keys = keys.withColumn(fcol, F.lit(True))
-        state["df"] = (
-            state["df"]
-            .join(keys.hint("shuffle_hash"),
-                  on=F.col(dst_key) == F.col(kcol), how="left")
-            .drop(kcol)
-        )
+        # defer the key pass: leaves sharing (sibling, src, dst) fold
+        # into ONE groupBy + ONE join after the walk (module docstring)
+        state["pending"].setdefault(
+            (sibling, src_key, dst_key), (other, []),
+        )[1].append((fcol, cpred, min_c, max_c))
         state["flags"].append(fcol)
         return {"exists": {"field": fcol}}
 
@@ -277,7 +273,41 @@ def rewrite_join_field(
             return {k: walk(v) for k, v in node.items()}
         return node
 
-    rewritten = walk(dsl)  # mutates state["df"] — walk FIRST
+    rewritten = walk(dsl)  # collects pending leaf specs — walk FIRST
+    for gi, ((_sib, src_key, dst_key), (other, leaves)) in enumerate(
+            state["pending"].items()):
+        kcol = f"__jf_key_{gi}"
+        any_pred = leaves[0][1]
+        for _, p, _, _ in leaves[1:]:
+            any_pred = any_pred | p
+        base = other.filter(any_pred).filter(F.col(src_key).isNotNull())
+        aggs = []
+        for fcol, cpred, min_c, max_c in leaves:
+            if min_c is None and max_c is None:
+                # plain existence: TRUE when any row matched, else
+                # NULL — exists(flag) must stay false for a key that
+                # only qualified for a SIBLING leaf in this group
+                aggs.append(
+                    F.max(F.when(cpred, F.lit(True))).alias(fcol))
+            else:
+                cnt = F.count(F.when(cpred, F.lit(1)))
+                cond = cnt >= F.lit(int(min_c))
+                if max_c is not None:
+                    cond = cond & (cnt <= F.lit(int(max_c)))
+                aggs.append(F.when(cond, F.lit(True)).alias(fcol))
+        keys = base.groupBy(F.col(src_key).alias(kcol)).agg(*aggs)
+        # a key whose every flag came out NULL (e.g. matched a count
+        # leaf below min_children) carries no information — keep the
+        # joined relation as small as each single-leaf frame was
+        keys = keys.filter(
+            F.coalesce(*[F.col(fc) for fc, *_ in leaves],
+                       F.lit(None).cast("boolean")).isNotNull())
+        state["df"] = (
+            state["df"]
+            .join(keys.hint("shuffle_hash"),
+                  on=F.col(dst_key) == F.col(kcol), how="left")
+            .drop(kcol)
+        )
     return state["df"], rewritten, state["flags"]
 
 

@@ -243,3 +243,54 @@ def test_children_and_parent_aggs(service):
             "data_lake_orders", {"match_all": {}}, k=0,
             aggs={"kids": {"children": {"type": "lineitem",
                                         "x": 1}}})
+
+
+def test_same_relation_leaves_share_one_join(spark):
+    """r15 (guide §2.4): two join-field leaves on the same
+    (sibling, src, dst) fold into ONE qualifying-key pass and ONE
+    flag join — the physical plan must carry exactly one join for
+    the two-leaf bool, and the flags stay TRUE-or-NULL so must_not
+    composes unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_database_to_elastic_datalake_spark.plans.es_dsl import (
+        compile_dsl,
+    )
+    from sql_database_to_elastic_datalake_spark.plans.join_field import (
+        rewrite_join_field,
+    )
+    from sql_database_to_elastic_datalake_spark.sources.parquet import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    lineitem = load_table(spark, sf, "lineitem")
+    dsl = {"bool": {
+        "must": [{"has_parent": {
+            "parent_type": "orders",
+            "query": {"term": {"o_orderpriority": "1-URGENT"}}}}],
+        "must_not": [{"has_parent": {
+            "parent_type": "orders",
+            "query": {"range": {"o_totalprice": {"gt": 250000}}}}}],
+    }}
+    df, rewritten, flags = rewrite_join_field(
+        lineitem, dsl, "lineitem", lambda n: load_table(spark, sf, n))
+    assert len(flags) == 2
+    out = df.filter(compile_dsl(rewritten, schema_fields=df.schema))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 1
+    # equivalence against the two-sided SQL the oracle uses
+    got = {(r["l_orderkey"], r["l_linenumber"])
+           for r in out.select("l_orderkey", "l_linenumber").collect()}
+    orders = load_table(spark, sf, "orders")
+    urgent = {r["o_orderkey"] for r in orders.filter(
+        F.col("o_orderpriority") == "1-URGENT").collect()}
+    big = {r["o_orderkey"] for r in orders.filter(
+        F.col("o_totalprice") > 250000).collect()}
+    want = {(r["l_orderkey"], r["l_linenumber"])
+            for r in lineitem.select("l_orderkey", "l_linenumber")
+            .collect()
+            if r["l_orderkey"] in urgent and r["l_orderkey"] not in big}
+    assert got == want
