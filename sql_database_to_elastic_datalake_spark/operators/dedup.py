@@ -801,6 +801,8 @@ def dedup_clusters(
     duplicate-clique mass); rounds are diameter-bound — if time moves
     but both metrics hold, the PLAN drifted (r5 verdict #5).
     """
+    if int(max_iter) < 1:
+        raise ValueError("dedup_clusters needs max_iter >= 1")
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
     # Edge endpoints must carry the NODES' id dtype: a hard cast (e.g. to
     # long) would turn string ids into NULL edges that silently drop in
@@ -839,44 +841,45 @@ def dedup_clusters(
     # every round just re-materializes singletons. Near-dup graphs are
     # sparse — at 100 TB the edge-touched set is orders of magnitude
     # smaller than the corpus; singletons rejoin label=self at the end.
-    # also materialized: referenced by round-1's labels, the changed
-    # count, and the final singleton anti-join — unchecked, the distinct
-    # shuffle would re-run for each
-    edge_ids = und.select(F.col("s").alias("id")).distinct().localCheckpoint(
-        eager=True
-    )
-    labels = edge_ids.select("id", F.col("id").alias("label"))
+    #
+    # r14 (guide §1.2 + §2.1): per round, the changed-count rides the
+    # checkpoint materialization as an Observation, and the old label
+    # rides the SAME groupBy as a tagged min — no second job and no
+    # per-round label join. r15 (guide §2.4, r14 verdict #5): round 1
+    # needs NO join at all — against identity labels, each message is
+    # just the edge itself (id=d, label=s), and the own rows are
+    # (d, d) straight off the edge list (duplicates per incident edge
+    # are harmless under min). That also retires the separate
+    # edge_ids checkpoint: every round's label frame carries exactly
+    # the edge-touched id set, so the final singleton anti-join reads
+    # the last labels frame instead (one distinct shuffle + one
+    # checkpoint job fewer per resolution; measured sf1: edge_ids
+    # 0.3-0.7 s + the round-1 join share).
+    from pyspark.sql import Observation
+
+    labels = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        msgs = und.join(
-            labels.withColumnRenamed("id", "s"), "s"
-        ).select(F.col("d").alias("id"), "label")
-        # r14 (guide §1.2): the changed-row count rides the round's
-        # checkpoint materialization as an Observation, instead of a
-        # second job per round — halves the per-round job count for
-        # identical labels and an identical stopping decision.
-        # r14 late (guide §2.1): the old label rides the SAME groupBy
-        # as a tagged min instead of a second join — every id carries
-        # exactly one own=true row (labels is one row per edge id and
-        # msgs only ever adds own=false rows), so
-        # min(label WHERE own) IS the old label and the per-round
-        # new-vs-old join (one full shuffle of the label frame per
-        # round) disappears. min(label) over own ∪ msgs is unchanged:
-        # identical labels, identical changed count, one fewer
-        # exchange per propagation round (measured sf1, pairs
-        # pre-materialized, alternating min-of-4: 3.87 → 3.57 s for
-        # the 3-round resolution stage — locally modest because the
-        # label frame is small, but the eliminated exchange ships the
-        # ENTIRE label frame once per round, which is what matters at
-        # lake scale).
-        from pyspark.sql import Observation
-
+        if labels is None:
+            stream = und.select(
+                F.col("d").alias("id"), F.col("s").alias("label"),
+                F.lit(False).alias("__own"),
+            ).unionByName(und.select(
+                F.col("d").alias("id"), F.col("d").alias("label"),
+                F.lit(True).alias("__own")))
+        else:
+            msgs = und.join(
+                labels.withColumnRenamed("id", "s"), "s"
+            ).select(F.col("d").alias("id"), "label")
+            stream = (
+                labels.select("id", "label", F.lit(True).alias("__own"))
+                .unionByName(msgs.select(
+                    "id", "label", F.lit(False).alias("__own")))
+            )
         robs = Observation()
         new = (
-            labels.select("id", "label", F.lit(True).alias("__own"))
-            .unionByName(msgs.select(
-                "id", "label", F.lit(False).alias("__own")))
+            stream
             .groupBy("id")
             .agg(
                 F.min("label").alias("label"),
@@ -895,7 +898,7 @@ def dedup_clusters(
             break
     if metrics is not None:
         metrics["propagation_rounds"] = rounds
-    singletons = ids.join(edge_ids, "id", "left_anti").select(
+    singletons = ids.join(labels.select("id"), "id", "left_anti").select(
         "id", F.col("id").alias("label")
     )
     return labels.unionByName(singletons).select(
