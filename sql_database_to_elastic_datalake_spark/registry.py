@@ -8329,64 +8329,65 @@ def cidr_term_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # -- r14 tier: new or semantics-touched THIS round (rotation
+    # -- r15 tier: semantics- or plan-touched THIS round (rotation
     #    rule: nothing ships with driver evidence older than its
     #    last change).
-    "join_field_has_child",         # r14 NEW: has_child + min_children
-    "join_field_has_parent",        # r14 NEW: semi + anti has_parent
-    "scripted_metric_priority",     # r14 NEW: scripted_metric subset
-    "extended_stats_bucket_daily",  # r14 NEW: sibling moment family
-    "moving_percentiles_daily",     # r14 NEW: windowed percentiles
-    "ip_range_customers",           # r14 NEW: ip_range bands
-    "cidr_term_members",            # r14 NEW: CIDR term membership
-    "children_agg_lineitems",       # r14 NEW: children agg scope-switch
-    "search_knn_ivf_filtered",      # r14 NEW: knn filter + IVF tier
-    "geo_grid_counts",              # r14 touched: geohash null propagation
-    "geo_tile_counts",              # r14 touched: geotile null propagation
-    "percolate_orders",             # r14 touched: batched stored-set plan
-    "rate_events_per_day",          # r14 touched: synthetic-name stripping
-    # -- evidence-freshness window (r13 verdict #2): the 25 remaining
-    #    r8-era queries retire NOW — after this window no registry
-    #    query carries driver evidence older than round 9.
-    "corpus_cluster_profile",
-    "search_aggs_adjacency",
-    "search_aggs_auto_interval",
-    "search_aggs_composite_missing",
-    "search_aggs_composite_page",
-    "search_aggs_date_histogram",
-    "search_aggs_extended_stats",
-    "search_aggs_filter_buckets",
-    "search_aggs_global",
-    "search_aggs_histogram_gaps",
-    "search_aggs_histogram_offset",
-    "search_aggs_multi_terms",
-    "search_aggs_nested_metric_order",
-    "search_aggs_rare_terms",
-    "search_aggs_timezone",
-    "search_aggs_top_metrics",
-    "search_dsl_combined_fields",
-    "search_dsl_compound",
-    "search_fields_retrieval",
-    "search_from_size_page",
-    "search_min_score",
-    "search_ranked_offset_page",
-    "search_sort_mode_array",
-    "search_sort_options",
-    "semdedup_embeddings",
-    # -- oldest-evidence round-robin: 12 slots begin retiring the 46
-    #    r9-era queries (the remaining 34 are r15's owed window).
-    "array_functions_docs",
-    "boilerplate_chunk_removal",
-    "corpus_composition",
-    "data_quality_audit",
-    "denormalized_orders",
-    "filter_project",
-    "gdpr_delete_sync",
-    "group_to_array",
-    "history_versioning",
-    "incremental_sync_events",
-    "ingest_accounting",
-    "late_data_profile",
+    "neardup_minhash_lsh",          # r15: in-bucket grouped-map verify
+    "embed_neardup_pairs",          # r15: salt-split + zero-norm filter
+    "dedup_clusters_jaccard",       # r15: joinless round 1, no edge_ids
+    "dedup_keep_canonical",         # r15: same cluster-resolution path
+    "leakage_safe_split",           # r15 touched AND r9-era evidence
+    "benchmark_decontamination",    # r15: hashed probe keys, no distinct
+    "children_agg_lineitems",       # r15: fused doc_count+metrics job
+    "join_field_has_parent",        # r15: shared-relation leaf merge
+    "join_field_has_child",         # r15: same rewrite path
+    "search_boosted_multimatch",    # r15: compile_score cache path
+    "search_boosted_bool_should",   # r15: compile_score cache path
+    "search_query_string_boosted",  # r15: compile_score cache path
+    "search_function_score_query_base",  # r15: compile_score cache path
+    # -- evidence-freshness window (r14 verdict #9): the 34 remaining
+    #    r9-era queries retire NOW (leakage_safe_split rides the tier
+    #    above) — after this window no registry query carries driver
+    #    evidence older than round 10.
+    "latest_event_per_key",
+    "merge_upsert",
+    "multimodal_frame_sample",
+    "nested_labels_json",
+    "paginate",
+    "point_lookup",
+    "pricing_summary",
+    "quality_classifier_scores",
+    "search_aggs_boxplot",
+    "search_aggs_chain_top_hits",
+    "search_aggs_cumulative_cardinality",
+    "search_aggs_matrix_stats",
+    "search_aggs_metric_script",
+    "search_aggs_nested_levels",
+    "search_aggs_nested_parent",
+    "search_aggs_normalize",
+    "search_aggs_string_stats",
+    "search_aggs_t_test",
+    "search_dsl_distance_feature",
+    "search_dsl_function_score",
+    "search_dsl_more_like_this",
+    "search_dsl_rank_feature",
+    "search_dsl_script_query",
+    "search_dsl_script_score",
+    "search_knn_vector",
+    "search_runtime_mappings",
+    "search_suggest_phrase",
+    "search_suggest_terms",
+    "search_terms_enum",
+    "text_cosine_pairs",
+    "text_repetition",
+    "top3_events_per_user",
+    "union_all_entities",
+    # -- oldest-evidence round-robin: 4 remaining slots begin retiring
+    #    the r10-era tier (the rest are r16's owed window).
+    "batch_sessionization",
+    "char_trigram_profile",
+    "chunk_level_dedup",
+    "cohort_retention",
 ]
 
 
