@@ -658,13 +658,22 @@ GATES = {
             "lineitem": (2, ["GreaterThan(l_quantity,45.0)"]),
         },
     ),
-    # two has_parent leaves: lineitem exchanged once (the second flag
-    # join reuses the first's partitioning) + one distinct per leaf
+    # two has_parent leaves on the same relation share ONE key pass
+    # (r15, guide §2.4): one orders scan filtered by the OR of both
+    # leaf predicates, one conditional-flag groupBy, one shuffle-hash
+    # flag join — so 3 exchanges dropped to 2 (lineitem once + the
+    # merged key set once). A third shuffle reappearing means the
+    # leaves stopped sharing the pass. The orders scan loses the
+    # single-leaf pushed EqualTo by design: the union filter is an OR
+    # of both predicates (still pushable as an Or, but the audit
+    # fragment pins the column budget instead).
     "join_field_has_parent": dict(
-        shuffles=3, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
+        shuffles=2, smj_max=0, bhj_min=0, wgl=False, cartesian_max=0,
         scans={
             "lineitem": (3, []),
-            "orders": (2, ["EqualTo(o_orderpriority,1-URGENT)"]),
+            # one merged scan carries both leaves' columns (key +
+            # priority + totalprice) instead of two 2-col scans
+            "orders": (3, []),
         },
     ),
     # r14: knn DSL filter through the probed IVF tier — the filter
